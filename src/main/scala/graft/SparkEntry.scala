@@ -1,13 +1,592 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Similarity, Tools}
+import graft.operators.{GroupByOp, Joins, MatchJoin, Ops}
+import graft.graph.ConnectedComponents
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import graft.engine.Recipe
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query exercises a library operator and (where the semantics are
+  * SQL-expressible) carries a DuckDB oracle in `oracleSql` with IDENTICAL
+  * column names and arithmetic. Determinism rules used throughout:
+  *   - money/quantity sums go through DECIMAL(18,2) (exact, order-free)
+  *     and are cast to DOUBLE at the end;
+  *   - float expressions keep identical operand order on both sides;
+  *   - rankings always carry an explicit id tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Exact decimal sum reported as double — see determinism note above. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ------------------------------------------------------------- flagship
+  /** Flagship: mini matching pipeline on sf0.001 — normalize part names,
+    * tokenize, top-k IDF match join of a query subset against the whole
+    * part corpus (the reference's ES-join shape), then score bands. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val part = t(spark, dir, "part")
+      .withColumn("toks", Tools.tokenize(Tools.normalize(col("p_name"))))
+    val queries = part.filter(col("p_partkey") % 17 === 0)
+    MatchJoin.topK(queries, part.select("p_partkey", "p_name", "toks"),
+      "toks", "toks", "p_partkey", "p_partkey", k = 5)
+      .withColumn("band",
+        when(col("hit_score") >= col("hit_max_score"), lit("best")).otherwise(lit("candidate")))
+  }
+
+  // -------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // groupby.agg (GroupByOp.agg semantics, decimal-exact sums)
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // strict broadcast joins (Joins.strictJoin) + agg
+    "q02_join_enrich" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val withNation = Joins.strictJoin(c, n,
+        keys = Map("c_nationkey" -> "n_nationkey"),
+        select = Map("n_name" -> "nation_name", "n_regionkey" -> "nregionkey"))
+      val withRegion = Joins.strictJoin(withNation, r,
+        keys = Map("nregionkey" -> "r_regionkey"),
+        select = Map("r_name" -> "region_name"))
+      withRegion.groupBy(col("region_name"), col("nation_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // groupby.rank — dense rank desc within group (GroupByOp.rank)
+    "q03_rank_topk" -> ((s, dir) => {
+      GroupByOp.rank(t(s, dir, "orders"), Seq("o_custkey"), Seq("o_totalprice"))
+        .filter(col("o_totalprice_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_totalprice_rank")
+    }),
+
+    // keep with where-filter (Ops.keep) — predicate pushdown to scan
+    "q04_filter" -> ((s, dir) => {
+      Ops.keep(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          Some("l_shipdate >= timestamp'1995-01-01' AND l_shipdate < timestamp'1996-01-01' AND l_quantity < 24"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // parsedate round-trip (Ops.parsedate) + date parts
+    "q05_dates" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("ds", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      Ops.parsedate(o, Seq("ds"), "yyyy-MM-dd")
+        .groupBy(year(col("ds")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          min(date_format(col("ds"), "yyyy-MM-dd")).as("min_d"),
+          max(date_format(col("ds"), "yyyy-MM-dd")).as("max_d"))
+    }),
+
+    // unfold / explode (Ops.unfold)
+    "q06_unfold" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("tok", split(col("p_type"), " "))
+      Ops.unfold(p, "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    }),
+
+    // nest → unnest round trip (Ops.nest / Ops.unnest)
+    "q07_nest" -> ((s, dir) => {
+      val base = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val nested = Ops.nest(base, Seq("p_partkey", "p_brand", "p_size"), "nested")
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_brand", StringType),
+        StructField("p_size", IntegerType)))
+      Ops.unnest(nested.withColumn("j", col("nested")), "j", schema)
+        .select("p_partkey", "p_brand", "p_size", "nested")
+    }),
+
+    // to_integer / to_float / fillna (Ops.toInteger/toFloat/fillna)
+    "q08_casts" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("si",
+          when(col("p_partkey") % 7 === 0, concat(lit("x"), col("p_size").cast("string")))
+            .otherwise(col("p_size").cast("string")))
+        .withColumn("sf",
+          when(col("p_partkey") % 5 === 0, lit(""))
+            .otherwise(col("p_retailprice").cast("string")))
+      val cast1 = Ops.toInteger(p, Seq("si"))
+      val cast2 = Ops.toFloat(cast1, Seq("sf"), naValue = Some(0.5))
+      Ops.fillna(cast2, Map("si" -> -1L))
+        .select(col("p_partkey"), col("si").as("i"), col("sf").as("f"))
+    }),
+
+    // normalize + replace chains (Ops.normalize / Ops.replace)
+    "q09_normalize" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("decorated", concat(lit("Héllo, "), col("c_name"), lit("!")))
+      val norm = Ops.normalize(c, Seq("decorated"))
+      Ops.replace(norm, Seq("decorated"), Seq("0+" -> "0", "customer" -> "cust"))
+        .select("c_custkey", "decorated")
+    }),
+
+    // left join + fillna-on-missing (Joins.strictJoin + Ops.fillna)
+    "q10_fillna_join" -> ((s, dir) => {
+      val agg = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+      val joined = Joins.strictJoin(t(s, dir, "customer"), agg,
+        keys = Map("c_custkey" -> "o_custkey"),
+        select = Map("n_orders" -> "n_orders", "sum_total" -> "sum_total"),
+        broadcastRight = false)
+      Ops.fillna(joined, Map("n_orders" -> 0L, "sum_total" -> 0.0))
+        .select("c_custkey", "c_name", "n_orders", "sum_total")
+    }),
+
+    // groupby.transform — windowed agg broadcast back (GroupByOp.transformAgg)
+    "q11_transform" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qd", col("l_quantity").cast("decimal(18,2)"))
+      GroupByOp.transformAgg(li, Seq("l_orderkey"), Seq(("qd", "sum")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("qd_sum").cast("double").as("qty_sum"))
+    }),
+
+    // rank within group on doubles (GroupByOp.rank)
+    "q12_rank_group" -> ((s, dir) => {
+      GroupByOp.rank(t(s, dir, "supplier"), Seq("s_nationkey"), Seq("s_acctbal"))
+        .select("s_suppkey", "s_nationkey", "s_acctbal", "s_acctbal_rank")
+    }),
+
+    // fuzzy join via deletion-neighborhood matcher (Joins.fuzzyJoin)
+    "q13_fuzzy_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val typos = n.filter(length(col("n_name")) > 4)
+        .select(col("n_nationkey").as("qkey"),
+          concat(substring(col("n_name"), 1, 2), expr("substring(n_name, 4)")).as("qname"))
+      Joins.fuzzyJoin(typos, n,
+          fuzzy = Map("qname" -> "n_name"),
+          select = Map("n_nationkey" -> "matched_key"))
+        .select("qkey", "qname", "qname_match", "matched_key")
+    }),
+
+    // connected components (ConnectedComponents.run — the clique op core)
+    "q14_components" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val edges = n.select(col("n_nationkey").cast("long").as("src"),
+        (col("n_regionkey") + 1000).cast("long").as("dst"))
+      ConnectedComponents.run(edges)
+    }),
+
+    // geopoint parse + haversine distance (Tools.geopoint/haversineKm)
+    "q15_geo" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").withColumn("wkt",
+        concat(lit("POINT("), ((col("s_suppkey") % 360) - 180).cast("string"), lit(".5 "),
+          ((col("s_suppkey") % 170) - 85).cast("string"), lit(".25)")))
+      sup.withColumn("pt", Tools.geopoint(col("wkt")))
+        .select(col("s_suppkey"), col("pt.lat").as("lat"), col("pt.lon").as("lon"),
+          Tools.haversineKm(col("pt.lat"), col("pt.lon"),
+            lit(48.8566), lit(2.3522)).as("dist_km"))
+    }),
+
+    // eval-style scoring expression: levenshtein_norm + conditional bands
+    "q16_score" -> ((s, dir) => {
+      val c = t(s, dir, "customer").withColumn("k", col("c_custkey") % 100)
+      val sup = t(s, dir, "supplier").withColumn("k", col("s_suppkey") % 100)
+      c.join(broadcast(sup), "k")
+        .withColumn("score_lev", Similarity.levNorm(col("c_name"), col("s_name")))
+        .withColumn("band",
+          when(col("score_lev") >= 0.6, lit("high"))
+            .when(col("score_lev") >= 0.4, lit("mid"))
+            .otherwise(lit("low")))
+        .select("c_custkey", "s_suppkey", "score_lev", "band")
+    }),
+
+    // char n-grams (Tools.charNgrams / Ops.ngram)
+    "q17_ngram" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(Tools.charNgrams(col("p_brand"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    }),
+
+    // event-time tumbling window agg (batch analog of a streaming window)
+    "q18_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("tsv", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(date_trunc("hour", col("tsv")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // lag window / per-user ordering (sessionize primitive); ts compared
+    // at microsecond precision (DuckDB truncates TIMESTAMP_NS on read)
+    "q19_events_lag" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .select("event_id", "user_id", "ts_us", "delta")
+    }),
+
+    // exact dedup groups (Dedup.exactGroups)
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // fingerprint dedup key (Dedup.fingerprint)
+    "q21_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+    }),
+
+    // text quality stats (TextAnalysis)
+    "q22_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.upperRatio(col("text")), 4).as("upper_ratio"),
+        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"))
+    }),
+
+    // language-ID heuristic vs labeled lang (TextAnalysis.langId)
+    "q23_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"),
+          col("lang"))
+    }),
+
+    // n-gram Jaccard near-dup pairs within blocks (Dedup.ngramJaccardPairs)
+    "q24_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "source", n = 3, threshold = 0.8)),
+
+    // brute-force cosine top-k ANN (Ann.bruteForceTopK)
+    "q25_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(e.filter(col("vec_id") % 100 === 0), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    }),
+
+    // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
+    "q26_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6)),
+
+    // SimHash near-dup pairs (rows-only)
+    "q27_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10)),
+
+    // embedding cosine near-dups within label blocks (Ann.cosineNearDups)
+    "q28_embed_neardup" -> ((s, dir) =>
+      Ann.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.3)),
+
+    // top-k IDF match join — the ES-join replacement (MatchJoin.topK)
+    "q29_match_topk" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .withColumn("toks", Tools.tokenize(Tools.normalize(col("p_name"))))
+      val queries = part.filter(col("p_partkey") % 17 === 0)
+      MatchJoin.topK(queries.select("p_partkey", "toks"),
+          part.select("p_partkey", "toks"),
+          "toks", "toks", "p_partkey", "p_partkey", k = 5)
+        .select(col("p_partkey"), col("hit_p_partkey"), col("hit_score"),
+          col("hit_rank"), col("matchid_hit_matches_unfiltered"), col("hit_max_score"))
+    }),
+
+    // raw SQL over registered views (Recipe.sql — the `sql` op)
+    "q30_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      Recipe.sql(s,
+        """SELECT o_orderkey, o_orderdate,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE o_orderdate < TIMESTAMP '1995-03-15'
+          |GROUP BY o_orderkey, o_orderdate""".stripMargin)
+    }),
+
+    // shuffle anonymization — multiset preservation checked via counts
+    "q31_shuffle" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_mktsegment", "c_nationkey")
+      Ops.shuffleCols(c, Seq("c_mktsegment", "c_nationkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  /** Headline queries Bench runs at sf0.1 (the heavy/representative set). */
+  val benchQueries: Seq[String] = Seq(
+    "q01_agg", "q02_join_enrich", "q03_rank_topk", "q11_transform",
+    "q18_events_window", "q21_fingerprint", "q24_jaccard_pairs",
+    "q25_ann_topk", "q26_minhash_pairs", "q29_match_topk")
+
+  // ------------------------------------------------------------- oracles
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(strip_accents(lower(%s)), '[^0-9a-z]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_join_enrich" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q03_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_totalprice_rank FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS o_totalprice_rank
+        | FROM orders) WHERE o_totalprice_rank <= 3""".stripMargin,
+
+    "q04_filter" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q05_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
+        | MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_d,
+        | MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_d
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q06_unfold" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part)
+        |GROUP BY 1""".stripMargin,
+
+    "q07_nest" ->
+      """SELECT p_partkey, p_brand, p_size,
+        | to_json(struct_pack(p_partkey := p_partkey, p_brand := p_brand, p_size := p_size)) AS nested
+        |FROM part""".stripMargin,
+
+    "q08_casts" ->
+      """SELECT p_partkey,
+        | COALESCE(TRY_CAST(CASE WHEN p_partkey % 7 = 0 THEN 'x' || CAST(p_size AS VARCHAR)
+        |                        ELSE CAST(p_size AS VARCHAR) END AS BIGINT), -1) AS i,
+        | CASE WHEN sf = '' THEN 0.5 ELSE TRY_CAST(sf AS DOUBLE) END AS f
+        |FROM (SELECT p_partkey, p_size,
+        |       CASE WHEN p_partkey % 5 = 0 THEN '' ELSE CAST(p_retailprice AS VARCHAR) END AS sf
+        |      FROM part)""".stripMargin,
+
+    "q09_normalize" ->
+      ("SELECT c_custkey, regexp_replace(regexp_replace(" +
+        normSql.format("'Héllo, ' || c_name || '!'") +
+        ", '0+', '0', 'g'), 'customer', 'cust', 'g') AS decorated FROM customer"),
+
+    "q10_fillna_join" ->
+      """SELECT c_custkey, c_name,
+        | COALESCE(n_orders, 0) AS n_orders, COALESCE(sum_total, 0.0) AS sum_total
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        | FROM orders GROUP BY 1) ON c_custkey = o_custkey""".stripMargin,
+
+    "q11_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE) AS qty_sum
+        |FROM lineitem""".stripMargin,
+
+    "q12_rank_group" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        | CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS s_acctbal_rank
+        |FROM supplier""".stripMargin,
+
+    "q13_fuzzy_join" ->
+      """WITH q AS (
+        | SELECT n_nationkey AS qkey, substr(n_name, 1, 2) || substr(n_name, 4) AS qname
+        | FROM nation WHERE length(n_name) > 4),
+        |cand AS (
+        | SELECT q.qkey, q.qname, n.n_name, n.n_nationkey,
+        |  levenshtein(q.qname, n.n_name) AS d,
+        |  ROW_NUMBER() OVER (PARTITION BY q.qkey
+        |    ORDER BY levenshtein(q.qname, n.n_name), n.n_name) AS rn
+        | FROM q CROSS JOIN nation n)
+        |SELECT qkey, qname, n_name AS qname_match, n_nationkey AS matched_key
+        |FROM cand WHERE rn = 1 AND d <= 1""".stripMargin,
+
+    "q14_components" ->
+      """WITH RECURSIVE e AS (
+        | SELECT CAST(n_nationkey AS BIGINT) AS src, CAST(n_regionkey + 1000 AS BIGINT) AS dst FROM nation
+        | UNION
+        | SELECT CAST(n_regionkey + 1000 AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation),
+        |cc(node, comp) AS (
+        | SELECT src, src FROM e
+        | UNION
+        | SELECT e.dst, cc.comp FROM cc JOIN e ON cc.node = e.src)
+        |SELECT node, MIN(comp) AS comp FROM cc GROUP BY node""".stripMargin,
+
+    "q15_geo" ->
+      """WITH w AS (
+        | SELECT s_suppkey,
+        |  'POINT(' || CAST((s_suppkey % 360) - 180 AS VARCHAR) || '.5 '
+        |   || CAST((s_suppkey % 170) - 85 AS VARCHAR) || '.25)' AS wkt
+        | FROM supplier),
+        |p AS (
+        | SELECT s_suppkey,
+        |  CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)', 2) AS DOUBLE) AS lat,
+        |  CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)', 1) AS DOUBLE) AS lon
+        | FROM w)
+        |SELECT s_suppkey, lat, lon,
+        | ROUND(6371.0088 * 2 * ASIN(SQRT(
+        |   POW(SIN(RADIANS(48.8566 - lat) / 2), 2) +
+        |   COS(RADIANS(lat)) * COS(RADIANS(48.8566)) * POW(SIN(RADIANS(2.3522 - lon) / 2), 2))), 1) AS dist_km
+        |FROM p""".stripMargin,
+
+    "q16_score" ->
+      """SELECT c_custkey, s_suppkey,
+        | ROUND(GREATEST((100.0 - 100.0 * levenshtein(c_name, s_name) / (1.0 + LEAST(length(c_name), length(s_name)))) / 100.0, 0.0), 2) AS score_lev,
+        | CASE WHEN ROUND(GREATEST((100.0 - 100.0 * levenshtein(c_name, s_name) / (1.0 + LEAST(length(c_name), length(s_name)))) / 100.0, 0.0), 2) >= 0.6 THEN 'high'
+        |      WHEN ROUND(GREATEST((100.0 - 100.0 * levenshtein(c_name, s_name) / (1.0 + LEAST(length(c_name), length(s_name)))) / 100.0, 0.0), 2) >= 0.4 THEN 'mid'
+        |      ELSE 'low' END AS band
+        |FROM customer JOIN supplier ON c_custkey % 100 = s_suppkey % 100""".stripMargin,
+
+    "q17_ngram" ->
+      """SELECT gram, COUNT(*) AS n FROM (
+        | SELECT unnest(list_transform(generate_series(1, length(p_brand) - 1),
+        |   i -> substring(p_brand, i, 2))) AS gram
+        | FROM part)
+        |GROUP BY 1""".stripMargin,
+
+    "q18_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q19_events_lag" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+        |FROM events""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_fingerprint" ->
+      ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp FROM documents"),
+
+    "q22_text_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+        | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 4) AS upper_ratio,
+        | ROUND(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |     / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END, 4) AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "q23_langid" ->
+      """WITH s AS (
+        | SELECT doc_id, lang, text,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang, text,
+        |  len(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS c_en,
+        |  len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que'])) AS c_fr,
+        |  len(list_intersect(toks, ['el','la','los','de','y','un','una','es','que','en'])) AS c_es,
+        |  len(list_intersect(toks, ['der','die','das','und','ein','eine','ist','zu','den','von'])) AS c_de
+        | FROM s)
+        |SELECT doc_id,
+        | CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |      WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+        |      WHEN c_es >= c_de THEN 'es'
+        |      ELSE 'de' END AS pred_lang,
+        | lang
+        |FROM c""".stripMargin,
+
+    "q24_jaccard_pairs" ->
+      ("WITH n AS (SELECT doc_id, source, " + normSql.format("text") + " AS s FROM documents), " +
+        """g AS (
+          | SELECT doc_id, source, list_distinct(list_transform(
+          |   generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS grams
+          | FROM n WHERE length(s) >= 3)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          | ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          |   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+          |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          |   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin),
+
+    "q25_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  ROUND(list_cosine_similarity(qv, cv), 4) AS score
+        | FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q28_embed_neardup" ->
+      """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM g a JOIN g b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin,
+
+    "q29_match_topk" ->
+      ("WITH tok AS (SELECT p_partkey, list_distinct(string_split_regex(" +
+        normSql.format("p_name") + ", '\\s+')) AS toks FROM part), " +
+        """post AS (SELECT p_partkey AS rid, unnest(toks) AS tok FROM tok),
+          |idf AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS nd FROM tok),
+          |qt AS (SELECT p_partkey AS lid, unnest(toks) AS tok FROM tok WHERE p_partkey % 17 = 0),
+          |cand AS (
+          | SELECT qt.lid, post.rid,
+          |  CAST(FLOOR((LN((n.nd + 1.0) / (idf.df + 1)) + 1) * 10000) AS BIGINT) AS w
+          | FROM qt JOIN post ON qt.tok = post.tok JOIN idf ON qt.tok = idf.tok CROSS JOIN n),
+          |scored AS (SELECT lid, rid, CAST(SUM(w) AS BIGINT) AS hit_score FROM cand GROUP BY 1, 2),
+          |ranked AS (
+          | SELECT lid, rid, hit_score,
+          |  COUNT(*) OVER (PARTITION BY lid) AS matchid_hit_matches_unfiltered,
+          |  MAX(hit_score) OVER (PARTITION BY lid) AS hit_max_score,
+          |  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY hit_score DESC, rid) AS hit_rank
+          | FROM scored)
+          |SELECT lid AS p_partkey, rid AS hit_p_partkey, hit_score,
+          | CAST(hit_rank AS INTEGER) AS hit_rank, matchid_hit_matches_unfiltered, hit_max_score
+          |FROM ranked WHERE hit_rank <= 5""".stripMargin),
+
+    "q30_sql" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q31_shuffle" ->
+      "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1"
+  )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Helpers to load the driver-provided parquet tables (TESTDATA.md) and to
+  * build a correctly-configured local session.
+  *
+  * Scale note: all readers go through `spark.read.parquet` so Catalyst
+  * handles column pruning / predicate pushdown; at cluster scale the same
+  * code reads partitioned directories unchanged.
+  */
+object Tables {
+  /** Read one of the driver tables: region nation customer supplier part
+    * orders lineitem events documents embeddings. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every driver table as a temp view so `spark.sql` recipes can
+    * refer to them by name (mirrors the reference's named datasets,
+    * /root/reference/code/recipes.py:248-447). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      t(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Session defaults shared by Verify / Bench / tests. 32 shuffle
+    * partitions for local[32]; AQE on so skewed joins re-plan at runtime;
+    * nanos-as-long so the `events` table (TIMESTAMP_NANOS parquet) loads. */
+  def session(master: String = "local[32]", app: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

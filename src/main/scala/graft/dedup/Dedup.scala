@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, Tools}
+import graft.graph.ConnectedComponents
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * fingerprint, MinHash+LSH, SimHash, n-gram Jaccard. All pure DataFrame
+  * transforms designed so the expensive parts (signatures) are computed
+  * row-local inside codegen and only candidate generation shuffles.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+  /** Exact dedup by content hash: one row per distinct key, keeping the
+    * minimum id, plus the duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
+
+  /** Drop exact duplicates, keeping the row with the minimal id per
+    * content hash (deterministic, unlike dropDuplicates). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // --------------------------------------------------------- fingerprint
+  /** Normalized fingerprint key (OpenRefine-style): normalize → tokens →
+    * distinct → sort → join → md5. Near-identical docs that differ only
+    * in punctuation/case/word order collapse to one key. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(Tools.tokenize(Tools.normalize(c)))))
+      .cast("binary"))
+
+  def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
+
+  // ------------------------------------------------------------- MinHash
+  /** MinHash signature of a string-array column: k hash functions, each
+    * minhash_i = min over set elements of hash(elem, seed=i). Entirely
+    * row-local Column arithmetic (transform + array_min) — no shuffle, no
+    * UDF; xxhash64 is Spark's codegen'd 64-bit hash. */
+  def minhashSignature(set: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(set, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH banding: signature array → (band_idx, band_hash) pairs. Docs
+    * sharing any band hash are candidate near-duplicates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("bucket"))): _*)
+
+  /** MinHash-LSH candidate pairs verified with true Jaccard.
+    *
+    * Pipeline: shingle → signature (row-local) → explode bands → self-join
+    * on (band, bucket) → distinct pairs → verify true n-gram Jaccard ≥
+    * threshold. At scale the band join is the only shuffle and buckets are
+    * naturally balanced by the hash; AQE splits skewed buckets.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(Tools.wordShingles(Tools.tokenize(Tools.normalize(col(textCol))), shingleSize))
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = base.withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val banded = sig.select(col("id"), col("shingles"),
+      explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("shingles"), col("b.band"), col("b.bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .distinct()
+      .withColumn("jaccard", round(Similarity.jaccardSet(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full near-dup dedup: LSH pairs → connected components → keep min id
+    * per cluster. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+    val comps = ConnectedComponents.run(pairs.select("id_a", "id_b"))
+    val losers = comps.filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- SimHash
+  /** 64-bit SimHash of a token array: per-token 64-bit hash votes on each
+    * bit; bit set where the vote sum is positive. UDF (per-bit loop), but
+    * row-local — no shuffle. */
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    if (tokens == null || tokens.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+  def simhash64(tokens: Column): Column = simhashUdf(tokens)
+
+  /** Hamming distance between two 64-bit signatures (codegen:
+    * bit_count(xor)). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 16-bit sub-bands (a pair within
+    * hamming distance ≤ 3 shares at least one exact band — pigeonhole), then
+    * verify the full hamming distance. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      simhash64(Tools.tokenize(Tools.normalize(col(textCol)))).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.key"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- n-gram Jaccard pairs
+  /** Exhaustive n-gram Jaccard within a blocking key (e.g. source, length
+    * band): cheap exact near-dup scoring when blocks are small. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val g = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      array_distinct(Tools.charNgrams(Tools.normalize(col(textCol)), n)).as("grams"))
+    val a = g.alias("a"); val b = g.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("jaccard", round(Similarity.jaccardSet(col("a.grams"), col("b.grams")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library — the engine's equivalent of the reference's
+  * `eval` surface (/root/reference/code/tools.py). Everything here is a
+  * `Column => Column` combinator so expressions stay inside Catalyst and
+  * whole-stage codegen; Scala UDFs are used only where no builtin
+  * composition exists (accent stripping, char n-grams, edit distances).
+  *
+  * Null/empty discipline: the reference treats the empty string as
+  * "missing" (SURVEY.md §1.2); helpers here preserve that — see
+  * `emptyToNull` / `nullToEmpty`.
+  */
+object Tools {
+
+  // ---------------------------------------------------------------- nulls
+  def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
+  def nullToEmpty(c: Column): Column = coalesce(c, lit(""))
+
+  // ------------------------------------------------------------ normalize
+  /** Strip diacritics: NFD-decompose then drop combining marks.
+    * Mirrors tools.normalize's unidecode step
+    * (/root/reference/code/tools.py:142-155); same result as DuckDB
+    * `strip_accents` for Latin scripts. */
+  private val stripAccentsUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+  }
+  def stripAccents(c: Column): Column = stripAccentsUdf(c)
+
+  /** Full normalize: lower → de-accent → non-alphanumerics to spaces →
+    * squash whitespace → trim (tools.py:142-155). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(stripAccents(lower(c)), "[^0-9a-z]+", " "),
+      "\\s+", " "))
+
+  /** Whitespace tokenizer (tools.py:121-127); empty/blank input → empty
+    * array, matching `"".split()` semantics in the reference. */
+  def tokenize(c: Column): Column =
+    when(c.isNull, lit(null))
+      .when(trim(c) === "", array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Character n-grams of one string (tools.py:109-113): substrings of
+    * length n; strings shorter than n yield an empty array. */
+  private val charNgramsUdf = udf { (s: String, n: Int) =>
+    if (s == null) null
+    else (0 to s.length - n).map(i => s.substring(i, i + n))
+  }
+  def charNgrams(c: Column, n: Int): Column = charNgramsUdf(c, lit(n))
+
+  /** n-grams for several sizes, flattened — the reference's default is
+    * n=[2,3] for the `ngram` operator (code/recipes.py:1972-1987). */
+  def charNgramsMulti(c: Column, ns: Seq[Int]): Column =
+    flatten(array(ns.map(n => charNgrams(c, n)): _*))
+
+  /** Word shingles of size k from a token array (for MinHash dedup). */
+  def wordShingles(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array(concat_ws(" ", tokens)))
+      .otherwise(
+        transform(sequence(lit(0), size(tokens) - k),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+
+  // ------------------------------------------------------------- hashing
+  def sha1Hex(c: Column): Column = sha1(c.cast("binary"))
+  def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
+  /** Row id hash — reference uses blake3 (tools.py:100-107); ids only need
+    * to be stable within a run, so a 64-bit xxhash is the scale-friendly
+    * choice (8 bytes vs 32, codegen'd). */
+  def rowHash(cs: Column*): Column = xxhash64(cs: _*)
+  def md5Hex(c: Column): Column = md5(c.cast("binary"))
+
+  // ---------------------------------------------------------------- geo
+  /** Parse WKT "POINT(lon lat)" → struct(lat, lon) (tools.py:65-69). */
+  def geopoint(wkt: Column): Column = {
+    val re = "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)"
+    struct(
+      regexp_extract(wkt, re, 2).cast("double").as("lat"),
+      regexp_extract(wkt, re, 1).cast("double").as("lon"))
+  }
+
+  /** Haversine great-circle distance in km, rounded to 1 decimal — the
+    * reference returns geodesic km at 1dp (tools.py:74-78). Pure Column
+    * arithmetic: stays in codegen, also expressible 1:1 in the DuckDB
+    * oracle. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = lit(6371.0088)
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    round(r * lit(2) * asin(sqrt(a)), 1)
+  }
+
+  // ------------------------------------------------------------ casts
+  /** `""` → null, else try-cast to long; invalid → null
+    * (to_integer, code/recipes.py:1916-1927 with global-intended
+    * semantics per SURVEY §4). */
+  def toInteger(c: Column): Column = emptyToNull(c).try_cast("long")
+
+  /** `""` → naValue, else try-cast to double (to_float,
+    * code/recipes.py:1955-1970). */
+  def toFloat(c: Column, naValue: Option[Double] = None): Column = {
+    val base = emptyToNull(c).try_cast("double")
+    naValue.map(v => when(c === "", lit(v)).otherwise(base)).getOrElse(base)
+  }
+
+  /** String → timestamp with format, null on failure — pandas
+    * `errors='coerce'` (parsedate, code/recipes.py:2448-2459). */
+  def parsedate(c: Column, fmt: String): Column = try_to_timestamp(c, lit(fmt))
+
+  /** float_val: 0.0 on failure (tools.py:25-29). */
+  def floatVal(c: Column): Column = coalesce(c.try_cast("double"), lit(0.0))
+}

@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an edge list — the engine behind the
+  * reference's `clique` operator (/root/reference/code/recipes.py:1989-2062,
+  * which builds a NetworkX graph per chunk and labels components).
+  *
+  * We implement the intended GLOBAL semantics (SURVEY.md §4) with an
+  * iterative DataFrame min-label propagation:
+  *   label(v) ← min(label(v), min over neighbors u of label(u))
+  * until fixpoint. Component id = the minimum vertex id in the component —
+  * deterministic, unlike the reference's per-run random uuid
+  * (code/recipes.py:2040-2048), and therefore oracle-checkable.
+  *
+  * Scale: each round is one shuffle on the edge key; rounds = graph
+  * diameter (entity-resolution "clique" graphs are shallow — near-dup
+  * clusters have tiny diameter, so 3-6 rounds in practice). Labels are
+  * persisted and localCheckpoint'ed each round to truncate lineage.
+  * For adversarial high-diameter graphs, swap in the large-star/small-star
+  * variant (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond") — same DataFrame skeleton.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame (src, dst) — any numeric/string ids
+    * @return DataFrame (node, component) where component = min node id of
+    *         the component (same type as the ids)
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Array(srcC, dstC) = edges.columns.take(2)
+    // symmetrize + distinct once
+    val sym = edges.select(col(srcC).as("src"), col(dstC).as("dst"))
+      .union(edges.select(col(dstC).as("src"), col(srcC).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: each node takes min(own, neighbors') label
+      val next = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("comp"))
+        .union(labels)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** The `clique` operator contract: label each edge row with
+    * graph_clique_id (component id) and graph_clique_size
+    * (code/recipes.py:2040-2055), joined back on the first node column. */
+  def clique(df: DataFrame, src: String, dst: String): DataFrame = {
+    val comps = run(df.select(col(src), col(dst)))
+    val sizes = comps.groupBy("comp").agg(count("*").as("graph_clique_size"))
+    df.join(comps.withColumnRenamed("node", src).withColumnRenamed("comp", "graph_clique_id"), Seq(src), "left")
+      .join(sizes.withColumnRenamed("comp", "graph_clique_id"), Seq("graph_clique_id"), "left")
+  }
+}

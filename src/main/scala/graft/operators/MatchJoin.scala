@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Top-k similarity-search join — the Spark-native replacement for the
+  * reference's Elasticsearch msearch join, *the* matching operator
+  * (/root/reference/code/recipes.py:2120-2376; query templates in
+  * conf/recipes/matching.yml:11-49).
+  *
+  * Design (SURVEY.md §2.4.3): instead of per-row network searches against
+  * an ES index, build the "index" as DataFrames —
+  *   1. tokenize the right side into postings (token → doc),
+  *   2. candidate generation = explode left tokens (+ optional fuzzy
+  *      delete-variants for edit-distance-1 recall, mirroring
+  *      `fuzziness: 1`), equi-join the postings, one shuffle on token,
+  *   3. score candidates by IDF-weighted token overlap (deterministic;
+  *      ES BM25 values are NOT reproduced — the reference's own pipeline
+  *      re-scores from raw fields downstream and only thresholds the
+  *      recomputed score, matching.yml:52-54, so candidate recall is the
+  *      contract, not score values),
+  *   4. top-k per left row via window rank.
+  *
+  * Downstream contract preserved: `hit_`-prefixed right columns,
+  * `matchid_hit_matches_unfiltered` (total candidate count),
+  * `hit_max_score`, keep_unmatched (docs/recipes.md:198-204).
+  *
+  * Scale: postings/candidates shuffle on short token strings; IDF table is
+  * tiny (vocab-sized) and broadcast; stopword-like tokens can be capped
+  * with `maxDocFreq` to bound skew (the classic hot-token guard), and AQE
+  * splits whatever skew remains.
+  */
+object MatchJoin {
+
+  /** @param left          query side
+    * @param right         corpus side ("the index")
+    * @param leftTokens    array-of-string column on left (analyzed field)
+    * @param rightTokens   array-of-string column on right
+    * @param leftId        unique left row id
+    * @param rightId       unique right row id
+    * @param k             hits per left row (reference default size=10)
+    * @param keepUnmatched keep left rows with no hit (hit cols null)
+    * @param fuzzy         also match tokens at edit distance 1
+    *                      (delete-variant blocking like FuzzyMatch)
+    * @param maxDocFreq    drop tokens appearing in more right docs than
+    *                      this (0 = no cap) — skew guard at scale
+    */
+  def topK(
+      left: DataFrame, right: DataFrame,
+      leftTokens: String, rightTokens: String,
+      leftId: String, rightId: String,
+      k: Int = 10,
+      keepUnmatched: Boolean = false,
+      fuzzy: Boolean = false,
+      maxDocFreq: Long = 0L): DataFrame = {
+
+    // ---- postings: token → right doc
+    val postingsRaw = right
+      .select(col(rightId).as("__rid"), explode(array_distinct(col(rightTokens))).as("__tok"))
+    val postings = if (maxDocFreq > 0) {
+      val hot = postingsRaw.groupBy("__tok").agg(count("*").as("__df"))
+        .filter(col("__df") > maxDocFreq).select("__tok")
+      postingsRaw.join(broadcast(hot), Seq("__tok"), "left_anti")
+    } else postingsRaw
+
+    // ---- IDF per token: log((N+1)/(df+1)) + 1, quantized to integer
+    // 1e-4 units — integer sums are order-independent, so the aggregated
+    // score is bit-deterministic across partitionings (and engines)
+    val nDocs = right.select(col(rightId)).distinct().count()
+    val idf = postings.groupBy("__tok")
+      .agg(count("*").as("__df"))
+      .withColumn("__idf",
+        floor((log((lit(nDocs.toDouble) + 1) / (col("__df") + 1)) + 1) * 10000).cast("long"))
+      .select("__tok", "__idf")
+
+    // ---- left tokens (+ fuzzy variants at distance ≤1)
+    val qtokBase = left.select(col(leftId).as("__lid"),
+      explode(array_distinct(col(leftTokens))).as("__qtok"))
+    val cand0 =
+      if (!fuzzy) {
+        qtokBase.withColumn("__tok", col("__qtok"))
+          .join(postings.hint("shuffle_hash"), Seq("__tok"))
+      } else {
+        // delete-variant meet: qtok and tok within edit distance 1 share a
+        // delete-≤1 variant; verify with true levenshtein
+        val qv = qtokBase.select(col("__lid"), col("__qtok"),
+          explode(array_distinct(concat(array(col("__qtok")),
+            expr("transform(sequence(1, length(__qtok)), i -> concat(substring(__qtok, 1, i-1), substring(__qtok, i+1)))"))))
+            .as("__v"))
+        val pv = postings.select(col("__rid"), col("__tok"),
+          explode(array_distinct(concat(array(col("__tok")),
+            expr("transform(sequence(1, length(__tok)), i -> concat(substring(__tok, 1, i-1), substring(__tok, i+1)))"))))
+            .as("__v"))
+        qv.join(pv, Seq("__v"))
+          .filter(levenshtein(col("__qtok"), col("__tok")) <= 1)
+          .select("__lid", "__qtok", "__tok", "__rid").distinct()
+      }
+
+    // ---- score: sum of IDF over matched tokens (each left token counts
+    // once per right doc)
+    val scored = cand0
+      .select(col("__lid"), col("__rid"), col("__tok")).distinct()
+      .join(broadcast(idf), Seq("__tok"))
+      .groupBy("__lid", "__rid")
+      .agg(sum("__idf").as("hit_score"), count("*").as("__overlap"))
+
+    // ---- top-k + hit metadata
+    val w = Window.partitionBy(col("__lid"))
+      .orderBy(col("hit_score").desc, col("__rid"))
+    val stats = Window.partitionBy(col("__lid"))
+    val topk = scored
+      .withColumn("matchid_hit_matches_unfiltered", count("*").over(stats))
+      .withColumn("hit_max_score", max(col("hit_score")).over(stats))
+      .withColumn("hit_rank", row_number().over(w))
+      .filter(col("hit_rank") <= k)
+
+    // ---- attach right columns with hit_ prefix (unnest contract)
+    val hitCols = right.columns.map(c => col(c).as(s"hit_$c"))
+    val withHits = topk.join(right.select(hitCols.toSeq: _*),
+      topk("__rid") === col(s"hit_$rightId"))
+
+    val joined = left.join(withHits, left(leftId) === withHits("__lid"),
+      if (keepUnmatched) "left" else "inner")
+    joined.drop("__lid", "__rid")
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Tools
+
+/** Row/column operators — the Spark re-expression of the reference's 26
+  * `internal_*` recipe steps (/root/reference/code/recipes.py:1622-2486).
+  * Every operator is a pure `DataFrame => DataFrame` transform: no
+  * driver-side collection, no per-chunk state — Catalyst sees the whole
+  * recipe as one plan and optimizes it globally (SURVEY.md §4).
+  */
+object Ops {
+
+  /** Column selection by regex-or-explicit-list, defaulting to all columns
+    * (select_columns, code/recipes.py:1596-1608). Resolution happens at
+    * plan-build time against df.columns — zero runtime cost. */
+  def selectColumns(df: DataFrame, select: Seq[String]): Seq[String] =
+    if (select.isEmpty) df.columns.toSeq
+    else {
+      val cols = df.columns
+      select.flatMap { s =>
+        if (cols.contains(s)) Seq(s)
+        else cols.filter(_.matches(s)).toSeq
+      }.distinct
+    }
+
+  // ------------------------------------------------------------ map/rename
+  /** `map`: new column := copy of an existing column
+    * (code/recipes.py:1702-1715). */
+  def mapCopy(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (dst, src)) => d.withColumn(dst, col(src)) }
+
+  /** `map` with an array of source columns → array column. */
+  def mapArray(df: DataFrame, dst: String, srcs: Seq[String]): DataFrame =
+    df.withColumn(dst, array(srcs.map(col): _*))
+
+  /** `rename`: YAML maps new→old; reference inverts the dict
+    * (code/recipes.py:1697-1700). Here: old→new, the sane direction. */
+  def rename(df: DataFrame, oldToNew: Map[String, String]): DataFrame =
+    oldToNew.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+
+  // ---------------------------------------------------------- keep/delete
+  /** `keep`: project to selected columns with optional row filter
+    * (code/recipes.py:1900-1914). `where` is a SQL boolean expression —
+    * Catalyst pushes it into the scan. */
+  def keep(df: DataFrame, select: Seq[String], where: Option[String] = None): DataFrame = {
+    val filtered = where.map(w => df.filter(expr(w))).getOrElse(df)
+    filtered.select(selectColumns(df, select).map(col): _*)
+  }
+
+  /** `delete`: drop selected columns (code/recipes.py:2072-2085). */
+  def delete(df: DataFrame, select: Seq[String]): DataFrame =
+    df.drop(selectColumns(df, select): _*)
+
+  // -------------------------------------------------------------- fillna
+  /** `fillna`: per-column default; creates the column when absent
+    * (code/recipes.py:1622-1634). */
+  def fillna(df: DataFrame, values: Map[String, Any]): DataFrame = {
+    val (present, absent) = values.partition { case (c, _) => df.columns.contains(c) }
+    val filled = present.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+    absent.foldLeft(filled) { case (d, (c, v)) => d.withColumn(c, lit(v)) }
+  }
+
+  // ------------------------------------------------------------- replace
+  /** `replace`: ordered regex→replacement chain over string columns;
+    * array columns are mapped element-wise (code/recipes.py:2461-2474,
+    * tools.replace_regex). */
+  def replace(df: DataFrame, select: Seq[String], rules: Seq[(String, String)]): DataFrame =
+    selectColumns(df, select).foldLeft(df) { (d, c) =>
+      val f = d.schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+          (in: Column) => transform(in, x =>
+            rules.foldLeft(x) { case (cc, (re, rep)) => regexp_replace(cc, re, rep) })
+        case _ =>
+          (in: Column) =>
+            rules.foldLeft(in) { case (cc, (re, rep)) => regexp_replace(cc, re, rep) }
+      }
+      d.withColumn(c, f(col(c)))
+    }
+
+  /** `normalize`: accent-fold + lowercase + strip non-alnum
+    * (code/recipes.py:2476-2483, tools.py:142-155). */
+  def normalize(df: DataFrame, select: Seq[String]): DataFrame =
+    selectColumns(df, select).foldLeft(df) { (d, c) =>
+      d.withColumn(c, Tools.normalize(col(c)))
+    }
+
+  // ---------------------------------------------------------------- casts
+  /** `to_integer` (code/recipes.py:1916-1927). */
+  def toInteger(df: DataFrame, select: Seq[String]): DataFrame =
+    selectColumns(df, select).foldLeft(df) { (d, c) =>
+      d.withColumn(c, Tools.toInteger(col(c)))
+    }
+
+  /** `to_float` with optional na_value (code/recipes.py:1955-1970). */
+  def toFloat(df: DataFrame, select: Seq[String], naValue: Option[Double] = None): DataFrame =
+    selectColumns(df, select).foldLeft(df) { (d, c) =>
+      d.withColumn(c, Tools.toFloat(col(c), naValue))
+    }
+
+  /** `parsedate` (code/recipes.py:2448-2459). */
+  def parsedate(df: DataFrame, select: Seq[String], fmt: String): DataFrame =
+    selectColumns(df, select).foldLeft(df) { (d, c) =>
+      d.withColumn(c, Tools.parsedate(col(c), fmt))
+    }
+
+  // ---------------------------------------------------------------- ngram
+  /** `ngram`: char n-grams of normalized tokens, default n=[2,3]
+    * (code/recipes.py:1972-1987). String col → array of grams. */
+  def ngram(df: DataFrame, select: Seq[String], ns: Seq[Int] = Seq(2, 3)): DataFrame =
+    selectColumns(df, select).foldLeft(df) { (d, c) =>
+      d.withColumn(c, Tools.charNgramsMulti(col(c), ns))
+    }
+
+  // ----------------------------------------------------------- nest/unnest
+  /** `nest`: selected columns → one JSON-string column, originals dropped
+    * (code/recipes.py:2396-2409). */
+  def nest(df: DataFrame, select: Seq[String], target: String): DataFrame = {
+    val cols = selectColumns(df, select)
+    df.withColumn(target, to_json(struct(cols.map(col): _*)))
+      .drop(cols.filterNot(_ == target): _*)
+  }
+
+  /** `unnest`: JSON-string column → one column per field, with optional
+    * prefix, original dropped (code/recipes.py:2378-2394). Schema must be
+    * supplied (conf-driven) or pre-inferred — plan-time knowledge, no
+    * driver-side data peek at scale. */
+  def unnest(df: DataFrame, column: String, schema: StructType, prefix: String = ""): DataFrame = {
+    val parsed = df.withColumn("__unnest", from_json(col(column), schema))
+    val expanded = schema.fieldNames.foldLeft(parsed) { (d, f) =>
+      d.withColumn(prefix + f, col("__unnest").getField(f))
+    }
+    expanded.drop("__unnest", column)
+  }
+
+  /** Infer the JSON schema of a column from data (test/interactive
+    * convenience — prefer the explicit-schema overload in pipelines). */
+  def inferJsonSchema(df: DataFrame, column: String): StructType = {
+    val spark = df.sparkSession
+    spark.read.json(df.select(col(column).cast("string")).na.drop()
+      .limit(1000).as(spark.implicits.newStringEncoder)).schema
+  }
+
+  // --------------------------------------------------------------- unfold
+  /** `unfold`: explode array column(s) into rows; rows with empty/null
+    * arrays are KEPT with `fillNa` (code/recipes.py:2411-2446 — the
+    * empty-list edge is the tricky documented behavior). */
+  def unfold(df: DataFrame, column: String, fillNa: Any = ""): DataFrame =
+    df.withColumn(column, explode_outer(col(column)))
+      .withColumn(column, coalesce(col(column), lit(fillNa)))
+
+  // -------------------------------------------------------------- shuffle
+  /** `shuffle`: independently permute every selected column
+    * (anonymization, code/recipes.py:1717-1726). Deterministic given seed.
+    * Scale note: one extra shuffle per column — acceptable, the op is a
+    * one-off anonymization pass. */
+  def shuffleCols(df: DataFrame, select: Seq[String] = Nil, seed: Long = 42L): DataFrame = {
+    val cols = selectColumns(df, select)
+    val base = df.withColumn("__row", row_number().over(
+      Window.orderBy(monotonically_increasing_id())))
+    cols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
+      val perm = df.select(col(c))
+        .withColumn("__rnd", rand(seed + i))
+        .withColumn("__row", row_number().over(Window.orderBy(col("__rnd"))))
+        .select(col("__row"), col(c).as(s"__perm_$c"))
+      d.drop(c).join(perm, "__row").withColumnRenamed(s"__perm_$c", c)
+    }.drop("__row")
+  }
+
+  // ---------------------------------------------------------------- pause
+  /** `pause`: truncate the pipeline here (debug), optional head limit
+    * (code/recipes.py:2485-2486). With steps as Seq[DataFrame=>DataFrame]
+    * this is build-time truncation; the head limit maps to `.limit`. */
+  def pause(df: DataFrame, head: Option[Int] = None): DataFrame =
+    head.map(df.limit).getOrElse(df)
+}

@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the full corpus, scored in codegen (zip_with/aggregate dot
+  * product), ranked by a per-query window. Scale path: LSH bucketing by
+  * random-hyperplane signs cuts the candidate set; both share the scoring
+  * tail.
+  */
+object Ann {
+
+  /** Cosine-scored top-k join: every row of `queries` gets its k nearest
+    * `corpus` rows. Queries are broadcast (the common case: few probes
+    * against a huge corpus); the corpus is never collected.
+    *
+    * Deterministic: scores rounded to 4dp, ties broken by corpus id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = q.join(c,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits packed into a
+    * long. Hyperplanes are pseudo-random but deterministic (seeded by the
+    * bit index through xxhash64 of the dimension index). Row-local, no
+    * shuffle. */
+  def hyperplaneSig(vec: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column = {
+    // plane(b, d) = deterministic pseudo-random in [-1, 1]
+    def plane(b: Int) = array((0 until dim).map { d =>
+      (xxhash64(lit(b * 7919 + d)) % 10000L).cast("double") / 10000.0
+    }: _*)
+    val bitCols = (0 until bits).map { b =>
+      when(Similarity.dot(transform(vec, x => x.cast("double")), plane(b)) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates must share the signature bucket, then
+    * exact cosine ranks them. Trades recall for a corpus-side shuffle on
+    * the bucket key instead of a full cross product — the 100 TB path. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, dim: Int, bits: Int = 12): DataFrame = {
+
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      hyperplaneSig(col(qVec), dim, bits).as("__sig")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      hyperplaneSig(col(cVec), dim, bits).as("__sig"))
+    val scored = q.join(c, Seq("__sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Embedding near-duplicate pairs within a blocking column: exact
+    * cosine ≥ threshold, id_a < id_b. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val g = df.select(col(idCol).as("id"), col(blockCol).as("block"), col(vecCol).as("v"))
+    val a = g.alias("a"); val b = g.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(Similarity.cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}
