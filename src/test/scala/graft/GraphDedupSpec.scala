@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.ConnectedComponents
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.sim.Ann
+import graft.operators.MatchJoin
+import graft.functions.Tools
+
+class GraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components labels each component with its min id") {
+    // components: {1,2,3,4} (chain), {10,11}, {20} isolated via self-edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+    val out = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("clique op attaches graph_clique_id and size (recipes.py:2040-2055)") {
+    val df = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = ConnectedComponents.clique(df, "a", "b")
+    val m = out.collect().map(r =>
+      r.getAs[Long]("a") -> (r.getAs[Long]("graph_clique_id"), r.getAs[Long]("graph_clique_size"))).toMap
+    assert(m(1L) == (1L, 3L) && m(2L) == (1L, 3L) && m(10L) == (10L, 2L))
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+    assert(col1[Long](out, "doc_id").sorted == Seq(1L, 2L))
+  }
+
+  test("fingerprint collapses case/punctuation/word-order variants") {
+    val df = Seq("Hello, World!", "world HELLO", "different").toDF("t")
+    val fps = col1[String](df.select(Dedup.fingerprint(col("t")).as("f")), "f")
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val near = base.replace("today", "tonight")
+    val other = "completely different content about spark dataframes and shuffles here now"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+    val got = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("simhash: identical token sets → distance 0; near → small distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 16)
+    val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((1L, 2L)) == 0)
+    assert(m.get((1L, 3L)).forall(_ > 0))
+  }
+
+  test("brute-force ANN ranks by cosine with id tie-break") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(df.filter($"vec_id" === 0), df,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    val got = out.orderBy("rank").collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq((3L, 1), (1L, 2)))
+  }
+
+  test("match topK honors k, rank order and hit metadata contract") {
+    val docs = Seq(
+      (1L, Seq("red", "apple", "pie")),
+      (2L, Seq("red", "apple", "tart")),
+      (3L, Seq("green", "pear", "pie")),
+      (4L, Seq("blue", "sky"))).toDF("id", "toks")
+    val q = Seq((100L, Seq("red", "apple"))).toDF("id", "toks")
+    val out = MatchJoin.topK(q, docs, "toks", "toks", "id", "id", k = 2)
+    val hits = out.orderBy("hit_rank").collect()
+    assert(hits.length == 2)
+    assert(hits.map(_.getAs[Long]("hit_id")).toSeq == Seq(1L, 2L)) // tie → min rid
+    assert(hits.head.getAs[Long]("matchid_hit_matches_unfiltered") == 2L)
+    assert(hits.head.getAs[Long]("hit_max_score") == hits.head.getAs[Long]("hit_score"))
+    // unmatched left row dropped by default, kept with keepUnmatched
+    val q2 = Seq((200L, Seq("nothing", "matches"))).toDF("id", "toks")
+    assert(MatchJoin.topK(q2, docs, "toks", "toks", "id", "id", k = 2).count() == 0)
+    assert(MatchJoin.topK(q2, docs, "toks", "toks", "id", "id", k = 2,
+      keepUnmatched = true).count() == 1)
+  }
+
+  test("match topK fuzzy recall: edit-distance-1 tokens match") {
+    val docs = Seq((1L, Seq("marseille", "port"))).toDF("id", "toks")
+    val q = Seq((9L, Seq("marseile"))).toDF("id", "toks")
+    assert(MatchJoin.topK(q, docs, "toks", "toks", "id", "id", k = 1).count() == 0)
+    val fuzzy = MatchJoin.topK(q, docs, "toks", "toks", "id", "id", k = 1, fuzzy = true)
+    assert(fuzzy.count() == 1)
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "le chat est dans la maison et il est un",
+      "der Hund ist ein guter Freund und die Katze").toDF("t")
+    assert(col1[String](df.select(TextAnalysis.langId(col("t")).as("l")), "l") ==
+      Seq("en", "fr", "de"))
+  }
+
+  test("text stats: token count, ratios") {
+    val df = Seq("Hello, World! Nice day.").toDF("t")
+    val out = df.select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      round(TextAnalysis.punctRatio(col("t")), 3).as("p"),
+      round(TextAnalysis.meanWordLen(col("t")), 3).as("m"))
+    val r = out.collect().head
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 0.3)
+  }
+}

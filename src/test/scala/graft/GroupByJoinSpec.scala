@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FuzzyMatch, GroupByOp, Joins}
+
+class GroupByJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gdf = Seq(("g1", 1), ("g1", 2), ("g2", 3)).toDF("grp", "v")
+
+  test("groupby agg sum keeps column name (test_recipes.py:292-296)") {
+    val out = GroupByOp.agg(gdf, Seq("grp"), Seq(("v", "sum")))
+    assert(rows(out.orderBy("grp")) == Seq(Seq("g1", 3L), Seq("g2", 3L)))
+  }
+
+  test("groupby agg list collects values") {
+    val out = GroupByOp.agg(gdf, Seq("grp"), Seq(("v", "list")))
+    assert(col1[scala.collection.Seq[Int]](out.orderBy("grp"), "v").map(_.sorted.toSeq) ==
+      Seq(Seq(1, 2), Seq(3)))
+  }
+
+  test("groupby transform broadcasts agg back as {col}_{fn} (test_recipes.py:328-336)") {
+    val out = GroupByOp.transformAgg(gdf, Seq("grp"), Seq(("v", "avg")))
+    assert(out.columns.contains("v_avg"))
+    assert(rows(out.orderBy("grp", "v")) ==
+      Seq(Seq("g1", 1, 1.5), Seq("g1", 2, 1.5), Seq("g2", 3, 3.0)))
+  }
+
+  test("groupby rank is dense descending (test_recipes.py:356-364)") {
+    val df = Seq(("g", 10), ("g", 10), ("g", 5)).toDF("grp", "v")
+    val out = GroupByOp.rank(df, Seq("grp"), Seq("v"))
+    assert(col1[Int](out.orderBy(col("v").desc), "v_rank") == Seq(1, 1, 2))
+  }
+
+  test("strict join enriches with renamed right columns, drops right keys") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "x")
+    val ref = Seq((1, "one"), (2, "two")).toDF("k", "label")
+    val out = Joins.strictJoin(left, ref,
+      keys = Map("id" -> "k"), select = Map("label" -> "name"))
+    assert(out.columns.toSeq == Seq("id", "x", "name"))
+    assert(rows(out.orderBy("id")) ==
+      Seq(Seq(1, "a", "one"), Seq(2, "b", "two"), Seq(3, "c", null)))
+  }
+
+  test("fuzzy best-match: distance 0 preferred, then lexicographic at distance 1") {
+    val q = Seq("pariss", "lyon", "zzz").toDF("__q")
+    val v = Seq("paris", "parisa", "lyon", "nice").toDF("__w")
+    val out = FuzzyMatch.bestMatch(q, v, maxDist = 1)
+    val m = out.collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(m("lyon") == ("lyon", 0))
+    // both "paris" and "parisa" are at distance 1 → lexicographic winner
+    assert(m("pariss") == ("paris", 1))
+    assert(!m.contains("zzz"))
+  }
+
+  test("fuzzyJoin attaches {col}_match and right-side columns") {
+    val left = Seq(("1", "marseile"), ("2", "unknownx")).toDF("id", "city")
+    val ref = Seq(("marseille", "13"), ("paris", "75")).toDF("name", "dep")
+    val out = Joins.fuzzyJoin(left, ref,
+      fuzzy = Map("city" -> "name"), select = Map("dep" -> "dep"))
+    val m = out.collect().map(r =>
+      r.getAs[String]("id") -> (r.getAs[String]("city_match"), r.getAs[String]("dep"))).toMap
+    assert(m("1") == ("marseille", "13"))
+    assert(m("2") == (null, null))
+  }
+}

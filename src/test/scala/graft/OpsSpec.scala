@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Ops
+import graft.functions.Tools
+
+/** Mirrors the reference's per-operator unit tests
+  * (/root/reference/tests/test_recipes.py — the only executable spec of
+  * edge semantics; see FIXTURES.md §1). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fillna fills nulls and creates missing columns (test_recipes.py:48-60)") {
+    val df = Seq((Some(1), Some("x")), (None, None)).toDF("A", "B")
+    val out = Ops.fillna(df, Map("A" -> 0, "B" -> "", "C" -> "new"))
+    assert(rows(out.orderBy("A")) == Seq(Seq(0, "", "new"), Seq(1, "x", "new")))
+  }
+
+  test("keep projects and filters (test_recipes.py:265-275)") {
+    val df = Seq((1, "a", true), (2, "b", false)).toDF("A", "B", "C")
+    val out = Ops.keep(df, Seq("A", "B"), Some("C"))
+    assert(rows(out) == Seq(Seq(1, "a")))
+  }
+
+  test("rename (test_recipes.py:63-68)") {
+    val df = Seq((1, "a")).toDF("A", "B")
+    assert(Ops.rename(df, Map("A" -> "AA")).columns.toSeq == Seq("AA", "B"))
+  }
+
+  test("map copy and array-of-columns (test_recipes.py:71-77)") {
+    val df = Seq((1, "a")).toDF("A", "B")
+    val out = Ops.mapArray(Ops.mapCopy(df, Map("C" -> "A")), "D", Seq("A", "A"))
+    assert(rows(out) == Seq(Seq(1, "a", 1, Seq(1, 1))))
+  }
+
+  test("to_integer: empty → null, invalid → null, valid parses (test_recipes.py:97-151)") {
+    val df = Seq("1", "", "foo", "-5").toDF("A")
+    val out = Ops.toInteger(df, Seq("A"))
+    assert(col1[Any](out, "A") == Seq(1L, null, null, -5L))
+  }
+
+  test("to_float: empty → na_value (test_recipes.py:117-151)") {
+    val df = Seq("1.5", "", "x").toDF("A")
+    val out = Ops.toFloat(df, Seq("A"), naValue = Some(0.5))
+    assert(col1[Any](out, "A") == Seq(1.5, 0.5, null))
+  }
+
+  test("parsedate coerces failures to null (test_recipes.py:197-201)") {
+    val df = Seq("2020-01-02", "nope").toDF("A")
+    val out = Ops.parsedate(df, Seq("A"), "yyyy-MM-dd")
+    val vs = col1[Any](out, "A")
+    assert(vs(0) != null && vs(1) == null)
+  }
+
+  test("normalize strips accents and case (test_recipes.py:204-209)") {
+    val df = Seq("été", "naïve", "Ho! La;la?").toDF("A")
+    assert(col1[String](Ops.normalize(df, Seq("A")), "A") ==
+      Seq("ete", "naive", "ho la la"))
+  }
+
+  test("replace applies ordered regex chain (test_recipes.py:285-289)") {
+    val df = Seq("abc123def45").toDF("A")
+    val out = Ops.replace(df, Seq("A"), Seq("[0-9]+" -> "NUM", "NUMdef" -> "D"))
+    assert(col1[String](out, "A") == Seq("abcDNUM"))
+  }
+
+  test("replace maps over array columns") {
+    val df = Seq(Seq("a1", "b2")).toDF("A")
+    val out = Ops.replace(df, Seq("A"), Seq("[0-9]" -> ""))
+    assert(col1[Seq[String]](out, "A") == Seq(Seq("a", "b")))
+  }
+
+  test("nest → unnest round trip with prefix (test_recipes.py:246-259)") {
+    val df = Seq((1, "x")).toDF("A", "B")
+    val nested = Ops.nest(df, Seq("A", "B"), "n")
+    assert(nested.columns.toSeq == Seq("n"))
+    val schema = StructType(Seq(StructField("A", IntegerType), StructField("B", StringType)))
+    val back = Ops.unnest(nested, "n", schema, prefix = "p_")
+    assert(rows(back) == Seq(Seq(1, "x")))
+    assert(back.columns.toSeq == Seq("p_A", "p_B"))
+  }
+
+  test("unfold explodes arrays, keeps empty lists with fill (test_recipes.py:339-380)") {
+    val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("A", "L")
+    val out = Ops.unfold(df, "L", fillNa = "")
+    assert(rows(out.orderBy("A", "L")) ==
+      Seq(Seq(1, "a"), Seq(1, "b"), Seq(2, "")))
+  }
+
+  test("ngram produces char n-grams (test_recipes.py:299-307)") {
+    val df = Seq("hello").toDF("A")
+    val out = Ops.ngram(df, Seq("A"), Seq(2))
+    assert(col1[Seq[String]](out, "A") == Seq(Seq("he", "el", "ll", "lo")))
+  }
+
+  test("selectColumns resolves regex and explicit names") {
+    val df = Seq((1, 2, 3)).toDF("ab", "ac", "x")
+    assert(Ops.selectColumns(df, Seq("a.*")) == Seq("ab", "ac"))
+    assert(Ops.selectColumns(df, Seq("x", "ab")) == Seq("x", "ab"))
+    assert(Ops.selectColumns(df, Nil) == Seq("ab", "ac", "x"))
+  }
+
+  test("shuffle preserves each column's multiset") {
+    val df = (1 to 20).map(i => (i, ('a' + i % 5).toChar.toString)).toDF("A", "B")
+    val out = Ops.shuffleCols(df, Seq("A", "B"))
+    assert(col1[Int](out, "A").sorted == (1 to 20))
+    assert(col1[String](out, "B").sorted == col1[String](df, "B").sorted)
+  }
+
+  test("pause truncates with head") {
+    val df = (1 to 10).toDF("A")
+    assert(Ops.pause(df, Some(3)).count() == 3)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, Tools}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("damerau-levenshtein counts transpositions as 1") {
+    assert(Similarity.damerau("ab", "ba") == 1)
+    assert(Similarity.damerau("abc", "abc") == 0)
+    assert(Similarity.damerau("abc", "acb") == 1)
+    assert(Similarity.damerau("ca", "abc") == 2) // unrestricted DL (OSA would say 3)
+    assert(Similarity.damerau("kitten", "sitting") == 3)
+    assert(Similarity.damerau("", "abc") == 3)
+  }
+
+  test("jaro-winkler matches known values (2dp, jellyfish semantics)") {
+    def jw2(a: String, b: String) = math.round(Similarity.jaroWinkler(a, b) * 100) / 100.0
+    assert(jw2("MARTHA", "MARHTA") == 0.96)
+    assert(jw2("DIXON", "DICKSONX") == 0.81)
+    assert(jw2("abc", "abc") == 1.0)
+    assert(jw2("abc", "xyz") == 0.0)
+  }
+
+  test("levNorm is the reference's scoring formula, clamped to [0,1]") {
+    val df = Seq(("martha", "marhta"), ("abc", "zzzzzz")).toDF("a", "b")
+    val out = df.select(Similarity.levNorm(col("a"), col("b")).as("s")).collect().map(_.getDouble(0))
+    // lev(martha, marhta)=2 → (100 - 100*2/7)/100 = 0.71
+    assert(out(0) == 0.71)
+    assert(out(1) >= 0.0 && out(1) <= 1.0)
+  }
+
+  test("levNormMax takes max over list pairs (tools.py:213-227)") {
+    val df = Seq((Seq("jean", "pierre"), Seq("pierr"))).toDF("a", "b")
+    val out = df.select(Similarity.levNormMax(col("a"), col("b")).as("s"))
+    assert(col1[Double](out, "s").head == 0.83) // pierre~pierr: (100-100/6)/100
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val out = col1[Double](df.select(round(Similarity.cosine(col("a"), col("b")), 6).as("c")), "c")
+    assert(out == Seq(1.0, 0.0))
+  }
+
+  test("jaccardSet on arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    assert(col1[Double](df.select(Similarity.jaccardSet(col("a"), col("b")).as("j")), "j").head == 0.5)
+  }
+
+  test("geopoint parses WKT and haversine is sane (Paris→Lyon ≈ 392 km)") {
+    val df = Seq("POINT(4.8357 45.7640)").toDF("wkt")
+    val out = df.select(Tools.geopoint(col("wkt")).as("p"))
+      .select(Tools.haversineKm(col("p.lat"), col("p.lon"), lit(48.8566), lit(2.3522)).as("d"))
+    val d = col1[Double](out, "d").head
+    assert(d > 380 && d < 400)
+  }
+
+  test("normalize/tokenize/ngrams primitives") {
+    val df = Seq("Été, l'avant-garde!").toDF("s")
+    assert(col1[String](df.select(Tools.normalize(col("s")).as("n")), "n").head ==
+      "ete l avant garde")
+    val toks = df.select(Tools.tokenize(Tools.normalize(col("s"))).as("t"))
+    assert(col1[scala.collection.Seq[String]](toks, "t").head.toSeq ==
+      Seq("ete", "l", "avant", "garde"))
+    val grams = df.select(Tools.charNgrams(lit("abcd"), 3).as("g"))
+    assert(col1[scala.collection.Seq[String]](grams, "g").head.toSeq == Seq("abc", "bcd"))
+    // shorter than n → empty (tools.py:109-113 range semantics)
+    assert(col1[scala.collection.Seq[String]](
+      df.select(Tools.charNgrams(lit("ab"), 3).as("g")), "g").head.isEmpty)
+  }
+}
