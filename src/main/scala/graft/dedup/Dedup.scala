@@ -39,12 +39,30 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
 
   // ------------------------------------------------------------- MinHash
-  /** MinHash signature of a string-array column: k hash functions, each
-    * minhash_i = min over set elements of hash(elem, seed=i). Entirely
-    * row-local Column arithmetic (transform + array_min) — no shuffle, no
-    * UDF; xxhash64 is Spark's codegen'd 64-bit hash. */
-  def minhashSignature(set: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(set, s => xxhash64(s, lit(i))))): _*)
+  /** MinHash signature over an already-hashed (array<long>) element set:
+    * k hash functions, minhash_i = min over elements of mix(h, i).
+    * One UDF pass — a tight primitive loop (k·|set| splitmix64 mixes per
+    * row); the naive alternative (k separate transform+array_min column
+    * expressions) generates code too large for whole-stage codegen and
+    * falls back to slow interpreted eval. Row-local — no shuffle. */
+  private val minhashUdf = udf { (hs: Seq[Long], k: Int) =>
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    hs.foreach { h0 =>
+      var i = 0
+      while (i < k) {
+        var z = h0 + 0x9e3779b97f4a7c15L * (i + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < out(i)) out(i) = z
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+  def minhashSignature(hashedSet: Column, k: Int): Column =
+    minhashUdf(hashedSet, lit(k))
 
   /** LSH banding: signature array → (band_idx, band_hash) pairs. Docs
     * sharing any band hash are candidate near-duplicates. */
@@ -63,30 +81,71 @@ object Dedup {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Sorted distinct hashed word-k-shingles of a token array in ONE pass.
+    * A Column-side composition (transform over wordShingles over split)
+    * inlines the tokenization into the lambda and re-runs it per shingle
+    * index — O(tokens²) regex work per row; this UDF is the single-pass
+    * replacement. Fewer-than-k tokens hash the whole token string
+    * (wordShingles' contract). */
+  private val shingleHashUdf = udf { (toks: Seq[String], k: Int) =>
+    if (toks == null) null
+    else if (toks.isEmpty) Seq.empty[Long]
+    else if (toks.length < k) Seq(fnv64(toks.mkString(" ")))
+    else {
+      val set = scala.collection.mutable.SortedSet.empty[Long]
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + k <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        set += fnv64(sb.toString)
+        i += 1
+      }
+      set.toSeq
+    }
+  }
+
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // shingle sets as sorted hashed longs: set semantics survive, every
+    // downstream compare/intersect runs on primitives instead of strings
     val base = df.select(
       col(idCol).as("id"),
-      array_distinct(Tools.wordShingles(Tools.tokenize(Tools.normalize(col(textCol))), shingleSize))
+      shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))), lit(shingleSize))
         .as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sig = base.withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = sig.select(col("id"), col("shingles"),
-      explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("shingles"), col("b.band"), col("b.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band join carries ONLY (band, bucket, id): the wide shingle arrays
+    // never enter the shuffle; candidates dedup on the narrow pair
+    val banded = base
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // verify: re-attach the shingle sets for the surviving few pairs
+    val out = pairs
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", round(Similarity.jaccardSet(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    out
   }
 
   /** Full near-dup dedup: LSH pairs → connected components → keep min id
@@ -156,13 +215,45 @@ object Dedup {
   // ------------------------------------------------- n-gram Jaccard pairs
   /** Exhaustive n-gram Jaccard within a blocking key (e.g. source, length
     * band): cheap exact near-dup scoring when blocks are small. */
+  /** Intersection size of two SORTED long arrays — linear merge scan, no
+    * per-pair hash set. */
+  private val sortedIntersectUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var c = 0
+    val la = a.length; val lb = b.length
+    while (i < la && j < lb) {
+      val x = a(i); val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // gram sets as SORTED long hashes: set cardinalities are unchanged
+    // (64-bit collisions are negligible), intersection becomes a
+    // primitive merge scan instead of a string hash set per pair
     val g = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      array_distinct(Tools.charNgrams(Tools.normalize(col(textCol)), n)).as("grams"))
-    val a = g.alias("a"); val b = g.alias("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("jaccard", round(Similarity.jaccardSet(col("a.grams"), col("b.grams")), 4))
+      sort_array(array_distinct(transform(
+        Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
+        .as("grams"))
+    // blocks are small by contract; broadcasting the right side keeps the
+    // probe fully parallel — but the probe inherits the scan's partition
+    // count (a single small file = one task), so spread it first
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = g.repartition(parallelism).alias("a")
+    val b = broadcast(g).alias("b")
+    // length-ratio prefilter: J(A,B) ≤ min|A|,|B| / max|A|,|B| — pairs
+    // failing it cannot reach the threshold, so skip their intersect
+    val sizeGuard =
+      least(size(col("a.grams")), size(col("b.grams"))).cast("double") /
+        greatest(size(col("a.grams")), size(col("b.grams"))) >= threshold
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") && sizeGuard)
+      .withColumn("inter",
+        sortedIntersectUdf(col("a.grams"), col("b.grams")).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("a.grams")) + size(col("b.grams")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }

@@ -152,8 +152,11 @@ object Similarity {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
-  /** Jaccard similarity of two arrays treated as sets. */
-  def jaccardSet(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Jaccard similarity of two arrays treated as sets. Single intersect
+    * pass: |A∪B| = |A| + |B| − |A∩B| (inputs must already be distinct —
+    * all call sites build them with array_distinct). */
+  def jaccardSet(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
 }

@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads as opaque BINARY
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The Spark-side plumbing (schema, batched per-partition processing,
+  * partition sizing) is real; the actual codec step is STUBBED behind
+  * `FakeCodec` (deterministic synthetic decode — media libraries are not
+  * in this container). Swap `FakeCodec` for a real decoder (JavaCV etc.)
+  * without touching the pipeline shape.
+  *
+  * Scale notes: payloads stay in executors (never collected); decode runs
+  * per-partition with one codec instance per partition (mapPartitions,
+  * the JVM analogue of a batched pandas UDF); metadata-only queries prune
+  * the binary column at the parquet scan, so filtering by width/duration
+  * never reads the bytes.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),       // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Deterministic fake codec: "decodes" a payload into per-pixel/sample
+    * statistics derived only from the bytes — a stand-in with the same
+    * shape and cost profile as a real decoder. */
+  object FakeCodec {
+    def decodeStats(payload: Array[Byte]): (Int, Double, Double) = {
+      if (payload == null || payload.isEmpty) (0, 0.0, 0.0)
+      else {
+        var sum = 0L; var sumSq = 0L
+        payload.foreach { b => val v = b & 0xff; sum += v; sumSq += v.toLong * v }
+        val n = payload.length
+        val mean = sum.toDouble / n
+        (n, mean, math.sqrt(sumSq.toDouble / n - mean * mean))
+      }
+    }
+    /** Fake resize: re-hash payload to the target size (real impl:
+      * decode → scale → re-encode). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(w * h / 64, 1))
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload(((i.toLong * 2654435761L) % payload.length).toInt.abs)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Build a synthetic media table from any keyed table (test fixture:
+    * deterministic payload bytes from the key). */
+  def synthesize(df: DataFrame, keyCol: String, kind: String = "image",
+      bytesPerRow: Int = 4096): DataFrame = {
+    val genPayload = udf { (k: Long) =>
+      val rnd = new scala.util.Random(k)
+      val a = new Array[Byte](bytesPerRow)
+      rnd.nextBytes(a)
+      a
+    }
+    df.select(col(keyCol).cast("long").as("media_id"))
+      .withColumn("kind", lit(kind))
+      .withColumn("payload", genPayload(col("media_id")))
+      .withColumn("meta", struct(
+        lit("application/x-fake").as("mime"),
+        (col("media_id") % 640 + 32).cast("int").as("width"),
+        (col("media_id") % 480 + 32).cast("int").as("height"),
+        (col("media_id") % 60000).as("duration_ms")))
+  }
+
+  /** Decode / feature-extract: per-partition batch over the payloads —
+    * one codec per partition, rows streamed (never materialized whole). */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add("byte_count", IntegerType)
+      .add("mean_intensity", DoubleType)
+      .add("stddev_intensity", DoubleType)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      // real impl: initialize the codec ONCE here per partition
+      rows.map { r =>
+        val (n, mean, std) = FakeCodec.decodeStats(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq ++ Seq(n, mean, std))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize operator (images): payload → payload', metadata updated. */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val resizeUdf = udf { (p: Array[Byte]) => FakeCodec.resize(p, w, h) }
+    df.withColumn("payload", resizeUdf(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"),
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.duration_ms").as("duration_ms")))
+  }
+
+  /** Frame sampling (video): emit one row per sampled frame offset —
+    * pure plan-side explode; the decoder stub extracts per-frame bytes. */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
+    val frame = udf { (p: Array[Byte], offsetMs: Long) =>
+      if (p == null || p.isEmpty) Array.empty[Byte]
+      else {
+        val start = ((offsetMs % math.max(p.length, 1)).toInt)
+        p.slice(start, math.min(start + 256, p.length))
+      }
+    }
+    df.withColumn("frame_ms",
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
+      .withColumn("frame", frame(col("payload"), col("frame_ms")))
+      .drop("payload")
+  }
+}

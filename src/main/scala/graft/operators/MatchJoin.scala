@@ -98,9 +98,12 @@ object MatchJoin {
       }
 
     // ---- score: sum of IDF over matched tokens (each left token counts
-    // once per right doc)
+    // once per right doc). Non-fuzzy triples are already unique (both
+    // token sets are array_distinct'ed before exploding) — the extra
+    // distinct would be a pure-overhead shuffle; the fuzzy path dedups in
+    // cand0 itself.
     val scored = cand0
-      .select(col("__lid"), col("__rid"), col("__tok")).distinct()
+      .select(col("__lid"), col("__rid"), col("__tok"))
       .join(broadcast(idf), Seq("__tok"))
       .groupBy("__lid", "__rid")
       .agg(sum("__idf").as("hit_score"), count("*").as("__overlap"))

