@@ -80,24 +80,21 @@ object Multimodal {
         (col("media_id") % 60000).as("duration_ms")))
   }
 
-  /** Decode / feature-extract: per-partition batch over the payloads —
-    * one codec per partition, rows streamed (never materialized whole). */
+  /** Decode / feature-extract over the payload column. The decoder runs
+    * inside a codegen'd UDF; a real codec would live in a
+    * lazy-per-executor singleton (the standard heavy-native-resource
+    * pattern) so initialization happens once per executor, not per row —
+    * FakeCodec is stateless so nothing to initialize here. */
   def extractFeatures(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val inSchema = df.schema
-    val outSchema = inSchema
-      .add("byte_count", IntegerType)
-      .add("mean_intensity", DoubleType)
-      .add("stddev_intensity", DoubleType)
-    val payloadIdx = inSchema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      // real impl: initialize the codec ONCE here per partition
-      rows.map { r =>
-        val (n, mean, std) = FakeCodec.decodeStats(r.getAs[Array[Byte]](payloadIdx))
-        Row.fromSeq(r.toSeq ++ Seq(n, mean, std))
-      }
+    val statsUdf = udf { (p: Array[Byte]) =>
+      val (n, mean, std) = FakeCodec.decodeStats(p)
+      (n, mean, std)
     }
-    spark.createDataFrame(rdd, outSchema)
+    df.withColumn("__stats", statsUdf(col("payload")))
+      .withColumn("byte_count", col("__stats._1"))
+      .withColumn("mean_intensity", col("__stats._2"))
+      .withColumn("stddev_intensity", col("__stats._3"))
+      .drop("__stats")
   }
 
   /** Resize operator (images): payload → payload', metadata updated. */

@@ -44,13 +44,17 @@ object EventStream {
   // ------------------------------------------------------- sessionization
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: BigDecimal)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes after `gapMs` of user inactivity (processing-time timeout in
-    * streams; in batch runs all groups flush at the end). */
+    * streams; in batch runs all groups flush at the end).
+    *
+    * Determinism: events order by (epoch ms, event_id); values accumulate
+    * as exact decimals so the session sum is independent of fold order —
+    * same contract as the engine's decimal-sum aggregations. */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
@@ -64,16 +68,17 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
             val t = e.ts.getTime
+            val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
             acc match {
               case head :: tail if t - head.last <= gapMs =>
-                SessionState(head.start, t, head.n + 1, head.sum + e.value) :: tail
+                SessionState(head.start, t, head.n + 1, head.sum + v) :: tail
               case _ =>
-                SessionState(t, t, 1, e.value) :: acc
+                SessionState(t, t, 1, v) :: acc
             }
           }
           state.remove()
           sessions.reverseIterator.map(s =>
-            SessionOut(user, s.start, s.last, s.n, s.sum))
+            SessionOut(user, s.start, s.last, s.n, s.sum.toDouble))
       }
     out.toDF()
   }

@@ -16,11 +16,13 @@ object TextAnalysis {
   /** Whitespace token count; blank → 0. */
   def tokenCount(c: Column): Column = size(Tools.tokenize(c))
 
-  /** A BPE-ish subword count heuristic: words + digits + punctuation
-    * runs, counted by regex splits (approximates tokenizer token counts
-    * without a vocab). */
+  /** A BPE-ish subword count heuristic: alphanumeric runs + individual
+    * non-space punctuation marks (approximates tokenizer token counts
+    * without a vocab). RE2-compatible pattern — no lookarounds — so the
+    * identical regex runs in the DuckDB oracle. */
+  val subwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
   def subwordCount(c: Column): Column =
-    size(filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), x => trim(x) =!= ""))
+    size(regexp_extract_all(c, lit(subwordPattern), lit(0)))
 
   // ------------------------------------------------------------ quality
   /** Ratio of punctuation chars to total chars (0 for empty). */

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Sinks, Sources}
+import graft.ml.Scoring
+import graft.streaming.EventStream
+import graft.multimodal.Multimodal
+import graft.graph.GraphMetrics
+import graft.functions.Registry
+
+class ModulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir = Files.createTempDirectory("graft-test").toString
+
+  test("csv sink/source round trip: all-string, ';' sep, missing → empty string") {
+    val dir = s"$tmpDir/csv"
+    val df = Seq(("1", "a"), ("2", "")).toDF("id", "v")
+    Sinks.csv(df, dir, names = Seq("id", "v"))
+    val back = Sources.csv(spark, dir)
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(rows(back.orderBy("id")) == Seq(Seq("1", "a"), Seq("2", "")))
+  }
+
+  test("fwf sink/source round trip: left-justified pad to widths (recipes.py:77-108)") {
+    val dir = s"$tmpDir/fwf"
+    val df = Seq(("ab", "x"), ("c", "yz")).toDF("A", "B")
+    Sinks.fwf(df, dir, widths = Seq(3, 3), names = Seq("A", "B"))
+    val raw = spark.read.text(dir).orderBy("value")
+    assert(col1[String](raw, "value") == Seq("ab x  ", "c  yz "))
+    val back = Sources.fwf(spark, dir, widths = Seq(3, 3), names = Seq("A", "B"))
+    assert(rows(back.orderBy("A")) == Seq(Seq("ab", "x"), Seq("c", "yz")))
+  }
+
+  test("jsonl source keeps primitives as strings") {
+    val dir = s"$tmpDir/jsonl"
+    Files.write(java.nio.file.Paths.get(dir),
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n".getBytes)
+    val df = Sources.jsonl(spark, dir)
+    assert(df.schema("a").dataType.typeName == "string")
+    assert(df.count() == 2)
+  }
+
+  test("indexed sink writes docs + postings tables") {
+    val dir = s"$tmpDir/idx"
+    val df = Seq((1L, Seq("red", "apple")), (2L, Seq("red", "pear")))
+      .toDF("id", "toks")
+    Sinks.indexed(df, dir, idCol = Some("id"), analyzedCol = "toks")
+    assert(spark.read.parquet(s"$dir/docs").count() == 2)
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.filter($"token" === "red").count() == 2)
+  }
+
+  test("ML build/apply: learns a separable target, scores in [0,100]") {
+    // y = 1 iff x > 50: trivially separable — AUC should be ~1
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble, if (i > 100) "1" else "0"))
+      .toDF("id", "x", "label")
+    val model = Scoring.buildModel(df, numerical = Seq("x"), categorical = Nil,
+      target = "label", tries = 2, numTrees = 10)
+    assert(model.auc > 0.95)
+    val scored = Scoring.applyModel(df, model, Seq("x"))
+    val hi = scored.filter($"id" > 150).agg(avg("matchid_hit_score_ml")).head.getDouble(0)
+    val lo = scored.filter($"id" < 50).agg(avg("matchid_hit_score_ml")).head.getDouble(0)
+    assert(hi > 80 && lo < 20)
+  }
+
+  test("sessionize splits on the inactivity gap and sums exactly") {
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val df = Seq(
+      (1L, ts(0L), 10L, "a", 1.10),
+      (2L, ts(60000L), 10L, "a", 2.20),       // same session (1 min later)
+      (3L, ts(45 * 60000L), 10L, "a", 3.30),  // new session (45 min gap)
+      (4L, ts(0L), 20L, "b", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.sessionize(spark, df, gapMs = 30 * 60000L)
+    val sessions = out.orderBy("user_id", "start_ms").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(0).getAs[Double]("sum_value") == 3.30)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+    assert(sessions(2).getAs[Long]("user_id") == 20L)
+  }
+
+  test("streaming windowed agg runs on a bounded stream (memory sink)") {
+    val dir = s"$tmpDir/stream"
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    Seq((1L, ts(0L), 1L, "click", 1.0), (2L, ts(10 * 60000L), 1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(dir)
+    val result = EventStream.runOnce(spark, dir,
+      df => EventStream.windowedCounts(df, "1 hour", "2 hours"), "win_test")
+    // append mode emits nothing until the watermark passes — bounded input
+    // never advances it past the last window, so assert the query RAN and
+    // the sink table exists with the right schema
+    assert(result.columns.contains("event_type"))
+  }
+
+  test("multimodal: synthesize → extract → resize → frame-sample plumbing") {
+    val base = Seq(1L, 2L, 3L).toDF("k")
+    val media = Multimodal.synthesize(base, "k", bytesPerRow = 512)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    val r = feats.orderBy("media_id").collect()
+    assert(r.forall(_.getAs[Int]("byte_count") == 512))
+    assert(r.forall(x => x.getAs[Double]("mean_intensity") > 0))
+    // deterministic: same key → same stats
+    val again = Multimodal.extractFeatures(Multimodal.synthesize(base, "k", bytesPerRow = 512))
+    assert(rows(feats.select("media_id", "mean_intensity").orderBy("media_id")) ==
+      rows(again.select("media_id", "mean_intensity").orderBy("media_id")))
+    val resized = Multimodal.resize(media, 64, 64)
+    assert(resized.select("meta.width").head.getInt(0) == 64)
+    val frames = Multimodal.sampleFrames(media.withColumn("meta",
+      struct(lit("v").as("mime"), lit(1).as("width"), lit(1).as("height"),
+        lit(100L).as("duration_ms"))), everyMs = 50L)
+    assert(frames.count() == 9) // 3 rows × offsets {0,50,100}
+  }
+
+  test("graph metrics: degree, pagerank, clustering on a triangle+tail") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val m = GraphMetrics.metrics(edges, Seq("pagerank", "triangles", "clustering"))
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(m(3L).getAs[Int]("degree") == 3)
+    assert(m(1L).getAs[Int]("triangles") == 1)
+    assert(m(1L).getAs[Double]("clustering") == 1.0)
+    assert(m(4L).getAs[Int]("triangles") == 0)
+    assert(m.values.forall(_.getAs[Double]("pagerank") > 0))
+  }
+
+  test("registry: scalar functions usable from SQL") {
+    Registry.register(spark)
+    val r = spark.sql(
+      """SELECT levenshtein_norm('martha', 'marhta') AS ln,
+        |  graft_jw('martha', 'marhta') AS jw,
+        |  graft_damerau('ab', 'ba') AS dl,
+        |  graft_normalize('Été!') AS n,
+        |  graft_distance_km(48.8566, 2.3522, 45.764, 4.8357) AS km""".stripMargin).head()
+    assert(r.getAs[Double]("ln") == 0.86) // damerau('martha','marhta')=1
+    assert(r.getAs[Double]("jw") == 0.96)
+    assert(r.getAs[Int]("dl") == 1)
+    assert(r.getAs[String]("n") == "ete")
+    val km = r.getAs[Double]("km")
+    assert(km > 380 && km < 400)
+  }
+}
