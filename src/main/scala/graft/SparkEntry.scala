@@ -31,18 +31,25 @@ object SparkEntry {
     sum(c.cast("decimal(18,2)")).cast("double")
 
   // ------------------------------------------------------------- flagship
-  /** Flagship: mini matching pipeline on sf0.001 — normalize part names,
-    * tokenize, top-k IDF match join of a query subset against the whole
-    * part corpus (the reference's ES-join shape), then score bands. */
+  /** Flagship: the end-to-end person-matching pipeline on sf0.001 —
+    * dataprep (matchid_* convention) → fuzzy top-k match join → re-score →
+    * decision → dedup-cluster labels (the reference's core use case,
+    * conf/recipes/matching.yml). */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.pipeline.Matching
     val dir = "/root/testdata/sf0.001"
-    val part = t(spark, dir, "part")
-      .withColumn("toks", Tools.tokenize(Tools.normalize(col("p_name"))))
-    val queries = part.filter(col("p_partkey") % 17 === 0)
-    MatchJoin.topK(queries, part.select("p_partkey", "p_name", "toks"),
-      "toks", "toks", "p_partkey", "p_partkey", k = 5)
-      .withColumn("band",
-        when(col("hit_score") >= col("hit_max_score"), lit("best")).otherwise(lit("candidate")))
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val left = Matching.dataprep(Matching.personsFrom(customer, nation),
+      "pid", "first_name", "last_name", "birth_str", "city")
+    val right = Matching.dataprep(Matching.registryFrom(customer, nation),
+      "pid", "first_name", "last_name", "birth_str", "city")
+    val matches = Matching.matchBest(left, right, k = 5, fuzzy = true)
+    val comps = Matching.clusters(matches)
+      .withColumnRenamed("node", "matchid_id").withColumnRenamed("comp", "cluster_id")
+    matches.join(comps, Seq("matchid_id"), "left")
+      .select("matchid_id", "hit_matchid_id", "matchid_hit_score",
+        "matchid_hit_score_name", "matchid_hit_score_date", "confiance", "cluster_id")
   }
 
   // -------------------------------------------------------------- queries
@@ -379,6 +386,23 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // end-to-end matching pipeline (exact-token candidates so the whole
+    // flow — dataprep, match join, re-scoring, decision — is
+    // oracle-expressible; `entry` runs the fuzzy variant)
+    "q39_matching_e2e" -> ((s, dir) => {
+      import graft.pipeline.Matching
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val left = Matching.dataprep(Matching.personsFrom(customer, nation),
+        "pid", "first_name", "last_name", "birth_str", "city")
+      val right = Matching.dataprep(Matching.registryFrom(customer, nation),
+        "pid", "first_name", "last_name", "birth_str", "city")
+      Matching.matchBest(left, right, k = 5, fuzzy = false)
+        .select(col("matchid_id"), col("hit_matchid_id"),
+          col("matchid_hit_score_name"), col("matchid_hit_score_date"),
+          col("matchid_hit_score_city"), col("matchid_hit_score"), col("confiance"))
+    }),
+
     // eval surface: registered scalar UDFs callable from SQL expressions
     "q38_eval" -> ((s, dir) => {
       graft.functions.Registry.register(s)
@@ -399,7 +423,8 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q01_agg", "q02_join_enrich", "q03_rank_topk", "q11_transform",
     "q18_events_window", "q21_fingerprint", "q24_jaccard_pairs",
-    "q25_ann_topk", "q26_minhash_pairs", "q29_match_topk")
+    "q25_ann_topk", "q26_minhash_pairs", "q29_match_topk",
+    "q39_matching_e2e")
 
   // ------------------------------------------------------------- oracles
   private val normSql =
@@ -688,6 +713,66 @@ object SparkEntry {
         | CAST(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "q39_matching_e2e" ->
+      """WITH fn AS (SELECT ['aline','bruno','celine','david','emma','farid','gina','hugo','ines','jules','karim','lea','marc','nora','omar'] AS f),
+        |ln AS (SELECT ['martin','bernard','dubois','thomas','robert','richard','petit','durand','leroy','moreau','simon','laurent','lefebvre','michel','garcia','blanc','bertrand','roux','vincent','fournier'] AS l),
+        |p AS (
+        | SELECT c_custkey AS pid,
+        |  (SELECT f FROM fn)[CAST(c_custkey % 15 AS INT) + 1] AS first_name,
+        |  (SELECT l FROM ln)[CAST(c_custkey % 20 AS INT) + 1] AS last_name,
+        |  printf('%04d%02d%02d', CAST(1950 + c_custkey % 49 AS INT), CAST(1 + c_custkey % 12 AS INT), CAST(1 + c_custkey % 28 AS INT)) AS birth_str,
+        |  lower(n_name) AS city
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |r0 AS (
+        | SELECT c_custkey AS k,
+        |  (SELECT f FROM fn)[CAST(c_custkey % 15 AS INT) + 1] AS first_name,
+        |  (SELECT l FROM ln)[CAST(c_custkey % 20 AS INT) + 1] AS lname,
+        |  n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        | SELECT k + 1000000 AS pid, first_name,
+        |  CASE WHEN k % 7 = 0 THEN substr(lname, 1, 2) || substr(lname, 4) ELSE lname END AS last_name,
+        |  CASE WHEN k % 11 = 0 THEN printf('%04d%02d%02d', CAST(1950 + k % 49 AS INT), CAST(1 + k % 12 AS INT), CAST(1 + (k + 1) % 28 AS INT))
+        |       ELSE printf('%04d%02d%02d', CAST(1950 + k % 49 AS INT), CAST(1 + k % 12 AS INT), CAST(1 + k % 28 AS INT)) END AS birth_str,
+        |  lower(n_name) AS city
+        | FROM r0),
+        |post AS (SELECT pid AS rid, unnest(list_distinct([first_name, last_name])) AS tok FROM r),
+        |idf AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS nd FROM r),
+        |qt AS (SELECT pid AS lid, unnest(list_distinct([first_name, last_name])) AS tok FROM p),
+        |cand AS (
+        | SELECT qt.lid, post.rid,
+        |  CAST(FLOOR((LN((nn.nd + 1.0) / (idf.df + 1)) + 1) * 10000) AS BIGINT) AS w
+        | FROM qt JOIN post ON qt.tok = post.tok JOIN idf ON qt.tok = idf.tok CROSS JOIN nn),
+        |scored AS (SELECT lid, rid, CAST(SUM(w) AS BIGINT) AS hs FROM cand GROUP BY 1, 2),
+        |topk AS (
+        | SELECT lid, rid FROM (
+        |  SELECT lid, rid, ROW_NUMBER() OVER (PARTITION BY lid ORDER BY hs DESC, rid) AS rn
+        |  FROM scored) WHERE rn <= 5),
+        |pairs AS (
+        | SELECT t.lid, t.rid,
+        |  p.first_name || ' ' || p.last_name AS nm_l, r.first_name || ' ' || r.last_name AS nm_r,
+        |  p.birth_str AS d_l, r.birth_str AS d_r, p.city AS c_l, r.city AS c_r
+        | FROM topk t JOIN p ON t.lid = p.pid JOIN r ON t.rid = r.pid),
+        |resc AS (
+        | SELECT lid, rid,
+        |  ROUND(GREATEST((100.0 - 100.0 * levenshtein(nm_l, nm_r) / (1.0 + LEAST(length(nm_l), length(nm_r)))) / 100.0, 0.0), 2) AS s_name,
+        |  CASE WHEN d_l = d_r THEN 1.0 WHEN levenshtein(d_l, d_r) <= 2 THEN 0.7 ELSE 0.0 END AS s_date,
+        |  CASE WHEN c_l = c_r THEN 1.0 ELSE ROUND(GREATEST((100.0 - 100.0 * levenshtein(c_l, c_r) / (1.0 + LEAST(length(c_l), length(c_r)))) / 100.0, 0.0), 2) END AS s_city
+        | FROM pairs),
+        |total AS (
+        | SELECT lid, rid, s_name, s_date, s_city,
+        |  ROUND(0.5 * s_name + 0.3 * s_date + 0.2 * s_city, 4) AS s
+        | FROM resc),
+        |best AS (
+        | SELECT lid, rid, s_name, s_date, s_city, s,
+        |  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY s DESC, rid) AS rn
+        | FROM total WHERE s > 0.1)
+        |SELECT lid AS matchid_id, rid AS hit_matchid_id,
+        | s_name AS matchid_hit_score_name, s_date AS matchid_hit_score_date,
+        | s_city AS matchid_hit_score_city, s AS matchid_hit_score,
+        | CAST(FLOOR(s * 100) AS INTEGER) AS confiance
+        |FROM best WHERE rn = 1""".stripMargin,
 
     "q38_eval" ->
       """SELECT c_custkey, s_suppkey,
