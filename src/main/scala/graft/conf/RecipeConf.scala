@@ -1,0 +1,225 @@
+package graft.conf
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.yaml.snakeyaml.Yaml
+import graft.operators.{GroupByOp, Joins, MatchJoin, Ops}
+import graft.graph.ConnectedComponents
+import graft.sources.{Sinks, Sources}
+import graft.engine.Recipe.Step
+
+/** Conf-driven recipes — the reference's YAML surface
+  * (/root/reference/code/recipes.py:976-1139: connectors, datasets,
+  * recipes with ordered steps; env interpolation at
+  * code/config.py:53-91).
+  *
+  * The YAML tree compiles ONCE into a `DataFrame => DataFrame` chain —
+  * the conf tree is the logical plan (SURVEY.md §3.1), Catalyst
+  * optimizes across all steps, and execution is the single output write.
+  *
+  * Divergence (documented): `eval`/`where` expressions are Spark SQL
+  * expression strings, not Python (§7.3 — the scalar library is
+  * registered by functions.Registry, so `levenshtein_norm(a,b)` etc.
+  * work inside them). `exec` (arbitrary code against the dataframe) is
+  * rejected at compile time by design.
+  */
+object RecipeConf {
+
+  case class DatasetConf(connector: String, path: String, format: String,
+      options: Map[String, String] = Map.empty)
+  case class RecipeDef(input: String, steps: Seq[(String, Any)], output: Option[String])
+  case class ProjectConf(datasets: Map[String, DatasetConf], recipes: Map[String, RecipeDef])
+
+  // ------------------------------------------------------------- loading
+  /** ${VAR} interpolation from the environment (config.py:53-91's !ENV). */
+  private def interp(s: String, env: Map[String, String]): String =
+    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s, m => env.getOrElse(m.group(1), ""))
+
+  def load(yaml: String, env: Map[String, String] = sys.env): ProjectConf = {
+    val root = new Yaml().load[java.util.Map[String, Any]](interp(yaml, env))
+      .asScala.toMap
+
+    def asMap(a: Any): Map[String, Any] = a match {
+      case m: java.util.Map[_, _] => m.asScala.toMap.map { case (k, v) => k.toString -> v }
+      case null => Map.empty
+      case other => sys.error(s"expected mapping, got $other")
+    }
+
+    val datasets = asMap(root.getOrElse("datasets", null)).map { case (name, v) =>
+      val m = asMap(v)
+      name -> DatasetConf(
+        connector = m.getOrElse("connector", "filesystem").toString,
+        path = m.getOrElse("path", sys.error(s"dataset $name: path required")).toString,
+        format = m.getOrElse("format", "parquet").toString,
+        options = asMap(m.getOrElse("options", null)).map { case (k, vv) => k -> vv.toString })
+    }
+
+    val recipes = asMap(root.getOrElse("recipes", null)).map { case (name, v) =>
+      val m = asMap(v)
+      val steps = m.getOrElse("steps", new java.util.ArrayList[Any]()) match {
+        case l: java.util.List[_] => l.asScala.toSeq.map {
+          case s: String => (s, null: Any) // bare sub-recipe reference
+          case s =>
+            val sm = asMap(s)
+            require(sm.size == 1, s"recipe $name: each step must have exactly one op key")
+            sm.head
+        }
+        case _ => Nil
+      }
+      name -> RecipeDef(
+        input = m.getOrElse("input", sys.error(s"recipe $name: input required")).toString,
+        steps = steps,
+        output = m.get("output").map(_.toString))
+    }
+    ProjectConf(datasets, recipes)
+  }
+
+  // ------------------------------------------------------------ datasets
+  def read(spark: SparkSession, ds: DatasetConf): DataFrame = ds.format match {
+    case "parquet" => Sources.parquet(spark, ds.path)
+    case "csv" => Sources.csv(spark, ds.path,
+      sep = ds.options.getOrElse("sep", ";"),
+      header = ds.options.getOrElse("header", "true").toBoolean)
+    case "jsonl" | "json" => Sources.jsonl(spark, ds.path)
+    case "fwf" => Sources.fwf(spark, ds.path,
+      widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),
+      names = ds.options("names").split(",").toSeq.map(_.trim))
+    case other => sys.error(s"unsupported dataset format: $other")
+  }
+
+  def write(df: DataFrame, ds: DatasetConf, mode: String): Unit = ds.format match {
+    case "parquet" => Sinks.parquet(df, ds.path,
+      mode = if (mode == "create") "overwrite" else mode)
+    case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),
+      mode = if (mode == "create") "overwrite" else mode)
+    case other => sys.error(s"unsupported sink format: $other")
+  }
+
+  // ------------------------------------------------------------- compile
+  private def strSeq(a: Any): Seq[String] = a match {
+    case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+    case null => Nil
+    case s => Seq(s.toString)
+  }
+  private def anyMap(a: Any): Map[String, Any] = a match {
+    case m: java.util.Map[_, _] => m.asScala.toMap.map { case (k, v) => k.toString -> v }
+    case null => Map.empty
+    case other => sys.error(s"expected mapping args, got $other")
+  }
+  private def strMap(a: Any): Map[String, String] =
+    anyMap(a).map { case (k, v) => k -> v.toString }
+
+  /** One YAML step → Step function. Step names mirror the reference's
+    * internal_* operator set (recipes.py:1622-2486). */
+  def compileStep(spark: SparkSession, conf: ProjectConf, op: String, args: Any): Step = {
+    // args may be a mapping ({select: [...], where: ...}) or a bare list
+    // ([col1, col2]) — the reference accepts both shapes
+    lazy val m: Map[String, Any] = args match {
+      case _: java.util.Map[_, _] => anyMap(args)
+      case _ => Map.empty
+    }
+    def sel(default: Any = args): Seq[String] =
+      if (m.nonEmpty) strSeq(m.getOrElse("select", null)) else strSeq(default)
+    op match {
+      case "map" => df => strMap(args).foldLeft(df) { case (d, (dst, src)) =>
+        if (d.columns.contains(src)) d.withColumn(dst, col(src))
+        else d.withColumn(dst, lit(src)) }
+      case "rename" => df => Ops.rename(df, strMap(args))
+      case "keep" => df => Ops.keep(df, sel(null),
+        m.get("where").map(_.toString))
+      case "delete" => df => Ops.delete(df, sel())
+      case "fillna" => df => Ops.fillna(df, anyMap(args))
+      case "replace" => df => Ops.replace(df, sel(null),
+        (m.getOrElse("regex", null) match {
+          case l: java.util.List[_] => l.asScala.toSeq.map { r =>
+            val rm = strMap(r); rm.head }
+          case _ => Nil
+        }))
+      case "normalize" => df => Ops.normalize(df, sel())
+      case "to_integer" => df => Ops.toInteger(df, sel())
+      case "to_float" => df => Ops.toFloat(df, sel(),
+        m.get("na_value").map(_.toString.toDouble))
+      case "parsedate" => df => Ops.parsedate(df, sel(null),
+        m.getOrElse("format", "yyyy-MM-dd").toString)
+      case "ngram" => df => Ops.ngram(df, sel(null),
+        strSeq(m.getOrElse("n", null)).map(_.toInt) match { case Nil => Seq(2, 3); case ns => ns })
+      case "nest" => df => Ops.nest(df, sel(null),
+        m.getOrElse("target", "nested").toString)
+      case "unnest" => df => {
+        val c = m.getOrElse("select", sys.error("unnest: select required")).toString
+        Ops.unnest(df, c, Ops.inferJsonSchema(df, c), m.getOrElse("prefix", "").toString)
+      }
+      case "unfold" => df => Ops.unfold(df, m("select").toString,
+        m.getOrElse("fill_na", "").toString)
+      case "shuffle" => df => Ops.shuffleCols(df, sel())
+      case "pause" => identity
+      case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
+      case "eval" => df => anyMap(args).foldLeft(df) { case (d, (dst, e)) =>
+        d.withColumn(dst, expr(e.toString)) }
+      case "groupby" => df => {
+        val keys = strSeq(m.getOrElse("select", null))
+        val aggs = strMap(m.getOrElse("agg", null)).toSeq
+        val transforms = strMap(m.getOrElse("transform", null)).toSeq
+        val ranks = strSeq(m.getOrElse("rank", null))
+        var out = df
+        if (transforms.nonEmpty) out = GroupByOp.transformAgg(out, keys, transforms)
+        if (ranks.nonEmpty) out = GroupByOp.rank(out, keys, ranks)
+        if (aggs.nonEmpty) out = GroupByOp.agg(out, keys, aggs)
+        out
+      }
+      case "join" => df => {
+        val right = read(spark, conf.datasets(m("dataset").toString))
+        val select = strMap(m.getOrElse("select", null))
+        val strict = strMap(m.getOrElse("strict", null))
+        val fuzzy = strMap(m.getOrElse("fuzzy", null))
+        if (fuzzy.nonEmpty)
+          Joins.fuzzyJoin(df, right, fuzzy, strict, select,
+            maxDist = m.getOrElse("fuzzy_distance", "1").toString.toInt)
+        else Joins.strictJoin(df, right, strict, select)
+      }
+      case "match" => df => {
+        val right = read(spark, conf.datasets(m("dataset").toString))
+        MatchJoin.topK(df, right,
+          m("left_tokens").toString, m("right_tokens").toString,
+          m("left_id").toString, m("right_id").toString,
+          k = m.getOrElse("size", "10").toString.toInt,
+          keepUnmatched = m.getOrElse("keep_unmatched", "false").toString.toBoolean,
+          fuzzy = m.getOrElse("fuzziness", "0").toString.toInt > 0)
+      }
+      case "clique" => df => {
+        val Seq(src, dst) = strSeq(m("select"))
+        ConnectedComponents.clique(df, src, dst)
+      }
+      case "sql" => df => { spark.sql(m("statement").toString); df }
+      case "exec" =>
+        sys.error("exec (arbitrary code) is not supported by design — " +
+          "use eval with SQL expressions (SURVEY.md §2.3)")
+      case other =>
+        // a step naming another recipe = sub-recipe composition
+        // (recipes.py:1129-1139)
+        conf.recipes.get(other) match {
+          case Some(sub) => compileRecipe(spark, conf, sub)
+          case None => sys.error(s"unknown step: $other")
+        }
+    }
+  }
+
+  def compileRecipe(spark: SparkSession, conf: ProjectConf, r: RecipeDef): Step = {
+    val steps = r.steps.map { case (op, args) => compileStep(spark, conf, op, args) }
+    df => steps.foldLeft(df)((d, s) => s(d))
+  }
+
+  /** Run a named recipe: read input dataset → steps → write output (or
+    * return the DataFrame when no output is declared / test mode). */
+  def run(spark: SparkSession, conf: ProjectConf, name: String,
+      mode: String = "create", testLimit: Option[Int] = None): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val r = conf.recipes.getOrElse(name, sys.error(s"unknown recipe: $name"))
+    val input0 = read(spark, conf.datasets(r.input))
+    val input = testLimit.map(input0.limit).getOrElse(input0)
+    val out = compileRecipe(spark, conf, r)(input)
+    if (testLimit.isEmpty) r.output.foreach { o => write(out, conf.datasets(o), mode) }
+    out
+  }
+}
