@@ -386,6 +386,20 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // Structured Streaming: the SAME hourly-window aggregation as q18 but
+    // executed as a streaming query over the events parquet (memory sink,
+    // complete mode) — batch/stream unification, oracle-checked
+    "q40_stream_hourly" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val out = EventStream.runOnce(s, dir,
+        stream => EventStream.windowedCounts(
+          stream.withColumn("tsv", timestamp_micros(expr("ts DIV 1000"))), "tsv"),
+        queryName = "q40_mem", schema = EventStream.rawEventSchema,
+        outputMode = "complete", globFilter = Some("events.parquet"))
+      out.select(col("window.start").as("hr"), col("event_type"),
+        col("n"), col("sum_value"))
+    }),
+
     // end-to-end matching pipeline (exact-token candidates so the whole
     // flow — dataprep, match join, re-scoring, decision — is
     // oracle-expressible; `entry` runs the fuzzy variant)
@@ -713,6 +727,11 @@ object SparkEntry {
         | CAST(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "q40_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q39_matching_e2e" ->
       """WITH fn AS (SELECT ['aline','bruno','celine','david','emma','farid','gina','hugo','ines','jules','karim','lea','marc','nora','omar'] AS f),

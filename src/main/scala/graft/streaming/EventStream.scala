@@ -27,14 +27,26 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Schema of the raw driver `events` parquet under nanosAsLong (ts is
+    * TIMESTAMP_NANOS in the file → long ns). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Watermarked tumbling-window aggregation — the streaming analogue of
-    * the q18 batch window query. */
-  def windowedCounts(events: DataFrame,
+    * the q18 batch window query (decimal-exact sums, same determinism
+    * contract). */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
       window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
   /** A recipe (DataFrame => DataFrame) applied to a stream via the same
     * declarative plan — demonstrates batch/stream unification. */
@@ -84,12 +96,18 @@ object EventStream {
   }
 
   /** Run a streaming plan over a bounded parquet dir and collect the
-    * result synchronously via the memory sink (local smoke-test path). */
+    * result synchronously via the memory sink (local smoke-test path).
+    * `complete` mode emits final aggregates for bounded input; `append`
+    * only emits below the watermark. */
   def runOnce(spark: SparkSession, dir: String,
-      plan: DataFrame => DataFrame, queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(eventSchema).parquet(dir)
+      plan: DataFrame => DataFrame, queryName: String,
+      schema: StructType = eventSchema, outputMode: String = "append",
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val stream = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .parquet(dir)
     val q = plan(stream).writeStream
-      .outputMode("append").format("memory").queryName(queryName).start()
+      .outputMode(outputMode).format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)

@@ -89,7 +89,8 @@ class ModulesSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.parquet(dir)
     val result = EventStream.runOnce(spark, dir,
-      df => EventStream.windowedCounts(df, "1 hour", "2 hours"), "win_test")
+      df => EventStream.windowedCounts(df, window_ = "1 hour", watermark = "2 hours"),
+      "win_test")
     // append mode emits nothing until the watermark passes — bounded input
     // never advances it past the last window, so assert the query RAN and
     // the sink table exists with the right schema
