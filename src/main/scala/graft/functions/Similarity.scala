@@ -45,11 +45,10 @@ object Similarity {
     d(la + 1)(lb + 1)
   }
 
-  private val damerauUdf = udf { (a: String, b: String) =>
-    if (a == null || b == null) null.asInstanceOf[Integer]
-    else Integer.valueOf(damerau(a, b))
-  }
-  def damerauLevenshtein(a: Column, b: Column): Column = damerauUdf(a, b)
+  /** Column API — backed by the native codegen'd Catalyst expression
+    * (NativeExpressions.DamerauLevenshteinExpr), not a UDF. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    NativeExpressions.damerauNative(a, b)
 
   // ------------------------------------------------------------ lev_norm
   /** levenshtein_norm(a,b) = (100 - 100*d / (1 + min(len a, len b))) / 100,

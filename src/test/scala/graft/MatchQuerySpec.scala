@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MatchQuery
+import graft.operators.MatchQuery.{Clause, Spec}
+
+/** Bool-query semantics of the match join (must / should /
+  * minimum_should_match / fuzziness / span_first analogue). */
+class MatchQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def right = Seq(
+    (1L, Seq("jean", "dupont"), Seq("paris")),
+    (2L, Seq("jean", "martin"), Seq("lyon")),
+    (3L, Seq("marie", "dupont"), Seq("paris")),
+    (4L, Seq("paul", "durand"), Seq("nice")))
+    .toDF("rid", "name_toks", "city_toks")
+
+  test("must clause is mandatory; should clauses add score") {
+    val left = Seq((100L, Seq("jean"), Seq("paris"))).toDF("lid", "name_toks", "city_toks")
+    val spec = Spec(Seq(
+      Clause("name_toks", "name_toks", required = true),
+      Clause("city_toks", "city_toks")), minimumShouldMatch = 0)
+    val out = MatchQuery.run(left, right, spec, "lid", "rid")
+    val ids = out.orderBy("hit_rank").collect().map(_.getAs[Long]("hit_rid")).toSeq
+    // 1 and 2 match 'jean' (must); 3 fails must despite city match
+    assert(ids.toSet == Set(1L, 2L))
+    // 1 also matches city 'paris' → scores above 2
+    assert(ids.head == 1L)
+  }
+
+  test("minimum_should_match filters candidates") {
+    val left = Seq((100L, Seq("jean", "dupont"), Seq("lyon")))
+      .toDF("lid", "name_toks", "city_toks")
+    val spec = Spec(Seq(
+      Clause("name_toks", "name_toks"),
+      Clause("city_toks", "city_toks")), minimumShouldMatch = 2)
+    val out = MatchQuery.run(left, right, spec, "lid", "rid")
+    // only rid=2 satisfies both should clauses (jean + lyon)
+    assert(out.collect().map(_.getAs[Long]("hit_rid")).toSeq == Seq(2L))
+  }
+
+  test("fuzziness widens a clause to edit-distance matches") {
+    val left = Seq((100L, Seq("dupond"))).toDF("lid", "name_toks")
+    val strict = Spec(Seq(Clause("name_toks", "name_toks")))
+    assert(MatchQuery.run(left, right, strict, "lid", "rid").count() == 0)
+    val fuzzy = Spec(Seq(Clause("name_toks", "name_toks", fuzziness = 1)))
+    val got = MatchQuery.run(left, right, fuzzy, "lid", "rid")
+      .collect().map(_.getAs[Long]("hit_rid")).toSet
+    assert(got == Set(1L, 3L)) // dupond ~ dupont
+  }
+
+  test("firstPosition restricts matching to the right side's first token (span_first)") {
+    val left = Seq((100L, Seq("dupont"))).toDF("lid", "name_toks")
+    val anywhere = Spec(Seq(Clause("name_toks", "name_toks")))
+    assert(MatchQuery.run(left, right, anywhere, "lid", "rid").count() == 2)
+    val firstOnly = Spec(Seq(Clause("name_toks", "name_toks", firstPosition = true)))
+    // 'dupont' is first token nowhere (jean/marie/paul lead) → no hits
+    assert(MatchQuery.run(left, right, firstOnly, "lid", "rid").count() == 0)
+    val jeanFirst = Seq((100L, Seq("jean"))).toDF("lid", "name_toks")
+    assert(MatchQuery.run(jeanFirst, right, firstOnly, "lid", "rid").count() == 2)
+  }
+}

@@ -6,6 +6,21 @@ import graft.functions.{Similarity, Tools}
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native damerau expression matches the Scala function, handles nulls, codegens") {
+    import graft.functions.NativeExpressions
+    val df = Seq(("ca", "abc"), ("ab", "ba"), (null, "x")).toDF("a", "b")
+    val out = df.select(NativeExpressions.damerauNative(col("a"), col("b")).as("d"))
+    assert(col1[Any](out, "d") == Seq(2, 1, null))
+    // SQL registration resolves to the native expression
+    NativeExpressions.register(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('kitten', 'sitting') AS d")
+      .head.getInt(0) == 3)
+    // survives inside a wider expression (whole-stage codegen path)
+    val wide = df.na.drop().select(
+      (NativeExpressions.damerauNative(col("a"), col("b")) + length(col("a"))).as("x"))
+    assert(col1[Int](wide, "x") == Seq(4, 3))
+  }
+
   test("damerau-levenshtein counts transpositions as 1") {
     assert(Similarity.damerau("ab", "ba") == 1)
     assert(Similarity.damerau("abc", "abc") == 0)
