@@ -1,0 +1,110 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{ExecutionContext, Future}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.conf.RecipeConf
+import graft.conf.RecipeConf.ProjectConf
+
+/** REST layer mirroring the reference's API surface
+  * (/root/reference/code/api.py) over the conf-driven engine:
+  *
+  *   GET  /api/datasets                 — list datasets (api.py:542-576)
+  *   POST /api/datasets/{name}?size=n   — sample rows (api.py:578-623)
+  *   PUT  /api/recipes/{name}/run       — async job (api.py:1000-1015)
+  *   PUT  /api/recipes/{name}/test      — one test chunk, JSON rows
+  *                                        (api.py:975-999; default 30,
+  *                                        conf/conf.yml:23)
+  *   GET  /api/jobs                     — running/finished jobs
+  *                                        (api.py:1040-1074)
+  *
+  * Jobs are Futures over a Spark action (the reference forks OS
+  * processes; Spark's scheduler replaces that, recipes.py:2489-2513).
+  * Built on the JDK HttpServer — zero extra dependencies.
+  */
+class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+  private val jobSeq = new AtomicLong(0)
+  private val jobs = TrieMap.empty[Long, String] // id → status
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def actualPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonRows(df: org.apache.spark.sql.DataFrame, limit: Int): String =
+    "[" + df.limit(limit).toJSON.collect().mkString(",") + "]"
+
+  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val params = query.split("&").filter(_.contains("="))
+      .map { p => val Array(k, v) = p.split("=", 2); k -> v }.toMap
+
+    (method, path.split("/").drop(2).toList) match {
+      case ("GET", List("datasets")) =>
+        respond(ex, 200, conf.datasets.keys.toSeq.sorted
+          .map(q).mkString("[", ",", "]"))
+
+      case ("POST", List("datasets", name)) if conf.datasets.contains(name) =>
+        val size = params.getOrElse("size", "500").toInt // connector.sample default
+        respond(ex, 200, jsonRows(RecipeConf.read(spark, conf.datasets(name)), size))
+
+      case ("PUT", List("recipes", name, "test")) if conf.recipes.contains(name) =>
+        val n = params.getOrElse("size", "30").toInt // test_chunk_size default
+        val df = RecipeConf.run(spark, conf, name, testLimit = Some(n))
+        respond(ex, 200, jsonRows(df, n))
+
+      case ("PUT", List("recipes", name, "run")) if conf.recipes.contains(name) =>
+        val id = jobSeq.incrementAndGet()
+        jobs(id) = "running"
+        Future {
+          try { RecipeConf.run(spark, conf, name); jobs(id) = "done" }
+          catch { case e: Throwable => jobs(id) = s"failed: ${e.getMessage}" }
+        }
+        respond(ex, 202, s"""{"job": $id, "recipe": ${q(name)}}""")
+
+      case ("GET", List("jobs")) =>
+        respond(ex, 200, jobs.toSeq.sortBy(_._1)
+          .map { case (id, st) => s"""{"job": $id, "status": ${q(st)}}""" }
+          .mkString("[", ",", "]"))
+
+      case _ =>
+        respond(ex, 404, s"""{"error": "not found", "path": ${q(path)}}""")
+    }
+  } catch {
+    case e: Throwable =>
+      respond(ex, 500, s"""{"error": ${q(String.valueOf(e.getMessage))}}""")
+  }
+
+  def start(): ApiServer = {
+    server.createContext("/api", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  def awaitJobs(timeoutMs: Long = 60000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (jobs.values.exists(_ == "running") && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+}

@@ -76,6 +76,63 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * centroids and exact cosine re-ranks only those cells' vectors —
+    * the classic recall/cost dial (FAISS-style, public technique).
+    *
+    * Scale: corpus vectors shuffle ONCE on cell id; per-query work is
+    * nprobe/nlist of the corpus. The centroid set (nlist × dim doubles)
+    * broadcasts. Deterministic for a fixed seed.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .withColumn("__features", array_to_vector(transform(col("__cv"), x => x.cast("double"))))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+    val model = km.fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .withColumnRenamed("prediction", "__cell")
+      .select("neighbor_id", "__cv", "__cell")
+
+    // centroid table (tiny) — broadcast both into query-side probe
+    // selection and the candidate join
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids)
+      .toDF("__cell", "__centroid"))
+
+    // each query × centroid → keep the nprobe nearest cells (euclidean,
+    // matching the k-means objective)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
+    val dist2 = aggregate(
+      zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("__cell"))
+    val probes = qd.crossJoin(centDf)
+      .withColumn("__d2", dist2)
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "__qv", "__cell")
+
+    val scored = probes.join(assigned, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Embedding near-duplicate pairs within a blocking column: exact
     * cosine ≥ threshold, id_a < id_b. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

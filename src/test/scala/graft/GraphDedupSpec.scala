@@ -73,6 +73,23 @@ class GraphDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 1), (1L, 2)))
   }
 
+  test("IVF ANN recalls the brute-force top-k on the driver embeddings") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Ann.ivfTopK(q, e, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val recalled = exact.intersect(ivf).count()
+    // probing half the cells on random-ish vectors: expect solid recall
+    assert(recalled.toDouble / nExact > 0.5,
+      s"IVF recall too low: $recalled/$nExact")
+    // every IVF hit ranks deterministically
+    assert(ivf.count() > 0)
+  }
+
   test("match topK honors k, rank order and hit metadata contract") {
     val docs = Seq(
       (1L, Seq("red", "apple", "pie")),
