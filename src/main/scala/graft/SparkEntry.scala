@@ -738,15 +738,15 @@ object SparkEntry {
         |ln AS (SELECT ['martin','bernard','dubois','thomas','robert','richard','petit','durand','leroy','moreau','simon','laurent','lefebvre','michel','garcia','blanc','bertrand','roux','vincent','fournier'] AS l),
         |p AS (
         | SELECT c_custkey AS pid,
-        |  (SELECT f FROM fn)[CAST(c_custkey % 15 AS INT) + 1] AS first_name,
-        |  (SELECT l FROM ln)[CAST(c_custkey % 20 AS INT) + 1] AS last_name,
+        |  (SELECT f FROM fn)[CAST(c_custkey % 15 AS INT) + 1] || CAST(c_custkey % 89 AS VARCHAR) AS first_name,
+        |  (SELECT l FROM ln)[CAST(c_custkey % 20 AS INT) + 1] || CAST(c_custkey % 97 AS VARCHAR) AS last_name,
         |  printf('%04d%02d%02d', CAST(1950 + c_custkey % 49 AS INT), CAST(1 + c_custkey % 12 AS INT), CAST(1 + c_custkey % 28 AS INT)) AS birth_str,
         |  lower(n_name) AS city
         | FROM customer JOIN nation ON c_nationkey = n_nationkey),
         |r0 AS (
         | SELECT c_custkey AS k,
-        |  (SELECT f FROM fn)[CAST(c_custkey % 15 AS INT) + 1] AS first_name,
-        |  (SELECT l FROM ln)[CAST(c_custkey % 20 AS INT) + 1] AS lname,
+        |  (SELECT f FROM fn)[CAST(c_custkey % 15 AS INT) + 1] || CAST(c_custkey % 89 AS VARCHAR) AS first_name,
+        |  (SELECT l FROM ln)[CAST(c_custkey % 20 AS INT) + 1] || CAST(c_custkey % 97 AS VARCHAR) AS lname,
         |  n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
         |r AS (
         | SELECT k + 1000000 AS pid, first_name,

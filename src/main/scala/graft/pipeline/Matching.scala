@@ -95,8 +95,16 @@ object Matching {
     "richard", "petit", "durand", "leroy", "moreau", "simon", "laurent",
     "lefebvre", "michel", "garcia", "blanc", "bertrand", "roux", "vincent", "fournier")
 
-  private def pick(names: Seq[String], k: Column): Column =
-    element_at(array(names.map(lit): _*), (k % names.length).cast("int") + 1)
+  /** Synthetic names get a numeric shard suffix (k % prime) so token
+    * cardinality scales with the data instead of staying at the base
+    * list's 15/20 values — with a constant-size vocabulary every name
+    * token is a hot key and the candidate join degenerates
+    * quadratically at larger scale factors (the classic blocking-key
+    * cardinality lesson). */
+  private def pick(names: Seq[String], k: Column, shard: Int): Column =
+    concat(
+      element_at(array(names.map(lit): _*), (k % names.length).cast("int") + 1),
+      (k % shard).cast("string"))
 
   private def birthStr(k: Column, dayShift: Int = 0): Column =
     format_string("%04d%02d%02d",
@@ -108,8 +116,8 @@ object Matching {
     val k = col("c_custkey")
     customer.join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .select(k.as("pid"),
-        pick(firstNames, k).as("first_name"),
-        pick(lastNames, k).as("last_name"),
+        pick(firstNames, k, 89).as("first_name"),
+        pick(lastNames, k, 97).as("last_name"),
         birthStr(k).as("birth_str"),
         col("n_name").as("city"))
   }
@@ -119,10 +127,10 @@ object Matching {
     * birth date moves a day. */
   def registryFrom(customer: DataFrame, nation: DataFrame): DataFrame = {
     val k = col("c_custkey")
-    val last = pick(lastNames, k)
+    val last = pick(lastNames, k, 97)
     customer.join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .select((k + 1000000).as("pid"),
-        pick(firstNames, k).as("first_name"),
+        pick(firstNames, k, 89).as("first_name"),
         when(k % 7 === 0,
           concat(substring(last, 1, 2), last.substr(lit(4), length(last))))
           .otherwise(last).as("last_name"),
