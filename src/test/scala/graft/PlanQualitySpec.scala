@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MatchJoin
+import graft.dedup.Dedup
+
+/** Plan-quality guards: the optimizations the 100 TB design depends on
+  * must stay visible in the physical plan — a regression here is a
+  * silent order-of-magnitude cost at scale even though results stay
+  * correct. */
+class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q04 filter reaches the parquet scan (PushedFilters)") {
+    val p = plan("q04_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filters in:\n$p")
+    // column pruning: scan must not read more than the 4 needed columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"))
+  }
+
+  test("q02 referential joins broadcast (no shuffle join)") {
+    val p = plan("q02_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"referential join shuffled:\n$p")
+  }
+
+  test("q03 top-k rank uses WindowGroupLimit (rank pushdown)") {
+    assert(plan("q03_rank_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q01 aggregation is map-side partial") {
+    assert(plan("q01_agg").contains("partial_sum"))
+  }
+
+  test("match join maxDocFreq drops hot tokens but keeps rare-token recall") {
+    val right = Seq(
+      (1L, Seq("common", "rare1")),
+      (2L, Seq("common", "rare2")),
+      (3L, Seq("common")),
+      (4L, Seq("common"))).toDF("id", "toks")
+    val left = Seq((10L, Seq("common", "rare1"))).toDF("id", "toks")
+    val uncapped = MatchJoin.topK(left, right, "toks", "toks", "id", "id", k = 10)
+    assert(uncapped.count() == 4) // 'common' reaches every doc
+    val capped = MatchJoin.topK(left, right, "toks", "toks", "id", "id", k = 10,
+      maxDocFreq = 3)
+    val hits = capped.collect().map(_.getAs[Long]("hit_id")).toSet
+    assert(hits == Set(1L)) // only the rare token generates candidates
+  }
+
+  test("minhashDedup keeps one representative per near-dup cluster") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")),
+      (3L, "completely different text about catalyst plans and shuffles here now"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.5)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+}
