@@ -658,6 +658,26 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
+    // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have
+    // ~1-2e-12 miss probability per true pair, so candidate recall —
+    // the operator's actual contract — must be total for the hash
+    // compare to pass.
+    "q26_minhash_pairs" ->
+      ("WITH n AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM documents), " +
+        """t AS (SELECT doc_id, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
+          |g AS (SELECT doc_id,
+          |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+          | FROM t),
+          |pairs AS (
+          | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+          | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin),
+
     "q28_embed_neardup" ->
       """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
