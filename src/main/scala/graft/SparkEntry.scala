@@ -258,14 +258,18 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
     }),
 
-    // text quality stats (TextAnalysis)
+    // text quality stats (TextAnalysis) incl. stopword ratio + composite
+    // quality score
     "q22_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      val en = TextAnalysis.stopwords("en")
       d.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
         round(TextAnalysis.upperRatio(col("text")), 4).as("upper_ratio"),
-        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"))
+        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
+        round(TextAnalysis.stopwordRatio(col("text"), en), 4).as("sw_ratio"),
+        TextAnalysis.qualityScore(col("text"), en).as("quality"))
     }),
 
     // language-ID heuristic vs labeled lang (TextAnalysis.langId)
@@ -598,16 +602,29 @@ object SparkEntry {
         s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp FROM documents"),
 
     "q22_text_stats" ->
-      """SELECT doc_id,
-        | CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tok,
-        | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_raw,
+        |  CASE WHEN trim(lower(text)) = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END AS sw_raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(ntok AS INTEGER) AS n_tok,
+        | ROUND(punct_raw, 4) AS punct_ratio,
         | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 4) AS upper_ratio,
         | ROUND(CASE WHEN trim(text) = '' THEN 0.0 ELSE
-        |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |     / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END, 4) AS mean_word_len
-        |FROM documents""".stripMargin,
+        |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(ntok AS DOUBLE) END, 4) AS mean_word_len,
+        | ROUND(sw_raw, 4) AS sw_ratio,
+        | ROUND(GREATEST(0.0,
+        |   0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |   + 0.3 * (1.0 - LEAST(punct_raw * 5, 1.0))
+        |   + 0.3 * LEAST(sw_raw * 4, 1.0)), 4) AS quality
+        |FROM base""".stripMargin,
 
     "q23_langid" ->
       """WITH s AS (
