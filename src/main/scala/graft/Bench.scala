@@ -18,6 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (classloading, codegen compiler, parquet footer cache)
+    // before timing — otherwise the first query's number is mostly
+    // one-time session cost, not query work.
+    Tables.names.foreach { n =>
+      try Tables.t(spark, sfDir, n).limit(1).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

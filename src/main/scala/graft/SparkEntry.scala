@@ -62,7 +62,8 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"))
     }),
 
     // strict broadcast joins (Joins.strictJoin) + agg
@@ -390,6 +391,29 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // exact quantiles (percentile with linear interpolation — same
+    // semantics as DuckDB quantile_cont)
+    "q42_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("price_quartiles"))
+    }),
+
+    // running total per customer (rowsBetween window frame)
+    "q41_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+    }),
+
     // Structured Streaming: the SAME hourly-window aggregation as q18 but
     // executed as a streaming query over the events parquet (memory sink,
     // complete mode) — batch/stream unification, oracle-checked
@@ -453,7 +477,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        | COUNT(*) AS n_rows
+        | COUNT(*) AS n_rows,
+        | COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q02_join_enrich" ->
@@ -764,6 +789,20 @@ object SparkEntry {
         | CAST(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "q42_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_extendedprice, [0.25, 0.75]) AS price_quartiles
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q41_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
 
     "q40_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type,

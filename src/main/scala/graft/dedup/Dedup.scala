@@ -215,19 +215,8 @@ object Dedup {
   // ------------------------------------------------- n-gram Jaccard pairs
   /** Exhaustive n-gram Jaccard within a blocking key (e.g. source, length
     * band): cheap exact near-dup scoring when blocks are small. */
-  /** Intersection size of two SORTED long arrays — linear merge scan, no
-    * per-pair hash set. */
-  private val sortedIntersectUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var i = 0; var j = 0; var c = 0
-    val la = a.length; val lb = b.length
-    while (i < la && j < lb) {
-      val x = a(i); val y = b(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    c
-  }
+  // intersection of sorted long arrays: native codegen'd expression
+  // (NativeExpressions.sortedIntersectCount) — unboxed merge scan
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -251,7 +240,8 @@ object Dedup {
         greatest(size(col("a.grams")), size(col("b.grams"))) >= threshold
     a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") && sizeGuard)
       .withColumn("inter",
-        sortedIntersectUdf(col("a.grams"), col("b.grams")).cast("double"))
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("a.grams"), col("b.grams")).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("a.grams")) + size(col("b.grams")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

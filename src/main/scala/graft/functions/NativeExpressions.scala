@@ -33,7 +33,52 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays — a native expression so
+  * the merge scan runs on unboxed ArrayData (a UDF materializes both
+  * arrays as boxed Seq[Long] per row — measurable at millions of pairs).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeExpressions.intersectSortedCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NativeExpressions.intersectSortedCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
+
+  /** Merge-scan intersection count over ArrayData (no boxing). Called
+    * from generated code — must stay a static-forwardable method. */
+  def intersectSortedCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var i = 0; var j = 0; var c = 0
+    val la = a.numElements(); val lb = b.numElements()
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Column API: intersection size of two sorted array<long> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Column API over the native expression. */
   def damerauNative(a: Column, b: Column): Column =
     GraftBridge.column(DamerauLevenshteinExpr(

@@ -110,6 +110,23 @@ class GraphDedupSpec extends SparkSpec {
       keepUnmatched = true).count() == 1)
   }
 
+  test("topKBucketed returns one row per left with an ordered hits array") {
+    val docs = Seq(
+      (1L, Seq("red", "apple", "pie")),
+      (2L, Seq("red", "apple", "tart")),
+      (3L, Seq("green", "pear"))).toDF("id", "toks")
+    val q = Seq((100L, Seq("red", "apple")), (200L, Seq("nothing"))).toDF("id", "toks")
+    val out = MatchJoin.topKBucketed(q, docs, "toks", "toks", "id", "id", k = 5)
+    assert(out.count() == 2) // keepUnmatched default: unmatched left kept
+    val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val hits = rows(100L).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hits")
+    assert(hits.map(_.getAs[Long]("hit_id")).toSeq == Seq(1L, 2L)) // rank order
+    assert(rows(200L).isNullAt(rows(200L).fieldIndex("hits")))
+    // inner mode drops the unmatched row
+    assert(MatchJoin.topKBucketed(q, docs, "toks", "toks", "id", "id", k = 5,
+      keepUnmatched = false).count() == 1)
+  }
+
   test("match topK fuzzy recall: edit-distance-1 tokens match") {
     val docs = Seq((1L, Seq("marseille", "port"))).toDF("id", "toks")
     val q = Seq((9L, Seq("marseile"))).toDF("id", "toks")

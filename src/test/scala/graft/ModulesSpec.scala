@@ -33,6 +33,32 @@ class ModulesSpec extends SparkSpec {
     assert(rows(back.orderBy("A")) == Seq(Seq("ab", "x"), Seq("c", "yz")))
   }
 
+  test("multi-file regex source concatenates matching files; gz csv reads natively") {
+    val dir = tmpDir
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data_1.csv"), "id;v\n1;a\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data_2.csv"), "id;v\n2;b\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/other.txt"), "junk\n")
+    val df = Sources.multiFile(spark, dir, "data_\\d+\\.csv",
+      p => Sources.csv(spark, p))
+    assert(col1[String](df.orderBy("id"), "id") == Seq("1", "2"))
+    // gzip: Spark decompresses by extension, like the reference's
+    // smart_open compression infer (recipes.py:535-541)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/z.csv.gz"))
+    gz.write("id;v\n9;z\n".getBytes); gz.close()
+    val gzDf = Sources.csv(spark, s"$dir/z.csv.gz")
+    assert(rows(gzDf) == Seq(Seq("9", "z")))
+  }
+
+  test("recipe before/after orchestration runs dependencies in order") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.engine.Recipe.run(
+      before = Seq(() => order += "dep1", () => order += "dep2"),
+      pipeline = () => order += "main",
+      after = Seq(() => order += "post"))
+    assert(order.toSeq == Seq("dep1", "dep2", "main", "post"))
+  }
+
   test("jsonl source keeps primitives as strings") {
     val dir = s"$tmpDir/jsonl"
     Files.write(java.nio.file.Paths.get(dir),
