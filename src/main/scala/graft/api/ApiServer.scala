@@ -64,7 +64,14 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
 
       case ("POST", List("datasets", name)) if conf.datasets.contains(name) =>
         val size = params.getOrElse("size", "500").toInt // connector.sample default
-        respond(ex, 200, jsonRows(RecipeConf.read(spark, conf.datasets(name)), size))
+        val df0 = RecipeConf.read(spark, conf.datasets(name))
+        // random=true mirrors the reference's function_score random_score
+        // sampling wrapper (api.py:596-599)
+        val df = if (params.get("random").contains("true"))
+          df0.orderBy(org.apache.spark.sql.functions.rand(
+            params.getOrElse("seed", "42").toLong))
+        else df0
+        respond(ex, 200, jsonRows(df, size))
 
       case ("PUT", List("recipes", name, "test")) if conf.recipes.contains(name) =>
         val n = params.getOrElse("size", "30").toInt // test_chunk_size default

@@ -46,11 +46,25 @@ object RecipeConf {
       case other => sys.error(s"expected mapping, got $other")
     }
 
+    // connectors: named base locations (recipes.py:111-246); a dataset
+    // either gives a full `path` or a `connector` + `table`
+    val connectors = asMap(root.getOrElse("connectors", null)).map { case (name, v) =>
+      name -> asMap(v).getOrElse("path", sys.error(s"connector $name: path required")).toString
+    }
+
     val datasets = asMap(root.getOrElse("datasets", null)).map { case (name, v) =>
       val m = asMap(v)
+      val connector = m.getOrElse("connector", "filesystem").toString
+      val path = (m.get("path"), m.get("table")) match {
+        case (Some(p), _) => p.toString
+        case (None, Some(t)) =>
+          connectors.getOrElse(connector,
+            sys.error(s"dataset $name: unknown connector $connector")) + "/" + t
+        case _ => sys.error(s"dataset $name: path or connector+table required")
+      }
       name -> DatasetConf(
-        connector = m.getOrElse("connector", "filesystem").toString,
-        path = m.getOrElse("path", sys.error(s"dataset $name: path required")).toString,
+        connector = connector,
+        path = path,
         format = m.getOrElse("format", "parquet").toString,
         options = asMap(m.getOrElse("options", null)).map { case (k, vv) => k -> vv.toString })
     }
@@ -89,6 +103,8 @@ object RecipeConf {
   }
 
   def write(df: DataFrame, ds: DatasetConf, mode: String): Unit = ds.format match {
+    case "parquet" if mode == "update" => // doc-upsert mode (ES analogue)
+      Sinks.upsert(df, ds.path, ds.options.getOrElse("id", "_id"))
     case "parquet" => Sinks.parquet(df, ds.path,
       mode = if (mode == "create") "overwrite" else mode)
     case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),

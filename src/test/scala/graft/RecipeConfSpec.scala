@@ -77,6 +77,40 @@ class RecipeConfSpec extends SparkSpec {
     assert(m("ben") == ("lyon", "69")) // "lyons" → fuzzy dist 1 → lyon
   }
 
+  test("connectors resolve dataset paths; groupby/match/clique steps compile") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/sales.csv"),
+      "grp;amt\ng1;10\ng1;20\ng2;5\n")
+    val yaml =
+      s"""connectors:
+         |  local: {path: $dir}
+         |datasets:
+         |  sales: {connector: local, table: sales.csv, format: csv}
+         |recipes:
+         |  summary:
+         |    input: sales
+         |    steps:
+         |      - to_integer: [amt]
+         |      - groupby:
+         |          select: [grp]
+         |          agg: {amt: sum}
+         |""".stripMargin
+    val conf = RecipeConf.load(yaml)
+    assert(conf.datasets("sales").path == s"$dir/sales.csv")
+    val out = RecipeConf.run(spark, conf, "summary")
+    assert(rows(out.orderBy("grp")) == Seq(Seq("g1", 30L), Seq("g2", 5L)))
+  }
+
+  test("upsert output mode merges by key, new rows win") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    val path = s"$dir/upsert_tbl"
+    Sinks.parquet(Seq((1L, "old1"), (2L, "old2")).toDF("_id", "v"), path)
+    Sinks.upsert(Seq((2L, "new2"), (3L, "new3")).toDF("_id", "v"), path, "_id")
+    val m = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "old1", 2L -> "new2", 3L -> "new3"))
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
