@@ -73,6 +73,33 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
         else df0
         respond(ex, 200, jsonRows(df, size))
 
+      // search proxy over a native index dataset (docs + postings,
+      // Sinks.indexed) — the ES _search analogue (api.py:750-781):
+      // IDF-scored token query, top-k docs back as JSON
+      case ("POST", List("datasets", name, "_search"))
+          if conf.datasets.get(name).exists(_.format == "index") =>
+        import org.apache.spark.sql.functions._
+        val ds = conf.datasets(name)
+        val size = params.getOrElse("size", "10").toInt
+        val toks = java.net.URLDecoder.decode(params.getOrElse("q", ""), "UTF-8")
+          .split("[\\s+]+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) respond(ex, 400, """{"error": "q required"}""")
+        else {
+          val postings = spark.read.parquet(ds.path + "/postings")
+          val docs = spark.read.parquet(ds.path + "/docs")
+          val n = docs.count()
+          val idf = postings.groupBy("token").agg(count(lit(1)).as("df"))
+            .withColumn("w", log((lit(n.toDouble) + 1) / (col("df") + 1)) + 1)
+          val hits = postings
+            .filter(col("token").isin(toks: _*))
+            .join(broadcast(idf), Seq("token"))
+            .groupBy("_id").agg(round(sum("w"), 4).as("_score"))
+            .orderBy(col("_score").desc, col("_id"))
+            .limit(size)
+            .join(docs, Seq("_id"))
+          respond(ex, 200, jsonRows(hits.orderBy(col("_score").desc, col("_id")), size))
+        }
+
       case ("PUT", List("recipes", name, "test")) if conf.recipes.contains(name) =>
         val n = params.getOrElse("size", "30").toInt // test_chunk_size default
         val df = RecipeConf.run(spark, conf, name, testLimit = Some(n))

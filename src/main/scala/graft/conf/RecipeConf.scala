@@ -99,6 +99,7 @@ object RecipeConf {
     case "fwf" => Sources.fwf(spark, ds.path,
       widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),
       names = ds.options("names").split(",").toSeq.map(_.trim))
+    case "index" => Sources.parquet(spark, ds.path + "/docs") // document store
     case other => sys.error(s"unsupported dataset format: $other")
   }
 

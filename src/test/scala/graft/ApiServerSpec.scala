@@ -61,4 +61,30 @@ class ApiServerSpec extends SparkSpec {
       assert(get(s"$base/nope").statusCode() == 404)
     } finally api.stop()
   }
+
+  test("_search proxy scores token queries against the native index") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val idxDir = s"$dir/idx"
+    Sinks.indexed(Seq(
+        (1L, "red apple pie", Seq("red", "apple", "pie")),
+        (2L, "red apple tart", Seq("red", "apple", "tart")),
+        (3L, "green pear pie", Seq("green", "pear", "pie")))
+        .toDF("id", "text", "toks"),
+      idxDir, idCol = Some("id"), analyzedCol = "toks")
+    val conf = RecipeConf.load(
+      s"datasets:\n  corpus: {path: $idxDir, format: index}\nrecipes: {}")
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      val r = send("POST", s"$base/datasets/corpus/_search?q=red+apple&size=2")
+      assert(r.statusCode() == 200)
+      // docs 1 and 2 match both tokens; doc 3 matches none
+      assert(r.body().contains(""""id":1""") && r.body().contains(""""id":2"""))
+      assert(!r.body().contains(""""id":3"""))
+      val pie = send("POST", s"$base/datasets/corpus/_search?q=pie&size=10")
+      assert(pie.body().contains(""""id":3"""))
+      assert(send("POST", s"$base/datasets/corpus/_search").statusCode() == 400)
+    } finally api.stop()
+  }
 }
