@@ -235,7 +235,8 @@ object SparkEntry {
     "q18_events_window" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("tsv", timestamp_micros(expr("ts DIV 1000")))
-        .groupBy(date_trunc("hour", col("tsv")).as("hr"), col("event_type"))
+        .groupBy(date_trunc("hour", col("tsv")).cast("timestamp_ntz").as("hr"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
@@ -424,8 +425,8 @@ object SparkEntry {
           stream.withColumn("tsv", timestamp_micros(expr("ts DIV 1000"))), "tsv"),
         queryName = "q40_mem", schema = EventStream.rawEventSchema,
         outputMode = "complete", globFilter = Some("events.parquet"))
-      out.select(col("window.start").as("hr"), col("event_type"),
-        col("n"), col("sum_value"))
+      out.select(col("window.start").cast("timestamp_ntz").as("hr"),
+        col("event_type"), col("n"), col("sum_value"))
     }),
 
     // end-to-end matching pipeline (exact-token candidates so the whole
