@@ -79,7 +79,7 @@ object Scoring {
     val scored = model.pipeline.transform(prep(df, numerical))
     scored.withColumn(targetCol, round(col("prediction") * 100).cast("long"))
       .drop("prediction", "features")
-      .drop(scored.columns.filter(c => c.startsWith("__num_") || c.startsWith("__idx_") || c.startsWith("__oh_")): _*)
+      .drop(scored.columns.filter(c => c.startsWith("__num_") || c.startsWith("__idx_") || c.startsWith("__oh_")).toIndexedSeq: _*)
   }
 
   def save(model: BuiltModel, path: String): Unit = model.pipeline.write.overwrite().save(path)

@@ -106,7 +106,7 @@ object Ann {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }
-    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids)
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
       .toDF("__cell", "__centroid"))
 
     // each query × centroid → keep the nprobe nearest cells (euclidean,

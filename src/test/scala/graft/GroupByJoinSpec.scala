@@ -75,6 +75,16 @@ class GroupByJoinSpec extends SparkSpec {
     assert(!m.contains("zzz"))
   }
 
+  test("fuzzy best-match at distance 2 (double-deletion variants)") {
+    val q = Seq("marseill", "marseila", "mrseille").toDF("__q") // d=1, d=2, d=2
+    val v = Seq("marseille", "paris").toDF("__w")
+    val out = FuzzyMatch.bestMatch(q, v, maxDist = 2)
+    val m = out.collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(m("marseill") == ("marseille", 1))
+    assert(m("marseila") == ("marseille", 2))
+    assert(m("mrseille") == ("marseille", 1))
+  }
+
   test("fuzzyJoin attaches {col}_match and right-side columns") {
     val left = Seq(("1", "marseile"), ("2", "unknownx")).toDF("id", "city")
     val ref = Seq(("marseille", "13"), ("paris", "75")).toDF("name", "dep")
