@@ -19,6 +19,23 @@ class GraphDedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("star-contraction CC agrees with min-label propagation (incl. deep chains)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // a long chain (diameter 120) + random edges + 2-node + isolated-self
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val random = (1 to 150).map(_ => (rnd.nextInt(80) + 200L, rnd.nextInt(80) + 200L))
+    val extras = Seq((500L, 501L), (600L, 600L))
+    val edges = (chain ++ random ++ extras).toDF("src", "dst")
+    val a = ConnectedComponents.run(edges, maxIter = 200).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ConnectedComponents.runStarContraction(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"mismatch: ${a.toSet.diff(b.toSet).take(5)} vs ${b.toSet.diff(a.toSet).take(5)}")
+    assert(b(120L) == 0L) // chain collapses to its min
+    assert(b(501L) == 500L)
+  }
+
   test("clique op attaches graph_clique_id and size (recipes.py:2040-2055)") {
     val df = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val out = ConnectedComponents.clique(df, "a", "b")
