@@ -392,6 +392,26 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // bool-query match join: must clause on name tokens + should clause
+    // on the brand token (MatchQuery — the ES query-template interpreter)
+    "q43_bool_match" -> ((s, dir) => {
+      import graft.operators.MatchQuery
+      import graft.operators.MatchQuery.{Clause, Spec}
+      val part = t(s, dir, "part")
+        .withColumn("name_toks", Tools.tokenize(Tools.normalize(col("p_name"))))
+        .withColumn("brand_toks", array(lower(col("p_brand"))))
+      val right = part.select("p_partkey", "name_toks", "brand_toks")
+      val queries = right.filter(col("p_partkey") % 29 === 0)
+      MatchQuery.run(queries, right,
+          Spec(Seq(
+            Clause("name_toks", "name_toks", required = true),
+            Clause("brand_toks", "brand_toks")),
+            minimumShouldMatch = 0, k = 5),
+          "p_partkey", "p_partkey")
+        .select(col("p_partkey"), col("hit_p_partkey"), col("hit_score"),
+          col("hit_rank"), col("matchid_hit_matches_unfiltered"), col("hit_max_score"))
+    }),
+
     // exact quantiles (percentile with linear interpolation — same
     // semantics as DuckDB quantile_cont)
     "q42_quantiles" -> ((s, dir) => {
@@ -790,6 +810,43 @@ object SparkEntry {
         | CAST(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "q43_bool_match" ->
+      ("WITH tok AS (SELECT p_partkey, list_distinct(string_split_regex(" +
+        normSql.format("p_name") + ", '\\s+')) AS toks, lower(p_brand) AS brand FROM part), " +
+        """n AS (SELECT COUNT(*) AS nd FROM tok),
+          |post1 AS (SELECT p_partkey AS rid, unnest(toks) AS tok FROM tok),
+          |idf1 AS (SELECT tok, COUNT(*) AS df FROM post1 GROUP BY 1),
+          |qt1 AS (SELECT p_partkey AS lid, unnest(toks) AS tok FROM tok WHERE p_partkey % 29 = 0),
+          |c1 AS (
+          | SELECT qt1.lid, post1.rid,
+          |  CAST(SUM(CAST(FLOOR((LN((n.nd + 1.0) / (idf1.df + 1)) + 1) * 10000) AS BIGINT)) AS BIGINT) AS s1
+          | FROM qt1 JOIN post1 ON qt1.tok = post1.tok JOIN idf1 ON qt1.tok = idf1.tok CROSS JOIN n
+          | GROUP BY 1, 2),
+          |post2 AS (SELECT p_partkey AS rid, brand AS tok FROM tok),
+          |idf2 AS (SELECT tok, COUNT(*) AS df FROM post2 GROUP BY 1),
+          |qt2 AS (SELECT p_partkey AS lid, brand AS tok FROM tok WHERE p_partkey % 29 = 0),
+          |c2 AS (
+          | SELECT qt2.lid, post2.rid,
+          |  CAST(SUM(CAST(FLOOR((LN((n.nd + 1.0) / (idf2.df + 1)) + 1) * 10000) AS BIGINT)) AS BIGINT) AS s2
+          | FROM qt2 JOIN post2 ON qt2.tok = post2.tok JOIN idf2 ON qt2.tok = idf2.tok CROSS JOIN n
+          | GROUP BY 1, 2),
+          |merged AS (
+          | SELECT COALESCE(c1.lid, c2.lid) AS lid, COALESCE(c1.rid, c2.rid) AS rid,
+          |  c1.s1 AS s1, c2.s2 AS s2
+          | FROM c1 FULL JOIN c2 ON c1.lid = c2.lid AND c1.rid = c2.rid),
+          |ok AS (
+          | SELECT lid, rid, s1 + COALESCE(s2, 0) AS hit_score
+          | FROM merged WHERE s1 IS NOT NULL),
+          |ranked AS (
+          | SELECT lid, rid, hit_score,
+          |  COUNT(*) OVER (PARTITION BY lid) AS matchid_hit_matches_unfiltered,
+          |  MAX(hit_score) OVER (PARTITION BY lid) AS hit_max_score,
+          |  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY hit_score DESC, rid) AS hit_rank
+          | FROM ok)
+          |SELECT lid AS p_partkey, rid AS hit_p_partkey, hit_score,
+          | CAST(hit_rank AS INTEGER) AS hit_rank, matchid_hit_matches_unfiltered, hit_max_score
+          |FROM ranked WHERE hit_rank <= 5""".stripMargin),
 
     "q42_quantiles" ->
       """SELECT l_returnflag,
