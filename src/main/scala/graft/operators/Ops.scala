@@ -138,6 +138,24 @@ object Ops {
     expanded.drop("__unnest", column)
   }
 
+  /** `unnest` for MAP-typed columns (ES documents with per-row key
+    * sets, recipes.py:2352-2364): one output column per requested key.
+    * Keys are plan-time knowledge; `mapKeys` discovers them from data
+    * when the conf doesn't pin them. */
+  def unnestMap(df: DataFrame, column: String, keys: Seq[String],
+      prefix: String = ""): DataFrame = {
+    val expanded = keys.foldLeft(df) { (d, k) =>
+      d.withColumn(prefix + k, col(column).getItem(k))
+    }
+    expanded.drop(column)
+  }
+
+  /** Distinct keys present in a map column (driver-side, for
+    * interactive/schema-discovery use only). */
+  def mapKeys(df: DataFrame, column: String): Seq[String] =
+    df.select(explode(map_keys(col(column))).as("k")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
   /** Infer the JSON schema of a column from data (test/interactive
     * convenience — prefer the explicit-schema overload in pipelines). */
   def inferJsonSchema(df: DataFrame, column: String): StructType = {

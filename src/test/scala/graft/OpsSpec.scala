@@ -81,6 +81,33 @@ class OpsSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("p_A", "p_B"))
   }
 
+  test("unnestMap expands map columns per discovered key") {
+    val df = Seq(
+      (1, Map("a" -> "x", "b" -> "y")),
+      (2, Map("a" -> "z"))).toDF("id", "m")
+    val keys = Ops.mapKeys(df, "m")
+    assert(keys == Seq("a", "b"))
+    val out = Ops.unnestMap(df, "m", keys, prefix = "m_")
+    assert(out.columns.toSeq == Seq("id", "m_a", "m_b"))
+    assert(rows(out.orderBy("id")) == Seq(Seq(1, "x", "y"), Seq(2, "z", null)))
+  }
+
+  test("observe metrics report rows and per-column null counts with no extra job") {
+    import graft.engine.Metrics
+    Metrics.install(spark)
+    Metrics.clear()
+    val df = Seq("1", "x", "", "3").toDF("v")
+    val out = Metrics.observed(Ops.toInteger(df, Seq("v")), "cast_run", Seq("v"))
+    out.collect() // one action drives both the work and the metrics
+    // listener delivery is asynchronous — wait briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (Metrics.get("cast_run").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    val m = Metrics.get("cast_run").get
+    assert(m("rows") == 4L)
+    assert(m("v_nulls") == 2L) // "x" and "" coerce to null
+  }
+
   test("unfold explodes arrays, keeps empty lists with fill (test_recipes.py:339-380)") {
     val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("A", "L")
     val out = Ops.unfold(df, "L", fillNa = "")
