@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("partitioned parquet prunes directories for partition-key predicates") {
+    import graft.sources.{Sinks, Sources}
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val df = (1 to 300).map(i => (i.toLong, s"k${i % 3}", i * 1.0)).toDF("id", "seg", "v")
+    Sinks.parquet(df, dir, partitionBy = Seq("seg"))
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("seg=")) == 3)
+    val q = Sources.parquet(spark, dir).filter($"seg" === "k1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(seg"), plan)
+    assert(q.count() == 100)
+  }
+
   test("bucketed tables join with no Exchange; unbucketed ones shuffle") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
