@@ -44,6 +44,32 @@ object FuzzyMatch {
     }
   }
 
+  /** Jaro-Winkler best-match — the reference's `fuzzy_method: jellyfish`
+    * alternative (best similarity ≥ minSim wins,
+    * /root/reference/code/tools.py:264-277). No deletion trick exists
+    * for JW, so candidates come from length-band blocking (|len(q) −
+    * len(w)| ≤ band — JW similarity decays fast with length mismatch)
+    * against the broadcast vocab, then argmax (similarity desc, word
+    * asc). */
+  def bestMatchJw(
+      queries: DataFrame,
+      vocab: DataFrame,
+      minSim: Double = 0.95,
+      lengthBand: Int = 3): DataFrame = {
+    import graft.functions.Similarity
+    val q = queries.select(col("__q"), length(col("__q")).as("__ql"))
+    val w = broadcast(vocab.select(col("__w"), length(col("__w")).as("__wl")))
+    q.join(w, abs(col("__ql") - col("__wl")) <= lengthBand)
+      .withColumn("__sim", Similarity.jw(col("__q"), col("__w")))
+      .filter(col("__sim") >= minSim)
+      // argmax via min(struct(-sim, word)): highest similarity first,
+      // lexicographic tie-break — one aggregation pass
+      .groupBy(col("__q"))
+      .agg(min(struct((-col("__sim")).as("__negsim"), col("__w"))).as("__best"))
+      .select(col("__q"), col("__best.__w").as("__match"),
+        (-col("__best.__negsim")).as("__sim"))
+  }
+
   /** Best fuzzy match of each query against the vocabulary.
     *
     * @param queries single-column DataFrame `__q` (distinct, non-null)

@@ -123,6 +123,53 @@ class ModulesSpec extends SparkSpec {
     assert(result.columns.contains("event_type"))
   }
 
+  test("watermark finalizes windows in append mode as event time advances") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = s"$tmpDir/wm"
+    val ts = (min: Long) => new java.sql.Timestamp(min * 60000L)
+    new java.io.File(s"$dir/in").mkdirs()
+    // batch 1: events in minutes 0-10 (window [0:00, 1:00))
+    Seq((1L, ts(5), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(EventStream.eventSchema).parquet(s"$dir/in")
+    val agg = EventStream.windowedCounts(stream, window_ = "1 hour", watermark = "30 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    // watermark hasn't passed the first window's end yet → nothing emitted
+    assert(spark.table("wm_test").count() == 0)
+    q.stop()
+    // batch 2: an event at minute 180 pushes the watermark past 1:00
+    Seq((3L, ts(180), 1L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    val q2 = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val finalized = spark.table("wm_test2").collect()
+    // the [0:00, 1:00) click window is now final: n=2, sum=3.0
+    val clickWin = finalized.find(_.getAs[String]("event_type") == "click")
+    assert(clickWin.isDefined && clickWin.get.getAs[Long]("n") == 2L)
+    assert(clickWin.get.getAs[Double]("sum_value") == 3.0)
+    // the minute-180 window is NOT final yet → absent in append mode
+    assert(!finalized.exists(_.getAs[String]("event_type") == "view"))
+  }
+
+  test("jaro-winkler best-match fuzzy method (jellyfish alternative)") {
+    import graft.operators.FuzzyMatch
+    val q = Seq("marthaa", "zzz").toDF("__q")
+    val v = Seq("martha", "marhta", "paris").toDF("__w")
+    val out = FuzzyMatch.bestMatchJw(q, v, minSim = 0.9)
+    val m = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("marthaa") == "martha")
+    assert(!m.contains("zzz"))
+  }
+
   test("multimodal: synthesize → extract → resize → frame-sample plumbing") {
     val base = Seq(1L, 2L, 3L).toDF("k")
     val media = Multimodal.synthesize(base, "k", bytesPerRow = 512)
