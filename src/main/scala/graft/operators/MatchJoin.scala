@@ -80,7 +80,7 @@ object MatchJoin {
     val cand0 =
       if (!fuzzy) {
         qtokBase.withColumn("__tok", col("__qtok"))
-          .join(postings.hint("shuffle_hash"), Seq("__tok"))
+          .join(postings, Seq("__tok"))
       } else {
         // delete-variant meet: qtok and tok within edit distance 1 share a
         // delete-≤1 variant; verify with true levenshtein
