@@ -66,12 +66,16 @@ object MatchJoin {
 
     // ---- IDF per token: log((N+1)/(df+1)) + 1, quantized to integer
     // 1e-4 units — integer sums are order-independent, so the aggregated
-    // score is bit-deterministic across partitionings (and engines)
-    val nDocs = right.select(col(rightId)).distinct().count()
+    // score is bit-deterministic across partitionings (and engines).
+    // N rides the plan as a broadcast one-row aggregate: no eager
+    // count() job at plan-construction time.
+    val nDocs = broadcast(right.agg(
+      countDistinct(col(rightId)).cast("double").as("__n")))
     val idf = postings.groupBy("__tok")
       .agg(count("*").as("__df"))
+      .crossJoin(nDocs)
       .withColumn("__idf",
-        floor((log((lit(nDocs.toDouble) + 1) / (col("__df") + 1)) + 1) * 10000).cast("long"))
+        floor((log((col("__n") + 1) / (col("__df") + 1)) + 1) * 10000).cast("long"))
       .select("__tok", "__idf")
 
     // ---- left tokens (+ fuzzy variants at distance ≤1)
@@ -79,8 +83,15 @@ object MatchJoin {
       explode(array_distinct(col(leftTokens))).as("__qtok"))
     val cand0 =
       if (!fuzzy) {
+        // shuffle-hash pinned on purpose: Catalyst's size estimate for
+        // an exploded postings table ignores row multiplication, so the
+        // static planner can broadcast a "small-looking" postings side
+        // that is really GBs (AQE cannot demote a statically planned
+        // broadcast); and without the hint preferSortMergeJoin adds a
+        // full sort of the largest intermediate. ~1s slower at sf0.1
+        // than planner-chosen broadcast, but safe at any scale.
         qtokBase.withColumn("__tok", col("__qtok"))
-          .join(postings, Seq("__tok"))
+          .join(postings.hint("shuffle_hash"), Seq("__tok"))
       } else {
         // delete-variant meet: qtok and tok within edit distance 1 share a
         // delete-≤1 variant; verify with true levenshtein
@@ -92,9 +103,13 @@ object MatchJoin {
           explode(array_distinct(concat(array(col("__tok")),
             expr("transform(sequence(1, length(__tok)), i -> concat(substring(__tok, 1, i-1), substring(__tok, i+1)))"))))
             .as("__v"))
+        // dedup on (lid, rid, tok): one doc token counts ONCE per left
+        // row even when several query tokens (or several delete
+        // variants) reach it — keeping __qtok here would double-count
+        // its IDF after the projection below
         qv.join(pv, Seq("__v"))
           .filter(levenshtein(col("__qtok"), col("__tok")) <= 1)
-          .select("__lid", "__qtok", "__tok", "__rid").distinct()
+          .select("__lid", "__tok", "__rid").distinct()
       }
 
     // ---- score: sum of IDF over matched tokens (each left token counts
@@ -106,7 +121,7 @@ object MatchJoin {
       .select(col("__lid"), col("__rid"), col("__tok"))
       .join(broadcast(idf), Seq("__tok"))
       .groupBy("__lid", "__rid")
-      .agg(sum("__idf").as("hit_score"), count("*").as("__overlap"))
+      .agg(sum("__idf").as("hit_score"))
 
     // ---- top-k + hit metadata. Both windows share the __lid partition
     // key so Catalyst plans ONE exchange + sort for the pair (a
@@ -123,9 +138,14 @@ object MatchJoin {
       .filter(col("hit_rank") <= k)
 
     // ---- attach right columns with hit_ prefix (unnest contract)
+    val reserved = Set("score", "rank", "max_score")
+    require(!right.columns.exists(reserved.contains),
+      s"right-side columns named ${reserved.mkString("/")} collide with " +
+        "computed hit_* metadata — rename them before the match join")
     val hitCols = right.columns.map(c => col(c).as(s"hit_$c"))
-    val withHits = topk.join(right.select(hitCols.toSeq: _*),
-      topk("__rid") === col(s"hit_$rightId"))
+    val rightHits = right.select(hitCols.toSeq: _*)
+    val withHits = topk.join(rightHits,
+      topk("__rid") === rightHits(s"hit_$rightId"))
 
     val joined = left.join(withHits, left(leftId) === withHits("__lid"),
       if (keepUnmatched) "left" else "inner")

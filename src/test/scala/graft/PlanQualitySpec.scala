@@ -37,6 +37,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q01_agg").contains("partial_sum"))
   }
 
+  test("match-join candidate join is pinned to shuffled-hash (no SMJ sort, no misestimated broadcast)") {
+    val p = plan("q29_match_topk")
+    assert(p.contains("ShuffledHashJoin"), s"candidate join strategy drifted:\n$p")
+  }
+
   test("match join maxDocFreq drops hot tokens but keeps rare-token recall") {
     val right = Seq(
       (1L, Seq("common", "rare1")),
