@@ -175,19 +175,34 @@ object Ops {
   // -------------------------------------------------------------- shuffle
   /** `shuffle`: independently permute every selected column
     * (anonymization, code/recipes.py:1717-1726). Deterministic given seed.
-    * Scale note: one extra shuffle per column — acceptable, the op is a
-    * one-off anonymization pass. */
-  def shuffleCols(df: DataFrame, select: Seq[String] = Nil, seed: Long = 42L): DataFrame = {
+    *
+    * Distributed permutation: every row draws a pseudo-random bucket,
+    * then values are permuted uniformly WITHIN each bucket — the windows
+    * partition by bucket, so no single-partition global sort ever forms
+    * and the op scales linearly in rows / `buckets`-way parallel. The
+    * row→bucket draw is uniform, so each value is equally likely to land
+    * on any row (exact multiset preservation, marginally uniform
+    * placement; the permutation is bucket-block-structured, which is what
+    * anonymization needs — linkage to the source row is broken). */
+  def shuffleCols(df: DataFrame, select: Seq[String] = Nil, seed: Long = 42L,
+                  buckets: Int = 256): DataFrame = {
     val cols = selectColumns(df, select)
-    val base = df.withColumn("__row", row_number().over(
-      Window.orderBy(monotonically_increasing_id())))
+    val mid = monotonically_increasing_id()
+    val base = df.withColumn("__b", pmod(xxhash64(mid, lit(seed)), lit(buckets.toLong)))
     cols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
-      val perm = df.select(col(c))
-        .withColumn("__rnd", rand(seed + i))
-        .withColumn("__row", row_number().over(Window.orderBy(col("__rnd"))))
-        .select(col("__row"), col(c).as(s"__perm_$c"))
-      d.drop(c).join(perm, "__row").withColumnRenamed(s"__perm_$c", c)
-    }.drop("__row")
+      // the receiving rows, numbered in one random per-bucket order …
+      val rowSide = d.withColumn("__rn", row_number().over(
+        Window.partitionBy("__b").orderBy(xxhash64(mid, lit(seed + 2 * i + 1)), mid)))
+      // … the column's values, numbered in an independent random order;
+      // per-bucket counts match on both sides so the join is exactly 1:1
+      val valSide = base.select(col("__b"), col(c).as(s"__perm_$c"),
+          xxhash64(mid, lit(seed + 2 * i + 2)).as("__o"), mid.as("__m"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__b").orderBy(col("__o"), col("__m"))))
+        .select(col("__b"), col("__rn"), col(s"__perm_$c"))
+      rowSide.drop(c).join(valSide, Seq("__b", "__rn"))
+        .withColumnRenamed(s"__perm_$c", c).drop("__rn")
+    }.drop("__b")
   }
 
   // ---------------------------------------------------------------- pause

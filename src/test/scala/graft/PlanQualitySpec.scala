@@ -37,6 +37,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q01_agg").contains("partial_sum"))
   }
 
+  test("q31 shuffle anonymization never plans a single-partition window") {
+    val p = plan("q31_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window crept back into shuffleCols:\n$p")
+  }
+
   test("match-join candidate join is pinned to shuffled-hash (no SMJ sort, no misestimated broadcast)") {
     val p = plan("q29_match_topk")
     assert(p.contains("ShuffledHashJoin"), s"candidate join strategy drifted:\n$p")
