@@ -94,7 +94,8 @@ object RecipeConf {
     case "parquet" => Sources.parquet(spark, ds.path)
     case "csv" => Sources.csv(spark, ds.path,
       sep = ds.options.getOrElse("sep", ";"),
-      header = ds.options.getOrElse("header", "true").toBoolean)
+      header = ds.options.getOrElse("header", "true").toBoolean,
+      skiprows = ds.options.getOrElse("skiprows", "0").toInt)
     case "jsonl" | "json" => Sources.jsonl(spark, ds.path)
     case "fwf" => Sources.fwf(spark, ds.path,
       widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),

@@ -23,6 +23,15 @@ class ModulesSpec extends SparkSpec {
     assert(rows(back.orderBy("id")) == Seq(Seq("1", "a"), Seq("2", "")))
   }
 
+  test("csv skiprows drops leading junk lines before the header (recipes.py:386-388)") {
+    val dir = tmpDir
+    Files.writeString(java.nio.file.Paths.get(s"$dir/skip.csv"),
+      "# exported 2026-01-01\n# by tool v3\nid;v\n1;a\n2;b\n")
+    val back = Sources.csv(spark, s"$dir/skip.csv", skiprows = 2)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(rows(back.orderBy("id")) == Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
   test("fwf sink/source round trip: left-justified pad to widths (recipes.py:77-108)") {
     val dir = s"$tmpDir/fwf"
     val df = Seq(("ab", "x"), ("c", "yz")).toDF("A", "B")
