@@ -15,22 +15,44 @@ import graft.conf.RecipeConf.ProjectConf
   *
   *   GET  /api/datasets                 — list datasets (api.py:542-576)
   *   POST /api/datasets/{name}?size=n   — sample rows (api.py:578-623)
+  *   GET  /api/recipes                  — list recipes (api.py:814-826)
   *   PUT  /api/recipes/{name}/run       — async job (api.py:1000-1015)
   *   PUT  /api/recipes/{name}/test      — one test chunk, JSON rows
   *                                        (api.py:975-999; default 30,
   *                                        conf/conf.yml:23)
   *   GET  /api/jobs                     — running/finished jobs
   *                                        (api.py:1040-1074)
+  *   GET  /api/conf                     — configured elements (api.py:288-311)
+  *   GET/PUT/DELETE /api/conf/{project} — project YAML CRUD; a PUT body is
+  *                                        parsed and its datasets/recipes
+  *                                        merged into the live conf
+  *                                        (api.py:371-530)
+  *
+  * Auth: the reference gates every route behind login_required with
+  * users/roles in a db (api.py:151-287, security.py). This engine keeps
+  * the same always-authenticated model via a single static bearer token:
+  * pass `apiKey=Some(k)` and every request must carry `Authorization:
+  * Bearer k` or `X-API-Key: k`, else 401. `apiKey=None` = open (dev
+  * mode, like the reference's `no_auth` deployments).
   *
   * Jobs are Futures over a Spark action (the reference forks OS
   * processes; Spark's scheduler replaces that, recipes.py:2489-2513).
   * Built on the JDK HttpServer — zero extra dependencies.
   */
-class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
+class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
+    apiKey: Option[String] = None) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val jobSeq = new AtomicLong(0)
   private val jobs = TrieMap.empty[Long, String] // id → status
+
+  // project name → (raw yaml, parsed conf); the live conf is the ctor
+  // conf overlaid with every stored project, last write wins
+  private val projects = TrieMap.empty[String, (String, ProjectConf)]
+  private def current: ProjectConf = projects.values.foldLeft(conf) {
+    case (acc, (_, p)) =>
+      ProjectConf(acc.datasets ++ p.datasets, acc.recipes ++ p.recipes)
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -50,21 +72,57 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  private def authorized(ex: HttpExchange): Boolean = apiKey.forall { k =>
+    val h = ex.getRequestHeaders
+    Option(h.getFirst("Authorization")).contains(s"Bearer $k") ||
+      Option(h.getFirst("X-API-Key")).contains(k)
+  }
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val params = query.split("&").filter(_.contains("="))
       .map { p => val Array(k, v) = p.split("=", 2); k -> v }.toMap
+    val cfg = current
+
+    if (!authorized(ex)) {
+      respond(ex, 401, """{"error": "unauthorized"}""")
+      return
+    }
 
     (method, path.split("/").drop(2).toList) match {
       case ("GET", List("datasets")) =>
-        respond(ex, 200, conf.datasets.keys.toSeq.sorted
+        respond(ex, 200, cfg.datasets.keys.toSeq.sorted
           .map(q).mkString("[", ",", "]"))
 
-      case ("POST", List("datasets", name)) if conf.datasets.contains(name) =>
+      case ("GET", List("recipes")) =>
+        respond(ex, 200, cfg.recipes.keys.toSeq.sorted
+          .map(q).mkString("[", ",", "]"))
+
+      case ("GET", List("conf")) =>
+        respond(ex, 200,
+          s"""{"projects": ${projects.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}, """ +
+            s""""datasets": ${cfg.datasets.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}, """ +
+            s""""recipes": ${cfg.recipes.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}}""")
+
+      case ("GET", List("conf", project)) if projects.contains(project) =>
+        respond(ex, 200, projects(project)._1, ctype = "application/yaml")
+
+      case ("PUT" | "POST", List("conf", project)) =>
+        val yaml = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val parsed = RecipeConf.load(yaml) // reject bad yaml before storing
+        projects(project) = (yaml, parsed)
+        respond(ex, 200, s"""{"project": ${q(project)}, """ +
+          s""""datasets": ${parsed.datasets.size}, "recipes": ${parsed.recipes.size}}""")
+
+      case ("DELETE", List("conf", project)) if projects.contains(project) =>
+        projects.remove(project)
+        respond(ex, 200, s"""{"deleted": ${q(project)}}""")
+
+      case ("POST", List("datasets", name)) if cfg.datasets.contains(name) =>
         val size = params.getOrElse("size", "500").toInt // connector.sample default
-        val df0 = RecipeConf.read(spark, conf.datasets(name))
+        val df0 = RecipeConf.read(spark, cfg.datasets(name))
         // random=true mirrors the reference's function_score random_score
         // sampling wrapper (api.py:596-599)
         val df = if (params.get("random").contains("true"))
@@ -77,9 +135,9 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
       // Sinks.indexed) — the ES _search analogue (api.py:750-781):
       // IDF-scored token query, top-k docs back as JSON
       case ("POST", List("datasets", name, "_search"))
-          if conf.datasets.get(name).exists(_.format == "index") =>
+          if cfg.datasets.get(name).exists(_.format == "index") =>
         import org.apache.spark.sql.functions._
-        val ds = conf.datasets(name)
+        val ds = cfg.datasets(name)
         val size = params.getOrElse("size", "10").toInt
         val toks = java.net.URLDecoder.decode(params.getOrElse("q", ""), "UTF-8")
           .split("[\\s+]+").filter(_.nonEmpty).toSeq
@@ -100,16 +158,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0) {
           respond(ex, 200, jsonRows(hits.orderBy(col("_score").desc, col("_id")), size))
         }
 
-      case ("PUT", List("recipes", name, "test")) if conf.recipes.contains(name) =>
+      case ("PUT", List("recipes", name, "test")) if cfg.recipes.contains(name) =>
         val n = params.getOrElse("size", "30").toInt // test_chunk_size default
-        val df = RecipeConf.run(spark, conf, name, testLimit = Some(n))
+        val df = RecipeConf.run(spark, cfg, name, testLimit = Some(n))
         respond(ex, 200, jsonRows(df, n))
 
-      case ("PUT", List("recipes", name, "run")) if conf.recipes.contains(name) =>
+      case ("PUT", List("recipes", name, "run")) if cfg.recipes.contains(name) =>
         val id = jobSeq.incrementAndGet()
         jobs(id) = "running"
         Future {
-          try { RecipeConf.run(spark, conf, name); jobs(id) = "done" }
+          try { RecipeConf.run(spark, cfg, name); jobs(id) = "done" }
           catch { case e: Throwable => jobs(id) = s"failed: ${e.getMessage}" }
         }
         respond(ex, 202, s"""{"job": $id, "recipe": ${q(name)}}""")

@@ -20,6 +20,13 @@ class ApiServerSpec extends SparkSpec {
     HttpRequest.newBuilder(URI.create(url))
       .method(method, HttpRequest.BodyPublishers.noBody()).build(),
     HttpResponse.BodyHandlers.ofString())
+  private def sendBody(method: String, url: String, body: String,
+      headers: Seq[(String, String)] = Nil) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .method(method, HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
 
   test("datasets, sample, test, run, jobs round trip over HTTP") {
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
@@ -59,6 +66,57 @@ class ApiServerSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/out").count() == 3)
 
       assert(get(s"$base/nope").statusCode() == 404)
+    } finally api.stop()
+  }
+
+  test("conf CRUD merges uploaded projects into the live conf") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p.csv"), "a;b\n1;x\n")
+    val api = new ApiServer(spark,
+      RecipeConf.load("datasets: {}\nrecipes: {}")).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      assert(get(s"$base/datasets").body() == "[]")
+      val yaml =
+        s"""datasets:
+           |  pdata: {path: $dir/p.csv, format: csv}
+           |recipes:
+           |  pclean:
+           |    input: pdata
+           |    steps:
+           |      - rename: {a: id}
+           |""".stripMargin
+      val up = sendBody("PUT", s"$base/conf/proj1", yaml)
+      assert(up.statusCode() == 200 && up.body().contains(""""recipes": 1"""))
+      // merged into the live conf: dataset + recipe now serve requests
+      assert(get(s"$base/datasets").body() == """["pdata"]""")
+      assert(get(s"$base/recipes").body() == """["pclean"]""")
+      assert(get(s"$base/conf").body().contains(""""projects": ["proj1"]"""))
+      assert(get(s"$base/conf/proj1").body() == yaml) // raw yaml back
+      val t = send("PUT", s"$base/recipes/pclean/test")
+      assert(t.statusCode() == 200 && t.body().contains(""""id":"1""""))
+      // bad yaml is rejected, conf untouched
+      assert(sendBody("PUT", s"$base/conf/bad", "recipes:\n  r1: {steps: 3}")
+        .statusCode() == 500)
+      assert(get(s"$base/conf").body().contains(""""projects": ["proj1"]"""))
+      // delete unmerges
+      assert(send("DELETE", s"$base/conf/proj1").statusCode() == 200)
+      assert(get(s"$base/datasets").body() == "[]")
+    } finally api.stop()
+  }
+
+  test("apiKey gates every route: 401 without the bearer token") {
+    val api = new ApiServer(spark,
+      RecipeConf.load("datasets: {}\nrecipes: {}"), apiKey = Some("s3cret")).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      assert(get(s"$base/datasets").statusCode() == 401)
+      assert(sendBody("GET", s"$base/datasets", "",
+        Seq("Authorization" -> "Bearer wrong")).statusCode() == 401)
+      val ok = sendBody("GET", s"$base/datasets", "",
+        Seq("Authorization" -> "Bearer s3cret"))
+      assert(ok.statusCode() == 200 && ok.body() == "[]")
+      assert(sendBody("GET", s"$base/jobs", "",
+        Seq("X-API-Key" -> "s3cret")).statusCode() == 200)
     } finally api.stop()
   }
 
