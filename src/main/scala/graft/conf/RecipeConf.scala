@@ -173,8 +173,19 @@ object RecipeConf {
       case "shuffle" => df => Ops.shuffleCols(df, sel())
       case "pause" => identity
       case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
-      case "eval" => df => anyMap(args).foldLeft(df) { case (d, (dst, e)) =>
-        d.withColumn(dst, expr(e.toString)) }
+      // optional `onError: string` switches to the reference's per-row
+      // policy: a failing expression writes "Ooops: <msg>" into the cell
+      // and the job continues (recipes.py:1644-1695)
+      case "eval" => df => {
+        val m0 = anyMap(args)
+        val errToCell = m0.get("onError").exists(_.toString == "string")
+        (m0 - "onError").foldLeft(df) { case (d, (dst, e)) =>
+          val c = expr(e.toString)
+          d.withColumn(dst,
+            if (errToCell) graft.functions.NativeExpressions.evalOrErrorString(c)
+            else c)
+        }
+      }
       case "groupby" => df => {
         val keys = strSeq(m.getOrElse("select", null))
         val aggs = strMap(m.getOrElse("agg", null)).toSeq

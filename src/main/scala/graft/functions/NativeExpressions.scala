@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for Damerau-Levenshtein distance — the
@@ -57,6 +58,33 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row error capture for recipe `eval` expressions — the Spark
+  * re-expression of the reference's safeeval "Ooops:" policy
+  * (code/recipes.py:1644-1695 + tools.py safeeval): a failing expression
+  * writes the error message INTO THE CELL instead of failing the task,
+  * and the job continues. The child must already be cast to string.
+  * CodegenFallback on purpose: a per-row try/catch cannot be spliced
+  * safely into whole-stage codegen (subexpression hoisting may move the
+  * child out of the guarded region) — this is a debug/robustness mode,
+  * not a hot path; the default eval stays fully codegen'd.
+  */
+case class TryErrorStringExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "try_error_string"
+
+  override def eval(input: InternalRow): Any =
+    try child.eval(input) catch {
+      case e: Exception => UTF8String.fromString(
+        "Ooops: " + String.valueOf(e.getMessage).takeWhile(_ != '\n'))
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NativeExpressions {
 
   /** Merge-scan intersection count over ArrayData (no boxing). Called
@@ -78,6 +106,12 @@ object NativeExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCountExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: evaluate `c` per row; on error the cell becomes
+    * "Ooops: <message>" (string result either way). */
+  def evalOrErrorString(c: Column): Column =
+    GraftBridge.column(TryErrorStringExpr(
+      GraftBridge.expression(c.cast("string"))))
 
   /** Column API over the native expression. */
   def damerauNative(a: Column, b: Column): Column =

@@ -46,6 +46,35 @@ class RecipeConfSpec extends SparkSpec {
     assert(!bob.getAs[Boolean]("is_adult"))
   }
 
+  test("eval onError=string writes Ooops error cells instead of failing (recipes.py:1644-1695)") {
+    import spark.implicits._
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ev.csv"),
+      "v\n12\nx\n7\n")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  ev: {path: $dir/ev.csv, format: csv, options: {sep: ","}}
+         |recipes:
+         |  r:
+         |    input: ev
+         |    steps:
+         |      - eval:
+         |          onError: string
+         |          doubled: "cast(v as int) * 2"
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf, "r").orderBy("v")
+    val vals = out.select("doubled").as[String].collect().toSeq.sorted
+    assert(vals.count(_.startsWith("Ooops:")) == 1) // the 'x' row
+    assert(vals.contains("24") && vals.contains("14"))
+    // default policy: same recipe without onError fails the job (ANSI)
+    val strict = RecipeConf.load(
+      s"""datasets:
+         |  ev: {path: $dir/ev.csv, format: csv, options: {sep: ","}}
+         |recipes:
+         |  r: {input: ev, steps: [{eval: {doubled: "cast(v as int) * 2"}}]}
+         |""".stripMargin)
+    intercept[Exception](RecipeConf.run(spark, strict, "r").collect())
+  }
+
   test("sub-recipe steps compose; join step enriches from another dataset") {
     Files.writeString(java.nio.file.Paths.get(s"$dir/cities.csv"),
       "city;dep\nparis;75\nlyon;69\n")
