@@ -95,6 +95,31 @@ object EventStream {
     out.toDF()
   }
 
+  /** Streaming exact dedup with watermark-bounded state: the streaming
+    * analogue of `Dedup.exactDedup` for continuous ingestion (a
+    * training-data pipeline dedups at ingest, then again in batch).
+    * `dropDuplicatesWithinWatermark` keeps per-key state only for the
+    * watermark horizon, so state size is bounded by arrival rate ×
+    * allowed lateness — it never grows with total stream length. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream → keyed-upsert parquet sink via foreachBatch: each
+    * micro-batch merges into the target by key (last write wins), the
+    * streaming face of the ES-style `update` output mode
+    * (Sinks.upsert). Returns the started query; caller awaits/stops. */
+  def streamToUpsert(stream: DataFrame, path: String, idCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsert(batch, path, idCol)
+      }
+      .start()
+
   /** Run a streaming plan over a bounded parquet dir and collect the
     * result synchronously via the memory sink (local smoke-test path).
     * `complete` mode emits final aggregates for bounded input; `append`

@@ -132,6 +132,40 @@ class ModulesSpec extends SparkSpec {
     assert(result.columns.contains("event_type"))
   }
 
+  test("streaming dedup drops duplicate keys with watermark-bounded state") {
+    val dir = s"$tmpDir/sdedup"
+    val ts = (min: Long) => new java.sql.Timestamp(min * 60000L)
+    Seq((1L, ts(0), 1L, "click", 1.0), (1L, ts(1), 1L, "click", 1.0),
+        (2L, ts(2), 2L, "view", 2.0), (1L, ts(3), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(dir)
+    val out = EventStream.runOnce(spark, dir,
+      df => EventStream.dedupWithinWatermark(df, Seq("event_id"), watermark = "10 minutes"),
+      "sdedup_test")
+    assert(col1[Long](out.orderBy("event_id"), "event_id") == Seq(1L, 2L))
+  }
+
+  test("streaming upsert sink merges each micro-batch by key (last write wins)") {
+    val dir = s"$tmpDir/supsert"
+    new java.io.File(s"$dir/in").mkdirs()
+    val ts = (min: Long) => new java.sql.Timestamp(min * 60000L)
+    Seq((1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 2L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$dir/in/*")
+    val q = EventStream.streamToUpsert(stream, s"$dir/out", "event_id", s"$dir/ckpt")
+    q.processAllAvailable()
+    Seq((2L, ts(5), 2L, "view", 9.0), (3L, ts(6), 3L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/in/b2")
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/out").orderBy("event_id").collect()
+    assert(back.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(back(1).getAs[Double]("value") == 9.0) // batch 2 overwrote key 2
+  }
+
   test("watermark finalizes windows in append mode as event time advances") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = s"$tmpDir/wm"
