@@ -48,6 +48,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"candidate join strategy drifted:\n$p")
   }
 
+  test("q25 ANN broadcasts the query side; top-k prunes via WindowGroupLimit") {
+    val p = plan("q25_ann_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"queries must broadcast and the corpus stream:\n$p")
+  }
+
+  test("q24 jaccard keeps the native sorted-intersect and probe repartition") {
+    val p = plan("q24_jaccard_pairs")
+    assert(p.contains("sorted_intersect_count"), p)
+    assert(p.contains("RoundRobinPartitioning"),
+      s"probe side must repartition off the single-file scan:\n$p")
+  }
+
   test("match join maxDocFreq drops hot tokens but keeps rare-token recall") {
     val right = Seq(
       (1L, Seq("common", "rare1")),
