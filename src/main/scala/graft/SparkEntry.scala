@@ -412,6 +412,21 @@ object SparkEntry {
           col("hit_rank"), col("matchid_hit_matches_unfiltered"), col("hit_max_score"))
     }),
 
+    // as-of join: each click picks up the latest prior (or same-instant)
+    // purchase value of its user — Joins.asofJoin, the linear
+    // single-shuffle union+window formulation (no per-key range blowup)
+    "q44_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(max(col("value").cast("decimal(18,2)")).as("p_value"))
+      Joins.asofJoin(clicks, purchases, key = "user_id", ts = "ts_us",
+          rightCols = Seq("p_value"))
+        .withColumn("asof_p_value", col("asof_p_value").cast("double"))
+    }),
+
     // exact quantiles (percentile with linear interpolation — same
     // semantics as DuckDB quantile_cont)
     "q42_quantiles" -> ((s, dir) => {
@@ -847,6 +862,14 @@ object SparkEntry {
           |SELECT lid AS p_partkey, rid AS hit_p_partkey, hit_score,
           | CAST(hit_rank AS INTEGER) AS hit_rank, matchid_hit_matches_unfiltered, hit_max_score
           |FROM ranked WHERE hit_rank <= 5""".stripMargin),
+
+    "q44_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, MAX(CAST(value AS DECIMAL(18,2))) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, CAST(p.p_value AS DOUBLE) AS asof_p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
 
     "q42_quantiles" ->
       """SELECT l_returnflag,

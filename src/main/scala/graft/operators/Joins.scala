@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Strict and fuzzy joins — internal_join flavors 1 and 2
   * (/root/reference/code/recipes.py:2120-2264). The reference caches the
@@ -81,5 +82,60 @@ object Joins {
       (s"${lc}_match", rc)
     }
     strictJoin(cur, right, matchKeys.toMap ++ strict, select, how, broadcastRight)
+  }
+
+  /** As-of join: attach to each left row the LATEST right row with
+    * `right.ts <= left.ts` for the same key (event-time lookup — "the
+    * most recent quote/purchase/state before this event"). Spark has no
+    * built-in as-of join; the classic range-join formulation
+    * (`l.key = r.key AND r.ts <= l.ts` + a window to keep the max) is
+    * quadratic per key. This is the linear formulation: tag both sides,
+    * union, ONE shuffle on the key, ONE sort on (ts, side), and a
+    * running `last(_, ignoreNulls)` carries each right value forward to
+    * the left rows that follow it — O(n log n) per partition, no
+    * per-key blowup, skew bounded by the hottest key exactly like any
+    * keyed window.
+    *
+    * Right rows at the same key+ts as a left row DO match (inclusive).
+    * If the right side has several rows at the same (key, ts) the last
+    * by `tieBreak` wins — pre-aggregate the right side when that
+    * ambiguity matters. `how` = "left" (unmatched left rows keep nulls)
+    * or "inner" (drop them).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Seq[String],
+      how: String = "left",
+      prefix: String = "asof_",
+      tieBreak: Option[String] = None): DataFrame = {
+    require(how == "left" || how == "inner", s"asofJoin: unsupported how=$how")
+    val leftType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l = left.select(
+      Seq(col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast("long").as("__tb")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(leftType).as("__l"),
+        tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort BEFORE left rows at equal ts → inclusive match
+    // NOTE: a right row whose carried value is NULL is skipped by the
+    // ignoreNulls carry (an older non-null value shows through) — feed a
+    // non-null right side (pre-aggregate) when that distinction matters.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__matched_ts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumns(rightCols.map(c => s"$prefix$c" ->
+        last(when(col("__side") === 0, col(s"__r_$c")), ignoreNulls = true).over(w)).toMap)
+    val leftRows = carried.filter(col("__side") === 1)
+    val kept = if (how == "inner") leftRows.filter(col("__matched_ts").isNotNull) else leftRows
+    kept.select(col("__l.*") +: rightCols.map(c => col(s"$prefix$c")): _*)
   }
 }

@@ -95,4 +95,26 @@ class GroupByJoinSpec extends SparkSpec {
     assert(m("1") == ("marseille", "13"))
     assert(m("2") == (null, null))
   }
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, 5L), (1L, 20L, 6L), (2L, 15L, 7L), (3L, 5L, 8L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 25L, "c"), (2L, 1L, "d"))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, key = "k", ts = "t", rightCols = Seq("v"))
+    val m = out.collect().map(r => r.getAs[Long]("lid") -> r.getAs[String]("asof_v")).toMap
+    assert(m(5L) == "a") // same-instant right row matches (inclusive)
+    assert(m(6L) == "b") // latest at-or-before 20 is ts=15
+    assert(m(7L) == "d")
+    assert(m(8L) == null) // key 3 has no right rows → left join keeps it
+    assert(out.columns.toSeq == Seq("k", "t", "lid", "asof_v"))
+    // inner drops the unmatched left row
+    val inner = Joins.asofJoin(left, right, "k", "t", Seq("v"), how = "inner")
+    assert(inner.count() == 3)
+    // same-(key,ts) right duplicates: highest tieBreak wins
+    val dup = Seq((1L, 10L, "x", 1L), (1L, 10L, "y", 2L)).toDF("k", "t", "v", "seq")
+    val tb = Joins.asofJoin(left.filter($"lid" === 5L), dup, "k", "t", Seq("v"),
+      tieBreak = Some("seq"))
+    assert(tb.collect().head.getAs[String]("asof_v") == "y")
+  }
 }
