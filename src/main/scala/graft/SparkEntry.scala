@@ -427,6 +427,23 @@ object SparkEntry {
         .withColumn("asof_p_value", col("asof_p_value").cast("double"))
     }),
 
+    // range join: clicks landing in the hour after each purchase —
+    // Joins.pointInIntervalJoin (bin-bucketed equi-join; a raw BETWEEN
+    // join plans as a per-key nested loop)
+    "q45_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts_us")
+      val hourUs = 3600L * 1000000L
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_start"), (col("ts_us") + hourUs).as("p_end"))
+      Joins.pointInIntervalJoin(clicks, purchases, key = "user_id",
+          ts = "ts_us", start = "p_start", end = "p_end", binWidth = hourUs)
+        .groupBy(col("ivl_p_id").as("p_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
     // exact quantiles (percentile with linear interpolation — same
     // semantics as DuckDB quantile_cont)
     "q42_quantiles" -> ((s, dir) => {
@@ -870,6 +887,15 @@ object SparkEntry {
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.event_id, c.user_id, c.ts_us, CAST(p.p_value AS DOUBLE) AS asof_p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
+
+    "q45_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.p_id, COUNT(*) AS n_clicks
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts_us BETWEEN p.ts_us AND p.ts_us + 3600000000
+        |GROUP BY 1""".stripMargin,
 
     "q42_quantiles" ->
       """SELECT l_returnflag,

@@ -138,4 +138,39 @@ object Joins {
     val kept = if (how == "inner") leftRows.filter(col("__matched_ts").isNotNull) else leftRows
     kept.select(col("__l.*") +: rightCols.map(c => col(s"$prefix$c")): _*)
   }
+
+  /** Point-in-interval range join: pair each point row with every
+    * interval row of the same key whose `[start, end]` contains the
+    * point's `ts` (inclusive both ends). Spark plans a raw
+    * `BETWEEN`-join as a nested loop — quadratic per key. Here both
+    * sides discretize time into `binWidth`-sized bins: a point lands in
+    * exactly ONE bin, an interval explodes into the bins it covers, and
+    * the candidates meet on an equi-join over (key, bin) — one shuffle,
+    * and no dedup is needed afterwards because the point's single bin
+    * makes every (point, interval) pair meet at most once. The true
+    * containment predicate filters bin-edge false positives.
+    *
+    * Pick `binWidth` near the TYPICAL interval length: replication of an
+    * interval = its length / binWidth + 1, work per bin = points×intervals
+    * sharing it. Timestamps must be non-negative (epoch values are).
+    */
+  def pointInIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      ts: String,
+      start: String,
+      end: String,
+      binWidth: Long,
+      prefix: String = "ivl_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", expr(s"$ts DIV $binWidth"))
+    val ivl = intervals
+      .withColumn("__bin", explode(expr(s"sequence($start DIV $binWidth, $end DIV $binWidth)")))
+      .select(Seq(col(key).as("__ik"), col("__bin")) ++
+        intervals.columns.map(c => col(c).as(s"$prefix$c")): _*)
+    p.join(ivl, p(key) === ivl("__ik") && p("__bin") === ivl("__bin"))
+      .filter(col(ts) >= col(s"$prefix$start") && col(ts) <= col(s"$prefix$end"))
+      .drop("__bin", "__ik")
+  }
 }

@@ -117,4 +117,18 @@ class GroupByJoinSpec extends SparkSpec {
       tieBreak = Some("seq"))
     assert(tb.collect().head.getAs[String]("asof_v") == "y")
   }
+
+  test("pointInIntervalJoin matches each point-in-range pair exactly once") {
+    val pts = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 25L, "p25"),
+        (2L, 10L, "q10")).toDF("k", "t", "pid")
+    // interval spanning several bins (binWidth=10 → bins 0,1,2), an
+    // exact-end point, and a key with no intervals
+    val ivls = Seq((1L, 0L, 25L, "A"), (1L, 11L, 19L, "B")).toDF("k", "s", "e", "iid")
+    val out = Joins.pointInIntervalJoin(pts, ivls, key = "k", ts = "t",
+      start = "s", end = "e", binWidth = 10L)
+    val pairs = out.collect().map(r =>
+      (r.getAs[String]("pid"), r.getAs[String]("ivl_iid"))).toSet
+    assert(pairs == Set(("p0", "A"), ("p10", "A"), ("p25", "A"))) // p25 = inclusive end
+    assert(out.count() == 3) // multi-bin interval A produced no duplicate pairs
+  }
 }
