@@ -207,6 +207,21 @@ object RecipeConf {
             maxDist = m.getOrElse("fuzzy_distance", "1").toString.toInt)
         else Joins.strictJoin(df, right, strict, select)
       }
+      case "asof_join" => df => {
+        val right = read(spark, conf.datasets(m("dataset").toString))
+        Joins.asofJoin(df, right,
+          key = m("key").toString, ts = m("ts").toString,
+          rightCols = strSeq(m("select")),
+          how = m.getOrElse("how", "left").toString,
+          tieBreak = m.get("tie_break").map(_.toString))
+      }
+      case "range_join" => df => {
+        val right = read(spark, conf.datasets(m("dataset").toString))
+        Joins.pointInIntervalJoin(df, right,
+          key = m("key").toString, ts = m("ts").toString,
+          start = m("start").toString, end = m("end").toString,
+          binWidth = m("bin_width").toString.toLong)
+      }
       case "match" => df => {
         val right = read(spark, conf.datasets(m("dataset").toString))
         MatchJoin.topK(df, right,

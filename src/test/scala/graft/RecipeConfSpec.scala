@@ -129,6 +129,39 @@ class RecipeConfSpec extends SparkSpec {
     assert(rows(out.orderBy("grp")) == Seq(Seq("g1", 30L), Seq("g2", 5L)))
   }
 
+  test("asof_join and range_join recipe steps run from YAML") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/pts.csv"), "k;t\n1;10\n1;20\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/quotes.csv"), "k;t;px\n1;5;99\n1;15;101\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ivls.csv"), "k;s;e;tag\n1;8;12;in\n")
+    // csv reads all-string: write typed parquet for the right sides
+    import org.apache.spark.sql.functions.col
+    val qDir = s"$dir/quotes_t"; val iDir = s"$dir/ivls_t"
+    graft.sources.Sources.csv(spark, s"$dir/quotes.csv")
+      .select(col("k").cast("long"), col("t").cast("long"), col("px").cast("long"))
+      .write.mode("overwrite").parquet(qDir)
+    graft.sources.Sources.csv(spark, s"$dir/ivls.csv")
+      .select(col("k").cast("long"), col("s").cast("long"),
+        col("e").cast("long"), col("tag")).write.mode("overwrite").parquet(iDir)
+    val conf2 = RecipeConf.load(
+      s"""datasets:
+         |  pts: {path: $dir/pts.csv, format: csv}
+         |  quotes_t: {path: $qDir, format: parquet}
+         |  ivls_t: {path: $iDir, format: parquet}
+         |recipes:
+         |  enriched:
+         |    input: pts
+         |    steps:
+         |      - to_integer: [k, t]
+         |      - asof_join: {dataset: quotes_t, key: k, ts: t, select: [px]}
+         |      - range_join: {dataset: ivls_t, key: k, ts: t, start: s, end: e, bin_width: 10}
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf2, "enriched").orderBy("t").collect()
+    // t=10 is inside [8,12]; t=20 falls outside → dropped by the range join
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("asof_px") == 99L) // latest quote at-or-before 10
+    assert(out(0).getAs[String]("ivl_tag") == "in")
+  }
+
   test("upsert output mode merges by key, new rows win") {
     import graft.sources.Sinks
     import spark.implicits._
