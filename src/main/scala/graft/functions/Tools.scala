@@ -65,6 +65,15 @@ object Tools {
         transform(sequence(lit(0), size(tokens) - k),
           i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
 
+  /** Ordered literal substring substitution — tools.replace_dict
+    * (tools.py:90-98) minus the deep dict recursion (array cells go
+    * through `transform` at the call site). Literal, not regex: keys are
+    * quoted so "a.b" only matches "a.b". Chained `replace` stays fully
+    * codegen'd. */
+  def replaceDict(c: Column, dict: Seq[(String, String)]): Column =
+    dict.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from), to) }
+
   // ------------------------------------------------------------- hashing
   def sha1Hex(c: Column): Column = sha1(c.cast("binary"))
   def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)

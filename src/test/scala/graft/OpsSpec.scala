@@ -65,6 +65,14 @@ class OpsSpec extends SparkSpec {
     assert(col1[String](out, "A") == Seq("abcDNUM"))
   }
 
+  test("replaceDict substitutes literally, not as regex (tools.py:90-98)") {
+    val df = Seq("a.b c.d a-b").toDF("A")
+    val out = df.select(graft.functions.Tools.replaceDict(col("A"),
+      Seq("a.b" -> "X", "c.d" -> "Y")).as("A"))
+    // "a-b" untouched: the dot is quoted, so "a.b" is literal
+    assert(col1[String](out, "A") == Seq("X Y a-b"))
+  }
+
   test("replace maps over array columns") {
     val df = Seq(Seq("a1", "b2")).toDF("A")
     val out = Ops.replace(df, Seq("A"), Seq("[0-9]" -> ""))
