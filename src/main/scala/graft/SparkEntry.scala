@@ -452,7 +452,10 @@ object SparkEntry {
         .agg(
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("price_quartiles"))
+          // scalar quartile columns (not one array column): the driver's
+          // oracle compare hashes cell values and cannot hash array cells
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
     }),
 
     // running total per customer (rowsBetween window frame)
@@ -901,7 +904,8 @@ object SparkEntry {
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS median_qty,
         | quantile_cont(l_quantity, 0.9) AS p90_qty,
-        | quantile_cont(l_extendedprice, [0.25, 0.75]) AS price_quartiles
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q41_running_total" ->

@@ -72,10 +72,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  // constant-time compare: plain String equality short-circuits on the
+  // first differing byte and leaks key-prefix length via timing
+  private def tokenEq(expected: String, presented: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      expected.getBytes("UTF-8"), presented.getBytes("UTF-8"))
+
   private def authorized(ex: HttpExchange): Boolean = apiKey.forall { k =>
     val h = ex.getRequestHeaders
-    Option(h.getFirst("Authorization")).contains(s"Bearer $k") ||
-      Option(h.getFirst("X-API-Key")).contains(k)
+    Option(h.getFirst("Authorization")).exists(v => tokenEq(s"Bearer $k", v)) ||
+      Option(h.getFirst("X-API-Key")).exists(v => tokenEq(k, v))
   }
 
   private def handle(ex: HttpExchange): Unit = try {

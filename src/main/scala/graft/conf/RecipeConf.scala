@@ -41,7 +41,7 @@ object RecipeConf {
       .asScala.toMap
 
     def asMap(a: Any): Map[String, Any] = a match {
-      case m: java.util.Map[_, _] => m.asScala.toMap.map { case (k, v) => k.toString -> v }
+      case m: java.util.Map[_, _] => orderedMap(m)
       case null => Map.empty
       case other => sys.error(s"expected mapping, got $other")
     }
@@ -120,8 +120,18 @@ object RecipeConf {
     case null => Nil
     case s => Seq(s.toString)
   }
+  /** YAML mappings arrive as LinkedHashMap; an unordered scala Map would
+    * scramble entries past 4 keys, while the reference processes dict
+    * entries in INSERTION order — order matters for eval chains where a
+    * later expression reads a column a previous entry just wrote, and for
+    * ordered replace rules. ListMap preserves it. */
+  private[conf] def orderedMap(m: java.util.Map[_, _]): Map[String, Any] =
+    m.asScala.foldLeft(scala.collection.immutable.ListMap.empty[String, Any]) {
+      case (acc, (k, v)) => acc + (k.toString -> v)
+    }
+
   private def anyMap(a: Any): Map[String, Any] = a match {
-    case m: java.util.Map[_, _] => m.asScala.toMap.map { case (k, v) => k.toString -> v }
+    case m: java.util.Map[_, _] => orderedMap(m)
     case null => Map.empty
     case other => sys.error(s"expected mapping args, got $other")
   }

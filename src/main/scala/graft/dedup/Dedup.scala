@@ -227,12 +227,13 @@ object Dedup {
       sort_array(array_distinct(transform(
         Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
         .as("grams"))
-    // blocks are small by contract; broadcasting the right side keeps the
-    // probe fully parallel — but the probe inherits the scan's partition
-    // count (a single small file = one task), so spread it first
-    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = g.repartition(parallelism).alias("a")
-    val b = broadcast(g).alias("b")
+    // shuffle equi-join on the block key: both sides hash-partition on
+    // `block`, so each task sees one slice of blocks and pairs within
+    // them — parallelism comes from the shuffle, no broadcast of the
+    // corpus (which would cap the operator at the broadcast limit at
+    // scale). Blocks are small by contract; AQE splits skewed ones.
+    val a = g.alias("a")
+    val b = g.hint("shuffle_hash").alias("b")
     // length-ratio prefilter: J(A,B) ≤ min|A|,|B| / max|A|,|B| — pairs
     // failing it cannot reach the threshold, so skip their intersect
     val sizeGuard =

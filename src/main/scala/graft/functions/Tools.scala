@@ -65,14 +65,16 @@ object Tools {
         transform(sequence(lit(0), size(tokens) - k),
           i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
 
-  /** Ordered literal substring substitution — tools.replace_dict
-    * (tools.py:90-98) minus the deep dict recursion (array cells go
-    * through `transform` at the call site). Literal, not regex: keys are
-    * quoted so "a.b" only matches "a.b". Chained `replace` stays fully
-    * codegen'd. */
+  /** Literal full-value substitution — tools.replace_dict (tools.py:90-98):
+    * a cell is replaced only when it EQUALS a dict key (dict lookup in the
+    * reference, so exact match, not substring); first matching key wins,
+    * anything else passes through unchanged. Deep list/dict recursion is
+    * handled by `transform` at the call site. Pure when-chain — codegen'd,
+    * and no regex machinery so replacement values containing `$`/`\` are
+    * inert. */
   def replaceDict(c: Column, dict: Seq[(String, String)]): Column =
-    dict.foldLeft(c) { case (acc, (from, to)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(from), to) }
+    dict.foldRight(c) { case ((from, to), acc) =>
+      when(c === lit(from), lit(to)).otherwise(acc) }
 
   // ------------------------------------------------------------- hashing
   def sha1Hex(c: Column): Column = sha1(c.cast("binary"))

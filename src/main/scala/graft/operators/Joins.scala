@@ -123,20 +123,24 @@ object Joins {
         lit(null).cast(leftType).as("__l"),
         tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
         rightCols.map(c => col(c).as(s"__r_$c")): _*)
-    // right rows sort BEFORE left rows at equal ts → inclusive match
-    // NOTE: a right row whose carried value is NULL is skipped by the
-    // ignoreNulls carry (an older non-null value shows through) — feed a
-    // non-null right side (pre-aggregate) when that distinction matters.
+    // right rows sort BEFORE left rows at equal ts → inclusive match.
+    // The carry is ONE struct of (ts, right values): the struct itself is
+    // non-null exactly when a right row has been seen, so a right row
+    // whose VALUE is legitimately NULL is still the one carried (it does
+    // not fall through to an older non-null row) — and one struct carry
+    // means one window expression instead of |rightCols|+1.
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rStruct = struct(col("__ts").as("__mts") +:
+      rightCols.map(c => col(s"__r_$c").as(s"__r_$c")): _*)
     val carried = l.unionByName(r)
-      .withColumn("__matched_ts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
-      .withColumns(rightCols.map(c => s"$prefix$c" ->
-        last(when(col("__side") === 0, col(s"__r_$c")), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__carry",
+        last(when(col("__side") === 0, rStruct), ignoreNulls = true).over(w))
     val leftRows = carried.filter(col("__side") === 1)
-    val kept = if (how == "inner") leftRows.filter(col("__matched_ts").isNotNull) else leftRows
-    kept.select(col("__l.*") +: rightCols.map(c => col(s"$prefix$c")): _*)
+    val kept = if (how == "inner") leftRows.filter(col("__carry").isNotNull) else leftRows
+    kept.select(col("__l.*") +:
+      rightCols.map(c => col(s"__carry.__r_$c").as(s"$prefix$c")): _*)
   }
 
   /** Point-in-interval range join: pair each point row with every

@@ -45,7 +45,11 @@ object MatchQuery {
   def run(left: DataFrame, right: DataFrame, spec: Spec,
       leftId: String, rightId: String): DataFrame = {
     require(spec.clauses.nonEmpty, "at least one clause")
-    val nDocs = right.select(col(rightId)).distinct().count()
+    // Corpus size rides the plan as a broadcast one-row aggregate (same
+    // pattern as MatchJoin): no eager count() job — and no extra full
+    // corpus scan — before the query's own action runs.
+    val nDocs = broadcast(right.agg(
+      countDistinct(col(rightId)).cast("double").as("__n")))
 
     // per-clause candidate scores (lid, rid, clauseIdx, score)
     val perClause = spec.clauses.zipWithIndex.map { case (cl, idx) =>
@@ -55,8 +59,9 @@ object MatchQuery {
       val postings = right.select(col(rightId).as("__rid"),
         explode(rTokens).as("__tok"))
       val idf = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+        .crossJoin(nDocs)
         .withColumn("__w",
-          floor((log((lit(nDocs.toDouble) + 1) / (col("__df") + 1)) + 1) * 10000 * cl.boost)
+          floor((log((col("__n") + 1) / (col("__df") + 1)) + 1) * 10000 * cl.boost)
             .cast("long"))
         .select("__tok", "__w")
       val qtok = left.select(col(leftId).as("__lid"),

@@ -187,22 +187,31 @@ object Ops {
   def shuffleCols(df: DataFrame, select: Seq[String] = Nil, seed: Long = 42L,
                   buckets: Int = 256): DataFrame = {
     val cols = selectColumns(df, select)
-    val mid = monotonically_increasing_id()
-    val base = df.withColumn("__b", pmod(xxhash64(mid, lit(seed)), lit(buckets.toLong)))
+    // The id and bucket are MATERIALIZED once (localCheckpoint truncates
+    // lineage): both join sides below read the same concrete rows, so the
+    // per-bucket counts provably match. Without this,
+    // monotonically_increasing_id would be re-evaluated independently in
+    // the two plan subtrees, and any recomputation divergence (AQE
+    // replan, task retry) silently drops/duplicates rows in the 1:1 join.
+    val base = df
+      .withColumn("__id", monotonically_increasing_id())
+      .withColumn("__b", pmod(xxhash64(col("__id"), lit(seed)), lit(buckets.toLong)))
+      .localCheckpoint()
+    val id = col("__id")
     cols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
       // the receiving rows, numbered in one random per-bucket order …
       val rowSide = d.withColumn("__rn", row_number().over(
-        Window.partitionBy("__b").orderBy(xxhash64(mid, lit(seed + 2 * i + 1)), mid)))
+        Window.partitionBy("__b").orderBy(xxhash64(id, lit(seed + 2 * i + 1)), id)))
       // … the column's values, numbered in an independent random order;
       // per-bucket counts match on both sides so the join is exactly 1:1
       val valSide = base.select(col("__b"), col(c).as(s"__perm_$c"),
-          xxhash64(mid, lit(seed + 2 * i + 2)).as("__o"), mid.as("__m"))
+          xxhash64(id, lit(seed + 2 * i + 2)).as("__o"), id.as("__m"))
         .withColumn("__rn", row_number().over(
           Window.partitionBy("__b").orderBy(col("__o"), col("__m"))))
         .select(col("__b"), col("__rn"), col(s"__perm_$c"))
       rowSide.drop(c).join(valSide, Seq("__b", "__rn"))
         .withColumnRenamed(s"__perm_$c", c).drop("__rn")
-    }.drop("__b")
+    }.drop("__b", "__id")
   }
 
   // ---------------------------------------------------------------- pause

@@ -118,6 +118,23 @@ class GroupByJoinSpec extends SparkSpec {
     assert(tb.collect().head.getAs[String]("asof_v") == "y")
   }
 
+  test("asofJoin carries a legitimately-NULL right value (no fall-through)") {
+    // the right row at ts=15 has v = NULL; a left row at ts=20 must get
+    // that NULL, NOT the older non-null "a" showing through — the carry
+    // is keyed on the right-row struct, which is non-null whenever a
+    // right row exists
+    val left = Seq((1L, 20L, 1L), (1L, 12L, 2L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, Some("a")), (1L, 15L, None))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, key = "k", ts = "t", rightCols = Seq("v"))
+    val m = out.collect().map(r => r.getAs[Long]("lid") -> r.getAs[String]("asof_v")).toMap
+    assert(m(1L) == null) // latest right row (ts=15) carries its NULL value
+    assert(m(2L) == "a")  // ts=12 still sees the ts=10 row
+    // and inner-how keeps the NULL-valued match (a match DID happen)
+    val inner = Joins.asofJoin(left, right, "k", "t", Seq("v"), how = "inner")
+    assert(inner.count() == 2)
+  }
+
   test("pointInIntervalJoin matches each point-in-range pair exactly once") {
     val pts = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 25L, "p25"),
         (2L, 10L, "q10")).toDF("k", "t", "pid")

@@ -65,12 +65,14 @@ class OpsSpec extends SparkSpec {
     assert(col1[String](out, "A") == Seq("abcDNUM"))
   }
 
-  test("replaceDict substitutes literally, not as regex (tools.py:90-98)") {
-    val df = Seq("a.b c.d a-b").toDF("A")
+  test("replaceDict replaces exact full-value matches only (tools.py:90-98)") {
+    // reference: dict LOOKUP of the whole cell — "a.b c.d" is not a key,
+    // so it passes through even though it CONTAINS keys; "$2\x" shows
+    // replacement values with regex metacharacters are inert
+    val df = Seq("a.b", "a.b c.d", "axb").toDF("A")
     val out = df.select(graft.functions.Tools.replaceDict(col("A"),
-      Seq("a.b" -> "X", "c.d" -> "Y")).as("A"))
-    // "a-b" untouched: the dot is quoted, so "a.b" is literal
-    assert(col1[String](out, "A") == Seq("X Y a-b"))
+      Seq("a.b" -> "$2\\x", "axb" -> "Y")).as("A"))
+    assert(col1[String](out, "A") == Seq("$2\\x", "a.b c.d", "Y"))
   }
 
   test("replace maps over array columns") {

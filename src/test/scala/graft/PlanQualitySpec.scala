@@ -55,11 +55,34 @@ class PlanQualitySpec extends SparkSpec {
       s"queries must broadcast and the corpus stream:\n$p")
   }
 
-  test("q24 jaccard keeps the native sorted-intersect and probe repartition") {
+  test("q24 jaccard: native sorted-intersect, shuffle join on block, NO corpus broadcast") {
     val p = plan("q24_jaccard_pairs")
     assert(p.contains("sorted_intersect_count"), p)
-    assert(p.contains("RoundRobinPartitioning"),
-      s"probe side must repartition off the single-file scan:\n$p")
+    // the corpus must never ride a BroadcastExchange — at scale it
+    // exceeds any broadcast limit; parallelism comes from the block
+    // shuffle instead (both sides hash-partition on the block key)
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus side must not be broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected block-keyed shuffle join:\n$p")
+  }
+
+  test("MatchQuery builds its plan lazily — no job before the action") {
+    // regression guard: the corpus count used to run distinct().count()
+    // at plan-build time (an extra full corpus scan + a blocking action);
+    // it now rides the plan as a broadcast one-row aggregate
+    import graft.operators.MatchQuery
+    val left = Seq((1L, Seq("ab", "cd"))).toDF("lid", "toks")
+    val right = Seq((10L, Seq("ab")), (11L, Seq("cd"))).toDF("rid", "toks")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = MatchQuery.run(left, right,
+      MatchQuery.Spec(Seq(MatchQuery.Clause("toks", "toks"))), "lid", "rid")
+    df.queryExecution.executedPlan // force full planning
+    Thread.sleep(1000) // let the async status listener drain
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"plan construction ran ${after - before} eager job(s)")
+    assert(df.count() == 2) // still correct when the action DOES run
   }
 
   test("match join maxDocFreq drops hot tokens but keeps rare-token recall") {
