@@ -158,10 +158,13 @@ object RecipeConf {
         m.get("where").map(_.toString))
       case "delete" => df => Ops.delete(df, sel())
       case "fillna" => df => Ops.fillna(df, anyMap(args))
+      // replacements in reference YAML are Python syntax (\1 group refs)
       case "replace" => df => Ops.replace(df, sel(null),
         (m.getOrElse("regex", null) match {
           case l: java.util.List[_] => l.asScala.toSeq.map { r =>
-            val rm = strMap(r); rm.head }
+            val (pat, rep) = strMap(r).head
+            pat -> graft.functions.PyExpr.pyReplacement(rep)
+          }
           case _ => Nil
         }))
       case "normalize" => df => Ops.normalize(df, sel())
@@ -183,18 +186,32 @@ object RecipeConf {
       case "shuffle" => df => Ops.shuffleCols(df, sel())
       case "pause" => identity
       case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
-      // optional `onError: string` switches to the reference's per-row
-      // policy: a failing expression writes "Ooops: <msg>" into the cell
-      // and the job continues (recipes.py:1644-1695)
-      case "eval" => df => {
-        val m0 = anyMap(args)
-        val errToCell = m0.get("onError").exists(_.toString == "string")
-        (m0 - "onError").foldLeft(df) { case (d, (dst, e)) =>
-          val c = expr(e.toString)
-          d.withColumn(dst,
-            if (errToCell) graft.functions.NativeExpressions.evalOrErrorString(c)
-            else c)
-        }
+      // Two arg shapes, two expression languages:
+      //   - LIST of single-entry maps (the reference's own YAML shape,
+      //     name.yml:4-27) → expressions are PYTHON, compiled by the
+      //     PyExpr translator (SURVEY §7.3) against the LIVE schema so
+      //     each entry sees columns written by the previous one;
+      //   - MAP (this engine's native shape) → Spark SQL expression
+      //     strings, with optional `onError: string` switching to the
+      //     reference's per-row policy: a failing expression writes
+      //     "Ooops: <msg>" into the cell and the job continues
+      //     (recipes.py:1644-1695).
+      case "eval" => df => args match {
+        case l: java.util.List[_] =>
+          l.asScala.toSeq.foldLeft(df) { (d, entry) =>
+            val (dst, e) = strMap(entry).headOption.getOrElse(
+              sys.error("eval: each list entry must be one {column: expression} map"))
+            d.withColumn(dst, graft.functions.PyExpr.compile(e, d.schema))
+          }
+        case _ =>
+          val m0 = anyMap(args)
+          val errToCell = m0.get("onError").exists(_.toString == "string")
+          (m0 - "onError").foldLeft(df) { case (d, (dst, e)) =>
+            val c = expr(e.toString)
+            d.withColumn(dst,
+              if (errToCell) graft.functions.NativeExpressions.evalOrErrorString(c)
+              else c)
+          }
       }
       case "groupby" => df => {
         val keys = strSeq(m.getOrElse("select", null))

@@ -84,10 +84,19 @@ object Ops {
     }
 
   /** `normalize`: accent-fold + lowercase + strip non-alnum
-    * (code/recipes.py:2476-2483, tools.py:142-155). */
+    * (code/recipes.py:2476-2483, tools.py:142-155). Array columns are
+    * normalized element-wise with empties dropped — the reference's list
+    * form (`[_f for _f in [normalize(z) for z in x] if _f]`,
+    * tools.py:148-155), which name recipes rely on. */
   def normalize(df: DataFrame, select: Seq[String]): DataFrame =
     selectColumns(df, select).foldLeft(df) { (d, c) =>
-      d.withColumn(c, Tools.normalize(col(c)))
+      val norm = d.schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(_, _) =>
+          filter(transform(col(c), e => Tools.normalize(e)),
+            e => e.isNotNull && e =!= lit(""))
+        case _ => Tools.normalize(col(c))
+      }
+      d.withColumn(c, norm)
     }
 
   // ---------------------------------------------------------------- casts

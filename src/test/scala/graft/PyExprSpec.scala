@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PyExpr
+
+/** The eval-expression translator (SURVEY §7.3) against the expression
+  * patterns the reference's shipped recipes actually use
+  * (conf/recipes/name.yml:5-27, matching.yml:70-106). */
+class PyExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(df: org.apache.spark.sql.DataFrame, e: String): org.apache.spark.sql.Column =
+    PyExpr.compile(e, df.schema)
+
+  test("plan-time type dispatch: x if type(x)==list else [x] (name.yml:5)") {
+    val strDf = Seq("jean").toDF("n")
+    val out = strDf.select(ev(strDf, "n if (type(n)==list) else [n]").as("n"))
+    assert(out.as[Seq[String]].head() == Seq("jean"))
+    val arrDf = Seq(Seq("jean", "marie")).toDF("n")
+    val out2 = arrDf.select(ev(arrDf, "n if (type(n)==list) else [n]").as("n"))
+    assert(out2.as[Seq[String]].head() == Seq("jean", "marie"))
+  }
+
+  test("order-preserving dedup: list(OrderedDict.fromkeys(x)) (name.yml:10-11)") {
+    val df = Seq(Seq("b", "a", "b", "c", "a")).toDF("x")
+    val out = df.select(ev(df, "list(OrderedDict.fromkeys(x))").as("x"))
+    assert(out.as[Seq[String]].head() == Seq("b", "a", "c"))
+  }
+
+  test("set union + join + tokenize chain (name.yml:14-17)") {
+    val df = Seq((Seq("garcia"), Seq("jose", "maria"))).toDF("last", "first")
+    val out = df
+      .withColumn("norm", ev(df, "list(set().union(last,first))"))
+    val out2 = out.withColumn("m", ev(out, "str(\" \").join(list(norm))"))
+    val out3 = out2.withColumn("toks", ev(out2, "tokenize(m)"))
+      .withColumn("n", ev(out2.withColumn("toks", lit(null).cast("array<string>")), "len(first)"))
+    val r = out3.head()
+    assert(r.getSeq[String](r.fieldIndex("norm")) == Seq("garcia", "jose", "maria"))
+    assert(r.getAs[String]("m") == "garcia jose maria")
+    assert(r.getSeq[String](r.fieldIndex("toks")) == Seq("garcia", "jose", "maria"))
+    assert(r.getAs[Int]("n") == 2)
+  }
+
+  test("re.sub with raw strings and group refs (name.yml:18)") {
+    // keep first two words of a composed first name, drop the rest
+    val df = Seq(Seq("jean pierre marie")).toDF("first")
+    val out = df.select(ev(df,
+      raw"""re.sub(r'(\S\s+\S+)\s+.*',r'\1',str(first[0]))""").as("r"))
+    assert(out.as[String].head() == "jean pierre")
+  }
+
+  test("guarded indexing: str(x[1]) if (len(x)>1) else \"\" (name.yml:19-21)") {
+    val df = Seq((Seq("a", "b"), Seq("only"))).toDF("two", "one")
+    val r1 = df.select(ev(df, "str(two[1]) if (len(two)>1) else \"\"").as("v")).as[String].head()
+    val r2 = df.select(ev(df, "str(one[1]) if (len(one)>1) else \"\"").as("v")).as[String].head()
+    assert(r1 == "b" && r2 == "")
+  }
+
+  test("token-overlap score: comprehension with in-filter (matching.yml:75)") {
+    val df = Seq((Seq("jean", "garcia", "paris"), Seq("garcia", "jean", "lyon"))).toDF("a", "b")
+    val out = df.select(ev(df,
+      "round(len([x for x in a if x in b])*1.0 /max(1,min(len(a),len(b))),2)").as("s"))
+    assert(math.abs(out.as[Double].head() - 0.67) < 1e-9)
+  }
+
+  test("levenshtein_norm over arrays takes the max pair (matching.yml:72)") {
+    val df = Seq((Seq("garcia", "lopez"), Seq("garcia"))).toDF("a", "b")
+    val out = df.select(ev(df, "max(levenshtein_norm(a,b),levenshtein_norm(a,b))").as("s"))
+    assert(out.as[Double].head() == 1.0)
+    // string × string
+    val df2 = Seq(("dupont", "dupond")).toDF("a", "b")
+    val s = df2.select(ev(df2, "levenshtein_norm(a,b)").as("s")).as[Double].head()
+    assert(s > 0.8 && s < 1.0)
+  }
+
+  test("re.search ternary — date penalty (matching.yml scoring_date)") {
+    val df = Seq("19850101", "19850612").toDF("d")
+    val out = df.select(col("d"), ev(df,
+      "round((levenshtein_norm(d,d)**2)*(0.9 if re.search('0101$',d) else 1) ,2)").as("s"))
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("19850101") == 0.9 && m("19850612") == 1.0)
+  }
+
+  test("float_val equality to 0/1 flag (matching.yml scoring_sex)") {
+    val df = Seq(("1", "1.0"), ("1", "2"), ("x", "")).toDF("a", "b")
+    val out = df.select(ev(df, "1 if (float_val(a) == float_val(b)) else 0").as("f"))
+    // ("x","") → float_val is 0 on BOTH failure and "" (tools.py:25-29) → equal → 1
+    assert(out.as[Long].collect().toSeq == Seq(1L, 0L, 1L))
+  }
+
+  test("empty-string guard matches NULL too (scoring_location distance)") {
+    val df = Seq(Some(10.0), None).toDF("d")
+    val out = df.select(ev(df, "0 if (d == \"\") else round(100*40/(40+d))/100").as("s"))
+    assert(out.as[Double].collect().toSeq == Seq(0.8, 0.0))
+  }
+
+  test("flatten over split comprehension (name.yml:44)") {
+    val df = Seq(Seq("jean pierre", "luc")).toDF("first")
+    val out = df.select(ev(df,
+      """flatten([re.compile("\s+").split(x) for x in first])""").as("r"))
+    assert(out.as[Seq[String]].head() == Seq("jean", "pierre", "luc"))
+  }
+
+  test("the name_frequency composed-name expression runs end-to-end (name.yml:44)") {
+    // filter(None, flatten([...])) with slice, .replace and a None branch
+    val df = Seq((Seq("jean pierre", "luc"), "jean", "5.2"))
+      .toDF("first", "first_first", "freq")
+    val e = "flatten([re.compile(\"\\s+\").split(x) for x in first]) if (freq == \"\") " +
+      "else filter(None,flatten([first_first, (first[0].replace(first_first+\" \",\"\") " +
+      "if (first[0] != first_first) else None), " +
+      "flatten([re.compile(\"\\s+\").split(x) for x in first[1:]])]))"
+    val withFreq = df.select(ev(df, e).as("r")).as[Seq[String]].head()
+    assert(withFreq == Seq("jean", "pierre", "luc"))
+    val noFreq = df.withColumn("freq", lit(""))
+    val flat = noFreq.select(ev(noFreq, e).as("r")).as[Seq[String]].head()
+    assert(flat == Seq("jean", "pierre", "luc"))
+  }
+
+  test("string concat with + (matching.yml diff)") {
+    val df = Seq((Seq("garcia"), Seq("lopez"))).toDF("a", "b")
+    val out = df.select(ev(df,
+      "str(\" \").join(a) +\" <> \"+str(\" \").join(b)").as("d"))
+    assert(out.as[String].head() == "garcia <> lopez")
+  }
+
+  test("unsupported constructs fail at compile time with the expression in the message") {
+    val df = Seq("x").toDF("c")
+    val e1 = intercept[RuntimeException](ev(df, "some_unknown_fn(c)"))
+    assert(e1.getMessage.contains("unsupported function") && e1.getMessage.contains("some_unknown_fn"))
+    val e2 = intercept[RuntimeException](ev(df, "c @ 3"))
+    assert(e2.getMessage.contains("unexpected character"))
+    val e3 = intercept[RuntimeException](ev(df, "nope + 1"))
+    assert(e3.getMessage.contains("unknown column"))
+  }
+}

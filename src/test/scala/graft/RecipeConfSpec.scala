@@ -173,6 +173,88 @@ class RecipeConfSpec extends SparkSpec {
     assert(m == Map(1L -> "old1", 2L -> "new2", 3L -> "new3"))
   }
 
+  test("the reference's french_name_normalize recipe runs verbatim (name.yml:1-30)") {
+    import spark.implicits._
+    // reference input: *_src name columns, string or list-typed
+    Seq(("José", "GARCIA LOPEZ"), ("Jean Pierre Marie", "LE GRAND"))
+      .toDF("matchid_name_first_src", "matchid_name_last_src")
+      .write.mode("overwrite").parquet(s"$dir/persons_names")
+    // steps below are copied 1:1 from conf/recipes/name.yml (python
+    // expressions and all) — only dataset wiring is ours
+    val yaml =
+      s"""datasets:
+         |  persons_names: {path: $dir/persons_names, format: parquet}
+         |recipes:
+         |  french_name_normalize:
+         |    input: persons_names
+         |    steps:
+         |      - eval:
+         |        - matchid_name_first: matchid_name_first_src if (type(matchid_name_first_src)==list) else [matchid_name_first_src]
+         |        - matchid_name_last: matchid_name_last_src if (type(matchid_name_last_src)==list) else [matchid_name_last_src]
+         |      - normalize:
+         |          select: matchid_name_(last|first)$$
+         |      - eval:
+         |        - matchid_name_first: list(OrderedDict.fromkeys(matchid_name_first))
+         |        - matchid_name_last: list(OrderedDict.fromkeys(matchid_name_last))
+         |      - eval:
+         |        - matchid_name_norm: list(set().union(matchid_name_last,matchid_name_first))
+         |        - matchid_name_match: str(" ").join(list(matchid_name_norm))
+         |        - matchid_name_tokens: tokenize(matchid_name_match)
+         |        - matchid_name_first_first: re.sub(r'(\\S\\s+\\S+)\\s+.*',r'\\1',str(matchid_name_first[0])) if (len(matchid_name_first)>0) else ""
+         |        - matchid_name_first_second: str(matchid_name_first[1]) if (len(matchid_name_first)>1) else ""
+         |        - matchid_name_last_first: str(matchid_name_last[0]) if (len(matchid_name_last)>0) else ""
+         |        - matchid_name_last_second: str(matchid_name_last[1]) if (len(matchid_name_last)>1) else ""
+         |        - matchid_name_last_match: matchid_name_last_first
+         |        - matchid_name_first_match: matchid_name_first_first
+         |        - matchid_name_len: len(matchid_name_tokens)
+         |      - replace:
+         |          select: matchid_name_.*match$$
+         |          regex:
+         |            - (^|\\s)(le|du|de|de la)($$|\\s): '\\1\\2'
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "french_name_normalize")
+      .orderBy("matchid_name_first_src").collect()
+    val jose = out(1); val jp = out(0)
+    def seqOf(r: org.apache.spark.sql.Row, c: String) = r.getSeq[String](r.fieldIndex(c))
+    assert(seqOf(jose, "matchid_name_first") == Seq("jose"))
+    assert(seqOf(jose, "matchid_name_last") == Seq("garcia lopez"))
+    assert(jose.getAs[String]("matchid_name_match") == "garcia lopez jose")
+    assert(jose.getAs[Int]("matchid_name_len") == 3)
+    assert(jose.getAs[String]("matchid_name_first_first") == "jose")
+    assert(jose.getAs[String]("matchid_name_first_second") == "")
+    // composed first name keeps its first two words (the re.sub rule)
+    assert(jp.getAs[String]("matchid_name_first_first") == "jean pierre")
+    assert(jp.getAs[String]("matchid_name_first_match") == "jean pierre")
+    // the particle rule glues 'le ' onto the surname in *_match cols only
+    assert(jp.getAs[String]("matchid_name_last_match") == "legrand")
+    assert(jp.getAs[String]("matchid_name_last_first") == "le grand")
+    assert(jp.getAs[Int]("matchid_name_len") == 5)
+  }
+
+  test("eval list entries apply in insertion order (reference dict order)") {
+    import spark.implicits._
+    Seq(1L).toDF("v").write.mode("overwrite").parquet(s"$dir/ordered_in")
+    // 6 chained entries, each reading the previous one — scrambled order
+    // (the old unordered-Map conversion kicked in past 4 entries) fails
+    val yaml =
+      s"""datasets:
+         |  oin: {path: $dir/ordered_in, format: parquet}
+         |recipes:
+         |  chain:
+         |    input: oin
+         |    steps:
+         |      - eval:
+         |        - a: v + 1
+         |        - b: a + 1
+         |        - c: b + 1
+         |        - d: c + 1
+         |        - e: d + 1
+         |        - f: e + 1
+         |""".stripMargin
+    val r = RecipeConf.run(spark, RecipeConf.load(yaml), "chain").head()
+    assert(r.getAs[Long]("f") == 7L)
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
