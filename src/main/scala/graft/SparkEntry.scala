@@ -299,9 +299,12 @@ object SparkEntry {
         threshold = 0.6)),
 
     // SimHash near-dup pairs (rows-only)
+    // maxHamming=3 is the 4-band pigeonhole recall bound — banding is
+    // total-recall here (enforced by a require in simhashNearDups; an
+    // exhaustive-recall spec pins it against brute force)
     "q27_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 10)),
+        maxHamming = 3)),
 
     // embedding cosine near-dups within label blocks (Ann.cosineNearDups)
     "q28_embed_neardup" -> ((s, dir) =>
@@ -345,11 +348,24 @@ object SparkEntry {
       graft.graph.GraphMetrics.metrics(edges, compute = Nil)
     }),
 
-    // pagerank + clustering metrics (rows-only: iterative float ranks)
-    "q33_graph_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "supplier")
-        .select(col("s_suppkey").as("src"), (col("s_nationkey") + 1000000).cast("long").as("dst"))
-      graft.graph.GraphMetrics.metrics(edges, compute = Seq("pagerank", "triangles", "clustering"))
+    // per-node triangle counts + clustering on a deterministic supplier
+    // chain graph (rank i — i+1, i — i+2 within nation): every
+    // consecutive triple is a triangle, and DuckDB can count them with a
+    // 3-way self-join — full oracle. (Pagerank — float, iterative — is
+    // covered by ModulesSpec.)
+    "q33_graph_triangles" -> ((s, dir) => {
+      // group by nation MOD 3 so even the smallest sf has several
+      // suppliers per chain (sf0.001 has only one supplier per nation)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("id"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("id"),
+          (col("s_nationkey") % 3).as("grp"))
+        .withColumn("n1", lead(col("id"), 1).over(w))
+        .withColumn("n2", lead(col("id"), 2).over(w))
+      val edges = sup.select(col("id").as("src"), col("n1").as("dst")).filter(col("dst").isNotNull)
+        .unionByName(sup.select(col("id").as("src"), col("n2").as("dst")).filter(col("dst").isNotNull))
+      graft.graph.GraphMetrics.metrics(edges, compute = Seq("triangles", "clustering"))
     }),
 
     // ML re-scoring: RF build + apply, best-of-N AUC (rows-only — model
@@ -820,6 +836,47 @@ object SparkEntry {
         | SELECT c_custkey AS src, CAST(c_nationkey + 1000000 AS BIGINT) AS dst FROM customer),
         |sym AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
         |SELECT node, CAST(COUNT(*) AS INTEGER) AS degree FROM sym GROUP BY 1""".stripMargin,
+
+    // triangles via 3-way self-join on the canonical (src<dst) edge set;
+    // same chain-graph construction as the Spark side
+    "q33_graph_triangles" ->
+      """WITH s AS (
+        | SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |  lead(s_suppkey, 1) OVER (PARTITION BY s_nationkey % 3 ORDER BY s_suppkey) AS n1,
+        |  lead(s_suppkey, 2) OVER (PARTITION BY s_nationkey % 3 ORDER BY s_suppkey) AS n2
+        | FROM supplier),
+        |e AS (
+        | SELECT id AS a, CAST(n1 AS BIGINT) AS b FROM s WHERE n1 IS NOT NULL
+        | UNION ALL
+        | SELECT id, CAST(n2 AS BIGINT) FROM s WHERE n2 IS NOT NULL),
+        |deg AS (
+        | SELECT node, CAST(COUNT(*) AS INTEGER) AS degree
+        | FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (
+        | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tpn AS (
+        | SELECT node, COUNT(*) AS triangles
+        | FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        | GROUP BY 1)
+        |SELECT d.node, d.degree,
+        | CAST(COALESCE(t.triangles, 0) AS INTEGER) AS triangles,
+        | CASE WHEN d.degree >= 2
+        |      THEN round(COALESCE(t.triangles, 0) * 2.0 / (d.degree * (d.degree - 1)), 4)
+        |      ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN tpn t ON t.node = d.node""".stripMargin,
+
+    // payload bytes are the closed form (media_id + i²) mod 256 — DuckDB
+    // replays the byte stream with generate_series and averages it
+    "q36_media_stats" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        | 'image' AS kind,
+        | CAST(p_partkey % 640 + 32 AS INTEGER) AS width,
+        | CAST(1024 AS INTEGER) AS byte_count,
+        | m.mean_intensity
+        |FROM part,
+        |LATERAL (SELECT round(avg((p_partkey + i*i) % 256), 4) AS mean_intensity
+        |         FROM generate_series(0, 1023) t(i)) m""".stripMargin,
 
     "q35_sessions" ->
       """WITH e AS (

@@ -22,6 +22,14 @@ import graft.conf.RecipeConf.ProjectConf
   *                                        conf/conf.yml:23)
   *   GET  /api/jobs                     — running/finished jobs
   *                                        (api.py:1040-1074)
+  *   GET/POST/DELETE /api/upload[/{f}]  — uploaded-file store
+  *                                        (api.py:315-368)
+  *   PUT  /api/recipes/{name}/apply     — run the recipe on the POSTED
+  *                                        chunk instead of its declared
+  *                                        input (live test, api.py:940-963)
+  *   POST /api/datasets/{ds}/_update/{id} — single-doc upsert, the
+  *                                        validation frontend's write
+  *                                        path (api.py:784-811)
   *   GET  /api/conf                     — configured elements (api.py:288-311)
   *   GET/PUT/DELETE /api/conf/{project} — project YAML CRUD; a PUT body is
   *                                        parsed and its datasets/recipes
@@ -40,11 +48,20 @@ import graft.conf.RecipeConf.ProjectConf
   * Built on the JDK HttpServer — zero extra dependencies.
   */
 class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
-    apiKey: Option[String] = None) {
+    apiKey: Option[String] = None,
+    uploadDir: Option[String] = None) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val jobSeq = new AtomicLong(0)
   private val jobs = TrieMap.empty[Long, String] // id → status
+
+  private lazy val uploads: java.nio.file.Path = uploadDir
+    .map(java.nio.file.Paths.get(_))
+    .getOrElse(java.nio.file.Files.createTempDirectory("graft-upload"))
+
+  // path-traversal guard for upload names (secure_filename analogue)
+  private def safeName(f: String): String =
+    f.replaceAll("[^A-Za-z0-9._-]", "_")
 
   // project name → (raw yaml, parsed conf); the live conf is the ctor
   // conf overlaid with every stored project, last write wins
@@ -182,6 +199,60 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         respond(ex, 200, jobs.toSeq.sortBy(_._1)
           .map { case (id, st) => s"""{"job": $id, "status": ${q(st)}}""" }
           .mkString("[", ",", "]"))
+
+      // ---- uploaded-file store (api.py:315-368)
+      case ("GET", List("upload")) =>
+        val files = Option(uploads.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.getName).sorted.toSeq
+        respond(ex, 200, files.map(q).mkString("[", ",", "]"))
+
+      case ("POST" | "PUT", List("upload", file)) =>
+        val name = safeName(file)
+        java.nio.file.Files.write(uploads.resolve(name),
+          ex.getRequestBody.readAllBytes())
+        respond(ex, 200, s"""{"upload_status": {${q(name)}: "ok"}}""")
+
+      case ("DELETE", List("upload", file)) =>
+        val p = uploads.resolve(safeName(file))
+        if (java.nio.file.Files.deleteIfExists(p))
+          respond(ex, 200, s"""{"file": ${q(safeName(file))}, "status": "deleted"}""")
+        else respond(ex, 404, s"""{"file": ${q(safeName(file))}, "status": "not found"}""")
+
+      // ---- live chunk: run the recipe on the POSTED csv instead of its
+      // declared input — the tutorial's first interaction (api.py:940-963)
+      case ("PUT" | "POST", List("recipes", name, "apply")) if cfg.recipes.contains(name) =>
+        graft.functions.Registry.register(spark)
+        val tmp = java.nio.file.Files.createTempFile("graft-live", ".csv")
+        java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
+        try {
+          val n = params.getOrElse("size", "30").toInt // test_chunk_size
+          val input = graft.sources.Sources.csv(spark, tmp.toString,
+            sep = params.getOrElse("sep", ";"))
+          val out = RecipeConf.compileRecipe(spark, cfg, cfg.recipes(name))(input.limit(n))
+          respond(ex, 200, jsonRows(out, n))
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+
+      // ---- single-doc upsert — how the validation frontend stores human
+      // match decisions (api.py:784-811). Body = the doc as JSON (an ES
+      // {"doc": {...}} envelope is unwrapped). Routed to Sinks.upsert.
+      case ("POST", List("datasets", name, "_update", id)) if cfg.datasets.contains(name) =>
+        val ds = cfg.datasets(name)
+        if (ds.format != "parquet")
+          respond(ex, 403, """{"error": "only parquet datasets support _update"}""")
+        else {
+          import org.apache.spark.sql.functions.lit
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          import spark.implicits._
+          val parsed = spark.read.json(spark.createDataset(Seq(body)))
+          val doc = if (parsed.columns.contains("doc")) parsed.select("doc.*") else parsed
+          val idCol = ds.options.getOrElse("id", "_id")
+          // match the existing table's id type so the merge key aligns
+          val idType = scala.util.Try(spark.read.parquet(ds.path).schema(idCol).dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          val typed = doc.withColumn(idCol, lit(id).cast(idType))
+          graft.sources.Sinks.upsert(typed, ds.path, idCol)
+          respond(ex, 200, s"""{"_id": ${q(id)}, "result": "updated"}""")
+        }
 
       case _ =>
         respond(ex, 404, s"""{"error": "not found", "path": ${q(path)}}""")

@@ -26,9 +26,19 @@ import graft.engine.Recipe.Step
   */
 object RecipeConf {
 
+  /** @param select column projection pushed to the scan (usecols,
+    *   recipes.py:384-447); empty = all columns
+    * @param regex  multi-file: `path` is a directory, files matching the
+    *   regex are concatenated (recipes.py:356-366) */
   case class DatasetConf(connector: String, path: String, format: String,
-      options: Map[String, String] = Map.empty)
-  case class RecipeDef(input: String, steps: Seq[(String, Any)], output: Option[String])
+      options: Map[String, String] = Map.empty,
+      select: Seq[String] = Nil,
+      regex: Option[String] = None)
+  /** before/after = dependency recipes run around this one
+    * (recipes.py:1309-1350; a trailing '&' marks async in the reference —
+    * accepted and stripped, execution here is sequential). */
+  case class RecipeDef(input: String, steps: Seq[(String, Any)], output: Option[String],
+      before: Seq[String] = Nil, after: Seq[String] = Nil)
   case class ProjectConf(datasets: Map[String, DatasetConf], recipes: Map[String, RecipeDef])
 
   // ------------------------------------------------------------- loading
@@ -62,11 +72,18 @@ object RecipeConf {
             sys.error(s"dataset $name: unknown connector $connector")) + "/" + t
         case _ => sys.error(s"dataset $name: path or connector+table required")
       }
+      def listOf(a: Any): Seq[String] = a match {
+        case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+        case null => Nil
+        case s => Seq(s.toString)
+      }
       name -> DatasetConf(
         connector = connector,
         path = path,
         format = m.getOrElse("format", "parquet").toString,
-        options = asMap(m.getOrElse("options", null)).map { case (k, vv) => k -> vv.toString })
+        options = asMap(m.getOrElse("options", null)).map { case (k, vv) => k -> vv.toString },
+        select = listOf(m.getOrElse("select", null)),
+        regex = m.get("regex").map(_.toString))
     }
 
     val recipes = asMap(root.getOrElse("recipes", null)).map { case (name, v) =>
@@ -81,27 +98,43 @@ object RecipeConf {
         }
         case _ => Nil
       }
+      def recipeList(key: String): Seq[String] = m.getOrElse(key, null) match {
+        case l: java.util.List[_] => l.asScala.toSeq.map(_.toString.stripSuffix("&").trim)
+        case null => Nil
+        case s => Seq(s.toString.stripSuffix("&").trim)
+      }
       name -> RecipeDef(
         input = m.getOrElse("input", sys.error(s"recipe $name: input required")).toString,
         steps = steps,
-        output = m.get("output").map(_.toString))
+        output = m.get("output").map(_.toString),
+        before = recipeList("before"),
+        after = recipeList("after"))
     }
     ProjectConf(datasets, recipes)
   }
 
   // ------------------------------------------------------------ datasets
-  def read(spark: SparkSession, ds: DatasetConf): DataFrame = ds.format match {
-    case "parquet" => Sources.parquet(spark, ds.path)
-    case "csv" => Sources.csv(spark, ds.path,
-      sep = ds.options.getOrElse("sep", ";"),
-      header = ds.options.getOrElse("header", "true").toBoolean,
-      skiprows = ds.options.getOrElse("skiprows", "0").toInt)
-    case "jsonl" | "json" => Sources.jsonl(spark, ds.path)
-    case "fwf" => Sources.fwf(spark, ds.path,
-      widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),
-      names = ds.options("names").split(",").toSeq.map(_.trim))
-    case "index" => Sources.parquet(spark, ds.path + "/docs") // document store
-    case other => sys.error(s"unsupported dataset format: $other")
+  def read(spark: SparkSession, ds: DatasetConf): DataFrame = {
+    def readOne(path: String): DataFrame = ds.format match {
+      case "parquet" => Sources.parquet(spark, path)
+      case "csv" => Sources.csv(spark, path,
+        sep = ds.options.getOrElse("sep", ";"),
+        header = ds.options.getOrElse("header", "true").toBoolean,
+        skiprows = ds.options.getOrElse("skiprows", "0").toInt)
+      case "jsonl" | "json" => Sources.jsonl(spark, path)
+      case "fwf" => Sources.fwf(spark, path,
+        widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),
+        names = ds.options("names").split(",").toSeq.map(_.trim))
+      case "index" => Sources.parquet(spark, path + "/docs") // document store
+      case other => sys.error(s"unsupported dataset format: $other")
+    }
+    // regex → path is a directory of files to concatenate
+    val df = ds.regex match {
+      case Some(re) => Sources.multiFile(spark, ds.path, re, readOne)
+      case None     => readOne(ds.path)
+    }
+    // select = usecols pushdown; Catalyst prunes the scan to these
+    if (ds.select.nonEmpty) df.select(ds.select.map(col): _*) else df
   }
 
   def write(df: DataFrame, ds: DatasetConf, mode: String): Unit = ds.format match {
@@ -150,9 +183,17 @@ object RecipeConf {
     def sel(default: Any = args): Seq[String] =
       if (m.nonEmpty) strSeq(m.getOrElse("select", null)) else strSeq(default)
     op match {
-      case "map" => df => strMap(args).foldLeft(df) { case (d, (dst, src)) =>
-        if (d.columns.contains(src)) d.withColumn(dst, col(src))
-        else d.withColumn(dst, lit(src)) }
+      // map value may be a column name (copy), a list of column names
+      // (→ array column, recipes.py:1709-1712), or a literal fallback
+      case "map" => df => anyMap(args).foldLeft(df) { case (d, (dst, v)) =>
+        v match {
+          case l: java.util.List[_] =>
+            Ops.mapArray(d, dst, l.asScala.toSeq.map(_.toString))
+          case s =>
+            if (d.columns.contains(s.toString)) d.withColumn(dst, col(s.toString))
+            else d.withColumn(dst, lit(s.toString))
+        }
+      }
       case "rename" => df => Ops.rename(df, strMap(args))
       case "keep" => df => Ops.keep(df, sel(null),
         m.get("where").map(_.toString))
@@ -281,16 +322,22 @@ object RecipeConf {
     df => steps.foldLeft(df)((d, s) => s(d))
   }
 
-  /** Run a named recipe: read input dataset → steps → write output (or
-    * return the DataFrame when no output is declared / test mode). */
+  /** Run a named recipe: before deps → read input dataset → steps →
+    * write output → after deps (or return the DataFrame when no output
+    * is declared / test mode). Dependency recipes (recipes.py:1309-1350)
+    * run sequentially; test mode skips them like it skips writes. */
   def run(spark: SparkSession, conf: ProjectConf, name: String,
       mode: String = "create", testLimit: Option[Int] = None): DataFrame = {
     graft.functions.Registry.register(spark)
     val r = conf.recipes.getOrElse(name, sys.error(s"unknown recipe: $name"))
+    if (testLimit.isEmpty) r.before.foreach(dep => run(spark, conf, dep, mode))
     val input0 = read(spark, conf.datasets(r.input))
     val input = testLimit.map(input0.limit).getOrElse(input0)
     val out = compileRecipe(spark, conf, r)(input)
-    if (testLimit.isEmpty) r.output.foreach { o => write(out, conf.datasets(o), mode) }
+    if (testLimit.isEmpty) {
+      r.output.foreach { o => write(out, conf.datasets(o), mode) }
+      r.after.foreach(dep => run(spark, conf, dep, mode))
+    }
     out
   }
 }

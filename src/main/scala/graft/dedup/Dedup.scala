@@ -188,17 +188,28 @@ object Dedup {
     * bit_count(xor)). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4 16-bit sub-bands (a pair within
-    * hamming distance ≤ 3 shares at least one exact band — pigeonhole), then
-    * verify the full hamming distance. */
+  /** SimHash near-dup pairs: block on `bands` equal-width sub-bands of
+    * the 64-bit signature, then verify the full hamming distance. The
+    * pigeonhole guarantee: a pair within hamming distance ≤ bands-1 has
+    * at least one band with ZERO differing bits, so banding is
+    * total-recall up to that bound — `maxHamming < bands` is REQUIRED so
+    * the operator never silently under-recalls (more bands = wider
+    * guarantee but shorter band keys = more candidate collisions). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"banding recall guarantee requires maxHamming < bands " +
+        s"(got maxHamming=$maxHamming, bands=$bands): a pair at distance " +
+        s">= bands can differ in every band and be missed")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = df.select(col(idCol).as("id"),
       simhash64(Tools.tokenize(Tools.normalize(col(textCol)))).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("key"))): _*))
         .as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.key"))
     val a = banded.alias("a"); val b = banded.alias("b")

@@ -61,13 +61,18 @@ object Multimodal {
   }
 
   /** Build a synthetic media table from any keyed table (test fixture:
-    * deterministic payload bytes from the key). */
+    * deterministic payload bytes from the key — byte i = (k + i²) mod
+    * 256, a closed form any SQL engine can replay, so payload-derived
+    * stats are oracle-checkable end-to-end). */
   def synthesize(df: DataFrame, keyCol: String, kind: String = "image",
       bytesPerRow: Int = 4096): DataFrame = {
     val genPayload = udf { (k: Long) =>
-      val rnd = new scala.util.Random(k)
       val a = new Array[Byte](bytesPerRow)
-      rnd.nextBytes(a)
+      var i = 0
+      while (i < bytesPerRow) {
+        a(i) = ((k + i.toLong * i) % 256).toByte
+        i += 1
+      }
       a
     }
     df.select(col(keyCol).cast("long").as("media_id"))

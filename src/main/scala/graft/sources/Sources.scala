@@ -97,12 +97,17 @@ object Sources {
 
   /** Multi-file read: regex over a directory, matched files read as one
     * dataset (recipes.py:356-366) — Spark unions them at the scan, one
-    * task per split. */
+    * task per split. Listing goes through the Hadoop FileSystem API, so
+    * the same call works on local paths, HDFS, and s3a:// (the
+    * reference's s3 variant, recipes.py:368-381). Metadata-only on the
+    * driver — no data moves until the action. */
   def multiFile(spark: SparkSession, dir: String, regex: String,
       read: String => DataFrame): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && f.getName.matches(regex))
-      .map(_.getAbsolutePath).sorted
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches(regex))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no files in $dir matching $regex")
     files.map(read).reduce(_ unionByName _)
   }
@@ -165,26 +170,26 @@ object Sinks {
     * MERGE. */
   def upsert(df: DataFrame, path: String, idCol: String): Unit = {
     val spark = df.sparkSession
-    val dir = new java.io.File(path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (dir.exists()) {
+      if (fs.exists(target)) {
         val existing = spark.read.parquet(path)
         val keep = existing.join(df.select(col(idCol)), Seq(idCol), "left_anti")
         keep.unionByName(df, allowMissingColumns = true)
       } else df
-    // write via a temp dir — the source partition can't be overwritten
-    // while it is being read
-    val tmp = path + "__upsert_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(tmp).renameTo(target)
+    // write the merged result to a temp dir first (the source partition
+    // can't be overwritten while it is being read), then commit with a
+    // directory rename — one metadata op on HDFS-like stores, and the
+    // window where the target is absent is delete→rename only. At
+    // lakehouse scale the same call maps to a real MERGE on a table
+    // format with snapshot isolation.
+    val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      sys.error(s"upsert commit failed: could not rename $tmp to $target")
   }
 
   /** JDBC sink: create (overwrite) / append, mirroring output modes

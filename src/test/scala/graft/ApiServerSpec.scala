@@ -120,6 +120,83 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("upload store + live-chunk apply run a recipe on posted data (api.py:940-963)") {
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  whatever: {path: $dir/unused.csv, format: csv}
+         |recipes:
+         |  livetrim:
+         |    input: whatever
+         |    steps:
+         |      - to_integer: [age]
+         |      - keep: {select: [name, age], where: "age > 18"}
+         |""".stripMargin)
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      // upload CRUD
+      assert(get(s"$base/upload").body() == "[]")
+      val up = sendBody("POST", s"$base/upload/people.csv", "name;age\nana;30\n")
+      assert(up.statusCode() == 200 && up.body().contains("\"ok\""))
+      assert(get(s"$base/upload").body() == """["people.csv"]""")
+      // traversal attempt: %2F decodes to '/', the normalized path no
+      // longer matches the upload route → 404, nothing stored; a weird
+      // but flat name is sanitized by safeName
+      assert(sendBody("POST", s"$base/upload/..%2Fevil.txt", "x").statusCode() == 404)
+      sendBody("POST", s"$base/upload/we$$ird.csv", "x")
+      assert(get(s"$base/upload").body() == """["people.csv","we_ird.csv"]""")
+      assert(send("DELETE", s"$base/upload/people.csv").statusCode() == 200)
+      assert(send("DELETE", s"$base/upload/we$$ird.csv").statusCode() == 200)
+      assert(get(s"$base/upload").body() == "[]")
+
+      // live apply: recipe runs on the POSTED chunk, not its declared
+      // input (which doesn't even exist on disk)
+      val live = sendBody("PUT", s"$base/recipes/livetrim/apply",
+        "name;age\nana;30\nkid;7\nben;41\n")
+      assert(live.statusCode() == 200)
+      assert(live.body().contains(""""name":"ana"""") && live.body().contains("ben"))
+      assert(!live.body().contains("kid")) // filtered by the where clause
+    } finally api.stop()
+  }
+
+  test("_update upserts one doc into a parquet dataset (api.py:784-811)") {
+    import spark.implicits._
+    val path = s"$dir/decisions"
+    Seq((1L, "pending", 0.5), (2L, "pending", 0.8))
+      .toDF("_id", "decision", "score")
+      .write.mode("overwrite").parquet(path)
+    val conf = RecipeConf.load(
+      s"datasets:\n  decisions: {path: $path, format: parquet}\nrecipes: {}")
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      // ES-style {"doc": ...} envelope; _id comes from the path and is
+      // cast to the table's id type (long here)
+      val r = sendBody("POST", s"$base/datasets/decisions/_update/2",
+        """{"doc": {"decision": "validated", "score": 0.97}}""")
+      assert(r.statusCode() == 200 && r.body().contains("\"updated\""))
+      val rows = spark.read.parquet(path).collect()
+        .map(x => x.getAs[Long]("_id") -> x.getAs[String]("decision")).toMap
+      assert(rows == Map(1L -> "pending", 2L -> "validated"))
+      // new id → insert (upsert), flat body accepted too
+      val ins = sendBody("POST", s"$base/datasets/decisions/_update/3",
+        """{"decision": "rejected", "score": 0.1}""")
+      assert(ins.statusCode() == 200)
+      val all = spark.read.parquet(path)
+      assert(all.count() == 3)
+      assert(all.filter($"_id" === 3L).head().getAs[String]("decision") == "rejected")
+      // non-parquet datasets refuse, like the reference's
+      // "not an elasticsearch dataset" guard
+      val csvConf = RecipeConf.load(
+        s"datasets:\n  c: {path: $dir/x.csv, format: csv}\nrecipes: {}")
+      val api2 = new ApiServer(spark, csvConf).start()
+      try assert(sendBody("POST",
+        s"http://localhost:${api2.actualPort}/api/datasets/c/_update/1",
+        """{"a": 1}""").statusCode() == 403)
+      finally api2.stop()
+    } finally api.stop()
+  }
+
   test("_search proxy scores token queries against the native index") {
     import spark.implicits._
     import graft.sources.Sinks

@@ -72,10 +72,34 @@ class GraphDedupSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
-    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 16)
+    // wide bands (2-bit keys) to observe distances up to 16 while
+    // keeping the pigeonhole guarantee maxHamming < bands
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 16, bands = 32)
     val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(m((1L, 2L)) == 0)
     assert(m.get((1L, 3L)).forall(_ > 0))
+  }
+
+  test("simhash banding is total-recall within the pigeonhole bound (vs brute force)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs with hamming(sig) <= 3, no banding
+    val sig = docs.select(col("doc_id").as("id"),
+      Dedup.simhash64(graft.functions.Tools.tokenize(
+        graft.functions.Tools.normalize(col("text")))).as("sig"))
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sa"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Dedup.hamming64(col("sa"), col("sb")) <= 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banding missed ${(brute -- banded).size} pairs")
+    assert(brute.nonEmpty) // the check is vacuous if nothing is near
+    // and the guarantee is enforced: over-bound maxHamming is rejected
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 10))
+    assert(e.getMessage.contains("banding recall guarantee"))
   }
 
   test("brute-force ANN ranks by cosine with id tie-break") {

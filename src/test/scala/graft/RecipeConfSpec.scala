@@ -255,6 +255,51 @@ class RecipeConfSpec extends SparkSpec {
     assert(r.getAs[Long]("f") == 7L)
   }
 
+  test("map array form, dataset select + multi-file regex, before/after deps") {
+    import spark.implicits._
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "x;y;z\n1;a;p\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part_b.csv"), "x;y;z\n2;b;q\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/unrelated.txt"), "nope\n")
+    val yaml =
+      s"""datasets:
+         |  parts:
+         |    path: $dir
+         |    format: csv
+         |    regex: part_.*\\.csv
+         |    select: [x, y]
+         |  staged: {path: $dir/staged_out, format: parquet}
+         |  final: {path: $dir/final_out, format: parquet}
+         |recipes:
+         |  stage:
+         |    input: parts
+         |    steps:
+         |      - map: {pair: [x, y]}
+         |    output: staged
+         |  main:
+         |    input: staged
+         |    before: [stage]
+         |    after: [archive &]
+         |    steps:
+         |      - keep: {select: [x, pair]}
+         |    output: final
+         |  archive:
+         |    input: final
+         |    steps:
+         |      - map: {archived: x}
+         |    output: staged
+         |""".stripMargin
+    val conf = RecipeConf.load(yaml)
+    // regex matched only the two part files; select pruned z; the map
+    // array form built pair = [x, y]
+    RecipeConf.run(spark, conf, "main")
+    val out = spark.read.parquet(s"$dir/final_out").orderBy("x").collect()
+    assert(out.length == 2)
+    assert(out(0).schema.fieldNames.toSeq == Seq("x", "pair"))
+    assert(out(0).getSeq[String](1) == Seq("1", "a"))
+    // the after-dep re-wrote staged with the archived column ('&' stripped)
+    assert(spark.read.parquet(s"$dir/staged_out").columns.contains("archived"))
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
