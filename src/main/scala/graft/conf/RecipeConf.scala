@@ -301,7 +301,8 @@ object RecipeConf {
       }
       case "clique" => df => {
         val Seq(src, dst) = strSeq(m("select"))
-        ConnectedComponents.clique(df, src, dst)
+        ConnectedComponents.clique(df, src, dst,
+          compute = strSeq(m.getOrElse("compute", null)))
       }
       case "sql" => df => { spark.sql(m("statement").toString); df }
       case "exec" =>

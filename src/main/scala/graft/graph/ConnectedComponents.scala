@@ -125,11 +125,21 @@ object ConnectedComponents {
 
   /** The `clique` operator contract: label each edge row with
     * graph_clique_id (component id) and graph_clique_size
-    * (code/recipes.py:2040-2055), joined back on the first node column. */
-  def clique(df: DataFrame, src: String, dst: String): DataFrame = {
+    * (code/recipes.py:2040-2055), joined back on the first node column.
+    * `compute` adds per-node metric columns (degree, pagerank,
+    * triangles, clustering, closeness, square_clustering, eigenvector —
+    * recipes.py:2003-2034), also joined on the first node column. */
+  def clique(df: DataFrame, src: String, dst: String,
+      compute: Seq[String] = Nil): DataFrame = {
     val comps = run(df.select(col(src), col(dst)))
     val sizes = comps.groupBy("comp").agg(count("*").as("graph_clique_size"))
-    df.join(comps.withColumnRenamed("node", src).withColumnRenamed("comp", "graph_clique_id"), Seq(src), "left")
+    val base = df
+      .join(comps.withColumnRenamed("node", src).withColumnRenamed("comp", "graph_clique_id"), Seq(src), "left")
       .join(sizes.withColumnRenamed("comp", "graph_clique_id"), Seq("graph_clique_id"), "left")
+    if (compute.isEmpty) base
+    else base.join(
+      graft.graph.GraphMetrics.metrics(df.select(col(src), col(dst)), compute)
+        .withColumnRenamed("node", src),
+      Seq(src), "left")
   }
 }

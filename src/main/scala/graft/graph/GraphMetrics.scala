@@ -18,14 +18,18 @@ object GraphMetrics {
     Graph.fromEdges(rdd, 0)
   }
 
-  /** degree / pagerank / triangle count / clustering coefficient per
-    * node. `compute` picks which (cheaper ones skip GraphX jobs). */
+  /** degree / pagerank / triangle count / clustering coefficient /
+    * closeness / square clustering / eigenvector centrality per node.
+    * `compute` picks which (cheaper ones skip GraphX jobs). Reference
+    * metric names (closeness_centrality, eigenvector_centrality_numpy)
+    * are accepted as aliases. */
   def metrics(edges: DataFrame, compute: Seq[String]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    def wants(names: String*) = names.exists(n => compute.exists(_.startsWith(n)))
     val g = toGraph(edges).cache()
     var out = g.degrees.toDF("node", "degree")
-    if (compute.contains("pagerank")) {
+    if (wants("pagerank")) {
       val pr = g.pageRank(0.0001).vertices.toDF("node", "pagerank_raw")
         .withColumn("pagerank", round(col("pagerank_raw"), 4)).drop("pagerank_raw")
       out = out.join(pr, Seq("node"), "left")
@@ -41,6 +45,125 @@ object GraphMetrics {
             .otherwise(lit(0.0)))
       }
     }
+    if (wants("closeness"))
+      out = out.join(closeness(edges), Seq("node"), "left")
+    if (wants("square_clustering"))
+      out = out.join(squareClustering(edges), Seq("node"), "left")
+    if (wants("eigenvector"))
+      out = out.join(eigenvector(edges), Seq("node"), "left")
+    out
+  }
+
+  /** Symmetric deduped adjacency (a, b) with a ≠ b — the undirected view
+    * every centrality below works on. */
+  private def symAdj(edges: DataFrame): DataFrame = {
+    val Array(srcC, dstC) = edges.columns.take(2)
+    val e = edges.select(col(srcC).cast("long").as("a"), col(dstC).cast("long").as("b"))
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Closeness centrality (networkx wf_improved form):
+    * C(v) = ((r-1)/(n-1)) · ((r-1)/S) with r = nodes reachable from v
+    * (incl. v), S = sum of their shortest-path distances.
+    *
+    * Distributed multi-source BFS: the frontier table (source, node,
+    * dist) grows toward ALL-PAIRS reachability — O(V²) state by nature,
+    * like the metric itself. The reference only ever runs it on the
+    * small per-chunk graphs of the clique step (recipes.py:2003-2034);
+    * run it on bounded cluster subgraphs, not a 100 TB edge set. */
+  def closeness(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val adj = symAdj(edges).persist()
+    val spark = edges.sparkSession
+    val nodes = adj.select(col("a").as("node")).distinct().persist()
+    val n = nodes.count()
+    // seed: every node reaches itself at distance 0
+    var reach = nodes.select(col("node").as("src"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = reach
+    var iter = 0
+    var growing = true
+    while (growing && iter < maxIter) {
+      // expand the frontier one hop; keep only first-time (src, node) pairs
+      val next = frontier.join(adj, frontier("node") === adj("a"))
+        .select(col("src"), col("b").as("node"), (col("dist") + 1).as("dist"))
+        .distinct()
+        .join(reach.select("src", "node").withColumn("__seen", lit(1)),
+          Seq("src", "node"), "left")
+        .filter(col("__seen").isNull).drop("__seen")
+        .localCheckpoint()
+      growing = next.limit(1).count() > 0
+      if (growing) { reach = reach.unionByName(next).localCheckpoint(); frontier = next }
+      iter += 1
+    }
+    val out = reach.groupBy("src")
+      .agg(count(lit(1)).as("r"), sum("dist").as("s"))
+      .withColumn("closeness",
+        when(col("s") > 0 && lit(n) > 1,
+          round(((col("r") - 1) / (lit(n) - 1.0)) * ((col("r") - 1) / col("s")), 4))
+          .otherwise(lit(0.0)))
+      .select(col("src").as("node"), col("closeness"))
+    adj.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Square (4-cycle) clustering coefficient — networkx square_clustering:
+    * per neighbor pair (u,w) of v, squares = common neighbors of u,w
+    * minus v; potential = (k_u − degm) + (k_w − degm) + squares with
+    * degm = squares + 1 + [u~w]; C4(v) = Σ squares / Σ potential.
+    * All joins key on node ids — shuffle-friendly; the pair explosion is
+    * Σ deg², so cap the hub degree upstream on skewed graphs. */
+  def squareClustering(edges: DataFrame): DataFrame = {
+    val adj = symAdj(edges).persist()
+    val deg = adj.groupBy(col("a").as("id")).agg(count(lit(1)).as("k"))
+    // common-neighbor counts per unordered pair (u < w)
+    val cn = adj.select(col("a").as("x"), col("b").as("u"))
+      .join(adj.select(col("a").as("x"), col("b").as("w")), Seq("x"))
+      .filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    // neighbor pairs of each v (u < w), both in N(v)
+    val pairs = adj.select(col("a").as("v"), col("b").as("u"))
+      .join(adj.select(col("a").as("v"), col("b").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+    val adjFlag = adj.select(col("a").as("u"), col("b").as("w"), lit(1).as("uw_adj"))
+    val contrib = pairs
+      .join(cn, Seq("u", "w"), "left")
+      // v is always a common neighbor of u and w — exclude it
+      .withColumn("squares", coalesce(col("cn"), lit(0L)) - 1)
+      .join(adjFlag, Seq("u", "w"), "left")
+      .join(deg.select(col("id").as("u"), col("k").as("ku")), Seq("u"))
+      .join(deg.select(col("id").as("w"), col("k").as("kw")), Seq("w"))
+      .withColumn("degm", col("squares") + 1 + coalesce(col("uw_adj"), lit(0)))
+      .withColumn("potential",
+        (col("ku") - col("degm")) + (col("kw") - col("degm")) + col("squares"))
+    val out = contrib.groupBy(col("v").as("node"))
+      .agg(sum("squares").as("sq"), sum("potential").as("pot"))
+      .withColumn("square_clustering",
+        when(col("pot") > 0, round(col("sq") / col("pot").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .select("node", "square_clustering")
+    adj.unpersist()
+    out
+  }
+
+  /** Eigenvector centrality: power iteration on the symmetric adjacency,
+    * L2-normalized each step (converges to the principal eigenvector —
+    * what the reference's eigenvector_centrality_numpy computes). Each
+    * iteration is one join + one aggregate keyed on node id; lineage is
+    * truncated per step so the plan stays flat. */
+  def eigenvector(edges: DataFrame, iters: Int = 60): DataFrame = {
+    val adj = symAdj(edges).persist()
+    var x = adj.select(col("a").as("node")).distinct()
+      .withColumn("score", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = adj.join(x, adj("b") === x("node"))
+        .groupBy(col("a").as("node")).agg(sum("score").as("score"))
+      val norm = math.sqrt(
+        next.agg(sum(col("score") * col("score"))).head().getDouble(0))
+      x = next.withColumn("score", col("score") / lit(norm)).localCheckpoint()
+    }
+    val out = x.select(col("node"), round(col("score"), 4).as("eigenvector"))
+    adj.unpersist()
     out
   }
 }

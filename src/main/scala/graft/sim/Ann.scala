@@ -39,20 +39,40 @@ object Ann {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits packed into a
-    * long. Hyperplanes are pseudo-random but deterministic (seeded by the
-    * bit index through xxhash64 of the dimension index). Row-local, no
-    * shuffle. */
-  def hyperplaneSig(vec: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column = {
-    // plane(b, d) = deterministic pseudo-random in [-1, 1]
-    def plane(b: Int) = array((0 until dim).map { d =>
-      (xxhash64(lit(b * 7919 + d)) % 10000L).cast("double") / 10000.0
-    }: _*)
-    val bitCols = (0 until bits).map { b =>
-      when(Similarity.dot(transform(vec, x => x.cast("double")), plane(b)) >= 0,
-        lit(1L << b)).otherwise(lit(0L))
+    * long. Hyperplanes are pseudo-random but deterministic — plane(b,d)
+    * comes from a splitmix64 mix of the (bit, dimension) index, generated
+    * INSIDE the UDF loop. A Column-side formulation (dim × bits literal
+    * plane expressions) exceeds codegen method limits at production
+    * embedding dims (768×12 ≈ 9k expression nodes), so the tight
+    * primitive loop is the scalable shape here. Row-local, no shuffle. */
+  private val hyperplaneSigUdf = udf { (vec: Seq[Float], bits: Int) =>
+    if (vec == null) 0L
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < vec.length) {
+          var z = b * 7919L + d + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          // plane component in [-1, 1]
+          dot += vec(d) * ((z % 10000L).toDouble / 10000.0)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
     }
-    bitCols.reduce(_ + _)
   }
+
+  /** `dim` is accepted for API stability but no longer bounds anything —
+    * the UDF loops over the actual vector length. */
+  def hyperplaneSig(vec: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column =
+    hyperplaneSigUdf(vec, lit(bits))
 
   /** LSH-bucketed ANN: candidates must share the signature bucket, then
     * exact cosine ranks them. Trades recall for a corpus-side shuffle on

@@ -244,6 +244,35 @@ class ModulesSpec extends SparkSpec {
     assert(m.values.forall(_.getAs[Double]("pagerank") > 0))
   }
 
+  test("graph metrics long tail: closeness, eigenvector, square clustering") {
+    // triangle {1,2,3} + tail 3—4 (hand-checked against networkx)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val m = GraphMetrics.metrics(edges,
+        Seq("closeness_centrality", "eigenvector_centrality_numpy"))
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(m(1L).getAs[Double]("closeness") == 0.75)
+    assert(m(2L).getAs[Double]("closeness") == 0.75)
+    assert(m(3L).getAs[Double]("closeness") == 1.0)
+    assert(m(4L).getAs[Double]("closeness") == 0.6)
+    // principal eigenvector: symmetric nodes equal, center largest,
+    // tail smallest, unit L2 norm
+    val ev = m.view.mapValues(_.getAs[Double]("eigenvector")).toMap
+    assert(ev(1L) == ev(2L))
+    assert(ev(3L) > ev(1L) && ev(1L) > ev(4L))
+    assert(math.abs(ev.values.map(v => v * v).sum - 1.0) < 1e-3)
+
+    // square clustering: every node of a 4-cycle closes exactly its one
+    // possible square → 1.0 (networkx square_clustering parity)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val sq = GraphMetrics.metrics(c4, Seq("square_clustering"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("square_clustering")).toMap
+    assert(sq.values.forall(_ == 1.0))
+    // and the triangle+tail graph has no squares at all
+    val sq0 = GraphMetrics.metrics(edges, Seq("square_clustering"))
+      .collect().map(_.getAs[Double]("square_clustering"))
+    assert(sq0.forall(_ == 0.0))
+  }
+
   test("registry: scalar functions usable from SQL") {
     Registry.register(spark)
     val r = spark.sql(
