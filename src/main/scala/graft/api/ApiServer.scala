@@ -54,6 +54,17 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val jobSeq = new AtomicLong(0)
   private val jobs = TrieMap.empty[Long, String] // id → status
+  private val jobRecipes = TrieMap.empty[Long, String] // id → recipe
+  // per-recipe log buffer (latest run wins) — the reference's log files
+  // + SSE tail (api.py:880-935); grows only while a run is live
+  private val logs = TrieMap.empty[String, StringBuilder]
+  // datasets deleted at runtime (DELETE /datasets/{n}) — overlay tombstones
+  private val deletedDatasets = TrieMap.empty[String, Unit]
+
+  private def logLine(recipe: String, msg: String): Unit = {
+    val sb = logs.getOrElseUpdate(recipe, new StringBuilder)
+    sb.synchronized { sb.append(msg).append('\n') }
+  }
 
   private lazy val uploads: java.nio.file.Path = uploadDir
     .map(java.nio.file.Paths.get(_))
@@ -66,9 +77,12 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
   // project name → (raw yaml, parsed conf); the live conf is the ctor
   // conf overlaid with every stored project, last write wins
   private val projects = TrieMap.empty[String, (String, ProjectConf)]
-  private def current: ProjectConf = projects.values.foldLeft(conf) {
-    case (acc, (_, p)) =>
-      ProjectConf(acc.datasets ++ p.datasets, acc.recipes ++ p.recipes)
+  private def current: ProjectConf = {
+    val merged = projects.values.foldLeft(conf) {
+      case (acc, (_, p)) =>
+        ProjectConf(acc.datasets ++ p.datasets, acc.recipes ++ p.recipes)
+    }
+    ProjectConf(merged.datasets -- deletedDatasets.keys, merged.recipes)
   }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -189,11 +203,91 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
       case ("PUT", List("recipes", name, "run")) if cfg.recipes.contains(name) =>
         val id = jobSeq.incrementAndGet()
         jobs(id) = "running"
+        jobRecipes(id) = name
+        logs(name) = new StringBuilder // fresh log per run (latest wins)
+        logLine(name, s"job $id: recipe $name started")
         Future {
-          try { RecipeConf.run(spark, cfg, name); jobs(id) = "done" }
-          catch { case e: Throwable => jobs(id) = s"failed: ${e.getMessage}" }
+          val t0 = System.nanoTime()
+          try {
+            RecipeConf.run(spark, cfg, name)
+            jobs(id) = "done"
+            logLine(name, f"job $id: done in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } catch {
+            case e: Throwable =>
+              jobs(id) = s"failed: ${e.getMessage}"
+              logLine(name, s"job $id: failed: ${e.getMessage}")
+          }
         }
         respond(ex, 202, s"""{"job": $id, "recipe": ${q(name)}}""")
+
+      // ---- recipe introspection: yaml / status / log with SSE tail
+      // (api.py:840-935)
+      case ("GET", List("recipes", name, "yaml")) if cfg.recipes.contains(name) =>
+        // the declaring project's raw yaml, like the reference returning
+        // the source file; ctor-conf recipes have no stored source
+        projects.collectFirst {
+          case (_, (yaml, p)) if p.recipes.contains(name) => yaml
+        } match {
+          case Some(y) => respond(ex, 200, y, ctype = "text/plain")
+          case None => respond(ex, 404, """{"error": "no stored yaml for recipe"}""")
+        }
+
+      case ("GET", List("recipes", name, "status")) if cfg.recipes.contains(name) =>
+        val st = jobRecipes.toSeq.filter(_._2 == name).map(_._1).sorted.lastOption
+          .map(id => if (jobs(id) == "running") "up" else jobs(id))
+          .getOrElse("down")
+        respond(ex, 200, s"""{"recipe": ${q(name)}, "status": ${q(st)}}""")
+
+      case ("GET", List("recipes", name, "log")) if cfg.recipes.contains(name) =>
+        val running = jobRecipes.toSeq.filter(_._2 == name).map(_._1)
+          .exists(id => jobs(id) == "running")
+        val buf = logs.get(name)
+        if (!running) // finished (or never ran): full log as plain text
+          respond(ex, 200, buf.map(b => b.synchronized(b.toString)).getOrElse(""),
+            ctype = "text/plain")
+        else {
+          // SSE tail while the job is live: stream what's there, poll for
+          // more, close after 5 s of silence (reference's tailLog)
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          ex.sendResponseHeaders(200, 0)
+          val out = ex.getResponseBody
+          def sse(data: String): Unit = {
+            out.write(("event: message\n" +
+              data.linesIterator.map("data: " + _).mkString("\n") + "\n\n")
+              .getBytes(StandardCharsets.UTF_8))
+            out.flush()
+          }
+          var sent = 0
+          var quiet = 0
+          while (quiet < 5) {
+            val snapshot = buf.map(b => b.synchronized(b.toString)).getOrElse("")
+            if (snapshot.length > sent) {
+              sse(snapshot.substring(sent)); sent = snapshot.length; quiet = 0
+            } else {
+              val stillRunning = jobRecipes.toSeq.filter(_._2 == name).map(_._1)
+                .exists(id => jobs(id) == "running")
+              if (!stillRunning) quiet = 5 else { quiet += 1; Thread.sleep(1000) }
+            }
+          }
+          out.write("event: close\ndata: end\n\n".getBytes(StandardCharsets.UTF_8))
+          ex.close()
+        }
+
+      // ---- dataset yaml + delete (ops surface for the frontend)
+      case ("GET", List("datasets", name, "yaml")) if cfg.datasets.contains(name) =>
+        val d = cfg.datasets(name)
+        val opts = if (d.options.isEmpty) ""
+          else d.options.map { case (k, v) => s"      $k: $v" }.mkString("\n    options:\n", "\n", "")
+        respond(ex, 200,
+          s"""datasets:
+             |  $name:
+             |    path: ${d.path}
+             |    format: ${d.format}$opts
+             |""".stripMargin, ctype = "text/plain")
+
+      case ("DELETE", List("datasets", name)) if cfg.datasets.contains(name) =>
+        deletedDatasets(name) = ()
+        respond(ex, 200, s"""{"deleted": ${q(name)}}""")
 
       case ("GET", List("jobs")) =>
         respond(ex, 200, jobs.toSeq.sortBy(_._1)

@@ -197,6 +197,41 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("recipe yaml/status/log and dataset yaml/delete (api.py:840-935)") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/logsrc.csv"), "v\n1\n2\n")
+    val api = new ApiServer(spark,
+      RecipeConf.load("datasets: {}\nrecipes: {}")).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      val yaml =
+        s"""datasets:
+           |  logsrc: {path: $dir/logsrc.csv, format: csv, options: {sep: ","}}
+           |  logout: {path: $dir/logout, format: parquet}
+           |recipes:
+           |  logjob:
+           |    input: logsrc
+           |    steps:
+           |      - to_integer: [v]
+           |    output: logout
+           |""".stripMargin
+      sendBody("PUT", s"$base/conf/logproj", yaml)
+      // yaml: the declaring project's source comes back
+      assert(get(s"$base/recipes/logjob/yaml").body() == yaml)
+      assert(get(s"$base/datasets/logsrc/yaml").body().contains("format: csv"))
+      // status lifecycle: down → up/terminal → done; log has the lifecycle
+      assert(get(s"$base/recipes/logjob/status").body().contains("\"down\""))
+      send("PUT", s"$base/recipes/logjob/run")
+      api.awaitJobs()
+      assert(get(s"$base/recipes/logjob/status").body().contains("\"done\""))
+      val log = get(s"$base/recipes/logjob/log")
+      assert(log.statusCode() == 200)
+      assert(log.body().contains("started") && log.body().contains("done in"))
+      // dataset delete tombstones it out of the live conf
+      assert(send("DELETE", s"$base/datasets/logsrc").statusCode() == 200)
+      assert(!get(s"$base/datasets").body().contains("logsrc"))
+    } finally api.stop()
+  }
+
   test("_search proxy scores token queries against the native index") {
     import spark.implicits._
     import graft.sources.Sinks
