@@ -37,7 +37,10 @@ object RecipeConf {
   /** before/after = dependency recipes run around this one
     * (recipes.py:1309-1350; a trailing '&' marks async in the reference —
     * accepted and stripped, execution here is sequential). */
-  case class RecipeDef(input: String, steps: Seq[(String, Any)], output: Option[String],
+  /** `input` is optional: the reference's scoring sub-recipes are pure
+    * step lists invoked from other recipes (matching.yml:58-65) — they
+    * only need an input when run top-level. */
+  case class RecipeDef(input: Option[String], steps: Seq[(String, Any)], output: Option[String],
       before: Seq[String] = Nil, after: Seq[String] = Nil)
   case class ProjectConf(datasets: Map[String, DatasetConf], recipes: Map[String, RecipeDef])
 
@@ -96,7 +99,8 @@ object RecipeConf {
             require(sm.size == 1, s"recipe $name: each step must have exactly one op key")
             sm.head
         }
-        case _ => Nil
+        case null => Nil
+        case other => sys.error(s"recipe $name: steps must be a list, got $other")
       }
       def recipeList(key: String): Seq[String] = m.getOrElse(key, null) match {
         case l: java.util.List[_] => l.asScala.toSeq.map(_.toString.stripSuffix("&").trim)
@@ -104,7 +108,7 @@ object RecipeConf {
         case s => Seq(s.toString.stripSuffix("&").trim)
       }
       name -> RecipeDef(
-        input = m.getOrElse("input", sys.error(s"recipe $name: input required")).toString,
+        input = m.get("input").map(_.toString),
         steps = steps,
         output = m.get("output").map(_.toString),
         before = recipeList("before"),
@@ -332,7 +336,8 @@ object RecipeConf {
     graft.functions.Registry.register(spark)
     val r = conf.recipes.getOrElse(name, sys.error(s"unknown recipe: $name"))
     if (testLimit.isEmpty) r.before.foreach(dep => run(spark, conf, dep, mode))
-    val input0 = read(spark, conf.datasets(r.input))
+    val input0 = read(spark, conf.datasets(r.input.getOrElse(
+      sys.error(s"recipe $name: input required to run top-level"))))
     val input = testLimit.map(input0.limit).getOrElse(input0)
     val out = compileRecipe(spark, conf, r)(input)
     if (testLimit.isEmpty) {

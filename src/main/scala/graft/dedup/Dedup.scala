@@ -234,6 +234,10 @@ object Dedup {
     // gram sets as SORTED long hashes: set cardinalities are unchanged
     // (64-bit collisions are negligible), intersection becomes a
     // primitive merge scan instead of a string hash set per pair
+    // NOT persisted: both join sides read the same exchange subtree and
+    // AQE reuses the materialized shuffle stage, so the shingle pass
+    // runs once anyway (measured: an explicit persist was net slower —
+    // caching the wide gram arrays costs more than it saves)
     val g = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       sort_array(array_distinct(transform(
         Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))

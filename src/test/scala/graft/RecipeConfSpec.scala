@@ -255,6 +255,126 @@ class RecipeConfSpec extends SparkSpec {
     assert(r.getAs[Long]("f") == 7L)
   }
 
+  test("the reference's full scoring chain runs verbatim (matching.yml:58-106)") {
+    import org.apache.spark.sql.functions.{lit, array, typedLit}
+    // one perfect match and one partial match, with every column the
+    // scoring recipes read (left + hit_ sides)
+    def row(last: String, lastMatch: String, hitLast: String, hitLastMatch: String,
+        hitToks: Seq[String], city: String, cc: String, hist: Seq[String],
+        dep: String, country: String, ccode: String, geo: String,
+        sex: String, hitSex: String) =
+      spark.range(1).select(
+        typedLit(Seq("jean")).as("matchid_name_first"),
+        typedLit(Seq(last)).as("matchid_name_last"),
+        typedLit(Seq("dupont", "jean")).as("matchid_name_tokens"),
+        lit("jean").as("matchid_name_first_match"),
+        lit(lastMatch).as("matchid_name_last_match"),
+        lit(1.0).as("matchid_name_first_freq"), lit(1.0).as("matchid_name_last_freq"),
+        typedLit(Seq("jean")).as("hit_matchid_name_first"),
+        typedLit(Seq(hitLast)).as("hit_matchid_name_last"),
+        typedLit(hitToks).as("hit_matchid_name_tokens"),
+        lit("jean").as("hit_matchid_name_first_match"),
+        lit(hitLastMatch).as("hit_matchid_name_last_match"),
+        lit(1.0).as("hit_matchid_name_first_freq"), lit(1.0).as("hit_matchid_name_last_freq"),
+        lit(2L).as("matchid_hit_matches_unfiltered"),
+        lit("paris").as("matchid_location_city"), lit(city).as("hit_matchid_location_city"),
+        lit("paris").as("matchid_location_city_src"), lit(city).as("hit_matchid_location_city_src"),
+        lit("france").as("matchid_location_country"), lit(country).as("hit_matchid_location_country"),
+        lit("75056").as("matchid_location_citycode"), lit(cc).as("hit_matchid_location_citycode"),
+        typedLit(Seq("75056")).as("matchid_location_citycode_history"),
+        typedLit(hist).as("hit_matchid_location_citycode_history"),
+        lit("75").as("matchid_location_depcode"), lit(dep).as("hit_matchid_location_depcode"),
+        lit("FR").as("matchid_location_countrycode"), lit(ccode).as("hit_matchid_location_countrycode"),
+        lit("POINT(2.3522 48.8566)").as("matchid_location_city_geopoint_2d"),
+        lit(geo).as("hit_matchid_location_city_geopoint_2d"),
+        lit("19800612").as("matchid_date_birth_str"), lit("19800612").as("hit_matchid_date_birth_str"),
+        lit(sex).as("matchid_sex"), lit(hitSex).as("hit_matchid_sex"),
+        lit(if (hitLast == last) "A" else "B").as("which"))
+    val perfect = row("dupont", "dupont", "dupont", "dupont", Seq("dupont", "jean"),
+      "paris", "75056", Seq("75056"), "75", "france", "FR", "POINT(2.3522 48.8566)", "1", "1")
+    val partial = row("dupont", "dupont", "durand", "durand", Seq("durand", "jean"),
+      "lyon", "69123", Seq("69123"), "69", "italie", "IT", "POINT(4.8357 45.764)", "1", "2")
+    perfect.unionByName(partial).write.mode("overwrite").parquet(s"$dir/matched")
+
+    // recipes below are copied 1:1 from conf/recipes/matching.yml:58-106
+    // (every python expression verbatim); only dataset wiring is ours
+    val yaml =
+      s"""datasets:
+         |  matched: {path: $dir/matched, format: parquet}
+         |recipes:
+         |  scoring:
+         |    steps:
+         |      - scoring_name_lev:
+         |      - scoring_location:
+         |      - scoring_date:
+         |      - scoring_sex:
+         |      - scoring_final:
+         |  scoring_name_lev:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_freq: max(matchid_name_first_freq,hit_matchid_name_first_freq,matchid_name_last_freq,hit_matchid_name_last_freq)*matchid_hit_matches_unfiltered
+         |        - matchid_hit_score_name_lv_nn: max(levenshtein_norm(matchid_name_last,hit_matchid_name_last),levenshtein_norm(matchid_name_last_match,hit_matchid_name_last_match))
+         |        - matchid_hit_score_name_lv_pp: max(levenshtein_norm(matchid_name_first_match,hit_matchid_name_first_match),levenshtein_norm(matchid_name_first,hit_matchid_name_first))
+         |        - matchid_hit_score_name_lv_np: round(levenshtein_norm(matchid_name_first,hit_matchid_name_last)*levenshtein_norm(matchid_name_last,hit_matchid_name_first),2)
+         |        - matchid_hit_score_name_tokens: round(len([x for x in matchid_name_tokens if x in hit_matchid_name_tokens])*1.0 /max(1,min(len(matchid_name_tokens),len(hit_matchid_name_tokens))),2)
+         |        - matchid_hit_score_name: round(max(matchid_hit_score_name_lv_nn*matchid_hit_score_name_lv_pp,0.7*matchid_hit_score_name_lv_np,0.7*matchid_hit_score_name_tokens),2)
+         |  scoring_location:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score_location_lv_city: levenshtein_norm(matchid_location_city,hit_matchid_location_city)
+         |        - matchid_hit_score_location_lv_city_src: levenshtein_norm(matchid_location_city_src,hit_matchid_location_city_src)
+         |        - matchid_hit_score_location_lv_country: levenshtein_norm(matchid_location_country,hit_matchid_location_country)
+         |        - matchid_hit_score_location_citycode_history: 1 if (len([x for x in matchid_location_citycode_history if x in hit_matchid_location_citycode_history])>0) else 0
+         |        - matchid_hit_score_location_citycode: 1 if ((len(matchid_location_citycode)>0) & (matchid_location_citycode == hit_matchid_location_citycode)) else 0
+         |        - matchid_hit_score_location_depcode: 1 if (matchid_location_depcode == hit_matchid_location_depcode) else 0
+         |        - matchid_hit_score_location_countrycode: 1 if (matchid_location_countrycode == hit_matchid_location_countrycode) else 0
+         |        - matchid_hit_distance: distance(matchid_location_city_geopoint_2d,hit_matchid_location_city_geopoint_2d)
+         |        - matchid_hit_score_location_distance: 0 if (matchid_hit_distance == "") else round(100*40/(40+matchid_hit_distance))/100
+         |        - matchid_hit_score_location: round(0.5*max(matchid_hit_score_location_citycode,matchid_hit_score_location_citycode_history,max(matchid_hit_score_location_lv_city,matchid_hit_score_location_lv_city_src),matchid_hit_score_location_distance)+0.25*max(matchid_hit_score_location_depcode, matchid_hit_score_location_citycode_history)+0.25*max(matchid_hit_score_location_countrycode,matchid_hit_score_location_lv_country,matchid_hit_score_location_citycode_history),2)
+         |  scoring_date:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score_date: round((levenshtein_norm(matchid_date_birth_str,hit_matchid_date_birth_str)**2)*(0.9 if re.search('0101$$',matchid_date_birth_str) else 1) ,2)
+         |  scoring_sex:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score_sex: 1 if (float_val(matchid_sex) == float_val(hit_matchid_sex)) else 0
+         |  scoring_final:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score: round(1.0*matchid_hit_score_name*matchid_hit_score_date*(0.2+0.8*matchid_hit_score_location)*(0.5*(1.0+matchid_hit_score_sex)),2)
+         |        - scoring_version: str("scoring_lev")
+         |        - confiance: round(100*matchid_hit_score)
+         |  score_all:
+         |    input: matched
+         |    steps:
+         |      - scoring
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "score_all")
+      .collect().map(r => r.getAs[String]("which") -> r).toMap
+    val a = out("A"); val b = out("B")
+    // perfect match: every component saturates
+    assert(a.getAs[Double]("matchid_hit_score_name") == 1.0)
+    assert(a.getAs[Double]("matchid_hit_score_location") == 1.0)
+    assert(a.getAs[Double]("matchid_hit_score_date") == 1.0)
+    assert(a.getAs[Long]("matchid_hit_score_sex") == 1L)
+    assert(a.getAs[Double]("matchid_hit_score") == 1.0)
+    assert(a.getAs[Long]("confiance") == 100L)
+    assert(a.getAs[String]("scoring_version") == "scoring_lev")
+    assert(a.getAs[Double]("matchid_hit_freq") == 2.0)
+    // partial match: dupont↔durand = 3 edits over min-len 6 → 0.57;
+    // token overlap 1/2 → 0.7·0.5 = 0.35 < 0.57
+    assert(b.getAs[Double]("matchid_hit_score_name") == 0.57)
+    assert(b.getAs[Long]("matchid_hit_score_sex") == 0L)
+    val dist = b.getAs[Double]("matchid_hit_distance")
+    assert(dist > 380 && dist < 400) // paris↔lyon great-circle km
+    val locB = b.getAs[Double]("matchid_hit_score_location")
+    assert(locB > 0.05 && locB < 0.3)
+    val scoreB = b.getAs[Double]("matchid_hit_score")
+    assert(scoreB > 0 && scoreB < 0.5)
+    assert(b.getAs[Long]("confiance") == math.round(scoreB * 100))
+  }
+
   test("map array form, dataset select + multi-file regex, before/after deps") {
     import spark.implicits._
     Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "x;y;z\n1;a;p\n")
