@@ -271,13 +271,17 @@ object RecipeConf {
       }
       case "join" => df => {
         val right = read(spark, conf.datasets(m("dataset").toString))
-        val select = strMap(m.getOrElse("select", null))
-        val strict = strMap(m.getOrElse("strict", null))
-        val fuzzy = strMap(m.getOrElse("fuzzy", null))
-        if (fuzzy.nonEmpty)
-          Joins.fuzzyJoin(df, right, fuzzy, strict, select,
-            maxDist = m.getOrElse("fuzzy_distance", "1").toString.toInt)
-        else Joins.strictJoin(df, right, strict, select)
+        if (m.contains("query") || m.get("type").exists(_.toString == "elasticsearch"))
+          esTemplateJoin(df, right, m)
+        else {
+          val select = strMap(m.getOrElse("select", null))
+          val strict = strMap(m.getOrElse("strict", null))
+          val fuzzy = strMap(m.getOrElse("fuzzy", null))
+          if (fuzzy.nonEmpty)
+            Joins.fuzzyJoin(df, right, fuzzy, strict, select,
+              maxDist = m.getOrElse("fuzzy_distance", "1").toString.toInt)
+          else Joins.strictJoin(df, right, strict, select)
+        }
       }
       case "asof_join" => df => {
         val right = read(spark, conf.datasets(m("dataset").toString))
@@ -320,6 +324,53 @@ object RecipeConf {
           case None => sys.error(s"unknown step: $other")
         }
     }
+  }
+
+  /** The reference's `type: elasticsearch` join with a full ES DSL query
+    * template (matching.yml:8-48): compile the template to a bool tree
+    * (MatchQuery.compileTemplate), map each leaf's left column / right
+    * index field to token-array columns (string columns are whitespace-
+    * tokenized — the fields are pre-analyzed by the normalize recipes,
+    * so this mirrors ES's analyzer on these inputs), and run the
+    * distributed top-k match. Left rows are identified by a content
+    * hash, so identical rows share one candidate computation. */
+  private def esTemplateJoin(df: DataFrame, right: DataFrame,
+      m: Map[String, Any]): DataFrame = {
+    import graft.operators.MatchQuery
+    import graft.operators.MatchQuery.{BoolNode, Leaf, Node}
+    import org.apache.spark.sql.types.ArrayType
+    val (spec0, _) = MatchQuery.compileTemplate(m("query"))
+    val rightId = m.getOrElse("right_id", "_id").toString
+    require(right.columns.contains(rightId),
+      s"es join: right dataset needs an id column '$rightId'")
+    var l = df.withColumn("__lid",
+      xxhash64(to_json(struct(df.columns.map(col): _*))))
+    var r = right
+    def tok(side: String, get: () => DataFrame, set: DataFrame => Unit)(name: String): String = {
+      val d = get()
+      require(d.columns.contains(name),
+        s"es join: $side column '$name' not found in [${d.columns.mkString(", ")}]")
+      d.schema(name).dataType match {
+        case ArrayType(_, _) => name
+        case _ =>
+          val tn = s"__tok_$name"
+          if (!d.columns.contains(tn))
+            set(d.withColumn(tn, graft.functions.Tools.tokenize(col(name))))
+          tn
+      }
+    }
+    val tokL = tok("left", () => l, l = _) _
+    val tokR = tok("right", () => r, r = _) _
+    def rewrite(n: Node): Node = n match {
+      case Leaf(i, c) =>
+        Leaf(i, c.copy(leftTokens = tokL(c.leftTokens), rightTokens = tokR(c.rightTokens)))
+      case b: BoolNode => b.copy(must = b.must.map(rewrite), should = b.should.map(rewrite))
+    }
+    val spec = spec0.copy(root = rewrite(spec0.root))
+    val keepUnmatched = m.get("keep_unmatched").exists(_.toString.toBoolean)
+    val out = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched)
+    out.drop(out.columns.filter(c =>
+      c.startsWith("__tok_") || c.startsWith("hit___tok_")): _*)
   }
 
   def compileRecipe(spark: SparkSession, conf: ProjectConf, r: RecipeDef): Step = {

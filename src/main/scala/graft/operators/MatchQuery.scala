@@ -1,31 +1,35 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Bool-query semantics for the match join — the interpreter for the
   * reference's ES query templates (must / should / minimum_should_match /
-  * per-clause fuzziness / span_first;
-  * /root/reference/conf/recipes/matching.yml:11-49, SURVEY.md §7.3).
+  * per-clause fuzziness / span_first — and NESTED bool trees, which the
+  * shipped matching template uses: conf/recipes/matching.yml:11-49;
+  * SURVEY.md §7.3).
   *
-  * Each clause matches one left token-array field against one right
-  * token-array field. A candidate (left row, right row) pair:
-  *   - must satisfy EVERY `required` (must) clause,
-  *   - must satisfy at least `minimumShouldMatch` optional clauses,
-  *   - scores the quantized-IDF sum over all satisfied clauses
-  *     (deterministic integer units, same contract as MatchJoin).
+  * Each leaf clause matches one left token-array field against one right
+  * token-array field. A candidate (left row, right row) pair satisfies
+  *   - a leaf when the clause has at least one token match,
+  *   - a bool node when EVERY `must` child is satisfied and at least
+  *     `minimumShouldMatch` `should` children are (ES default: 1 when
+  *     there are no musts, else 0),
+  * and scores the quantized-IDF sum over all matching leaves
+  * (deterministic integer units, same contract as MatchJoin).
   * `firstPosition` restricts the right side to its FIRST token — the
   * span_first analogue (name-starts-with semantics).
   *
-  * Plan shape: one token equi-join per clause (each a candidate
-  * generator, unioned), one groupBy over (left, right, clause) set, a
-  * filter on clause satisfaction, and a top-k window — all shuffles on
-  * small keys; IDF tables broadcast.
+  * Plan shape: one token equi-join per leaf (each a candidate
+  * generator, unioned), one groupBy over (left, right) with the
+  * satisfied-leaf set, a plan-side boolean-tree filter, and a top-k
+  * window — all shuffles on small keys; IDF tables broadcast; the tree
+  * evaluation is pure codegen over the collected set.
   */
 object MatchQuery {
 
-  /** One bool clause over token-array fields. */
+  /** One leaf clause over token-array fields. */
   case class Clause(
       leftTokens: String, rightTokens: String,
       required: Boolean = false,
@@ -33,26 +37,71 @@ object MatchQuery {
       firstPosition: Boolean = false,
       boost: Double = 1.0)
 
+  /** Flat spec — kept for the simple case; compiled to a one-level tree. */
   case class Spec(
       clauses: Seq[Clause],
       minimumShouldMatch: Int = 1,
       k: Int = 10)
 
-  private def delVariants(c: String): org.apache.spark.sql.Column =
+  // ---- recursive bool tree (the ES template shape)
+  sealed trait Node
+  /** idx identifies the leaf in the satisfied-set column. */
+  final case class Leaf(idx: Int, clause: Clause) extends Node
+  /** minimumShouldMatch = -1 → ES default (1 without musts, else 0). */
+  final case class BoolNode(
+      must: Seq[Node] = Nil,
+      should: Seq[Node] = Nil,
+      minimumShouldMatch: Int = -1) extends Node
+
+  case class TreeSpec(root: Node, k: Int = 10)
+
+  def leaves(n: Node): Seq[Leaf] = n match {
+    case l: Leaf => Seq(l)
+    case b: BoolNode => (b.must ++ b.should).flatMap(leaves)
+  }
+
+  /** Plan-side tree evaluation over the collected satisfied-leaf set —
+    * pure Column logic, stays in codegen. */
+  private def satisfied(n: Node, set: Column): Column = n match {
+    case Leaf(i, _) => array_contains(set, i)
+    case BoolNode(must, should, msm0) =>
+      val msm =
+        if (msm0 >= 0) math.min(msm0, should.size)
+        else if (must.nonEmpty) 0
+        else math.min(1, should.size)
+      val mOk = must.map(satisfied(_, set)).foldLeft(lit(true))(_ && _)
+      val sCnt = should.map(c => when(satisfied(c, set), 1).otherwise(0))
+        .foldLeft(lit(0))(_ + _)
+      mOk && (sCnt >= lit(msm))
+  }
+
+  private def delVariants(c: String): Column =
     array_distinct(concat(array(col(c)),
       expr(s"transform(sequence(1, length(`$c`)), i -> concat(substring(`$c`, 1, i-1), substring(`$c`, i+1)))")))
 
   def run(left: DataFrame, right: DataFrame, spec: Spec,
       leftId: String, rightId: String): DataFrame = {
-    require(spec.clauses.nonEmpty, "at least one clause")
+    val ls = spec.clauses.zipWithIndex.map { case (c, i) => Leaf(i, c) }
+    val (must, should) = ls.partition(_.clause.required)
+    runTree(left, right,
+      TreeSpec(BoolNode(must, should, spec.minimumShouldMatch), spec.k),
+      leftId, rightId)
+  }
+
+  def runTree(left: DataFrame, right: DataFrame, spec: TreeSpec,
+      leftId: String, rightId: String,
+      keepUnmatched: Boolean = false): DataFrame = {
+    val ls = leaves(spec.root)
+    require(ls.nonEmpty, "at least one clause")
+    require(ls.map(_.idx).distinct.size == ls.size, "leaf idx must be unique")
     // Corpus size rides the plan as a broadcast one-row aggregate (same
     // pattern as MatchJoin): no eager count() job — and no extra full
     // corpus scan — before the query's own action runs.
     val nDocs = broadcast(right.agg(
       countDistinct(col(rightId)).cast("double").as("__n")))
 
-    // per-clause candidate scores (lid, rid, clauseIdx, score)
-    val perClause = spec.clauses.zipWithIndex.map { case (cl, idx) =>
+    // per-leaf candidate scores (lid, rid, leafIdx, score)
+    val perLeaf = ls.map { case Leaf(idx, cl) =>
       val rTokens =
         if (cl.firstPosition) slice(array_distinct(col(cl.rightTokens)), 1, 1)
         else array_distinct(col(cl.rightTokens))
@@ -82,26 +131,14 @@ object MatchQuery {
       cand.join(broadcast(idf), Seq("__tok"))
         .groupBy("__lid", "__rid")
         .agg(sum("__w").as("__cscore"))
-        .withColumn("__clause", lit(idx))
+        .withColumn("__leaf", lit(idx))
     }
 
-    val all = perClause.reduce(_ unionByName _)
-    val nMust = spec.clauses.count(_.required)
-    val mustIdx = spec.clauses.zipWithIndex.filter(_._1.required).map(_._2)
+    val all = perLeaf.reduce(_ unionByName _)
     val agg = all.groupBy("__lid", "__rid")
       .agg(sum("__cscore").as("hit_score"),
-        collect_set("__clause").as("__satisfied"))
-      .withColumn("__must_ok",
-        if (mustIdx.isEmpty) lit(true)
-        else mustIdx.map(i => array_contains(col("__satisfied"), i))
-          .reduce(_ && _))
-      .withColumn("__should_n",
-        size(col("__satisfied")) -
-          mustIdx.map(i => when(array_contains(col("__satisfied"), i), 1).otherwise(0))
-            .foldLeft(lit(0))(_ + _))
-      .filter(col("__must_ok") &&
-        col("__should_n") >= math.min(spec.minimumShouldMatch,
-          spec.clauses.length - nMust))
+        collect_set("__leaf").as("__satisfied"))
+      .filter(satisfied(spec.root, col("__satisfied")))
 
     val stats = Window.partitionBy(col("__lid"))
     val w = stats.orderBy(col("hit_score").desc, col("__rid"))
@@ -114,7 +151,107 @@ object MatchQuery {
     val hitCols = right.columns.map(c => col(c).as(s"hit_$c"))
     val withHits = topk.join(right.select(hitCols.toSeq: _*),
       topk("__rid") === col(s"hit_$rightId"))
-    left.join(withHits, left(leftId) === withHits("__lid"), "inner")
-      .drop("__lid", "__rid", "__satisfied", "__must_ok", "__should_n")
+    left.join(withHits, left(leftId) === withHits("__lid"),
+        if (keepUnmatched) "left" else "inner")
+      .drop("__lid", "__rid", "__satisfied")
+  }
+
+  // ------------------------------------------------ ES template compiler
+  /** Compile the reference's ES query-template YAML (already parsed to
+    * java maps/lists) into a TreeSpec + the left/right token columns each
+    * leaf needs. The template's `match` keys name RIGHT (index) fields;
+    * their values name LEFT columns whose row value is substituted
+    * (replace_dict, recipes.py:2285-2286). Supported constructs:
+    * bool/must/should/minimum_should_match, match (plain or
+    * {query, fuzziness}), span_first(match(span_term), end: 1),
+    * function_score/query wrappers, top-level size. Anything else fails
+    * at compile time.
+    *
+    * Returns (spec, leaf field pairs as (leftCol, rightField)); the
+    * caller maps field names to token-array columns (tokenizing string
+    * columns) and rewrites the Clause columns accordingly.
+    */
+  def compileTemplate(template: Any): (TreeSpec, Int) = {
+    import scala.jdk.CollectionConverters._
+    var k = 10
+    def asMap(a: Any): Map[String, Any] = a match {
+      case m: java.util.Map[_, _] => m.asScala.map { case (kk, v) => kk.toString -> v }.toMap
+      case other => sys.error(s"es-template: expected mapping, got $other")
+    }
+    def asList(a: Any): Seq[Any] = a match {
+      case l: java.util.List[_] => l.asScala.toSeq
+      case null => Nil
+      case one => Seq(one) // ES allows a single clause instead of a list
+    }
+    val nextIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def leaf(rightField: String, leftCol: String, fuzziness: Int,
+        firstPosition: Boolean): Leaf =
+      Leaf(nextIdx.getAndIncrement(),
+        Clause(leftTokens = leftCol, rightTokens = rightField,
+          fuzziness = fuzziness, firstPosition = firstPosition))
+
+    def parseMatch(a: Any, firstPosition: Boolean = false): Leaf = {
+      val m = asMap(a)
+      require(m.size == 1, s"es-template: match must have one field, got ${m.keys}")
+      val (field, v) = m.head
+      v match {
+        case s: String => leaf(field, s, 0, firstPosition)
+        case mm: java.util.Map[_, _] =>
+          val vm = asMap(mm)
+          val q = vm.getOrElse("query",
+            sys.error(s"es-template: match on $field needs a query")).toString
+          val fz = vm.get("fuzziness").map(_.toString) match {
+            case Some("auto") | Some("AUTO") => 1
+            case Some(n) => n.toInt
+            case None => 0
+          }
+          leaf(field, q, fz, firstPosition)
+        case other => sys.error(s"es-template: bad match value $other")
+      }
+    }
+
+    def parseNode(a: Any): Node = {
+      val m = asMap(a)
+      require(m.size == 1, s"es-template: clause must have one key, got ${m.keys}")
+      m.head match {
+        case ("bool", b) =>
+          val bm = asMap(b)
+          val unknown = bm.keySet -- Set("must", "should", "minimum_should_match")
+          require(unknown.isEmpty, s"es-template: unsupported bool keys $unknown")
+          BoolNode(
+            must = asList(bm.getOrElse("must", null)).map(parseNode),
+            should = asList(bm.getOrElse("should", null)).map(parseNode),
+            minimumShouldMatch =
+              bm.get("minimum_should_match").map(_.toString.toInt).getOrElse(-1))
+        case ("match", v) => parseMatch(v)
+        case ("span_first", v) =>
+          val sm = asMap(v)
+          require(sm.get("end").forall(_.toString.toInt == 1),
+            "es-template: span_first supports end: 1 (first-token semantics)")
+          val inner = asMap(sm.getOrElse("match",
+            sys.error("es-template: span_first needs a match")))
+          val term = inner.getOrElse("span_term",
+            sys.error("es-template: span_first match must wrap span_term"))
+          parseMatch(term, firstPosition = true)
+        case (other, _) =>
+          sys.error(s"es-template: unsupported clause '$other' — supported: " +
+            "bool, match, span_first(span_term, end: 1)")
+      }
+    }
+
+    // unwrap {size, query}, {function_score: {query: …}} wrappers
+    def unwrap(a: Any): Node = {
+      val m = asMap(a)
+      if (m.contains("size")) k = m("size").toString.toInt
+      if (m.contains("bool")) parseNode(a)
+      else if (m.contains("function_score")) unwrap(asMap(m("function_score"))("query"))
+      else if (m.contains("query")) unwrap(m("query"))
+      else if (m.contains("match") || m.contains("span_first")) parseNode(a)
+      else sys.error(s"es-template: cannot interpret keys ${m.keys}")
+    }
+
+    val root = unwrap(template)
+    (TreeSpec(root, k), nextIdx.get())
   }
 }

@@ -375,6 +375,89 @@ class RecipeConfSpec extends SparkSpec {
     assert(b.getAs[Long]("confiance") == math.round(scoreB * 100))
   }
 
+  test("the reference's ES-template join runs verbatim (matching.yml:8-48)") {
+    import spark.implicits._
+    Seq(("dupont", "jean", "19800612", "paris", "france"))
+      .toDF("matchid_name_last_match", "matchid_name_first_match",
+        "matchid_date_birth_str", "matchid_location_city", "matchid_location_country")
+      .write.mode("overwrite").parquet(s"$dir/esj_left")
+    Seq(
+      // exact name+date, everything agrees → best hit
+      (1L, "dupont jean", "19800612", "paris", "france"),
+      // name at edit distance 1 (fuzziness: auto), date exact → hit
+      (2L, "dupond jean", "19800612", "lyon", "france"),
+      // name unrelated → both must-branches fail → excluded
+      (3L, "martin luc", "19800612", "paris", "france"),
+      // name exact but date >1 edit away → both branches fail → excluded
+      (4L, "dupont jean", "19991231", "paris", "france"),
+      // name exact, date at edit distance 1 (fuzziness: 1) → hit
+      (5L, "dupont jean", "19800613", "paris", "france"))
+      .toDF("_id", "matchid_name_match", "matchid_date_birth_str",
+        "matchid_location_city", "matchid_location_country")
+      .write.mode("overwrite").parquet(s"$dir/esj_right")
+    // the query template below is copied 1:1 from matching.yml:11-48
+    val yaml =
+      s"""datasets:
+         |  persons: {path: $dir/esj_left, format: parquet}
+         |  matchid: {path: $dir/esj_right, format: parquet}
+         |recipes:
+         |  match_es:
+         |    input: persons
+         |    steps:
+         |      - join:
+         |          type: elasticsearch
+         |          dataset: matchid
+         |          query:
+         |            size: 10
+         |            query:
+         |              bool:
+         |                must:
+         |                  - bool:
+         |                      should:
+         |                        - bool:
+         |                            must:
+         |                              - match:
+         |                                  matchid_name_match:
+         |                                    query: matchid_name_last_match
+         |                                    fuzziness: auto
+         |                              - match:
+         |                                  matchid_date_birth_str: matchid_date_birth_str
+         |                        - bool:
+         |                            must:
+         |                              - match:
+         |                                  matchid_name_match: matchid_name_last_match
+         |                              - match:
+         |                                  matchid_date_birth_str:
+         |                                    query: matchid_date_birth_str
+         |                                    fuzziness: 1
+         |                      minimum_should_match: 1
+         |                should:
+         |                  - bool:
+         |                      should:
+         |                        - span_first:
+         |                            match:
+         |                              span_term:
+         |                                  matchid_name_match: matchid_name_last_match
+         |                            end: 1
+         |                        - match:
+         |                            matchid_name_match: matchid_name_first_match
+         |                        - match:
+         |                            matchid_location_city: matchid_location_city
+         |                        - match:
+         |                            matchid_location_country: matchid_location_country
+         |                      minimum_should_match: 2
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "match_es").collect()
+    val hits = out.map(_.getAs[Long]("hit__id")).toSet
+    assert(hits == Set(1L, 2L, 5L),
+      s"expected the fuzzy-name and fuzzy-date hits only, got $hits")
+    val byId = out.map(r => r.getAs[Long]("hit__id") -> r).toMap
+    assert(byId(1L).getAs[Int]("hit_rank") == 1) // everything-agrees doc ranks first
+    assert(out.forall(_.getAs[Long]("matchid_hit_matches_unfiltered") == 3L))
+    // the downstream contract columns are all present
+    assert(out.head.schema.fieldNames.count(_.startsWith("hit_")) >= 6)
+  }
+
   test("map array form, dataset select + multi-file regex, before/after deps") {
     import spark.implicits._
     Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "x;y;z\n1;a;p\n")
