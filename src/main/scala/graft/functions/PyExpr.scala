@@ -223,7 +223,19 @@ object PyExpr {
           val args = scala.collection.mutable.Buffer.empty[Ast]
           if (peek != TOp(")")) {
             args += parseExpr()
-            while (peek == TOp(",")) { advance(); args += parseExpr() }
+            // generator expression as sole argument: f(x for v in src if c)
+            // — e.g. next(s for s in names if s), matching.yml:6-7
+            if (eatName("for")) {
+              val v = advance() match {
+                case TName(nm) => nm
+                case t         => fail(s"expected loop variable, got $t")
+              }
+              if (!eatName("in")) fail("generator missing 'in'")
+              val srcE = parseOr()
+              val cond = if (eatName("if")) Some(parseExpr()) else None
+              args(0) = PComp(args(0), v, srcE, cond)
+            } else
+              while (peek == TOp(",")) { advance(); args += parseExpr() }
           }
           expectOp(")")
           a = PCall(a, args.toSeq)
@@ -324,6 +336,8 @@ object PyExpr {
       if (args.length == 1) ty(args.head) match { case TArrT(e) => e; case _ => TNumT }
       else args.map(ty).find(t => t == TStrT).getOrElse(TNumT)
     case PName("tokenize")       => TArrT(TStrT)
+    case PName("next") =>
+      args.headOption.map(ty).collect { case TArrT(e) => e }.getOrElse(TUnk)
     case PName("normalize")      => ty(args.head)
     case PName("flatten") =>
       ty(args.head) match {
@@ -400,9 +414,9 @@ object PyExpr {
       val elemT = ty(src) match { case TArrT(e) => e; case _ => TUnk }
       def inner(x: Column): Ctx = ctx.bind(v, x, elemT)
       (elem, cond) match {
-        case (PName(`v`), Some(c)) => filter(srcC, x => tr(c)(inner(x)))
+        case (PName(`v`), Some(c)) => filter(srcC, x => truthy(c)(inner(x)))
         case (_, Some(c)) =>
-          transform(filter(srcC, x => tr(c)(inner(x))), x => tr(elem)(inner(x)))
+          transform(filter(srcC, x => truthy(c)(inner(x))), x => tr(elem)(inner(x)))
         case (_, None) => transform(srcC, x => tr(elem)(inner(x)))
       }
 
@@ -410,7 +424,7 @@ object PyExpr {
       planBool(cond) match {
         case Some(true)  => tr(t)
         case Some(false) => tr(f)
-        case None        => when(tr(cond), tr(t)).otherwise(tr(f))
+        case None        => when(truthy(cond), tr(t)).otherwise(tr(f))
       }
 
     case PIndex(obj, idx) =>
@@ -479,6 +493,17 @@ object PyExpr {
     case _              => tr(x).isNull || tr(x) === lit("")
   }
 
+  /** Python truthiness for condition positions (`if s`, generator `if`):
+    * bools stay; strings are truthy when non-null non-empty; numbers
+    * when non-null non-zero; arrays when non-empty. */
+  private def truthy(x: Ast)(implicit ctx: Ctx): Column = ty(x) match {
+    case TBoolT   => tr(x)
+    case TStrT    => tr(x).isNotNull && tr(x) =!= lit("")
+    case TNumT    => tr(x).isNotNull && tr(x) =!= lit(0)
+    case TArrT(_) => tr(x).isNotNull && size(tr(x)) > 0
+    case TUnk     => tr(x) // already-boolean expressions (comparisons, rlike)
+  }
+
   private def trCall(fn: Ast, args: Seq[Ast])(implicit ctx: Ctx): Column = (fn, args) match {
     // ---- core builtins
     case (PName("len"), Seq(x)) =>
@@ -506,6 +531,9 @@ object PyExpr {
     case (PName("int"), Seq(x))   => tr(x).try_cast("long")
     case (PName("float"), Seq(x)) => tr(x).try_cast("double")
     case (PName("list"), Seq(x))  => tr(x)
+    // next(gen) → first element of the generated sequence; exhausted
+    // generator → NULL (the reference turns StopIteration into "Ooops…")
+    case (PName("next"), Seq(x))  => try_element_at(tr(x), lit(1))
     case (PName("filter"), Seq(PNone, x)) =>
       // python filter(None, …) drops falsy values: None and ""
       filter(tr(x), e => e.isNotNull && e =!= lit(""))

@@ -123,6 +123,20 @@ class PyExprSpec extends SparkSpec {
     assert(out.as[String].head() == "garcia <> lopez")
   }
 
+  test("next() over a generator: first truthy element (matching.yml:6-7)") {
+    val df = Seq(
+      (Seq("", "dupont", "jean"), 1),
+      (Seq("", ""), 2)).toDF("matchid_name_last", "k")
+    val e = "next(s for s in matchid_name_last if s) if (type(matchid_name_last)==list) else matchid_name_last"
+    val out = df.select(col("k"), ev(df, e).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "dupont") // empties skipped
+    assert(out(2) == null)     // exhausted generator → null
+    // string variant takes the plan-time else branch
+    val sdf = Seq("martin").toDF("matchid_name_last")
+    assert(sdf.select(ev(sdf, e).as("m")).as[String].head() == "martin")
+  }
+
   test("unsupported constructs fail at compile time with the expression in the message") {
     val df = Seq("x").toDF("c")
     val e1 = intercept[RuntimeException](ev(df, "some_unknown_fn(c)"))

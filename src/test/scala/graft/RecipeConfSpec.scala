@@ -458,6 +458,172 @@ class RecipeConfSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.count(_.startsWith("hit_")) >= 6)
   }
 
+  test("the reference's ENTIRE matching recipe runs verbatim end-to-end (matching.yml:1-56)") {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    // left: one person, names as arrays (the name.yml output shape)
+    spark.range(1).select(
+      lit("p1").as("person_id"),
+      typedLit(Seq("jean")).as("matchid_name_first"),
+      typedLit(Seq("dupont")).as("matchid_name_last"),
+      typedLit(Seq("dupont", "jean")).as("matchid_name_tokens"),
+      lit(1.0).as("matchid_name_first_freq"), lit(1.0).as("matchid_name_last_freq"),
+      lit("jean").as("matchid_name_first_match"),
+      lit("19800612").as("matchid_date_birth_str"),
+      lit("paris").as("matchid_location_city"), lit("paris").as("matchid_location_city_src"),
+      lit("france").as("matchid_location_country"),
+      lit("75056").as("matchid_location_citycode"),
+      typedLit(Seq("75056")).as("matchid_location_citycode_history"),
+      lit("75").as("matchid_location_depcode"), lit("FR").as("matchid_location_countrycode"),
+      lit("POINT(2.3522 48.8566)").as("matchid_location_city_geopoint_2d"),
+      lit("1").as("matchid_sex"))
+      .write.mode("overwrite").parquet(s"$dir/full_left")
+    // right: the civil-state index — one perfect doc, one 1-edit name
+    // variant, one unrelated doc
+    def doc(id: Long, nameMatch: String, last: String, lastMatch: String,
+        toks: Seq[String]) =
+      spark.range(1).select(
+        lit(id).as("_id"),
+        lit(nameMatch).as("matchid_name_match"),
+        typedLit(Seq("jean")).as("matchid_name_first"),
+        typedLit(Seq(last)).as("matchid_name_last"),
+        typedLit(toks).as("matchid_name_tokens"),
+        lit(1.0).as("matchid_name_first_freq"), lit(1.0).as("matchid_name_last_freq"),
+        lit("jean").as("matchid_name_first_match"), lit(lastMatch).as("matchid_name_last_match"),
+        lit("19800612").as("matchid_date_birth_str"),
+        lit("paris").as("matchid_location_city"), lit("paris").as("matchid_location_city_src"),
+        lit("france").as("matchid_location_country"),
+        lit("75056").as("matchid_location_citycode"),
+        typedLit(Seq("75056")).as("matchid_location_citycode_history"),
+        lit("75").as("matchid_location_depcode"), lit("FR").as("matchid_location_countrycode"),
+        lit("POINT(2.3522 48.8566)").as("matchid_location_city_geopoint_2d"),
+        lit("1").as("matchid_sex"))
+    doc(1L, "dupont jean", "dupont", "dupont", Seq("dupont", "jean"))
+      .unionByName(doc(2L, "dupond jean", "dupond", "dupond", Seq("dupond", "jean")))
+      .unionByName(doc(3L, "martin luc", "martin", "martin", Seq("martin", "luc")))
+      .write.mode("overwrite").parquet(s"$dir/full_right")
+
+    // recipes below: matching.yml:1-56 steps verbatim (the commented-out
+    // diff/pause steps omitted), scoring recipes as in the scoring e2e
+    val yaml =
+      s"""datasets:
+         |  persons: {path: $dir/full_left, format: parquet}
+         |  matchid: {path: $dir/full_right, format: parquet}
+         |recipes:
+         |  matching:
+         |    input: persons
+         |    steps:
+         |      - eval:
+         |        - matchid_name_last_match: next(s for s in matchid_name_last if s) if (type(matchid_name_last)==list) else matchid_name_last
+         |        - matchid_name_first_match: next(s for s in matchid_name_first if s) if (type(matchid_name_first)==list) else matchid_name_first
+         |      - join:
+         |          type: elasticsearch
+         |          dataset: matchid
+         |          query:
+         |            size: 10
+         |            query:
+         |              bool:
+         |                must:
+         |                  - bool:
+         |                      should:
+         |                        - bool:
+         |                            must:
+         |                              - match:
+         |                                  matchid_name_match:
+         |                                    query: matchid_name_last_match
+         |                                    fuzziness: auto
+         |                              - match:
+         |                                  matchid_date_birth_str: matchid_date_birth_str
+         |                        - bool:
+         |                            must:
+         |                              - match:
+         |                                  matchid_name_match: matchid_name_last_match
+         |                              - match:
+         |                                  matchid_date_birth_str:
+         |                                    query: matchid_date_birth_str
+         |                                    fuzziness: 1
+         |                      minimum_should_match: 1
+         |                should:
+         |                  - bool:
+         |                      should:
+         |                        - span_first:
+         |                            match:
+         |                              span_term:
+         |                                  matchid_name_match: matchid_name_last_match
+         |                            end: 1
+         |                        - match:
+         |                            matchid_name_match: matchid_name_first_match
+         |                        - match:
+         |                            matchid_location_city: matchid_location_city
+         |                        - match:
+         |                            matchid_location_country: matchid_location_country
+         |                      minimum_should_match: 2
+         |      - scoring:
+         |      - keep:
+         |          select: (.*id|.*diff.*|matchid_hit_score($$|_[a-z]*))$$
+         |          where: matchid_hit_score>0.1
+         |  scoring:
+         |    steps:
+         |      - scoring_name_lev:
+         |      - scoring_location:
+         |      - scoring_date:
+         |      - scoring_sex:
+         |      - scoring_final:
+         |  scoring_name_lev:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_freq: max(matchid_name_first_freq,hit_matchid_name_first_freq,matchid_name_last_freq,hit_matchid_name_last_freq)*matchid_hit_matches_unfiltered
+         |        - matchid_hit_score_name_lv_nn: max(levenshtein_norm(matchid_name_last,hit_matchid_name_last),levenshtein_norm(matchid_name_last_match,hit_matchid_name_last_match))
+         |        - matchid_hit_score_name_lv_pp: max(levenshtein_norm(matchid_name_first_match,hit_matchid_name_first_match),levenshtein_norm(matchid_name_first,hit_matchid_name_first))
+         |        - matchid_hit_score_name_lv_np: round(levenshtein_norm(matchid_name_first,hit_matchid_name_last)*levenshtein_norm(matchid_name_last,hit_matchid_name_first),2)
+         |        - matchid_hit_score_name_tokens: round(len([x for x in matchid_name_tokens if x in hit_matchid_name_tokens])*1.0 /max(1,min(len(matchid_name_tokens),len(hit_matchid_name_tokens))),2)
+         |        - matchid_hit_score_name: round(max(matchid_hit_score_name_lv_nn*matchid_hit_score_name_lv_pp,0.7*matchid_hit_score_name_lv_np,0.7*matchid_hit_score_name_tokens),2)
+         |  scoring_location:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score_location_lv_city: levenshtein_norm(matchid_location_city,hit_matchid_location_city)
+         |        - matchid_hit_score_location_lv_city_src: levenshtein_norm(matchid_location_city_src,hit_matchid_location_city_src)
+         |        - matchid_hit_score_location_lv_country: levenshtein_norm(matchid_location_country,hit_matchid_location_country)
+         |        - matchid_hit_score_location_citycode_history: 1 if (len([x for x in matchid_location_citycode_history if x in hit_matchid_location_citycode_history])>0) else 0
+         |        - matchid_hit_score_location_citycode: 1 if ((len(matchid_location_citycode)>0) & (matchid_location_citycode == hit_matchid_location_citycode)) else 0
+         |        - matchid_hit_score_location_depcode: 1 if (matchid_location_depcode == hit_matchid_location_depcode) else 0
+         |        - matchid_hit_score_location_countrycode: 1 if (matchid_location_countrycode == hit_matchid_location_countrycode) else 0
+         |        - matchid_hit_distance: distance(matchid_location_city_geopoint_2d,hit_matchid_location_city_geopoint_2d)
+         |        - matchid_hit_score_location_distance: 0 if (matchid_hit_distance == "") else round(100*40/(40+matchid_hit_distance))/100
+         |        - matchid_hit_score_location: round(0.5*max(matchid_hit_score_location_citycode,matchid_hit_score_location_citycode_history,max(matchid_hit_score_location_lv_city,matchid_hit_score_location_lv_city_src),matchid_hit_score_location_distance)+0.25*max(matchid_hit_score_location_depcode, matchid_hit_score_location_citycode_history)+0.25*max(matchid_hit_score_location_countrycode,matchid_hit_score_location_lv_country,matchid_hit_score_location_citycode_history),2)
+         |  scoring_date:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score_date: round((levenshtein_norm(matchid_date_birth_str,hit_matchid_date_birth_str)**2)*(0.9 if re.search('0101$$',matchid_date_birth_str) else 1) ,2)
+         |  scoring_sex:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score_sex: 1 if (float_val(matchid_sex) == float_val(hit_matchid_sex)) else 0
+         |  scoring_final:
+         |    steps:
+         |      - eval:
+         |        - matchid_hit_score: round(1.0*matchid_hit_score_name*matchid_hit_score_date*(0.2+0.8*matchid_hit_score_location)*(0.5*(1.0+matchid_hit_score_sex)),2)
+         |        - scoring_version: str("scoring_lev")
+         |        - confiance: round(100*matchid_hit_score)
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "matching").collect()
+    // doc 3 never makes it out of the join; docs 1 and 2 survive the
+    // score threshold
+    assert(out.length == 2)
+    val byDoc = out.map(r => r.getAs[Long]("hit__id") -> r).toMap
+    assert(byDoc(1L).getAs[Double]("matchid_hit_score") == 1.0)
+    // dupont↔dupond: 1 damerau edit over min-len 6 → name 0.86, all else
+    // perfect → final 0.86
+    assert(byDoc(2L).getAs[Double]("matchid_hit_score") == 0.86)
+    // confiance is computed by scoring_final but (correctly) dropped by
+    // the keep regex — like the reference
+    // the keep step's regex projection: ids + score columns only
+    val cols = out.head.schema.fieldNames.toSet
+    assert(cols.contains("person_id") && cols.contains("hit__id"))
+    assert(cols.contains("matchid_hit_score_name") && cols.contains("matchid_hit_score_sex"))
+    assert(!cols.contains("matchid_hit_score_name_lv_nn")) // deep columns dropped
+    assert(!cols.contains("matchid_name_match"))
+  }
+
   test("map array form, dataset select + multi-file regex, before/after deps") {
     import spark.implicits._
     Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "x;y;z\n1;a;p\n")
