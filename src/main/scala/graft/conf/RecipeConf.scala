@@ -274,7 +274,9 @@ object RecipeConf {
         if (m.contains("query") || m.get("type").exists(_.toString == "elasticsearch"))
           esTemplateJoin(df, right, m)
         else {
-          val select = strMap(m.getOrElse("select", null))
+          // reference select maps OUTPUT name → right column
+          // (location.yml:44-45); Joins takes right column → output
+          val select = strMap(m.getOrElse("select", null)).map(_.swap)
           val strict = strMap(m.getOrElse("strict", null))
           val fuzzy = strMap(m.getOrElse("fuzzy", null))
           if (fuzzy.nonEmpty)

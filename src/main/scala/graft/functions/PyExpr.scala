@@ -352,6 +352,7 @@ object PyExpr {
       args.map(ty).collectFirst { case t @ TArrT(_) => t }.getOrElse(TArrT(TUnk))
     case PAttr(PName("re"), "sub")    => TStrT
     case PAttr(PName("re"), "search") => TBoolT
+    case PAttr(PName("json"), "loads") => TArrT(TStrT)
     case PAttr(PCall(PAttr(PName("re"), "compile"), _), "split") => TArrT(TStrT)
     case PAttr(_, "join")    => TStrT
     case PAttr(_, "replace") => TStrT
@@ -366,6 +367,12 @@ object PyExpr {
     case PBin("==", PName(t), PCall(PName("type"), Seq(x))) => typeIs(x, t)
     case PBin("!=", PCall(PName("type"), Seq(x)), PName(t)) => typeIs(x, t).map(!_)
     case PBin("!=", PName(t), PCall(PName("type"), Seq(x))) => typeIs(x, t).map(!_)
+    // column-existence check: 'c' in row.keys() — schema knowledge, so
+    // the ternary branch referencing a possibly-missing column is pruned
+    // at plan-build time (location.yml:131-133)
+    case PBin("in", PStr(c), PCall(PAttr(PName("row"), "keys"), Seq())) =>
+      Some(ctx.schema.fieldNames.contains(c))
+    case PUn("not", inner) => planBool(inner).map(!_)
     case _ => None
   }
   private def typeIs(x: Ast, t: String)(implicit ctx: Ctx): Option[Boolean] = t match {
@@ -407,6 +414,7 @@ object PyExpr {
         if (ctx.schema.fieldNames.contains(n)) col(n)
         else ctx.fail(s"unknown column or name '$n' (schema: ${ctx.schema.fieldNames.mkString(", ")})")
       }
+    case PList(Nil)   => array().cast("array<string>") // list([]) — typed empty
     case PList(items) => array(items.map(tr): _*)
 
     case PComp(elem, v, src, cond) =>
@@ -427,6 +435,13 @@ object PyExpr {
         case None        => when(truthy(cond), tr(t)).otherwise(tr(f))
       }
 
+    // geopoint(x)[0]/[1] — the reference's (lat, lon) tuple fields
+    // (tools.py:65-69; location.yml:131-133)
+    case PIndex(PCall(PName("geopoint"), Seq(x)), PNum(i, true)) =>
+      val g = Tools.geopoint(tr(x))
+      if (i.toLong == 0L) g.getField("lat")
+      else if (i.toLong == 1L) g.getField("lon")
+      else ctx.fail(s"geopoint has fields [0]=lat, [1]=lon, got index $i")
     case PIndex(obj, idx) =>
       ty(obj) match {
         case TArrT(_) =>
@@ -605,6 +620,11 @@ object PyExpr {
       // deterministic order (first array's order, then unseen elements),
       // unlike python's arbitrary set order
       xs.map(tr).reduce(array_union)
+    // json.loads over the reference's JSON-array-of-strings cells (the
+    // only shape shipped recipes parse — citycode_history,
+    // location.yml:133); other JSON shapes need an explicit unnest step
+    case (PAttr(PName("json"), "loads"), Seq(x)) =>
+      from_json(tr(x), ArrayType(StringType))
     case (PAttr(PName("re"), "sub"), Seq(p, r, s)) =>
       regexp_replace(tr(s), litString(p), pyReplToJava(litString(r)))
     case (PAttr(PName("re"), "search"), p +: s +: flagArgs) =>

@@ -100,16 +100,24 @@ object Ops {
     }
 
   // ---------------------------------------------------------------- casts
-  /** `to_integer` (code/recipes.py:1916-1927). */
+  /** `to_integer` (code/recipes.py:1916-1927). Already-numeric columns
+    * just cast (the ""-as-missing check only applies to strings — under
+    * ANSI a numeric = '' comparison would error). */
   def toInteger(df: DataFrame, select: Seq[String]): DataFrame =
     selectColumns(df, select).foldLeft(df) { (d, c) =>
-      d.withColumn(c, Tools.toInteger(col(c)))
+      d.withColumn(c, d.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c).cast("long")
+        case _ => Tools.toInteger(col(c))
+      })
     }
 
   /** `to_float` with optional na_value (code/recipes.py:1955-1970). */
   def toFloat(df: DataFrame, select: Seq[String], naValue: Option[Double] = None): DataFrame =
     selectColumns(df, select).foldLeft(df) { (d, c) =>
-      d.withColumn(c, Tools.toFloat(col(c), naValue))
+      d.withColumn(c, d.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+        case _ => Tools.toFloat(col(c), naValue)
+      })
     }
 
   /** `parsedate` (code/recipes.py:2448-2459). */

@@ -624,6 +624,85 @@ class RecipeConfSpec extends SparkSpec {
     assert(!cols.contains("matchid_name_match"))
   }
 
+  test("the reference's french_citycode recipe runs verbatim (location.yml:119-156)") {
+    import spark.implicits._
+    // referential: the french_citycodes CSV (all-string, ; separated)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/citycodes.csv"),
+      "insee_code;insee_code_history;name;newest_name;dep_code;newest_dep_code;population;surface;geopoint_2d\n" +
+        "75056;[\"75056\",\"75100\"];paris;paris;75;75;2148000;105;POINT(2.3522 48.8566)\n" +
+        "97409;[\"97409\"];saint denis;saint denis;974;974;150000;143;\n")
+    Seq(
+      ("75056", "PARIS"),       // direct hit
+      ("98405", "ST DENIS"),    // réunion mapping 98405 → 97409 (replace chain)
+      ("99123", "FOREIGNTOWN")) // foreign → blanked → no match → fallbacks
+      .toDF("matchid_location_citycode_src", "matchid_location_city_src")
+      .write.mode("overwrite").parquet(s"$dir/citycode_left")
+    // steps copied 1:1 from location.yml:119-156
+    val yaml =
+      s"""datasets:
+         |  persons_cc: {path: $dir/citycode_left, format: parquet}
+         |  french_citycodes: {path: $dir/citycodes.csv, format: csv}
+         |recipes:
+         |  french_citycode:
+         |    input: persons_cc
+         |    steps:
+         |      - eval:
+         |          - matchid_location_citycode: matchid_location_citycode if ('matchid_location_citycode' in row.keys()) else matchid_location_citycode_src
+         |      - replace:
+         |          select: matchid_location_citycode$$
+         |          regex:
+         |            - ^9.352$$: ''
+         |            - ^985(..)$$: '976\\1'
+         |            - ^98405: '97409'
+         |            - ^98(2|3|4).*$$: ''
+         |            - ^99.*$$: ''
+         |      - join:
+         |          dataset: french_citycodes
+         |          type: in_memory
+         |          strict:
+         |            matchid_location_citycode: insee_code
+         |          select:
+         |            matchid_location_citycode_history: insee_code_history
+         |            matchid_location_city: name
+         |            matchid_location_city_alter: newest_name
+         |            matchid_location_depcode: dep_code
+         |            matchid_location_depcode_alter: newest_dep_code
+         |            matchid_location_city_population: population
+         |            matchid_location_city_surface: surface
+         |            matchid_location_city_geopoint_2d: geopoint_2d
+         |      - eval:
+         |          - matchid_location_city: matchid_location_city_src if ('matchid_location_city' not in row.keys()) else (matchid_location_city_src if (matchid_location_city=="") else matchid_location_city )
+         |          - matchid_location_depcode: str("99") if ('matchid_location_depcode' not in row.keys()) else ( str("99") if (matchid_location_depcode == "") else matchid_location_depcode)
+         |          - matchid_location_citycode_history: list([]) if (matchid_location_citycode_history=="") else json.loads(matchid_location_citycode_history)
+         |      - eval:
+         |          - matchid_location_latitude: geopoint(matchid_location_city_geopoint_2d)[0] if ('POINT' in matchid_location_city_geopoint_2d) else matchid_location_country_latitude if ("matchid_location_country_latitude" in row.keys()) else 90
+         |          - matchid_location_longitude: geopoint(matchid_location_city_geopoint_2d)[1] if ('POINT' in matchid_location_city_geopoint_2d) else matchid_location_country_longitude if ("matchid_location_country_latitude" in row.keys()) else 90
+         |      - to_float:
+         |          select: ^matchid_location_(latitude|longitude)$$
+         |          na_value: 90
+         |      - to_integer:
+         |          select: .*(surface|population)$$
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "french_citycode")
+      .collect().map(r => r.getAs[String]("matchid_location_citycode_src") -> r).toMap
+    val paris = out("75056")
+    assert(paris.getAs[String]("matchid_location_city") == "paris")
+    assert(paris.getAs[String]("matchid_location_depcode") == "75")
+    assert(paris.getSeq[String](paris.fieldIndex("matchid_location_citycode_history"))
+      == Seq("75056", "75100")) // json.loads of the history cell
+    assert(paris.getAs[Double]("matchid_location_latitude") == 48.8566)
+    assert(paris.getAs[Long]("matchid_location_city_population") == 2148000L)
+    val reunion = out("98405")
+    assert(reunion.getAs[String]("matchid_location_citycode") == "97409") // replace mapping
+    assert(reunion.getAs[String]("matchid_location_city") == "saint denis")
+    assert(reunion.getAs[Double]("matchid_location_latitude") == 90.0) // no geopoint
+    val foreign = out("99123")
+    assert(foreign.getAs[String]("matchid_location_citycode") == "") // blanked
+    assert(foreign.getAs[String]("matchid_location_city") == "FOREIGNTOWN") // src fallback
+    assert(foreign.getAs[String]("matchid_location_depcode") == "99")
+    assert(foreign.getSeq[String](foreign.fieldIndex("matchid_location_citycode_history")).isEmpty)
+  }
+
   test("map array form, dataset select + multi-file regex, before/after deps") {
     import spark.implicits._
     Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "x;y;z\n1;a;p\n")
