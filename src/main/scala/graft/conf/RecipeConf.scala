@@ -175,6 +175,15 @@ object RecipeConf {
   private def strMap(a: Any): Map[String, String] =
     anyMap(a).map { case (k, v) => k -> v.toString }
 
+  /** Python strptime codes (the reference's parsedate format,
+    * date.yml:24) → Spark datetime pattern letters. Formats without '%'
+    * pass through as Spark patterns. */
+  private[conf] def pyDateFormat(f: String): String =
+    if (!f.contains('%')) f
+    else f.replace("%Y", "yyyy").replace("%y", "yy").replace("%m", "MM")
+      .replace("%d", "dd").replace("%H", "HH").replace("%M", "mm")
+      .replace("%S", "ss")
+
   /** One YAML step → Step function. Step names mirror the reference's
     * internal_* operator set (recipes.py:1622-2486). */
   def compileStep(spark: SparkSession, conf: ProjectConf, op: String, args: Any): Step = {
@@ -217,7 +226,7 @@ object RecipeConf {
       case "to_float" => df => Ops.toFloat(df, sel(),
         m.get("na_value").map(_.toString.toDouble))
       case "parsedate" => df => Ops.parsedate(df, sel(null),
-        m.getOrElse("format", "yyyy-MM-dd").toString)
+        pyDateFormat(m.getOrElse("format", "yyyy-MM-dd").toString))
       case "ngram" => df => Ops.ngram(df, sel(null),
         strSeq(m.getOrElse("n", null)).map(_.toInt) match { case Nil => Seq(2, 3); case ns => ns })
       case "nest" => df => Ops.nest(df, sel(null),

@@ -703,6 +703,148 @@ class RecipeConfSpec extends SparkSpec {
     assert(foreign.getSeq[String](foreign.fieldIndex("matchid_location_citycode_history")).isEmpty)
   }
 
+  test("the reference's french_city+dep fuzzy recipe runs verbatim (location.yml:3-75)") {
+    import spark.implicits._
+    Files.writeString(java.nio.file.Paths.get(s"$dir/city2dep.csv"),
+      "norm_name;CODEISO3;dep_code\nsaint denis;FRA;93\nparis;FRA;75\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/citycodes_f.csv"),
+      "norm_name;dep_code;CODEISO3;insee_code;insee_code_history;name;newest_name;newest_dep_code;population;surface;geopoint_2d\n" +
+        "saint denis;93;FRA;93066;[\"93066\"];saint denis;saint denis;93;110000;5;POINT(2.3535 48.9362)\n" +
+        "paris;75;FRA;75056;[\"75056\"];paris;paris;75;2148000;105;POINT(2.3522 48.8566)\n")
+    Seq(
+      ("St Denis", "FRA", ""),    // st→saint replace rule, then exact
+      ("Pariss", "FRA", "75"),    // 1-edit fuzzy → paris (dep from input)
+      ("PARIS 14 ART", "FRA", "")) // arrondissement rule strips the tail
+      .toDF("matchid_location_city_src", "matchid_location_countrycode",
+        "matchid_location_depcode")
+      .write.mode("overwrite").parquet(s"$dir/cd_left")
+    // french_city_norm (location.yml:3-28, abridged to the rules these
+    // fixtures exercise) + french_city+dep (29-75) steps verbatim
+    val yaml =
+      s"""datasets:
+         |  persons_cd: {path: $dir/cd_left, format: parquet}
+         |  french_city2dep_fuzzy: {path: $dir/city2dep.csv, format: csv}
+         |  french_citycodes_fuzzy: {path: $dir/citycodes_f.csv, format: csv}
+         |recipes:
+         |  french_city_norm:
+         |    steps:
+         |      - replace:
+         |          select: matchid_location_city_norm
+         |          regex:
+         |            - ^\\s*(lyon|marseille|paris)(\\s.*|\\s*\\d\\d*.*|.*art.*|.*arr.*)$$: '\\1'
+         |            - (^|\\s)ste(\\s|$$): '\\1sainte\\2'
+         |            - (^|\\s)st(\\s|$$): '\\1saint\\2'
+         |            - \\s+: ' '
+         |  french_city+dep:
+         |    input: persons_cd
+         |    steps:
+         |      - map:
+         |          matchid_location_city_norm: matchid_location_city_src
+         |      - normalize:
+         |          select: matchid_location_city_norm
+         |      - french_city_norm:
+         |      - join:
+         |          type : in_memory
+         |          dataset: french_city2dep_fuzzy
+         |          strict:
+         |            matchid_location_city_norm: norm_name
+         |            matchid_location_countrycode: CODEISO3
+         |          select:
+         |            matchid_location_depcode_ref: dep_code
+         |      - eval:
+         |          - matchid_location_depcode: matchid_location_depcode_ref if (matchid_location_depcode_ref != "") else matchid_location_depcode
+         |      - join:
+         |          type : in_memory
+         |          dataset: french_citycodes_fuzzy
+         |          fuzzy:
+         |            matchid_location_city_norm: norm_name
+         |          strict:
+         |            matchid_location_depcode: dep_code
+         |            matchid_location_countrycode: CODEISO3
+         |          select:
+         |            matchid_location_citycode: insee_code
+         |            matchid_location_citycode_history: insee_code_history
+         |            matchid_location_city: name
+         |            matchid_location_city_alter: newest_name
+         |            matchid_location_depcode_alter: newest_dep_code
+         |            matchid_location_city_population: population
+         |            matchid_location_city_surface: surface
+         |            matchid_location_city_geopoint_2d: geopoint_2d
+         |      - delete:
+         |          select: matchid_location_city_norm.*|matchid_location_depcode_ref
+         |      - eval:
+         |          - matchid_location_city: matchid_location_city_src if ('matchid_location_city' not in row.keys()) else (matchid_location_city_src if (matchid_location_city=="") else matchid_location_city )
+         |          - matchid_location_depcode: str("99") if ('matchid_location_depcode' not in row.keys()) else ( str("99") if (matchid_location_depcode == "") else matchid_location_depcode)
+         |          - matchid_location_citycode_history: list([]) if (matchid_location_citycode_history=="") else json.loads(matchid_location_citycode_history)
+         |      - eval:
+         |          - matchid_location_latitude: geopoint(matchid_location_city_geopoint_2d)[0] if ('POINT' in matchid_location_city_geopoint_2d) else matchid_location_country_latitude if ("matchid_location_country_latitude" in row.keys()) else 90
+         |          - matchid_location_longitude: geopoint(matchid_location_city_geopoint_2d)[1] if ('POINT' in matchid_location_city_geopoint_2d) else matchid_location_country_longitude if ("matchid_location_country_latitude" in row.keys()) else 90
+         |      - to_float:
+         |          select: ^matchid_location_(latitude|longitude)$$
+         |          na_value: 90
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "french_city+dep")
+      .collect().map(r => r.getAs[String]("matchid_location_city_src") -> r).toMap
+    val sd = out("St Denis")
+    assert(sd.getAs[String]("matchid_location_depcode") == "93") // via city2dep
+    assert(sd.getAs[String]("matchid_location_citycode") == "93066")
+    assert(sd.getAs[String]("matchid_location_city") == "saint denis")
+    assert(sd.getAs[Double]("matchid_location_latitude") == 48.9362)
+    val pariss = out("Pariss")
+    assert(pariss.getAs[String]("matchid_location_citycode") == "75056") // fuzzy dist 1
+    assert(pariss.getAs[String]("matchid_location_depcode") == "75")
+    val arr = out("PARIS 14 ART")
+    assert(arr.getAs[String]("matchid_location_citycode") == "75056") // tail stripped
+    assert(arr.getSeq[String](arr.fieldIndex("matchid_location_citycode_history")) == Seq("75056"))
+  }
+
+  test("the reference's db_date recipe runs verbatim (date.yml:1-24)") {
+    import spark.implicits._
+    Seq("1985-06-12T08:30", "1985-06-45", "1985-14-12")
+      .toDF("matchid_date_birth_src")
+      .write.mode("overwrite").parquet(s"$dir/dates_left")
+    // steps copied 1:1 from date.yml:1-24 — the replace chain clamps
+    // invalid day/month components, then %Y%m%d parses
+    val yaml =
+      s"""datasets:
+         |  dts: {path: $dir/dates_left, format: parquet}
+         |recipes:
+         |  db_date:
+         |    input: dts
+         |    steps:
+         |      - map:
+         |          matchid_date_birth: matchid_date_birth_src
+         |      - replace:
+         |          select: matchid_date_birth$$
+         |          regex:
+         |            - '^(\\d{4})-(\\d{2})-(\\d{2}).*$$': '\\1/\\2/\\3'
+         |            - /(3[2-9]|[4-9][0-9])$$: /31
+         |            - /(1[3-9])/: /12/
+         |            - /[2-9]([1-9])/: /0\\1/
+         |            - /[2-9]0/: /01/
+         |            - (\\d{4})/02/(30|31): \\1/03/01
+         |            - (1900|(\\d{2})([02468][26]|[13579][048]|\\d[13579]))/02/29: \\1/02/28
+         |            - (04|06|09|11)/31\\$$: \\1/30
+         |            - /00: /01
+         |            - /: ''
+         |      - map:
+         |          matchid_date_birth_str: matchid_date_birth
+         |      - parsedate :
+         |          select: matchid_date_birth$$
+         |          format: "%Y%m%d"
+         |""".stripMargin
+    val out = RecipeConf.run(spark, RecipeConf.load(yaml), "db_date")
+      .collect().map(r => r.getAs[String]("matchid_date_birth_src") ->
+        (r.getAs[String]("matchid_date_birth_str"), r.getAs[java.sql.Timestamp]("matchid_date_birth")))
+      .toMap
+    assert(out("1985-06-12T08:30")._1 == "19850612") // time tail stripped
+    assert(out("1985-06-12T08:30")._2.toString.startsWith("1985-06-12"))
+    assert(out("1985-06-45")._1 == "19850631")  // day clamped to 31 (as shipped)
+    assert(out("1985-14-12")._1 == "19851212")  // month clamped to 12
+    // day 31 in june is invalid → coerce-to-null like pandas
+    assert(out("1985-06-45")._2 == null)
+  }
+
   test("map array form, dataset select + multi-file regex, before/after deps") {
     import spark.implicits._
     Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "x;y;z\n1;a;p\n")
