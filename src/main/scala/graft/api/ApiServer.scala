@@ -356,14 +356,19 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
       respond(ex, 500, s"""{"error": ${q(String.valueOf(e.getMessage))}}""")
   }
 
+  // handlers must NOT share the dispatcher thread: the SSE log tail
+  // holds its connection open for seconds, and with the default (null)
+  // executor that would block every other request until the tail closes
+  private val httpPool = java.util.concurrent.Executors.newCachedThreadPool()
+
   def start(): ApiServer = {
     server.createContext("/api", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null)
+    server.setExecutor(httpPool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); httpPool.shutdownNow() }
 
   def awaitJobs(timeoutMs: Long = 60000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs

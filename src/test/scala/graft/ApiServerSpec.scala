@@ -229,6 +229,38 @@ class ApiServerSpec extends SparkSpec {
       // dataset delete tombstones it out of the live conf
       assert(send("DELETE", s"$base/datasets/logsrc").statusCode() == 200)
       assert(!get(s"$base/datasets").body().contains("logsrc"))
+
+      // live tail: while a (deliberately slow) job runs, the log route
+      // streams SSE — and other routes stay responsive because handlers
+      // run on a pool, not the dispatcher thread
+      spark.udf.register("graft_test_slow",
+        (x: Long) => { Thread.sleep(2000); x })
+      Files.writeString(java.nio.file.Paths.get(s"$dir/slow.csv"), "v\n1\n2\n")
+      sendBody("PUT", s"$base/conf/slowproj",
+        s"""datasets:
+           |  slowsrc: {path: $dir/slow.csv, format: csv, options: {sep: ","}}
+           |  slowout: {path: $dir/slowout, format: parquet}
+           |recipes:
+           |  slowjob:
+           |    input: slowsrc
+           |    steps:
+           |      - eval: {w: "graft_test_slow(cast(v as bigint))"}
+           |    output: slowout
+           |""".stripMargin)
+      send("PUT", s"$base/recipes/slowjob/run")
+      val tailFut = client.sendAsync(
+        HttpRequest.newBuilder(URI.create(s"$base/recipes/slowjob/log")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      Thread.sleep(500) // tail is now open against the running job
+      // other routes answer WHILE the tail holds its connection (pool
+      // executor — the default dispatcher thread would deadlock here)
+      assert(get(s"$base/jobs").statusCode() == 200)
+      val tail = tailFut.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(tail.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/event-stream"))
+      assert(tail.body().contains("data: ") && tail.body().contains("event: close"))
+      api.awaitJobs()
+      assert(get(s"$base/recipes/slowjob/status").body().contains("\"done\""))
     } finally api.stop()
   }
 
