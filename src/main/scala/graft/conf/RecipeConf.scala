@@ -37,10 +37,14 @@ object RecipeConf {
   /** before/after = dependency recipes run around this one
     * (recipes.py:1309-1350; a trailing '&' marks async in the reference —
     * accepted and stripped, execution here is sequential). */
+  /** Recipe input: a dataset plus optional read-time `filter` recipe and
+    * `select` projection (recipes.py:512-523, 1032-1037). */
+  case class InputConf(dataset: String, filter: Option[String] = None,
+      select: Seq[String] = Nil)
   /** `input` is optional: the reference's scoring sub-recipes are pure
     * step lists invoked from other recipes (matching.yml:58-65) — they
     * only need an input when run top-level. */
-  case class RecipeDef(input: Option[String], steps: Seq[(String, Any)], output: Option[String],
+  case class RecipeDef(input: Option[InputConf], steps: Seq[(String, Any)], output: Option[String],
       before: Seq[String] = Nil, after: Seq[String] = Nil)
   case class ProjectConf(datasets: Map[String, DatasetConf], recipes: Map[String, RecipeDef])
 
@@ -107,8 +111,24 @@ object RecipeConf {
         case null => Nil
         case s => Seq(s.toString.stripSuffix("&").trim)
       }
+      // input: either a bare dataset name or
+      // {dataset: d, filter: recipe, select: [cols]} (recipes.py:1032-1037)
+      val input = m.get("input").map {
+        case im: java.util.Map[_, _] =>
+          val imm = asMap(im)
+          InputConf(
+            dataset = imm.getOrElse("dataset",
+              sys.error(s"recipe $name: input.dataset required")).toString,
+            filter = imm.get("filter").map(_.toString),
+            select = imm.getOrElse("select", null) match {
+              case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+              case null => Nil
+              case s => Seq(s.toString)
+            })
+        case s => InputConf(s.toString)
+      }
       name -> RecipeDef(
-        input = m.get("input").map(_.toString),
+        input = input,
         steps = steps,
         output = m.get("output").map(_.toString),
         before = recipeList("before"),
@@ -398,9 +418,18 @@ object RecipeConf {
     graft.functions.Registry.register(spark)
     val r = conf.recipes.getOrElse(name, sys.error(s"unknown recipe: $name"))
     if (testLimit.isEmpty) r.before.foreach(dep => run(spark, conf, dep, mode))
-    val input0 = read(spark, conf.datasets(r.input.getOrElse(
-      sys.error(s"recipe $name: input required to run top-level"))))
-    val input = testLimit.map(input0.limit).getOrElse(input0)
+    val in = r.input.getOrElse(
+      sys.error(s"recipe $name: input required to run top-level"))
+    val input0 = read(spark, conf.datasets(in.dataset))
+    val projected =
+      if (in.select.nonEmpty) input0.select(in.select.map(col): _*) else input0
+    val limited = testLimit.map(projected.limit).getOrElse(projected)
+    // read-time filter recipe — applied before this recipe's own steps
+    val input = in.filter match {
+      case Some(f) => compileRecipe(spark, conf,
+        conf.recipes.getOrElse(f, sys.error(s"recipe $name: unknown filter recipe $f")))(limited)
+      case None => limited
+    }
     val out = compileRecipe(spark, conf, r)(input)
     if (testLimit.isEmpty) {
       r.output.foreach { o => write(out, conf.datasets(o), mode) }

@@ -890,6 +890,30 @@ class RecipeConfSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/staged_out").columns.contains("archived"))
   }
 
+  test("structured input: dataset + filter recipe + select (recipes.py:1032-1037)") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/finput.csv"),
+      "name;age;junk\nana;30;x\nben;-1;y\ncleo;44;z\n")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  fin: {path: $dir/finput.csv, format: csv}
+         |recipes:
+         |  valid_only:
+         |    steps:
+         |      - to_integer: [age]
+         |      - keep: {where: "age >= 0"}
+         |  grown:
+         |    input:
+         |      dataset: fin
+         |      filter: valid_only
+         |      select: [name, age]
+         |    steps:
+         |      - keep: {where: "age >= 40"}
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf, "grown").collect()
+    assert(out.map(_.getAs[String]("name")).toSeq == Seq("cleo"))
+    assert(out.head.schema.fieldNames.toSeq == Seq("name", "age")) // junk pruned at read
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
