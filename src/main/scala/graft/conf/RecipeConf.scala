@@ -399,7 +399,8 @@ object RecipeConf {
     }
     val spec = spec0.copy(root = rewrite(spec0.root))
     val keepUnmatched = m.get("keep_unmatched").exists(_.toString.toBoolean)
-    val out = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched)
+    val out = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
+      maxDocFreq = m.getOrElse("max_doc_freq", "0").toString.toLong)
     out.drop(out.columns.filter(c =>
       c.startsWith("__tok_") || c.startsWith("hit___tok_")): _*)
   }

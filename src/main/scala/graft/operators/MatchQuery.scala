@@ -88,9 +88,13 @@ object MatchQuery {
       leftId, rightId)
   }
 
+  /** @param maxDocFreq drop tokens appearing in more right docs than
+    *   this (0 = no cap) — the hot-token skew guard, same contract as
+    *   MatchJoin.topK */
   def runTree(left: DataFrame, right: DataFrame, spec: TreeSpec,
       leftId: String, rightId: String,
-      keepUnmatched: Boolean = false): DataFrame = {
+      keepUnmatched: Boolean = false,
+      maxDocFreq: Long = 0L): DataFrame = {
     val ls = leaves(spec.root)
     require(ls.nonEmpty, "at least one clause")
     require(ls.map(_.idx).distinct.size == ls.size, "leaf idx must be unique")
@@ -105,8 +109,13 @@ object MatchQuery {
       val rTokens =
         if (cl.firstPosition) slice(array_distinct(col(cl.rightTokens)), 1, 1)
         else array_distinct(col(cl.rightTokens))
-      val postings = right.select(col(rightId).as("__rid"),
+      val postingsRaw = right.select(col(rightId).as("__rid"),
         explode(rTokens).as("__tok"))
+      val postings = if (maxDocFreq > 0) {
+        val hot = postingsRaw.groupBy("__tok").agg(count(lit(1)).as("__hdf"))
+          .filter(col("__hdf") > maxDocFreq).select("__tok")
+        postingsRaw.join(broadcast(hot), Seq("__tok"), "left_anti")
+      } else postingsRaw
       val idf = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
         .crossJoin(nDocs)
         .withColumn("__w",
@@ -117,7 +126,11 @@ object MatchQuery {
         explode(array_distinct(col(cl.leftTokens))).as("__qtok"))
       val cand =
         if (cl.fuzziness <= 0)
-          qtok.withColumn("__tok", col("__qtok")).join(postings, Seq("__tok"))
+          // shuffle-hash pinned for the same reason as MatchJoin: the
+          // static planner under-estimates an exploded postings table and
+          // a statically-planned broadcast cannot be demoted by AQE
+          qtok.withColumn("__tok", col("__qtok"))
+            .join(postings.hint("shuffle_hash"), Seq("__tok"))
             .select("__lid", "__rid", "__tok")
         else {
           val qv = qtok.select(col("__lid"), col("__qtok"),

@@ -85,6 +85,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.count() == 2) // still correct when the action DOES run
   }
 
+  test("q43 bool-match candidate joins are pinned to shuffled-hash too") {
+    val p = plan("q43_bool_match")
+    assert(p.contains("ShuffledHashJoin"), s"template-join strategy drifted:\n$p")
+  }
+
   test("match join maxDocFreq drops hot tokens but keeps rare-token recall") {
     val right = Seq(
       (1L, Seq("common", "rare1")),
