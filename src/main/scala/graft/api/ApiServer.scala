@@ -70,16 +70,26 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
     .map(java.nio.file.Paths.get(_))
     .getOrElse(java.nio.file.Files.createTempDirectory("graft-upload"))
 
-  // path-traversal guard for upload names (secure_filename analogue)
-  private def safeName(f: String): String =
-    f.replaceAll("[^A-Za-z0-9._-]", "_")
+  // path-traversal guard for upload names (secure_filename analogue);
+  // all-dot names ('.', '..') would resolve to the store itself or its
+  // parent — rejected outright
+  private def safeName(f: String): String = {
+    val s = f.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (s.isEmpty || s.forall(_ == '.')) "_" else s
+  }
 
-  // project name → (raw yaml, parsed conf); the live conf is the ctor
-  // conf overlaid with every stored project, last write wins
-  private val projects = TrieMap.empty[String, (String, ProjectConf)]
+  // project name → (store sequence, raw yaml, parsed conf); the live
+  // conf is the ctor conf overlaid with every stored project in STORE
+  // ORDER (TrieMap iteration is hash-ordered — folding it raw would
+  // make "last write wins" arbitrary when two projects declare the
+  // same name)
+  private val projectSeq = new AtomicLong(0)
+  private val projects = TrieMap.empty[String, (Long, String, ProjectConf)]
+  private def projectsOrdered: Seq[(String, String, ProjectConf)] =
+    projects.toSeq.sortBy(_._2._1).map { case (n, (_, y, p)) => (n, y, p) }
   private def current: ProjectConf = {
-    val merged = projects.values.foldLeft(conf) {
-      case (acc, (_, p)) =>
+    val merged = projectsOrdered.foldLeft(conf) {
+      case (acc, (_, _, p)) =>
         ProjectConf(acc.datasets ++ p.datasets, acc.recipes ++ p.recipes)
     }
     ProjectConf(merged.datasets -- deletedDatasets.keys, merged.recipes)
@@ -144,12 +154,15 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
             s""""recipes": ${cfg.recipes.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}}""")
 
       case ("GET", List("conf", project)) if projects.contains(project) =>
-        respond(ex, 200, projects(project)._1, ctype = "application/yaml")
+        respond(ex, 200, projects(project)._2, ctype = "application/yaml")
 
       case ("PUT" | "POST", List("conf", project)) =>
         val yaml = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val parsed = RecipeConf.load(yaml) // reject bad yaml before storing
-        projects(project) = (yaml, parsed)
+        projects(project) = (projectSeq.incrementAndGet(), yaml, parsed)
+        // re-declaring a runtime-deleted dataset revives it — a
+        // tombstone records a delete, not a permanent ban
+        parsed.datasets.keys.foreach(deletedDatasets.remove)
         respond(ex, 200, s"""{"project": ${q(project)}, """ +
           s""""datasets": ${parsed.datasets.size}, "recipes": ${parsed.recipes.size}}""")
 
@@ -223,10 +236,11 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
       // ---- recipe introspection: yaml / status / log with SSE tail
       // (api.py:840-935)
       case ("GET", List("recipes", name, "yaml")) if cfg.recipes.contains(name) =>
-        // the declaring project's raw yaml, like the reference returning
-        // the source file; ctor-conf recipes have no stored source
-        projects.collectFirst {
-          case (_, (yaml, p)) if p.recipes.contains(name) => yaml
+        // the LAST-stored project declaring the recipe — the one whose
+        // definition the live conf actually executes; ctor-conf recipes
+        // have no stored source
+        projectsOrdered.reverse.collectFirst {
+          case (_, yaml, p) if p.recipes.contains(name) => yaml
         } match {
           case Some(y) => respond(ex, 200, y, ctype = "text/plain")
           case None => respond(ex, 404, """{"error": "no stored yaml for recipe"}""")

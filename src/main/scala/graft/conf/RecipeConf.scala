@@ -305,7 +305,11 @@ object RecipeConf {
         else {
           // reference select maps OUTPUT name → right column
           // (location.yml:44-45); Joins takes right column → output
-          val select = strMap(m.getOrElse("select", null)).map(_.swap)
+          val select0 = strMap(m.getOrElse("select", null))
+          val select = select0.map(_.swap)
+          require(select.size == select0.size,
+            "join select: two output names read the same right column — " +
+              s"alias it twice on the right first (${select0.keys.mkString(", ")})")
           val strict = strMap(m.getOrElse("strict", null))
           val fuzzy = strMap(m.getOrElse("fuzzy", null))
           if (fuzzy.nonEmpty)
@@ -415,10 +419,23 @@ object RecipeConf {
     * is declared / test mode). Dependency recipes (recipes.py:1309-1350)
     * run sequentially; test mode skips them like it skips writes. */
   def run(spark: SparkSession, conf: ProjectConf, name: String,
-      mode: String = "create", testLimit: Option[Int] = None): DataFrame = {
+      mode: String = "create", testLimit: Option[Int] = None): DataFrame =
+    runGuarded(spark, conf, name, mode, testLimit, Set.empty)
+
+  /** `running` = the before/after dependency chain above this call — a
+    * recipe reappearing in it is a dependency cycle, which would
+    * otherwise recurse to StackOverflowError. */
+  private def runGuarded(spark: SparkSession, conf: ProjectConf, name: String,
+      mode: String, testLimit: Option[Int], running: Set[String]): DataFrame = {
     graft.functions.Registry.register(spark)
+    require(!running.contains(name),
+      s"dependency cycle: ${(running + name).mkString(" -> ")} — " +
+        "before/after recipes must form a DAG")
+    def runDep(dep: String): Unit = {
+      runGuarded(spark, conf, dep, mode, None, running + name); ()
+    }
     val r = conf.recipes.getOrElse(name, sys.error(s"unknown recipe: $name"))
-    if (testLimit.isEmpty) r.before.foreach(dep => run(spark, conf, dep, mode))
+    if (testLimit.isEmpty) r.before.foreach(runDep)
     val in = r.input.getOrElse(
       sys.error(s"recipe $name: input required to run top-level"))
     val input0 = read(spark, conf.datasets(in.dataset))
@@ -434,7 +451,7 @@ object RecipeConf {
     val out = compileRecipe(spark, conf, r)(input)
     if (testLimit.isEmpty) {
       r.output.foreach { o => write(out, conf.datasets(o), mode) }
-      r.after.foreach(dep => run(spark, conf, dep, mode))
+      r.after.foreach(runDep)
     }
     out
   }

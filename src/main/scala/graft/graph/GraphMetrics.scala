@@ -72,7 +72,7 @@ object GraphMetrics {
     * like the metric itself. The reference only ever runs it on the
     * small per-chunk graphs of the clique step (recipes.py:2003-2034);
     * run it on bounded cluster subgraphs, not a 100 TB edge set. */
-  def closeness(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def closeness(edges: DataFrame, maxIter: Int = 1000): DataFrame = {
     val adj = symAdj(edges).persist()
     val spark = edges.sparkSession
     val nodes = adj.select(col("a").as("node")).distinct().persist()
@@ -96,6 +96,11 @@ object GraphMetrics {
       if (growing) { reach = reach.unionByName(next).localCheckpoint(); frontier = next }
       iter += 1
     }
+    // fail LOUD rather than return silently-truncated distances: a BFS
+    // still growing at maxIter would under-count r and S for far nodes
+    require(!growing,
+      s"closeness: BFS still expanding after $maxIter hops — component " +
+        "eccentricity exceeds maxIter; raise it or run on bounded subgraphs")
     val out = reach.groupBy("src")
       .agg(count(lit(1)).as("r"), sum("dist").as("s"))
       .withColumn("closeness",
@@ -155,12 +160,18 @@ object GraphMetrics {
     val adj = symAdj(edges).persist()
     var x = adj.select(col("a").as("node")).distinct()
       .withColumn("score", lit(1.0)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var i = 0
+    var degenerate = x.isEmpty // empty edge set → empty metrics, no jobs
+    while (i < iters && !degenerate) {
       val next = adj.join(x, adj("b") === x("node"))
         .groupBy(col("a").as("node")).agg(sum("score").as("score"))
-      val norm = math.sqrt(
-        next.agg(sum(col("score") * col("score"))).head().getDouble(0))
-      x = next.withColumn("score", col("score") / lit(norm)).localCheckpoint()
+      // sum over an EMPTY frame is a null cell — guard before getDouble
+      val normRow = next.agg(sum(col("score") * col("score"))).head()
+      val norm2 = if (normRow.isNullAt(0)) 0.0 else normRow.getDouble(0)
+      if (norm2 <= 0.0) { degenerate = true; x = next.limit(0).localCheckpoint() }
+      else x = next.withColumn("score", col("score") / lit(math.sqrt(norm2)))
+        .localCheckpoint()
+      i += 1
     }
     val out = x.select(col("node"), round(col("score"), 4).as("eigenvector"))
     adj.unpersist()

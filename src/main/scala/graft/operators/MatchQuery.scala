@@ -65,8 +65,11 @@ object MatchQuery {
   private def satisfied(n: Node, set: Column): Column = n match {
     case Leaf(i, _) => array_contains(set, i)
     case BoolNode(must, should, msm0) =>
+      // an explicit minimum_should_match is NOT clamped: ES semantics say
+      // msm greater than the number of should clauses can never match,
+      // and clamping would admit pairs the reference engine rejects
       val msm =
-        if (msm0 >= 0) math.min(msm0, should.size)
+        if (msm0 >= 0) msm0
         else if (must.nonEmpty) 0
         else math.min(1, should.size)
       val mOk = must.map(satisfied(_, set)).foldLeft(lit(true))(_ && _)
@@ -83,8 +86,11 @@ object MatchQuery {
       leftId: String, rightId: String): DataFrame = {
     val ls = spec.clauses.zipWithIndex.map { case (c, i) => Leaf(i, c) }
     val (must, should) = ls.partition(_.clause.required)
+    // all-must flat specs keep their old semantics: the default msm only
+    // applies when optional clauses exist
+    val msm = if (should.isEmpty) 0 else spec.minimumShouldMatch
     runTree(left, right,
-      TreeSpec(BoolNode(must, should, spec.minimumShouldMatch), spec.k),
+      TreeSpec(BoolNode(must, should, msm), spec.k),
       leftId, rightId)
   }
 
@@ -122,8 +128,13 @@ object MatchQuery {
           floor((log((col("__n") + 1) / (col("__df") + 1)) + 1) * 10000 * cl.boost)
             .cast("long"))
         .select("__tok", "__w")
+      // distinct: left ids need not be unique rows (the YAML template
+      // join keys by content hash, so duplicate rows share an id) —
+      // without it a duplicated row's tokens are emitted twice and its
+      // hit_score doubles
       val qtok = left.select(col(leftId).as("__lid"),
         explode(array_distinct(col(cl.leftTokens))).as("__qtok"))
+        .distinct()
       val cand =
         if (cl.fuzziness <= 0)
           // shuffle-hash pinned for the same reason as MatchJoin: the

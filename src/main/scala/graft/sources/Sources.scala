@@ -168,28 +168,38 @@ object Sinks {
     * read-union-dedup-rewrite (Delta-style merge without a table
     * format); at cluster scale the same call targets a real lakehouse
     * MERGE. */
+  // one lock per target path: concurrent upserts to the same dataset
+  // (e.g. parallel /_update API requests) would otherwise race on the
+  // shared tmp dir and the read-delete-rename commit, losing a write.
+  // JVM-local — multi-driver writers need a real table format's MERGE.
+  private val upsertLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def upsert(df: DataFrame, path: String, idCol: String): Unit = {
-    val spark = df.sparkSession
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(target)) {
-        val existing = spark.read.parquet(path)
-        val keep = existing.join(df.select(col(idCol)), Seq(idCol), "left_anti")
-        keep.unionByName(df, allowMissingColumns = true)
-      } else df
-    // write the merged result to a temp dir first (the source partition
-    // can't be overwritten while it is being read), then commit with a
-    // directory rename — one metadata op on HDFS-like stores, and the
-    // window where the target is absent is delete→rename only. At
-    // lakehouse scale the same call maps to a real MERGE on a table
-    // format with snapshot isolation.
-    val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      sys.error(s"upsert commit failed: could not rename $tmp to $target")
+    val lock = upsertLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val spark = df.sparkSession
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(target)) {
+          val existing = spark.read.parquet(path)
+          val keep = existing.join(df.select(col(idCol)), Seq(idCol), "left_anti")
+          keep.unionByName(df, allowMissingColumns = true)
+        } else df
+      // write the merged result to a temp dir first (the source partition
+      // can't be overwritten while it is being read), then commit with a
+      // directory rename — one metadata op on HDFS-like stores, and the
+      // window where the target is absent is delete→rename only. At
+      // lakehouse scale the same call maps to a real MERGE on a table
+      // format with snapshot isolation.
+      val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        sys.error(s"upsert commit failed: could not rename $tmp to $target")
+    }
   }
 
   /** JDBC sink: create (overwrite) / append, mirroring output modes

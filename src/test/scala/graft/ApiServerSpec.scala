@@ -98,6 +98,11 @@ class ApiServerSpec extends SparkSpec {
       assert(sendBody("PUT", s"$base/conf/bad", "recipes:\n  r1: {steps: 3}")
         .statusCode() == 500)
       assert(get(s"$base/conf").body().contains(""""projects": ["proj1"]"""))
+      // runtime dataset delete is revived by re-declaring it in a project
+      assert(send("DELETE", s"$base/datasets/pdata").statusCode() == 200)
+      assert(get(s"$base/datasets").body() == "[]")
+      sendBody("PUT", s"$base/conf/proj1", yaml) // re-declares pdata
+      assert(get(s"$base/datasets").body() == """["pdata"]""")
       // delete unmerges
       assert(send("DELETE", s"$base/conf/proj1").statusCode() == 200)
       assert(get(s"$base/datasets").body() == "[]")

@@ -50,6 +50,30 @@ class MatchQuerySpec extends SparkSpec {
     assert(got == Set(1L, 3L)) // dupond ~ dupont
   }
 
+  test("minimum_should_match above the should count matches nothing (ES parity)") {
+    import graft.operators.MatchQuery.{BoolNode, Leaf, TreeSpec}
+    val left = Seq((100L, Seq("jean"), Seq("paris"))).toDF("lid", "name_toks", "city_toks")
+    // one should clause, msm 2: ES returns zero hits — msm is NOT
+    // clamped down to the clause count
+    val spec = TreeSpec(BoolNode(
+      should = Seq(Leaf(0, Clause("name_toks", "name_toks"))),
+      minimumShouldMatch = 2))
+    assert(MatchQuery.runTree(left, right, spec, "lid", "rid").count() == 0)
+  }
+
+  test("duplicate left rows sharing an id do not inflate hit_score") {
+    import graft.operators.MatchQuery.{BoolNode, Leaf, TreeSpec}
+    val one = Seq((100L, Seq("jean", "dupont"))).toDF("lid", "name_toks")
+    val dup = one.unionByName(one) // content-hash ids collide by design
+    val spec = TreeSpec(BoolNode(should = Seq(Leaf(0, Clause("name_toks", "name_toks")))))
+    val sOne = MatchQuery.runTree(one, right, spec, "lid", "rid")
+      .filter(col("hit_rid") === 1L).head().getAs[Long]("hit_score")
+    val dupRows = MatchQuery.runTree(dup, right, spec, "lid", "rid")
+      .filter(col("hit_rid") === 1L).collect()
+    assert(dupRows.length == 2) // each duplicate row still gets its hit
+    assert(dupRows.forall(_.getAs[Long]("hit_score") == sOne)) // same score, not 2x
+  }
+
   test("firstPosition restricts matching to the right side's first token (span_first)") {
     val left = Seq((100L, Seq("dupont"))).toDF("lid", "name_toks")
     val anywhere = Spec(Seq(Clause("name_toks", "name_toks")))

@@ -914,6 +914,19 @@ class RecipeConfSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSeq == Seq("name", "age")) // junk pruned at read
   }
 
+  test("before/after dependency cycles fail fast instead of overflowing") {
+    Files.writeString(java.nio.file.Paths.get(s"$dir/cyc.csv"), "v\n1\n")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  c: {path: $dir/cyc.csv, format: csv}
+         |recipes:
+         |  a: {input: c, before: [b], steps: []}
+         |  b: {input: c, before: [a], steps: []}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException](RecipeConf.run(spark, conf, "a"))
+    assert(e.getMessage.contains("dependency cycle"))
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
