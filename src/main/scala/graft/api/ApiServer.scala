@@ -195,9 +195,11 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         else {
           val postings = spark.read.parquet(ds.path + "/postings")
           val docs = spark.read.parquet(ds.path + "/docs")
-          val n = docs.count()
+          // corpus size rides the plan (no separate eager count job)
+          val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
           val idf = postings.groupBy("token").agg(count(lit(1)).as("df"))
-            .withColumn("w", log((lit(n.toDouble) + 1) / (col("df") + 1)) + 1)
+            .crossJoin(n)
+            .withColumn("w", log((col("n") + 1) / (col("df") + 1)) + 1)
           val hits = postings
             .filter(col("token").isin(toks: _*))
             .join(broadcast(idf), Seq("token"))
