@@ -117,9 +117,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
+    // bands > numHashes would make every band slice EMPTY (one global
+    // bucket → the full n²/2 cross product); a non-divisor would
+    // silently drop trailing hashes
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
     val rowsPerBand = numHashes / bands
     // shingle sets as sorted hashed longs: set semantics survive, every
-    // downstream compare/intersect runs on primitives instead of strings
+    // downstream compare/intersect runs on primitives instead of strings.
+    // NOTE: the persist below lives until the session drops it — the
+    // cache is reused across the band join, the verify join, and
+    // minhashDedup's component actions; repeated standalone calls should
+    // clear it (spark.catalog.clearCache) between corpora.
     val base = df.select(
       col(idCol).as("id"),
       shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))), lit(shingleSize))

@@ -435,6 +435,11 @@ object PyExpr {
         case None        => when(truthy(cond), tr(t)).otherwise(tr(f))
       }
 
+    // negative subscripts would silently mis-map through the +1 shift
+    // (x[-1] → index 0 → runtime error; x[-2] → Spark's last element) —
+    // fail at compile instead
+    case PIndex(_, PUn("neg", _)) | PSliceFrom(_, PUn("neg", _)) =>
+      ctx.fail("negative indices/slices are not supported — index from the front")
     // geopoint(x)[0]/[1] — the reference's (lat, lon) tuple fields
     // (tools.py:65-69; location.yml:131-133)
     case PIndex(PCall(PName("geopoint"), Seq(x)), PNum(i, true)) =>
@@ -465,7 +470,7 @@ object PyExpr {
     case PBin("-", l, r)  => tr(l) - tr(r)
     case PBin("*", l, r)  => tr(l) * tr(r)
     case PBin("/", l, r)  => tr(l).cast("double") / tr(r)
-    case PBin("%", l, r)  => tr(l) % tr(r)
+    case PBin("%", l, r)  => pmod(tr(l), tr(r)) // python % is FLOORED modulo
     case PBin("**", l, r) => pow(tr(l), tr(r))
     // "" doubles as the missing marker (SURVEY §1.2): engine functions
     // return NULL where the reference returns "" — match both. On a

@@ -55,9 +55,15 @@ object Similarity {
     * clamped at 0, rounded 2dp — THE workhorse of match scoring
     * (tools.py:213-227, used all over conf/recipes/matching.yml). The
     * reference takes max over list×list pairs; `levNormMax` covers that.
-    * Distance metric is plain Levenshtein (Spark builtin, codegen'd) so the
-    * same formula is oracle-expressible; `metric="damerau"` switches to the
-    * reference's jellyfish behavior. */
+    *
+    * TWO metrics exist BY DESIGN — do not mix them in one scoring
+    * pipeline: the Column-API default here is plain Levenshtein (Spark
+    * builtin, codegen'd, DuckDB-oracle-expressible — used by the
+    * SparkEntry queries); `metric="damerau"` is the reference's
+    * jellyfish behavior, and it is what the SQL-registered
+    * `levenshtein_norm` (Registry) and the PyExpr recipe translator use
+    * for verbatim-recipe parity. A transposition ('marhta'→'martha')
+    * scores 0.86 under damerau but 0.71 under plain. */
   def levNorm(a: Column, b: Column, metric: String = "levenshtein"): Column = {
     val d = metric match {
       case "damerau" => damerauLevenshtein(a, b).cast("double")

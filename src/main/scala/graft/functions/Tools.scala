@@ -86,12 +86,15 @@ object Tools {
   def md5Hex(c: Column): Column = md5(c.cast("binary"))
 
   // ---------------------------------------------------------------- geo
-  /** Parse WKT "POINT(lon lat)" → struct(lat, lon) (tools.py:65-69). */
+  /** Parse WKT "POINT(lon lat)" → struct(lat, lon) (tools.py:65-69).
+    * Malformed WKT → NULL fields: regexp_extract yields "" on a
+    * non-match, and under ANSI a plain cast of "" would kill the job —
+    * try_cast keeps the reference's failure-is-missing behavior. */
   def geopoint(wkt: Column): Column = {
     val re = "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)"
     struct(
-      regexp_extract(wkt, re, 2).cast("double").as("lat"),
-      regexp_extract(wkt, re, 1).cast("double").as("lon"))
+      regexp_extract(wkt, re, 2).try_cast("double").as("lat"),
+      regexp_extract(wkt, re, 1).try_cast("double").as("lon"))
   }
 
   /** Haversine great-circle distance in km, rounded to 1 decimal — the

@@ -118,11 +118,17 @@ object Joins {
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast("long").as("__tb")) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
-    val r = right.select(
-      Seq(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
-        lit(null).cast(leftType).as("__l"),
-        tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // SQL comparison semantics: a right row with NULL ts (or NULL key)
+    // can never satisfy right.ts <= left.ts — without this filter it
+    // would sort FIRST (nulls-first) and its value would be carried to
+    // every left row of the key
+    val r = right
+      .filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(
+        Seq(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
+          lit(null).cast(leftType).as("__l"),
+          tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
+          rightCols.map(c => col(c).as(s"__r_$c")): _*)
     // right rows sort BEFORE left rows at equal ts → inclusive match.
     // The carry is ONE struct of (ts, right values): the struct itself is
     // non-null exactly when a right row has been seen, so a right row

@@ -172,6 +172,10 @@ object MatchQuery {
       .withColumn("hit_rank", row_number().over(w))
       .filter(col("hit_rank") <= spec.k)
 
+    val reserved = Set("score", "rank", "max_score")
+    require(!right.columns.exists(reserved.contains),
+      s"right-side columns named ${reserved.mkString("/")} collide with " +
+        "computed hit_* metadata — rename them before the match join")
     val hitCols = right.columns.map(c => col(c).as(s"hit_$c"))
     val withHits = topk.join(right.select(hitCols.toSeq: _*),
       topk("__rid") === col(s"hit_$rightId"))

@@ -184,10 +184,25 @@ object Ops {
   // --------------------------------------------------------------- unfold
   /** `unfold`: explode array column(s) into rows; rows with empty/null
     * arrays are KEPT with `fillNa` (code/recipes.py:2411-2446 — the
-    * empty-list edge is the tricky documented behavior). */
-  def unfold(df: DataFrame, column: String, fillNa: Any = ""): DataFrame =
-    df.withColumn(column, explode_outer(col(column)))
-      .withColumn(column, coalesce(col(column), lit(fillNa)))
+    * empty-list edge is the tricky documented behavior). The fill only
+    * applies when its type fits the element type: the default "" on a
+    * numeric array would silently retype the column to string (or error
+    * under ANSI) — such rows keep NULL instead. */
+  def unfold(df: DataFrame, column: String, fillNa: Any = ""): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val elemType = df.schema(column).dataType match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => e
+      case other => other
+    }
+    val exploded = df.withColumn(column, explode_outer(col(column)))
+    val fill = (elemType, fillNa) match {
+      case (StringType, v)             => Some(lit(v.toString))
+      case (n: NumericType, v: Number) => Some(lit(v).cast(n))
+      case _                           => None
+    }
+    fill.map(f => exploded.withColumn(column, coalesce(col(column), f)))
+      .getOrElse(exploded)
+  }
 
   // -------------------------------------------------------------- shuffle
   /** `shuffle`: independently permute every selected column

@@ -41,6 +41,12 @@ object Skew {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       hotKeys: Seq[Any], salts: Int = 16, how: String = "inner"): DataFrame = {
+    // right/full outer would emit every hot build row's NON-matching
+    // salt replicas as spurious (null-probe, build) output rows — the
+    // replication trick is only sound when unmatched build rows drop
+    require(how == "inner" || how == "left" || how == "left_semi" || how == "left_anti",
+      s"saltedJoin: build-side replication corrupts '$how' joins " +
+        "(unmatched replicas would surface); use inner/left flavors")
     val hot = array(hotKeys.map(lit): _*)
     val p = probe.withColumn("__salt",
       when(array_contains(hot, col(key)),

@@ -135,6 +135,23 @@ class GroupByJoinSpec extends SparkSpec {
     assert(inner.count() == 2)
   }
 
+  test("asofJoin ignores right rows with NULL ts or key (SQL comparison semantics)") {
+    val left = Seq((1L, 5L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((Some(1L), Some(3L), "ok"), (Some(1L), None, "null-ts"),
+        (None, Some(1L), "null-key"))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, "k", "t", Seq("v"))
+    // the NULL-ts row would otherwise sort first and be carried over "ok"
+    assert(out.head().getAs[String]("asof_v") == "ok")
+  }
+
+  test("saltedJoin rejects join flavors the replication trick corrupts") {
+    val p = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Skew.saltedJoin(p, p, "k", hotKeys = Seq(1L), how = "right"))
+    assert(e.getMessage.contains("replication"))
+  }
+
   test("pointInIntervalJoin matches each point-in-range pair exactly once") {
     val pts = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 25L, "p25"),
         (2L, 10L, "q10")).toDF("k", "t", "pid")

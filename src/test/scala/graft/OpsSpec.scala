@@ -131,6 +131,17 @@ class OpsSpec extends SparkSpec {
     assert(col1[Seq[String]](out, "A") == Seq(Seq("he", "el", "ll", "lo")))
   }
 
+  test("unfold on numeric arrays keeps NULL instead of retyping to string") {
+    val df = Seq((1, Seq(10L, 20L)), (2, Seq.empty[Long])).toDF("k", "ids")
+    val out = Ops.unfold(df, "ids") // default fillNa="" must not apply
+    assert(out.schema("ids").dataType == org.apache.spark.sql.types.LongType)
+    val m = out.collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(m.count(_._1 == 1) == 2 && m.contains((2, null)))
+    // a numeric fillNa does fill
+    val filled = Ops.unfold(df, "ids", fillNa = -1L)
+    assert(filled.filter(col("k") === 2).head().getLong(1) == -1L)
+  }
+
   test("selectColumns resolves regex and explicit names") {
     val df = Seq((1, 2, 3)).toDF("ab", "ac", "x")
     assert(Ops.selectColumns(df, Seq("a.*")) == Seq("ab", "ac"))

@@ -145,5 +145,22 @@ class PyExprSpec extends SparkSpec {
     assert(e2.getMessage.contains("unexpected character"))
     val e3 = intercept[RuntimeException](ev(df, "nope + 1"))
     assert(e3.getMessage.contains("unknown column"))
+    // negative subscripts would silently mis-map through the 0→1 shift
+    val arr = Seq(Seq("a", "b")).toDF("xs")
+    val e4 = intercept[RuntimeException](ev(arr, "xs[-1]"))
+    assert(e4.getMessage.contains("negative indices"))
+    val e5 = intercept[RuntimeException](ev(arr, "xs[-2:]"))
+    assert(e5.getMessage.contains("negative indices"))
+  }
+
+  test("% is python's floored modulo, not truncated remainder") {
+    val df = Seq((-7L, 12L)).toDF("a", "b")
+    assert(df.select(ev(df, "a % b").as("m")).as[Long].head() == 5L)
+  }
+
+  test("distance over malformed WKT yields NULL, not an ANSI cast error") {
+    val df = Seq(("POINT(2.35 48.85)", "not a point")).toDF("g1", "g2")
+    val out = df.select(ev(df, "distance(g1,g2)").as("d"))
+    assert(out.head().isNullAt(0))
   }
 }
