@@ -16,7 +16,12 @@ import org.apache.spark.sql.execution.QueryExecution
 object Metrics {
 
   private val collected = TrieMap.empty[String, Map[String, Any]]
-  @volatile private var registered = false
+  // registration is PER SESSION (weakly held): a process-global flag
+  // would leave every SparkSession after the first without the listener,
+  // silently dropping its metrics
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   private lazy val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -27,10 +32,8 @@ object Metrics {
   }
 
   def install(spark: SparkSession): Unit = synchronized {
-    if (!registered) {
+    if (registeredSessions.add(spark))
       spark.listenerManager.register(listener)
-      registered = true
-    }
   }
 
   /** Attach standard recipe metrics to a DataFrame: row count plus a

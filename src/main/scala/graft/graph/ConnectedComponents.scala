@@ -61,6 +61,12 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // fail LOUD on non-convergence: partial labels would silently split
+    // one component into several (min-label moves one hop per round, so
+    // diameter > maxIter graphs need runStarContraction instead)
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise it or use runStarContraction")
     labels
   }
 

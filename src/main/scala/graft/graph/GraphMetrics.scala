@@ -11,12 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
-  private def toGraph(edges: DataFrame): Graph[Int, Int] = {
+  /** Canonical UNDIRECTED edge RDD: self-loops dropped, (min,max)
+    * deduped — degree, triangles and clustering then agree with each
+    * other and with networkx (raw directed duplicates would inflate
+    * degrees while TriangleCount dedups internally, making
+    * 2T/(d(d-1)) inconsistent). */
+  private def canonicalEdges(edges: DataFrame) = {
     val Array(srcC, dstC) = edges.columns.take(2)
-    val rdd = edges.select(col(srcC).cast("long"), col(dstC).cast("long"))
+    edges.select(col(srcC).cast("long").as("a"), col(dstC).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    Graph.fromEdges(rdd, 0)
   }
+
+  private def toGraph(edges: DataFrame): Graph[Int, Int] =
+    Graph.fromEdges(canonicalEdges(edges), 0)
 
   /** degree / pagerank / triangle count / clustering coefficient /
     * closeness / square clustering / eigenvector centrality per node.
@@ -30,9 +40,18 @@ object GraphMetrics {
     val g = toGraph(edges).cache()
     var out = g.degrees.toDF("node", "degree")
     if (wants("pagerank")) {
-      val pr = g.pageRank(0.0001).vertices.toDF("node", "pagerank_raw")
-        .withColumn("pagerank", round(col("pagerank_raw"), 4)).drop("pagerank_raw")
+      // undirected pagerank (the networkx convention): run on the
+      // bidirectional graph and normalize ranks to sum 1 — GraphX alone
+      // is directed and sums to ~N
+      val bidi = Graph.fromEdges(
+        canonicalEdges(edges).flatMap(e => Seq(e, Edge(e.dstId, e.srcId, 1))), 0)
+      val raw = bidi.pageRank(0.0001).vertices.cache()
+      val total = raw.values.sum()
+      val pr = raw.toDF("node", "pagerank_raw")
+        .withColumn("pagerank", round(col("pagerank_raw") / total, 4))
+        .drop("pagerank_raw")
       out = out.join(pr, Seq("node"), "left")
+      raw.unpersist(blocking = false)
     }
     if (compute.contains("triangles") || compute.contains("clustering")) {
       val tc = g.triangleCount().vertices.toDF("node", "triangles")
@@ -48,9 +67,16 @@ object GraphMetrics {
     if (wants("closeness"))
       out = out.join(closeness(edges), Seq("node"), "left")
     if (wants("square_clustering"))
+      // nodes with <2 neighbors form no pairs and are absent from the
+      // metric frame — networkx reports 0.0 for them, not null
       out = out.join(squareClustering(edges), Seq("node"), "left")
+        .withColumn("square_clustering", coalesce(col("square_clustering"), lit(0.0)))
     if (wants("eigenvector"))
       out = out.join(eigenvector(edges), Seq("node"), "left")
+    // pagerank's iterative jobs (the cache's main beneficiary) have run;
+    // still-lazy parts of `out` recompute from the small edge frame —
+    // correctness unaffected, and the cached RDD no longer leaks
+    g.unpersist(blocking = false)
     out
   }
 

@@ -68,7 +68,11 @@ object Scoring {
       val auc = evaluator.evaluate(model.transform(test))
       (model, auc)
     }
-    val (best, auc) = results.maxBy(_._2)
+    // a one-class test split makes the evaluator return NaN, and Scala's
+    // Double ordering ranks NaN ABOVE every number — never pick it over
+    // an actually-evaluated model
+    val evaluated = results.filterNot(_._2.isNaN)
+    val (best, auc) = if (evaluated.nonEmpty) evaluated.maxBy(_._2) else results.head
     BuiltModel(best, auc, target)
   }
 

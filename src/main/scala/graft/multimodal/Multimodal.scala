@@ -48,8 +48,11 @@ object Multimodal {
       }
     }
     /** Fake resize: re-hash payload to the target size (real impl:
-      * decode → scale → re-encode). */
+      * decode → scale → re-encode). Null/empty payloads pass through
+      * empty — same guard as decodeStats (payload is a nullable column
+      * and empty frames are expected inputs). */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (payload == null || payload.isEmpty) return Array.empty[Byte]
       val out = new Array[Byte](math.max(w * h / 64, 1))
       var i = 0
       while (i < out.length) {

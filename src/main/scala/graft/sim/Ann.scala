@@ -15,6 +15,25 @@ import graft.functions.Similarity
   */
 object Ann {
 
+  /** Shared exact-scoring tail: cosine (4dp, deterministic), per-query
+    * rank window with id tie-break, top-k — ONE implementation so the
+    * three entry points cannot drift (they once disagreed on
+    * excludeSelf). Candidates must carry (query_id, __qv, neighbor_id,
+    * __cv). */
+  private def scoreAndRank(candidates: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val filtered =
+      if (excludeSelf) candidates.filter(col("query_id") =!= col("neighbor_id"))
+      else candidates
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    filtered
+      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Cosine-scored top-k join: every row of `queries` gets its k nearest
     * `corpus` rows. Queries are broadcast (the common case: few probes
     * against a huge corpus); the corpus is never collected.
@@ -28,14 +47,7 @@ object Ann {
 
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
-    val scored = q.join(c,
-        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    scoreAndRank(q.crossJoin(c), k, excludeSelf)
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits packed into a
@@ -80,20 +92,13 @@ object Ann {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, dim: Int, bits: Int = 12): DataFrame = {
+      k: Int, dim: Int, bits: Int = 12, excludeSelf: Boolean = true): DataFrame = {
 
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
       hyperplaneSig(col(qVec), dim, bits).as("__sig")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
       hyperplaneSig(col(cVec), dim, bits).as("__sig"))
-    val scored = q.join(c, Seq("__sig"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    scoreAndRank(q.join(c, Seq("__sig")), k, excludeSelf)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -108,7 +113,8 @@ object Ann {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
 
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -143,14 +149,7 @@ object Ann {
       .filter(col("__pr") <= nprobe)
       .select("query_id", "__qv", "__cell")
 
-    val scored = probes.join(assigned, Seq("__cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    scoreAndRank(probes.join(assigned, Seq("__cell")), k, excludeSelf)
   }
 
   /** Embedding near-duplicate pairs within a blocking column: exact

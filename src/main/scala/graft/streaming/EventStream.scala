@@ -61,36 +61,72 @@ object EventStream {
       n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session
-    * closes after `gapMs` of user inactivity (processing-time timeout in
-    * streams; in batch runs all groups flush at the end).
+    * closes after `gapMs` of user inactivity.
+    *
+    * STREAMING: state carries the user's open session across
+    * micro-batches; closed sessions (a newer event opened the next one)
+    * emit immediately, and the open session emits when the EVENT-TIME
+    * timeout fires — i.e. once the watermark passes last-event + gap.
+    * BATCH: all of a user's events arrive in one invocation; every
+    * session emits and no state survives (same results as the oracle).
     *
     * Determinism: events order by (epoch ms, event_id); values accumulate
     * as exact decimals so the session sum is independent of fold order —
     * same contract as the engine's decimal-sum aggregations. */
   def sessionize(spark: SparkSession, events: DataFrame,
-      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): DataFrame = {
     import spark.implicits._
-    val ds = events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val streaming = events.isStreaming
+    val ds0 = events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val ds = if (streaming) ds0.withWatermark("ts", watermark) else ds0
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val out = ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          // batch mode: all events of the user arrive at once — fold into
-          // gap-separated sessions
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
-            val t = e.ts.getTime
-            val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-            acc match {
-              case head :: tail if t - head.last <= gapMs =>
-                SessionState(head.start, t, head.n + 1, head.sum + v) :: tail
-              case _ =>
-                SessionState(t, t, 1, v) :: acc
+          def emit(s: SessionState) = SessionOut(user, s.start, s.last, s.n, s.sum.toDouble)
+          if (streaming && state.hasTimedOut) {
+            // watermark passed the open session's end + gap → close it
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.reverseIterator.map(emit)
+          } else {
+            // fold this invocation's events onto the carried open session
+            // (newest session at the head)
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val prev = if (streaming) state.getOption.getOrElse(Nil) else Nil
+            val sessions = sorted.foldLeft(prev) { (acc, e) =>
+              val t = e.ts.getTime
+              val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              acc match {
+                case head :: tail if t - head.last <= gapMs =>
+                  SessionState(head.start, t, head.n + 1, head.sum + v) :: tail
+                case _ =>
+                  SessionState(t, t, 1, v) :: acc
+              }
+            }
+            if (streaming) {
+              // keep the newest (still-open) session in state; emit the
+              // rest, oldest first
+              val (open, closed) = sessions match {
+                case h :: t => (List(h), t)
+                case Nil    => (Nil, Nil)
+              }
+              open match {
+                case h :: _ =>
+                  state.update(open)
+                  state.setTimeoutTimestamp(h.last + gapMs)
+                case Nil => state.remove()
+              }
+              closed.reverseIterator.map(emit)
+            } else {
+              state.remove()
+              sessions.reverseIterator.map(emit)
             }
           }
-          state.remove()
-          sessions.reverseIterator.map(s =>
-            SessionOut(user, s.start, s.last, s.n, s.sum.toDouble))
       }
     out.toDF()
   }

@@ -84,7 +84,10 @@ object TextAnalysis {
     def hits(lang: String): Column =
       size(array_intersect(toks, array(stopwords(lang).map(lit): _*)))
     val (en, fr, es, de) = (hits("en"), hits("fr"), hits("es"), hits("de"))
-    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+    // NULL text: every when-condition is null → would fall through to
+    // the otherwise branch and count missing docs as German
+    when(c.isNull, lit(null).cast("string"))
+      .when(c.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
       .when(en >= fr && en >= es && en >= de, lit("en"))
       .when(fr >= es && fr >= de, lit("fr"))
       .when(es >= de, lit("es"))

@@ -117,6 +117,38 @@ class ModulesSpec extends SparkSpec {
     assert(sessions(2).getAs[Long]("user_id") == 20L)
   }
 
+  test("streaming sessionize carries the open session ACROSS micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.Ev
+    implicit val sq = spark.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val src = MemoryStream[Ev]
+    val out = EventStream.sessionize(spark, src.toDF(), gapMs = 30 * 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // base epoch well above 0 — an event AT the initial watermark (0)
+      // would be dropped as late
+      val t0 = 10L * 24 * 3600000L
+      // batch 1 and batch 2 both belong to ONE session of user 10 — the
+      // broken version emitted one session per micro-batch
+      src.addData(Ev(1L, ts(t0), 10L, "a", 1.10)); q.processAllAvailable()
+      src.addData(Ev(2L, ts(t0 + 60000L), 10L, "a", 2.20)); q.processAllAvailable()
+      // later events push the watermark past user 10's gap so the
+      // event-time timeout closes the open session (watermark lags one
+      // batch → two pushes)
+      src.addData(Ev(3L, ts(t0 + 5 * 3600000L), 20L, "b", 5.0)); q.processAllAvailable()
+      src.addData(Ev(4L, ts(t0 + 6 * 3600000L), 20L, "b", 5.0)); q.processAllAvailable()
+      val sessions = spark.table("sess_stream")
+        .filter(col("user_id") === 10L).collect()
+      assert(sessions.length == 1, s"expected ONE merged session, got ${sessions.length}")
+      assert(sessions.head.getAs[Long]("n_events") == 2)
+      assert(sessions.head.getAs[Long]("start_ms") == t0)
+      assert(sessions.head.getAs[Long]("end_ms") == t0 + 60000L)
+      assert(sessions.head.getAs[Double]("sum_value") == 3.30)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg runs on a bounded stream (memory sink)") {
     val dir = s"$tmpDir/stream"
     val ts = (ms: Long) => new java.sql.Timestamp(ms)
