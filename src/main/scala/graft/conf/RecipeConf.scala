@@ -403,10 +403,27 @@ object RecipeConf {
     }
     val spec = spec0.copy(root = rewrite(spec0.root))
     val keepUnmatched = m.get("keep_unmatched").exists(_.toString.toBoolean)
-    val out = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
+    val flat = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
       maxDocFreq = m.getOrElse("max_doc_freq", "0").toString.toLong)
-    out.drop(out.columns.filter(c =>
+    val out = flat.drop(flat.columns.filter(c =>
       c.startsWith("__tok_") || c.startsWith("hit___tok_")): _*)
+    // unfold: False keeps the pre-unfold bucket shape — one row per left
+    // row with a rank-ordered `hits` array of hit structs
+    // (recipes.py:2322-2336, docs/recipes.md:198-204)
+    val unfold = m.get("unfold").forall(_.toString.toBoolean)
+    if (unfold) out
+    else {
+      val hitCols = out.columns.filter(c =>
+        c.startsWith("hit_") || c == "matchid_hit_matches_unfiltered")
+      val leftCols = out.columns.filterNot(hitCols.contains)
+      out.groupBy(leftCols.map(col): _*)
+        .agg(
+          first(col("matchid_hit_matches_unfiltered")).as("matchid_hit_matches_unfiltered"),
+          sort_array(collect_list(struct(
+            col("hit_rank") +:
+              hitCols.filterNot(Set("hit_rank", "matchid_hit_matches_unfiltered"))
+                .map(col).toSeq: _*))).as("hits"))
+    }
   }
 
   def compileRecipe(spark: SparkSession, conf: ProjectConf, r: RecipeDef): Step = {

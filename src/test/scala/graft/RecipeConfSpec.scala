@@ -456,6 +456,17 @@ class RecipeConfSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("matchid_hit_matches_unfiltered") == 3L))
     // the downstream contract columns are all present
     assert(out.head.schema.fieldNames.count(_.startsWith("hit_")) >= 6)
+
+    // unfold: False keeps the bucket shape — one row, rank-ordered hits
+    val bucketYaml = yaml.replace("dataset: matchid",
+      "dataset: matchid\n          unfold: False")
+    val buckets = RecipeConf.run(spark, RecipeConf.load(bucketYaml), "match_es").collect()
+    assert(buckets.length == 1)
+    val hitArr = buckets.head.getSeq[org.apache.spark.sql.Row](
+      buckets.head.fieldIndex("hits"))
+    assert(hitArr.length == 3)
+    assert(hitArr.map(_.getAs[Int]("hit_rank")) == Seq(1, 2, 3))
+    assert(hitArr.head.getAs[Long]("hit__id") == 1L)
   }
 
   test("the reference's ENTIRE matching recipe runs verbatim end-to-end (matching.yml:1-56)") {
