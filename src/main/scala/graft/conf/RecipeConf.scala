@@ -168,6 +168,14 @@ object RecipeConf {
       mode = if (mode == "create") "overwrite" else mode)
     case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),
       mode = if (mode == "create") "overwrite" else mode)
+    // the ES-bulk analogue: docs + token postings tables; `analyzed`
+    // names the token-array column, `id` the doc id (row hash when
+    // absent — recipes.py:771-790)
+    case "index" => Sinks.indexed(df, ds.path,
+      idCol = ds.options.get("id"),
+      analyzedCol = ds.options.getOrElse("analyzed",
+        sys.error(s"index sink needs options.analyzed (token-array column)")),
+      mode = if (mode == "create") "overwrite" else mode)
     case other => sys.error(s"unsupported sink format: $other")
   }
 

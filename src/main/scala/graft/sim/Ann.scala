@@ -163,4 +163,45 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** Embedding near-dup pairs WITHOUT a blocking column — the common
+    * LLM-data case where no natural key exists. Candidates must share a
+    * random-hyperplane signature bucket (row-local sig, ONE shuffle on
+    * the bucket key, never all-pairs), then exact cosine verifies.
+    * Recall: high-cosine pairs agree on most hyperplane signs — P[same
+    * `bits`-bit bucket] = (1 − θ/π)^bits; with the default 8 bits a
+    * 0.95-cosine pair lands together ≈ 44% of the time per table, so
+    * `tables` independent signatures are OR-ed to push recall up
+    * (3 tables → ≈ 83%). A candidate-generation dial, not a guarantee —
+    * unlike the simhash pigeonhole bound. */
+  def cosineNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, tables: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-table signature: reuse hyperplaneSig with disjoint bit ranges
+    // (table t uses bits [t*bits, (t+1)*bits) of one wide signature)
+    val wide = base.withColumn("__sig", hyperplaneSigUdf(col("v"), lit(bits * tables)))
+    val banded = wide.select(col("id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          shiftrightunsigned(col("__sig"), t * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("b.table"), col("b.bucket"))
+    // the bucket join carries ONLY (table, bucket, id) — vectors never
+    // enter that shuffle; candidates dedup on the narrow pair (one pair
+    // can meet in several tables) and vectors re-attach for the few
+    // survivors (same shape as minhashNearDups)
+    val slim = banded.select("id", "table", "bucket")
+    val a = slim.alias("a"); val b = slim.alias("b")
+    val pairs = a.join(b.hint("shuffle_hash"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

@@ -102,6 +102,32 @@ class GraphDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("banding recall guarantee"))
   }
 
+  test("LSH cosine near-dups recall planted high-cosine pairs without a block key") {
+    import graft.sim.Ann
+    // planted corpus: 60 random unit-ish vectors plus a perturbed copy
+    // of every 4th one (cosine ≈ 0.999) — no blocking key exists, so
+    // the bucketed operator is the only non-quadratic way to find them
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dups = base.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Ann.cosineNearDups(
+        emb.withColumn("block", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", "block", threshold = 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.cosineNearDupsLSH(emb, "vec_id", "embedding",
+        threshold = 0.98, bits = 8, tables = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 15) // the 15 planted pairs all exceed 0.98
+    assert(lsh.subsetOf(brute)) // no false positives: exact cosine verifies
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall too low (${lsh.size}/${brute.size})")
+  }
+
   test("brute-force ANN ranks by cosine with id tie-break") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),

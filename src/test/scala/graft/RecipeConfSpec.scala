@@ -938,6 +938,34 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("dependency cycle"))
   }
 
+  test("index sink from YAML writes docs + postings (the ES-bulk analogue)") {
+    import spark.implicits._
+    Seq((1L, "red apple pie"), (2L, "green pear tart"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/idx_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  raw_docs: {path: $dir/idx_in, format: parquet}
+         |  the_index:
+         |    path: $dir/idx_out
+         |    format: index
+         |    options: {id: doc_id, analyzed: toks}
+         |recipes:
+         |  build_index:
+         |    input: raw_docs
+         |    steps:
+         |      - eval: {toks: "split(text, ' ')"}
+         |    output: the_index
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "build_index")
+    val docs = spark.read.parquet(s"$dir/idx_out/docs")
+    val postings = spark.read.parquet(s"$dir/idx_out/postings")
+    assert(docs.count() == 2 && docs.columns.contains("_id"))
+    assert(postings.filter($"token" === "pie").head().getAs[Long]("_id") == 1L)
+    // and the index format reads back as the docs table
+    assert(RecipeConf.read(spark, conf.datasets("the_index")).count() == 2)
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
