@@ -67,7 +67,7 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
   }
 
   private lazy val uploads: java.nio.file.Path = uploadDir
-    .map(java.nio.file.Paths.get(_))
+    .map(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     .getOrElse(java.nio.file.Files.createTempDirectory("graft-upload"))
 
   // path-traversal guard for upload names (secure_filename analogue);
@@ -128,9 +128,17 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
-    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    // split the RAW query on &/= BEFORE decoding, then decode each part
+    // exactly once — getQuery pre-decodes, so an encoded '&' in a value
+    // (q=a%26b) would split into bogus params, and the old second decode
+    // in _search threw on legitimate '%' values
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val params = query.split("&").filter(_.contains("="))
-      .map { p => val Array(k, v) = p.split("=", 2); k -> v }.toMap
+      .map { p =>
+        val Array(k, v) = p.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
     val cfg = current
 
     if (!authorized(ex)) {
@@ -189,8 +197,10 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         import org.apache.spark.sql.functions._
         val ds = cfg.datasets(name)
         val size = params.getOrElse("size", "10").toInt
-        val toks = java.net.URLDecoder.decode(params.getOrElse("q", ""), "UTF-8")
-          .split("[\\s+]+").filter(_.nonEmpty).toSeq
+        // params are already decoded exactly once at parse time; '+' in
+        // a raw query string means space
+        val toks = params.getOrElse("q", "").replace('+', ' ')
+          .split("\\s+").filter(_.nonEmpty).toSeq
         if (toks.isEmpty) respond(ex, 400, """{"error": "q required"}""")
         else {
           val postings = spark.read.parquet(ds.path + "/postings")
@@ -223,14 +233,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         logLine(name, s"job $id: recipe $name started")
         Future {
           val t0 = System.nanoTime()
+          // log BEFORE flipping status: readers treat not-running as
+          // "the log is complete"
           try {
             RecipeConf.run(spark, cfg, name)
-            jobs(id) = "done"
             logLine(name, f"job $id: done in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            jobs(id) = "done"
           } catch {
             case e: Throwable =>
-              jobs(id) = s"failed: ${e.getMessage}"
               logLine(name, s"job $id: failed: ${e.getMessage}")
+              jobs(id) = s"failed: ${e.getMessage}"
           }
         }
         respond(ex, 202, s"""{"job": $id, "recipe": ${q(name)}}""")
@@ -285,6 +297,10 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
               if (!stillRunning) quiet = 5 else { quiet += 1; Thread.sleep(1000) }
             }
           }
+          // final snapshot: the job flips to done BEFORE appending its
+          // last log line — without this the "done in X s" line is lost
+          val last = logs.get(name).map(b => b.synchronized(b.toString)).getOrElse("")
+          if (last.length > sent) sse(last.substring(sent))
           out.write("event: close\ndata: end\n\n".getBytes(StandardCharsets.UTF_8))
           ex.close()
         }

@@ -49,9 +49,12 @@ object RecipeConf {
   case class ProjectConf(datasets: Map[String, DatasetConf], recipes: Map[String, RecipeDef])
 
   // ------------------------------------------------------------- loading
-  /** ${VAR} interpolation from the environment (config.py:53-91's !ENV). */
+  /** ${VAR} interpolation from the environment (config.py:53-91's !ENV).
+    * Values are quoted — a '$' or '\' in an env value is data, not a
+    * regex group reference. */
   private def interp(s: String, env: Map[String, String]): String =
-    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s, m => env.getOrElse(m.group(1), ""))
+    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s,
+      m => scala.util.matching.Regex.quoteReplacement(env.getOrElse(m.group(1), "")))
 
   def load(yaml: String, env: Map[String, String] = sys.env): ProjectConf = {
     val root = new Yaml().load[java.util.Map[String, Any]](interp(yaml, env))
@@ -79,17 +82,12 @@ object RecipeConf {
             sys.error(s"dataset $name: unknown connector $connector")) + "/" + t
         case _ => sys.error(s"dataset $name: path or connector+table required")
       }
-      def listOf(a: Any): Seq[String] = a match {
-        case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
-        case null => Nil
-        case s => Seq(s.toString)
-      }
       name -> DatasetConf(
         connector = connector,
         path = path,
         format = m.getOrElse("format", "parquet").toString,
         options = asMap(m.getOrElse("options", null)).map { case (k, vv) => k -> vv.toString },
-        select = listOf(m.getOrElse("select", null)),
+        select = strSeq(m.getOrElse("select", null)),
         regex = m.get("regex").map(_.toString))
     }
 
@@ -120,11 +118,7 @@ object RecipeConf {
             dataset = imm.getOrElse("dataset",
               sys.error(s"recipe $name: input.dataset required")).toString,
             filter = imm.get("filter").map(_.toString),
-            select = imm.getOrElse("select", null) match {
-              case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
-              case null => Nil
-              case s => Seq(s.toString)
-            })
+            select = strSeq(imm.getOrElse("select", null)))
         case s => InputConf(s.toString)
       }
       name -> RecipeDef(
@@ -164,6 +158,9 @@ object RecipeConf {
   def write(df: DataFrame, ds: DatasetConf, mode: String): Unit = ds.format match {
     case "parquet" if mode == "update" => // doc-upsert mode (ES analogue)
       Sinks.upsert(df, ds.path, ds.options.getOrElse("id", "_id"))
+    case other if mode == "update" =>
+      sys.error(s"output mode 'update' (doc upsert) is only supported for " +
+        s"parquet datasets, not '$other'")
     case "parquet" => Sinks.parquet(df, ds.path,
       mode = if (mode == "create") "overwrite" else mode)
     case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),
@@ -236,35 +233,43 @@ object RecipeConf {
         }
       }
       case "rename" => df => Ops.rename(df, strMap(args))
-      case "keep" => df => Ops.keep(df, sel(null),
+      case "keep" => df => Ops.keep(df, sel(),
         m.get("where").map(_.toString))
       case "delete" => df => Ops.delete(df, sel())
       case "fillna" => df => Ops.fillna(df, anyMap(args))
-      // replacements in reference YAML are Python syntax (\1 group refs)
-      case "replace" => df => Ops.replace(df, sel(null),
+      // replacements in reference YAML are Python syntax (\1 group refs);
+      // an unexpected regex shape is an ERROR, not a silent no-op
+      case "replace" => df => Ops.replace(df, sel(),
         (m.getOrElse("regex", null) match {
           case l: java.util.List[_] => l.asScala.toSeq.map { r =>
             val (pat, rep) = strMap(r).head
             pat -> graft.functions.PyExpr.pyReplacement(rep)
           }
-          case _ => Nil
+          case null => sys.error("replace: regex (list of {pattern: replacement}) required")
+          case other => sys.error(s"replace: regex must be a LIST of single-entry maps, got $other")
         }))
       case "normalize" => df => Ops.normalize(df, sel())
       case "to_integer" => df => Ops.toInteger(df, sel())
       case "to_float" => df => Ops.toFloat(df, sel(),
         m.get("na_value").map(_.toString.toDouble))
-      case "parsedate" => df => Ops.parsedate(df, sel(null),
+      case "parsedate" => df => Ops.parsedate(df, sel(),
         pyDateFormat(m.getOrElse("format", "yyyy-MM-dd").toString))
-      case "ngram" => df => Ops.ngram(df, sel(null),
+      case "ngram" => df => Ops.ngram(df, sel(),
         strSeq(m.getOrElse("n", null)).map(_.toInt) match { case Nil => Seq(2, 3); case ns => ns })
-      case "nest" => df => Ops.nest(df, sel(null),
+      case "nest" => df => Ops.nest(df, sel(),
         m.getOrElse("target", "nested").toString)
       case "unnest" => df => {
-        val c = m.getOrElse("select", sys.error("unnest: select required")).toString
+        val c = strSeq(m.getOrElse("select", sys.error("unnest: select required"))) match {
+          case Seq(one) => one
+          case many => sys.error(s"unnest: exactly one column, got $many")
+        }
         Ops.unnest(df, c, Ops.inferJsonSchema(df, c), m.getOrElse("prefix", "").toString)
       }
-      case "unfold" => df => Ops.unfold(df, m("select").toString,
-        m.getOrElse("fill_na", "").toString)
+      // several columns unfold sequentially (the reference loops its
+      // select list, recipes.py:2411-2446)
+      case "unfold" => df =>
+        strSeq(m("select")).foldLeft(df)((d, c) =>
+          Ops.unfold(d, c, m.getOrElse("fill_na", "").toString))
       case "shuffle" => df => Ops.shuffleCols(df, sel())
       case "pause" => identity
       case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
@@ -424,13 +429,19 @@ object RecipeConf {
       val hitCols = out.columns.filter(c =>
         c.startsWith("hit_") || c == "matchid_hit_matches_unfiltered")
       val leftCols = out.columns.filterNot(hitCols.contains)
+      // unmatched rows (keep_unmatched) have NULL hit columns — guard the
+      // struct so collect_list skips it and they get hits = [] rather
+      // than a single all-null struct. NOTE: identical left rows share a
+      // content-hash id and collapse to ONE bucket row here (they are
+      // indistinguishable); the flat shape keeps each copy.
+      val hitStruct = when(col(s"hit_$rightId").isNotNull,
+        struct(col("hit_rank") +:
+          hitCols.filterNot(Set("hit_rank", "matchid_hit_matches_unfiltered"))
+            .map(col).toSeq: _*))
       out.groupBy(leftCols.map(col): _*)
         .agg(
           first(col("matchid_hit_matches_unfiltered")).as("matchid_hit_matches_unfiltered"),
-          sort_array(collect_list(struct(
-            col("hit_rank") +:
-              hitCols.filterNot(Set("hit_rank", "matchid_hit_matches_unfiltered"))
-                .map(col).toSeq: _*))).as("hits"))
+          sort_array(collect_list(hitStruct)).as("hits"))
     }
   }
 
