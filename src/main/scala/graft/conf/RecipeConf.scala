@@ -360,6 +360,52 @@ object RecipeConf {
         ConnectedComponents.clique(df, src, dst,
           compute = strSeq(m.getOrElse("compute", null)))
       }
+      // ---- training-data dedup family as recipe steps (beyond the
+      // reference — the LLM-pipeline operators, COVERAGE.md)
+      //   dedup:    {id: col, text: col, method: exact|fingerprint|minhash}
+      //             → drop duplicates, keep min id per group/cluster
+      //   near_dups: {id: col, text|vec: col, method: minhash|simhash|
+      //             ngram|embedding, ...} → candidate pair table
+      case "dedup" => df => {
+        val id = m("id").toString; val text = m("text").toString
+        m.getOrElse("method", "exact").toString match {
+          case "exact" => graft.dedup.Dedup.exactDedup(df, id, text)
+          case "fingerprint" =>
+            val keep = graft.dedup.Dedup.fingerprintGroups(df, id, text)
+              .select(col("keep_id").as(id))
+            df.join(keep, Seq(id), "left_semi")
+          case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, text,
+            threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
+          case other => sys.error(s"dedup: unknown method '$other' " +
+            "(exact | fingerprint | minhash)")
+        }
+      }
+      case "near_dups" => df => {
+        val id = m("id").toString
+        m.getOrElse("method", "minhash").toString match {
+          case "minhash" => graft.dedup.Dedup.minhashNearDups(df, id,
+            m("text").toString,
+            threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
+          case "simhash" => graft.dedup.Dedup.simhashNearDups(df, id,
+            m("text").toString,
+            maxHamming = m.getOrElse("max_hamming", "3").toString.toInt,
+            bands = m.getOrElse("bands", "4").toString.toInt)
+          case "ngram" => graft.dedup.Dedup.ngramJaccardPairs(df, id,
+            m("text").toString, m("block").toString,
+            threshold = m.getOrElse("threshold", "0.5").toString.toDouble)
+          case "embedding" if m.contains("block") =>
+            graft.sim.Ann.cosineNearDups(df, id, m("vec").toString,
+              m("block").toString,
+              threshold = m.getOrElse("threshold", "0.9").toString.toDouble)
+          case "embedding" =>
+            graft.sim.Ann.cosineNearDupsLSH(df, id, m("vec").toString,
+              threshold = m.getOrElse("threshold", "0.9").toString.toDouble,
+              bits = m.getOrElse("bits", "8").toString.toInt,
+              tables = m.getOrElse("tables", "3").toString.toInt)
+          case other => sys.error(s"near_dups: unknown method '$other' " +
+            "(minhash | simhash | ngram | embedding)")
+        }
+      }
       case "sql" => df => { spark.sql(m("statement").toString); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +

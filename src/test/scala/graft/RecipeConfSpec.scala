@@ -966,6 +966,33 @@ class RecipeConfSpec extends SparkSpec {
     assert(RecipeConf.read(spark, conf.datasets("the_index")).count() == 2)
   }
 
+  test("dedup and near_dups recipe steps run the training-data operators from YAML") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+        (3L, "a completely different text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/dd_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  dd: {path: $dir/dd_in, format: parquet}
+         |recipes:
+         |  drop_exact:
+         |    input: dd
+         |    steps:
+         |      - dedup: {id: doc_id, text: text, method: exact}
+         |  sim_pairs:
+         |    input: dd
+         |    steps:
+         |      - near_dups: {id: doc_id, text: text, method: simhash, max_hamming: 3}
+         |""".stripMargin)
+    val kept = RecipeConf.run(spark, conf, "drop_exact")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // min id survives the duplicate pair
+    val pairs = RecipeConf.run(spark, conf, "sim_pairs").collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
+      && r.getAs[Int]("hamming") == 0))
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
