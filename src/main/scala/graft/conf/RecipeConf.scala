@@ -286,8 +286,14 @@ object RecipeConf {
       case "eval" => df => args match {
         case l: java.util.List[_] =>
           l.asScala.toSeq.foldLeft(df) { (d, entry) =>
-            val (dst, e) = strMap(entry).headOption.getOrElse(
-              sys.error("eval: each list entry must be one {column: expression} map"))
+            val em = strMap(entry)
+            // a one-level YAML indentation slip merges two entries into
+            // one multi-key map — taking head would silently DROP the
+            // rest, so require exactly one key (step-parser convention)
+            require(em.size == 1,
+              s"eval: each list entry must be exactly one {column: expression} " +
+                s"map; got ${em.size} keys: ${em.keys.mkString(", ")}")
+            val (dst, e) = em.head
             d.withColumn(dst, graft.functions.PyExpr.compile(e, d.schema))
           }
         case _ =>

@@ -177,11 +177,15 @@ object GraphMetrics {
     out
   }
 
-  /** Eigenvector centrality: power iteration on the symmetric adjacency,
-    * L2-normalized each step (converges to the principal eigenvector —
-    * what the reference's eigenvector_centrality_numpy computes). Each
-    * iteration is one join + one aggregate keyed on node id; lineage is
-    * truncated per step so the plan stays flat. */
+  /** Eigenvector centrality: power iteration on the SHIFTED adjacency
+    * (A+I), L2-normalized each step — the same recurrence as networkx's
+    * iterative eigenvector_centrality (x += x_last before adding
+    * neighbor mass). The shift keeps the operator's spectrum strictly
+    * positive so the iteration converges on bipartite components (stars,
+    * paths, even cycles — common dedup-cluster shapes) where plain A
+    * oscillates with period 2; the principal eigenVECTOR is unchanged.
+    * Each iteration is one join + one aggregate keyed on node id;
+    * lineage is truncated per step so the plan stays flat. */
   def eigenvector(edges: DataFrame, iters: Int = 60): DataFrame = {
     val adj = symAdj(edges).persist()
     var x = adj.select(col("a").as("node")).distinct()
@@ -189,8 +193,13 @@ object GraphMetrics {
     var i = 0
     var degenerate = x.isEmpty // empty edge set → empty metrics, no jobs
     while (i < iters && !degenerate) {
-      val next = adj.join(x, adj("b") === x("node"))
-        .groupBy(col("a").as("node")).agg(sum("score").as("score"))
+      val neigh = adj.join(x, adj("b") === x("node"))
+        .groupBy(col("a").as("node")).agg(sum("score").as("nscore"))
+      // (A+I)x: every node keeps its own previous score plus neighbor mass
+      val next = x.select(col("node"), col("score").as("self"))
+        .join(neigh, Seq("node"), "left")
+        .select(col("node"),
+          (col("self") + coalesce(col("nscore"), lit(0.0))).as("score"))
       // sum over an EMPTY frame is a null cell — guard before getDouble
       val normRow = next.agg(sum(col("score") * col("score"))).head()
       val norm2 = if (normRow.isNullAt(0)) 0.0 else normRow.getDouble(0)

@@ -176,6 +176,14 @@ object Ann {
     * unlike the simhash pigeonhole bound. */
   def cosineNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8, tables: Int = 3): DataFrame = {
+    // all tables pack into ONE 64-bit signature (disjoint bit ranges);
+    // beyond 64 the shifts alias mod 64 and tables silently share bits,
+    // degrading recall with no error — fail loudly instead (the YAML
+    // near_dups step exposes both knobs)
+    require(bits >= 1 && tables >= 1 && bits * tables <= 64,
+      s"bits*tables must be in [1,64] (one 64-bit signature holds all " +
+        s"tables' bit ranges); got bits=$bits tables=$tables " +
+        s"(${bits * tables} bits)")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // per-table signature: reuse hyperplaneSig with disjoint bit ranges
     // (table t uses bits [t*bits, (t+1)*bits) of one wide signature)

@@ -103,7 +103,12 @@ object EventStream {
               val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
               acc match {
                 case head :: tail if t - head.last <= gapMs =>
-                  SessionState(head.start, t, head.n + 1, head.sum + v) :: tail
+                  // an out-of-order event (within the watermark) can be
+                  // OLDER than the carried session head — the session
+                  // bounds must never regress, or end_ms is wrong and a
+                  // later in-gap event would wrongly open a new session
+                  SessionState(math.min(head.start, t), math.max(head.last, t),
+                    head.n + 1, head.sum + v) :: tail
                 case _ =>
                   SessionState(t, t, 1, v) :: acc
               }

@@ -190,6 +190,22 @@ class ApiServerSpec extends SparkSpec {
       val all = spark.read.parquet(path)
       assert(all.count() == 3)
       assert(all.filter($"_id" === 3L).head().getAs[String]("decision") == "rejected")
+      // PARTIAL body (the normal ES _update usage): posted fields
+      // overwrite, every other stored column is KEPT — not nulled
+      val part = sendBody("POST", s"$base/datasets/decisions/_update/1",
+        """{"doc": {"decision": "validated"}}""")
+      assert(part.statusCode() == 200)
+      val row1 = spark.read.parquet(path).filter($"_id" === 1L).head()
+      assert(row1.getAs[String]("decision") == "validated")
+      assert(row1.getAs[Double]("score") == 0.5) // untouched, not NULL
+      // a partial body can also ADD a column; other rows get NULL there
+      val add = sendBody("POST", s"$base/datasets/decisions/_update/2",
+        """{"doc": {"reviewer": "alice"}}""")
+      assert(add.statusCode() == 200)
+      val after = spark.read.parquet(path)
+      assert(after.filter($"_id" === 2L).head().getAs[String]("reviewer") == "alice")
+      assert(after.filter($"_id" === 2L).head().getAs[String]("decision") == "validated")
+      assert(after.filter($"_id" === 3L).head().getAs[String]("reviewer") == null)
       // non-parquet datasets refuse, like the reference's
       // "not an elasticsearch dataset" guard
       val csvConf = RecipeConf.load(

@@ -126,6 +126,13 @@ class GraphDedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute)) // no false positives: exact cosine verifies
     val recall = lsh.size.toDouble / brute.size
     assert(recall >= 0.6, s"LSH recall $recall too low (${lsh.size}/${brute.size})")
+    // the signature is a single 64-bit word: bits*tables beyond 64 would
+    // silently alias through shift-mod-64 and share bits across tables —
+    // must fail loudly instead (YAML exposes both knobs)
+    val e = intercept[IllegalArgumentException](
+      Ann.cosineNearDupsLSH(emb, "vec_id", "embedding",
+        threshold = 0.98, bits = 16, tables = 5))
+    assert(e.getMessage.contains("64"))
   }
 
   test("brute-force ANN ranks by cosine with id tie-break") {

@@ -149,6 +149,38 @@ class ModulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize: an in-watermark out-of-order event never regresses the session end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.Ev
+    implicit val sq = spark.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val src = MemoryStream[Ev]
+    val out = EventStream.sessionize(spark, src.toDF(), gapMs = 30 * 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    try {
+      val t0 = 10L * 24 * 3600000L
+      // batch 1: session head ends at t0+20min
+      src.addData(Ev(1L, ts(t0), 10L, "a", 1.0),
+        Ev(2L, ts(t0 + 20 * 60000L), 10L, "a", 1.0)); q.processAllAvailable()
+      // batch 2: a LATE event (t0+5min) — within the 2h watermark, older
+      // than the carried head. Broken version set last = t0+5min, so the
+      // next event (25 min after the TRUE last) would open a new session.
+      src.addData(Ev(3L, ts(t0 + 5 * 60000L), 10L, "a", 1.0)); q.processAllAvailable()
+      // batch 3: 25 min after the true last → must MERGE, not split
+      src.addData(Ev(4L, ts(t0 + 45 * 60000L), 10L, "a", 1.0)); q.processAllAvailable()
+      // close user 10's session via the event-time timeout
+      src.addData(Ev(5L, ts(t0 + 12 * 3600000L), 20L, "b", 1.0)); q.processAllAvailable()
+      src.addData(Ev(6L, ts(t0 + 13 * 3600000L), 20L, "b", 1.0)); q.processAllAvailable()
+      val sessions = spark.table("sess_ooo")
+        .filter(col("user_id") === 10L).collect()
+      assert(sessions.length == 1, s"expected ONE session, got ${sessions.length}")
+      assert(sessions.head.getAs[Long]("n_events") == 4)
+      assert(sessions.head.getAs[Long]("start_ms") == t0)
+      assert(sessions.head.getAs[Long]("end_ms") == t0 + 45 * 60000L)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg runs on a bounded stream (memory sink)") {
     val dir = s"$tmpDir/stream"
     val ts = (ms: Long) => new java.sql.Timestamp(ms)
@@ -303,6 +335,23 @@ class ModulesSpec extends SparkSpec {
     val sq0 = GraphMetrics.metrics(edges, Seq("square_clustering"))
       .collect().map(_.getAs[Double]("square_clustering"))
     assert(sq0.forall(_ == 0.0))
+  }
+
+  test("eigenvector centrality converges on bipartite graphs (star)") {
+    // a star is bipartite: plain-A power iteration oscillates with
+    // period 2 and reports equal center/leaf scores; the (A+I) shift
+    // must converge to the true principal eigenvector — center 1/√2,
+    // leaves 1/(2√2) (networkx eigenvector_centrality parity)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val ev = GraphMetrics.eigenvector(star)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("eigenvector")).toMap
+    assert(math.abs(ev(0L) - 1.0 / math.sqrt(2)) < 1e-3)
+    (1L to 4L).foreach(l => assert(math.abs(ev(l) - 1.0 / (2 * math.sqrt(2))) < 1e-3))
+    // even-cycle (also bipartite): all four nodes equal at 1/2
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val evc = GraphMetrics.eigenvector(c4)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("eigenvector")).toMap
+    (1L to 4L).foreach(n => assert(math.abs(evc(n) - 0.5) < 1e-3))
   }
 
   test("registry: scalar functions usable from SQL") {

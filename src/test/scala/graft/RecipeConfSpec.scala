@@ -255,6 +255,27 @@ class RecipeConfSpec extends SparkSpec {
     assert(r.getAs[Long]("f") == 7L)
   }
 
+  test("eval list entries with multiple keys fail loudly (YAML indent slip)") {
+    import spark.implicits._
+    Seq(1L).toDF("v").write.mode("overwrite").parquet(s"$dir/multikey_in")
+    // one indentation level off merges two intended entries into ONE
+    // multi-key map — silently dropping all but the first expression
+    // would be data loss, so the parser must reject it by name
+    val yaml =
+      s"""datasets:
+         |  mkin: {path: $dir/multikey_in, format: parquet}
+         |recipes:
+         |  slip:
+         |    input: mkin
+         |    steps:
+         |      - eval:
+         |        - {a: v + 1, b: v + 2}
+         |""".stripMargin
+    val e = intercept[Exception](
+      RecipeConf.run(spark, RecipeConf.load(yaml), "slip").collect())
+    assert(e.getMessage.contains("exactly one") && e.getMessage.contains("b"))
+  }
+
   test("the reference's full scoring chain runs verbatim (matching.yml:58-106)") {
     import org.apache.spark.sql.functions.{lit, array, typedLit}
     // one perfect match and one partial match, with every column the
