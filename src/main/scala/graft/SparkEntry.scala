@@ -298,13 +298,14 @@ object SparkEntry {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6)),
 
-    // SimHash near-dup pairs (rows-only)
+    // SimHash near-dup pairs — md5-hash variant so DuckDB can recompute
+    // the 60-bit signatures bit-for-bit (murmur3 is Spark-only).
     // maxHamming=3 is the 4-band pigeonhole recall bound — banding is
     // total-recall here (enforced by a require in simhashNearDups; an
     // exhaustive-recall spec pins it against brute force)
     "q27_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+        maxHamming = 3, algo = "md5")),
 
     // embedding cosine near-dups within label blocks (Ann.cosineNearDups)
     "q28_embed_neardup" -> ((s, dir) =>
@@ -791,6 +792,29 @@ object SparkEntry {
           |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
           | FROM g a JOIN g b ON a.doc_id < b.doc_id)
           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin),
+
+    // md5-based 60-bit simhash recomputed from scratch: per-token hash =
+    // first 15 hex chars of md5 (matches Spark's conv-free byte math),
+    // per-bit vote sum, then EXHAUSTIVE pairs — banding on the Spark side
+    // is total-recall for maxHamming=3 < 4 bands, so the sets coincide
+    "q27_simhash_pairs" ->
+      ("WITH n AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM documents), " +
+        """tok AS (SELECT doc_id, unnest(string_split(s, ' ')) AS t FROM n WHERE s <> ''),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+          |votes AS (
+          | SELECT doc_id, bb.b AS bit,
+          |  sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          | FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+          | GROUP BY doc_id, bb.b),
+          |sig0 AS (SELECT doc_id,
+          |  sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS sig
+          | FROM votes GROUP BY doc_id),
+          |sig AS (SELECT n.doc_id, coalesce(s0.sig, 0) AS sig
+          | FROM n LEFT JOIN sig0 s0 ON n.doc_id = s0.doc_id)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin),
 
     "q28_embed_neardup" ->
       """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -395,7 +395,8 @@ object RecipeConf {
           case "simhash" => graft.dedup.Dedup.simhashNearDups(df, id,
             m("text").toString,
             maxHamming = m.getOrElse("max_hamming", "3").toString.toInt,
-            bands = m.getOrElse("bands", "4").toString.toInt)
+            bands = m.getOrElse("bands", "4").toString.toInt,
+            algo = m.getOrElse("algo", "murmur3").toString)
           case "ngram" => graft.dedup.Dedup.ngramJaccardPairs(df, id,
             m("text").toString, m("block").toString,
             threshold = m.getOrElse("threshold", "0.5").toString.toDouble)

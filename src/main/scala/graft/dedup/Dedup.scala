@@ -193,6 +193,40 @@ object Dedup {
   }
   def simhash64(tokens: Column): Column = simhashUdf(tokens)
 
+  /** 60-bit SimHash with an md5-based token hash: the top 15 hex chars
+    * of md5(token) as the per-token hash (md5 is computable in any SQL
+    * engine — `('0x' || substr(md5(t),1,15))::BIGINT` in DuckDB matches
+    * bit-for-bit), so this variant is ORACLE-CHECKABLE end to end where
+    * the murmur3 one is Spark-only. 60 bits keep the value inside a
+    * signed long; bands divide 60. Slower than murmur3 (MessageDigest
+    * per token) — the default stays murmur3. */
+  private val simhashMd5Udf = udf { (tokens: Seq[String]) =>
+    if (tokens == null || tokens.isEmpty) 0L
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      tokens.foreach { t =>
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+        var h = 0L
+        var i = 0
+        while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+        i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 60) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+  def simhash60Md5(tokens: Column): Column = simhashMd5Udf(tokens)
+
   /** Hamming distance between two 64-bit signatures (codegen:
     * bit_count(xor)). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -205,16 +239,25 @@ object Dedup {
     * the operator never silently under-recalls (more bands = wider
     * guarantee but shorter band keys = more candidate collisions). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64, got $bands")
+      maxHamming: Int = 3, bands: Int = 4, algo: String = "murmur3"): DataFrame = {
+    // "md5" trades hash speed for cross-engine reproducibility (60-bit
+    // signature an external SQL oracle can recompute); "murmur3" is the
+    // fast 64-bit production default
+    val nBits = algo match {
+      case "murmur3" => 64
+      case "md5"     => 60
+      case other => sys.error(s"simhash algo must be murmur3 or md5, got $other")
+    }
+    require(bands >= 2 && nBits % bands == 0, s"bands must divide $nBits, got $bands")
     require(maxHamming < bands,
       s"banding recall guarantee requires maxHamming < bands " +
         s"(got maxHamming=$maxHamming, bands=$bands): a pair at distance " +
         s">= bands can differ in every band and be missed")
-    val width = 64 / bands
+    val width = nBits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    val toks = Tools.tokenize(Tools.normalize(col(textCol)))
     val sig = df.select(col(idCol).as("id"),
-      simhash64(Tools.tokenize(Tools.normalize(col(textCol)))).as("sig"))
+      (if (algo == "md5") simhash60Md5(toks) else simhash64(toks)).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
