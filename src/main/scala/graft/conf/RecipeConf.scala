@@ -144,6 +144,13 @@ object RecipeConf {
         widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),
         names = ds.options("names").split(",").toSeq.map(_.trim))
       case "index" => Sources.parquet(spark, path + "/docs") // document store
+      // the reference's `sql` connector (recipes.py:484-509): path = the
+      // table; options.query pushes a whole SELECT into the database
+      case "sql" => Sources.jdbc(spark,
+        url = ds.options.getOrElse("url", sys.error("sql dataset needs options.url")),
+        table = path,
+        query = ds.options.get("query"),
+        props = ds.options -- Seq("url", "query"))
       case other => sys.error(s"unsupported dataset format: $other")
     }
     // regex → path is a directory of files to concatenate
@@ -173,6 +180,10 @@ object RecipeConf {
       analyzedCol = ds.options.getOrElse("analyzed",
         sys.error(s"index sink needs options.analyzed (token-array column)")),
       mode = if (mode == "create") "overwrite" else mode)
+    case "sql" => Sinks.jdbc(df,
+      url = ds.options.getOrElse("url", sys.error("sql dataset needs options.url")),
+      table = ds.path, mode = mode,
+      props = ds.options - "url")
     case other => sys.error(s"unsupported sink format: $other")
   }
 
