@@ -475,6 +475,13 @@ object SparkEntry {
           expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
     }),
 
+    // winnowing document fingerprints (Schleimer et al. 2003): char
+    // 5-gram md5 hashes, window-4 minima, deduped — the rolling-hash
+    // fingerprint family, exploded to join-ready (id, fp) rows
+    "q46_winnow" -> ((s, dir) =>
+      graft.text.TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("fp"))),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -815,6 +822,21 @@ object SparkEntry {
           | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin),
+
+    // winnowing recomputed from scratch: same 60-bit md5 gram hash as
+    // Spark's conv(substr(md5,1,15),16,10), same window-min selection;
+    // DuckDB list slices are 1-based inclusive, so window i = hs[i:i+3]
+    "q46_winnow" ->
+      ("WITH n AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM documents), " +
+        """g AS (SELECT doc_id,
+          |  list_transform(generate_series(1, length(s) - 4),
+          |    i -> ('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT) AS hs
+          | FROM n WHERE length(s) >= 5),
+          |f AS (SELECT doc_id,
+          |  list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+          |    i -> list_min(hs[i:i+3]))) AS fps
+          | FROM g)
+          |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin),
 
     "q28_embed_neardup" ->
       """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -420,8 +420,14 @@ object RecipeConf {
               threshold = m.getOrElse("threshold", "0.9").toString.toDouble,
               bits = m.getOrElse("bits", "8").toString.toInt,
               tables = m.getOrElse("tables", "3").toString.toInt)
+          // winnowing fingerprints (Schleimer et al. 2003): exploded
+          // (id, fp) rows; near-dup candidates share an fp value
+          case "winnow" => graft.text.TextAnalysis.winnow(df, id,
+            m("text").toString,
+            k = m.getOrElse("k", "5").toString.toInt,
+            w = m.getOrElse("window", "4").toString.toInt)
           case other => sys.error(s"near_dups: unknown method '$other' " +
-            "(minhash | simhash | ngram | embedding)")
+            "(minhash | simhash | ngram | embedding | winnow)")
         }
       }
       case "sql" => df => { spark.sql(m("statement").toString); df }

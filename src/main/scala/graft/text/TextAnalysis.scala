@@ -6,8 +6,9 @@ import graft.functions.Tools
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language identification, document fingerprinting.
-  * Everything is pure Column arithmetic (codegen'd, no UDF) so the same
-  * logic is expressible 1:1 in the DuckDB oracle and runs at scan speed
+  * Pure Column arithmetic (codegen'd) everywhere except the winnowing
+  * kernel, which is a justified row-local UDF (see its Scaladoc); all of
+  * it is expressible 1:1 in the DuckDB oracle and runs at scan speed
   * over 100 TB.
   */
 object TextAnalysis {
@@ -92,5 +93,80 @@ object TextAnalysis {
       .when(fr >= es && fr >= de, lit("fr"))
       .when(es >= de, lit("es"))
       .otherwise(lit("de"))
+  }
+
+  // ----------------------------------------- winnowing fingerprints
+  /** Row-local winnowing kernel. A UDF on purpose, with the measurement
+    * that justifies it: the declarative spelling — transform(sequence)
+    * grams -> transform md5 hashes -> transform(slice+array_min) window
+    * minima — ran ~1 ms PER WINDOW: higher-order functions execute
+    * interpreted (no codegen), and CollapseProject inlines the hash
+    * array into the window lambda, recomputing every md5 once per
+    * window position (O(len^2) digests; minutes for 500 small docs).
+    * This loop is O(len*w) with one MessageDigest per row:
+    * milliseconds for the same input. */
+  private val winnowUdf = udf { (s: String, k: Int, w: Int) =>
+    if (s == null) null
+    else if (s.length < k) Array.empty[Long]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = s.length - k + 1
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        // same engine-portable 60-bit hash as the md5 simhash: the top
+        // 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+        val d = md.digest(s.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        hs(i) = (h << 4) | ((d(7) & 0xffL) >>> 4)
+        i += 1
+      }
+      // window minima: windows start at 0 .. n-w (a doc with fewer than
+      // w grams gets ONE window holding everything); dedupe preserving
+      // first-seen order so output is deterministic
+      val windows = math.max(n - w + 1, 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
+      while (i < windows) {
+        var m = Long.MaxValue
+        var j = i
+        val end = math.min(i + w, n)
+        while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+        seen.add(m)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003) as exploded (id, fingerprint) rows — the join-ready
+    * shape: near-dup candidates are ids sharing a fingerprint (one
+    * equi-join on `fp`, same scale shape as the minhash band join).
+    *
+    * Hash every character k-gram of the normalized text, slide a window
+    * of `w` consecutive hashes, keep each window's minimum, dedupe.
+    * Guarantees: any shared substring of length >= k + w - 1 contributes
+    * at least one common fingerprint; no shared substring shorter than
+    * k is ever detected. The per-gram hash is the top 60 bits of md5,
+    * engine-portable: `('0x' || substr(md5(g),1,15))::BIGINT` in an
+    * external SQL oracle matches bit-for-bit. Work is row-local and
+    * linear in text length — no shuffle at all (fingerprints are
+    * deduped per doc in the kernel, so the explode needs no distinct),
+    * and the operator scans at full parallelism at any scale. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    df.select(col(idCol).as("id"),
+        explode(winnowUdf(Tools.normalize(col(textCol)), lit(k), lit(w))).as("fp"))
   }
 }

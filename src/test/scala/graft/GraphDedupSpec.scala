@@ -228,4 +228,32 @@ class GraphDedupSpec extends SparkSpec {
     assert(r.getInt(0) == 4)
     assert(r.getDouble(1) > 0 && r.getDouble(1) < 0.3)
   }
+
+  test("winnowing fingerprints: identity, shared-substring guarantee, edges") {
+    val common = "entity resolution at one hundred terabytes of text"
+    val docs = Seq(
+      (1L, s"prefix about nothing $common"),
+      (2L, s"$common with an entirely different ending clause"),
+      (3L, "completely unrelated content on another topic altogether"),
+      (4L, "tiny"), // shorter than k after normalize → no fingerprints
+      (5L, s"prefix about nothing $common")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(docs, "doc_id", "text")
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // identical docs → identical fingerprint sets
+    assert(byDoc(1L) == byDoc(5L) && byDoc(1L).nonEmpty)
+    // winnowing guarantee: a shared substring of length >= k+w-1 leaves
+    // at least one common fingerprint (docs 1 and 2 share `common`)
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // unrelated docs share (essentially) nothing
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // sub-k text yields no rows; so does null
+    assert(!byDoc.contains(4L))
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(TextAnalysis.winnow(withNull, "doc_id", "text").count() == 0)
+    // fingerprints are a large compression of the gram count
+    val textLen = common.length
+    assert(byDoc(1L).size < textLen)
+  }
 }

@@ -1005,6 +1005,10 @@ class RecipeConfSpec extends SparkSpec {
          |    input: dd
          |    steps:
          |      - near_dups: {id: doc_id, text: text, method: simhash, max_hamming: 3}
+         |  winnow_fps:
+         |    input: dd
+         |    steps:
+         |      - near_dups: {id: doc_id, text: text, method: winnow, k: 5, window: 4}
          |""".stripMargin)
     val kept = RecipeConf.run(spark, conf, "drop_exact")
       .select("doc_id").as[Long].collect().toSet
@@ -1012,6 +1016,10 @@ class RecipeConfSpec extends SparkSpec {
     val pairs = RecipeConf.run(spark, conf, "sim_pairs").collect()
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
       && r.getAs[Int]("hamming") == 0))
+    // winnow: identical docs expose identical fingerprint sets
+    val fps = RecipeConf.run(spark, conf, "winnow_fps").collect()
+      .groupBy(_.getAs[Long]("id")).view.mapValues(_.map(_.getAs[Long]("fp")).toSet)
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty && fps(1L) != fps(3L))
   }
 
   test("env interpolation and exec rejection") {
