@@ -192,7 +192,8 @@ object GraphMetrics {
       .withColumn("score", lit(1.0)).localCheckpoint()
     var i = 0
     var degenerate = x.isEmpty // empty edge set → empty metrics, no jobs
-    while (i < iters && !degenerate) {
+    var converged = false
+    while (i < iters && !degenerate && !converged) {
       val neigh = adj.join(x, adj("b") === x("node"))
         .groupBy(col("a").as("node")).agg(sum("score").as("nscore"))
       // (A+I)x: every node keeps its own previous score plus neighbor mass
@@ -204,8 +205,19 @@ object GraphMetrics {
       val normRow = next.agg(sum(col("score") * col("score"))).head()
       val norm2 = if (normRow.isNullAt(0)) 0.0 else normRow.getDouble(0)
       if (norm2 <= 0.0) { degenerate = true; x = next.limit(0).localCheckpoint() }
-      else x = next.withColumn("score", col("score") / lit(math.sqrt(norm2)))
-        .localCheckpoint()
+      else {
+        val xNew = next.withColumn("score", col("score") / lit(math.sqrt(norm2)))
+          .localCheckpoint()
+        // convergence check (networkx-style) every 5 rounds — one extra
+        // node-count-sized job, typically ending the loop well before
+        // the iteration cap
+        if (i % 5 == 4) {
+          val d = xNew.join(x.withColumnRenamed("score", "prev"), Seq("node"))
+            .agg(max(abs(col("score") - col("prev")))).head()
+          converged = !d.isNullAt(0) && d.getDouble(0) < 1e-7
+        }
+        x = xNew
+      }
       i += 1
     }
     val out = x.select(col("node"), round(col("score"), 4).as("eigenvector"))
