@@ -105,6 +105,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(hits == Set(1L)) // only the rare token generates candidates
   }
 
+  test("q46 winnow plans no shuffle at all (row-local kernel + explode)") {
+    val p = plan("q46_winnow")
+    assert(!p.contains("Exchange"),
+      s"winnow should be scan -> project/generate with no shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the fingerprint explode:\n$p")
+  }
+
   test("minhashDedup keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val df = Seq(
