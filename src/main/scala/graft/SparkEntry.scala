@@ -482,6 +482,12 @@ object SparkEntry {
       graft.text.TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("fp"))),
 
+    // near-dup pairs by winnowing-fingerprint overlap (MOSS-style
+    // containment score); one fp-keyed equi-join, never all-pairs
+    "q47_winnow_pairs" -> ((s, dir) =>
+      graft.text.TextAnalysis.winnowNearDups(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -837,6 +843,29 @@ object SparkEntry {
           |    i -> list_min(hs[i:i+3]))) AS fps
           | FROM g)
           |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin),
+
+    // same winnowing CTEs, then overlap ratio over the exploded rows —
+    // round BEFORE the threshold filter, mirroring the Spark side
+    "q47_winnow_pairs" ->
+      ("WITH n AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM documents), " +
+        """g AS (SELECT doc_id,
+          |  list_transform(generate_series(1, length(s) - 4),
+          |    i -> ('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT) AS hs
+          | FROM n WHERE length(s) >= 5),
+          |f AS (SELECT doc_id,
+          |  list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+          |    i -> list_min(hs[i:i+3]))) AS fps
+          | FROM g),
+          |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          |cnt AS (SELECT doc_id, count(*) AS nfp FROM e GROUP BY doc_id),
+          |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          | FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          | GROUP BY a.doc_id, b.doc_id)
+          |SELECT id_a, id_b,
+          | round(shared::DOUBLE / least(ca.nfp, cb.nfp), 4) AS overlap
+          |FROM ov JOIN cnt ca ON ov.id_a = ca.doc_id
+          |        JOIN cnt cb ON ov.id_b = cb.doc_id
+          |WHERE round(shared::DOUBLE / least(ca.nfp, cb.nfp), 4) >= 0.5""".stripMargin),
 
     "q28_embed_neardup" ->
       """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -420,12 +420,14 @@ object RecipeConf {
               threshold = m.getOrElse("threshold", "0.9").toString.toDouble,
               bits = m.getOrElse("bits", "8").toString.toInt,
               tables = m.getOrElse("tables", "3").toString.toInt)
-          // winnowing fingerprints (Schleimer et al. 2003): exploded
-          // (id, fp) rows; near-dup candidates share an fp value
-          case "winnow" => graft.text.TextAnalysis.winnow(df, id,
+          // winnowing-fingerprint overlap pairs (Schleimer et al. 2003)
+          // — same pair-table contract as the other near_dups methods
+          case "winnow" => graft.text.TextAnalysis.winnowNearDups(df, id,
             m("text").toString,
             k = m.getOrElse("k", "5").toString.toInt,
-            w = m.getOrElse("window", "4").toString.toInt)
+            w = m.getOrElse("window", "4").toString.toInt,
+            threshold = m.getOrElse("threshold", "0.5").toString.toDouble,
+            maxDocFreq = m.getOrElse("max_doc_freq", "0").toString.toLong)
           case other => sys.error(s"near_dups: unknown method '$other' " +
             "(minhash | simhash | ngram | embedding | winnow)")
         }

@@ -169,4 +169,41 @@ object TextAnalysis {
     df.select(col(idCol).as("id"),
         explode(winnowUdf(Tools.normalize(col(textCol)), lit(k), lit(w))).as("fp"))
   }
+
+  /** Near-duplicate pairs by winnowing-fingerprint overlap: pairs of
+    * docs sharing at least one fingerprint, scored by overlap ratio
+    * |F(a) ∩ F(b)| / min(|F(a)|, |F(b)|) and kept at ≥ `threshold` —
+    * the containment-style score MOSS-like dedup uses (a near-copy of a
+    * short doc embedded in a long one still scores high).
+    *
+    * Scale shape is the minhash band join: candidates meet through ONE
+    * equi-join keyed on the fingerprint value carrying only (fp, id) —
+    * never all-pairs — then pair counts aggregate and per-doc totals
+    * re-attach (fingerprint-count table, corpus-cardinality-sized).
+    * A hot fingerprint (boilerplate shared by thousands of docs) is the
+    * skew to watch: `maxDocFreq` drops fingerprints more frequent than
+    * the cap, the same stopword guard as the match join. */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, threshold: Double = 0.5,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val fps = winnow(df, idCol, textCol, k, w)
+    val kept = if (maxDocFreq > 0) {
+      val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq).select("fp")
+      fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    } else fps
+    val counts = kept.groupBy("id").agg(count(lit(1)).as("nfp"))
+    val a = kept.alias("a"); val b = kept.alias("b")
+    val overlaps = a.join(b.hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    overlaps
+      .join(counts.select(col("id").as("id_a"), col("nfp").as("nfp_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("nfp").as("nfp_b")), Seq("id_b"))
+      .withColumn("overlap", round(
+        col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")), 4))
+      .filter(col("overlap") >= threshold)
+      .select("id_a", "id_b", "overlap")
+  }
 }

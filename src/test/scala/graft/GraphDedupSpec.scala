@@ -255,5 +255,18 @@ class GraphDedupSpec extends SparkSpec {
     // fingerprints are a large compression of the gram count
     val textLen = common.length
     assert(byDoc(1L).size < textLen)
+
+    // overlap pairs: exact dup scores 1.0; the substring-sharing pair
+    // clears a low threshold; unrelated docs never pair
+    val pairs = TextAnalysis.winnowNearDups(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("overlap")).toMap
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.3)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // the hot-fingerprint cap drops boilerplate shared by every doc
+    val capped = TextAnalysis.winnowNearDups(docs, "doc_id", "text",
+      threshold = 0.1, maxDocFreq = 2)
+    assert(capped.count() <= TextAnalysis.winnowNearDups(docs, "doc_id", "text",
+      threshold = 0.1).count())
   }
 }

@@ -1005,10 +1005,10 @@ class RecipeConfSpec extends SparkSpec {
          |    input: dd
          |    steps:
          |      - near_dups: {id: doc_id, text: text, method: simhash, max_hamming: 3}
-         |  winnow_fps:
+         |  winnow_pairs:
          |    input: dd
          |    steps:
-         |      - near_dups: {id: doc_id, text: text, method: winnow, k: 5, window: 4}
+         |      - near_dups: {id: doc_id, text: text, method: winnow, threshold: 0.9}
          |""".stripMargin)
     val kept = RecipeConf.run(spark, conf, "drop_exact")
       .select("doc_id").as[Long].collect().toSet
@@ -1016,10 +1016,12 @@ class RecipeConfSpec extends SparkSpec {
     val pairs = RecipeConf.run(spark, conf, "sim_pairs").collect()
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
       && r.getAs[Int]("hamming") == 0))
-    // winnow: identical docs expose identical fingerprint sets
-    val fps = RecipeConf.run(spark, conf, "winnow_fps").collect()
-      .groupBy(_.getAs[Long]("id")).view.mapValues(_.map(_.getAs[Long]("fp")).toSet)
-    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty && fps(1L) != fps(3L))
+    // winnow: the identical pair overlaps fully; the unrelated doc pairs
+    // with nobody at threshold 0.9
+    val wp = RecipeConf.run(spark, conf, "winnow_pairs").collect()
+    assert(wp.length == 1)
+    assert(wp.head.getAs[Long]("id_a") == 1L && wp.head.getAs[Long]("id_b") == 2L
+      && wp.head.getAs[Double]("overlap") == 1.0)
   }
 
   test("env interpolation and exec rejection") {
