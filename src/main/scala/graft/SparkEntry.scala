@@ -488,6 +488,14 @@ object SparkEntry {
       graft.text.TextAnalysis.winnowNearDups(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5)),
 
+    // deterministic hash-based train/val/test split — stable across
+    // runs/engines/cluster sizes; salt re-rolls all assignments at once
+    "q48_split" -> ((s, dir) =>
+      graft.operators.Ops.hashSplit(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", salt = "v1",
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -866,6 +874,16 @@ object SparkEntry {
           |FROM ov JOIN cnt ca ON ov.id_a = ca.doc_id
           |        JOIN cnt cb ON ov.id_b = cb.doc_id
           |WHERE round(shared::DOUBLE / least(ca.nfp, cb.nfp), 4) >= 0.5""".stripMargin),
+
+    // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
+    // over bucket = top-60-bits(md5(salt || id)) mod 10000
+    "q48_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+        | FROM documents)""".stripMargin,
 
     "q28_embed_neardup" ->
       """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -432,6 +432,14 @@ object RecipeConf {
             "(minhash | simhash | ngram | embedding | winnow)")
         }
       }
+      // deterministic hash-based train/val/test assignment (training-data
+      // curation): split: {id: col, salt: v1, splits: {train: 0.9, ...}}
+      case "split" => df => Ops.hashSplit(df, m("id").toString,
+        m.getOrElse("salt", "").toString,
+        anyMap(m.getOrElse("splits",
+          sys.error("split step needs splits: {name: weight, ...}")))
+          .toSeq.map { case (k, v) => k -> v.toString.toDouble },
+        splitCol = m.getOrElse("column", "split").toString)
       case "sql" => df => { spark.sql(m("statement").toString); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +

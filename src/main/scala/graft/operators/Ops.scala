@@ -252,4 +252,39 @@ object Ops {
     * this is build-time truncation; the head limit maps to `.limit`. */
   def pause(df: DataFrame, head: Option[Int] = None): DataFrame =
     head.map(df.limit).getOrElse(df)
+
+  // ----------------------------------------------------------- hash split
+  /** Deterministic train/val/test assignment — the training-data
+    * curation staple rand() can't provide: the same (salt, id) lands in
+    * the same split on every run, every engine, every cluster size, and
+    * changing the salt re-rolls every assignment at once. The bucket is
+    * the top 60 bits of md5(salt || id) mod 10000 (engine-portable:
+    * `('0x' || substr(md5(salt || id), 1, 15))::BIGINT % 10000` in any
+    * SQL dialect), mapped through the cumulative weight ranges in the
+    * given order. Row-local, codegen'd, no shuffle; weights are
+    * fractions summing to ~1 (enforced to 1e-6). */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(splits.forall(_._2 >= 0), s"negative split weight in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"split weights must sum to 1, got $total in $splits")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(10000L))
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail
+    val nb = splits.map(_._1).zip(bounds)
+    // when-chain over the cumulative upper bounds; the last split is the
+    // otherwise-branch so rounding drift can never drop a bucket
+    val assigned =
+      if (nb.size == 1) lit(nb.head._1)
+      else nb.init.tail.foldLeft(when(bucket < nb.head._2, lit(nb.head._1))) {
+        case (c, (name, hi)) => c.when(bucket < hi, lit(name))
+      }.otherwise(lit(nb.last._1))
+    df.withColumn(splitCol, assigned)
+  }
 }

@@ -160,4 +160,29 @@ class OpsSpec extends SparkSpec {
     val df = (1 to 10).toDF("A")
     assert(Ops.pause(df, Some(3)).count() == 3)
   }
+
+  test("hashSplit assigns deterministic, salt-sensitive, well-proportioned splits") {
+    val df = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val s1 = Ops.hashSplit(df, "id", "v1", splits)
+    val s2 = Ops.hashSplit(df, "id", "v1", splits)
+    // deterministic: two plans, identical assignment
+    assert(s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      s2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // proportions close to the weights (md5 is uniform)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 9000) < 150, counts.toString)
+    assert(math.abs(counts("val") - 500) < 100 && math.abs(counts("test") - 500) < 100)
+    // a different salt re-rolls assignments
+    val s3 = Ops.hashSplit(df, "id", "v2", splits)
+    val moved = s1.withColumnRenamed("split", "a")
+      .join(s3.withColumnRenamed("split", "b"), "id")
+      .filter(col("a") =!= col("b")).count()
+    assert(moved > 500)
+    // weights must sum to 1; no shuffle in the plan (row-local)
+    intercept[IllegalArgumentException](
+      Ops.hashSplit(df, "id", "v1", Seq("a" -> 0.5, "b" -> 0.2)))
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

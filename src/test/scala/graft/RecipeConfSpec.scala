@@ -1024,6 +1024,25 @@ class RecipeConfSpec extends SparkSpec {
       && wp.head.getAs[Double]("overlap") == 1.0)
   }
 
+  test("split step assigns every row to a declared split from YAML") {
+    import spark.implicits._
+    (1L to 100L).toDF("id").write.mode("overwrite").parquet(s"$dir/split_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  si: {path: $dir/split_in, format: parquet}
+         |recipes:
+         |  assign:
+         |    input: si
+         |    steps:
+         |      - split: {id: id, salt: v1, splits: {train: 0.8, test: 0.2}}
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf, "assign")
+    val by = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keySet == Set("train", "test") && by.values.sum == 100L)
+    assert(by("train") > by("test"))
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
