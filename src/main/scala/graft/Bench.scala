@@ -26,6 +26,26 @@ object Bench {
       try Tables.t(spark, sfDir, n).limit(1).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // JMH-style warmup: run every headline query once at the SMALLEST
+    // scale factor first (when one exists beside the target), so each
+    // query's generated code is JIT-compiled before its timed run —
+    // matching a long-running cluster, where code is warm. Data caches
+    // don't overlap (different files), only code paths do.
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p =>
+        val w = new java.io.File(p, "sf0.001")
+        if (w.isDirectory && w.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+          Some(w.getAbsolutePath)
+        else None
+    }
+    warmDir.foreach { wd =>
+      SparkEntry.benchQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, wd)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
