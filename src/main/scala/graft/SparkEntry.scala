@@ -496,6 +496,19 @@ object SparkEntry {
         "doc_id", salt = "v1",
         splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
 
+    // cap each source's contribution at 30 docs, deterministically
+    "q49_cap_source" -> ((s, dir) =>
+      graft.operators.Ops.capPerKey(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", n = 30, salt = "v1")),
+
+    // per-language sampling rates (downsample the dominant language)
+    "q50_sample_lang" -> ((s, dir) =>
+      graft.operators.Ops.sampleByKey(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", rates = Seq("en" -> 0.25), defaultRate = 1.0,
+        salt = "v1")),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -884,6 +897,19 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
         | FROM documents)""".stripMargin,
+
+    // rank by the same salted bucket (id tiebreak), keep the first 30
+    "q49_cap_source" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |   ORDER BY ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000,
+        |            doc_id) AS rk
+        | FROM documents) WHERE rk <= 30""".stripMargin,
+
+    "q50_sample_lang" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+        |      < CASE WHEN lang = 'en' THEN 2500.0 ELSE 10000.0 END""".stripMargin,
 
     "q28_embed_neardup" ->
       """WITH g AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

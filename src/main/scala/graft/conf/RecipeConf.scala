@@ -440,6 +440,17 @@ object RecipeConf {
           sys.error("split step needs splits: {name: weight, ...}")))
           .toSeq.map { case (k, v) => k -> v.toString.toDouble },
         splitCol = m.getOrElse("column", "split").toString)
+      // cap each key's rows (bound a source's contribution to the mix)
+      case "cap" => df => Ops.capPerKey(df, m("key").toString,
+        m("id").toString, m("n").toString.toInt,
+        salt = m.getOrElse("salt", "").toString)
+      // deterministic per-key sampling rates (source mixing)
+      case "sample" => df => Ops.sampleByKey(df, m("key").toString,
+        m("id").toString,
+        anyMap(m.getOrElse("rates", null)).toSeq
+          .map { case (k, v) => k -> v.toString.toDouble },
+        defaultRate = m.getOrElse("default", "1.0").toString.toDouble,
+        salt = m.getOrElse("salt", "").toString)
       case "sql" => df => { spark.sql(m("statement").toString); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +

@@ -270,10 +270,7 @@ object Ops {
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-6,
       s"split weights must sum to 1, got $total in $splits")
-    val bucket = pmod(
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
-        16, 10).cast("long"),
-      lit(10000L))
+    val bucket = hashBucket(idCol, salt)
     val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w * 10000)
     }.tail
@@ -286,5 +283,46 @@ object Ops {
         case (c, (name, hi)) => c.when(bucket < hi, lit(name))
       }.otherwise(lit(nb.last._1))
     df.withColumn(splitCol, assigned)
+  }
+
+  /** The 0..9999 hash bucket shared by the deterministic curation ops:
+    * top 60 bits of md5(salt || id) mod 10000, engine-portable
+    * (`('0x' || substr(md5(salt || id), 1, 15))::BIGINT % 10000`). */
+  private def hashBucket(idCol: String, salt: String) = pmod(
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long"),
+    lit(10000L))
+
+  /** Cap each key's contribution at `n` rows (training-data curation:
+    * bound any one source/domain so it cannot dominate the mix). Which
+    * rows survive is deterministic — rank by the salted id hash, id as
+    * tiebreak — so re-runs and engines agree. ONE shuffle on the key;
+    * WindowGroupLimit prunes each partition to n before the sort
+    * completes, so a hot key never materializes fully. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"capPerKey needs n >= 1, got $n")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(idCol, salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Deterministic per-key sampling (source mixing): keep a row iff its
+    * hash bucket falls under its key's rate — e.g. keep 100% of rare
+    * languages and 10% of English. Same guarantees as hashSplit: stable
+    * across runs/engines, the salt re-rolls globally. Row-local filter,
+    * no shuffle. */
+  def sampleByKey(df: DataFrame, keyCol: String, idCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val cut = rates.foldLeft(lit(math.round(defaultRate * 10000).toDouble)) {
+      case (acc, (k, r)) =>
+        when(col(keyCol) === k, lit(math.round(r * 10000).toDouble)).otherwise(acc)
+    }
+    df.filter(hashBucket(idCol, salt) < cut)
   }
 }

@@ -185,4 +185,28 @@ class OpsSpec extends SparkSpec {
       Ops.hashSplit(df, "id", "v1", Seq("a" -> 0.5, "b" -> 0.2)))
     assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("capPerKey bounds each key deterministically; sampleByKey honors per-key rates") {
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("k", when(col("id") <= 800, lit("big")).otherwise(lit("small")))
+    val capped = Ops.capPerKey(df, "k", "id", n = 50)
+    val by = capped.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by == Map("big" -> 50L, "small" -> 50L))
+    // deterministic survivor set
+    assert(Ops.capPerKey(df, "k", "id", n = 50).collect().map(_.getLong(0)).sorted.toSeq ==
+      capped.collect().map(_.getLong(0)).sorted.toSeq)
+    // WindowGroupLimit prunes hot keys before the full sort
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+
+    val sampled = Ops.sampleByKey(df, "k", "id", Seq("big" -> 0.1), defaultRate = 1.0)
+    val sb = sampled.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sb("small") == 200L) // default rate 1.0 keeps everything
+    assert(math.abs(sb("big") - 80L) < 40, sb.toString) // ~10% of 800
+    // row-local: no shuffle
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException](
+      Ops.sampleByKey(df, "k", "id", Seq("big" -> 1.5)))
+  }
 }

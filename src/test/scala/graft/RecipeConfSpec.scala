@@ -1035,12 +1035,22 @@ class RecipeConfSpec extends SparkSpec {
          |    input: si
          |    steps:
          |      - split: {id: id, salt: v1, splits: {train: 0.8, test: 0.2}}
+         |  curate:
+         |    input: si
+         |    steps:
+         |      - eval: {k: "case when id <= 80 then 'big' else 'small' end"}
+         |      - cap: {key: k, id: id, n: 10}
+         |      - sample: {key: k, id: id, rates: {big: 0.5}, default: 1.0}
          |""".stripMargin)
     val out = RecipeConf.run(spark, conf, "assign")
     val by = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(by.keySet == Set("train", "test") && by.values.sum == 100L)
     assert(by("train") > by("test"))
+    // cap bounds both keys at 10, then the 0.5 rate thins 'big' further
+    val cur = RecipeConf.run(spark, conf, "curate")
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur("small") == 10L && cur("big") <= 10L)
   }
 
   test("env interpolation and exec rejection") {
