@@ -402,6 +402,15 @@ object SparkEntry {
           col("byte_count"), round(col("mean_intensity"), 4).as("mean_intensity"))
     }),
 
+    // exact media dedup by content hash (binary analogue of q20):
+    // synthetic payloads repeat at p_partkey mod 256, so real dup
+    // groups exist and the oracle replays the byte stream in SQL
+    "q51_media_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesize(
+        t(s, dir, "part"), "p_partkey", bytesPerRow = 1024)
+      graft.multimodal.Multimodal.dedupGroups(media)
+    }),
+
     // subword/token counting with an RE2-shared pattern
     "q37_subwords" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -897,6 +906,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
         | FROM documents)""".stripMargin,
+
+    // replay the synthetic byte stream as an uppercase hex string and
+    // md5 it — matches Spark's md5(hex(payload)) content key exactly
+    "q51_media_dedup" ->
+      """WITH h AS (
+        | SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |  (SELECT md5(string_agg(upper(lpad(format('{:x}', (p_partkey + i*i) % 256), 2, '0')), '' ORDER BY i))
+        |   FROM generate_series(0, 1023) t(i)) AS content_key
+        | FROM part)
+        |SELECT content_key, min(media_id) AS keeper_id, count(*) AS n_copies
+        |FROM h GROUP BY content_key""".stripMargin,
 
     // rank by the same salted bucket (id tiebreak), keep the first 30
     "q49_cap_source" ->

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -114,6 +114,23 @@ object Multimodal {
         lit(w).as("width"), lit(h).as("height"),
         col("meta.duration_ms").as("duration_ms")))
   }
+
+  /** Content key for exact media dedup: md5 over the payload's hex
+    * spelling (not the raw bytes) so an external SQL oracle without a
+    * blob-md5 can reproduce it — Spark's hex() is uppercase; match with
+    * upper() on the oracle side. Row-local and codegen'd. */
+  def contentKey(payload: Column): Column = md5(hex(payload))
+
+  /** Exact media dedup groups: one row per distinct payload with the
+    * minimum media_id as the keeper and the copy count — the binary
+    * analogue of Dedup.exactGroups (a training-data pipeline dedups
+    * images/audio by content hash before any decode). One groupBy on
+    * the 32-char key; payload bytes never shuffle (the key is computed
+    * in the scan projection). */
+  def dedupGroups(df: DataFrame): DataFrame =
+    df.select(col("media_id"), contentKey(col("payload")).as("content_key"))
+      .groupBy("content_key")
+      .agg(min("media_id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Frame sampling (video): emit one row per sampled frame offset —
     * pure plan-side explode; the decoder stub extracts per-frame bytes. */

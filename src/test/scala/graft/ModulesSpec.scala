@@ -295,6 +295,14 @@ class ModulesSpec extends SparkSpec {
       struct(lit("v").as("mime"), lit(1).as("width"), lit(1).as("height"),
         lit(100L).as("duration_ms"))), everyMs = 50L)
     assert(frames.count() == 9) // 3 rows × offsets {0,50,100}
+
+    // exact content dedup: synthetic payloads repeat at key mod 256, so
+    // keys 1 and 257 are byte-identical and group together (min id keeps)
+    val dup = Multimodal.synthesize(
+      Seq(1L, 2L, 257L).toDF("k"), "k", bytesPerRow = 64)
+    val groups = Multimodal.dedupGroups(dup).collect()
+      .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(1L -> 2L, 2L -> 1L))
   }
 
   test("graph metrics: degree, pagerank, clustering on a triangle+tail") {
