@@ -372,38 +372,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           val parsed = spark.read.json(spark.createDataset(Seq(body)))
           val doc = if (parsed.columns.contains("doc")) parsed.select("doc.*") else parsed
           val idCol = ds.options.getOrElse("id", "_id")
-          val stored = scala.util.Try(spark.read.parquet(ds.path)).toOption
           // match the existing table's id type so the merge key aligns
-          val idType = stored.flatMap(t => scala.util.Try(t.schema(idCol).dataType).toOption)
+          val idType = scala.util.Try(spark.read.parquet(ds.path).schema(idCol).dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
           val typed = doc.withColumn(idCol, lit(id).cast(idType))
           // ES _update semantics (api.py:784-811): the body is a PARTIAL
           // doc — posted fields overwrite, every other stored field is
-          // kept. Overlay the posted columns on the existing row before
-          // the whole-row upsert; posted values are cast to the stored
-          // column type so the parquet schema stays stable.
-          val merged = stored match {
-            case Some(table) =>
-              import org.apache.spark.sql.functions.col
-              val old = table.filter(col(idCol) === lit(id).cast(idType)).limit(1)
-              if (old.isEmpty) typed
-              else {
-                val posted = typed.columns.filterNot(_ == idCol).toSet
-                val keepOrOverlay = table.schema.fields.toSeq.map { f =>
-                  if (posted.contains(f.name))
-                    col(s"new.`${f.name}`").cast(f.dataType).as(f.name)
-                  else col(s"old.`${f.name}`").as(f.name)
-                }
-                val newOnly = typed.schema.fields.toSeq
-                  .filterNot(f => f.name == idCol || table.columns.contains(f.name))
-                  .map(f => col(s"new.`${f.name}`").as(f.name))
-                old.as("old").join(typed.as("new"),
-                    col(s"old.`$idCol`") === col(s"new.`$idCol`"))
-                  .select(keepOrOverlay ++ newOnly: _*)
-              }
-            case None => typed
-          }
-          graft.sources.Sinks.upsert(merged, ds.path, idCol)
+          // kept. The overlay read happens inside the sink's per-path
+          // lock (upsertPartial), so concurrent updates cannot capture a
+          // file listing another update's commit is about to delete.
+          graft.sources.Sinks.upsertPartial(typed, ds.path, idCol)
           respond(ex, 200, s"""{"_id": ${q(id)}, "result": "updated"}""")
         }
 

@@ -180,10 +180,13 @@ object RecipeConf {
       analyzedCol = ds.options.getOrElse("analyzed",
         sys.error(s"index sink needs options.analyzed (token-array column)")),
       mode = if (mode == "create") "overwrite" else mode)
+    // strip `query` too: it is a READ option, and the JDBC writer
+    // rejects dbtable+query together — a sql dataset declared with a
+    // read query must still be usable as an output table
     case "sql" => Sinks.jdbc(df,
       url = ds.options.getOrElse("url", sys.error("sql dataset needs options.url")),
       table = ds.path, mode = mode,
-      props = ds.options - "url")
+      props = ds.options -- Seq("url", "query"))
     case other => sys.error(s"unsupported sink format: $other")
   }
 

@@ -206,14 +206,10 @@ object Dedup {
       val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](60)
       tokens.foreach { t =>
-        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = Tools.md5Top60(
+          md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         md.reset()
-        // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
-        var h = 0L
         var i = 0
-        while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-        h = (h << 4) | ((d(7) & 0xffL) >>> 4)
-        i = 0
         while (i < 60) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
           i += 1

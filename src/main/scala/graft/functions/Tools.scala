@@ -19,6 +19,19 @@ object Tools {
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
   def nullToEmpty(c: Column): Column = coalesce(c, lit(""))
 
+  /** Top 60 bits of an md5 digest as a positive Long — the first 15 hex
+    * chars (bytes 0-6 plus the high nibble of byte 7). THE engine-
+    * portable hash of the md5-simhash and winnowing kernels: an external
+    * SQL oracle reproduces it as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. Keep the two sides in
+    * lock-step — changing this changes every oracle built on it. */
+  def md5Top60(digest: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    (h << 4) | ((digest(7) & 0xffL) >>> 4)
+  }
+
   // ------------------------------------------------------------ normalize
   /** Strip diacritics: NFD-decompose then drop combining marks.
     * Mirrors tools.normalize's unidecode step

@@ -287,9 +287,15 @@ object Ops {
 
   /** The 0..9999 hash bucket shared by the deterministic curation ops:
     * top 60 bits of md5(salt || id) mod 10000, engine-portable
-    * (`('0x' || substr(md5(salt || id), 1, 15))::BIGINT % 10000`). */
+    * (`('0x' || substr(md5(salt || id), 1, 15))::BIGINT % 10000`).
+    * NULL ids hash as the empty string rather than propagating null —
+    * otherwise the three ops would disagree silently (a null bucket
+    * falls to hashSplit's otherwise-branch, fails sampleByKey's filter,
+    * and sorts first in capPerKey). This way all null-id rows share one
+    * deterministic bucket and every op treats them the same. */
   private def hashBucket(idCol: String, salt: String) = pmod(
-    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
+    conv(substring(md5(concat(lit(salt),
+      coalesce(col(idCol).cast("string"), lit("")))), 1, 15),
       16, 10).cast("long"),
     lit(10000L))
 

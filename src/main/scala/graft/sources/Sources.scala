@@ -175,31 +175,80 @@ object Sinks {
   private val upsertLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def upsert(df: DataFrame, path: String, idCol: String): Unit = {
+  /** Partial-doc upsert (ES `_update` semantics, api.py:784-811): the
+    * posted columns overlay the stored row for that id, every other
+    * stored column is kept, posted-only columns are added. The read of
+    * the existing row happens INSIDE the per-path lock — building the
+    * merge plan outside it would capture a file listing that a
+    * concurrent upsert's delete+rename commit invalidates mid-write. */
+  def upsertPartial(doc: DataFrame, path: String, idCol: String): Unit = {
     val lock = upsertLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
-      val spark = df.sparkSession
+      val spark = doc.sparkSession
       val target = new org.apache.hadoop.fs.Path(path)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val merged =
-        if (fs.exists(target)) {
-          val existing = spark.read.parquet(path)
-          val keep = existing.join(df.select(col(idCol)), Seq(idCol), "left_anti")
-          keep.unionByName(df, allowMissingColumns = true)
-        } else df
-      // write the merged result to a temp dir first (the source partition
-      // can't be overwritten while it is being read), then commit with a
-      // directory rename — one metadata op on HDFS-like stores, and the
-      // window where the target is absent is delete→rename only. At
-      // lakehouse scale the same call maps to a real MERGE on a table
-      // format with snapshot isolation.
-      val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(target)) fs.delete(target, true)
-      if (!fs.rename(tmp, target))
-        sys.error(s"upsert commit failed: could not rename $tmp to $target")
+        if (!fs.exists(target)) doc
+        else {
+          val table = spark.read.parquet(path)
+          // align the merge-key type with the stored table (callers may
+          // have typed the id from a pre-lock schema read that raced)
+          val doc0 = scala.util.Try(table.schema(idCol).dataType).toOption
+            .map(t => doc.withColumn(idCol, col(idCol).cast(t))).getOrElse(doc)
+          val old = table.join(doc0.select(col(idCol)), Seq(idCol), "left_semi")
+          if (old.isEmpty) doc0
+          else {
+            val doc = doc0
+            val posted = doc.columns.filterNot(_ == idCol).toSet
+            // posted values are cast to the stored column type so the
+            // parquet schema stays stable under repeated updates
+            val keepOrOverlay = table.schema.fields.toSeq.map { f =>
+              if (f.name == idCol) col(s"old.`${f.name}`").as(f.name)
+              else if (posted.contains(f.name))
+                col(s"new.`${f.name}`").cast(f.dataType).as(f.name)
+              else col(s"old.`${f.name}`").as(f.name)
+            }
+            val newOnly = doc.schema.fields.toSeq
+              .filterNot(f => f.name == idCol || table.columns.contains(f.name))
+              .map(f => col(s"new.`${f.name}`").as(f.name))
+            old.as("old").join(doc.as("new"),
+                col(s"old.`$idCol`") === col(s"new.`$idCol`"))
+              .select(keepOrOverlay ++ newOnly: _*)
+          }
+        }
+      writeLocked(merged, path, idCol)
     }
+  }
+
+  def upsert(df: DataFrame, path: String, idCol: String): Unit = {
+    val lock = upsertLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized { writeLocked(df, path, idCol) }
+  }
+
+  /** The shared read-union-dedup-rewrite body; callers hold the path
+    * lock. Existing rows whose id appears in `newRows` are replaced. */
+  private def writeLocked(newRows: DataFrame, path: String, idCol: String): Unit = {
+    val spark = newRows.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(path)
+        val keep = existing.join(newRows.select(col(idCol)), Seq(idCol), "left_anti")
+        keep.unionByName(newRows, allowMissingColumns = true)
+      } else newRows
+    // write the merged result to a temp dir first (the source partition
+    // can't be overwritten while it is being read), then commit with a
+    // directory rename — one metadata op on HDFS-like stores, and the
+    // window where the target is absent is delete→rename only. At
+    // lakehouse scale the same call maps to a real MERGE on a table
+    // format with snapshot isolation.
+    val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      sys.error(s"upsert commit failed: could not rename $tmp to $target")
   }
 
   /** JDBC sink: create (overwrite) / append, mirroring output modes

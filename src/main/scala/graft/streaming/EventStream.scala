@@ -98,21 +98,39 @@ object EventStream {
             // (newest session at the head)
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val prev = if (streaming) state.getOption.getOrElse(Nil) else Nil
-            val sessions = sorted.foldLeft(prev) { (acc, e) =>
-              val t = e.ts.getTime
-              val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-              acc match {
-                case head :: tail if t - head.last <= gapMs =>
-                  // an out-of-order event (within the watermark) can be
-                  // OLDER than the carried session head — the session
-                  // bounds must never regress, or end_ms is wrong and a
-                  // later in-gap event would wrongly open a new session
-                  SessionState(math.min(head.start, t), math.max(head.last, t),
-                    head.n + 1, head.sum + v) :: tail
-                case _ =>
-                  SessionState(t, t, 1, v) :: acc
+            def fold(init: List[SessionState], es: Seq[Ev]) =
+              es.foldLeft(init) { (acc, e) =>
+                val t = e.ts.getTime
+                val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                acc match {
+                  // merge iff the event falls within gap of the session's
+                  // SPAN on either side. An out-of-order event (within the
+                  // watermark) can be older than the carried head — bounds
+                  // must never regress, or end_ms is wrong and a later
+                  // in-gap event would wrongly open a new session.
+                  case head :: tail if t - head.last <= gapMs &&
+                      t >= head.start - gapMs =>
+                    SessionState(math.min(head.start, t), math.max(head.last, t),
+                      head.n + 1, head.sum + v) :: tail
+                  case _ =>
+                    SessionState(t, t, 1, v) :: acc
+                }
               }
+            // events older than the carried session's start by more than
+            // the gap belong to their own, already-past sessions: a real
+            // silence separates them from the open head, so they must NOT
+            // merge with it (batch/oracle gap semantics would split) —
+            // sessionize them among themselves and emit them as closed.
+            // Remaining corner (documented best effort): a late event
+            // within gap of a start that ANOTHER late event just pulled
+            // down is still split; exact repair needs the full history,
+            // which watermarked state no longer holds.
+            val (lateEvs, mainEvs) = prev match {
+              case head :: _ => sorted.partition(_.ts.getTime < head.start - gapMs)
+              case Nil       => (Seq.empty[Ev], sorted)
             }
+            // list is newest-first: late sessions append below everything
+            val sessions = fold(prev, mainEvs) ++ fold(Nil, lateEvs)
             if (streaming) {
               // keep the newest (still-open) session in state; emit the
               // rest, oldest first

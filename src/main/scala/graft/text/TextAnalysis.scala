@@ -114,15 +114,9 @@ object TextAnalysis {
       val hs = new Array[Long](n)
       var i = 0
       while (i < n) {
-        // same engine-portable 60-bit hash as the md5 simhash: the top
-        // 15 hex chars = bytes 0-6 plus the high nibble of byte 7
-        val d = md.digest(s.substring(i, i + k)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        hs(i) = Tools.md5Top60(md.digest(s.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         md.reset()
-        var h = 0L
-        var j = 0
-        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-        hs(i) = (h << 4) | ((d(7) & 0xffL) >>> 4)
         i += 1
       }
       // window minima: windows start at 0 .. n-w (a doc with fewer than
@@ -186,11 +180,19 @@ object TextAnalysis {
   def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, threshold: Double = 0.5,
       maxDocFreq: Long = 0L): DataFrame = {
+    // persist the narrow (id, fp) frame: the plan fans out to the pair
+    // join's two sides, the per-doc counts, and (optionally) the hot-fp
+    // set — without this, each branch re-runs the md5 kernel over the
+    // whole corpus. Spark evicts it LRU after the action.
     val fps = winnow(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = if (maxDocFreq > 0) {
       val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDocFreq).select("fp")
-      fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      // NO broadcast: the hot set's size is data-dependent (boilerplate-
+      // heavy corpora can push it past any broadcast limit); a shuffle
+      // anti-join is scale-safe and AQE still broadcasts it when small
+      fps.join(hot, Seq("fp"), "left_anti")
     } else fps
     val counts = kept.groupBy("id").agg(count(lit(1)).as("nfp"))
     val a = kept.alias("a"); val b = kept.alias("b")

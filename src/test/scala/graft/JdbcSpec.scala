@@ -56,6 +56,9 @@ class JdbcSpec extends SparkSpec {
     import spark.implicits._
     Sinks.jdbc(Seq((1L, "paris", 1), (2L, "london", 0), (3L, "lyon", 1))
       .toDF("id", "city", "fr"), url, "cities", mode = "create", props = props)
+    // `french` declares a READ query too: the sink must strip it (the
+    // JDBC writer rejects dbtable+query together) so the same dataset
+    // works as both input and output
     val yaml =
       s"""datasets:
          |  cities:
@@ -65,7 +68,8 @@ class JdbcSpec extends SparkSpec {
          |  french:
          |    path: french_cities
          |    format: sql
-         |    options: {url: "$url", driver: org.apache.derby.jdbc.EmbeddedDriver}
+         |    options: {url: "$url", driver: org.apache.derby.jdbc.EmbeddedDriver,
+         |              query: "SELECT * FROM french_cities"}
          |recipes:
          |  keep_french:
          |    input: cities

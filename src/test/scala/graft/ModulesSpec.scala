@@ -181,6 +181,39 @@ class ModulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize: a late event separated from the open session by a real gap gets its OWN session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.Ev
+    implicit val sq = spark.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val src = MemoryStream[Ev]
+    val out = EventStream.sessionize(spark, src.toDF(), gapMs = 30 * 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      val t0 = 10L * 24 * 3600000L
+      // open session [t0+60min, t0+70min]
+      src.addData(Ev(1L, ts(t0 + 60 * 60000L), 10L, "a", 1.0),
+        Ev(2L, ts(t0 + 70 * 60000L), 10L, "a", 1.0)); q.processAllAvailable()
+      // TWO late events at t0 and t0+5min — within the 2h watermark but
+      // a 55-min silence from the open session: batch gap semantics give
+      // them their own single merged session, never a merge into head
+      src.addData(Ev(3L, ts(t0), 10L, "a", 1.0),
+        Ev(4L, ts(t0 + 5 * 60000L), 10L, "a", 1.0)); q.processAllAvailable()
+      // advance the watermark so the open session times out
+      src.addData(Ev(5L, ts(t0 + 12 * 3600000L), 20L, "b", 1.0)); q.processAllAvailable()
+      src.addData(Ev(6L, ts(t0 + 13 * 3600000L), 20L, "b", 1.0)); q.processAllAvailable()
+      val sessions = spark.table("sess_late")
+        .filter(col("user_id") === 10L).orderBy("start_ms").collect()
+      assert(sessions.length == 2, s"expected TWO sessions, got ${sessions.length}")
+      assert(sessions(0).getAs[Long]("start_ms") == t0)
+      assert(sessions(0).getAs[Long]("end_ms") == t0 + 5 * 60000L)
+      assert(sessions(0).getAs[Long]("n_events") == 2) // late pair merged together
+      assert(sessions(1).getAs[Long]("start_ms") == t0 + 60 * 60000L)
+      assert(sessions(1).getAs[Long]("n_events") == 2)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg runs on a bounded stream (memory sink)") {
     val dir = s"$tmpDir/stream"
     val ts = (ms: Long) => new java.sql.Timestamp(ms)

@@ -209,4 +209,20 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ops.sampleByKey(df, "k", "id", Seq("big" -> 1.5)))
   }
+
+  test("curation ops treat null ids consistently (one shared bucket, never dropped)") {
+    val df = (1L to 50L).toDF("v")
+      .withColumn("id", when(col("v") <= 45, col("v")).otherwise(lit(null)))
+      .withColumn("k", lit("only"))
+    // sampleByKey at rate 1.0 keeps every row, null ids included —
+    // null buckets would silently drop them
+    assert(Ops.sampleByKey(df, "k", "id", Nil, defaultRate = 1.0).count() == 50)
+    // hashSplit assigns null-id rows all to the SAME split (one bucket)
+    val nullSplits = Ops.hashSplit(df, "id", "s",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .filter(col("id").isNull).select("split").distinct().count()
+    assert(nullSplits == 1)
+    // capPerKey still bounds the key with nulls present
+    assert(Ops.capPerKey(df, "k", "id", n = 10).count() == 10)
+  }
 }
