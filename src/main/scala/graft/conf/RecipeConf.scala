@@ -180,6 +180,15 @@ object RecipeConf {
       analyzedCol = ds.options.getOrElse("analyzed",
         sys.error(s"index sink needs options.analyzed (token-array column)")),
       mode = if (mode == "create") "overwrite" else mode)
+    // persisted IVF ANN index: centroids + cell-partitioned corpus
+    // (build-once / query-many similarity search)
+    case "ann_index" => graft.sim.Ann.writeIvfIndex(df,
+      cId = ds.options.getOrElse("id",
+        sys.error("ann_index sink needs options.id (vector id column)")),
+      cVec = ds.options.getOrElse("vec",
+        sys.error("ann_index sink needs options.vec (embedding column)")),
+      path = ds.path,
+      nlist = ds.options.getOrElse("nlist", "16").toInt)
     // strip `query` too: it is a READ option, and the JDBC writer
     // rejects dbtable+query together — a sql dataset declared with a
     // read query must still be usable as an output table

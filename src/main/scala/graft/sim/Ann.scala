@@ -152,6 +152,60 @@ object Ann {
     scoreAndRank(probes.join(assigned, Seq("__cell")), k, excludeSelf)
   }
 
+  /** Persist an IVF index for reuse across query batches — the
+    * build-once / query-many workflow every production ANN deployment
+    * runs (FAISS-style, but as a data LAYOUT instead of a native
+    * structure): k-means centroids in a tiny `centroids/` table and the
+    * corpus in `assigned/`, hive-PARTITIONED BY the cell id. A probe
+    * filters on `__cell`, so Spark prunes whole cell directories at the
+    * scan — each query batch reads nprobe/nlist of the corpus bytes,
+    * which is the property that makes IVF work at 100 TB. */
+  def writeIvfIndex(corpus: DataFrame, cId: String, cVec: String,
+      path: String, nlist: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .withColumn("__features", array_to_vector(transform(col("__cv"), x => x.cast("double"))))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+    val model = km.fit(corpusVec)
+    model.transform(corpusVec)
+      .withColumnRenamed("prediction", "__cell")
+      .select(col("neighbor_id"), col("__cv"), col("__cell"))
+      // one output dir (and typically one file) per cell
+      .repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
+      .toDF("__cell", "__centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted IVF index: pick each query's nprobe nearest
+    * centroids (tiny broadcast), then join the probes against the
+    * partitioned corpus — the `__cell` keys drive partition pruning so
+    * only probed cell directories are read. Same scoring contract as
+    * ivfTopK. */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centDf = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
+    val dist2 = aggregate(
+      zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("__cell"))
+    val probes = qd.crossJoin(centDf)
+      .withColumn("__d2", dist2)
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "__qv", "__cell")
+    scoreAndRank(probes.join(assigned, Seq("__cell")), k, excludeSelf)
+  }
+
   /** Embedding near-duplicate pairs within a blocking column: exact
     * cosine ≥ threshold, id_a < id_b. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

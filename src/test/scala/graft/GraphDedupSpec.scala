@@ -162,6 +162,22 @@ class GraphDedupSpec extends SparkSpec {
       s"IVF recall too low: $recalled/$nExact")
     // every IVF hit ranks deterministically
     assert(ivf.count() > 0)
+
+    // persisted index round trip: same seed and layout → identical
+    // results to the in-memory path, across a fresh read
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxPath, nlist = 8)
+    val fromIndex = Ann.ivfIndexTopK(spark, idxPath, q, "vec_id", "embedding",
+        k = 5, nprobe = 4, excludeSelf = true)
+      .select("query_id", "neighbor_id")
+    assert(fromIndex.count() == ivf.count())
+    assert(ivf.exceptAll(fromIndex).count() == 0,
+      "persisted-index results diverge from the in-memory IVF path")
+    // the assigned table is hive-partitioned by cell — the layout that
+    // lets a probe read only its cells' directories
+    val dirs = new java.io.File(s"$idxPath/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__cell="))
+    assert(dirs.length == 8, dirs.mkString(","))
   }
 
   test("match topK honors k, rank order and hit metadata contract") {

@@ -987,6 +987,31 @@ class RecipeConfSpec extends SparkSpec {
     assert(RecipeConf.read(spark, conf.datasets("the_index")).count() == 2)
   }
 
+  test("ann_index sink from YAML persists a queryable IVF layout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/ann_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  vectors: {path: $dir/ann_in, format: parquet}
+         |  the_ann:
+         |    path: $dir/ann_out
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "4"}
+         |recipes:
+         |  build_ann: {input: vectors, steps: [], output: the_ann}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "build_ann")
+    // cell-partitioned corpus + centroids on disk, queryable end-to-end
+    assert(spark.read.parquet(s"$dir/ann_out/centroids").count() == 4)
+    val q = spark.read.parquet(s"$dir/ann_in").limit(3)
+    val hits = graft.sim.Ann.ivfIndexTopK(spark, s"$dir/ann_out",
+      q, "vec_id", "embedding", k = 2, nprobe = 2)
+    assert(hits.count() == 6) // 3 queries × k=2
+  }
+
   test("dedup and near_dups recipe steps run the training-data operators from YAML") {
     import spark.implicits._
     Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
