@@ -178,6 +178,12 @@ class GraphDedupSpec extends SparkSpec {
     val dirs = new java.io.File(s"$idxPath/assigned").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__cell="))
     assert(dirs.length == 8, dirs.mkString(","))
+    // and dynamic partition pruning actually fires on the probe join —
+    // the scan of assigned/ carries a runtime __cell IN filter, so only
+    // probed cell directories are read (the whole point of the layout)
+    val p = fromIndex.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the assigned scan:\n$p")
   }
 
   test("match topK honors k, rank order and hit metadata contract") {
