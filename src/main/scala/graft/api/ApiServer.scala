@@ -47,9 +47,20 @@ import graft.conf.RecipeConf.ProjectConf
   * processes; Spark's scheduler replaces that, recipes.py:2489-2513).
   * Built on the JDK HttpServer — zero extra dependencies.
   */
+/** OAuth2 provider endpoints + client credentials (api.py:236-267,
+  * oauth.py). One GENERIC authorization-code shape instead of the
+  * reference's per-provider subclasses — facebook/google/github all fit
+  * it; the URLs come from configuration. `userField` names the userinfo
+  * JSON field used as the username (github: "login"; google: "email"). */
+case class OAuthProvider(id: String, secret: String,
+    authorizeUrl: String, tokenUrl: String, userinfoUrl: String,
+    scope: String = "email", userField: String = "login")
+
 class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
     apiKey: Option[String] = None,
-    uploadDir: Option[String] = None) {
+    uploadDir: Option[String] = None,
+    oauth: Map[String, OAuthProvider] = Map.empty,
+    frontendUrl: Option[String] = None) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val jobSeq = new AtomicLong(0)
@@ -119,10 +130,105 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
     java.security.MessageDigest.isEqual(
       expected.getBytes("UTF-8"), presented.getBytes("UTF-8"))
 
+  // OAuth session store: issued bearer token → username. In-memory like
+  // the reference's flask-login session (a restart logs everyone out).
+  private val sessions = TrieMap.empty[String, String]
+  // outstanding state nonces for the authorization-code round trip
+  private val oauthStates = TrieMap.empty[String, String] // state → provider
+  private def newToken(): String = {
+    val b = new Array[Byte](24)
+    new java.security.SecureRandom().nextBytes(b)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  }
+
+  private def bearerOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+
+  private def sessionUser(ex: HttpExchange): Option[String] =
+    bearerOf(ex).flatMap(sessions.get)
+
   private def authorized(ex: HttpExchange): Boolean = apiKey.forall { k =>
     val h = ex.getRequestHeaders
     Option(h.getFirst("Authorization")).exists(v => tokenEq(s"Bearer $k", v)) ||
-      Option(h.getFirst("X-API-Key")).exists(v => tokenEq(k, v))
+      Option(h.getFirst("X-API-Key")).exists(v => tokenEq(k, v)) ||
+      sessionUser(ex).isDefined // an OAuth login is as good as the key
+  }
+
+  /** Minimal JSON string-field extraction for the two tiny OAuth
+    * payloads (token + userinfo) — full parsing would drag a Spark job
+    * into the login path. */
+  private def jsonField(body: String, field: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(field) +
+        "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
+      .matcher(body)
+    if (m.find()) Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    else None
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def callbackUrl(ex: HttpExchange, provider: String): String = {
+    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+      .getOrElse(s"localhost:$actualPort")
+    s"http://$host/api/callback/$provider"
+  }
+
+  /** The authorization-code callback (api.py:250-267, oauth.py):
+    * validate state, exchange the code at the provider's token URL
+    * (form-encoded POST, JSON answer), fetch userinfo with the access
+    * token, then issue a server-side session bearer. With a frontend
+    * configured, 302 back to it (the reference's redirect); otherwise
+    * answer JSON so API clients get the token directly. */
+  private def handleOAuthCallback(ex: HttpExchange, provider: String,
+      params: Map[String, String]): Unit = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val pr = oauth(provider)
+    val stateOk = params.get("state")
+      .exists(s => oauthStates.remove(s).contains(provider))
+    if (params.get("code").isEmpty || !stateOk) {
+      respond(ex, 401, """{"error": "oauth: missing code or bad state"}""")
+      return
+    }
+    val http = HttpClient.newHttpClient()
+    val form = Seq(
+      "code" -> params("code"), "grant_type" -> "authorization_code",
+      "client_id" -> pr.id, "client_secret" -> pr.secret,
+      "redirect_uri" -> callbackUrl(ex, provider))
+      .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    val tok = http.send(HttpRequest.newBuilder(java.net.URI.create(pr.tokenUrl))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .header("Accept", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    jsonField(tok.body(), "access_token") match {
+      case None => respond(ex, 401, """{"error": "oauth: no access_token"}""")
+      case Some(at) =>
+        val ui = http.send(HttpRequest.newBuilder(java.net.URI.create(pr.userinfoUrl))
+            .header("Authorization", s"Bearer $at")
+            .header("Accept", "application/json").GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        val user = jsonField(ui.body(), pr.userField)
+          .orElse(jsonField(ui.body(), "email"))
+          .orElse(jsonField(ui.body(), "id"))
+        user match {
+          case None => respond(ex, 401, """{"error": "oauth: no user in userinfo"}""")
+          case Some(u) =>
+            val session = newToken()
+            sessions.put(session, u)
+            frontendUrl match {
+              case Some(f) =>
+                ex.getResponseHeaders.set("Location", f)
+                ex.getResponseHeaders.add("Set-Cookie",
+                  s"graft_token=$session; Path=/; HttpOnly")
+                respond(ex, 302, s"""{"user": ${q(u)}, "token": ${q(session)}}""")
+              case None =>
+                respond(ex, 200, s"""{"user": ${q(u)}, "token": ${q(session)}}""")
+            }
+        }
+    }
   }
 
   private def handle(ex: HttpExchange): Unit = try {
@@ -140,6 +246,42 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
     val cfg = current
+
+    // ---- auth acquisition routes, reachable WITHOUT credentials
+    // (api.py:188-267): provider list, the OAuth authorization-code
+    // round trip, current-user probe, logout
+    (method, path.split("/").drop(2).toList) match {
+      case ("GET", List("authorize")) =>
+        respond(ex, 200, s"""{"providers": ${
+          oauth.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}}""")
+        return
+      case ("GET", List("authorize", p)) if oauth.contains(p) =>
+        val pr = oauth(p)
+        val state = newToken()
+        oauthStates.put(state, p)
+        val loc = s"${pr.authorizeUrl}?client_id=${enc(pr.id)}" +
+          s"&redirect_uri=${enc(callbackUrl(ex, p))}" +
+          s"&response_type=code&scope=${enc(pr.scope)}&state=$state"
+        ex.getResponseHeaders.set("Location", loc)
+        respond(ex, 302, s"""{"redirect": ${q(loc)}}""")
+        return
+      case ("GET", List("callback", p)) if oauth.contains(p) =>
+        handleOAuthCallback(ex, p, params)
+        return
+      case ("GET", List("login")) =>
+        sessionUser(ex) match {
+          case Some(u) => respond(ex, 200, s"""{"user": ${q(u)}}""")
+          case None if authorized(ex) => // static key, or open dev mode
+            respond(ex, 200, """{"user": "admin"}""")
+          case None => respond(ex, 401, """{"error": "unauthorized"}""")
+        }
+        return
+      case (_, List("logout")) =>
+        bearerOf(ex).foreach(sessions.remove)
+        respond(ex, 200, """{"logout": "ok"}""")
+        return
+      case _ => ()
+    }
 
     if (!authorized(ex)) {
       respond(ex, 401, """{"error": "unauthorized"}""")

@@ -16,6 +16,12 @@ class ApiServerSpec extends SparkSpec {
   private def get(url: String) = client.send(
     HttpRequest.newBuilder(URI.create(url)).GET().build(),
     HttpResponse.BodyHandlers.ofString())
+  // java.net.http follows no redirects by default; name it for clarity
+  private def getNoRedirect(url: String) = get(url)
+  private def getAuth(url: String, bearer: String) = client.send(
+    HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", s"Bearer $bearer").GET().build(),
+    HttpResponse.BodyHandlers.ofString())
   private def send(method: String, url: String) = client.send(
     HttpRequest.newBuilder(URI.create(url))
       .method(method, HttpRequest.BodyPublishers.noBody()).build(),
@@ -216,6 +222,63 @@ class ApiServerSpec extends SparkSpec {
         """{"a": 1}""").statusCode() == 403)
       finally api2.stop()
     } finally api.stop()
+  }
+
+  test("OAuth authorization-code flow end-to-end against a fake provider (api.py:188-267)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // fake provider: /token exchanges any code; /userinfo answers a
+    // github-shaped payload — the network the sandbox doesn't have
+    val provider = HttpServer.create(new java.net.InetSocketAddress("localhost", 0), 0)
+    @volatile var tokenForm = ""
+    def answer(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    }
+    provider.createContext("/token", (ex: HttpExchange) => {
+      tokenForm = new String(ex.getRequestBody.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      answer(ex, """{"access_token": "at-xyz", "token_type": "bearer"}""")
+    })
+    provider.createContext("/userinfo", (ex: HttpExchange) => {
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (auth == "Bearer at-xyz")
+        answer(ex, """{"id": "42", "login": "ada", "email": "ada@math.org"}""")
+      else { ex.sendResponseHeaders(401, -1); ex.close() }
+    })
+    provider.start()
+    val purl = s"http://localhost:${provider.getAddress.getPort}"
+    val api = new ApiServer(spark, RecipeConf.load("datasets: {}\nrecipes: {}"),
+      apiKey = Some("secret-key"),
+      oauth = Map("fake" -> graft.api.OAuthProvider(
+        id = "client-1", secret = "shh", authorizeUrl = s"$purl/auth",
+        tokenUrl = s"$purl/token", userinfoUrl = s"$purl/userinfo"))).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      // provider list is public
+      assert(get(s"$base/authorize").body().contains("\"fake\""))
+      // step 1: authorize → 302 with client_id, redirect_uri, state
+      val authResp = getNoRedirect(s"$base/authorize/fake")
+      assert(authResp.statusCode() == 302)
+      val loc = authResp.headers().firstValue("Location").get
+      assert(loc.startsWith(s"$purl/auth?") && loc.contains("client_id=client-1"))
+      val state = loc.split("state=")(1).split("&")(0)
+      // step 2: the provider redirects the browser back with a code
+      val cb = get(s"$base/callback/fake?code=the-code&state=$state")
+      assert(cb.statusCode() == 200, cb.body())
+      assert(cb.body().contains("\"ada\""))
+      assert(tokenForm.contains("code=the-code") && tokenForm.contains("client_secret=shh"))
+      val token = cb.body().split("\"token\": \"")(1).split("\"")(0)
+      // the issued session bearer opens protected routes (no api key)
+      val who = getAuth(s"$base/login", token)
+      assert(who.statusCode() == 200 && who.body().contains("\"ada\""))
+      assert(getAuth(s"$base/datasets", token).statusCode() == 200)
+      // a replayed state is rejected; garbage tokens stay locked out
+      assert(get(s"$base/callback/fake?code=x&state=$state").statusCode() == 401)
+      assert(getAuth(s"$base/datasets", "bogus").statusCode() == 401)
+      // logout invalidates the session
+      assert(getAuth(s"$base/logout", token).statusCode() == 200)
+      assert(getAuth(s"$base/datasets", token).statusCode() == 401)
+    } finally { api.stop(); provider.stop(0) }
   }
 
   test("recipe yaml/status/log and dataset yaml/delete (api.py:840-935)") {
