@@ -411,6 +411,13 @@ object SparkEntry {
       graft.multimodal.Multimodal.dedupGroups(media)
     }),
 
+    // C4-style boilerplate line removal: lines in > 2 distinct docs
+    // drop everywhere; docs reassemble from surviving lines in order
+    "q52_line_dedup" -> ((s, dir) =>
+      graft.text.TextAnalysis.dedupLines(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", maxDocFreq = 2)),
+
     // subword/token counting with an RE2-shared pattern
     "q37_subwords" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -906,6 +913,24 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
         | FROM documents)""".stripMargin,
+
+    // mirror the line explode (struct-list unnest keeps positions), the
+    // distinct-doc frequency filter, and the ordered reassembly
+    "q52_line_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id, u.pos AS pos, u.ln AS ln
+        |      FROM (SELECT doc_id,
+        |              unnest(list_transform(generate_series(1, len(ls)),
+        |                i -> {'pos': i, 'ln': ls[i]})) AS u
+        |            FROM base)),
+        |hot AS (SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS df
+        |                        FROM l GROUP BY ln) WHERE df > 2),
+        |kept AS (SELECT * FROM l WHERE ln NOT IN (SELECT ln FROM hot)),
+        |reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     // replay the synthetic byte stream as an uppercase hex string and
     // md5 it — matches Spark's md5(hex(payload)) content key exactly

@@ -405,8 +405,11 @@ object RecipeConf {
             df.join(keep, Seq(id), "left_semi")
           case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, text,
             threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
+          // C4-style boilerplate line removal (docs rewritten in place)
+          case "lines" => graft.text.TextAnalysis.dedupLines(df, id, text,
+            maxDocFreq = m.getOrElse("max_doc_freq", "1").toString.toLong)
           case other => sys.error(s"dedup: unknown method '$other' " +
-            "(exact | fingerprint | minhash)")
+            "(exact | fingerprint | minhash | lines)")
         }
       }
       case "near_dups" => df => {

@@ -164,6 +164,42 @@ object TextAnalysis {
         explode(winnowUdf(Tools.normalize(col(textCol)), lit(k), lit(w))).as("fp"))
   }
 
+  /** C4-style boilerplate line removal (Raffel et al. 2020 §2.2 — the
+    * "three-sentence span" dedup simplified to lines, the common
+    * production variant): a line occurring in more than `maxDocFreq`
+    * DISTINCT documents is boilerplate (cookie banners, nav text,
+    * license headers) and is dropped from every document; each document
+    * is reassembled from its surviving lines in original order. Docs
+    * whose lines all vanish stay in the output with empty text (the
+    * downstream length/quality filter is the right place to drop them).
+    *
+    * Scale shape: explode is narrow; the line-frequency aggregate and
+    * the anti-join both key on the line hash (one shuffle each, hot
+    * boilerplate lines are exactly what the aggregate bounds); the
+    * reassembly groups by doc id. No broadcast of anything
+    * data-dependent. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long = 1L): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+    val hot = lines.groupBy("__line")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__line")
+    val kept = lines.join(hot, Seq("__line"), "left_anti")
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as(textCol))
+    // keep every input doc (empty text when all lines were boilerplate)
+    df.select(col(idCol).as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Near-duplicate pairs by winnowing-fingerprint overlap: pairs of
     * docs sharing at least one fingerprint, scored by overlap ratio
     * |F(a) ∩ F(b)| / min(|F(a)|, |F(b)|) and kept at ≥ `threshold` —

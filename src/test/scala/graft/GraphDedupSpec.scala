@@ -251,6 +251,26 @@ class GraphDedupSpec extends SparkSpec {
     assert(r.getDouble(1) > 0 && r.getDouble(1) < 0.3)
   }
 
+  test("dedupLines drops boilerplate lines and reassembles docs in order") {
+    val banner = "accept our cookies"
+    val docs = Seq(
+      (1L, s"$banner\nunique first line\nsecond thought"),
+      (2L, s"$banner\nanother body entirely"),
+      (3L, s"$banner\nthird text here"),
+      (4L, banner)) // all-boilerplate doc survives with empty text
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique first line\nsecond thought") // order kept
+    assert(out(2L) == "another body entirely")
+    assert(out(4L) == "")
+    assert(out.size == 4)
+    // below the frequency cap nothing is touched
+    val loose = TextAnalysis.dedupLines(docs, "doc_id", "text", maxDocFreq = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L).startsWith(banner))
+  }
+
   test("winnowing fingerprints: identity, shared-substring guarantee, edges") {
     val common = "entity resolution at one hundred terabytes of text"
     val docs = Seq(
