@@ -525,6 +525,18 @@ object SparkEntry {
         "lang", "doc_id", rates = Seq("en" -> 0.25), defaultRate = 1.0,
         salt = "v1")),
 
+    // benchmark decontamination: flag train docs sharing any word 4-gram
+    // with the held-out set (doc_id % 20) — the GPT-3/PaLM-style overlap
+    // check; n=4 here because the synthetic vocab makes 13-grams unique
+    "q53_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.text.TextAnalysis.contaminationFlags(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4)
+        .select("doc_id", "contaminated")
+    }),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -903,6 +915,24 @@ object SparkEntry {
           |FROM ov JOIN cnt ca ON ov.id_a = ca.doc_id
           |        JOIN cnt cb ON ov.id_b = cb.doc_id
           |WHERE round(shared::DOUBLE / least(ca.nfp, cb.nfp), 4) >= 0.5""".stripMargin),
+
+    // same normalize → distinct word 4-grams → test-gram semi-join,
+    // spelled over DuckDB lists (1-based inclusive slices: gram i =
+    // toks[i:i+3])
+    "q53_decontaminate" ->
+      ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
+        ", '\\s+') AS toks FROM documents), " +
+        """g AS (SELECT doc_id,
+          |  list_distinct(list_transform(generate_series(1, len(toks) - 3),
+          |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+          | FROM nn WHERE len(toks) >= 4),
+          |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+          |test AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
+          |bad AS (SELECT DISTINCT e.doc_id FROM e JOIN test USING (gram)
+          |        WHERE e.doc_id % 20 <> 0)
+          |SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
+          |FROM documents d LEFT JOIN bad b USING (doc_id)
+          |WHERE d.doc_id % 20 <> 0""".stripMargin),
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

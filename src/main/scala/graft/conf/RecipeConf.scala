@@ -447,6 +447,19 @@ object RecipeConf {
             "(minhash | simhash | ngram | embedding | winnow)")
         }
       }
+      // benchmark decontamination against a named dataset:
+      //   decontaminate: {dataset: heldout, id: col, text: col, n: 13,
+      //                   mode: drop|flag}
+      case "decontaminate" => df => {
+        val test = read(spark, conf.datasets(m("dataset").toString))
+        val id = m("id").toString; val text = m("text").toString
+        val n = m.getOrElse("n", "13").toString.toInt
+        m.getOrElse("mode", "drop").toString match {
+          case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n)
+          case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n)
+          case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag)")
+        }
+      }
       // deterministic hash-based train/val/test assignment (training-data
       // curation): split: {id: col, salt: v1, splits: {train: 0.9, ...}}
       case "split" => df => Ops.hashSplit(df, m("id").toString,

@@ -164,6 +164,83 @@ object TextAnalysis {
         explode(winnowUdf(Tools.normalize(col(textCol)), lit(k), lit(w))).as("fp"))
   }
 
+  // ------------------------------------------------- decontamination
+  /** Row-local distinct word-n-gram kernel. A UDF for the same reason
+    * as the winnow kernel: the declarative spelling
+    * `transform(sequence(...), i -> concat_ws(slice(toks, i, n)))` runs
+    * interpreted AND CollapseProject inlines the tokenizer alias into
+    * the lambda, re-splitting the text once per gram position. This
+    * loop tokenizes once and is O(tokens · n); grams are deduped here
+    * so the downstream explode needs no distinct. Input is
+    * pre-normalized text (single-space separated). */
+  private val wordNgramsUdf = udf { (s: String, n: Int) =>
+    if (s == null) null
+    else {
+      val toks = s.split(' ').filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= toks.length - n) {
+          val sb = new StringBuilder(toks(i))
+          var j = i + 1
+          while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+  }
+
+  /** Distinct word n-grams of each document's normalized text, exploded
+    * to (id, gram) rows — the join-ready shape decontamination uses. */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got n=$n")
+    df.select(col(idCol),
+      explode(wordNgramsUdf(Tools.normalize(col(textCol)), lit(n))).as("gram"))
+  }
+
+  /** Benchmark decontamination (the n-gram-overlap check every serious
+    * training-data pipeline runs before training — e.g. GPT-3 appendix C
+    * / PaLM-style 13-gram overlap): a train document is CONTAMINATED if
+    * it shares at least one word n-gram (default n=13) with any document
+    * of the test/benchmark set. Returns `train` with a `contaminated`
+    * boolean appended.
+    *
+    * Scale shape: both sides explode to deduped (id, gram) rows — narrow,
+    * no shuffle; the test side reduces to DISTINCT grams (benchmark sets
+    * are tiny next to the corpus, so this is the small side and AQE
+    * broadcasts it); the semi-join keys on the gram string — one shuffle
+    * of the train grams at worst, never all-pairs; the verdict
+    * re-attaches to train rows by id. A hot gram (boilerplate present in
+    * both sets) only fans out within the semi-join and collapses to one
+    * id — no pair explosion. */
+  def contaminationFlags(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val bad = contaminatedIds(train, test, idCol, textCol, n)
+      .withColumn("contaminated", lit(true))
+    train.join(bad, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  /** Decontaminated train set: train rows sharing no word n-gram with
+    * the test set (the drop-variant of [[contaminationFlags]]). */
+  def decontaminate(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame =
+    train.join(contaminatedIds(train, test, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+
+  private def contaminatedIds(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val testGrams = wordNgrams(test, idCol, textCol, n).select("gram").distinct()
+    wordNgrams(train, idCol, textCol, n)
+      .join(testGrams, Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** C4-style boilerplate line removal (Raffel et al. 2020 §2.2 — the
     * "three-sentence span" dedup simplified to lines, the common
     * production variant): a line occurring in more than `maxDocFreq`
