@@ -449,14 +449,17 @@ object RecipeConf {
       }
       // benchmark decontamination against a named dataset:
       //   decontaminate: {dataset: heldout, id: col, text: col, n: 13,
-      //                   mode: drop|flag}
+      //                   mode: drop|flag, test_text: col}
+      // `test_text` names the benchmark set's text column when it differs
+      // from the train side's; the test set needs no id column at all.
       case "decontaminate" => df => {
         val test = read(spark, conf.datasets(m("dataset").toString))
         val id = m("id").toString; val text = m("text").toString
         val n = m.getOrElse("n", "13").toString.toInt
+        val testText = m.get("test_text").map(_.toString)
         m.getOrElse("mode", "drop").toString match {
-          case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n)
-          case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n)
+          case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n, testText)
+          case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n, testText)
           case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag)")
         }
       }

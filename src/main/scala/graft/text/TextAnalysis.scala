@@ -219,25 +219,42 @@ object TextAnalysis {
     * both sets) only fans out within the semi-join and collapses to one
     * id — no pair explosion. */
   def contaminationFlags(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val bad = contaminatedIds(train, test, idCol, textCol, n)
-      .withColumn("contaminated", lit(true))
+      idCol: String, textCol: String, n: Int = 13,
+      testTextCol: Option[String] = None): DataFrame = {
+    // the flag rides the join under a fresh name so a pre-existing
+    // `contaminated` column on train can't make the coalesce ambiguous;
+    // the final withColumn then REPLACES any such column
+    val bad = contaminatedIds(train, test, idCol, textCol, n, testTextCol)
+      .withColumn("__graft_contaminated", lit(true))
     train.join(bad, Seq(idCol), "left")
-      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("contaminated", coalesce(col("__graft_contaminated"), lit(false)))
+      .drop("__graft_contaminated")
   }
 
   /** Decontaminated train set: train rows sharing no word n-gram with
     * the test set (the drop-variant of [[contaminationFlags]]). */
   def decontaminate(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame =
-    train.join(contaminatedIds(train, test, idCol, textCol, n),
+      idCol: String, textCol: String, n: Int = 13,
+      testTextCol: Option[String] = None): DataFrame =
+    train.join(contaminatedIds(train, test, idCol, textCol, n, testTextCol),
       Seq(idCol), "left_anti")
 
   private def contaminatedIds(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val testGrams = wordNgrams(test, idCol, textCol, n).select("gram").distinct()
+      idCol: String, textCol: String, n: Int,
+      testTextCol: Option[String]): DataFrame = {
+    // grams meet as 64-bit hashes, not strings: at n=13 the exploded
+    // train side is ~13× the corpus text if shuffled verbatim, 8 bytes a
+    // gram once hashed. An xxhash64 collision marks one extra doc
+    // contaminated — negligible (and conservative) for decontamination.
+    // The test side needs only a text column (benchmark sets needn't
+    // share the train schema); ids never leave the train side.
+    val testGrams = test
+      .select(explode(wordNgramsUdf(
+        Tools.normalize(col(testTextCol.getOrElse(textCol))), lit(n))).as("gram"))
+      .select(xxhash64(col("gram")).as("__gram_h")).distinct()
     wordNgrams(train, idCol, textCol, n)
-      .join(testGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), xxhash64(col("gram")).as("__gram_h"))
+      .join(testGrams, Seq("__gram_h"), "left_semi")
       .select(idCol).distinct()
   }
 

@@ -271,6 +271,28 @@ class GraphDedupSpec extends SparkSpec {
     assert(loose(1L).startsWith(banner))
   }
 
+  test("contaminationFlags replaces a pre-existing contaminated column; test side may use its own text column") {
+    // train already carries a (stale) `contaminated` column — the flag
+    // must not become ambiguous and the stale values must be REPLACED
+    val train = Seq(
+      (1L, "alpha beta gamma delta", false), // stale false, actually dirty
+      (2L, "one two three four", true))      // stale true, actually clean
+      .toDF("doc_id", "text", "contaminated")
+    // benchmark set has neither the train id nor the train text column
+    val bench = Seq(("b1", "alpha beta gamma epsilon zeta"))
+      .toDF("bench_name", "bench_text")
+    val out = TextAnalysis.contaminationFlags(train, bench, "doc_id", "text",
+      n = 2, testTextCol = Some("bench_text"))
+    assert(out.columns.count(_ == "contaminated") == 1)
+    val m = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(m == Map(1L -> true, 2L -> false)) // shares "alpha beta"/"beta gamma"
+    // drop-variant honours the same test-side column override
+    val kept = TextAnalysis.decontaminate(train, bench, "doc_id", "text",
+      n = 2, testTextCol = Some("bench_text"))
+    assert(col1[Long](kept, "doc_id") == Seq(2L))
+  }
+
   test("winnowing fingerprints: identity, shared-substring guarantee, edges") {
     val common = "entity resolution at one hundred terabytes of text"
     val docs = Seq(

@@ -112,6 +112,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected the fingerprint explode:\n$p")
   }
 
+  test("q53 decontamination semi-joins on 64-bit gram hashes, never strings") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.LongType
+    val df = SparkEntry.queries("q53_decontaminate")(spark, dir)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j @ Join(_, _, LeftSemi, _, _) => j
+    }
+    assert(semis.nonEmpty, "expected the gram semi-join in the q53 plan")
+    semis.foreach { j =>
+      val keyTypes = j.condition.toSeq.flatMap(_.references.map(_.dataType)).distinct
+      assert(keyTypes == Seq(LongType),
+        s"gram semi-join must key on xxhash64 longs (8 B/gram in shuffle), got $keyTypes")
+    }
+  }
+
   test("minhashDedup keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val df = Seq(

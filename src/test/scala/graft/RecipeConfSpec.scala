@@ -1078,6 +1078,36 @@ class RecipeConfSpec extends SparkSpec {
     assert(cur("small") == 10L && cur("big") <= 10L)
   }
 
+  test("decontaminate step: benchmark set with differently-named columns via test_text") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/train_in")
+    // held-out set carries ONLY a text column, under its own name
+    Seq("alpha beta gamma epsilon").toDF("prompt")
+      .write.mode("overwrite").parquet(s"$dir/bench_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  tr: {path: $dir/train_in, format: parquet}
+         |  bench: {path: $dir/bench_in, format: parquet}
+         |recipes:
+         |  flagit:
+         |    input: tr
+         |    steps:
+         |      - decontaminate: {dataset: bench, id: doc_id, text: text,
+         |                        n: 2, mode: flag, test_text: prompt}
+         |  dropit:
+         |    input: tr
+         |    steps:
+         |      - decontaminate: {dataset: bench, id: doc_id, text: text,
+         |                        n: 2, test_text: prompt}
+         |""".stripMargin)
+    val flags = RecipeConf.run(spark, conf, "flagit").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(flags == Map(1L -> true, 2L -> false))
+    val kept = RecipeConf.run(spark, conf, "dropit").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
   test("env interpolation and exec rejection") {
     val conf = RecipeConf.load(
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
