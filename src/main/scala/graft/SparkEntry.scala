@@ -369,8 +369,15 @@ object SparkEntry {
       graft.graph.GraphMetrics.metrics(edges, compute = Seq("triangles", "clustering"))
     }),
 
-    // ML re-scoring: RF build + apply, best-of-N AUC (rows-only — model
-    // internals aren't SQL-expressible)
+    // ML re-scoring: RF build + apply, best-of-N AUC. The model's
+    // internals aren't SQL-expressible, but everything AROUND them is:
+    // the output carries the assembled numerical feature, the binarized
+    // label, and a score-validity flag (score ∈ [0,100] — guaranteed
+    // because RF-regression over 0/1 labels predicts in [0,1] and the
+    // reference writes round(100·p), recipes.py:1806-1808). DuckDB can
+    // replay all three, so the full RF build+apply path is exercised AND
+    // hash-checked; the exact score values are regression-pinned in
+    // MlGoldenSpec at fixed seed.
     "q34_ml_score" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .withColumn("bucket", (col("o_custkey") % 10).cast("string"))
@@ -382,7 +389,11 @@ object SparkEntry {
         numerical = Seq("o_totalprice"), categorical = Seq("bucket", "o_orderpriority"),
         target = "o_orderstatus_bin", tries = 2, numTrees = 10)
       graft.ml.Scoring.applyModel(o2, m, Seq("o_totalprice"))
-        .select("o_orderkey", "matchid_hit_score_ml")
+        .select(col("o_orderkey"),
+          coalesce(col("o_totalprice").try_cast("double"), lit(0.0)).as("feat_totalprice"),
+          col("o_orderstatus_bin").cast("int").as("label"),
+          (col("matchid_hit_score_ml").isNotNull &&
+            col("matchid_hit_score_ml").between(0, 100)).cast("int").as("score_ok"))
     }),
 
     // stateful sessionization (flatMapGroupsWithState, 30-min gap)
@@ -1061,6 +1072,16 @@ object SparkEntry {
         |      THEN round(COALESCE(t.triangles, 0) * 2.0 / (d.degree * (d.degree - 1)), 4)
         |      ELSE 0.0 END AS clustering
         |FROM deg d LEFT JOIN tpn t ON t.node = d.node""".stripMargin,
+
+    // the deterministic shell of the ML re-score: feature assembly,
+    // label binarization, and the score-validity invariant (the RF score
+    // itself is pinned by MlGoldenSpec, not SQL)
+    "q34_ml_score" ->
+      """SELECT o_orderkey,
+        | COALESCE(TRY_CAST(o_totalprice AS DOUBLE), 0.0) AS feat_totalprice,
+        | CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INTEGER) AS label,
+        | CAST(1 AS INTEGER) AS score_ok
+        |FROM orders""".stripMargin,
 
     // payload bytes are the closed form (media_id + i²) mod 256 — DuckDB
     // replays the byte stream with generate_series and averages it
