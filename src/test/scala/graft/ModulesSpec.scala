@@ -87,6 +87,25 @@ class ModulesSpec extends SparkSpec {
     assert(postings.filter($"token" === "red").count() == 2)
   }
 
+  test("readers hand s3a:// URIs to Hadoop unmodified (no engine-side path parsing)") {
+    // the sandbox carries no hadoop-aws jar and no network, so the only
+    // acceptable failure is Hadoop's own unknown-filesystem error — it
+    // proves the scheme flowed through our listing/reader code to
+    // FileSystem.get unrejected, which is all that is testable offline.
+    // Deploy-side conf for a real bucket is documented in README §S3.
+    val viaSkiprows = intercept[Exception] {
+      Sources.csv(spark, "s3a://bucket/data/*.csv", skiprows = 1)
+    }
+    val viaListing = intercept[Exception] {
+      Sources.multiFile(spark, "s3a://bucket/dir", ".*\\.csv",
+        f => Sources.csv(spark, f))
+    }
+    Seq(viaSkiprows, viaListing).foreach { e =>
+      val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).mkString).toLowerCase
+      assert(msg.contains("s3a"), s"expected Hadoop's s3a filesystem error, got: $msg")
+    }
+  }
+
   test("ML build/apply: learns a separable target, scores in [0,100]") {
     // y = 1 iff x > 50: trivially separable — AUC should be ~1
     val df = (1 to 200).map(i => (i.toLong, i.toDouble, if (i > 100) "1" else "0"))
