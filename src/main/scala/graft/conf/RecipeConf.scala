@@ -274,6 +274,18 @@ object RecipeConf {
     }
     def sel(default: Any = args): Seq[String] =
       if (m.nonEmpty) strSeq(m.getOrElse("select", null)) else strSeq(default)
+    // loud-failure YAML lookups: a missing or unknown knob must name the
+    // step and the knob (a bare map lookup's "key not found" names
+    // neither — the r2 advice pattern)
+    def req(key: String): String =
+      m.getOrElse(key, sys.error(s"$op: '$key' required")).toString
+    def reqList(key: String): Seq[String] =
+      strSeq(m.getOrElse(key, sys.error(s"$op: '$key' (list) required")))
+    def namedDataset(): DataFrame = {
+      val name = req("dataset")
+      read(spark, conf.datasets.getOrElse(name, sys.error(
+        s"$op: unknown dataset '$name' (known: ${conf.datasets.keys.toSeq.sorted.mkString(", ")})")))
+    }
     op match {
       // map value may be a column name (copy), a list of column names
       // (→ array column, recipes.py:1709-1712), or a literal fallback
@@ -322,7 +334,7 @@ object RecipeConf {
       // several columns unfold sequentially (the reference loops its
       // select list, recipes.py:2411-2446)
       case "unfold" => df =>
-        strSeq(m("select")).foldLeft(df)((d, c) =>
+        reqList("select").foldLeft(df)((d, c) =>
           Ops.unfold(d, c, m.getOrElse("fill_na", "").toString))
       case "shuffle" => df => Ops.shuffleCols(df, sel())
       case "pause" => identity
@@ -372,7 +384,7 @@ object RecipeConf {
         out
       }
       case "join" => df => {
-        val right = read(spark, conf.datasets(m("dataset").toString))
+        val right = namedDataset()
         if (m.contains("query") || m.get("type").exists(_.toString == "elasticsearch"))
           esTemplateJoin(df, right, m)
         else {
@@ -392,31 +404,34 @@ object RecipeConf {
         }
       }
       case "asof_join" => df => {
-        val right = read(spark, conf.datasets(m("dataset").toString))
+        val right = namedDataset()
         Joins.asofJoin(df, right,
-          key = m("key").toString, ts = m("ts").toString,
-          rightCols = strSeq(m("select")),
+          key = req("key"), ts = req("ts"),
+          rightCols = reqList("select"),
           how = m.getOrElse("how", "left").toString,
           tieBreak = m.get("tie_break").map(_.toString))
       }
       case "range_join" => df => {
-        val right = read(spark, conf.datasets(m("dataset").toString))
+        val right = namedDataset()
         Joins.pointInIntervalJoin(df, right,
-          key = m("key").toString, ts = m("ts").toString,
-          start = m("start").toString, end = m("end").toString,
-          binWidth = m("bin_width").toString.toLong)
+          key = req("key"), ts = req("ts"),
+          start = req("start"), end = req("end"),
+          binWidth = req("bin_width").toLong)
       }
       case "match" => df => {
-        val right = read(spark, conf.datasets(m("dataset").toString))
+        val right = namedDataset()
         MatchJoin.topK(df, right,
-          m("left_tokens").toString, m("right_tokens").toString,
-          m("left_id").toString, m("right_id").toString,
+          req("left_tokens"), req("right_tokens"),
+          req("left_id"), req("right_id"),
           k = m.getOrElse("size", "10").toString.toInt,
           keepUnmatched = m.getOrElse("keep_unmatched", "false").toString.toBoolean,
           fuzzy = m.getOrElse("fuzziness", "0").toString.toInt > 0)
       }
       case "clique" => df => {
-        val Seq(src, dst) = strSeq(m("select"))
+        val srcDst = reqList("select")
+        require(srcDst.size == 2,
+          s"clique: select needs exactly [src, dst], got ${srcDst.mkString("[", ", ", "]")}")
+        val Seq(src, dst) = srcDst
         ConnectedComponents.clique(df, src, dst,
           compute = strSeq(m.getOrElse("compute", null)))
       }
@@ -427,7 +442,7 @@ object RecipeConf {
       //   near_dups: {id: col, text|vec: col, method: minhash|simhash|
       //             ngram|embedding, ...} → candidate pair table
       case "dedup" => df => {
-        val id = m("id").toString; val text = m("text").toString
+        val id = req("id"); val text = req("text")
         m.getOrElse("method", "exact").toString match {
           case "exact" => graft.dedup.Dedup.exactDedup(df, id, text)
           case "fingerprint" =>
@@ -444,32 +459,32 @@ object RecipeConf {
         }
       }
       case "near_dups" => df => {
-        val id = m("id").toString
+        val id = req("id")
         m.getOrElse("method", "minhash").toString match {
           case "minhash" => graft.dedup.Dedup.minhashNearDups(df, id,
-            m("text").toString,
+            req("text"),
             threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
           case "simhash" => graft.dedup.Dedup.simhashNearDups(df, id,
-            m("text").toString,
+            req("text"),
             maxHamming = m.getOrElse("max_hamming", "3").toString.toInt,
             bands = m.getOrElse("bands", "4").toString.toInt,
             algo = m.getOrElse("algo", "murmur3").toString)
           case "ngram" => graft.dedup.Dedup.ngramJaccardPairs(df, id,
-            m("text").toString, m("block").toString,
+            req("text"), req("block"),
             threshold = m.getOrElse("threshold", "0.5").toString.toDouble)
           case "embedding" if m.contains("block") =>
-            graft.sim.Ann.cosineNearDups(df, id, m("vec").toString,
-              m("block").toString,
+            graft.sim.Ann.cosineNearDups(df, id, req("vec"),
+              req("block"),
               threshold = m.getOrElse("threshold", "0.9").toString.toDouble)
           case "embedding" =>
-            graft.sim.Ann.cosineNearDupsLSH(df, id, m("vec").toString,
+            graft.sim.Ann.cosineNearDupsLSH(df, id, req("vec"),
               threshold = m.getOrElse("threshold", "0.9").toString.toDouble,
               bits = m.getOrElse("bits", "8").toString.toInt,
               tables = m.getOrElse("tables", "3").toString.toInt)
           // winnowing-fingerprint overlap pairs (Schleimer et al. 2003)
           // — same pair-table contract as the other near_dups methods
           case "winnow" => graft.text.TextAnalysis.winnowNearDups(df, id,
-            m("text").toString,
+            req("text"),
             k = m.getOrElse("k", "5").toString.toInt,
             w = m.getOrElse("window", "4").toString.toInt,
             threshold = m.getOrElse("threshold", "0.5").toString.toDouble,
@@ -484,8 +499,8 @@ object RecipeConf {
       // `test_text` names the benchmark set's text column when it differs
       // from the train side's; the test set needs no id column at all.
       case "decontaminate" => df => {
-        val test = read(spark, conf.datasets(m("dataset").toString))
-        val id = m("id").toString; val text = m("text").toString
+        val test = namedDataset()
+        val id = req("id"); val text = req("text")
         val n = m.getOrElse("n", "13").toString.toInt
         val testText = m.get("test_text").map(_.toString)
         m.getOrElse("mode", "drop").toString match {
@@ -496,24 +511,24 @@ object RecipeConf {
       }
       // deterministic hash-based train/val/test assignment (training-data
       // curation): split: {id: col, salt: v1, splits: {train: 0.9, ...}}
-      case "split" => df => Ops.hashSplit(df, m("id").toString,
+      case "split" => df => Ops.hashSplit(df, req("id"),
         m.getOrElse("salt", "").toString,
         anyMap(m.getOrElse("splits",
           sys.error("split step needs splits: {name: weight, ...}")))
           .toSeq.map { case (k, v) => k -> v.toString.toDouble },
         splitCol = m.getOrElse("column", "split").toString)
       // cap each key's rows (bound a source's contribution to the mix)
-      case "cap" => df => Ops.capPerKey(df, m("key").toString,
-        m("id").toString, m("n").toString.toInt,
+      case "cap" => df => Ops.capPerKey(df, req("key"),
+        req("id"), req("n").toInt,
         salt = m.getOrElse("salt", "").toString)
       // deterministic per-key sampling rates (source mixing)
-      case "sample" => df => Ops.sampleByKey(df, m("key").toString,
-        m("id").toString,
+      case "sample" => df => Ops.sampleByKey(df, req("key"),
+        req("id"),
         anyMap(m.getOrElse("rates", null)).toSeq
           .map { case (k, v) => k -> v.toString.toDouble },
         defaultRate = m.getOrElse("default", "1.0").toString.toDouble,
         salt = m.getOrElse("salt", "").toString)
-      case "sql" => df => { spark.sql(m("statement").toString); df }
+      case "sql" => df => { spark.sql(req("statement")); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +
           "use eval with SQL expressions (SURVEY.md §2.3)")
@@ -540,7 +555,8 @@ object RecipeConf {
     import graft.operators.MatchQuery
     import graft.operators.MatchQuery.{BoolNode, Leaf, Node}
     import org.apache.spark.sql.types.ArrayType
-    val (spec0, _) = MatchQuery.compileTemplate(m("query"))
+    val (spec0, _) = MatchQuery.compileTemplate(m.getOrElse("query",
+      sys.error("join (elasticsearch): 'query' template required")))
     val rightId = m.getOrElse("right_id", "_id").toString
     require(right.columns.contains(rightId),
       s"es join: right dataset needs an id column '$rightId'")

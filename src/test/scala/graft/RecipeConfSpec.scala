@@ -1108,6 +1108,26 @@ class RecipeConfSpec extends SparkSpec {
     assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
   }
 
+  test("a missing step knob and an unknown dataset fail with named errors") {
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  p: {path: $dir/people.csv, format: csv}
+         |recipes:
+         |  nods:
+         |    input: p
+         |    steps:
+         |      - decontaminate: {dataset: nope, id: name, text: name}
+         |  nokey:
+         |    input: p
+         |    steps:
+         |      - cap: {key: city}
+         |""".stripMargin)
+    val e1 = intercept[RuntimeException](RecipeConf.run(spark, conf, "nods"))
+    assert(e1.getMessage.contains("decontaminate: unknown dataset 'nope'"), e1.getMessage)
+    val e2 = intercept[RuntimeException](RecipeConf.run(spark, conf, "nokey"))
+    assert(e2.getMessage.contains("cap: 'id' required"), e2.getMessage)
+  }
+
   test("deepupdate merges sub-mappings recursively, update side wins on scalars") {
     val y = new org.yaml.snakeyaml.Yaml()
     def m(s: String) = y.load[java.util.Map[String, Any]](s)
