@@ -56,7 +56,14 @@ object Bench {
     // history showed min-of-2 still swinging ±3× on this host. ALL
     // samples go into the JSON (null = that run failed) so the reader
     // can judge the spread instead of trusting one number.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { v =>
+      // 0/negative would silently report every query as failed, and a
+      // non-numeric value would crash before the JSON line — fail loudly
+      val n = v.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$v'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(3)
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val samples: Seq[Option[Double]] = (1 to runs).map { _ =>

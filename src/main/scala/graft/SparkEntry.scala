@@ -30,6 +30,22 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** q34's model build+apply, shared with MlGoldenSpec so the golden
+    * score pin tracks the query's EXACT pipeline (a drift between the
+    * two would silently un-cover q34). Target: binarized 'F' order
+    * status (the reference binarizes targets, recipes.py:1785). */
+  private[graft] def mlScored(s: SparkSession, dir: String)
+      : (graft.ml.Scoring.BuiltModel, DataFrame) = {
+    val o = t(s, dir, "orders")
+      .withColumn("bucket", (col("o_custkey") % 10).cast("string"))
+      .withColumn("o_orderstatus_bin",
+        when(col("o_orderstatus") === "F", 1).otherwise(0))
+    val m = graft.ml.Scoring.buildModel(o,
+      numerical = Seq("o_totalprice"), categorical = Seq("bucket", "o_orderpriority"),
+      target = "o_orderstatus_bin", tries = 2, numTrees = 10)
+    (m, graft.ml.Scoring.applyModel(o, m, Seq("o_totalprice")))
+  }
+
   // ------------------------------------------------------------- flagship
   /** Flagship: the end-to-end person-matching pipeline on sf0.001 —
     * dataprep (matchid_* convention) → fuzzy top-k match join → re-score →
@@ -378,23 +394,13 @@ object SparkEntry {
     // replay all three, so the full RF build+apply path is exercised AND
     // hash-checked; the exact score values are regression-pinned in
     // MlGoldenSpec at fixed seed.
-    "q34_ml_score" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("bucket", (col("o_custkey") % 10).cast("string"))
-      // target: binarized 'F' order status (reference binarizes targets,
-      // recipes.py:1785)
-      val o2 = o.withColumn("o_orderstatus_bin",
-        when(col("o_orderstatus") === "F", 1).otherwise(0))
-      val m = graft.ml.Scoring.buildModel(o2,
-        numerical = Seq("o_totalprice"), categorical = Seq("bucket", "o_orderpriority"),
-        target = "o_orderstatus_bin", tries = 2, numTrees = 10)
-      graft.ml.Scoring.applyModel(o2, m, Seq("o_totalprice"))
+    "q34_ml_score" -> ((s, dir) =>
+      mlScored(s, dir)._2
         .select(col("o_orderkey"),
           coalesce(col("o_totalprice").try_cast("double"), lit(0.0)).as("feat_totalprice"),
           col("o_orderstatus_bin").cast("int").as("label"),
           (col("matchid_hit_score_ml").isNotNull &&
-            col("matchid_hit_score_ml").between(0, 100)).cast("int").as("score_ok"))
-    }),
+            col("matchid_hit_score_ml").between(0, 100)).cast("int").as("score_ok"))),
 
     // stateful sessionization (flatMapGroupsWithState, 30-min gap)
     "q35_sessions" -> ((s, dir) => {

@@ -81,13 +81,20 @@ object RecipeConf {
   def loadMerged(baseYaml: String, overrideYaml: String,
       env: Map[String, String] = sys.env): ProjectConf = {
     val y = new Yaml()
-    val base = y.load[java.util.Map[String, Any]](interp(baseYaml, env))
-    val over = y.load[java.util.Map[String, Any]](interp(overrideYaml, env))
-    build(orderedMap(deepupdate(base, over).asInstanceOf[java.util.Map[_, _]]))
+    // an empty/comment-only document parses to null — a blank override
+    // file is the normal conf-directory case and must be a no-op merge,
+    // not an NPE that silently drops the base config
+    def doc(s: String): java.util.Map[String, Any] =
+      Option(y.load[java.util.Map[String, Any]](interp(s, env)))
+        .getOrElse(new java.util.LinkedHashMap[String, Any]())
+    build(orderedMap(
+      deepupdate(doc(baseYaml), doc(overrideYaml)).asInstanceOf[java.util.Map[_, _]]))
   }
 
   def load(yaml: String, env: Map[String, String] = sys.env): ProjectConf =
-    build(orderedMap(new Yaml().load[java.util.Map[String, Any]](interp(yaml, env))))
+    build(orderedMap(
+      Option(new Yaml().load[java.util.Map[String, Any]](interp(yaml, env)))
+        .getOrElse(sys.error("empty YAML document — expected datasets:/recipes: mappings"))))
 
   private def build(root: Map[String, Any]): ProjectConf = {
 
@@ -277,10 +284,17 @@ object RecipeConf {
     // loud-failure YAML lookups: a missing or unknown knob must name the
     // step and the knob (a bare map lookup's "key not found" names
     // neither — the r2 advice pattern)
-    def req(key: String): String =
-      m.getOrElse(key, sys.error(s"$op: '$key' required")).toString
-    def reqList(key: String): Seq[String] =
-      strSeq(m.getOrElse(key, sys.error(s"$op: '$key' (list) required")))
+    // `case Some(null)` matters: a knob written but left blank
+    // (`id:` with no value) arrives as an explicit null and must produce
+    // the same named error, not an anonymous NPE / silent no-op
+    def req(key: String): String = m.get(key) match {
+      case Some(v) if v != null => v.toString
+      case _ => sys.error(s"$op: '$key' required")
+    }
+    def reqList(key: String): Seq[String] = m.get(key) match {
+      case Some(v) if v != null && strSeq(v).nonEmpty => strSeq(v)
+      case _ => sys.error(s"$op: '$key' (non-empty list) required")
+    }
     def namedDataset(): DataFrame = {
       val name = req("dataset")
       read(spark, conf.datasets.getOrElse(name, sys.error(
@@ -524,7 +538,10 @@ object RecipeConf {
       // deterministic per-key sampling rates (source mixing)
       case "sample" => df => Ops.sampleByKey(df, req("key"),
         req("id"),
-        anyMap(m.getOrElse("rates", null)).toSeq
+        // a missing/misspelled `rates` must not silently sample nothing
+        // (every key would fall to defaultRate) — same contract as split
+        anyMap(m.getOrElse("rates",
+          sys.error("sample: 'rates' ({key: rate, ...}) required"))).toSeq
           .map { case (k, v) => k -> v.toString.toDouble },
         defaultRate = m.getOrElse("default", "1.0").toString.toDouble,
         salt = m.getOrElse("salt", "").toString)

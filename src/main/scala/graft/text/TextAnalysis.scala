@@ -213,9 +213,10 @@ object TextAnalysis {
     * Scale shape: both sides explode to deduped (id, gram) rows — narrow,
     * no shuffle; the test side reduces to DISTINCT grams (benchmark sets
     * are tiny next to the corpus, so this is the small side and AQE
-    * broadcasts it); the semi-join keys on the gram string — one shuffle
-    * of the train grams at worst, never all-pairs; the verdict
-    * re-attaches to train rows by id. A hot gram (boilerplate present in
+    * broadcasts it); the semi-join keys on a 64-bit gram hash (8 bytes a
+    * gram in the shuffle instead of ~13× the corpus text as strings) —
+    * one shuffle of the train grams at worst, never all-pairs; the
+    * verdict re-attaches to train rows by id. A hot gram (boilerplate present in
     * both sets) only fans out within the semi-join and collapses to one
     * id — no pair explosion. */
   def contaminationFlags(train: DataFrame, test: DataFrame,

@@ -16,16 +16,10 @@ class MlGoldenSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def scored(): (graft.ml.Scoring.BuiltModel, DataFrame) = {
-    // mirrors SparkEntry q34_ml_score exactly
-    val o = Tables.t(spark, dir, "orders")
-      .withColumn("bucket", (col("o_custkey") % 10).cast("string"))
-      .withColumn("o_orderstatus_bin",
-        when(col("o_orderstatus") === "F", 1).otherwise(0))
-    val m = graft.ml.Scoring.buildModel(o,
-      numerical = Seq("o_totalprice"), categorical = Seq("bucket", "o_orderpriority"),
-      target = "o_orderstatus_bin", tries = 2, numTrees = 10)
-    (m, graft.ml.Scoring.applyModel(o, m, Seq("o_totalprice"))
-      .select("o_orderkey", "matchid_hit_score_ml"))
+    // the SAME code path as q34 (not a copy — a drift between the spec
+    // and the query would silently un-cover q34)
+    val (m, s) = SparkEntry.mlScored(spark, dir)
+    (m, s.select("o_orderkey", "matchid_hit_score_ml"))
   }
 
   /** Order-independent content hash of (key, score) pairs. */
