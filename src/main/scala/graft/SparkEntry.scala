@@ -554,6 +554,46 @@ object SparkEntry {
         .select("doc_id", "contaminated")
     }),
 
+    // overlapping token-window chunks (Curation.chunk) — the RAG /
+    // pretraining shard shape; row-local, no shuffle
+    "q54_chunks" -> ((s, dir) =>
+      graft.text.Curation.chunk(t(s, dir, "documents"), "doc_id", "text",
+        size = 32, stride = 16)),
+
+    // MassiveText within-doc repetition stats (Curation.repetitionStats)
+    "q55_repetition" -> ((s, dir) =>
+      graft.text.Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Gopher-style quality rules (Curation.gopherQuality); minWords
+    // lowered to 30 so the synthetic docs land on both sides of `keep`
+    "q56_gopher" -> ((s, dir) =>
+      graft.text.Curation.gopherQuality(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 30)),
+
+    // PII scrub (Curation.scrubPii) over deterministically augmented text
+    // (the synthetic docs carry no PII, so each category is injected for
+    // ~1/3, 1/4, 1/5 of docs with the SAME arithmetic on both sides)
+    "q57_pii_scrub" -> ((s, dir) => {
+      import graft.text.Curation
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" from 10."), (id % 200).cast("string"),
+          lit(".0."), (id % 250).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call +1"),
+          lpad((id % 10000000).cast("string"), 9, "0"))).otherwise(lit("")))
+      val (ne, ni, np) = Curation.piiStats(aug)
+      t(s, dir, "documents").select(id,
+        Curation.scrubPii(aug).as("clean_text"),
+        ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
+    }),
+
+    // corpus vocabulary top-k (Curation.vocabTopK) — the tokenizer-
+    // training primitive; map-side-combined count + TakeOrdered
+    "q58_vocab" -> ((s, dir) =>
+      graft.text.Curation.vocabTopK(t(s, dir, "documents"), "text", k = 50)),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -952,6 +992,97 @@ object SparkEntry {
           |SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
           |FROM documents d LEFT JOIN bad b USING (doc_id)
           |WHERE d.doc_id % 20 <> 0""".stripMargin),
+
+    // same window arithmetic over DuckDB lists: chunk i (0-based) covers
+    // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]
+    "q54_chunks" ->
+      """WITH base AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS ntok FROM base WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, ntok,
+        |  unnest(range(0, CASE WHEN ntok <= 32 THEN 1
+        |    ELSE CAST(ceil((ntok - 32) / 16.0) AS BIGINT) + 1 END)) AS ci
+        | FROM n)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+        | array_to_string(toks[ci*16+1:least(ci*16+32, ntok)], ' ') AS chunk_text,
+        | CAST(least(ci*16+32, ntok) - ci*16 AS INT) AS n_tok
+        |FROM c""".stripMargin,
+
+    // duplicate-line and duplicate-n-gram fractions over DuckDB lists
+    // (gram i = 1-based inclusive slice toks[i:i+n-1])
+    "q55_repetition" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS ls,
+        |  CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        | FROM documents)
+        |SELECT doc_id,
+        | ROUND(CASE WHEN length(text) = 0 THEN 0.0
+        |   ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 4) AS dup_line_frac,
+        | ROUND(CASE WHEN len(toks) < 2 THEN 0.0
+        |   ELSE CAST((len(toks) - 1) - len(list_distinct(list_transform(
+        |     generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+        |     / (len(toks) - 1) END, 4) AS dup_2gram_frac,
+        | ROUND(CASE WHEN len(toks) < 3 THEN 0.0
+        |   ELSE CAST((len(toks) - 2) - len(list_distinct(list_transform(
+        |     generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+        |     / (len(toks) - 2) END, 4) AS dup_3gram_frac
+        |FROM base""".stripMargin,
+
+    // Gopher rules: metrics rounded first, thresholds applied to the
+    // ROUNDED values (exactly as the Spark side builds `keep`)
+    "q56_gopher" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |  string_split(text, chr(10)) AS ls
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE ((length(text) - length(replace(text, '#', '')))
+        |        + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks) END, 4) AS symbol_ratio,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |    / len(ls), 4) AS bullet_frac,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+        |    / len(ls), 4) AS ellipsis_frac,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 4) AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')),
+        |    ['the','be','to','of','and','that','have','with'])) AS INT) AS stop_hits
+        | FROM base)
+        |SELECT *,
+        | (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM m""".stripMargin,
+
+    // identical augmentation arithmetic + the same three RE2 patterns;
+    // DuckDB needs the 'g' flag to mirror Spark's replace-all default
+    "q57_pii_scrub" ->
+      (s"""WITH aug AS (SELECT doc_id, text ||
+        | CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        | CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+        | CASE WHEN doc_id % 5 = 0 THEN ' call +1' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 9, '0') ELSE '' END AS a
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(a,
+        |   '${graft.text.Curation.emailPattern}', '<EMAIL>', 'g'),
+        |   '${graft.text.Curation.ipv4Pattern}', '<IP>', 'g'),
+        |   '${graft.text.Curation.phonePattern}', '<PHONE>', 'g') AS clean_text,
+        | CAST(len(regexp_extract_all(a, '${graft.text.Curation.emailPattern}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(a, '${graft.text.Curation.ipv4Pattern}')) AS INT) AS n_ips,
+        | CAST(len(regexp_extract_all(a, '${graft.text.Curation.phonePattern}')) AS INT) AS n_phones
+        |FROM aug""".stripMargin),
+
+    // count desc + token asc is a total order, so LIMIT is deterministic
+    "q58_vocab" ->
+      """SELECT t AS token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |      FROM documents WHERE trim(text) <> '')
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

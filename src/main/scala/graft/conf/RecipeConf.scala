@@ -545,6 +545,42 @@ object RecipeConf {
           .map { case (k, v) => k -> v.toString.toDouble },
         defaultRate = m.getOrElse("default", "1.0").toString.toDouble,
         salt = m.getOrElse("salt", "").toString)
+      // token-window chunking (RAG / pretraining shards):
+      //   chunk: {id: col, text: col, size: 64, stride: 32}
+      case "chunk" => df => graft.text.Curation.chunk(df, req("id"), req("text"),
+        size = m.getOrElse("size", "64").toString.toInt,
+        stride = m.getOrElse("stride", "32").toString.toInt)
+      // Gopher-style quality rules; mode filter (default) keeps only the
+      // rows passing every rule, mode metrics returns the metric table:
+      //   quality: {id: col, text: col, min_words: 50, mode: filter}
+      case "quality" => df => {
+        val id = req("id")
+        val metrics = graft.text.Curation.gopherQuality(df, id, req("text"),
+          minWords = m.getOrElse("min_words", "50").toString.toInt,
+          maxWords = m.getOrElse("max_words", "100000").toString.toInt)
+        m.getOrElse("mode", "filter").toString match {
+          case "filter" => df.join(
+            metrics.filter(col("keep")).select(id), Seq(id), "left_semi")
+          case "metrics" => metrics
+          case other => sys.error(s"quality: unknown mode '$other' (filter | metrics)")
+        }
+      }
+      // MassiveText repetition statistics per document:
+      //   repetition: {id: col, text: col}
+      case "repetition" => df =>
+        graft.text.Curation.repetitionStats(df, req("id"), req("text"))
+      // PII scrub in place over the selected text columns:
+      //   scrub: {select: [text, bio]}
+      case "scrub" => df => {
+        val cols = sel()
+        require(cols.nonEmpty, "scrub: 'select' must name at least one column")
+        cols.foldLeft(df)((d, c0) =>
+          d.withColumn(c0, graft.text.Curation.scrubPii(col(c0))))
+      }
+      // corpus vocabulary top-k: vocab: {text: col, k: 1000}
+      case "vocab" => df => graft.text.Curation.vocabTopK(df, req("text"),
+        k = m.getOrElse("k", "1000").toString.toInt,
+        lowercase = m.getOrElse("lowercase", "true").toString.toBoolean)
       case "sql" => df => { spark.sql(req("statement")); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +

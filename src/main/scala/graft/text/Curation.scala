@@ -1,0 +1,201 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Tools
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw scrape and tokenizer: fixed-window chunking, Gopher-style
+  * quality rules, MassiveText repetition statistics, PII scrubbing, and
+  * corpus vocabulary extraction.
+  *
+  * Everything is per-row Column arithmetic (whole-stage codegen'd, scan
+  * speed at any scale) except [[vocabTopK]] (one map-side-combined
+  * aggregate) and the chunk kernel (a row-local UDF for the same
+  * measured reason as the winnow/gram kernels in [[TextAnalysis]]:
+  * higher-order-function spellings run interpreted and CollapseProject
+  * re-splits the text once per window). All regex patterns are
+  * RE2-compatible (no lookarounds) so the identical pattern runs in an
+  * external SQL oracle.
+  */
+object Curation {
+
+  // ------------------------------------------------------------ chunking
+  /** Row-local chunk kernel: token windows of `size` starting every
+    * `stride` tokens; emission stops with the first window that reaches
+    * the document's end (so a doc never ends in a tail chunk fully
+    * contained in its predecessor). <= size tokens -> ONE chunk; zero
+    * tokens -> none. Tokenizes once per row, O(tokens * size/stride). */
+  private val chunkUdf = udf { (s: String, size: Int, stride: Int) =>
+    if (s == null) Array.empty[String]
+    else {
+      val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      if (n == 0) Array.empty[String]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = 0
+        var done = false
+        while (!done) {
+          val end = math.min(start + size, n)
+          out += toks.slice(start, end).mkString(" ")
+          done = end >= n
+          start += stride
+        }
+        out.toArray
+      }
+    }
+  }
+
+  /** Overlapping token-window chunks, the RAG/pretraining shard shape:
+    * (id, chunk_id, chunk_text, n_tok) with chunk_id the 0-based window
+    * index. Row-local and narrow — no shuffle at all; output volume is
+    * ~size/stride x the input, the expected cost of overlap. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, stride: Int = 32): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got stride=$stride size=$size")
+    df.select(col(idCol),
+        posexplode(chunkUdf(col(textCol), lit(size), lit(stride)))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tok", size_(Tools.tokenize(col("chunk_text"))))
+  }
+  // `size` the function shadowed by the param name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  // ------------------------------------------------- repetition statistics
+  /** MassiveText-style within-document repetition statistics (Rae et al.
+    * 2021, "Scaling Language Models" appendix A1.1): the fraction of
+    * duplicate lines and duplicate word n-grams (n=2,3) in each
+    * document. High values mark boilerplate/spam for the quality filter.
+    * Pure row-local arithmetic; the gram distinct-count rides the same
+    * kernel decontamination uses. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val lines = split(c, "\n")
+    val nLines = size(lines)
+    val dupLine = when(c.isNull, lit(null).cast("double"))
+      .when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (nLines - size(array_distinct(lines))).cast("double") / nLines.cast("double"))
+    val spaced = regexp_replace(trim(c), "\\s+", " ")
+    val nTok = size(Tools.tokenize(c))
+    def dupGram(n: Int): Column = {
+      val total = greatest(nTok - lit(n - 1), lit(0))
+      val distinct = size(TextAnalysis.distinctWordNgrams(spaced, lit(n)))
+      when(c.isNull, lit(null).cast("double"))
+        .when(total === 0, lit(0.0))
+        .otherwise((total - distinct).cast("double") / total.cast("double"))
+    }
+    df.select(col(idCol),
+      round(dupLine, 4).as("dup_line_frac"),
+      round(dupGram(2), 4).as("dup_2gram_frac"),
+      round(dupGram(3), 4).as("dup_3gram_frac"))
+  }
+
+  // ------------------------------------------------------ Gopher quality
+  /** Default stopword list for the stop-hit rule (Gopher uses a similar
+    * tiny English list). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality filter rules (Rae et al. 2021 appendix A1.1),
+    * each as its own metric so a pipeline can tune thresholds; `keep` is
+    * the conjunction at the published defaults (adapted to word counts):
+    * 50 <= words <= 100k, mean word length in [3,10], symbol-to-word
+    * ratio <= 0.1 (# and ellipsis), <= 90% bullet lines, <= 30% ellipsis
+    * lines, >= 80% alphabetic words, >= 2 distinct stopwords. Pure
+    * codegen'd Column arithmetic — scan speed at 100 TB. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = gopherStopwords): DataFrame = {
+    val c = col(textCol)
+    val toks = Tools.tokenize(c)
+    // NULL text -> NULL metrics and a NULL keep (size(null) would be -1)
+    val nWords = when(c.isNull, lit(null).cast("int")).otherwise(size(toks))
+    val meanLen = when(nWords === 0, lit(0.0)).otherwise(
+      length(regexp_replace(c, "\\s", "")).cast("double") / nWords.cast("double"))
+    val hashes = length(c) - length(regexp_replace(c, "#", ""))
+    val ellipses = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(
+      (hashes + ellipses).cast("double") / nWords.cast("double"))
+    val lines = split(c, "\n")
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") /
+        nLines.cast("double"))
+    val ellipsisFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))).cast("double") /
+        nLines.cast("double"))
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+        nWords.cast("double"))
+    val stopHits = when(c.isNull, lit(null).cast("int")).otherwise(
+      size(array_intersect(
+        array_distinct(Tools.tokenize(lower(c))), array(stopwords.map(lit): _*))))
+    val out = df.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+    out.withColumn("keep",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 2)
+  }
+
+  // -------------------------------------------------------- PII scrubbing
+  /** RE2-compatible PII patterns. Kept mutually exclusive on any one
+    * span (emails carry '@', IPs carry dots between digit runs, phones
+    * require a leading '+' and no dots) so the per-category counts in
+    * [[piiStats]] never double-count one span. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+[0-9][0-9() -]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses, and international-format phone
+    * numbers to typed placeholders — the pre-training scrub every public
+    * corpus pipeline applies. One chained regexp_replace: codegen'd,
+    * row-local, scan speed. */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
+
+  /** Per-category PII match counts (on the RAW text — run before
+    * [[scrubPii]]). */
+  def piiStats(c: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))),
+    size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))),
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))))
+
+  // -------------------------------------------------- vocabulary top-k
+  /** Corpus-wide token frequency top-k — the tokenizer-training /
+    * vocabulary-audit primitive. Tie-broken (count desc, token asc) so
+    * the result is deterministic.
+    *
+    * Scale shape: explode is narrow; the count is ONE shuffle with
+    * map-side partial aggregation (the combiner collapses each
+    * partition to its local vocab before anything moves — for natural
+    * language, KBs per partition regardless of corpus size); the top-k
+    * is TakeOrdered over the vocab-sized aggregate (per-partition heaps
+    * + a driver merge of k-row slices), never a global sort. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int = 1000,
+      lowercase: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    df.select(explode(Tools.tokenize(c)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
+}

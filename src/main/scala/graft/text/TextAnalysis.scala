@@ -195,6 +195,11 @@ object TextAnalysis {
     }
   }
 
+  /** Distinct word n-grams of a pre-normalized (single-space-separated)
+    * text column, as an array column — the raw kernel, for callers that
+    * need gram counts rather than exploded rows (repetition stats). */
+  def distinctWordNgrams(c: Column, n: Column): Column = wordNgramsUdf(c, n)
+
   /** Distinct word n-grams of each document's normalized text, exploded
     * to (id, gram) rows — the join-ready shape decontamination uses. */
   def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {

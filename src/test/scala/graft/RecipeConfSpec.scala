@@ -1049,6 +1049,54 @@ class RecipeConfSpec extends SparkSpec {
       && wp.head.getAs[Double]("overlap") == 1.0)
   }
 
+  test("curation steps (chunk, quality, repetition, scrub, vocab) run from YAML") {
+    import spark.implicits._
+    val good = ("the data " * 30).trim + " of it"
+    Seq((1L, good), (2L, "too short, and mail bob@x.org here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/cur_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  cd: {path: $dir/cur_in, format: parquet}
+         |recipes:
+         |  chunks:
+         |    input: cd
+         |    steps:
+         |      - chunk: {id: doc_id, text: text, size: 16, stride: 8}
+         |  qfilter:
+         |    input: cd
+         |    steps:
+         |      - quality: {id: doc_id, text: text, min_words: 30}
+         |  reps:
+         |    input: cd
+         |    steps:
+         |      - repetition: {id: doc_id, text: text}
+         |  scrubbed:
+         |    input: cd
+         |    steps:
+         |      - scrub: {select: [text]}
+         |  vocab50:
+         |    input: cd
+         |    steps:
+         |      - vocab: {text: text, k: 3}
+         |""".stripMargin)
+    val chunks = RecipeConf.run(spark, conf, "chunks")
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_id", "chunk_text", "n_tok"))
+    assert(chunks.filter("doc_id = 1").count() > 1)
+    // quality filter keeps only the long stopword-bearing doc
+    assert(RecipeConf.run(spark, conf, "qfilter")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val rep = RecipeConf.run(spark, conf, "reps")
+      .filter("doc_id = 1").collect()(0)
+    assert(rep.getAs[Double]("dup_2gram_frac") > 0.9) // "the data" repeated
+    val sc = RecipeConf.run(spark, conf, "scrubbed")
+      .filter("doc_id = 2").select("text").as[String].collect()(0)
+    assert(sc == "too short, and mail <EMAIL> here")
+    val v = RecipeConf.run(spark, conf, "vocab50").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.take(2).toSeq == Seq(("data", 30L), ("the", 30L)))
+  }
+
   test("split step assigns every row to a declared split from YAML") {
     import spark.implicits._
     (1L to 100L).toDF("id").write.mode("overwrite").parquet(s"$dir/split_in")
