@@ -51,12 +51,17 @@ object Tools {
       regexp_replace(stripAccents(lower(c)), "[^0-9a-z]+", " "),
       "\\s+", " "))
 
-  /** Whitespace tokenizer (tools.py:121-127); empty/blank input → empty
-    * array, matching `"".split()` semantics in the reference. */
-  def tokenize(c: Column): Column =
+  /** Whitespace tokenizer (tools.py:121-127) with Python `str.split()`
+    * semantics: empty/blank input → empty array, and NO empty tokens
+    * ever. Edge whitespace is stripped with a regex (not `trim`, which
+    * removes only spaces — a doc ending in "\n" would otherwise emit a
+    * phantom "" token that inflates counts and pollutes vocabularies). */
+  def tokenize(c: Column): Column = {
+    val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
     when(c.isNull, lit(null))
-      .when(trim(c) === "", array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+      .when(stripped === "", array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   /** Character n-grams of one string (tools.py:109-113): substrings of
     * length n; strings shorter than n yield an empty array. */

@@ -27,18 +27,20 @@ object Curation {
     * contained in its predecessor). <= size tokens -> ONE chunk; zero
     * tokens -> none. Tokenizes once per row, O(tokens * size/stride). */
   private val chunkUdf = udf { (s: String, size: Int, stride: Int) =>
-    if (s == null) Array.empty[String]
+    if (s == null) Array.empty[(String, Int)]
     else {
       val toks = s.trim.split("\\s+").filter(_.nonEmpty)
       val n = toks.length
-      if (n == 0) Array.empty[String]
+      if (n == 0) Array.empty[(String, Int)]
       else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
         var start = 0
         var done = false
         while (!done) {
           val end = math.min(start + size, n)
-          out += toks.slice(start, end).mkString(" ")
+          // token count rides along — re-splitting chunk_text downstream
+          // would double the operator's string work
+          out += ((toks.slice(start, end).mkString(" "), end - start))
           done = end >= n
           start += stride
         }
@@ -58,11 +60,10 @@ object Curation {
       s"stride must be in [1, size], got stride=$stride size=$size")
     df.select(col(idCol),
         posexplode(chunkUdf(col(textCol), lit(size), lit(stride)))
-          .as(Seq("chunk_id", "chunk_text")))
-      .withColumn("n_tok", size_(Tools.tokenize(col("chunk_text"))))
+          .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id"),
+        col("__c._1").as("chunk_text"), col("__c._2").as("n_tok"))
   }
-  // `size` the function shadowed by the param name above
-  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
   // ------------------------------------------------- repetition statistics
   /** MassiveText-style within-document repetition statistics (Rae et al.
@@ -79,8 +80,11 @@ object Curation {
       .when(length(c) === 0, lit(0.0))
       .otherwise(
         (nLines - size(array_distinct(lines))).cast("double") / nLines.cast("double"))
-    val spaced = regexp_replace(trim(c), "\\s+", " ")
-    val nTok = size(Tools.tokenize(c))
+    // single-space re-join of the SAME token array the count uses, so
+    // the gram kernel and the total can never disagree on tokenization
+    val toks = Tools.tokenize(c)
+    val nTok = size(toks)
+    val spaced = concat_ws(" ", toks)
     def dupGram(n: Int): Column = {
       val total = greatest(nTok - lit(n - 1), lit(0))
       val distinct = size(TextAnalysis.distinctWordNgrams(spaced, lit(n)))
@@ -153,10 +157,12 @@ object Curation {
   }
 
   // -------------------------------------------------------- PII scrubbing
-  /** RE2-compatible PII patterns. Kept mutually exclusive on any one
-    * span (emails carry '@', IPs carry dots between digit runs, phones
-    * require a leading '+' and no dots) so the per-category counts in
-    * [[piiStats]] never double-count one span. */
+  /** RE2-compatible PII patterns. Phones require a leading '+' and no
+    * dots, so they never overlap emails or IPs; emails and IPs can both
+    * match one span when an email's local part is itself IPv4-shaped
+    * ("10.0.0.1@x.com" counts once in each category) — acceptable for
+    * scrub accounting, and the scrub itself replaces the span once
+    * (email first). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val phonePattern = "\\+[0-9][0-9() -]{6,}[0-9]"

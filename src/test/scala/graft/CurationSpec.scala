@@ -115,13 +115,38 @@ class CurationSpec extends SparkSpec {
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
   }
 
-  test("scrubPii leaves version-like dotted numbers with >3 parts intact inside words") {
-    // 1.2.3.4.5 — the first 4 dotted runs match the IPv4 pattern (\b is
-    // digit/dot agnostic), documenting the known over-match; a plain
-    // version string v1.2.3 below the 4-run shape is untouched
-    val out = Seq("pkg v1.2.3 ok").toDF("text")
+  test("scrubPii on dotted version strings: 3 parts untouched, >=4 parts over-match as IP") {
+    val out = Seq("pkg v1.2.3 ok", "pkg 1.2.3.4.5 ok").toDF("text")
       .select(Curation.scrubPii(col("text"))).as[String].collect()
     assert(out(0) == "pkg v1.2.3 ok")
+    // the first 4 dotted runs of a 5-part version match the IPv4 shape
+    // (\b holds between digit and dot) — the documented over-match
+    assert(out(1) == "pkg <IP>.5 ok")
+  }
+
+  // --------------------------------------- edge-whitespace tokenization
+  test("edge whitespace (\\n, \\t) produces no phantom tokens anywhere") {
+    import graft.functions.Tools
+    val toks = Seq("\tab cd\n").toDF("text")
+      .select(Tools.tokenize(col("text"))).as[Seq[String]].collect()(0)
+    assert(toks == Seq("ab", "cd"))
+    // gopher: a trailing newline must not deflate alpha_frac below 0.8
+    val g = Curation.gopherQuality(Seq((1L, "ab cd\n")).toDF("id", "text"),
+      "id", "text", minWords = 1).collect()(0)
+    assert(g.getInt(1) == 2 && g.getDouble(6) == 1.0)
+    // repetition: a duplicate-free doc with edge whitespace scores 0
+    val r = Curation.repetitionStats(
+      Seq((1L, "\tunique words here\n")).toDF("id", "text"), "id", "text")
+      .collect()(0)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((0.0, 0.0, 0.0)))
+    // vocab: no "" token from trailing newlines
+    val v = Curation.vocabTopK(Seq("aa\n", "aa\n", "bb\n").toDF("text"), "text", k = 10)
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1)))
+    assert(v.toSeq == Seq(("aa", 2L), ("bb", 1L)))
+    // chunk: whitespace-only doc emits nothing, edge whitespace stripped
+    val ch = Curation.chunk(Seq((1L, "\n"), (2L, " x y\n")).toDF("id", "text"),
+      "id", "text", size = 8, stride = 4).collect()
+    assert(ch.length == 1 && ch(0).getString(2) == "x y" && ch(0).getInt(3) == 2)
   }
 
   // ------------------------------------------------------------ vocab
