@@ -90,8 +90,12 @@ object MatchJoin {
         // broadcast); and without the hint preferSortMergeJoin adds a
         // full sort of the largest intermediate. ~1s slower at sf0.1
         // than planner-chosen broadcast, but safe at any scale.
+        // IDF rides the postings side (vocab-sized broadcast onto the
+        // postings table) so the candidate stream — orders of magnitude
+        // larger than postings — needs no second join pass.
         qtokBase.withColumn("__tok", col("__qtok"))
-          .join(postings.hint("shuffle_hash"), Seq("__tok"))
+          .join(postings.join(broadcast(idf), Seq("__tok")).hint("shuffle_hash"),
+            Seq("__tok"))
       } else {
         // delete-variant meet: qtok and tok within edit distance 1 share a
         // delete-≤1 variant; verify with true levenshtein
@@ -107,9 +111,13 @@ object MatchJoin {
         // row even when several query tokens (or several delete
         // variants) reach it — keeping __qtok here would double-count
         // its IDF after the projection below
+        // the fuzzy path must dedup on (lid, rid, tok) BEFORE attaching
+        // IDF (several variants can reach the same token), so the idf
+        // join stays after the distinct here
         qv.join(pv, Seq("__v"))
           .filter(levenshtein(col("__qtok"), col("__tok")) <= 1)
           .select("__lid", "__tok", "__rid").distinct()
+          .join(broadcast(idf), Seq("__tok"))
       }
 
     // ---- score: sum of IDF over matched tokens (each left token counts
@@ -118,16 +126,22 @@ object MatchJoin {
     // distinct would be a pure-overhead shuffle; the fuzzy path dedups in
     // cand0 itself.
     val scored = cand0
-      .select(col("__lid"), col("__rid"), col("__tok"))
-      .join(broadcast(idf), Seq("__tok"))
+      .select(col("__lid"), col("__rid"), col("__idf"))
       .groupBy("__lid", "__rid")
       .agg(sum("__idf").as("hit_score"))
 
     // ---- top-k + hit metadata. Both windows share the __lid partition
-    // key so Catalyst plans ONE exchange + sort for the pair (a
-    // groupBy-stats + join-back variant was measured slower: it adds a
-    // shuffle and loses the shared sort); the rank window benefits from
-    // WindowGroupLimit per-partition pruning.
+    // key so Catalyst plans ONE exchange + sort for the pair. The
+    // tempting alternative — stats via groupBy + join-back so the rank
+    // window's WindowGroupLimit prunes each map partition to its local
+    // top-k BEFORE the exchange — was re-measured in round 6 and
+    // REJECTED: referencing `scored` twice re-aliases its attributes, so
+    // the exchanges never canonicalize equal and the whole candidate
+    // pipeline (the expensive part) executes TWICE; avoiding that needs
+    // a persist() of the full pair table, which costs about what the
+    // one full-table shuffle it saves costs. Measured 5.2 s vs 5.0 s at
+    // sf0.1 even with the duplicated pipeline hidden by local[32] —
+    // the shared single exchange is the honest 100×-scale plan.
     val w = Window.partitionBy(col("__lid"))
       .orderBy(col("hit_score").desc, col("__rid"))
     val stats = Window.partitionBy(col("__lid"))
