@@ -594,6 +594,14 @@ object SparkEntry {
     "q58_vocab" -> ((s, dir) =>
       graft.text.Curation.vocabTopK(t(s, dir, "documents"), "text", k = 50)),
 
+    // CCNet-style LM quality proxy (Curation.unigramLogProb): every doc
+    // scored under the unigram LM of the corpus itself
+    "q59_lm_logprob" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Curation.unigramLogProb(d, "doc_id", "text",
+        graft.text.Curation.unigramLm(d, "text"))
+    }),
+
     // running total per customer (rowsBetween window frame)
     "q41_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1076,6 +1084,26 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(a, '${graft.text.Curation.ipv4Pattern}')) AS INT) AS n_ips,
         | CAST(len(regexp_extract_all(a, '${graft.text.Curation.phonePattern}')) AS INT) AS n_phones
         |FROM aug""".stripMargin),
+
+    // same quantized-log arithmetic: per-vocab-entry floor(log10 * 1e4)
+    // as BIGINT, order-free integer sums, one division at the end (no
+    // OOV branch needed — the corpus scores itself, every token is in
+    // the LM)
+    "q59_lm_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+        | FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''),
+        |lm AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM lm),
+        |q AS (SELECT token,
+        |  CAST(floor(log10(CAST(cnt + 1 AS DOUBLE) / (total + v)) * 10000) AS BIGINT) AS qlp
+        | FROM lm, tot),
+        |sc AS (SELECT t.doc_id, SUM(q.qlp) AS s, COUNT(*) AS n
+        |       FROM tok t JOIN q USING (token) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(sc.n, 0) AS INT) AS n_tok,
+        | ROUND(CAST(sc.s AS DOUBLE) / sc.n / 10000.0, 4) AS logprob
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // count desc + token asc is a total order, so LIMIT is deterministic
     "q58_vocab" ->

@@ -581,6 +581,16 @@ object RecipeConf {
       case "vocab" => df => graft.text.Curation.vocabTopK(df, req("text"),
         k = m.getOrElse("k", "1000").toString.toInt,
         lowercase = m.getOrElse("lowercase", "true").toString.toBoolean)
+      // CCNet-style unigram LM score; the LM trains on a named reference
+      // dataset when given (lm_text names its text column if it
+      // differs), else on the input corpus itself:
+      //   lm_score: {id: col, text: col, dataset: wiki_ref, lm_text: body}
+      case "lm_score" => df => {
+        val lmSource = if (m.contains("dataset")) namedDataset() else df
+        val lmText = m.getOrElse("lm_text", req("text")).toString
+        graft.text.Curation.unigramLogProb(df, req("id"), req("text"),
+          graft.text.Curation.unigramLm(lmSource, lmText))
+      }
       case "sql" => df => { spark.sql(req("statement")); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +

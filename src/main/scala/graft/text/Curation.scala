@@ -184,6 +184,70 @@ object Curation {
     size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))),
     size(regexp_extract_all(c, lit(phonePattern), lit(0))))
 
+  // ------------------------------------------- LM quality (CCNet-style)
+  /** Unigram language-model score per document — the public stand-in for
+    * CCNet-style perplexity filtering (Wenzek et al. 2020 train a 5-gram
+    * KenLM on Wikipedia and bucket documents by perplexity; a unigram LM
+    * keeps the same shape — reference corpus → per-token log-probs →
+    * mean per doc — with oracle-checkable arithmetic). Returns
+    * (id, n_tok, logprob) where logprob is the mean base-10 log of each
+    * token's Laplace-smoothed probability (cnt+1)/(total+V); higher =
+    * more typical of the reference corpus. Docs with no tokens keep a
+    * NULL logprob (the caller's length filter owns those).
+    *
+    * Determinism: each vocab entry's log is quantized ONCE to integer
+    * 1e-4 units in the LM table; per-doc aggregation then sums longs
+    * (order-free) and divides at the end — bit-identical across
+    * partitionings and engines, the match join's IDF trick.
+    *
+    * Scale shape: the LM build is one map-side-combined count (vocab-
+    * sized result); scoring explodes tokens (narrow) and equi-joins the
+    * LM on token — vocab tables are MBs for natural language, so the
+    * join broadcasts under AQE; if a tokenizer explodes the vocab past
+    * broadcast range it degrades to a shuffle join on the token key and
+    * AQE's skew split handles the Zipf head. One shuffle for the per-doc
+    * mean, keyed on the doc id. */
+  /** Unigram LM (token → count) over a reference corpus — the build side
+    * of [[unigramLogProb]]. One map-side-combined aggregate; the result
+    * is vocab-sized regardless of corpus size. */
+  def unigramLm(df: DataFrame, textCol: String,
+      lowercase: Boolean = true): DataFrame = {
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    df.select(explode(Tools.tokenize(c)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+  }
+
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, lowercase: Boolean = true): DataFrame = {
+    require(lm.columns.toSeq.contains("token") && lm.columns.toSeq.contains("cnt"),
+      s"lm needs (token, cnt) columns, got ${lm.columns.mkString(", ")}")
+    // corpus totals ride the plan as a broadcast one-row aggregate (no
+    // eager action at plan-build)
+    val totals = broadcast(lm.agg(
+      sum(col("cnt")).as("__total"), count(lit(1)).as("__v")))
+    val qlm = lm.crossJoin(totals).select(col("token"),
+      floor(log10((col("cnt") + 1).cast("double") / (col("__total") + col("__v")))
+        * 10000).cast("long").as("__qlp"))
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = df.select(col(idCol), explode(Tools.tokenize(c)).as("token"))
+    // left join: out-of-vocabulary tokens take the Laplace floor 1/(total+V)
+    val oov = floor(log10(lit(1.0) / (col("__total") + col("__v"))) * 10000)
+      .cast("long")
+    val perDoc = toks
+      .join(qlm, Seq("token"), "left")
+      .crossJoin(totals)
+      .select(col(idCol), coalesce(col("__qlp"), oov).as("__qlp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_tok"),
+        round(sum(col("__qlp")).cast("double") / count(lit(1)) / 10000.0, 4)
+          .as("logprob"))
+    // keep every input doc: token-free docs surface with n_tok 0
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0)).as("n_tok"),
+        col("logprob"))
+  }
+
   // -------------------------------------------------- vocabulary top-k
   /** Corpus-wide token frequency top-k — the tokenizer-training /
     * vocabulary-audit primitive. Tie-broken (count desc, token asc) so

@@ -124,6 +124,31 @@ class CurationSpec extends SparkSpec {
     assert(out(1) == "pkg <IP>.5 ok")
   }
 
+  // ------------------------------------------------------- LM scoring
+  test("unigramLogProb scores docs under a reference LM, OOV takes the Laplace floor") {
+    // LM corpus: a:2 b:2 c:1, total=5, V=3 -> denom 8
+    // qlp(a)=qlp(b)=floor(log10(3/8)*1e4)=-4260, qlp(c)=floor(log10(2/8)*1e4)=-6021
+    // OOV floor: floor(log10(1/8)*1e4)=-9031
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val lm = Curation.unigramLm(corpus, "text")
+    val out = Curation.unigramLogProb(
+      Seq((1L, "a a b"), (2L, "b c"), (3L, "z"), (4L, "")).toDF("id", "text"),
+      "id", "text", lm).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3 && out(1L)._2 == -0.426) // 3*-4260/3/1e4
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - -0.51405) < 1e-3)
+    assert(out(3L)._1 == 1 && out(3L)._2 == -0.9031) // pure OOV doc
+    assert(out(4L)._1 == 0 && out(4L)._2.isNaN)      // token-free doc
+  }
+
+  test("unigramLogProb rejects an LM without (token, cnt) columns") {
+    intercept[IllegalArgumentException] {
+      Curation.unigramLogProb(Seq((1L, "a")).toDF("id", "text"),
+        "id", "text", Seq(("a", 1L)).toDF("word", "cnt"))
+    }
+  }
+
   // --------------------------------------- edge-whitespace tokenization
   test("edge whitespace (\\n, \\t) produces no phantom tokens anywhere") {
     import graft.functions.Tools

@@ -1097,6 +1097,29 @@ class RecipeConfSpec extends SparkSpec {
     assert(v.take(2).toSeq == Seq(("data", 30L), ("the", 30L)))
   }
 
+  test("lm_score step trains on a named reference dataset with its own text column") {
+    import spark.implicits._
+    Seq((1L, "aa bb"), (2L, "zz")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/lm_in")
+    Seq("aa aa bb", "bb cc").toDF("body")
+      .write.mode("overwrite").parquet(s"$dir/lm_ref")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/lm_in, format: parquet}
+         |  ref: {path: $dir/lm_ref, format: parquet}
+         |recipes:
+         |  scorem:
+         |    input: docs
+         |    steps:
+         |      - lm_score: {id: doc_id, text: text, dataset: ref, lm_text: body}
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf, "scorem").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // in-vocab doc scores above the pure-OOV doc
+    assert(out(1L) > out(2L))
+    assert(out(2L) == -0.9031) // Laplace floor: floor(log10(1/8)*1e4)/1e4
+  }
+
   test("split step assigns every row to a declared split from YAML") {
     import spark.implicits._
     (1L to 100L).toDF("id").write.mode("overwrite").parquet(s"$dir/split_in")
