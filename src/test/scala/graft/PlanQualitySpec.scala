@@ -128,6 +128,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("row-local curation ops (chunk, repetition, gopher, pii) plan no shuffle") {
+    for (q <- Seq("q54_chunks", "q55_repetition", "q56_gopher", "q57_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q should be scan -> project/generate with no shuffle:\n$p")
+    }
+  }
+
+  test("q58/q59 vocab aggregates are map-side partial, top-k is TakeOrdered") {
+    val v = plan("q58_vocab")
+    assert(v.contains("partial_count") || v.contains("Partial"),
+      s"vocab count should partial-aggregate before the shuffle:\n$v")
+    assert(v.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be TakeOrdered, not a global sort:\n$v")
+    val lm = plan("q59_lm_logprob")
+    assert(lm.contains("partial_count") || lm.contains("Partial"),
+      s"LM build should partial-aggregate:\n$lm")
+  }
+
   test("minhashDedup keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val df = Seq(
