@@ -94,4 +94,69 @@ class PropertiesSpec extends SparkSpec {
       assert(r.getAs[String]("fa") == r.getAs[String]("fb"))
     }
   }
+
+  // ------------------------------------------------ curation invariants
+  private val tokenList =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+
+  test("chunk: stride=size partitions the tokens exactly; overlap covers every token (batched)") {
+    import graft.text.Curation
+    val docs = (1 to 100).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      (i.toLong, tokenList.pureApply(Gen.Parameters.default, seed).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    // stride == size: chunks concatenate back to the tokenized text
+    val exact = Curation.chunk(df, "id", "text", size = 4, stride = 4)
+      .orderBy("id", "chunk_id")
+      .groupBy("id").agg(concat_ws(" ", collect_list(col("chunk_text"))).as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(exact.getOrElse(id, "") == toks, s"id=$id")
+    }
+    // overlapping: every token index is inside >= 1 chunk, n_tok <= size
+    val over = Curation.chunk(df, "id", "text", size = 5, stride = 2)
+      .groupBy("id").agg(sum(col("n_tok")).as("s"), max(col("n_tok")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    docs.foreach { case (id, text) =>
+      val n = text.split("\\s+").count(_.nonEmpty)
+      if (n > 0) {
+        val (sumTok, maxTok) = over(id)
+        assert(maxTok <= 5 && sumTok >= n, s"id=$id n=$n got $sumTok/$maxTok")
+      } else assert(!over.contains(id))
+    }
+  }
+
+  test("scrubPii is idempotent; repetition/gopher fractions stay in [0,1] (batched)") {
+    import graft.text.Curation
+    val messy = Gen.listOf(Gen.oneOf(
+      Seq("bob@x.org", "10.0.0.1", "+3312345678", "word", "1.2.3.4.5",
+        "a.b", "#", "...", "-", "\n", "the"))).map(_.mkString(" "))
+    val docs = (1 to 100).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      (i.toLong, messy.pureApply(Gen.Parameters.default, seed))
+    }
+    val df = docs.toDF("id", "text")
+    val once = df.select(col("id"), Curation.scrubPii(col("text")).as("s1"))
+    val twice = once.select(col("id"), col("s1"),
+      Curation.scrubPii(col("s1")).as("s2"))
+    twice.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"not idempotent: ${r.getString(1)}")
+    }
+    val rep = Curation.repetitionStats(df, "id", "text").collect()
+    rep.foreach { r =>
+      Seq(1, 2, 3).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"fraction out of range: $v")
+      }
+    }
+    val gq = Curation.gopherQuality(df, "id", "text").collect()
+    gq.foreach { r =>
+      Seq(4, 5, 6).foreach { i => // bullet/ellipsis/alpha fractions
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"fraction out of range: $v")
+      }
+    }
+  }
 }
