@@ -674,7 +674,20 @@ object SparkEntry {
   private val normSql =
     "trim(regexp_replace(regexp_replace(strip_accents(lower(%s)), '[^0-9a-z]+', ' ', 'g'), '\\s+', ' ', 'g'))"
 
-  def oracleSql: Map[String, String] = Map(
+  /** The SQL mirror of Tools.tokenize's edge-whitespace strip, defined
+    * ONCE: oracle bodies write `<STRIP:expr>` and the placeholder is
+    * expanded here, so the tokenizer and its oracle mirrors can only
+    * change in lock-step (a stale spelling in one of the ~8 sites would
+    * otherwise be a silent semantic divergence on edge-whitespace docs). */
+  private val stripSqlFmt = "regexp_replace(%s, '^\\s+|\\s+$', '', 'g')"
+  private val stripRe = "<STRIP:([A-Za-z_()]+)>".r
+  private def expandStrip(sql: String): String =
+    stripRe.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(stripSqlFmt.format(m.group(1))))
+
+  def oracleSql: Map[String, String] = oracleSqlRaw.view.mapValues(expandStrip).toMap
+
+  private val oracleSqlRaw: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -831,20 +844,20 @@ object SparkEntry {
     "q22_text_stats" ->
       """WITH base AS (
         | SELECT doc_id, text,
-        |  CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS ntok,
+        |  CASE WHEN <STRIP:text> = '' THEN 0 ELSE len(string_split_regex(<STRIP:text>, '\s+')) END AS ntok,
         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_raw,
-        |  CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' THEN 0.0 ELSE
-        |    CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+        |  CASE WHEN <STRIP:lower(text)> = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(<STRIP:lower(text)>, '\s+'),
         |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
-        |    / CAST(len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) END AS sw_raw
+        |    / CAST(len(string_split_regex(<STRIP:lower(text)>, '\s+')) AS DOUBLE) END AS sw_raw
         | FROM documents)
         |SELECT doc_id,
         | CAST(ntok AS INTEGER) AS n_tok,
         | ROUND(punct_raw, 4) AS punct_ratio,
         | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 4) AS upper_ratio,
-        | ROUND(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0.0 ELSE
+        | ROUND(CASE WHEN <STRIP:text> = '' THEN 0.0 ELSE
         |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(ntok AS DOUBLE) END, 4) AS mean_word_len,
         | ROUND(sw_raw, 4) AS sw_ratio,
         | ROUND(GREATEST(0.0,
@@ -856,7 +869,7 @@ object SparkEntry {
     "q23_langid" ->
       """WITH s AS (
         | SELECT doc_id, lang, text,
-        |  list_distinct(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS toks
+        |  list_distinct(string_split_regex(<STRIP:lower(text)>, '\s+')) AS toks
         | FROM documents),
         |c AS (
         | SELECT doc_id, lang, text,
@@ -1005,7 +1018,7 @@ object SparkEntry {
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]
     "q54_chunks" ->
       """WITH base AS (SELECT doc_id,
-        |  CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '\s+') END AS toks
         | FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS ntok FROM base WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, ntok,
@@ -1022,7 +1035,7 @@ object SparkEntry {
     "q55_repetition" ->
       """WITH base AS (SELECT doc_id, text,
         |  string_split(text, chr(10)) AS ls,
-        |  CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '\s+') END AS toks
         | FROM documents)
         |SELECT doc_id,
         | ROUND(CASE WHEN length(text) = 0 THEN 0.0
@@ -1041,7 +1054,7 @@ object SparkEntry {
     // ROUNDED values (exactly as the Spark side builds `keep`)
     "q56_gopher" ->
       """WITH base AS (SELECT doc_id, text,
-        |  CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '\s+') END AS toks,
         |  string_split(text, chr(10)) AS ls
         | FROM documents),
         |m AS (SELECT doc_id,
@@ -1058,7 +1071,7 @@ object SparkEntry {
         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 4) AS alpha_frac,
         |  CAST(len(list_intersect(list_distinct(list_filter(
-        |    string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), t -> t <> '')),
+        |    string_split_regex(<STRIP:lower(text)>, '\s+'), t -> t <> '')),
         |    ['the','be','to','of','and','that','have','with'])) AS INT) AS stop_hits
         | FROM base)
         |SELECT *,
@@ -1091,8 +1104,8 @@ object SparkEntry {
     // the LM)
     "q59_lm_logprob" ->
       """WITH tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
-        | FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''),
+        |  unnest(string_split_regex(<STRIP:lower(text)>, '\s+')) AS token
+        | FROM documents WHERE <STRIP:lower(text)> <> ''),
         |lm AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
         |tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM lm),
         |q AS (SELECT token,
@@ -1108,8 +1121,8 @@ object SparkEntry {
     // count desc + token asc is a total order, so LIMIT is deterministic
     "q58_vocab" ->
       """SELECT t AS token, COUNT(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS t
-        |      FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')
+        |FROM (SELECT unnest(string_split_regex(<STRIP:lower(text)>, '\s+')) AS t
+        |      FROM documents WHERE <STRIP:text> <> '')
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
@@ -1281,8 +1294,8 @@ object SparkEntry {
     "q37_subwords" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
-        | CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
-        |      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS INTEGER) AS n_tokens
+        | CAST(CASE WHEN <STRIP:text> = '' THEN 0
+        |      ELSE len(string_split_regex(<STRIP:text>, '\s+')) END AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
 
     "q43_bool_match" ->

@@ -588,8 +588,10 @@ object RecipeConf {
       case "lm_score" => df => {
         val lmSource = if (m.contains("dataset")) namedDataset() else df
         val lmText = m.getOrElse("lm_text", req("text")).toString
+        val lc = m.getOrElse("lowercase", "true").toString.toBoolean
         graft.text.Curation.unigramLogProb(df, req("id"), req("text"),
-          graft.text.Curation.unigramLm(lmSource, lmText))
+          graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
+          lowercase = lc)
       }
       case "sql" => df => { spark.sql(req("statement")); df }
       case "exec" =>

@@ -198,7 +198,11 @@ object Curation {
     * Determinism: each vocab entry's log is quantized ONCE to integer
     * 1e-4 units in the LM table; per-doc aggregation then sums longs
     * (order-free) and divides at the end — bit-identical across
-    * partitionings and engines, the match join's IDF trick.
+    * partitionings, the match join's IDF trick. Across ENGINES the
+    * guarantee is probabilistic: two libms may differ by an ulp on
+    * log10, which flips floor() only when log10(p)*1e4 lands within
+    * ~1e-12 of an integer — measure-zero in practice but not impossible
+    * on an adversarial vocabulary.
     *
     * Scale shape: the LM build is one map-side-combined count (vocab-
     * sized result); scoring explodes tokens (narrow) and equi-joins the
@@ -221,31 +225,41 @@ object Curation {
       lm: DataFrame, lowercase: Boolean = true): DataFrame = {
     require(lm.columns.toSeq.contains("token") && lm.columns.toSeq.contains("cnt"),
       s"lm needs (token, cnt) columns, got ${lm.columns.mkString(", ")}")
+    // the LM feeds two consumers (totals + the per-token table); persist
+    // the VOCAB-SIZED aggregate so a derived LM pipeline (a full corpus
+    // scan when built by unigramLm) doesn't execute twice — the same
+    // double-execution hazard the match join documents. Spark evicts
+    // the cache LRU after the action.
+    val lmP = lm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus totals ride the plan as a broadcast one-row aggregate (no
-    // eager action at plan-build)
-    val totals = broadcast(lm.agg(
-      sum(col("cnt")).as("__total"), count(lit(1)).as("__v")))
-    val qlm = lm.crossJoin(totals).select(col("token"),
+    // eager action at plan-build); an EMPTY reference LM would silently
+    // null every score, so the totals row fails the job loudly instead
+    val totals = broadcast(lmP.agg(
+        sum(col("cnt")).as("__total"), count(lit(1)).as("__v"))
+      .select(col("__total"), col("__v"),
+        assert_true(col("__v") > 0,
+          lit("unigramLogProb: the reference LM has no tokens")).as("__chk")))
+    val qlm = lmP.crossJoin(totals).select(col("token"),
       floor(log10((col("cnt") + 1).cast("double") / (col("__total") + col("__v")))
         * 10000).cast("long").as("__qlp"))
     val c = if (lowercase) lower(col(textCol)) else col(textCol)
-    val toks = df.select(col(idCol), explode(Tools.tokenize(c)).as("token"))
+    // explode_outer keeps token-free docs as a single null-token row, so
+    // ONE per-id aggregation serves every doc — no distinct + join-back
+    val toks = df.select(col(idCol), explode_outer(Tools.tokenize(c)).as("token"))
     // left join: out-of-vocabulary tokens take the Laplace floor 1/(total+V)
     val oov = floor(log10(lit(1.0) / (col("__total") + col("__v"))) * 10000)
       .cast("long")
-    val perDoc = toks
+    toks
       .join(qlm, Seq("token"), "left")
       .crossJoin(totals)
-      .select(col(idCol), coalesce(col("__qlp"), oov).as("__qlp"))
+      .select(col(idCol),
+        when(col("token").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("__qlp"), oov)).as("__qlp"))
       .groupBy(idCol)
-      .agg(count(lit(1)).cast("int").as("n_tok"),
-        round(sum(col("__qlp")).cast("double") / count(lit(1)) / 10000.0, 4)
+      // count(col) skips nulls: token-free docs score (0, NULL)
+      .agg(count(col("__qlp")).cast("int").as("n_tok"),
+        round(sum(col("__qlp")).cast("double") / count(col("__qlp")) / 10000.0, 4)
           .as("logprob"))
-    // keep every input doc: token-free docs surface with n_tok 0
-    df.select(col(idCol)).distinct()
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_tok"), lit(0)).as("n_tok"),
-        col("logprob"))
   }
 
   // -------------------------------------------------- vocabulary top-k

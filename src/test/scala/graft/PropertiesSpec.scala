@@ -107,9 +107,12 @@ class PropertiesSpec extends SparkSpec {
     }
     val df = docs.toDF("id", "text")
     // stride == size: chunks concatenate back to the tokenized text
+    // (collect_list has no order guarantee — sort by chunk_id in the
+    // aggregate, the TextAnalysis.dedupLines reassembly pattern)
     val exact = Curation.chunk(df, "id", "text", size = 4, stride = 4)
-      .orderBy("id", "chunk_id")
-      .groupBy("id").agg(concat_ws(" ", collect_list(col("chunk_text"))).as("re"))
+      .groupBy("id").agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("re"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     docs.foreach { case (id, text) =>
       val toks = text.split("\\s+").filter(_.nonEmpty).mkString(" ")

@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   * methodology so numbers are comparable. */
 object QBench {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) sys.error(
+      "usage: QBench <queryName> [runs] [sfDir] — e.g. QBench q29_match_topk 5")
     val name = args(0)
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val runs = if (args.length > 1) args(1).toInt else 3
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
