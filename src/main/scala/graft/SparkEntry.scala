@@ -663,12 +663,14 @@ object SparkEntry {
 
   /** Headline queries Bench runs at sf0.1 (the heavy/representative set).
     * q53 joined in round 6: the 13-gram decontamination pipeline is the
-    * most shuffle-heavy LLM-curation op, so its number is tracked. */
+    * most shuffle-heavy LLM-curation op; q59 joined with it so the LM
+    * scoring path (explode + vocab join + per-doc aggregate) has a
+    * tracked number too. */
   val benchQueries: Seq[String] = Seq(
     "q01_agg", "q02_join_enrich", "q03_rank_topk", "q11_transform",
     "q18_events_window", "q21_fingerprint", "q24_jaccard_pairs",
     "q25_ann_topk", "q26_minhash_pairs", "q29_match_topk",
-    "q39_matching_e2e", "q53_decontaminate")
+    "q39_matching_e2e", "q53_decontaminate", "q59_lm_logprob")
 
   // ------------------------------------------------------------- oracles
   private val normSql =
