@@ -1097,6 +1097,45 @@ class RecipeConfSpec extends SparkSpec {
     assert(v.take(2).toSeq == Seq(("data", 30L), ("the", 30L)))
   }
 
+  test("a full curation pipeline composes from one YAML recipe") {
+    import spark.implicits._
+    val good = ("the data " * 40).trim + " of it all"
+    // 8 docs: two exact duplicates of `good`, one contaminated with the
+    // heldout doc's text, one too short, one PII-bearing long doc
+    val pii = good + " mail bob@x.org now"
+    Seq((1L, good), (2L, good), (3L, good + " zq7 wv8 xk9 jm4"),
+        (4L, "too short"), (5L, pii),
+        (6L, ("value table " * 40).trim + " of the rest"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/pipe_in")
+    Seq((100L, "zq7 wv8 xk9 jm4")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/pipe_heldout")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  corpus: {path: $dir/pipe_in, format: parquet}
+         |  heldout: {path: $dir/pipe_heldout, format: parquet}
+         |recipes:
+         |  curate:
+         |    input: corpus
+         |    steps:
+         |      - scrub: {select: [text]}
+         |      - quality: {id: doc_id, text: text, min_words: 30}
+         |      - dedup: {id: doc_id, text: text, method: exact}
+         |      - decontaminate: {dataset: heldout, id: doc_id, text: text, n: 4}
+         |      - split: {id: doc_id, salt: v1, splits: {train: 0.8, val: 0.2}}
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf, "curate").collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // 4 dropped by quality (short), 2 by exact dedup (min-id keeps 1),
+    // 3 by decontamination (shares the heldout 4-gram)
+    assert(ids == Set(1L, 5L, 6L), s"got $ids")
+    // the PII doc survived but scrubbed
+    val t5 = out.find(_.getAs[Long]("doc_id") == 5L).get.getAs[String]("text")
+    assert(t5.endsWith("mail <EMAIL> now"))
+    // every survivor carries a split assignment
+    assert(out.forall(r => Set("train", "val")(r.getAs[String]("split"))))
+  }
+
   test("lm_score step trains on a named reference dataset with its own text column") {
     import spark.implicits._
     Seq((1L, "aa bb"), (2L, "zz")).toDF("doc_id", "text")
