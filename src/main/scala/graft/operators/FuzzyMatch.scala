@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
 object FuzzyMatch {
 
   /** SQL expression producing the distinct delete-≤d variant array of
-    * column `c`. Uses only codegen'd builtins. */
-  private def variants(cn: String, d: Int): org.apache.spark.sql.Column = {
+    * column `c`. Uses only codegen'd builtins. SHARED by every
+    * deletion-blocking site (FuzzyMatch, MatchJoin, MatchQuery): the
+    * blocking invariant — distance-d pairs share a delete-≤d variant —
+    * lives in exactly one expression. */
+  private[operators] def deleteVariants(cn: String, d: Int): org.apache.spark.sql.Column = {
     require(d >= 1 && d <= 2, s"maxDist must be 1 or 2, got $d")
     val self = array(col(cn))
     val d1 = expr(
@@ -83,8 +86,8 @@ object FuzzyMatch {
       maxDist: Int = 1,
       broadcastVocab: Boolean = true): DataFrame = {
 
-    val qv = queries.select(col("__q"), explode(variants("__q", maxDist)).as("__v"))
-    val wvRaw = vocab.select(col("__w"), explode(variants("__w", maxDist)).as("__v"))
+    val qv = queries.select(col("__q"), explode(deleteVariants("__q", maxDist)).as("__v"))
+    val wvRaw = vocab.select(col("__w"), explode(deleteVariants("__w", maxDist)).as("__v"))
     val wv = if (broadcastVocab) broadcast(wvRaw) else wvRaw
 
     qv.join(wv, "__v")

@@ -113,10 +113,15 @@ object Joins {
       tieBreak: Option[String] = None): DataFrame = {
     require(how == "left" || how == "inner", s"asofJoin: unsupported how=$how")
     val leftType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // the tie-break column keeps its OWN type (casting to long would
+    // null out string/timestamp tie-breaks and silently fall back to
+    // partition order); left rows carry a same-typed null
+    val tbType = tieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val l = left.select(
       Seq(col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
         struct(left.columns.map(col): _*).as("__l"),
-        lit(null).cast("long").as("__tb")) ++
+        lit(null).cast(tbType).as("__tb")) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     // SQL comparison semantics: a right row with NULL ts (or NULL key)
     // can never satisfy right.ts <= left.ts — without this filter it
@@ -127,7 +132,7 @@ object Joins {
       .select(
         Seq(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
           lit(null).cast(leftType).as("__l"),
-          tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
+          tieBreak.map(col(_)).getOrElse(lit(0L)).as("__tb")) ++
           rightCols.map(c => col(c).as(s"__r_$c")): _*)
     // right rows sort BEFORE left rows at equal ts → inclusive match.
     // The carry is ONE struct of (ts, right values): the struct itself is

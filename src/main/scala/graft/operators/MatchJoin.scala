@@ -79,8 +79,13 @@ object MatchJoin {
       .select("__tok", "__idf")
 
     // ---- left tokens (+ fuzzy variants at distance ≤1)
+    // distinct: left ids need not be unique rows (YAML `match` steps key
+    // by content-derived ids, so duplicate rows can share an id) —
+    // without it a duplicated row's tokens are emitted twice and its
+    // hit_score doubles (same guard MatchQuery carries)
     val qtokBase = left.select(col(leftId).as("__lid"),
       explode(array_distinct(col(leftTokens))).as("__qtok"))
+      .distinct()
     val cand0 =
       if (!fuzzy) {
         // shuffle-hash pinned on purpose: Catalyst's size estimate for
@@ -97,16 +102,13 @@ object MatchJoin {
           .join(postings.join(broadcast(idf), Seq("__tok")).hint("shuffle_hash"),
             Seq("__tok"))
       } else {
-        // delete-variant meet: qtok and tok within edit distance 1 share a
-        // delete-≤1 variant; verify with true levenshtein
+        // delete-variant meet: qtok and tok within edit distance 1 share
+        // a delete-≤1 variant (the ONE shared FuzzyMatch expression);
+        // verify with true levenshtein
         val qv = qtokBase.select(col("__lid"), col("__qtok"),
-          explode(array_distinct(concat(array(col("__qtok")),
-            expr("transform(sequence(1, length(__qtok)), i -> concat(substring(__qtok, 1, i-1), substring(__qtok, i+1)))"))))
-            .as("__v"))
+          explode(FuzzyMatch.deleteVariants("__qtok", 1)).as("__v"))
         val pv = postings.select(col("__rid"), col("__tok"),
-          explode(array_distinct(concat(array(col("__tok")),
-            expr("transform(sequence(1, length(__tok)), i -> concat(substring(__tok, 1, i-1), substring(__tok, i+1)))"))))
-            .as("__v"))
+          explode(FuzzyMatch.deleteVariants("__tok", 1)).as("__v"))
         // dedup on (lid, rid, tok): one doc token counts ONCE per left
         // row even when several query tokens (or several delete
         // variants) reach it — keeping __qtok here would double-count

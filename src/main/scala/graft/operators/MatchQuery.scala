@@ -78,9 +78,9 @@ object MatchQuery {
       mOk && (sCnt >= lit(msm))
   }
 
-  private def delVariants(c: String): Column =
-    array_distinct(concat(array(col(c)),
-      expr(s"transform(sequence(1, length(`$c`)), i -> concat(substring(`$c`, 1, i-1), substring(`$c`, i+1)))")))
+  // delete-variant blocking rides the ONE shared expression
+  // (FuzzyMatch.deleteVariants) so the recall invariant can't drift
+  // between the three matchers
 
   def run(left: DataFrame, right: DataFrame, spec: Spec,
       leftId: String, rightId: String): DataFrame = {
@@ -110,31 +110,53 @@ object MatchQuery {
     val nDocs = broadcast(right.agg(
       countDistinct(col(rightId)).cast("double").as("__n")))
 
+    // postings + document frequencies build ONCE per distinct right
+    // field shape and left field: the shipped templates aim several
+    // clauses at the same field (match + span_first over the name), and
+    // per-leaf rebuilds would execute the full corpus explode + df
+    // aggregate once per leaf. Reusing the SAME DataFrame object keeps
+    // identical attribute ids, so the exchanges canonicalize equal and
+    // the runtime executes the subtree once (the self-reference
+    // re-aliasing pitfall MatchJoin documents). The per-leaf boost is
+    // applied to the memoized pre-boost df table — a vocab-sized map.
+    val postingsCache =
+      scala.collection.mutable.Map.empty[(String, Boolean), (DataFrame, DataFrame)]
+    def postingsFor(rightTokens: String, firstPosition: Boolean): (DataFrame, DataFrame) =
+      postingsCache.getOrElseUpdate((rightTokens, firstPosition), {
+        val rTokens =
+          if (firstPosition) slice(array_distinct(col(rightTokens)), 1, 1)
+          else array_distinct(col(rightTokens))
+        val postingsRaw = right.select(col(rightId).as("__rid"),
+          explode(rTokens).as("__tok"))
+        val postings = if (maxDocFreq > 0) {
+          val hot = postingsRaw.groupBy("__tok").agg(count(lit(1)).as("__hdf"))
+            .filter(col("__hdf") > maxDocFreq).select("__tok")
+          postingsRaw.join(broadcast(hot), Seq("__tok"), "left_anti")
+        } else postingsRaw
+        val dfCounts = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+        (postings, dfCounts)
+      })
+    val qtokCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    // distinct: left ids need not be unique rows (the YAML template
+    // join keys by content hash, so duplicate rows share an id) —
+    // without it a duplicated row's tokens are emitted twice and its
+    // hit_score doubles
+    def qtokFor(leftTokens: String): DataFrame =
+      qtokCache.getOrElseUpdate(leftTokens,
+        left.select(col(leftId).as("__lid"),
+          explode(array_distinct(col(leftTokens))).as("__qtok"))
+          .distinct())
+
     // per-leaf candidate scores (lid, rid, leafIdx, score)
     val perLeaf = ls.map { case Leaf(idx, cl) =>
-      val rTokens =
-        if (cl.firstPosition) slice(array_distinct(col(cl.rightTokens)), 1, 1)
-        else array_distinct(col(cl.rightTokens))
-      val postingsRaw = right.select(col(rightId).as("__rid"),
-        explode(rTokens).as("__tok"))
-      val postings = if (maxDocFreq > 0) {
-        val hot = postingsRaw.groupBy("__tok").agg(count(lit(1)).as("__hdf"))
-          .filter(col("__hdf") > maxDocFreq).select("__tok")
-        postingsRaw.join(broadcast(hot), Seq("__tok"), "left_anti")
-      } else postingsRaw
-      val idf = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      val (postings, dfCounts) = postingsFor(cl.rightTokens, cl.firstPosition)
+      val idf = dfCounts
         .crossJoin(nDocs)
         .withColumn("__w",
           floor((log((col("__n") + 1) / (col("__df") + 1)) + 1) * 10000 * cl.boost)
             .cast("long"))
         .select("__tok", "__w")
-      // distinct: left ids need not be unique rows (the YAML template
-      // join keys by content hash, so duplicate rows share an id) —
-      // without it a duplicated row's tokens are emitted twice and its
-      // hit_score doubles
-      val qtok = left.select(col(leftId).as("__lid"),
-        explode(array_distinct(col(cl.leftTokens))).as("__qtok"))
-        .distinct()
+      val qtok = qtokFor(cl.leftTokens)
       val cand =
         if (cl.fuzziness <= 0)
           // shuffle-hash pinned for the same reason as MatchJoin: the
@@ -144,10 +166,13 @@ object MatchQuery {
             .join(postings.hint("shuffle_hash"), Seq("__tok"))
             .select("__lid", "__rid", "__tok")
         else {
+          // blocking depth matches the clause's fuzziness (ES caps at 2):
+          // delete-1 variants alone would silently miss most distance-2
+          // pairs while the levenshtein filter admits them
           val qv = qtok.select(col("__lid"), col("__qtok"),
-            explode(delVariants("__qtok")).as("__v"))
+            explode(FuzzyMatch.deleteVariants("__qtok", cl.fuzziness)).as("__v"))
           val pv = postings.select(col("__rid"), col("__tok"),
-            explode(delVariants("__tok")).as("__v"))
+            explode(FuzzyMatch.deleteVariants("__tok", cl.fuzziness)).as("__v"))
           qv.join(pv, Seq("__v"))
             .filter(levenshtein(col("__qtok"), col("__tok")) <= cl.fuzziness)
             .select("__lid", "__rid", "__tok").distinct()
@@ -234,6 +259,11 @@ object MatchQuery {
             case Some(n) => n.toInt
             case None => 0
           }
+          // ES itself caps fuzziness at 2, and the deletion blocking
+          // only guarantees recall up to d=2 — reject anything beyond
+          // at compile time rather than silently under-matching
+          require(fz >= 0 && fz <= 2,
+            s"es-template: fuzziness on $field must be 0..2 (ES max), got $fz")
           leaf(field, q, fz, firstPosition)
         case other => sys.error(s"es-template: bad match value $other")
       }

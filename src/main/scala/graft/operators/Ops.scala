@@ -16,14 +16,26 @@ object Ops {
 
   /** Column selection by regex-or-explicit-list, defaulting to all columns
     * (select_columns, code/recipes.py:1596-1608). Resolution happens at
-    * plan-build time against df.columns — zero runtime cost. */
+    * plan-build time against df.columns — zero runtime cost.
+    *
+    * Error contract mirrors the reference: a PLAIN identifier that names
+    * no column fails loudly (pandas raises KeyError on a missing list
+    * entry), while a REGEX entry may legitimately match nothing (the
+    * reference's regex branch silently yields the empty set) — the
+    * distinction is whether the entry carries any regex metacharacter. */
   def selectColumns(df: DataFrame, select: Seq[String]): Seq[String] =
     if (select.isEmpty) df.columns.toSeq
     else {
       val cols = df.columns
       select.flatMap { s =>
         if (cols.contains(s)) Seq(s)
-        else cols.filter(_.matches(s)).toSeq
+        else {
+          val matched = cols.filter(_.matches(s)).toSeq
+          val plainName = s.forall(ch => ch.isLetterOrDigit || ch == '_')
+          if (matched.isEmpty && plainName) sys.error(
+            s"select: column '$s' not found (known: ${cols.mkString(", ")})")
+          matched
+        }
       }.distinct
     }
 

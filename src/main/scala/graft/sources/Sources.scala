@@ -44,17 +44,44 @@ object Sources {
       if (skiprows <= 0) r.csv(path)
       else {
         import spark.implicits._
-        // resolve the glob driver-side (metadata only), skip per file
+        // resolve the glob driver-side (metadata only), skip per file.
+        // A DIRECTORY (or a glob matching directories) expands to its
+        // data files — treating it as one concatenated stream would drop
+        // the skip lines from the FIRST file only and ingest the other
+        // files' preambles as data. Hidden files (_SUCCESS, .crc) are
+        // excluded the way Spark's own file index excludes them.
         val hconf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(hconf)
+        def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
         val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-          .filter(_.isFile).map(_.getPath.toString) match {
+          .flatMap { st =>
+            if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && visible(s))
+            else Seq(st)
+          }
+          .map(_.getPath.toString).sorted match {
           case Nil => Seq(path) // plain file path, no glob match needed
           case fs0 => fs0
         }
+        // textFile decodes UTF-8 unconditionally; for other charsets read
+        // the raw line bytes (Hadoop Text) and decode with the requested
+        // encoding — same input splits, correct bytes. Validate the name
+        // driver-side; ship only the NAME (Charset isn't serializable).
+        val charset = java.nio.charset.Charset.forName(encoding)
+        val encName = charset.name
+        def readLines(f: String) =
+          if (charset == java.nio.charset.StandardCharsets.UTF_8)
+            spark.sparkContext.textFile(f)
+          else
+            spark.sparkContext
+              .hadoopFile[org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text,
+                org.apache.hadoop.mapred.TextInputFormat](f)
+              .map { case (_, t) => new String(t.copyBytes, encName) }
         val lines = files.map { f =>
-          spark.sparkContext.textFile(f).mapPartitionsWithIndex {
+          readLines(f).mapPartitionsWithIndex {
             case (0, it) => it.drop(skiprows)
             case (_, it) => it
           }
@@ -148,7 +175,12 @@ object Sinks {
   def fwf(df: DataFrame, path: String, widths: Seq[Int],
       names: Seq[String], mode: String = "overwrite"): Unit = {
     val line = concat(names.zip(widths).map { case (n, w) =>
-      rpad(coalesce(col(n).cast(StringType), lit("")), w, " ")
+      val v = coalesce(col(n).cast(StringType), lit(""))
+      // rpad silently TRUNCATES overlong values — corrupting an export
+      // with no signal; fail the job naming the column instead
+      when(length(v) > w, raise_error(concat(
+          lit(s"fwf: value for column '$n' exceeds width $w: '"), v, lit("'"))))
+        .otherwise(rpad(v, w, " "))
     }: _*)
     df.select(line.as("value")).write.mode(mode).text(path)
   }
@@ -211,9 +243,22 @@ object Sinks {
             val newOnly = doc.schema.fields.toSeq
               .filterNot(f => f.name == idCol || table.columns.contains(f.name))
               .map(f => col(s"new.`${f.name}`").as(f.name))
-            old.as("old").join(doc.as("new"),
+            val overlaid = old.as("old").join(doc.as("new"),
                 col(s"old.`$idCol`") === col(s"new.`$idCol`"))
               .select(keepOrOverlay ++ newOnly: _*)
+            // a MIXED batch (existing + new ids) must also INSERT its
+            // new-id rows — the overlay inner join keeps only existing
+            // ids, so without this union new docs vanish silently.
+            // Shared columns are cast to the stored types so the union
+            // resolves; stored-only columns surface as null, the same
+            // shape an all-new insert produces.
+            val inserts0 = doc.join(table.select(col(idCol)), Seq(idCol), "left_anti")
+            val inserts = table.schema.fields.foldLeft(inserts0) { (d, f) =>
+              if (f.name != idCol && d.columns.contains(f.name))
+                d.withColumn(f.name, col(f.name).cast(f.dataType))
+              else d
+            }
+            overlaid.unionByName(inserts, allowMissingColumns = true)
           }
         }
       writeLocked(merged, path, idCol)

@@ -206,6 +206,19 @@ class GraphDedupSpec extends SparkSpec {
       keepUnmatched = true).count() == 1)
   }
 
+  test("topK: duplicate left rows sharing an id do not inflate hit_score") {
+    val docs = Seq((1L, Seq("red", "apple"))).toDF("id", "toks")
+    val q1 = Seq((100L, Seq("red", "apple"))).toDF("id", "toks")
+    val qDup = Seq((100L, Seq("red", "apple")), (100L, Seq("red", "apple")))
+      .toDF("id", "toks")
+    val single = MatchJoin.topK(q1, docs, "toks", "toks", "id", "id", k = 1)
+      .collect().map(_.getAs[Long]("hit_score")).head
+    val dup = MatchJoin.topK(qDup, docs, "toks", "toks", "id", "id", k = 1)
+      .select("id", "hit_id", "hit_score").distinct()
+      .collect().map(_.getAs[Long]("hit_score"))
+    assert(dup.forall(_ == single), s"dup=$dup single=$single")
+  }
+
   test("topKBucketed returns one row per left with an ordered hits array") {
     val docs = Seq(
       (1L, Seq("red", "apple", "pie")),

@@ -118,6 +118,17 @@ class GroupByJoinSpec extends SparkSpec {
     assert(tb.collect().head.getAs[String]("asof_v") == "y")
   }
 
+  test("asofJoin tie-break works on non-numeric columns (no silent long cast)") {
+    val left = Seq((1L, 10L, 5L)).toDF("k", "t", "lid")
+    // string tie-break: a long cast would null both and leave the winner
+    // to partition order
+    val dup = Seq((1L, 10L, "x", "2024-01-01"), (1L, 10L, "y", "2024-06-01"))
+      .toDF("k", "t", "v", "updated")
+    val out = Joins.asofJoin(left, dup, "k", "t", Seq("v"),
+      tieBreak = Some("updated"))
+    assert(out.collect().head.getAs[String]("asof_v") == "y") // latest updated wins
+  }
+
   test("asofJoin carries a legitimately-NULL right value (no fall-through)") {
     // the right row at ts=15 has v = NULL; a left row at ts=20 must get
     // that NULL, NOT the older non-null "a" showing through — the carry

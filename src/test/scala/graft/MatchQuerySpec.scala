@@ -50,6 +50,27 @@ class MatchQuerySpec extends SparkSpec {
     assert(got == Set(1L, 3L)) // dupond ~ dupont
   }
 
+  test("fuzziness 2 recalls distance-2 pairs that share no delete-1 variant") {
+    // "abcd" vs "axyd" — two inner substitutions, distance 2, and NO
+    // shared delete-1 variant: delete-1 blocking can never surface this
+    // pair, so it proves the blocking depth follows the clause fuzziness
+    val r2 = Seq((1L, Seq("abcd"))).toDF("rid", "name_toks")
+    val left = Seq((100L, Seq("axyd"))).toDF("lid", "name_toks")
+    val d1 = Spec(Seq(Clause("name_toks", "name_toks", fuzziness = 1)))
+    assert(MatchQuery.run(left, r2, d1, "lid", "rid").count() == 0)
+    val d2 = Spec(Seq(Clause("name_toks", "name_toks", fuzziness = 2)))
+    assert(MatchQuery.run(left, r2, d2, "lid", "rid")
+      .collect().map(_.getAs[Long]("hit_rid")).toSeq == Seq(1L))
+  }
+
+  test("template fuzziness beyond the ES cap of 2 is rejected at compile time") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val t = yaml.load[Any](
+      """{"query": {"match": {"name": {"query": "n", "fuzziness": 3}}}}""")
+    val e = intercept[RuntimeException] { MatchQuery.compileTemplate(t) }
+    assert(e.getMessage.contains("fuzziness"), e.getMessage)
+  }
+
   test("minimum_should_match above the should count matches nothing (ES parity)") {
     import graft.operators.MatchQuery.{BoolNode, Leaf, TreeSpec}
     val left = Seq((100L, Seq("jean"), Seq("paris"))).toDF("lid", "name_toks", "city_toks")

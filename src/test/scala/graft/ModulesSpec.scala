@@ -42,6 +42,45 @@ class ModulesSpec extends SparkSpec {
     assert(rows(back.orderBy("A")) == Seq(Seq("ab", "x"), Seq("c", "yz")))
   }
 
+  test("csv skiprows on a DIRECTORY drops the preamble from every file, not just the first") {
+    val dir = s"$tmpDir/skipdir"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "# junk a\nid;v\n1;a\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"), "# junk b\nid;v\n2;b\n")
+    val back = Sources.csv(spark, dir, skiprows = 1)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(rows(back.orderBy("id")) == Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
+  test("csv skiprows + non-UTF8 encoding decodes the requested charset") {
+    val f = s"$tmpDir/latin1.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      "# junk\nid;v\n1;café\n".getBytes("ISO-8859-1"))
+    val back = Sources.csv(spark, f, encoding = "ISO-8859-1", skiprows = 1)
+    assert(rows(back) == Seq(Seq("1", "café")))
+  }
+
+  test("fwf sink fails loudly instead of silently truncating overlong values") {
+    val df = Seq(Tuple1("marseille")).toDF("city")
+    val e = intercept[Exception] {
+      Sinks.fwf(df, s"$tmpDir/fwf_overflow", widths = Seq(5), names = Seq("city"))
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("exceeds width 5"), chain(e))
+  }
+
+  test("upsertPartial: a mixed batch overlays existing ids AND inserts new ids") {
+    val p = s"$tmpDir/ups_mixed"
+    Sinks.parquet(Seq((1L, "a", "x")).toDF("id", "v", "extra"), p)
+    Sinks.upsertPartial(Seq((1L, "b"), (2L, "c")).toDF("id", "v"), p, "id")
+    val back = spark.read.parquet(p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // id 1: posted column overlaid, stored-only column kept;
+    // id 2: inserted with the stored-only column null
+    assert(back.toSeq == Seq((1L, "b", "x"), (2L, "c", null)))
+  }
+
   test("multi-file regex source concatenates matching files; gz csv reads natively") {
     val dir = tmpDir
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data_1.csv"), "id;v\n1;a\n")

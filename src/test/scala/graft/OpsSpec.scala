@@ -149,6 +149,15 @@ class OpsSpec extends SparkSpec {
     assert(Ops.selectColumns(df, Nil) == Seq("ab", "ac", "x"))
   }
 
+  test("selectColumns: misspelled plain name fails loudly, empty-match regex stays silent") {
+    val df = Seq((1, 2, 3)).toDF("ab", "ac", "x")
+    // pandas KeyError parity: a plain identifier must name a column
+    val e = intercept[RuntimeException] { Ops.selectColumns(df, Seq("abb")) }
+    assert(e.getMessage.contains("'abb' not found"), e.getMessage)
+    // reference regex parity: a pattern matching nothing is legal
+    assert(Ops.selectColumns(df, Seq("z.*")) == Nil)
+  }
+
   test("shuffle preserves each column's multiset") {
     val df = (1 to 20).map(i => (i, ('a' + i % 5).toChar.toString)).toDF("A", "B")
     val out = Ops.shuffleCols(df, Seq("A", "B"))
