@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for Damerau-Levenshtein distance — the
@@ -19,6 +20,15 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+  // analysis-time type check: without it, an int argument resolves fine
+  // and then dies at execution with a ClassCastException deep in a task
+  // (Spark's builtin levenshtein gives a clean plan-time error)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def prettyName: String = "damerau_levenshtein"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -42,6 +52,16 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def prettyName: String = "sorted_intersect_count"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -123,6 +143,11 @@ object NativeExpressions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "damerau_levenshtein",
-      exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)),
+      { exprs =>
+        // a 3-arg call would otherwise silently drop its extra argument
+        require(exprs.length == 2,
+          s"damerau_levenshtein expects 2 arguments, got ${exprs.length}")
+        DamerauLevenshteinExpr(exprs(0), exprs(1))
+      },
       "built-in")
 }

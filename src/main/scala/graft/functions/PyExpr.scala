@@ -378,8 +378,39 @@ object PyExpr {
   private def typeIs(x: Ast, t: String)(implicit ctx: Ctx): Option[Boolean] = t match {
     case "list"           => Some(ty(x).isInstanceOf[TArrT])
     case "str"            => Some(ty(x) == TStrT)
-    case "int" | "float"  => Some(ty(x) == TNumT)
+    case "int" | "float"  =>
+      // the lattice's single TNumT cannot distinguish int from float —
+      // answering from it would silently take the wrong ternary branch
+      // (type(1.5)==int is False in python). Answer from the Spark
+      // schema / literal flavor when known; otherwise None, which the
+      // ternary translator escalates to a loud compile failure instead
+      // of a guess.
+      numFlavor(x) match {
+        case Some(flavor)            => Some(flavor == t)
+        case None if ty(x) == TNumT  => None
+        case None if ty(x) == TUnk   => None
+        case None                    => Some(false) // definitely non-numeric
+      }
     case _                => None
+  }
+
+  /** int-vs-float flavor of a numeric expression, where decidable:
+    * literals carry it, schema columns declare it, and the int()/float()/
+    * len() builtins fix it. */
+  private def numFlavor(x: Ast)(implicit ctx: Ctx): Option[String] = x match {
+    case PNum(_, isInt) => Some(if (isInt) "int" else "float")
+    case PName(n) =>
+      import org.apache.spark.sql.types._
+      ctx.schema.fields.find(_.name == n).map(_.dataType).collect {
+        case ByteType | ShortType | IntegerType | LongType => "int"
+        case FloatType | DoubleType                        => "float"
+        case _: DecimalType                                => "float"
+      }
+    case PCall(PName("int"), _)              => Some("int")
+    case PCall(PName("len"), _)              => Some("int")
+    case PCall(PName("float"), _)            => Some("float")
+    case PCall(PName("round"), args) if args.size == 1 => Some("int")
+    case _ => None
   }
 
   // ----------------------------------------------------------- translate
@@ -435,11 +466,6 @@ object PyExpr {
         case None        => when(truthy(cond), tr(t)).otherwise(tr(f))
       }
 
-    // negative subscripts would silently mis-map through the +1 shift
-    // (x[-1] → index 0 → runtime error; x[-2] → Spark's last element) —
-    // fail at compile instead
-    case PIndex(_, PUn("neg", _)) | PSliceFrom(_, PUn("neg", _)) =>
-      ctx.fail("negative indices/slices are not supported — index from the front")
     // geopoint(x)[0]/[1] — the reference's (lat, lon) tuple fields
     // (tools.py:65-69; location.yml:131-133)
     case PIndex(PCall(PName("geopoint"), Seq(x)), PNum(i, true)) =>
@@ -450,16 +476,27 @@ object PyExpr {
     case PIndex(obj, idx) =>
       ty(obj) match {
         case TArrT(_) =>
-          // python is 0-based; out-of-range → NULL (the reference turns
+          // python is 0-based from the front; NEGATIVE indices count from
+          // the end, which is exactly Spark's own negative element_at
+          // convention — so only non-negative indices take the +1 shift.
+          // The sign branch matters even for compile-time-positive
+          // expressions: x[len(x)-1] evaluates negative on empty arrays,
+          // and a blind +1 would hit element_at's illegal index 0.
+          // Out-of-range (either direction) → NULL (the reference turns
           // the IndexError into an "Ooops…" cell — recipes always guard
           // with a len() ternary anyway)
-          try_element_at(tr(obj), (tr(idx) + lit(1)).cast("int"))
+          val i = tr(idx).cast("int")
+          try_element_at(tr(obj), when(i >= 0, i + lit(1)).otherwise(i))
         case other => ctx.fail(s"indexing requires an array column, got $other for $obj")
       }
     case PSliceFrom(obj, lo) =>
       val o = tr(obj)
       val start = tr(lo).cast("int")
-      slice(o, start + lit(1), greatest(size(o) - start, lit(0)))
+      // python x[lo:]: negative lo counts from the end, clamped to the
+      // whole array (x[-99:] of a 3-element array is the 3 elements)
+      when(start >= 0, slice(o, start + lit(1), greatest(size(o) - start, lit(0))))
+        .otherwise(when(size(o) === 0, o)
+          .otherwise(slice(o, greatest(start, -size(o)), size(o))))
 
     case PBin("+", l, r) =>
       (ty(l), ty(r)) match {

@@ -125,11 +125,26 @@ object Similarity {
     j + prefix * 0.1 * (1.0 - j)
   }
 
-  private val jwUdf = udf { (a: String, b: String) =>
+  /** jw rounded to 2dp — the scalar kernel shared by the Column UDF and
+    * the SQL registry. */
+  def jwRounded(a: String, b: String): Double =
     math.round(jaroWinkler(a, b) * 100.0) / 100.0
-  }
+
+  private val jwUdf = udf { (a: String, b: String) => jwRounded(a, b) }
   /** jw(a,b) rounded to 2dp (tools.py:157-171). */
   def jw(a: Column, b: Column): Column = jwUdf(a, b)
+
+  /** Scalar twin of [[levNorm]](metric="damerau") for the SQL registry:
+    * damerau-normalized similarity in [0,1] at 2dp; NULL in → NULL out,
+    * the same propagation the Column spelling has (an earlier SQL copy
+    * returned 0.0 for null and silently diverged). */
+  def levNormDamerau(a: String, b: String): Option[Double] =
+    if (a == null || b == null) None
+    else {
+      val d = damerau(a, b).toDouble
+      val norm = (100.0 - 100.0 * d / (1.0 + math.min(a.length, b.length))) / 100.0
+      Some(math.round(math.max(norm, 0.0) * 100.0) / 100.0)
+    }
 
   private val jwMaxUdf = udf { (as_ : Seq[String], bs: Seq[String]) =>
     if (as_ == null || bs == null || as_.isEmpty || bs.isEmpty) 0.0

@@ -37,11 +37,14 @@ object Tools {
     * Mirrors tools.normalize's unidecode step
     * (/root/reference/code/tools.py:142-155); same result as DuckDB
     * `strip_accents` for Latin scripts. */
-  private val stripAccentsUdf = udf { (s: String) =>
+  /** Scalar accent-strip kernel — the ONE definition; the Column UDF and
+    * the SQL registry both delegate here. */
+  def stripAccentsStr(s: String): String =
     if (s == null) null
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", "")
-  }
+
+  private val stripAccentsUdf = udf { (s: String) => stripAccentsStr(s) }
   def stripAccents(c: Column): Column = stripAccentsUdf(c)
 
   /** Full normalize: lower → de-accent → non-alphanumerics to spaces →
@@ -50,6 +53,17 @@ object Tools {
     trim(regexp_replace(
       regexp_replace(stripAccents(lower(c)), "[^0-9a-z]+", " "),
       "\\s+", " "))
+
+  /** Scalar twin of [[normalize]] for the SQL registry — MUST stay in
+    * lock-step with the Column spelling above step by step (a
+    * PropertiesSpec parity test compares the two on random accented
+    * input). */
+  def normalizeStr(s: String): String =
+    if (s == null) null
+    else stripAccentsStr(s.toLowerCase)
+      .replaceAll("[^0-9a-z]+", " ")
+      .replaceAll("\\s+", " ")
+      .trim
 
   /** Whitespace tokenizer (tools.py:121-127) with Python `str.split()`
     * semantics: empty/blank input → empty array, and NO empty tokens
@@ -65,10 +79,13 @@ object Tools {
 
   /** Character n-grams of one string (tools.py:109-113): substrings of
     * length n; strings shorter than n yield an empty array. */
-  private val charNgramsUdf = udf { (s: String, n: Int) =>
+  /** Scalar n-gram kernel — the one definition behind the Column UDF and
+    * the SQL registry. */
+  def charNgramsStr(s: String, n: Int): Seq[String] =
     if (s == null) null
     else (0 to s.length - n).map(i => s.substring(i, i + n))
-  }
+
+  private val charNgramsUdf = udf { (s: String, n: Int) => charNgramsStr(s, n) }
   def charNgrams(c: Column, n: Int): Column = charNgramsUdf(c, lit(n))
 
   /** n-grams for several sizes, flattened — the reference's default is
@@ -76,9 +93,14 @@ object Tools {
   def charNgramsMulti(c: Column, ns: Seq[Int]): Column =
     flatten(array(ns.map(n => charNgrams(c, n)): _*))
 
-  /** Word shingles of size k from a token array (for MinHash dedup). */
+  /** Word shingles of size k from a token array (for MinHash dedup).
+    * EMPTY input → empty output: the short-doc fallback (one shingle of
+    * the whole text) must not turn every empty doc into the same [""]
+    * phantom shingle — that would make all empty docs MinHash-identical.
+    * Same contract as Dedup.shingleHashUdf, the single-pass twin. */
   def wordShingles(tokens: Column, k: Int): Column =
-    when(size(tokens) < k, array(concat_ws(" ", tokens)))
+    when(size(tokens) === 0, array().cast("array<string>"))
+      .when(size(tokens) < k, array(concat_ws(" ", tokens)))
       .otherwise(
         transform(sequence(lit(0), size(tokens) - k),
           i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
@@ -126,6 +148,19 @@ object Tools {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     round(r * lit(2) * asin(sqrt(a)), 1)
+  }
+
+  /** Scalar twin of [[haversineKm]] for the SQL registry — identical
+    * operand order so the two spellings agree bit-for-bit (PropertiesSpec
+    * pins the parity). */
+  def haversineKmScalar(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val r = 6371.0088
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    math.round(r * 2 * math.asin(math.sqrt(a)) * 10.0) / 10.0
   }
 
   // ------------------------------------------------------------ casts

@@ -84,8 +84,20 @@ object ConnectedComponents {
     */
   def runStarContraction(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val Array(srcC, dstC) = edges.columns.take(2)
-    var e = edges.select(col(srcC).cast("long").as("u"), col(dstC).cast("long").as("v"))
-      .union(edges.select(col(dstC).cast("long").as("u"), col(srcC).cast("long").as("v")))
+    // the contraction only needs a TOTAL ORDER on ids, so string ids work
+    // as-is (min/least compare lexicographically, same tie semantics as
+    // run()). Numeric ids unify to long so mixed int/long src/dst still
+    // union; casting STRINGS to long — the old behavior — dies under
+    // ANSI or silently nulls every id without it.
+    val (srcT, dstT) = (edges.schema(srcC).dataType, edges.schema(dstC).dataType)
+    val idCast: org.apache.spark.sql.Column => org.apache.spark.sql.Column = (srcT, dstT) match {
+      case (_: org.apache.spark.sql.types.NumericType,
+            _: org.apache.spark.sql.types.NumericType) => _.cast("long")
+      case (a, b) if a == b => identity
+      case _ => _.cast("string")
+    }
+    var e = edges.select(idCast(col(srcC)).as("u"), idCast(col(dstC)).as("v"))
+      .union(edges.select(idCast(col(dstC)).as("u"), idCast(col(srcC)).as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -121,9 +133,9 @@ object ConnectedComponents {
       iter += 1
     }
     // stars: every node's label = min(neighbors ∪ self); isolated nodes
-    // of the ORIGINAL edge set keep themselves
-    val nodes = edges.select(col(srcC).cast("long").as("node"))
-      .union(edges.select(col(dstC).cast("long").as("node"))).distinct()
+    // of the ORIGINAL edge set keep themselves (same id typing as above)
+    val nodes = edges.select(idCast(col(srcC)).as("node"))
+      .union(edges.select(idCast(col(dstC)).as("node"))).distinct()
     val labels = minNbr(e).select(col("u").as("node"), col("m").as("comp"))
     nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))

@@ -18,6 +18,16 @@ object GraphMetrics {
     * 2T/(d(d-1)) inconsistent). */
   private def canonicalEdges(edges: DataFrame) = {
     val Array(srcC, dstC) = edges.columns.take(2)
+    // GraphX vertex ids ARE longs — fail loudly on string ids (an ANSI
+    // cast would die mid-job with a cryptic CAST_INVALID_INPUT; without
+    // ANSI every id would null out and the metrics would be garbage)
+    Seq(srcC, dstC).foreach { c =>
+      require(edges.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"graph metrics run on GraphX, which requires NUMERIC node ids; " +
+          s"column '$c' is ${edges.schema(c).dataType.simpleString} — " +
+          "map ids to longs first (clique without `compute` accepts any id type)")
+    }
     edges.select(col(srcC).cast("long").as("a"), col(dstC).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
@@ -47,9 +57,13 @@ object GraphMetrics {
         canonicalEdges(edges).flatMap(e => Seq(e, Edge(e.dstId, e.srcId, 1))), 0)
       val raw = bidi.pageRank(0.0001).vertices.cache()
       val total = raw.values.sum()
+      // materialize pr (vertex-count-sized) BEFORE dropping raw's cache:
+      // pr is lazy, and unpersisting first would re-run the whole Pregel
+      // iteration when the caller finally evaluates the joined result
       val pr = raw.toDF("node", "pagerank_raw")
         .withColumn("pagerank", round(col("pagerank_raw") / total, 4))
         .drop("pagerank_raw")
+        .localCheckpoint(eager = true)
       out = out.join(pr, Seq("node"), "left")
       raw.unpersist(blocking = false)
     }

@@ -189,7 +189,7 @@ object Ann {
     * ivfTopK. */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
-      k: Int, nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val assigned = spark.read.parquet(s"$path/assigned")
     val centDf = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
@@ -242,11 +242,15 @@ object Ann {
     // per-table signature: reuse hyperplaneSig with disjoint bit ranges
     // (table t uses bits [t*bits, (t+1)*bits) of one wide signature)
     val wide = base.withColumn("__sig", hyperplaneSigUdf(col("v"), lit(bits * tables)))
+    // bits=64 (legal: one table over the full signature) would make
+    // (1L << 64) - 1 overflow to 0 via Scala's mod-64 shift, collapsing
+    // every row into bucket 0 — i.e. a silent O(n²) self-join
+    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
     val banded = wide.select(col("id"), col("v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"),
           shiftrightunsigned(col("__sig"), t * bits)
-            .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))): _*)).as("b"))
+            .bitwiseAND(lit(bucketMask)).as("bucket"))): _*)).as("b"))
       .select(col("id"), col("v"), col("b.table"), col("b.bucket"))
     // the bucket join carries ONLY (table, bucket, id) — vectors never
     // enter that shuffle; candidates dedup on the narrow pair (one pair

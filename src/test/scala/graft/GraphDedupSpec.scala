@@ -36,6 +36,34 @@ class GraphDedupSpec extends SparkSpec {
     assert(b(501L) == 500L)
   }
 
+  test("star-contraction CC handles STRING ids (no silent long cast)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val out = ConnectedComponents.runStarContraction(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("graph metrics refuse string ids loudly (GraphX needs long vertex ids)") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      graft.graph.GraphMetrics.metrics(edges, Seq("degree"))
+    }
+    assert(e.getMessage.contains("NUMERIC node ids"), e.getMessage)
+  }
+
+  test("LSH near-dup at bits=64 buckets on the full signature, not a degenerate mask") {
+    // before the mask fix, (1L << 64) - 1 overflowed to 0: every row in
+    // bucket 0 and orthogonal vectors became candidate pairs
+    val vs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(-1f, 0f, 0f, 0f)), (4L, Seq(0f, -1f, 0f, 0f)))
+      .toDF("id", "v")
+    val pairs = Ann.cosineNearDupsLSH(vs, "id", "v",
+        threshold = 0.9, bits = 64, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs") // only the identical pair
+  }
+
   test("clique op attaches graph_clique_id and size (recipes.py:2040-2055)") {
     val df = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val out = ConnectedComponents.clique(df, "a", "b")

@@ -453,6 +453,46 @@ class ModulesSpec extends SparkSpec {
     (1L to 4L).foreach(n => assert(math.abs(evc(n) - 0.5) < 1e-3))
   }
 
+  test("registry functions are the SAME expressions as the library scalars") {
+    graft.functions.Registry.register(spark)
+    val df = Seq(("Crème Brûlée!", null: String)).toDF("a", "b")
+    // SQL spelling == Column spelling, including NULL propagation (the
+    // old hand-rolled levenshtein_norm returned 0.0 for null)
+    val r = df.selectExpr("a", "b", "graft_normalize(a) AS n",
+        "levenshtein_norm(a, b) AS ln")
+      .withColumn("n2", graft.functions.Tools.normalize(col("a")))
+      .collect()(0)
+    assert(r.getString(2) == r.getString(4))
+    assert(r.isNullAt(3), "levenshtein_norm(null) must be NULL")
+    // wrong arity fails at analysis (udf.register carries the arity)
+    val e = intercept[Exception] {
+      df.selectExpr("levenshtein_norm(a, b, a)").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("levenshtein_norm"), chain(e))
+    val e2 = intercept[Exception] {
+      graft.functions.NativeExpressions.register(spark)
+      df.selectExpr("damerau_levenshtein(a, b, a)").collect()
+    }
+    assert(chain(e2).contains("damerau_levenshtein expects 2"), chain(e2))
+    // native expression rejects non-string args at ANALYSIS, not mid-task
+    val e3 = intercept[Exception] {
+      Seq((1, 2)).toDF("x", "y").selectExpr("damerau_levenshtein(x, y)").collect()
+    }
+    assert(chain(e3).toLowerCase.contains("string"), chain(e3))
+  }
+
+  test("wordShingles: empty token array yields NO shingles (not a phantom [\"\"])") {
+    val df = Seq(Seq.empty[String], Seq("a"), Seq("a", "b", "c"))
+      .toDF("toks")
+    val out = df.select(graft.functions.Tools.wordShingles(col("toks"), 2).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq.empty[String])
+    assert(out(1) == Seq("a"))       // short doc: one whole-text shingle
+    assert(out(2) == Seq("a b", "b c"))
+  }
+
   test("registry: scalar functions usable from SQL") {
     Registry.register(spark)
     val r = spark.sql(

@@ -95,6 +95,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SQL-registered scalars match their Column twins (batched parity)") {
+    graft.functions.Registry.register(spark)
+    import graft.functions.{Similarity, Tools}
+    val strs = (1 to 100).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      (accented.pureApply(Gen.Parameters.default, seed),
+        accented.pureApply(Gen.Parameters.default, seed.next))
+    }
+    val df = strs.toDF("a", "b")
+    df.selectExpr("a", "b",
+        "graft_normalize(a) AS sn", "graft_jw(a, b) AS sj",
+        "levenshtein_norm(a, b) AS sl")
+      .withColumn("cn", Tools.normalize(col("a")))
+      .withColumn("cj", Similarity.jw(col("a"), col("b")))
+      .withColumn("cl", Similarity.levNorm(col("a"), col("b"), "damerau"))
+      .collect().foreach { r =>
+        assert(r.getString(2) == r.getString(5), s"normalize drift on ${r.getString(0)}")
+        assert(r.getDouble(3) == r.getDouble(6), s"jw drift on ${r.getString(0)}")
+        assert(r.getDouble(4) == r.getDouble(7), s"levnorm drift on ${r.getString(0)}")
+      }
+    val pts = Seq((48.85, 2.35, 40.71, -74.0), (0.0, 0.0, 0.0, 0.0))
+      .toDF("x1", "y1", "x2", "y2")
+    pts.selectExpr("x1", "y1", "x2", "y2", "graft_distance_km(x1, y1, x2, y2) AS s")
+      .withColumn("c", graft.functions.Tools.haversineKm(
+        col("x1"), col("y1"), col("x2"), col("y2")))
+      .collect().foreach(r => assert(r.getDouble(4) == r.getDouble(5)))
+  }
+
   // ------------------------------------------------ curation invariants
   private val tokenList =
     Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))

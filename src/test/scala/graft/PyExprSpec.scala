@@ -145,12 +145,39 @@ class PyExprSpec extends SparkSpec {
     assert(e2.getMessage.contains("unexpected character"))
     val e3 = intercept[RuntimeException](ev(df, "nope + 1"))
     assert(e3.getMessage.contains("unknown column"))
-    // negative subscripts would silently mis-map through the 0→1 shift
-    val arr = Seq(Seq("a", "b")).toDF("xs")
-    val e4 = intercept[RuntimeException](ev(arr, "xs[-1]"))
-    assert(e4.getMessage.contains("negative indices"))
-    val e5 = intercept[RuntimeException](ev(arr, "xs[-2:]"))
-    assert(e5.getMessage.contains("negative indices"))
+  }
+
+  test("negative indices and slices follow python from-the-end semantics") {
+    val arr = Seq(Seq("a", "b", "c")).toDF("xs")
+    assert(arr.select(ev(arr, "xs[-1]").as("v")).as[String].head() == "c")
+    assert(arr.select(ev(arr, "xs[-3]").as("v")).as[String].head() == "a")
+    // out of range either direction -> NULL, python's IndexError analogue
+    assert(arr.select(ev(arr, "xs[-4]").as("v")).as[String].head() == null)
+    assert(arr.select(ev(arr, "xs[5]").as("v")).as[String].head() == null)
+    assert(arr.select(ev(arr, "xs[-2:]").as("v")).as[Seq[String]].head()
+      == Seq("b", "c"))
+    assert(arr.select(ev(arr, "xs[-99:]").as("v")).as[Seq[String]].head()
+      == Seq("a", "b", "c"))
+    // the x[len(x)-1] idiom on an EMPTY array: the computed index is -1
+    // at runtime — must yield NULL, not an illegal-index-0 crash
+    val empty = Seq(Seq.empty[String]).toDF("xs")
+    assert(empty.select(ev(empty, "xs[len(xs)-1]").as("v")).as[String].head() == null)
+    assert(empty.select(ev(empty, "xs[-1:]").as("v")).as[Seq[String]].head()
+      == Seq.empty[String])
+  }
+
+  test("type(x)==int/float dispatches on the actual column flavor, not 'any number'") {
+    val dbl = Seq(1.5).toDF("x")
+    // type(1.5)==int is False in python: the ternary must take the else
+    // branch for a double column (the old lattice said True for any
+    // numeric and silently skipped the int() conversion)
+    assert(dbl.select(ev(dbl, "x if type(x)==int else int(x)").as("v"))
+      .as[Double].head() == 1.0)
+    val lng = Seq(7L).toDF("x")
+    assert(lng.select(ev(lng, "x if type(x)==int else int(x)").as("v"))
+      .as[Long].head() == 7L)
+    assert(dbl.select(ev(dbl, "1 if type(x)==float else 0").as("v"))
+      .as[Long].head() == 1L)
   }
 
   test("% is python's floored modulo, not truncated remainder") {
