@@ -133,8 +133,12 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
   // OAuth session store: issued bearer token → username. In-memory like
   // the reference's flask-login session (a restart logs everyone out).
   private val sessions = TrieMap.empty[String, String]
-  // outstanding state nonces for the authorization-code round trip
-  private val oauthStates = TrieMap.empty[String, String] // state → provider
+  // outstanding state nonces for the authorization-code round trip.
+  // Each carries its creation time: the authorize route is (by protocol)
+  // unauthenticated, so without an expiry an anonymous loop of
+  // GET /authorize/{p} grows the map until the server OOMs.
+  private val oauthStates = TrieMap.empty[String, (String, Long)] // state → (provider, createdMs)
+  private val oauthStateTtlMs = 10 * 60 * 1000L
   private def newToken(): String = {
     val b = new Array[Byte](24)
     new java.security.SecureRandom().nextBytes(b)
@@ -164,16 +168,30 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
       .matcher(body)
     if (m.find()) Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-    else None
+    else {
+      // numeric values: GitHub/Facebook userinfo carry `"id": 12345`
+      // unquoted — without this branch the id fallback can never match
+      val n = java.util.regex.Pattern
+        .compile("\"" + java.util.regex.Pattern.quote(field) +
+          "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)")
+        .matcher(body)
+      if (n.find()) Some(n.group(1)) else None
+    }
   }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
   private def callbackUrl(ex: HttpExchange, provider: String): String = {
-    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+    // behind a TLS-terminating proxy the registered callback is https —
+    // honor the standard forwarding headers so the redirect_uri sent to
+    // the provider (and echoed in the token exchange) matches it
+    val proto = Option(ex.getRequestHeaders.getFirst("X-Forwarded-Proto"))
+      .getOrElse("http")
+    val host = Option(ex.getRequestHeaders.getFirst("X-Forwarded-Host"))
+      .orElse(Option(ex.getRequestHeaders.getFirst("Host")))
       .getOrElse(s"localhost:$actualPort")
-    s"http://$host/api/callback/$provider"
+    s"$proto://$host/api/callback/$provider"
   }
 
   /** The authorization-code callback (api.py:250-267, oauth.py):
@@ -187,7 +205,8 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     val pr = oauth(provider)
     val stateOk = params.get("state")
-      .exists(s => oauthStates.remove(s).contains(provider))
+      .exists(s => oauthStates.remove(s).exists { case (p, t) =>
+        p == provider && System.currentTimeMillis() - t <= oauthStateTtlMs })
     if (params.get("code").isEmpty || !stateOk) {
       respond(ex, 401, """{"error": "oauth: missing code or bad state"}""")
       return
@@ -258,7 +277,11 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
       case ("GET", List("authorize", p)) if oauth.contains(p) =>
         val pr = oauth(p)
         val state = newToken()
-        oauthStates.put(state, p)
+        // prune expired nonces on every issue — keeps the map bounded by
+        // the (rate-limited-by-TTL) number of live login attempts
+        val nowMs = System.currentTimeMillis()
+        oauthStates.filterInPlace { case (_, (_, t)) => nowMs - t <= oauthStateTtlMs }
+        oauthStates.put(state, (p, nowMs))
         val loc = s"${pr.authorizeUrl}?client_id=${enc(pr.id)}" +
           s"&redirect_uri=${enc(callbackUrl(ex, p))}" +
           s"&response_type=code&scope=${enc(pr.scope)}&state=$state"
@@ -349,11 +372,15 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           val docs = spark.read.parquet(ds.path + "/docs")
           // corpus size rides the plan (no separate eager count job)
           val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
-          val idf = postings.groupBy("token").agg(count(lit(1)).as("df"))
+          // IDF over the QUERY tokens only — each token's df is counted
+          // from its own postings rows, so filtering first gives the
+          // identical weights without aggregating (and broadcasting) the
+          // entire vocabulary on every request
+          val qPostings = postings.filter(col("token").isin(toks: _*))
+          val idf = qPostings.groupBy("token").agg(count(lit(1)).as("df"))
             .crossJoin(n)
             .withColumn("w", log((col("n") + 1) / (col("df") + 1)) + 1)
-          val hits = postings
-            .filter(col("token").isin(toks: _*))
+          val hits = qPostings
             .join(broadcast(idf), Seq("token"))
             .groupBy("_id").agg(round(sum("w"), 4).as("_score"))
             .orderBy(col("_score").desc, col("_id"))
@@ -371,7 +398,19 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         val id = jobSeq.incrementAndGet()
         jobs(id) = "running"
         jobRecipes(id) = name
-        logs(name) = new StringBuilder // fresh log per run (latest wins)
+        // bounded job history: ids are monotonic, retain the newest 1000
+        // (a scheduler PUTting /run every minute would otherwise grow the
+        // maps without limit for the server's whole life)
+        val cutoff = id - 1000
+        if (cutoff > 0) jobs.keys.filter(_ <= cutoff).foreach { k =>
+          jobs.remove(k); jobRecipes.remove(k)
+        }
+        // reset the log IN PLACE: a live SSE tail holds a reference to
+        // this builder — swapping in a fresh one would leave the tail
+        // streaming a dead buffer (the tail detects the shrink and
+        // resyncs from offset 0)
+        val sb = logs.getOrElseUpdate(name, new StringBuilder)
+        sb.synchronized(sb.setLength(0))
         logLine(name, s"job $id: recipe $name started")
         Future {
           val t0 = System.nanoTime()
@@ -431,6 +470,9 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           var quiet = 0
           while (quiet < 5) {
             val snapshot = buf.map(b => b.synchronized(b.toString)).getOrElse("")
+            // a shrink means a new run reset the buffer in place — resync
+            // from the top so the new run's log streams from its start
+            if (snapshot.length < sent) sent = 0
             if (snapshot.length > sent) {
               sse(snapshot.substring(sent)); sent = snapshot.length; quiet = 0
             } else {

@@ -459,10 +459,7 @@ object RecipeConf {
         val id = req("id"); val text = req("text")
         m.getOrElse("method", "exact").toString match {
           case "exact" => graft.dedup.Dedup.exactDedup(df, id, text)
-          case "fingerprint" =>
-            val keep = graft.dedup.Dedup.fingerprintGroups(df, id, text)
-              .select(col("keep_id").as(id))
-            df.join(keep, Seq(id), "left_semi")
+          case "fingerprint" => graft.dedup.Dedup.fingerprintDedup(df, id, text)
           case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, text,
             threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
           // C4-style boilerplate line removal (docs rewritten in place)

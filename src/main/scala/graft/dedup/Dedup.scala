@@ -14,16 +14,23 @@ object Dedup {
 
   // --------------------------------------------------------------- exact
   /** Exact dedup by content hash: one row per distinct key, keeping the
-    * minimum id, plus the duplicate count. */
+    * minimum id, plus the duplicate count. NULL texts hash to one NULL
+    * group here (SQL GROUP BY semantics, matching the external oracle);
+    * [[exactDedup]] deliberately does NOT treat that group as duplicates. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
 
   /** Drop exact duplicates, keeping the row with the minimal id per
-    * content hash (deterministic, unlike dropDuplicates). */
+    * content hash (deterministic, unlike dropDuplicates). Rows with NULL
+    * text are all kept: a missing document is not a duplicate of every
+    * other missing document (grouping them would silently drop all but
+    * one of potentially millions of unrelated rows). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val nn = df.filter(col(textCol).isNotNull)
+    val keep = exactGroups(nn, idCol, textCol).select(col("keep_id").as(idCol))
+    nn.join(keep, Seq(idCol), "left_semi")
+      .unionByName(df.filter(col(textCol).isNull))
   }
 
   // --------------------------------------------------------- fingerprint
@@ -31,12 +38,24 @@ object Dedup {
     * distinct → sort → join → md5. Near-identical docs that differ only
     * in punctuation/case/word order collapse to one key. */
   def fingerprint(c: Column): Column =
-    md5(concat_ws(" ", sort_array(array_distinct(Tools.tokenize(Tools.normalize(c)))))
-      .cast("binary"))
+    // NULL in → NULL out (concat_ws would quietly turn a null token
+    // array into "", colliding every missing doc with every EMPTY doc)
+    when(c.isNull, lit(null).cast("string")).otherwise(
+      md5(concat_ws(" ", sort_array(array_distinct(Tools.tokenize(Tools.normalize(c)))))
+        .cast("binary")))
 
   def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
+
+  /** Drop fingerprint duplicates keeping the min id per key — the same
+    * NULL-text contract as [[exactDedup]] (null docs are each kept). */
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nn = df.filter(col(textCol).isNotNull)
+    val keep = fingerprintGroups(nn, idCol, textCol).select(col("keep_id").as(idCol))
+    nn.join(keep, Seq(idCol), "left_semi")
+      .unionByName(df.filter(col(textCol).isNull))
+  }
 
   // ------------------------------------------------------------- MinHash
   /** MinHash signature over an already-hashed (array<long>) element set:
@@ -151,7 +170,14 @@ object Dedup {
     val out = pairs
       .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(Similarity.jaccardSet(col("sh_a"), col("sh_b")), 4))
+      // shingle arrays are SORTED (the kernel builds a SortedSet) — the
+      // native unboxed merge scan replaces a per-pair boxed hash set
+      // (same expression the jaccard-pairs path uses)
+      .withColumn("__inter",
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", round(
+        col("__inter") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     out

@@ -135,6 +135,9 @@ object Multimodal {
   /** Frame sampling (video): emit one row per sampled frame offset —
     * pure plan-side explode; the decoder stub extracts per-frame bytes. */
   def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
+    // a non-positive step would fail per-row inside sequence() mid-job —
+    // reject it at plan build with the knob named
+    require(everyMs > 0, s"sampleFrames: everyMs must be > 0, got $everyMs")
     val frame = udf { (p: Array[Byte], offsetMs: Long) =>
       if (p == null || p.isEmpty) Array.empty[Byte]
       else {
@@ -142,9 +145,14 @@ object Multimodal {
         p.slice(start, math.min(start + 256, p.length))
       }
     }
+    // explode_outer: media without a duration (ingested rather than
+    // synthesized) stay in the output with a NULL frame — a plain
+    // explode would silently drop them from the result
     df.withColumn("frame_ms",
-        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
-      .withColumn("frame", frame(col("payload"), col("frame_ms")))
+        explode_outer(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
+      .withColumn("frame",
+        when(col("frame_ms").isNull, lit(null).cast("binary"))
+          .otherwise(frame(col("payload"), col("frame_ms"))))
       .drop("payload")
   }
 }

@@ -78,7 +78,19 @@ object EventStream {
       watermark: String = "2 hours"): DataFrame = {
     import spark.implicits._
     val streaming = events.isStreaming
-    val ds0 = events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    // null-tolerance BEFORE the typed boundary: Ev carries primitive
+    // Long/Double fields, so one row with a null value/event_id would
+    // kill the query — and in streaming mode every restart would re-read
+    // the same poison offset and die again. Rows without a user or a
+    // timestamp cannot be sessionized at all and are dropped; a null
+    // value contributes 0 (SQL SUM semantics) and a null event_id sorts
+    // first among equal timestamps.
+    val ds0 = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .selectExpr(
+        s"coalesce(event_id, ${Long.MinValue}L) AS event_id",
+        "ts", "user_id", "event_type", "coalesce(value, 0.0) AS value")
+      .as[Ev]
     val ds = if (streaming) ds0.withWatermark("ts", watermark) else ds0
     val timeout =
       if (streaming) GroupStateTimeout.EventTimeTimeout

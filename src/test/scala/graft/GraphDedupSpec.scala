@@ -36,6 +36,24 @@ class GraphDedupSpec extends SparkSpec {
     assert(b(501L) == 500L)
   }
 
+  test("dedup treats NULL-text rows as unique, never as duplicates of each other") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null), (5L, ""))
+      .toDF("id", "text")
+    // exact: the two "same" rows collapse to id 1; BOTH null rows and the
+    // empty-string row survive
+    val kept = Dedup.exactDedup(df, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+    // fingerprint: null -> NULL key (not md5("") colliding with empties)
+    val fps = df.select(col("id"), Dedup.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fps(3L).isEmpty && fps(4L).isEmpty)
+    assert(fps(5L).isDefined)
+    val fkept = Dedup.fingerprintDedup(df, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(fkept == Set(1L, 3L, 4L, 5L))
+  }
+
   test("star-contraction CC handles STRING ids (no silent long cast)") {
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
     val out = ConnectedComponents.runStarContraction(edges).collect()

@@ -158,6 +158,27 @@ class ModulesSpec extends SparkSpec {
     assert(hi > 80 && lo < 20)
   }
 
+  test("sessionize survives null value/event_id and drops unkeyable rows") {
+    import graft.streaming.EventStream
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val later = java.sql.Timestamp.valueOf("2026-01-01 10:01:00")
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), ts, java.lang.Long.valueOf(7L), "c", java.lang.Double.valueOf(2.5)),
+      (null.asInstanceOf[java.lang.Long], later, java.lang.Long.valueOf(7L), "c",
+        null.asInstanceOf[java.lang.Double]),                           // null id+value: kept, adds 0
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.sql.Timestamp],
+        java.lang.Long.valueOf(7L), "c", java.lang.Double.valueOf(9.0)), // null ts: dropped
+      (java.lang.Long.valueOf(4L), ts, null.asInstanceOf[java.lang.Long], "c",
+        java.lang.Double.valueOf(9.0)))                                  // null user: dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.sessionize(spark, rows, gapMs = 10 * 60 * 1000L).collect()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.getAs[Long]("user_id") == 7L)
+    assert(s.getAs[Long]("n_events") == 2L)       // the two keyable rows
+    assert(s.getAs[Double]("sum_value") == 2.5)   // null value counted as 0
+  }
+
   test("sessionize splits on the inactivity gap and sums exactly") {
     val ts = (ms: Long) => new java.sql.Timestamp(ms)
     val df = Seq(
@@ -386,6 +407,16 @@ class ModulesSpec extends SparkSpec {
       struct(lit("v").as("mime"), lit(1).as("width"), lit(1).as("height"),
         lit(100L).as("duration_ms"))), everyMs = 50L)
     assert(frames.count() == 9) // 3 rows × offsets {0,50,100}
+    // a NULL duration keeps the row (one NULL frame), never drops it
+    val noDur = Multimodal.sampleFrames(media.withColumn("meta",
+      struct(lit("v").as("mime"), lit(1).as("width"), lit(1).as("height"),
+        lit(null).cast("long").as("duration_ms"))), everyMs = 50L)
+    assert(noDur.count() == 3)
+    assert(noDur.collect().forall(_.isNullAt(noDur.columns.indexOf("frame_ms"))))
+    // a non-positive step fails at plan build, not per-row mid-job
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media, everyMs = 0L)
+    }
 
     // exact content dedup: synthetic payloads repeat at key mod 256, so
     // keys 1 and 257 are byte-identical and group together (min id keeps)
