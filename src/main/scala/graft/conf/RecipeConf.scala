@@ -53,8 +53,13 @@ object RecipeConf {
     * Values are quoted — a '$' or '\' in an env value is data, not a
     * regex group reference. */
   private def interp(s: String, env: Map[String, String]): String =
-    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s,
-      m => scala.util.matching.Regex.quoteReplacement(env.getOrElse(m.group(1), "")))
+    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(env.getOrElse(m.group(1),
+        // an unset (or typo'd) variable must not silently become "" —
+        // "s3a://${BUCKTE}/data" writing to s3a:///data is the failure
+        // mode this names instead
+        sys.error(s"config interpolation: environment variable " +
+          s"'${m.group(1)}' is not set (referenced as $${${m.group(1)}})"))))
 
   /** Recursive config merge — the reference's `deepupdate`
     * (tools.py:31-42, config.py:94-104): the update side wins on scalar
@@ -176,11 +181,18 @@ object RecipeConf {
       case "csv" => Sources.csv(spark, path,
         sep = ds.options.getOrElse("sep", ";"),
         header = ds.options.getOrElse("header", "true").toBoolean,
+        names = ds.options.get("names")
+          .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
+        encoding = ds.options.getOrElse("encoding", "UTF-8"),
         skiprows = ds.options.getOrElse("skiprows", "0").toInt)
       case "jsonl" | "json" => Sources.jsonl(spark, path)
       case "fwf" => Sources.fwf(spark, path,
-        widths = ds.options("widths").split(",").toSeq.map(_.trim.toInt),
-        names = ds.options("names").split(",").toSeq.map(_.trim))
+        widths = ds.options.getOrElse("widths",
+          sys.error("fwf dataset needs options.widths (comma-separated)"))
+          .split(",").toSeq.map(_.trim.toInt),
+        names = ds.options.getOrElse("names",
+          sys.error("fwf dataset needs options.names (comma-separated)"))
+          .split(",").toSeq.map(_.trim))
       case "index" => Sources.parquet(spark, path + "/docs") // document store
       // the reference's `sql` connector (recipes.py:484-509): path = the
       // table; options.query pushes a whole SELECT into the database
@@ -219,7 +231,13 @@ object RecipeConf {
         sys.error(s"index sink needs options.analyzed (token-array column)")),
       mode = if (mode == "create") "overwrite" else mode)
     // persisted IVF ANN index: centroids + cell-partitioned corpus
-    // (build-once / query-many similarity search)
+    // (build-once / query-many similarity search). The index build is
+    // whole-or-nothing — 'append' would silently destroy the previous
+    // index (writeIvfIndex overwrites both tables), so only full
+    // (re)builds are accepted.
+    case "ann_index" if mode != "create" && mode != "overwrite" =>
+      sys.error(s"ann_index sink only supports mode create/overwrite " +
+        s"(the index is rebuilt whole), got '$mode'")
     case "ann_index" => graft.sim.Ann.writeIvfIndex(df,
       cId = ds.options.getOrElse("id",
         sys.error("ann_index sink needs options.id (vector id column)")),
@@ -272,7 +290,8 @@ object RecipeConf {
 
   /** One YAML step → Step function. Step names mirror the reference's
     * internal_* operator set (recipes.py:1622-2486). */
-  def compileStep(spark: SparkSession, conf: ProjectConf, op: String, args: Any): Step = {
+  def compileStep(spark: SparkSession, conf: ProjectConf, op: String, args: Any,
+      visiting: Set[String] = Set.empty): Step = {
     // args may be a mapping ({select: [...], where: ...}) or a bare list
     // ([col1, col2]) — the reference accepts both shapes
     lazy val m: Map[String, Any] = args match {
@@ -378,7 +397,17 @@ object RecipeConf {
           }
         case _ =>
           val m0 = anyMap(args)
-          val errToCell = m0.get("onError").exists(_.toString == "string")
+          // a typo'd onError must not silently fall back to raise mode —
+          // the user believes failing rows get "Ooops:" cells
+          val errToCell = m0.get("onError") match {
+            case None => false
+            case Some(v) => String.valueOf(v) match {
+              case "string" => true
+              case "raise"  => false
+              case other => sys.error(
+                s"eval: unknown onError '$other' (valid: string | raise)")
+            }
+          }
           (m0 - "onError").foldLeft(df) { case (d, (dst, e)) =>
             val c = expr(e.toString)
             d.withColumn(dst,
@@ -524,9 +553,13 @@ object RecipeConf {
       // curation): split: {id: col, salt: v1, splits: {train: 0.9, ...}}
       case "split" => df => Ops.hashSplit(df, req("id"),
         m.getOrElse("salt", "").toString,
-        anyMap(m.getOrElse("splits",
-          sys.error("split step needs splits: {name: weight, ...}")))
-          .toSeq.map { case (k, v) => k -> v.toString.toDouble },
+        anyMap(m.get("splits") match {
+          // Some(null) = `splits:` written but left blank — same silent
+          // no-op hole as a missing knob (anyMap(null) is Map.empty)
+          case None | Some(null) =>
+            sys.error("split step needs splits: {name: weight, ...}")
+          case Some(v) => v
+        }).toSeq.map { case (k, v) => k -> v.toString.toDouble },
         splitCol = m.getOrElse("column", "split").toString)
       // cap each key's rows (bound a source's contribution to the mix)
       case "cap" => df => Ops.capPerKey(df, req("key"),
@@ -535,11 +568,14 @@ object RecipeConf {
       // deterministic per-key sampling rates (source mixing)
       case "sample" => df => Ops.sampleByKey(df, req("key"),
         req("id"),
-        // a missing/misspelled `rates` must not silently sample nothing
-        // (every key would fall to defaultRate) — same contract as split
-        anyMap(m.getOrElse("rates",
-          sys.error("sample: 'rates' ({key: rate, ...}) required"))).toSeq
-          .map { case (k, v) => k -> v.toString.toDouble },
+        // a missing/misspelled/BLANK `rates` must not silently sample
+        // nothing (every key would fall to defaultRate) — same contract
+        // as split; `rates:` with no value arrives as Some(null)
+        anyMap(m.get("rates") match {
+          case None | Some(null) =>
+            sys.error("sample: 'rates' ({key: rate, ...}) required")
+          case Some(v) => v
+        }).toSeq.map { case (k, v) => k -> v.toString.toDouble },
         defaultRate = m.getOrElse("default", "1.0").toString.toDouble,
         salt = m.getOrElse("salt", "").toString)
       // token-window chunking (RAG / pretraining shards):
@@ -596,9 +632,16 @@ object RecipeConf {
           "use eval with SQL expressions (SURVEY.md §2.3)")
       case other =>
         // a step naming another recipe = sub-recipe composition
-        // (recipes.py:1129-1139)
+        // (recipes.py:1129-1139). The visiting set breaks step-level
+        // cycles at COMPILE time (a -> b -> a would otherwise recurse to
+        // an anonymous StackOverflowError that NonFatal handlers miss;
+        // runGuarded's set only covers before/after dependencies).
         conf.recipes.get(other) match {
-          case Some(sub) => compileRecipe(spark, conf, sub)
+          case Some(sub) =>
+            require(!visiting.contains(other),
+              s"sub-recipe cycle: ${(visiting + other).mkString(" -> ")} — " +
+                "recipe steps must form a DAG")
+            compileRecipe(spark, conf, sub, visiting + other)
           case None => sys.error(s"unknown step: $other")
         }
     }
@@ -647,6 +690,15 @@ object RecipeConf {
     }
     val spec = spec0.copy(root = rewrite(spec0.root))
     val keepUnmatched = m.get("keep_unmatched").exists(_.toString.toBoolean)
+    // the bucket shape below classifies columns by the hit_ prefix — a
+    // left input column named hit_* would be swept out of the grouping
+    // keys and silently relocated/lost (the right side has the same
+    // guard inside MatchQuery)
+    val badLeft = l.columns.filter(c =>
+      c.startsWith("hit_") || c == "matchid_hit_matches_unfiltered")
+    require(badLeft.isEmpty,
+      s"match step: left column(s) ${badLeft.mkString(", ")} collide with " +
+        "the hit_* output contract — rename them before the match")
     val flat = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
       maxDocFreq = m.getOrElse("max_doc_freq", "0").toString.toLong)
     val out = flat.drop(flat.columns.filter(c =>
@@ -676,8 +728,10 @@ object RecipeConf {
     }
   }
 
-  def compileRecipe(spark: SparkSession, conf: ProjectConf, r: RecipeDef): Step = {
-    val steps = r.steps.map { case (op, args) => compileStep(spark, conf, op, args) }
+  def compileRecipe(spark: SparkSession, conf: ProjectConf, r: RecipeDef,
+      visiting: Set[String] = Set.empty): Step = {
+    val steps = r.steps.map { case (op, args) =>
+      compileStep(spark, conf, op, args, visiting) }
     df => steps.foldLeft(df)((d, s) => s(d))
   }
 
@@ -705,7 +759,9 @@ object RecipeConf {
     if (testLimit.isEmpty) r.before.foreach(runDep)
     val in = r.input.getOrElse(
       sys.error(s"recipe $name: input required to run top-level"))
-    val input0 = read(spark, conf.datasets(in.dataset))
+    val input0 = read(spark, conf.datasets.getOrElse(in.dataset,
+      sys.error(s"recipe $name: unknown input dataset '${in.dataset}' " +
+        s"(known: ${conf.datasets.keys.toSeq.sorted.mkString(", ")})")))
     val projected =
       if (in.select.nonEmpty) input0.select(in.select.map(col): _*) else input0
     val limited = testLimit.map(projected.limit).getOrElse(projected)
@@ -717,7 +773,10 @@ object RecipeConf {
     }
     val out = compileRecipe(spark, conf, r)(input)
     if (testLimit.isEmpty) {
-      r.output.foreach { o => write(out, conf.datasets(o), mode) }
+      r.output.foreach { o =>
+        write(out, conf.datasets.getOrElse(o,
+          sys.error(s"recipe $name: unknown output dataset '$o' " +
+            s"(known: ${conf.datasets.keys.toSeq.sorted.mkString(", ")})")), mode) }
       r.after.foreach(runDep)
     }
     out

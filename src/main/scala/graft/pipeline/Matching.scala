@@ -30,11 +30,19 @@ import graft.graph.ConnectedComponents
   */
 object Matching {
 
-  /** Dataprep: source columns → matchid_* convention. */
+  /** Dataprep: source columns → matchid_* convention. Numeric ids unify
+    * to long; string/uuid ids pass through unchanged — an unconditional
+    * long cast would null (or, under ANSI, crash on) every non-numeric
+    * id and silently corrupt all downstream matching (the same defect
+    * class ConnectedComponents.runStarContraction documents). */
   def dataprep(df: DataFrame, idCol: String, firstCol: String,
-      lastCol: String, dateStrCol: String, cityCol: String): DataFrame =
+      lastCol: String, dateStrCol: String, cityCol: String): DataFrame = {
+    val idTyped = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol).cast("long")
+      case _ => col(idCol)
+    }
     df.select(
-      col(idCol).cast("long").as("matchid_id"),
+      idTyped.as("matchid_id"),
       Tools.normalize(col(firstCol)).as("matchid_name_first"),
       Tools.normalize(col(lastCol)).as("matchid_name_last"),
       col(dateStrCol).as("matchid_date_birth_str"),
@@ -42,6 +50,7 @@ object Matching {
       .withColumn("matchid_name_match",
         concat_ws(" ", col("matchid_name_first"), col("matchid_name_last")))
       .withColumn("matchid_name_tokens", Tools.tokenize(col("matchid_name_match")))
+  }
 
   /** Per-field similarity scores + combined decision score
     * (matching.yml:66-106 shape; weights fixed, levNorm = the

@@ -946,6 +946,57 @@ class RecipeConfSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSeq == Seq("name", "age")) // junk pruned at read
   }
 
+  test("step-level sub-recipe cycles fail at compile with the chain named") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/cyc_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  cd: {path: $dir/cyc_in, format: parquet}
+         |recipes:
+         |  a:
+         |    input: cd
+         |    steps:
+         |      - b: {}
+         |  b:
+         |    steps:
+         |      - a: {}
+         |""".stripMargin)
+    val e = intercept[RuntimeException] { RecipeConf.run(spark, conf, "a") }
+    assert(e.getMessage.contains("sub-recipe cycle"), e.getMessage)
+  }
+
+  test("blank knobs and typo'd values fail loudly (rates:, onError, unknown datasets)") {
+    import spark.implicits._
+    Seq((1L, "en")).toDF("id", "lang").write.mode("overwrite").parquet(s"$dir/blank_in")
+    def conf(step: String) = RecipeConf.load(
+      s"""datasets:
+         |  bd: {path: $dir/blank_in, format: parquet}
+         |recipes:
+         |  r:
+         |    input: bd
+         |    steps:
+         |      - $step
+         |""".stripMargin)
+    // `rates:` written but left blank = Some(null), not a silent keep-all
+    val e1 = intercept[RuntimeException] {
+      RecipeConf.run(spark, conf("sample: {key: lang, id: id, rates: }"), "r")
+    }
+    assert(e1.getMessage.contains("rates"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      RecipeConf.run(spark, conf("eval: {out: \"1\", onError: strings}"), "r")
+    }
+    assert(e2.getMessage.contains("onError"), e2.getMessage)
+    // unknown top-level input dataset names the recipe and known names
+    val badIn = RecipeConf.load(
+      s"""datasets:
+         |  bd: {path: $dir/blank_in, format: parquet}
+         |recipes:
+         |  r2: {input: nope, steps: [{keep: {select: [id]}}]}
+         |""".stripMargin)
+    val e3 = intercept[RuntimeException] { RecipeConf.run(spark, badIn, "r2") }
+    assert(e3.getMessage.contains("unknown input dataset 'nope'"), e3.getMessage)
+  }
+
   test("before/after dependency cycles fail fast instead of overflowing") {
     Files.writeString(java.nio.file.Paths.get(s"$dir/cyc.csv"), "v\n1\n")
     val conf = RecipeConf.load(
@@ -1289,6 +1340,14 @@ class RecipeConfSpec extends SparkSpec {
       "datasets:\n  d: {path: ${GRAFT_TEST_PATH}/x, format: parquet}\nrecipes: {}",
       env = Map("GRAFT_TEST_PATH" -> "/data"))
     assert(conf.datasets("d").path == "/data/x")
+    // an UNSET variable must fail naming itself, not silently become ""
+    // (s3a://${BUCKTE}/data writing to s3a:///data is the failure mode)
+    val eMissing = intercept[RuntimeException] {
+      RecipeConf.load(
+        "datasets:\n  d: {path: ${GRAFT_UNSET_VAR}/x, format: parquet}\nrecipes: {}",
+        env = Map.empty)
+    }
+    assert(eMissing.getMessage.contains("GRAFT_UNSET_VAR"), eMissing.getMessage)
     val bad = RecipeConf.load(
       s"""datasets:
          |  p: {path: $dir/people.csv, format: csv}
