@@ -67,6 +67,11 @@ object Bench {
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
+        // queries with an internal persist() (minhash shingles, the LM
+        // table) would otherwise serve runs 2..N from run 1's cache and
+        // the min would skip the expensive build stage entirely — every
+        // run must pay the full pipeline
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

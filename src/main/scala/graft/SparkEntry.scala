@@ -69,7 +69,7 @@ object SparkEntry {
   }
 
   // -------------------------------------------------------------- queries
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // groupby.agg (GroupByOp.agg semantics, decimal-exact sums)
     "q01_agg" -> ((s, dir) => {
@@ -676,16 +676,35 @@ object SparkEntry {
   private val normSql =
     "trim(regexp_replace(regexp_replace(strip_accents(lower(%s)), '[^0-9a-z]+', ' ', 'g'), '\\s+', ' ', 'g'))"
 
-  /** The SQL mirror of Tools.tokenize's edge-whitespace strip, defined
-    * ONCE: oracle bodies write `<STRIP:expr>` and the placeholder is
-    * expanded here, so the tokenizer and its oracle mirrors can only
-    * change in lock-step (a stale spelling in one of the ~8 sites would
-    * otherwise be a silent semantic divergence on edge-whitespace docs). */
-  private val stripSqlFmt = "regexp_replace(%s, '^\\s+|\\s+$', '', 'g')"
+  /** The SQL mirrors of Tools.tokenize, defined ONCE: oracle bodies
+    * write `<STRIP:expr>` (edge-whitespace strip) and `<WS>` (the
+    * whitespace character class) and the placeholders are expanded here,
+    * so the tokenizer and its oracle mirrors can only change in
+    * lock-step (a stale spelling in one of the ~8 sites would otherwise
+    * be a silent semantic divergence on edge-whitespace docs).
+    *
+    * `<WS>` is an EXPLICIT class, not `\s`: Java regex \s includes
+    * vertical tab (U+000B) but RE2's \s does not, so the two engines
+    * would silently tokenize "ab" differently. The explicit class
+    * is exactly Java's (and Python str.split's) whitespace set, pinning
+    * DuckDB to the same six characters. */
+  private val wsSql = "[ \\t\\n\\x0B\\f\\r]"
+  private val stripSqlFmt = s"regexp_replace(%s, '^$wsSql+|$wsSql+$$', '', 'g')"
   private val stripRe = "<STRIP:([A-Za-z_()]+)>".r
+  /** SQL list literal from a Scala stopword list — interpolated so the
+    * Scala constants and their oracle mirrors cannot drift. */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
   private def expandStrip(sql: String): String =
-    stripRe.replaceAllIn(sql, m =>
-      scala.util.matching.Regex.quoteReplacement(stripSqlFmt.format(m.group(1))))
+    stripRe.replaceAllIn(sql
+        .replace("<WS>", wsSql)
+        .replace("<SUBWORD>", TextAnalysis.subwordPattern)
+        .replace("<STOPWORDS:en>", sqlList(TextAnalysis.stopwords("en")))
+        .replace("<STOPWORDS:fr>", sqlList(TextAnalysis.stopwords("fr")))
+        .replace("<STOPWORDS:es>", sqlList(TextAnalysis.stopwords("es")))
+        .replace("<STOPWORDS:de>", sqlList(TextAnalysis.stopwords("de")))
+        .replace("<GOPHER_STOPWORDS>", sqlList(graft.text.Curation.gopherStopwords)),
+      m => scala.util.matching.Regex.quoteReplacement(stripSqlFmt.format(m.group(1))))
 
   def oracleSql: Map[String, String] = oracleSqlRaw.view.mapValues(expandStrip).toMap
 
@@ -846,13 +865,13 @@ object SparkEntry {
     "q22_text_stats" ->
       """WITH base AS (
         | SELECT doc_id, text,
-        |  CASE WHEN <STRIP:text> = '' THEN 0 ELSE len(string_split_regex(<STRIP:text>, '\s+')) END AS ntok,
+        |  CASE WHEN <STRIP:text> = '' THEN 0 ELSE len(string_split_regex(<STRIP:text>, '<WS>+')) END AS ntok,
         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_raw,
         |  CASE WHEN <STRIP:lower(text)> = '' THEN 0.0 ELSE
-        |    CAST(len(list_filter(string_split_regex(<STRIP:lower(text)>, '\s+'),
-        |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
-        |    / CAST(len(string_split_regex(<STRIP:lower(text)>, '\s+')) AS DOUBLE) END AS sw_raw
+        |    CAST(len(list_filter(string_split_regex(<STRIP:lower(text)>, '<WS>+'),
+        |      t -> list_contains(<STOPWORDS:en>, t))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS DOUBLE) END AS sw_raw
         | FROM documents)
         |SELECT doc_id,
         | CAST(ntok AS INTEGER) AS n_tok,
@@ -860,7 +879,7 @@ object SparkEntry {
         | ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 4) AS upper_ratio,
         | ROUND(CASE WHEN <STRIP:text> = '' THEN 0.0 ELSE
-        |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(ntok AS DOUBLE) END, 4) AS mean_word_len,
+        |   CAST(length(regexp_replace(text, '<WS>', '', 'g')) AS DOUBLE) / CAST(ntok AS DOUBLE) END, 4) AS mean_word_len,
         | ROUND(sw_raw, 4) AS sw_ratio,
         | ROUND(GREATEST(0.0,
         |   0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
@@ -871,17 +890,18 @@ object SparkEntry {
     "q23_langid" ->
       """WITH s AS (
         | SELECT doc_id, lang, text,
-        |  list_distinct(string_split_regex(<STRIP:lower(text)>, '\s+')) AS toks
+        |  list_distinct(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS toks
         | FROM documents),
         |c AS (
         | SELECT doc_id, lang, text,
-        |  len(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS c_en,
-        |  len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que'])) AS c_fr,
-        |  len(list_intersect(toks, ['el','la','los','de','y','un','una','es','que','en'])) AS c_es,
-        |  len(list_intersect(toks, ['der','die','das','und','ein','eine','ist','zu','den','von'])) AS c_de
+        |  len(list_intersect(toks, <STOPWORDS:en>)) AS c_en,
+        |  len(list_intersect(toks, <STOPWORDS:fr>)) AS c_fr,
+        |  len(list_intersect(toks, <STOPWORDS:es>)) AS c_es,
+        |  len(list_intersect(toks, <STOPWORDS:de>)) AS c_de
         | FROM s)
         |SELECT doc_id,
-        | CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        | CASE WHEN text IS NULL THEN NULL
+        |      WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
         |      WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
         |      WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
         |      WHEN c_es >= c_de THEN 'es'
@@ -895,12 +915,12 @@ object SparkEntry {
           | SELECT doc_id, source, list_distinct(list_transform(
           |   generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS grams
           | FROM n WHERE length(s) >= 3)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          | ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          |   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
-          |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          |   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin),
+          |SELECT id_a, id_b, jaccard FROM (
+          | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          |    / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+          | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+          |WHERE jaccard >= 0.8""".stripMargin),
 
     "q25_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1020,7 +1040,7 @@ object SparkEntry {
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]
     "q54_chunks" ->
       """WITH base AS (SELECT doc_id,
-        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '\s+') END AS toks
+        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '<WS>+') END AS toks
         | FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS ntok FROM base WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, ntok,
@@ -1037,7 +1057,7 @@ object SparkEntry {
     "q55_repetition" ->
       """WITH base AS (SELECT doc_id, text,
         |  string_split(text, chr(10)) AS ls,
-        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '\s+') END AS toks
+        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '<WS>+') END AS toks
         | FROM documents)
         |SELECT doc_id,
         | ROUND(CASE WHEN length(text) = 0 THEN 0.0
@@ -1056,13 +1076,13 @@ object SparkEntry {
     // ROUNDED values (exactly as the Spark side builds `keep`)
     "q56_gopher" ->
       """WITH base AS (SELECT doc_id, text,
-        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '\s+') END AS toks,
+        |  CASE WHEN <STRIP:text> = '' THEN [] ELSE string_split_regex(<STRIP:text>, '<WS>+') END AS toks,
         |  string_split(text, chr(10)) AS ls
         | FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(toks) AS INT) AS n_words,
         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+        |    ELSE CAST(length(regexp_replace(text, '<WS>', '', 'g')) AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE ((length(text) - length(replace(text, '#', '')))
         |        + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks) END, 4) AS symbol_ratio,
@@ -1073,8 +1093,8 @@ object SparkEntry {
         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 4) AS alpha_frac,
         |  CAST(len(list_intersect(list_distinct(list_filter(
-        |    string_split_regex(<STRIP:lower(text)>, '\s+'), t -> t <> '')),
-        |    ['the','be','to','of','and','that','have','with'])) AS INT) AS stop_hits
+        |    string_split_regex(<STRIP:lower(text)>, '<WS>+'), t -> t <> '')),
+        |    <GOPHER_STOPWORDS>)) AS INT) AS stop_hits
         | FROM base)
         |SELECT *,
         | (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
@@ -1106,7 +1126,7 @@ object SparkEntry {
     // the LM)
     "q59_lm_logprob" ->
       """WITH tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(<STRIP:lower(text)>, '\s+')) AS token
+        |  unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS token
         | FROM documents WHERE <STRIP:lower(text)> <> ''),
         |lm AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
         |tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM lm),
@@ -1123,7 +1143,7 @@ object SparkEntry {
     // count desc + token asc is a total order, so LIMIT is deterministic
     "q58_vocab" ->
       """SELECT t AS token, COUNT(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(<STRIP:lower(text)>, '\s+')) AS t
+        |FROM (SELECT unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS t
         |      FROM documents WHERE <STRIP:text> <> '')
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
 
@@ -1295,9 +1315,9 @@ object SparkEntry {
 
     "q37_subwords" ->
       """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
+        | CAST(len(regexp_extract_all(text, '<SUBWORD>')) AS INTEGER) AS n_subwords,
         | CAST(CASE WHEN <STRIP:text> = '' THEN 0
-        |      ELSE len(string_split_regex(<STRIP:text>, '\s+')) END AS INTEGER) AS n_tokens
+        |      ELSE len(string_split_regex(<STRIP:text>, '<WS>+')) END AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
 
     "q43_bool_match" ->

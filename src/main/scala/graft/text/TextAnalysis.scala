@@ -20,8 +20,10 @@ object TextAnalysis {
   /** A BPE-ish subword count heuristic: alphanumeric runs + individual
     * non-space punctuation marks (approximates tokenizer token counts
     * without a vocab). RE2-compatible pattern — no lookarounds — so the
-    * identical regex runs in the DuckDB oracle. */
-  val subwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+    * identical regex runs in the DuckDB oracle; whitespace is the
+    * EXPLICIT six-char class (not \s) because Java's \s includes
+    * vertical tab while RE2's does not. */
+  val subwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
   def subwordCount(c: Column): Column =
     size(regexp_extract_all(c, lit(subwordPattern), lit(0)))
 
