@@ -308,34 +308,53 @@ object Dedup {
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // gram sets as SORTED long hashes: set cardinalities are unchanged
     // (64-bit collisions are negligible), intersection becomes a
-    // primitive merge scan instead of a string hash set per pair
-    // NOT persisted: both join sides read the same exchange subtree and
-    // AQE reuses the materialized shuffle stage, so the shingle pass
-    // runs once anyway (measured: an explicit persist was net slower —
-    // caching the wide gram arrays costs more than it saves)
+    // primitive merge scan instead of a string hash set per pair.
+    // Persisted: the frame feeds the prefix index AND two verify-side
+    // joins — without the cache each branch re-runs the gram kernel.
     val g = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       sort_array(array_distinct(transform(
         Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
         .as("grams"))
-    // shuffle equi-join on the block key: both sides hash-partition on
-    // `block`, so each task sees one slice of blocks and pairs within
-    // them — parallelism comes from the shuffle, no broadcast of the
-    // corpus (which would cap the operator at the broadcast limit at
-    // scale). Blocks are small by contract; AQE splits skewed ones.
-    val a = g.alias("a")
-    val b = g.hint("shuffle_hash").alias("b")
-    // length-ratio prefilter: J(A,B) ≤ min|A|,|B| / max|A|,|B| — pairs
-    // failing it cannot reach the threshold, so skip their intersect
-    val sizeGuard =
-      least(size(col("a.grams")), size(col("b.grams"))).cast("double") /
-        greatest(size(col("a.grams")), size(col("b.grams"))) >= threshold
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") && sizeGuard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PREFIX FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    // Search", WWW'07): J(A,B) >= t implies |A∩B| >= ceil(t·|A|), and by
+    // pigeonhole any B meeting that overlap must share at least one of
+    // A's first |A| - ceil(t·|A|) + 1 grams IN SORTED ORDER. So instead
+    // of enumerating every same-block pair (O(block²), the former plan),
+    // candidates meet through ONE equi-join on (block, prefix gram) —
+    // candidate volume tracks actual similarity, not block size. The
+    // sorted-hash order doubles as the canonical prefix order.
+    val prefLen = (size(col("grams")) - ceil(lit(threshold) * size(col("grams"))) + 1)
+      .cast("int")
+    val pref = g.select(col("id"), col("block"),
+      explode(slice(col("grams"), lit(1), prefLen)).as("pg"))
+    val pa = pref.alias("pa")
+    val pb = pref.hint("shuffle_hash").alias("pb")
+    val cand = pa.join(pb,
+        col("pa.block") === col("pb.block") && col("pa.pg") === col("pb.pg") &&
+          col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
+    // verify: re-attach the gram sets for the surviving candidates only;
+    // the length-ratio bound (J ≤ min/max sizes) skips impossible pairs
+    // before the merge intersect. shuffle_hash pinned: the gram corpus
+    // is corpus-sized and UDF-derived (the static planner under-
+    // estimates it and would happily broadcast the whole thing — the
+    // PlanQualitySpec guard exists precisely for that)
+    val out = cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("ga"))
+        .hint("shuffle_hash"), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("gb"))
+        .hint("shuffle_hash"), "id_b")
+      .filter(least(size(col("ga")), size(col("gb"))).cast("double") /
+        greatest(size(col("ga")), size(col("gb"))) >= threshold)
       .withColumn("inter",
         graft.functions.NativeExpressions.sortedIntersectCount(
-          col("a.grams"), col("b.grams")).cast("double"))
+          col("ga"), col("gb")).cast("double"))
       .withColumn("jaccard", round(
-        col("inter") / (size(col("a.grams")) + size(col("b.grams")) - col("inter")), 4))
+        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select("id_a", "id_b", "jaccard")
+    out
   }
 }

@@ -55,15 +55,17 @@ class PlanQualitySpec extends SparkSpec {
       s"queries must broadcast and the corpus stream:\n$p")
   }
 
-  test("q24 jaccard: native sorted-intersect, shuffle join on block, NO corpus broadcast") {
+  test("q24 jaccard: prefix-filtered candidates, native intersect, NO corpus broadcast") {
     val p = plan("q24_jaccard_pairs")
     assert(p.contains("sorted_intersect_count"), p)
-    // the corpus must never ride a BroadcastExchange — at scale it
-    // exceeds any broadcast limit; parallelism comes from the block
-    // shuffle instead (both sides hash-partition on the block key)
+    // the gram corpus must never ride a BroadcastExchange — at scale it
+    // exceeds any broadcast limit; candidates meet through the
+    // (block, prefix-gram) shuffle join and the verify joins are
+    // shuffle-hash-pinned (the static planner under-estimates the
+    // UDF-derived gram table and would broadcast it)
     assert(!p.contains("BroadcastExchange"),
       s"corpus side must not be broadcast:\n$p")
-    assert(p.contains("ShuffledHashJoin"), s"expected block-keyed shuffle join:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle-hash joins:\n$p")
   }
 
   test("MatchQuery builds its plan lazily — no job before the action") {
