@@ -60,7 +60,13 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
     apiKey: Option[String] = None,
     uploadDir: Option[String] = None,
     oauth: Map[String, OAuthProvider] = Map.empty,
-    frontendUrl: Option[String] = None) {
+    frontendUrl: Option[String] = None,
+    // honor X-Forwarded-Proto/-Host when building the OAuth redirect_uri.
+    // Off by default: the headers are client-supplied, so honoring them
+    // without a proxy in front lets any caller steer the redirect_uri to
+    // an arbitrary host/scheme. Set true only behind a TLS-terminating
+    // proxy that overwrites them.
+    trustProxyHeaders: Boolean = false) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val jobSeq = new AtomicLong(0)
@@ -185,10 +191,12 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
   private def callbackUrl(ex: HttpExchange, provider: String): String = {
     // behind a TLS-terminating proxy the registered callback is https —
     // honor the standard forwarding headers so the redirect_uri sent to
-    // the provider (and echoed in the token exchange) matches it
-    val proto = Option(ex.getRequestHeaders.getFirst("X-Forwarded-Proto"))
-      .getOrElse("http")
-    val host = Option(ex.getRequestHeaders.getFirst("X-Forwarded-Host"))
+    // the provider (and echoed in the token exchange) matches it. Gated
+    // on trustProxyHeaders: forwarded headers are client-controlled.
+    val fwd = (h: String) =>
+      if (trustProxyHeaders) Option(ex.getRequestHeaders.getFirst(h)) else None
+    val proto = fwd("X-Forwarded-Proto").getOrElse("http")
+    val host = fwd("X-Forwarded-Host")
       .orElse(Option(ex.getRequestHeaders.getFirst("Host")))
       .getOrElse(s"localhost:$actualPort")
     s"$proto://$host/api/callback/$provider"
@@ -400,11 +408,13 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         jobRecipes(id) = name
         // bounded job history: ids are monotonic, retain the newest 1000
         // (a scheduler PUTting /run every minute would otherwise grow the
-        // maps without limit for the server's whole life)
+        // maps without limit for the server's whole life). Jobs still
+        // RUNNING are exempt — pruning one mid-run would break its
+        // status endpoint and orphan the Future's final status write.
         val cutoff = id - 1000
-        if (cutoff > 0) jobs.keys.filter(_ <= cutoff).foreach { k =>
-          jobs.remove(k); jobRecipes.remove(k)
-        }
+        if (cutoff > 0) jobs.keys
+          .filter(k => k <= cutoff && !jobs.get(k).contains("running"))
+          .foreach { k => jobs.remove(k); jobRecipes.remove(k) }
         // reset the log IN PLACE: a live SSE tail holds a reference to
         // this builder — swapping in a fresh one would leave the tail
         // streaming a dead buffer (the tail detects the shrink and

@@ -145,16 +145,15 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // shingle sets as sorted hashed longs: set semantics survive, every
     // downstream compare/intersect runs on primitives instead of strings.
-    // NOTE: the persist below lives until the session drops it — the
-    // cache is reused across the band join, the verify join, and
-    // minhashDedup's component actions; repeated standalone calls should
-    // clear it (spark.catalog.clearCache) between corpora.
-    val base = df.select(
+    // AutoUnpersist-scoped: the cache serves the band join and the verify
+    // join within the caller's action, then is released (minhashDedup's
+    // component iterations read ConnectedComponents' own persisted edge
+    // set, not this frame, so early release costs them nothing).
+    val base = graft.engine.AutoUnpersist.cache(df.select(
       col(idCol).as("id"),
       shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))), lit(shingleSize))
         .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("shingles")) > 0))
     // band join carries ONLY (band, bucket, id): the wide shingle arrays
     // never enter the shuffle; candidates dedup on the narrow pair
     val banded = base
@@ -309,13 +308,14 @@ object Dedup {
     // gram sets as SORTED long hashes: set cardinalities are unchanged
     // (64-bit collisions are negligible), intersection becomes a
     // primitive merge scan instead of a string hash set per pair.
-    // Persisted: the frame feeds the prefix index AND two verify-side
-    // joins — without the cache each branch re-runs the gram kernel.
-    val g = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      sort_array(array_distinct(transform(
-        Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
-        .as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AutoUnpersist-scoped cache: the frame feeds the prefix index AND
+    // two verify-side joins — without it each branch re-runs the gram
+    // kernel; released after the caller's action completes.
+    val g = graft.engine.AutoUnpersist.cache(
+      df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        sort_array(array_distinct(transform(
+          Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
+          .as("grams")))
     // PREFIX FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
     // Search", WWW'07): J(A,B) >= t implies |A∩B| >= ceil(t·|A|), and by
     // pigeonhole any B meeting that overlap must share at least one of

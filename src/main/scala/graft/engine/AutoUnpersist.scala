@@ -1,0 +1,84 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped caching for operators whose RETURNED frame consumes one
+  * intermediate several times (band join + verify join, totals +
+  * per-token table, …). A plain `persist` there leaks: the operator
+  * never sees the caller's action, so nothing ever unpersists, and in a
+  * long-lived session (the API server, repeated recipe runs) the
+  * MEMORY_AND_DISK entries accumulate until memory pressure — cached
+  * tables are NOT evicted LRU-style at action end, they live until
+  * `unpersist`/session stop.
+  *
+  * [[cache]] persists the frame and registers its cache entry with a
+  * session-wide [[QueryExecutionListener]]; the first completed action
+  * whose plan referenced that entry (i.e. the caller finally ran the
+  * operator's result) unpersists it. Within that one action the cache
+  * still does its job — every reuse inside a single execution reads the
+  * cached blocks. A caller running SEVERAL actions over the same result
+  * pays a recompute from the second action on — correct, just not
+  * re-cached; callers with that shape should persist at their own level.
+  */
+object AutoUnpersist {
+
+  // cache entry (CachedRDDBuilder) → the frame to unpersist. The builder
+  // instance is shared by every InMemoryRelation the CacheManager hands
+  // out for the entry, so it identifies "this cache" across plan copies.
+  private val pending = new ConcurrentHashMap[AnyRef, DataFrame]()
+  private val installed = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Persist `df` and unpersist it automatically after the first
+    * completed action that read the cache. Returns the persisted frame. */
+  def cache(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val cached = df.persist(level)
+    builderOf(cached) match {
+      case Some(b) =>
+        install(cached.sparkSession)
+        pending.put(b, cached)
+      case None => // cache entry not visible — degrade to a plain persist
+    }
+    cached
+  }
+
+  /** Frames registered and not yet released (test/diagnostic hook). */
+  def pendingCount: Int = pending.size
+
+  /** Unpersist every pending frame now — session teardown, or a caller
+    * that built plans (explain, dry-run) it will never execute. */
+  def releaseAll(): Unit = {
+    val it = pending.keySet.iterator
+    while (it.hasNext) {
+      val df = pending.remove(it.next())
+      if (df != null) df.unpersist(blocking = false)
+    }
+  }
+
+  private def builderOf(df: DataFrame): Option[AnyRef] =
+    df.queryExecution.withCachedData.collectFirst {
+      case ir: InMemoryRelation => ir.cacheBuilder
+    }
+
+  private def install(spark: SparkSession): Unit =
+    if (installed.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = release(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = release(qe)
+        private def release(qe: QueryExecution): Unit =
+          qe.withCachedData.collect { case ir: InMemoryRelation =>
+            ir.cacheBuilder
+          }.foreach { b =>
+            val df = pending.remove(b)
+            if (df != null) df.unpersist(blocking = false)
+          }
+      })
+}

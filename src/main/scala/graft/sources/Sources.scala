@@ -71,6 +71,17 @@ object Sources {
         // encoding — same input splits, correct bytes. Validate the name
         // driver-side; ship only the NAME (Charset isn't serializable).
         val charset = java.nio.charset.Charset.forName(encoding)
+        // TextInputFormat splits records on the single byte \n, so this
+        // path only works for charsets that encode '\n' as exactly 0x0A
+        // (ASCII-compatible: latin-1, windows-125x, Shift_JIS, UTF-8…).
+        // UTF-16/32 lines would be split mid-character into garbage —
+        // reject them loudly instead.
+        val nl = charset.encode("\n")
+        require(nl.remaining == 1 && nl.get(0) == 0x0a,
+          s"skiprows with encoding=$encoding is unsupported: records are " +
+            "split on the single byte \\n, which this charset does not " +
+            "encode as one byte (use a single-byte/ASCII-compatible " +
+            "encoding, or strip the preamble upstream)")
         val encName = charset.name
         def readLines(f: String) =
           if (charset == java.nio.charset.StandardCharsets.UTF_8)

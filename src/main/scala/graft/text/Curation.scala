@@ -225,15 +225,19 @@ object Curation {
       lm: DataFrame, lowercase: Boolean = true): DataFrame = {
     require(lm.columns.toSeq.contains("token") && lm.columns.toSeq.contains("cnt"),
       s"lm needs (token, cnt) columns, got ${lm.columns.mkString(", ")}")
-    // the LM feeds two consumers (totals + the per-token table); persist
+    // the LM feeds two consumers (totals + the per-token table); cache
     // the VOCAB-SIZED aggregate so a derived LM pipeline (a full corpus
     // scan when built by unigramLm) doesn't execute twice — the same
-    // double-execution hazard the match join documents. Spark evicts
-    // the cache LRU after the action.
-    val lmP = lm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // double-execution hazard the match join documents. AutoUnpersist
+    // releases the cache after the caller's first action (cached tables
+    // otherwise live until unpersist/session end, NOT LRU-evicted).
+    val lmP = graft.engine.AutoUnpersist.cache(lm)
     // corpus totals ride the plan as a broadcast one-row aggregate (no
     // eager action at plan-build); an EMPTY reference LM would silently
-    // null every score, so the totals row fails the job loudly instead
+    // null every score, so the totals row fails the job loudly instead.
+    // __chk MUST be consumed downstream — Catalyst's ColumnPruning drops
+    // unreferenced project aliases regardless of side effects, which
+    // would optimize an un-consumed assert_true clean out of the plan.
     val totals = broadcast(lmP.agg(
         sum(col("cnt")).as("__total"), count(lit(1)).as("__v"))
       .select(col("__total"), col("__v"),
@@ -249,12 +253,20 @@ object Curation {
     // left join: out-of-vocabulary tokens take the Laplace floor 1/(total+V)
     val oov = floor(log10(lit(1.0) / (col("__total") + col("__v"))) * 10000)
       .cast("long")
+    // the trailing __chk coalesce arm keeps the empty-LM assert alive in
+    // the plan while never evaluating it on the happy path (coalesce is
+    // lazy; with a non-empty LM either __qlp or oov is non-null first).
+    // On an EMPTY LM both are null — __qlp has no match and oov's
+    // log10(1/(null+0)) nulls — so evaluation reaches the assert and the
+    // job fails loudly. The null-token branch reads __chk directly: the
+    // assert yields null on success, which is exactly that branch's value.
+    val chk = col("__chk").cast("long")
     toks
       .join(qlm, Seq("token"), "left")
       .crossJoin(totals)
       .select(col(idCol),
-        when(col("token").isNull, lit(null).cast("long"))
-          .otherwise(coalesce(col("__qlp"), oov)).as("__qlp"))
+        when(col("token").isNull, chk)
+          .otherwise(coalesce(col("__qlp"), oov, chk)).as("__qlp"))
       .groupBy(idCol)
       // count(col) skips nulls: token-free docs score (0, NULL)
       .agg(count(col("__qlp")).cast("int").as("n_tok"),

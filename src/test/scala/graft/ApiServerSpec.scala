@@ -18,6 +18,11 @@ class ApiServerSpec extends SparkSpec {
     HttpResponse.BodyHandlers.ofString())
   // java.net.http follows no redirects by default; name it for clarity
   private def getNoRedirect(url: String) = get(url)
+  private def getHdr(url: String, headers: (String, String)*) = {
+    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
   private def getAuth(url: String, bearer: String) = client.send(
     HttpRequest.newBuilder(URI.create(url))
       .header("Authorization", s"Bearer $bearer").GET().build(),
@@ -279,6 +284,36 @@ class ApiServerSpec extends SparkSpec {
       assert(getAuth(s"$base/logout", token).statusCode() == 200)
       assert(getAuth(s"$base/datasets", token).statusCode() == 401)
     } finally { api.stop(); provider.stop(0) }
+  }
+
+  test("forwarded proto/host headers shape redirect_uri only with trustProxyHeaders") {
+    def mk(trust: Boolean) = new ApiServer(spark,
+      RecipeConf.load("datasets: {}\nrecipes: {}"),
+      oauth = Map("fake" -> graft.api.OAuthProvider(
+        id = "c", secret = "s", authorizeUrl = "http://localhost:1/auth",
+        tokenUrl = "http://localhost:1/token",
+        userinfoUrl = "http://localhost:1/ui")),
+      trustProxyHeaders = trust).start()
+    val hdrs = Seq("X-Forwarded-Proto" -> "https",
+      "X-Forwarded-Host" -> "evil.example")
+    val api = mk(trust = false)
+    try {
+      // default: client-supplied forwarding headers must NOT reach the
+      // OAuth redirect_uri (open-redirect / code-theft vector)
+      val loc = getHdr(s"http://localhost:${api.actualPort}/api/authorize/fake",
+        hdrs: _*).headers().firstValue("Location").get
+      assert(!loc.contains("evil.example"), loc)
+      assert(loc.contains(java.net.URLEncoder.encode(
+        s"http://localhost:${api.actualPort}/api/callback/fake", "UTF-8")), loc)
+    } finally api.stop()
+    val trusted = mk(trust = true)
+    try {
+      // behind a declared proxy the forwarded values are authoritative
+      val loc = getHdr(s"http://localhost:${trusted.actualPort}/api/authorize/fake",
+        hdrs: _*).headers().firstValue("Location").get
+      assert(loc.contains(java.net.URLEncoder.encode(
+        "https://evil.example/api/callback/fake", "UTF-8")), loc)
+    } finally trusted.stop()
   }
 
   test("recipe yaml/status/log and dataset yaml/delete (api.py:840-935)") {

@@ -142,6 +142,24 @@ class CurationSpec extends SparkSpec {
     assert(out(4L)._1 == 0 && out(4L)._2.isNaN)      // token-free doc
   }
 
+  test("unigramLogProb fails LOUDLY on an EMPTY reference LM (guard must survive column pruning)") {
+    val emptyLm = Seq.empty[(String, Long)].toDF("token", "cnt")
+    def allMsgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${allMsgs(t.getCause)}"
+    // tokened docs reach the assert through the OOV coalesce arm
+    val e = intercept[Exception] {
+      Curation.unigramLogProb(Seq((1L, "hello world")).toDF("id", "text"),
+        "id", "text", emptyLm).collect()
+    }
+    assert(allMsgs(e).contains("reference LM has no tokens"), allMsgs(e))
+    // token-FREE docs reach it through the null-token branch
+    val e2 = intercept[Exception] {
+      Curation.unigramLogProb(Seq((1L, "")).toDF("id", "text"),
+        "id", "text", emptyLm).collect()
+    }
+    assert(allMsgs(e2).contains("reference LM has no tokens"), allMsgs(e2))
+  }
+
   test("unigramLogProb rejects an LM without (token, cnt) columns") {
     intercept[IllegalArgumentException] {
       Curation.unigramLogProb(Seq((1L, "a")).toDF("id", "text"),

@@ -60,6 +60,18 @@ class ModulesSpec extends SparkSpec {
     assert(rows(back) == Seq(Seq("1", "café")))
   }
 
+  test("csv skiprows rejects charsets whose newline is not the single byte 0x0A") {
+    // TextInputFormat splits on \n bytes; UTF-16 encodes '\n' as 2-4
+    // bytes, so the skiprows path would shred records mid-character
+    val f = s"$tmpDir/utf16.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      "# junk\nid;v\n1;a\n".getBytes("UTF-16"))
+    val e = intercept[IllegalArgumentException] {
+      Sources.csv(spark, f, encoding = "UTF-16", skiprows = 1)
+    }
+    assert(e.getMessage.contains("UTF-16"))
+  }
+
   test("fwf sink fails loudly instead of silently truncating overlong values") {
     val df = Seq(Tuple1("marseille")).toDF("city")
     val e = intercept[Exception] {
