@@ -309,6 +309,20 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // IVF ANN over a PERSISTED index (Ann.writeIvfIndex + ivfIndexTopK)
+    // — the 100-TB scale path: k-means cell layout, hive-partitioned
+    // write, partition-pruned probe read. nprobe = nlist makes probing
+    // exhaustive, hence EXACT: the result hash-matches the same oracle
+    // as q25 while the full index round trip (build → write → pruned
+    // query) runs in the driver gate, not just in specs.
+    "q60_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-q60").toString
+      Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 16)
+      Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
     "q26_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
@@ -708,6 +722,23 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = oracleSqlRaw.view.mapValues(expandStrip).toMap
 
+  // shared by q25 (brute force) and q60 (persisted IVF index probed
+  // exhaustively): both contracts are the exact cosine top-10
+  private val annTopKOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      | SELECT query_id, neighbor_id,
+      |  ROUND(list_cosine_similarity(qv, cv), 4) AS score
+      | FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |ranked AS (
+      | SELECT query_id, neighbor_id, score,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      | FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   private val oracleSqlRaw: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -922,20 +953,12 @@ object SparkEntry {
           | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
           |WHERE jaccard >= 0.8""".stripMargin),
 
-    "q25_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 100 = 0),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |scored AS (
-        | SELECT query_id, neighbor_id,
-        |  ROUND(list_cosine_similarity(qv, cv), 4) AS score
-        | FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-        |ranked AS (
-        | SELECT query_id, neighbor_id, score,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        | FROM scored)
-        |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q25_ann_topk" -> annTopKOracleSql,
+
+    // q60 probes EVERY cell (nprobe = nlist), so the persisted-index IVF
+    // path is exhaustive and must reproduce the brute-force answer —
+    // the SAME oracle as q25, by construction not coincidence.
+    "q60_ann_ivf" -> annTopKOracleSql,
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have

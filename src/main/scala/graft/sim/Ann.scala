@@ -86,19 +86,47 @@ object Ann {
   def hyperplaneSig(vec: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column =
     hyperplaneSigUdf(vec, lit(bits))
 
-  /** LSH-bucketed ANN: candidates must share the signature bucket, then
-    * exact cosine ranks them. Trades recall for a corpus-side shuffle on
-    * the bucket key instead of a full cross product — the 100 TB path. */
+  /** LSH-bucketed ANN: candidates must share a signature bucket in at
+    * least one of `tables` independent hash tables, then exact cosine
+    * ranks them. Never a cross product — per table the corpus is hashed
+    * row-local and candidates meet through a broadcast bucket join,
+    * which is the 100 TB path.
+    *
+    * Recall is a dial, not a guarantee: P[one-table collision] =
+    * (1 − θ/π)^bits for a pair at angle θ, OR-ed across tables —
+    * identical vectors (θ = 0) collide in EVERY table deterministically;
+    * a 0.97-cosine pair at bits=12/tables=3 lands together ≈ 98% of the
+    * time; low-similarity pairs effectively never do (by design — they
+    * are not "near"). All tables pack into one 64-bit signature with
+    * disjoint bit ranges, same scheme as [[cosineNearDupsLSH]]. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, dim: Int, bits: Int = 12, excludeSelf: Boolean = true): DataFrame = {
-
-    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
-      hyperplaneSig(col(qVec), dim, bits).as("__sig")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
-      hyperplaneSig(col(cVec), dim, bits).as("__sig"))
-    scoreAndRank(q.join(c, Seq("__sig")), k, excludeSelf)
+      k: Int, dim: Int, bits: Int = 12, tables: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(bits >= 1 && tables >= 1 && bits * tables <= 64,
+      s"bits*tables must be in [1,64] (one 64-bit signature holds all " +
+        s"tables' bit ranges); got bits=$bits tables=$tables " +
+        s"(${bits * tables} bits)")
+    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
+    def banded(df: DataFrame, vecCol: String): DataFrame = df
+      .withColumn("__sig", hyperplaneSigUdf(col(vecCol), lit(bits * tables)))
+      .withColumn("__b", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("__table"),
+          shiftrightunsigned(col("__sig"), t * bits)
+            .bitwiseAND(lit(bucketMask)).as("__bucket"))): _*)))
+      .withColumn("__table", col("__b.__table"))
+      .withColumn("__bucket", col("__b.__bucket"))
+      .drop("__b", "__sig")
+    val q = broadcast(banded(
+      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")), "__qv"))
+    val c = banded(
+      corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), "__cv")
+    // a pair meeting in several tables must still score/rank ONCE; the
+    // dedup shuffles only the candidate set (collisions), never the corpus
+    val cand = q.join(c, Seq("__table", "__bucket"))
+      .dropDuplicates("query_id", "neighbor_id")
+    scoreAndRank(cand, k, excludeSelf)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

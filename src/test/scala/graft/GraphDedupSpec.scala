@@ -232,6 +232,48 @@ class GraphDedupSpec extends SparkSpec {
       s"expected dynamic partition pruning on the assigned scan:\n$p")
   }
 
+  test("hyperplane-LSH ANN: pinned recall + exact scores on the driver embeddings") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    // plant one EXACT copy of each query in the corpus (ids 10000+):
+    // θ = 0 pairs share every hyperplane sign, so they collide in every
+    // table — recall of the copies is DETERMINISTICALLY total, the
+    // hyperplanes being a fixed function of (bit, dimension). This is
+    // the operator's actual contract: near-duplicates are found; the
+    // ~0.3-cosine "nearest" of quasi-random vectors are not near.
+    val planted = q.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(planted)
+    val lsh = Ann.lshTopK(q, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, dim = 64)
+    val top1 = lsh.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.select("vec_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(top1(id) == (id + 10000, 1.0),
+        s"planted exact copy of $id not recalled at rank 1: ${top1.get(id)}")
+    }
+    // every LSH hit must carry the TRUE cosine (scores are exact even
+    // when the candidate set is approximate) and ranks must be dense
+    val truth = Ann.bruteForceTopK(q, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("score").as("true_score"))
+    val bad = lsh.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .filter(col("true_score").isNull || col("score") =!= col("true_score"))
+    assert(bad.isEmpty, "LSH emitted a score that is not the exact cosine")
+    val ranks = lsh.groupBy("query_id")
+      .agg(sort_array(collect_list(col("rank"))).as("rs"))
+      .select("rs").collect()
+    ranks.foreach { r =>
+      val rs = r.getSeq[Int](0)
+      assert(rs == (1 to rs.length), s"ranks not dense: $rs")
+    }
+    // a pair meeting in SEVERAL tables must not duplicate into the rank
+    // window: (query, neighbor) pairs are unique
+    assert(lsh.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("match topK honors k, rank order and hit metadata contract") {
     val docs = Seq(
       (1L, Seq("red", "apple", "pie")),
