@@ -433,6 +433,20 @@ object SparkEntry {
           col("byte_count"), round(col("mean_intensity"), 4).as("mean_intensity"))
     }),
 
+    // REAL image decode: payloads are actual PNGs (pixel (x,y) =
+    // (media_id + x + y) mod 256), decoded by javax.imageio via raster
+    // samples; the oracle replays the pixel FORMULA — so the full
+    // encode → PNG bytes → decode → stats loop is hash-checked without
+    // DuckDB ever touching an image
+    "q61_image_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesizeImages(
+        t(s, dir, "part"), "p_partkey")
+      graft.multimodal.Multimodal.decodeImages(media)
+        .select(col("media_id"), col("img_width"), col("img_height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          round(col("stddev_intensity"), 4).as("stddev_intensity"))
+    }),
+
     // exact media dedup by content hash (binary analogue of q20):
     // synthetic payloads repeat at p_partkey mod 256, so real dup
     // groups exist and the oracle replays the byte stream in SQL
@@ -1208,6 +1222,23 @@ object SparkEntry {
         | FROM part)
         |SELECT content_key, min(media_id) AS keeper_id, count(*) AS n_copies
         |FROM h GROUP BY content_key""".stripMargin,
+
+    // replay the PNG pixel formula (x,y) → (media_id + x + y) mod 256
+    // and aggregate with the SAME arithmetic shape as ImageCodec
+    // (exact integer sums, one double division, identical guard) — the
+    // Spark side decodes real PNG bytes, the oracle never needs to
+    "q61_image_decode" ->
+      """WITH px AS (
+        | SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |  CAST((p_partkey + x.v + y.v) % 256 AS BIGINT) AS s
+        | FROM part, generate_series(0, 31) AS x(v), generate_series(0, 23) AS y(v))
+        |SELECT media_id,
+        | CAST(32 AS INTEGER) AS img_width, CAST(24 AS INTEGER) AS img_height,
+        | ROUND(SUM(s)::DOUBLE / COUNT(*), 4) AS mean_intensity,
+        | ROUND(sqrt(GREATEST(SUM(s*s)::DOUBLE / COUNT(*)
+        |   - (SUM(s)::DOUBLE / COUNT(*)) * (SUM(s)::DOUBLE / COUNT(*)), 0)), 4)
+        |   AS stddev_intensity
+        |FROM px GROUP BY media_id""".stripMargin,
 
     // rank by the same salted bucket (id tiebreak), keep the first 30
     "q49_cap_source" ->

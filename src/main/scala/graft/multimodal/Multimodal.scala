@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * frame-sample operators.
   *
   * The Spark-side plumbing (schema, batched per-partition processing,
-  * partition sizing) is real; the actual codec step is STUBBED behind
-  * `FakeCodec` (deterministic synthetic decode — media libraries are not
-  * in this container). Swap `FakeCodec` for a real decoder (JavaCV etc.)
-  * without touching the pipeline shape.
+  * partition sizing) is real. IMAGE decode is real too: [[ImageCodec]]
+  * rides the JDK's javax.imageio (PNG/JPEG/GIF/BMP, zero extra
+  * dependencies). Audio/video decode stays STUBBED behind [[FakeCodec]]
+  * (deterministic synthetic decode — the JDK ships no codec for them);
+  * swap it for a real decoder (JavaCV etc.) without touching the
+  * pipeline shape.
   *
   * Scale notes: payloads stay in executors (never collected); decode runs
   * per-partition with one codec instance per partition (mapPartitions,
@@ -63,6 +65,56 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's javax.imageio (PNG/JPEG/GIF/BMP — no
+    * extra dependencies), replacing the synthetic stub for kind=image;
+    * audio/video stay on [[FakeCodec]] (the JDK ships no codec for
+    * them). Stats come from RASTER samples, not getRGB: getRGB routes
+    * gray pixels through a gray→sRGB color-space conversion
+    * (non-identity gamma curve), which would make the stats depend on
+    * the color pipeline instead of the stored pixels. Intensity = mean
+    * over the first 3 bands (1 band = the gray sample itself); sums are
+    * exact integers with ONE division at the end, so an external SQL
+    * engine can replay the arithmetic bit-for-bit. */
+  object ImageCodec {
+    // ImageIO's default stream cache is a temp FILE per decode — pure
+    // overhead for in-memory payloads, and worker dirs may be read-only
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** (width, height, mean_intensity, stddev_intensity), or None when
+      * the payload is not a decodable image (null, truncated, not an
+      * image format ImageIO knows). */
+    def decodeStats(payload: Array[Byte]): Option[(Int, Int, Double, Double)] = {
+      if (payload == null || payload.isEmpty) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return None
+      val r = img.getRaster
+      val w = r.getWidth
+      val h = r.getHeight
+      val bands = math.min(r.getNumBands, 3)
+      var sum = 0L // of per-pixel band sums — exact
+      var sumSq = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0
+          var b = 0
+          while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+          sum += s
+          sumSq += s.toLong * s
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = sum.toDouble / (n.toDouble * bands)
+      val ex2 = sumSq.toDouble / (n.toDouble * bands * bands)
+      Some((w, h, mean, math.sqrt(math.max(ex2 - mean * mean, 0.0))))
+    }
+  }
+
   /** Build a synthetic media table from any keyed table (test fixture:
     * deterministic payload bytes from the key — byte i = (k + i²) mod
     * 256, a closed form any SQL engine can replay, so payload-derived
@@ -86,6 +138,55 @@ object Multimodal {
         (col("media_id") % 640 + 32).cast("int").as("width"),
         (col("media_id") % 480 + 32).cast("int").as("height"),
         (col("media_id") % 60000).as("duration_ms")))
+  }
+
+  /** Media table whose payloads are ACTUAL PNGs: grayscale w×h, pixel
+    * (x, y) = (key + x + y) mod 256 — a closed form an external SQL
+    * engine can replay against the DECODED stats, so the real-codec
+    * path is oracle-checkable end to end (encode → PNG bytes → ImageIO
+    * decode → pixel stats == formula stats). PNG is lossless and
+    * TYPE_BYTE_GRAY raster samples round-trip exactly. */
+  def synthesizeImages(df: DataFrame, keyCol: String,
+      w: Int = 32, h: Int = 24): DataFrame = {
+    val gen = udf { (k: Long) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          r.setSample(x, y, 0, ((k + x + y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    df.select(col(keyCol).cast("long").as("media_id"))
+      .withColumn("kind", lit("image"))
+      .withColumn("payload", gen(col("media_id")))
+      .withColumn("meta", struct(
+        lit("image/png").as("mime"),
+        lit(w).cast("int").as("width"), lit(h).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
+  /** Decode image payloads with the REAL codec ([[ImageCodec]]): adds
+    * img_width / img_height / mean_intensity / stddev_intensity from
+    * the decoded pixels. Rows whose kind is not image, or whose payload
+    * does not decode, carry NULL stats instead of failing the job — at
+    * 100 TB a corrupt image is routine data, not an error. Row-local. */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val dec = udf { (p: Array[Byte]) => ImageCodec.decodeStats(p) }
+    df.withColumn("__img", when(col("kind") === "image", dec(col("payload"))))
+      .withColumn("img_width", col("__img._1"))
+      .withColumn("img_height", col("__img._2"))
+      .withColumn("mean_intensity", col("__img._3"))
+      .withColumn("stddev_intensity", col("__img._4"))
+      .drop("__img")
   }
 
   /** Decode / feature-extract over the payload column. The decoder runs

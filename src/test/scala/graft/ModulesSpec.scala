@@ -439,6 +439,52 @@ class ModulesSpec extends SparkSpec {
     assert(groups == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("multimodal: REAL PNG decode via javax.imageio gives exact pixel stats") {
+    import graft.multimodal.Multimodal
+    // hand-build a 2×2 gray PNG with known samples {10, 20, 30, 40}:
+    // mean 25, std sqrt(((10²+20²+30²+40²)/4) - 25²) = sqrt(125)
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10); img.getRaster.setSample(1, 0, 0, 20)
+    img.getRaster.setSample(0, 1, 0, 30); img.getRaster.setSample(1, 1, 0, 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, mean, std) = Multimodal.ImageCodec.decodeStats(bos.toByteArray).get
+    assert((w, h, mean) == (2, 2, 25.0))
+    assert(math.abs(std - math.sqrt(125.0)) < 1e-12)
+    // RGB: intensity = mean of the 3 bands, from raster samples (getRGB
+    // would gamma-convert); pixel (200, 100, 0) → intensity 100
+    val rgb = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    rgb.getRaster.setSample(0, 0, 0, 200)
+    rgb.getRaster.setSample(0, 0, 1, 100)
+    rgb.getRaster.setSample(0, 0, 2, 0)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos2)
+    val (_, _, m2, s2) = Multimodal.ImageCodec.decodeStats(bos2.toByteArray).get
+    assert(m2 == 100.0 && s2 == 0.0)
+    // corrupt payloads are data, not errors: null stats, no exception
+    assert(Multimodal.ImageCodec.decodeStats("not a png".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decodeStats(null).isEmpty)
+    assert(Multimodal.ImageCodec.decodeStats(
+      bos.toByteArray.take(11)).isEmpty) // truncated mid-header
+
+    // the DataFrame operator: synthesized PNGs decode to formula stats;
+    // non-image kinds and corrupt payloads carry NULLs
+    val media = Multimodal.synthesizeImages(Seq(5L).toDF("k"), "k", w = 4, h = 2)
+    val out = Multimodal.decodeImages(
+        media.unionByName(media.select(col("media_id") + 1 as "media_id",
+          lit("audio").as("kind"), col("payload"), col("meta"))))
+      .orderBy("media_id").collect()
+    // pixels (5 + x + y) mod 256 for x<4, y<2: {5,6,7,8, 6,7,8,9}
+    val vals = for { y <- 0 until 2; x <- 0 until 4 } yield 5 + x + y
+    val em = vals.sum.toDouble / 8
+    assert(out(0).getAs[Int]("img_width") == 4)
+    assert(out(0).getAs[Int]("img_height") == 2)
+    assert(out(0).getAs[Double]("mean_intensity") == em)
+    assert(out(1).isNullAt(out(1).fieldIndex("img_width"))) // kind=audio
+  }
+
   test("graph metrics: degree, pagerank, clustering on a triangle+tail") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
     val m = GraphMetrics.metrics(edges, Seq("pagerank", "triangles", "clustering"))
