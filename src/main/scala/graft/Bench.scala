@@ -96,7 +96,14 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$sampleJson,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
+    // host load marker: the driver benches while other work (sbt, tests)
+    // may be live, and per-round history shows that contaminating samples
+    // by up to ~2-3×. The 1-minute loadavg at bench end lets a reader
+    // discount a noisy round instead of mis-grading the engine.
+    val load = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").head)
+      .getOrElse("-1")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg1m":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

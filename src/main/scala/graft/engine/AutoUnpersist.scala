@@ -32,7 +32,11 @@ object AutoUnpersist {
   // instance is shared by every InMemoryRelation the CacheManager hands
   // out for the entry, so it identifies "this cache" across plan copies.
   private val pending = new ConcurrentHashMap[AnyRef, DataFrame]()
-  private val installed = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weakly held, like Metrics.registeredSessions: a strong set would pin
+  // every stopped session (and its whole SparkContext state) for the
+  // process lifetime
+  private val installed = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Persist `df` and unpersist it automatically after the first
     * completed action that read the cache. Returns the persisted frame. */
@@ -66,7 +70,7 @@ object AutoUnpersist {
       case ir: InMemoryRelation => ir.cacheBuilder
     }
 
-  private def install(spark: SparkSession): Unit =
+  private def install(spark: SparkSession): Unit = synchronized {
     if (installed.add(spark))
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
@@ -81,4 +85,5 @@ object AutoUnpersist {
             if (df != null) df.unpersist(blocking = false)
           }
       })
+  }
 }

@@ -48,6 +48,12 @@ object Scoring {
   def buildModel(df: DataFrame, numerical: Seq[String], categorical: Seq[String],
       target: String, tries: Int = 3, testSize: Double = 0.33,
       numTrees: Int = 20, seed: Long = 42L): BuiltModel = {
+    // tries=0 would die later on results.head (NoSuchElement, no clue
+    // which knob); testSize outside (0,1) makes randomSplit produce an
+    // empty train or test split and fails deep inside the fit
+    require(tries >= 1, s"tries must be >= 1, got $tries")
+    require(testSize > 0 && testSize < 1,
+      s"testSize must be in (0, 1), got $testSize")
 
     val (indexers, encoders, assembler) = assemble(numerical, categorical)
     val rf = new RandomForestRegressor()

@@ -173,9 +173,13 @@ object EventStream {
     * watermark horizon, so state size is bounded by arrival rate ×
     * allowed lateness — it never grows with total stream length. */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
-      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    // name the misconfiguration instead of failing with "head of empty
+    // list" (an empty key set would otherwise read as an engine bug)
+    require(keys.nonEmpty, "dedupWithinWatermark needs at least one key column")
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream → keyed-upsert parquet sink via foreachBatch: each
     * micro-batch merges into the target by key (last write wins), the

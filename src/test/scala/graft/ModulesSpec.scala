@@ -168,6 +168,18 @@ class ModulesSpec extends SparkSpec {
     val hi = scored.filter($"id" > 150).agg(avg("matchid_hit_score_ml")).head.getDouble(0)
     val lo = scored.filter($"id" < 50).agg(avg("matchid_hit_score_ml")).head.getDouble(0)
     assert(hi > 80 && lo < 20)
+    // misconfiguration fails at the call with the knob NAMED, not deep
+    // inside the fit / on a head-of-empty-list
+    intercept[IllegalArgumentException] {
+      Scoring.buildModel(df, Seq("x"), Nil, "label", tries = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Scoring.buildModel(df, Seq("x"), Nil, "label", testSize = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.dedupWithinWatermark(
+        spark.emptyDataFrame, keys = Nil)
+    }
   }
 
   test("sessionize survives null value/event_id and drops unkeyable rows") {
