@@ -244,7 +244,11 @@ object RecipeConf {
       cVec = ds.options.getOrElse("vec",
         sys.error("ann_index sink needs options.vec (embedding column)")),
       path = ds.path,
-      nlist = ds.options.getOrElse("nlist", "16").toInt)
+      nlist = {
+        val s = ds.options.getOrElse("nlist", "16")
+        s.toIntOption.getOrElse(sys.error(
+          s"ann_index sink: options.nlist must be an integer, got '$s'"))
+      })
     // strip `query` too: it is a READ option, and the JDBC writer
     // rejects dbtable+query together — a sql dataset declared with a
     // read query must still be usable as an output table
@@ -313,6 +317,35 @@ object RecipeConf {
     def reqList(key: String): Seq[String] = m.get(key) match {
       case Some(v) if v != null && strSeq(v).nonEmpty => strSeq(v)
       case _ => sys.error(s"$op: '$key' (non-empty list) required")
+    }
+    // typed optional knobs: the default applies only when the knob is
+    // ABSENT; written-but-blank (`k:` with no value → Some(null)) and
+    // unparseable values fail with the step and knob NAMED — never an
+    // anonymous NumberFormatException / NPE from inside the compile
+    def knob(key: String, default: String): String = m.get(key) match {
+      case Some(v) if v != null => v.toString
+      case Some(_) => sys.error(s"$op: '$key' is blank — give it a value or drop it")
+      case None => default
+    }
+    def knobInt(key: String, default: Int): Int = {
+      val s = knob(key, default.toString)
+      s.toIntOption.getOrElse(sys.error(s"$op: '$key' must be an integer, got '$s'"))
+    }
+    def knobLong(key: String, default: Long): Long = {
+      val s = knob(key, default.toString)
+      s.toLongOption.getOrElse(sys.error(s"$op: '$key' must be an integer, got '$s'"))
+    }
+    def knobDouble(key: String, default: Double): Double = {
+      val s = knob(key, default.toString)
+      s.toDoubleOption.getOrElse(sys.error(s"$op: '$key' must be a number, got '$s'"))
+    }
+    def knobBool(key: String, default: Boolean): Boolean = {
+      val s = knob(key, default.toString)
+      s.toBooleanOption.getOrElse(sys.error(s"$op: '$key' must be true/false, got '$s'"))
+    }
+    def reqInt(key: String): Int = {
+      val s = req(key)
+      s.toIntOption.getOrElse(sys.error(s"$op: '$key' must be an integer, got '$s'"))
     }
     def namedDataset(): DataFrame = {
       val name = req("dataset")
@@ -442,7 +475,7 @@ object RecipeConf {
           val fuzzy = strMap(m.getOrElse("fuzzy", null))
           if (fuzzy.nonEmpty)
             Joins.fuzzyJoin(df, right, fuzzy, strict, select,
-              maxDist = m.getOrElse("fuzzy_distance", "1").toString.toInt)
+              maxDist = knobInt("fuzzy_distance", 1))
           else Joins.strictJoin(df, right, strict, select)
         }
       }
@@ -466,9 +499,9 @@ object RecipeConf {
         MatchJoin.topK(df, right,
           req("left_tokens"), req("right_tokens"),
           req("left_id"), req("right_id"),
-          k = m.getOrElse("size", "10").toString.toInt,
-          keepUnmatched = m.getOrElse("keep_unmatched", "false").toString.toBoolean,
-          fuzzy = m.getOrElse("fuzziness", "0").toString.toInt > 0)
+          k = knobInt("size", 10),
+          keepUnmatched = knobBool("keep_unmatched", false),
+          fuzzy = knobInt("fuzziness", 0) > 0)
       }
       case "clique" => df => {
         val srcDst = reqList("select")
@@ -490,10 +523,10 @@ object RecipeConf {
           case "exact" => graft.dedup.Dedup.exactDedup(df, id, text)
           case "fingerprint" => graft.dedup.Dedup.fingerprintDedup(df, id, text)
           case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, text,
-            threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
+            threshold = knobDouble("threshold", 0.6))
           // C4-style boilerplate line removal (docs rewritten in place)
           case "lines" => graft.text.TextAnalysis.dedupLines(df, id, text,
-            maxDocFreq = m.getOrElse("max_doc_freq", "1").toString.toLong)
+            maxDocFreq = knobLong("max_doc_freq", 1L))
           case other => sys.error(s"dedup: unknown method '$other' " +
             "(exact | fingerprint | minhash | lines)")
         }
@@ -503,32 +536,32 @@ object RecipeConf {
         m.getOrElse("method", "minhash").toString match {
           case "minhash" => graft.dedup.Dedup.minhashNearDups(df, id,
             req("text"),
-            threshold = m.getOrElse("threshold", "0.6").toString.toDouble)
+            threshold = knobDouble("threshold", 0.6))
           case "simhash" => graft.dedup.Dedup.simhashNearDups(df, id,
             req("text"),
-            maxHamming = m.getOrElse("max_hamming", "3").toString.toInt,
-            bands = m.getOrElse("bands", "4").toString.toInt,
+            maxHamming = knobInt("max_hamming", 3),
+            bands = knobInt("bands", 4),
             algo = m.getOrElse("algo", "murmur3").toString)
           case "ngram" => graft.dedup.Dedup.ngramJaccardPairs(df, id,
             req("text"), req("block"),
-            threshold = m.getOrElse("threshold", "0.5").toString.toDouble)
+            threshold = knobDouble("threshold", 0.5))
           case "embedding" if m.contains("block") =>
             graft.sim.Ann.cosineNearDups(df, id, req("vec"),
               req("block"),
-              threshold = m.getOrElse("threshold", "0.9").toString.toDouble)
+              threshold = knobDouble("threshold", 0.9))
           case "embedding" =>
             graft.sim.Ann.cosineNearDupsLSH(df, id, req("vec"),
-              threshold = m.getOrElse("threshold", "0.9").toString.toDouble,
-              bits = m.getOrElse("bits", "8").toString.toInt,
-              tables = m.getOrElse("tables", "3").toString.toInt)
+              threshold = knobDouble("threshold", 0.9),
+              bits = knobInt("bits", 8),
+              tables = knobInt("tables", 3))
           // winnowing-fingerprint overlap pairs (Schleimer et al. 2003)
           // — same pair-table contract as the other near_dups methods
           case "winnow" => graft.text.TextAnalysis.winnowNearDups(df, id,
             req("text"),
-            k = m.getOrElse("k", "5").toString.toInt,
-            w = m.getOrElse("window", "4").toString.toInt,
-            threshold = m.getOrElse("threshold", "0.5").toString.toDouble,
-            maxDocFreq = m.getOrElse("max_doc_freq", "0").toString.toLong)
+            k = knobInt("k", 5),
+            w = knobInt("window", 4),
+            threshold = knobDouble("threshold", 0.5),
+            maxDocFreq = knobLong("max_doc_freq", 0L))
           case other => sys.error(s"near_dups: unknown method '$other' " +
             "(minhash | simhash | ngram | embedding | winnow)")
         }
@@ -541,7 +574,7 @@ object RecipeConf {
       case "decontaminate" => df => {
         val test = namedDataset()
         val id = req("id"); val text = req("text")
-        val n = m.getOrElse("n", "13").toString.toInt
+        val n = knobInt("n", 13)
         val testText = m.get("test_text").map(_.toString)
         m.getOrElse("mode", "drop").toString match {
           case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n, testText)
@@ -563,7 +596,7 @@ object RecipeConf {
         splitCol = m.getOrElse("column", "split").toString)
       // cap each key's rows (bound a source's contribution to the mix)
       case "cap" => df => Ops.capPerKey(df, req("key"),
-        req("id"), req("n").toInt,
+        req("id"), reqInt("n"),
         salt = m.getOrElse("salt", "").toString)
       // deterministic per-key sampling rates (source mixing)
       case "sample" => df => Ops.sampleByKey(df, req("key"),
@@ -576,21 +609,21 @@ object RecipeConf {
             sys.error("sample: 'rates' ({key: rate, ...}) required")
           case Some(v) => v
         }).toSeq.map { case (k, v) => k -> v.toString.toDouble },
-        defaultRate = m.getOrElse("default", "1.0").toString.toDouble,
+        defaultRate = knobDouble("default", 1.0),
         salt = m.getOrElse("salt", "").toString)
       // token-window chunking (RAG / pretraining shards):
       //   chunk: {id: col, text: col, size: 64, stride: 32}
       case "chunk" => df => graft.text.Curation.chunk(df, req("id"), req("text"),
-        size = m.getOrElse("size", "64").toString.toInt,
-        stride = m.getOrElse("stride", "32").toString.toInt)
+        size = knobInt("size", 64),
+        stride = knobInt("stride", 32))
       // Gopher-style quality rules; mode filter (default) keeps only the
       // rows passing every rule, mode metrics returns the metric table:
       //   quality: {id: col, text: col, min_words: 50, mode: filter}
       case "quality" => df => {
         val id = req("id")
         val metrics = graft.text.Curation.gopherQuality(df, id, req("text"),
-          minWords = m.getOrElse("min_words", "50").toString.toInt,
-          maxWords = m.getOrElse("max_words", "100000").toString.toInt)
+          minWords = knobInt("min_words", 50),
+          maxWords = knobInt("max_words", 100000))
         m.getOrElse("mode", "filter").toString match {
           case "filter" => df.join(
             metrics.filter(col("keep")).select(id), Seq(id), "left_semi")
@@ -612,16 +645,16 @@ object RecipeConf {
       }
       // corpus vocabulary top-k: vocab: {text: col, k: 1000}
       case "vocab" => df => graft.text.Curation.vocabTopK(df, req("text"),
-        k = m.getOrElse("k", "1000").toString.toInt,
-        lowercase = m.getOrElse("lowercase", "true").toString.toBoolean)
+        k = knobInt("k", 1000),
+        lowercase = knobBool("lowercase", true))
       // CCNet-style unigram LM score; the LM trains on a named reference
       // dataset when given (lm_text names its text column if it
       // differs), else on the input corpus itself:
       //   lm_score: {id: col, text: col, dataset: wiki_ref, lm_text: body}
       case "lm_score" => df => {
         val lmSource = if (m.contains("dataset")) namedDataset() else df
-        val lmText = m.getOrElse("lm_text", req("text")).toString
-        val lc = m.getOrElse("lowercase", "true").toString.toBoolean
+        val lmText = knob("lm_text", req("text"))
+        val lc = knobBool("lowercase", true)
         graft.text.Curation.unigramLogProb(df, req("id"), req("text"),
           graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
           lowercase = lc)
@@ -700,7 +733,11 @@ object RecipeConf {
       s"match step: left column(s) ${badLeft.mkString(", ")} collide with " +
         "the hit_* output contract — rename them before the match")
     val flat = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
-      maxDocFreq = m.getOrElse("max_doc_freq", "0").toString.toLong)
+      maxDocFreq = {
+        val s = m.getOrElse("max_doc_freq", "0").toString
+        s.toLongOption.getOrElse(sys.error(
+          s"match: 'max_doc_freq' must be an integer, got '$s'"))
+      })
     val out = flat.drop(flat.columns.filter(c =>
       c.startsWith("__tok_") || c.startsWith("hit___tok_")): _*)
     // unfold: False keeps the pre-unfold bucket shape — one row per left

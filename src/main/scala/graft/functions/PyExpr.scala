@@ -199,20 +199,26 @@ object PyExpr {
       l
     }
     private def parseMul(): Ast = {
-      var l = parsePow()
+      var l = parseUnary()
       var go = true
       while (go) peek match {
-        case TOp(op @ ("*" | "/" | "%")) => advance(); l = PBin(op, l, parsePow())
+        case TOp(op @ ("*" | "/" | "%")) => advance(); l = PBin(op, l, parseUnary())
         case _                           => go = false
       }
       l
     }
-    private def parsePow(): Ast = {
-      val b = parseUnary()
-      if (peek == TOp("**")) { advance(); PBin("**", b, parsePow()) } else b
-    }
+    // Python grammar: u_expr ::= power | "-" u_expr ;
+    //                 power  ::= primary ["**" u_expr]
+    // i.e. ** binds TIGHTER than a unary minus on its left but admits one
+    // on its right: -x**2 is -(x**2), 2**-1 is 0.5. Taking the base via
+    // parseUnary (the old shape) read -x**2 as (-x)**2 — wrong sign for
+    // every odd power of a negative.
     private def parseUnary(): Ast =
-      if (peek == TOp("-")) { advance(); PUn("neg", parseUnary()) } else parsePostfix()
+      if (peek == TOp("-")) { advance(); PUn("neg", parseUnary()) } else parsePow()
+    private def parsePow(): Ast = {
+      val b = parsePostfix()
+      if (peek == TOp("**")) { advance(); PBin("**", b, parseUnary()) } else b
+    }
 
     private def parsePostfix(): Ast = {
       var a = parseAtom()

@@ -3,6 +3,136 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.PyExpr
 
+/** Differential property test: random expressions from PyExpr's own
+  * arithmetic/boolean grammar, printed with MINIMAL parentheses (so the
+  * parser's precedence and associativity are what's under test, not the
+  * generator's bracketing), compiled to Columns, and compared against a
+  * reference evaluator implementing Python semantics (floored %, true
+  * /, ** over unary minus, lazy and/or). All sampled expressions ride
+  * ONE Spark select. */
+class PyExprPropertySpec extends SparkSpec {
+  import graft.functions.PyExpr
+  import org.apache.spark.sql.types._
+
+  // ---- tiny AST with Python-precedence printer + reference evaluator
+  private sealed trait NE { def lvl: Int }
+  private case class NLit(v: Long) extends NE { val lvl = 10 }
+  private case class NCol(n: String) extends NE { val lvl = 10 }
+  private case class NBin(op: String, l: NE, r: NE) extends NE
+    { val lvl = if (op == "+" || op == "-") 5 else 6 }
+  private case class NPow(b: NE, e: Int) extends NE { val lvl = 8 }
+  private case class NNeg(e: NE) extends NE { val lvl = 7 }
+  private case class NTern(c: BE, t: NE, f: NE) extends NE { val lvl = 0 }
+  private sealed trait BE { def lvl: Int }
+  private case class BCmp(op: String, l: NE, r: NE) extends BE { val lvl = 4 }
+  private case class BAnd(l: BE, r: BE) extends BE { val lvl = 2 }
+  private case class BOr(l: BE, r: BE) extends BE { val lvl = 1 }
+  private case class BNot(e: BE) extends BE { val lvl = 3 }
+
+  private def pn(e: NE, min: Int): String = {
+    val s = e match {
+      case NLit(v) => v.toString
+      case NCol(n) => n
+      case NBin(op, l, r) => s"${pn(l, e.lvl)} $op ${pn(r, e.lvl + 1)}"
+      // base must be primary-level (Python power ::= primary ** u_expr)
+      case NPow(b, x) => s"${pn(b, 9)}**$x"
+      case NNeg(x) => s"-${pn(x, 7)}"
+      case NTern(c, t, f) => s"${pn(t, 1)} if ${pb(c, 1)} else ${pn(f, 0)}"
+    }
+    if (e.lvl < min) s"($s)" else s
+  }
+  private def pb(e: BE, min: Int): String = {
+    val s = e match {
+      case BCmp(op, l, r) => s"${pn(l, 5)} $op ${pn(r, 5)}"
+      case BAnd(l, r) => s"${pb(l, 2)} and ${pb(r, 3)}"
+      case BOr(l, r) => s"${pb(l, 1)} or ${pb(r, 2)}"
+      case BNot(x) => s"not ${pb(x, 3)}"
+    }
+    if (e.lvl < min) s"($s)" else s
+  }
+
+  private def evN(e: NE, env: Map[String, Long]): Double = e match {
+    case NLit(v) => v.toDouble
+    case NCol(n) => env(n).toDouble
+    case NBin("+", l, r) => evN(l, env) + evN(r, env)
+    case NBin("-", l, r) => evN(l, env) - evN(r, env)
+    case NBin("*", l, r) => evN(l, env) * evN(r, env)
+    case NBin("/", l, r) => evN(l, env) / evN(r, env)
+    case NBin("%", l, r) => // python floored modulo; divisors are +ve by gen
+      val (a, b) = (evN(l, env), evN(r, env)); a - math.floor(a / b) * b
+    case NBin(op, _, _) => sys.error(s"unexpected op $op")
+    case NPow(b, x) => math.pow(evN(b, env), x)
+    case NNeg(x) => -evN(x, env)
+    case NTern(c, t, f) => if (evB(c, env)) evN(t, env) else evN(f, env)
+  }
+  private def evB(e: BE, env: Map[String, Long]): Boolean = e match {
+    case BCmp("==", l, r) => evN(l, env) == evN(r, env)
+    case BCmp("!=", l, r) => evN(l, env) != evN(r, env)
+    case BCmp("<", l, r) => evN(l, env) < evN(r, env)
+    case BCmp("<=", l, r) => evN(l, env) <= evN(r, env)
+    case BCmp(">", l, r) => evN(l, env) > evN(r, env)
+    case BCmp(">=", l, r) => evN(l, env) >= evN(r, env)
+    case BCmp(op, _, _) => sys.error(s"unexpected cmp $op")
+    case BAnd(l, r) => evB(l, env) && evB(r, env)
+    case BOr(l, r) => evB(l, env) || evB(r, env)
+    case BNot(x) => !evB(x, env)
+  }
+
+  // deterministic generator (seeded LCG — scalacheck Gen sizing is
+  // clumsier than needed for a recursive grammar)
+  private final class Rng(var s: Long) {
+    def nextInt(n: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (math.abs(s >>> 33) % n).toInt
+    }
+  }
+  private def genN(d: Int, r: Rng): NE =
+    if (d == 0) { if (r.nextInt(2) == 0) NLit(r.nextInt(9).toLong) else NCol(if (r.nextInt(2) == 0) "x" else "y") }
+    else r.nextInt(8) match {
+      case 0 => NBin("+", genN(d - 1, r), genN(d - 1, r))
+      case 1 => NBin("-", genN(d - 1, r), genN(d - 1, r))
+      case 2 => NBin("*", genN(d - 1, r), genN(d - 1, r))
+      case 3 => NBin("/", genN(d - 1, r), NLit(1 + r.nextInt(8).toLong))
+      case 4 => NBin("%", genN(d - 1, r), NLit(1 + r.nextInt(8).toLong))
+      case 5 => NPow(genN(d - 1, r), r.nextInt(3))
+      case 6 => NNeg(genN(d - 1, r))
+      case _ => NTern(genB(d - 1, r), genN(d - 1, r), genN(d - 1, r))
+    }
+  private def genB(d: Int, r: Rng): BE =
+    if (d == 0) BCmp(Seq("==", "!=", "<", "<=", ">", ">=")(r.nextInt(6)),
+      genN(0, r), genN(0, r))
+    else r.nextInt(4) match {
+      case 0 => BAnd(genB(d - 1, r), genB(d - 1, r))
+      case 1 => BOr(genB(d - 1, r), genB(d - 1, r))
+      case 2 => BNot(genB(d - 1, r))
+      case _ => BCmp(Seq("==", "!=", "<", "<=", ">", ">=")(r.nextInt(6)),
+        genN(d - 1, r), genN(d - 1, r))
+    }
+
+  test("random grammar expressions evaluate with Python semantics (one select)") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val rows = Seq((3L, -4L), (-7L, 2L), (0L, 5L), (9L, 8L), (-1L, -6L))
+    val exprs = (1 to 150).map { i =>
+      val r = new Rng(i * 7919L)
+      genN(1 + r.nextInt(3), r)
+    }
+    val cols = exprs.zipWithIndex.map { case (e, i) =>
+      PyExpr.compile(pn(e, 0), schema).cast("double").as(s"c$i")
+    }
+    val got = rows.toDF("x", "y").select(cols: _*).collect()
+    rows.zipWithIndex.foreach { case ((x, y), ri) =>
+      val env = Map("x" -> x, "y" -> y)
+      exprs.zipWithIndex.foreach { case (e, ci) =>
+        val expect = evN(e, env)
+        val actual = got(ri).getDouble(ci)
+        assert(math.abs(actual - expect) <= math.abs(expect) * 1e-9 + 1e-9,
+          s"row ($x,$y) expr `${pn(e, 0)}`: spark=$actual python=$expect")
+      }
+    }
+  }
+}
+
 /** The eval-expression translator (SURVEY §7.3) against the expression
   * patterns the reference's shipped recipes actually use
   * (conf/recipes/name.yml:5-27, matching.yml:70-106). */

@@ -986,6 +986,31 @@ class RecipeConfSpec extends SparkSpec {
       RecipeConf.run(spark, conf("eval: {out: \"1\", onError: strings}"), "r")
     }
     assert(e2.getMessage.contains("onError"), e2.getMessage)
+    // typed knobs: unparseable numeric/bool values name the step and
+    // the knob, never an anonymous NumberFormatException
+    val e4 = intercept[RuntimeException] {
+      RecipeConf.run(spark,
+        conf("chunk: {id: id, text: lang, size: tiny}"), "r")
+    }
+    assert(e4.getMessage.contains("chunk: 'size' must be an integer, got 'tiny'"),
+      e4.getMessage)
+    val e5 = intercept[RuntimeException] {
+      RecipeConf.run(spark,
+        conf("near_dups: {id: id, text: lang, threshold: high}"), "r")
+    }
+    assert(e5.getMessage.contains("near_dups: 'threshold' must be a number"),
+      e5.getMessage)
+    val e6 = intercept[RuntimeException] {
+      RecipeConf.run(spark,
+        conf("vocab: {text: lang, lowercase: yep}"), "r")
+    }
+    assert(e6.getMessage.contains("vocab: 'lowercase' must be true/false"),
+      e6.getMessage)
+    // a knob written but left BLANK is an error, not a silent default
+    val e7 = intercept[RuntimeException] {
+      RecipeConf.run(spark, conf("chunk: {id: id, text: lang, size: }"), "r")
+    }
+    assert(e7.getMessage.contains("chunk: 'size' is blank"), e7.getMessage)
     // unknown top-level input dataset names the recipe and known names
     val badIn = RecipeConf.load(
       s"""datasets:
