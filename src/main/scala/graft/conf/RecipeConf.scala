@@ -659,6 +659,43 @@ object RecipeConf {
           graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
           lowercase = lc)
       }
+      // ANN top-k as a recipe step — the QUERY side of the ann_index
+      // sink (input rows are the queries):
+      //   ann_topk: {id: col, vec: col, k: 10, index: ann_ds, nprobe: 4}
+      //     → probe a persisted IVF index (partition-pruned read)
+      //   ann_topk: {id: col, vec: col, k: 10, dataset: corpus,
+      //              corpus_id: c, corpus_vec: v, method: brute|lsh}
+      //     → score directly against a corpus dataset
+      case "ann_topk" => df => {
+        val id = req("id"); val vec = req("vec"); val k = knobInt("k", 10)
+        m.get("index") match {
+          case Some(ix) if ix != null =>
+            val name = ix.toString
+            val ds = conf.datasets.getOrElse(name, sys.error(
+              s"$op: unknown index dataset '$name' " +
+                s"(known: ${conf.datasets.keys.toSeq.sorted.mkString(", ")})"))
+            require(ds.format == "ann_index",
+              s"$op: dataset '$name' has format '${ds.format}' — " +
+                "'index' must name an ann_index dataset")
+            graft.sim.Ann.ivfIndexTopK(spark, ds.path, df, id, vec,
+              k = k, nprobe = knobInt("nprobe", 4))
+          case Some(_) => sys.error(s"$op: 'index' is blank — name an " +
+            "ann_index dataset or use dataset:/method: for direct scoring")
+          case None =>
+            val corpus = namedDataset()
+            val cid = knob("corpus_id", id)
+            val cvec = knob("corpus_vec", vec)
+            knob("method", "brute") match {
+              case "brute" => graft.sim.Ann.bruteForceTopK(
+                df, corpus, id, vec, cid, cvec, k)
+              case "lsh" => graft.sim.Ann.lshTopK(
+                df, corpus, id, vec, cid, cvec, k, dim = 0,
+                bits = knobInt("bits", 12), tables = knobInt("tables", 3))
+              case other =>
+                sys.error(s"$op: unknown method '$other' (brute | lsh)")
+            }
+        }
+      }
       case "sql" => df => { spark.sql(req("statement")); df }
       case "exec" =>
         sys.error("exec (arbitrary code) is not supported by design — " +

@@ -1086,6 +1086,54 @@ class RecipeConfSpec extends SparkSpec {
     val hits = graft.sim.Ann.ivfIndexTopK(spark, s"$dir/ann_out",
       q, "vec_id", "embedding", k = 2, nprobe = 2)
     assert(hits.count() == 6) // 3 queries × k=2
+
+    // the QUERY side from YAML: ann_topk probes the persisted index;
+    // with nprobe = nlist it is exhaustive, so it must agree exactly
+    // with brute force over the same corpus (method: brute)
+    val qconf = RecipeConf.load(
+      s"""datasets:
+         |  vectors: {path: $dir/ann_in, format: parquet}
+         |  the_ann:
+         |    path: $dir/ann_out
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "4"}
+         |recipes:
+         |  probe:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2,
+         |                   index: the_ann, nprobe: 4}
+         |  brute:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2, dataset: vectors}
+         |  hashed:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2,
+         |                   dataset: vectors, method: lsh, bits: 4, tables: 3}
+         |""".stripMargin)
+    val fromIndex = RecipeConf.run(spark, qconf, "probe")
+    val brute = RecipeConf.run(spark, qconf, "brute")
+    assert(fromIndex.count() == 80) // 40 queries × k=2
+    assert(fromIndex.exceptAll(brute).isEmpty,
+      "exhaustive IVF probe from YAML diverges from brute force")
+    // the LSH path returns a subset of true neighbors with exact scores
+    val lsh = RecipeConf.run(spark, qconf, "hashed")
+    assert(lsh.count() > 0 && lsh.join(
+      graft.sim.Ann.bruteForceTopK(q.sparkSession.read.parquet(s"$dir/ann_in"),
+        q.sparkSession.read.parquet(s"$dir/ann_in"),
+        "vec_id", "embedding", "vec_id", "embedding", k = 40),
+      Seq("query_id", "neighbor_id", "score"), "left_anti").isEmpty)
+    // wrong-format index dataset is named at compile
+    val bad = RecipeConf.load(
+      s"""datasets:
+         |  vectors: {path: $dir/ann_in, format: parquet}
+         |recipes:
+         |  p: {input: vectors, steps: [{ann_topk: {id: vec_id, vec: embedding, index: vectors}}]}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] { RecipeConf.run(spark, bad, "p") }
+    assert(e.getMessage.contains("must name an ann_index dataset"), e.getMessage)
   }
 
   test("dedup and near_dups recipe steps run the training-data operators from YAML") {
