@@ -693,12 +693,15 @@ object SparkEntry {
     * q53 joined in round 6: the 13-gram decontamination pipeline is the
     * most shuffle-heavy LLM-curation op; q59 joined with it so the LM
     * scoring path (explode + vocab join + per-doc aggregate) has a
-    * tracked number too. */
+    * tracked number too. q60 joined in round 7: the persisted-IVF path
+    * is the ANN you'd run at 100 TB, and its number includes the full
+    * build → partitioned write → pruned probe round trip. */
   val benchQueries: Seq[String] = Seq(
     "q01_agg", "q02_join_enrich", "q03_rank_topk", "q11_transform",
     "q18_events_window", "q21_fingerprint", "q24_jaccard_pairs",
     "q25_ann_topk", "q26_minhash_pairs", "q29_match_topk",
-    "q39_matching_e2e", "q53_decontaminate", "q59_lm_logprob")
+    "q39_matching_e2e", "q53_decontaminate", "q59_lm_logprob",
+    "q60_ann_ivf")
 
   // ------------------------------------------------------------- oracles
   private val normSql =

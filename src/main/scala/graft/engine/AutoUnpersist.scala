@@ -61,7 +61,11 @@ object AutoUnpersist {
     val it = pending.keySet.iterator
     while (it.hasNext) {
       val df = pending.remove(it.next())
-      if (df != null) df.unpersist(blocking = false)
+      // a pending frame may belong to an already-stopped session —
+      // nothing left to release, and its unpersist throws
+      if (df != null)
+        try df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => }
     }
   }
 
@@ -77,13 +81,17 @@ object AutoUnpersist {
             durationNs: Long): Unit = release(qe)
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = release(qe)
-        private def release(qe: QueryExecution): Unit =
+        private def release(qe: QueryExecution): Unit = try {
+          // withCachedData re-throws the original failure for a query
+          // that never analyzed — nothing to release there, and a
+          // throwing listener is pure log spam
           qe.withCachedData.collect { case ir: InMemoryRelation =>
             ir.cacheBuilder
           }.foreach { b =>
             val df = pending.remove(b)
             if (df != null) df.unpersist(blocking = false)
           }
+        } catch { case scala.util.control.NonFatal(_) => }
       })
   }
 }

@@ -85,9 +85,13 @@ object Multimodal {
       * image format ImageIO knows). */
     def decodeStats(payload: Array[Byte]): Option[(Int, Int, Double, Double)] = {
       if (payload == null || payload.isEmpty) return None
+      // NonFatal, not just IOException: several JDK decoders throw
+      // runtime exceptions (IndexOutOfBounds, NegativeArraySize…) on
+      // malformed/crafted headers — at corpus scale a bad payload is
+      // routine data and must never kill the job
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return None
       val r = img.getRaster
       val w = r.getWidth
