@@ -317,7 +317,11 @@ object SparkEntry {
     // query) runs in the driver gate, not just in specs.
     "q60_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-q60").toString
+      // FIXED path, overwritten in place: Bench/Verify invoke this
+      // lambda several times per round — a fresh createTempDirectory
+      // per call would leave a full embeddings copy in /tmp each time
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ivf-q60").getAbsolutePath
       Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 16)
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)

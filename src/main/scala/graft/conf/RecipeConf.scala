@@ -347,6 +347,19 @@ object RecipeConf {
       val s = req(key)
       s.toIntOption.getOrElse(sys.error(s"$op: '$key' must be an integer, got '$s'"))
     }
+    // optional knob with NO default: absent → None, blank → named error
+    def knobOpt(key: String): Option[String] = m.get(key) match {
+      case Some(v) if v != null => Some(v.toString)
+      case Some(_) => sys.error(s"$op: '$key' is blank — give it a value or drop it")
+      case None => None
+    }
+    // numeric VALUE inside a user mapping (split weights, sample rates):
+    // blank / unparseable names the entry, not an anonymous NPE
+    def numVal(step: String, what: String, key: String, v: Any): Double = {
+      if (v == null) sys.error(s"$step: $what for '$key' is blank")
+      v.toString.toDoubleOption.getOrElse(
+        sys.error(s"$step: $what for '$key' must be a number, got '$v'"))
+    }
     def namedDataset(): DataFrame = {
       val name = req("dataset")
       read(spark, conf.datasets.getOrElse(name, sys.error(
@@ -519,7 +532,7 @@ object RecipeConf {
       //             ngram|embedding, ...} → candidate pair table
       case "dedup" => df => {
         val id = req("id"); val text = req("text")
-        m.getOrElse("method", "exact").toString match {
+        knob("method", "exact") match {
           case "exact" => graft.dedup.Dedup.exactDedup(df, id, text)
           case "fingerprint" => graft.dedup.Dedup.fingerprintDedup(df, id, text)
           case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, text,
@@ -533,7 +546,7 @@ object RecipeConf {
       }
       case "near_dups" => df => {
         val id = req("id")
-        m.getOrElse("method", "minhash").toString match {
+        knob("method", "minhash") match {
           case "minhash" => graft.dedup.Dedup.minhashNearDups(df, id,
             req("text"),
             threshold = knobDouble("threshold", 0.6))
@@ -541,7 +554,7 @@ object RecipeConf {
             req("text"),
             maxHamming = knobInt("max_hamming", 3),
             bands = knobInt("bands", 4),
-            algo = m.getOrElse("algo", "murmur3").toString)
+            algo = knob("algo", "murmur3"))
           case "ngram" => graft.dedup.Dedup.ngramJaccardPairs(df, id,
             req("text"), req("block"),
             threshold = knobDouble("threshold", 0.5))
@@ -575,8 +588,8 @@ object RecipeConf {
         val test = namedDataset()
         val id = req("id"); val text = req("text")
         val n = knobInt("n", 13)
-        val testText = m.get("test_text").map(_.toString)
-        m.getOrElse("mode", "drop").toString match {
+        val testText = knobOpt("test_text")
+        knob("mode", "drop") match {
           case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n, testText)
           case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n, testText)
           case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag)")
@@ -585,19 +598,19 @@ object RecipeConf {
       // deterministic hash-based train/val/test assignment (training-data
       // curation): split: {id: col, salt: v1, splits: {train: 0.9, ...}}
       case "split" => df => Ops.hashSplit(df, req("id"),
-        m.getOrElse("salt", "").toString,
+        knob("salt", ""),
         anyMap(m.get("splits") match {
           // Some(null) = `splits:` written but left blank — same silent
           // no-op hole as a missing knob (anyMap(null) is Map.empty)
           case None | Some(null) =>
             sys.error("split step needs splits: {name: weight, ...}")
           case Some(v) => v
-        }).toSeq.map { case (k, v) => k -> v.toString.toDouble },
-        splitCol = m.getOrElse("column", "split").toString)
+        }).toSeq.map { case (k, v) => k -> numVal("split", "weight", k, v) },
+        splitCol = knob("column", "split"))
       // cap each key's rows (bound a source's contribution to the mix)
       case "cap" => df => Ops.capPerKey(df, req("key"),
         req("id"), reqInt("n"),
-        salt = m.getOrElse("salt", "").toString)
+        salt = knob("salt", ""))
       // deterministic per-key sampling rates (source mixing)
       case "sample" => df => Ops.sampleByKey(df, req("key"),
         req("id"),
@@ -608,9 +621,9 @@ object RecipeConf {
           case None | Some(null) =>
             sys.error("sample: 'rates' ({key: rate, ...}) required")
           case Some(v) => v
-        }).toSeq.map { case (k, v) => k -> v.toString.toDouble },
+        }).toSeq.map { case (k, v) => k -> numVal("sample", "rate", k, v) },
         defaultRate = knobDouble("default", 1.0),
-        salt = m.getOrElse("salt", "").toString)
+        salt = knob("salt", ""))
       // token-window chunking (RAG / pretraining shards):
       //   chunk: {id: col, text: col, size: 64, stride: 32}
       case "chunk" => df => graft.text.Curation.chunk(df, req("id"), req("text"),
@@ -624,7 +637,7 @@ object RecipeConf {
         val metrics = graft.text.Curation.gopherQuality(df, id, req("text"),
           minWords = knobInt("min_words", 50),
           maxWords = knobInt("max_words", 100000))
-        m.getOrElse("mode", "filter").toString match {
+        knob("mode", "filter") match {
           case "filter" => df.join(
             metrics.filter(col("keep")).select(id), Seq(id), "left_semi")
           case "metrics" => metrics
@@ -689,7 +702,7 @@ object RecipeConf {
               case "brute" => graft.sim.Ann.bruteForceTopK(
                 df, corpus, id, vec, cid, cvec, k)
               case "lsh" => graft.sim.Ann.lshTopK(
-                df, corpus, id, vec, cid, cvec, k, dim = 0,
+                df, corpus, id, vec, cid, cvec, k,
                 bits = knobInt("bits", 12), tables = knobInt("tables", 3))
               case other =>
                 sys.error(s"$op: unknown method '$other' (brute | lsh)")
@@ -759,7 +772,15 @@ object RecipeConf {
       case b: BoolNode => b.copy(must = b.must.map(rewrite), should = b.should.map(rewrite))
     }
     val spec = spec0.copy(root = rewrite(spec0.root))
-    val keepUnmatched = m.get("keep_unmatched").exists(_.toString.toBoolean)
+    // blank/garbage-safe bool knob (this method predates compileStep's
+    // typed helpers and has its own arg map)
+    def boolKnob(key: String, default: Boolean): Boolean = m.get(key) match {
+      case Some(v) if v != null => v.toString.toBooleanOption.getOrElse(
+        sys.error(s"match: '$key' must be true/false, got '$v'"))
+      case Some(_) => sys.error(s"match: '$key' is blank — give it a value or drop it")
+      case None => default
+    }
+    val keepUnmatched = boolKnob("keep_unmatched", default = false)
     // the bucket shape below classifies columns by the hit_ prefix — a
     // left input column named hit_* would be swept out of the grouping
     // keys and silently relocated/lost (the right side has the same
@@ -771,7 +792,12 @@ object RecipeConf {
         "the hit_* output contract — rename them before the match")
     val flat = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
       maxDocFreq = {
-        val s = m.getOrElse("max_doc_freq", "0").toString
+        val s = m.get("max_doc_freq") match {
+          case Some(v) if v != null => v.toString
+          case Some(_) => sys.error("match: 'max_doc_freq' is blank — " +
+            "give it a value or drop it")
+          case None => "0"
+        }
         s.toLongOption.getOrElse(sys.error(
           s"match: 'max_doc_freq' must be an integer, got '$s'"))
       })
@@ -780,7 +806,7 @@ object RecipeConf {
     // unfold: False keeps the pre-unfold bucket shape — one row per left
     // row with a rank-ordered `hits` array of hit structs
     // (recipes.py:2322-2336, docs/recipes.md:198-204)
-    val unfold = m.get("unfold").forall(_.toString.toBoolean)
+    val unfold = boolKnob("unfold", default = true)
     if (unfold) out
     else {
       val hitCols = out.columns.filter(c =>

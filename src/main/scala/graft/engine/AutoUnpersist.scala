@@ -38,6 +38,16 @@ object AutoUnpersist {
   private val installed = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  // bound on never-consumed registrations: entries normally leave when
+  // their action completes, but a plan BUILT and never executed (a later
+  // step fails at compile, an explain-only path) has no action — without
+  // a cap each one pins its DataFrame + cache entry for the process
+  // lifetime (the API server compiles recipes on every PUT). Evicting
+  // the oldest is always SAFE: a still-wanted cache that was evicted
+  // just recomputes when its action finally runs.
+  private val MaxPending = 64
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+
   /** Persist `df` and unpersist it automatically after the first
     * completed action that read the cache. Returns the persisted frame. */
   def cache(df: DataFrame,
@@ -47,6 +57,21 @@ object AutoUnpersist {
       case Some(b) =>
         install(cached.sparkSession)
         pending.put(b, cached)
+        order.add(b)
+        // drop queue heads the listener already released (best effort —
+        // keeps the queue tracking pending, not all-time history)
+        var h = order.peek()
+        while (h != null && !pending.containsKey(h)) {
+          order.poll(); h = order.peek()
+        }
+        while (pending.size > MaxPending) {
+          val old = order.poll()
+          if (old == null) return cached
+          val victim = pending.remove(old)
+          if (victim != null)
+            try victim.unpersist(blocking = false)
+            catch { case scala.util.control.NonFatal(_) => }
+        }
       case None => // cache entry not visible — degrade to a plain persist
     }
     cached

@@ -96,7 +96,10 @@ object Multimodal {
       val r = img.getRaster
       val w = r.getWidth
       val h = r.getHeight
-      val bands = math.min(r.getNumBands, 3)
+      // intensity bands: gray → band 0; gray+alpha (2-band LA rasters)
+      // → band 0 ONLY (averaging alpha in would report (gray+255)/2 for
+      // opaque pixels — silently wrong stats); RGB/RGBA → first 3
+      val bands = if (r.getNumBands == 2) 1 else math.min(r.getNumBands, 3)
       var sum = 0L // of per-pixel band sums — exact
       var sumSq = 0L
       var y = 0

@@ -102,7 +102,7 @@ object Ann {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, dim: Int, bits: Int = 12, tables: Int = 3,
+      k: Int, bits: Int = 12, tables: Int = 3,
       excludeSelf: Boolean = true): DataFrame = {
     require(bits >= 1 && tables >= 1 && bits * tables <= 64,
       s"bits*tables must be in [1,64] (one 64-bit signature holds all " +
@@ -118,14 +118,23 @@ object Ann {
       .withColumn("__table", col("__b.__table"))
       .withColumn("__bucket", col("__b.__bucket"))
       .drop("__b", "__sig")
+    // the query vector rides the (tiny, broadcast) query table only —
+    // the bucket-join output and the dedup exchange carry it for free
+    // via re-attach, so each candidate row ships ONE embedding (__cv),
+    // not two. __cv itself cannot leave the candidate stream: fetching
+    // it after the dedup would mean re-shuffling the whole corpus.
+    val qVecs = broadcast(
+      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
     val q = broadcast(banded(
-      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")), "__qv"))
+      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")), "__qv")
+      .drop("__qv"))
     val c = banded(
       corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), "__cv")
     // a pair meeting in several tables must still score/rank ONCE; the
     // dedup shuffles only the candidate set (collisions), never the corpus
     val cand = q.join(c, Seq("__table", "__bucket"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(qVecs, Seq("query_id"))
     scoreAndRank(cand, k, excludeSelf)
   }
 
@@ -143,6 +152,8 @@ object Ann {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && nlist >= 1 && nprobe >= 1,
+      s"k/nlist/nprobe must be >= 1, got k=$k nlist=$nlist nprobe=$nprobe")
 
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -218,6 +229,17 @@ object Ann {
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // name a wrong path / not-an-index directory instead of surfacing a
+    // bare parquet PATH_NOT_FOUND from one of the two sub-reads
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("assigned", "centroids").foreach { t =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
+        s"ivfIndexTopK: '$path' is not an IVF index (missing $t/ — " +
+          "build one with writeIvfIndex or the ann_index sink)")
+    }
     val assigned = spark.read.parquet(s"$path/assigned")
     val centDf = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))

@@ -230,6 +230,11 @@ class GraphDedupSpec extends SparkSpec {
     val p = fromIndex.queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the assigned scan:\n$p")
+    // a wrong path names itself instead of a bare parquet read error
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, s"$idxPath/nope", q, "vec_id", "embedding", k = 2)
+    }
+    assert(e2.getMessage.contains("not an IVF index"), e2.getMessage)
   }
 
   test("hyperplane-LSH ANN: pinned recall + exact scores on the driver embeddings") {
@@ -245,7 +250,7 @@ class GraphDedupSpec extends SparkSpec {
     val planted = q.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
     val corpus = e.unionByName(planted)
     val lsh = Ann.lshTopK(q, corpus, "vec_id", "embedding",
-      "vec_id", "embedding", k = 5, dim = 64)
+      "vec_id", "embedding", k = 5)
     val top1 = lsh.filter(col("rank") === 1)
       .select("query_id", "neighbor_id", "score").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -475,6 +475,19 @@ class ModulesSpec extends SparkSpec {
     javax.imageio.ImageIO.write(rgb, "png", bos2)
     val (_, _, m2, s2) = Multimodal.ImageCodec.decodeStats(bos2.toByteArray).get
     assert(m2 == 100.0 && s2 == 0.0)
+    // gray+alpha (2-band LA raster): intensity is the GRAY band only —
+    // averaging alpha in would report (gray+255)/2 for opaque pixels
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(1, 1)
+    raster.setSample(0, 0, 0, 100) // gray
+    raster.setSample(0, 0, 1, 255) // alpha (opaque)
+    val la = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val bos3 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(la, "png", bos3)
+    val (_, _, m3, s3) = Multimodal.ImageCodec.decodeStats(bos3.toByteArray).get
+    assert(m3 == 100.0 && s3 == 0.0, s"LA decode gave mean=$m3 std=$s3")
     // corrupt payloads are data, not errors: null stats, no exception
     assert(Multimodal.ImageCodec.decodeStats("not a png".getBytes).isEmpty)
     assert(Multimodal.ImageCodec.decodeStats(null).isEmpty)

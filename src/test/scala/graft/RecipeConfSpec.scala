@@ -1011,6 +1011,18 @@ class RecipeConfSpec extends SparkSpec {
       RecipeConf.run(spark, conf("chunk: {id: id, text: lang, size: }"), "r")
     }
     assert(e7.getMessage.contains("chunk: 'size' is blank"), e7.getMessage)
+    // ...including STRING knobs (a blank method was an anonymous NPE)
+    val e8 = intercept[RuntimeException] {
+      RecipeConf.run(spark, conf("dedup: {id: id, text: lang, method: }"), "r")
+    }
+    assert(e8.getMessage.contains("dedup: 'method' is blank"), e8.getMessage)
+    // ...and numeric values INSIDE user mappings (split weights)
+    val e9 = intercept[RuntimeException] {
+      RecipeConf.run(spark,
+        conf("split: {id: id, splits: {train: heavy}}"), "r")
+    }
+    assert(e9.getMessage.contains("split: weight for 'train' must be a number"),
+      e9.getMessage)
     // unknown top-level input dataset names the recipe and known names
     val badIn = RecipeConf.load(
       s"""datasets:
