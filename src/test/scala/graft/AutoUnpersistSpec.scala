@@ -42,4 +42,19 @@ class AutoUnpersistSpec extends SparkSpec {
       "cacheManager still holds entries 30s after the consuming actions")
     assert(graft.engine.AutoUnpersist.pendingCount == 0)
   }
+
+  test("never-executed plans cannot grow the registry past its bound") {
+    import org.apache.spark.sql.functions.lit
+    graft.engine.AutoUnpersist.releaseAll()
+    // plan-only registrations (no action ever runs them) — the shape a
+    // recipe leaves behind when a LATER step fails at compile
+    (1 to 80).foreach { i =>
+      graft.engine.AutoUnpersist.cache(
+        (1 to 3).toDF("v").withColumn("tag", lit(i)))
+    }
+    assert(graft.engine.AutoUnpersist.pendingCount <= 64,
+      s"registry grew to ${graft.engine.AutoUnpersist.pendingCount}")
+    graft.engine.AutoUnpersist.releaseAll()
+    spark.catalog.clearCache()
+  }
 }

@@ -109,6 +109,84 @@ class PyExprPropertySpec extends SparkSpec {
         genN(d - 1, r), genN(d - 1, r))
     }
 
+  // ---- string fragment of the grammar: concat, .replace, 'x' in s,
+  // lexicographic compares, ternary — the ops recipes actually use
+  private sealed trait SE { def lvl: Int }
+  private case class SLit(s: String) extends SE { val lvl = 10 }
+  private case class SCol(n: String) extends SE { val lvl = 10 }
+  private case class SCat(l: SE, r: SE) extends SE { val lvl = 5 }
+  private case class SRepl(o: SE, from: String, to: String) extends SE { val lvl = 9 }
+  private case class STern(c: SB, t: SE, f: SE) extends SE { val lvl = 0 }
+  private sealed trait SB
+  private case class SIn(needle: String, hay: SE) extends SB
+  private case class SCmp(op: String, l: SE, r: SE) extends SB
+
+  private def ps(e: SE, min: Int): String = {
+    val s = e match {
+      case SLit(v) => s"'$v'"
+      case SCol(n) => n
+      case SCat(l, r) => s"${ps(l, 5)} + ${ps(r, 6)}"
+      case SRepl(o, f, t) => s"${ps(o, 9)}.replace('$f', '$t')"
+      case STern(c, t, f) => s"${ps(t, 1)} if ${psb(c)} else ${ps(f, 0)}"
+    }
+    if (e.lvl < min) s"($s)" else s
+  }
+  private def psb(b: SB): String = b match {
+    case SIn(n, h) => s"'$n' in ${ps(h, 5)}"
+    case SCmp(op, l, r) => s"${ps(l, 5)} $op ${ps(r, 5)}"
+  }
+  private def evS(e: SE, env: Map[String, String]): String = e match {
+    case SLit(v) => v
+    case SCol(n) => env(n)
+    case SCat(l, r) => evS(l, env) + evS(r, env)
+    case SRepl(o, f, t) => evS(o, env).replace(f, t)
+    case STern(c, t, f) => if (evSB(c, env)) evS(t, env) else evS(f, env)
+  }
+  private def evSB(b: SB, env: Map[String, String]): Boolean = b match {
+    case SIn(n, h) => evS(h, env).contains(n)
+    case SCmp("==", l, r) => evS(l, env) == evS(r, env)
+    case SCmp("!=", l, r) => evS(l, env) != evS(r, env)
+    case SCmp("<", l, r) => evS(l, env) < evS(r, env)
+    case SCmp("<=", l, r) => evS(l, env) <= evS(r, env)
+    case SCmp(op, _, _) => sys.error(s"unexpected cmp $op")
+  }
+  private val frags = Seq("ab", "ba", "x", "abc", "")
+  private def genS(d: Int, r: Rng): SE =
+    if (d == 0) { if (r.nextInt(2) == 0) SLit(frags(r.nextInt(frags.length)))
+      else SCol(if (r.nextInt(2) == 0) "s" else "t") }
+    else r.nextInt(4) match {
+      case 0 => SCat(genS(d - 1, r), genS(d - 1, r))
+      case 1 => SRepl(genS(d - 1, r), frags(r.nextInt(4)), // non-empty from
+        frags(r.nextInt(frags.length)))
+      case 2 => STern(SIn(frags(r.nextInt(4)), genS(d - 1, r)),
+        genS(d - 1, r), genS(d - 1, r))
+      case _ => STern(SCmp(Seq("==", "!=", "<", "<=")(r.nextInt(4)),
+        genS(d - 1, r), genS(d - 1, r)), genS(d - 1, r), genS(d - 1, r))
+    }
+
+  test("random STRING expressions evaluate with Python semantics (one select)") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("s", StringType), StructField("t", StringType)))
+    val rows = Seq(("abc", "ba"), ("", "abab"), ("xyx", "x"), ("ba", ""))
+    val exprs = (1 to 120).map { i =>
+      val r = new Rng(i * 104729L)
+      genS(1 + r.nextInt(3), r)
+    }
+    val cols = exprs.zipWithIndex.map { case (e, i) =>
+      PyExpr.compile(ps(e, 0), schema).as(s"c$i")
+    }
+    val got = rows.toDF("s", "t").select(cols: _*).collect()
+    rows.zipWithIndex.foreach { case ((sv, tv), ri) =>
+      val env = Map("s" -> sv, "t" -> tv)
+      exprs.zipWithIndex.foreach { case (e, ci) =>
+        val expect = evS(e, env)
+        val actual = got(ri).getString(ci)
+        assert(actual == expect,
+          s"row ('$sv','$tv') expr `${ps(e, 0)}`: spark='$actual' python='$expect'")
+      }
+    }
+  }
+
   test("random grammar expressions evaluate with Python semantics (one select)") {
     import spark.implicits._
     val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
