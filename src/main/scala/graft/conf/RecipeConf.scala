@@ -672,6 +672,32 @@ object RecipeConf {
           graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
           lowercase = lc)
       }
+      // ---- multimodal steps over the canonical media schema
+      // (media_id, kind, payload, meta) — Multimodal.mediaSchema
+      //   media_stats:  {}              byte-level stats, any kind
+      //   image_stats:  {}              REAL decode for kind=image
+      //   media_dedup:  {}              exact dedup groups by content
+      //   sample_frames: {every_ms: n}  one row per sampled offset
+      case "media_stats" | "image_stats" | "media_dedup" | "sample_frames" =>
+        df => {
+          val need = op match {
+            case "media_dedup" => Seq("media_id", "payload")
+            case "sample_frames" => Seq("payload", "meta")
+            case "image_stats" => Seq("kind", "payload")
+            case _ => Seq("payload")
+          }
+          val missing = need.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"$op: input is missing media column(s) ${missing.mkString(", ")} " +
+              "(expected the canonical media schema: media_id, kind, payload, meta)")
+          op match {
+            case "media_stats" => graft.multimodal.Multimodal.extractFeatures(df)
+            case "image_stats" => graft.multimodal.Multimodal.decodeImages(df)
+            case "media_dedup" => graft.multimodal.Multimodal.dedupGroups(df)
+            case _ => graft.multimodal.Multimodal.sampleFrames(df,
+              everyMs = knobLong("every_ms", 1000L))
+          }
+        }
       // ANN top-k as a recipe step — the QUERY side of the ann_index
       // sink (input rows are the queries):
       //   ann_topk: {id: col, vec: col, k: 10, index: ann_ds, nprobe: 4}

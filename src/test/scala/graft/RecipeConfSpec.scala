@@ -1148,6 +1148,38 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("must name an ann_index dataset"), e.getMessage)
   }
 
+  test("multimodal steps run the media operators from YAML") {
+    import spark.implicits._
+    graft.multimodal.Multimodal.synthesizeImages(
+        Seq(5L, 6L).toDF("k"), "k", w = 4, h = 2)
+      .write.mode("overwrite").parquet(s"$dir/media_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  media: {path: $dir/media_in, format: parquet}
+         |recipes:
+         |  stats:  {input: media, steps: [{image_stats: {}}]}
+         |  dedupm: {input: media, steps: [{media_dedup: {}}]}
+         |  frames: {input: media, steps: [{sample_frames: {every_ms: 10}}]}
+         |  bad:    {input: media, steps: [{image_stats: {}}]}
+         |""".stripMargin)
+    val st = RecipeConf.run(spark, conf, "stats").orderBy("media_id").collect()
+    assert(st.length == 2 && st(0).getAs[Int]("img_width") == 4)
+    assert(RecipeConf.run(spark, conf, "dedupm").count() == 2) // distinct payloads
+    // duration_ms is NULL for images → explode_outer keeps one NULL-frame row
+    assert(RecipeConf.run(spark, conf, "frames").count() == 2)
+    // a non-media input names the missing columns at compile
+    Seq((1L, "x")).toDF("id", "text")
+      .write.mode("overwrite").parquet(s"$dir/not_media")
+    val bad = RecipeConf.load(
+      s"""datasets:
+         |  nm: {path: $dir/not_media, format: parquet}
+         |recipes:
+         |  p: {input: nm, steps: [{image_stats: {}}]}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] { RecipeConf.run(spark, bad, "p") }
+    assert(e.getMessage.contains("missing media column"), e.getMessage)
+  }
+
   test("dedup and near_dups recipe steps run the training-data operators from YAML") {
     import spark.implicits._
     Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
