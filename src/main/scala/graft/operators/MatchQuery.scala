@@ -256,7 +256,8 @@ object MatchQuery {
             sys.error(s"es-template: match on $field needs a query")).toString
           val fz = vm.get("fuzziness").map(_.toString) match {
             case Some("auto") | Some("AUTO") => 1
-            case Some(n) => n.toInt
+            case Some(n) => n.toIntOption.getOrElse(sys.error(
+              s"es-template: fuzziness on $field must be an integer or auto, got '$n'"))
             case None => 0
           }
           // ES itself caps fuzziness at 2, and the deletion blocking
@@ -281,7 +282,10 @@ object MatchQuery {
             must = asList(bm.getOrElse("must", null)).map(parseNode),
             should = asList(bm.getOrElse("should", null)).map(parseNode),
             minimumShouldMatch =
-              bm.get("minimum_should_match").map(_.toString.toInt).getOrElse(-1))
+              bm.get("minimum_should_match").map { v =>
+                v.toString.toIntOption.getOrElse(sys.error(
+                  s"es-template: minimum_should_match must be an integer, got '$v'"))
+              }.getOrElse(-1))
         case ("match", v) => parseMatch(v)
         case ("span_first", v) =>
           val sm = asMap(v)
@@ -301,7 +305,8 @@ object MatchQuery {
     // unwrap {size, query}, {function_score: {query: …}} wrappers
     def unwrap(a: Any): Node = {
       val m = asMap(a)
-      if (m.contains("size")) k = m("size").toString.toInt
+      if (m.contains("size")) k = m("size").toString.toIntOption.getOrElse(
+        sys.error(s"es-template: size must be an integer, got '${m("size")}'"))
       if (m.contains("bool")) parseNode(a)
       else if (m.contains("function_score")) unwrap(asMap(m("function_score"))("query"))
       else if (m.contains("query")) unwrap(m("query"))

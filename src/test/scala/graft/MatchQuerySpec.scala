@@ -95,6 +95,25 @@ class MatchQuerySpec extends SparkSpec {
     assert(dupRows.forall(_.getAs[Long]("hit_score") == sOne)) // same score, not 2x
   }
 
+  test("template numeric knobs fail with the knob named, not a bare NumberFormatException") {
+    def tpl(yaml: String): Any = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
+    val e1 = intercept[RuntimeException] {
+      MatchQuery.compileTemplate(tpl(
+        "query: {bool: {should: [{match: {name: q}}], minimum_should_match: most}}"))
+    }
+    assert(e1.getMessage.contains("minimum_should_match must be an integer"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      MatchQuery.compileTemplate(tpl("size: big\nquery: {match: {name: q}}"))
+    }
+    assert(e2.getMessage.contains("size must be an integer"), e2.getMessage)
+    val e3 = intercept[RuntimeException] {
+      MatchQuery.compileTemplate(tpl(
+        "query: {match: {name: {query: q, fuzziness: fuzzy}}}"))
+    }
+    assert(e3.getMessage.contains("fuzziness on name must be an integer or auto"),
+      e3.getMessage)
+  }
+
   test("firstPosition restricts matching to the right side's first token (span_first)") {
     val left = Seq((100L, Seq("dupont"))).toDF("lid", "name_toks")
     val anywhere = Spec(Seq(Clause("name_toks", "name_toks")))
