@@ -286,6 +286,44 @@ class ApiServerSpec extends SparkSpec {
     } finally { api.stop(); provider.stop(0) }
   }
 
+  test("repeated recipe runs leave no cached tables behind (cache discipline)") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "something else entirely here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/cache_in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  cin:  {path: $dir/cache_in, format: parquet}
+         |  cout: {path: $dir/cache_out, format: parquet}
+         |recipes:
+         |  pairs:
+         |    input: cin
+         |    steps:
+         |      - near_dups: {id: doc_id, text: text, method: minhash}
+         |    output: cout
+         |""".stripMargin)
+    graft.engine.AutoUnpersist.releaseAll()
+    spark.catalog.clearCache()
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      (1 to 3).foreach { _ =>
+        assert(send("PUT", s"$base/recipes/pairs/run").statusCode() == 202)
+        api.awaitJobs()
+      }
+      // the unpersist listener is async — poll briefly
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val deadline = System.currentTimeMillis + 30000
+      var ok = false
+      while (!ok && System.currentTimeMillis < deadline) {
+        ok = classic.sharedState.cacheManager.isEmpty
+        if (!ok) Thread.sleep(100)
+      }
+      assert(ok, "cacheManager still holds entries after 3 API recipe runs")
+    } finally api.stop()
+  }
+
   test("forwarded proto/host headers shape redirect_uri only with trustProxyHeaders") {
     def mk(trust: Boolean) = new ApiServer(spark,
       RecipeConf.load("datasets: {}\nrecipes: {}"),
