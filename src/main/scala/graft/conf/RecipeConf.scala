@@ -186,6 +186,7 @@ object RecipeConf {
         encoding = ds.options.getOrElse("encoding", "UTF-8"),
         skiprows = ds.options.getOrElse("skiprows", "0").toInt)
       case "jsonl" | "json" => Sources.jsonl(spark, path)
+      case "orc" => Sources.orc(spark, path)
       case "fwf" => Sources.fwf(spark, path,
         widths = ds.options.getOrElse("widths",
           sys.error("fwf dataset needs options.widths (comma-separated)"))
@@ -219,6 +220,8 @@ object RecipeConf {
       sys.error(s"output mode 'update' (doc upsert) is only supported for " +
         s"parquet datasets, not '$other'")
     case "parquet" => Sinks.parquet(df, ds.path,
+      mode = if (mode == "create") "overwrite" else mode)
+    case "orc" => Sinks.orc(df, ds.path,
       mode = if (mode == "create") "overwrite" else mode)
     case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),
       mode = if (mode == "create") "overwrite" else mode)

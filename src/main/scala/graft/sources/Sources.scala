@@ -133,6 +133,14 @@ object Sources {
     if (select.nonEmpty) df.select(select.map(col): _*) else df
   }
 
+  /** ORC — beyond the reference's formats, but table stakes for a Spark
+    * library: the other columnar lake format, with the same pushdown/
+    * pruning story as parquet (built into spark-sql, no extra jars). */
+  def orc(spark: SparkSession, path: String, select: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.orc(path)
+    if (select.nonEmpty) df.select(select.map(col): _*) else df
+  }
+
   /** Multi-file read: regex over a directory, matched files read as one
     * dataset (recipes.py:356-366) — Spark unions them at the scan, one
     * task per split. Listing goes through the Hadoop FileSystem API, so
@@ -203,6 +211,13 @@ object Sinks {
       partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** ORC sink — same layout levers as the parquet sink. */
+  def orc(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
   /** `update` output mode — the ES doc-upsert analogue

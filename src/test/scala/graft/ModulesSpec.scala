@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.{Sinks, Sources}
+import graft.conf.RecipeConf
 import graft.ml.Scoring
 import graft.streaming.EventStream
 import graft.multimodal.Multimodal
@@ -58,6 +59,28 @@ class ModulesSpec extends SparkSpec {
       "# junk\nid;v\n1;café\n".getBytes("ISO-8859-1"))
     val back = Sources.csv(spark, f, encoding = "ISO-8859-1", skiprows = 1)
     assert(rows(back) == Seq(Seq("1", "café")))
+  }
+
+  test("orc source/sink round-trip, pushdown reaches the scan") {
+    val dir = tmpDir // tmpDir is a def: capture ONE directory
+    val df = Seq((1L, "ana", 30), (2L, "ben", 41)).toDF("id", "name", "age")
+    Sinks.orc(df, s"$dir/orc_rt")
+    val back = Sources.orc(spark, s"$dir/orc_rt")
+    assert(rows(back.orderBy("id")) == rows(df.orderBy("id")))
+    // filters and column pruning reach the ORC scan like parquet
+    val plan = back.filter(col("age") > 35).select("name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(age), GreaterThan(age"), plan)
+    // and the YAML layer reads/writes the format
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  oin:  {path: $dir/orc_rt, format: orc}
+         |  oout: {path: $dir/orc_out, format: orc}
+         |recipes:
+         |  cp: {input: oin, steps: [{keep: {select: [id, name]}}], output: oout}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "cp")
+    assert(Sources.orc(spark, s"$dir/orc_out").columns.toSeq == Seq("id", "name"))
   }
 
   test("csv skiprows rejects charsets whose newline is not the single byte 0x0A") {
