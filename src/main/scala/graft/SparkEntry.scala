@@ -317,11 +317,14 @@ object SparkEntry {
     // query) runs in the driver gate, not just in specs.
     "q60_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // FIXED path, overwritten in place: Bench/Verify invoke this
-      // lambda several times per round — a fresh createTempDirectory
-      // per call would leave a full embeddings copy in /tmp each time
+      // ONE path per JVM, overwritten in place across this process's
+      // repeated invocations (Bench warms + times the lambda several
+      // times; a fresh temp dir per call would leave an embeddings copy
+      // in /tmp each time). The pid suffix keeps concurrent processes
+      // (a Bench run beside a Verify run) from clobbering each other's
+      // index mid-read — each JVM leaks at most ONE bounded dir.
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-ivf-q60").getAbsolutePath
+        s"graft-ivf-q60-${ProcessHandle.current().pid()}").getAbsolutePath
       Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 16)
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)

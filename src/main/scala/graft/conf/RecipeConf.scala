@@ -223,6 +223,8 @@ object RecipeConf {
       mode = if (mode == "create") "overwrite" else mode)
     case "orc" => Sinks.orc(df, ds.path,
       mode = if (mode == "create") "overwrite" else mode)
+    case "jsonl" | "json" => Sinks.jsonl(df, ds.path,
+      mode = if (mode == "create") "overwrite" else mode)
     case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),
       mode = if (mode == "create") "overwrite" else mode)
     // the ES-bulk analogue: docs + token postings tables; `analyzed`
@@ -295,24 +297,12 @@ object RecipeConf {
       .replace("%d", "dd").replace("%H", "HH").replace("%M", "mm")
       .replace("%S", "ss")
 
-  /** One YAML step → Step function. Step names mirror the reference's
-    * internal_* operator set (recipes.py:1622-2486). */
-  def compileStep(spark: SparkSession, conf: ProjectConf, op: String, args: Any,
-      visiting: Set[String] = Set.empty): Step = {
-    // args may be a mapping ({select: [...], where: ...}) or a bare list
-    // ([col1, col2]) — the reference accepts both shapes
-    lazy val m: Map[String, Any] = args match {
-      case _: java.util.Map[_, _] => anyMap(args)
-      case _ => Map.empty
-    }
-    def sel(default: Any = args): Seq[String] =
-      if (m.nonEmpty) strSeq(m.getOrElse("select", null)) else strSeq(default)
-    // loud-failure YAML lookups: a missing or unknown knob must name the
-    // step and the knob (a bare map lookup's "key not found" names
-    // neither — the r2 advice pattern)
-    // `case Some(null)` matters: a knob written but left blank
-    // (`id:` with no value) arrives as an explicit null and must produce
-    // the same named error, not an anonymous NPE / silent no-op
+  /** Loud-failure YAML knob reader shared by every step compiler: a
+    * missing required knob, a knob written but left blank (`k:` with no
+    * value arrives as an explicit null), and an unparseable value all
+    * fail naming the step and the knob — never an anonymous
+    * NumberFormatException / NPE from inside the compile. */
+  private[conf] final class Knobs(op: String, m: Map[String, Any]) {
     def req(key: String): String = m.get(key) match {
       case Some(v) if v != null => v.toString
       case _ => sys.error(s"$op: '$key' required")
@@ -321,14 +311,20 @@ object RecipeConf {
       case Some(v) if v != null && strSeq(v).nonEmpty => strSeq(v)
       case _ => sys.error(s"$op: '$key' (non-empty list) required")
     }
-    // typed optional knobs: the default applies only when the knob is
-    // ABSENT; written-but-blank (`k:` with no value → Some(null)) and
-    // unparseable values fail with the step and knob NAMED — never an
-    // anonymous NumberFormatException / NPE from inside the compile
+    def reqInt(key: String): Int = {
+      val s = req(key)
+      s.toIntOption.getOrElse(sys.error(s"$op: '$key' must be an integer, got '$s'"))
+    }
     def knob(key: String, default: String): String = m.get(key) match {
       case Some(v) if v != null => v.toString
       case Some(_) => sys.error(s"$op: '$key' is blank — give it a value or drop it")
       case None => default
+    }
+    /** Optional knob with NO default: absent → None, blank → named error. */
+    def knobOpt(key: String): Option[String] = m.get(key) match {
+      case Some(v) if v != null => Some(v.toString)
+      case Some(_) => sys.error(s"$op: '$key' is blank — give it a value or drop it")
+      case None => None
     }
     def knobInt(key: String, default: Int): Int = {
       val s = knob(key, default.toString)
@@ -346,23 +342,34 @@ object RecipeConf {
       val s = knob(key, default.toString)
       s.toBooleanOption.getOrElse(sys.error(s"$op: '$key' must be true/false, got '$s'"))
     }
-    def reqInt(key: String): Int = {
-      val s = req(key)
-      s.toIntOption.getOrElse(sys.error(s"$op: '$key' must be an integer, got '$s'"))
-    }
-    // optional knob with NO default: absent → None, blank → named error
-    def knobOpt(key: String): Option[String] = m.get(key) match {
-      case Some(v) if v != null => Some(v.toString)
-      case Some(_) => sys.error(s"$op: '$key' is blank — give it a value or drop it")
-      case None => None
-    }
-    // numeric VALUE inside a user mapping (split weights, sample rates):
-    // blank / unparseable names the entry, not an anonymous NPE
+    /** Numeric VALUE inside a user mapping (split weights, sample
+      * rates): blank / unparseable names the entry. */
     def numVal(step: String, what: String, key: String, v: Any): Double = {
       if (v == null) sys.error(s"$step: $what for '$key' is blank")
       v.toString.toDoubleOption.getOrElse(
         sys.error(s"$step: $what for '$key' must be a number, got '$v'"))
     }
+  }
+
+  /** One YAML step → Step function. Step names mirror the reference's
+    * internal_* operator set (recipes.py:1622-2486). */
+  def compileStep(spark: SparkSession, conf: ProjectConf, op: String, args: Any,
+      visiting: Set[String] = Set.empty): Step = {
+    // args may be a mapping ({select: [...], where: ...}) or a bare list
+    // ([col1, col2]) — the reference accepts both shapes
+    lazy val m: Map[String, Any] = args match {
+      case _: java.util.Map[_, _] => anyMap(args)
+      case _ => Map.empty
+    }
+    def sel(default: Any = args): Seq[String] =
+      if (m.nonEmpty) strSeq(m.getOrElse("select", null)) else strSeq(default)
+    // loud-failure YAML lookups (the shared Knobs reader): a missing or
+    // unknown knob names the step and the knob; written-but-blank
+    // (`k:` with no value → Some(null)) and unparseable values fail the
+    // same way — never an anonymous NumberFormatException / NPE
+    val kn = new Knobs(op, m)
+    import kn.{req, reqList, reqInt, knob, knobOpt, knobInt, knobLong,
+      knobDouble, knobBool, numVal}
     def namedDataset(): DataFrame = {
       val name = req("dataset")
       read(spark, conf.datasets.getOrElse(name, sys.error(
@@ -801,15 +808,8 @@ object RecipeConf {
       case b: BoolNode => b.copy(must = b.must.map(rewrite), should = b.should.map(rewrite))
     }
     val spec = spec0.copy(root = rewrite(spec0.root))
-    // blank/garbage-safe bool knob (this method predates compileStep's
-    // typed helpers and has its own arg map)
-    def boolKnob(key: String, default: Boolean): Boolean = m.get(key) match {
-      case Some(v) if v != null => v.toString.toBooleanOption.getOrElse(
-        sys.error(s"match: '$key' must be true/false, got '$v'"))
-      case Some(_) => sys.error(s"match: '$key' is blank — give it a value or drop it")
-      case None => default
-    }
-    val keepUnmatched = boolKnob("keep_unmatched", default = false)
+    val kn = new Knobs("match", m)
+    val keepUnmatched = kn.knobBool("keep_unmatched", default = false)
     // the bucket shape below classifies columns by the hit_ prefix — a
     // left input column named hit_* would be swept out of the grouping
     // keys and silently relocated/lost (the right side has the same
@@ -820,22 +820,13 @@ object RecipeConf {
       s"match step: left column(s) ${badLeft.mkString(", ")} collide with " +
         "the hit_* output contract — rename them before the match")
     val flat = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
-      maxDocFreq = {
-        val s = m.get("max_doc_freq") match {
-          case Some(v) if v != null => v.toString
-          case Some(_) => sys.error("match: 'max_doc_freq' is blank — " +
-            "give it a value or drop it")
-          case None => "0"
-        }
-        s.toLongOption.getOrElse(sys.error(
-          s"match: 'max_doc_freq' must be an integer, got '$s'"))
-      })
+      maxDocFreq = kn.knobLong("max_doc_freq", 0L))
     val out = flat.drop(flat.columns.filter(c =>
       c.startsWith("__tok_") || c.startsWith("hit___tok_")): _*)
     // unfold: False keeps the pre-unfold bucket shape — one row per left
     // row with a rank-ordered `hits` array of hit structs
     // (recipes.py:2322-2336, docs/recipes.md:198-204)
-    val unfold = boolKnob("unfold", default = true)
+    val unfold = kn.knobBool("unfold", default = true)
     if (unfold) out
     else {
       val hitCols = out.columns.filter(c =>

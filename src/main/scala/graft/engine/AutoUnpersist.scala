@@ -56,21 +56,35 @@ object AutoUnpersist {
     builderOf(cached) match {
       case Some(b) =>
         install(cached.sparkSession)
-        pending.put(b, cached)
-        order.add(b)
-        // drop queue heads the listener already released (best effort —
-        // keeps the queue tracking pending, not all-time history)
-        var h = order.peek()
-        while (h != null && !pending.containsKey(h)) {
-          order.poll(); h = order.peek()
-        }
-        while (pending.size > MaxPending) {
-          val old = order.poll()
-          if (old == null) return cached
-          val victim = pending.remove(old)
-          if (victim != null)
-            try victim.unpersist(blocking = false)
-            catch { case scala.util.control.NonFatal(_) => }
+        // queue maintenance is serialized: an unsynchronized
+        // peek/containsKey/poll pair racing another cache() call could
+        // poll a LIVE entry's token, leaving that entry unevictable and
+        // re-opening the unbounded growth this bound exists to prevent.
+        // cache() runs once per operator BUILD (not per row/task), so
+        // the lock is uncontended in practice.
+        order.synchronized {
+          // re-registering the same cache entry must not enqueue a
+          // second token (the stale first token would evict the fresh
+          // registration early)
+          if (pending.put(b, cached) == null) order.add(b)
+          // drop queue heads the listener already released — keeps the
+          // queue tracking pending, not all-time history
+          var h = order.peek()
+          while (h != null && !pending.containsKey(h)) {
+            order.poll(); h = order.peek()
+          }
+          var over = pending.size > MaxPending
+          while (over) {
+            val old = order.poll()
+            if (old == null) over = false
+            else {
+              val victim = pending.remove(old)
+              if (victim != null)
+                try victim.unpersist(blocking = false)
+                catch { case scala.util.control.NonFatal(_) => }
+              over = pending.size > MaxPending
+            }
+          }
         }
       case None => // cache entry not visible — degrade to a plain persist
     }
@@ -82,7 +96,7 @@ object AutoUnpersist {
 
   /** Unpersist every pending frame now — session teardown, or a caller
     * that built plans (explain, dry-run) it will never execute. */
-  def releaseAll(): Unit = {
+  def releaseAll(): Unit = order.synchronized {
     val it = pending.keySet.iterator
     while (it.hasNext) {
       val df = pending.remove(it.next())
@@ -92,6 +106,9 @@ object AutoUnpersist {
         try df.unpersist(blocking = false)
         catch { case scala.util.control.NonFatal(_) => }
     }
+    // the tokens hold strong CachedRDDBuilder refs (whose plans pin
+    // their session) — session teardown must drop them too
+    order.clear()
   }
 
   private def builderOf(df: DataFrame): Option[AnyRef] =

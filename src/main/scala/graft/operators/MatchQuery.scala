@@ -254,10 +254,14 @@ object MatchQuery {
           val vm = asMap(mm)
           val q = vm.getOrElse("query",
             sys.error(s"es-template: match on $field needs a query")).toString
-          val fz = vm.get("fuzziness").map(_.toString) match {
-            case Some("auto") | Some("AUTO") => 1
-            case Some(n) => n.toIntOption.getOrElse(sys.error(
-              s"es-template: fuzziness on $field must be an integer or auto, got '$n'"))
+          val fz = vm.get("fuzziness") match {
+            case Some(null) => sys.error(
+              s"es-template: fuzziness on $field is blank — give it a value or drop it")
+            case Some(a) => a.toString match {
+              case "auto" | "AUTO" => 1
+              case n => n.toIntOption.getOrElse(sys.error(
+                s"es-template: fuzziness on $field must be an integer or auto, got '$n'"))
+            }
             case None => 0
           }
           // ES itself caps fuzziness at 2, and the deletion blocking
@@ -281,15 +285,18 @@ object MatchQuery {
           BoolNode(
             must = asList(bm.getOrElse("must", null)).map(parseNode),
             should = asList(bm.getOrElse("should", null)).map(parseNode),
-            minimumShouldMatch =
-              bm.get("minimum_should_match").map { v =>
-                v.toString.toIntOption.getOrElse(sys.error(
-                  s"es-template: minimum_should_match must be an integer, got '$v'"))
-              }.getOrElse(-1))
+            minimumShouldMatch = bm.get("minimum_should_match") match {
+              case Some(null) => sys.error("es-template: " +
+                "minimum_should_match is blank — give it a value or drop it")
+              case Some(v) => v.toString.toIntOption.getOrElse(sys.error(
+                s"es-template: minimum_should_match must be an integer, got '$v'"))
+              case None => -1
+            })
         case ("match", v) => parseMatch(v)
         case ("span_first", v) =>
           val sm = asMap(v)
-          require(sm.get("end").forall(_.toString.toInt == 1),
+          require(sm.get("end").forall(e =>
+              e != null && e.toString.toIntOption.contains(1)),
             "es-template: span_first supports end: 1 (first-token semantics)")
           val inner = asMap(sm.getOrElse("match",
             sys.error("es-template: span_first needs a match")))
@@ -305,8 +312,12 @@ object MatchQuery {
     // unwrap {size, query}, {function_score: {query: …}} wrappers
     def unwrap(a: Any): Node = {
       val m = asMap(a)
-      if (m.contains("size")) k = m("size").toString.toIntOption.getOrElse(
-        sys.error(s"es-template: size must be an integer, got '${m("size")}'"))
+      if (m.contains("size")) k = m("size") match {
+        case null => sys.error(
+          "es-template: size is blank — give it a value or drop it")
+        case v => v.toString.toIntOption.getOrElse(
+          sys.error(s"es-template: size must be an integer, got '$v'"))
+      }
       if (m.contains("bool")) parseNode(a)
       else if (m.contains("function_score")) unwrap(asMap(m("function_score"))("query"))
       else if (m.contains("query")) unwrap(m("query"))

@@ -34,6 +34,17 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** The query side shared by every entry point: the id IS the query's
+    * identity, so duplicate query rows (a twice-ingested batch — routine
+    * input for a dedup library) collapse to one. Without this a dup id
+    * doubles every candidate row and row_number hands identical
+    * (query, neighbor) pairs consecutive ranks — top-k then holds each
+    * neighbor twice and only ~k/2 distinct ones survive. */
+  private def queryProjection(queries: DataFrame,
+      qId: String, qVec: String): DataFrame =
+    queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .dropDuplicates("query_id")
+
   /** Cosine-scored top-k join: every row of `queries` gets its k nearest
     * `corpus` rows. Queries are broadcast (the common case: few probes
     * against a huge corpus); the corpus is never collected.
@@ -45,7 +56,7 @@ object Ann {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
 
-    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    val q = broadcast(queryProjection(queries, qId, qVec))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
     scoreAndRank(q.crossJoin(c), k, excludeSelf)
   }
@@ -123,11 +134,9 @@ object Ann {
     // via re-attach, so each candidate row ships ONE embedding (__cv),
     // not two. __cv itself cannot leave the candidate stream: fetching
     // it after the dedup would mean re-shuffling the whole corpus.
-    val qVecs = broadcast(
-      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
-    val q = broadcast(banded(
-      queries.select(col(qId).as("query_id"), col(qVec).as("__qv")), "__qv")
-      .drop("__qv"))
+    val qp = queryProjection(queries, qId, qVec)
+    val qVecs = broadcast(qp)
+    val q = broadcast(banded(qp, "__qv").drop("__qv"))
     val c = banded(
       corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), "__cv")
     // a pair meeting in several tables must still score/rank ONCE; the
@@ -176,7 +185,7 @@ object Ann {
 
     // each query × centroid → keep the nprobe nearest cells (euclidean,
     // matching the k-means objective)
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val q = queryProjection(queries, qId, qVec)
     val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
     val dist2 = aggregate(
       zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),
@@ -242,7 +251,7 @@ object Ann {
     }
     val assigned = spark.read.parquet(s"$path/assigned")
     val centDf = broadcast(spark.read.parquet(s"$path/centroids"))
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val q = queryProjection(queries, qId, qVec)
     val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
     val dist2 = aggregate(
       zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),

@@ -220,6 +220,12 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** JSON-lines sink — the write side of [[Sources.jsonl]] (one JSON
+    * object per line; the interchange format most text-corpus tooling
+    * speaks). */
+  def jsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
   /** `update` output mode — the ES doc-upsert analogue
     * (recipes.py:783-785, 1096-1100): merge-by-key into an existing
     * parquet dataset, new rows winning on key collision. Implemented as

@@ -193,6 +193,25 @@ class GraphDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 1), (1L, 2)))
   }
 
+  test("ANN: duplicate query rows collapse to one query identity") {
+    // a twice-ingested query batch (routine dedup-library input) must
+    // not double candidates and burn top-k slots on repeated pairs
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val dupQ = df.filter($"vec_id" === 0).unionByName(df.filter($"vec_id" === 0))
+    val brute = Ann.bruteForceTopK(dupQ, df,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    assert(brute.count() == 2, "dup query ids doubled the brute-force top-k")
+    assert(brute.select("neighbor_id").distinct().count() == 2)
+    val lsh = Ann.lshTopK(dupQ, df,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    assert(lsh.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).isEmpty, "dup query ids duplicated LSH pairs")
+  }
+
   test("IVF ANN recalls the brute-force top-k on the driver embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)

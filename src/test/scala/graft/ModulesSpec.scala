@@ -81,6 +81,18 @@ class ModulesSpec extends SparkSpec {
          |""".stripMargin)
     RecipeConf.run(spark, conf, "cp")
     assert(Sources.orc(spark, s"$dir/orc_out").columns.toSeq == Seq("id", "name"))
+    // jsonl sink: reader's write side, round-trips through the YAML layer
+    val jconf = RecipeConf.load(
+      s"""datasets:
+         |  jin:  {path: $dir/orc_rt, format: orc}
+         |  jout: {path: $dir/jl_out, format: jsonl}
+         |recipes:
+         |  tojl: {input: jin, steps: [], output: jout}
+         |""".stripMargin)
+    RecipeConf.run(spark, jconf, "tojl")
+    val jback = Sources.jsonl(spark, s"$dir/jl_out")
+    assert(jback.count() == 2 &&
+      jback.columns.toSet == Set("id", "name", "age"))
   }
 
   test("csv skiprows rejects charsets whose newline is not the single byte 0x0A") {

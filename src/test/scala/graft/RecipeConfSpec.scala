@@ -1160,7 +1160,6 @@ class RecipeConfSpec extends SparkSpec {
          |  stats:  {input: media, steps: [{image_stats: {}}]}
          |  dedupm: {input: media, steps: [{media_dedup: {}}]}
          |  frames: {input: media, steps: [{sample_frames: {every_ms: 10}}]}
-         |  bad:    {input: media, steps: [{image_stats: {}}]}
          |""".stripMargin)
     val st = RecipeConf.run(spark, conf, "stats").orderBy("media_id").collect()
     assert(st.length == 2 && st(0).getAs[Int]("img_width") == 4)
