@@ -318,12 +318,12 @@ object TextAnalysis {
   def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, threshold: Double = 0.5,
       maxDocFreq: Long = 0L): DataFrame = {
-    // persist the narrow (id, fp) frame: the plan fans out to the pair
-    // join's two sides, the per-doc counts, and (optionally) the hot-fp
-    // set — without this, each branch re-runs the md5 kernel over the
-    // whole corpus. Spark evicts it LRU after the action.
-    val fps = winnow(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AutoUnpersist-scoped cache of the narrow (id, fp) frame: the plan
+    // fans out to the pair join's two sides, the per-doc counts, and
+    // (optionally) the hot-fp set — without it each branch re-runs the
+    // md5 kernel over the whole corpus; released after the caller's
+    // action (cached tables are NOT LRU-evicted on their own).
+    val fps = graft.engine.AutoUnpersist.cache(winnow(df, idCol, textCol, k, w))
     val kept = if (maxDocFreq > 0) {
       val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDocFreq).select("fp")

@@ -38,6 +38,7 @@ class AutoUnpersistSpec extends SparkSpec {
       .count()
     val lm = Curation.unigramLm(docs, "text")
     Curation.unigramLogProb(docs, "id", "text", lm).count()
+    graft.text.TextAnalysis.winnowNearDups(docs, "id", "text").count()
     assert(awaitEmptyCache(),
       "cacheManager still holds entries 30s after the consuming actions")
     assert(graft.engine.AutoUnpersist.pendingCount == 0)
