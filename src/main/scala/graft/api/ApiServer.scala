@@ -453,13 +453,19 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
 
       case ("GET", List("recipes", name, "status")) if cfg.recipes.contains(name) =>
         val st = jobRecipes.toSeq.filter(_._2 == name).map(_._1).sorted.lastOption
-          .map(id => if (jobs(id) == "running") "up" else jobs(id))
+          .map(id => jobs.get(id) match {
+            // the prune removes the two maps non-atomically — an id read
+            // from jobRecipes can be gone from jobs for a moment
+            case Some("running") => "up"
+            case Some(st) => st
+            case None => "done"
+          })
           .getOrElse("down")
         respond(ex, 200, s"""{"recipe": ${q(name)}, "status": ${q(st)}}""")
 
       case ("GET", List("recipes", name, "log")) if cfg.recipes.contains(name) =>
         val running = jobRecipes.toSeq.filter(_._2 == name).map(_._1)
-          .exists(id => jobs(id) == "running")
+          .exists(id => jobs.get(id).contains("running"))
         val buf = logs.get(name)
         if (!running) // finished (or never ran): full log as plain text
           respond(ex, 200, buf.map(b => b.synchronized(b.toString)).getOrElse(""),
@@ -487,7 +493,7 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
               sse(snapshot.substring(sent)); sent = snapshot.length; quiet = 0
             } else {
               val stillRunning = jobRecipes.toSeq.filter(_._2 == name).map(_._1)
-                .exists(id => jobs(id) == "running")
+                .exists(id => jobs.get(id).contains("running"))
               if (!stillRunning) quiet = 5 else { quiet += 1; Thread.sleep(1000) }
             }
           }
