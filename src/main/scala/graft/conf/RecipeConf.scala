@@ -180,17 +180,26 @@ object RecipeConf {
       case "parquet" => Sources.parquet(spark, path)
       case "csv" => Sources.csv(spark, path,
         sep = ds.options.getOrElse("sep", ";"),
-        header = ds.options.getOrElse("header", "true").toBoolean,
+        header = {
+          val v = ds.options.getOrElse("header", "true")
+          v.toBooleanOption.getOrElse(sys.error(
+            s"csv dataset: options.header must be true/false, got '$v'"))
+        },
         names = ds.options.get("names")
           .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
         encoding = ds.options.getOrElse("encoding", "UTF-8"),
-        skiprows = ds.options.getOrElse("skiprows", "0").toInt)
+        skiprows = {
+          val v = ds.options.getOrElse("skiprows", "0")
+          v.toIntOption.getOrElse(sys.error(
+            s"csv dataset: options.skiprows must be an integer, got '$v'"))
+        })
       case "jsonl" | "json" => Sources.jsonl(spark, path)
       case "orc" => Sources.orc(spark, path)
       case "fwf" => Sources.fwf(spark, path,
         widths = ds.options.getOrElse("widths",
           sys.error("fwf dataset needs options.widths (comma-separated)"))
-          .split(",").toSeq.map(_.trim.toInt),
+          .split(",").toSeq.map(w => w.trim.toIntOption.getOrElse(sys.error(
+            s"fwf dataset: options.widths entries must be integers, got '$w'"))),
         names = ds.options.getOrElse("names",
           sys.error("fwf dataset needs options.names (comma-separated)"))
           .split(",").toSeq.map(_.trim))
