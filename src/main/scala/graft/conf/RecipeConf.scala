@@ -794,7 +794,7 @@ object RecipeConf {
     require(right.columns.contains(rightId),
       s"es join: right dataset needs an id column '$rightId'")
     var l = df.withColumn("__lid",
-      xxhash64(to_json(struct(df.columns.map(col): _*))))
+      xxhash64(to_json(struct(df.columns.toIndexedSeq.map(col): _*))))
     var r = right
     def tok(side: String, get: () => DataFrame, set: DataFrame => Unit)(name: String): String = {
       val d = get()
@@ -830,7 +830,7 @@ object RecipeConf {
         "the hit_* output contract — rename them before the match")
     val flat = MatchQuery.runTree(l, r, spec, "__lid", rightId, keepUnmatched,
       maxDocFreq = kn.knobLong("max_doc_freq", 0L))
-    val out = flat.drop(flat.columns.filter(c =>
+    val out = flat.drop(flat.columns.toIndexedSeq.filter(c =>
       c.startsWith("__tok_") || c.startsWith("hit___tok_")): _*)
     // unfold: False keeps the pre-unfold bucket shape — one row per left
     // row with a rank-ordered `hits` array of hit structs
@@ -850,7 +850,7 @@ object RecipeConf {
         struct(col("hit_rank") +:
           hitCols.filterNot(Set("hit_rank", "matchid_hit_matches_unfiltered"))
             .map(col).toSeq: _*))
-      out.groupBy(leftCols.map(col): _*)
+      out.groupBy(leftCols.toIndexedSeq.map(col): _*)
         .agg(
           first(col("matchid_hit_matches_unfiltered")).as("matchid_hit_matches_unfiltered"),
           sort_array(collect_list(hitStruct)).as("hits"))

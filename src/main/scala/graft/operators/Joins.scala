@@ -120,7 +120,7 @@ object Joins {
       .getOrElse(org.apache.spark.sql.types.LongType)
     val l = left.select(
       Seq(col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(tbType).as("__tb")) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     // SQL comparison semantics: a right row with NULL ts (or NULL key)
