@@ -454,6 +454,56 @@ object SparkEntry {
           round(col("stddev_intensity"), 4).as("stddev_intensity"))
     }),
 
+    // REAL audio decode, q61's pattern on javax.sound.sampled: payloads
+    // are actual WAV files (16-bit PCM, sample i = (key*7 + i²) mod
+    // 65536 − 32768), decoded by AudioSystem; the oracle replays the
+    // sample FORMULA — the full encode → WAV bytes → decode → stats
+    // loop is hash-checked without DuckDB ever touching audio
+    "q63_audio_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesizeAudio(
+        t(s, dir, "part"), "p_partkey")
+      graft.multimodal.Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("n_samples"), col("audio_duration_ms"),
+          round(col("mean_sample"), 4).as("mean_sample"),
+          round(col("rms"), 4).as("rms"))
+    }),
+
+    // LSH ANN through the YAML `ann_topk: {method: lsh}` step — the
+    // multi-table path (4 tables × 12 bits of one 64-bit signature)
+    // under the driver gate, not just specs. Queries are PLANTED exact
+    // duplicates of every 100th corpus vector (ids shifted by 10M), so
+    // the approximate search is exactly predictable: an identical
+    // vector collides in EVERY table (θ=0 ⇒ same hyperplane signs) and
+    // scores 1.0, while the closest DISTINCT pair in the test corpus is
+    // ≈0.45 cosine — so LSH's top-1 IS the exact top-1 and hash-matches
+    // a DuckDB exact-cosine oracle over the full corpus (the oracle
+    // independently proves the planted twin is the true argmax).
+    "q62_ann_lsh" -> ((s, dir) => {
+      import graft.conf.RecipeConf
+      // same bounded-tmp contract as q60: one dir per JVM, overwritten
+      // across repeated invocations, pid-suffixed against concurrency
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-lsh-q62-${ProcessHandle.current().pid()}").getAbsolutePath
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000000L).as("query_id"), col("embedding"))
+        .write.mode("overwrite").parquet(tmp)
+      val conf = RecipeConf.load(
+        s"""datasets:
+           |  planted: {path: $tmp, format: parquet}
+           |  corpus: {path: $dir/embeddings.parquet, format: parquet}
+           |recipes:
+           |  probe:
+           |    input: planted
+           |    steps:
+           |      - ann_topk: {id: query_id, vec: embedding, k: 1,
+           |                   dataset: corpus, corpus_id: vec_id,
+           |                   corpus_vec: embedding, method: lsh,
+           |                   bits: 12, tables: 4}
+           |""".stripMargin)
+      RecipeConf.run(s, conf, "probe")
+    }),
+
     // exact media dedup by content hash (binary analogue of q20):
     // synthetic payloads repeat at p_partkey mod 256, so real dup
     // groups exist and the oracle replays the byte stream in SQL
@@ -1249,6 +1299,39 @@ object SparkEntry {
         |   - (SUM(s)::DOUBLE / COUNT(*)) * (SUM(s)::DOUBLE / COUNT(*)), 0)), 4)
         |   AS stddev_intensity
         |FROM px GROUP BY media_id""".stripMargin,
+
+    // replay the closed-form PCM samples and their exact integer sums —
+    // the engine result came from decoding REAL WAV bytes
+    "q63_audio_decode" ->
+      """WITH sm AS (
+        | SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |  CAST((p_partkey * 7 + i.v * i.v) % 65536 - 32768 AS BIGINT) AS s
+        | FROM part, generate_series(0, 1999) AS i(v))
+        |SELECT media_id, COUNT(*) AS n_samples,
+        | CAST(COUNT(*) * 1000 / 8000 AS BIGINT) AS audio_duration_ms,
+        | ROUND(SUM(s)::DOUBLE / COUNT(*), 4) AS mean_sample,
+        | ROUND(sqrt(SUM(s*s)::DOUBLE / COUNT(*)), 4) AS rms
+        |FROM sm GROUP BY media_id""".stripMargin,
+
+    // exact cosine of the planted queries against the FULL corpus: the
+    // true argmax per query is the planted twin (score 1.0, nothing
+    // else near it), which LSH must find via guaranteed θ=0 collisions
+    "q62_ann_lsh" ->
+      """WITH q AS (SELECT vec_id + 10000000 AS query_id,
+        |            CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  ROUND(list_cosine_similarity(qv, cv), 4) AS score
+        | FROM q CROSS JOIN c),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank = 1""".stripMargin,
 
     // rank by the same salted bucket (id tiebreak), keep the first 30
     "q49_cap_source" ->

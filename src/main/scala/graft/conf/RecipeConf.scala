@@ -697,12 +697,13 @@ object RecipeConf {
       //   image_stats:  {}              REAL decode for kind=image
       //   media_dedup:  {}              exact dedup groups by content
       //   sample_frames: {every_ms: n}  one row per sampled offset
-      case "media_stats" | "image_stats" | "media_dedup" | "sample_frames" =>
+      case "media_stats" | "image_stats" | "audio_stats" | "media_dedup" |
+           "sample_frames" =>
         df => {
           val need = op match {
             case "media_dedup" => Seq("media_id", "payload")
             case "sample_frames" => Seq("payload", "meta")
-            case "image_stats" => Seq("kind", "payload")
+            case "image_stats" | "audio_stats" => Seq("kind", "payload")
             case _ => Seq("payload")
           }
           val missing = need.filterNot(df.columns.contains)
@@ -712,6 +713,7 @@ object RecipeConf {
           op match {
             case "media_stats" => graft.multimodal.Multimodal.extractFeatures(df)
             case "image_stats" => graft.multimodal.Multimodal.decodeImages(df)
+            case "audio_stats" => graft.multimodal.Multimodal.decodeAudio(df)
             case "media_dedup" => graft.multimodal.Multimodal.dedupGroups(df)
             case _ => graft.multimodal.Multimodal.sampleFrames(df,
               everyMs = knobLong("every_ms", 1000L))

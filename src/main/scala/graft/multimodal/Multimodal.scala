@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing (schema, batched per-partition processing,
   * partition sizing) is real. IMAGE decode is real too: [[ImageCodec]]
   * rides the JDK's javax.imageio (PNG/JPEG/GIF/BMP, zero extra
-  * dependencies). Audio/video decode stays STUBBED behind [[FakeCodec]]
-  * (deterministic synthetic decode — the JDK ships no codec for them);
-  * swap it for a real decoder (JavaCV etc.) without touching the
-  * pipeline shape.
+  * dependencies), and AUDIO decode rides javax.sound.sampled
+  * ([[AudioCodec]], WAV/PCM — also in the JDK). Only VIDEO decode stays
+  * STUBBED behind [[FakeCodec]] (deterministic synthetic decode — the
+  * JDK ships no video codec); swap it for a real decoder (JavaCV etc.)
+  * without touching the pipeline shape.
   *
   * Scale notes: payloads stay in executors (never collected); decode runs
   * per-partition with one codec instance per partition (mapPartitions,
@@ -35,9 +36,10 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** Deterministic fake codec: "decodes" a payload into per-pixel/sample
-    * statistics derived only from the bytes — a stand-in with the same
-    * shape and cost profile as a real decoder. */
+  /** Deterministic fake codec (VIDEO-only since images got
+    * [[ImageCodec]] and audio [[AudioCodec]]): "decodes" a payload into
+    * per-sample statistics derived only from the bytes — a stand-in
+    * with the same shape and cost profile as a real decoder. */
   object FakeCodec {
     def decodeStats(payload: Array[Byte]): (Int, Double, Double) = {
       if (payload == null || payload.isEmpty) (0, 0.0, 0.0)
@@ -122,6 +124,62 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JDK's javax.sound.sampled (WAV/PCM, AU,
+    * AIFF — no extra dependencies), mirroring [[ImageCodec]]'s
+    * zero-dependency argument for images. Stats come from the decoded
+    * 16-bit PCM samples with exact integer sums and ONE division at the
+    * end, so an external SQL engine can replay the arithmetic
+    * bit-for-bit (the q63 oracle does). */
+  object AudioCodec {
+    /** (n_samples, duration_ms, mean_sample, rms) over ALL channels'
+      * interleaved samples, or None when the payload is not a decodable
+      * 16-bit PCM stream (null, truncated, unknown container, float or
+      * 8/24-bit encodings). duration_ms floors frames*1000/rate. */
+    def decodeStats(payload: Array[Byte]): Option[(Long, Long, Double, Double)] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          // only signed 16-bit integer PCM: other widths would need a
+          // per-width sign/scale path — reject instead of mis-decoding
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) return None
+          val bytes = ais.readAllBytes()
+          val channels = fmt.getChannels
+          val frameSize = fmt.getFrameSize // channels * 2 for 16-bit
+          if (frameSize <= 0) return None
+          val frames = bytes.length / frameSize
+          val nSamp = frames.toLong * channels
+          val big = fmt.isBigEndian
+          var sum = 0L
+          var sumSq = 0L
+          var i = 0L
+          while (i < nSamp) {
+            val off = (i * 2).toInt
+            val s =
+              if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+              else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            sum += s
+            sumSq += s.toLong * s
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toLong
+          val durMs = if (rate > 0) frames.toLong * 1000L / rate else 0L
+          val mean = if (nSamp > 0) sum.toDouble / nSamp else 0.0
+          val rms = if (nSamp > 0) math.sqrt(sumSq.toDouble / nSamp) else 0.0
+          Some((nSamp, durMs, mean, rms))
+        } finally ais.close()
+      } catch {
+        // UnsupportedAudioFileException on non-audio bytes, plus the
+        // same malformed-header runtime exceptions as ImageCodec — a
+        // bad payload is routine data at corpus scale, never job-fatal
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+  }
+
   /** Build a synthetic media table from any keyed table (test fixture:
     * deterministic payload bytes from the key — byte i = (k + i²) mod
     * 256, a closed form any SQL engine can replay, so payload-derived
@@ -169,7 +227,13 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // explicit memory-backed stream: the bare write(…, OutputStream)
+      // overload consults ImageIO's global cache flag, and an executor
+      // running only this UDF never touches ImageCodec's initializer
+      // that disables it — the default FileCacheImageOutputStream then
+      // costs a temp FILE per row and fails on read-only worker tmp dirs
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
       bos.toByteArray
     }
     df.select(col(keyCol).cast("long").as("media_id"))
@@ -179,6 +243,56 @@ object Multimodal {
         lit("image/png").as("mime"),
         lit(w).cast("int").as("width"), lit(h).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")))
+  }
+
+  /** Media table whose payloads are ACTUAL WAV files: 16-bit signed
+    * little-endian mono PCM, sample i = ((key*7 + i²) mod 65536) −
+    * 32768 — a closed form an external SQL engine can replay against
+    * the DECODED stats, so the real-codec path is oracle-checkable end
+    * to end (encode → WAV bytes → AudioSystem decode → sample stats ==
+    * formula stats). WAV/PCM is lossless and round-trips exactly. */
+  def synthesizeAudio(df: DataFrame, keyCol: String,
+      sampleRate: Int = 8000, nSamples: Int = 2000): DataFrame = {
+    val gen = udf { (k: Long) =>
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (((k * 7L + i.toLong * i) % 65536L) - 32768L).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    df.select(col(keyCol).cast("long").as("media_id"))
+      .withColumn("kind", lit("audio"))
+      .withColumn("payload", gen(col("media_id")))
+      .withColumn("meta", struct(
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(nSamples.toLong * 1000 / sampleRate).as("duration_ms")))
+  }
+
+  /** Decode audio payloads with the REAL codec ([[AudioCodec]]): adds
+    * n_samples / audio_duration_ms / mean_sample / rms from the decoded
+    * PCM. Rows whose kind is not audio, or whose payload does not
+    * decode, carry NULL stats instead of failing the job — same
+    * bad-data-is-routine contract as [[decodeImages]]. Row-local. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val dec = udf { (p: Array[Byte]) => AudioCodec.decodeStats(p) }
+    df.withColumn("__aud", when(col("kind") === "audio", dec(col("payload"))))
+      .withColumn("n_samples", col("__aud._1"))
+      .withColumn("audio_duration_ms", col("__aud._2"))
+      .withColumn("mean_sample", col("__aud._3"))
+      .withColumn("rms", col("__aud._4"))
+      .drop("__aud")
   }
 
   /** Decode image payloads with the REAL codec ([[ImageCodec]]): adds

@@ -545,6 +545,60 @@ class ModulesSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("img_width"))) // kind=audio
   }
 
+  test("multimodal: REAL WAV decode via javax.sound.sampled gives exact sample stats") {
+    import graft.multimodal.Multimodal
+    // hand-build a WAV with known samples {-100, 0, 100, 200}:
+    // mean 50, rms = sqrt((100² + 0 + 100² + 200²)/4) = sqrt(15000)
+    def le(ss: Array[Short]): Array[Byte] = {
+      val b = new Array[Byte](ss.length * 2)
+      ss.zipWithIndex.foreach { case (s, i) =>
+        b(2 * i) = (s & 0xff).toByte; b(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+      b
+    }
+    def encode(pcm: Array[Byte], fmt: javax.sound.sampled.AudioFormat,
+        frames: Long, tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val wav = encode(le(Array[Short](-100, 0, 100, 200)),
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), 4L,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val (n, dur, mean, rms) = Multimodal.AudioCodec.decodeStats(wav).get
+    assert(n == 4 && dur == 0) // 4 frames / 8000 Hz floors to 0 ms
+    assert(mean == 50.0)
+    assert(math.abs(rms - math.sqrt(15000.0)) < 1e-12)
+    // stereo big-endian (AIFF): both channels' samples pool into stats
+    val pcmBE = Array[Short](1000, -1000, 1000, -1000).flatMap(s =>
+      Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+    val aiff = encode(pcmBE,
+      new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true), 2L,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    val (n2, _, m2, r2) = Multimodal.AudioCodec.decodeStats(aiff).get
+    assert(n2 == 4 && m2 == 0.0 && r2 == 1000.0)
+    // corrupt payloads are data, not errors: null stats, no exception
+    assert(Multimodal.AudioCodec.decodeStats("not audio".getBytes).isEmpty)
+    assert(Multimodal.AudioCodec.decodeStats(null).isEmpty)
+    assert(Multimodal.AudioCodec.decodeStats(wav.take(10)).isEmpty)
+
+    // the DataFrame operator: synthesized WAVs decode to formula stats;
+    // non-audio kinds carry NULLs
+    val media = Multimodal.synthesizeAudio(Seq(5L).toDF("k"), "k",
+      sampleRate = 1000, nSamples = 4)
+    val out = Multimodal.decodeAudio(
+        media.unionByName(media.select(col("media_id") + 1 as "media_id",
+          lit("image").as("kind"), col("payload"), col("meta"))))
+      .orderBy("media_id").collect()
+    // samples (5*7 + i²) mod 65536 − 32768 for i < 4
+    val vals = (0 until 4).map(i => 35 + i * i - 32768)
+    assert(out(0).getAs[Long]("n_samples") == 4)
+    assert(out(0).getAs[Long]("audio_duration_ms") == 4) // 4 frames / 1000 Hz
+    assert(out(0).getAs[Double]("mean_sample") == vals.sum.toDouble / 4)
+    assert(out(1).isNullAt(out(1).fieldIndex("n_samples"))) // kind=image
+  }
+
   test("graph metrics: degree, pagerank, clustering on a triangle+tail") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
     val m = GraphMetrics.metrics(edges, Seq("pagerank", "triangles", "clustering"))
