@@ -6,9 +6,34 @@ import org.apache.spark.sql.SparkSession
   * column is actually computed (a bare count() would let Catalyst prune
   * the interesting work away). */
 object Bench {
+  private def loadavg1m(): Double =
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").head.toDouble)
+      .getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Quiet-host gate, sampled BEFORE this process does any work (at
+    // bench END the 1-minute loadavg mostly reflects our own 32-thread
+    // JVM, so gating there would always fail): per-round history shows
+    // a concurrent sbt inflating samples up to ~3×, so when the host is
+    // busy, wait for it to drain — up to a bounded budget, then proceed
+    // anyway and let loadavg_start disclose the contamination.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .map(_.toDouble).getOrElse(1.5)
+    val loadBudgetSecs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SECS")
+      .map(_.toLong).getOrElse(600L)
+    val gateT0 = System.nanoTime()
+    var load = loadavg1m()
+    while (load >= 0 && load > loadGate &&
+        (System.nanoTime() - gateT0) / 1e9 < loadBudgetSecs) {
+      System.err.println(f"[bench] host busy (loadavg1m $load%.2f > " +
+        f"$loadGate%.2f), waiting 30 s for it to drain")
+      Thread.sleep(30000)
+      load = loadavg1m()
+    }
+    val loadStart = load
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,7 +91,7 @@ object Bench {
     }.getOrElse(3)
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
+      def once(): Option[Double] = {
         // queries with an internal persist() (minhash shingles, the LM
         // table) would otherwise serve runs 2..N from run 1's cache and
         // the min would skip the expensive build stage entirely — every
@@ -80,6 +105,20 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None // a failed run must never become the reported min
         }
+      }
+      var samples: Seq[Option[Double]] = (1 to runs).map(_ => once())
+      // spread guard: when the successful samples disagree by > 30%
+      // (GC pause, page-cache miss, a background burst), take up to two
+      // extra runs so the min converges on steady state — all samples
+      // stay in the JSON for the reader to judge. Skips the q60 probe's
+      // intentional run-1 build (that sample is the build, not noise).
+      var extra = 0
+      def spread(ss: Seq[Double]): Double =
+        if (ss.size < 2 || ss.min <= 0) 0.0 else (ss.max - ss.min) / ss.min
+      while (extra < 2 && spread(samples.drop(
+          if (name == "q60_ann_ivf") 1 else 0).flatten) > 0.3) {
+        samples = samples :+ once()
+        extra += 1
       }
       (name, samples)
     }
@@ -96,14 +135,12 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // host load marker: the driver benches while other work (sbt, tests)
-    // may be live, and per-round history shows that contaminating samples
-    // by up to ~2-3×. The 1-minute loadavg at bench end lets a reader
-    // discount a noisy round instead of mis-grading the engine.
-    val load = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").head)
-      .getOrElse("-1")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg1m":$load,"sf":"$sfDir"}""")
+    // host load markers: loadavg_start is the PRE-BENCH load (what the
+    // quiet-host gate saw — external contamination), loadavg1m the
+    // end-of-run value (dominated by our own JVM; kept for continuity
+    // with rounds ≤ 7). A reader discounts a noisy round by its start
+    // value, not the self-inflicted end value.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
