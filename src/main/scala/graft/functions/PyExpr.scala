@@ -96,6 +96,9 @@ object PyExpr {
         val st = i
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
         val txt = s.substring(st, i)
+        // "1.2.3" would otherwise crash toDouble with an anonymous
+        // NumberFormatException (found by the grammar property test)
+        if (txt.count(_ == '.') > 1) err(s"malformed number '$txt'")
         out += TNum(txt.toDouble, !txt.contains('.'))
       } else if (c == 'r' && i + 1 < n && (s.charAt(i + 1) == '\'' || s.charAt(i + 1) == '"')) {
         val q = s.charAt(i + 1); i += 2; val st = i
@@ -693,6 +696,50 @@ object PyExpr {
         "flatten levenshtein_norm jw distance float_val sha1 sha256 hash geopoint " +
         "ngrams OrderedDict.fromkeys set().union re.sub re.search re.compile(p).split " +
         "'sep'.join x.replace")
+  }
+
+  // ---------------------------------------------------------- test hook
+  /** Canonical re-print of an AST: fully parenthesized (every binary /
+    * unary / ternary node gets its own parens), so re-parsing cannot
+    * depend on precedence — the grammar property test asserts
+    * parse ∘ print ∘ parse = parse over random expressions. */
+  private def printAst(a: Ast): String = a match {
+    case PNum(v, true)  => v.toLong.toString
+    // valueOf(v).toPlainString spells the double without an exponent
+    // (the lexer has no 'e' notation) and round-trips via toDouble
+    case PNum(v, false) => java.math.BigDecimal.valueOf(v).toPlainString
+    case PStr(s) => "'" + s.flatMap {
+        case '\\' => "\\\\"
+        case '\'' => "\\'"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case c    => c.toString
+      } + "'"
+    case PName(n) => n
+    case PNone    => "None"
+    case PList(items) => items.map(printAst).mkString("[", ", ", "]")
+    case PComp(e, v, src, cond) =>
+      s"[${printAst(e)} for $v in ${printAst(src)}" +
+        cond.map(c => s" if ${printAst(c)}").getOrElse("") + "]"
+    case PCall(fn, args)   => s"${printAst(fn)}(${args.map(printAst).mkString(", ")})"
+    // a numeric base must keep its parens: "3.4.replace" would re-lex
+    // the attribute dot into the number (same ambiguity as Python)
+    case PAttr(o @ PNum(_, _), n) => s"(${printAst(o)}).$n"
+    case PAttr(o, n)       => s"${printAst(o)}.$n"
+    case PIndex(o, i)      => s"${printAst(o)}[${printAst(i)}]"
+    case PSliceFrom(o, lo) => s"${printAst(o)}[${printAst(lo)}:]"
+    case PBin(op, l, r)    => s"(${printAst(l)} $op ${printAst(r)})"
+    case PUn("neg", e)     => s"(-${printAst(e)})"
+    case PUn(op, e)        => s"($op ${printAst(e)})"
+    case PTern(c, t, f) =>
+      s"(${printAst(t)} if ${printAst(c)} else ${printAst(f)})"
+  }
+
+  /** Test hook (grammar property test): parse `src`, return its
+    * canonical re-print plus a structural fingerprint of the AST. */
+  private[graft] def parsePrint(src: String): (String, String) = {
+    val ast = new Parser(lex(src), src).parseAll()
+    (printAst(ast), ast.toString)
   }
 
   // ------------------------------------------------------------- public

@@ -209,6 +209,74 @@ class PyExprPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- FULL-grammar generator (round 8): every production the parser
+  // accepts — strings, lists, comprehensions, calls, attribute access,
+  // index/slice, in / not in, None, ternary — as raw source strings.
+  // Unlike the differential tests above, most samples are deliberately
+  // ill-TYPED ('ab' ** None, len(3)[1:], …): the properties are that
+  // (1) the canonical re-print of anything that PARSES is a parse
+  // fixpoint and (2) compile() either returns a Column or fails loudly
+  // with the python-eval prefix — never a MatchError or a silent
+  // mis-compile of a shape the translator forgot.
+  private val gNames = Seq("x", "y", "s", "t", "arr", "v")
+  private val gFns = Seq("len", "str", "float", "int", "list", "tokenize", "set")
+  private val gStrs = Seq("ab", "x", "", "a b")
+  private val gOps = Seq("+", "-", "*", "/", "%", "**",
+    "==", "!=", "<", "<=", ">", ">=", "&", "|")
+  private def genG(d: Int, r: Rng): String =
+    if (d == 0) r.nextInt(6) match {
+      case 0 | 5 => gNames(r.nextInt(gNames.length))
+      case 1     => r.nextInt(100).toString
+      case 2     => s"${r.nextInt(10)}.${r.nextInt(100)}"
+      case 3     => s"'${gStrs(r.nextInt(gStrs.length))}'"
+      case _     => "None"
+    }
+    else r.nextInt(13) match {
+      case 0 => s"(${genG(d - 1, r)} ${gOps(r.nextInt(gOps.length))} ${genG(d - 1, r)})"
+      case 1 => s"(-${genG(d - 1, r)})"
+      case 2 => s"(not ${genG(d - 1, r)})"
+      case 3 => s"(${genG(d - 1, r)} if ${genG(d - 1, r)} else ${genG(d - 1, r)})"
+      case 4 => (0 to r.nextInt(3)).map(_ => genG(d - 1, r)).mkString("[", ", ", "]")
+      case 5 => s"[${genG(d - 1, r)} for v in ${genG(d - 1, r)}]"
+      case 6 => s"[${genG(d - 1, r)} for v in ${genG(d - 1, r)} if ${genG(d - 1, r)}]"
+      case 7 => s"${gFns(r.nextInt(gFns.length))}(${genG(d - 1, r)})"
+      // postfix bases are parenthesized: a bare numeric base would lex
+      // its trailing dot into the number (42.replace → TNum(42.)), the
+      // same ambiguity Python itself has
+      case 8  => s"(${genG(d - 1, r)}).replace('a', 'b')"
+      case 9  => s"(${genG(d - 1, r)})[${genG(d - 1, r)}]"
+      case 10 => s"(${genG(d - 1, r)})[${genG(d - 1, r)}:]"
+      case 11 => s"(${genG(d - 1, r)} in ${genG(d - 1, r)})"
+      case _  => s"(${genG(d - 1, r)} not in ${genG(d - 1, r)})"
+    }
+
+  test("full grammar: re-print is a parse fixpoint and compile fails loudly (600 cases)") {
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType),
+      StructField("s", StringType), StructField("t", StringType),
+      StructField("arr", ArrayType(StringType))))
+    var compiled = 0
+    var rejected = 0
+    (1 to 600).foreach { i =>
+      val r = new Rng(i * 524287L)
+      val src = genG(1 + r.nextInt(3), r)
+      val (p1, f1) = PyExpr.parsePrint(src)
+      val (p2, f2) = PyExpr.parsePrint(p1)
+      assert(f2 == f1 && p2 == p1,
+        s"parse∘print∘parse broke: <$src> → <$p1> → <$p2>")
+      try { PyExpr.compile(src, schema); compiled += 1 }
+      catch { case e: RuntimeException =>
+        assert(e.getMessage != null && e.getMessage.contains("python-eval"),
+          s"anonymous failure for <$src>: $e")
+        rejected += 1
+      }
+    }
+    // the generator must exercise BOTH outcomes meaningfully, or the
+    // properties above are vacuous
+    assert(compiled >= 100, s"only $compiled/600 samples compiled")
+    assert(rejected >= 50, s"only $rejected/600 samples were rejected")
+  }
 }
 
 /** The eval-expression translator (SURVEY §7.3) against the expression
