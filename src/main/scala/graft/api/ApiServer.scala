@@ -414,7 +414,10 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         val cutoff = id - 1000
         if (cutoff > 0) jobs.keys
           .filter(k => k <= cutoff && !jobs.get(k).contains("running"))
-          .foreach { k => jobs.remove(k); jobRecipes.remove(k) }
+          // jobRecipes goes FIRST: the status lookup walks jobRecipes →
+          // jobs, so a half-pruned id should vanish from the recipe
+          // index rather than resolve to a fabricated terminal status
+          .foreach { k => jobRecipes.remove(k); jobs.remove(k) }
         // reset the log IN PLACE: a live SSE tail holds a reference to
         // this builder — swapping in a fresh one would leave the tail
         // streaming a dead buffer (the tail detects the shrink and
@@ -455,10 +458,13 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         val st = jobRecipes.toSeq.filter(_._2 == name).map(_._1).sorted.lastOption
           .map(id => jobs.get(id) match {
             // the prune removes the two maps non-atomically — an id read
-            // from jobRecipes can be gone from jobs for a moment
+            // from jobRecipes can be gone from jobs for a moment. The
+            // pruned job's terminal status could have been "failed: …",
+            // so fabricating "done" here would briefly report a failure
+            // as success; answer neutrally instead
             case Some("running") => "up"
             case Some(st) => st
-            case None => "done"
+            case None => "unknown"
           })
           .getOrElse("down")
         respond(ex, 200, s"""{"recipe": ${q(name)}, "status": ${q(st)}}""")

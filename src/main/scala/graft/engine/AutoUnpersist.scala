@@ -28,6 +28,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object AutoUnpersist {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.AutoUnpersist")
+
   // cache entry (CachedRDDBuilder) → the frame to unpersist. The builder
   // instance is shared by every InMemoryRelation the CacheManager hands
   // out for the entry, so it identifies "this cache" across plan copies.
@@ -79,9 +81,15 @@ object AutoUnpersist {
             if (old == null) over = false
             else {
               val victim = pending.remove(old)
-              if (victim != null)
+              if (victim != null) {
+                // debug-visible: an evicted entry that a caller still
+                // meant to reuse silently recomputes from its second
+                // action on — the log line is the only diagnosis trail
+                log.debug("evicting never-consumed cache entry " +
+                  s"(pending=${pending.size}, bound=$MaxPending)")
                 try victim.unpersist(blocking = false)
                 catch { case scala.util.control.NonFatal(_) => }
+              }
               over = pending.size > MaxPending
             }
           }
@@ -131,7 +139,15 @@ object AutoUnpersist {
             ir.cacheBuilder
           }.foreach { b =>
             val df = pending.remove(b)
-            if (df != null) df.unpersist(blocking = false)
+            if (df != null) {
+              // Spark's CacheManager dedups entries by logical-plan
+              // equality, so this release can also drop a cache an
+              // OUTSIDE caller persisted for an equal plan — correct
+              // (recompute is deterministic) but a perf surprise worth
+              // a diagnosable trace
+              log.debug("releasing operator cache after first action")
+              df.unpersist(blocking = false)
+            }
           }
         } catch { case scala.util.control.NonFatal(_) => }
       })

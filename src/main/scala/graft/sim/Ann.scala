@@ -109,7 +109,13 @@ object Ann {
     * a 0.97-cosine pair at bits=12/tables=3 lands together ≈ 98% of the
     * time; low-similarity pairs effectively never do (by design — they
     * are not "near"). All tables pack into one 64-bit signature with
-    * disjoint bit ranges, same scheme as [[cosineNearDupsLSH]]. */
+    * disjoint bit ranges, same scheme as [[cosineNearDupsLSH]].
+    *
+    * API note: the inert `dim` parameter was REMOVED from this signature
+    * (round 7) — a pre-round-7 positional call `(…, k, dim, bits)` now
+    * binds `(k, bits, tables)`. The `bits*tables <= 64` require rejects
+    * realistic dims loudly; this library has no external callers yet, so
+    * no deprecated forwarding overload is kept. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,

@@ -277,8 +277,13 @@ class ApiServerSpec extends SparkSpec {
       val who = getAuth(s"$base/login", token)
       assert(who.statusCode() == 200 && who.body().contains("\"ada\""))
       assert(getAuth(s"$base/datasets", token).statusCode() == 200)
-      // a replayed state is rejected; garbage tokens stay locked out
+      // CSRF hardening on the callback: a replayed state is rejected
+      // (single-use nonce), as are a missing and a forged one — a
+      // provider-looking redirect cannot mint a session without the
+      // unguessable state this server issued; garbage tokens stay out
       assert(get(s"$base/callback/fake?code=x&state=$state").statusCode() == 401)
+      assert(get(s"$base/callback/fake?code=x").statusCode() == 401)
+      assert(get(s"$base/callback/fake?code=x&state=forged-nonce").statusCode() == 401)
       assert(getAuth(s"$base/datasets", "bogus").statusCode() == 401)
       // logout invalidates the session
       assert(getAuth(s"$base/logout", token).statusCode() == 200)
