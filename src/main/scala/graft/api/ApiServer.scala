@@ -27,6 +27,9 @@ import graft.conf.RecipeConf.ProjectConf
   *   PUT  /api/recipes/{name}/apply     — run the recipe on the POSTED
   *                                        chunk instead of its declared
   *                                        input (live test, api.py:940-963)
+  *   POST /api/datasets/{ds}/_knn      — vector top-k: IVF-index probe
+  *                                        for ann_index datasets, exact
+  *                                        brute-force cosine otherwise
   *   POST /api/datasets/{ds}/_update/{id} — single-doc upsert, the
   *                                        validation frontend's write
   *                                        path (api.py:784-811)
@@ -395,6 +398,49 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
             .limit(size)
             .join(docs, Seq("_id"))
           respond(ex, 200, jsonRows(hits.orderBy(col("_score").desc, col("_id")), size))
+        }
+
+      // vector-search proxy — the ANN counterpart of _search for the
+      // validation frontend. An `ann_index` dataset probes its persisted
+      // IVF index (Ann.ivfIndexTopK: broadcast centroids, partition-
+      // pruned cell reads — the 100-TB shape); any other dataset scores
+      // exact brute-force cosine over id/vec columns named in the
+      // request (correct at any size, and the right plan for corpora
+      // small enough that an index would not pay back its probe setup).
+      //   POST /datasets/{n}/_knn?vector=0.1,0.2,...&k=10[&nprobe=4]
+      //   POST /datasets/{n}/_knn?vector=...&id=doc_id&vec=embedding
+      case ("POST", List("datasets", name, "_knn"))
+          if cfg.datasets.contains(name) =>
+        import spark.implicits._
+        val ds = cfg.datasets(name)
+        val k = params.getOrElse("k", "10").toInt
+        val vec = scala.util.Try(params.getOrElse("vector", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toFloat))
+          .getOrElse(Array.empty[Float])
+        if (vec.isEmpty)
+          respond(ex, 400,
+            """{"error": "vector required (comma-separated floats)"}""")
+        else {
+          val queries = Seq((0L, vec)).toDF("query_id", "__q")
+          val hits = (ds.format, params.get("id"), params.get("vec")) match {
+            case ("ann_index", _, _) =>
+              Some(graft.sim.Ann.ivfIndexTopK(spark, ds.path, queries,
+                "query_id", "__q", k,
+                nprobe = params.getOrElse("nprobe", "4").toInt,
+                excludeSelf = false))
+            case (_, Some(idCol), Some(vecCol)) =>
+              Some(graft.sim.Ann.bruteForceTopK(queries,
+                RecipeConf.read(spark, ds), "query_id", "__q",
+                idCol, vecCol, k, excludeSelf = false))
+            case _ => None
+          }
+          hits match {
+            case Some(h) => respond(ex, 200, jsonRows(
+              h.select("neighbor_id", "score", "rank").orderBy("rank"), k))
+            case None => respond(ex, 400,
+              """{"error": "id and vec column params required unless """ +
+                """the dataset is an ann_index"}""")
+          }
         }
 
       case ("PUT", List("recipes", name, "test")) if cfg.recipes.contains(name) =>

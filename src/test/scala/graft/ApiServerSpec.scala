@@ -451,4 +451,41 @@ class ApiServerSpec extends SparkSpec {
       assert(send("POST", s"$base/datasets/corpus/_search").statusCode() == 400)
     } finally api.stop()
   }
+
+  test("_knn searches vectors: brute force on plain datasets, IVF probe on ann_index") {
+    import spark.implicits._
+    // 2-D unit vectors at distinct angles — nearest-by-cosine is
+    // nearest-by-angle, so the expected ranking is unambiguous
+    val emb = (0 until 20).map { i =>
+      val a = i * math.Pi / 40
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vid", "v")
+    emb.write.mode("overwrite").parquet(s"$dir/knn-emb")
+    graft.sim.Ann.writeIvfIndex(emb, "vid", "v", s"$dir/knn-idx", nlist = 4)
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  emb: {path: $dir/knn-emb, format: parquet}
+         |  idx: {path: $dir/knn-idx, format: ann_index}
+         |recipes: {}
+         |""".stripMargin)
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      // query points exactly along vector 7's angle → top hit vid 7
+      val a7 = 7 * math.Pi / 40
+      val vec = f"${math.cos(a7)}%.6f,${math.sin(a7)}%.6f"
+      val bf = send("POST", s"$base/datasets/emb/_knn?vector=$vec&k=3&id=vid&vec=v")
+      assert(bf.statusCode() == 200, bf.body())
+      assert(bf.body().startsWith("""[{"neighbor_id":7"""), bf.body())
+      // exhaustive probe of the persisted index (nprobe = nlist) must
+      // agree with brute force exactly
+      val ivf = send("POST", s"$base/datasets/idx/_knn?vector=$vec&k=3&nprobe=4")
+      assert(ivf.statusCode() == 200, ivf.body())
+      assert(ivf.body() == bf.body(), s"ivf=${ivf.body()} bf=${bf.body()}")
+      // guards: missing/garbled vector; brute force without columns named
+      assert(send("POST", s"$base/datasets/emb/_knn?k=3&id=vid&vec=v").statusCode() == 400)
+      assert(send("POST", s"$base/datasets/emb/_knn?vector=a,b&id=vid&vec=v").statusCode() == 400)
+      assert(send("POST", s"$base/datasets/emb/_knn?vector=$vec&k=3").statusCode() == 400)
+    } finally api.stop()
+  }
 }
