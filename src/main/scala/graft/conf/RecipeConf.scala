@@ -533,7 +533,11 @@ object RecipeConf {
           req("left_id"), req("right_id"),
           k = knobInt("size", 10),
           keepUnmatched = knobBool("keep_unmatched", false),
-          fuzzy = knobInt("fuzziness", 0) > 0)
+          fuzzy = knobInt("fuzziness", 0) > 0,
+          // the hot-token skew guard — measured essential at scale
+          // (SCALE.md "maxDocFreq at scale"); same knob name as the
+          // match_query step so recipes can move between them
+          maxDocFreq = knobLong("max_doc_freq", 0L))
       }
       case "clique" => df => {
         val srcDst = reqList("select")

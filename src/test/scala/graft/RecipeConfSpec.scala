@@ -129,6 +129,36 @@ class RecipeConfSpec extends SparkSpec {
     assert(rows(out.orderBy("grp")) == Seq(Seq("g1", 30L), Seq("g2", 5L)))
   }
 
+  test("match step honors max_doc_freq (the hot-token skew guard) from YAML") {
+    import spark.implicits._
+    // "the" appears in every right doc (df=3); the other tokens are
+    // discriminative (df=1)
+    Seq((1L, Seq("the", "zebra")), (2L, Seq("the", "apple")),
+        (3L, Seq("the", "pear")))
+      .toDF("rid", "rtoks").write.mode("overwrite").parquet(s"$dir/mdf-right")
+    Seq((10L, Seq("the", "zebra")))
+      .toDF("lid", "ltoks").write.mode("overwrite").parquet(s"$dir/mdf-left")
+    def yaml(knob: String) =
+      s"""datasets:
+         |  l: {path: $dir/mdf-left, format: parquet}
+         |  r: {path: $dir/mdf-right, format: parquet}
+         |recipes:
+         |  matched:
+         |    input: l
+         |    steps:
+         |      - match: {dataset: r, left_tokens: ltoks, right_tokens: rtoks,
+         |                left_id: lid, right_id: rid$knob}
+         |""".stripMargin
+    // uncapped: the stopword reaches every doc → 3 hits
+    val all = RecipeConf.run(spark, RecipeConf.load(yaml("")), "matched")
+    assert(all.count() == 3)
+    // max_doc_freq: 2 drops "the" (df=3) from the postings → only the
+    // discriminative "zebra" generates a candidate
+    val capped = RecipeConf.run(
+      spark, RecipeConf.load(yaml(", max_doc_freq: 2")), "matched")
+    assert(capped.select("hit_rid").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("asof_join and range_join recipe steps run from YAML") {
     Files.writeString(java.nio.file.Paths.get(s"$dir/pts.csv"), "k;t\n1;10\n1;20\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/quotes.csv"), "k;t;px\n1;5;99\n1;15;101\n")
