@@ -531,6 +531,42 @@ object SparkEntry {
       RecipeConf.run(s, conf, "probe")
     }),
 
+    // SemDeDup-shaped semantic dedup (Dedup.embeddingDedup through the
+    // YAML `dedup: {method: embedding}` step): corpus = embeddings plus
+    // planted exact clones of every 20th vector — half the clone ids
+    // BELOW their original (−10M), half above (+10M), so the min-id
+    // survivor set mixes clones and originals and a dropped-nothing or
+    // kept-wrong-side bug cannot hash-match. Identical vectors collide
+    // in every LSH table (certain recall on the planted pairs), and the
+    // 0.9999 threshold on the 4dp cosine excludes every natural pair
+    // (max non-identical cosine across the driver SFs ≈ 0.60) — so the
+    // approximate pipeline's output is exactly the group-by-vector
+    // min-id set DuckDB computes.
+    "q64_embed_dedup" -> ((s, dir) => {
+      import graft.conf.RecipeConf
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-semdedup-q64-${ProcessHandle.current().pid()}").getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 20 === 0).select(
+          when(col("vec_id") % 40 === 0, col("vec_id") - 10000000L)
+            .otherwise(col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding")))
+        .write.mode("overwrite").parquet(tmp)
+      val conf = RecipeConf.load(
+        s"""datasets:
+           |  corpus: {path: $tmp, format: parquet}
+           |recipes:
+           |  sem:
+           |    input: corpus
+           |    steps:
+           |      - dedup: {id: vec_id, vec: embedding, method: embedding,
+           |                threshold: 0.9999, bits: 12, tables: 4}
+           |      - keep: [vec_id]
+           |""".stripMargin)
+      RecipeConf.run(s, conf, "sem")
+    }),
+
     // exact media dedup by content hash (binary analogue of q20):
     // synthetic payloads repeat at p_partkey mod 256, so real dup
     // groups exist and the oracle replays the byte stream in SQL
@@ -1366,6 +1402,18 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank = 1""".stripMargin,
+
+    // only exact-duplicate pairs clear the 0.9999 cosine threshold (see
+    // the query comment), so min-id-per-component reduces to
+    // min-id-per-identical-vector — which SQL states directly
+    "q64_embed_dedup" ->
+      """WITH corpus AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT CASE WHEN vec_id % 40 = 0 THEN vec_id - 10000000
+        |             ELSE vec_id + 10000000 END AS vec_id, embedding
+        | FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT MIN(vec_id) AS vec_id FROM corpus GROUP BY embedding""".stripMargin,
 
     // rank by the same salted bucket (id tiebreak), keep the first 30
     "q49_cap_source" ->

@@ -554,17 +554,24 @@ object RecipeConf {
       //   near_dups: {id: col, text|vec: col, method: minhash|simhash|
       //             ngram|embedding, ...} → candidate pair table
       case "dedup" => df => {
-        val id = req("id"); val text = req("text")
+        val id = req("id")
         knob("method", "exact") match {
-          case "exact" => graft.dedup.Dedup.exactDedup(df, id, text)
-          case "fingerprint" => graft.dedup.Dedup.fingerprintDedup(df, id, text)
-          case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, text,
+          case "exact" => graft.dedup.Dedup.exactDedup(df, id, req("text"))
+          case "fingerprint" =>
+            graft.dedup.Dedup.fingerprintDedup(df, id, req("text"))
+          case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, req("text"),
             threshold = knobDouble("threshold", 0.6))
           // C4-style boilerplate line removal (docs rewritten in place)
-          case "lines" => graft.text.TextAnalysis.dedupLines(df, id, text,
+          case "lines" => graft.text.TextAnalysis.dedupLines(df, id, req("text"),
             maxDocFreq = knobLong("max_doc_freq", 1L))
+          // SemDeDup-shaped semantic dedup — keys on `vec`, not `text`
+          case "embedding" => graft.dedup.Dedup.embeddingDedup(df, id,
+            req("vec"),
+            threshold = knobDouble("threshold", 0.95),
+            bits = knobInt("bits", 8),
+            tables = knobInt("tables", 3))
           case other => sys.error(s"dedup: unknown method '$other' " +
-            "(exact | fingerprint | minhash | lines)")
+            "(exact | fingerprint | minhash | lines | embedding)")
         }
       }
       case "near_dups" => df => {

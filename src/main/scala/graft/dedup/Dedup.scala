@@ -194,6 +194,25 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Semantic dedup over an embedding column — the SemDeDup shape (Abbas
+    * et al. 2023, arXiv:2303.09540): bucket by LSH instead of k-means
+    * cells (same role — bound the comparison set; an LSH bucket join is
+    * one shuffle and needs no model fit), exact-cosine-verify candidates
+    * at `threshold`, connected components over the surviving pairs, keep
+    * the minimum id per cluster. Identical vectors collide in every LSH
+    * table, so exact-duplicate recall is certain; near-duplicate recall
+    * follows the cosineNearDupsLSH table/bit dials.
+    * Same keep-min contract as [[minhashDedup]]. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 3): DataFrame = {
+    val pairs = graft.sim.Ann.cosineNearDupsLSH(df, idCol, vecCol,
+      threshold, bits, tables)
+    val comps = ConnectedComponents.run(pairs.select("id_a", "id_b"))
+    val losers = comps.filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- SimHash
   /** 64-bit SimHash of a token array: per-token 64-bit hash votes on each
     * bit; bit set where the vote sum is positive. UDF (per-bit loop), but

@@ -96,6 +96,25 @@ class GraphDedupSpec extends SparkSpec {
     assert(col1[Long](out, "doc_id").sorted == Seq(1L, 2L))
   }
 
+  test("embedding dedup keeps min id per semantic cluster, leaves distinct vectors") {
+    // group {5,1,9} shares one vector (transitive via identical pairs);
+    // 2 and 3 are distinct directions; 4 is NEAR 2 (cos ≈ 0.999) but
+    // below the 0.9999 threshold — must survive
+    val shared = Seq(1f, 0f, 0f, 0f)
+    val df = Seq(
+      (5L, shared), (1L, shared), (9L, shared),
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(0.045f, 0.999f, 0f, 0f)))
+      .toDF("id", "v")
+    val out = Dedup.embeddingDedup(df, "id", "v",
+      threshold = 0.9999, bits = 12, tables = 4)
+    assert(col1[Long](out, "id").sorted == Seq(1L, 2L, 3L, 4L))
+    // at 0.99 the near pair (2,4) now clusters too — 2 survives as min
+    val loose = Dedup.embeddingDedup(df, "id", "v",
+      threshold = 0.99, bits = 12, tables = 4)
+    assert(col1[Long](loose, "id").sorted == Seq(1L, 2L, 3L))
+  }
+
   test("fingerprint collapses case/punctuation/word-order variants") {
     val df = Seq("Hello, World!", "world HELLO", "different").toDF("t")
     val fps = col1[String](df.select(Dedup.fingerprint(col("t")).as("f")), "f")
