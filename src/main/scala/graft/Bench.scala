@@ -110,13 +110,13 @@ object Bench {
       // spread guard: when the successful samples disagree by > 30%
       // (GC pause, page-cache miss, a background burst), take up to two
       // extra runs so the min converges on steady state — all samples
-      // stay in the JSON for the reader to judge. Skips the q60 probe's
-      // intentional run-1 build (that sample is the build, not noise).
+      // stay in the JSON for the reader to judge. (q60_ann_ivf needs no
+      // exemption: q60_ann_ivf_build precedes it in benchQueries, so
+      // every probe run — including run 1 — finds the index built.)
       var extra = 0
       def spread(ss: Seq[Double]): Double =
         if (ss.size < 2 || ss.min <= 0) 0.0 else (ss.max - ss.min) / ss.min
-      while (extra < 2 && spread(samples.drop(
-          if (name == "q60_ann_ivf") 1 else 0).flatten) > 0.3) {
+      while (extra < 2 && spread(samples.flatten) > 0.3) {
         samples = samples :+ once()
         extra += 1
       }

@@ -413,20 +413,28 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           if cfg.datasets.contains(name) =>
         import spark.implicits._
         val ds = cfg.datasets(name)
-        val k = params.getOrElse("k", "10").toInt
+        // same 400-with-message treatment as a bad vector — a client
+        // typo in a knob must not surface as a 500 server fault
+        val kOpt = params.getOrElse("k", "10").toIntOption.filter(_ >= 1)
+        val nprobeOpt =
+          params.getOrElse("nprobe", "4").toIntOption.filter(_ >= 1)
         val vec = scala.util.Try(params.getOrElse("vector", "")
           .split(",").map(_.trim).filter(_.nonEmpty).map(_.toFloat))
           .getOrElse(Array.empty[Float])
         if (vec.isEmpty)
           respond(ex, 400,
             """{"error": "vector required (comma-separated floats)"}""")
+        else if (kOpt.isEmpty || nprobeOpt.isEmpty)
+          respond(ex, 400,
+            """{"error": "k and nprobe must be positive integers"}""")
         else {
+          val k = kOpt.get
           val queries = Seq((0L, vec)).toDF("query_id", "__q")
           val hits = (ds.format, params.get("id"), params.get("vec")) match {
             case ("ann_index", _, _) =>
               Some(graft.sim.Ann.ivfIndexTopK(spark, ds.path, queries,
                 "query_id", "__q", k,
-                nprobe = params.getOrElse("nprobe", "4").toInt,
+                nprobe = nprobeOpt.get,
                 excludeSelf = false))
             case (_, Some(idCol), Some(vecCol)) =>
               Some(graft.sim.Ann.bruteForceTopK(queries,

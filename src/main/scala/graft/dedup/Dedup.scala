@@ -187,7 +187,16 @@ object Dedup {
     * per cluster. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+    keepMinPerCluster(df, idCol,
+      minhashNearDups(df, idCol, textCol, threshold = threshold))
+  }
+
+  /** The survivor rule shared by the cluster-dedup family ([[minhashDedup]],
+    * [[embeddingDedup]]): connected components over the candidate pairs,
+    * keep the minimum id per cluster — ONE implementation so the two
+    * methods' advertised "same keep-min contract" cannot drift. */
+  private def keepMinPerCluster(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val comps = ConnectedComponents.run(pairs.select("id_a", "id_b"))
     val losers = comps.filter(col("node") =!= col("comp"))
       .select(col("node").as(idCol))
@@ -204,14 +213,10 @@ object Dedup {
     * follows the cosineNearDupsLSH table/bit dials.
     * Same keep-min contract as [[minhashDedup]]. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8, tables: Int = 3): DataFrame = {
-    val pairs = graft.sim.Ann.cosineNearDupsLSH(df, idCol, vecCol,
-      threshold, bits, tables)
-    val comps = ConnectedComponents.run(pairs.select("id_a", "id_b"))
-    val losers = comps.filter(col("node") =!= col("comp"))
-      .select(col("node").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 3): DataFrame =
+    keepMinPerCluster(df, idCol,
+      graft.sim.Ann.cosineNearDupsLSH(df, idCol, vecCol,
+        threshold, bits, tables))
 
   // -------------------------------------------------------------- SimHash
   /** 64-bit SimHash of a token array: per-token 64-bit hash votes on each

@@ -148,8 +148,14 @@ object Multimodal {
               fmt.getSampleSizeInBits != 16) return None
           val bytes = ais.readAllBytes()
           val channels = fmt.getChannels
-          val frameSize = fmt.getFrameSize // channels * 2 for 16-bit
-          if (frameSize <= 0) return None
+          // the sample loop below strides at exactly 2 bytes/sample; if
+          // the reported frame size ever disagrees (the JDK's WAV parser
+          // normalizes PCM frame size to channels*bits/8 today, but
+          // other SPI providers — or a future JDK — may surface a padded
+          // blockAlign verbatim), reject instead of reading pad bytes as
+          // samples — same policy as the width check above
+          val frameSize = fmt.getFrameSize
+          if (frameSize != channels * 2) return None
           val frames = bytes.length / frameSize
           val nSamp = frames.toLong * channels
           val big = fmt.isBigEndian

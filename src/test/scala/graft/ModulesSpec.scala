@@ -582,6 +582,24 @@ class ModulesSpec extends SparkSpec {
     assert(Multimodal.AudioCodec.decodeStats("not audio".getBytes).isEmpty)
     assert(Multimodal.AudioCodec.decodeStats(null).isEmpty)
     assert(Multimodal.AudioCodec.decodeStats(wav.take(10)).isEmpty)
+    // padded block alignment (mono 16-bit, blockAlign 4): the JDK WAV
+    // parser NORMALIZES PCM frame size to channels*bits/8 — it ignores
+    // the container's blockAlign — so this malformed file surfaces as 4
+    // contiguous frames and we follow the JDK's reading (the pad words
+    // become samples of value 0). Pin that, so if a future JDK ever
+    // reports the container's blockAlign verbatim the frameSize guard
+    // in AudioCodec flips this to None and the pin catches the change.
+    def u32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val padData = le(Array[Short](100, 0, 200, 0)) // 2 frames: sample, pad
+    val padded = "RIFF".getBytes ++ u32(36 + padData.length) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ u32(16) ++ u16(1) ++ u16(1) ++
+      u32(8000) ++ u32(8000 * 4) ++ u16(4) ++ u16(16) ++
+      "data".getBytes ++ u32(padData.length) ++ padData
+    val (np, _, mp, rp) = Multimodal.AudioCodec.decodeStats(padded).get
+    assert(np == 4 && mp == 75.0)
+    assert(math.abs(rp - math.sqrt(12500.0)) < 1e-12)
 
     // the DataFrame operator: synthesized WAVs decode to formula stats;
     // non-audio kinds carry NULLs
