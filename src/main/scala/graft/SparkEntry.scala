@@ -33,11 +33,27 @@ object SparkEntry {
     * Bench beside a Verify) from clobbering each other's index
     * mid-read; the sf tag keeps the warmup SF's index from being
     * probed at the target SF. Each JVM leaks at most one dir per SF. */
-  private def ivfIdxDir(dir: String): String = {
-    val tag = dir.replaceAll("[^0-9a-zA-Z.]+", "_")
+  private def ivfIdxDir(dir: String): String =
+    scratchDir("graft-ivf-q60", tag = dir)
+
+  /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
+    * dir per JVM per tag, rewritten in place across repeated
+    * invocations), pid-suffixed against concurrent processes, and
+    * tag-suffixed so one SF's artifact is never read at another SF. */
+  private def scratchDir(name: String, tag: String): String = {
+    val t = tag.replaceAll("[^0-9a-zA-Z.]+", "_")
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-ivf-q60-${ProcessHandle.current().pid()}-$tag").getAbsolutePath
+      s"$name-${ProcessHandle.current().pid()}-$t").getAbsolutePath
   }
+
+  /** Index dirs THIS JVM has built (q60's skip-rebuild guard). In-memory
+    * on purpose: a filesystem existence check would trust whatever a
+    * previous process left at the pid-recycled path — a stale index over
+    * regenerated data, or a build that died mid-write — while a fresh
+    * JVM re-running writeIvfIndex (mode overwrite) costs one build and
+    * can never probe stale state. */
+  private val ivfBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Exact decimal sum reported as double — see determinism note above. */
   private def dsum(c: Column): Column =
@@ -332,6 +348,7 @@ object SparkEntry {
     "q60_ann_ivf_build" -> ((s, dir) => {
       Ann.writeIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
         ivfIdxDir(dir), nlist = 16)
+      ivfBuilt.add(ivfIdxDir(dir))
       s.read.parquet(s"${ivfIdxDir(dir)}/centroids")
     }),
 
@@ -340,18 +357,17 @@ object SparkEntry {
     // write, partition-pruned probe read. nprobe = nlist makes probing
     // exhaustive, hence EXACT: the result hash-matches the same oracle
     // as q25 while the full index round trip (build → write → pruned
-    // query) runs in the driver gate, not just in specs (the build runs
-    // here on first call per JVM, or in q60_ann_ivf_build — either way
-    // the gate process covers build AND pruned probe; Bench's timed
-    // runs 2..N measure the probe alone, which is the steady-state
-    // number, with run 1's build visible in the samples array).
+    // query) runs in the driver gate, not just in specs. The build runs
+    // on this JVM's first q60 touch — normally q60_ann_ivf_build, which
+    // Bench sequences first, so EVERY probe run here times the probe
+    // alone (the steady-state number).
     "q60_ann_ivf" -> ((s, dir) => {
       val idx = ivfIdxDir(dir)
       val e = t(s, dir, "embeddings")
-      // rebuild only when this JVM hasn't built one yet: the index is
-      // pid+sf-scoped, so staleness across processes/datasets is
-      // impossible and repeat invocations skip straight to the probe
-      if (!new java.io.File(idx, "centroids").isDirectory)
+      // skip the rebuild only when THIS JVM built the index (ivfBuilt
+      // scaladoc: trusting a leftover on-disk dir would probe stale or
+      // half-written state after a pid recycle or a crashed build)
+      if (ivfBuilt.add(idx))
         Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 16)
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
@@ -507,10 +523,7 @@ object SparkEntry {
     // independently proves the planted twin is the true argmax).
     "q62_ann_lsh" -> ((s, dir) => {
       import graft.conf.RecipeConf
-      // same bounded-tmp contract as q60: one dir per JVM, overwritten
-      // across repeated invocations, pid-suffixed against concurrency
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-lsh-q62-${ProcessHandle.current().pid()}").getAbsolutePath
+      val tmp = scratchDir("graft-lsh-q62", tag = dir)
       t(s, dir, "embeddings")
         .filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 10000000L).as("query_id"), col("embedding"))
@@ -544,8 +557,7 @@ object SparkEntry {
     // min-id set DuckDB computes.
     "q64_embed_dedup" -> ((s, dir) => {
       import graft.conf.RecipeConf
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-semdedup-q64-${ProcessHandle.current().pid()}").getAbsolutePath
+      val tmp = scratchDir("graft-semdedup-q64", tag = dir)
       val e = t(s, dir, "embeddings")
       e.select(col("vec_id"), col("embedding"))
         .union(e.filter(col("vec_id") % 20 === 0).select(
@@ -565,6 +577,25 @@ object SparkEntry {
            |      - keep: [vec_id]
            |""".stripMargin)
       RecipeConf.run(s, conf, "sem")
+    }),
+
+    // GPT-style concat-and-chunk sequence packing via the YAML `pack`
+    // step (Curation.packSequences): per-lang shards, docs in doc_id
+    // order, budget-512 sequences; the oracle replays the identical
+    // exclusive running sum — deterministic because the contract IS a
+    // window, not a bin-packing heuristic
+    "q65_pack" -> ((s, dir) => {
+      import graft.conf.RecipeConf
+      val conf = RecipeConf.load(
+        s"""datasets:
+           |  docs: {path: $dir/documents.parquet, format: parquet}
+           |recipes:
+           |  packed:
+           |    input: docs
+           |    steps:
+           |      - pack: {id: doc_id, text: text, budget: 512, shard: lang}
+           |""".stripMargin)
+      RecipeConf.run(s, conf, "packed")
     }),
 
     // exact media dedup by content hash (binary analogue of q20):
@@ -1414,6 +1445,23 @@ object SparkEntry {
         |             ELSE vec_id + 10000000 END AS vec_id, embedding
         | FROM embeddings WHERE vec_id % 20 = 0)
         |SELECT MIN(vec_id) AS vec_id FROM corpus GROUP BY embedding""".stripMargin,
+
+    // the packing contract is a per-shard exclusive running sum of the
+    // shared whitespace token count — spelled identically here
+    "q65_pack" ->
+      """WITH base AS (
+        | SELECT doc_id, lang,
+        |  CAST(CASE WHEN <STRIP:text> = '' THEN 0
+        |       ELSE len(string_split_regex(<STRIP:text>, '<WS>+')) END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |cum AS (
+        | SELECT doc_id, lang, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        | FROM base WHERE n_tokens > 0)
+        |SELECT doc_id, lang, n_tokens,
+        | tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset
+        |FROM cum""".stripMargin,
 
     // rank by the same salted bucket (id tiebreak), keep the first 30
     "q49_cap_source" ->

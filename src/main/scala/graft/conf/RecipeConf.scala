@@ -574,6 +574,11 @@ object RecipeConf {
             "(exact | fingerprint | minhash | lines | embedding)")
         }
       }
+      //   pack: {id: col, text: col, budget: N, shard: col} →
+      //   concat-and-chunk sequence packing (doc → shard-local seq_id)
+      case "pack" => df =>
+        graft.text.Curation.packSequences(df, req("id"), req("text"),
+          budget = knobInt("budget", 2048), shardCol = req("shard"))
       case "near_dups" => df => {
         val id = req("id")
         knob("method", "minhash") match {

@@ -294,4 +294,38 @@ object Curation {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
   }
+
+  // ------------------------------------------------------ sequence packing
+  /** GPT-style concat-and-chunk sequence packing: within each `shardCol`
+    * partition, documents ordered by `idCol` are conceptually
+    * concatenated and split every `budget` tokens; a document belongs to
+    * the sequence containing its FIRST token (long documents straddle
+    * boundaries and the downstream tokenizer consumes the overflow —
+    * exactly the concat-then-chunk contract pre-training pipelines use,
+    * so utilization is 100% by construction). Output: one row per
+    * non-empty document with (`n_tokens`, shard-local `seq_id`,
+    * `seq_offset` = position of the doc's first token inside its
+    * sequence). Empty/NULL documents pack nowhere and are dropped.
+    *
+    * Scale shape: ONE shuffle on `shardCol`, then a per-shard running
+    * sum — parallelism equals shard cardinality, so shard by
+    * source/lang/input-file the way a real pipeline does (or pre-bucket
+    * by a hash of the id when a corpus lacks natural shards). The
+    * within-shard order dependency is inherent to packing, not to this
+    * implementation; there is no global sort anywhere. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shardCol: String): DataFrame = {
+    require(budget >= 1, s"packSequences: budget must be >= 1, got $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    df.select(col(idCol), col(shardCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"tok_start DIV $budget").as("seq_id"),
+        expr(s"tok_start % $budget").as("seq_offset"))
+  }
 }

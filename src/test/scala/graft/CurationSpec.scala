@@ -206,4 +206,42 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
   }
+
+  // ----------------------------------------------------- sequence packing
+  test("packSequences: concat-and-chunk per shard; straddlers keep start") {
+    val df = Seq(
+      (1L, "a b c", "en"),    // start 0   → seq 0, off 0
+      (2L, "d e", "en"),      // start 3   → seq 0, off 3
+      (3L, "f g h i", "en"),  // start 5, straddles the 6-boundary → seq 0, off 5
+      (4L, "j", "en"),        // start 9   → seq 1, off 3
+      (5L, "", "en"),         // empty: dropped, consumes no budget
+      (6L, null, "en"),       // null: dropped
+      (7L, "x y", "fr")       // other shard packs independently from 0
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.packSequences(df, "doc_id", "text",
+        budget = 6, shardCol = "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, "en", 3L, 0L, 0L), (2L, "en", 2L, 0L, 3L),
+      (3L, "en", 4L, 0L, 5L), (4L, "en", 1L, 1L, 3L),
+      (7L, "fr", 2L, 0L, 0L)))
+  }
+
+  test("packSequences plans ONE exchange (shard shuffle), no global sort") {
+    val df = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    val plan = Curation.packSequences(df, "doc_id", "text", 512, "lang")
+      .queryExecution.executedPlan.toString
+    // the only Exchange is hashpartitioning on the shard column; a
+    // rangepartitioning exchange would mean a global sort snuck in
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("packSequences rejects a non-positive budget") {
+    val df = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(df, "doc_id", "text", 0, "lang")
+    }
+  }
 }

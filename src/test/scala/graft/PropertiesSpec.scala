@@ -159,6 +159,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("packSequences matches the sequential reference packing (batched)") {
+    import graft.text.Curation
+    // docs with known token counts ("w" repeated n times) over a few
+    // shards; empties interleaved. One Spark job per budget.
+    val nTok = Gen.chooseNum(0, 9)
+    val shard = Gen.oneOf("en", "fr", "de")
+    val docs = (1 to 300).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      val n = nTok.pureApply(Gen.Parameters.default, seed)
+      val s = shard.pureApply(Gen.Parameters.default, seed.next)
+      (i.toLong, Seq.fill(n)("w").mkString(" "), s, n.toLong)
+    }
+    val df = docs.map { case (id, t, s, _) => (id, t, s) }
+      .toDF("doc_id", "text", "lang")
+    for (budget <- Seq(1, 7, 64)) {
+      val got = Curation.packSequences(df, "doc_id", "text", budget, "lang")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // sequential reference: per shard in id order, exclusive cumsum
+      val expect = docs.filter(_._4 > 0).groupBy(_._3).flatMap { case (_, ds) =>
+        var acc = 0L
+        ds.sortBy(_._1).map { case (id, _, _, n) =>
+          val row = id -> (n, acc / budget, acc % budget)
+          acc += n; row
+        }
+      }
+      assert(got.keySet == expect.keySet, s"budget=$budget")
+      expect.foreach { case (id, e) =>
+        assert(got(id) == e, s"budget=$budget id=$id got=${got(id)} want=$e")
+      }
+      // structural invariant independent of the reference: offsets live
+      // inside the budget
+      got.values.foreach { case (_, _, off) =>
+        assert(off >= 0 && off < budget)
+      }
+    }
+  }
+
   test("scrubPii is idempotent; repetition/gopher fractions stay in [0,1] (batched)") {
     import graft.text.Curation
     val messy = Gen.listOf(Gen.oneOf(
