@@ -64,8 +64,19 @@ object Bench {
           Some(w.getAbsolutePath)
         else None
     }
+    // ad-hoc query-list override: comma-separated names (default: the
+    // headline benchQueries) — lets a SCALE.md sweep bench any
+    // registered query without touching the headline list. Unknown
+    // names fail loudly before any timing runs.
+    val queryList = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
+      .getOrElse(SparkEntry.benchQueries)
+    queryList.foreach { n =>
+      require(SparkEntry.queries.contains(n), s"unknown query '$n' " +
+        s"(registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    }
     warmDir.foreach { wd =>
-      SparkEntry.benchQueries.foreach { name =>
+      queryList.foreach { name =>
         try SparkEntry.queries(name)(spark, wd)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
@@ -89,7 +100,7 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
       n
     }.getOrElse(3)
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = queryList.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Option[Double] = {
         // queries with an internal persist() (minhash shingles, the LM

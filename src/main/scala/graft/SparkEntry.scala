@@ -366,9 +366,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       // skip the rebuild only when THIS JVM built the index (ivfBuilt
       // scaladoc: trusting a leftover on-disk dir would probe stale or
-      // half-written state after a pid recycle or a crashed build)
-      if (ivfBuilt.add(idx))
+      // half-written state after a pid recycle or a crashed build).
+      // Mark built only AFTER the write returns — add-before-build would
+      // let a thrown build poison the guard and make every later probe
+      // read the missing index (the hazard the guard exists to prevent).
+      if (!ivfBuilt.contains(idx)) {
         Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 16)
+        ivfBuilt.add(idx)
+      }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
     }),
@@ -1456,8 +1461,10 @@ object SparkEntry {
         | FROM documents),
         |cum AS (
         | SELECT doc_id, lang, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  -- SUM(BIGINT) widens to HUGEINT in DuckDB — cast back so
+        |  -- seq_id/seq_offset type-match Spark's BIGINT output
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         | FROM base WHERE n_tokens > 0)
         |SELECT doc_id, lang, n_tokens,
         | tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset

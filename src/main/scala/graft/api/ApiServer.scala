@@ -133,6 +133,13 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Positive-integer query knob; None = client typo, and the caller
+    * answers 400 — a bad knob is the client's fault, never a 500 server
+    * fault (the same policy every knob-bearing route follows). */
+  private def intKnob(params: Map[String, String], name: String,
+      default: Int): Option[Int] =
+    params.get(name).fold(Option(default))(_.toIntOption).filter(_ >= 1)
+
   // constant-time compare: plain String equality short-circuits on the
   // first differing byte and leaks key-prefix length via timing
   private def tokenEq(expected: String, presented: String): Boolean =
@@ -355,15 +362,20 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         respond(ex, 200, s"""{"deleted": ${q(project)}}""")
 
       case ("POST", List("datasets", name)) if cfg.datasets.contains(name) =>
-        val size = params.getOrElse("size", "500").toInt // connector.sample default
-        val df0 = RecipeConf.read(spark, cfg.datasets(name))
-        // random=true mirrors the reference's function_score random_score
-        // sampling wrapper (api.py:596-599)
-        val df = if (params.get("random").contains("true"))
-          df0.orderBy(org.apache.spark.sql.functions.rand(
-            params.getOrElse("seed", "42").toLong))
-        else df0
-        respond(ex, 200, jsonRows(df, size))
+        val sizeOpt = intKnob(params, "size", 500) // connector.sample default
+        val seedOpt = params.get("seed").fold(Option(42L))(_.toLongOption)
+        if (sizeOpt.isEmpty || seedOpt.isEmpty)
+          respond(ex, 400,
+            """{"error": "size must be a positive integer, seed an integer"}""")
+        else {
+          val df0 = RecipeConf.read(spark, cfg.datasets(name))
+          // random=true mirrors the reference's function_score
+          // random_score sampling wrapper (api.py:596-599)
+          val df = if (params.get("random").contains("true"))
+            df0.orderBy(org.apache.spark.sql.functions.rand(seedOpt.get))
+          else df0
+          respond(ex, 200, jsonRows(df, sizeOpt.get))
+        }
 
       // search proxy over a native index dataset (docs + postings,
       // Sinks.indexed) — the ES _search analogue (api.py:750-781):
@@ -372,12 +384,14 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           if cfg.datasets.get(name).exists(_.format == "index") =>
         import org.apache.spark.sql.functions._
         val ds = cfg.datasets(name)
-        val size = params.getOrElse("size", "10").toInt
+        val sizeOpt = intKnob(params, "size", 10)
         // params are already decoded exactly once at parse time; '+' in
         // a raw query string means space
         val toks = params.getOrElse("q", "").replace('+', ' ')
           .split("\\s+").filter(_.nonEmpty).toSeq
-        if (toks.isEmpty) respond(ex, 400, """{"error": "q required"}""")
+        if (sizeOpt.isEmpty)
+          respond(ex, 400, """{"error": "size must be a positive integer"}""")
+        else if (toks.isEmpty) respond(ex, 400, """{"error": "q required"}""")
         else {
           val postings = spark.read.parquet(ds.path + "/postings")
           val docs = spark.read.parquet(ds.path + "/docs")
@@ -395,9 +409,9 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
             .join(broadcast(idf), Seq("token"))
             .groupBy("_id").agg(round(sum("w"), 4).as("_score"))
             .orderBy(col("_score").desc, col("_id"))
-            .limit(size)
+            .limit(sizeOpt.get)
             .join(docs, Seq("_id"))
-          respond(ex, 200, jsonRows(hits.orderBy(col("_score").desc, col("_id")), size))
+          respond(ex, 200, jsonRows(hits.orderBy(col("_score").desc, col("_id")), sizeOpt.get))
         }
 
       // vector-search proxy — the ANN counterpart of _search for the
@@ -415,9 +429,8 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         val ds = cfg.datasets(name)
         // same 400-with-message treatment as a bad vector — a client
         // typo in a knob must not surface as a 500 server fault
-        val kOpt = params.getOrElse("k", "10").toIntOption.filter(_ >= 1)
-        val nprobeOpt =
-          params.getOrElse("nprobe", "4").toIntOption.filter(_ >= 1)
+        val kOpt = intKnob(params, "k", 10)
+        val nprobeOpt = intKnob(params, "nprobe", 4)
         val vec = scala.util.Try(params.getOrElse("vector", "")
           .split(",").map(_.trim).filter(_.nonEmpty).map(_.toFloat))
           .getOrElse(Array.empty[Float])
@@ -452,9 +465,13 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         }
 
       case ("PUT", List("recipes", name, "test")) if cfg.recipes.contains(name) =>
-        val n = params.getOrElse("size", "30").toInt // test_chunk_size default
-        val df = RecipeConf.run(spark, cfg, name, testLimit = Some(n))
-        respond(ex, 200, jsonRows(df, n))
+        intKnob(params, "size", 30) match { // test_chunk_size default
+          case None => respond(ex, 400,
+            """{"error": "size must be a positive integer"}""")
+          case Some(n) =>
+            val df = RecipeConf.run(spark, cfg, name, testLimit = Some(n))
+            respond(ex, 200, jsonRows(df, n))
+        }
 
       case ("PUT", List("recipes", name, "run")) if cfg.recipes.contains(name) =>
         val id = jobSeq.incrementAndGet()
@@ -611,11 +628,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         val tmp = java.nio.file.Files.createTempFile("graft-live", ".csv")
         java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
         try {
-          val n = params.getOrElse("size", "30").toInt // test_chunk_size
-          val input = graft.sources.Sources.csv(spark, tmp.toString,
-            sep = params.getOrElse("sep", ";"))
-          val out = RecipeConf.compileRecipe(spark, cfg, cfg.recipes(name))(input.limit(n))
-          respond(ex, 200, jsonRows(out, n))
+          intKnob(params, "size", 30) match { // test_chunk_size
+            case None => respond(ex, 400,
+              """{"error": "size must be a positive integer"}""")
+            case Some(n) =>
+              val input = graft.sources.Sources.csv(spark, tmp.toString,
+                sep = params.getOrElse("sep", ";"))
+              val out = RecipeConf.compileRecipe(spark, cfg,
+                cfg.recipes(name))(input.limit(n))
+              respond(ex, 200, jsonRows(out, n))
+          }
         } finally java.nio.file.Files.deleteIfExists(tmp)
 
       // ---- single-doc upsert — how the validation frontend stores human

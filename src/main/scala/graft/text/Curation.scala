@@ -316,6 +316,13 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Int, shardCol: String): DataFrame = {
     require(budget >= 1, s"packSequences: budget must be >= 1, got $budget")
+    // the output schema owns these names; an id/shard column reusing one
+    // would alias-collide inside the plan — fail loudly up front
+    val reserved = Set("n_tokens", "tok_start", "seq_id", "seq_offset")
+    Seq(idCol, shardCol).filter(reserved).foreach { c =>
+      sys.error(s"packSequences: column '$c' collides with a reserved " +
+        s"output column (${reserved.mkString(", ")}) — rename it first")
+    }
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(W.unboundedPreceding, -1)

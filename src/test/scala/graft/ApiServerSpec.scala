@@ -486,6 +486,35 @@ class ApiServerSpec extends SparkSpec {
       assert(send("POST", s"$base/datasets/emb/_knn?k=3&id=vid&vec=v").statusCode() == 400)
       assert(send("POST", s"$base/datasets/emb/_knn?vector=a,b&id=vid&vec=v").statusCode() == 400)
       assert(send("POST", s"$base/datasets/emb/_knn?vector=$vec&k=3").statusCode() == 400)
+      // knob typos are 400s on EVERY knob-bearing route, not 500 server
+      // faults (the shared intKnob policy)
+      assert(send("POST", s"$base/datasets/emb/_knn?vector=$vec&k=abc&id=vid&vec=v")
+        .statusCode() == 400)
+      assert(send("POST", s"$base/datasets/emb?size=abc").statusCode() == 400)
+      assert(send("POST", s"$base/datasets/emb?size=0").statusCode() == 400)
+      assert(send("POST", s"$base/datasets/emb?seed=xyz").statusCode() == 400)
+    } finally api.stop()
+  }
+
+  test("recipe test/apply: a size typo is a 400, not a 500") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "t").write.mode("overwrite")
+      .parquet(s"$dir/knob-in")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  src: {path: $dir/knob-in, format: parquet}
+         |recipes:
+         |  r: {input: src, steps: [{keep: [id]}]}
+         |""".stripMargin)
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      assert(send("PUT", s"$base/recipes/r/test?size=abc").statusCode() == 400)
+      assert(send("PUT", s"$base/recipes/r/test?size=-3").statusCode() == 400)
+      assert(sendBody("PUT", s"$base/recipes/r/apply?size=abc", "id\n1")
+        .statusCode() == 400)
+      // and the happy path still answers rows
+      assert(send("PUT", s"$base/recipes/r/test?size=5").statusCode() == 200)
     } finally api.stop()
   }
 }

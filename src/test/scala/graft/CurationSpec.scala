@@ -244,4 +244,12 @@ class CurationSpec extends SparkSpec {
       Curation.packSequences(df, "doc_id", "text", 0, "lang")
     }
   }
+
+  test("packSequences fails loudly when id/shard collides with an output name") {
+    val df = Seq((1L, "a", "en")).toDF("seq_id", "text", "lang")
+    val e = intercept[RuntimeException] {
+      Curation.packSequences(df, "seq_id", "text", 8, "lang")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
 }
