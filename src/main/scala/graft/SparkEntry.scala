@@ -409,6 +409,21 @@ object SparkEntry {
           col("hit_rank"), col("matchid_hit_matches_unfiltered"), col("hit_max_score"))
     }),
 
+    // BM25-scored match join (MatchJoin.topK scoring=bm25): same
+    // candidate pipeline as q29 but Okapi tf-saturation + doc-length
+    // normalization, quantized per candidate row so the integer sum
+    // stays bit-deterministic — the oracle replays the exact formula
+    "q66_match_bm25" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .withColumn("toks", Tools.tokenize(Tools.normalize(col("p_name"))))
+      val queries = part.filter(col("p_partkey") % 17 === 0)
+      MatchJoin.topK(queries.select("p_partkey", "toks"),
+          part.select("p_partkey", "toks"),
+          "toks", "toks", "p_partkey", "p_partkey", k = 5, scoring = "bm25")
+        .select(col("p_partkey"), col("hit_p_partkey"), col("hit_score"),
+          col("hit_rank"), col("matchid_hit_matches_unfiltered"), col("hit_max_score"))
+    }),
+
     // raw SQL over registered views (Recipe.sql — the `sql` op)
     "q30_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1500,6 +1515,38 @@ object SparkEntry {
           |cand AS (
           | SELECT qt.lid, post.rid,
           |  CAST(FLOOR((LN((n.nd + 1.0) / (idf.df + 1)) + 1) * 10000) AS BIGINT) AS w
+          | FROM qt JOIN post ON qt.tok = post.tok JOIN idf ON qt.tok = idf.tok CROSS JOIN n),
+          |scored AS (SELECT lid, rid, CAST(SUM(w) AS BIGINT) AS hit_score FROM cand GROUP BY 1, 2),
+          |ranked AS (
+          | SELECT lid, rid, hit_score,
+          |  COUNT(*) OVER (PARTITION BY lid) AS matchid_hit_matches_unfiltered,
+          |  MAX(hit_score) OVER (PARTITION BY lid) AS hit_max_score,
+          |  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY hit_score DESC, rid) AS hit_rank
+          | FROM scored)
+          |SELECT lid AS p_partkey, rid AS hit_p_partkey, hit_score,
+          | CAST(hit_rank AS INTEGER) AS hit_rank, matchid_hit_matches_unfiltered, hit_max_score
+          |FROM ranked WHERE hit_rank <= 5""".stripMargin),
+
+    // BM25 mirror of q29: FULL token lists feed tf (per-doc token
+    // counts) and dl (list length); the weight expression repeats the
+    // Spark side's operation ORDER exactly so the per-row doubles (and
+    // hence the 1e-4 floor) agree bit-for-bit
+    "q66_match_bm25" ->
+      ("WITH tok AS (SELECT p_partkey, string_split_regex(" +
+        normSql.format("p_name") + ", '\\s+') AS ts FROM part), " +
+        """n AS (SELECT COUNT(*) AS nd,
+          |   CAST(SUM(len(ts)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok),
+          |post AS (SELECT p_partkey AS rid, len(ts) AS dl, tok, COUNT(*) AS tf
+          | FROM (SELECT p_partkey, ts, unnest(ts) AS tok FROM tok) GROUP BY 1, 2, 3),
+          |idf AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY 1),
+          |qt AS (SELECT p_partkey AS lid, unnest(list_distinct(ts)) AS tok
+          | FROM tok WHERE p_partkey % 17 = 0),
+          |cand AS (
+          | SELECT qt.lid, post.rid,
+          |  CAST(FLOOR(LN(1 + (n.nd - idf.df + 0.5) / (idf.df + 0.5)) *
+          |    (post.tf * (1.2 + 1.0)) /
+          |    (post.tf + 1.2 * (1.0 - 0.75) + 1.2 * 0.75 * post.dl / n.avgdl) *
+          |    10000) AS BIGINT) AS w
           | FROM qt JOIN post ON qt.tok = post.tok JOIN idf ON qt.tok = idf.tok CROSS JOIN n),
           |scored AS (SELECT lid, rid, CAST(SUM(w) AS BIGINT) AS hit_score FROM cand GROUP BY 1, 2),
           |ranked AS (

@@ -537,7 +537,12 @@ object RecipeConf {
           // the hot-token skew guard — measured essential at scale
           // (SCALE.md "maxDocFreq at scale"); same knob name as the
           // match_query step so recipes can move between them
-          maxDocFreq = knobLong("max_doc_freq", 0L))
+          maxDocFreq = knobLong("max_doc_freq", 0L),
+          // idf (reference contract) or bm25 (ES-shaped tf saturation +
+          // length norm, ES-default k1/b)
+          scoring = knob("scoring", "idf"),
+          k1 = knobDouble("k1", 1.2),
+          b = knobDouble("b", 0.75))
       }
       case "clique" => df => {
         val srcDst = reqList("select")

@@ -33,6 +33,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object MatchJoin {
 
+  /** Row-local term-frequency kernel: token array → (token → count) map
+    * (BM25's tf), exploded into postings rows. O(tokens) per row with
+    * one hash map — the declarative alternatives either shuffle the
+    * full postings table on (doc, token) or re-scan the array per
+    * distinct token. */
+  private val tfMapUdf = udf { ts: Seq[String] =>
+    if (ts == null) Map.empty[String, Long]
+    else {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      ts.foreach { t => m.update(t, m.getOrElse(t, 0L) + 1L) }
+      m.toMap
+    }
+  }
+
   /** @param left          query side
     * @param right         corpus side ("the index")
     * @param leftTokens    array-of-string column on left (analyzed field)
@@ -45,6 +59,12 @@ object MatchJoin {
     *                      (delete-variant blocking like FuzzyMatch)
     * @param maxDocFreq    drop tokens appearing in more right docs than
     *                      this (0 = no cap) — skew guard at scale
+    * @param scoring       "idf" (reference contract: candidate recall,
+    *                      deterministic IDF-sum scores) or "bm25"
+    *                      (Okapi/ES-shaped: tf saturation + doc-length
+    *                      norm; same candidate set, ES-like score ORDER)
+    * @param k1            BM25 tf-saturation knob (ES default 1.2)
+    * @param b             BM25 length-normalization knob (ES default 0.75)
     */
   def topK(
       left: DataFrame, right: DataFrame,
@@ -53,30 +73,59 @@ object MatchJoin {
       k: Int = 10,
       keepUnmatched: Boolean = false,
       fuzzy: Boolean = false,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 0L,
+      scoring: String = "idf",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(scoring == "idf" || scoring == "bm25",
+      s"match scoring must be idf or bm25, got '$scoring'")
+    val bm25 = scoring == "bm25"
 
-    // ---- postings: token → right doc
-    val postingsRaw = right
-      .select(col(rightId).as("__rid"), explode(array_distinct(col(rightTokens))).as("__tok"))
+    // ---- postings: token → right doc. BM25 also needs the term
+    // frequency and the FULL document length (duplicates included) —
+    // both computed row-locally by one kernel (a groupBy on (rid, tok)
+    // would pre-shuffle the whole postings table a second time; the
+    // higher-order-function spelling runs interpreted per token — the
+    // same measured reason the winnow/gram kernels are UDFs).
+    val postingsRaw =
+      if (!bm25)
+        right.select(col(rightId).as("__rid"),
+          explode(array_distinct(col(rightTokens))).as("__tok"),
+          lit(1L).as("__tf"), lit(0L).as("__dl"))
+      else
+        right.select(col(rightId).as("__rid"),
+            size(col(rightTokens)).cast("long").as("__dl"),
+            explode(tfMapUdf(col(rightTokens))).as(Seq("__tok", "__tf")))
+          .select(col("__rid"), col("__tok"), col("__tf").cast("long").as("__tf"),
+            col("__dl"))
     val postings = if (maxDocFreq > 0) {
       val hot = postingsRaw.groupBy("__tok").agg(count("*").as("__df"))
         .filter(col("__df") > maxDocFreq).select("__tok")
       postingsRaw.join(broadcast(hot), Seq("__tok"), "left_anti")
     } else postingsRaw
 
-    // ---- IDF per token: log((N+1)/(df+1)) + 1, quantized to integer
-    // 1e-4 units — integer sums are order-independent, so the aggregated
-    // score is bit-deterministic across partitionings (and engines).
-    // N rides the plan as a broadcast one-row aggregate: no eager
-    // count() job at plan-construction time.
+    // ---- per-token weight table (vocab-sized). idf: log((N+1)/(df+1))+1
+    // quantized to integer 1e-4 units — integer sums are order-
+    // independent, so the aggregated score is bit-deterministic across
+    // partitionings (and engines). bm25: the Okapi idf
+    // ln(1 + (N-df+0.5)/(df+0.5)) stays a DOUBLE here; quantization
+    // happens per candidate row AFTER the tf/length factor (each row's
+    // inputs are fixed, so the floor is still order-independent).
+    // N and avgdl ride the plan as a broadcast one-row aggregate: no
+    // eager count() job at plan-construction time.
     val nDocs = broadcast(right.agg(
-      countDistinct(col(rightId)).cast("double").as("__n")))
+      countDistinct(col(rightId)).cast("double").as("__n"),
+      (sum(size(col(rightTokens)).cast("long")) /
+        countDistinct(col(rightId))).as("__avgdl")))
     val idf = postings.groupBy("__tok")
       .agg(count("*").as("__df"))
       .crossJoin(nDocs)
       .withColumn("__idf",
-        floor((log((col("__n") + 1) / (col("__df") + 1)) + 1) * 10000).cast("long"))
-      .select("__tok", "__idf")
+        if (!bm25)
+          floor((log((col("__n") + 1) / (col("__df") + 1)) + 1) * 10000).cast("long")
+        else
+          log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .select("__tok", "__idf", "__avgdl")
 
     // ---- left tokens (+ fuzzy variants at distance ≤1)
     // distinct: left ids need not be unique rows (YAML `match` steps key
@@ -119,18 +168,36 @@ object MatchJoin {
         qv.join(pv, Seq("__v"))
           .filter(levenshtein(col("__qtok"), col("__tok")) <= 1)
           .select("__lid", "__tok", "__rid").distinct()
+          // tf/dl were dropped before the variant meet (several variants
+          // reach the same token — carrying them through would multiply
+          // rows before the distinct); re-attach from postings now that
+          // (lid, rid, tok) is unique
+          .join(postings, Seq("__rid", "__tok"))
           .join(broadcast(idf), Seq("__tok"))
       }
 
-    // ---- score: sum of IDF over matched tokens (each left token counts
-    // once per right doc). Non-fuzzy triples are already unique (both
-    // token sets are array_distinct'ed before exploding) — the extra
-    // distinct would be a pure-overhead shuffle; the fuzzy path dedups in
-    // cand0 itself.
+    // ---- score: sum of per-token weights (each left token counts once
+    // per right doc). idf mode: the pre-quantized IDF long. bm25: the
+    // Okapi tf/length factor is applied per candidate row, THEN
+    // quantized to 1e-4 integer units — every input (idf, tf, dl,
+    // avgdl) is fixed per row, so the floor is order-independent and
+    // the integer sum stays bit-deterministic across partitionings.
+    // Non-fuzzy triples are already unique (both token sets are
+    // array_distinct'ed before exploding) — the extra distinct would be
+    // a pure-overhead shuffle; the fuzzy path dedups in cand0 itself.
+    // the two k1/b products fold in Scala; the oracle's SQL spells the
+    // same folds (1.2*(1-0.75), 1.2*0.75) so both engines hit identical
+    // doubles in identical operation order
+    val weight =
+      if (!bm25) col("__idf")
+      else floor(col("__idf") *
+        (col("__tf") * lit(k1 + 1.0)) /
+        (col("__tf") + lit(k1 * (1.0 - b)) + lit(k1 * b) * col("__dl") / col("__avgdl")) *
+        10000).cast("long")
     val scored = cand0
-      .select(col("__lid"), col("__rid"), col("__idf"))
+      .select(col("__lid"), col("__rid"), weight.as("__w"))
       .groupBy("__lid", "__rid")
-      .agg(sum("__idf").as("hit_score"))
+      .agg(sum("__w").as("hit_score"))
 
     // ---- top-k + hit metadata. Both windows share the __lid partition
     // key so Catalyst plans ONE exchange + sort for the pair. The
@@ -181,11 +248,14 @@ object MatchJoin {
       k: Int = 10,
       keepUnmatched: Boolean = true,
       fuzzy: Boolean = false,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 0L,
+      scoring: String = "idf",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
 
     val flat = topK(left.select(col(leftId), col(leftTokens)), right,
       leftTokens, rightTokens, leftId, rightId, k, keepUnmatched = false,
-      fuzzy, maxDocFreq)
+      fuzzy, maxDocFreq, scoring, k1, b)
     val hitStructCols = right.columns.map(c => col(s"hit_$c"))
     val buckets = flat
       .groupBy(col(leftId), col("matchid_hit_matches_unfiltered"), col("hit_max_score"))

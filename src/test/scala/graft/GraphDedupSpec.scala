@@ -337,6 +337,41 @@ class GraphDedupSpec extends SparkSpec {
       keepUnmatched = true).count() == 1)
   }
 
+  test("match topK bm25: tf breaks idf ties, length norm penalizes long docs") {
+    // docs 1 and 2 contain the same token SET {red, apple} → identical
+    // idf-mode scores; doc 2 repeats "apple" (tf=3) → bm25 must rank it
+    // first. Doc 3 shares the set but is padded with unique filler →
+    // the length norm must rank it below both.
+    val docs = Seq(
+      (1L, Seq("red", "apple")),
+      (2L, Seq("red", "apple", "apple", "apple")),
+      (3L, Seq("red", "apple", "filler1", "filler2", "filler3", "filler4",
+        "filler5", "filler6"))).toDF("id", "toks")
+    val q = Seq((100L, Seq("red", "apple"))).toDF("id", "toks")
+    val idfHits = MatchJoin.topK(q, docs, "toks", "toks", "id", "id", k = 3)
+      .orderBy("hit_rank").collect()
+    // idf mode cannot separate 1 and 2 (same token set) → min-rid tie
+    assert(idfHits.take(2).map(_.getAs[Long]("hit_score")).distinct.length == 1)
+    assert(idfHits.head.getAs[Long]("hit_id") == 1L)
+    val bm = MatchJoin.topK(q, docs, "toks", "toks", "id", "id", k = 3,
+        scoring = "bm25")
+      .orderBy("hit_rank").collect()
+    assert(bm.map(_.getAs[Long]("hit_id")).toSeq == Seq(2L, 1L, 3L),
+      bm.map(r => (r.getAs[Long]("hit_id"), r.getAs[Long]("hit_score"))).toSeq.toString)
+    // scores strictly ordered — no accidental tie
+    val scores = bm.map(_.getAs[Long]("hit_score")).toSeq
+    assert(scores == scores.sorted.reverse && scores.distinct.length == 3)
+    // fuzzy + bm25 compose: a one-typo query still reaches the docs
+    val qt = Seq((200L, Seq("rad", "apple"))).toDF("id", "toks")
+    val fz = MatchJoin.topK(qt, docs, "toks", "toks", "id", "id", k = 1,
+      fuzzy = true, scoring = "bm25").collect()
+    assert(fz.length == 1 && fz.head.getAs[Long]("hit_id") == 2L)
+    // unknown scoring mode fails loudly
+    intercept[IllegalArgumentException] {
+      MatchJoin.topK(q, docs, "toks", "toks", "id", "id", scoring = "tfidf")
+    }
+  }
+
   test("topK: duplicate left rows sharing an id do not inflate hit_score") {
     val docs = Seq((1L, Seq("red", "apple"))).toDF("id", "toks")
     val q1 = Seq((100L, Seq("red", "apple"))).toDF("id", "toks")

@@ -157,6 +157,18 @@ class RecipeConfSpec extends SparkSpec {
     val capped = RecipeConf.run(
       spark, RecipeConf.load(yaml(", max_doc_freq: 2")), "matched")
     assert(capped.select("hit_rid").as[Long].collect().toSeq == Seq(1L))
+    // scoring: bm25 routes through the Okapi path (same hits, and the
+    // exact-set doc outranks the stopword-only overlaps strictly)
+    val bm = RecipeConf.run(
+      spark, RecipeConf.load(yaml(", scoring: bm25")), "matched")
+    assert(bm.count() == 3)
+    val top = bm.orderBy("hit_rank").select("hit_rid").as[Long].collect()
+    assert(top.head == 1L, top.toSeq.toString)
+    // a typo'd scoring mode fails loudly at run time
+    val e = intercept[Exception] {
+      RecipeConf.run(spark, RecipeConf.load(yaml(", scoring: tfidf")), "matched")
+    }
+    assert(e.getMessage.contains("scoring"), e.getMessage)
   }
 
   test("asof_join and range_join recipe steps run from YAML") {
