@@ -531,6 +531,24 @@ object SparkEntry {
           round(col("rms"), 4).as("rms"))
     }),
 
+    // REAL video decode, closing the codec triad: payloads are actual
+    // ANIMATED GIFs (frame f pixel (x,y) = (key + 17f + x + y) mod 256,
+    // real GraphicControlExtension frame delays), decoded by the JDK's
+    // multi-frame GIF reader with every-2nd-frame sampling; duration
+    // and frame offsets come from container metadata, and the oracle
+    // replays the pixel formula — the full encode → GIF bytes → decode
+    // → per-frame stats loop is hash-checked without DuckDB ever
+    // touching a video
+    "q67_video_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesizeVideos(
+        t(s, dir, "part"), "p_partkey")
+      graft.multimodal.Multimodal.decodeVideos(media, every = 2)
+        .select(col("media_id"), col("n_frames"), col("video_duration_ms"),
+          col("frame_idx"), col("frame_ms"),
+          round(col("frame_mean"), 4).as("frame_mean"),
+          round(col("frame_stddev"), 4).as("frame_stddev"))
+    }),
+
     // LSH ANN through the YAML `ann_topk: {method: lsh}` step — the
     // multi-table path (4 tables × 12 bits of one 64-bit signature)
     // under the driver gate, not just specs. Queries are PLANTED exact
@@ -1433,6 +1451,28 @@ object SparkEntry {
         | ROUND(SUM(s)::DOUBLE / COUNT(*), 4) AS mean_sample,
         | ROUND(sqrt(SUM(s*s)::DOUBLE / COUNT(*)), 4) AS rms
         |FROM sm GROUP BY media_id""".stripMargin,
+
+    // replay the GIF frame formula (x,y,f) → (media_id + 17f + x + y)
+    // mod 256 for the sampled frames (every 2nd of 8) with the SAME
+    // arithmetic shape as VideoCodec (exact integer sums, one double
+    // division, identical guard); duration/offsets are frame_idx × the
+    // 4 cs container delay — the Spark side reads them back from REAL
+    // GraphicControlExtension metadata, the oracle never needs to
+    "q67_video_decode" ->
+      """WITH px AS (
+        | SELECT CAST(p_partkey AS BIGINT) AS media_id, f.v AS fi,
+        |  CAST((p_partkey + 17 * f.v + x.v + y.v) % 256 AS BIGINT) AS s
+        | FROM part, generate_series(0, 7) AS f(v),
+        |      generate_series(0, 15) AS x(v), generate_series(0, 11) AS y(v)
+        | WHERE f.v % 2 = 0)
+        |SELECT media_id, CAST(8 AS INTEGER) AS n_frames,
+        | CAST(320 AS BIGINT) AS video_duration_ms,
+        | CAST(fi AS INTEGER) AS frame_idx, CAST(fi * 40 AS BIGINT) AS frame_ms,
+        | ROUND(SUM(s)::DOUBLE / COUNT(*), 4) AS frame_mean,
+        | ROUND(sqrt(GREATEST(SUM(s*s)::DOUBLE / COUNT(*)
+        |   - (SUM(s)::DOUBLE / COUNT(*)) * (SUM(s)::DOUBLE / COUNT(*)), 0)), 4)
+        |   AS frame_stddev
+        |FROM px GROUP BY media_id, fi""".stripMargin,
 
     // exact cosine of the planted queries against the FULL corpus: the
     // true argmax per query is the planted twin (score 1.0, nothing

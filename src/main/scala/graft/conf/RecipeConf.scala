@@ -716,15 +716,19 @@ object RecipeConf {
       // (media_id, kind, payload, meta) — Multimodal.mediaSchema
       //   media_stats:  {}              byte-level stats, any kind
       //   image_stats:  {}              REAL decode for kind=image
+      //   audio_stats:  {}              REAL decode for kind=audio
+      //   video_stats:  {every: n}      REAL decode for kind=video, one
+      //                                 row per every-th frame
       //   media_dedup:  {}              exact dedup groups by content
       //   sample_frames: {every_ms: n}  one row per sampled offset
-      case "media_stats" | "image_stats" | "audio_stats" | "media_dedup" |
-           "sample_frames" =>
+      case "media_stats" | "image_stats" | "audio_stats" | "video_stats" |
+           "media_dedup" | "sample_frames" =>
         df => {
           val need = op match {
             case "media_dedup" => Seq("media_id", "payload")
             case "sample_frames" => Seq("payload", "meta")
-            case "image_stats" | "audio_stats" => Seq("kind", "payload")
+            case "image_stats" | "audio_stats" | "video_stats" =>
+              Seq("kind", "payload")
             case _ => Seq("payload")
           }
           val missing = need.filterNot(df.columns.contains)
@@ -735,6 +739,8 @@ object RecipeConf {
             case "media_stats" => graft.multimodal.Multimodal.extractFeatures(df)
             case "image_stats" => graft.multimodal.Multimodal.decodeImages(df)
             case "audio_stats" => graft.multimodal.Multimodal.decodeAudio(df)
+            case "video_stats" => graft.multimodal.Multimodal.decodeVideos(df,
+              every = knobInt("every", 1))
             case "media_dedup" => graft.multimodal.Multimodal.dedupGroups(df)
             case _ => graft.multimodal.Multimodal.sampleFrames(df,
               everyMs = knobLong("every_ms", 1000L))

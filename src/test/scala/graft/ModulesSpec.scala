@@ -617,6 +617,63 @@ class ModulesSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("n_samples"))) // kind=image
   }
 
+  test("multimodal: REAL animated-GIF video decode gives exact per-frame stats") {
+    import graft.multimodal.Multimodal
+    // synthesized GIF, frame f pixel (x,y) = (k + 17f + x + y) mod 256:
+    // the identity gray palette makes the round-trip lossless, so the
+    // decoded stats equal the formula stats EXACTLY (no tolerance)
+    def formula(k: Long, f: Int, w: Int, h: Int): (Double, Double) = {
+      val vs = for { y <- 0 until h; x <- 0 until w }
+        yield ((k + 17L * f + x + y) % 256).toDouble
+      val m = vs.sum / vs.size
+      (m, math.sqrt(vs.map(v => v * v).sum / vs.size - m * m))
+    }
+    val media = Multimodal.synthesizeVideos(Seq(5L, 250L).toDF("k"), "k",
+      w = 16, h = 12, nFrames = 4, delayCs = 7)
+    val out = Multimodal.decodeVideos(media, every = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.length == 4) // 2 videos × sampled frames {0, 2}
+    for (r <- out) {
+      val k = r.getAs[Long]("media_id")
+      val f = r.getAs[Int]("frame_idx")
+      val (em, es) = formula(k, f, 16, 12)
+      assert(r.getAs[Int]("n_frames") == 4)
+      assert(r.getAs[Int]("vid_width") == 16)
+      assert(r.getAs[Int]("vid_height") == 12)
+      // duration and offsets come from REAL container metadata (the
+      // GraphicControlExtension delays), not the meta column
+      assert(r.getAs[Long]("video_duration_ms") == 4 * 70L)
+      assert(r.getAs[Long]("frame_ms") == f * 70L)
+      assert(r.getAs[Double]("frame_mean") == em, s"k=$k f=$f")
+      assert(math.abs(r.getAs[Double]("frame_stddev") - es) < 1e-12)
+    }
+    // k=250 wraps mod 256 mid-frame — the formula covers it, pin one
+    assert(out(2).getAs[Long]("media_id") == 250L)
+
+    // non-video kinds and corrupt payloads carry NULLs, rows kept
+    val mixed = Multimodal.decodeVideos(
+      media.limit(1).unionByName(media.limit(1).select(
+        (col("media_id") + 1).as("media_id"), lit("image").as("kind"),
+        col("payload"), col("meta"))), every = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(mixed.length == 3) // 2 sampled frames + 1 NULL row for the image
+    assert(mixed.last.isNullAt(mixed.last.fieldIndex("n_frames")))
+    // codec-level contract: bad payloads are data, not errors
+    assert(Multimodal.VideoCodec.decodeStats("not a gif".getBytes, 1).isEmpty)
+    assert(Multimodal.VideoCodec.decodeStats(null, 1).isEmpty)
+    val bytes = media.select("payload").head.getAs[Array[Byte]](0)
+    assert(Multimodal.VideoCodec.decodeStats(bytes.take(9), 1).isEmpty)
+    // a truncated-mid-stream GIF still decodes its complete frames: the
+    // JDK reader's getNumImages counts only frames it can seek past
+    val partial = Multimodal.VideoCodec.decodeStats(
+      bytes.take(bytes.length / 2), 1)
+    assert(partial.forall(_._1 < 4))
+    // a non-positive sampling step fails at plan build, not mid-job
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideos(media, every = 0)
+    }
+  }
+
   test("graph metrics: degree, pagerank, clustering on a triangle+tail") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
     val m = GraphMetrics.metrics(edges, Seq("pagerank", "triangles", "clustering"))

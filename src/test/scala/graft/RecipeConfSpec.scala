@@ -1198,13 +1198,18 @@ class RecipeConfSpec extends SparkSpec {
     graft.multimodal.Multimodal.synthesizeAudio(
         Seq(5L, 6L).toDF("k"), "k", sampleRate = 1000, nSamples = 4)
       .write.mode("overwrite").parquet(s"$dir/audio_in")
+    graft.multimodal.Multimodal.synthesizeVideos(
+        Seq(5L, 6L).toDF("k"), "k", w = 4, h = 2, nFrames = 4)
+      .write.mode("overwrite").parquet(s"$dir/video_in")
     val conf = RecipeConf.load(
       s"""datasets:
          |  media: {path: $dir/media_in, format: parquet}
          |  audio: {path: $dir/audio_in, format: parquet}
+         |  video: {path: $dir/video_in, format: parquet}
          |recipes:
          |  stats:  {input: media, steps: [{image_stats: {}}]}
          |  astats: {input: audio, steps: [{audio_stats: {}}]}
+         |  vstats: {input: video, steps: [{video_stats: {every: 2}}]}
          |  dedupm: {input: media, steps: [{media_dedup: {}}]}
          |  frames: {input: media, steps: [{sample_frames: {every_ms: 10}}]}
          |""".stripMargin)
@@ -1212,6 +1217,10 @@ class RecipeConfSpec extends SparkSpec {
     assert(st.length == 2 && st(0).getAs[Int]("img_width") == 4)
     val au = RecipeConf.run(spark, conf, "astats").orderBy("media_id").collect()
     assert(au.length == 2 && au(0).getAs[Long]("n_samples") == 4)
+    val vs = RecipeConf.run(spark, conf, "vstats").orderBy("media_id", "frame_idx")
+      .collect()
+    assert(vs.length == 4) // 2 videos × sampled frames {0, 2}
+    assert(vs(0).getAs[Int]("n_frames") == 4 && vs(0).getAs[Int]("vid_width") == 4)
     assert(RecipeConf.run(spark, conf, "dedupm").count() == 2) // distinct payloads
     // duration_ms is NULL for images → explode_outer keeps one NULL-frame row
     assert(RecipeConf.run(spark, conf, "frames").count() == 2)
