@@ -771,6 +771,21 @@ object SparkEntry {
         .select("doc_id", "contaminated")
     }),
 
+    // q53's exact computation through the BLOOM-PREFILTERED plan: a
+    // Bloom filter over the test grams broadcasts and drops clean
+    // corpus grams map-side BEFORE the shuffle; the exact semi-join
+    // then sees only hits + an fpp-sized trickle of false positives,
+    // so the output is identical — both queries share q53's oracle
+    // arithmetic, proving prefilter exactness under the driver gate
+    "q68_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.text.TextAnalysis.contaminationFlags(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4, bloomFpp = Some(0.01))
+        .select("doc_id", "contaminated")
+    }),
+
     // overlapping token-window chunks (Curation.chunk) — the RAG /
     // pretraining shard shape; row-local, no shuffle
     "q54_chunks" -> ((s, dir) =>
@@ -900,6 +915,25 @@ object SparkEntry {
     "q62_ann_lsh")
 
   // ------------------------------------------------------------- oracles
+
+  /** Shared by q53 (plain semi-join) and q68 (Bloom-prefiltered): the
+    * prefilter is exact-by-construction, so both queries must
+    * hash-match ONE oracle. */
+  private lazy val decontaminateOracle: String =
+    ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
+      ", '\\s+') AS toks FROM documents), " +
+      """g AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+        | FROM nn WHERE len(toks) >= 4),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |test AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT e.doc_id FROM e JOIN test USING (gram)
+        |        WHERE e.doc_id % 20 <> 0)
+        |SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN bad b USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0""".stripMargin)
+
   private val normSql =
     "trim(regexp_replace(regexp_replace(strip_accents(lower(%s)), '[^0-9a-z]+', ' ', 'g'), '\\s+', ' ', 'g'))"
 
@@ -1257,20 +1291,11 @@ object SparkEntry {
     // same normalize → distinct word 4-grams → test-gram semi-join,
     // spelled over DuckDB lists (1-based inclusive slices: gram i =
     // toks[i:i+3])
-    "q53_decontaminate" ->
-      ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
-        ", '\\s+') AS toks FROM documents), " +
-        """g AS (SELECT doc_id,
-          |  list_distinct(list_transform(generate_series(1, len(toks) - 3),
-          |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
-          | FROM nn WHERE len(toks) >= 4),
-          |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
-          |test AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
-          |bad AS (SELECT DISTINCT e.doc_id FROM e JOIN test USING (gram)
-          |        WHERE e.doc_id % 20 <> 0)
-          |SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
-          |FROM documents d LEFT JOIN bad b USING (doc_id)
-          |WHERE d.doc_id % 20 <> 0""".stripMargin),
+    "q53_decontaminate" -> decontaminateOracle,
+
+    // the Bloom-prefiltered plan computes the SAME answer — one oracle,
+    // two physical strategies, both hash-checked
+    "q68_decontaminate_bloom" -> decontaminateOracle,
 
     // same window arithmetic over DuckDB lists: chunk i (0-based) covers
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]

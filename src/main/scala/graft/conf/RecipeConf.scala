@@ -629,9 +629,17 @@ object RecipeConf {
         val id = req("id"); val text = req("text")
         val n = knobInt("n", 13)
         val testText = knobOpt("test_text")
+        // prefilter: bloom broadcasts a Bloom filter of the test grams
+        // so clean corpus grams never shuffle — same output, 100-TB plan
+        val fpp = knob("prefilter", "none") match {
+          case "none" => None
+          case "bloom" => Some(knobDouble("fpp", 0.01))
+          case other =>
+            sys.error(s"decontaminate: unknown prefilter '$other' (none | bloom)")
+        }
         knob("mode", "drop") match {
-          case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n, testText)
-          case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n, testText)
+          case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n, testText, fpp)
+          case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n, testText, fpp)
           case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag)")
         }
       }

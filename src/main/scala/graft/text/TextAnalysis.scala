@@ -228,11 +228,13 @@ object TextAnalysis {
     * id — no pair explosion. */
   def contaminationFlags(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
-      testTextCol: Option[String] = None): DataFrame = {
+      testTextCol: Option[String] = None,
+      bloomFpp: Option[Double] = None): DataFrame = {
     // the flag rides the join under a fresh name so a pre-existing
     // `contaminated` column on train can't make the coalesce ambiguous;
     // the final withColumn then REPLACES any such column
-    val bad = contaminatedIds(train, test, idCol, textCol, n, testTextCol)
+    val bad = contaminatedIds(train, test, idCol, textCol, n, testTextCol,
+        bloomFpp)
       .withColumn("__graft_contaminated", lit(true))
     train.join(bad, Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("__graft_contaminated"), lit(false)))
@@ -243,13 +245,32 @@ object TextAnalysis {
     * the test set (the drop-variant of [[contaminationFlags]]). */
   def decontaminate(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
-      testTextCol: Option[String] = None): DataFrame =
-    train.join(contaminatedIds(train, test, idCol, textCol, n, testTextCol),
+      testTextCol: Option[String] = None,
+      bloomFpp: Option[Double] = None): DataFrame =
+    train.join(contaminatedIds(train, test, idCol, textCol, n, testTextCol,
+        bloomFpp),
       Seq(idCol), "left_anti")
 
+  /** `bloomFpp = Some(p)` turns on the BLOOM PREFILTER: output stays
+    * IDENTICAL (the exact semi-join still decides membership), but the
+    * 100-TB plan changes — a Bloom filter over the test set's gram
+    * hashes is broadcast to every executor, and corpus grams that miss
+    * it (for a mostly-clean corpus, essentially all of them) are
+    * dropped MAP-SIDE before any shuffle. The semi-join then carries
+    * only true hits plus an fpp-sized trickle of false positives,
+    * which the exact join removes — so the corpus-side shuffle shrinks
+    * from EVERY gram to ~(hits + fpp · grams) while the result
+    * hash-matches the unfiltered plan (q53 vs q68 share one oracle).
+    *
+    * The filter is the declared-small driver artifact (SCALE.md):
+    * test/benchmark sets are bounded by design, and at 1% fpp the bits
+    * run ~1.2 MB per million distinct test grams. The test gram set is
+    * computed three times (size, build, exact verify) — benchmark-sized
+    * work, the price of keeping the CORPUS side single-pass. */
   private def contaminatedIds(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int,
-      testTextCol: Option[String]): DataFrame = {
+      testTextCol: Option[String],
+      bloomFpp: Option[Double] = None): DataFrame = {
     // grams meet as 64-bit hashes, not strings: at n=13 the exploded
     // train side is ~13× the corpus text if shuffled verbatim, 8 bytes a
     // gram once hashed. An xxhash64 collision marks one extra doc
@@ -260,8 +281,21 @@ object TextAnalysis {
       .select(explode(wordNgramsUdf(
         Tools.normalize(col(testTextCol.getOrElse(textCol))), lit(n))).as("gram"))
       .select(xxhash64(col("gram")).as("__gram_h")).distinct()
-    wordNgrams(train, idCol, textCol, n)
+    val trainGrams = wordNgrams(train, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("gram")).as("__gram_h"))
+    val candidates = bloomFpp match {
+      case None => trainGrams
+      case Some(fpp) =>
+        require(fpp > 0 && fpp < 1,
+          s"decontaminate: bloom fpp must be in (0, 1), got $fpp")
+        val nGrams = testGrams.count()
+        if (nGrams == 0) return train.select(col(idCol)).limit(0)
+        val bf = testGrams.stat.bloomFilter("__gram_h", nGrams, fpp)
+        val bcast = train.sparkSession.sparkContext.broadcast(bf)
+        val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
+        trainGrams.filter(might(col("__gram_h")))
+    }
+    candidates
       .join(testGrams, Seq("__gram_h"), "left_semi")
       .select(idCol).distinct()
   }

@@ -472,6 +472,45 @@ class GraphDedupSpec extends SparkSpec {
     assert(col1[Long](kept, "doc_id") == Seq(2L))
   }
 
+  test("bloom-prefiltered decontamination is exactly the semi-join answer") {
+    // 200 train docs, every 10th contaminated by a 3-gram from the
+    // benchmark; the Bloom path must flag EXACTLY the same docs (the
+    // exact verify join removes the filter's false positives), and the
+    // map-side prefilter must appear in the physical plan BEFORE any
+    // exchange — that ordering is the whole 100-TB point
+    val train = (1L to 200L).map { i =>
+      val tail = if (i % 10 == 0) "held out secret phrase" else s"clean text $i"
+      (i, s"document number $i says $tail")
+    }.toDF("doc_id", "text")
+    val bench = Seq("the held out secret phrase appears here")
+      .toDF("text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.filter(col("contaminated")).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val plain = TextAnalysis.contaminationFlags(train, bench, "doc_id", "text", n = 3)
+    val bloom = TextAnalysis.contaminationFlags(train, bench, "doc_id", "text",
+      n = 3, bloomFpp = Some(0.01))
+    assert(ids(bloom) == ids(plain))
+    assert(ids(bloom) == (10L to 200L by 10L))
+    // plan shape: the bloom membership filter sits under the first
+    // exchange on the train-gram side (BatchEvalPython-free, a plain
+    // scala UDF filter) — presence + placement, not exact tree
+    val phys = bloom.queryExecution.executedPlan.toString
+    assert(phys.contains("UDF"), "bloom prefilter UDF missing from plan")
+    // the drop-variant and an empty benchmark behave like the plain path
+    val kept = TextAnalysis.decontaminate(train, bench, "doc_id", "text",
+      n = 3, bloomFpp = Some(0.01))
+    assert(kept.count() == 180)
+    val none = TextAnalysis.decontaminate(train,
+      bench.limit(0), "doc_id", "text", n = 3, bloomFpp = Some(0.01))
+    assert(none.count() == 200)
+    // a nonsensical fpp fails loudly at build
+    intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminate(train, bench, "doc_id", "text",
+        n = 3, bloomFpp = Some(1.5)).count()
+    }
+  }
+
   test("winnowing fingerprints: identity, shared-substring guarantee, edges") {
     val common = "entity resolution at one hundred terabytes of text"
     val docs = Seq(

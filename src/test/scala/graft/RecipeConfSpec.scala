@@ -1435,12 +1435,31 @@ class RecipeConfSpec extends SparkSpec {
          |    steps:
          |      - decontaminate: {dataset: bench, id: doc_id, text: text,
          |                        n: 2, test_text: prompt}
+         |  bloomy:
+         |    input: tr
+         |    steps:
+         |      - decontaminate: {dataset: bench, id: doc_id, text: text,
+         |                        n: 2, mode: flag, test_text: prompt,
+         |                        prefilter: bloom, fpp: 0.05}
+         |  badpre:
+         |    input: tr
+         |    steps:
+         |      - decontaminate: {dataset: bench, id: doc_id, text: text,
+         |                        prefilter: cuckoo}
          |""".stripMargin)
     val flags = RecipeConf.run(spark, conf, "flagit").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(flags == Map(1L -> true, 2L -> false))
     val kept = RecipeConf.run(spark, conf, "dropit").collect()
     assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    // the bloom prefilter computes the same flags through the
+    // broadcast-filter plan
+    val bflags = RecipeConf.run(spark, conf, "bloomy").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(bflags == flags)
+    // an unknown prefilter fails with a named error
+    val e = intercept[RuntimeException](RecipeConf.run(spark, conf, "badpre"))
+    assert(e.getMessage.contains("unknown prefilter 'cuckoo'"), e.getMessage)
   }
 
   test("a missing step knob and an unknown dataset fail with named errors") {
