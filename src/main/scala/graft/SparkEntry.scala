@@ -786,6 +786,35 @@ object SparkEntry {
         .select("doc_id", "contaminated")
     }),
 
+    // URL canonicalization (web-corpus curation): raw URLs synthesized
+    // closed-form to exercise every rule at once — uppercase scheme and
+    // host, www prefix, default vs explicit ports, a tracking param,
+    // params out of order, a fragment — and the oracle spells the
+    // EXPECTED canonical string directly from the key formula, an
+    // independent derivation rather than a re-run of the normalizer
+    "q69_url_normalize" -> ((s, dir) => {
+      val k = col("p_partkey").cast("long")
+      val tld = element_at(
+        array(lit(".com"), lit(".org"), lit(".co.uk"), lit(".net")),
+        (k % 4).cast("int") + 1)
+      val scheme = when(k % 2 === 0, lit("HTTPS")).otherwise(lit("http"))
+      val defPort = when(k % 2 === 0, lit(":443")).otherwise(lit(":80"))
+      val port = when(k % 3 === 0, defPort)
+        .when(k % 3 === 1, lit(":8080")).otherwise(lit(""))
+      val raw = concat(
+        scheme, lit("://WWW.Sub"), (k % 7).cast("string"),
+        lit(".Example"), (k % 13).cast("string"), tld, port,
+        lit("/Path"), (k % 11).cast("string"), lit("/item"),
+        lit("?utm_source=news&zz="), (k % 5).cast("string"),
+        lit("&aa="), (k % 3).cast("string"),
+        lit("#Sec"), (k % 2).cast("string"))
+      t(s, dir, "part")
+        .select(k.as("url_id"), raw.as("url"))
+        .select(col("url_id"),
+          graft.text.UrlTools.normalizeUrl(col("url")).as("url_norm"),
+          graft.text.UrlTools.registeredDomain(col("url")).as("url_domain"))
+    }),
+
     // overlapping token-window chunks (Curation.chunk) — the RAG /
     // pretraining shard shape; row-local, no shuffle
     "q54_chunks" -> ((s, dir) =>
@@ -904,7 +933,8 @@ object SparkEntry {
     "q01_agg", "q02_join_enrich", "q03_rank_topk", "q11_transform",
     "q18_events_window", "q21_fingerprint", "q24_jaccard_pairs",
     "q25_ann_topk", "q26_minhash_pairs", "q29_match_topk",
-    "q39_matching_e2e", "q53_decontaminate", "q59_lm_logprob",
+    "q39_matching_e2e", "q53_decontaminate", "q68_decontaminate_bloom",
+    "q59_lm_logprob",
     // the IVF build and probe are tracked SEPARATELY (round 8): build
     // amortizes over query batches, so the steady-state ANN number is
     // the partition-pruned probe. _build MUST run first — it writes the
@@ -1296,6 +1326,24 @@ object SparkEntry {
     // the Bloom-prefiltered plan computes the SAME answer — one oracle,
     // two physical strategies, both hash-checked
     "q68_decontaminate_bloom" -> decontaminateOracle,
+
+    // the EXPECTED canonical URL and registered domain, spelled
+    // directly from the key formula (scheme/host lowercased, www and
+    // default port and fragment and utm_source gone, aa before zz) —
+    // the engine side runs the real normalizer on the messy raw string
+    "q69_url_normalize" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS url_id,
+        | (CASE WHEN p_partkey % 2 = 0 THEN 'https' ELSE 'http' END) ||
+        | '://sub' || (p_partkey % 7) || '.example' || (p_partkey % 13) ||
+        | (CASE p_partkey % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |       WHEN 2 THEN '.co.uk' ELSE '.net' END) ||
+        | (CASE WHEN p_partkey % 3 = 1 THEN ':8080' ELSE '' END) ||
+        | '/Path' || (p_partkey % 11) || '/item' ||
+        | '?aa=' || (p_partkey % 3) || '&zz=' || (p_partkey % 5) AS url_norm,
+        | 'example' || (p_partkey % 13) ||
+        | (CASE p_partkey % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |       WHEN 2 THEN '.co.uk' ELSE '.net' END) AS url_domain
+        |FROM part""".stripMargin,
 
     // same window arithmetic over DuckDB lists: chunk i (0-based) covers
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]

@@ -575,8 +575,10 @@ object RecipeConf {
             threshold = knobDouble("threshold", 0.95),
             bits = knobInt("bits", 8),
             tables = knobInt("tables", 3))
+          // canonical-URL dedup — keys on `url`, not `text`
+          case "url" => graft.text.UrlTools.urlDedup(df, id, req("url"))
           case other => sys.error(s"dedup: unknown method '$other' " +
-            "(exact | fingerprint | minhash | lines | embedding)")
+            "(exact | fingerprint | minhash | lines | embedding | url)")
         }
       }
       //   pack: {id: col, text: col, budget: N, shard: col} →
@@ -696,6 +698,14 @@ object RecipeConf {
       //   repetition: {id: col, text: col}
       case "repetition" => df =>
         graft.text.Curation.repetitionStats(df, req("id"), req("text"))
+      // URL canonicalization (web-corpus curation): adds url_norm +
+      // url_domain; non-URLs get NULLs:
+      //   url_normalize: {url: col}
+      case "url_normalize" => df => {
+        val u = req("url")
+        df.withColumn("url_norm", graft.text.UrlTools.normalizeUrl(col(u)))
+          .withColumn("url_domain", graft.text.UrlTools.registeredDomain(col(u)))
+      }
       // PII scrub in place over the selected text columns:
       //   scrub: {select: [text, bio]}
       case "scrub" => df => {

@@ -252,4 +252,71 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
+
+  // ------------------------------------------------------ URL curation
+  test("normalizeUrl applies every canonicalization rule; non-URLs go NULL") {
+    import graft.text.UrlTools
+    val cases = Seq(
+      // scheme+host lowered, www/default-port/fragment/tracking gone,
+      // params sorted, path case KEPT
+      ("HTTPS://WWW.Ex.COM:443/Path/It?utm_source=x&b=2&a=1#frag",
+        "https://ex.com/Path/It?a=1&b=2"),
+      // explicit non-default port kept; http's :80 is the default
+      ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+      ("http://ex.com:80/x", "http://ex.com/x"),
+      // empty path → /; bare query keeps its params
+      ("https://Ex.com", "https://ex.com/"),
+      ("https://ex.com?b=2&a=1", "https://ex.com/?a=1&b=2"),
+      // ALL params tracking → no query at all
+      ("https://ex.com/p?utm_campaign=c&fbclid=f&gclid=g", "https://ex.com/p"),
+      // non-http schemes normalize too (no default-port rule)
+      ("FTP://Files.Ex.org/a.txt", "ftp://files.ex.org/a.txt"),
+      // not URLs → NULL
+      ("no scheme here", null),
+      ("", null))
+    val out = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "url")
+      .select(col("id"), UrlTools.normalizeUrl(col("url")).as("n"))
+      .orderBy("id").collect().map(r => r.getString(1))
+    cases.map(_._2).zip(out).zipWithIndex.foreach { case ((want, got), i) =>
+      assert(got == want, s"case $i: got '$got' want '$want'")
+    }
+    // NULL propagates
+    val nullOut = Seq((1L, Option.empty[String])).toDF("id", "url")
+      .select(UrlTools.normalizeUrl(col("url"))).head
+    assert(nullOut.isNullAt(0))
+  }
+
+  test("registeredDomain honours multi-part public suffixes") {
+    import graft.text.UrlTools
+    val out = Seq(
+      (1L, "https://a.b.Example.co.uk/x"),
+      (2L, "https://www.example.com/x"),
+      (3L, "http://deep.sub.example.org?q=1"),
+      (4L, "http://localhost/x"),
+      (5L, "oops"))
+      .toDF("id", "url")
+      .select(col("id"), UrlTools.registeredDomain(col("url")).as("d"))
+      .orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(out.toSeq == Seq(Some("example.co.uk"), Some("example.com"),
+      Some("example.org"), Some("localhost"), None))
+  }
+
+  test("urlDedup keeps min id per canonical URL; malformed URLs all survive") {
+    import graft.text.UrlTools
+    val df = Seq(
+      (3L, "https://www.ex.com/a?utm_source=t"), // same canonical as id 1
+      (1L, "HTTPS://EX.com:443/a"),
+      (2L, "https://ex.com/b"),
+      (7L, "not a url"),
+      (8L, "also not a url"))
+      .toDF("id", "url")
+    val kept = UrlTools.urlDedup(df, "id", "url")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 7L, 8L)) // 3 dropped; malformed kept
+    val groups = UrlTools.urlDedupGroups(df, "id", "url")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("n_copies")).toMap
+    assert(groups(Some("https://ex.com/a")) == 2L)
+    assert(groups(None) == 2L) // NULL canonicals grouped, not dropped
+  }
 }

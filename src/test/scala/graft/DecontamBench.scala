@@ -59,6 +59,20 @@ object DecontamBench {
       java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("?")
     println(s"[decontam] loadavg at start: $load")
 
+    // shuffle bytes written per config — on local[32] a shuffle is a
+    // memcpy and wall time can't see it, but at 1000 executors shuffle
+    // bytes ARE the scarce resource; this is the number the prefilter
+    // exists to shrink
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+
     val tmp = java.nio.file.Files.createTempDirectory("graft-decontam")
     tmp.toFile.deleteOnExit()
     try {
@@ -71,10 +85,13 @@ object DecontamBench {
 
       for (n <- scales) {
         val path = s"$tmp/docs$n"
-        // every 1000th doc is a planted copy of test doc −(k mod NTest + 1)
+        // every 1000th doc is a planted copy of test doc −(k mod NTest + 1);
+        // `div` (integer division) matters: `/` promotes to DOUBLE and
+        // xxhash64(double) ≠ xxhash64(long) — the planted texts would
+        // silently diverge from the test set's
         withText(spark.range(n).toDF("raw_id")
             .withColumn("id", when(col("raw_id") % 1000 === 0,
-                -(col("raw_id") / 1000 % NTest) - 1)
+                -pmod(expr("raw_id div 1000"), lit(NTest)) - 1)
               .otherwise(col("raw_id"))))
           .select(col("raw_id").as("doc_id"), col("text"))
           .write.parquet(path)
@@ -92,8 +109,17 @@ object DecontamBench {
             spark.catalog.clearCache()
             (System.nanoTime() - t0) / 1e9
           }
+          // isolate ONE run's shuffle volume; listener events are
+          // async, give the bus a moment to drain before reading
+          Thread.sleep(2000)
+          shuffleBytes.set(0)
+          result().write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          Thread.sleep(2000)
+          val mb = shuffleBytes.get() / 1024.0 / 1024.0
           println(f"[decontam] n=$n%-8d fpp=${fpp.getOrElse(0.0)}%5.2f " +
-            f"min=${samples.min}%7.3f dropped=$dropped/$planted " +
+            f"min=${samples.min}%7.3f shuffleMB=$mb%8.1f " +
+            f"dropped=$dropped/$planted " +
             s"samples=${samples.map(s => f"$s%.3f").mkString(",")}")
         }
 

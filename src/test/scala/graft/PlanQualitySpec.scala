@@ -138,6 +138,49 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("media decode queries (image/audio/video) plan no shuffle") {
+    // decode is row-local; the video explode multiplies only decoded
+    // STATS rows, payload bytes never enter an exchange
+    for (q <- Seq("q61_image_decode", "q63_audio_decode", "q67_video_decode")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q should be scan -> decode UDF with no shuffle:\n$p")
+    }
+  }
+
+  test("q69 URL normalization is native Column work: no UDF, no shuffle") {
+    // the higher-order filter/sort_array lambdas are native Catalyst
+    // expressions (not codegen'd, but evaluated without serialization
+    // boundaries) — the guard is NO ScalaUDF and NO exchange
+    val p = plan("q69_url_normalize")
+    assert(!p.contains("Exchange"), s"row-local op must not shuffle:\n$p")
+    assert(!p.contains("UDF("), s"UrlTools must stay pure Column exprs:\n$p")
+  }
+
+  test("q68 bloom prefilter lands on the corpus-gram side of the semi-join") {
+    // the whole point: clean corpus grams are dropped MAP-SIDE, before
+    // the gram exchange. AQE hides the physical tree from collect(), so
+    // assert on the OPTIMIZED plan: the gram semi-join's LEFT (corpus)
+    // subtree must carry the probe-UDF filter — a deterministic filter
+    // there is always executed in the scan stage, before any exchange
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = SparkEntry.queries("q68_decontaminate_bloom")(spark, dir)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j @ Join(_, _, LeftSemi, _, _) => j
+    }
+    assert(semis.nonEmpty, "expected the gram semi-join in the q68 plan")
+    val probed = semis.exists(_.left.collect {
+      case f: LFilter if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f
+    }.nonEmpty)
+    assert(probed,
+      s"bloom probe filter missing from the corpus side:\n${df.queryExecution.optimizedPlan}")
+    // and the probe survives into the physical plan
+    assert(df.queryExecution.executedPlan.toString.contains("UDF"),
+      "bloom probe filter missing from the physical plan")
+  }
+
   test("q58/q59 vocab aggregates are map-side partial, top-k is TakeOrdered") {
     val v = plan("q58_vocab")
     assert(v.contains("partial_count") || v.contains("Partial"),

@@ -228,4 +228,52 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("URL canonicalization is idempotent and domain-stable over generated URLs") {
+    import graft.text.UrlTools
+    // structured random URLs covering every rule at once: mixed-case
+    // scheme/host, stacked www. prefixes, userinfo, default/explicit
+    // ports, mixed-case paths, shuffled tracking + real params, fragments
+    val label = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val gUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      user <- Gen.oneOf("", "alice@", "bob:secret@")
+      www <- Gen.oneOf("", "www.", "WWW.www.")
+      h1 <- label; h2 <- label
+      tld <- Gen.oneOf("com", "org", "co.uk", "net", "CO.UK")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.listOf(label).map(_.take(3))
+      params <- Gen.someOf(Seq("b=2", "a=1", "utm_source=x", "fbclid=y",
+        "Zz=3")).map(_.toList)
+      frag <- Gen.oneOf("", "#Top", "#s1")
+    } yield s"$scheme://$user$www$h1.$h2.$tld$port" +
+      (if (segs.isEmpty) "" else segs.mkString("/", "/", "")) +
+      (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+    val urls = (1 to 300).map { i =>
+      gUrl.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+    }
+    import spark.implicits._
+    val out = urls.toDF("url")
+      .select(col("url"),
+        UrlTools.normalizeUrl(col("url")).as("n1"),
+        UrlTools.normalizeUrl(UrlTools.normalizeUrl(col("url"))).as("n2"),
+        UrlTools.registeredDomain(col("url")).as("d1"),
+        UrlTools.registeredDomain(UrlTools.normalizeUrl(col("url"))).as("d2"))
+      .collect()
+    out.foreach { r =>
+      val (u, n1, n2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(n1 != null, s"well-formed URL must normalize: $u")
+      // the canonical form is a FIXED POINT — re-normalizing changes nothing
+      assert(n1 == n2, s"not idempotent: $u -> $n1 -> $n2")
+      // the registered domain survives canonicalization unchanged
+      assert(r.getString(3) == r.getString(4),
+        s"domain drifted: $u -> ${r.getString(3)} vs ${r.getString(4)}")
+      // invariants of the canonical form itself
+      assert(!n1.contains("#") && !n1.contains("@"),
+        s"fragment/userinfo leaked: $u -> $n1")
+      assert(!n1.contains("utm_") && !n1.contains("fbclid"),
+        s"tracking param leaked: $u -> $n1")
+    }
+  }
 }
