@@ -423,6 +423,8 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
       // small enough that an index would not pay back its probe setup).
       //   POST /datasets/{n}/_knn?vector=0.1,0.2,...&k=10[&nprobe=4]
       //   POST /datasets/{n}/_knn?vector=...&id=doc_id&vec=embedding
+      //     [&method=brute|lsh]  (lsh = multi-table hyperplane buckets,
+      //     the corpus-scale path when no IVF index is persisted)
       case ("POST", List("datasets", name, "_knn"))
           if cfg.datasets.contains(name) =>
         import spark.implicits._
@@ -440,6 +442,10 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         else if (kOpt.isEmpty || nprobeOpt.isEmpty)
           respond(ex, 400,
             """{"error": "k and nprobe must be positive integers"}""")
+        else if (!Seq("brute", "lsh").contains(
+            params.getOrElse("method", "brute")))
+          // same 400 treatment: a typo'd knob is a client fault
+          respond(ex, 400, """{"error": "unknown method (brute | lsh)"}""")
         else {
           val k = kOpt.get
           val queries = Seq((0L, vec)).toDF("query_id", "__q")
@@ -449,6 +455,14 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
                 "query_id", "__q", k,
                 nprobe = nprobeOpt.get,
                 excludeSelf = false))
+            // method=lsh mirrors the YAML ann_topk step's other scale
+            // path (multi-table hyperplane buckets); default stays
+            // exact brute force
+            case (_, Some(idCol), Some(vecCol))
+                if params.get("method").contains("lsh") =>
+              Some(graft.sim.Ann.lshTopK(queries,
+                RecipeConf.read(spark, ds), "query_id", "__q",
+                idCol, vecCol, k, excludeSelf = false))
             case (_, Some(idCol), Some(vecCol)) =>
               Some(graft.sim.Ann.bruteForceTopK(queries,
                 RecipeConf.read(spark, ds), "query_id", "__q",

@@ -213,6 +213,19 @@ object Multimodal {
     // FILE per decode — pure overhead, and worker tmp may be read-only
     javax.imageio.ImageIO.setUseCache(false)
 
+    // one reader per executor thread, reused across payloads: the
+    // registry lookup + reader construction dominated per-video decode
+    // cost at corpus scale (measured ~2 ms/video before, ScaleBench).
+    // setInput discards all per-stream state, so a malformed previous
+    // payload cannot poison the next decode; readers are never disposed
+    // (they die with their thread).
+    private val readerTL = new ThreadLocal[javax.imageio.ImageReader]() {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (it.hasNext) it.next() else null
+      }
+    }
+
     /** Per-frame centisecond delay from GIF image metadata (0 when the
       * frame carries no GraphicControlExtension, per the spec). */
     private def delayCs(meta: javax.imageio.metadata.IIOMetadata): Int = {
@@ -286,9 +299,8 @@ object Multimodal {
     def decodeStats(payload: Array[Byte], every: Int)
         : Option[(Int, Int, Int, Long, Seq[(Int, Long, Double, Double)])] = {
       if (payload == null || payload.isEmpty || every < 1) return None
-      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+      val reader = readerTL.get()
+      if (reader == null) return None
       try {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -310,12 +322,17 @@ object Multimodal {
             i += 1
           }
           Some((nFrames, w, h, tMs, out.result()))
-        } finally iis.close()
+        } finally {
+          // drop the stream reference so the reusable reader never pins
+          // a dead payload's buffer between rows
+          reader.setInput(null)
+          iis.close()
+        }
       } catch {
         // the GIF reader throws runtime exceptions on malformed headers
         // just like the still-image decoders — same contract
         case scala.util.control.NonFatal(_) => None
-      } finally reader.dispose()
+      }
     }
   }
 
@@ -446,14 +463,25 @@ object Multimodal {
     * i → rgb(i,i,i)): the GIF writer then stores palette + indices
     * VERBATIM (no quantization — 256 grays fit the 256-entry color
     * table exactly), which is what makes the round-trip lossless. */
+  /** Identity gray palette shared by every synthesized frame. */
+  private lazy val grayIcm: java.awt.image.IndexColorModel = {
+    val pal = Array.tabulate(256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
+  }
+
+  /** One GIF writer per executor thread (same measured rationale as
+    * VideoCodec.readerTL: registry lookup + construction per row
+    * dominated the cost; setOutput discards prior state). */
+  private val gifWriterTL = new ThreadLocal[javax.imageio.ImageWriter]() {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+  }
+
   def synthesizeVideos(df: DataFrame, keyCol: String,
       w: Int = 16, h: Int = 12, nFrames: Int = 8,
       delayCs: Int = 4): DataFrame = {
     val gen = udf { (k: Long) =>
-      val pal = Array.tabulate(256)(i => i.toByte)
-      val icm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
-      val writer =
-        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = gifWriterTL.get()
       val bos = new java.io.ByteArrayOutputStream()
       // memory-backed stream for the same reason as synthesizeImages:
       // the default cache is a temp FILE per row
@@ -461,11 +489,41 @@ object Multimodal {
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
+        // ONE image and ONE metadata serve all frames: writeToSequence
+        // encodes during the call, so mutating the raster for the next
+        // frame is safe, and the per-frame metadata (delay) is identical
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayIcm)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), null)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // find-or-create: the default tree may or may not already
+        // carry a GraphicControlExtension node, and the format allows
+        // at most one
+        val kids = root.getChildNodes
+        var gce: javax.imageio.metadata.IIOMetadataNode = null
+        var i = 0
+        while (i < kids.getLength && gce == null) {
+          if (kids.item(i).getNodeName == "GraphicControlExtension")
+            gce = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          i += 1
+        }
+        if (gce == null) {
+          gce = new javax.imageio.metadata.IIOMetadataNode(
+            "GraphicControlExtension")
+          root.appendChild(gce)
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        meta.setFromTree(fmt, root)
+        val r = img.getRaster
         var f = 0
         while (f < nFrames) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-          val r = img.getRaster
           var y = 0
           while (y < h) {
             var x = 0
@@ -475,39 +533,15 @@ object Multimodal {
             }
             y += 1
           }
-          val meta = writer.getDefaultImageMetadata(
-            new javax.imageio.ImageTypeSpecifier(img), null)
-          val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
-          val root = meta.getAsTree(fmt)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          // find-or-create: the default tree may or may not already
-          // carry a GraphicControlExtension node, and the format allows
-          // at most one
-          val kids = root.getChildNodes
-          var gce: javax.imageio.metadata.IIOMetadataNode = null
-          var i = 0
-          while (i < kids.getLength && gce == null) {
-            if (kids.item(i).getNodeName == "GraphicControlExtension")
-              gce = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-            i += 1
-          }
-          if (gce == null) {
-            gce = new javax.imageio.metadata.IIOMetadataNode(
-              "GraphicControlExtension")
-            root.appendChild(gce)
-          }
-          gce.setAttribute("disposalMethod", "none")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("transparentColorIndex", "0")
-          gce.setAttribute("delayTime", delayCs.toString)
-          meta.setFromTree(fmt, root)
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
           f += 1
         }
         writer.endWriteSequence()
       } finally {
-        try ios.close() finally writer.dispose()
+        // release the writer's stream reference but keep the writer for
+        // the thread's next row
+        writer.setOutput(null)
+        ios.close()
       }
       bos.toByteArray
     }

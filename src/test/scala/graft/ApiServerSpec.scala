@@ -482,6 +482,17 @@ class ApiServerSpec extends SparkSpec {
       val ivf = send("POST", s"$base/datasets/idx/_knn?vector=$vec&k=3&nprobe=4")
       assert(ivf.statusCode() == 200, ivf.body())
       assert(ivf.body() == bf.body(), s"ivf=${ivf.body()} bf=${bf.body()}")
+      // method=lsh (the indexless corpus-scale path): the query IS
+      // corpus vector 7, and an identical vector collides in every
+      // table — its top-1 is deterministic and must agree with brute
+      val lsh = send("POST",
+        s"$base/datasets/emb/_knn?vector=$vec&k=1&id=vid&vec=v&method=lsh")
+      assert(lsh.statusCode() == 200, lsh.body())
+      assert(lsh.body().startsWith("""[{"neighbor_id":7"""), lsh.body())
+      // a typo'd method is a 400 client fault, not a 500
+      assert(send("POST",
+        s"$base/datasets/emb/_knn?vector=$vec&k=1&id=vid&vec=v&method=cosine")
+        .statusCode() == 400)
       // guards: missing/garbled vector; brute force without columns named
       assert(send("POST", s"$base/datasets/emb/_knn?k=3&id=vid&vec=v").statusCode() == 400)
       assert(send("POST", s"$base/datasets/emb/_knn?vector=a,b&id=vid&vec=v").statusCode() == 400)
