@@ -815,6 +815,25 @@ object SparkEntry {
           graft.text.UrlTools.registeredDomain(col("url")).as("url_domain"))
     }),
 
+    // nearest-centroid assignment (cluster curation / diversity caps):
+    // centroids are every 50th embedding, and components are quantized
+    // to integers (floor(x·10⁴)) on BOTH sides so distances — and
+    // therefore the argmin — are integer-exact in any engine (the same
+    // determinism trick as the LM's quantized log-probs); ties break by
+    // centroid id. The assignment itself is the shuffle-free broadcast
+    // fold in Cluster.clusterAssign.
+    "q70_cluster_assign" -> ((s, dir) => {
+      val qz = (c: Column) =>
+        transform(c, x => floor(x.cast("double") * 10000).cast("long"))
+      val emb = t(s, dir, "embeddings")
+      val docs = emb.select(col("vec_id"), qz(col("embedding")).as("qv"))
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), qz(col("embedding")).as("cv"))
+      graft.sim.Cluster.clusterAssign(docs, "vec_id", "qv", cents, "cid", "cv")
+        .select(col("vec_id"), col("cluster_id"),
+          col("cluster_d2").cast("long").as("cluster_d2"))
+    }),
+
     // overlapping token-window chunks (Curation.chunk) — the RAG /
     // pretraining shard shape; row-local, no shuffle
     "q54_chunks" -> ((s, dir) =>
@@ -1344,6 +1363,24 @@ object SparkEntry {
         | (CASE p_partkey % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
         |       WHEN 2 THEN '.co.uk' ELSE '.net' END) AS url_domain
         |FROM part""".stripMargin,
+
+    // exhaustive nearest-centroid over the SAME quantized components:
+    // integer distances, row_number ties broken by cid — an independent
+    // spelling of the broadcast-fold argmin
+    "q70_cluster_assign" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(CAST(embedding AS DOUBLE[]),
+        |     x -> CAST(floor(x*10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % 50 = 0),
+        |d AS (SELECT e.vec_id, c.cid,
+        |   list_sum(list_transform(generate_series(1, len(e.qv)),
+        |     i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))) AS d2
+        |  FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, d2,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        |SELECT vec_id, cid AS cluster_id, CAST(d2 AS BIGINT) AS cluster_d2
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // same window arithmetic over DuckDB lists: chunk i (0-based) covers
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]

@@ -706,6 +706,31 @@ object RecipeConf {
         df.withColumn("url_norm", graft.text.UrlTools.normalizeUrl(col(u)))
           .withColumn("url_domain", graft.text.UrlTools.registeredDomain(col(u)))
       }
+      // nearest-centroid assignment / cluster-balanced sampling
+      // (embedding diversity caps). Codebook from a dataset, or fitted
+      // with seeded k-means; `cap` keeps at most n rows per cluster:
+      //   cluster: {id: col, vec: col, dataset: codebook,
+      //             centroid_id: cid, centroid_vec: cv[, cap: n, salt: s]}
+      //   cluster: {id: col, vec: col, k: 16[, seed: 42, cap: n]}
+      case "cluster" => df => {
+        val id = req("id"); val vec = req("vec")
+        val cents = m.get("dataset") match {
+          case Some(v) if v != null => namedDataset().select(
+            col(knob("centroid_id", "cid")).as("cid"),
+            col(knob("centroid_vec", "cv")).as("cv"))
+          case _ => graft.sim.Cluster.fitCentroids(df, vec,
+            k = knobInt("k", 16), seed = knobLong("seed", 42L))
+        }
+        knobOpt("cap") match {
+          case Some(cap) =>
+            val n = cap.toIntOption.getOrElse(
+              sys.error(s"cluster: 'cap' must be an integer, got '$cap'"))
+            graft.sim.Cluster.balancedSample(df, id, vec, cents, "cid", "cv",
+              n, salt = knob("salt", ""))
+          case None =>
+            graft.sim.Cluster.clusterAssign(df, id, vec, cents, "cid", "cv")
+        }
+      }
       // PII scrub in place over the selected text columns:
       //   scrub: {select: [text, bio]}
       case "scrub" => df => {

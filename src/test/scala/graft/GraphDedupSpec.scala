@@ -472,6 +472,53 @@ class GraphDedupSpec extends SparkSpec {
     assert(col1[Long](kept, "doc_id") == Seq(2L))
   }
 
+  test("clusterAssign: nearest centroid, deterministic ties, NULL/bad vectors") {
+    import graft.sim.Cluster
+    val docs = Seq(
+      (1L, Some(Seq(0.0f, 0.1f))),   // nearest c10 at (0,0)
+      (2L, Some(Seq(5.0f, 5.1f))),   // nearest c20 at (5,5)
+      (3L, Some(Seq(2.5f, 2.5f))),   // EQUIDISTANT c10/c20 → min cid 10
+      (4L, None),                    // NULL vector → NULL cluster
+      (5L, Some(Seq(9.0f))))         // wrong dim → no centroid can win → NULL
+      .toDF("id", "v")
+    val cents = Seq((20L, Seq(5.0, 5.0)), (10L, Seq(0.0, 0.0)))
+      .toDF("cid", "cv")
+    val out = Cluster.clusterAssign(docs, "id", "v", cents, "cid", "cv")
+      .orderBy("id").collect()
+    def cl(i: Int): Option[Long] =
+      if (out(i).isNullAt(out(i).fieldIndex("cluster_id"))) None
+      else Some(out(i).getAs[Long]("cluster_id"))
+    assert(cl(0) == Some(10L) && cl(1) == Some(20L))
+    assert(cl(2) == Some(10L), "equidistant tie must break to the smaller cid")
+    assert(cl(3) == None && cl(4) == None)
+    // the assignment is a broadcast fold — the corpus side must not
+    // shuffle (BroadcastNestedLoopJoin of the 1-row codebook, no
+    // hashpartitioning exchange on the docs)
+    val plan = Cluster.clusterAssign(docs, "id", "v", cents, "cid", "cv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(id"), plan)
+
+    // balanced sampling caps each cluster's contribution; NULL-cluster
+    // rows survive
+    val many = (0 until 40).map(i =>
+        (i.toLong, Some(Seq((i % 2) * 5.0f, (i % 2) * 5.0f)))).toDF("id", "v")
+      .unionByName(Seq((99L, Option.empty[Seq[Float]])).toDF("id", "v"))
+    val capped = Cluster.balancedSample(many, "id", "v", cents, "cid", "cv",
+      nPerCluster = 3)
+    assert(capped.filter(col("cluster_id").isNotNull).count() == 6) // 3 × 2 clusters
+    assert(capped.filter(col("cluster_id").isNull).count() == 1)    // id 99 kept
+
+    // fitCentroids: deterministic in (data, k, seed); k cluster rows
+    val fit1 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "v", k = 2)
+    val fit2 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "v", k = 2)
+    assert(fit1.collect().map(_.toString).sorted.toSeq ==
+      fit2.collect().map(_.toString).sorted.toSeq)
+    assert(fit1.count() == 2)
+    // the two obvious centers: (0,0)-ish and (5,5)-ish
+    val cs = fit1.collect().map(_.getAs[Seq[Double]]("cv").head).sorted
+    assert(cs(0) < 1.0 && cs(1) > 4.0, cs.mkString(","))
+  }
+
   test("bloom-prefiltered decontamination is exactly the semi-join answer") {
     // 200 train docs, every 10th contaminated by a 3-gram from the
     // benchmark; the Bloom path must flag EXACTLY the same docs (the

@@ -1190,6 +1190,44 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("must name an ann_index dataset"), e.getMessage)
   }
 
+  test("cluster step assigns and caps from YAML, codebook or fitted") {
+    import spark.implicits._
+    (0 until 30).map(i => (i.toLong, Seq((i % 3) * 4.0f, (i % 3) * 4.0f)))
+      .toDF("id", "v").write.mode("overwrite").parquet(s"$dir/clu_in")
+    Seq((0L, Seq(0.0, 0.0)), (1L, Seq(4.0, 4.0)), (2L, Seq(8.0, 8.0)))
+      .toDF("cid", "cv").write.mode("overwrite").parquet(s"$dir/clu_cents")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/clu_in, format: parquet}
+         |  book: {path: $dir/clu_cents, format: parquet}
+         |recipes:
+         |  assign:
+         |    input: docs
+         |    steps: [{cluster: {id: id, vec: v, dataset: book}}]
+         |  capped:
+         |    input: docs
+         |    steps: [{cluster: {id: id, vec: v, dataset: book, cap: 4}}]
+         |  fitted:
+         |    input: docs
+         |    steps: [{cluster: {id: id, vec: v, k: 3, cap: 4}}]
+         |  badcap:
+         |    input: docs
+         |    steps: [{cluster: {id: id, vec: v, k: 3, cap: lots}}]
+         |""".stripMargin)
+    val a = RecipeConf.run(spark, conf, "assign").collect()
+    assert(a.length == 30)
+    assert(a.forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("id") % 3))
+    // per-cluster cap holds for a named codebook and for fitted k-means
+    for (recipe <- Seq("capped", "fitted")) {
+      val c = RecipeConf.run(spark, conf, recipe)
+      assert(c.count() == 12, recipe) // 3 clusters × cap 4
+      assert(c.groupBy("cluster_id").count().collect()
+        .forall(_.getAs[Long]("count") == 4L), recipe)
+    }
+    val e = intercept[RuntimeException](RecipeConf.run(spark, conf, "badcap"))
+    assert(e.getMessage.contains("'cap' must be an integer"), e.getMessage)
+  }
+
   test("multimodal steps run the media operators from YAML") {
     import spark.implicits._
     graft.multimodal.Multimodal.synthesizeImages(
