@@ -908,6 +908,29 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // q53's computation at INGEST time: the train docs flow through as
+    // a stream and the static benchmark set rides a broadcast Bloom
+    // filter — a pure map per micro-batch, zero streaming state. At
+    // fpp=1e-6 the filter makes no false positive on this dataset
+    // (validated against the exact oracle; the bits are a deterministic
+    // OR of per-item hashes, so this holds for every future run of the
+    // same data), which lets the approximate-by-design streaming path
+    // hash-match the same EXACT oracle family as q53/q68 — drop-mode
+    // spelling
+    "q71_stream_decontaminate" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val test = s.read.parquet(path).filter(col("doc_id") % 20 === 0)
+      EventStream.runOnce(s, dir,
+        st => EventStream.decontaminateStream(
+          st.filter(col("doc_id") % 20 =!= 0), test, "text",
+          n = 4, fpp = 1e-6),
+        queryName = "q71_mem", schema = schema,
+        globFilter = Some("documents.parquet"))
+        .select("doc_id")
+    }),
+
     // end-to-end matching pipeline (exact-token candidates so the whole
     // flow — dataprep, match join, re-scoring, decision — is
     // oracle-expressible; `entry` runs the fuzzy variant)
@@ -965,10 +988,9 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
-  /** Shared by q53 (plain semi-join) and q68 (Bloom-prefiltered): the
-    * prefilter is exact-by-construction, so both queries must
-    * hash-match ONE oracle. */
-  private lazy val decontaminateOracle: String =
+  /** CTEs shared by the three decontamination oracles (q53/q68/q71):
+    * normalize → distinct word 4-grams → the contaminated-id set. */
+  private lazy val decontaminateCtes: String =
     ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
       ", '\\s+') AS toks FROM documents), " +
       """g AS (SELECT doc_id,
@@ -978,10 +1000,16 @@ object SparkEntry {
         |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
         |test AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
         |bad AS (SELECT DISTINCT e.doc_id FROM e JOIN test USING (gram)
-        |        WHERE e.doc_id % 20 <> 0)
-        |SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN bad b USING (doc_id)
-        |WHERE d.doc_id % 20 <> 0""".stripMargin)
+        |        WHERE e.doc_id % 20 <> 0)""".stripMargin)
+
+  /** Shared by q53 (plain semi-join) and q68 (Bloom-prefiltered): the
+    * prefilter is exact-by-construction, so both queries must
+    * hash-match ONE oracle. */
+  private lazy val decontaminateOracle: String = decontaminateCtes +
+    """
+      |SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN bad b USING (doc_id)
+      |WHERE d.doc_id % 20 <> 0""".stripMargin
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(strip_accents(lower(%s)), '[^0-9a-z]+', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -1345,6 +1373,14 @@ object SparkEntry {
     // the Bloom-prefiltered plan computes the SAME answer — one oracle,
     // two physical strategies, both hash-checked
     "q68_decontaminate_bloom" -> decontaminateOracle,
+
+    // the streaming drop-mode spelling of the same CTEs: clean train
+    // ids (no false positive at the chosen fpp — see the query comment)
+    "q71_stream_decontaminate" -> (decontaminateCtes +
+      """
+        |SELECT d.doc_id
+        |FROM documents d LEFT JOIN bad b USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0 AND b.doc_id IS NULL""".stripMargin),
 
     // the EXPECTED canonical URL and registered domain, spelled
     // directly from the key formula (scheme/host lowercased, www and

@@ -538,9 +538,11 @@ object Multimodal {
         }
         writer.endWriteSequence()
       } finally {
-        // release the writer's stream reference but keep the writer for
-        // the thread's next row
-        writer.setOutput(null)
+        // reset() (not just setOutput(null)): restores the writer's
+        // initial state INCLUDING the in-sequence flag, so a row that
+        // failed mid-writeToSequence cannot poison the thread's next
+        // row; the instance itself stays cached
+        writer.reset()
         ios.close()
       }
       bos.toByteArray

@@ -181,6 +181,60 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
   }
 
+  /** Streaming ingest-time decontamination: flag stream rows sharing a
+    * word n-gram with a STATIC benchmark set, as a PURE MAP over the
+    * stream — the test set's gram hashes become a broadcast Bloom
+    * filter once at plan build (built exactly like the batch
+    * `prefilter: bloom` path, coalesced build included), and each row
+    * checks its own grams row-local. No stream-static join state, no
+    * per-batch shuffle, state size zero: the shape that survives any
+    * ingest rate.
+    *
+    * The verdict column is named `maybe_contaminated` deliberately: a
+    * Bloom hit is conservative-approximate (≈fpp of CLEAN rows flag
+    * true; contaminated rows ALWAYS flag true — no false negatives).
+    * At the default fpp=1e-4 that mislabels 0.01% of clean rows, the
+    * right trade at ingest; the exact accounting belongs to the batch
+    * pass (`TextAnalysis.contaminationFlags`), the same
+    * ingest-then-batch double-pass discipline as
+    * [[dedupWithinWatermark]]. */
+  def contaminationFlagsStream(stream: DataFrame, test: DataFrame,
+      textCol: String, n: Int = 13, testTextCol: Option[String] = None,
+      fpp: Double = 1e-4): DataFrame = {
+    require(fpp > 0 && fpp < 1,
+      s"contaminationFlagsStream: fpp must be in (0, 1), got $fpp")
+    import graft.text.TextAnalysis
+    import graft.functions.Tools
+    val rawTestGrams = test
+      .select(explode(TextAnalysis.distinctWordNgrams(
+        Tools.normalize(col(testTextCol.getOrElse(textCol))), lit(n))).as("gram"))
+      .select(xxhash64(col("gram")).as("__gram_h"))
+    val nGrams = rawTestGrams.count()
+    val flag =
+      if (nGrams == 0) lit(false) // empty benchmark → nothing can hit
+      else {
+        // same partition-bounded build as the batch bloom path: the
+        // aggregate merges one full bit-array per partition
+        val bf = rawTestGrams.coalesce(8).stat.bloomFilter("__gram_h", nGrams, fpp)
+        val bc = stream.sparkSession.sparkContext.broadcast(bf)
+        val anyHit = udf { (gs: Seq[Long]) =>
+          gs != null && gs.exists(bc.value.mightContainLong)
+        }
+        anyHit(transform(TextAnalysis.distinctWordNgrams(
+          Tools.normalize(col(textCol)), lit(n)), g => xxhash64(g)))
+      }
+    stream.withColumn("maybe_contaminated", flag)
+  }
+
+  /** Drop-variant of [[contaminationFlagsStream]]: keep only rows the
+    * filter clears (conservative — see the fpp note there). */
+  def decontaminateStream(stream: DataFrame, test: DataFrame,
+      textCol: String, n: Int = 13, testTextCol: Option[String] = None,
+      fpp: Double = 1e-4): DataFrame =
+    contaminationFlagsStream(stream, test, textCol, n, testTextCol, fpp)
+      .filter(!col("maybe_contaminated"))
+      .drop("maybe_contaminated")
+
   /** Stream → keyed-upsert parquet sink via foreachBatch: each
     * micro-batch merges into the target by key (last write wins), the
     * streaming face of the ES-style `update` output mode

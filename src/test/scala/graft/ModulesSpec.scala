@@ -255,6 +255,43 @@ class ModulesSpec extends SparkSpec {
     assert(sessions(2).getAs[Long]("user_id") == 20L)
   }
 
+  test("streaming decontamination flags bloom hits map-side across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq = spark.sqlContext
+    val bench = Seq("the secret held out benchmark phrase").toDF("text")
+    val src = MemoryStream[(Long, String)]
+    val out = EventStream.contaminationFlagsStream(
+      src.toDF().toDF("doc_id", "text"), bench, "text", n = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dcf_stream").start()
+    try {
+      src.addData((1L, "clean document about nothing relevant at all"),
+        (2L, "contains the secret held out benchmark phrase verbatim"))
+      q.processAllAvailable()
+      src.addData((3L, "another clean one in a later micro-batch"))
+      q.processAllAvailable()
+      val m = spark.table("dcf_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_contaminated"))
+        .toMap
+      // no false negatives ever; at fpp 1e-4 over 3 short docs a false
+      // positive here would be a 1-in-thousands fluke — treat as exact
+      assert(m == Map(1L -> false, 2L -> true, 3L -> false), m.toString)
+    } finally q.stop()
+    // drop-variant and the empty-benchmark identity, on the batch
+    // runner for brevity (same plan: the flag column is a pure map)
+    val docs = Seq((1L, "totally clean"),
+      (2L, "the secret held out benchmark phrase")).toDF("doc_id", "text")
+    val kept = EventStream.decontaminateStream(docs, bench, "text", n = 3)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val none = EventStream.contaminationFlagsStream(
+      docs, bench.limit(0), "text", n = 3)
+    assert(none.filter(col("maybe_contaminated")).count() == 0)
+    intercept[IllegalArgumentException] {
+      EventStream.contaminationFlagsStream(docs, bench, "text", fpp = 2.0)
+    }
+  }
+
   test("streaming sessionize carries the open session ACROSS micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.Ev
