@@ -911,12 +911,14 @@ object SparkEntry {
     // q53's computation at INGEST time: the train docs flow through as
     // a stream and the static benchmark set rides a broadcast Bloom
     // filter — a pure map per micro-batch, zero streaming state. At
-    // fpp=1e-6 the filter makes no false positive on this dataset
-    // (validated against the exact oracle; the bits are a deterministic
-    // OR of per-item hashes, so this holds for every future run of the
-    // same data), which lets the approximate-by-design streaming path
-    // hash-match the same EXACT oracle family as q53/q68 — drop-mode
-    // spelling
+    // fpp=1e-9 the filter makes no false positive on this dataset
+    // (validated against the exact oracle at sf0.01 AND sf0.1; the bits
+    // are a deterministic OR of per-item hashes, so that holds for
+    // every future run of the same data — and the expected FP count
+    // stays ≪1 even at ~100× these corpus sizes, so the check is not
+    // scale-fragile), which lets the approximate-by-design streaming
+    // path hash-match the same EXACT oracle family as q53/q68 —
+    // drop-mode spelling
     "q71_stream_decontaminate" -> ((s, dir) => {
       import graft.streaming.EventStream
       val path = s"$dir/documents.parquet"
@@ -925,7 +927,7 @@ object SparkEntry {
       EventStream.runOnce(s, dir,
         st => EventStream.decontaminateStream(
           st.filter(col("doc_id") % 20 =!= 0), test, "text",
-          n = 4, fpp = 1e-6),
+          n = 4, fpp = 1e-9),
         queryName = "q71_mem", schema = schema,
         globFilter = Some("documents.parquet"))
         .select("doc_id")
@@ -1519,7 +1521,9 @@ object SparkEntry {
         |       FROM tok t JOIN q USING (token) GROUP BY 1)
         |SELECT d.doc_id,
         | CAST(coalesce(sc.n, 0) AS INT) AS n_tok,
-        | ROUND(CAST(sc.s AS DOUBLE) / sc.n / 10000.0, 4) AS logprob
+        | ROUND(CAST(CASE WHEN sc.s < 0 THEN -(((-sc.s)*2 + sc.n) // (sc.n*2))
+        |       ELSE ((sc.s*2 + sc.n) // (sc.n*2)) END AS DOUBLE) / 10000.0, 4)
+        |   AS logprob
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // count desc + token asc is a total order, so LIMIT is deterministic

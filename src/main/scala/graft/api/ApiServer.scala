@@ -446,6 +446,13 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
             params.getOrElse("method", "brute")))
           // same 400 treatment: a typo'd knob is a client fault
           respond(ex, 400, """{"error": "unknown method (brute | lsh)"}""")
+        else if (ds.format == "ann_index" && params.contains("method"))
+          // an ann_index probe IS the IVF path — silently ignoring an
+          // explicit method request would hand back results the client
+          // did not ask for
+          respond(ex, 400,
+            """{"error": "method applies to plain datasets; an """ +
+              """ann_index dataset always probes its IVF index"}""")
         else {
           val k = kOpt.get
           val queries = Seq((0L, vec)).toDF("query_id", "__q")

@@ -718,7 +718,12 @@ object RecipeConf {
           case Some(v) if v != null => namedDataset().select(
             col(knob("centroid_id", "cid")).as("cid"),
             col(knob("centroid_vec", "cv")).as("cv"))
-          case _ => graft.sim.Cluster.fitCentroids(df, vec,
+          // NULL vectors would crash the k-means fit; the assign side
+          // tolerates them (NULL cluster), so the fit must too —
+          // dimension MISMATCHES still fail the fit loudly (a codebook
+          // fitted over mixed dimensions is a config error, not data)
+          case _ => graft.sim.Cluster.fitCentroids(
+            df.filter(col(vec).isNotNull), vec,
             k = knobInt("k", 16), seed = knobLong("seed", 42L))
         }
         knobOpt("cap") match {

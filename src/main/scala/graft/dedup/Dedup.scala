@@ -26,11 +26,23 @@ object Dedup {
     * text are all kept: a missing document is not a duplicate of every
     * other missing document (grouping them would silently drop all but
     * one of potentially millions of unrelated rows). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nn = df.filter(col(textCol).isNotNull)
-    val keep = exactGroups(nn, idCol, textCol).select(col("keep_id").as(idCol))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepMinPerKey(df, idCol, md5(col(textCol).cast("binary")))
+
+  /** The survivor rule shared by the exact-key dedup family
+    * ([[exactDedup]], [[fingerprintDedup]], UrlTools.urlDedup): keep
+    * the min-id row per non-NULL key; NULL-key rows (missing text, a
+    * URL that does not normalize) are ALL kept. ONE implementation —
+    * the key-expression changes, the keeper contract cannot drift. */
+  private[graft] def keepMinPerKey(df: DataFrame, idCol: String,
+      key: Column): DataFrame = {
+    val keyed = df.withColumn("__dedup_key", key)
+    val nn = keyed.filter(col("__dedup_key").isNotNull)
+    val keep = nn.groupBy("__dedup_key").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
     nn.join(keep, Seq(idCol), "left_semi")
-      .unionByName(df.filter(col(textCol).isNull))
+      .unionByName(keyed.filter(col("__dedup_key").isNull))
+      .drop("__dedup_key")
   }
 
   // --------------------------------------------------------- fingerprint
@@ -51,12 +63,8 @@ object Dedup {
 
   /** Drop fingerprint duplicates keeping the min id per key — the same
     * NULL-text contract as [[exactDedup]] (null docs are each kept). */
-  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nn = df.filter(col(textCol).isNotNull)
-    val keep = fingerprintGroups(nn, idCol, textCol).select(col("keep_id").as(idCol))
-    nn.join(keep, Seq(idCol), "left_semi")
-      .unionByName(df.filter(col(textCol).isNull))
-  }
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepMinPerKey(df, idCol, fingerprint(col(textCol)))
 
   // ------------------------------------------------------------- MinHash
   /** MinHash signature over an already-hashed (array<long>) element set:

@@ -23,7 +23,10 @@ object Cluster {
     * smaller centroid id (deterministic). Vector arrays may be any
     * numeric type (cast to double per element). Rows whose vector is
     * NULL or whose length disagrees with every centroid get NULL
-    * cluster columns — malformed embeddings are data, not errors. */
+    * cluster columns — malformed embeddings are data, not errors. An
+    * EMPTY codebook likewise yields NULL for every row (no centroid can
+    * win); validate codebook non-emptiness upstream if that should be
+    * fatal — this operator stays lazy (no job at plan build). */
   def clusterAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
     // one-row broadcast of the sorted codebook: array order IS the
@@ -34,7 +37,12 @@ object Cluster {
         transform(col(cvecCol), x => x.cast("double")).as("cv")).as("__c"))
       .agg(array_sort(collect_list(col("__c"))).as("__cents")))
     val vecD = transform(col(vecCol), x => x.cast("double"))
-    val zero = struct(lit(-1L).as("cid"), lit(Double.MaxValue).as("d2"))
+    // the "no centroid won yet" state is a NULL cid, not a sentinel id:
+    // any long is a legitimate centroid id (this codebase itself uses
+    // negative ids in fixtures), so a magic value would silently
+    // swallow a real centroid
+    val zero = struct(lit(null).cast("long").as("cid"),
+      lit(Double.MaxValue).as("d2"))
     val best = aggregate(col("__cents"), zero, (acc, c) => {
       // zip_with pads length mismatches with NULL → NULL d2 → the
       // strict < keeps acc, so a bad-dimension centroid can never win
@@ -46,10 +54,9 @@ object Cluster {
     })
     df.crossJoin(cents)
       .withColumn("__best", when(col(vecCol).isNotNull, best))
-      .withColumn("cluster_id",
-        when(col("__best.cid") =!= -1L, col("__best.cid")))
+      .withColumn("cluster_id", col("__best.cid"))
       .withColumn("cluster_d2",
-        when(col("__best.cid") =!= -1L, col("__best.d2")))
+        when(col("__best.cid").isNotNull, col("__best.d2")))
       .drop("__cents", "__best")
   }
 

@@ -201,28 +201,21 @@ object EventStream {
   def contaminationFlagsStream(stream: DataFrame, test: DataFrame,
       textCol: String, n: Int = 13, testTextCol: Option[String] = None,
       fpp: Double = 1e-4): DataFrame = {
-    require(fpp > 0 && fpp < 1,
-      s"contaminationFlagsStream: fpp must be in (0, 1), got $fpp")
     import graft.text.TextAnalysis
     import graft.functions.Tools
-    val rawTestGrams = test
-      .select(explode(TextAnalysis.distinctWordNgrams(
-        Tools.normalize(col(testTextCol.getOrElse(textCol))), lit(n))).as("gram"))
-      .select(xxhash64(col("gram")).as("__gram_h"))
-    val nGrams = rawTestGrams.count()
-    val flag =
-      if (nGrams == 0) lit(false) // empty benchmark → nothing can hit
-      else {
-        // same partition-bounded build as the batch bloom path: the
-        // aggregate merges one full bit-array per partition
-        val bf = rawTestGrams.coalesce(8).stat.bloomFilter("__gram_h", nGrams, fpp)
+    // the ONE shared filter builder (sizing/coalesce tuning lives
+    // there) — this module only decides what to do with the bits
+    val flag = TextAnalysis.testGramBloom(
+        test, testTextCol.getOrElse(textCol), n, fpp) match {
+      case None => lit(false) // empty benchmark → nothing can hit
+      case Some(bf) =>
         val bc = stream.sparkSession.sparkContext.broadcast(bf)
         val anyHit = udf { (gs: Seq[Long]) =>
           gs != null && gs.exists(bc.value.mightContainLong)
         }
         anyHit(transform(TextAnalysis.distinctWordNgrams(
           Tools.normalize(col(textCol)), lit(n)), g => xxhash64(g)))
-      }
+    }
     stream.withColumn("maybe_contaminated", flag)
   }
 

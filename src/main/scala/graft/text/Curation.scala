@@ -270,8 +270,21 @@ object Curation {
       .groupBy(idCol)
       // count(col) skips nulls: token-free docs score (0, NULL)
       .agg(count(col("__qlp")).cast("int").as("n_tok"),
-        round(sum(col("__qlp")).cast("double") / count(col("__qlp")) / 10000.0, 4)
-          .as("logprob"))
+        sum(col("__qlp")).as("__s"), count(col("__qlp")).as("__n"))
+      // the 4-decimal rounding happens in INTEGER space: the quantized
+      // sum is already ×10⁴, so round-half-away(s/n) over longs IS the
+      // 4dp result, and the one trailing /10⁴ is exact. The former
+      // double spelling round(s/n/10⁴, 4) sat on engine-specific
+      // half-boundary behavior — 11 of 5,000 docs at sf0.1 differed
+      // from the DuckDB oracle in the last decimal. Operands are made
+      // positive first so integer division truncates identically in
+      // every engine.
+      .withColumn("logprob", round(expr(
+        """CASE WHEN __n > 0 THEN
+          |  CAST(CASE WHEN __s < 0 THEN -(((-__s)*2 + __n) DIV (__n*2))
+          |       ELSE ((__s*2 + __n) DIV (__n*2)) END AS DOUBLE) / 10000.0
+          |END""".stripMargin), 4))
+      .drop("__s", "__n")
   }
 
   // -------------------------------------------------- vocabulary top-k

@@ -277,43 +277,56 @@ object TextAnalysis {
     // contaminated — negligible (and conservative) for decontamination.
     // The test side needs only a text column (benchmark sets needn't
     // share the train schema); ids never leave the train side.
-    val rawTestGrams = test
-      .select(explode(wordNgramsUdf(
-        Tools.normalize(col(testTextCol.getOrElse(textCol))), lit(n))).as("gram"))
-      .select(xxhash64(col("gram")).as("__gram_h"))
     // the DISTINCT stays on the verify-join side, where it shrinks the
     // one unavoidable test-side shuffle (and, for small benchmark sets,
     // keeps the relation under the broadcast threshold)
-    val testGrams = rawTestGrams.distinct()
+    val testGrams = test
+      .select(explode(wordNgramsUdf(
+        Tools.normalize(col(testTextCol.getOrElse(textCol))), lit(n))).as("gram"))
+      .select(xxhash64(col("gram")).as("__gram_h")).distinct()
     val trainGrams = wordNgrams(train, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("gram")).as("__gram_h"))
     val candidates = bloomFpp match {
       case None => trainGrams
       case Some(fpp) =>
-        require(fpp > 0 && fpp < 1,
-          s"decontaminate: bloom fpp must be in (0, 1), got $fpp")
-        // size + build run on the RAW gram stream: both are plain
-        // aggregates (no distinct exchange — BloomFilter.put is
-        // idempotent, and counting duplicate grams only oversizes the
-        // filter, i.e. LOWERS its fpp), so the two extra test-side
-        // passes the prefilter costs are shuffle-free
-        val nGrams = rawTestGrams.count()
-        if (nGrams == 0) return train.select(col(idCol)).limit(0)
-        // coalesce before the build: the filter aggregate merges ONE
-        // partial filter PER PARTITION (each the full bit array — MBs),
-        // so its shuffle volume is partitions × filter size, not data
-        // size: measured 192 MB of pure filter traffic at 32 partitions
-        // for a 6 MiB filter (DecontamBench). 8 partitions keeps the
-        // explode parallel enough for a benchmark-sized test set while
-        // bounding the merge at 8 × filter size.
-        val bf = rawTestGrams.coalesce(8).stat.bloomFilter("__gram_h", nGrams, fpp)
-        val bcast = train.sparkSession.sparkContext.broadcast(bf)
-        val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
-        trainGrams.filter(might(col("__gram_h")))
+        testGramBloom(test, testTextCol.getOrElse(textCol), n, fpp) match {
+          case None => return train.select(col(idCol)).limit(0)
+          case Some(bf) =>
+            val bcast = train.sparkSession.sparkContext.broadcast(bf)
+            val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
+            trainGrams.filter(might(col("__gram_h")))
+        }
     }
     candidates
       .join(testGrams, Seq("__gram_h"), "left_semi")
       .select(idCol).distinct()
+  }
+
+  /** The Bloom filter over a STATIC test set's word-n-gram hashes — the
+    * shared engine behind the batch `prefilter: bloom` path and the
+    * streaming ingest filter ([[graft.streaming.EventStream
+    * .contaminationFlagsStream]]); one tuning spot so the two cannot
+    * drift. None when the test set yields no grams.
+    *
+    * Sizing and build run on the RAW (non-distinct) gram stream: both
+    * are plain aggregates with no distinct exchange — BloomFilter.put
+    * is idempotent, and overcounting duplicates only oversizes the
+    * filter, i.e. LOWERS its effective fpp. The build is coalesced
+    * because the aggregate merges one FULL bit-array per partition;
+    * measured 192 MB of pure filter traffic at 32 partitions for a
+    * 6 MiB filter (DecontamBench) — 8 partitions keeps the explode
+    * parallel enough for a benchmark-sized test set while bounding the
+    * merge at 8 × filter size. */
+  private[graft] def testGramBloom(test: DataFrame, textCol: String,
+      n: Int, fpp: Double): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    require(fpp > 0 && fpp < 1, s"bloom fpp must be in (0, 1), got $fpp")
+    val raw = test
+      .select(explode(wordNgramsUdf(
+        Tools.normalize(col(textCol)), lit(n))).as("gram"))
+      .select(xxhash64(col("gram")).as("__gram_h"))
+    val nGrams = raw.count()
+    if (nGrams == 0) None
+    else Some(raw.coalesce(8).stat.bloomFilter("__gram_h", nGrams, fpp))
   }
 
   /** C4-style boilerplate line removal (Raffel et al. 2020 §2.2 — the

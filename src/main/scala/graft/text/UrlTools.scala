@@ -78,7 +78,10 @@ object UrlTools {
   def normalizeUrl(url: Column): Column = {
     val t = trim(url)
     val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val noFrag = regexp_replace(afterScheme(t), "#.*$", "")
+    // (?s): Java-regex '.' excludes newlines by default, so a fragment
+    // containing one (messy web data) would leak '#…' into the
+    // canonical form and break the no-fragment invariant
+    val noFrag = regexp_replace(afterScheme(t), "(?s)#.*$", "")
     val hp = regexp_extract(noFrag, "^([^/?]*)", 1)
     val pathQuery = substr(noFrag, length(hp) + 1)
     val path0 = regexp_extract(pathQuery, "^([^?]*)", 1)
@@ -128,15 +131,8 @@ object UrlTools {
   /** Drop rows whose canonical URL repeats, keeping the minimum id per
     * canonical form (deterministic). Rows whose URL does not normalize
     * (NULL canonical) are ALL kept — a malformed URL is not a duplicate
-    * of every other malformed URL; same contract as Dedup.exactDedup's
-    * NULL-text rule. */
-  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val normed = df.withColumn("__url_norm", normalizeUrl(col(urlCol)))
-    val nn = normed.filter(col("__url_norm").isNotNull)
-    val keep = nn.groupBy("__url_norm").agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    nn.join(keep, Seq(idCol), "left_semi")
-      .unionByName(normed.filter(col("__url_norm").isNull))
-      .drop("__url_norm")
-  }
+    * of every other malformed URL; the shared exact-key keeper contract
+    * (Dedup.keepMinPerKey). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.dedup.Dedup.keepMinPerKey(df, idCol, normalizeUrl(col(urlCol)))
 }

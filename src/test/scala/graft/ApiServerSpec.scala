@@ -493,6 +493,11 @@ class ApiServerSpec extends SparkSpec {
       assert(send("POST",
         s"$base/datasets/emb/_knn?vector=$vec&k=1&id=vid&vec=v&method=cosine")
         .statusCode() == 400)
+      // an explicit method on an ann_index dataset is refused, not
+      // silently ignored in favour of the IVF probe
+      assert(send("POST",
+        s"$base/datasets/idx/_knn?vector=$vec&k=1&method=lsh")
+        .statusCode() == 400)
       // guards: missing/garbled vector; brute force without columns named
       assert(send("POST", s"$base/datasets/emb/_knn?k=3&id=vid&vec=v").statusCode() == 400)
       assert(send("POST", s"$base/datasets/emb/_knn?vector=a,b&id=vid&vec=v").statusCode() == 400)

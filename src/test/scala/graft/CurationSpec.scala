@@ -271,6 +271,11 @@ class CurationSpec extends SparkSpec {
       ("https://ex.com/p?utm_campaign=c&fbclid=f&gclid=g", "https://ex.com/p"),
       // non-http schemes normalize too (no default-port rule)
       ("FTP://Files.Ex.org/a.txt", "ftp://files.ex.org/a.txt"),
+      // a newline inside the fragment still strips (Java '.' excludes
+      // \n without (?s) — messy web data hits this)
+      ("https://ex.com/p#a\nb", "https://ex.com/p"),
+      // userinfo is dropped; stacked www. prefixes strip to a FIXED POINT
+      ("https://bob:pw@www.www.Ex.com/q", "https://ex.com/q"),
       // not URLs → NULL
       ("no scheme here", null),
       ("", null))

@@ -508,6 +508,14 @@ class GraphDedupSpec extends SparkSpec {
     assert(capped.filter(col("cluster_id").isNotNull).count() == 6) // 3 × 2 clusters
     assert(capped.filter(col("cluster_id").isNull).count() == 1)    // id 99 kept
 
+    // a negative centroid id is a legitimate id, not a sentinel — the
+    // "nothing won" state is a NULL cid, so cid −1 must assign normally
+    val negCents = Seq((-1L, Seq(0.0, 0.0)), (7L, Seq(9.0, 9.0))).toDF("cid", "cv")
+    val neg = Cluster.clusterAssign(
+      Seq((1L, Seq(0.1f, 0.0f))).toDF("id", "v"), "id", "v", negCents, "cid", "cv")
+      .head
+    assert(neg.getAs[Long]("cluster_id") == -1L)
+
     // fitCentroids: deterministic in (data, k, seed); k cluster rows
     val fit1 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "v", k = 2)
     val fit2 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "v", k = 2)

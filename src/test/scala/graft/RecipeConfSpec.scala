@@ -1192,8 +1192,12 @@ class RecipeConfSpec extends SparkSpec {
 
   test("cluster step assigns and caps from YAML, codebook or fitted") {
     import spark.implicits._
-    (0 until 30).map(i => (i.toLong, Seq((i % 3) * 4.0f, (i % 3) * 4.0f)))
-      .toDF("id", "v").write.mode("overwrite").parquet(s"$dir/clu_in")
+    // one NULL embedding rides along: the fitted path must not crash on
+    // it (the assign side gives it a NULL cluster)
+    (0 until 30).map(i => (i.toLong, Some(Seq((i % 3) * 4.0f, (i % 3) * 4.0f))))
+      .toDF("id", "v")
+      .unionByName(Seq((99L, Option.empty[Seq[Float]])).toDF("id", "v"))
+      .write.mode("overwrite").parquet(s"$dir/clu_in")
     Seq((0L, Seq(0.0, 0.0)), (1L, Seq(4.0, 4.0)), (2L, Seq(8.0, 8.0)))
       .toDF("cid", "cv").write.mode("overwrite").parquet(s"$dir/clu_cents")
     val conf = RecipeConf.load(
@@ -1215,13 +1219,18 @@ class RecipeConfSpec extends SparkSpec {
          |    steps: [{cluster: {id: id, vec: v, k: 3, cap: lots}}]
          |""".stripMargin)
     val a = RecipeConf.run(spark, conf, "assign").collect()
-    assert(a.length == 30)
-    assert(a.forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("id") % 3))
-    // per-cluster cap holds for a named codebook and for fitted k-means
+    assert(a.length == 31)
+    assert(a.filter(_.getAs[Long]("id") != 99L)
+      .forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("id") % 3))
+    assert(a.find(_.getAs[Long]("id") == 99L).get
+      .isNullAt(a.head.fieldIndex("cluster_id")))
+    // per-cluster cap holds for a named codebook and for fitted k-means;
+    // the NULL-embedding row survives both uncapped
     for (recipe <- Seq("capped", "fitted")) {
       val c = RecipeConf.run(spark, conf, recipe)
-      assert(c.count() == 12, recipe) // 3 clusters × cap 4
-      assert(c.groupBy("cluster_id").count().collect()
+      assert(c.count() == 13, recipe) // 3 clusters × cap 4 + the NULL row
+      assert(c.filter("cluster_id IS NOT NULL")
+        .groupBy("cluster_id").count().collect()
         .forall(_.getAs[Long]("count") == 4L), recipe)
     }
     val e = intercept[RuntimeException](RecipeConf.run(spark, conf, "badcap"))
