@@ -278,8 +278,8 @@ object SparkEntry {
 
     // event-time tumbling window agg (batch analog of a streaming window)
     "q18_events_window" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("tsv", timestamp_micros(expr("ts DIV 1000")))
+      val ev = t(s, dir, "events")
+      ev.withColumn("tsv", Tables.eventTsStamp(ev))
         .groupBy(date_trunc("hour", col("tsv")).cast("timestamp_ntz").as("hr"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -288,7 +288,8 @@ object SparkEntry {
     // lag window / per-user ordering (sessionize primitive); ts compared
     // at microsecond precision (DuckDB truncates TIMESTAMP_NS on read)
     "q19_events_lag" -> ((s, dir) => {
-      val e = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = t(s, dir, "events")
+      val e = ev.withColumn("ts_us", Tables.eventTsUs(ev))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       e.withColumn("delta", col("value") - lag(col("value"), 1).over(w))
@@ -488,8 +489,8 @@ object SparkEntry {
 
     // stateful sessionization (flatMapGroupsWithState, 30-min gap)
     "q35_sessions" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val ev = t(s, dir, "events")
+      val e = ev.withColumn("ts", Tables.eventTsStamp(ev))
       graft.streaming.EventStream.sessionize(s, e)
     }),
 
@@ -617,6 +618,28 @@ object SparkEntry {
       RecipeConf.run(s, conf, "sem")
     }),
 
+    // ExactSubstr span dedup (Lee et al. 2021) through the YAML
+    // `dedup: {method: substring}` step: every token 10-gram occurring
+    // more than once ANYWHERE in the corpus marks its positions as
+    // duplicated; each doc is rebuilt from the surviving normalized
+    // tokens in order (docs stay, possibly hollow). The oracle replays
+    // the whole contract from scratch over DuckDB lists with the same
+    // engine-portable md5-60-bit gram hash — grams, global counts,
+    // coverage union, ordered reassembly.
+    "q72_substring_dedup" -> ((s, dir) => {
+      import graft.conf.RecipeConf
+      val conf = RecipeConf.load(
+        s"""datasets:
+           |  docs: {path: $dir/documents.parquet, format: parquet}
+           |recipes:
+           |  spans:
+           |    input: docs
+           |    steps:
+           |      - dedup: {id: doc_id, text: text, method: substring, n: 10}
+           |""".stripMargin)
+      RecipeConf.run(s, conf, "spans")
+    }),
+
     // GPT-style concat-and-chunk sequence packing via the YAML `pack`
     // step (Curation.packSequences): per-lang shards, docs in doc_id
     // order, budget-512 sequences; the oracle replays the identical
@@ -683,7 +706,8 @@ object SparkEntry {
     // purchase value of its user — Joins.asofJoin, the linear
     // single-shuffle union+window formulation (no per-key range blowup)
     "q44_asof" -> ((s, dir) => {
-      val e = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = t(s, dir, "events")
+      val e = ev.withColumn("ts_us", Tables.eventTsUs(ev))
       val clicks = e.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
       val purchases = e.filter(col("event_type") === "purchase")
@@ -698,7 +722,8 @@ object SparkEntry {
     // Joins.pointInIntervalJoin (bin-bucketed equi-join; a raw BETWEEN
     // join plans as a per-key nested loop)
     "q45_range_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = t(s, dir, "events")
+      val e = ev.withColumn("ts_us", Tables.eventTsUs(ev))
       val clicks = e.filter(col("event_type") === "click")
         .select("user_id", "ts_us")
       val hourUs = 3600L * 1000000L
@@ -901,7 +926,7 @@ object SparkEntry {
       import graft.streaming.EventStream
       val out = EventStream.runOnce(s, dir,
         stream => EventStream.windowedCounts(
-          stream.withColumn("tsv", timestamp_micros(expr("ts DIV 1000"))), "tsv"),
+          stream.withColumn("tsv", col("ts").cast("timestamp")), "tsv"),
         queryName = "q40_mem", schema = EventStream.rawEventSchema,
         outputMode = "complete", globFilter = Some("events.parquet"))
       out.select(col("window.start").cast("timestamp_ntz").as("hr"),
@@ -1655,6 +1680,38 @@ object SparkEntry {
         |             ELSE vec_id + 10000000 END AS vec_id, embedding
         | FROM embeddings WHERE vec_id % 20 = 0)
         |SELECT MIN(vec_id) AS vec_id FROM corpus GROUP BY embedding""".stripMargin,
+
+    // the ExactSubstr contract recomputed from scratch: token 10-grams
+    // with positions (1-based list slices), the globally-duplicated
+    // hash set, the covered-position union, and ordered reassembly of
+    // the survivors — the same md5-60-bit gram hash as the engine
+    "q72_substring_dedup" ->
+      ("WITH nn AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM documents), " +
+        """t AS (SELECT doc_id,
+          |  CASE WHEN s IS NULL OR s = '' THEN [] ELSE string_split(s, ' ') END AS toks
+          | FROM nn),
+          |tt AS (SELECT doc_id, toks, len(toks) AS ntok FROM t),
+          |g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, ntok - 9),
+          |    i -> {'pos': i,
+          |          'h': ('0x' || substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT})) AS u
+          |  FROM tt WHERE ntok >= 10)),
+          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+          |cov AS (SELECT DISTINCT g.doc_id, g.pos + o.v AS p
+          |        FROM g JOIN dup USING (h), generate_series(0, 9) o(v)),
+          |tok AS (SELECT doc_id, u.p AS p, u.tk AS tk FROM (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, ntok),
+          |    i -> {'p': i, 'tk': toks[i]})) AS u
+          |  FROM tt WHERE ntok >= 1)),
+          |kept AS (SELECT tok.doc_id, tok.p, tok.tk
+          |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+          |         WHERE cov.p IS NULL),
+          |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text, COUNT(*) AS nk
+          |        FROM kept GROUP BY doc_id)
+          |SELECT tt.doc_id, COALESCE(r.text, '') AS text,
+          | CAST(COALESCE(r.nk, 0) AS INT) AS n_kept,
+          | CAST(tt.ntok - COALESCE(r.nk, 0) AS INT) AS n_removed
+          |FROM tt LEFT JOIN reb r ON tt.doc_id = r.doc_id""".stripMargin),
 
     // the packing contract is a per-shard exclusive running sum of the
     // shared whitespace token count — spelled identically here

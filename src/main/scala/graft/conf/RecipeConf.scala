@@ -569,6 +569,10 @@ object RecipeConf {
           // C4-style boilerplate line removal (docs rewritten in place)
           case "lines" => graft.text.TextAnalysis.dedupLines(df, id, req("text"),
             maxDocFreq = knobLong("max_doc_freq", 1L))
+          // ExactSubstr span removal (Lee et al. 2021): every duplicated
+          // token span of length >= n is cut from every doc
+          case "substring" => graft.text.TextAnalysis.exactSubstrDedup(df, id,
+            req("text"), n = knobInt("n", 10))
           // SemDeDup-shaped semantic dedup — keys on `vec`, not `text`
           case "embedding" => graft.dedup.Dedup.embeddingDedup(df, id,
             req("vec"),
@@ -578,7 +582,7 @@ object RecipeConf {
           // canonical-URL dedup — keys on `url`, not `text`
           case "url" => graft.text.UrlTools.urlDedup(df, id, req("url"))
           case other => sys.error(s"dedup: unknown method '$other' " +
-            "(exact | fingerprint | minhash | lines | embedding | url)")
+            "(exact | fingerprint | minhash | lines | substring | embedding | url)")
         }
       }
       //   pack: {id: col, text: col, budget: N, shard: col} →

@@ -27,11 +27,14 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** Schema of the raw driver `events` parquet under nanosAsLong (ts is
-    * TIMESTAMP_NANOS in the file → long ns). */
+  /** Schema of the raw driver `events` parquet (round 8+: ts is
+    * TIMESTAMP_NTZ micros in the file — streaming readers declare their
+    * schema, so this must track TESTDATA's physical type; a LongType
+    * declaration over a micros file would silently read micros-as-long
+    * and collapse every window into 1970). */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

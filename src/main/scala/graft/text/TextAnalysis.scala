@@ -365,6 +365,89 @@ object TextAnalysis {
       .select(col("id").as(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Exact duplicated-SPAN removal (the ExactSubstr contract of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, re-expressed relationally): any token
+    * n-gram occurring MORE THAN ONCE in the entire corpus — across
+    * documents or twice inside one — marks its n token positions as
+    * duplicated, and every document is rebuilt from its unmarked tokens
+    * in original order. This is EXACTLY "remove every duplicated token
+    * span of length ≥ n": a span of length m ≥ n occurring twice makes
+    * each of its length-n windows duplicated (so all m positions are
+    * covered), and conversely every covered position sits inside a
+    * length-n duplicated span. The paper builds a corpus-wide suffix
+    * array — a single-node construction; the n-gram-anchor formulation
+    * is the shuffle-bounded distributed equivalent at fixed minimum
+    * span length, which is how the contract is stated anyway.
+    *
+    * Operates on the NORMALIZED token stream (the dedup-canonical form
+    * every other text-dedup op here keys on); the output text is the
+    * surviving normalized tokens rejoined — span removal is defined on
+    * tokens, so reconstructing raw-text offsets would add a
+    * position-mapping layer without changing what trains on the result.
+    *
+    * Scale shape: the per-doc gram kernel is row-local (one md5 per
+    * position, single pass); grams meet as 60-bit hashes — 8 bytes a
+    * gram in every exchange, never strings. The occurrence count is a
+    * map-side-combinable aggregate on the hash; the semi-join back
+    * re-uses the same key (one shuffle each). Coverage explodes only
+    * DUPLICATED occurrences — n rows per dup gram, linear in the
+    * duplicated volume, and the distinct collapses them per (doc, pos).
+    * A boilerplate gram repeated k times costs k·n coverage rows —
+    * linear, no pair blowup (contrast all-pairs span matching).
+    * Reassembly groups by doc id. Nothing data-dependent broadcasts. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10): DataFrame = {
+    require(n >= 2, s"need span length n >= 2, got n=$n")
+    // 60-bit md5 gram hash, engine-portable (same contract as winnow):
+    // ('0x' || substr(md5(gram), 1, 15))::BIGINT in an oracle. A
+    // collision falsely marks one span duplicated — conservative for
+    // dedup and vanishing at 2^60 over corpus-sized gram counts.
+    val gramHashUdf = udf { (ts: Seq[String], nn: Int) =>
+      if (ts == null || ts.length < nn) Seq.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 to ts.length - nn).map { i =>
+          md.reset()
+          Tools.md5Top60(md.digest(ts.slice(i, i + nn).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    }
+    // cached narrow frame: tokens + per-position hashes feed FOUR plan
+    // branches (count agg, dup semi-join, token explode, final ntok) —
+    // without the cache each branch re-runs the md5 kernel corpus-wide
+    val toks = graft.engine.AutoUnpersist.cache(df
+      .select(col(idCol).as("id"),
+        coalesce(Tools.tokenize(Tools.normalize(col(textCol))),
+          array().cast("array<string>")).as("__toks"))
+      .withColumn("__ghs", gramHashUdf(col("__toks"), lit(n))))
+    val gramPos = toks.select(col("id"), posexplode(col("__ghs")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__h")
+    val dup = gramPos.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    val covered = gramPos.join(dup, Seq("__h"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__p"))
+      .distinct()
+    val tokPos = toks.select(col("id"), posexplode(col("__toks")))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__tok")
+    val rebuilt = tokPos.join(covered, Seq("id", "__p"), "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          s => s.getField("__tok"))).as("__clean"),
+        count(lit(1)).as("__nk"))
+    // every input doc survives (empty text when fully duplicated) — the
+    // downstream length filter is the right place to drop hollow docs
+    toks.select(col("id"), size(col("__toks")).as("__nt"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        coalesce(col("__nk"), lit(0L)).cast("int").as("n_kept"),
+        (col("__nt") - coalesce(col("__nk"), lit(0L))).cast("int").as("n_removed"))
+  }
+
   /** Near-duplicate pairs by winnowing-fingerprint overlap: pairs of
     * docs sharing at least one fingerprint, scored by overlap ratio
     * |F(a) ∩ F(b)| / min(|F(a)|, |F(b)|) and kept at ≥ `threshold` —

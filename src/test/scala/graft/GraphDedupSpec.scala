@@ -450,6 +450,46 @@ class GraphDedupSpec extends SparkSpec {
     assert(loose(1L).startsWith(banner))
   }
 
+  test("exactSubstrDedup cuts every duplicated token span, keeps survivors in order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // head span shared with doc 2
+      (2L, "alpha beta gamma other words here"),
+      (3L, "unique content entirely"),             // untouched
+      (4L, "alpha beta gamma"),                    // fully duplicated -> hollow
+      (5L, "rep one two rep one two"),             // intra-doc repeat counts
+      (6L, "tiny one"),                            // shorter than n -> no grams
+      (7L, null.asInstanceOf[String]))             // null text survives empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrDedup(docs, "doc_id", "text", n = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_kept", "n_removed"))
+    val m = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Int]("n_kept"), r.getAs[Int]("n_removed"))))
+      .toMap
+    assert(m.size == 7) // every input doc survives, hollow or not
+    assert(m(1L) == (("delta epsilon zeta", 3, 3)))
+    assert(m(2L) == (("other words here", 3, 3)))
+    assert(m(3L) == (("unique content entirely", 3, 0)))
+    assert(m(4L) == (("", 0, 3)))
+    // "rep one two" occurs twice inside doc 5 alone -> both spans cut
+    assert(m(5L) == (("", 0, 6)))
+    assert(m(6L) == (("tiny one", 2, 0)))
+    assert(m(7L) == (("", 0, 0)))
+    // a span of length m > n duplicated across docs is cut END TO END:
+    // every length-n window of it is globally duplicated
+    val long = Seq(
+      (1L, "one two three four five six seven intro"),
+      (2L, "outro one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.exactSubstrDedup(long, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(lm == Map(1L -> "intro", 2L -> "outro"))
+    // n < 2 is a loud failure, not silent char-level nonsense
+    intercept[IllegalArgumentException] {
+      TextAnalysis.exactSubstrDedup(docs, "doc_id", "text", n = 1)
+    }
+  }
+
   test("contaminationFlags replaces a pre-existing contaminated column; test side may use its own text column") {
     // train already carries a (stale) `contaminated` column — the flag
     // must not become ambiguous and the stale values must be REPLACED
