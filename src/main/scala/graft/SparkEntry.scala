@@ -344,13 +344,26 @@ object SparkEntry {
     // bench tracks each side of the build-once/query-many trade
     // separately — at 100 TB the build amortizes over every later
     // query batch, so folding it into the probe number (as rounds ≤ 7
-    // did) overstated the steady-state query cost ~2×. Returns the
-    // centroid table (rows-only check: nlist rows).
+    // did) overstated the steady-state query cost ~2×. Returns
+    // SCALAR-ONLY invariants of the persisted layout — cell id, row
+    // count read back from the hive-partitioned assigned/ dirs, and the
+    // quantized centroid norm — not the raw array<double> centroid
+    // table (the driver harness canonicalizes frames through pandas
+    // sort_values, which cannot hash an array cell; r8's one red row).
+    // k-means centroids are not DuckDB-replayable, so the row is a
+    // rows+schema check: 16 rows == nlist, every count positive.
     "q60_ann_ivf_build" -> ((s, dir) => {
       Ann.writeIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
         ivfIdxDir(dir), nlist = 16)
       ivfBuilt.add(ivfIdxDir(dir))
-      s.read.parquet(s"${ivfIdxDir(dir)}/centroids")
+      val counts = s.read.parquet(s"${ivfIdxDir(dir)}/assigned")
+        .groupBy(col("__cell").cast("int").as("__cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val norms = s.read.parquet(s"${ivfIdxDir(dir)}/centroids")
+        .select(col("__cell").cast("int").as("__cell"),
+          round(sqrt(aggregate(transform(col("__centroid"), x => x * x),
+            lit(0.0), (a, x) => a + x)), 4).as("centroid_norm_q"))
+      counts.join(norms, Seq("__cell")).orderBy("__cell")
     }),
 
     // IVF ANN over a PERSISTED index (Ann.writeIvfIndex + ivfIndexTopK)
@@ -859,6 +872,58 @@ object SparkEntry {
           col("cluster_d2").cast("long").as("cluster_d2"))
     }),
 
+    // cluster-BALANCED sampling through the YAML `cluster: {cap:}` step
+    // (r8 VERDICT #3 — balancedSample had no driver row): q70's
+    // integer-quantized assignment composed with q49's capPerKey
+    // ordering, capped at 20 rows per cluster. Every 97th vector gets a
+    // NULL vector so the NULL-cluster retention rule (malformed
+    // embeddings are KEPT, not dropped) is itself under the oracle.
+    // The oracle re-derives assignment + cap + retention independently.
+    "q73_balanced_sample" -> ((s, dir) => {
+      import graft.conf.RecipeConf
+      val qz = (c: Column) =>
+        transform(c, x => floor(x.cast("double") * 10000).cast("long"))
+      val emb = t(s, dir, "embeddings")
+      val tmpD = scratchDir("graft-bal-q73-docs", tag = dir)
+      val tmpC = scratchDir("graft-bal-q73-cents", tag = dir)
+      emb.select(col("vec_id"),
+          when(col("vec_id") % 97 =!= 0, qz(col("embedding"))).as("qv"))
+        .write.mode("overwrite").parquet(tmpD)
+      emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), qz(col("embedding")).as("cv"))
+        .write.mode("overwrite").parquet(tmpC)
+      val conf = RecipeConf.load(
+        s"""datasets:
+           |  docs: {path: $tmpD, format: parquet}
+           |  codebook: {path: $tmpC, format: parquet}
+           |recipes:
+           |  bal:
+           |    input: docs
+           |    steps:
+           |      - cluster: {id: vec_id, vec: qv, dataset: codebook,
+           |                  centroid_id: cid, centroid_vec: cv,
+           |                  cap: 20, salt: v1}
+           |""".stripMargin)
+      RecipeConf.run(s, conf, "bal")
+        .select(col("vec_id"), col("cluster_id"),
+          col("cluster_d2").cast("long").as("cluster_d2"))
+    }),
+
+    // seeded k-means codebook fit (Cluster.fitCentroids) under the
+    // driver gate (r8 VERDICT #6): centroids are not DuckDB-replayable
+    // (no k-means there), so the row reports SCALAR invariants only —
+    // cid plus the quantized centroid norm — and is a rows+schema check
+    // (k rows). MlGoldenSpec-style exactness stays in ModulesSpec;
+    // determinism across runs holds for a fixed (data, k, seed) on one
+    // Spark version.
+    "q74_fit_centroids" -> ((s, dir) => {
+      val cents = graft.sim.Cluster.fitCentroids(
+        t(s, dir, "embeddings"), "embedding", k = 8)
+      cents.select(col("cid"),
+        round(sqrt(aggregate(transform(col("cv"), x => x * x),
+          lit(0.0), (a, x) => a + x)), 4).as("centroid_norm_q"))
+    }),
+
     // overlapping token-window chunks (Curation.chunk) — the RAG /
     // pretraining shard shape; row-local, no shuffle
     "q54_chunks" -> ((s, dir) =>
@@ -927,7 +992,8 @@ object SparkEntry {
       val out = EventStream.runOnce(s, dir,
         stream => EventStream.windowedCounts(
           stream.withColumn("tsv", col("ts").cast("timestamp")), "tsv"),
-        queryName = "q40_mem", schema = EventStream.rawEventSchema,
+        queryName = "q40_mem",
+        schema = EventStream.rawSchemaOf(s, s"$dir/events.parquet"),
         outputMode = "complete", globFilter = Some("events.parquet"))
       out.select(col("window.start").cast("timestamp_ntz").as("hr"),
         col("event_type"), col("n"), col("sum_value"))
@@ -1445,6 +1511,40 @@ object SparkEntry {
         |SELECT vec_id, cid AS cluster_id, CAST(d2 AS BIGINT) AS cluster_d2
         |FROM r WHERE rn = 1""".stripMargin,
 
+    // q70's exhaustive argmin (NULL vector for every 97th id), then
+    // q49's capPerKey spelling per cluster (salted md5 bucket, id
+    // tie-break, keep 20), then the NULL-cluster rows appended — the
+    // retention rule spelled out independently of the engine
+    "q73_balanced_sample" ->
+      """WITH e AS (SELECT vec_id,
+        |   CASE WHEN vec_id % 97 = 0 THEN NULL
+        |        ELSE list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> CAST(floor(x*10000) AS BIGINT)) END AS qv
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid,
+        |   list_transform(CAST(embedding AS DOUBLE[]),
+        |     x -> CAST(floor(x*10000) AS BIGINT)) AS cv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |d AS (SELECT e.vec_id, c.cid,
+        |   list_sum(list_transform(generate_series(1, len(e.qv)),
+        |     i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))) AS d2
+        |  FROM e CROSS JOIN c WHERE e.qv IS NOT NULL),
+        |r AS (SELECT vec_id, cid, d2,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+        |a AS (SELECT vec_id, cid AS cluster_id, CAST(d2 AS BIGINT) AS cluster_d2
+        |  FROM r WHERE rn = 1),
+        |capped AS (SELECT vec_id, cluster_id, cluster_d2 FROM (
+        |   SELECT vec_id, cluster_id, cluster_d2,
+        |     row_number() OVER (PARTITION BY cluster_id
+        |       ORDER BY ('0x' || substr(md5('v1' || vec_id::VARCHAR), 1, 15))::BIGINT % 10000,
+        |                vec_id) AS rk
+        |   FROM a) WHERE rk <= 20)
+        |SELECT vec_id, cluster_id, cluster_d2 FROM capped
+        |UNION ALL
+        |SELECT vec_id, CAST(NULL AS BIGINT) AS cluster_id,
+        |       CAST(NULL AS BIGINT) AS cluster_d2
+        |FROM e WHERE qv IS NULL""".stripMargin,
+
     // same window arithmetic over DuckDB lists: chunk i (0-based) covers
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]
     "q54_chunks" ->
@@ -1709,8 +1809,8 @@ object SparkEntry {
           |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text, COUNT(*) AS nk
           |        FROM kept GROUP BY doc_id)
           |SELECT tt.doc_id, COALESCE(r.text, '') AS text,
-          | CAST(COALESCE(r.nk, 0) AS INT) AS n_kept,
-          | CAST(tt.ntok - COALESCE(r.nk, 0) AS INT) AS n_removed
+          | CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_kept,
+          | CAST(tt.ntok - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
           |FROM tt LEFT JOIN reb r ON tt.doc_id = r.doc_id""".stripMargin),
 
     // the packing contract is a per-shard exclusive running sum of the

@@ -234,6 +234,52 @@ object Ann {
     corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
       .toDF("__cell", "__centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // build manifest, written LAST so its presence certifies a COMPLETE
+    // build: a crash between the two table writes (or an out-of-band
+    // rebuild caught mid-write) leaves no manifest / a manifest that
+    // disagrees with the centroid table, and the probe fails loudly
+    // instead of silently scoring against torn cells. rows comes from
+    // the written footers (metadata-only count — no data re-read).
+    val spark = corpus.sparkSession
+    val rows = spark.read.parquet(s"$path/assigned").count()
+    writeManifest(spark, path, nlist, rows)
+  }
+
+  /** Manifest location + read/write. One tiny JSON line; parsed with a
+    * regex rather than a JSON library to keep the index format free of
+    * any dependency (the three fields are flat integers). */
+  private def manifestFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.json")
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, nlist: Int, rows: Long): Unit = {
+    val p = manifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"nlist": $nlist, "rows": $rows, """ +
+        s""""built_ms": ${System.currentTimeMillis()}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read an index dir's build manifest: (nlist, rows, built_ms).
+    * None when absent — an incomplete or pre-manifest build. */
+  private[graft] def readManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(Int, Long, Long)] = {
+    val p = manifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Option[Long] =
+        (s""""$k":\\s*(\\d+)""".r).findFirstMatchIn(txt).map(_.group(1).toLong)
+      for (n <- field("nlist"); r <- field("rows"); b <- field("built_ms"))
+        yield (n.toInt, r, b)
+    }
   }
 
   /** Query a persisted IVF index: pick each query's nprobe nearest
@@ -255,8 +301,28 @@ object Ann {
         s"ivfIndexTopK: '$path' is not an IVF index (missing $t/ — " +
           "build one with writeIvfIndex or the ann_index sink)")
     }
+    // staleness / torn-build guard: the manifest is written LAST by
+    // writeIvfIndex, so a missing manifest means the build never
+    // finished (or an out-of-band rebuild is mid-write), and a centroid
+    // table whose size disagrees with the manifest's nlist means the
+    // probe would score against cells from one build and centroids from
+    // another. Both fail loudly here — a long-lived JVM (the API
+    // server) must never silently probe a dir someone rebuilt under it.
+    // Cost: one tiny-file read + a count on the nlist-row centroid
+    // table; the 100-TB assigned/ table is never touched by the check.
+    val mf = readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"ivfIndexTopK: '$path' has no build manifest — the index build " +
+          "did not complete (or is being rebuilt right now); rerun " +
+          "writeIvfIndex / the ann_index sink"))
+    val centDfRaw = spark.read.parquet(s"$path/centroids")
+    val nCent = centDfRaw.count()
+    require(nCent == mf._1,
+      s"ivfIndexTopK: '$path' is torn — manifest says nlist=${mf._1} but " +
+        s"centroids/ has $nCent rows (index rebuilt out-of-band " +
+        "mid-probe?); rebuild with writeIvfIndex")
     val assigned = spark.read.parquet(s"$path/assigned")
-    val centDf = broadcast(spark.read.parquet(s"$path/centroids"))
+    val centDf = broadcast(centDfRaw)
     val q = queryProjection(queries, qId, qVec)
     val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
     val dist2 = aggregate(

@@ -27,18 +27,15 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** Schema of the raw driver `events` parquet (round 8+: ts is
-    * TIMESTAMP_NTZ micros in the file — streaming readers declare their
-    * schema, so this must track TESTDATA's physical type; a LongType
-    * declaration over a micros file would silently read micros-as-long
-    * and collapse every window into 1970). */
-  val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Schema of a raw driver parquet, for streaming readers (which must
+    * declare a schema up front): derived from a one-off batch read of
+    * the SAME file, so the stream adapts to whatever physical type the
+    * driver generated exactly like the batch path does (r8 ADVICE: a
+    * hard-pinned TimestampNTZType here would make q40 fail at read if
+    * events.parquet were regenerated as TIMESTAMP_NANOS while batch
+    * silently kept working). Cost: one footer read at plan build. */
+  def rawSchemaOf(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
   /** Watermarked tumbling-window aggregation — the streaming analogue of
     * the q18 batch window query (decimal-exact sums, same determinism

@@ -444,8 +444,10 @@ object TextAnalysis {
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("__clean"), lit("")).as(textCol),
-        coalesce(col("__nk"), lit(0L)).cast("int").as("n_kept"),
-        (col("__nt") - coalesce(col("__nk"), lit(0L))).cast("int").as("n_removed"))
+        // LONG counters (r8 ADVICE): an int would silently wrap on a
+        // >2.1B-token document; the token counts are longs upstream
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        (col("__nt").cast("long") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
   }
 
   /** Near-duplicate pairs by winnowing-fingerprint overlap: pairs of

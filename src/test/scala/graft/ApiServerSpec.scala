@@ -512,6 +512,40 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("_knn probes an out-of-band-rebuilt index fresh; a torn rebuild is a loud fault") {
+    import spark.implicits._
+    val emb = (0 until 20).map { i =>
+      val a = i * math.Pi / 40
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vid", "v")
+    graft.sim.Ann.writeIvfIndex(emb, "vid", "v", s"$dir/knn-idx-oob", nlist = 4)
+    val conf = RecipeConf.load(
+      s"datasets:\n  idx: {path: $dir/knn-idx-oob, format: ann_index}\nrecipes: {}")
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      val a7 = 7 * math.Pi / 40
+      val vec = f"${math.cos(a7)}%.6f,${math.sin(a7)}%.6f"
+      val before = send("POST", s"$base/datasets/idx/_knn?vector=$vec&k=3&nprobe=4")
+      assert(before.statusCode() == 200, before.body())
+      assert(before.body().startsWith("""[{"neighbor_id":7"""), before.body())
+      // out-of-band rebuild UNDER the live server with a different
+      // layout (nlist 2): the long-lived JVM must probe the NEW index —
+      // exhaustive nprobe=2 over the rebuilt cells still ranks vid 7
+      // first, so a stale-cell probe (or a cached old layout) cannot
+      // produce this body
+      graft.sim.Ann.writeIvfIndex(emb, "vid", "v", s"$dir/knn-idx-oob", nlist = 2)
+      val after = send("POST", s"$base/datasets/idx/_knn?vector=$vec&k=3&nprobe=2")
+      assert(after.statusCode() == 200, after.body())
+      assert(after.body().startsWith("""[{"neighbor_id":7"""), after.body())
+      // a rebuild that died before the manifest (torn build) must fail
+      // the probe loudly, never serve silently from half-written state
+      assert(new java.io.File(s"$dir/knn-idx-oob/_MANIFEST.json").delete())
+      val torn = send("POST", s"$base/datasets/idx/_knn?vector=$vec&k=3&nprobe=2")
+      assert(torn.statusCode() != 200, torn.body())
+    } finally api.stop()
+  }
+
   test("recipe test/apply: a size typo is a 400, not a 500") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "t").write.mode("overwrite")

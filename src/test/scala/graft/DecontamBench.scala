@@ -44,9 +44,14 @@ object DecontamBench {
       s"""array_join(transform(sequence(0, ${T - 1}),
          |  j -> concat('w', pmod(xxhash64(id, j), $V))), ' ')""".stripMargin))
 
+  /**   sbt "Test/runMain graft.DecontamBench [runs] [corpusN ...]" */
   def main(args: Array[String]): Unit = {
     val runs = args.headOption.flatMap(_.toIntOption).getOrElse(2)
-    val scales = Seq(300000L, 1000000L)
+    // three points (round 9; was two) so the shuffle-bytes growth is a
+    // fitted slope, not a single ratio
+    val scales =
+      if (args.drop(1).nonEmpty) args.drop(1).toSeq.map(_.toLong)
+      else Seq(300000L, 1000000L, 3000000L)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

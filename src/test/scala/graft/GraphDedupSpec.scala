@@ -273,6 +273,27 @@ class GraphDedupSpec extends SparkSpec {
       Ann.ivfIndexTopK(spark, s"$idxPath/nope", q, "vec_id", "embedding", k = 2)
     }
     assert(e2.getMessage.contains("not an IVF index"), e2.getMessage)
+    // torn-build guards (r8 VERDICT #7): the manifest is written LAST,
+    // so (a) no manifest = build never completed → loud failure, and
+    // (b) a manifest disagreeing with the centroid table = tables from
+    // two different builds → loud failure, never a silent stale probe
+    val mf = new java.io.File(s"$idxPath/_MANIFEST.json")
+    val mfText = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+    assert(mf.delete())
+    // drop the local-FS checksum shadow too — rewriting the manifest
+    // out-of-band below would otherwise trip ChecksumException before
+    // the torn-build require gets to speak
+    new java.io.File(s"$idxPath/._MANIFEST.json.crc").delete()
+    val e3 = intercept[IllegalStateException] {
+      Ann.ivfIndexTopK(spark, idxPath, q, "vec_id", "embedding", k = 2)
+    }
+    assert(e3.getMessage.contains("no build manifest"), e3.getMessage)
+    java.nio.file.Files.writeString(mf.toPath,
+      mfText.replace("\"nlist\": 8", "\"nlist\": 4"))
+    val e4 = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, idxPath, q, "vec_id", "embedding", k = 2)
+    }
+    assert(e4.getMessage.contains("torn"), e4.getMessage)
   }
 
   test("hyperplane-LSH ANN: pinned recall + exact scores on the driver embeddings") {
@@ -464,7 +485,7 @@ class GraphDedupSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "text", "n_kept", "n_removed"))
     val m = out.collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[String]("text"), r.getAs[Int]("n_kept"), r.getAs[Int]("n_removed"))))
+        ((r.getAs[String]("text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))))
       .toMap
     assert(m.size == 7) // every input doc survives, hollow or not
     assert(m(1L) == (("delta epsilon zeta", 3, 3)))

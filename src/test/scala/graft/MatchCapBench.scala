@@ -51,8 +51,12 @@ object MatchCapBench {
 
   def main(args: Array[String]): Unit = {
     val runs = args.headOption.flatMap(_.toIntOption).getOrElse(2)
-    val scales = Seq(10000L, 30000L, 100000L)
-    val caps = Seq(0L, 1000L)
+    // 300k is capped-only (round 9's fourth point): the uncapped line is
+    // Σqdf·df ∝ N² ≈ 5·10⁸ candidate triples — the config whose point
+    // is that production would never run it; the capped line is the one
+    // whose linearity the fourth point pins
+    val scales = Seq(10000L, 30000L, 100000L, 300000L)
+    def capsFor(n: Long) = if (n > 100000L) Seq(1000L) else Seq(0L, 1000L)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -75,7 +79,7 @@ object MatchCapBench {
         val queries = corpus.filter(col("doc_id") % 100 === 0)
         val nq = (n + 99) / 100
 
-        for (cap <- caps) {
+        for (cap <- capsFor(n)) {
           def result(): DataFrame =
             MatchJoin.topK(queries.select("doc_id", "toks"),
               corpus.select("doc_id", "toks"),

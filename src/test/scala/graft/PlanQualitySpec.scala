@@ -192,6 +192,24 @@ class PlanQualitySpec extends SparkSpec {
       s"LM build should partial-aggregate:\n$lm")
   }
 
+  test("q72 ExactSubstr shuffles ONLY on its three declared key families") {
+    // SCALE.md's substring-dedup row claims the complete shuffle
+    // surface: gram hash (global >1 count + dup semi-join), (doc id,
+    // pos) (coverage distinct + token anti-join), doc id (reassembly +
+    // final re-attach). Pin it — a fourth family appearing here is an
+    // undocumented exchange, exactly the drift the row exists to catch.
+    val p = plan("q72_substring_dedup")
+    val fams = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .map(_.split(",\\s*").toSeq.dropRight(1) // trailing arg = numPartitions
+        .map(_.replaceAll("#\\d+L?", "").trim).sorted.mkString(","))
+      .toSet
+    assert(fams == Set("__h", "__p,id", "id"),
+      s"shuffle key families drifted from SCALE.md's claim: $fams in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global exchange crept into ExactSubstr:\n$p")
+  }
+
   test("minhashDedup keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val df = Seq(

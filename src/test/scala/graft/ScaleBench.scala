@@ -16,7 +16,7 @@ object ScaleBench {
     val queries =
       if (args.drop(1).nonEmpty) args.drop(1).toSeq
       else Seq("q24_jaccard_pairs", "q26_minhash_pairs", "q29_match_topk",
-        "q39_matching_e2e", "q53_decontaminate")
+        "q39_matching_e2e", "q53_decontaminate", "q72_substring_dedup")
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
