@@ -286,20 +286,39 @@ object TextAnalysis {
       .select(xxhash64(col("gram")).as("__gram_h")).distinct()
     val trainGrams = wordNgrams(train, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("gram")).as("__gram_h"))
-    val candidates = bloomFpp match {
-      case None => trainGrams
+    bloomFpp match {
+      case None =>
+        trainGrams
+          .join(testGrams, Seq("__gram_h"), "left_semi")
+          .select(idCol).distinct()
       case Some(fpp) =>
         testGramBloom(test, testTextCol.getOrElse(textCol), n, fpp) match {
-          case None => return train.select(col(idCol)).limit(0)
+          case None => train.select(col(idCol)).limit(0)
           case Some(bf) =>
             val bcast = train.sparkSession.sparkContext.broadcast(bf)
             val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
-            trainGrams.filter(might(col("__gram_h")))
+            val ids = graft.engine.AutoUnpersist.cache(
+              trainGrams.filter(might(col("__gram_h")))
+                .join(testGrams, Seq("__gram_h"), "left_semi")
+                .select(idCol).distinct())
+            // The id set is data-dependent, so it can't be broadcast
+            // blindly — but the static planner's alternative is worse in
+            // a way the 3-point DecontamBench sweep exposed: it plans
+            // the caller's verdict join as SMJ, and although AQE flips
+            // it to broadcast once the id stage materializes, the
+            // CORPUS-side exchange is already written by then
+            // (AQEShuffleRead local saves the network read, not the
+            // 100-TB disk write — measured as the bloom path's shuffle
+            // bytes growing ∝ corpus, 254→568 MB for 1M→3M docs). The
+            // bloom path is already eager at plan build (filter sizing +
+            // build), so ONE more bounded action is in contract: cache
+            // the ids, count them, and hint broadcast only under 1M
+            // rows (≲ tens of MB hashed — executor-safe); a genuinely
+            // huge verdict set (mostly-contaminated corpus) keeps the
+            // shuffled join, which is then the right plan anyway.
+            if (ids.count() <= 1000000L) broadcast(ids) else ids
         }
     }
-    candidates
-      .join(testGrams, Seq("__gram_h"), "left_semi")
-      .select(idCol).distinct()
   }
 
   /** The Bloom filter over a STATIC test set's word-n-gram hashes — the

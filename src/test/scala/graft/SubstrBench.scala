@@ -67,6 +67,15 @@ object SubstrBench {
           s"samples=${samples.map(s => f"$s%.3f").mkString(",")}")
       }
 
+      // The token RIGHT AFTER a planted span is 'u'||doc_id — unique by
+      // construction, not hash-drawn. With a vocab draw there, two span
+      // carriers collide on it with P≈1/V and the boundary gram
+      // (span suffix + that token) becomes genuinely duplicated,
+      // covering one extra position — the operator is CORRECT to cut it
+      // (measured: 5 such pairs at k=1000), but the exact-count require
+      // would be probabilistic. Uniqueness makes every boundary gram
+      // unique and the expected counts exact.
+
       // ---- phase 1: corpus scaling, pairwise-duplicated spans
       for (n <- Seq(30000L, 100000L, 300000L)) {
         val path = s"$tmp/scale$n"
@@ -75,6 +84,7 @@ object SubstrBench {
             s"""array_join(transform(sequence(0, ${T - 1}), j ->
                |  CASE WHEN doc_id % 10 < 2 AND j < 15
                |       THEN concat('p', pmod(xxhash64(doc_id div 2, j), $V))
+               |       WHEN j = 15 THEN concat('u', doc_id)
                |       ELSE concat('w', pmod(xxhash64(doc_id, j), $V)) END),
                |  ' ')""".stripMargin))
           .write.mode("overwrite").parquet(path)
@@ -90,6 +100,7 @@ object SubstrBench {
           .withColumn("text", expr(
             s"""array_join(transform(sequence(0, ${T - 1}), j ->
                |  CASE WHEN doc_id < $k AND j < 10 THEN concat('b', j)
+               |       WHEN j = 10 THEN concat('u', doc_id)
                |       ELSE concat('w', pmod(xxhash64(doc_id, j), $V)) END),
                |  ' ')""".stripMargin))
           .write.mode("overwrite").parquet(path)
