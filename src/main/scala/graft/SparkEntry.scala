@@ -1077,7 +1077,11 @@ object SparkEntry {
     "q60_ann_ivf_build", "q60_ann_ivf",
     // the other 100-TB ANN path (multi-table hyperplane LSH via the
     // YAML ann_topk step), benched since it joined the gate in round 8
-    "q62_ann_lsh")
+    "q62_ann_lsh",
+    // the newest heavy dedup operator (round 9): ExactSubstr span
+    // dedup — its synthetic-corpus slopes live in SCALE.md/SubstrBench;
+    // this row keeps a driver-tracked number at the gate SF
+    "q72_substring_dedup")
 
   // ------------------------------------------------------------- oracles
 

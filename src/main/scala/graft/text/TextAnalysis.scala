@@ -297,10 +297,18 @@ object TextAnalysis {
           case Some(bf) =>
             val bcast = train.sparkSession.sparkContext.broadcast(bf)
             val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
-            val ids = graft.engine.AutoUnpersist.cache(
-              trainGrams.filter(might(col("__gram_h")))
-                .join(testGrams, Seq("__gram_h"), "left_semi")
-                .select(idCol).distinct())
+            // persist FIRST, count SECOND, register with AutoUnpersist
+            // LAST: the count below is itself an action, and
+            // AutoUnpersist releases on the first action that touches
+            // the entry — registering before the count would unpersist
+            // immediately and the caller's verdict join would re-scan
+            // the whole corpus for the grams (a second 100-TB pass).
+            // This order materializes the id set once; the caller's
+            // action reads the cached rows and then releases them.
+            val idsP = trainGrams.filter(might(col("__gram_h")))
+              .join(testGrams, Seq("__gram_h"), "left_semi")
+              .select(idCol).distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // The id set is data-dependent, so it can't be broadcast
             // blindly — but the static planner's alternative is worse in
             // a way the 3-point DecontamBench sweep exposed: it plans
@@ -311,12 +319,14 @@ object TextAnalysis {
             // 100-TB disk write — measured as the bloom path's shuffle
             // bytes growing ∝ corpus, 254→568 MB for 1M→3M docs). The
             // bloom path is already eager at plan build (filter sizing +
-            // build), so ONE more bounded action is in contract: cache
-            // the ids, count them, and hint broadcast only under 1M
-            // rows (≲ tens of MB hashed — executor-safe); a genuinely
-            // huge verdict set (mostly-contaminated corpus) keeps the
+            // build), so ONE more bounded action is in contract: count
+            // the cached ids and hint broadcast only under 1M rows
+            // (≲ tens of MB hashed — executor-safe); a genuinely huge
+            // verdict set (mostly-contaminated corpus) keeps the
             // shuffled join, which is then the right plan anyway.
-            if (ids.count() <= 1000000L) broadcast(ids) else ids
+            val n_ = idsP.count()
+            val ids = graft.engine.AutoUnpersist.cache(idsP)
+            if (n_ <= 1000000L) broadcast(ids) else ids
         }
     }
   }

@@ -157,28 +157,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("UDF("), s"UrlTools must stay pure Column exprs:\n$p")
   }
 
-  test("q68 bloom prefilter lands on the corpus-gram side of the semi-join") {
-    // the whole point: clean corpus grams are dropped MAP-SIDE, before
-    // the gram exchange. AQE hides the physical tree from collect(), so
-    // assert on the OPTIMIZED plan: the gram semi-join's LEFT (corpus)
-    // subtree must carry the probe-UDF filter — a deterministic filter
-    // there is always executed in the scan stage, before any exchange
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join}
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+  test("q68 bloom prefilter drops grams map-side; the verdict id set joins by broadcast") {
+    // two structural properties, one per corpus pass (round 9 — the id
+    // set is persisted + counted at build, so the gram semi-join lives
+    // inside the CACHED id plan and the outer verdict join sees a
+    // declared-small relation):
+    //  (1) inside the cached id plan, the bloom-probe UDF filter sits
+    //      directly over the corpus SCAN — clean grams die before any
+    //      exchange (the map-side-drop claim);
+    //  (2) the outer verdict join is a static BroadcastHashJoin — the
+    //      corpus itself never enters an exchange (the DecontamBench
+    //      3-point finding: AQE's late flip still paid the full
+    //      corpus shuffle WRITE).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val df = SparkEntry.queries("q68_decontaminate_bloom")(spark, dir)
-    val semis = df.queryExecution.optimizedPlan.collect {
-      case j @ Join(_, _, LeftSemi, _, _) => j
+    val op = df.queryExecution.optimizedPlan
+    val caches = op.collect { case r: InMemoryRelation => r }
+    assert(caches.nonEmpty, s"expected the cached contaminated-id set in:\n$op")
+    // the cached plan is wrapped in AdaptiveSparkPlan/QueryStage nodes
+    // that .collect cannot traverse, so assert on its rendered lines:
+    // every bloom-probe filter must reach its FileScan with NO Exchange
+    // in between (probe runs in the scan stage = the map-side drop)
+    val lines = caches.map(_.cachedPlan.toString).mkString("\n").split("\n")
+    val probeIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Filter UDF(xxhash64") => i }
+    assert(probeIdxs.nonEmpty,
+      s"bloom probe filter missing from the cached id plan:\n${lines.mkString("\n")}")
+    probeIdxs.foreach { i =>
+      val below = lines.drop(i + 1).takeWhile(!_.contains("FileScan"))
+      assert(!below.exists(_.contains("Exchange")),
+        s"an exchange sits between the bloom probe and the scan:\n${lines.mkString("\n")}")
     }
-    assert(semis.nonEmpty, "expected the gram semi-join in the q68 plan")
-    val probed = semis.exists(_.left.collect {
-      case f: LFilter if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f
-    }.nonEmpty)
-    assert(probed,
-      s"bloom probe filter missing from the corpus side:\n${df.queryExecution.optimizedPlan}")
-    // and the probe survives into the physical plan
-    assert(df.queryExecution.executedPlan.toString.contains("UDF"),
-      "bloom probe filter missing from the physical plan")
+    val outer = df.queryExecution.executedPlan.toString
+    assert(outer.contains("BroadcastHashJoin"),
+      s"verdict ids must broadcast (corpus side exchange-free):\n$outer")
+    assert(!outer.contains("SortMergeJoin"),
+      s"corpus-side exchange crept back into the verdict join:\n$outer")
   }
 
   test("q58/q59 vocab aggregates are map-side partial, top-k is TakeOrdered") {
