@@ -909,6 +909,32 @@ object SparkEntry {
           col("cluster_d2").cast("long").as("cluster_d2"))
     }),
 
+    // DSIR importance selection (Curation.dsirSelect through the YAML
+    // `dsir` step): target LM = every 3rd doc (the "domain sample"),
+    // reference LM = the whole corpus; keep the 100 highest-importance
+    // docs. All arithmetic is quantized-integer log10 (the q59
+    // contract) with per-LM Laplace OOV floors, and the ranking is a
+    // total order (weight desc, id) — the oracle re-derives both LMs,
+    // every weight, and the cut from scratch.
+    "q75_dsir_select" -> ((s, dir) => {
+      import graft.conf.RecipeConf
+      val tmp = scratchDir("graft-dsir-q75", tag = dir)
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      val conf = RecipeConf.load(
+        s"""datasets:
+           |  docs: {path: $dir/documents.parquet, format: parquet}
+           |  docs_target: {path: $tmp, format: parquet}
+           |recipes:
+           |  pick:
+           |    input: docs
+           |    steps:
+           |      - dsir: {id: doc_id, text: text, target: docs_target, k: 100}
+           |""".stripMargin)
+      RecipeConf.run(s, conf, "pick")
+    }),
+
     // seeded k-means codebook fit (Cluster.fitCentroids) under the
     // driver gate (r8 VERDICT #6): centroids are not DuckDB-replayable
     // (no k-means there), so the row reports SCALAR invariants only —
@@ -1654,6 +1680,33 @@ object SparkEntry {
         |       ELSE ((sc.s*2 + sc.n) // (sc.n*2)) END AS DOUBLE) / 10000.0, 4)
         |   AS logprob
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // both LMs, every quantized weight, and the top-100 cut re-derived
+    // from scratch: target LM = every 3rd doc, reference = full corpus
+    // (so reference lookups never go OOV — the target-side OOV floor is
+    // the scalar subquery); ranking is weight desc + id, a total order
+    "q75_dsir_select" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS token
+        | FROM documents WHERE <STRIP:lower(text)> <> ''),
+        |tlm AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE doc_id % 3 = 0 GROUP BY 1),
+        |rlm AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tt AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM tlm),
+        |rt AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM rlm),
+        |tq AS (SELECT token,
+        |  CAST(floor(log10(CAST(cnt + 1 AS DOUBLE) / (total + v)) * 10000) AS BIGINT) AS qlp
+        | FROM tlm, tt),
+        |rq AS (SELECT token,
+        |  CAST(floor(log10(CAST(cnt + 1 AS DOUBLE) / (total + v)) * 10000) AS BIGINT) AS qlp
+        | FROM rlm, rt),
+        |w AS (SELECT t.doc_id,
+        |  COALESCE(tq.qlp,
+        |    (SELECT CAST(floor(log10(1.0 / (total + v)) * 10000) AS BIGINT) FROM tt))
+        |  - rq.qlp AS wq
+        | FROM tok t LEFT JOIN tq USING (token) JOIN rq USING (token))
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok, SUM(wq) AS dsir_logw_q
+        |FROM w GROUP BY 1
+        |ORDER BY dsir_logw_q DESC, doc_id LIMIT 100""".stripMargin,
 
     // count desc + token asc is a total order, so LIMIT is deterministic
     "q58_vocab" ->

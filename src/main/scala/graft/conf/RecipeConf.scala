@@ -379,8 +379,8 @@ object RecipeConf {
     val kn = new Knobs(op, m)
     import kn.{req, reqList, reqInt, knob, knobOpt, knobInt, knobLong,
       knobDouble, knobBool, numVal}
-    def namedDataset(): DataFrame = {
-      val name = req("dataset")
+    def namedDataset(key: String = "dataset"): DataFrame = {
+      val name = req(key)
       read(spark, conf.datasets.getOrElse(name, sys.error(
         s"$op: unknown dataset '$name' (known: ${conf.datasets.keys.toSeq.sorted.mkString(", ")})")))
     }
@@ -763,6 +763,34 @@ object RecipeConf {
         graft.text.Curation.unigramLogProb(df, req("id"), req("text"),
           graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
           lowercase = lc)
+      }
+      // DSIR importance weighting/selection (Curation.dsirWeights /
+      // dsirSelect): target-domain LM from a named dataset (its text
+      // column via target_text when it differs), reference LM from a
+      // second named dataset or the input corpus itself; `k` switches
+      // from weights-per-doc to the top-k selection:
+      //   dsir: {id: col, text: col, target: wiki_ref[, target_text: body]
+      //          [, reference: other][, k: 10000][, lowercase: true]}
+      case "dsir" => df => {
+        val tgt = namedDataset("target")
+        val ref = m.get("reference") match {
+          case Some(v) if v != null => namedDataset("reference")
+          case _ => df
+        }
+        val tgtText = knob("target_text", req("text"))
+        val lc = knobBool("lowercase", true)
+        val tLm = graft.text.Curation.unigramLm(tgt, tgtText, lowercase = lc)
+        val rLm = graft.text.Curation.unigramLm(ref, req("text"), lowercase = lc)
+        knobOpt("k") match {
+          case Some(k) =>
+            val kk = k.toIntOption.getOrElse(
+              sys.error(s"dsir: 'k' must be an integer, got '$k'"))
+            graft.text.Curation.dsirSelect(df, req("id"), req("text"),
+              tLm, rLm, kk, lowercase = lc)
+          case None =>
+            graft.text.Curation.dsirWeights(df, req("id"), req("text"),
+              tLm, rLm, lowercase = lc)
+        }
       }
       // ---- multimodal steps over the canonical media schema
       // (media_id, kind, payload, meta) — Multimodal.mediaSchema

@@ -287,6 +287,88 @@ object Curation {
       .drop("__s", "__n")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each doc by how much more likely its tokens are under a
+    * TARGET-domain unigram LM than under the raw REFERENCE LM —
+    * log w(x) = Σ_t [log p_target(t) − log p_ref(t)] — the importance
+    * statistic behind domain-targeted pretraining selection. The
+    * paper's hashed n-gram features reduce to unigrams at n = 1; both
+    * LMs are (token, cnt) tables (typically [[unigramLm]]). The log
+    * quantization contract is [[unigramLogProb]]'s exactly —
+    * floor(log10 · 10⁴) longs with a Laplace OOV floor per LM — so the
+    * weight is a LONG in 10⁻⁴ log10 units and every engine computes it
+    * bit-identically (the q59 playbook). Token-free docs get NULL
+    * weight (nothing to score — rank them last, don't fake a zero).
+    *
+    * Scale: both LMs are vocab-sized aggregates (declared-small);
+    * totals ride one-row broadcasts; the token stream joins the two
+    * LM tables (AQE broadcasts them) and aggregates per doc — one
+    * doc-id shuffle, map-side combined. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetLm: DataFrame, referenceLm: DataFrame,
+      lowercase: Boolean = true): DataFrame = {
+    Seq("target" -> targetLm, "reference" -> referenceLm).foreach { case (n, lm) =>
+      require(lm.columns.toSeq.contains("token") && lm.columns.toSeq.contains("cnt"),
+        s"dsirWeights: $n LM needs (token, cnt) columns, got ${lm.columns.mkString(", ")}")
+    }
+    val lmT = graft.engine.AutoUnpersist.cache(targetLm)
+    val lmR = graft.engine.AutoUnpersist.cache(referenceLm)
+    // per-LM totals as one-row broadcasts, with unigramLogProb's
+    // empty-LM assert (and the same keep-the-assert-alive coalesce
+    // plumbing — ColumnPruning drops unreferenced side effects)
+    def totalsOf(lm: DataFrame, tag: String) = broadcast(lm.agg(
+        sum(col("cnt")).as(s"__total_$tag"), count(lit(1)).as(s"__v_$tag"))
+      .select(col(s"__total_$tag"), col(s"__v_$tag"),
+        assert_true(col(s"__v_$tag") > 0,
+          lit(s"dsirWeights: the ${if (tag == "t") "target" else "reference"} " +
+            "LM has no tokens")).as(s"__chk_$tag")))
+    val totT = totalsOf(lmT, "t")
+    val totR = totalsOf(lmR, "r")
+    def qlpOf(lm: DataFrame, tot: DataFrame, tag: String) =
+      lm.crossJoin(tot).select(col("token"),
+        floor(log10((col("cnt") + 1).cast("double") /
+            (col(s"__total_$tag") + col(s"__v_$tag"))) * 10000)
+          .cast("long").as(s"__qlp_$tag"))
+    val qT = qlpOf(lmT, totT, "t")
+    val qR = qlpOf(lmR, totR, "r")
+    def oovOf(tag: String) =
+      floor(log10(lit(1.0) / (col(s"__total_$tag") + col(s"__v_$tag"))) * 10000)
+        .cast("long")
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = df.select(col(idCol), explode_outer(Tools.tokenize(c)).as("token"))
+    val chk = coalesce(col("__chk_t").cast("long"), col("__chk_r").cast("long"))
+    toks
+      .join(qT, Seq("token"), "left")
+      .join(qR, Seq("token"), "left")
+      .crossJoin(totT).crossJoin(totR)
+      .select(col(idCol),
+        when(col("token").isNull, chk)
+          .otherwise(coalesce(col("__qlp_t"), oovOf("t"), chk) -
+            coalesce(col("__qlp_r"), oovOf("r"), chk)).as("__w"))
+      .groupBy(idCol)
+      .agg(count(col("__w")).cast("int").as("n_tok"),
+        sum(col("__w")).as("dsir_logw_q"))
+  }
+
+  /** Deterministic DSIR selection: the k highest-importance docs
+    * (weight desc, id asc — a total order; NULL-weight token-free docs
+    * rank last and never displace a scored doc). The paper resamples
+    * with Gumbel noise; top-k is the deterministic variant of the same
+    * ranking statistic — and the only one an independent oracle can
+    * replay (Gumbel keys need exp/log on engine-specific doubles,
+    * exactly what the quantized-integer playbook exists to avoid).
+    * TakeOrdered physicalizes as per-partition heaps + a k-row driver
+    * merge — never a global sort. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      targetLm: DataFrame, referenceLm: DataFrame, k: Int,
+      lowercase: Boolean = true): DataFrame = {
+    require(k >= 1, s"dsirSelect needs k >= 1, got $k")
+    dsirWeights(df, idCol, textCol, targetLm, referenceLm, lowercase)
+      .orderBy(col("dsir_logw_q").desc_nulls_last, col(idCol))
+      .limit(k)
+  }
+
   // -------------------------------------------------- vocabulary top-k
   /** Corpus-wide token frequency top-k — the tokenizer-training /
     * vocabulary-audit primitive. Tie-broken (count desc, token asc) so

@@ -324,4 +324,43 @@ class CurationSpec extends SparkSpec {
     assert(groups(Some("https://ex.com/a")) == 2L)
     assert(groups(None) == 2L) // NULL canonicals grouped, not dropped
   }
+
+  test("dsirWeights: hand-checked quantized importance; OOV floor; NULL for empty docs") {
+    import graft.text.Curation
+    // target LM: {a: 2, b: 1}  total=3 v=2 → denom 5
+    //   qlp(a) = floor(log10(3/5)·1e4) = -2219, qlp(b) = floor(log10(2/5)·1e4) = -3980
+    //   oov    = floor(log10(1/5)·1e4) = -6990
+    // reference LM: {a: 1, b: 1, z: 1}  total=3 v=3 → denom 6
+    //   qlp(a|b|z) = floor(log10(2/6)·1e4) = -4772, oov = floor(log10(1/6)·1e4) = -7782
+    val target = Seq((10L, "a a b")).toDF("doc_id", "text")
+    val ref = Seq((20L, "a b z")).toDF("doc_id", "text")
+    val tLm = Curation.unigramLm(target, "text")
+    val rLm = Curation.unigramLm(ref, "text")
+    val docs = Seq(
+      (1L, "a b"),   // (-2219 - -4772) + (-3980 - -4772) = 2553 + 792 = 3345
+      (2L, "z"),     // target-OOV: -6990 - -4772 = -2218
+      (3L, "q"),     // OOV in BOTH: -6990 - -7782 = 792
+      (4L, ""),      // token-free → NULL weight
+      (5L, "a a"))   // 2·2553 = 5106
+      .toDF("doc_id", "text")
+    val w = Curation.dsirWeights(docs, "doc_id", "text", tLm, rLm)
+    assert(w.columns.toSeq == Seq("doc_id", "n_tok", "dsir_logw_q"))
+    val m = w.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(m(1L) == ((2, Some(3345L))), m.toString)
+    assert(m(2L) == ((1, Some(-2218L))), m.toString)
+    assert(m(3L) == ((1, Some(792L))), m.toString)
+    assert(m(4L) == ((0, None)), m.toString)
+    assert(m(5L) == ((2, Some(5106L))), m.toString)
+    // selection: weight desc with id tie-break; NULL weight ranks last
+    val top = Curation.dsirSelect(docs, "doc_id", "text", tLm, rLm, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(5L, 1L, 3L), top.toString)
+    // an empty LM fails the job loudly, never silent NULL scores
+    val err = intercept[Exception] {
+      Curation.dsirWeights(docs, "doc_id", "text",
+        tLm.filter(lit(false)), rLm).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
