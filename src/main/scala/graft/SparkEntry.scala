@@ -935,6 +935,28 @@ object SparkEntry {
       RecipeConf.run(s, conf, "pick")
     }),
 
+    // HTML → text extraction (Curation.extractHtmlText/htmlTitle):
+    // markup synthesized closed-form to exercise every rule at once —
+    // head/style/script blocks (the script hides a bare '<' to prove
+    // block-before-tag ordering), a comment, block tags, inline tags,
+    // &amp;/&nbsp; entities — and the oracle spells the EXPECTED
+    // extraction directly from the key formula (q69's pattern): an
+    // independent derivation, not a re-run of the extractor
+    "q76_html_extract" -> ((s, dir) => {
+      val k = col("p_partkey").cast("long")
+      val html = concat(
+        lit("<html><head><title>Part "), (k % 7).cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>" +
+          "<script>var x=1; if (x<2) x=3;</script><h1>Item "),
+        (k % 13).cast("string"),
+        lit("</h1><p>alpha &amp; beta "), (k % 5).cast("string"),
+        lit("</p><!-- hidden --><div>gamma&nbsp;delta</div></body></html>"))
+      t(s, dir, "part").select(k.as("pid"), html.as("html"))
+        .select(col("pid"),
+          graft.text.Curation.htmlTitle(col("html")).as("html_title"),
+          graft.text.Curation.extractHtmlText(col("html")).as("html_text"))
+    }),
+
     // seeded k-means codebook fit (Cluster.fitCentroids) under the
     // driver gate (r8 VERDICT #6): centroids are not DuckDB-replayable
     // (no k-means there), so the row reports SCALAR invariants only —
@@ -1707,6 +1729,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok, SUM(wq) AS dsir_logw_q
         |FROM w GROUP BY 1
         |ORDER BY dsir_logw_q DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the expected extraction spelled straight from the fixture's key
+    // formula — title from the head, body text with paragraph newlines
+    // and decoded entities, everything else (tags, script with its bare
+    // '<', style, comment) gone
+    "q76_html_extract" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS pid,
+        | 'Part ' || (p_partkey % 7) AS html_title,
+        | 'Item ' || (p_partkey % 13) || chr(10) ||
+        | 'alpha & beta ' || (p_partkey % 5) || chr(10) ||
+        | 'gamma delta' AS html_text
+        |FROM part""".stripMargin,
 
     // count desc + token asc is a total order, so LIMIT is deterministic
     "q58_vocab" ->

@@ -764,6 +764,16 @@ object RecipeConf {
           graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
           lowercase = lc)
       }
+      // HTML → text extraction (web-corpus step 0): adds extracted-text
+      // and title columns from a markup column:
+      //   html_extract: {html: col[, text: out_col, title: out_col]}
+      case "html_extract" => df => {
+        val h = req("html")
+        df.withColumn(knob("text", "html_text"),
+            graft.text.Curation.extractHtmlText(col(h)))
+          .withColumn(knob("title", "html_title"),
+            graft.text.Curation.htmlTitle(col(h)))
+      }
       // DSIR importance weighting/selection (Curation.dsirWeights /
       // dsirSelect): target-domain LM from a named dataset (its text
       // column via target_text when it differs), reference LM from a

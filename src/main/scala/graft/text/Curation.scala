@@ -184,6 +184,58 @@ object Curation {
     size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))),
     size(regexp_extract_all(c, lit(phonePattern), lit(0))))
 
+  // ----------------------------------------------- HTML text extraction
+  /** HTML → text: step 0 of every web-corpus pipeline (C4 and CCNet
+    * both begin from markup-stripped text). The trafilatura-class tag
+    * handling is reduced to a deterministic, RE2-portable regexp
+    * tower — a pure codegen'd Column chain, row-local, ZERO shuffles at
+    * any corpus size, and an oracle can replay it in any engine.
+    *
+    * Pipeline order matters and is part of the contract:
+    * 1. comments, then <script>/<style>/<head> BLOCKS die whole —
+    *    before tag stripping, so a '<' inside inline JS can't desync
+    *    the tag pattern and head metadata never leaks into text;
+    * 2. closing block-level tags and <br> become newlines (paragraph
+    *    structure survives extraction — Gopher's bullet/ellipsis line
+    *    rules downstream need real lines);
+    * 3. every remaining tag is stripped;
+    * 4. the five core entities decode, `&amp;` LAST so double-encoded
+    *    text ("&amp;lt;") stays literal — the HTML5 spec's own
+    *    double-escape semantics;
+    * 5. whitespace normalizes: spaces/tabs collapse, blank space
+    *    around newlines trims, newline runs collapse to one, ends trim.
+    * Non-HTML text passes through with only whitespace normalization
+    * (an extractor, not a validator); NULL stays NULL. */
+  def extractHtmlText(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?s)<!--.*?-->", "")
+    val noScript = regexp_replace(noComment, "(?is)<script\\b.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", "")
+    val noHead = regexp_replace(noStyle, "(?is)<head\\b.*?</head>", "")
+    val blocks = regexp_replace(noHead,
+      "(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article|header|footer)>|<br\\s*/?>",
+      "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;|&apos;", "'"), "&amp;", "&")
+    val ws = regexp_replace(regexp_replace(regexp_replace(ent,
+      "[ \\t]+", " "), " *\\n *", "\n"), "\\n+", "\n")
+    regexp_replace(ws, "^\\s+|\\s+$", "")
+  }
+
+  /** The <title> content (entities decoded, whitespace collapsed);
+    * empty string when the document has none — same regexp contract as
+    * [[extractHtmlText]]. */
+  def htmlTitle(c: Column): Column = {
+    val t = regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(t,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;|&apos;", "'"), "&amp;", "&")
+    regexp_replace(regexp_replace(ent, "\\s+", " "), "^ +| +$", "")
+  }
+
   // ------------------------------------------- LM quality (CCNet-style)
   /** Unigram language-model score per document — the public stand-in for
     * CCNet-style perplexity filtering (Wenzek et al. 2020 train a 5-gram

@@ -325,6 +325,41 @@ class CurationSpec extends SparkSpec {
     assert(groups(None) == 2L) // NULL canonicals grouped, not dropped
   }
 
+  test("extractHtmlText: blocks die whole, structure becomes lines, entities decode once") {
+    import graft.text.Curation
+    val html = "<html><head><title> T &amp;1 </title><style>p{x:y}</style></head>" +
+      "<body><script>if (a<b) c();</script><h1>Head</h1>" +
+      "<p>one &amp;lt; two</p><!-- c --><div>a&nbsp;b</div>plain <b>bold</b> tail</body></html>"
+    val df = Seq((1L, html), (2L, "just  text \n\n here"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+      .select(col("id"), Curation.extractHtmlText(col("h")).as("text"),
+        Curation.htmlTitle(col("h")).as("title"))
+    val m = df.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    // the script's bare '<' must not desync tag stripping (blocks die
+    // first); "&amp;lt;" decodes ONCE to the literal text "&lt;"
+    assert(m(1L) == ((Some("Head\none &lt; two\na b\nplain bold tail"),
+      Some("T &1"))), m(1L).toString)
+    // non-HTML text: whitespace normalization only; no title
+    assert(m(2L) == ((Some("just text\nhere"), Some(""))), m(2L).toString)
+    assert(m(3L) == ((None, None)))
+    // the YAML step wires the same pair
+    val tmp = java.nio.file.Files.createTempDirectory("graft-html").toString
+    Seq((1L, html)).toDF("id", "h").write.mode("overwrite").parquet(tmp)
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  pages: {path: $tmp, format: parquet}
+         |recipes:
+         |  extract:
+         |    input: pages
+         |    steps:
+         |      - html_extract: {html: h, text: body}
+         |""".stripMargin)
+    val out = graft.conf.RecipeConf.run(spark, conf, "extract").collect().head
+    assert(out.getAs[String]("body").startsWith("Head\n"))
+    assert(out.getAs[String]("html_title") == "T &1")
+  }
+
   test("dsirWeights: hand-checked quantized importance; OOV floor; NULL for empty docs") {
     import graft.text.Curation
     // target LM: {a: 2, b: 1}  total=3 v=2 → denom 5
