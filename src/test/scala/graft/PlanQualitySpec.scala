@@ -155,6 +155,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q69_url_normalize")
     assert(!p.contains("Exchange"), s"row-local op must not shuffle:\n$p")
     assert(!p.contains("UDF("), s"UrlTools must stay pure Column exprs:\n$p")
+    // same contract for HTML extraction (round 9): a regexp tower over
+    // the scan, nothing else
+    val h = plan("q76_html_extract")
+    assert(!h.contains("Exchange"), s"row-local op must not shuffle:\n$h")
+    assert(!h.contains("UDF("), s"extractHtmlText must stay pure Column exprs:\n$h")
   }
 
   test("q68 bloom prefilter drops grams map-side; the verdict id set joins by broadcast") {
