@@ -314,7 +314,16 @@ object Curation {
     // assert yields null on success, which is exactly that branch's value.
     val chk = col("__chk").cast("long")
     toks
-      .join(qlm, Seq("token"), "left")
+      // STATIC broadcast of the quantized LM: the vocab table is the
+      // declared-small artifact (natural-language vocab = MBs at any
+      // corpus size — same class as codebooks/centroids). Relying on
+      // AQE's late SMJ→BHJ flip instead lets the static planner put an
+      // exchange under the corpus token stream, and that write is
+      // already materialized by flip time — measured 510 MB of shuffle
+      // for a 1M-doc corpus (LmDbg harness, round 9; the q68 verdict
+      // join pathology). With the hint the token stream never leaves
+      // its scan stage; only the per-doc aggregate shuffles.
+      .join(broadcast(qlm), Seq("token"), "left")
       .crossJoin(totals)
       .select(col(idCol),
         when(col("token").isNull, chk)
@@ -391,8 +400,11 @@ object Curation {
     val toks = df.select(col(idCol), explode_outer(Tools.tokenize(c)).as("token"))
     val chk = coalesce(col("__chk_t").cast("long"), col("__chk_r").cast("long"))
     toks
-      .join(qT, Seq("token"), "left")
-      .join(qR, Seq("token"), "left")
+      // static broadcasts for the same reason as unigramLogProb's qlm
+      // join (vocab-sized declared-small tables; AQE's flip is too late
+      // to save the token-stream exchange write)
+      .join(broadcast(qT), Seq("token"), "left")
+      .join(broadcast(qR), Seq("token"), "left")
       .crossJoin(totT).crossJoin(totR)
       .select(col(idCol),
         when(col("token").isNull, chk)
