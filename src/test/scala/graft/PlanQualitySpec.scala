@@ -200,6 +200,20 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus-side exchange crept back into the verdict join:\n$outer")
   }
 
+  test("q59/q75 LM tables join the token stream by STATIC broadcast") {
+    // the vocab-sized LM is declared-small; without the static hint the
+    // planner exchanges the corpus token stream (510 MB measured at 1M
+    // docs — AQE's late flip cannot unwrite it). Pin the hint's effect:
+    // a broadcast join and NO sort-merge join anywhere in the plan.
+    for (q <- Seq("q59_lm_logprob", "q75_dsir_select")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: LM join must be a static broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: token-stream exchange crept back in:\n$p")
+    }
+  }
+
   test("q58/q59 vocab aggregates are map-side partial, top-k is TakeOrdered") {
     val v = plan("q58_vocab")
     assert(v.contains("partial_count") || v.contains("Partial"),
