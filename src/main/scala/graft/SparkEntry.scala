@@ -972,6 +972,68 @@ object SparkEntry {
           lit(0.0), (a, x) => a + x)), 4).as("centroid_norm_q"))
     }),
 
+    // embedding-space decontamination (Ann.semanticContaminationFlags):
+    // test set = every 20th vector, so its members sit in the corpus at
+    // cosine 1.0 while the hardest natural non-identical pair is ≈0.60
+    // across the driver SFs (q64's measurement) — θ=0.9 separates them
+    // with no 4dp-rounding hazard. The corpus never shuffles (the test
+    // vectors ride one one-row broadcast; PlanQualitySpec pins it); the
+    // oracle recomputes every max-cosine from scratch.
+    "q77_semantic_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.sim.Ann.semanticContaminationFlags(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        e.filter(col("vec_id") % 20 === 0), "embedding", threshold = 0.9)
+        .select("vec_id", "max_cos_q", "contaminated")
+    }),
+
+    // stratified split (Ops.stratifiedSplit): EXACT 90/5/5 inside every
+    // lang stratum — rank by the q48 salted-hash order within lang, cut
+    // at integer floor(n_s·bp div 10000) quotas. The oracle re-derives
+    // rank, counts, and both cuts with window functions; pure long
+    // arithmetic so the boundaries cannot drift between engines.
+    "q78_stratified_split" -> ((s, dir) =>
+      graft.operators.Ops.stratifiedSplit(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", salt = "v1",
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+
+    // temperature-rebalanced language mixing (Ops.sampleToTemperature,
+    // T=2): keep rate per lang = sqrt(n_min/n_s) — en (218 docs at
+    // sf0.01) thins to ~54% while the rarest lang keeps 100%. The whole
+    // rate tower is ÷/√/×/floor on doubles — every step IEEE-correctly-
+    // rounded, so the oracle's independently computed rates are
+    // bit-identical and no bucket can straddle the cut.
+    "q79_temperature_mix" -> ((s, dir) =>
+      graft.operators.Ops.sampleToTemperature(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", temperature = 2.0, salt = "v1")),
+
+    // incremental dedup (Dedup.incrementalDedup) — the daily-crawl
+    // shape: batch = every 5th doc, corpus = the rest; boilerplate is
+    // PLANTED with plain arithmetic on both sides (template A spans the
+    // batch/corpus boundary → those batch rows must vanish; template B
+    // repeats only within the batch → min id 5 survives). Runs the
+    // BLOOM-prefiltered path, so the gate proves prefilter exactness
+    // against an oracle that replays the plain anti-join + keep-min
+    // from scratch (the q53/q68 shared-oracle pattern); ModulesSpec
+    // asserts bloom ≡ none on the same fixture.
+    "q80_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val tplA = lit("BOILERPLATE LICENSE HEADER ALPHA v1")
+      val tplB = lit("BATCH ONLY PRESS RELEASE BETA v2")
+      val batch = d.filter(id % 5 === 0)
+        .withColumn("text", when(id % 15 === 0, tplA)
+          .when(id % 20 === 5, tplB).otherwise(col("text")))
+        .select("doc_id", "text", "lang")
+      val corpus = d.filter(id % 5 =!= 0)
+        .withColumn("text", when(id % 7 === 1, tplA).otherwise(col("text")))
+        .select("doc_id", "text")
+      graft.dedup.Dedup.incrementalDedup(batch, corpus, "doc_id", "text",
+        method = "exact", bloomFpp = Some(0.01))
+    }),
+
     // overlapping token-window chunks (Curation.chunk) — the RAG /
     // pretraining shard shape; row-local, no shuffle
     "q54_chunks" -> ((s, dir) =>
@@ -1702,6 +1764,67 @@ object SparkEntry {
         |       ELSE ((sc.s*2 + sc.n) // (sc.n*2)) END AS DOUBLE) / 10000.0, 4)
         |   AS logprob
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // every max-cosine recomputed exhaustively (test = every 20th
+    // vector); MAX-then-ROUND in the same order as the engine
+    "q77_semantic_decontam" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT CAST(embedding AS DOUBLE[]) AS tv FROM embeddings
+        |      WHERE vec_id % 20 = 0),
+        |m AS (SELECT c.vec_id,
+        |        ROUND(MAX(list_cosine_similarity(c.v, t.tv)), 4) AS max_cos_q
+        |      FROM c CROSS JOIN t GROUP BY c.vec_id)
+        |SELECT vec_id, max_cos_q,
+        |       COALESCE(max_cos_q >= 0.9, false) AS contaminated
+        |FROM m""".stripMargin,
+
+    // per-stratum rank (q48's salted bucket, id tie-break), per-stratum
+    // count, and both integer-floor quotas re-derived with windows
+    "q78_stratified_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bkt
+        | FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM b)
+        |SELECT doc_id, lang,
+        | CASE WHEN rk <= (n * 9000) // 10000 THEN 'train'
+        |      WHEN rk <= (n * 9500) // 10000 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+
+    // the rate tower re-derived independently: per-lang counts, global
+    // min, floor(sqrt(n_min/n_s)·10000) — every step IEEE-correctly-
+    // rounded, so the basis-point cut is bit-identical to the engine's
+    "q79_temperature_mix" ->
+      """WITH c AS (SELECT lang AS k, count(*) AS n_s FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n_s) AS n_min FROM c),
+        |r AS (SELECT k,
+        |   FLOOR(sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) * 10000.0) AS bp
+        |  FROM c CROSS JOIN mn)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.k
+        |WHERE ('0x' || substr(md5('v1' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+        |      < r.bp""".stripMargin,
+
+    // the UNFILTERED incremental contract replayed from scratch (the
+    // driver row runs the bloom path — q68's shared-oracle pattern):
+    // plant the same templates, anti-join batch keys against corpus
+    // keys, keep min id per surviving batch key
+    "q80_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 15 = 0 THEN 'BOILERPLATE LICENSE HEADER ALPHA v1'
+        |       WHEN doc_id % 20 = 5 THEN 'BATCH ONLY PRESS RELEASE BETA v2'
+        |       ELSE text END AS text, lang
+        | FROM documents WHERE doc_id % 5 = 0),
+        |seen AS (SELECT DISTINCT md5(CASE WHEN doc_id % 7 = 1
+        |    THEN 'BOILERPLATE LICENSE HEADER ALPHA v1' ELSE text END) AS k
+        |  FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+        |nov AS (SELECT b.*, md5(b.text) AS k FROM b
+        |  WHERE md5(b.text) IS NULL
+        |     OR NOT EXISTS (SELECT 1 FROM seen s WHERE s.k = md5(b.text)))
+        |SELECT doc_id, text, lang FROM (
+        |  SELECT nov.*, min(doc_id) OVER (PARTITION BY k) AS keep_id FROM nov)
+        |WHERE k IS NULL OR doc_id = keep_id""".stripMargin,
 
     // both LMs, every quantized weight, and the top-100 cut re-derived
     // from scratch: target LM = every 3rd doc, reference = full corpus

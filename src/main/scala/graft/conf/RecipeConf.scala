@@ -581,8 +581,23 @@ object RecipeConf {
             tables = knobInt("tables", 3))
           // canonical-URL dedup — keys on `url`, not `text`
           case "url" => graft.text.UrlTools.urlDedup(df, id, req("url"))
+          // incremental: dedup THIS batch against a named corpus dataset
+          // (plus within itself); key: exact | fingerprint; optional
+          // bloom prefilter over the batch keys (output identical):
+          //   dedup: {method: incremental, id, text, dataset: corpus
+          //           [, key: fingerprint, prefilter: bloom, fpp: 0.01]}
+          case "incremental" => graft.dedup.Dedup.incrementalDedup(
+            df, namedDataset(), id, req("text"),
+            method = knob("key", "exact"),
+            bloomFpp = knob("prefilter", "none") match {
+              case "none" => None
+              case "bloom" => Some(knobDouble("fpp", 0.01))
+              case other => sys.error(
+                s"dedup: unknown prefilter '$other' (none | bloom)")
+            })
           case other => sys.error(s"dedup: unknown method '$other' " +
-            "(exact | fingerprint | minhash | lines | substring | embedding | url)")
+            "(exact | fingerprint | minhash | lines | substring | embedding " +
+            "| url | incremental)")
         }
       }
       //   pack: {id: col, text: col, budget: N, shard: col} →
@@ -649,35 +664,69 @@ object RecipeConf {
           case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag)")
         }
       }
+      // embedding-space decontamination: flag/drop rows whose vector has
+      // cosine >= threshold with any benchmark vector (catches
+      // paraphrased leakage the n-gram check misses):
+      //   semantic_decontaminate: {id, vec, dataset: bench,
+      //                            threshold: 0.9[, test_vec, mode: flag]}
+      case "semantic_decontaminate" => df => {
+        val test = namedDataset()
+        val id = req("id"); val vec = req("vec")
+        val tVec = knob("test_vec", vec)
+        val thr = knobDouble("threshold", 0.9)
+        knob("mode", "drop") match {
+          case "drop" => graft.sim.Ann.semanticDecontaminate(
+            df, id, vec, test, tVec, thr)
+          case "flag" => graft.sim.Ann.semanticContaminationFlags(
+            df, id, vec, test, tVec, thr)
+          case other => sys.error(
+            s"semantic_decontaminate: unknown mode '$other' (drop | flag)")
+        }
+      }
       // deterministic hash-based train/val/test assignment (training-data
       // curation): split: {id: col, salt: v1, splits: {train: 0.9, ...}}
-      case "split" => df => Ops.hashSplit(df, req("id"),
-        knob("salt", ""),
-        anyMap(m.get("splits") match {
+      // — add stratify_by: col for EXACT per-stratum quotas (a rare
+      // stratum can't be starved by hash luck)
+      case "split" => df => {
+        val splits = anyMap(m.get("splits") match {
           // Some(null) = `splits:` written but left blank — same silent
           // no-op hole as a missing knob (anyMap(null) is Map.empty)
           case None | Some(null) =>
             sys.error("split step needs splits: {name: weight, ...}")
           case Some(v) => v
-        }).toSeq.map { case (k, v) => k -> numVal("split", "weight", k, v) },
-        splitCol = knob("column", "split"))
+        }).toSeq.map { case (k, v) => k -> numVal("split", "weight", k, v) }
+        knobOpt("stratify_by") match {
+          case Some(stratum) => Ops.stratifiedSplit(df, stratum, req("id"),
+            knob("salt", ""), splits, splitCol = knob("column", "split"))
+          case None => Ops.hashSplit(df, req("id"), knob("salt", ""), splits,
+            splitCol = knob("column", "split"))
+        }
+      }
       // cap each key's rows (bound a source's contribution to the mix)
       case "cap" => df => Ops.capPerKey(df, req("key"),
         req("id"), reqInt("n"),
         salt = knob("salt", ""))
-      // deterministic per-key sampling rates (source mixing)
-      case "sample" => df => Ops.sampleByKey(df, req("key"),
-        req("id"),
-        // a missing/misspelled/BLANK `rates` must not silently sample
-        // nothing (every key would fall to defaultRate) — same contract
-        // as split; `rates:` with no value arrives as Some(null)
-        anyMap(m.get("rates") match {
-          case None | Some(null) =>
-            sys.error("sample: 'rates' ({key: rate, ...}) required")
-          case Some(v) => v
-        }).toSeq.map { case (k, v) => k -> numVal("sample", "rate", k, v) },
-        defaultRate = knobDouble("default", 1.0),
-        salt = knob("salt", ""))
+      // deterministic per-key sampling rates (source mixing); with
+      // `temperature: T` (power of two) the rates are DERIVED from the
+      // key counts instead — (n_min/n_s)^(1/T) rebalancing
+      case "sample" => df => knobOpt("temperature") match {
+        case Some(t) => Ops.sampleToTemperature(df, req("key"), req("id"),
+          temperature = t.toDoubleOption.getOrElse(
+            sys.error(s"sample: 'temperature' must be numeric, got '$t'")),
+          salt = knob("salt", ""))
+        case None => Ops.sampleByKey(df, req("key"),
+          req("id"),
+          // a missing/misspelled/BLANK `rates` must not silently sample
+          // nothing (every key would fall to defaultRate) — same contract
+          // as split; `rates:` with no value arrives as Some(null)
+          anyMap(m.get("rates") match {
+            case None | Some(null) =>
+              sys.error("sample: 'rates' ({key: rate, ...}) required")
+            case Some(v) => v
+          }).toSeq.map { case (k, v) => k -> numVal("sample", "rate", k, v) },
+          defaultRate = knobDouble("default", 1.0),
+          salt = knob("salt", ""))
+      }
       // token-window chunking (RAG / pretraining shards):
       //   chunk: {id: col, text: col, size: 64, stride: 32}
       case "chunk" => df => graft.text.Curation.chunk(df, req("id"), req("text"),

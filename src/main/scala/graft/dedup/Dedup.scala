@@ -66,6 +66,68 @@ object Dedup {
   def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     keepMinPerKey(df, idCol, fingerprint(col(textCol)))
 
+  // --------------------------------------------------------- incremental
+  /** Incremental dedup — the daily-crawl shape: dedup a NEW `batch`
+    * against an already-deduped `corpus` WITHOUT re-touching corpus
+    * rows. Returns the batch rows that survive: (1) whose content key
+    * (exact md5 or normalized fingerprint, per `method`) appears
+    * nowhere in the corpus, and (2) keeping the min-id row per key
+    * within the batch itself ([[keepMinPerKey]] — NULL-text rows all
+    * kept, as everywhere in this family). Appending the result to the
+    * corpus preserves the corpus's dedup invariant, so a 100-TB corpus
+    * is never re-deduped from scratch — each increment costs only the
+    * increment.
+    *
+    * Scale shape, `bloomFpp = None`: the corpus contributes ONLY its
+    * key column (computed map-side from the scanned text, 32 bytes a
+    * row) to one anti-join exchange. With `bloomFpp = Some(p)` the
+    * plan inverts around the sides' sizes (batch ≪ corpus, the premise
+    * of incremental): a Bloom filter over the BATCH's keys broadcasts,
+    * corpus keys that miss it — for a mostly-novel corpus, all but the
+    * true overlaps — drop MAP-SIDE before any exchange, and the
+    * anti-join right side shrinks to true hits + an fpp-sized trickle
+    * the exact key equality then discards. Output is IDENTICAL (the
+    * Bloom has no false negatives; the final join is exact on the full
+    * key) — same contract as decontamination's `prefilter: bloom`
+    * (q53/q68), and the corpus-side shuffle becomes corpus-INDEPENDENT:
+    * ~|batch keys| + p·|corpus|. The filter build costs one bounded
+    * action over the batch (the small side by definition). */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, method: String = "exact",
+      bloomFpp: Option[Double] = None): DataFrame = {
+    val keyOf: Column => Column = method match {
+      case "exact"       => c => md5(c.cast("binary"))
+      case "fingerprint" => c => fingerprint(c)
+      case other => sys.error(
+        s"incrementalDedup: unknown method '$other' (exact | fingerprint)")
+    }
+    val corpusKeys = corpus
+      .select(keyOf(col(textCol)).as("__ik")).filter(col("__ik").isNotNull)
+    val seen = bloomFpp match {
+      case None => corpusKeys
+      case Some(fpp) =>
+        require(fpp > 0 && fpp < 1, s"bloom fpp must be in (0, 1), got $fpp")
+        val bKeys = batch
+          .select(xxhash64(keyOf(col(textCol))).as("__kh"))
+          .filter(col("__kh").isNotNull)
+        val n = bKeys.count()
+        if (n == 0) corpusKeys.limit(0) // all-NULL batch: nothing can match
+        else {
+          // build on the raw key stream (put is idempotent; dups only
+          // oversize → lower effective fpp), coalesced for the same
+          // bit-array-merge reason as testGramBloom (measured there)
+          val bf = bKeys.coalesce(8).stat.bloomFilter("__kh", n, fpp)
+          val bcast = batch.sparkSession.sparkContext.broadcast(bf)
+          val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
+          corpusKeys.filter(might(xxhash64(col("__ik"))))
+        }
+    }
+    val novel = batch.withColumn("__ik", keyOf(col(textCol)))
+      .join(seen, Seq("__ik"), "left_anti")
+      .drop("__ik")
+    keepMinPerKey(novel, idCol, keyOf(col(textCol)))
+  }
+
   // ------------------------------------------------------------- MinHash
   /** MinHash signature over an already-hashed (array<long>) element set:
     * k hash functions, minhash_i = min over elements of mix(h, i).

@@ -343,4 +343,102 @@ object Ops {
     }
     df.filter(hashBucket(idCol, salt) < cut)
   }
+
+  /** Stratified split with EXACT per-stratum quotas: within every
+    * stratum, rank rows by the salted id hash (id tiebreak — the
+    * library-wide deterministic order) and cut at
+    * floor(n_s · cum_weight) boundaries, so a 90/5/5 split holds in
+    * every stratum separately, not just in expectation. [[hashSplit]]
+    * is only stratified in expectation: a rare 40-row language can
+    * land 38/0/2 by hash luck, starving a split — this is the exact
+    * variant for when per-stratum presence is a requirement (per-lang
+    * eval sets, per-source ablations).
+    *
+    * Quota arithmetic is pure 64-bit integers (weights quantized to
+    * basis points at plan build, then n_s·bp div 10000) — no floats,
+    * so any engine reproduces the same boundaries. The last declared
+    * split takes each stratum's remainder; earlier splits get exactly
+    * floor(n_s · cum_bp/10000) − floor(n_s · prev_bp/10000) rows,
+    * which may be 0 in tiny strata (floor, never round — a quota is a
+    * budget, not a target). NULL strata form one ordinary stratum
+    * (SQL window semantics); NULL ids hash as "" like every curation
+    * op here.
+    *
+    * Scale: ONE shuffle on the stratum key, shared by the rank and
+    * count windows (same partition spec). A mega-stratum is one
+    * partition — same bound as any per-key window op; pre-split such
+    * corpora by a composite stratum if a single key nears executor
+    * memory (the rank order makes any refinement reproducible). */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
+      salt: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "stratifiedSplit needs at least one split")
+    require(splits.forall(_._2 >= 0), s"negative split weight in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"split weights must sum to 1, got $total in $splits")
+    val cumBp = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val rk = row_number().over(byStratum.orderBy(hashBucket(idCol, salt),
+      col(idCol)))
+    val nS = count(lit(1)).over(byStratum)
+    // quota_k = n_s * cum_bp div 10000 in long arithmetic (div = SQL
+    // integer division; a double detour would round at ~2^53 rows·bp)
+    def quota(bp: Long): Column =
+      (nS * lit(bp) - pmod(nS * lit(bp), lit(10000L))) / lit(10000L)
+    val nb = splits.map(_._1).zip(cumBp)
+    val assigned =
+      if (nb.size == 1) lit(nb.head._1)
+      else nb.init.tail.foldLeft(
+        when(col("__rk") <= quota(nb.head._2), lit(nb.head._1))) {
+        case (c, (name, bp)) => c.when(col("__rk") <= quota(bp), lit(name))
+      }.otherwise(lit(nb.last._1))
+    df.withColumn("__rk", rk)
+      .withColumn(splitCol, assigned)
+      .drop("__rk")
+  }
+
+  /** Temperature-rebalanced source mixing (multilingual-corpus style,
+    * cf. the exponentiated-smoothing sampling in XLM-R §5.1 / mBERT):
+    * downsample each key so expected contributions follow
+    * n_s^(1−1/T) · n_min^(1/T) — T=1 equalizes every key to the rarest
+    * key's count; larger T preserves more of the original skew; the
+    * rarest key always keeps 100%. Per-row keep decisions reuse the
+    * deterministic salted-hash bucket, so membership is reproducible
+    * across runs and engines.
+    *
+    * `temperature` must be a power of two (1, 2, 4, 8, …): the keep
+    * rate is then (n_min/n_s)^(1/T) = log2(T) repeated square roots —
+    * ÷ and √ are IEEE-correctly-rounded, so every engine computes the
+    * IDENTICAL rate double and floor(rate·10000) can never disagree at
+    * a bucket boundary. Arbitrary real T needs pow(), whose last-ulp
+    * varies by libm — a silent one-row cross-engine diff at some
+    * boundary bucket. Rejected loudly instead of risked silently.
+    *
+    * Scale: one map-side-combined count per key (KB-sized for any real
+    * source/language column) broadcast back onto the corpus — the
+    * corpus itself never shuffles; the filter is row-local
+    * (PlanQualitySpec pins the shape). NULL keys count as their own
+    * group (null-safe join). */
+  def sampleToTemperature(df: DataFrame, keyCol: String, idCol: String,
+      temperature: Double = 2.0, salt: String = ""): DataFrame = {
+    val t = temperature
+    require(t >= 1 && t == math.rint(t) && java.lang.Long.bitCount(t.toLong) == 1,
+      s"temperature must be a power of two >= 1 (got $t): the rate " +
+        "(n_min/n_s)^(1/T) is computed by repeated IEEE sqrt for " +
+        "cross-engine determinism; general pow() is libm-dependent")
+    val sqrts = java.lang.Long.numberOfTrailingZeros(t.toLong)
+    val counts = df.groupBy(col(keyCol).as("__tk"))
+      .agg(count(lit(1)).as("__tn"))
+    val minN = broadcast(counts.agg(min(col("__tn")).as("__tmin")))
+    val withN = df.join(broadcast(counts.crossJoin(minN)),
+      col(keyCol) <=> col("__tk"), "left")
+    val rate = (1 to sqrts).foldLeft(
+      col("__tmin").cast("double") / col("__tn").cast("double"))(
+      (c, _) => sqrt(c))
+    withN.filter(hashBucket(idCol, salt) < floor(rate * lit(10000.0)))
+      .drop("__tk", "__tn", "__tmin")
+  }
 }

@@ -401,4 +401,58 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Semantic decontamination: flag corpus rows whose embedding has
+    * cosine ≥ `threshold` with ANY held-out/benchmark vector — the
+    * embedding-space analogue of the n-gram overlap check
+    * (TextAnalysis.contaminationFlags), catching paraphrased benchmark
+    * leakage that token n-grams miss (cf. the contamination audits in
+    * GPT-3 §4 / PaLM §7, done on n-grams; embedding variants are the
+    * natural extension once a corpus is embedded anyway).
+    *
+    * Output: every corpus row as (idCol, max_cos_q, contaminated) —
+    * max cosine over the test set rounded to 4dp (the library-wide
+    * cross-engine contract), flag = max_cos_q ≥ threshold. NULL corpus
+    * vectors (and dimension mismatches, which cosine NULLs out via
+    * zip_with padding) yield NULL max_cos_q and contaminated = false:
+    * an unembeddable row is unknown, not dirty — drop-if-unknown is a
+    * caller policy, not this operator's.
+    *
+    * 100-TB shape: benchmark sets are bounded by construction (the same
+    * declared-small contract as the Bloom prefilter's test grams), so
+    * the test vectors ride ONE one-row broadcast (collect_list →
+    * crossJoin) and each corpus row computes its max row-local — the
+    * corpus NEVER shuffles (PlanQualitySpec pins the no-Exchange
+    * shape). Per-row cost is |test| dot products; for test sets past
+    * ~10⁵ vectors route through [[lshTopK]](k=1) + threshold instead —
+    * the bucket join trades exactness of max_cos for sublinear work. */
+  def semanticContaminationFlags(corpus: DataFrame, idCol: String,
+      vecCol: String, testSet: DataFrame, testVecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    val tests = broadcast(testSet
+      .filter(col(testVecCol).isNotNull)
+      .select(transform(col(testVecCol), x => x.cast("double")).as("__tv"))
+      .agg(collect_list(col("__tv")).as("__tests")))
+    // array_max skips NULL entries, so one bad-dimension test vector
+    // cannot NULL every row's max — only an all-NULL cosine set does
+    val maxCos = array_max(transform(col("__tests"),
+      tv => Similarity.cosine(col(vecCol), tv)))
+    corpus.crossJoin(tests)
+      .withColumn("max_cos_q", round(maxCos, 4))
+      .withColumn("contaminated",
+        coalesce(col("max_cos_q") >= threshold, lit(false)))
+      .drop("__tests")
+  }
+
+  /** Drop-mode counterpart of [[semanticContaminationFlags]]: corpus
+    * minus the flagged rows, original columns only. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      vecCol: String, testSet: DataFrame, testVecCol: String,
+      threshold: Double): DataFrame =
+    semanticContaminationFlags(corpus, idCol, vecCol, testSet, testVecCol,
+        threshold)
+      .filter(!col("contaminated"))
+      .drop("max_cos_q", "contaminated")
 }

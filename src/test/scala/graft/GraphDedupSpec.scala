@@ -667,4 +667,67 @@ class GraphDedupSpec extends SparkSpec {
     assert(capped.count() <= TextAnalysis.winnowNearDups(docs, "doc_id", "text",
       threshold = 0.1).count())
   }
+
+  test("incrementalDedup: batch-vs-corpus anti, within-batch keep-min, bloom ≡ none") {
+    val corpus = Seq(
+      (100L, "already ingested alpha"),
+      (101L, "already ingested beta"),
+      (102L, null: String)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already ingested alpha"),  // in corpus → dropped
+      (2L, "fresh gamma"),             // novel → kept
+      (3L, "fresh delta"),             // novel → kept
+      (4L, "fresh gamma"),             // within-batch dup of 2 → dropped
+      (5L, null: String),              // NULL text → kept (not a dup of 102)
+      (6L, null: String))              // NULL text → also kept
+      .toDF("doc_id", "text")
+    val plain = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+    assert(plain.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 5L, 6L))
+    // the bloom prefilter must be invisible in the output (no false
+    // negatives; the exact key join discards its false positives)
+    val bloomed = Dedup.incrementalDedup(batch, corpus, "doc_id", "text",
+      bloomFpp = Some(0.01))
+    assert(bloomed.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 5L, 6L))
+    // fingerprint key: word-order/case variants count as already-seen
+    val fpBatch = Seq((1L, "Ingested ALREADY alpha"), (2L, "novel thing")).toDF("doc_id", "text")
+    val fp = Dedup.incrementalDedup(fpBatch, corpus, "doc_id", "text",
+      method = "fingerprint")
+    assert(fp.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[RuntimeException](
+      Dedup.incrementalDedup(batch, corpus, "doc_id", "text", method = "nope"))
+    // an all-NULL batch with bloom on: nothing to build a filter from,
+    // nothing can match — every row survives
+    val nullBatch = Seq((7L, null: String)).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedup(nullBatch, corpus, "doc_id", "text",
+      bloomFpp = Some(0.01)).count() == 1)
+  }
+
+  test("semanticContaminationFlags: max cosine vs test set, NULLs, empty test set") {
+    val corpus = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))),   // = test vector → max_cos 1.0
+      (2L, Some(Seq(0.0f, 1.0f))),   // orthogonal → max_cos 0.0
+      (3L, Some(Seq(0.97f, 0.2f))),  // cos ≈ 0.979 with (1,0)
+      (4L, None),                    // NULL vec → NULL max, not contaminated
+      (5L, Some(Seq(1.0f))))         // wrong dim → NULL cosine everywhere
+      .toDF("id", "v")
+    val test = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("tv")
+    val out = Ann.semanticContaminationFlags(corpus, "id", "v", test, "tv", 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3))).toMap
+    assert(out(1L) == (Some(1.0), true))
+    assert(out(2L) == (Some(0.0), false))
+    assert(out(3L)._1.get > 0.9 && out(3L)._2)
+    assert(out(4L) == (None, false))
+    assert(out(5L) == (None, false))
+    // empty test set: nothing to compare against → all clean, none dropped
+    val empty = test.filter(lit(false))
+    val flags = Ann.semanticContaminationFlags(corpus, "id", "v", empty, "tv", 0.9)
+    assert(flags.filter(col("contaminated")).count() == 0)
+    assert(flags.count() == 5)
+    assert(Ann.semanticDecontaminate(corpus, "id", "v", test, "tv", 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 5L))
+    intercept[IllegalArgumentException](
+      Ann.semanticContaminationFlags(corpus, "id", "v", test, "tv", 1.5))
+  }
 }

@@ -234,4 +234,89 @@ class OpsSpec extends SparkSpec {
     // capPerKey still bounds the key with nulls present
     assert(Ops.capPerKey(df, "k", "id", n = 10).count() == 10)
   }
+
+  test("stratifiedSplit holds exact per-stratum quotas, tiny strata included") {
+    // 1000 'big' + 40 'rare': hashSplit only gets the proportions right
+    // in expectation; the stratified variant must cut EXACTLY at
+    // floor(n_s · cum_bp / 10000) in every stratum
+    val df = (1L to 1040L).toDF("id")
+      .withColumn("k", when(col("id") <= 1000, lit("big")).otherwise(lit("rare")))
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Ops.stratifiedSplit(df, "k", "id", "v1", splits)
+    val by = out.groupBy("k", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(by == Map(
+      ("big", "train") -> 900L, ("big", "val") -> 50L, ("big", "test") -> 50L,
+      ("rare", "train") -> 36L, ("rare", "val") -> 2L, ("rare", "test") -> 2L),
+      by.toString)
+    // deterministic + salt-sensitive, same contract as hashSplit
+    val again = Ops.stratifiedSplit(df, "k", "id", "v1", splits)
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      again.collect().map(r => r.getLong(0) -> r.getString(2)).toMap)
+    val moved = out.withColumnRenamed("split", "a")
+      .join(Ops.stratifiedSplit(df, "k", "id", "v2", splits)
+        .withColumnRenamed("split", "b"), "id")
+      .filter(col("a") =!= col("b")).count()
+    assert(moved > 20)
+    // floor, never round: a 3-row stratum at 90/5/5 gives 2/0/1 (the
+    // last split takes the remainder; val's quota floors to 0)
+    val tiny = Seq((1L, "t"), (2L, "t"), (3L, "t")).toDF("id", "k")
+    val tb = Ops.stratifiedSplit(tiny, "k", "id", "", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tb == Map("train" -> 2L, "test" -> 1L), tb.toString)
+    // NULL strata form one ordinary stratum; weights must sum to 1
+    val withNull = df.withColumn("k",
+      when(col("id") % 100 === 0, lit(null: String)).otherwise(col("k")))
+    assert(Ops.stratifiedSplit(withNull, "k", "id", "", splits).count() == 1040)
+    intercept[IllegalArgumentException](
+      Ops.stratifiedSplit(df, "k", "id", "", Seq("a" -> 0.5)))
+    // every exchange keys on the stratum alone (rank + count share the
+    // one window partitioning; AQE prints the plan twice, so pin the
+    // key-family set rather than counting lines)
+    val p = out.queryExecution.executedPlan.toString
+    val fams = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .map(_.split(",\\s*").toSeq.dropRight(1)
+        .map(_.replaceAll("#\\d+L?", "").trim).sorted.mkString(","))
+      .toSet
+    assert(fams == Set("k"), s"stratifiedSplit must shuffle on the stratum only: $fams in:\n$p")
+  }
+
+  test("sampleToTemperature equalizes at T=1, rebalances at T=2, rejects non-powers") {
+    val df = (1L to 1200L).toDF("id")
+      .withColumn("k", when(col("id") <= 1000, lit("en"))
+        .when(col("id") <= 1100, lit("fr")).otherwise(lit("de")))
+    // T=1: every key's expected count = n_min (100 here)
+    val t1 = Ops.sampleToTemperature(df, "k", "id", temperature = 1.0)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t1("de") == 100L, "rarest key must keep 100%")
+    assert(math.abs(t1("en") - 100L) < 40 && math.abs(t1("fr") - 100L) < 40, t1.toString)
+    // T=2: en keeps ~sqrt(100/1000)=31.6%, fr ~sqrt(100/1100)=95.3%... of
+    // their own sizes → expected ~316 / ~105 / 100
+    val t2 = Ops.sampleToTemperature(df, "k", "id", temperature = 2.0)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2("de") == 100L)
+    assert(math.abs(t2("en") - 316L) < 60, t2.toString)
+    assert(t2("en") > t1("en"), "larger T must preserve more of the skew")
+    // deterministic membership; salt re-rolls
+    assert(Ops.sampleToTemperature(df, "k", "id", 2.0).collect().map(_.getLong(0)).sorted.toSeq ==
+      Ops.sampleToTemperature(df, "k", "id", 2.0).collect().map(_.getLong(0)).sorted.toSeq)
+    // non-power-of-two temperatures would need libm pow → loud reject
+    intercept[IllegalArgumentException](
+      Ops.sampleToTemperature(df, "k", "id", temperature = 3.0))
+    intercept[IllegalArgumentException](
+      Ops.sampleToTemperature(df, "k", "id", temperature = 0.5))
+    // NULL keys are their own group (null-safe join), never dropped
+    val withNull = df.withColumn("k",
+      when(col("id") % 2 === 0, lit(null: String)).otherwise(lit("x")))
+    assert(Ops.sampleToTemperature(withNull, "k", "id", 1.0)
+      .filter(col("k").isNull).count() > 0)
+    // the corpus joins the KB-sized count table by broadcast — no
+    // corpus-side hashpartitioning exchange
+    val p = Ops.sampleToTemperature(df, "k", "id", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -243,6 +243,32 @@ class PlanQualitySpec extends SparkSpec {
       s"global exchange crept into ExactSubstr:\n$p")
   }
 
+  test("q77 semantic decontamination never shuffles the corpus") {
+    // the test vectors ride ONE one-row broadcast (collect_list →
+    // crossJoin); each corpus row computes its max cosine row-local.
+    // The only exchange in the plan is the single-row aggregate of the
+    // bounded test set — a hashpartitioning exchange would mean the
+    // corpus itself started moving.
+    val p = plan("q77_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle crept into semantic decontamination:\n$p")
+  }
+
+  test("q80 incremental dedup exchanges only key-sized columns") {
+    // the corpus contributes its md5 key alone (post-Bloom survivors);
+    // the batch shuffles on the same key for the anti join and on
+    // (key, id) for keep-min — document text never enters an exchange
+    val p = plan("q80_incremental_dedup")
+    val fams = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .map(_.split(",\\s*").toSeq.dropRight(1)
+        .map(_.replaceAll("#\\d+L?", "").trim).sorted.mkString(","))
+      .toSet
+    assert(fams.subsetOf(Set("__ik", "__dedup_key", "doc_id")),
+      s"non-key column entered an incremental-dedup exchange: $fams in:\n$p")
+  }
+
   test("minhashDedup keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val df = Seq(

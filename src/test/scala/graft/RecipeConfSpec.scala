@@ -1460,6 +1460,72 @@ class RecipeConfSpec extends SparkSpec {
     assert(cur("small") == 10L && cur("big") <= 10L)
   }
 
+  test("round-9 curation steps: stratified split, temperature mix, incremental dedup, semantic decontam") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // 80 'en' + 20 'fr' rows
+    (1L to 100L).toDF("id")
+      .withColumn("lang", when(col("id") <= 80, lit("en")).otherwise(lit("fr")))
+      .withColumn("text", concat(lit("doc number "), col("id").cast("string")))
+      .write.mode("overwrite").parquet(s"$dir/r9_docs")
+    // corpus for incremental dedup: contains doc number 7's text
+    Seq((900L, "doc number 7"), (901L, "somewhere else entirely"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$dir/r9_corpus")
+    // embeddings + a benchmark vector equal to row 1's
+    Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("id", "v").write.mode("overwrite").parquet(s"$dir/r9_vecs")
+    Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("bv")
+      .write.mode("overwrite").parquet(s"$dir/r9_bench")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/r9_docs, format: parquet}
+         |  corpus: {path: $dir/r9_corpus, format: parquet}
+         |  vecs: {path: $dir/r9_vecs, format: parquet}
+         |  bench: {path: $dir/r9_bench, format: parquet}
+         |recipes:
+         |  strat:
+         |    input: docs
+         |    steps:
+         |      - split: {id: id, salt: v1, stratify_by: lang,
+         |                splits: {train: 0.9, val: 0.05, test: 0.05}}
+         |  temp:
+         |    input: docs
+         |    steps:
+         |      - sample: {key: lang, id: id, temperature: 2}
+         |  inc:
+         |    input: docs
+         |    steps:
+         |      - dedup: {method: incremental, id: id, text: text,
+         |                dataset: corpus, prefilter: bloom}
+         |  sem:
+         |    input: vecs
+         |    steps:
+         |      - semantic_decontaminate: {id: id, vec: v, dataset: bench,
+         |                                 test_vec: bv, threshold: 0.95,
+         |                                 mode: flag}
+         |""".stripMargin)
+    // exact per-stratum quotas: en 72/4/4, fr 18/1/1
+    val st = RecipeConf.run(spark, conf, "strat")
+      .groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(st == Map(("en", "train") -> 72L, ("en", "val") -> 4L, ("en", "test") -> 4L,
+      ("fr", "train") -> 18L, ("fr", "val") -> 1L, ("fr", "test") -> 1L), st.toString)
+    // temperature 2: fr (rarest) keeps all 20; en thins toward sqrt(20/80)=50%
+    val tm = RecipeConf.run(spark, conf, "temp")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tm("fr") == 20L, tm.toString)
+    assert(tm("en") < 60L && tm("en") > 20L, tm.toString)
+    // incremental: doc 7 is already in the corpus → dropped; 99 others kept
+    val inc = RecipeConf.run(spark, conf, "inc")
+    assert(inc.count() == 99L)
+    assert(inc.filter(col("id") === 7L).count() == 0)
+    // semantic flag: row 1 identical (1.0), row 3 at cos ≈ 0.994 → both
+    // contaminated at 0.95; the orthogonal row 2 is clean
+    val sem = RecipeConf.run(spark, conf, "sem")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(sem == Map(1L -> true, 2L -> false, 3L -> true), sem.toString)
+  }
+
   test("decontaminate step: benchmark set with differently-named columns via test_text") {
     import spark.implicits._
     Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
