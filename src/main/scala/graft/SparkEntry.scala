@@ -1126,9 +1126,13 @@ object SparkEntry {
       val schema = s.read.parquet(path).schema
       val test = s.read.parquet(path).filter(col("doc_id") % 20 === 0)
       EventStream.runOnce(s, dir,
+        // EXACT membership (fpp = None): rounds ≤ 8 requested fpp=1e-9
+        // and still took a real Bloom FP at sf0.001 (Spark's 32-bit
+        // double hashing floors far above nominal fpp) — a latent
+        // one-row gate flake at ANY scale. The exact sorted-array
+        // broadcast removes the failure mode outright.
         st => EventStream.decontaminateStream(
-          st.filter(col("doc_id") % 20 =!= 0), test, "text",
-          n = 4, fpp = 1e-9),
+          st.filter(col("doc_id") % 20 =!= 0), test, "text", n = 4),
         queryName = "q71_mem", schema = schema,
         globFilter = Some("documents.parquet"))
         .select("doc_id")

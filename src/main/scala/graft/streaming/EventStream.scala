@@ -183,47 +183,68 @@ object EventStream {
 
   /** Streaming ingest-time decontamination: flag stream rows sharing a
     * word n-gram with a STATIC benchmark set, as a PURE MAP over the
-    * stream — the test set's gram hashes become a broadcast Bloom
-    * filter once at plan build (built exactly like the batch
-    * `prefilter: bloom` path, coalesced build included), and each row
-    * checks its own grams row-local. No stream-static join state, no
-    * per-batch shuffle, state size zero: the shape that survives any
-    * ingest rate.
+    * stream — the test set's gram hashes broadcast once at plan build
+    * and each row checks its own grams row-local. No stream-static
+    * join state, no per-batch shuffle, state size zero: the shape that
+    * survives any ingest rate.
     *
-    * The verdict column is named `maybe_contaminated` deliberately: a
-    * Bloom hit is conservative-approximate (≈fpp of CLEAN rows flag
-    * true; contaminated rows ALWAYS flag true — no false negatives).
-    * At the default fpp=1e-4 that mislabels 0.01% of clean rows, the
-    * right trade at ingest; the exact accounting belongs to the batch
-    * pass (`TextAnalysis.contaminationFlags`), the same
-    * ingest-then-batch double-pass discipline as
-    * [[dedupWithinWatermark]]. */
+    * Membership is EXACT by default (`fpp = None`): the distinct gram
+    * hashes ride as one sorted long array (8 B a gram — benchmark
+    * suites are the declared-small artifact, 8 MB per million grams)
+    * and each probe is a binary search. `fpp = Some(p)` swaps in the
+    * shared Bloom builder (`TextAnalysis.testGramBloom`) for suites too
+    * big to ship exactly — that variant is conservative-approximate
+    * (clean rows flag true at SOME small rate, contaminated rows
+    * always flag — no false negatives), and the column name
+    * `maybe_contaminated` is honest about it. Do NOT reach for a
+    * vanishingly small fpp as a stand-in for exactness: Spark's Bloom
+    * uses 32-bit double hashing whose FP floor ignores the nominal fpp
+    * (measured: an FP among 51 probes of a 1 384-gram filter built at
+    * 1e-9 — the q71 sf0.001 off-by-one, round 9). Exact accounting for
+    * the approximate variant belongs to the batch pass
+    * (`TextAnalysis.contaminationFlags`), the same ingest-then-batch
+    * double-pass discipline as [[dedupWithinWatermark]]. */
   def contaminationFlagsStream(stream: DataFrame, test: DataFrame,
       textCol: String, n: Int = 13, testTextCol: Option[String] = None,
-      fpp: Double = 1e-4): DataFrame = {
+      fpp: Option[Double] = None): DataFrame = {
     import graft.text.TextAnalysis
     import graft.functions.Tools
-    // the ONE shared filter builder (sizing/coalesce tuning lives
-    // there) — this module only decides what to do with the bits
-    val flag = TextAnalysis.testGramBloom(
-        test, testTextCol.getOrElse(textCol), n, fpp) match {
-      case None => lit(false) // empty benchmark → nothing can hit
-      case Some(bf) =>
-        val bc = stream.sparkSession.sparkContext.broadcast(bf)
-        val anyHit = udf { (gs: Seq[Long]) =>
-          gs != null && gs.exists(bc.value.mightContainLong)
+    val grams = transform(TextAnalysis.distinctWordNgrams(
+      Tools.normalize(col(textCol)), lit(n)), g => xxhash64(g))
+    // one shared builder per variant (sizing/coalesce tuning lives in
+    // TextAnalysis) — this module only decides what to do with the bits
+    val flag = fpp match {
+      case None =>
+        TextAnalysis.testGramSet(test, testTextCol.getOrElse(textCol), n) match {
+          case None => lit(false) // empty benchmark → nothing can hit
+          case Some(sorted) =>
+            val bc = stream.sparkSession.sparkContext.broadcast(sorted)
+            val anyHit = udf { (gs: Seq[Long]) =>
+              gs != null && gs.exists(h =>
+                java.util.Arrays.binarySearch(bc.value, h) >= 0)
+            }
+            anyHit(grams)
         }
-        anyHit(transform(TextAnalysis.distinctWordNgrams(
-          Tools.normalize(col(textCol)), lit(n)), g => xxhash64(g)))
+      case Some(p) =>
+        TextAnalysis.testGramBloom(test, testTextCol.getOrElse(textCol), n, p) match {
+          case None => lit(false)
+          case Some(bf) =>
+            val bc = stream.sparkSession.sparkContext.broadcast(bf)
+            val anyHit = udf { (gs: Seq[Long]) =>
+              gs != null && gs.exists(bc.value.mightContainLong)
+            }
+            anyHit(grams)
+        }
     }
     stream.withColumn("maybe_contaminated", flag)
   }
 
   /** Drop-variant of [[contaminationFlagsStream]]: keep only rows the
-    * filter clears (conservative — see the fpp note there). */
+    * filter clears (exact at the default `fpp = None`; conservative
+    * under a Bloom — see the note there). */
   def decontaminateStream(stream: DataFrame, test: DataFrame,
       textCol: String, n: Int = 13, testTextCol: Option[String] = None,
-      fpp: Double = 1e-4): DataFrame =
+      fpp: Option[Double] = None): DataFrame =
     contaminationFlagsStream(stream, test, textCol, n, testTextCol, fpp)
       .filter(!col("maybe_contaminated"))
       .drop("maybe_contaminated")

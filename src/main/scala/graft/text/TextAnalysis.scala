@@ -358,6 +358,31 @@ object TextAnalysis {
     else Some(raw.coalesce(8).stat.bloomFilter("__gram_h", nGrams, fpp))
   }
 
+  /** The EXACT counterpart of [[testGramBloom]]: the test set's distinct
+    * gram hashes as one sorted long array (8 B a gram — a 1M-gram
+    * benchmark suite is 8 MB, the declared-small artifact bound), for
+    * broadcast binary-search membership. None when the set is empty.
+    *
+    * Exists because "a Bloom at vanishing fpp" is NOT a substitute for
+    * exactness: Spark's BloomFilter uses 32-bit double hashing
+    * (h1 + i·h2), whose false-positive floor sits ORDERS above a tiny
+    * requested fpp — measured in this repo: one observed FP among 51
+    * probes against a 1 384-gram filter BUILT AT fpp = 1e-9 (bitSize
+    * 62 912; the q71 sf0.001 off-by-one, round 9). Anything that must
+    * hash-match an exact oracle checks membership here; the Bloom stays
+    * for genuinely approximate prefilter duty where an exact verify
+    * step follows or conservatism is the contract. */
+  private[graft] def testGramSet(test: DataFrame, textCol: String,
+      n: Int): Option[Array[Long]] = {
+    val hs = test
+      .select(explode(wordNgramsUdf(
+        Tools.normalize(col(textCol)), lit(n))).as("gram"))
+      .select(xxhash64(col("gram")).as("__gram_h"))
+      .distinct().collect().map(_.getLong(0))
+    if (hs.isEmpty) None
+    else { java.util.Arrays.sort(hs); Some(hs) }
+  }
+
   /** C4-style boilerplate line removal (Raffel et al. 2020 §2.2 — the
     * "three-sentence span" dedup simplified to lines, the common
     * production variant): a line occurring in more than `maxDocFreq`

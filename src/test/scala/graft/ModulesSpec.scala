@@ -274,8 +274,8 @@ class ModulesSpec extends SparkSpec {
       val m = spark.table("dcf_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_contaminated"))
         .toMap
-      // no false negatives ever; at fpp 1e-4 over 3 short docs a false
-      // positive here would be a 1-in-thousands fluke — treat as exact
+      // default mode is EXACT (broadcast sorted gram array) — these
+      // are equalities, not probabilistic expectations
       assert(m == Map(1L -> false, 2L -> true, 3L -> false), m.toString)
     } finally q.stop()
     // drop-variant and the empty-benchmark identity, on the batch
@@ -287,8 +287,13 @@ class ModulesSpec extends SparkSpec {
     val none = EventStream.contaminationFlagsStream(
       docs, bench.limit(0), "text", n = 3)
     assert(none.filter(col("maybe_contaminated")).count() == 0)
+    // the Bloom variant stays available for outsized suites (no false
+    // negatives; approximate on the clean side) and validates its fpp
+    val bl = EventStream.contaminationFlagsStream(docs, bench, "text",
+      n = 3, fpp = Some(0.01))
+    assert(bl.filter(col("doc_id") === 2L).head.getAs[Boolean]("maybe_contaminated"))
     intercept[IllegalArgumentException] {
-      EventStream.contaminationFlagsStream(docs, bench, "text", fpp = 2.0)
+      EventStream.contaminationFlagsStream(docs, bench, "text", fpp = Some(2.0))
     }
   }
 
