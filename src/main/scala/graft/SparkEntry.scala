@@ -1009,6 +1009,33 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang"),
         "lang", "doc_id", temperature = 2.0, salt = "v1")),
 
+    // exact top-fraction selection (Curation.selectTopFraction): the
+    // best 30% of docs by n_chars (stand-in for any quantized quality
+    // score — the FineWeb-style classifier-threshold step), ranked
+    // (score desc, id). 137 n_chars values repeat at sf0.01, so the
+    // boundary-tie fill path is under the oracle, not just specs. The
+    // oracle is the contract's direct spelling: row_number ≤ n·bp div
+    // 10000 over (score desc, id) — the ENGINE must reproduce that
+    // total order from its histogram + threshold + tie-rank plan
+    // without the oracle's global sort.
+    "q81_select_top" -> ((s, dir) =>
+      graft.text.Curation.selectTopFraction(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", frac = 0.3)),
+
+    // token-budget shard layout + manifest (Curation.assignShards /
+    // shardManifest): 8 md5 buckets, a new shard every 500 tokens
+    // within a bucket, docs whole. The manifest (per-shard doc count,
+    // token total, id range) is the deliverable a training loader
+    // reads; the oracle replays bucket → exclusive running sum →
+    // integer division → group from scratch.
+    "q82_shard_manifest" -> ((s, dir) => {
+      val sharded = graft.text.Curation.assignShards(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", budget = 500L, buckets = 8, salt = "v1")
+      graft.text.Curation.shardManifest(sharded, "doc_id")
+    }),
+
     // incremental dedup (Dedup.incrementalDedup) — the daily-crawl
     // shape: batch = every 5th doc, corpus = the rest; boilerplate is
     // PLANTED with plain arithmetic on both sides (template A spans the
@@ -1809,6 +1836,33 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.k
         |WHERE ('0x' || substr(md5('v1' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
         |      < r.bp""".stripMargin,
+
+    // the contract's direct spelling: global (score desc, id) order,
+    // exact integer cut — the engine reaches the same set via
+    // histogram threshold + boundary-tie rank, never a global sort
+    "q81_select_top" ->
+      """WITH s AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+        |  count(*) OVER () AS n FROM s)
+        |SELECT doc_id, n_chars FROM r WHERE rk <= (n * 3000) // 10000""".stripMargin,
+
+    // bucket → exclusive running token sum (id order) → budget cut →
+    // per-shard rollup, replayed from scratch
+    "q82_shard_manifest" ->
+      """WITH base AS (SELECT doc_id,
+        |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS b,
+        |  CAST(CASE WHEN <STRIP:text> = '' THEN 0
+        |       ELSE len(string_split_regex(<STRIP:text>, '<WS>+')) END AS BIGINT) AS nt
+        | FROM documents),
+        |cum AS (SELECT doc_id, b, nt,
+        |  CAST(COALESCE(SUM(nt) OVER (PARTITION BY b ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        | FROM base)
+        |SELECT b::VARCHAR || '-' || (st // 500)::VARCHAR AS shard_id,
+        | COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // the UNFILTERED incremental contract replayed from scratch (the
     // driver row runs the bloom path — q68's shared-oracle pattern):

@@ -605,6 +605,18 @@ object RecipeConf {
       case "pack" => df =>
         graft.text.Curation.packSequences(df, req("id"), req("text"),
           budget = knobInt("budget", 2048), shardCol = req("shard"))
+      // exact top-fraction quality selection (keep the best X% by a
+      // score column): select_top: {id: col, score: col, frac: 0.25}
+      case "select_top" => df =>
+        graft.text.Curation.selectTopFraction(df, req("id"), req("score"),
+          frac = knobDouble("frac", 0.1))
+      // token-budget shard layout for export (+ partitionBy(shard_id)
+      // on the sink): shard: {id, text, budget: N[, buckets, salt]}
+      case "shard" => df =>
+        graft.text.Curation.assignShards(df, req("id"), req("text"),
+          budget = knobLong("budget", 1000000L),
+          buckets = knobInt("buckets", 64),
+          salt = knob("salt", ""))
       case "near_dups" => df => {
         val id = req("id")
         knob("method", "minhash") match {

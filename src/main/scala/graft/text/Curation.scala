@@ -494,4 +494,109 @@ object Curation {
         expr(s"tok_start DIV $budget").as("seq_id"),
         expr(s"tok_start % $budget").as("seq_offset"))
   }
+
+  /** Exact top-fraction selection — "keep the best X% by quality score"
+    * (the FineWeb-Edu / classifier-threshold curation step): exactly
+    * k = n·bp div 10000 rows survive (bp = frac in basis points,
+    * quantized at plan build; n = rows with a non-NULL score), ranked
+    * by (score desc, id asc) — a total order, so any engine reproduces
+    * the same set. NULL-score rows are excluded from both n and the
+    * output: an unscorable row cannot be "top X%"; score it or keep it
+    * by policy upstream.
+    *
+    * The 100-TB shape — and why this is NOT a global sort or a driver
+    * top-k: dsirSelect's TakeOrdered is right for k ≈ 100, but
+    * k = 10% of a corpus cannot visit the driver. Here the threshold
+    * comes from a score HISTOGRAM (map-side-combined groupBy on the
+    * score — bounded by the quantization grid, the library-wide
+    * integer-score contract, so the cumulative window over DISTINCT
+    * scores is a declared-small single partition), and the corpus is
+    * then filtered row-local against the broadcast threshold row. Only
+    * rows AT the boundary score enter a rank window (partitioned by
+    * the score value → one partition holding just the tie group) to
+    * fill the remaining k − (rows above) slots by min id. Adversarial
+    * degenerate case: a corpus where a large fraction shares ONE score
+    * makes that tie group a single partition — inherent to the exact-k
+    * contract; pre-quantize finer or accept ties-inclusive selection
+    * upstream if that bites. */
+  def selectTopFraction(df: DataFrame, idCol: String, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0, 1], got $frac")
+    val bp = math.round(frac * 10000)
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val hist = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wDesc))
+    val totals = broadcast(cum.agg(max(col("__cum")).as("__n")))
+    // the boundary row: first score (desc) whose cumulative count
+    // reaches k; __above = rows strictly better than it
+    val thr = broadcast(cum.crossJoin(totals)
+      .withColumn("__k", expr("(__n * " + bp + ") DIV 10000"))
+      .filter(col("__cum") >= col("__k"))
+      .orderBy(col("__s").desc).limit(1)
+      .select(col("__s").as("__thr"), (col("__cum") - col("__c")).as("__above"),
+        col("__k")))
+    val withThr = scored.crossJoin(thr)
+    val above = withThr.filter(col(scoreCol) > col("__thr"))
+    // ties at the threshold: min ids fill the remaining slots; the
+    // window partitions by the (single) boundary score value, so only
+    // the tie group sorts
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(scoreCol)).orderBy(col(idCol))
+    val ties = withThr.filter(col(scoreCol) === col("__thr"))
+      .withColumn("__r", row_number().over(tieW))
+      .filter(col("__r") <= col("__k") - col("__above"))
+      .drop("__r")
+    // k = 0 (empty input or frac rounding to nothing) leaves thr empty
+    // → both branches empty → empty result, no special case
+    above.unionByName(ties).drop("__thr", "__above", "__k")
+  }
+
+  /** Token-budget shard assignment for exporting a finished training
+    * mix: rows land in `buckets` deterministic md5 buckets (the
+    * engine-portable salted bucket every curation op uses), and within
+    * each bucket an exclusive running token sum in id order cuts a new
+    * shard every `budget` tokens — `shard_id` is "bucket-local" (e.g.
+    * "3-0", "3-1", …). Docs stay WHOLE (unlike [[packSequences]], which
+    * splits at token granularity): a doc longer than the budget simply
+    * owns its shard and the next doc starts a fresh count. Feed
+    * `partitionBy(shard_id)` on any sink to lay the mix out as
+    * ~budget-token files.
+    *
+    * Scale: ONE exchange on the bucket column; the running sum is a
+    * per-bucket window (buckets size the parallelism — use ≥ executor
+    * cores × a few); no global order anywhere. All arithmetic is
+    * row-local hashing + long division, so the layout is reproducible
+    * across runs and engines. */
+  def assignShards(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int = 64, salt: String = ""): DataFrame = {
+    require(budget >= 1, s"assignShards: budget must be >= 1, got $budget")
+    require(buckets >= 1, s"assignShards: buckets must be >= 1, got $buckets")
+    val bucket = pmod(conv(substring(md5(concat(lit(salt),
+        coalesce(col(idCol).cast("string"), lit("")))), 1, 15), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    df.withColumn("__bucket", bucket)
+      .withColumn("n_tokens",
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", concat(col("__bucket").cast("string"), lit("-"),
+        expr(s"__start DIV $budget").cast("string")))
+      .drop("__bucket", "__start")
+  }
+
+  /** The manifest for an [[assignShards]] layout: one row per shard
+    * with doc count, token total, and the id range — the index a
+    * training loader reads instead of listing 10⁶ files. */
+  def shardManifest(sharded: DataFrame, idCol: String): DataFrame =
+    sharded.groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      min(col(idCol)).as("min_id"),
+      max(col(idCol)).as("max_id"))
 }

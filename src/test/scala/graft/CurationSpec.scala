@@ -398,4 +398,67 @@ class CurationSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("selectTopFraction: exact k, boundary ties by min id, NULLs excluded, no global sort") {
+    // scores: 90 → ids 1..3; 80 → ids 4..7; 70 → ids 8..10; NULL → 11
+    val df = Seq(
+      (1L, Some(90L)), (2L, Some(90L)), (3L, Some(90L)),
+      (4L, Some(80L)), (5L, Some(80L)), (6L, Some(80L)), (7L, Some(80L)),
+      (8L, Some(70L)), (9L, Some(70L)), (10L, Some(70L)),
+      (11L, None)).toDF("id", "score")
+    // frac 0.5 of 10 scored rows → k=5: all of 90 (3) + the two min-id
+    // ties at the 80 boundary
+    val top = Curation.selectTopFraction(df, "id", "score", 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(top == Seq(1L, 2L, 3L, 4L, 5L), top.toString)
+    // frac 1.0 keeps every scored row, never the NULL
+    assert(Curation.selectTopFraction(df, "id", "score", 1.0).count() == 10)
+    // frac small enough that k floors to 0 → empty
+    assert(Curation.selectTopFraction(df, "id", "score", 0.04).count() == 0)
+    // k lands exactly on a score-group edge → no tie fill needed
+    assert(Curation.selectTopFraction(df, "id", "score", 0.3)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // empty input stays empty; frac out of range rejects
+    assert(Curation.selectTopFraction(df.limit(0), "id", "score", 0.5).count() == 0)
+    intercept[IllegalArgumentException](
+      Curation.selectTopFraction(df, "id", "score", 1.5))
+    // the plan must not globally sort the corpus (no range partitioning
+    // over the row set): the corpus meets only the broadcast threshold
+    // row; the only TakeOrdered is the limit=1 threshold pick on the
+    // histogram side
+    val p = Curation.selectTopFraction(df, "id", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.replace("TakeOrderedAndProject(limit=1,", "").contains("TakeOrdered"),
+      s"a corpus-sized driver top-k crept in:\n$p")
+  }
+
+  test("assignShards cuts per-bucket token-budget shards; manifest rolls them up") {
+    // one bucket so the running sum is easy to reason about: 4 docs of
+    // 3 tokens each, budget 5 → starts 0,3,6,9 → shards 0,0,1,1
+    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"), (4L, "j k l"))
+      .toDF("id", "text")
+    val sh = Curation.assignShards(df, "id", "text", budget = 5L, buckets = 1)
+    val byDoc = sh.collect().map(r => r.getLong(0) -> r.getAs[String]("shard_id")).toMap
+    assert(byDoc == Map(1L -> "0-0", 2L -> "0-0", 3L -> "0-1", 4L -> "0-1"), byDoc.toString)
+    val mf = Curation.shardManifest(sh, "id").collect()
+      .map(r => r.getAs[String]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toMap
+    assert(mf == Map("0-0" -> (2L, 6L, 1L, 2L), "0-1" -> (2L, 6L, 3L, 4L)), mf.toString)
+    // docs stay whole: a doc bigger than the budget owns its shard and
+    // the NEXT doc starts a new one
+    val big = Seq((1L, ("w " * 9).trim), (2L, "x y")).toDF("id", "text")
+    val bs = Curation.assignShards(big, "id", "text", budget = 5L, buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("shard_id")).toMap
+    assert(bs == Map(1L -> "0-0", 2L -> "0-1"), bs.toString)
+    // buckets spread deterministically; reruns agree
+    val spread = Curation.assignShards(df, "id", "text", 5L, buckets = 8, salt = "v1")
+    assert(spread.collect().map(r => r.getLong(0) -> r.getAs[String]("shard_id")).toMap ==
+      Curation.assignShards(df, "id", "text", 5L, buckets = 8, salt = "v1")
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("shard_id")).toMap)
+    intercept[IllegalArgumentException](
+      Curation.assignShards(df, "id", "text", budget = 0L))
+  }
 }

@@ -276,4 +276,60 @@ class PropertiesSpec extends SparkSpec {
         s"tracking param leaked: $u -> $n1")
     }
   }
+
+  test("selectTopFraction equals the brute-force top-k under (score desc, id) (batched)") {
+    // random score multisets (heavy ties by design: scores drawn from a
+    // small range) × random fracs — the engine's histogram + threshold +
+    // tie-rank plan must reproduce the in-memory sorted prefix exactly
+    val sizes = Gen.choose(0, 60)
+    val fracs = Gen.oneOf(0.0, 0.04, 0.25, 0.5, 0.77, 1.0)
+    (1 to 30).foreach { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      val n = sizes.pureApply(Gen.Parameters.default, seed)
+      val frac = fracs.pureApply(Gen.Parameters.default, seed.next)
+      val rnd = new scala.util.Random(i)
+      val rows = (1L to n).map(id =>
+        (id, if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong)))
+      val df = rows.toDF("id", "score")
+      val got = graft.text.Curation.selectTopFraction(df, "id", "score", frac)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val scored = rows.collect { case (id, Some(s)) => (id, s) }
+      val k = (scored.size.toLong * math.round(frac * 10000)) / 10000
+      val want = scored.sortBy { case (id, s) => (-s, id) }
+        .take(k.toInt).map(_._1).sorted.toSeq
+      assert(got == want, s"n=$n frac=$frac: got=$got want=$want")
+    }
+  }
+
+  test("stratifiedSplit quotas: every stratum gets exactly floor(n_s·cum_bp/10000) cuts (batched)") {
+    val weights = Seq(
+      Seq("a" -> 0.5, "b" -> 0.5),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      Seq("x" -> 0.33, "y" -> 0.33, "z" -> 0.34))
+    (1 to 15).foreach { i =>
+      val rnd = new scala.util.Random(i)
+      val splits = weights(i % weights.size)
+      val rows = (1L to (10 + rnd.nextInt(200))).map(id =>
+        (id, s"s${rnd.nextInt(4)}"))
+      val df = rows.toDF("id", "k")
+      val got = graft.operators.Ops.stratifiedSplit(df, "k", "id", s"salt$i", splits)
+        .groupBy("k", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val cumBp = splits.scanLeft(0L) { case (acc, (_, w)) =>
+        acc + math.round(w * 10000) }.tail
+      rows.groupBy(_._2).foreach { case (stratum, rs) =>
+        val nS = rs.size.toLong
+        val quotas = cumBp.map(bp => nS * bp / 10000)
+        val perSplit = splits.map(_._1).zip(
+          quotas.zip(0L +: quotas.init).map { case (hi, lo) => hi - lo })
+        // last split takes the remainder
+        val want = (perSplit.init :+
+          (splits.last._1 -> (nS - quotas.init.lastOption.getOrElse(0L)))).toMap
+        splits.map(_._1).foreach { name =>
+          assert(got.getOrElse((stratum, name), 0L) == want(name),
+            s"i=$i stratum=$stratum: got=${got.filter(_._1._1 == stratum)} want=$want")
+        }
+      }
+    }
+  }
 }

@@ -1503,6 +1503,14 @@ class RecipeConfSpec extends SparkSpec {
          |      - semantic_decontaminate: {id: id, vec: v, dataset: bench,
          |                                 test_vec: bv, threshold: 0.95,
          |                                 mode: flag}
+         |  top:
+         |    input: docs
+         |    steps:
+         |      - select_top: {id: id, score: id, frac: 0.1}
+         |  shards:
+         |    input: docs
+         |    steps:
+         |      - shard: {id: id, text: text, budget: 20, buckets: 4}
          |""".stripMargin)
     // exact per-stratum quotas: en 72/4/4, fr 18/1/1
     val st = RecipeConf.run(spark, conf, "strat")
@@ -1524,6 +1532,14 @@ class RecipeConfSpec extends SparkSpec {
     val sem = RecipeConf.run(spark, conf, "sem")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(sem == Map(1L -> true, 2L -> false, 3L -> true), sem.toString)
+    // select_top with score = id: exactly the 10 highest ids
+    val topIds = RecipeConf.run(spark, conf, "top")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(topIds == (91L to 100L), topIds.toString)
+    // shard: every row gets a bucket-local shard id; manifest-ready cols
+    val sh = RecipeConf.run(spark, conf, "shards")
+    assert(sh.count() == 100)
+    assert(sh.columns.contains("shard_id") && sh.columns.contains("n_tokens"))
   }
 
   test("decontaminate step: benchmark set with differently-named columns via test_text") {
