@@ -987,6 +987,23 @@ object SparkEntry {
         .select("vec_id", "max_cos_q", "contaminated")
     }),
 
+    // the LSH-routed semantic decontamination scale path
+    // (Ann.semanticContaminationFlagsLsh) under the same exhaustive
+    // oracle as q77 — valid here because (a) an IDENTICAL vector shares
+    // every LSH bucket deterministically (θ=0 → certain recall), (b)
+    // every candidate is verified by exact cosine (no false flags), and
+    // (c) the hardest natural pair sits at ≈0.60 cosine, far under the
+    // 0.9 threshold even if it collides — so LSH flags ≡ exact flags on
+    // this data, q62's planted-duplicate-oracle pattern. max_cos_q is a
+    // candidate-max (lower bound) and stays out of the compared output.
+    "q83_semantic_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.sim.Ann.semanticContaminationFlagsLsh(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        e.filter(col("vec_id") % 20 === 0), "embedding", threshold = 0.9)
+        .select("vec_id", "contaminated")
+    }),
+
     // stratified split (Ops.stratifiedSplit): EXACT 90/5/5 inside every
     // lang stratum — rank by the q48 salted-hash order within lang, cut
     // at integer floor(n_s·bp div 10000) quotas. The oracle re-derives
@@ -1008,6 +1025,16 @@ object SparkEntry {
       graft.operators.Ops.sampleToTemperature(
         t(s, dir, "documents").select("doc_id", "lang"),
         "lang", "doc_id", temperature = 2.0, salt = "v1")),
+
+    // keep-best dedup (Dedup.dedupKeepBest): fingerprint key, survivor
+    // = max n_chars then min id — "keep the canonical best" once a
+    // quality score exists (54 fingerprint-dup rows at sf0.01 exercise
+    // real groups). The oracle spells the window rule directly and
+    // appends the NULL-key retention the family guarantees.
+    "q84_dedup_best" -> ((s, dir) =>
+      graft.dedup.Dedup.dedupKeepBest(
+        t(s, dir, "documents").select("doc_id", "text", "n_chars"),
+        "doc_id", "text", scoreCol = "n_chars", method = "fingerprint")),
 
     // exact top-fraction selection (Curation.selectTopFraction): the
     // best 30% of docs by n_chars (stand-in for any quantized quality
@@ -1809,6 +1836,17 @@ object SparkEntry {
         |       COALESCE(max_cos_q >= 0.9, false) AS contaminated
         |FROM m""".stripMargin,
 
+    // q77's exhaustive spelling again (see the q83 query comment for
+    // why the LSH path provably matches it on this data)
+    "q83_semantic_lsh" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT CAST(embedding AS DOUBLE[]) AS tv FROM embeddings
+        |      WHERE vec_id % 20 = 0),
+        |m AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.v, t.tv)) AS mx
+        |      FROM c CROSS JOIN t GROUP BY c.vec_id)
+        |SELECT vec_id, COALESCE(ROUND(mx, 4) >= 0.9, false) AS contaminated
+        |FROM m""".stripMargin,
+
     // per-stratum rank (q48's salted bucket, id tie-break), per-stratum
     // count, and both integer-floor quotas re-derived with windows
     "q78_stratified_split" ->
@@ -1836,6 +1874,21 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.k
         |WHERE ('0x' || substr(md5('v1' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
         |      < r.bp""".stripMargin,
+
+    // the q21 fingerprint key, the keep-best window rule spelled
+    // directly (score desc nulls last, id), NULL-key retention appended
+    "q84_dedup_best" ->
+      ("WITH f AS (SELECT doc_id, text, n_chars, " +
+        "md5(array_to_string(list_sort(list_distinct(" +
+        s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp " +
+        """FROM documents),
+          |r AS (SELECT doc_id, text, n_chars,
+          |  row_number() OVER (PARTITION BY fp
+          |    ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk
+          | FROM f WHERE fp IS NOT NULL)
+          |SELECT doc_id, text, n_chars FROM r WHERE rk = 1
+          |UNION ALL
+          |SELECT doc_id, text, n_chars FROM f WHERE fp IS NULL""".stripMargin),
 
     // the contract's direct spelling: global (score desc, id) order,
     // exact integer cut — the engine reaches the same set via

@@ -560,10 +560,23 @@ object RecipeConf {
       //             ngram|embedding, ...} → candidate pair table
       case "dedup" => df => {
         val id = req("id")
+        // keep: best flips the survivor rule from min-id to
+        // max-`score` (ties → min id) for the exact-key methods:
+        //   dedup: {method: exact|fingerprint, keep: best, score: col}
+        val keepBest = knob("keep", "first") match {
+          case "first" => false
+          case "best"  => true
+          case other => sys.error(s"dedup: unknown keep '$other' (first | best)")
+        }
+        def bestOr(method: String, fallback: => DataFrame): DataFrame =
+          if (keepBest) graft.dedup.Dedup.dedupKeepBest(df, id, req("text"),
+            scoreCol = req("score"), method = method)
+          else fallback
         knob("method", "exact") match {
-          case "exact" => graft.dedup.Dedup.exactDedup(df, id, req("text"))
-          case "fingerprint" =>
-            graft.dedup.Dedup.fingerprintDedup(df, id, req("text"))
+          case "exact" => bestOr("exact",
+            graft.dedup.Dedup.exactDedup(df, id, req("text")))
+          case "fingerprint" => bestOr("fingerprint",
+            graft.dedup.Dedup.fingerprintDedup(df, id, req("text")))
           case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, req("text"),
             threshold = knobDouble("threshold", 0.6))
           // C4-style boilerplate line removal (docs rewritten in place)
@@ -686,11 +699,23 @@ object RecipeConf {
         val id = req("id"); val vec = req("vec")
         val tVec = knob("test_vec", vec)
         val thr = knobDouble("threshold", 0.9)
+        // method: exact (default — one-row broadcast of the whole test
+        // set, exhaustive max) | lsh (bucket-routed candidates for test
+        // sets past the broadcast bound; exact verify → no false flags,
+        // recall is the bits/tables dial)
+        val flags = knob("method", "exact") match {
+          case "exact" => graft.sim.Ann.semanticContaminationFlags(
+            df, id, vec, test, tVec, thr)
+          case "lsh" => graft.sim.Ann.semanticContaminationFlagsLsh(
+            df, id, vec, test, tVec, thr,
+            bits = knobInt("bits", 12), tables = knobInt("tables", 3))
+          case other => sys.error(
+            s"semantic_decontaminate: unknown method '$other' (exact | lsh)")
+        }
         knob("mode", "drop") match {
-          case "drop" => graft.sim.Ann.semanticDecontaminate(
-            df, id, vec, test, tVec, thr)
-          case "flag" => graft.sim.Ann.semanticContaminationFlags(
-            df, id, vec, test, tVec, thr)
+          case "drop" => flags.filter(!col("contaminated"))
+            .drop("max_cos_q", "contaminated")
+          case "flag" => flags
           case other => sys.error(
             s"semantic_decontaminate: unknown mode '$other' (drop | flag)")
         }

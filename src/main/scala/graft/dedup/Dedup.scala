@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.{Similarity, Tools}
 import graft.graph.ConnectedComponents
 
@@ -43,6 +44,46 @@ object Dedup {
     nn.join(keep, Seq(idCol), "left_semi")
       .unionByName(keyed.filter(col("__dedup_key").isNull))
       .drop("__dedup_key")
+  }
+
+  /** Quality-aware survivor rule: keep the row with the HIGHEST
+    * `scoreCol` per non-NULL key (ties → min id; NULL scores sort
+    * last, so an all-NULL-score group still keeps its min id) — "keep
+    * the canonical best", the survivor policy real curation pipelines
+    * want once a quality score exists (a crawl dup and its cleaner
+    * mirror are the same key; min-id keeps whichever was ingested
+    * first, this keeps the better one). NULL-key rows are ALL kept,
+    * the family-wide contract.
+    *
+    * ONE shuffle on the key; WindowGroupLimit prunes each group to its
+    * single survivor before the per-partition sort completes (the
+    * capPerKey plan shape), so a million-row duplicate group never
+    * materializes sorted. */
+  private[graft] def keepBestPerKey(df: DataFrame, idCol: String,
+      key: Column, scoreCol: String): DataFrame = {
+    val keyed = df.withColumn("__dedup_key", key)
+    val nn = keyed.filter(col("__dedup_key").isNotNull)
+    val w = Window.partitionBy(col("__dedup_key"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    nn.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .unionByName(keyed.filter(col("__dedup_key").isNull))
+      .drop("__dedup_key")
+  }
+
+  /** [[exactDedup]] / [[fingerprintDedup]] with the keep-best survivor
+    * rule — `method` picks the key family, `scoreCol` the quality
+    * column (keep max, ties → min id). */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, method: String = "exact"): DataFrame = {
+    val key = method match {
+      case "exact"       => md5(col(textCol).cast("binary"))
+      case "fingerprint" => fingerprint(col(textCol))
+      case other => sys.error(
+        s"dedupKeepBest: unknown method '$other' (exact | fingerprint)")
+    }
+    keepBestPerKey(df, idCol, key, scoreCol)
   }
 
   // --------------------------------------------------------- fingerprint

@@ -402,6 +402,66 @@ object Ann {
       .select("id_a", "id_b", "cos")
   }
 
+  /** LSH-routed variant of [[semanticContaminationFlags]] — the scale
+    * path for test sets past the one-row-broadcast bound (~10⁵
+    * vectors): both sides band into `tables` hyperplane bucket tables
+    * (one 64-bit signature, disjoint bit ranges — the
+    * [[cosineNearDupsLSH]] scheme), candidates meet through a bucket
+    * join against the BROADCAST test side, and exact cosine verifies
+    * every candidate, so there are NO false flags — only possible
+    * misses. Recall is the usual LSH dial: an IDENTICAL vector shares
+    * every bucket deterministically (θ = 0); a 0.95-cosine pair at the
+    * default bits=12/tables=3 is caught ≈ 87% of the time; raise
+    * `tables` (or lower `bits`) to push recall for near-threshold
+    * leakage. `max_cos_q` carries the max verified candidate cosine
+    * for FLAGGED rows (a lower bound of the true max) and NULL for
+    * clean rows — sub-threshold candidates are discarded before the
+    * verdict aggregate so the candidate stream stays minimal.
+    *
+    * Scale shape: the corpus never shuffles for candidate generation
+    * (row-local signature + explode against broadcast test buckets);
+    * only candidate rows reach the verdict distinct. The per-row flag
+    * re-attaches through the q68 verdict-join pattern: the flagged-id
+    * set is bounded by actual contamination, broadcast when it is
+    * small (the normal case — a mostly-dirty corpus keeps the shuffled
+    * join, which is then the right plan anyway). */
+  def semanticContaminationFlagsLsh(corpus: DataFrame, idCol: String,
+      vecCol: String, testSet: DataFrame, testVecCol: String,
+      threshold: Double, bits: Int = 12, tables: Int = 3): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    require(bits >= 1 && tables >= 1 && bits * tables <= 64,
+      s"bits*tables must be in [1,64]; got bits=$bits tables=$tables")
+    val bucketMask = if (bits == 64) -1L else (1L << bits) - 1
+    def banded(df: DataFrame, vc: String): DataFrame = df
+      .withColumn("__sig", hyperplaneSigUdf(col(vc), lit(bits * tables)))
+      .select(df.columns.map(col) :+
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("__table"),
+            shiftrightunsigned(col("__sig"), t * bits)
+              .bitwiseAND(lit(bucketMask)).as("__bucket"))): _*)).as("__b"): _*)
+      .select(df.columns.map(col) :+ col("__b.__table") :+ col("__b.__bucket"): _*)
+    val tests = broadcast(banded(
+      testSet.filter(col(testVecCol).isNotNull)
+        .select(col(testVecCol).as("__tv")), "__tv"))
+    val cand = banded(
+      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")), "__cv")
+      .join(tests, Seq("__table", "__bucket"))
+      .withColumn("__cos", round(Similarity.cosine(col("__cv"), col("__tv")), 4))
+    val hits = cand.filter(col("__cos") >= threshold)
+      .groupBy(col("__cid")).agg(max(col("__cos")).as("max_cos_q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count-gated broadcast (the q68/contaminatedIds decision, same
+    // rationale): the verdict set is data-dependent, so hint broadcast
+    // only when it is provably executor-safe
+    val n = hits.count()
+    val verdicts = graft.engine.AutoUnpersist.cache(hits)
+    val side = if (n <= 1000000L) broadcast(verdicts) else verdicts
+    corpus.join(side, col(idCol) === col("__cid"), "left")
+      .withColumn("contaminated", col("__cid").isNotNull)
+      .drop("__cid")
+  }
+
   /** Semantic decontamination: flag corpus rows whose embedding has
     * cosine ≥ `threshold` with ANY held-out/benchmark vector — the
     * embedding-space analogue of the n-gram overlap check

@@ -730,4 +730,56 @@ class GraphDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ann.semanticContaminationFlags(corpus, "id", "v", test, "tv", 1.5))
   }
+
+  test("dedupKeepBest keeps the max-score row per key, min id on ties, NULLs per family contract") {
+    val df = Seq(
+      (1L, "the quick fox", Some(10L)),   // dup group A, low score
+      (2L, "the quick fox", Some(30L)),   // dup group A, BEST → survives
+      (3L, "the quick fox", Some(30L)),   // dup group A, tie → id 2 wins
+      (4L, "something else", None),       // group B: all-NULL scores →
+      (5L, "something else", None),       //   min id 4 survives
+      (6L, null, Some(99L)),              // NULL text → kept
+      (7L, null, None))                   // NULL text → kept
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.dedupKeepBest(df, "doc_id", "text", "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L, 7L), kept.toString)
+    // fingerprint key: word-order variants form one group; best wins
+    val fp = Seq((1L, "alpha beta", Some(1L)), (2L, "Beta ALPHA", Some(2L)))
+      .toDF("doc_id", "text", "score")
+    assert(Dedup.dedupKeepBest(fp, "doc_id", "text", "score",
+      method = "fingerprint").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[RuntimeException](
+      Dedup.dedupKeepBest(df, "doc_id", "text", "score", method = "nope"))
+    // the capPerKey plan shape: WindowGroupLimit prunes before the sort
+    assert(Dedup.dedupKeepBest(df, "doc_id", "text", "score")
+      .queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("semanticContaminationFlagsLsh: certain recall on identical vectors, no false flags") {
+    // 40 corpus rows on distinct random-ish directions + 3 exact copies
+    // of the test vector: identical vectors share every bucket (θ=0) so
+    // recall is deterministic, and every flag is exact-cosine verified
+    val rnd = new scala.util.Random(7)
+    val planted = Seq(5L, 17L, 29L)
+    val corpus = (1L to 40L).map { id =>
+      val v = if (planted.contains(id)) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array.fill(4)(rnd.nextFloat() * 2 - 1).toSeq
+      (id, v)
+    }.toDF("id", "v")
+    val test = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("tv")
+    val out = Ann.semanticContaminationFlagsLsh(
+      corpus, "id", "v", test, "tv", threshold = 0.9999)
+    val flagged = out.filter(col("contaminated"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(flagged == planted, s"got $flagged")
+    // flagged rows carry the exact candidate max (here the identical
+    // pair → 1.0); unflagged rows report NULL or a verified sub-threshold
+    assert(out.filter(col("contaminated"))
+      .collect().forall(_.getAs[Double]("max_cos_q") == 1.0))
+    assert(out.count() == 40) // every corpus row present, flag or not
+    intercept[IllegalArgumentException](
+      Ann.semanticContaminationFlagsLsh(corpus, "id", "v", test, "tv",
+        0.9, bits = 40, tables = 3))
+  }
 }

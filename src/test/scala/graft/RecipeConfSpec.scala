@@ -1497,12 +1497,23 @@ class RecipeConfSpec extends SparkSpec {
          |    steps:
          |      - dedup: {method: incremental, id: id, text: text,
          |                dataset: corpus, prefilter: bloom}
+         |  best:
+         |    input: docs
+         |    steps:
+         |      - eval: {t2: "case when id <= 50 then 'dup' else text end"}
+         |      - dedup: {id: id, text: t2, keep: best, score: id}
          |  sem:
          |    input: vecs
          |    steps:
          |      - semantic_decontaminate: {id: id, vec: v, dataset: bench,
          |                                 test_vec: bv, threshold: 0.95,
          |                                 mode: flag}
+         |  semlsh:
+         |    input: vecs
+         |    steps:
+         |      - semantic_decontaminate: {id: id, vec: v, dataset: bench,
+         |                                 test_vec: bv, threshold: 0.9999,
+         |                                 method: lsh, mode: drop}
          |  top:
          |    input: docs
          |    steps:
@@ -1527,11 +1538,21 @@ class RecipeConfSpec extends SparkSpec {
     val inc = RecipeConf.run(spark, conf, "inc")
     assert(inc.count() == 99L)
     assert(inc.filter(col("id") === 7L).count() == 0)
+    // keep-best: ids 1..50 collapse to one 'dup' group whose BEST
+    // (max score=id) survivor is id 50; 51..100 stay distinct
+    val best = RecipeConf.run(spark, conf, "best")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(best == (50L to 100L), best.toString)
     // semantic flag: row 1 identical (1.0), row 3 at cos ≈ 0.994 → both
     // contaminated at 0.95; the orthogonal row 2 is clean
     val sem = RecipeConf.run(spark, conf, "sem")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(sem == Map(1L -> true, 2L -> false, 3L -> true), sem.toString)
+    // lsh-routed drop: the identical vector (row 1) is certainly
+    // recalled and dropped; rows 2/3 survive at the 0.9999 threshold
+    val semLsh = RecipeConf.run(spark, conf, "semlsh")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(semLsh == Seq(2L, 3L), semLsh.toString)
     // select_top with score = id: exactly the 10 highest ids
     val topIds = RecipeConf.run(spark, conf, "top")
       .collect().map(_.getAs[Long]("id")).sorted.toSeq
