@@ -384,10 +384,11 @@ object Ops {
     val rk = row_number().over(byStratum.orderBy(hashBucket(idCol, salt),
       col(idCol)))
     val nS = count(lit(1)).over(byStratum)
-    // quota_k = n_s * cum_bp div 10000 in long arithmetic (div = SQL
-    // integer division; a double detour would round at ~2^53 rows·bp)
-    def quota(bp: Long): Column =
-      (nS * lit(bp) - pmod(nS * lit(bp), lit(10000L))) / lit(10000L)
+    // quota_k = n_s · cum_bp div 10000 in TRUE long arithmetic (SQL
+    // `div`): a `/` here returns DOUBLE, exact only while n_s·bp stays
+    // under 2^53 — a silent one-row quota error past ~9·10¹¹ rows in
+    // one stratum, precisely the scale this engine claims
+    def quota(bp: Long): Column = expr(s"(__strat_n * ${bp}L) div 10000L")
     val nb = splits.map(_._1).zip(cumBp)
     val assigned =
       if (nb.size == 1) lit(nb.head._1)
@@ -396,8 +397,9 @@ object Ops {
         case (c, (name, bp)) => c.when(col("__rk") <= quota(bp), lit(name))
       }.otherwise(lit(nb.last._1))
     df.withColumn("__rk", rk)
+      .withColumn("__strat_n", nS)
       .withColumn(splitCol, assigned)
-      .drop("__rk")
+      .drop("__rk", "__strat_n")
   }
 
   /** Temperature-rebalanced source mixing (multilingual-corpus style,
