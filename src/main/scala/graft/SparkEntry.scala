@@ -1063,6 +1063,15 @@ object SparkEntry {
       graft.text.Curation.shardManifest(sharded, "doc_id")
     }),
 
+    // per-group top-fraction (Curation.selectTopFractionByKey): the
+    // best 25% per LANGUAGE by n_chars — a global cut would starve a
+    // short-doc language entirely; the per-group contract holds the
+    // fraction in every group. Exact-k per group, same tie rule.
+    "q85_select_top_by_lang" -> ((s, dir) =>
+      graft.text.Curation.selectTopFractionByKey(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", frac = 0.25)),
+
     // incremental dedup (Dedup.incrementalDedup) — the daily-crawl
     // shape: batch = every 5th doc, corpus = the rest; boilerplate is
     // PLANTED with plain arithmetic on both sides (template A spans the
@@ -1916,6 +1925,16 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
         | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // q81's spelling with the window partitioned by lang — the
+    // per-group exact-k contract stated directly
+    "q85_select_top_by_lang" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rk <= (n * 2500) // 10000""".stripMargin,
 
     // the UNFILTERED incremental contract replayed from scratch (the
     // driver row runs the bloom path — q68's shared-oracle pattern):

@@ -619,10 +619,14 @@ object RecipeConf {
         graft.text.Curation.packSequences(df, req("id"), req("text"),
           budget = knobInt("budget", 2048), shardCol = req("shard"))
       // exact top-fraction quality selection (keep the best X% by a
-      // score column): select_top: {id: col, score: col, frac: 0.25}
-      case "select_top" => df =>
-        graft.text.Curation.selectTopFraction(df, req("id"), req("score"),
-          frac = knobDouble("frac", 0.1))
+      // score column), globally or per group:
+      //   select_top: {id: col, score: col, frac: 0.25[, by: lang]}
+      case "select_top" => df => knobOpt("by") match {
+        case Some(key) => graft.text.Curation.selectTopFractionByKey(
+          df, key, req("id"), req("score"), frac = knobDouble("frac", 0.1))
+        case None => graft.text.Curation.selectTopFraction(
+          df, req("id"), req("score"), frac = knobDouble("frac", 0.1))
+      }
       // token-budget shard layout for export (+ partitionBy(shard_id)
       // on the sink): shard: {id, text, budget: N[, buckets, salt]}
       case "shard" => df =>

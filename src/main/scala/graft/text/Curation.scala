@@ -555,6 +555,47 @@ object Curation {
     above.unionByName(ties).drop("__thr", "__above", "__k")
   }
 
+  /** Per-group [[selectTopFraction]]: keep the best X% WITHIN each
+    * `keyCol` group (per-language / per-domain quality cuts — a global
+    * cut starves low-scoring languages entirely; this holds the
+    * fraction in every group). Same exact-k contract per group:
+    * k_g = n_g·bp div 10000 rows by (score desc, id), NULL scores
+    * excluded, NULL keys form one ordinary group.
+    *
+    * Scale shape — strictly better than the global variant: the
+    * (key, score) histogram is map-side combined, its cumulative
+    * window partitions BY KEY (no single-partition stage anywhere),
+    * the per-key threshold table is keys-sized and broadcasts, and
+    * only boundary ties rank. */
+  def selectTopFractionByKey(df: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0, 1], got $frac")
+    val bp = math.round(frac * 10000)
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val hist = scored.groupBy(col(keyCol).as("__k"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val byKey = W.partitionBy(col("__k"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        byKey.orderBy(col("__s").desc).rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(byKey))
+      .withColumn("__kq", expr("(__n * " + bp + ") DIV 10000"))
+    val thr = broadcast(cum.filter(col("__cum") >= col("__kq"))
+      .withColumn("__r", row_number().over(byKey.orderBy(col("__s").desc)))
+      .filter(col("__r") === 1)
+      .select(col("__k"), col("__s").as("__thr"),
+        (col("__cum") - col("__c")).as("__above"), col("__kq")))
+    val withThr = scored.join(thr, col(keyCol) <=> col("__k"), "inner")
+    val above = withThr.filter(col(scoreCol) > col("__thr"))
+    val ties = withThr.filter(col(scoreCol) === col("__thr"))
+      .withColumn("__r", row_number().over(
+        W.partitionBy(col("__k"), col(scoreCol)).orderBy(col(idCol))))
+      .filter(col("__r") <= col("__kq") - col("__above"))
+      .drop("__r")
+    above.unionByName(ties).drop("__k", "__thr", "__above", "__kq")
+  }
+
   /** Token-budget shard assignment for exporting a finished training
     * mix: rows land in `buckets` deterministic md5 buckets (the
     * engine-portable salted bucket every curation op uses), and within

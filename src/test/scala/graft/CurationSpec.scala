@@ -434,6 +434,35 @@ class CurationSpec extends SparkSpec {
       s"a corpus-sized driver top-k crept in:\n$p")
   }
 
+  test("selectTopFractionByKey holds the fraction per group; NULL keys are a group") {
+    // 'en': 8 rows scores 1..8 → k=4 keeps 5,6,7,8; 'fr': 4 rows all
+    // score 9 (one tie group) → k=2 keeps min ids 21,22; NULL key: 2
+    // rows → k=1 keeps the higher score
+    val df = (
+      (1L to 8L).map(i => (i, Some("en"), Some(i))) ++
+      (21L to 24L).map(i => (i, Some("fr"), Some(9L))) ++
+      Seq((31L, None, Some(5L)), (32L, None, Some(7L))) ++
+      Seq((41L, Some("en"), None))  // NULL score: excluded from en's n
+    ).toDF("id", "k", "score")
+    val got = Curation.selectTopFractionByKey(df, "k", "id", "score", 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(5L, 6L, 7L, 8L, 21L, 22L, 32L), got.toString)
+    // a global cut at the same frac would NOT hold per-group fractions:
+    // per-group must keep exactly half of each group's scored rows
+    val by = Curation.selectTopFractionByKey(df, "k", "id", "score", 0.5)
+      .groupBy("k").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(by == Map(Some("en") -> 4L, Some("fr") -> 2L, None -> 1L), by.toString)
+    // no single-partition stage anywhere: every exchange/window keys on
+    // the group (the improvement over the global variant's histogram)
+    val p = Curation.selectTopFractionByKey(df, "k", "id", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    intercept[IllegalArgumentException](
+      Curation.selectTopFractionByKey(df, "k", "id", "score", -0.1))
+  }
+
   test("assignShards cuts per-bucket token-budget shards; manifest rolls them up") {
     // one bucket so the running sum is easy to reason about: 4 docs of
     // 3 tokens each, budget 5 → starts 0,3,6,9 → shards 0,0,1,1

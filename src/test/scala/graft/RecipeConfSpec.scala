@@ -1518,6 +1518,10 @@ class RecipeConfSpec extends SparkSpec {
          |    input: docs
          |    steps:
          |      - select_top: {id: id, score: id, frac: 0.1}
+         |  topby:
+         |    input: docs
+         |    steps:
+         |      - select_top: {id: id, score: id, frac: 0.1, by: lang}
          |  shards:
          |    input: docs
          |    steps:
@@ -1557,6 +1561,10 @@ class RecipeConfSpec extends SparkSpec {
     val topIds = RecipeConf.run(spark, conf, "top")
       .collect().map(_.getAs[Long]("id")).sorted.toSeq
     assert(topIds == (91L to 100L), topIds.toString)
+    // per-group: 10% of en's 80 (73..80) and of fr's 20 (99..100)
+    val topBy = RecipeConf.run(spark, conf, "topby")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(topBy == ((73L to 80L) ++ Seq(99L, 100L)), topBy.toString)
     // shard: every row gets a bucket-local shard id; manifest-ready cols
     val sh = RecipeConf.run(spark, conf, "shards")
     assert(sh.count() == 100)
