@@ -568,6 +568,13 @@ object RecipeConf {
           case "best"  => true
           case other => sys.error(s"dedup: unknown keep '$other' (first | best)")
         }
+        // keep: best exists for the keyed and clustered families; a
+        // silent ignore on the rewrite methods (lines/substring) would
+        // drop the user's survivor policy on the floor
+        if (keepBest && !Set("exact", "fingerprint", "minhash", "embedding")
+            .contains(knob("method", "exact")))
+          sys.error(s"dedup: keep: best is not supported for method " +
+            s"'${knob("method", "exact")}' (exact | fingerprint | minhash | embedding)")
         def bestOr(method: String, fallback: => DataFrame): DataFrame =
           if (keepBest) graft.dedup.Dedup.dedupKeepBest(df, id, req("text"),
             scoreCol = req("score"), method = method)
@@ -578,7 +585,8 @@ object RecipeConf {
           case "fingerprint" => bestOr("fingerprint",
             graft.dedup.Dedup.fingerprintDedup(df, id, req("text")))
           case "minhash" => graft.dedup.Dedup.minhashDedup(df, id, req("text"),
-            threshold = knobDouble("threshold", 0.6))
+            threshold = knobDouble("threshold", 0.6),
+            keepScore = if (keepBest) Some(req("score")) else None)
           // C4-style boilerplate line removal (docs rewritten in place)
           case "lines" => graft.text.TextAnalysis.dedupLines(df, id, req("text"),
             maxDocFreq = knobLong("max_doc_freq", 1L))
@@ -591,7 +599,8 @@ object RecipeConf {
             req("vec"),
             threshold = knobDouble("threshold", 0.95),
             bits = knobInt("bits", 8),
-            tables = knobInt("tables", 3))
+            tables = knobInt("tables", 3),
+            keepScore = if (keepBest) Some(req("score")) else None)
           // canonical-URL dedup — keys on `url`, not `text`
           case "url" => graft.text.UrlTools.urlDedup(df, id, req("url"))
           // incremental: dedup THIS batch against a named corpus dataset

@@ -295,11 +295,16 @@ object Dedup {
   }
 
   /** Full near-dup dedup: LSH pairs → connected components → keep min id
-    * per cluster. */
+    * per cluster — or, with `keepScore`, the max-score row per cluster
+    * (ties → min id), the same quality-aware survivor rule as
+    * [[dedupKeepBest]] lifted to NEAR-dup clusters. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6): DataFrame = {
-    keepMinPerCluster(df, idCol,
-      minhashNearDups(df, idCol, textCol, threshold = threshold))
+      threshold: Double = 0.6, keepScore: Option[String] = None): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+    keepScore match {
+      case None => keepMinPerCluster(df, idCol, pairs)
+      case Some(s) => keepBestPerCluster(df, idCol, pairs, s)
+    }
   }
 
   /** The survivor rule shared by the cluster-dedup family ([[minhashDedup]],
@@ -314,6 +319,23 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster survivor: per connected component keep the
+    * max-`scoreCol` row (ties → min id; NULL scores last). Rows that
+    * never paired are all kept — they have no cluster. One window
+    * exchange over the (small) clustered subset only; the un-paired
+    * bulk of the corpus passes through an anti join untouched. */
+  private def keepBestPerCluster(df: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: String): DataFrame = {
+    val comps = ConnectedComponents.run(pairs.select("id_a", "id_b"))
+    val inComp = df.join(comps, df(idCol) === comps("node")).drop("node")
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    val best = inComp.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk", "comp")
+    df.join(comps, df(idCol) === comps("node"), "left_anti")
+      .unionByName(best)
+  }
+
   /** Semantic dedup over an embedding column — the SemDeDup shape (Abbas
     * et al. 2023, arXiv:2303.09540): bucket by LSH instead of k-means
     * cells (same role — bound the comparison set; an LSH bucket join is
@@ -322,12 +344,18 @@ object Dedup {
     * the minimum id per cluster. Identical vectors collide in every LSH
     * table, so exact-duplicate recall is certain; near-duplicate recall
     * follows the cosineNearDupsLSH table/bit dials.
-    * Same keep-min contract as [[minhashDedup]]. */
+    * Same keep-min contract as [[minhashDedup]] (or keep-best via
+    * `keepScore`). */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8, tables: Int = 3): DataFrame =
-    keepMinPerCluster(df, idCol,
-      graft.sim.Ann.cosineNearDupsLSH(df, idCol, vecCol,
-        threshold, bits, tables))
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 3,
+      keepScore: Option[String] = None): DataFrame = {
+    val pairs = graft.sim.Ann.cosineNearDupsLSH(df, idCol, vecCol,
+      threshold, bits, tables)
+    keepScore match {
+      case None => keepMinPerCluster(df, idCol, pairs)
+      case Some(s) => keepBestPerCluster(df, idCol, pairs, s)
+    }
+  }
 
   // -------------------------------------------------------------- SimHash
   /** 64-bit SimHash of a token array: per-token 64-bit hash votes on each

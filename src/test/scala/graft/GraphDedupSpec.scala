@@ -756,6 +756,31 @@ class GraphDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("cluster dedup keep-best: the max-score row represents each near-dup cluster") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = Seq(
+      (1L, base, 10L),
+      (2L, base.replace("today", "tonight"), 50L), // near-dup of 1, BEST
+      (3L, base.replace("today", "tomorrow"), 20L), // same cluster
+      (4L, "completely different text about catalyst plans and shuffles here now", 1L))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.5,
+      keepScore = Some("score"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L), kept.toString) // best of the cluster + singleton
+    // default stays keep-min (the q26 contract, unchanged)
+    assert(Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // embedding family: identical vectors cluster; max score survives
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 1L), (2L, Seq(1.0f, 0.0f), 9L),
+      (3L, Seq(0.0f, 1.0f), 5L))
+      .toDF("id", "v", "q")
+    assert(Dedup.embeddingDedup(vecs, "id", "v", threshold = 0.9999,
+      keepScore = Some("q"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("semanticContaminationFlagsLsh: certain recall on identical vectors, no false flags") {
     // 40 corpus rows on distinct random-ish directions + 3 exact copies
     // of the test vector: identical vectors share every bucket (θ=0) so
