@@ -832,22 +832,8 @@ object SparkEntry {
     // independent derivation rather than a re-run of the normalizer
     "q69_url_normalize" -> ((s, dir) => {
       val k = col("p_partkey").cast("long")
-      val tld = element_at(
-        array(lit(".com"), lit(".org"), lit(".co.uk"), lit(".net")),
-        (k % 4).cast("int") + 1)
-      val scheme = when(k % 2 === 0, lit("HTTPS")).otherwise(lit("http"))
-      val defPort = when(k % 2 === 0, lit(":443")).otherwise(lit(":80"))
-      val port = when(k % 3 === 0, defPort)
-        .when(k % 3 === 1, lit(":8080")).otherwise(lit(""))
-      val raw = concat(
-        scheme, lit("://WWW.Sub"), (k % 7).cast("string"),
-        lit(".Example"), (k % 13).cast("string"), tld, port,
-        lit("/Path"), (k % 11).cast("string"), lit("/item"),
-        lit("?utm_source=news&zz="), (k % 5).cast("string"),
-        lit("&aa="), (k % 3).cast("string"),
-        lit("#Sec"), (k % 2).cast("string"))
       t(s, dir, "part")
-        .select(k.as("url_id"), raw.as("url"))
+        .select(k.as("url_id"), synthUrl(k, malformedEvery = None).as("url"))
         .select(col("url_id"),
           graft.text.UrlTools.normalizeUrl(col("url")).as("url_norm"),
           graft.text.UrlTools.registeredDomain(col("url")).as("url_domain"))
@@ -1072,6 +1058,60 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "lang", "doc_id", "n_chars", frac = 0.25)),
 
+    // per-registered-domain corpus profile (UrlTools.domainStats):
+    // q69's synthesized messy URLs, every 17th row malformed so the
+    // NULL-domain volume bucket is under the gate; weight = p_size.
+    // The oracle spells domain + canonical url straight from the key
+    // formula and aggregates independently.
+    "q86_domain_stats" -> ((s, dir) =>
+      graft.text.UrlTools.domainStats(
+        t(s, dir, "part").select(col("p_partkey").cast("long").as("url_id"),
+          synthUrl(col("p_partkey").cast("long")).as("url"), col("p_size")),
+        "url", "p_size")),
+
+    // blocklist cut (UrlTools.blocklistFilter): four blocked domains —
+    // one deliberately messy (padded + mixed case, exercising the
+    // trim/lower on the list side), one matching nothing — over the
+    // same synthesized URLs; malformed URLs (NULL domain) must ALL
+    // survive. The oracle spells the kept-set predicate directly from
+    // the key formula.
+    "q87_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = Seq("example1.com", "example2.org",
+        "  Example5.co.uk  ", "nonexistent.net").toDF("domain")
+      graft.text.UrlTools.blocklistFilter(
+        t(s, dir, "part").select(col("p_partkey").cast("long").as("url_id"),
+          synthUrl(col("p_partkey").cast("long")).as("url")),
+        "url", blocked, "domain")
+        .select("url_id")
+    }),
+
+    // z-order layout key (Layout.zorderValue): the multi-column
+    // clustering sort key behind writeZOrdered — pure long arithmetic
+    // (IntegralDivide quantize + bit interleave), so the oracle replays
+    // min/max → quantize → 16 shift/mask terms exactly. The SPATIAL
+    // claim (every file narrow in every dimension) is measured in
+    // LayoutSpec; this row pins the arithmetic contract cross-engine.
+    "q89_zorder" -> ((s, dir) =>
+      graft.sources.Layout.zorderValue(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey"),
+        Seq("l_orderkey", "l_partkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("__zval").as("zval"))),
+
+    // contamination audit report keyed by TEST doc (TextAnalysis
+    // .contaminationReport): q53's exact split and gram arithmetic, but
+    // the deliverable is the per-benchmark-item leak table (distinct
+    // contaminating docs + distinct leaked grams, zeros for clean
+    // items). The oracle replays grams → inner join → two-key distinct
+    // counts from scratch on top of the shared decontamination CTEs.
+    "q88_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.text.TextAnalysis.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
     // incremental dedup (Dedup.incrementalDedup) — the daily-crawl
     // shape: batch = every 5th doc, corpus = the rest; boilerplate is
     // PLANTED with plain arithmetic on both sides (template A spans the
@@ -1264,6 +1304,34 @@ object SparkEntry {
 
   /** CTEs shared by the three decontamination oracles (q53/q68/q71):
     * normalize → distinct word 4-grams → the contaminated-id set. */
+  /** The messy synthetic URL shared by q69/q86/q87, closed-form in the
+    * part key so oracles can spell the EXPECTED canonical form /
+    * registered domain independently: uppercase scheme+host, www
+    * prefix, default vs explicit ports, a tracking param, params out
+    * of order, a fragment. `malformedEvery = Some(m)` replaces every
+    * m-th row with a non-URL, exercising the NULL-domain contract
+    * (malformed volume aggregates under NULL, never silently drops). */
+  private def synthUrl(k: Column, malformedEvery: Option[Int] = Some(17)): Column = {
+    val tld = element_at(
+      array(lit(".com"), lit(".org"), lit(".co.uk"), lit(".net")),
+      (k % 4).cast("int") + 1)
+    val scheme = when(k % 2 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val defPort = when(k % 2 === 0, lit(":443")).otherwise(lit(":80"))
+    val port = when(k % 3 === 0, defPort)
+      .when(k % 3 === 1, lit(":8080")).otherwise(lit(""))
+    val raw = concat(
+      scheme, lit("://WWW.Sub"), (k % 7).cast("string"),
+      lit(".Example"), (k % 13).cast("string"), tld, port,
+      lit("/Path"), (k % 11).cast("string"), lit("/item"),
+      lit("?utm_source=news&zz="), (k % 5).cast("string"),
+      lit("&aa="), (k % 3).cast("string"),
+      lit("#Sec"), (k % 2).cast("string"))
+    malformedEvery match {
+      case Some(m) => when(k % m === 0, lit("not a url")).otherwise(raw)
+      case None    => raw
+    }
+  }
+
   private lazy val decontaminateCtes: String =
     ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
       ", '\\s+') AS toks FROM documents), " +
@@ -1935,6 +2003,75 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk,
         |  count(*) OVER (PARTITION BY lang) AS n FROM s)
         |SELECT doc_id, lang, n_chars FROM r WHERE rk <= (n * 2500) // 10000""".stripMargin,
+
+    // domain + canonical url spelled straight from the key formula
+    // (q69's oracle arithmetic), malformed rows (k%17=0) under the
+    // NULL-domain bucket; independent aggregation
+    "q86_domain_stats" ->
+      """WITH d AS (SELECT CAST(p_partkey AS BIGINT) AS k, p_size,
+        |  CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE
+        |    'example' || (p_partkey % 13) ||
+        |    (CASE p_partkey % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |          WHEN 2 THEN '.co.uk' ELSE '.net' END) END AS domain,
+        |  CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE
+        |    (CASE WHEN p_partkey % 2 = 0 THEN 'https' ELSE 'http' END) ||
+        |    '://sub' || (p_partkey % 7) || '.example' || (p_partkey % 13) ||
+        |    (CASE p_partkey % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |          WHEN 2 THEN '.co.uk' ELSE '.net' END) ||
+        |    (CASE WHEN p_partkey % 3 = 1 THEN ':8080' ELSE '' END) ||
+        |    '/Path' || (p_partkey % 11) || '/item' ||
+        |    '?aa=' || (p_partkey % 3) || '&zz=' || (p_partkey % 5) END AS canon
+        | FROM part)
+        |SELECT domain, count(*) AS n_docs,
+        | count(DISTINCT canon) AS n_urls,
+        | CAST(sum(p_size) AS BIGINT) AS w_sum
+        |FROM d GROUP BY domain""".stripMargin,
+
+    // the kept-set predicate spelled DIRECTLY in key arithmetic (which
+    // keys land on each blocked domain), not via the domain string —
+    // an independent derivation; malformed rows all kept
+    "q87_blocklist" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS url_id FROM part
+        |WHERE p_partkey % 17 = 0 OR NOT (
+        |  (p_partkey % 13 = 1 AND p_partkey % 4 = 0) OR
+        |  (p_partkey % 13 = 2 AND p_partkey % 4 = 1) OR
+        |  (p_partkey % 13 = 5 AND p_partkey % 4 = 2))""".stripMargin,
+
+    // min/max → ((x-lo)·255) div span → the 16 shift/mask interleave
+    // terms, all in integer arithmetic — the exact z-key replayed
+    "q89_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((qa >> $i) & 1) << ${2 * i})",
+        s"(((qb >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH m AS (SELECT min(l_orderkey) alo, max(l_orderkey) ahi,
+         |  min(l_partkey) blo, max(l_partkey) bhi FROM lineitem),
+         |q AS (SELECT l_orderkey, l_linenumber,
+         |  ((l_orderkey - alo) * 255) // greatest(ahi - alo, 1) AS qa,
+         |  ((l_partkey - blo) * 255) // greatest(bhi - blo, 1) AS qb
+         | FROM lineitem, m)
+         |SELECT l_orderkey, l_linenumber,
+         | CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
+         |FROM q""".stripMargin
+    },
+
+    // the per-test-doc leak table replayed from scratch on the shared
+    // decontamination CTEs: inner join on the gram STRINGS (the engine
+    // joins 64-bit hashes — collision-free at gate scale), two-key
+    // distinct counts, zeros for clean test docs
+    "q88_contamination_report" -> (decontaminateCtes +
+      """
+        |SELECT t.doc_id AS test_id,
+        | CAST(coalesce(r.nd, 0) AS BIGINT) AS n_contaminating_docs,
+        | CAST(coalesce(r.ng, 0) AS BIGINT) AS n_shared_grams,
+        | coalesce(r.nd, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) t
+        |LEFT JOIN (
+        |  SELECT tg.doc_id AS tid, count(DISTINCT e.doc_id) AS nd,
+        |         count(DISTINCT e.gram) AS ng
+        |  FROM e JOIN (SELECT doc_id, gram FROM e WHERE doc_id % 20 = 0) tg
+        |    USING (gram)
+        |  WHERE e.doc_id % 20 <> 0
+        |  GROUP BY 1) r ON t.doc_id = r.tid""".stripMargin),
 
     // the UNFILTERED incremental contract replayed from scratch (the
     // driver row runs the bloom path — q68's shared-oracle pattern):

@@ -699,7 +699,13 @@ object RecipeConf {
         knob("mode", "drop") match {
           case "drop" => graft.text.TextAnalysis.decontaminate(df, test, id, text, n, testText, fpp)
           case "flag" => graft.text.TextAnalysis.contaminationFlags(df, test, id, text, n, testText, fpp)
-          case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag)")
+          // report: the audit table keyed by TEST doc (one row per
+          // benchmark item: contaminating-doc / leaked-gram counts);
+          // `test_id` names the benchmark set's id column when it
+          // differs from the train side's
+          case "report" => graft.text.TextAnalysis.contaminationReport(
+            df, test, id, text, n, knobOpt("test_id"), testText, fpp)
+          case other => sys.error(s"decontaminate: unknown mode '$other' (drop | flag | report)")
         }
       }
       // embedding-space decontamination: flag/drop rows whose vector has
@@ -809,6 +815,18 @@ object RecipeConf {
         df.withColumn("url_norm", graft.text.UrlTools.normalizeUrl(col(u)))
           .withColumn("url_domain", graft.text.UrlTools.registeredDomain(col(u)))
       }
+      // per-registered-domain corpus profile (domain-level curation):
+      // one row per domain with n_docs / n_urls / w_sum:
+      //   domain_stats: {url: col, weight: col}
+      case "domain_stats" => df =>
+        graft.text.UrlTools.domainStats(df, req("url"), req("weight"))
+      // drop rows whose registered domain is on a blocklist dataset
+      // (UT1-style domain lists; the list broadcasts, corpus stays
+      // map-side):
+      //   blocklist: {url: col, dataset: blocked, domain: col}
+      case "blocklist" => df =>
+        graft.text.UrlTools.blocklistFilter(df, req("url"),
+          namedDataset(), knob("domain", "domain"))
       // nearest-centroid assignment / cluster-balanced sampling
       // (embedding diversity caps). Codebook from a dataset, or fitted
       // with seeded k-means; `cap` keeps at most n rows per cluster:

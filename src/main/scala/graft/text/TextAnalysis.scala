@@ -241,6 +241,65 @@ object TextAnalysis {
       .drop("__graft_contaminated")
   }
 
+  /** Contamination REPORT, keyed by TEST document — the audit artifact
+    * a pipeline publishes next to the decontaminated corpus ("which
+    * benchmark items leaked, and how badly"): one row per test doc with
+    *   - `n_contaminating_docs`  distinct corpus docs sharing ≥1 word
+    *                             n-gram with this test doc
+    *   - `n_shared_grams`        distinct leaked grams of this test doc
+    *   - `contaminated`          n_contaminating_docs > 0
+    * Clean test docs appear with zeros (a report that silently omits
+    * clean items can't distinguish "clean" from "not checked").
+    *
+    * Scale shape: same exploded-gram meeting as [[contaminationFlags]],
+    * but an INNER join keyed on the 64-bit gram hash with BOTH ids kept,
+    * then a two-key distinct aggregate per test id. The test side is the
+    * bounded benchmark set, so per-test-doc fan-out is capped by that
+    * side; a boilerplate gram hot on the CORPUS side fans out only into
+    * the per-test-doc distinct — counts, never pair materialization
+    * beyond the aggregate's partial buffers. With `bloomFpp` set, the
+    * same broadcast Bloom filter as the flag/drop paths prunes clean
+    * corpus grams map-side, making the corpus-side shuffle
+    * corpus-independent; the report is identical because the exact join
+    * still decides every hit (false positives can't survive an inner
+    * join on the true gram hash). Counts aggregate gram HASHES — an
+    * xxhash64 collision would merge two grams (same conservative
+    * tolerance the flag path documents). */
+  def contaminationReport(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      testIdCol: Option[String] = None,
+      testTextCol: Option[String] = None,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    val tid = testIdCol.getOrElse(idCol)
+    val ttext = testTextCol.getOrElse(textCol)
+    val testGrams = test
+      .select(col(tid).as("test_id"),
+        explode(wordNgramsUdf(Tools.normalize(col(ttext)), lit(n))).as("gram"))
+      .select(col("test_id"), xxhash64(col("gram")).as("__gram_h"))
+    val trainGrams0 = wordNgrams(train, idCol, textCol, n)
+      .select(col(idCol).as("__train_id"), xxhash64(col("gram")).as("__gram_h"))
+    val trainGrams = bloomFpp match {
+      case None => trainGrams0
+      case Some(fpp) => testGramBloom(test, ttext, n, fpp) match {
+        case None => trainGrams0.limit(0)
+        case Some(bf) =>
+          val bcast = train.sparkSession.sparkContext.broadcast(bf)
+          val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
+          trainGrams0.filter(might(col("__gram_h")))
+      }
+    }
+    val hits = trainGrams.join(testGrams, Seq("__gram_h"))
+      .groupBy("test_id")
+      .agg(count_distinct(col("__train_id")).as("n_contaminating_docs"),
+        count_distinct(col("__gram_h")).as("n_shared_grams"))
+    test.select(col(tid).as("test_id")).distinct()
+      .join(hits, Seq("test_id"), "left")
+      .select(col("test_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_contaminating_docs") > 0)
+  }
+
   /** Decontaminated train set: train rows sharing no word n-gram with
     * the test set (the drop-variant of [[contaminationFlags]]). */
   def decontaminate(train: DataFrame, test: DataFrame,

@@ -135,4 +135,58 @@ object UrlTools {
     * (Dedup.keepMinPerKey). */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     graft.dedup.Dedup.keepMinPerKey(df, idCol, normalizeUrl(col(urlCol)))
+
+  /** Per-registered-domain corpus profile — the aggregation behind
+    * host/domain-level curation decisions (CommonCrawl-style pipelines
+    * rank and cut whole domains before touching row-level quality;
+    * cf. the reference's groupby/agg step, `code/recipes.py` around
+    * :1080, applied to the web-curation key):
+    *   - `n_docs`   rows carrying the domain
+    *   - `n_urls`   distinct CANONICAL urls (so `n_docs / n_urls` is
+    *                the domain's url-duplication factor)
+    *   - `w_sum`    sum of `weightCol` (chars, tokens, bytes — the
+    *                caller's volume metric), LongType
+    * Rows whose URL has no registered domain (malformed) aggregate
+    * under the NULL domain so volume is never silently dropped.
+    *
+    * Scale shape: one map-side-combined groupBy on the domain string;
+    * the distinct-url count is a two-level aggregate Catalyst plans as
+    * partial-distinct → final (no extra user-visible stage). Domains
+    * are a heavy-tailed key (a 100-TB crawl has single domains with
+    * 10⁸ pages) but the combine runs BEFORE the exchange, so the
+    * reduce side only merges per-partition partials — skew shows up as
+    * one hot reducer merging longs, not as a data pileup. */
+  def domainStats(df: DataFrame, urlCol: String, weightCol: String): DataFrame =
+    df.select(registeredDomain(col(urlCol)).as("domain"),
+        normalizeUrl(col(urlCol)).as("__url_norm"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__url_norm")).as("n_urls"),
+        sum("__w").as("w_sum"))
+
+  /** Drop rows whose REGISTERED DOMAIN appears in a blocklist table —
+    * the standard first cut of web curation (UT1/adult/spam domain
+    * lists), applied before any content processing so blocked volume
+    * never costs a decode or a shuffle downstream.
+    *
+    * The blocklist is a DECLARED-SMALL curation artifact (the common
+    * public lists run 10⁵–10⁶ domains ≈ tens of MB hashed), so it is
+    * statically broadcast and the corpus side stays map-side — zero
+    * corpus shuffle, same discipline as the Bloom-prefilter path. This
+    * is in contract with SCALE.md's "no unestimable static broadcasts"
+    * rule: the list is a user-provided input of declared bounded size,
+    * not a derived table the planner can't see. Rows with no
+    * registered domain (malformed URLs) are KEPT — NULL never equals a
+    * blocklist entry, and a malformed URL is data for downstream
+    * quality filters, not an implicit block. Blocklist entries are
+    * matched as registered domains exactly (subdomains of a blocked
+    * domain share its registered domain, so they are blocked too). */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val blocked = broadcast(
+      blocklist.select(lower(trim(col(domainCol))).as("__blocked_domain")))
+    df.join(blocked,
+      registeredDomain(col(urlCol)) === col("__blocked_domain"), "left_anti")
+  }
 }

@@ -325,6 +325,59 @@ class CurationSpec extends SparkSpec {
     assert(groups(None) == 2L) // NULL canonicals grouped, not dropped
   }
 
+  test("domainStats: per-domain docs/urls/weight; malformed volume under NULL") {
+    import graft.text.UrlTools
+    val df = Seq(
+      // ex.com: 3 docs over 2 canonical urls (ids 1+2 share one)
+      (1L, "https://www.ex.com/a?utm_source=t", 10L),
+      (2L, "HTTPS://EX.com:443/a", 20L),
+      (3L, "https://sub.ex.com/b", 30L),
+      (4L, "http://other.org/x", 5L),
+      (5L, "not a url", 7L))
+      .toDF("id", "url", "w")
+    val out = UrlTools.domainStats(df, "url", "w").collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"), r.getAs[Long]("w_sum"))))
+      .toMap
+    assert(out(Some("ex.com")) == ((3L, 2L, 60L)), out.toString)
+    assert(out(Some("other.org")) == ((1L, 1L, 5L)))
+    // malformed: counted (never silently dropped), but 0 distinct urls
+    assert(out(None) == ((1L, 0L, 7L)))
+  }
+
+  test("blocklistFilter drops blocked registered domains incl. subdomains; NULL-domain rows survive") {
+    import graft.text.UrlTools
+    val df = Seq(
+      (1L, "https://ex.com/a"),
+      (2L, "https://deep.sub.ex.com/b"), // subdomain of a blocked domain
+      (3L, "https://ok.org/c"),
+      (4L, "https://shop.Blocked.co.uk/d"), // multi-part suffix
+      (5L, "not a url"))
+      .toDF("id", "url")
+    // list side is messy on purpose: padding + case must not matter
+    val blocked = Seq("  EX.com ", "blocked.CO.UK", "unused.net").toDF("domain")
+    val kept = UrlTools.blocklistFilter(df, "url", blocked, "domain")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 5L), kept.toString)
+    // the YAML step wires the same cut
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bl").toString
+    df.write.mode("overwrite").parquet(s"$tmp/docs")
+    blocked.write.mode("overwrite").parquet(s"$tmp/blocked")
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $tmp/docs, format: parquet}
+         |  blocked: {path: $tmp/blocked, format: parquet}
+         |recipes:
+         |  cut:
+         |    input: docs
+         |    steps:
+         |      - blocklist: {url: url, dataset: blocked, domain: domain}
+         |""".stripMargin)
+    val out = graft.conf.RecipeConf.run(spark, conf, "cut")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(3L, 5L))
+  }
+
   test("extractHtmlText: blocks die whole, structure becomes lines, entities decode once") {
     import graft.text.Curation
     val html = "<html><head><title> T &amp;1 </title><style>p{x:y}</style></head>" +

@@ -533,6 +533,32 @@ class GraphDedupSpec extends SparkSpec {
     assert(col1[Long](kept, "doc_id") == Seq(2L))
   }
 
+  test("contaminationReport: per-test-doc distinct doc/gram counts, zeros for clean items, bloom-invariant") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),  // shares 2 grams with b1
+      (2L, "alpha beta other words"),  // shares 1 gram with b1
+      (3L, "one two three four"))      // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      ("b1", 10L, "alpha beta gamma epsilon"), // leaked: alpha-beta, beta-gamma
+      ("b2", 20L, "nothing shared here at all"))
+      .toDF("bench_name", "bench_id", "bench_text")
+    def report(fpp: Option[Double]) = TextAnalysis.contaminationReport(
+        train, bench, "doc_id", "text", n = 2,
+        testIdCol = Some("bench_id"), testTextCol = Some("bench_text"),
+        bloomFpp = fpp)
+      .collect().map(r => r.getAs[Long]("test_id") ->
+        ((r.getAs[Long]("n_contaminating_docs"), r.getAs[Long]("n_shared_grams"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    val plain = report(None)
+    // b1: docs {1,2} leak; distinct leaked grams of b1 = {alpha beta,
+    // beta gamma} = 2. b2 clean → explicit zeros, present in the report.
+    assert(plain == Map(10L -> ((2L, 2L, true)), 20L -> ((0L, 0L, false))),
+      plain.toString)
+    // the Bloom prefilter changes the plan, never the report
+    assert(report(Some(0.01)) == plain)
+  }
+
   test("clusterAssign: nearest centroid, deterministic ties, NULL/bad vectors") {
     import graft.sim.Cluster
     val docs = Seq(
