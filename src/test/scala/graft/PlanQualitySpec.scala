@@ -162,6 +162,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!h.contains("UDF("), s"extractHtmlText must stay pure Column exprs:\n$h")
   }
 
+  test("q87 blocklist cut: the list broadcasts, the corpus never enters an exchange") {
+    // the blocklist is the declared-small side — the anti-join must be
+    // a static BroadcastHashJoin with no shuffle anywhere (the corpus
+    // side stays map-side at any scale)
+    val p = plan("q87_blocklist")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus side must not shuffle for a blocklist cut:\n$p")
+    // domain stats: ONE aggregation exchange (the groupBy), pure
+    // Column domain/url arithmetic — no UDF
+    val d = plan("q86_domain_stats")
+    assert(!d.contains("UDF("), s"domainStats must stay pure Column exprs:\n$d")
+    assert(d.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"domainStats should shuffle only for its two-phase distinct agg:\n$d")
+  }
+
   test("q68 bloom prefilter drops grams map-side; the verdict id set joins by broadcast") {
     // two structural properties, one per corpus pass (round 9 — the id
     // set is persisted + counted at build, so the gram semi-join lives
