@@ -1098,6 +1098,38 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("__zval").as("zval"))),
 
+    // CCNet-style rank-quantile bucketing (Curation.rankBuckets):
+    // n_chars terciles → head/middle/tail labels on EVERY row. The
+    // oracle is the contract's direct spelling — row_number over
+    // (score desc, id) against the two DIV-arithmetic cut ranks — which
+    // the engine must reproduce from its histogram + broadcast +
+    // straddle-tie plan without a global sort. 137 repeated n_chars
+    // values at sf0.01 put the straddle path under the gate.
+    "q90_score_buckets" -> ((s, dir) =>
+      graft.text.Curation.rankBuckets(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", fracs = Seq(1.0 / 3, 2.0 / 3),
+        labels = Seq("head", "middle", "tail"))),
+
+    // unicode-script mix (TextAnalysis.withScriptMix): text synthesized
+    // closed-form from five script alphabets + digits so the oracle
+    // spells every count and the priority-argmax main_script straight
+    // from the key formula — including the all-zero → unknown row
+    "q91_script_mix" -> ((s, dir) => {
+      val k = col("doc_id")
+      val text = concat(
+        repeat(lit("a"), (k % 7).cast("int")),
+        repeat(lit("б"), (k % 5).cast("int")),
+        repeat(lit("ω"), (k % 6).cast("int")),
+        repeat(lit("ش"), (k % 2).cast("int")),
+        repeat(lit("的"), (k % 3).cast("int")),
+        lit(" "),
+        repeat(lit("7"), (k % 4).cast("int")))
+      graft.text.TextAnalysis.withScriptMix(
+        t(s, dir, "documents").select(k.as("doc_id"), text.as("text")),
+        "text")
+    }),
+
     // contamination audit report keyed by TEST doc (TextAnalysis
     // .contaminationReport): q53's exact split and gram arithmetic, but
     // the deliverable is the per-benchmark-item leak table (distinct
@@ -2053,6 +2085,55 @@ object SparkEntry {
          | CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
          |FROM q""".stripMargin
     },
+
+    // the bucketing contract spelled directly: global (score desc, id)
+    // row_number against the two DIV cut ranks; NULL scores ride along
+    // with NULL buckets
+    "q90_score_buckets" ->
+      """WITH s AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+        |  count(*) OVER () AS n FROM s),
+        |b AS (SELECT doc_id, n_chars,
+        |  CASE WHEN rk <= (n * 3333) // 10000 THEN 0
+        |       WHEN rk <= (n * 6667) // 10000 THEN 1 ELSE 2 END AS bucket FROM r)
+        |SELECT doc_id, n_chars, CAST(bucket AS INTEGER) AS bucket,
+        |  CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket_label
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id, n_chars, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+        |FROM documents WHERE n_chars IS NULL""".stripMargin,
+
+    // every count and the priority argmax spelled from the moduli (the
+    // engine runs real range-regex counting over the built string);
+    // digits are counted but never win main_script
+    "q91_script_mix" ->
+      """SELECT doc_id,
+        |  repeat('a', CAST(doc_id % 7 AS INTEGER)) ||
+        |  repeat('б', CAST(doc_id % 5 AS INTEGER)) ||
+        |  repeat('ω', CAST(doc_id % 6 AS INTEGER)) ||
+        |  repeat('ش', CAST(doc_id % 2 AS INTEGER)) ||
+        |  repeat('的', CAST(doc_id % 3 AS INTEGER)) || ' ' ||
+        |  repeat('7', CAST(doc_id % 4 AS INTEGER)) AS text,
+        |  CAST(doc_id % 7 AS INTEGER) AS n_latin,
+        |  CAST(doc_id % 5 AS INTEGER) AS n_cyrillic,
+        |  CAST(doc_id % 6 AS INTEGER) AS n_greek,
+        |  CAST(doc_id % 2 AS INTEGER) AS n_arabic,
+        |  CAST(doc_id % 3 AS INTEGER) AS n_cjk,
+        |  CAST(doc_id % 4 AS INTEGER) AS n_digit,
+        |  CASE WHEN doc_id % 7 = 0 AND doc_id % 5 = 0 AND doc_id % 6 = 0
+        |            AND doc_id % 2 = 0 AND doc_id % 3 = 0 THEN 'unknown'
+        |       WHEN doc_id % 7 >= doc_id % 5 AND doc_id % 7 >= doc_id % 6
+        |            AND doc_id % 7 >= doc_id % 2 AND doc_id % 7 >= doc_id % 3
+        |            THEN 'latin'
+        |       WHEN doc_id % 5 >= doc_id % 6 AND doc_id % 5 >= doc_id % 2
+        |            AND doc_id % 5 >= doc_id % 3 THEN 'cyrillic'
+        |       WHEN doc_id % 6 >= doc_id % 2 AND doc_id % 6 >= doc_id % 3
+        |            THEN 'greek'
+        |       WHEN doc_id % 2 >= doc_id % 3 THEN 'arabic'
+        |       ELSE 'cjk' END AS main_script
+        |FROM documents""".stripMargin,
 
     // the per-test-doc leak table replayed from scratch on the shared
     // decontamination CTEs: inner join on the gram STRINGS (the engine

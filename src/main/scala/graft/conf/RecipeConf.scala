@@ -636,6 +636,19 @@ object RecipeConf {
         case None => graft.text.Curation.selectTopFraction(
           df, req("id"), req("score"), frac = knobDouble("frac", 0.1))
       }
+      // CCNet-style rank-quantile bucketing (head/middle/tail): every
+      // scored row gets `bucket` (+ optional `bucket_label`); exactly
+      // n·frac_j rows at or below each cut, NULL scores → NULL bucket:
+      //   score_buckets: {id, score, fracs: [0.3333, 0.6667]
+      //                   [, labels: [head, middle, tail]]}
+      case "score_buckets" => df =>
+        graft.text.Curation.rankBuckets(df, req("id"), req("score"),
+          reqList("fracs").map(_.toDouble),
+          strSeq(m.getOrElse("labels", null)))
+      // unicode-script character mix + main_script routing signal:
+      //   script_mix: {text: col}
+      case "script_mix" => df =>
+        graft.text.TextAnalysis.withScriptMix(df, req("text"))
       // token-budget shard layout for export (+ partitionBy(shard_id)
       // on the sink): shard: {id, text, budget: N[, buckets, salt]}
       case "shard" => df =>

@@ -596,6 +596,75 @@ object Curation {
     above.unionByName(ties).drop("__k", "__thr", "__above", "__kq")
   }
 
+  /** Exact rank-quantile BUCKETING — the CCNet-style head/middle/tail
+    * split (perplexity terciles routing docs to different treatments),
+    * generalized: `fracs` are ascending cumulative cut fractions
+    * (e.g. 1/3, 2/3), and every scored row gets `bucket` b = the
+    * number of cuts strictly below its rank, ranked (score desc, id) —
+    * so bucket ≤ j holds EXACTLY k_j = n·bp_j div 10000 rows, the
+    * [[selectTopFraction]] contract at every boundary at once (that
+    * operator is the one-cut filter special case; this one labels
+    * instead of filtering). NULL scores keep their rows with a NULL
+    * bucket — routing is a policy choice downstream, unscorable ≠
+    * droppable. Optional `labels` adds `bucket_label`.
+    *
+    * Scale shape, inherited from [[selectTopFraction]]: score
+    * HISTOGRAM (map-side combined, cumulative window over DISTINCT
+    * scores — declared-small by the integer-score contract), broadcast
+    * back; a score group whose whole rank range (lo, hi] falls inside
+    * one bucket labels ROW-LOCALLY from the broadcast table; only the
+    * ≤ |fracs| score groups STRADDLING a cut rank their ties (window
+    * partitioned by that score value). No global sort at any size. */
+  def rankBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      fracs: Seq[Double], labels: Seq[String] = Nil): DataFrame = {
+    require(fracs.nonEmpty, "rankBuckets: need at least one cut fraction")
+    require(fracs == fracs.sorted && fracs.forall(f => f > 0 && f < 1),
+      s"rankBuckets: fracs must be ascending inside (0, 1), got $fracs")
+    require(labels.isEmpty || labels.size == fracs.size + 1,
+      s"rankBuckets: need ${fracs.size + 1} labels, got ${labels.size}")
+    val bps = fracs.map(f => math.round(f * 10000))
+    require(bps.distinct.size == bps.size,
+      s"rankBuckets: fracs collide at basis-point precision: $fracs")
+    val W = org.apache.spark.sql.expressions.Window
+    // bucket of rank r = #{cuts k_j < r}
+    def bkt(ks: Column, r: Column): Column = size(filter(ks, k => k < r))
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val hist = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(
+      W.orderBy(col("__s").desc).rowsBetween(W.unboundedPreceding, 0)))
+    val totals = broadcast(cum.agg(max(col("__cum")).as("__n")))
+    val scoreTbl = broadcast(cum.crossJoin(totals)
+      // the cut ranks, in LONG arithmetic (the shared DIV discipline)
+      .withColumn("__ks", expr(
+        s"transform(array(${bps.mkString(",")}), bp -> (__n * bp) DIV 10000)"))
+      .withColumn("__lo", col("__cum") - col("__c"))
+      .withColumn("__blo", bkt(col("__ks"), col("__lo") + 1))
+      .withColumn("__bhi", bkt(col("__ks"), col("__cum")))
+      .select(col("__s"), col("__lo"), col("__ks"), col("__blo"), col("__bhi")))
+    val joined = scored.join(scoreTbl, col(scoreCol) === col("__s"))
+    val const = joined.filter(col("__blo") === col("__bhi"))
+      .withColumn("bucket", col("__blo").cast("int"))
+    val straddle = joined.filter(col("__blo") =!= col("__bhi"))
+      .withColumn("__r", col("__lo") + row_number().over(
+        W.partitionBy(col(scoreCol)).orderBy(col(idCol))))
+      .withColumn("bucket", bkt(col("__ks"), col("__r")).cast("int"))
+      .drop("__r")
+    val out = const.unionByName(straddle)
+      .drop("__s", "__lo", "__ks", "__blo", "__bhi")
+      .unionByName(df.filter(col(scoreCol).isNull)
+        .withColumn("bucket", lit(null).cast("int")))
+    if (labels.isEmpty) out
+    // a when-chain, not element_at(array, bucket+1): ANSI ElementAt
+    // declares itself non-nullable over a non-null array literal, so a
+    // NULL bucket (unscored row) NPEs the optimizer's local-relation
+    // projection; the when-chain is honestly nullable
+    else out.withColumn("bucket_label",
+      labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (el, (lbl, j)) => when(col("bucket") === j, lit(lbl)).otherwise(el)
+      })
+  }
+
   /** Token-budget shard assignment for exporting a finished training
     * mix: rows land in `buckets` deterministic md5 buckets (the
     * engine-portable salted bucket every curation op uses), and within

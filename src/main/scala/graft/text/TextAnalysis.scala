@@ -97,6 +97,47 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
+  /** Unicode-SCRIPT character mix — the routing signal upstream of
+    * [[langId]] (script decides tokenizer/pipeline before any language
+    * model runs; CommonCrawl pipelines cut or route on script share).
+    * Counts characters per script via EXPLICIT codepoint ranges — not
+    * a regex library's `\p{script=}` tables, whose Unicode versions
+    * differ across engines — so any engine replays the counts
+    * identically. Pure `length(x) - length(regexp_replace(...))`
+    * Column arithmetic: row-local, codegen'd, no UDF, no shuffle.
+    * Scripts counted: latin, cyrillic, greek, arabic, CJK (BMP unified
+    * ideographs), plus ASCII digits (script-neutral, excluded from
+    * `main_script`). `main_script` = the max-count script, ties to the
+    * earlier listed; all-zero → "unknown"; NULL text → NULL counts and
+    * NULL main_script. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "cjk" -> "\\u4E00-\\u9FFF",
+    "digit" -> "0-9")
+
+  def scriptCount(c: Column, range: String): Column =
+    length(c) - length(regexp_replace(c, s"[$range]", ""))
+
+  /** `df` plus `n_<script>` counts and `main_script` (see
+    * [[scriptRanges]]). */
+  def withScriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val counts = scriptRanges.map { case (n, r) => n -> scriptCount(t0, r) }
+    val letters = counts.filter(_._1 != "digit")
+    val m = greatest(letters.map(_._2): _*)
+    val pick = letters.foldRight(lit("unknown")) { case ((n, cnt), el) =>
+      when(cnt === m, lit(n)).otherwise(el)
+    }
+    val main = when(t0.isNull, lit(null).cast("string"))
+      .when(letters.map(_._2).reduce(_ + _) === 0, lit("unknown"))
+      .otherwise(pick)
+    counts.foldLeft(df) { case (d, (n, cnt)) => d.withColumn(s"n_$n", cnt) }
+      .withColumn("main_script", main)
+  }
+
   // ----------------------------------------- winnowing fingerprints
   /** Row-local winnowing kernel. A UDF on purpose, with the measurement
     * that justifies it: the declarative spelling — transform(sequence)

@@ -253,6 +253,84 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("rankBuckets: exact-k at every cut, straddle ties by id, NULL scores labeled NULL") {
+    import graft.text.Curation
+    // 9 rows all sharing ONE score — the fully-straddling worst case:
+    // both cuts land inside the single tie group, ranks come from id
+    val flat = (1L to 9L).map(i => (i, 5L)).toDF("id", "s")
+    val out = Curation.rankBuckets(flat, "id", "s", Seq(1.0 / 3, 2.0 / 3),
+      labels = Seq("head", "middle", "tail"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("bucket"), r.getAs[String]("bucket_label")))).toMap
+    // k1 = 9·3333 div 10⁴ = 2, k2 = 9·6667 div 10⁴ = 6 → 2 / 4 / 3
+    assert((1L to 2L).forall(out(_) == ((0, "head"))), out.toString)
+    assert((3L to 6L).forall(out(_) == ((1, "middle"))), out.toString)
+    assert((7L to 9L).forall(out(_) == ((2, "tail"))), out.toString)
+    // distinct scores + a NULL: scored rows bucket by rank (desc), the
+    // NULL row survives with NULL bucket and label. n=3 exposes the
+    // floor contract: k₁ = 3·3333 div 10⁴ = 0, so the head bucket is
+    // EMPTY (same DIV arithmetic as selectTopFraction — a 3-row corpus
+    // has no exact tercile head), k₂ = 2 → middle gets ranks 1-2.
+    val mixed = Seq((1L, Some(30L)), (2L, Some(20L)), (3L, Some(10L)),
+      (4L, None)).toDF("id", "s")
+    val m = Curation.rankBuckets(mixed, "id", "s", Seq(1.0 / 3, 2.0 / 3),
+      labels = Seq("head", "middle", "tail")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Integer]("bucket"))).toMap
+    assert(m == Map(1L -> Some(1), 2L -> Some(1), 3L -> Some(2), 4L -> None),
+      m.toString)
+    // config errors are loud
+    intercept[IllegalArgumentException] {
+      Curation.rankBuckets(flat, "id", "s", Seq(0.7, 0.3))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.rankBuckets(flat, "id", "s", Seq(0.5), labels = Seq("only"))
+    }
+  }
+
+  test("withScriptMix counts explicit codepoint ranges; priority argmax; YAML step") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "abc де 的的 123"),      // latin 3, cyr 2, cjk 2, digit 3
+      (2L, "ωωω ωω"),               // greek only
+      (3L, "...! 42"),              // no letters → unknown
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.withScriptMix(df, "text").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getAs[Integer]("n_latin")),
+        Option(r.getAs[Integer]("n_cyrillic")), Option(r.getAs[Integer]("n_cjk")),
+        Option(r.getAs[Integer]("n_digit")), Option(r.getAs[String]("main_script")))))
+      .toMap
+    assert(out(1L) == ((Some(3), Some(2), Some(2), Some(3), Some("latin"))))
+    assert(out(2L)._5 == Some("greek"))
+    assert(out(3L) == ((Some(0), Some(0), Some(0), Some(2), Some("unknown"))))
+    assert(out(4L) == ((None, None, None, None, None)))
+    // tie between two scripts breaks to the earlier listed (latin)
+    val tie = TextAnalysis.withScriptMix(
+      Seq((1L, "aб")).toDF("id", "text"), "text").head
+    assert(tie.getAs[String]("main_script") == "latin")
+    // YAML steps wire both new operators
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sm").toString
+    Seq((1L, "abc", 30L), (2L, "де", 20L), (3L, "x", 10L))
+      .toDF("id", "text", "q").write.mode("overwrite").parquet(tmp)
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $tmp, format: parquet}
+         |recipes:
+         |  route:
+         |    input: docs
+         |    steps:
+         |      - script_mix: {text: text}
+         |      - score_buckets: {id: id, score: q, fracs: [0.34, 0.67],
+         |                        labels: [head, middle, tail]}
+         |""".stripMargin)
+    val rows = graft.conf.RecipeConf.run(spark, conf, "route").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("main_script"), r.getAs[String]("bucket_label")))).toMap
+    assert(rows(1L) == (("latin", "head")))
+    assert(rows(2L) == (("cyrillic", "middle")))
+    assert(rows(3L) == (("latin", "tail")))
+  }
+
   // ------------------------------------------------------ URL curation
   test("normalizeUrl applies every canonicalization rule; non-URLs go NULL") {
     import graft.text.UrlTools
