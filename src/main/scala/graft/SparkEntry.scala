@@ -1098,6 +1098,14 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("__zval").as("zval"))),
 
+    // per-column dataset profile (sources.Profile): one agg pass over
+    // orders → row count / nulls / EXACT distincts / numeric min-max
+    // per column; the oracle recomputes every statistic per column and
+    // spells the dtype labels. exact=true is the validation mode the
+    // gate wants (DuckDB-replayable); approx HLL is the corpus default.
+    "q92_profile" -> ((s, dir) =>
+      graft.sources.Profile.profile(t(s, dir, "orders"), exact = true)),
+
     // CCNet-style rank-quantile bucketing (Curation.rankBuckets):
     // n_chars terciles → head/middle/tail labels on EVERY row. The
     // oracle is the contract's direct spelling — row_number over
@@ -2085,6 +2093,22 @@ object SparkEntry {
          | CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
          |FROM q""".stripMargin
     },
+
+    // every per-column statistic recomputed from scratch, dtype labels
+    // spelled to Spark's simpleString names
+    "q92_profile" -> Seq(
+      ("o_orderkey", "bigint", true), ("o_custkey", "bigint", true),
+      ("o_orderstatus", "string", false), ("o_totalprice", "double", true),
+      ("o_orderdate", "timestamp_ntz", false),
+      ("o_orderpriority", "string", false))
+      .map { case (c, dt, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, '$dt' AS dtype, count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     // the bucketing contract spelled directly: global (score desc, id)
     // row_number against the two DIV cut ranks; NULL scores ride along

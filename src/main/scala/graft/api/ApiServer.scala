@@ -377,6 +377,18 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           respond(ex, 200, jsonRows(df, sizeOpt.get))
         }
 
+      // per-column profile — the aggregate companion of the sample
+      // endpoint (row/null/distinct counts + numeric ranges feed the
+      // same dataset-inspection UI the sample rows do). Distincts are
+      // approx (HLL) unless exact=true: a profile click on a corpus-
+      // sized dataset must not plan an Expand over every column.
+      case ("POST", List("datasets", name, "_profile"))
+          if cfg.datasets.contains(name) =>
+        val exact = params.get("exact").contains("true")
+        val prof = graft.sources.Profile.profile(
+          RecipeConf.read(spark, cfg.datasets(name)), exact)
+        respond(ex, 200, jsonRows(prof, 1000)) // one row per input column
+
       // search proxy over a native index dataset (docs + postings,
       // Sinks.indexed) — the ES _search analogue (api.py:750-781):
       // IDF-scored token query, top-k docs back as JSON

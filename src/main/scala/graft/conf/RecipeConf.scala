@@ -649,6 +649,11 @@ object RecipeConf {
       //   script_mix: {text: col}
       case "script_mix" => df =>
         graft.text.TextAnalysis.withScriptMix(df, req("text"))
+      // per-column dataset profile (row/null/distinct counts, numeric
+      // min-max); distincts are approx (HLL) unless exact: true:
+      //   profile: {exact: true|false}
+      case "profile" => df =>
+        graft.sources.Profile.profile(df, exact = knob("exact", "false").toBoolean)
       // token-budget shard layout for export (+ partitionBy(shard_id)
       // on the sink): shard: {id, text, budget: N[, buckets, salt]}
       case "shard" => df =>

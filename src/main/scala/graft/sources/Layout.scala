@@ -103,9 +103,13 @@ object Layout {
       .drop("__zval")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** Rewrite a parquet directory into ~`targetMb`-sized files and swap
-    * it in place atomically (write to a sibling temp dir, rename over —
-    * the same last-wins discipline as Sinks.upsert). `sortBy` re-sorts
+  /** Rewrite a parquet directory into ~`targetMb`-sized files: write a
+    * sibling temp dir, then swap via two renames with a restore path
+    * (a failed second rename puts the original back — the table is
+    * never lost). NOT reader-atomic: between the renames the path is
+    * briefly absent, so schedule compaction in the maintenance window
+    * like any table rewrite (table-format transaction logs are what
+    * close that window; out of scope here by design). `sortBy` re-sorts
     * within output files so compaction can also restore clustering that
     * incremental appends destroyed. File count comes from the CURRENT
     * on-disk byte size — compression ratio carries over since the data

@@ -452,6 +452,31 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("_profile returns per-column stats; exact=true flips the distinct mode") {
+    import spark.implicits._
+    val pDir = s"$dir/profds"
+    Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "s").write.mode("overwrite").parquet(pDir)
+    val conf = RecipeConf.load(
+      s"datasets:\n  d: {path: $pDir, format: parquet}\nrecipes: {}")
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      val r = send("POST", s"$base/datasets/d/_profile?exact=true")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains(""""col_name":"id"""") &&
+        r.body().contains(""""n_rows":3"""), r.body())
+      // the string column: 1 null, 1 distinct, no numeric range
+      assert(r.body().contains(""""col_name":"s","dtype":"string","n_rows":3,"n_nulls":1,"n_distinct":1"""),
+        r.body())
+      // approx mode answers too (same shape; HLL exact at this size)
+      val a = send("POST", s"$base/datasets/d/_profile")
+      assert(a.statusCode() == 200 && a.body().contains(""""n_distinct":3"""))
+      // unknown dataset → not this route
+      assert(send("POST", s"$base/datasets/nope/_profile").statusCode() == 404)
+    } finally api.stop()
+  }
+
   test("_knn searches vectors: brute force on plain datasets, IVF probe on ann_index") {
     import spark.implicits._
     // 2-D unit vectors at distinct angles — nearest-by-cosine is

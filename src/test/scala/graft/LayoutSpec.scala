@@ -76,7 +76,7 @@ class LayoutSpec extends SparkSpec {
     assert(yb >= 48, s"baseline y-range $yb should be ~full-domain (63)")
   }
 
-  test("compact rewrites many small files into few, atomically, preserving rows") {
+  test("compact rewrites many small files into few, swap leaves no residue, rows preserved") {
     val dir = java.nio.file.Files.createTempDirectory("graft-c").toString + "/t"
     val df = spark.range(10000L).select(col("id"), (col("id") % 97).as("k"))
     df.repartition(20).write.parquet(dir)

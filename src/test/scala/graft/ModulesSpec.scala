@@ -813,6 +813,37 @@ class ModulesSpec extends SparkSpec {
     assert(out(2) == Seq("a b", "b c"))
   }
 
+  test("profile: per-column nulls/distincts/ranges in one pass; approx mode tracks exact") {
+    import graft.sources.Profile
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, Some("a"), None),
+      (3L, None, Some(-2.0)))
+      .toDF("id", "s", "x")
+    val m = Profile.profile(df, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def stats(c: String) = {
+      val r = m(c)
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+        r.getAs[Long]("n_distinct"), Option(r.getAs[java.lang.Double]("min_num")),
+        Option(r.getAs[java.lang.Double]("max_num")))
+    }
+    assert(m("id").getAs[String]("dtype") == "bigint")
+    assert(stats("id") == ((3L, 0L, 3L, Some(1.0), Some(3.0))))
+    // NULLs: counted, excluded from distincts; strings carry no min_num
+    assert(stats("s") == ((3L, 1L, 1L, None, None)))
+    assert(stats("x") == ((3L, 1L, 2L, Some(-2.0), Some(1.5))))
+    // approx mode (the corpus default) returns the same schema and is
+    // exact at this cardinality (HLL++ is exact for tiny sets)
+    val a = Profile.profile(df).collect().map(r => r.getString(0) ->
+      r.getAs[Long]("n_distinct")).toMap
+    assert(a == Map("id" -> 3L, "s" -> 1L, "x" -> 2L))
+    // quoted column names would corrupt the generated stack expr — loud
+    intercept[IllegalArgumentException] {
+      Profile.profile(df.withColumnRenamed("s", "it's"))
+    }
+  }
+
   test("registry: scalar functions usable from SQL") {
     Registry.register(spark)
     val r = spark.sql(
