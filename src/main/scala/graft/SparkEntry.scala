@@ -1098,6 +1098,18 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("__zval").as("zval"))),
 
+    // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
+    // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
+    // DOWN to 0.5× through the same arithmetic, de/es pass through at
+    // the default 1. The oracle replays floor/frac-bp + the shared md5
+    // bucket and generates copies with generate_series.
+    "q93_epochs_mix" -> ((s, dir) =>
+      graft.operators.Ops.epochsMix(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id",
+        epochs = Seq("en" -> 0.5, "zh" -> 2.3, "fr" -> 3.0),
+        salt = "v1")),
+
     // per-column dataset profile (sources.Profile): one agg pass over
     // orders → row count / nulls / EXACT distincts / numeric min-max
     // per column; the oracle recomputes every statistic per column and
@@ -2093,6 +2105,22 @@ object SparkEntry {
          | CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
          |FROM q""".stripMargin
     },
+
+    // floor/frac-bp per lang spelled literally, the shared md5 bucket,
+    // copies from generate_series — the mix contract replayed
+    "q93_epochs_mix" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2
+        |       WHEN 'fr' THEN 3 ELSE 1 END AS fl,
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+        |       ELSE 0 END AS bp
+        | FROM documents),
+        |b AS (SELECT doc_id, lang, fl + CASE WHEN
+        |  ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |    % 10000 < bp THEN 1 ELSE 0 END AS nc FROM p)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(0, nc - 1)) AS INTEGER) AS epoch
+        |FROM b WHERE nc > 0""".stripMargin,
 
     // every per-column statistic recomputed from scratch, dtype labels
     // spelled to Spark's simpleString names

@@ -788,6 +788,15 @@ object RecipeConf {
           temperature = t.toDoubleOption.getOrElse(
             sys.error(s"sample: 'temperature' must be numeric, got '$t'")),
           salt = knob("salt", ""))
+        // epochs: {src: factor, ...} — repeat-factor UPsampling (adds
+        // `epoch`); factors may be fractional or < 1, unlisted keys
+        // take `default` (1 = pass-through)
+        case None if m.get("epochs").exists(_ != null) =>
+          Ops.epochsMix(df, req("key"), req("id"),
+            anyMap(m("epochs")).toSeq
+              .map { case (k, v) => k -> numVal("sample", "epochs", k, v) },
+            defaultEpochs = knobDouble("default", 1.0),
+            salt = knob("salt", ""))
         case None => Ops.sampleByKey(df, req("key"),
           req("id"),
           // a missing/misspelled/BLANK `rates` must not silently sample

@@ -443,4 +443,37 @@ object Ops {
     withN.filter(hashBucket(idCol, salt) < floor(rate * lit(10000.0)))
       .drop("__tk", "__tn", "__tmin")
   }
+
+  /** Source UPSAMPLING by repeat factor ("epochs") — the other half of
+    * mixing next to [[sampleByKey]]/[[sampleToTemperature]]: a
+    * pretraining mix repeats scarce high-quality sources (2–4 epochs
+    * of wiki/books against one epoch of web crawl). Each row of key k
+    * gets floor(e_k) whole copies plus one more iff its salted hash
+    * bucket < frac(e_k)·10⁴ — expected volume exactly e_k× per source,
+    * every copy decided deterministically per id (same id → same copy
+    * count on any engine/run; the salt re-rolls globally). e_k < 1
+    * degrades to deterministic downsampling with the same arithmetic.
+    * Adds `epoch` (0-based copy index): copies stay distinguishable —
+    * a downstream exact dedup must key on (id, epoch), not silently
+    * undo the mix. Row-local when-chain + explode(sequence): no
+    * shuffle, and the explosion is exactly the requested output
+    * volume. Keys not listed get `defaultEpochs` (1 = pass-through);
+    * NULL keys take the default too. */
+  def epochsMix(df: DataFrame, keyCol: String, idCol: String,
+      epochs: Seq[(String, Double)], defaultEpochs: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((defaultEpochs +: epochs.map(_._2)).forall(e => e >= 0 && e <= 100),
+      s"epochs must be in [0, 100]: $epochs default=$defaultEpochs")
+    def fullOf(e: Double) = math.floor(e).toInt
+    def bpOf(e: Double) = math.round((e - math.floor(e)) * 10000).toInt
+    def chain(v: Double => Int) = epochs.foldLeft(lit(v(defaultEpochs))) {
+      case (acc, (k, e)) => when(col(keyCol) === k, lit(v(e))).otherwise(acc)
+    }
+    val nc = chain(fullOf) +
+      when(hashBucket(idCol, salt) < chain(bpOf), 1).otherwise(0)
+    df.withColumn("__nc", nc)
+      .filter(col("__nc") > 0) // sequence(0, -1) would throw, not empty
+      .withColumn("epoch", explode(sequence(lit(0), col("__nc") - 1)))
+      .drop("__nc")
+  }
 }

@@ -195,6 +195,38 @@ class OpsSpec extends SparkSpec {
     assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("epochsMix repeats sources by factor: whole copies exact, fractional deterministic, <1 downsamples") {
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("k", when(col("id") % 3 === 0, lit("wiki"))
+        .when(col("id") % 3 === 1, lit("web")).otherwise(lit("books")))
+    val out = Ops.epochsMix(df, "k", "id",
+      Seq("wiki" -> 2.5, "web" -> 0.25), salt = "v1")
+    val counts = out.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wiki: 2 whole copies + ~50% a third → ≈2500; web ≈250 of 1000;
+    // books unlisted → default 1.0, every row exactly once
+    assert(math.abs(counts("wiki") - 2500) < 120, counts.toString)
+    assert(math.abs(counts("web") - 250) < 60, counts.toString)
+    assert(counts("books") == 1000)
+    // whole copies are EXACT per id: every wiki id appears 2 or 3 times,
+    // epoch indexes are 0..n-1
+    val wiki = out.filter(col("k") === "wiki").groupBy("id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("me"), min("epoch").as("mi"))
+      .collect()
+    assert(wiki.forall(r => r.getAs[Long]("n") >= 2 && r.getAs[Long]("n") <= 3))
+    assert(wiki.forall(r => r.getAs[Int]("mi") == 0 &&
+      r.getAs[Int]("me") == r.getAs[Long]("n") - 1))
+    // deterministic across plans; row-local (no exchange)
+    assert(out.count() == Ops.epochsMix(df, "k", "id",
+      Seq("wiki" -> 2.5, "web" -> 0.25), salt = "v1").count())
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // factor 0 drops the source entirely
+    assert(Ops.epochsMix(df, "k", "id", Seq("web" -> 0.0), salt = "v1")
+      .filter(col("k") === "web").count() == 0)
+    intercept[IllegalArgumentException](
+      Ops.epochsMix(df, "k", "id", Seq("wiki" -> -1.0)))
+  }
+
   test("capPerKey bounds each key deterministically; sampleByKey honors per-key rates") {
     val df = (1L to 1000L).toDF("id")
       .withColumn("k", when(col("id") <= 800, lit("big")).otherwise(lit("small")))

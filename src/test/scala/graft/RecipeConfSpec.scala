@@ -1492,6 +1492,10 @@ class RecipeConfSpec extends SparkSpec {
          |    input: docs
          |    steps:
          |      - sample: {key: lang, id: id, temperature: 2}
+         |  epochs:
+         |    input: docs
+         |    steps:
+         |      - sample: {key: lang, id: id, epochs: {fr: 3}, salt: v1}
          |  inc:
          |    input: docs
          |    steps:
@@ -1538,6 +1542,10 @@ class RecipeConfSpec extends SparkSpec {
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tm("fr") == 20L, tm.toString)
     assert(tm("en") < 60L && tm("en") > 20L, tm.toString)
+    // epochs 3 for fr: every fr row exactly 3×, en untouched at default 1
+    val ep = RecipeConf.run(spark, conf, "epochs")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ep == Map("en" -> 80L, "fr" -> 60L), ep.toString)
     // incremental: doc 7 is already in the corpus → dropped; 99 others kept
     val inc = RecipeConf.run(spark, conf, "inc")
     assert(inc.count() == 99L)
