@@ -301,6 +301,64 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("rankBuckets equals the brute-force bucketing under (score desc, id) (batched)") {
+    // the q90 contract as a property: for random heavy-tie score
+    // multisets (with NULLs) and random cut sets, every scored row's
+    // bucket must equal #{cuts below its global rank} — which also
+    // forces bucket ≤ j to hold exactly k_j rows at every cut
+    val sizes = Gen.choose(0, 60)
+    val cutSets = Gen.oneOf(Seq(0.5), Seq(1.0 / 3, 2.0 / 3),
+      Seq(0.1, 0.2, 0.9), Seq(0.25, 0.5, 0.75))
+    (1 to 25).foreach { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      val n = sizes.pureApply(Gen.Parameters.default, seed)
+      val cuts = cutSets.pureApply(Gen.Parameters.default, seed.next)
+      val rnd = new scala.util.Random(i)
+      val rows = (1L to n).map(id =>
+        (id, if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong)))
+      val got = graft.text.Curation.rankBuckets(
+          rows.toDF("id", "score"), "id", "score", cuts)
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[Integer]("bucket")))
+        .toMap
+      val scored = rows.collect { case (id, Some(s)) => (id, s) }
+      val ks = cuts.map(f =>
+        scored.size.toLong * math.round(f * 10000) / 10000)
+      val want = scored.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), idx) =>
+          id -> Some(Integer.valueOf(ks.count(_ < idx + 1)))
+        }.toMap ++ rows.collect { case (id, None) => id -> None }
+      assert(got == want, s"i=$i n=$n cuts=$cuts: got=$got want=$want")
+    }
+  }
+
+  test("z-order interleave round-trips every quantized coordinate (batched)") {
+    import graft.sources.Layout
+    // decode-in-test inverse: bit i·ncols+j of z is bit i of coord j —
+    // if the interleave misplaces any bit for any (bits, ncols), some
+    // generated point fails to round-trip
+    for (bits <- Seq(3, 8, 10); ncols <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(bits * 31 + ncols)
+      val max = (1L << bits) - 1
+      val pts = (0 until 200).map { i =>
+        (i.toLong, Seq.fill(ncols)(rnd.nextLong().abs % (max + 1)))
+      }
+      val df = pts.map { case (id, cs) => (id, cs.head, cs(1), cs.lift(2).getOrElse(0L)) }
+        .toDF("id", "c0", "c1", "c2")
+      val cols = (0 until ncols).map(j => col(s"c$j"))
+      val z = df.select(col("id"), Layout.interleave(cols, bits).as("z"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pts.foreach { case (id, cs) =>
+        val decoded = (0 until ncols).map { j =>
+          (0 until bits).foldLeft(0L) { (acc, i) =>
+            acc | (((z(id) >> (i * ncols + j)) & 1L) << i)
+          }
+        }
+        assert(decoded == cs, s"bits=$bits ncols=$ncols id=$id: " +
+          s"z=${z(id)} decoded=$decoded want=$cs")
+      }
+    }
+  }
+
   test("stratifiedSplit quotas: every stratum gets exactly floor(n_s·cum_bp/10000) cuts (batched)") {
     val weights = Seq(
       Seq("a" -> 0.5, "b" -> 0.5),
