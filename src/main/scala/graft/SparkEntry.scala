@@ -1098,6 +1098,34 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("__zval").as("zval"))),
 
+    // chat-format conversation curation (Conversations
+    // .withConversationStats): turn lists synthesized closed-form —
+    // 1-3 user/assistant pairs, every 5th with a leading system turn,
+    // every 7th with a DANGLING user turn (ill-formed), every 17th
+    // malformed JSON (NULL stats, NULL well_formed). The engine builds
+    // the JSON with to_json and REPARSES it with from_json; the oracle
+    // spells every count, the well-formed verdict, and the flattened
+    // text straight from the key formula.
+    "q94_conversation" -> ((s, dir) => {
+      val k = col("doc_id")
+      def turn(role: String, content: Column) =
+        struct(lit(role).as("role"), content.as("content"))
+      val pair = (i: Column) => array(
+        turn("user", concat(lit("u"), k, lit("_"), i)),
+        turn("assistant", concat(lit("a"), k, lit("_"), i)))
+      val base = flatten(transform(sequence(lit(1), (k % 3 + 1).cast("int")), pair))
+      val withSys = when(k % 5 === 0,
+        concat(array(turn("system", concat(lit("s"), k))), base)).otherwise(base)
+      val withExtra = when(k % 7 === 0,
+        concat(withSys, array(turn("user", lit("extra"))))).otherwise(withSys)
+      val json = when(k % 17 === 0, lit("not json"))
+        .otherwise(to_json(withExtra))
+      graft.text.Conversations.withConversationStats(
+        t(s, dir, "documents").select(k.as("doc_id"), json.as("convo")),
+        "convo")
+        .drop("convo") // the raw JSON is an input artifact, not a result
+    }),
+
     // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
     // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
     // DOWN to 0.5× through the same arithmetic, de/es pass through at
@@ -2105,6 +2133,41 @@ object SparkEntry {
          | CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
          |FROM q""".stripMargin
     },
+
+    // every stat, the well-formed verdict, and the flattened rendering
+    // spelled from the key formula (p pairs, optional system, dangling
+    // user, malformed) — the engine must round-trip build → to_json →
+    // from_json → stats to the same values
+    "q94_conversation" ->
+      """WITH v AS (SELECT doc_id,
+        |  doc_id % 3 + 1 AS p,
+        |  (doc_id % 5 = 0) AS sy,
+        |  (doc_id % 7 = 0) AS ex,
+        |  (doc_id % 17 = 0) AS mal,
+        |  length(CAST(doc_id AS VARCHAR)) AS lk
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN mal THEN NULL ELSE CAST(2*p
+        |   + CASE WHEN sy THEN 1 ELSE 0 END
+        |   + CASE WHEN ex THEN 1 ELSE 0 END AS INTEGER) END AS n_turns,
+        | CASE WHEN mal THEN NULL ELSE
+        |   CAST(p + CASE WHEN ex THEN 1 ELSE 0 END AS INTEGER) END AS n_user,
+        | CASE WHEN mal THEN NULL ELSE CAST(p AS INTEGER) END AS n_assistant,
+        | CASE WHEN mal THEN NULL ELSE CAST(p*(3+lk)
+        |   + CASE WHEN ex THEN 5 ELSE 0 END AS BIGINT) END AS n_chars_user,
+        | CASE WHEN mal THEN NULL ELSE CAST(p*(3+lk) AS BIGINT) END AS n_chars_assistant,
+        | CASE WHEN mal THEN NULL ELSE NOT ex END AS well_formed,
+        | CASE WHEN mal THEN NULL ELSE
+        |  (CASE WHEN sy THEN 'system: s' || doc_id || chr(10) ELSE '' END) ||
+        |  'user: u' || doc_id || '_1' || chr(10) ||
+        |  'assistant: a' || doc_id || '_1' ||
+        |  (CASE WHEN p >= 2 THEN chr(10) || 'user: u' || doc_id || '_2' ||
+        |    chr(10) || 'assistant: a' || doc_id || '_2' ELSE '' END) ||
+        |  (CASE WHEN p >= 3 THEN chr(10) || 'user: u' || doc_id || '_3' ||
+        |    chr(10) || 'assistant: a' || doc_id || '_3' ELSE '' END) ||
+        |  (CASE WHEN ex THEN chr(10) || 'user: extra' ELSE '' END)
+        | END AS text
+        |FROM v""".stripMargin,
 
     // floor/frac-bp per lang spelled literally, the shared md5 bucket,
     // copies from generate_series — the mix contract replayed

@@ -649,6 +649,11 @@ object RecipeConf {
       //   script_mix: {text: col}
       case "script_mix" => df =>
         graft.text.TextAnalysis.withScriptMix(df, req("text"))
+      // chat-format curation: parse a JSON turn-list column and add
+      // shape/volume stats + the flattened training text:
+      //   conversation: {json: col}
+      case "conversation" => df =>
+        graft.text.Conversations.withConversationStats(df, req("json"))
       // per-column dataset profile (row/null/distinct counts, numeric
       // min-max); distincts are approx (HLL) unless exact: true:
       //   profile: {exact: true|false}

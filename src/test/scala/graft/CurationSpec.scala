@@ -331,6 +331,64 @@ class CurationSpec extends SparkSpec {
     assert(rows(3L) == (("latin", "tail")))
   }
 
+  test("conversation stats: shape verdicts, per-side volume, flatten; malformed = NULL") {
+    import graft.text.Conversations
+    val rows = Seq(
+      // canonical: system + 1 pair → well-formed
+      (1L, """[{"role":"system","content":"be nice"},
+             |{"role":"user","content":"hi"},
+             |{"role":"assistant","content":"hello!"}]""".stripMargin.replace("\n", "")),
+      // dangling user turn → NOT well-formed
+      (2L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"},
+             |{"role":"user","content":"gone"}]""".stripMargin.replace("\n", "")),
+      // assistant speaks first → NOT well-formed
+      (3L, """[{"role":"assistant","content":"hi"},{"role":"user","content":"?"}]"""),
+      // unknown role → NOT well-formed
+      (4L, """[{"role":"tool","content":"x"},{"role":"user","content":"y"}]"""),
+      // empty turn list → NOT well-formed (nothing to train on)
+      (5L, "[]"),
+      // malformed JSON → NULL everything
+      (6L, "not json"),
+      // missing content field: parses, counts 0 chars for that side
+      (7L, """[{"role":"user"},{"role":"assistant","content":"ab"}]"""))
+      .toDF("id", "convo")
+    val out = Conversations.withConversationStats(rows, "convo").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def wf(i: Long) = Option(out(i).getAs[java.lang.Boolean]("well_formed"))
+      .map(_.booleanValue)
+    assert(wf(1L) == Some(true) && wf(2L) == Some(false) &&
+      wf(3L) == Some(false) && wf(4L) == Some(false) && wf(5L) == Some(false))
+    assert(wf(6L) == None)
+    assert(wf(7L) == Some(true))
+    assert(out(1L).getAs[Int]("n_turns") == 3 &&
+      out(1L).getAs[Int]("n_user") == 1 && out(1L).getAs[Int]("n_assistant") == 1)
+    assert(out(1L).getAs[Long]("n_chars_user") == 2L &&
+      out(1L).getAs[Long]("n_chars_assistant") == 6L)
+    assert(out(1L).getAs[String]("text") ==
+      "system: be nice\nuser: hi\nassistant: hello!")
+    // missing content: flatten renders the bare role, volume counts 0
+    assert(out(7L).getAs[Long]("n_chars_user") == 0L)
+    assert(out(7L).getAs[String]("text") == "user\nassistant: ab")
+    assert(out(6L).isNullAt(out(6L).fieldIndex("n_turns")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("text")))
+    // the YAML step wires the same stats
+    val tmp = java.nio.file.Files.createTempDirectory("graft-convo").toString
+    rows.write.mode("overwrite").parquet(tmp)
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  sft: {path: $tmp, format: parquet}
+         |recipes:
+         |  shape:
+         |    input: sft
+         |    steps:
+         |      - conversation: {json: convo}
+         |""".stripMargin)
+    val kept = graft.conf.RecipeConf.run(spark, conf, "shape")
+      .filter(col("well_formed"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 7L), kept.toString)
+  }
+
   // ------------------------------------------------------ URL curation
   test("normalizeUrl applies every canonicalization rule; non-URLs go NULL") {
     import graft.text.UrlTools
