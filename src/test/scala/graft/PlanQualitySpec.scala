@@ -162,6 +162,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!h.contains("UDF("), s"extractHtmlText must stay pure Column exprs:\n$h")
   }
 
+  test("q90 bucketing plans no global sort; q93/q94 stay row-local") {
+    // rankBuckets' whole reason to exist: the labeling pass must be a
+    // broadcast join + row-local work, never a rangepartitioning
+    // (global sort) over the corpus — only the histogram/straddle
+    // windows may exchange
+    val p = plan("q90_score_buckets")
+    assert(!p.contains("rangepartitioning"),
+      s"rankBuckets must not globally sort the corpus:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the score→bucket table should broadcast back:\n$p")
+    // epochs mixing and conversation parsing are scan-side map work
+    for (q <- Seq("q93_epochs_mix", "q94_conversation")) {
+      val rp = plan(q)
+      assert(!rp.contains("Exchange"), s"$q must be row-local:\n$rp")
+      assert(!rp.contains("UDF("), s"$q must stay native Column exprs:\n$rp")
+    }
+  }
+
   test("q87 blocklist cut: the list broadcasts, the corpus never enters an exchange") {
     // the blocklist is the declared-small side — the anti-join must be
     // a static BroadcastHashJoin with no shuffle anywhere (the corpus
