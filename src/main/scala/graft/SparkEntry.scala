@@ -1098,6 +1098,15 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("__zval").as("zval"))),
 
+    // fill-in-the-middle rewrite (Curation.fimTransform): half the
+    // docs PSM-rewritten with salted-hash cuts; the oracle replays the
+    // selection bucket, both cut hashes, and the three substrings.
+    "q95_fim" -> ((s, dir) =>
+      graft.text.Curation.fimTransform(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", rate = 0.5, salt = "v1")
+        .drop("text")),
+
     // chat-format conversation curation (Conversations
     // .withConversationStats): turn lists synthesized closed-form —
     // 1-3 user/assistant pairs, every 5th with a leading system turn,
@@ -2133,6 +2142,26 @@ object SparkEntry {
          | CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
          |FROM q""".stripMargin
     },
+
+    // selection bucket + two cut hashes mod (len+1) + three substrings,
+    // replayed in the portable md5 arithmetic
+    "q95_fim" ->
+      """WITH v AS (SELECT doc_id, text,
+        |  (('0x' || substr(md5('v1sel' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % 10000) < 5000 AS sel,
+        |  ('0x' || substr(md5('v1c1' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % (length(text) + 1) AS c1,
+        |  ('0x' || substr(md5('v1c2' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |     % (length(text) + 1) AS c2
+        | FROM documents)
+        |SELECT doc_id, (sel AND text IS NOT NULL) AS fim,
+        | CASE WHEN sel AND text IS NOT NULL THEN
+        |   '<PRE>' || substr(text, 1, CAST(least(c1, c2) AS INTEGER)) ||
+        |   '<SUF>' || substr(text, CAST(greatest(c1, c2) + 1 AS INTEGER)) ||
+        |   '<MID>' || substr(text, CAST(least(c1, c2) + 1 AS INTEGER),
+        |     CAST(greatest(c1, c2) - least(c1, c2) AS INTEGER))
+        | ELSE text END AS text_fim
+        |FROM v""".stripMargin,
 
     // every stat, the well-formed verdict, and the flattened rendering
     // spelled from the key formula (p pairs, optional system, dangling

@@ -815,6 +815,11 @@ object RecipeConf {
           defaultRate = knobDouble("default", 1.0),
           salt = knob("salt", ""))
       }
+      // fill-in-the-middle rewrite (code pretraining; adds fim +
+      // text_fim): fim: {id, text, rate: 0.5[, salt]}
+      case "fim" => df =>
+        graft.text.Curation.fimTransform(df, req("id"), req("text"),
+          rate = knobDouble("rate", 0.5), salt = knob("salt", ""))
       // token-window chunking (RAG / pretraining shards):
       //   chunk: {id: col, text: col, size: 64, stride: 32}
       case "chunk" => df => graft.text.Curation.chunk(df, req("id"), req("text"),

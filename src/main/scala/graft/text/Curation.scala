@@ -700,6 +700,42 @@ object Curation {
       .drop("__bucket", "__start")
   }
 
+  /** Fill-in-the-middle (FIM) transformation — the code-model
+    * pretraining augmentation (Bavarian et al., arXiv:2207.14255): a
+    * `rate` fraction of documents is rewritten PSM-style as
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching the model to infill
+    * between a prefix and suffix. Everything is derived from salted
+    * md5 hashes of the id (the library-wide deterministic-curation
+    * discipline — rand() would unmake the mix on every retry/engine):
+    * selection by the `sel`-tagged bucket < rate·10⁴, the two cut
+    * positions by the `c1`/`c2`-tagged hashes mod (len+1), ordered so
+    * lo ≤ hi. Untransformed and NULL-text rows pass through unchanged
+    * with `fim = false`. Adds `fim` + `text_fim`; row-local Column
+    * arithmetic, no UDF, no shuffle. Character-level cuts by design
+    * (the paper's context-level FIM): token-boundary cuts are a
+    * pre-tokenized pipeline's variant, out of scope here. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rate: Double = 0.5, salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"fim rate must be in [0, 1], got $rate")
+    val t = col(textCol)
+    def h(tag: String) = conv(substring(md5(concat(lit(salt + tag),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val n1 = length(t).cast("long") + 1
+    val c1 = pmod(h("c1"), n1)
+    val c2 = pmod(h("c2"), n1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fim = (pmod(h("sel"), lit(10000L)) < math.round(rate * 10000)) &&
+      t.isNotNull
+    df.withColumn("fim", fim)
+      .withColumn("text_fim", when(fim, concat(
+        lit("<PRE>"), t.substr(lit(1), lo.cast("int")),
+        lit("<SUF>"), t.substr((hi + 1).cast("int"),
+          (length(t).cast("long") - hi).cast("int")),
+        lit("<MID>"), t.substr((lo + 1).cast("int"), (hi - lo).cast("int"))))
+        .otherwise(t))
+  }
+
   /** The manifest for an [[assignShards]] layout: one row per shard
     * with doc count, token total, and the id range — the index a
     * training loader reads instead of listing 10⁶ files. */

@@ -331,6 +331,41 @@ class CurationSpec extends SparkSpec {
     assert(rows(3L) == (("latin", "tail")))
   }
 
+  test("fimTransform: PSM pieces reassemble the original; selection/cuts deterministic; NULLs pass") {
+    import graft.text.Curation
+    val docs = (1L to 200L).map(i => (i, Some(s"doc $i body ${"x" * (i % 17).toInt}")))
+      .toDF("id", "text")
+    val out = Curation.fimTransform(docs, "id", "text", rate = 0.5, salt = "v1")
+      .collect().map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("fim")),
+        r.getString(r.fieldIndex("text")), r.getString(r.fieldIndex("text_fim"))))
+    val Psm = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+    out.foreach { case (id, fim, orig, tf) =>
+      if (fim) tf match {
+        // prefix + middle + suffix must be EXACTLY the original text
+        case Psm(pre, suf, mid) => assert(pre + mid + suf == orig, s"id=$id")
+        case _ => fail(s"id=$id: fim row without PSM shape: $tf")
+      } else assert(tf == orig, s"id=$id: untransformed row must pass through")
+    }
+    // ~half selected, deterministically (same salt → same set)
+    val nFim = out.count(_._2)
+    assert(nFim > 60 && nFim < 140, s"rate 0.5 selected $nFim of 200")
+    val again = Curation.fimTransform(docs, "id", "text", rate = 0.5, salt = "v1")
+      .filter(col("fim")).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.filter(_._2).map(_._1).toSet)
+    // NULL text: never transformed, passes through NULL
+    val n = Curation.fimTransform(
+      Seq((1L, Option.empty[String])).toDF("id", "text"), "id", "text", 1.0)
+      .head
+    assert(!n.getBoolean(n.fieldIndex("fim")) && n.isNullAt(n.fieldIndex("text_fim")))
+    // rate 1.0 transforms every non-null row; rate 0 none
+    assert(Curation.fimTransform(docs, "id", "text", 1.0).filter(col("fim"))
+      .count() == 200)
+    assert(Curation.fimTransform(docs, "id", "text", 0.0).filter(col("fim"))
+      .count() == 0)
+    intercept[IllegalArgumentException](
+      Curation.fimTransform(docs, "id", "text", 1.5))
+  }
+
   test("conversation stats: shape verdicts, per-side volume, flatten; malformed = NULL") {
     import graft.text.Conversations
     val rows = Seq(
