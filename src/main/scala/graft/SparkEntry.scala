@@ -1135,6 +1135,55 @@ object SparkEntry {
         .drop("convo") // the raw JSON is an input artifact, not a result
     }),
 
+    // END-TO-END curation pipeline — the dataprep counterpart of q39's
+    // matching e2e. Six stages COMPOSED as one plan: (1) normalized-
+    // fingerprint exact dedup (min-id survivor, q21's key), (2)
+    // synthetic PII injection (q57's closed-form arithmetic — the
+    // held-out split stays pristine), (3) PII scrub, (4) Gopher quality
+    // gate as a row-local filter predicate (Curation.gopherKeep — no
+    // metric-frame self-join), (5) benchmark decontamination of the
+    // scrubbed survivors against the raw held-out docs (q53's 4-gram
+    // semi-join), (6) GPT-style sequence packing per lang shard
+    // (q65's exclusive running sum). Each stage's arithmetic is
+    // individually oracle-proven; this row proves the COMPOSITION —
+    // the oracle replays the whole chain as one CTE tower. The plan is
+    // the stages' plans glued together: one fingerprint window
+    // exchange, scan-local scrub+quality, the keys-only gram joins,
+    // one pack window — nothing new materializes, so the 100-TB story
+    // is each stage's own (SCALE.md rows).
+    "q96_curation_e2e" -> ((s, dir) => {
+      import graft.text.{Curation, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select("doc_id", "lang", "text")
+      val test = docs.filter(col("doc_id") % 20 === 0)
+        .select("doc_id", "text")
+      val deduped = graft.dedup.Dedup.fingerprintDedup(corpus, "doc_id", "text")
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" from 10."), (id % 200).cast("string"),
+          lit(".0."), (id % 250).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call +1"),
+          lpad((id % 10000000).cast("string"), 9, "0"))).otherwise(lit("")))
+      val scrubbed = deduped
+        .select(id, col("lang"), Curation.scrubPii(aug).as("clean_text"))
+      // the stop-hit rule needs a stopword list matched to the corpus
+      // domain (exactly how a real pipeline configures it): of the
+      // default Gopher list only "the" exists in the synthetic
+      // vocabulary, so the published 8-word list would zero the corpus.
+      // "the" + the article "a" keeps the >= 2-distinct-hits semantics
+      // while landing docs on BOTH sides of the gate (229/424 at sf0.01)
+      val quality = scrubbed.filter(
+        Curation.gopherKeep(col("clean_text"), minWords = 30,
+          stopwords = Seq("the", "a")))
+      val flagged = TextAnalysis.contaminationFlags(quality, test,
+        "doc_id", "clean_text", n = 4, testTextCol = Some("text"))
+      Curation.packSequences(flagged.filter(!col("contaminated")),
+        "doc_id", "clean_text", budget = 512, shardCol = "lang")
+    }),
+
     // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
     // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
     // DOWN to 0.5× through the same arithmetic, de/es pass through at
@@ -1387,7 +1436,11 @@ object SparkEntry {
     // the newest heavy dedup operator (round 9): ExactSubstr span
     // dedup — its synthetic-corpus slopes live in SCALE.md/SubstrBench;
     // this row keeps a driver-tracked number at the gate SF
-    "q72_substring_dedup")
+    "q72_substring_dedup",
+    // the dataprep end-to-end headline (round 9): dedup → scrub →
+    // quality → decontaminate → pack as one composed plan — the number
+    // to hold against BASELINE.md's 2-5k rows/s dataprep pipelines
+    "q96_curation_e2e")
 
   // ------------------------------------------------------------- oracles
 
@@ -2162,6 +2215,89 @@ object SparkEntry {
         |     CAST(greatest(c1, c2) - least(c1, c2) AS INTEGER))
         | ELSE text END AS text_fim
         |FROM v""".stripMargin,
+
+    // the whole q96 pipeline replayed as ONE CTE tower from proven
+    // fragments: q21's fingerprint key + min-id survivor, q57's
+    // augmentation + scrub regexes, q56's rounded Gopher metrics,
+    // q53's 4-gram decontamination, q65's pack running sum. The regex
+    // patterns interpolate from the SAME Scala constants the engine
+    // compiles, so the two sides cannot drift.
+    "q96_curation_e2e" -> {
+      val sql =
+        """WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 <> 0),
+          |fp AS (SELECT doc_id, lang, text,
+          |  md5(array_to_string(list_sort(list_distinct(
+          |    string_split_regex(<NORM_TEXT>, '\s+'))), ' ')) AS fp
+          | FROM corpus),
+          |ded AS (SELECT doc_id, lang, text FROM fp
+          | QUALIFY fp IS NULL OR doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+          |aug AS (SELECT doc_id, lang, text ||
+          |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' call +1' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 9, '0') ELSE '' END AS a
+          | FROM ded),
+          |scr AS (SELECT doc_id, lang,
+          |  regexp_replace(regexp_replace(regexp_replace(a,
+          |    '<EMAIL_RE>', '<EMAIL>', 'g'),
+          |    '<IP_RE>', '<IP>', 'g'),
+          |    '<PHONE_RE>', '<PHONE>', 'g') AS ct
+          | FROM aug),
+          |gb AS (SELECT doc_id, lang, ct,
+          |  CASE WHEN <STRIP:ct> = '' THEN [] ELSE string_split_regex(<STRIP:ct>, '<WS>+') END AS toks,
+          |  string_split(ct, chr(10)) AS ls
+          | FROM scr),
+          |gm AS (SELECT doc_id,
+          |  CAST(len(toks) AS INT) AS n_words,
+          |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+          |    ELSE CAST(length(regexp_replace(ct, '<WS>', '', 'g')) AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+          |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+          |    ELSE ((length(ct) - length(replace(ct, '#', '')))
+          |        + (length(ct) - length(replace(ct, '...', ''))) / 3) / len(toks) END, 4) AS symbol_ratio,
+          |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+          |    / len(ls), 4) AS bullet_frac,
+          |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+          |    / len(ls), 4) AS ellipsis_frac,
+          |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+          |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 4) AS alpha_frac,
+          |  CAST(len(list_intersect(list_distinct(list_filter(
+          |    string_split_regex(<STRIP:lower(ct)>, '<WS>+'), t -> t <> '')),
+          |    ['the','a'])) AS INT) AS stop_hits
+          | FROM gb),
+          |kq AS (SELECT b.doc_id, b.lang, b.ct FROM gb b JOIN gm m USING (doc_id)
+          | WHERE m.n_words BETWEEN 30 AND 100000 AND m.mean_word_len BETWEEN 3.0 AND 10.0
+          |   AND m.symbol_ratio <= 0.1 AND m.bullet_frac <= 0.9 AND m.ellipsis_frac <= 0.3
+          |   AND m.alpha_frac >= 0.8 AND m.stop_hits >= 2),
+          |tn AS (SELECT doc_id, string_split_regex(<NORM_CT>, '\s+') AS toks FROM kq),
+          |tg AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 3),
+          |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+          |  FROM tn WHERE len(toks) >= 4),
+          |te AS (SELECT doc_id, unnest(gs) AS gram FROM tg),
+          |hn AS (SELECT doc_id, string_split_regex(<NORM_TEXT>, '\s+') AS toks
+          |  FROM documents WHERE doc_id % 20 = 0),
+          |hg AS (SELECT list_distinct(list_transform(generate_series(1, len(toks) - 3),
+          |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+          |  FROM hn WHERE len(toks) >= 4),
+          |he AS (SELECT DISTINCT unnest(gs) AS gram FROM hg),
+          |bad AS (SELECT DISTINCT te.doc_id FROM te JOIN he USING (gram)),
+          |surv AS (SELECT k.doc_id, k.lang, k.ct FROM kq k LEFT JOIN bad b ON k.doc_id = b.doc_id
+          |  WHERE b.doc_id IS NULL),
+          |pb AS (SELECT doc_id, lang,
+          |  CAST(CASE WHEN <STRIP:ct> = '' THEN 0
+          |       ELSE len(string_split_regex(<STRIP:ct>, '<WS>+')) END AS BIGINT) AS n_tokens
+          | FROM surv),
+          |pc AS (SELECT doc_id, lang, n_tokens,
+          |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          | FROM pb WHERE n_tokens > 0)
+          |SELECT doc_id, lang, n_tokens,
+          | tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset
+          |FROM pc""".stripMargin
+      sql.replace("<NORM_TEXT>", normSql.format("text"))
+        .replace("<NORM_CT>", normSql.format("ct"))
+        .replace("<EMAIL_RE>", graft.text.Curation.emailPattern)
+        .replace("<IP_RE>", graft.text.Curation.ipv4Pattern)
+        .replace("<PHONE_RE>", graft.text.Curation.phonePattern)
+    },
 
     // every stat, the well-formed verdict, and the flattened rendering
     // spelled from the key formula (p pairs, optional system, dangling

@@ -114,7 +114,41 @@ object Curation {
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       stopwords: Seq[String] = gopherStopwords): DataFrame = {
-    val c = col(textCol)
+    val m = gopherMetricCols(col(textCol), stopwords)
+    val out = df.select(col(idCol) +: m.map { case (n, c0) => c0.as(n) }: _*)
+    out.withColumn("keep", gopherKeepFromMetrics(
+      n => col(n), minWords, maxWords))
+  }
+
+  /** The same Gopher gate as [[gopherQuality]]'s `keep`, as ONE boolean
+    * Column over the text — for pipelines that only FILTER on quality
+    * (q96's e2e curation chain): `df.filter(gopherKeep(col(textCol)))`
+    * stays a row-local scan predicate, where materializing the metric
+    * frame and joining it back would buy the same rows for an extra
+    * exchange. NULL text yields a NULL verdict, which `filter` drops —
+    * identical to filtering [[gopherQuality]] on `keep`. Shares the
+    * metric arithmetic with gopherQuality (one builder), so the two
+    * spellings cannot drift. */
+  def gopherKeep(c: Column, minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = gopherStopwords): Column = {
+    val m = gopherMetricCols(c, stopwords).toMap
+    gopherKeepFromMetrics(m(_), minWords, maxWords)
+  }
+
+  private def gopherKeepFromMetrics(m: String => Column,
+      minWords: Int, maxWords: Int): Column =
+    m("n_words").between(minWords, maxWords) &&
+      m("mean_word_len").between(3.0, 10.0) &&
+      m("symbol_ratio") <= 0.1 &&
+      m("bullet_frac") <= 0.9 &&
+      m("ellipsis_frac") <= 0.3 &&
+      m("alpha_frac") >= 0.8 &&
+      m("stop_hits") >= 2
+
+  /** The seven Gopher metrics (rounded exactly as published in the
+    * oracle mirror) in output order. */
+  private def gopherMetricCols(c: Column,
+      stopwords: Seq[String]): Seq[(String, Column)] = {
     val toks = Tools.tokenize(c)
     // NULL text -> NULL metrics and a NULL keep (size(null) would be -1)
     val nWords = when(c.isNull, lit(null).cast("int")).otherwise(size(toks))
@@ -138,22 +172,14 @@ object Curation {
     val stopHits = when(c.isNull, lit(null).cast("int")).otherwise(
       size(array_intersect(
         array_distinct(Tools.tokenize(lower(c))), array(stopwords.map(lit): _*))))
-    val out = df.select(col(idCol),
-      nWords.as("n_words"),
-      round(meanLen, 4).as("mean_word_len"),
-      round(symbolRatio, 4).as("symbol_ratio"),
-      round(bulletFrac, 4).as("bullet_frac"),
-      round(ellipsisFrac, 4).as("ellipsis_frac"),
-      round(alphaFrac, 4).as("alpha_frac"),
-      stopHits.as("stop_hits"))
-    out.withColumn("keep",
-      col("n_words").between(minWords, maxWords) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") <= 0.1 &&
-        col("bullet_frac") <= 0.9 &&
-        col("ellipsis_frac") <= 0.3 &&
-        col("alpha_frac") >= 0.8 &&
-        col("stop_hits") >= 2)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(meanLen, 4),
+      "symbol_ratio" -> round(symbolRatio, 4),
+      "bullet_frac" -> round(bulletFrac, 4),
+      "ellipsis_frac" -> round(ellipsisFrac, 4),
+      "alpha_frac" -> round(alphaFrac, 4),
+      "stop_hits" -> stopHits)
   }
 
   // -------------------------------------------------------- PII scrubbing

@@ -88,6 +88,23 @@ class CurationSpec extends SparkSpec {
     assert(!out2.getBoolean(8))      // 0.5 > 0.3 threshold
   }
 
+  test("gopherKeep filter selects exactly gopherQuality's keep=true rows") {
+    // the row-local predicate and the metric frame share one builder —
+    // this pins the CONTRACT so a future split can't drift them
+    val df = Seq(
+      (1L, ("the data " * 30).trim + " of it"),
+      (2L, "too short of the doc"),
+      (3L, ("of " + "### " * 8 + "the " + "word " * 60).trim),
+      (4L, ("zz " * 80).trim),
+      (5L, null: String) // NULL keep: dropped by BOTH spellings
+    ).toDF("id", "text")
+    val viaFrame = Curation.gopherQuality(df, "id", "text", minWords = 30)
+      .filter(col("keep")).select("id").collect().map(_.getLong(0)).sorted
+    val viaPred = df.filter(Curation.gopherKeep(col("text"), minWords = 30))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(viaFrame.toSeq == viaPred.toSeq && viaPred.toSeq == Seq(1L))
+  }
+
   test("gopherQuality: null text -> null metrics and null keep") {
     val out = Curation.gopherQuality(
       Seq((1L, null: String)).toDF("id", "text"), "id", "text").collect()(0)

@@ -304,6 +304,26 @@ class PlanQualitySpec extends SparkSpec {
       s"non-key column entered an incremental-dedup exchange: $fams in:\n$p")
   }
 
+  test("q96 e2e curation composes without growing the shuffle surface") {
+    // six stages, but the exchanges stay exactly the stages' own:
+    // __dedup_key (fingerprint keep-min), __gram_h (decontamination
+    // gram meeting), doc_id (flag re-attach), lang (pack window). The
+    // quality gate must contribute NOTHING — gopherKeep is a scan
+    // predicate, not a metric-frame self-join (the reason it exists);
+    // a new family here means a stage stopped fusing.
+    val p = plan("q96_curation_e2e")
+    val fams = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .map(_.split(",\\s*").toSeq.dropRight(1)
+        .map(_.replaceAll("#\\d+L?", "").trim).sorted.mkString(","))
+      .toSet
+    assert(fams.subsetOf(Set("__dedup_key", "__gram_h", "doc_id", "lang")),
+      s"undeclared shuffle family in the e2e chain: $fams in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global exchange crept into the e2e chain:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a join stopped hashing:\n$p")
+  }
+
   test("minhashDedup keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val df = Seq(
