@@ -1184,6 +1184,17 @@ object SparkEntry {
         "doc_id", "clean_text", budget = 512, shardCol = "lang")
     }),
 
+    // BPE tokenizer training (Curation.bpeTrain): 8 merge rounds over
+    // the corpus word-frequency table — pair counts are the adjacent-
+    // symbol zip weighted by word freq, winner = (count desc, pair asc),
+    // merges apply left-to-right with rescan (the Sennrich scan as a
+    // sequential fold). The oracle UNROLLS all 8 rounds as CTE blocks
+    // and replays the identical fold via list_reduce, so every round's
+    // winning pair, merged symbol, and count must match exactly.
+    "q97_bpe_train" -> ((s, dir) =>
+      graft.text.Curation.bpeTrain(
+        t(s, dir, "documents").select("text"), "text", merges = 8)),
+
     // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
     // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
     // DOWN to 0.5× through the same arithmetic, de/es pass through at
@@ -2215,6 +2226,38 @@ object SparkEntry {
         |     CAST(greatest(c1, c2) - least(c1, c2) AS INTEGER))
         | ELSE text END AS text_fim
         |FROM v""".stripMargin,
+
+    // every BPE round replayed: pair zip (overlapping, freq-weighted)
+    // → (count desc, pair asc) winner → list_reduce fold merge (the
+    // separator-omission trick mirrors Curation.bpeMergeApply exactly:
+    // merging = dropping the '~' between the winning pair). Rounds
+    // unroll as generated CTE blocks; cnt casts back from DuckDB's
+    // HUGEINT sum.
+    "q97_bpe_train" -> {
+      val k = 8
+      val head =
+        """WITH tok AS (SELECT unnest(string_split_regex(<NORM_TEXT>, '\s+')) AS w FROM documents),
+          |wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY 1),
+          |w0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\1~', 'g'), '~') AS s, freq FROM wf)""".stripMargin
+      val rounds = (0 until k).map { r =>
+        s"""p$r AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS cnt FROM (
+           |  SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |    i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+           |  FROM (SELECT string_split(s, '~') AS toks, freq FROM w$r)
+           |  WHERE len(toks) >= 2) GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |w${r + 1} AS (SELECT list_reduce(string_split(w$r.s, '~'),
+           |  (acc, x) -> acc || CASE WHEN (acc = b$r.a OR suffix(acc, '~' || b$r.a))
+           |    AND x = b$r.b THEN '' ELSE '~' END || x) AS s, freq
+           |  FROM w$r, b$r)""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 until k).map(r =>
+        s"SELECT $r AS round, a AS pair_left, b AS pair_right, " +
+          s"a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      (head + ",\n" + rounds + "\n" + sel)
+        .replace("<NORM_TEXT>", normSql.format("text"))
+    },
 
     // the whole q96 pipeline replayed as ONE CTE tower from proven
     // fragments: q21's fingerprint key + min-id survivor, q57's

@@ -906,6 +906,10 @@ object RecipeConf {
       case "vocab" => df => graft.text.Curation.vocabTopK(df, req("text"),
         k = knobInt("k", 1000),
         lowercase = knobBool("lowercase", true))
+      // BPE tokenizer training — the ordered merge table:
+      //   bpe: {text: col, merges: 8}
+      case "bpe" => df => graft.text.Curation.bpeTrain(df, req("text"),
+        merges = knobInt("merges", 8))
       // CCNet-style unigram LM score; the LM trains on a named reference
       // dataset when given (lm_text names its text column if it
       // differs), else on the input corpus itself:

@@ -480,6 +480,110 @@ object Curation {
       .limit(k)
   }
 
+  // --------------------------------------------------------- BPE training
+  /** Separator between BPE symbols inside a word's state string — '~'
+    * is outside the normalized alphabet `[0-9a-z ]`, so a symbol
+    * boundary can never be confused with symbol content (and '~' is a
+    * regex-literal char, so both engines split on it verbatim). */
+  val bpeSep = "~"
+
+  /** Train `merges` BPE merge rounds over the corpus (Sennrich et al.
+    * 2016) and return the ordered merge table — the tokenizer-training
+    * primitive on top of which [[vocabTopK]]'s word counts become a
+    * subword vocabulary. Round semantics (identical in the q97 oracle,
+    * which replays every round in DuckDB):
+    *   - pair counts are the ADJACENT-SYMBOL zip per word, weighted by
+    *     word frequency (overlapping: "aaa" holds two (a,a) pairs);
+    *   - the winner is max count, ties broken by (left, right)
+    *     ascending — a total order both engines collate identically on
+    *     the lowercase-alnum alphabet;
+    *   - the merge applies LEFT-TO-RIGHT, rescanning against the newly
+    *     merged symbol ("abab" + (a,b) → [ab, ab]; "aaa" + (a,a) →
+    *     [aa, a]) — the reference BPE scan, expressed as one
+    *     sequential fold both engines run as a row-local lambda
+    *     ([[bpeMergeApply]]).
+    *
+    * The 100-TB shape: the corpus is touched ONCE (token explode →
+    * map-side-combined word-frequency agg, the [[vocabTopK]] shuffle);
+    * every merge round then runs on the WORD table — vocabulary-sized
+    * by Heaps' law, millions of rows at web scale, not corpus-sized —
+    * cached and replaced round over round. Each round's winning pair
+    * (ONE row) is collected to the driver exactly like spark.ml's
+    * k-means collects centroids per iteration: a declared-small
+    * artifact steering the next distributed step. Stops early when no
+    * adjacent pair is left to merge. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"bpeTrain needs merges >= 1, got $merges")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(Tools.tokenize(Tools.normalize(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + bpeSep), bpeSep)
+        .as("s"), col("freq"))
+    var cur = words.cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    try {
+      for (r <- 0 until merges) {
+        val toks = split(col("s"), bpeSep)
+        // single-symbol words hold no pairs — filter BEFORE building the
+        // index sequence (sequence(1, 0) would generate DESCENDING)
+        val best = cur.filter(size(toks) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("a"),
+              element_at(toks, i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) return resultDf(spark, out.toSeq)
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r, a, b, a + b, cnt))
+        val next = cur.select(bpeMergeApply(col("s"), a, b).as("s"), col("freq"))
+          .cache()
+        next.count() // materialize before dropping the parent
+        cur.unpersist()
+        cur = next
+      }
+      resultDf(spark, out.toSeq)
+    } finally cur.unpersist()
+  }
+
+  private def resultDf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("round", "pair_left", "pair_right", "merged", "cnt")
+  }
+
+  /** Apply ONE merge (a, b) → a+b to a [[bpeSep]]-joined symbol string:
+    * a sequential fold where the merge fires whenever the accumulated
+    * string's LAST symbol is `a` and the incoming symbol is `b` — when
+    * it fires the separator is simply omitted, because removing the
+    * trailing `a` and appending `a+b` IS appending bare `b`. The
+    * suffix test anchors on a leading separator (or the whole string),
+    * so a symbol merely ENDING in `a` can never false-positive. */
+  def bpeMergeApply(s: Column, a: String, b: String): Column =
+    aggregate(split(s, bpeSep), lit(""), (acc, x) =>
+      when(acc === "", x).otherwise(concat(acc,
+        when((acc === a || acc.endsWith(bpeSep + a)) && x === b, lit(""))
+          .otherwise(lit(bpeSep)),
+        x)))
+
+  /** Segment text with a trained merge list (the inference side of
+    * [[bpeTrain]]): normalize → per-word symbol string → apply every
+    * merge in training order → count subword symbols. Row-local scan
+    * work; the merge list is a plan-compile-time constant. */
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      transform(Tools.tokenize(Tools.normalize(c)), w =>
+        size(split(merges.foldLeft(
+          rtrim(regexp_replace(w, "(.)", "$1" + bpeSep), bpeSep)) {
+          case (acc, (a, b)) => bpeMergeApply(acc, a, b)
+        }, bpeSep))),
+      lit(0), (s0, n) => s0 + n)
+
   // ------------------------------------------------------ sequence packing
   /** GPT-style concat-and-chunk sequence packing: within each `shardCol`
     * partition, documents ordered by `idCol` are conceptually

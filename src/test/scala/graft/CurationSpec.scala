@@ -111,6 +111,60 @@ class CurationSpec extends SparkSpec {
     assert(out.isNullAt(1) && out.isNullAt(7) && out.isNullAt(8))
   }
 
+  // ------------------------------------------------------------- BPE
+  test("bpeTrain learns the hand-computed merge sequence") {
+    // corpus: "low"×5 "lower"×2 "newest"×6 "widest"×3 — the classic
+    // Sennrich example family. Most frequent pairs: (e,s) 9, (s,t) 9,
+    // (t? ...) — tie between (e,s) and (s,t) breaks by pair asc → (e,s)
+    // first, then (es,t) 9, then (l,o) 7, (lo,w) 7, ...
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    // NOTE: word FREQUENCIES here come from distinct words (each doc is
+    // one word), so freq(low)=5 etc. — same arithmetic as the corpus
+    val out = Curation.bpeTrain(df, "text", merges = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("e", "s", "es", 9L), ("es", "t", "est", 9L),
+      ("l", "o", "lo", 7L), ("lo", "w", "low", 7L)))
+  }
+
+  test("bpeTrain: winning-pair counts never increase round over round") {
+    // a merged pair's successors (x, ab)/(ab, y) can count at most the
+    // merged pair's own occurrences, and untouched pairs are unchanged
+    // — so the max is non-increasing. A violation means the fold and
+    // the counting disagree about what a round consumed.
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cnts = Curation.bpeTrain(df, "text", merges = 6)
+      .orderBy("round").collect().map(_.getLong(4))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"counts increased: ${cnts.toSeq}")
+  }
+
+  test("bpeMergeApply: rescan and overlap semantics") {
+    val df = Seq(("a~b~a~b", 1), ("a~a~a", 2), ("x~ab~c", 3), ("ba~b", 4))
+      .toDF("s", "k")
+    val out = df.select(col("k"), Curation.bpeMergeApply(col("s"), "a", "b").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "ab~ab") // left-to-right with rescan
+    assert(out(2) == "a~a~a") // (a,b) never fires on a-runs
+    assert(out(3) == "x~ab~c") // symbol 'ab' is not the PAIR a,b
+    assert(out(4) == "ba~b")  // 'ba' ends in 'a' but is one symbol
+    val aa = df.filter(col("k") === 2)
+      .select(Curation.bpeMergeApply(col("s"), "a", "a")).head.getString(0)
+    assert(aa == "aa~a")      // odd run merges greedily left-to-right
+  }
+
+  test("bpeTokenCount applies trained merges at inference") {
+    val df = Seq((1L, "newest widest low")).toDF("id", "text")
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o")
+    // newest -> n,e,w,est (4); widest -> w,i,d,est (4); low -> lo,w (2)
+    val n = df.select(Curation.bpeTokenCount(col("text"), merges)).head.getInt(0)
+    assert(n == 10)
+  }
+
   // ------------------------------------------------------------- PII
   test("scrubPii redacts emails, IPs, and phones to typed placeholders") {
     val df = Seq(

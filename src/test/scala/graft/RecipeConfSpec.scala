@@ -1351,6 +1351,10 @@ class RecipeConfSpec extends SparkSpec {
          |    input: cd
          |    steps:
          |      - vocab: {text: text, k: 3}
+         |  bpe4:
+         |    input: cd
+         |    steps:
+         |      - bpe: {text: text, merges: 4}
          |""".stripMargin)
     val chunks = RecipeConf.run(spark, conf, "chunks")
     assert(chunks.columns.toSeq == Seq("doc_id", "chunk_id", "chunk_text", "n_tok"))
@@ -1367,6 +1371,10 @@ class RecipeConfSpec extends SparkSpec {
     val v = RecipeConf.run(spark, conf, "vocab50").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(v.take(2).toSeq == Seq(("data", 30L), ("the", 30L)))
+    val bpe = RecipeConf.run(spark, conf, "bpe4")
+    assert(bpe.columns.toSeq ==
+      Seq("round", "pair_left", "pair_right", "merged", "cnt"))
+    assert(bpe.count() == 4)
   }
 
   test("a full curation pipeline composes from one YAML recipe") {
