@@ -197,6 +197,51 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergeApply: content-preserving, pair-eliminating, JVM-reference-equal (batched)") {
+    import graft.text.Curation
+    // random short lowercase words over a 3-letter alphabet (dense
+    // pair collisions), random pairs of 1-2 char symbols. Invariants:
+    // (1) removing separators reproduces the word (merging never edits
+    // content); (2) no adjacent (a,b) pair survives the round (the
+    // fold fires wherever last==a ∧ next==b, and a merged symbol can
+    // never equal `a` again because b is non-empty); (3) the Column
+    // fold equals a JVM reference scan (Sennrich i+=2 with rescan).
+    val wordG = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val symG = Gen.chooseNum(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val cases = (1 to 300).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      val w = wordG.pureApply(Gen.Parameters.default, seed)
+      val a = symG.pureApply(Gen.Parameters.default, seed.next)
+      val b = symG.pureApply(Gen.Parameters.default, seed.next.next)
+      (i.toLong, w.mkString("~"), a, b) // chars joined as initial symbols
+    }
+    def jvmFold(s: String, a: String, b: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      s.split("~").foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      out.mkString("~")
+    }
+    // group by pair so each distinct (a,b) runs as ONE Spark job
+    cases.groupBy(c => (c._3, c._4)).foreach { case ((a, b), cs) =>
+      val df = cs.map(c => (c._1, c._2)).toDF("id", "s")
+      val got = df.select(col("id"), Curation.bpeMergeApply(col("s"), a, b))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      cs.foreach { case (id, s, _, _) =>
+        val g = got(id)
+        assert(g.replace("~", "") == s.replace("~", ""), s"content drift: $s -> $g")
+        assert(!g.split("~").toSeq.sliding(2).exists(p =>
+          p.length == 2 && p(0) == a && p(1) == b),
+          s"pair ($a,$b) survived in $g")
+        assert(g == jvmFold(s, a, b), s"fold mismatch: $s -> $g vs ${jvmFold(s, a, b)}")
+      }
+    }
+  }
+
   test("scrubPii is idempotent; repetition/gopher fractions stay in [0,1] (batched)") {
     import graft.text.Curation
     val messy = Gen.listOf(Gen.oneOf(
