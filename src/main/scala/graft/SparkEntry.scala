@@ -1184,6 +1184,22 @@ object SparkEntry {
         "doc_id", "clean_text", budget = 512, shardCol = "lang")
     }),
 
+    // interpolated bigram LM scoring (Curation.bigramLogProb): the LM
+    // trains on even doc_ids, odd docs are scored — so unseen pairs
+    // (μ-scaled unigram fallback) and OOV words (μ-scaled Laplace
+    // floor) are both genuinely exercised, unlike a self-scored corpus
+    // where every pair is in the LM. λ = 0.9 in basis points; all logs
+    // quantized per LM entry (the q59 integer-space discipline).
+    "q98_bigram_lm" -> ((s, dir) => {
+      import graft.text.Curation
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      Curation.bigramLogProb(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text",
+        Curation.unigramLm(ref, "text"), Curation.bigramLm(ref, "text"),
+        lambdaBp = 9000)
+    }),
+
     // BPE tokenizer training (Curation.bpeTrain): 8 merge rounds over
     // the corpus word-frequency table — pair counts are the adjacent-
     // symbol zip weighted by word freq, winner = (count desc, pair asc),
@@ -2226,6 +2242,58 @@ object SparkEntry {
         |     CAST(greatest(c1, c2) - least(c1, c2) AS INTEGER))
         | ELSE text END AS text_fim
         |FROM v""".stripMargin,
+
+    // the full interpolation replayed: unigram + bigram + history
+    // tables, per-LM-entry quantized logs, per-token case analysis
+    // (first token / seen pair / unseen pair / OOV), integer-space
+    // rounding. λ and μ interpolate from the SAME basis-point constants
+    // the engine divides, via Double.toString round-trip.
+    "q98_bigram_lm" -> {
+      val lam = java.lang.Double.toString(9000 / 10000.0)
+      val mu = java.lang.Double.toString((10000 - 9000) / 10000.0)
+      val sql =
+        """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          |sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+          |rtok AS (SELECT unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS token
+          |  FROM ref WHERE <STRIP:lower(text)> <> ''),
+          |uni AS (SELECT token, COUNT(*) AS cnt FROM rtok GROUP BY 1),
+          |tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM uni),
+          |rp AS (SELECT p.a AS w_prev, p.b AS w FROM (
+          |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+          |    i -> {'a': t[i], 'b': t[i+1]})) AS p
+          |  FROM (SELECT string_split_regex(<STRIP:lower(text)>, '<WS>+') AS t
+          |        FROM ref WHERE <STRIP:lower(text)> <> '')
+          |  WHERE len(t) >= 2)),
+          |bi AS (SELECT w_prev, w, COUNT(*) AS cnt FROM rp GROUP BY 1, 2),
+          |hist AS (SELECT w_prev, SUM(cnt) AS hcnt FROM bi GROUP BY 1),
+          |quni AS (SELECT token,
+          |  CAST(floor(log10(CAST(cnt + 1 AS DOUBLE) / (total + v)) * 10000) AS BIGINT) AS qu,
+          |  CAST(floor(log10(CAST(<MU> AS DOUBLE) * (CAST(cnt + 1 AS DOUBLE) / (total + v))) * 10000) AS BIGINT) AS qu_mix
+          | FROM uni, tot),
+          |qbi AS (SELECT b.w_prev, b.w,
+          |  CAST(floor(log10(CAST(<LAM> AS DOUBLE) * (CAST(b.cnt AS DOUBLE) / h.hcnt)
+          |    + CAST(<MU> AS DOUBLE) * (CAST(coalesce(u.cnt, 0) + 1 AS DOUBLE) / (tot.total + tot.v))) * 10000) AS BIGINT) AS qb
+          | FROM bi b JOIN hist h USING (w_prev) LEFT JOIN uni u ON u.token = b.w, tot),
+          |stok AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+          |    i -> {'w': t[i], 'prev': CASE WHEN i > 1 THEN t[i-1] END})) AS p
+          |  FROM (SELECT doc_id, string_split_regex(<STRIP:lower(text)>, '<WS>+') AS t
+          |        FROM sc WHERE <STRIP:lower(text)> <> '')),
+          |per AS (SELECT st.doc_id,
+          |  CASE WHEN st.p.prev IS NULL THEN
+          |    coalesce(q.qu, CAST(floor(log10(CAST(1 AS DOUBLE) / (total + v)) * 10000) AS BIGINT))
+          |  ELSE
+          |    coalesce(b.qb, q.qu_mix, CAST(floor(log10(CAST(<MU> AS DOUBLE) / (total + v)) * 10000) AS BIGINT))
+          |  END AS qlp
+          | FROM stok st
+          | LEFT JOIN qbi b ON b.w_prev = st.p.prev AND b.w = st.p.w
+          | LEFT JOIN quni q ON q.token = st.p.w, tot),
+          |agg AS (SELECT doc_id, SUM(qlp) AS s, COUNT(*) AS n FROM per GROUP BY 1)
+          |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS INT) AS n_tok,
+          | ROUND(CAST(CASE WHEN a.s < 0 THEN -(((-a.s)*2 + a.n) // (a.n*2))
+          |       ELSE ((a.s*2 + a.n) // (a.n*2)) END AS DOUBLE) / 10000.0, 4) AS logprob
+          |FROM sc d LEFT JOIN agg a USING (doc_id)""".stripMargin
+      sql.replace("<LAM>", lam).replace("<MU>", mu)
+    },
 
     // every BPE round replayed: pair zip (overlapping, freq-weighted)
     // → (count desc, pair asc) winner → list_reduce fold merge (the

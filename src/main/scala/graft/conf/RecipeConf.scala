@@ -918,9 +918,18 @@ object RecipeConf {
         val lmSource = if (m.contains("dataset")) namedDataset() else df
         val lmText = knob("lm_text", req("text"))
         val lc = knobBool("lowercase", true)
-        graft.text.Curation.unigramLogProb(df, req("id"), req("text"),
-          graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
-          lowercase = lc)
+        knobInt("order", 1) match {
+          case 1 => graft.text.Curation.unigramLogProb(df, req("id"), req("text"),
+            graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
+            lowercase = lc)
+          // order 2: λ-interpolated bigram with unigram fallback;
+          //   lm_score: {id, text[, dataset, lm_text], order: 2[, lambda_bp: 9000]}
+          case 2 => graft.text.Curation.bigramLogProb(df, req("id"), req("text"),
+            graft.text.Curation.unigramLm(lmSource, lmText, lowercase = lc),
+            graft.text.Curation.bigramLm(lmSource, lmText, lowercase = lc),
+            lambdaBp = knobInt("lambda_bp", 9000), lowercase = lc)
+          case n => sys.error(s"lm_score: 'order' must be 1 or 2, got $n")
+        }
       }
       // HTML → text extraction (web-corpus step 0): adds extracted-text
       // and title columns from a markup column:

@@ -374,6 +374,116 @@ object Curation {
       .drop("__s", "__n")
   }
 
+  /** Bigram LM (w_prev, w → count) over a reference corpus — the build
+    * side of [[bigramLogProb]]. Adjacent-token pairs per doc, one
+    * map-side-combined aggregate; the result is bounded by distinct
+    * ADJACENT pairs (vocab-bounded for a declared-small reference
+    * corpus — wiki-sized, the CCNet reference-LM contract — not built
+    * over the 100-TB corpus being scored). */
+  def bigramLm(df: DataFrame, textCol: String,
+      lowercase: Boolean = true): DataFrame = {
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = Tools.tokenize(c)
+    df.filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w_prev"),
+          element_at(toks, i + 1).as("w")))).as("p"))
+      .groupBy(col("p.w_prev").as("w_prev"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Interpolated bigram LM score — [[unigramLogProb]] at order 2:
+    * p(w_i | w_{i-1}) = λ·c(w_{i-1},w_i)/c(w_{i-1}·) + μ·p_uni(w_i)
+    * with μ = 1−λ and p_uni the Laplace-smoothed unigram (cnt+1)/(T+V);
+    * the first token of a doc scores pure p_uni. λ arrives in basis
+    * points so both engines derive the double THE SAME WAY (int ratio →
+    * one correctly-rounded division — never `1 - λ`, whose result
+    * differs from a literal `0.1` in the last ulp).
+    *
+    * Every log is quantized in LM-TABLE space (per distinct pair /
+    * word), exactly the q59 discipline: the corpus-side joins pick
+    * precomputed longs, per-doc sums are order-free, and the 4-decimal
+    * mean rounds in integer space. Unseen pairs fall back to μ·p_uni
+    * (the λ-term is zero); OOV words take the μ-scaled Laplace floor.
+    *
+    * Scale shape: two LM-sized builds (pair table + its history
+    * marginal), both static-broadcast to the token stream (the
+    * declared-small reference-LM contract, q59's measured lesson); the
+    * corpus explodes tokens row-local and shuffles once on the doc id
+    * for the mean. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      uniLm: DataFrame, biLm: DataFrame, lambdaBp: Int = 9000,
+      lowercase: Boolean = true): DataFrame = {
+    // λ = 1 (pure bigram) would put log10(0) = -Inf on every unseen
+    // pair and OOV word — Long.MinValue after the floor-cast, a silent
+    // score poison. Interpolation exists to keep the distribution
+    // proper; demand a non-zero unigram share.
+    require(lambdaBp >= 0 && lambdaBp <= 9999,
+      s"bigramLogProb: lambdaBp must be in [0, 9999], got $lambdaBp")
+    require(uniLm.columns.toSeq.contains("token") && uniLm.columns.toSeq.contains("cnt"),
+      s"uniLm needs (token, cnt), got ${uniLm.columns.mkString(", ")}")
+    require(Seq("w_prev", "w", "cnt").forall(biLm.columns.toSeq.contains),
+      s"biLm needs (w_prev, w, cnt), got ${biLm.columns.mkString(", ")}")
+    val lam = lit(lambdaBp / 10000.0)
+    val mu = lit((10000 - lambdaBp) / 10000.0)
+    val uniP = graft.engine.AutoUnpersist.cache(uniLm)
+    val biP = graft.engine.AutoUnpersist.cache(biLm)
+    val totals = broadcast(uniP.agg(
+        sum(col("cnt")).as("__total"), count(lit(1)).as("__v"))
+      .select(col("__total"), col("__v"),
+        assert_true(col("__v") > 0,
+          lit("bigramLogProb: the unigram LM has no tokens")).as("__chk")))
+    val pUni = (col("cnt") + 1).cast("double") / (col("__total") + col("__v"))
+    // per-word longs: first-token log p_uni AND the μ-scaled fallback
+    val quni = uniP.crossJoin(totals).select(col("token"),
+      floor(log10(pUni) * 10000).cast("long").as("__qu"),
+      floor(log10(mu * pUni) * 10000).cast("long").as("__qu_mix"))
+    // per-pair longs: full interpolation (history marginal from the
+    // pair table itself; the unigram term joins by the pair's SECOND
+    // word — LM-sized work, never corpus-sized)
+    val hist = biP.groupBy("w_prev").agg(sum(col("cnt")).as("__hcnt"))
+    val qbi = biP.join(hist, Seq("w_prev"))
+      .join(uniP.select(col("token").as("w"), col("cnt").as("__ucnt")),
+        Seq("w"), "left")
+      .crossJoin(totals)
+      .select(col("w_prev"), col("w"),
+        floor(log10(
+          lam * (col("cnt").cast("double") / col("__hcnt")) +
+          mu * ((coalesce(col("__ucnt"), lit(0L)) + 1).cast("double") /
+            (col("__total") + col("__v"))))
+          * 10000).cast("long").as("__qb"))
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val oovFirst = floor(log10(lit(1.0) / (col("__total") + col("__v")))
+      * 10000).cast("long")
+    val oovMix = floor(log10(mu / (col("__total") + col("__v")))
+      * 10000).cast("long")
+    val chk = col("__chk").cast("long")
+    df.select(col(idCol), Tools.tokenize(c).as("__arr"))
+      .select(col(idCol), col("__arr"),
+        posexplode_outer(col("__arr")).as(Seq("__i", "w")))
+      .withColumn("w_prev",
+        when(col("__i") >= 1, element_at(col("__arr"), col("__i"))))
+      .drop("__arr")
+      .join(broadcast(qbi), Seq("w_prev", "w"), "left")
+      .join(broadcast(quni), quni("token") === col("w"), "left")
+      .crossJoin(totals)
+      .select(col(idCol),
+        when(col("w").isNull, chk) // token-free doc: null row, null score
+          .otherwise(when(col("w_prev").isNull,
+            coalesce(col("__qu"), oovFirst, chk))
+          .otherwise(coalesce(col("__qb"), col("__qu_mix"), oovMix, chk)))
+          .as("__qlp"))
+      .groupBy(idCol)
+      .agg(count(col("__qlp")).cast("int").as("n_tok"),
+        sum(col("__qlp")).as("__s"), count(col("__qlp")).as("__n"))
+      .withColumn("logprob", round(expr(
+        """CASE WHEN __n > 0 THEN
+          |  CAST(CASE WHEN __s < 0 THEN -(((-__s)*2 + __n) DIV (__n*2))
+          |       ELSE ((__s*2 + __n) DIV (__n*2)) END AS DOUBLE) / 10000.0
+          |END""".stripMargin), 4))
+      .drop("__s", "__n")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
     * "Data Selection for Language Models via Importance Resampling"):
     * score each doc by how much more likely its tokens are under a

@@ -111,6 +111,57 @@ class CurationSpec extends SparkSpec {
     assert(out.isNullAt(1) && out.isNullAt(7) && out.isNullAt(8))
   }
 
+  // ------------------------------------------------------ bigram LM
+  test("bigramLogProb: every interpolation branch matches the JVM-mirrored arithmetic") {
+    // ref "aa bb aa cc": uni aa:2 bb:1 cc:1 (T=4, V=3); bigrams
+    // (aa,bb):1 (bb,aa):1 (aa,cc):1; hist aa:2 bb:1. Docs exercise all
+    // four branches: first-token unigram, seen pair, unseen pair with
+    // in-vocab word, OOV word; plus the empty doc.
+    val ref = Seq((0L, "aa bb aa cc")).toDF("doc_id", "text")
+    val docs = Seq((1L, "aa bb"), (2L, "bb aa cc"), (3L, ""), (4L, "zz zz"))
+      .toDF("doc_id", "text")
+    val uni = Curation.unigramLm(ref, "text")
+    val bi = Curation.bigramLm(ref, "text")
+    val out = Curation.bigramLogProb(docs, "doc_id", "text", uni, bi,
+      lambdaBp = 9000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val (lam, mu, tv) = (9000 / 10000.0, (10000 - 9000) / 10000.0, 7.0)
+    def q(p: Double) = math.floor(math.log10(p) * 10000).toLong
+    def pu(c: Long) = (c + 1).toDouble / tv
+    def mean(qs: Seq[Long]): Double = {
+      val s = qs.sum; val n = qs.size.toLong
+      (if (s < 0) -(((-s) * 2 + n) / (n * 2)) else (s * 2 + n) / (n * 2))
+        .toDouble / 10000.0
+    }
+    assert(out(1L) == ((2, mean(Seq(
+      q(pu(2)),                       // aa first
+      q(lam * (1.0 / 2) + mu * pu(1)) // (aa,bb) seen
+    )))))
+    assert(out(2L) == ((3, mean(Seq(
+      q(pu(1)),
+      q(lam * (1.0 / 1) + mu * pu(2)), // (bb,aa)
+      q(lam * (1.0 / 2) + mu * pu(1))  // (aa,cc)
+    )))))
+    assert(out(3L) == ((0, null))) // token-free: nothing to score
+    assert(out(4L) == ((2, mean(Seq(
+      q(1.0 / tv), // OOV first token: Laplace floor
+      q(mu / tv)   // unseen pair, OOV word: μ-scaled floor
+    )))))
+  }
+
+  test("bigramLogProb rejects λ = 1 (log10(0) poison) and λ out of range") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val uni = Curation.unigramLm(df, "text")
+    val bi = Curation.bigramLm(df, "text")
+    for (bad <- Seq(10000, -1, 12345)) {
+      val e = intercept[IllegalArgumentException] {
+        Curation.bigramLogProb(df, "doc_id", "text", uni, bi, lambdaBp = bad)
+      }
+      assert(e.getMessage.contains("lambdaBp"))
+    }
+  }
+
   // ------------------------------------------------------------- BPE
   test("bpeTrain learns the hand-computed merge sequence") {
     // corpus: "low"×5 "lower"×2 "newest"×6 "widest"×3 — the classic

@@ -1437,6 +1437,33 @@ class RecipeConfSpec extends SparkSpec {
     // in-vocab doc scores above the pure-OOV doc
     assert(out(1L) > out(2L))
     assert(out(2L) == -0.9031) // Laplace floor: floor(log10(1/8)*1e4)/1e4
+    val conf2 = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/lm_in, format: parquet}
+         |  ref: {path: $dir/lm_ref, format: parquet}
+         |recipes:
+         |  scoreb:
+         |    input: docs
+         |    steps:
+         |      - lm_score: {id: doc_id, text: text, dataset: ref, lm_text: body,
+         |                   order: 2, lambda_bp: 9000}
+         |""".stripMargin)
+    val out2 = RecipeConf.run(spark, conf2, "scoreb").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // "aa bb" rides the seen (aa,bb) bigram; the single-token OOV doc
+    // has only a FIRST token, which order 2 scores pure-unigram — so
+    // its score must EQUAL the order-1 run (the first-token contract)
+    assert(out2(1L) > out2(2L))
+    assert(out2(2L) == out(2L))
+    val e = intercept[RuntimeException] {
+      RecipeConf.run(spark, RecipeConf.load(
+        s"""datasets:
+           |  docs: {path: $dir/lm_in, format: parquet}
+           |recipes:
+           |  bad: {input: docs, steps: [{lm_score: {id: doc_id, text: text, order: 3}}]}
+           |""".stripMargin), "bad")
+    }
+    assert(e.getMessage.contains("'order' must be 1 or 2"))
   }
 
   test("split step assigns every row to a declared split from YAML") {
