@@ -1184,6 +1184,15 @@ object SparkEntry {
         "doc_id", "clean_text", budget = 512, shardCol = "lang")
     }),
 
+    // per-doc novelty / memorization risk (TextAnalysis.noveltyScores):
+    // fraction of each doc's distinct 4-grams occurring in NO other doc
+    // (n=4 for the synthetic vocabulary, the q53 choice); exact-4dp
+    // integer-space ratio
+    "q99_novelty" -> ((s, dir) =>
+      graft.text.TextAnalysis.noveltyScores(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", n = 4)),
+
     // interpolated bigram LM scoring (Curation.bigramLogProb): the LM
     // trains on even doc_ids, odd docs are scored — so unseen pairs
     // (μ-scaled unigram fallback) and OOV words (μ-scaled Laplace
@@ -2242,6 +2251,28 @@ object SparkEntry {
         |     CAST(greatest(c1, c2) - least(c1, c2) AS INTEGER))
         | ELSE text END AS text_fim
         |FROM v""".stripMargin,
+
+    // doc-frequency of every distinct-per-doc gram, shared = df >= 2,
+    // ratio replayed in the same integer half-away arithmetic
+    "q99_novelty" ->
+      """WITH nn AS (SELECT doc_id, string_split_regex(<NORM_TEXT2>, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+        | FROM nn WHERE len(toks) >= 4),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |df_ AS (SELECT gram, COUNT(*) AS c FROM e GROUP BY 1),
+        |per AS (SELECT e.doc_id, COUNT(*) AS ng,
+        |   SUM(CASE WHEN df_.c >= 2 THEN 1 ELSE 0 END) AS ns
+        | FROM e JOIN df_ USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(p.ng, 0) AS INT) AS n_grams,
+        | CAST(coalesce(p.ns, 0) AS INT) AS n_shared,
+        | CASE WHEN p.ng > 0 THEN
+        |   CAST(((p.ng - p.ns) * 10000 * 2 + p.ng) // (p.ng * 2) AS DOUBLE) / 10000.0
+        | END AS novelty
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+        .replace("<NORM_TEXT2>", normSql.format("text")),
 
     // the full interpolation replayed: unigram + bigram + history
     // tables, per-LM-entry quantized logs, per-token case analysis

@@ -910,6 +910,10 @@ object RecipeConf {
       //   bpe: {text: col, merges: 8}
       case "bpe" => df => graft.text.Curation.bpeTrain(df, req("text"),
         merges = knobInt("merges", 8))
+      // per-doc novelty / memorization risk:
+      //   novelty: {id: col, text: col, n: 13}
+      case "novelty" => df => graft.text.TextAnalysis.noveltyScores(df,
+        req("id"), req("text"), n = knobInt("n", 13))
       // CCNet-style unigram LM score; the LM trains on a named reference
       // dataset when given (lm_text names its text column if it
       // differs), else on the input corpus itself:

@@ -306,6 +306,44 @@ object TextAnalysis {
     * join on the true gram hash). Counts aggregate gram HASHES — an
     * xxhash64 collision would merge two grams (same conservative
     * tolerance the flag path documents). */
+  /** Per-document novelty / memorization-risk score: the fraction of a
+    * doc's DISTINCT word n-grams that occur in no other document —
+    * `novelty = (n_grams − n_shared)/n_grams` at exact 4 decimals.
+    * Low novelty marks boilerplate-heavy or near-duplicated docs whose
+    * text a model is most likely to memorize verbatim (the n-gram
+    * overlap statistic behind Lee et al. 2022's dedup-reduces-
+    * memorization result) — rank or threshold on it the way q90/q81
+    * consume any score column. Docs too short for a single n-gram get
+    * (0, 0, NULL): unscorable, not perfectly novel.
+    *
+    * Scale shape: grams travel as xxhash64 longs (8 B); the doc-
+    * frequency agg is map-side combined on the gram hash; the ≥2-doc
+    * gram set semi-joins back on the same key (one reused shuffle
+    * family); ONE doc-id exchange aggregates both counters. The ratio
+    * rounds in integer space (the q59 half-away trick), so both
+    * engines emit the identical double. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    val grams = wordNgrams(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("gram")).as("__g"))
+    val gramsP = graft.engine.AutoUnpersist.cache(grams)
+    val shared = gramsP.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("__g"), lit(true).as("__hot"))
+    val per = gramsP.join(shared, Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__ng"), count(col("__hot")).as("__ns"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ng"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("__ns"), lit(0L)).cast("int").as("n_shared"),
+        expr(
+          """CASE WHEN __ng > 0 THEN
+            |  CAST(((__ng - __ns) * 10000 * 2 + __ng) DIV (__ng * 2)
+            |    AS DOUBLE) / 10000.0
+            |END""".stripMargin).as("novelty"))
+  }
+
   def contaminationReport(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
       testIdCol: Option[String] = None,

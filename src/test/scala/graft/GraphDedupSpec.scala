@@ -471,6 +471,29 @@ class GraphDedupSpec extends SparkSpec {
     assert(loose(1L).startsWith(banner))
   }
 
+  test("noveltyScores: shared-gram fractions, short docs, exact-4dp ratio") {
+    // 2-grams: doc 1 {a b, b c}; doc 2 {a b, b d}; doc 3 {x y};
+    // doc 4 one token (no grams); doc 5 null. Shared (>= 2 docs): "a b".
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x y"),
+      (4L, "solo"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out(1L) == ((2, 1, 0.5)))
+    assert(out(2L) == ((2, 1, 0.5)))
+    assert(out(3L) == ((1, 0, 1.0)))
+    assert(out(4L) == ((0, 0, null))) // unscorable, not perfectly novel
+    assert(out(5L) == ((0, 0, null)))
+    // half-away rounding at the 4th decimal: 1/3 shared -> 0.6667
+    val third = Seq((1L, "p q r s"), (2L, "p q zz ww")).toDF("doc_id", "text")
+    val t1 = TextAnalysis.noveltyScores(third, "doc_id", "text", n = 2)
+      .filter(col("doc_id") === 1).head
+    assert(t1.getInt(1) == 3 && t1.getInt(2) == 1 && t1.getDouble(3) == 0.6667)
+  }
+
   test("exactSubstrDedup cuts every duplicated token span, keeps survivors in order") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // head span shared with doc 2
