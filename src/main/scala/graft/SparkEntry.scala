@@ -1220,6 +1220,12 @@ object SparkEntry {
       graft.text.Curation.bpeTrain(
         t(s, dir, "documents").select("text"), "text", merges = 8)),
 
+    // the finished tokenizer vocabulary (Curation.bpeVocab): base
+    // characters in symbol order, then q97's merges in training order
+    "q100_bpe_vocab" -> ((s, dir) =>
+      graft.text.Curation.bpeVocab(
+        t(s, dir, "documents").select("text"), "text", merges = 8)),
+
     // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
     // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
     // DOWN to 0.5× through the same arithmetic, de/es pass through at
@@ -1533,6 +1539,30 @@ object SparkEntry {
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(strip_accents(lower(%s)), '[^0-9a-z]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Shared by q97/q100: the BPE word-frequency table + [[bpeK]]
+    * unrolled merge-round CTE blocks (p_r pair counts → b_r winner →
+    * w_{r+1} fold-merged words). */
+  private val bpeK = 8
+  private lazy val bpeOracleCtes: String = {
+    val head =
+      """WITH tok AS (SELECT unnest(string_split_regex(<NORM_TEXT>, '\s+')) AS w FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY 1),
+        |w0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\1~', 'g'), '~') AS s, freq FROM wf)""".stripMargin
+    val rounds = (0 until bpeK).map { r =>
+      s"""p$r AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |  FROM (SELECT string_split(s, '~') AS toks, freq FROM w$r)
+         |  WHERE len(toks) >= 2) GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${r + 1} AS (SELECT list_reduce(string_split(w$r.s, '~'),
+         |  (acc, x) -> acc || CASE WHEN (acc = b$r.a OR suffix(acc, '~' || b$r.a))
+         |    AND x = b$r.b THEN '' ELSE '~' END || x) AS s, freq
+         |  FROM w$r, b$r)""".stripMargin
+    }.mkString(",\n")
+    (head + ",\n" + rounds).replace("<NORM_TEXT>", normSql.format("text"))
+  }
 
   /** The SQL mirrors of Tools.tokenize, defined ONCE: oracle bodies
     * write `<STRIP:expr>` (edge-whitespace strip) and `<WS>` (the
@@ -2333,29 +2363,27 @@ object SparkEntry {
     // unroll as generated CTE blocks; cnt casts back from DuckDB's
     // HUGEINT sum.
     "q97_bpe_train" -> {
-      val k = 8
-      val head =
-        """WITH tok AS (SELECT unnest(string_split_regex(<NORM_TEXT>, '\s+')) AS w FROM documents),
-          |wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY 1),
-          |w0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\1~', 'g'), '~') AS s, freq FROM wf)""".stripMargin
-      val rounds = (0 until k).map { r =>
-        s"""p$r AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS cnt FROM (
-           |  SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
-           |    i -> {'a': toks[i], 'b': toks[i+1]})) AS p
-           |  FROM (SELECT string_split(s, '~') AS toks, freq FROM w$r)
-           |  WHERE len(toks) >= 2) GROUP BY 1, 2),
-           |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |w${r + 1} AS (SELECT list_reduce(string_split(w$r.s, '~'),
-           |  (acc, x) -> acc || CASE WHEN (acc = b$r.a OR suffix(acc, '~' || b$r.a))
-           |    AND x = b$r.b THEN '' ELSE '~' END || x) AS s, freq
-           |  FROM w$r, b$r)""".stripMargin
-      }.mkString(",\n")
-      val sel = (0 until k).map(r =>
+      val sel = (0 until bpeK).map(r =>
         s"SELECT $r AS round, a AS pair_left, b AS pair_right, " +
           s"a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r")
         .mkString("\nUNION ALL ")
-      (head + ",\n" + rounds + "\n" + sel)
-        .replace("<NORM_TEXT>", normSql.format("text"))
+      bpeOracleCtes + "\n" + sel
+    },
+
+    // the finished tokenizer artifact on top of the q97 rounds: base
+    // symbols = the distinct characters of the char-joined word table
+    // (ids in symbol order), merges appended in training order.
+    "q100_bpe_vocab" -> {
+      val mrg = (0 until bpeK).map(r =>
+        s"SELECT $r AS rnd, a || b AS sym FROM b$r").mkString(" UNION ALL ")
+      bpeOracleCtes + s""",
+        |base AS (SELECT DISTINCT unnest(string_split(s, '~')) AS sym FROM w0),
+        |mrg AS ($mrg)
+        |SELECT tok_id, symbol, kind FROM (
+        | SELECT row_number() OVER (ORDER BY sym) - 1 AS tok_id,
+        |        sym AS symbol, 'base' AS kind FROM base
+        | UNION ALL
+        | SELECT (SELECT COUNT(*) FROM base) + rnd, sym, 'merge' FROM mrg)""".stripMargin
     },
 
     // the whole q96 pipeline replayed as ONE CTE tower from proven

@@ -667,6 +667,31 @@ object Curation {
     rows.toDF("round", "pair_left", "pair_right", "merged", "cnt")
   }
 
+  /** The finished tokenizer artifact: base symbols (the corpus's
+    * distinct normalized characters, ids in symbol order) followed by
+    * [[bpeTrain]]'s merged symbols in training order — the (id, token)
+    * table a serving stack loads. Both pieces are declared-small
+    * (≤ 36-char normalized alphabet; `merges` rows), so the table
+    * assembles driver-side like the merge table itself; the corpus
+    * work is bpeTrain's one scan plus one distinct-char aggregate. */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeRows = bpeTrain(df, textCol, merges).collect()
+      .map(r => (r.getInt(0), r.getString(3)))
+    val baseChars = df
+      .select(explode(Tools.tokenize(Tools.normalize(col(textCol)))).as("w"))
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val rows = baseChars.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c, "base")
+    } ++ mergeRows.sortBy(_._1).map { case (r, sym) =>
+      ((baseChars.length + r).toLong, sym, "merge")
+    }
+    rows.toSeq.toDF("tok_id", "symbol", "kind")
+  }
+
   /** Apply ONE merge (a, b) → a+b to a [[bpeSep]]-joined symbol string:
     * a sequential fold where the merge fires whenever the accumulated
     * string's LAST symbol is `a` and the incoming symbol is `b` — when

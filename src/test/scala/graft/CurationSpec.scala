@@ -182,6 +182,23 @@ class CurationSpec extends SparkSpec {
       ("l", "o", "lo", 7L), ("lo", "w", "low", 7L)))
   }
 
+  test("bpeVocab: base alphabet in symbol order, merges appended in training order") {
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val out = Curation.bpeVocab(df, "text", merges = 4)
+      .orderBy("tok_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val base = "deilnorstw".map(_.toString) // the fixture's 10 chars sorted
+    assert(out.take(10).toSeq == base.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c, "base")
+    })
+    assert(out.drop(10).toSeq == Seq(
+      (10L, "es", "merge"), (11L, "est", "merge"),
+      (12L, "lo", "merge"), (13L, "low", "merge")))
+  }
+
   test("bpeTrain: winning-pair counts never increase round over round") {
     // a merged pair's successors (x, ab)/(ab, y) can count at most the
     // merged pair's own occurrences, and untouched pairs are unchanged
