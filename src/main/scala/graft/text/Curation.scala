@@ -651,11 +651,13 @@ object Curation {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((r, a, b, a + b, cnt))
-        val next = cur.select(bpeMergeApply(col("s"), a, b).as("s"), col("freq"))
-          .cache()
-        next.count() // materialize before dropping the parent
-        cur.unpersist()
-        cur = next
+        if (r < merges - 1) { // the last winner needs no merged table
+          val next = cur.select(bpeMergeApply(col("s"), a, b).as("s"), col("freq"))
+            .cache()
+          next.count() // materialize before dropping the parent
+          cur.unpersist()
+          cur = next
+        }
       }
       resultDf(spark, out.toSeq)
     } finally cur.unpersist()
