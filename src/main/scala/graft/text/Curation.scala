@@ -128,7 +128,17 @@ object Curation {
     * exchange. NULL text yields a NULL verdict, which `filter` drops —
     * identical to filtering [[gopherQuality]] on `keep`. Shares the
     * metric arithmetic with gopherQuality (one builder), so the two
-    * spellings cannot drift. */
+    * spellings cannot drift.
+    *
+    * Known cost, accepted deliberately: the conjunction inlines each
+    * metric's full expression, so a PASSING row re-evaluates the
+    * tokenizer regex ~4× (filter codegen does not CSE across
+    * conjuncts, and projecting metrics first doesn't help — Catalyst's
+    * PushPredicateThroughProject inlines the aliases right back). The
+    * conjuncts short-circuit cheapest-first, so REJECTED rows — the
+    * majority in a quality gate — stop early; a few extra regex passes
+    * on survivors is still row-local scan work, strictly cheaper than
+    * the join-back alternative's exchange at any scale. */
   def gopherKeep(c: Column, minWords: Int = 50, maxWords: Int = 100000,
       stopwords: Seq[String] = gopherStopwords): Column = {
     val m = gopherMetricCols(c, stopwords).toMap
@@ -380,15 +390,24 @@ object Curation {
     * ADJACENT pairs (vocab-bounded for a declared-small reference
     * corpus — wiki-sized, the CCNet reference-LM contract — not built
     * over the 100-TB corpus being scored). */
+  /** Adjacent-element pairs of a string array as array<struct<a, b>> —
+    * the overlapping zip [[bigramLm]] and [[bpeTrain]] share. Safe on
+    * short arrays: below 2 elements it yields an EMPTY array — never
+    * `sequence(1, 0)`, which generates DESCENDING and would index
+    * element 0 (an ANSI error). One definition so the guard cannot be
+    * fixed in one consumer and silently missed in the other. */
+  private def adjacentPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"),
+          element_at(toks, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
   def bigramLm(df: DataFrame, textCol: String,
       lowercase: Boolean = true): DataFrame = {
     val c = if (lowercase) lower(col(textCol)) else col(textCol)
-    val toks = Tools.tokenize(c)
-    df.filter(size(toks) >= 2)
-      .select(explode(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w_prev"),
-          element_at(toks, i + 1).as("w")))).as("p"))
-      .groupBy(col("p.w_prev").as("w_prev"), col("p.w").as("w"))
+    df.select(explode(adjacentPairs(Tools.tokenize(c))).as("p"))
+      .groupBy(col("p.a").as("w_prev"), col("p.b").as("w"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -635,14 +654,9 @@ object Curation {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     try {
       for (r <- 0 until merges) {
-        val toks = split(col("s"), bpeSep)
-        // single-symbol words hold no pairs — filter BEFORE building the
-        // index sequence (sequence(1, 0) would generate DESCENDING)
-        val best = cur.filter(size(toks) >= 2)
-          .select(col("freq"), explode(transform(
-            sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("a"),
-              element_at(toks, i + 1).as("b")))).as("p"))
+        val best = cur
+          .select(col("freq"),
+            explode(adjacentPairs(split(col("s"), bpeSep))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))

@@ -282,30 +282,6 @@ object TextAnalysis {
       .drop("__graft_contaminated")
   }
 
-  /** Contamination REPORT, keyed by TEST document — the audit artifact
-    * a pipeline publishes next to the decontaminated corpus ("which
-    * benchmark items leaked, and how badly"): one row per test doc with
-    *   - `n_contaminating_docs`  distinct corpus docs sharing ≥1 word
-    *                             n-gram with this test doc
-    *   - `n_shared_grams`        distinct leaked grams of this test doc
-    *   - `contaminated`          n_contaminating_docs > 0
-    * Clean test docs appear with zeros (a report that silently omits
-    * clean items can't distinguish "clean" from "not checked").
-    *
-    * Scale shape: same exploded-gram meeting as [[contaminationFlags]],
-    * but an INNER join keyed on the 64-bit gram hash with BOTH ids kept,
-    * then a two-key distinct aggregate per test id. The test side is the
-    * bounded benchmark set, so per-test-doc fan-out is capped by that
-    * side; a boilerplate gram hot on the CORPUS side fans out only into
-    * the per-test-doc distinct — counts, never pair materialization
-    * beyond the aggregate's partial buffers. With `bloomFpp` set, the
-    * same broadcast Bloom filter as the flag/drop paths prunes clean
-    * corpus grams map-side, making the corpus-side shuffle
-    * corpus-independent; the report is identical because the exact join
-    * still decides every hit (false positives can't survive an inner
-    * join on the true gram hash). Counts aggregate gram HASHES — an
-    * xxhash64 collision would merge two grams (same conservative
-    * tolerance the flag path documents). */
   /** Per-document novelty / memorization-risk score: the fraction of a
     * doc's DISTINCT word n-grams that occur in no other document —
     * `novelty = (n_grams − n_shared)/n_grams` at exact 4 decimals.
@@ -344,6 +320,30 @@ object TextAnalysis {
             |END""".stripMargin).as("novelty"))
   }
 
+  /** Contamination REPORT, keyed by TEST document — the audit artifact
+    * a pipeline publishes next to the decontaminated corpus ("which
+    * benchmark items leaked, and how badly"): one row per test doc with
+    *   - `n_contaminating_docs`  distinct corpus docs sharing ≥1 word
+    *                             n-gram with this test doc
+    *   - `n_shared_grams`        distinct leaked grams of this test doc
+    *   - `contaminated`          n_contaminating_docs > 0
+    * Clean test docs appear with zeros (a report that silently omits
+    * clean items can't distinguish "clean" from "not checked").
+    *
+    * Scale shape: same exploded-gram meeting as [[contaminationFlags]],
+    * but an INNER join keyed on the 64-bit gram hash with BOTH ids kept,
+    * then a two-key distinct aggregate per test id. The test side is the
+    * bounded benchmark set, so per-test-doc fan-out is capped by that
+    * side; a boilerplate gram hot on the CORPUS side fans out only into
+    * the per-test-doc distinct — counts, never pair materialization
+    * beyond the aggregate's partial buffers. With `bloomFpp` set, the
+    * same broadcast Bloom filter as the flag/drop paths prunes clean
+    * corpus grams map-side, making the corpus-side shuffle
+    * corpus-independent; the report is identical because the exact join
+    * still decides every hit (false positives can't survive an inner
+    * join on the true gram hash). Counts aggregate gram HASHES — an
+    * xxhash64 collision would merge two grams (same conservative
+    * tolerance the flag path documents). */
   def contaminationReport(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
       testIdCol: Option[String] = None,
