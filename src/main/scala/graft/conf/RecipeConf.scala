@@ -906,10 +906,15 @@ object RecipeConf {
       case "vocab" => df => graft.text.Curation.vocabTopK(df, req("text"),
         k = knobInt("k", 1000),
         lowercase = knobBool("lowercase", true))
-      // BPE tokenizer training — the ordered merge table:
-      //   bpe: {text: col, merges: 8}
-      case "bpe" => df => graft.text.Curation.bpeTrain(df, req("text"),
-        merges = knobInt("merges", 8))
+      // BPE tokenizer training — the ordered merge table, or the
+      // finished vocabulary with `vocab: true`:
+      //   bpe: {text: col, merges: 8[, vocab: true]}
+      case "bpe" => df =>
+        if (knobBool("vocab", false))
+          graft.text.Curation.bpeVocab(df, req("text"),
+            merges = knobInt("merges", 8))
+        else graft.text.Curation.bpeTrain(df, req("text"),
+          merges = knobInt("merges", 8))
       // per-doc novelty / memorization risk:
       //   novelty: {id: col, text: col, n: 13}
       case "novelty" => df => graft.text.TextAnalysis.noveltyScores(df,

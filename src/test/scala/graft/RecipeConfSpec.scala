@@ -1375,6 +1375,15 @@ class RecipeConfSpec extends SparkSpec {
     assert(bpe.columns.toSeq ==
       Seq("round", "pair_left", "pair_right", "merged", "cnt"))
     assert(bpe.count() == 4)
+    val vconf = RecipeConf.load(
+      s"""datasets:
+         |  cd: {path: $dir/cur_in, format: parquet}
+         |recipes:
+         |  bv: {input: cd, steps: [{bpe: {text: text, merges: 4, vocab: true}}]}
+         |""".stripMargin)
+    val bv = RecipeConf.run(spark, vconf, "bv")
+    assert(bv.columns.toSeq == Seq("tok_id", "symbol", "kind"))
+    assert(bv.filter("kind = 'merge'").count() == 4)
   }
 
   test("a full curation pipeline composes from one YAML recipe") {
