@@ -1184,6 +1184,15 @@ object SparkEntry {
         "doc_id", "clean_text", budget = 512, shardCol = "lang")
     }),
 
+    // scan-level file provenance (Ops.withProvenance): every row
+    // stamped with its source file's basename from the scan's task
+    // context — zero-shuffle, zero-I/O. The gate table is single-file,
+    // so the oracle spells the expected constant; the multi-file
+    // regex-concat case is ModulesSpec-pinned per file.
+    "q101_provenance" -> ((s, dir) =>
+      graft.operators.Ops.withProvenance(
+        t(s, dir, "documents").select("doc_id"))),
+
     // per-doc novelty / memorization risk (TextAnalysis.noveltyScores):
     // fraction of each doc's distinct 4-grams occurring in NO other doc
     // (n=4 for the synthetic vocabulary, the q53 choice); exact-4dp
@@ -2281,6 +2290,12 @@ object SparkEntry {
         |     CAST(greatest(c1, c2) - least(c1, c2) AS INTEGER))
         | ELSE text END AS text_fim
         |FROM v""".stripMargin,
+
+    // the gate's documents table is one parquet file, so the expected
+    // basename is a spellable constant — the hash still proves the
+    // engine derived it from the scan context, not a literal
+    "q101_provenance" ->
+      "SELECT doc_id, 'documents.parquet' AS src_file FROM documents",
 
     // doc-frequency of every distinct-per-doc gram, shared = df >= 2,
     // ratio replayed in the same integer half-away arithmetic

@@ -435,6 +435,9 @@ object RecipeConf {
         reqList("select").foldLeft(df)((d, c) =>
           Ops.unfold(d, c, m.getOrElse("fill_na", "").toString))
       case "shuffle" => df => Ops.shuffleCols(df, sel())
+      // scan-level file provenance: provenance: {col: src_file}
+      case "provenance" => df =>
+        Ops.withProvenance(df, knob("col", "src_file"))
       case "pause" => identity
       case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
       // Two arg shapes, two expression languages:

@@ -311,6 +311,21 @@ object Ops {
       16, 10).cast("long"),
     lit(10000L))
 
+  /** Stamp each row with the BASENAME of the file it was scanned from
+    * (`input_file_name()`) — scan-level provenance. At 100 TB this is
+    * the debugging handle that matters: a bad row traces to its source
+    * shard without re-deriving partition layouts, and downstream
+    * curation can group/cap/quarantine per input file (compose with
+    * [[capPerKey]] on the new column). Zero cost: the expression reads
+    * the scan's task context inside whole-stage codegen — no shuffle,
+    * no extra I/O. Rows that did not come from a file scan (in-memory
+    * fixtures, streaming sources) stamp an empty string — surfaced as
+    * NULL so "unknown origin" is queryable rather than a '' sentinel. */
+  def withProvenance(df: DataFrame, outCol: String = "src_file"): DataFrame = {
+    val base = element_at(split(input_file_name(), "/"), -1)
+    df.withColumn(outCol, when(base =!= "", base))
+  }
+
   /** Cap each key's contribution at `n` rows (training-data curation:
     * bound any one source/domain so it cannot dominate the mix). Which
     * rows survive is deterministic — rank by the salted id hash, id as

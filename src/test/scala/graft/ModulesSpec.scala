@@ -145,6 +145,21 @@ class ModulesSpec extends SparkSpec {
     assert(rows(gzDf) == Seq(Seq("9", "z")))
   }
 
+  test("withProvenance stamps each row with its own source file across a multi-file scan") {
+    val dir = tmpDir
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part_a.csv"), "id;v\n1;a\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part_b.csv"), "id;v\n2;b\n")
+    val df = Sources.multiFile(spark, dir, "part_[ab]\\.csv",
+      p => Sources.csv(spark, p))
+    val out = graft.operators.Ops.withProvenance(df).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("1" -> "part_a.csv", "2" -> "part_b.csv"))
+    // non-file rows (in-memory fixture) surface NULL, not ''
+    import spark.implicits._
+    val mem = graft.operators.Ops.withProvenance(Seq((1, "x")).toDF("id", "v")).collect()(0)
+    assert(mem.isNullAt(2))
+  }
+
   test("recipe before/after orchestration runs dependencies in order") {
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.engine.Recipe.run(
