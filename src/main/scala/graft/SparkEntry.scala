@@ -2662,7 +2662,8 @@ object SparkEntry {
         |    (SELECT CAST(floor(log10(1.0 / (total + v)) * 10000) AS BIGINT) FROM tt))
         |  - rq.qlp AS wq
         | FROM tok t LEFT JOIN tq USING (token) JOIN rq USING (token))
-        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok, SUM(wq) AS dsir_logw_q
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok,
+        |  CAST(SUM(wq) AS BIGINT) AS dsir_logw_q
         |FROM w GROUP BY 1
         |ORDER BY dsir_logw_q DESC, doc_id LIMIT 100""".stripMargin,
 

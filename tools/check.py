@@ -47,6 +47,23 @@ for name in sorted(os.listdir(outdir)):
         continue
     try:
         pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        # Values match, but the driver's hash is serialization-sensitive:
+        # an engine int64 column vs an oracle float64 column (e.g. DuckDB
+        # HUGEINT from SUM(BIGINT) landing in pandas as float) hashes
+        # differently even with identical values. Fail loudly here so the
+        # class is caught locally, not in the driver round (q75 lesson).
+        dtype_bad = []
+        for c in g.columns:
+            gk = g[c].dtype.kind
+            ek = e[c].dtype.kind
+            if gk != ek and {gk, ek} & {"i", "u", "f"} and {gk, ek} != {"i", "u"}:
+                dtype_bad.append((c, str(g[c].dtype), str(e[c].dtype)))
+        if dtype_bad:
+            print(f"{name}: DTYPE-CLASS-MISMATCH (values equal; driver hash would FAIL)")
+            for c, gd, ed in dtype_bad:
+                print(f"   col={c} engine={gd} oracle={ed}")
+            fail += 1
+            continue
         print(f"{name}: OK rows={len(g)}")
         ok += 1
     except AssertionError as ex:
