@@ -344,14 +344,15 @@ object SparkEntry {
     // bench tracks each side of the build-once/query-many trade
     // separately — at 100 TB the build amortizes over every later
     // query batch, so folding it into the probe number (as rounds ≤ 7
-    // did) overstated the steady-state query cost ~2×. Returns
-    // SCALAR-ONLY invariants of the persisted layout — cell id, row
-    // count read back from the hive-partitioned assigned/ dirs, and the
-    // quantized centroid norm — not the raw array<double> centroid
-    // table (the driver harness canonicalizes frames through pandas
-    // sort_values, which cannot hash an array cell; r8's one red row).
-    // k-means centroids are not DuckDB-replayable, so the row is a
-    // rows+schema check: 16 rows == nlist, every count positive.
+    // did) overstated the steady-state query cost ~2×. Since the fit
+    // moved to quantized-integer Lloyd's (Cluster.fitCentroids — seeded
+    // md5 init, integer argmin, floor-division updates), the PERSISTED
+    // layout is fully oracle-replayable: the DuckDB side unrolls the
+    // same 4 iterations as CTE blocks (kmeansOracleCtes) and re-derives
+    // each cell's row count and the integer centroid norm Σqc². Scalar
+    // columns only — the driver harness canonicalizes frames through
+    // pandas sort_values, which cannot hash an array cell (r8's one
+    // red row); the full per-coordinate centroid table is q74's job.
     "q60_ann_ivf_build" -> ((s, dir) => {
       Ann.writeIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
         ivfIdxDir(dir), nlist = 16)
@@ -361,8 +362,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"))
       val norms = s.read.parquet(s"${ivfIdxDir(dir)}/centroids")
         .select(col("__cell").cast("int").as("__cell"),
-          round(sqrt(aggregate(transform(col("__centroid"), x => x * x),
-            lit(0.0), (a, x) => a + x)), 4).as("centroid_norm_q"))
+          aggregate(transform(col("__qcentroid"), x => x * x),
+            lit(0L), (a, x) => a + x).as("centroid_norm2_q"))
       counts.join(norms, Seq("__cell")).orderBy("__cell")
     }),
 
@@ -943,19 +944,23 @@ object SparkEntry {
           graft.text.Curation.extractHtmlText(col("html")).as("html_text"))
     }),
 
-    // seeded k-means codebook fit (Cluster.fitCentroids) under the
-    // driver gate (r8 VERDICT #6): centroids are not DuckDB-replayable
-    // (no k-means there), so the row reports SCALAR invariants only —
-    // cid plus the quantized centroid norm — and is a rows+schema check
-    // (k rows). MlGoldenSpec-style exactness stays in ModulesSpec;
-    // determinism across runs holds for a fixed (data, k, seed) on one
-    // Spark version.
+    // seeded k-means codebook fit (Cluster.fitCentroids) under the FULL
+    // driver oracle (r9 VERDICT #3): the fit is quantized-integer
+    // Lloyd's — md5-seeded init, integer argmin, floor-division
+    // updates — so DuckDB replays all 4 iterations as unrolled CTE
+    // blocks (the q97 BPE-round pattern) and every centroid COORDINATE
+    // is hash-checked, not just a norm. Output is the exploded integer
+    // codebook (cid, pos, qc): scalar cells only, since the driver
+    // harness cannot hash array cells (r8's one red row).
     "q74_fit_centroids" -> ((s, dir) => {
       val cents = graft.sim.Cluster.fitCentroids(
-        t(s, dir, "embeddings"), "embedding", k = 8)
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      // cv = qc/10⁴ exactly, so round(cv·10⁴) recovers the integer
+      // coordinate bit-exactly (floor would tip on the division ulp)
       cents.select(col("cid"),
-        round(sqrt(aggregate(transform(col("cv"), x => x * x),
-          lit(0.0), (a, x) => a + x)), 4).as("centroid_norm_q"))
+          posexplode(transform(col("cv"),
+            x => round(x * 10000).cast("long"))))
+        .toDF("cid", "pos", "qc")
     }),
 
     // embedding-space decontamination (Ann.semanticContaminationFlags):
@@ -1622,6 +1627,48 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Shared by q74 (codebook fit) and q60_ann_ivf_build (IVF layout):
+    * the quantized-integer Lloyd's replay — Cluster.fitCentroids's
+    * exact contract unrolled as CTE blocks, the q97 BPE-round pattern.
+    * `e` quantizes every embedding to floor(x·10⁴) longs; `cq0` is the
+    * seeded init (the k rows ranked first by 60-bit md5(seed‖id), id);
+    * each round r: integer argmin assignment a_r (ties to the smaller
+    * cid), per-dimension member sums s_r, and the floor-division
+    * update cq_r (clusters with no members keep their centroid). All
+    * arithmetic is 64-bit-integer exact, so the final cq_iters matches
+    * the engine's centroids bit for bit. */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""WITH e AS (SELECT vec_id AS id,
+         |   list_transform(CAST(embedding AS DOUBLE[]),
+         |     x -> CAST(floor(x*10000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cq0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
+         |   SELECT qv, ROW_NUMBER() OVER (ORDER BY
+         |     ('0x' || substr(md5('42' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,
+         |     id) AS rn
+         |   FROM e) WHERE rn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS (SELECT e.id, c.cid,
+         |   list_sum(list_transform(generate_series(1, len(e.qv)),
+         |     j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))) AS d2
+         |  FROM e CROSS JOIN cq${r - 1} c),
+         |a$r AS (SELECT id, cid FROM (SELECT id, cid,
+         |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |   FROM d$r) WHERE rn = 1),
+         |s$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
+         |  FROM a$r a JOIN (SELECT id, unnest(range(len(qv))) AS pos,
+         |     unnest(qv) AS q FROM e) u USING (id) GROUP BY 1, 2),
+         |cq$r AS (
+         |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
+         |    ORDER BY pos) AS cv FROM s$r GROUP BY cid
+         |  UNION ALL
+         |  SELECT cid, cv FROM cq${r - 1}
+         |  WHERE cid NOT IN (SELECT cid FROM s$r))""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + rounds
+  }
+
   private val oracleSqlRaw: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2010,6 +2057,38 @@ object SparkEntry {
         |SELECT vec_id, CAST(NULL AS BIGINT) AS cluster_id,
         |       CAST(NULL AS BIGINT) AS cluster_d2
         |FROM e WHERE qv IS NULL""".stripMargin,
+
+    // the quantized-integer Lloyd's fit replayed from scratch
+    // (kmeansOracleCtes: seeded init + 4 unrolled rounds), final
+    // codebook exploded to integer coordinates — every qc hash-checked
+    "q74_fit_centroids" ->
+      (kmeansOracleCtes(k = 8, iters = 4) +
+        """
+          |SELECT cid, CAST(pos AS INT) AS pos, CAST(qc AS BIGINT) AS qc
+          |FROM (SELECT cid, unnest(range(len(cv))) AS pos,
+          |      unnest(cv) AS qc FROM cq4)""".stripMargin),
+
+    // same replayed fit at nlist=16, plus one more assignment pass
+    // (d5/a5) against the FINAL centroids — exactly what writeIvfIndex
+    // persists as the cell layout: per-cell row counts and the integer
+    // centroid norm Σqc² (empty cells appear on neither side)
+    "q60_ann_ivf_build" ->
+      (kmeansOracleCtes(k = 16, iters = 4) +
+        """,
+          |d5 AS (SELECT e.id, c.cid,
+          |   list_sum(list_transform(generate_series(1, len(e.qv)),
+          |     j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))) AS d2
+          |  FROM e CROSS JOIN cq4 c),
+          |a5 AS (SELECT id, cid FROM (SELECT id, cid,
+          |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          |   FROM d5) WHERE rn = 1),
+          |cnt AS (SELECT cid, COUNT(*) AS n_vectors FROM a5 GROUP BY 1),
+          |nrm AS (SELECT cid,
+          |   list_sum(list_transform(cv, x -> x*x)) AS n2 FROM cq4)
+          |SELECT CAST(c.cid AS INT) AS __cell,
+          |  CAST(c.n_vectors AS BIGINT) AS n_vectors,
+          |  CAST(n.n2 AS BIGINT) AS centroid_norm2_q
+          |FROM cnt c JOIN nrm n USING (cid)""".stripMargin),
 
     // same window arithmetic over DuckDB lists: chunk i (0-based) covers
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]

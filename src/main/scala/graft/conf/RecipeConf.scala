@@ -884,7 +884,7 @@ object RecipeConf {
           // dimension MISMATCHES still fail the fit loudly (a codebook
           // fitted over mixed dimensions is a config error, not data)
           case _ => graft.sim.Cluster.fitCentroids(
-            df.filter(col(vec).isNotNull), vec,
+            df.filter(col(vec).isNotNull), id, vec,
             k = knobInt("k", 16), seed = knobLong("seed", 42L))
         }
         knobOpt("cap") match {

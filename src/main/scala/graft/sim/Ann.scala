@@ -170,23 +170,28 @@ object Ann {
     require(k >= 1 && nlist >= 1 && nprobe >= 1,
       s"k/nlist/nprobe must be >= 1, got k=$k nlist=$nlist nprobe=$nprobe")
 
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
-      .withColumn("__features", array_to_vector(transform(col("__cv"), x => x.cast("double"))))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-    val model = km.fit(corpusVec)
-    val assigned = model.transform(corpusVec)
-      .withColumnRenamed("prediction", "__cell")
-      .select("neighbor_id", "__cv", "__cell")
+    // same deterministic quantized-integer fit + integer-space cell
+    // assignment as writeIvfIndex — the in-memory and persisted paths
+    // MUST share one layout so their results are identical for a fixed
+    // (data, nlist, seed)
+    val scale = 10000
+    val qcents = graft.sim.Cluster.fitCentroidsQ(
+      corpus, cId, cVec, nlist, seed, iters = 4, scale = scale)
+    val centsQDf = corpus.sparkSession
+      .createDataFrame(qcents).toDF("cid", "qcv")
+    val corpusQ = corpus.select(col(cId).as("neighbor_id"),
+        col(cVec).as("__cv"))
+      .withColumn("__qv", transform(col("__cv"),
+        x => floor(x.cast("double") * scale).cast("long")))
+    val assigned = graft.sim.Cluster
+      .clusterAssign(corpusQ, "neighbor_id", "__qv", centsQDf, "cid", "qcv")
+      .select(col("neighbor_id"), col("__cv"),
+        col("cluster_id").cast("int").as("__cell"))
 
     // centroid table (tiny) — broadcast both into query-side probe
     // selection and the candidate join
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
-    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(
+        qcents.map { case (c, qv) => (c.toInt, qv.map(_.toDouble / scale)) })
       .toDF("__cell", "__centroid"))
 
     // each query × centroid → keep the nprobe nearest cells (euclidean,
@@ -216,23 +221,39 @@ object Ann {
     * which is the property that makes IVF work at 100 TB. */
   def writeIvfIndex(corpus: DataFrame, cId: String, cVec: String,
       path: String, nlist: Int = 16, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpusVec = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
-      .withColumn("__features", array_to_vector(transform(col("__cv"), x => x.cast("double"))))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-    val model = km.fit(corpusVec)
-    model.transform(corpusVec)
-      .withColumnRenamed("prediction", "__cell")
-      .select(col("neighbor_id"), col("__cv"), col("__cell"))
+    // deterministic quantized-integer k-means (Cluster.fitCentroids's
+    // engine-portable contract) — the cell layout is replayable from
+    // (data, nlist, seed) alone, so the index build itself sits under
+    // the cross-engine oracle, not just the probe
+    val scale = 10000
+    val qcents = graft.sim.Cluster.fitCentroidsQ(
+      corpus, cId, cVec, nlist, seed, iters = 4, scale = scale)
+    val centsQDf = corpus.sparkSession
+      .createDataFrame(qcents).toDF("cid", "qcv")
+    // cell assignment in the SAME integer space the fit ran in: argmin
+    // of Σ(qvᵢ−qcᵢ)², ties to the smaller cell. Rows with a NULL /
+    // wrong-dimension vector keep a NULL cell: they land in the hive
+    // null-partition directory — visible for quarantine, never probed —
+    // instead of failing the whole 100-TB build.
+    val corpusQ = corpus.select(col(cId).as("neighbor_id"),
+        col(cVec).as("__cv"))
+      .withColumn("__qv", transform(col("__cv"),
+        x => floor(x.cast("double") * scale).cast("long")))
+    graft.sim.Cluster
+      .clusterAssign(corpusQ, "neighbor_id", "__qv", centsQDf, "cid", "qcv")
+      .select(col("neighbor_id"), col("__cv"),
+        col("cluster_id").cast("int").as("__cell"))
       // one output dir (and typically one file) per cell
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
-    corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
-      .toDF("__cell", "__centroid")
+    // centroids table carries both spaces: __centroid (double) feeds the
+    // probe's cell ranking, __qcentroid (quantized longs) is the
+    // integer-exact artifact oracle checks read
+    corpus.sparkSession.createDataFrame(
+        qcents.map { case (c, qv) =>
+          (c.toInt, qv.map(_.toDouble / scale), qv)
+        })
+      .toDF("__cell", "__centroid", "__qcentroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // build manifest, written LAST so its presence certifies a COMPLETE
     // build: a crash between the two table writes (or an out-of-band

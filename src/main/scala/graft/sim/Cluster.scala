@@ -62,22 +62,86 @@ object Cluster {
 
   /** Fit a seeded k-means codebook over `df`'s vectors and return it as
     * a (cid, cv) DataFrame — feed to [[clusterAssign]] / persist for
-    * reuse. Deterministic in (data, k, seed); the model's centroid
-    * array is the driver-side declared-small artifact. */
-  def fitCentroids(df: DataFrame, vecCol: String, k: Int,
-      seed: Long = 42L): DataFrame = {
-    require(k >= 1, s"fitCentroids needs k >= 1, got $k")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vec = df.select(array_to_vector(
-      transform(col(vecCol), x => x.cast("double"))).as("__features"))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("__features").fit(vec)
-    df.sparkSession.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i.toLong, c.toArray.toSeq)
-        }.toIndexedSeq)
+    * reuse. Deterministic in (data, k, seed) — and, unlike a
+    * float-space Lloyd's, ENGINE-portable: every update runs in
+    * quantized integer space (coordinates as `floor(x·10⁴)` longs, the
+    * q70 distance trick), so the fixed seeded iterations replay
+    * bit-exactly in any engine with 64-bit integers (the driver's
+    * DuckDB oracle unrolls them as CTE blocks, the q97 BPE pattern).
+    *
+    *  - init: the k rows ranked first by (md5(seed‖id), id) — a seeded
+    *    deterministic draw, the hashSplit bucket trick; cid = rank.
+    *  - assign: integer argmin of Σ(qvᵢ−qcᵢ)², ties to the smaller cid
+    *    (exact in [[clusterAssign]]'s double fold — quantized
+    *    coordinates keep every product under 2⁵³).
+    *  - update: per-dimension floor-division of member sums (empty
+    *    clusters keep their centroid, so k never silently shrinks).
+    *
+    * The per-iteration collect is k·dim longs — the declared-small
+    * one-row-per-round artifact (the bpeTrain / k-means-iteration
+    * pattern); the corpus itself is scanned once per iteration with
+    * a broadcast codebook and never shuffles beyond the k·dim-cell
+    * partial agg. `iters` is a FIXED budget, not a convergence test:
+    * convergence checks compare floats and would fork engines. */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: Long = 42L, iters: Int = 4, scale: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+        fitCentroidsQ(df, idCol, vecCol, k, seed, iters, scale)
+          .map { case (cid, qc) => (cid, qc.map(_.toDouble / scale)) })
       .toDF("cid", "cv")
+  }
+
+  /** The integer-space fit behind [[fitCentroids]]: the final quantized
+    * centroids as driver-side (cid, coordinates·scale) pairs. Exposed
+    * so index builders (IVF) can assign cells in the SAME integer space
+    * the fit ran in — re-deriving them from the double codebook would
+    * round-trip through a division. */
+  private[graft] def fitCentroidsQ(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, seed: Long, iters: Int,
+      scale: Int): IndexedSeq[(Long, IndexedSeq[Long])] = {
+    require(k >= 1, s"fitCentroids needs k >= 1, got $k")
+    require(iters >= 1, s"fitCentroids needs iters >= 1, got $iters")
+    val spark = df.sparkSession
+    val qdf = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
+    // seeded init: k rows by (60-bit md5 hash, id) — TakeOrderedAndProject,
+    // never a global sort; collect order IS the cid order
+    val h = conv(substring(md5(concat(lit(seed.toString),
+      col("__id").cast("string"))), 1, 15), 16, 10).cast("long")
+    var cents: IndexedSeq[(Long, IndexedSeq[Long])] =
+      qdf.withColumn("__h", h).orderBy(col("__h"), col("__id")).limit(k)
+        .select("__qv").collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Long](0).toIndexedSeq)
+        }.toIndexedSeq
+    require(cents.nonEmpty, "fitCentroids: no non-null vectors to fit")
+    for (_ <- 1 to iters) {
+      val centsDf = spark.createDataFrame(cents).toDF("cid", "cv")
+      // rows whose dimension matches no centroid assign NULL and sit out
+      val assigned = clusterAssign(qdf, "__id", "__qv", centsDf, "cid", "cv")
+        .filter(col("cluster_id").isNotNull)
+      val stats = assigned
+        .select(col("cluster_id"),
+          posexplode(col("__qv")).as(Seq("__pos", "__q")))
+        .groupBy("cluster_id", "__pos")
+        .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.map(r => r.getInt(1) ->
+            java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+        }
+      cents = cents.map { case (cid, old) =>
+        stats.get(cid) match {
+          case Some(byPos) => (cid, old.indices.map(byPos))
+          case None        => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
   }
 
   /** Cluster-balanced sample: assign, then keep at most `nPerCluster`

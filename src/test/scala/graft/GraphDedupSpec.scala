@@ -627,14 +627,36 @@ class GraphDedupSpec extends SparkSpec {
     assert(neg.getAs[Long]("cluster_id") == -1L)
 
     // fitCentroids: deterministic in (data, k, seed); k cluster rows
-    val fit1 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "v", k = 2)
-    val fit2 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "v", k = 2)
+    val fit1 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "id", "v", k = 2)
+    val fit2 = Cluster.fitCentroids(many.filter(col("v").isNotNull), "id", "v", k = 2)
     assert(fit1.collect().map(_.toString).sorted.toSeq ==
       fit2.collect().map(_.toString).sorted.toSeq)
     assert(fit1.count() == 2)
     // the two obvious centers: (0,0)-ish and (5,5)-ish
     val cs = fit1.collect().map(_.getAs[Seq[Double]]("cv").head).sorted
     assert(cs(0) < 1.0 && cs(1) > 4.0, cs.mkString(","))
+
+    // the update is FLOOR division, not truncation: 2^-8 and -2^-8
+    // quantize to +39 / -40 (floor), sum -1 over 2 members → centroid
+    // -1, where truncating division would give 0. This is the exact
+    // arithmetic the DuckDB oracle replays via the pmod trick — a
+    // truncate on either side forks the engines on negative sums.
+    val neg2 = Seq((1L, Seq(0.00390625f)), (2L, Seq(-0.00390625f)))
+      .toDF("id", "v")
+    val fneg = Cluster.fitCentroids(neg2, "id", "v", k = 1, iters = 1)
+      .collect()
+    assert(fneg.length == 1)
+    assert(math.round(fneg(0).getAs[Seq[Double]]("cv").head * 10000) == -1L,
+      fneg(0).toString)
+
+    // an empty cluster keeps its centroid instead of vanishing: two
+    // identical points seed two identical centroids; ties send every
+    // member to the smaller cid, yet k stays 2
+    val same = Seq((1L, Seq(1.0f)), (2L, Seq(1.0f))).toDF("id", "v")
+    val fsame = Cluster.fitCentroids(same, "id", "v", k = 2, iters = 2)
+    assert(fsame.count() == 2)
+    assert(fsame.collect().map(_.getAs[Seq[Double]]("cv").head).toSet
+      == Set(1.0), "both centroids must survive at the seed coordinate")
   }
 
   test("bloom-prefiltered decontamination is exactly the semi-join answer") {
