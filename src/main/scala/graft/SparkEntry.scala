@@ -1230,12 +1230,17 @@ object SparkEntry {
     // sequential fold). The oracle UNROLLS all 8 rounds as CTE blocks
     // and replays the identical fold via list_reduce, so every round's
     // winning pair, merged symbol, and count must match exactly.
+    // localThreshold = 0 pins the DISTRIBUTED per-round regime under
+    // the oracle; q100 takes the default and pins the driver-side
+    // merge-loop regime against the same replay — both paths gated.
     "q97_bpe_train" -> ((s, dir) =>
       graft.text.Curation.bpeTrain(
-        t(s, dir, "documents").select("text"), "text", merges = 8)),
+        t(s, dir, "documents").select("text"), "text", merges = 8,
+        localThreshold = 0L)),
 
     // the finished tokenizer vocabulary (Curation.bpeVocab): base
     // characters in symbol order, then q97's merges in training order
+    // (via the default bpeTrain regime split — the local merge loop)
     "q100_bpe_vocab" -> ((s, dir) =>
       graft.text.Curation.bpeVocab(
         t(s, dir, "documents").select("text"), "text", merges = 8)),

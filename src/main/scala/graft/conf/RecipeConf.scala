@@ -910,14 +910,17 @@ object RecipeConf {
         k = knobInt("k", 1000),
         lowercase = knobBool("lowercase", true))
       // BPE tokenizer training — the ordered merge table, or the
-      // finished vocabulary with `vocab: true`:
-      //   bpe: {text: col, merges: 8[, vocab: true]}
+      // finished vocabulary with `vocab: true`. `local_threshold`
+      // tunes the regime split (word tables up to this many rows run
+      // the driver-side merge loop; 0 forces per-round Spark jobs):
+      //   bpe: {text: col, merges: 8[, vocab: true, local_threshold: n]}
       case "bpe" => df =>
         if (knobBool("vocab", false))
           graft.text.Curation.bpeVocab(df, req("text"),
             merges = knobInt("merges", 8))
         else graft.text.Curation.bpeTrain(df, req("text"),
-          merges = knobInt("merges", 8))
+          merges = knobInt("merges", 8),
+          localThreshold = knobLong("local_threshold", 1000000L))
       // per-doc novelty / memorization risk:
       //   novelty: {id: col, text: col, n: 13}
       case "novelty" => df => graft.text.TextAnalysis.noveltyScores(df,

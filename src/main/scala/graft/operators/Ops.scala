@@ -320,10 +320,21 @@ object Ops {
     * the scan's task context inside whole-stage codegen — no shuffle,
     * no extra I/O. Rows that did not come from a file scan (in-memory
     * fixtures, streaming sources) stamp an empty string — surfaced as
-    * NULL so "unknown origin" is queryable rather than a '' sentinel. */
+    * NULL so "unknown origin" is queryable rather than a '' sentinel.
+    *
+    * `input_file_name()` returns a percent-encoded URI, so the basename
+    * of `my file.parquet` arrives as `my%20file.parquet` — decoded here
+    * so per-file grouping/quarantine keys match the on-disk name. Two
+    * traps in the decode: url_decode is FORM decoding ('+' → space,
+    * wrong for URI paths, where a literal '+' rides undisturbed), so
+    * literal '+' is pre-escaped to %2B first; and a hostile byte
+    * sequence that is not valid percent-encoding must stamp the raw
+    * form rather than fail the scan (try_url_decode → coalesce). */
   def withProvenance(df: DataFrame, outCol: String = "src_file"): DataFrame = {
     val base = element_at(split(input_file_name(), "/"), -1)
-    df.withColumn(outCol, when(base =!= "", base))
+    val decoded = coalesce(
+      try_url_decode(regexp_replace(base, "\\+", "%2B")), base)
+    df.withColumn(outCol, when(base =!= "", decoded))
   }
 
   /** Cap each key's contribution at `n` rows (training-data curation:

@@ -635,13 +635,29 @@ object Curation {
     * The 100-TB shape: the corpus is touched ONCE (token explode →
     * map-side-combined word-frequency agg, the [[vocabTopK]] shuffle);
     * every merge round then runs on the WORD table — vocabulary-sized
-    * by Heaps' law, millions of rows at web scale, not corpus-sized —
-    * cached and replaced round over round. Each round's winning pair
-    * (ONE row) is collected to the driver exactly like spark.ml's
-    * k-means collects centroids per iteration: a declared-small
-    * artifact steering the next distributed step. Stops early when no
-    * adjacent pair is left to merge. */
-  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    * by Heaps' law, millions of rows at web scale, not corpus-sized.
+    * From there the rounds run in one of two regimes, split on the
+    * word-table row count (the standard industrial split — a real 32k-
+    * merge vocabulary is 32k strictly SEQUENTIAL rounds, and 32k Spark
+    * jobs is days of scheduler latency even on a warm cluster):
+    *   - `≤ localThreshold` rows: the whole word table collects ONCE
+    *     and the merge loop runs driver-side ([[bpeTrainLocal]] —
+    *     incremental pair-count maintenance + a lazy-invalidation
+    *     heap, so 32k rounds touch only the words each merge changes).
+    *     1M words ≈ tens of MB: the same declared-small budget as a
+    *     collected codebook. Bit-identical to the distributed regime
+    *     by construction (same counts, same (cnt desc, pair asc)
+    *     winner — the alphabet is normalized ASCII, where JVM string
+    *     order and Spark's UTF-8 binary order coincide) and pinned so
+    *     by CurationSpec, while q97 (forced distributed) and q100
+    *     (default, local) keep BOTH regimes under the driver oracle.
+    *   - above it: per-round Spark jobs over the cached word table,
+    *     each round's winning pair (ONE row) collected exactly like a
+    *     k-means iteration collects centroid stats — the regime for a
+    *     word table that outgrows the driver.
+    * Stops early when no adjacent pair is left to merge. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+      localThreshold: Long = 1000000L): DataFrame = {
     require(merges >= 1, s"bpeTrain needs merges >= 1, got $merges")
     val spark = df.sparkSession
     val words = df
@@ -651,6 +667,12 @@ object Curation {
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + bpeSep), bpeSep)
         .as("s"), col("freq"))
     var cur = words.cache()
+    if (cur.count() <= localThreshold) {
+      val collected = try cur.collect()
+        .map(r => (r.getString(0).split(bpeSep), r.getLong(1)))
+        finally cur.unpersist()
+      return resultDf(spark, bpeTrainLocal(collected, merges))
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     try {
       for (r <- 0 until merges) {
@@ -666,9 +688,16 @@ object Curation {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((r, a, b, a + b, cnt))
         if (r < merges - 1) { // the last winner needs no merged table
+          // localCheckpoint, not cache: each round's table derives from
+          // the last, and a cached-only chain accretes one nested plan
+          // per round — by a few dozen rounds the lineage string alone
+          // OOMs the driver (AQE re-explains the full tree per stage).
+          // Eager localCheckpoint cuts the plan to a LogicalRDD each
+          // round (the GraphX/Pregel iteration pattern); superseded
+          // checkpoint blocks are freed by the ContextCleaner once the
+          // previous round's reference drops.
           val next = cur.select(bpeMergeApply(col("s"), a, b).as("s"), col("freq"))
-            .cache()
-          next.count() // materialize before dropping the parent
+            .localCheckpoint(true)
           cur.unpersist()
           cur = next
         }
@@ -683,13 +712,118 @@ object Curation {
     rows.toDF("round", "pair_left", "pair_right", "merged", "cnt")
   }
 
+  /** Driver-side merge loop over a collected word-frequency table —
+    * the many-merges regime of [[bpeTrain]] (semantics identical to
+    * the distributed rounds; see the contract there). Not a naive
+    * rescan: pair counts are maintained INCREMENTALLY (a merge
+    * re-scans only the words that contain its pair, found through a
+    * pair→words index), and the winner comes off a lazy-invalidation
+    * max-heap — a snapshot (cnt, a, b) is pushed on every count
+    * change and popped entries are discarded unless they still equal
+    * the live count, so each round costs O(changed words · log)
+    * instead of O(vocabulary). This is what makes 32k sequential
+    * merges minutes of driver CPU rather than 32k cluster jobs.
+    *
+    * Stale tolerance: the pair→words index is add-only per round; a
+    * listed word that no longer contains the pair nets zero (its
+    * pairs are subtracted and re-added unchanged). The winning pair
+    * itself cannot survive its own merge round (left-to-right rescan
+    * eliminates every adjacency — the PropertiesSpec pair-elimination
+    * property), so its stale heap snapshots all invalidate. */
+  private def bpeTrainLocal(words: Array[(Array[String], Long)],
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = words.map(w => mutable.ArrayBuffer.from(w._1))
+    val freq = words.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max by cnt, ties by (a, b) ASCENDING — the exact Spark
+    // (cnt desc, a, b) order; safe on the normalized ASCII alphabet
+    val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val ca = y._2.compareTo(x._2)
+            if (ca != 0) ca else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def scanPairs(i: Int, sign: Long, register: Boolean): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * freq(i)
+        if (c <= 0L) pairCnt.remove(p)
+        else {
+          pairCnt(p) = c
+          heap.enqueue((c, p._1, p._2))
+        }
+        if (register) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    for (i <- words.indices) scanPairs(i, +1L, register = true)
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < merges && !dry) {
+      // pop until a snapshot matches the live count (every live count
+      // has a snapshot — one is pushed at the moment it is set)
+      var winner: Option[(Long, String, String)] = None
+      while (winner.isEmpty && heap.nonEmpty) {
+        val t = heap.dequeue()
+        if (pairCnt.get((t._2, t._3)).contains(t._1)) winner = Some(t)
+      }
+      winner match {
+        case None => dry = true // no adjacent pair left anywhere
+        case Some((cnt, a, b)) =>
+          out += ((r, a, b, a + b, cnt))
+          if (r < merges - 1) {
+            val affected = pairWords.remove((a, b))
+              .map(_.toArray).getOrElse(Array.empty)
+            java.util.Arrays.sort(affected) // determinism of index adds
+            for (i <- affected) {
+              scanPairs(i, -1L, register = false)
+              val s = syms(i)
+              val merged = new mutable.ArrayBuffer[String](s.length)
+              var j = 0
+              while (j < s.length) {
+                if (merged.nonEmpty && merged.last == a && s(j) == b)
+                  merged(merged.length - 1) = a + b
+                else merged += s(j)
+                j += 1
+              }
+              syms(i) = merged
+              scanPairs(i, +1L, register = true)
+            }
+          }
+          r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** The finished tokenizer artifact: base symbols (the corpus's
     * distinct normalized characters, ids in symbol order) followed by
     * [[bpeTrain]]'s merged symbols in training order — the (id, token)
     * table a serving stack loads. Both pieces are declared-small
     * (≤ 36-char normalized alphabet; `merges` rows), so the table
     * assembles driver-side like the merge table itself; the corpus
-    * work is bpeTrain's one scan plus one distinct-char aggregate. */
+    * work is bpeTrain's one scan plus one distinct-char aggregate.
+    *
+    * Identity contract: `tok_id` is the key, `symbol` is NOT unique —
+    * two rounds' merges can concatenate to the same string (e.g.
+    * (a,bc) then (ab,c) both spell "abc"; a token's identity is its
+    * merge SEQUENCE, which is why segmentation applies the merge list
+    * in order rather than matching vocab strings). A loader that wants
+    * a symbol→id map must keep the FIRST (lowest tok_id) occurrence —
+    * that is the entry [[bpeMergeApply]]'s in-order scan can actually
+    * produce; later duplicates are unreachable strings. Base symbols
+    * can never collide with merges (1 char vs ≥ 2). */
   def bpeVocab(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

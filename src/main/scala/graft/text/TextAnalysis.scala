@@ -297,7 +297,20 @@ object TextAnalysis {
     * gram set semi-joins back on the same key (one reused shuffle
     * family); ONE doc-id exchange aggregates both counters. The ratio
     * rounds in integer space (the q59 half-away trick), so both
-    * engines emit the identical double. */
+    * engines emit the identical double.
+    *
+    * Collision tolerance: doc frequency is counted over the 64-bit gram
+    * HASH, so an xxhash64 collision merges two distinct grams and can
+    * only INFLATE n_shared (deflate novelty) — the bias direction that
+    * is conservative for "flag low-novelty docs", but note this is a
+    * RANKING score, not a boolean flag, so a collision nudges the
+    * ranking itself. Magnitude: among D distinct grams expect ≈D²/2⁶⁵
+    * colliding pairs — ~3·10⁻⁸ of grams even at D = 10¹² (a ~100 TB
+    * corpus), i.e. orders of magnitude below the 4th decimal the score
+    * is rounded to for any doc with more than a handful of grams. The
+    * driver oracle (q99) counts gram STRINGS and has stayed hash-green
+    * at every tested SF — collisions are a theoretical tail, accepted
+    * for 8 B/gram instead of ~100 B/gram at scale. */
   def noveltyScores(df: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
     val grams = wordNgrams(df, idCol, textCol, n)

@@ -199,6 +199,34 @@ class CurationSpec extends SparkSpec {
       (12L, "lo", "merge"), (13L, "low", "merge")))
   }
 
+  test("bpeTrain: driver-side merge loop ≡ distributed rounds, deep merges") {
+    // the regime split must be invisible: the local incremental-heap
+    // loop (default for small word tables) and the per-round Spark
+    // jobs (localThreshold = 0) must emit the IDENTICAL merge table —
+    // on the hand fixture, on real documents, and DEEP (40 rounds on
+    // sf0.001 exercises early-stop-free long runs where the lazy heap
+    // does real invalidation work and merged symbols re-form pairs)
+    def table(df: org.apache.spark.sql.DataFrame, merges: Int,
+        thr: Long): Seq[(Int, String, String, String, Long)] =
+      Curation.bpeTrain(df, "text", merges, localThreshold = thr)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val fix = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    assert(table(fix, 6, 1000000L) == table(fix, 6, 0L))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val local = table(docs, 40, 1000000L)
+    assert(local == table(docs, 40, 0L))
+    assert(local.size == 40, s"expected 40 full rounds, got ${local.size}")
+    // early stop: a corpus whose words exhaust their pairs ends the
+    // table early in BOTH regimes ("ab" has 1 pair, then none)
+    val tiny = Seq((1L, "ab")).toDF("id", "text")
+    assert(table(tiny, 5, 1000000L) == table(tiny, 5, 0L))
+    assert(table(tiny, 5, 1000000L).size == 1)
+  }
+
   test("bpeTrain: winning-pair counts never increase round over round") {
     // a merged pair's successors (x, ab)/(ab, y) can count at most the
     // merged pair's own occurrences, and untouched pairs are unchanged

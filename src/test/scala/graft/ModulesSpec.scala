@@ -158,6 +158,14 @@ class ModulesSpec extends SparkSpec {
     import spark.implicits._
     val mem = graft.operators.Ops.withProvenance(Seq((1, "x")).toDF("id", "v")).collect()(0)
     assert(mem.isNullAt(2))
+    // input_file_name() is a percent-encoded URI: a file named with a
+    // space must stamp the ON-DISK name, and a literal '+' must survive
+    // (url_decode alone would form-decode it to a space)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/my file+v2.csv"), "id;v\n3;c\n")
+    val weird = graft.operators.Ops.withProvenance(
+      Sources.csv(spark, s"$dir/my file+v2.csv")).collect()(0)
+    assert(weird.getString(2) == "my file+v2.csv", weird.toString)
   }
 
   test("recipe before/after orchestration runs dependencies in order") {
