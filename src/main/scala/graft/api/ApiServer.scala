@@ -387,7 +387,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         val exact = params.get("exact").contains("true")
         val prof = graft.sources.Profile.profile(
           RecipeConf.read(spark, cfg.datasets(name)), exact)
-        respond(ex, 200, jsonRows(prof, 1000)) // one row per input column
+        // mode + cost caveat ride IN the response (SCALE.md's Expand
+        // curve, surfaced where the API consumer decides): exact mode
+        // plans an Expand that replicates every row per profiled
+        // column, so its cost multiplies with column count — the
+        // wrapper keeps `rows` as the same per-column objects
+        val note =
+          if (exact) "exact distincts plan an Expand (rows x columns replication); cost grows with column count - use the approx default on large datasets"
+          else "n_distinct is approximate (HLL++, ~2% typical error); pass exact=true for exact distincts on small datasets"
+        respond(ex, 200, s"""{"mode":${q(if (exact) "exact" else "approx")},""" +
+          s""""note":${q(note)},"rows":${jsonRows(prof, 1000)}}""") // one row per input column
 
       // search proxy over a native index dataset (docs + postings,
       // Sinks.indexed) — the ES _search analogue (api.py:750-781):

@@ -466,12 +466,17 @@ class ApiServerSpec extends SparkSpec {
       assert(r.statusCode() == 200, r.body())
       assert(r.body().contains(""""col_name":"id"""") &&
         r.body().contains(""""n_rows":3"""), r.body())
+      // the mode + cost caveat ride in the response envelope
+      assert(r.body().startsWith("""{"mode":"exact","note":"exact distincts plan an Expand"""),
+        r.body())
       // the string column: 1 null, 1 distinct, no numeric range
       assert(r.body().contains(""""col_name":"s","dtype":"string","n_rows":3,"n_nulls":1,"n_distinct":1"""),
         r.body())
       // approx mode answers too (same shape; HLL exact at this size)
       val a = send("POST", s"$base/datasets/d/_profile")
       assert(a.statusCode() == 200 && a.body().contains(""""n_distinct":3"""))
+      assert(a.body().startsWith("""{"mode":"approx","note":"n_distinct is approximate"""),
+        a.body())
       // unknown dataset → not this route
       assert(send("POST", s"$base/datasets/nope/_profile").statusCode() == 404)
     } finally api.stop()
