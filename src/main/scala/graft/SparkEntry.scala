@@ -1245,6 +1245,18 @@ object SparkEntry {
       graft.text.Curation.bpeVocab(
         t(s, dir, "documents").select("text"), "text", merges = 8)),
 
+    // corpus ENCODING with the trained vocabulary (Curation.bpeEncode):
+    // the 8 trained merges applied strictly sequentially per word via
+    // the native BpeCodec expression (memoized per distinct word). The
+    // oracle replays the training rounds (shared CTEs) AND the per-word
+    // encode fold, then rebuilds the ordered subword stream per doc —
+    // token counts, fertility (chars-per-token in bp, long div), and
+    // the full token sequence all hash-checked.
+    "q102_bpe_encode" -> ((s, dir) =>
+      graft.text.Curation.bpeEncode(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        merges = 8)),
+
     // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
     // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
     // DOWN to 0.5× through the same arithmetic, de/es pass through at
@@ -1501,7 +1513,11 @@ object SparkEntry {
     // the dataprep end-to-end headline (round 9): dedup → scrub →
     // quality → decontaminate → pack as one composed plan — the number
     // to hold against BASELINE.md's 2-5k rows/s dataprep pipelines
-    "q96_curation_e2e")
+    "q96_curation_e2e",
+    // tokenizer inference (round 10): train-then-encode the whole
+    // corpus — a pure scan-pass plan whose per-word work runs in the
+    // memoized native BpeCodec expression
+    "q102_bpe_encode")
 
   // ------------------------------------------------------------- oracles
 
@@ -2483,6 +2499,44 @@ object SparkEntry {
         |        sym AS symbol, 'base' AS kind FROM base
         | UNION ALL
         | SELECT (SELECT COUNT(*) FROM base) + rnd, sym, 'merge' FROM mrg)""".stripMargin
+    },
+
+    // per-doc ENCODE on top of the q97 training replay: every word of
+    // every doc runs the same list_reduce merge fold, once per round
+    // (e0..e8 mirror the engine's sequential application); word
+    // position rides a generate_series struct (the q98 ordinal
+    // pattern) so the final token stream reassembles in order. The
+    // LEFT JOIN keeps wordless docs with zero counts, NULL fertility.
+    "q102_bpe_encode" -> {
+      val applies = (0 until bpeK).map { r =>
+        s"""e${r + 1} AS (SELECT doc_id, i, w, list_reduce(string_split(e$r.s, '~'),
+           |  (acc, x) -> acc || CASE WHEN (acc = b$r.a OR suffix(acc, '~' || b$r.a))
+           |    AND x = b$r.b THEN '' ELSE '~' END || x) AS s
+           |  FROM e$r, b$r)""".stripMargin
+      }.mkString(",\n")
+      bpeOracleCtes + s""",
+        |dt AS (SELECT doc_id, string_split_regex(<NORM_TEXT>, '\\s+') AS t
+        |  FROM documents WHERE <NORM_TEXT> <> ''),
+        |e0 AS (SELECT doc_id, p.i AS i, p.w AS w,
+        |  rtrim(regexp_replace(p.w, '(.)', '\\1~', 'g'), '~') AS s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |    i -> {'i': i, 'w': t[i]})) AS p FROM dt)),
+        |$applies,
+        |agg AS (SELECT doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_words,
+        |  CAST(SUM(length(w)) AS BIGINT) AS n_chars_sym,
+        |  CAST(SUM(len(string_split(s, '~'))) AS BIGINT) AS n_subwords,
+        |  array_to_string(list(replace(s, '~', ' ') ORDER BY i), ' ') AS toks
+        | FROM e$bpeK GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_words, 0) AS n_words,
+        |  coalesce(a.n_chars_sym, CAST(0 AS BIGINT)) AS n_chars_sym,
+        |  coalesce(a.n_subwords, CAST(0 AS BIGINT)) AS n_subwords,
+        |  CASE WHEN a.n_subwords > 0
+        |    THEN (a.n_chars_sym * 10000) // a.n_subwords END AS compression_bp,
+        |  coalesce(a.toks, '') AS toks
+        |FROM documents d LEFT JOIN agg a USING (doc_id)"""
+        .stripMargin.replace("<NORM_TEXT>", normSql.format("text"))
     },
 
     // the whole q96 pipeline replayed as ONE CTE tower from proven

@@ -909,15 +909,23 @@ object RecipeConf {
       case "vocab" => df => graft.text.Curation.vocabTopK(df, req("text"),
         k = knobInt("k", 1000),
         lowercase = knobBool("lowercase", true))
-      // BPE tokenizer training — the ordered merge table, or the
-      // finished vocabulary with `vocab: true`. `local_threshold`
-      // tunes the regime split (word tables up to this many rows run
-      // the driver-side merge loop; 0 forces per-round Spark jobs):
-      //   bpe: {text: col, merges: 8[, vocab: true, local_threshold: n]}
+      // BPE tokenizer training — the ordered merge table, the finished
+      // vocabulary with `vocab: true`, or corpus ENCODING with
+      // `encode: true` (+ `id`: per-doc token counts, fertility and
+      // the subword stream under the freshly trained merges).
+      // `local_threshold` tunes the regime split (word tables up to
+      // this many rows run the driver-side merge loop; 0 forces
+      // per-round Spark jobs):
+      //   bpe: {text: col, merges: 8[, vocab: true | encode: true,
+      //         id: col, local_threshold: n]}
       case "bpe" => df =>
         if (knobBool("vocab", false))
           graft.text.Curation.bpeVocab(df, req("text"),
             merges = knobInt("merges", 8))
+        else if (knobBool("encode", false))
+          graft.text.Curation.bpeEncode(df, req("id"), req("text"),
+            merges = knobInt("merges", 8),
+            localThreshold = knobLong("local_threshold", 1000000L))
         else graft.text.Curation.bpeTrain(df, req("text"),
           merges = knobInt("merges", 8),
           localThreshold = knobLong("local_threshold", 1000000L))

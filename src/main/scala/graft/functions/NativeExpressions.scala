@@ -105,7 +105,120 @@ case class TryErrorStringExpr(child: Expression)
     copy(child = c)
 }
 
+/** One trained BPE merge list, compiled for per-word segmentation —
+  * the inference-side engine behind `Curation.bpeEncode`. Applies the
+  * merges STRICTLY SEQUENTIALLY in training order with a left-to-right
+  * rescan per merge — the exact contract of `Curation.bpeMergeApply`'s
+  * Column fold and of the DuckDB oracle's `list_reduce` replay.
+  * Rank-priority encoding (the tokenizer-serving shortcut) is NOT
+  * equivalent in general: a later merge can re-form a string equal to
+  * an earlier merge's operand (the duplicate-symbol case documented on
+  * `bpeVocab`), and priority order would then fire the earlier merge
+  * where the sequential pass already moved past it.
+  *
+  * Scale shape: cost is per DISTINCT word, not per token — a bounded
+  * per-executor memo (ConcurrentHashMap, 1M entries ≈ the Heaps'-law
+  * vocabulary of a web corpus) makes repeated words O(1), which is the
+  * same economics as pre-segmenting the distinct-word table and
+  * broadcasting the dictionary, without the broadcast. Each merge round
+  * costs one alloc-free existence scan; the rebuild runs only when the
+  * pair is present. */
+final class BpeCodec(merges: Seq[(String, String)], sep: String)
+    extends Serializable {
+  private val ma = merges.map(_._1).toArray
+  private val mb = merges.map(_._2).toArray
+  private val memoCap = 1 << 20
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Sep-joined subword symbols of one word. Called from generated
+    * code — must stay a public instance method. */
+  def segment(word: String): String = {
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val out = compute(word)
+    if (memo.size < memoCap) memo.putIfAbsent(word, out)
+    out
+  }
+
+  private def compute(word: String): String = {
+    // split by code point — the char-join regex "(.)" both engines
+    // already collate on matches per code point, not per UTF-16 unit
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    var m = 0
+    while (m < ma.length) {
+      val a = ma(m); val b = mb(m)
+      var j = 0; var found = false
+      while (j < syms.size - 1 && !found) {
+        if (syms.get(j) == a && syms.get(j + 1) == b) found = true
+        j += 1
+      }
+      if (found) {
+        // left-to-right rescan against the freshly merged symbol —
+        // "aaa"+(a,a) → [aa, a] — identical to the bpeMergeApply fold
+        val next = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          val x = syms.get(k)
+          if (!next.isEmpty && next.get(next.size - 1) == a && x == b)
+            next.set(next.size - 1, a + b)
+          else next.add(x)
+          k += 1
+        }
+        syms = next
+      }
+      m += 1
+    }
+    String.join(sep, syms)
+  }
+}
+
+/** Native expression wrapping [[BpeCodec.segment]]: WORD string in,
+  * sep-joined subword string out. A native expression (not a UDF) so
+  * it runs inside whole-stage codegen and inside `transform` lambdas
+  * without a serialization boundary; the codec rides the codegen
+  * references array, so the memo is shared across a task's rows. */
+case class BpeSegmentExpr(child: Expression,
+    merges: Seq[(String, String)], sep: String) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def prettyName: String = "bpe_segment_word"
+
+  @transient private lazy val codec = new BpeCodec(merges, sep)
+
+  override protected def nullSafeEval(w: Any): Any =
+    UTF8String.fromString(codec.segment(w.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec,
+      classOf[BpeCodec].getName)
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"$ref.segment($w.toString()))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NativeExpressions {
+
+  /** Column API: segment one word with a trained merge list (see
+    * [[BpeCodec]] for the sequential-order contract). */
+  def bpeSegmentWord(w: Column, merges: Seq[(String, String)],
+      sep: String): Column =
+    GraftBridge.column(BpeSegmentExpr(
+      GraftBridge.expression(w), merges, sep))
 
   /** Merge-scan intersection count over ArrayData (no boxing). Called
     * from generated code — must stay a static-forwardable method. */

@@ -869,6 +869,81 @@ object Curation {
         }, bpeSep))),
       lit(0), (s0, n) => s0 + n)
 
+  /** Per-word segmentations of normalized text under a trained merge
+    * list: array of [[bpeSep]]-joined subword strings, one per word.
+    * The per-word work runs in [[graft.functions.BpeCodec]] — a native
+    * codegen'd expression applying the merges strictly sequentially
+    * (bit-identical to the [[bpeMergeApply]] fold; the fold itself is
+    * kept for ≲ tens of merges, but a real 32k-merge list as 32k nested
+    * Column expressions would not even compile). NULL text → NULL. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    transform(Tools.tokenize(Tools.normalize(text)), w =>
+      graft.functions.NativeExpressions.bpeSegmentWord(w, merges, bpeSep))
+
+  /** `a div b` in LONG arithmetic (Catalyst IntegralDivide) — `/` on
+    * Columns is DOUBLE division, inexact past 2^53. */
+  private def ldiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Tokenize the corpus with a TRAINED vocabulary — the inference
+    * side that completes train ([[bpeTrain]]) → artifact ([[bpeVocab]])
+    * → ENCODE. Trains `merges` rounds (collecting the declared-small
+    * merge table exactly like [[bpeVocab]] does), then segments every
+    * document row-locally via [[bpeSegment]]. Output per input row:
+    *   - `n_words`    — normalized word count (INT);
+    *   - `n_chars_sym`— pre-merge symbol count = summed word lengths;
+    *   - `n_subwords` — post-merge token count (what a trainer bills);
+    *   - `compression_bp` — chars-per-token in basis points,
+    *     `n_chars_sym·10000 div n_subwords` in pure LONG arithmetic
+    *     (the tokenizer-fertility dial; NULL for wordless docs);
+    *   - `toks`       — the space-joined subword SEQUENCE (order
+    *     preserved across words), '' for wordless docs.
+    * NULL/blank text rows stay in the output with zero counts — a
+    * curation pipeline filters on the counts, it does not lose rows.
+    *
+    * 100-TB shape: training cost is [[bpeTrain]]'s (one corpus scan +
+    * vocab-sized rounds); encoding is ONE row-local scan pass — no
+    * shuffle, no join — with per-executor distinct-word memoization
+    * ([[graft.functions.BpeCodec]]), so encode cost is ∝ corpus tokens
+    * for the scan plus ∝ vocabulary for the actual merge work. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Int, localThreshold: Long = 1000000L): DataFrame = {
+    val mergeList = bpeTrain(df.select(col(textCol)), textCol, merges,
+        localThreshold)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // layered selects, NOT one: the word/segmentation arrays feed 5
+    // output columns each, and higher-order exprs run interpreted
+    // (CodegenFallback) — inlined, the tokenize+segment tree would
+    // re-evaluate per consumer. CollapseProject's expensive-expression
+    // guard keeps multi-use non-cheap aliases as separate projections,
+    // so each array materializes ONCE per row.
+    val words = coalesce(Tools.tokenize(Tools.normalize(col(textCol))),
+      array().cast("array<string>"))
+    val segCol = transform(col("__bpe_w"), w =>
+      graft.functions.NativeExpressions.bpeSegmentWord(w, mergeList, bpeSep))
+    val nChars = aggregate(col("__bpe_w"), lit(0L), (acc, w) =>
+      acc + length(w).cast("long"))
+    val nSub = aggregate(col("__bpe_s"), lit(0L), (acc, s) =>
+      acc + size(split(s, bpeSep)).cast("long"))
+    df.select(col(idCol), words.as("__bpe_w"))
+      .select(col(idCol), col("__bpe_w"), segCol.as("__bpe_s"))
+      .select(col(idCol), col("__bpe_w"), col("__bpe_s"),
+        nChars.as("__bpe_nc"), nSub.as("__bpe_ns"))
+      .select(col(idCol),
+        size(col("__bpe_w")).cast("int").as("n_words"),
+        col("__bpe_nc").as("n_chars_sym"),
+        col("__bpe_ns").as("n_subwords"),
+        when(col("__bpe_ns") > 0,
+          ldiv(col("__bpe_nc") * 10000L, col("__bpe_ns")))
+          .as("compression_bp"),
+        array_join(transform(col("__bpe_s"),
+          s => replace(s, lit(bpeSep), lit(" "))), " ").as("toks"))
+  }
+
   // ------------------------------------------------------ sequence packing
   /** GPT-style concat-and-chunk sequence packing: within each `shardCol`
     * partition, documents ordered by `idCol` are conceptually

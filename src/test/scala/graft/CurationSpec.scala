@@ -227,6 +227,53 @@ class CurationSpec extends SparkSpec {
     assert(table(tiny, 5, 1000000L).size == 1)
   }
 
+  test("bpeEncode: native codec ≡ Column fold; counts, fertility, stream, edges") {
+    import spark.implicits._
+    // the discriminating sequential-order case: a later merge (y,z)
+    // re-forms the string "yz" that the EARLIER merge (x,yz) wanted —
+    // strict training-order application must NOT fire (x,yz) after its
+    // pass already ran; rank-priority encoding would (and would emit
+    // "xyz"). Codec and fold must both answer the sequential form.
+    val codec = new graft.functions.BpeCodec(Seq("x" -> "yz", "y" -> "z"), "~")
+    assert(codec.segment("xyz") == "x~yz")
+    assert(codec.segment("yzx") == "yz~x")
+    assert(codec.segment("aaa") == "a~a~a") // no merge applies at all
+    val aa = new graft.functions.BpeCodec(Seq("a" -> "a"), "~")
+    assert(aa.segment("aaa") == "aa~a") // left-to-right rescan
+    // real corpus: n_subwords must equal the unrolled bpeMergeApply
+    // fold (bpeTokenCount) under the SAME trained merges, and the
+    // token stream with separators dropped must rebuild the
+    // normalized text exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val mergeList = Curation.bpeTrain(docs.select("text"), "text", 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Curation.bpeEncode(docs, "doc_id", "text", merges = 8)
+    val fold = docs.select(col("doc_id"),
+      Curation.bpeTokenCount(col("text"), mergeList).cast("long").as("n_fold"),
+      functions.Tools.normalize(col("text")).as("norm"))
+    val j = enc.join(fold, "doc_id").cache()
+    try {
+      assert(j.filter(col("n_subwords") =!= col("n_fold")).count() == 0)
+      assert(j.filter(col("norm").isNotNull &&
+        translate(col("toks"), " ", "") =!= translate(col("norm"), " ", ""))
+        .count() == 0)
+    } finally { j.unpersist(); () }
+    // NULL / blank / live rows: zero counts stay in the output,
+    // fertility only where tokens exist (ab ab -> 2 words, 2 subwords
+    // under the single (a,b) merge, 4 chars -> 20000 bp)
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, "  "),
+      (3L, "ab ab")).toDF("doc_id", "text")
+    val rows = Curation.bpeEncode(edge, "doc_id", "text", merges = 1)
+      .orderBy("doc_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+      r.getString(5))).toSeq ==
+      Seq((1L, 0, 0L, 0L, -1L, ""), (2L, 0, 0L, 0L, -1L, ""),
+        (3L, 2, 4L, 2L, 20000L, "ab ab")))
+  }
+
   test("bpeTrain: winning-pair counts never increase round over round") {
     // a merged pair's successors (x, ab)/(ab, y) can count at most the
     // merged pair's own occurrences, and untouched pairs are unchanged

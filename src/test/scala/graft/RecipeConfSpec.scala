@@ -1384,6 +1384,20 @@ class RecipeConfSpec extends SparkSpec {
     val bv = RecipeConf.run(spark, vconf, "bv")
     assert(bv.columns.toSeq == Seq("tok_id", "symbol", "kind"))
     assert(bv.filter("kind = 'merge'").count() == 4)
+    val econf = RecipeConf.load(
+      s"""datasets:
+         |  cd: {path: $dir/cur_in, format: parquet}
+         |recipes:
+         |  be: {input: cd, steps: [{bpe: {text: text, merges: 4, encode: true, id: doc_id}}]}
+         |""".stripMargin)
+    val be = RecipeConf.run(spark, econf, "be")
+    assert(be.columns.toSeq == Seq("doc_id", "n_words", "n_chars_sym",
+      "n_subwords", "compression_bp", "toks"))
+    // every input row survives encoding; subwords never exceed base
+    // symbols, and the learned merges compress somewhere
+    assert(be.count() == spark.read.parquet(s"$dir/cur_in").count())
+    assert(be.filter("n_subwords > n_chars_sym").count() == 0)
+    assert(be.filter("n_subwords < n_chars_sym").count() > 0)
   }
 
   test("a full curation pipeline composes from one YAML recipe") {
