@@ -1257,6 +1257,31 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
         merges = 8)),
 
+    // corpus snapshot diff (Ops.snapshotDiff): two deterministic
+    // "versions" of documents — old drops every 7th id, new drops
+    // every 5th and rewrites every 11th's text — classified
+    // added/removed/changed/unchanged via NULL-SAFE column compare
+    // (no content hash: nothing to collide, replayed as
+    // IS DISTINCT FROM). One full-outer id join.
+    "q103_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+      val newV = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Ops.snapshotDiff(oldV, newV, "doc_id",
+        Seq("text", "lang"))
+    }),
+
+    // heavy-hitter key profile (Ops.skewStats): top-25 customers by
+    // order count with exact-bp global share and ratio-to-mean-key —
+    // the measurement behind salting/AQE-skew decisions. ONE count
+    // agg + one-row broadcast rollup + TakeOrdered; the oracle spells
+    // the same long arithmetic over a full window rank.
+    "q104_skew_stats" -> ((s, dir) =>
+      graft.operators.Ops.skewStats(
+        t(s, dir, "orders").select("o_custkey"), "o_custkey", n = 25)),
+
     // repeat-factor source mixing (Ops.epochsMix): zh upsampled 2.3×
     // (2 whole copies + a 30% deterministic third), fr exactly 3×, en
     // DOWN to 0.5× through the same arithmetic, de/es pass through at
@@ -2538,6 +2563,30 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a USING (doc_id)"""
         .stripMargin.replace("<NORM_TEXT>", normSql.format("text"))
     },
+
+    "q103_snapshot_diff" ->
+      """WITH oldv AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0),
+        |newv AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+        |  lang FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN (o.text IS DISTINCT FROM n.text)
+        |         OR (o.lang IS DISTINCT FROM n.lang) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q104_skew_stats" ->
+      """WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c),
+        |r AS (SELECT key, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, key ASC NULLS FIRST) AS INTEGER) AS rank
+        | FROM c)
+        |SELECT rank, key, cnt,
+        |  (cnt * 10000) // total AS share_bp,
+        |  (cnt * 10000) // (total // nkeys) AS vs_mean_bp
+        |FROM r, t WHERE rank <= 25""".stripMargin,
 
     // the whole q96 pipeline replayed as ONE CTE tower from proven
     // fragments: q21's fingerprint key + min-id survivor, q57's

@@ -195,6 +195,9 @@ object RecipeConf {
         })
       case "jsonl" | "json" => Sources.jsonl(spark, path)
       case "orc" => Sources.orc(spark, path)
+      case "avro" => Sources.avro(spark, path)
+      case "xml" => Sources.xml(spark, path,
+        rowTag = ds.options.getOrElse("row_tag", "row"))
       case "fwf" => Sources.fwf(spark, path,
         widths = ds.options.getOrElse("widths",
           sys.error("fwf dataset needs options.widths (comma-separated)"))
@@ -233,6 +236,11 @@ object RecipeConf {
     case "orc" => Sinks.orc(df, ds.path,
       mode = if (mode == "create") "overwrite" else mode)
     case "jsonl" | "json" => Sinks.jsonl(df, ds.path,
+      mode = if (mode == "create") "overwrite" else mode)
+    case "avro" => Sinks.avro(df, ds.path,
+      mode = if (mode == "create") "overwrite" else mode)
+    case "xml" => Sinks.xml(df, ds.path,
+      rowTag = ds.options.getOrElse("row_tag", "row"),
       mode = if (mode == "create") "overwrite" else mode)
     case "csv" => Sinks.csv(df, ds.path, sep = ds.options.getOrElse("sep", ";"),
       mode = if (mode == "create") "overwrite" else mode)
@@ -438,6 +446,15 @@ object RecipeConf {
       // scan-level file provenance: provenance: {col: src_file}
       case "provenance" => df =>
         Ops.withProvenance(df, knob("col", "src_file"))
+      // corpus snapshot diff vs a named OLD-version dataset — one row
+      // per id: added/removed/changed/unchanged on the compare columns:
+      //   diff: {dataset: old_version, id: col, compare: [col, ...]}
+      case "diff" => df => Ops.snapshotDiff(
+        namedDataset(), df, req("id"), reqList("compare"))
+      // heavy-hitter profile of a key column (the salting/skew dial):
+      //   skew: {key: col[, n: 20]}
+      case "skew" => df =>
+        Ops.skewStats(df, req("key"), knobInt("n", 20))
       case "pause" => identity
       case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
       // Two arg shapes, two expression languages:

@@ -502,4 +502,68 @@ object Ops {
       .withColumn("epoch", explode(sequence(lit(0), col("__nc") - 1)))
       .drop("__nc")
   }
+
+  /** Corpus snapshot diff — the incremental-pipeline audit companion to
+    * [[graft.dedup.Dedup.incrementalDedup]]: classify every id across
+    * two corpus versions as `added` (new only), `removed` (old only),
+    * `changed` (both, any compare column differs) or `unchanged`.
+    * Comparison is NULL-SAFE column equality (`<=>`) on `compareCols`
+    * directly — no content hash, so there is nothing to collide and the
+    * contract replays in any engine as `IS DISTINCT FROM`.
+    *
+    * Scale shape: one full outer join = one id-keyed exchange per side
+    * (co-located/zero-shuffle when both snapshots are bucketed by id —
+    * the natural layout for versioned corpora); the column compare is
+    * row-local inside the join. Emitting one row per id across both
+    * versions is the operator's contract (it IS the audit table);
+    * filter `status <> 'unchanged'` composes into the same plan when
+    * only the delta is wanted. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val o = oldDf.select(col(idCol),
+      struct(compareCols.map(col): _*).as("__old_v"))
+    val n = newDf.select(col(idCol),
+      struct(compareCols.map(col): _*).as("__new_v"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_v").isNull, lit("added"))
+          .when(col("__new_v").isNull, lit("removed"))
+          .when(col("__old_v") <=> col("__new_v"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Heavy-hitter profile of a key column — the measurement behind the
+    * 100-TB skew decisions (salt this join? AQE skew threshold? cap
+    * this key?): the top `n` keys by row count with their global share
+    * and their ratio to the mean key, in exact basis points — long
+    * arithmetic, no float ranking: `share_bp = cnt·10⁴ div total` and
+    * `vs_mean_bp = cnt·10⁴ div (total div n_keys)` (dividing by the
+    * integer mean, NOT `cnt·n_keys·10⁴ div total`, which overflows
+    * Long once cnt·n_keys passes 9·10¹⁴ — trivially reached at corpus
+    * scale; the mean is ≥ 1 by construction since every key holds at
+    * least one row). Deterministic order: (cnt desc, key asc); NULL
+    * keys profile as their own group (they are usually the worst hot
+    * key in real data).
+    *
+    * Scale shape: ONE map-side-combined count agg (the only corpus
+    * exchange), a one-row global rollup broadcast back onto the
+    * key-sized count table, and a TakeOrdered top-n — never a global
+    * sort, never a corpus-sized second pass. */
+  def skewStats(df: DataFrame, keyCol: String, n: Int = 20): DataFrame = {
+    require(n >= 1, s"skewStats needs n >= 1, got $n")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = broadcast(counts.agg(
+      sum(col("cnt")).as("__total"), count(lit(1)).as("__nkeys")))
+    counts.crossJoin(totals)
+      .orderBy(col("cnt").desc, col("key").asc_nulls_first)
+      .limit(n)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc_nulls_first)))
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("(cnt * 10000L) div __total").as("share_bp"),
+        expr("(cnt * 10000L) div (__total div __nkeys)").as("vs_mean_bp"))
+  }
 }

@@ -141,6 +141,30 @@ object Sources {
     if (select.nonEmpty) df.select(select.map(col): _*) else df
   }
 
+  /** Avro — beyond the reference's formats: the row-major
+    * schema-carrying lake format (this Spark distribution bundles the
+    * avro datasource in its sql module). Columnar pruning doesn't
+    * apply (row-major), but partition pruning and file-level filters
+    * do; prefer parquet/ORC for analytics, avro for row-streaming
+    * interchange. */
+  def avro(spark: SparkSession, path: String, select: Seq[String] = Nil): DataFrame = {
+    // FQCN, not "avro": this distribution bundles the avro classes in
+    // the sql module but without the DataSourceRegister service entry,
+    // so the short name does not resolve
+    val df = spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+    if (select.nonEmpty) df.select(select.map(col): _*) else df
+  }
+
+  /** XML — the datasource built into Spark 4's sql module: `rowTag`
+    * names the repeated record element; attributes arrive as
+    * `_attr`-prefixed columns. For feed-style corpora (sitemaps, dumps
+    * of the Wikipedia/arXiv shape) that arrive as XML. */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+      select: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.format("xml").option("rowTag", rowTag).load(path)
+    if (select.nonEmpty) df.select(select.map(col): _*) else df
+  }
+
   /** Multi-file read: regex over a directory, matched files read as one
     * dataset (recipes.py:356-366) — Spark unions them at the scan, one
     * task per split. Listing goes through the Hadoop FileSystem API, so
@@ -225,6 +249,20 @@ object Sinks {
     * speaks). */
   def jsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
+
+  /** Avro sink — same partitionBy layout lever as parquet/ORC. FQCN
+    * for the same service-registration reason as [[Sources.avro]]. */
+  def avro(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+      .format("org.apache.spark.sql.avro.AvroFileFormat")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** XML sink — records wrapped in `rowTag` elements. */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)
 
   /** `update` output mode — the ES doc-upsert analogue
     * (recipes.py:783-785, 1096-1100): merge-by-key into an existing

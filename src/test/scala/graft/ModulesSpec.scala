@@ -95,6 +95,29 @@ class ModulesSpec extends SparkSpec {
       jback.columns.toSet == Set("id", "name", "age"))
   }
 
+  test("avro and xml source/sink round-trip, incl. the YAML layer") {
+    val dir = tmpDir
+    val df = Seq((1L, "ana", 30), (2L, "ben", 41)).toDF("id", "name", "age")
+    Sinks.avro(df, s"$dir/av_rt")
+    val aback = Sources.avro(spark, s"$dir/av_rt")
+    assert(rows(aback.orderBy("id")) == rows(df.orderBy("id")))
+    Sinks.xml(df, s"$dir/xml_rt", rowTag = "person")
+    val xback = Sources.xml(spark, s"$dir/xml_rt", rowTag = "person")
+      .select("id", "name", "age") // XML infers its own column order
+    assert(rows(xback.orderBy("id")) == rows(df.orderBy("id")))
+    // YAML: avro in → xml out with a custom row tag, read back
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  ain:  {path: $dir/av_rt, format: avro}
+         |  xout: {path: $dir/xml_out, format: xml, options: {row_tag: rec}}
+         |recipes:
+         |  cp: {input: ain, steps: [{keep: {select: [id, name]}}], output: xout}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "cp")
+    val yback = Sources.xml(spark, s"$dir/xml_out", rowTag = "rec")
+    assert(yback.count() == 2 && yback.columns.toSet == Set("id", "name"))
+  }
+
   test("csv skiprows rejects charsets whose newline is not the single byte 0x0A") {
     // TextInputFormat splits on \n bytes; UTF-16 encodes '\n' as 2-4
     // bytes, so the skiprows path would shred records mid-character

@@ -351,4 +351,45 @@ class OpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; null-safe") {
+    val oldV = Seq((1L, Some("a"), "en"), (2L, Some("b"), "en"),
+      (3L, None, "fr"), (4L, Some("d"), "en"))
+      .toDF("id", "text", "lang")
+    val newV = Seq((1L, Some("a"), "en"),   // identical
+      (2L, Some("B"), "en"),                // text changed
+      (3L, None, "fr"),                     // NULL == NULL: unchanged
+      (5L, Some("e"), "de"))                // new id
+      .toDF("id", "text", "lang")
+    val got = Ops.snapshotDiff(oldV, newV, "id", Seq("text", "lang"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+    // a NULL turning into a value is a change, not a silent match
+    val n2 = Seq((3L, Some("now set"), "fr")).toDF("id", "text", "lang")
+    assert(Ops.snapshotDiff(oldV.filter(col("id") === 3), n2, "id",
+      Seq("text", "lang")).collect()(0).getString(1) == "changed")
+  }
+
+  test("skewStats ranks heavy hitters with exact-bp share; no global sort") {
+    // 100 rows of 'hot', 10 of 'warm', 1 each of 5 cold keys:
+    // total=115, nkeys=7, mean=16
+    val df = (Seq.fill(100)("hot") ++ Seq.fill(10)("warm") ++
+      Seq("c1", "c2", "c3", "c4", "c5")).toDF("k")
+    val top = Ops.skewStats(df, "k", n = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // share_bp = cnt*10000 div 115; vs_mean_bp = cnt*10000 div 16
+    assert(top == Seq((1, "hot", 100L, 8695L, 62500L),
+      (2, "warm", 10L, 869L, 6250L), (3, "c1", 1L, 86L, 625L)))
+    // ties + NULL keys: NULLs profile first among equal counts
+    val withNull = df.union(Seq.fill(10)(null.asInstanceOf[String]).toDF("k"))
+    val r2 = Ops.skewStats(withNull, "k", n = 3).collect()
+    assert(r2(1).isNullAt(1) && r2(2).getString(1) == "warm",
+      r2.mkString(";")) // (warm=10, null=10) tie → NULL first
+    // the corpus side shuffles ONCE (the count agg); ranking runs on
+    // the key-sized table via TakeOrdered, never a global corpus sort
+    val p = Ops.skewStats(df, "k", n = 3).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

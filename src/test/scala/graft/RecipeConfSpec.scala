@@ -1321,6 +1321,30 @@ class RecipeConfSpec extends SparkSpec {
       && wp.head.getAs[Double]("overlap") == 1.0)
   }
 
+  test("diff and skew recipe steps run from YAML") {
+    import spark.implicits._
+    Seq((1L, "same"), (2L, "old text"), (3L, "gone"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$dir/sd_old")
+    Seq((1L, "same"), (2L, "new text"), (4L, "born"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$dir/sd_new")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  oldv: {path: $dir/sd_old, format: parquet}
+         |  newv: {path: $dir/sd_new, format: parquet}
+         |recipes:
+         |  d: {input: newv, steps: [{diff: {dataset: oldv, id: id, compare: [text]}}]}
+         |  s: {input: newv, steps: [{skew: {key: text, n: 2}}]}
+         |""".stripMargin)
+    val d = RecipeConf.run(spark, conf, "d").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val s = RecipeConf.run(spark, conf, "s")
+    assert(s.columns.toSeq ==
+      Seq("rank", "key", "cnt", "share_bp", "vs_mean_bp"))
+    assert(s.count() == 2)
+  }
+
   test("curation steps (chunk, quality, repetition, scrub, vocab) run from YAML") {
     import spark.implicits._
     val good = ("the data " * 30).trim + " of it"
