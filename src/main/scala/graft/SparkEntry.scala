@@ -1158,7 +1158,11 @@ object SparkEntry {
     // is each stage's own (SCALE.md rows).
     "q96_curation_e2e" -> ((s, dir) => {
       import graft.text.{Curation, TextAnalysis}
-      val docs = t(s, dir, "documents")
+      // rebalance: the gate's documents table is ONE small file = one
+      // scan partition, serializing the pre-shuffle normalize/
+      // fingerprint stage on a single core; no-op on real multi-file
+      // corpora (SCALE.md ninth sweep measured the layout penalty)
+      val docs = graft.operators.Ops.rebalance(t(s, dir, "documents"))
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
         .select("doc_id", "lang", "text")
       val test = docs.filter(col("doc_id") % 20 === 0)
@@ -1215,7 +1219,11 @@ object SparkEntry {
     // quantized per LM entry (the q59 integer-space discipline).
     "q98_bigram_lm" -> ((s, dir) => {
       import graft.text.Curation
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // rebalance: q98's scoring chain is NARROW (explode → broadcast
+      // joins → partial agg) — a single-file scan runs it one-core;
+      // the SCALE.md ninth sweep measured 4.2× from layout alone
+      val docs = graft.operators.Ops.rebalance(
+        t(s, dir, "documents").select("doc_id", "text"))
       val ref = docs.filter(col("doc_id") % 2 === 0)
       Curation.bigramLogProb(docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text",
@@ -1252,10 +1260,13 @@ object SparkEntry {
     // encode fold, then rebuilds the ordered subword stream per doc —
     // token counts, fertility (chars-per-token in bp, long div), and
     // the full token sequence all hash-checked.
+    // (rebalanced like q96/q98: the encode pass is pure row-local scan
+    // work — exactly the shape a one-partition scan serializes)
     "q102_bpe_encode" -> ((s, dir) =>
       graft.text.Curation.bpeEncode(
-        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
-        merges = 8)),
+        graft.operators.Ops.rebalance(
+          t(s, dir, "documents").select("doc_id", "text")),
+        "doc_id", "text", merges = 8)),
 
     // corpus snapshot diff (Ops.snapshotDiff): two deterministic
     // "versions" of documents — old drops every 7th id, new drops

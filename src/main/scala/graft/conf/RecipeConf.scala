@@ -455,6 +455,11 @@ object RecipeConf {
       //   skew: {key: col[, n: 20]}
       case "skew" => df =>
         Ops.skewStats(df, req("key"), knobInt("n", 20))
+      // rebalance an under-parallelized input (single-small-file scan)
+      // before heavy row-local work; NO-OP on any already-parallel
+      // scan: rebalance: {partitions: n} (default = session cores)
+      case "rebalance" => df =>
+        Ops.rebalance(df, knobInt("partitions", 0))
       case "pause" => identity
       case "list_to_tuple" | "tuple_to_list" => identity // pandas artifacts — no-ops here
       // Two arg shapes, two expression languages:

@@ -503,6 +503,30 @@ object Ops {
       .drop("__nc")
   }
 
+  /** Rebalance an UNDER-PARALLELIZED input before heavy row-local work.
+    * A small hot input (one file under maxPartitionBytes — config
+    * tables, benchmark sets, a freshly collected shard) scans as ONE
+    * partition, and every narrow stage built on it (normalize → explode
+    * → broadcast joins → partial agg) then runs a single core end to
+    * end regardless of cluster size — measured 4.2× on the bigram-LM
+    * scorer at bench scale (SCALE.md ninth sweep: the same volume in
+    * 32 files vs 1). The guard makes this safe to leave in a 100-TB
+    * job: if the scan already yields ≥ `target` partitions (any real
+    * multi-file corpus), the call is a NO-OP — no exchange is added;
+    * only a genuinely under-split input pays one (input-sized, i.e.
+    * small by precondition) round-robin shuffle.
+    *
+    * `target` defaults to the session's default parallelism (= cores
+    * at local, executor slots on a cluster). Partition count comes
+    * from the compiled physical plan (file listing only — no job
+    * runs). */
+  def rebalance(df: DataFrame, target: Int = 0): DataFrame = {
+    val goal =
+      if (target > 0) target
+      else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= goal) df else df.repartition(goal)
+  }
+
   /** Corpus snapshot diff — the incremental-pipeline audit companion to
     * [[graft.dedup.Dedup.incrementalDedup]]: classify every id across
     * two corpus versions as `added` (new only), `removed` (old only),

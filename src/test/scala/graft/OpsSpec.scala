@@ -352,6 +352,21 @@ class OpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("rebalance widens an under-split scan; NO-OP when already parallel") {
+    val one = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    val r = Ops.rebalance(one, target = 8)
+    assert(r.rdd.getNumPartitions == 8)
+    assert(r.count() == 1000)
+    // already at/above target: the SAME plan comes back — no exchange
+    val wide = spark.range(0, 1000, 1, numPartitions = 16).toDF("id")
+    val w = Ops.rebalance(wide, target = 8)
+    assert(w eq wide)
+    assert(!w.queryExecution.executedPlan.toString.contains("Exchange"))
+    // default target = session parallelism
+    assert(Ops.rebalance(one).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; null-safe") {
     val oldV = Seq((1L, Some("a"), "en"), (2L, Some("b"), "en"),
       (3L, None, "fr"), (4L, Some("d"), "en"))
