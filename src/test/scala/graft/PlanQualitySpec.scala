@@ -304,6 +304,31 @@ class PlanQualitySpec extends SparkSpec {
       s"non-key column entered an incremental-dedup exchange: $fams in:\n$p")
   }
 
+  test("q102 encode: only the guarded rebalance exchange; segment is native, not a UDF") {
+    val p = plan("q102_bpe_encode")
+    // the ONLY exchange is rebalance's round-robin on the under-split
+    // gate input — no hash exchange, no sort, no Python/Scala UDF node
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Sort "), p)
+    assert(p.contains("bpe_segment_word"), p) // the native expression
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("q103 snapshot diff is one id-keyed full-outer exchange family") {
+    val p = plan("q103_snapshot_diff")
+    // both sides hash on doc_id (one key family), compare is row-local
+    val fams = "hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(fams == Set("doc_id"), s"diff must exchange on the id only: $fams\n$p")
+  }
+
+  test("q104 skew stats: map-side partial count, TakeOrdered, broadcast rollup") {
+    val p = plan("q104_skew_stats")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p) // rollup rides a broadcast
+  }
+
   test("q96 e2e curation composes without growing the shuffle surface") {
     // six stages, but the exchanges stay exactly the stages' own:
     // __dedup_key (fingerprint keep-min), __gram_h (decontamination
