@@ -124,10 +124,13 @@ object Bench {
     // the previous query, a concurrent build, page-cache misses); the min
     // of a few back-to-back runs is the standard steady-state estimator
     // and matches the deployment story (a resident cluster running the
-    // query repeatedly). Three runs instead of two because per-round
-    // history showed min-of-2 still swinging ±3× on this host. ALL
-    // samples go into the JSON (null = that run failed) so the reader
-    // can judge the spread instead of trusting one number.
+    // query repeatedly). Five runs for EVERY query (round-9 verdict ask):
+    // the uniform count exists because r9's only false regression signal
+    // came from a 3-sample line sitting next to a 5-sample line — the
+    // short queries cost nothing extra and the long ones are exactly the
+    // ones whose min needs the depth. ALL samples go into the JSON
+    // (null = that run failed) so the reader can judge the spread
+    // instead of trusting one number.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { v =>
       // 0/negative would silently report every query as failed, and a
       // non-numeric value would crash before the JSON line — fail loudly
@@ -135,7 +138,7 @@ object Bench {
         sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$v'"))
       require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
       n
-    }.getOrElse(3)
+    }.getOrElse(5)
     // Per-query quiet gate (round-9 ask): r8 passed the START gate at
     // loadavg 1.0 yet a mid-run external burst skewed q29's samples 5×.
     // Before each query's sample loop, measure EXTERNAL busy cores
@@ -207,6 +210,19 @@ object Bench {
     }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // median over successes (round-9 verdict ask): the min is the
+    // steady-state estimate, the median discloses how representative it
+    // is — a median far above the min means the host was noisy and the
+    // min is a lucky sample, which is exactly the ambiguity that caused
+    // r9's q02 false-regression audit
+    def median(ss: Seq[Double]): Double = ss.sorted match {
+      case s if s.isEmpty => -1.0
+      case s if s.size % 2 == 1 => s(s.size / 2)
+      case s => (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medJson = results.map { case (name, ss) =>
+      "\"" + name + "\":" + f(median(ss.flatten))
+    }.mkString("{", ",", "}")
     val sampleJson = results.map { case (k, ss) =>
       "\"" + k + "\":" + ss.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -226,7 +242,7 @@ object Bench {
     val quietFailed = quietInfo.collect {
       case (k, (_, e)) if e > extGate => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
