@@ -1384,6 +1384,53 @@ object SparkEntry {
         method = "exact", bloomFpp = Some(0.01))
     }),
 
+    // incremental NEAR-dup verdicts (Dedup.incrementalNearDups): the
+    // daily-crawl shape for dups exact keys can't catch — batch docs
+    // checked for a shingle-Jaccard ≥ 0.6 near-dup anywhere in an
+    // already-deduped corpus. Carve: batch = doc_id % 4 = 1, corpus =
+    // the rest; a planted template spans the boundary (one batch doc in
+    // 40 vs one corpus doc in 10) so template batch docs see MANY
+    // corpus dups (n_corpus_dups > 1 is live), and the corpus's natural
+    // exact-clone pairs that straddle the carve exercise the natural
+    // path. Runs the BLOOM band-bucket prefilter; the oracle replays
+    // the EXHAUSTIVE cross-side Jaccard (the q26 recall argument: all
+    // ≥-threshold pairs here are exact clones, which collide in every
+    // band, so candidate recall must be total for the hash to pass —
+    // and bloom exactness rides the same check, q53/q68 pattern).
+    "q105_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val tpl = lit("shared press release template gamma version three " +
+        "for near duplicate checks")
+      val batch = d.filter(id % 4 === 1)
+        .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
+        .select("doc_id", "text")
+      val corpus = d.filter(id % 4 =!= 1)
+        .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
+        .select("doc_id", "text")
+      graft.dedup.Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+        threshold = 0.6, bloomFpp = Some(0.01))
+    }),
+
+    // cross-source duplicate-overlap matrix (Dedup.sourceOverlap): the
+    // which-corpus-contains-which audit. The raw table's sources share
+    // no exact text, so two templates are planted across id patterns
+    // (%7 and %11 — coprime to the source assignment, so nearly every
+    // source pair shares one or both) and one id slice gets a NULL
+    // source to keep the NULL group's pair rows live.
+    "q106_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val doc = d
+        .withColumn("source", when(id % 31 === 3, lit(null).cast("string"))
+          .otherwise(col("source")))
+        .withColumn("text",
+          when(id % 7 === 0, lit("common template one across sources"))
+            .when(id % 11 === 1, lit("common template two across sources"))
+            .otherwise(col("text")))
+      graft.dedup.Dedup.sourceOverlap(doc, "source", "text")
+    }),
+
     // overlapping token-window chunks (Curation.chunk) — the RAG /
     // pretraining shard shape; row-local, no shuffle
     "q54_chunks" -> ((s, dir) =>
@@ -2836,6 +2883,64 @@ object SparkEntry {
         |SELECT doc_id, text, lang FROM (
         |  SELECT nov.*, min(doc_id) OVER (PARTITION BY k) AS keep_id FROM nov)
         |WHERE k IS NULL OR doc_id = keep_id""".stripMargin,
+
+    // the matrix replayed from scratch: same plants, distinct
+    // (source, md5) keys, ordered pairs with the NULL group FIRST,
+    // totals re-joined null-safely, bp as exact integer division
+    "q106_source_overlap" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN doc_id % 31 = 3 THEN NULL ELSE source END AS source,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'common template one across sources'
+        |       WHEN doc_id % 11 = 1 THEN 'common template two across sources'
+        |       ELSE text END AS text
+        | FROM documents),
+        |k AS (SELECT DISTINCT source, md5(text) AS k FROM d WHERE text IS NOT NULL),
+        |tot AS (SELECT source, COUNT(*) AS n FROM k GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |   COUNT(*) AS n_shared
+        | FROM k a JOIN k b ON a.k = b.k AND
+        |   ((a.source IS NULL AND b.source IS NOT NULL) OR a.source < b.source)
+        | GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared, ta.n AS n_a, tb.n AS n_b,
+        |  (p.n_shared * 10000) // least(ta.n, tb.n) AS overlap_bp
+        |FROM p
+        |LEFT JOIN tot ta ON p.source_a IS NOT DISTINCT FROM ta.source
+        |LEFT JOIN tot tb ON p.source_b = tb.source""".stripMargin,
+
+    // the exhaustive cross-side near-dup verdict replayed from scratch:
+    // same template plant + carve, q26's shingle spelling, every batch
+    // id (shingle-less rows included) left-joined to its verified-hit
+    // rollup — the engine's LSH bands only bound the comparison set, so
+    // counts/max must coincide with the exhaustive join (recall
+    // argument in the query's comment)
+    "q105_incremental_neardup" ->
+      ("WITH d AS (SELECT doc_id, " +
+        """CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1
+          |       THEN 'shared press release template gamma version three for near duplicate checks'
+          |     WHEN doc_id % 4 <> 1 AND doc_id % 10 = 2
+          |       THEN 'shared press release template gamma version three for near duplicate checks'
+          |     ELSE text END AS text
+          | FROM documents),
+          |""".stripMargin +
+        "n AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM d), " +
+        """t AS (SELECT doc_id, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
+          |g AS (SELECT doc_id,
+          |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+          | FROM t),
+          |b AS (SELECT * FROM g WHERE doc_id % 4 = 1),
+          |c AS (SELECT * FROM g WHERE doc_id % 4 <> 1),
+          |p AS (SELECT b.doc_id AS bid,
+          |  ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+          |    / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4) AS j
+          | FROM b JOIN c ON true),
+          |h AS (SELECT bid, COUNT(*) AS n_corpus_dups, MAX(j) AS max_jaccard
+          | FROM p WHERE j >= 0.6 GROUP BY bid)
+          |SELECT i.doc_id, COALESCE(h.n_corpus_dups, 0) AS n_corpus_dups,
+          |  h.max_jaccard AS max_jaccard, h.bid IS NULL AS kept
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) i
+          |LEFT JOIN h ON i.doc_id = h.bid""".stripMargin),
 
     // both LMs, every quantized weight, and the top-100 cut re-derived
     // from scratch: target LM = every 3rd doc, reference = full corpus

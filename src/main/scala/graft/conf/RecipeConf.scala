@@ -455,6 +455,11 @@ object RecipeConf {
       //   skew: {key: col[, n: 20]}
       case "skew" => df =>
         Ops.skewStats(df, req("key"), knobInt("n", 20))
+      // cross-source duplicate-overlap matrix (which corpus contains
+      // which): overlap: {source: col, text: col[, key: fingerprint]}
+      case "overlap" => df =>
+        graft.dedup.Dedup.sourceOverlap(df, req("source"), req("text"),
+          method = knob("key", "exact"))
       // rebalance an under-parallelized input (single-small-file scan)
       // before heavy row-local work; NO-OP on any already-parallel
       // scan: rebalance: {partitions: n} (default = session cores)
@@ -642,9 +647,25 @@ object RecipeConf {
               case other => sys.error(
                 s"dedup: unknown prefilter '$other' (none | bloom)")
             })
+          // incremental_near: NEAR-dup (shingle-Jaccard) batch-vs-corpus
+          // dedup — drop batch rows with a verified corpus near-dup,
+          // then minhash-dedup within the survivors; same prefilter
+          // contract as incremental (bloom over the batch's LSH band
+          // buckets, output identical):
+          //   dedup: {method: incremental_near, id, text, dataset: corpus
+          //           [, threshold: 0.6, prefilter: bloom, fpp: 0.01]}
+          case "incremental_near" => graft.dedup.Dedup.incrementalNearDedup(
+            df, namedDataset(), id, req("text"),
+            threshold = knobDouble("threshold", 0.6),
+            bloomFpp = knob("prefilter", "none") match {
+              case "none" => None
+              case "bloom" => Some(knobDouble("fpp", 0.01))
+              case other => sys.error(
+                s"dedup: unknown prefilter '$other' (none | bloom)")
+            })
           case other => sys.error(s"dedup: unknown method '$other' " +
             "(exact | fingerprint | minhash | lines | substring | embedding " +
-            "| url | incremental)")
+            "| url | incremental | incremental_near)")
         }
       }
       //   pack: {id: col, text: col, budget: N, shard: col} →

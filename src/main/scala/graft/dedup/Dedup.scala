@@ -307,6 +307,197 @@ object Dedup {
     }
   }
 
+  /** Incremental NEAR-dup verdicts — [[incrementalDedup]]'s sibling for
+    * the case exact keys cannot catch: does an already-near-deduped
+    * corpus contain a near-duplicate (word-shingle Jaccard ≥
+    * `threshold`) of each new-batch doc? One row per batch doc:
+    * (id, n_corpus_dups, max_jaccard, kept) with kept = no verified
+    * corpus match; batch rows yielding no shingles (NULL/blank text)
+    * are kept with n_corpus_dups = 0 and NULL max_jaccard (unknown ≠
+    * dirty, the family contract). Candidates come from the
+    * [[minhashNearDups]] LSH band join run ACROSS the two frames, and
+    * every candidate is verified with true Jaccard on the exact shingle
+    * sets — the bands only bound the comparison set, they never decide.
+    *
+    * Scale shape (corpus = the 100-TB side, batch = the increment):
+    * - `bloomFpp = None`: the corpus contributes one narrow
+    *   (band, bucket, id) exchange (24 B a row, the minhashNearDups
+    *   discipline — shingle arrays never enter the candidate shuffle);
+    *   colliding corpus ids — dup-volume-sized by construction — are
+    *   then persisted, counted, and broadcast when small (the q68
+    *   count-gated pattern: a blindly-planned SMJ would have written
+    *   the corpus-side exchange before AQE could flip it), so the
+    *   second corpus pass fetches verify-side shingles map-side.
+    * - `bloomFpp = Some(p)`: a Bloom filter over the BATCH's band
+    *   buckets broadcasts (sized by one bounded count over the batch —
+    *   the small side by the incremental premise), corpus band rows
+    *   that miss it drop MAP-SIDE carrying their shingles with them, so
+    *   the corpus is scanned ONCE and its only exchange is true bucket
+    *   collisions plus an fpp trickle the exact band equality then
+    *   discards. Output is IDENTICAL (no false negatives; the verify
+    *   join decides) — the q53/q68 two-plans-one-contract shape.
+    *
+    * Appending `kept` rows (after a within-batch [[minhashDedup]])
+    * preserves the corpus's near-dup invariant at LSH recall, so each
+    * increment costs only the increment — never a corpus re-pairing. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.6,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
+    val rowsPerBand = numHashes / bands
+    def shingled(df: DataFrame, out: String) = df.select(
+      col(idCol).as(out),
+      shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))),
+        lit(shingleSize)).as("sh"))
+    def withBands(base: DataFrame, id: String, keepSh: Boolean) = {
+      val sig = base.withColumn("sig",
+        minhashSignature(col("sh"), numHashes))
+      val cols = (if (keepSh) Seq(col(id), col("sh")) else Seq(col(id))) :+
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b")
+      sig.select(cols: _*)
+        .select((if (keepSh) Seq(col(id), col("sh")) else Seq(col(id))) ++
+          Seq(col("b.band"), col("b.bucket")): _*)
+    }
+    // batch is the small side by premise: cache it once — it feeds the
+    // band explode, the (bloom path's) filter build, and the verify join
+    val bBase = graft.engine.AutoUnpersist.cache(
+      shingled(batch, "__bid").filter(size(col("sh")) > 0))
+    val bBands = withBands(bBase, "__bid", keepSh = false)
+    // candidate (batch, corpus, corpus-shingles) triples, one per
+    // band-colliding pair — the physical strategy differs per path but
+    // the set is identical up to bloom false positives, which the exact
+    // (band, bucket) join below discards
+    val cand = bloomFpp match {
+      case None =>
+        // narrow corpus band exchange, then a count-gated fetch of the
+        // few colliding docs' shingles (second corpus scan, map-side
+        // semi when the hit set broadcasts)
+        val cBands = withBands(shingled(corpus, "__cid")
+          .filter(size(col("sh")) > 0), "__cid", keepSh = false)
+        val hitP = cBands
+          .join(bBands.select("band", "bucket").distinct(),
+            Seq("band", "bucket"), "left_semi")
+          .select("__cid").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nHits = hitP.count()
+        val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
+        val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
+        val cFetch = shingled(corpus, "__cid")
+          .join(hitIds, Seq("__cid"), "left_semi")
+        bBands.join(withBands(cFetch, "__cid", keepSh = true),
+          Seq("band", "bucket"))
+      case Some(fpp) =>
+        require(fpp > 0 && fpp < 1, s"bloom fpp must be in (0, 1), got $fpp")
+        // bucket longs already encode their band (lshBands seeds the
+        // hash with the band index), so the filter keys on the bucket
+        // value alone; the join below still matches band exactly
+        val bBuckets = bBands.select(col("bucket"))
+        val n = bBuckets.count()
+        if (n == 0) bBands.limit(0)
+          .withColumn("__cid", lit(null).cast("long"))
+          .withColumn("sh", lit(null).cast("array<bigint>"))
+        else {
+          val bf = bBuckets.coalesce(8).stat.bloomFilter("bucket", n, fpp)
+          val bcast = batch.sparkSession.sparkContext.broadcast(bf)
+          val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
+          val cHits = withBands(shingled(corpus, "__cid")
+              .filter(size(col("sh")) > 0), "__cid", keepSh = true)
+            .filter(might(col("bucket")))
+          bBands.join(cHits, Seq("band", "bucket"))
+        }
+    }
+    // one exchange keyed on the pair collapses multi-band collisions,
+    // then the batch side's shingles re-attach from the cached base
+    val verified = cand
+      .groupBy(col("__bid"), col("__cid"))
+      .agg(first(col("sh")).as("sh_c"))
+      .join(bBase.select(col("__bid"), col("sh").as("sh_b")), "__bid")
+      .withColumn("__inter",
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("sh_b"), col("sh_c")).cast("double"))
+      .withColumn("jaccard", round(
+        col("__inter") / (size(col("sh_b")) + size(col("sh_c")) - col("__inter")), 4))
+      .filter(col("jaccard") >= threshold)
+    val hits = verified.groupBy(col("__bid"))
+      .agg(count(lit(1)).as("n_corpus_dups"), max(col("jaccard")).as("max_jaccard"))
+    batch.select(col(idCol)).distinct()
+      .join(hits, col(idCol) === col("__bid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        col("max_jaccard"))
+      .withColumn("kept", col("n_corpus_dups") === 0)
+  }
+
+  /** Drop-variant of [[incrementalNearDups]]: the batch rows safe to
+    * append to the corpus — no verified corpus near-dup, then
+    * [[minhashDedup]] WITHIN the survivors (two batch copies of one new
+    * doc must not both survive; corpus rows are never touched). */
+  def incrementalNearDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.6,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    val verdicts = incrementalNearDups(batch, corpus, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, bloomFpp)
+    val novel = batch.join(
+      verdicts.filter(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
+    minhashDedup(novel, idCol, textCol, threshold)
+  }
+
+  /** Cross-source duplicate-overlap matrix — the "how much of source A
+    * is already in source B" audit that decides which corpus to dedup
+    * against which (C4-vs-CommonCrawl-style containment questions). One
+    * row per co-occurring ordered source pair:
+    * (source_a, source_b, n_shared, n_a, n_b, overlap_bp) where
+    * n_shared counts DISTINCT content keys (exact md5 or normalized
+    * fingerprint per `method`) present in both sources, n_a/n_b the
+    * sources' distinct-key totals, and overlap_bp =
+    * n_shared·10⁴ div min(n_a, n_b) — containment of the smaller side,
+    * exact integer basis points (the skewStats arithmetic). Pairs
+    * sharing nothing are absent. A NULL source is its own group
+    * (ordered first — the domainStats never-silently-drop contract);
+    * NULL-text rows yield no key and sit out.
+    *
+    * Scale shape: ONE distinct exchange builds the (source, key) table
+    * (map-side combined, 32 B keys); the matrix self-join re-shuffles
+    * that table — cached across its two sides and the totals pass —
+    * on the key, where a key shared by s sources fans out to at most
+    * s²/2 pairs. The output and the per-key fan-out are both bounded by
+    * the SOURCE cardinality squared: this operator is for declared-few
+    * sources (crawl snapshots, dataset names — tens to hundreds); for
+    * high-cardinality keys (per-domain) use `domainStats` + joins
+    * instead. Totals ride one small broadcast. */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      method: String = "exact"): DataFrame = {
+    val keyOf: Column => Column = method match {
+      case "exact"       => c => md5(c.cast("binary"))
+      case "fingerprint" => c => fingerprint(c)
+      case other => sys.error(
+        s"sourceOverlap: unknown method '$other' (exact | fingerprint)")
+    }
+    val keys = graft.engine.AutoUnpersist.cache(
+      df.select(col(sourceCol).as("source"), keyOf(col(textCol)).as("__k"))
+        .filter(col("__k").isNotNull).distinct())
+    val totals = broadcast(
+      keys.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    val a = keys.alias("a"); val b = keys.alias("b")
+    // NULL sorts first so the NULL group pairs deterministically (a
+    // plain < would silently drop every pair touching it)
+    val ordered = (col("a.source").isNull && col("b.source").isNotNull) ||
+      (col("a.source") < col("b.source"))
+    a.join(b, col("a.__k") === col("b.__k") && ordered)
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared")) // keys pre-distinct per source
+      .join(totals.select(col("source").as("__sa"), col("n").as("n_a")),
+        col("source_a") <=> col("__sa"), "left")
+      .join(totals.select(col("source").as("__sb"), col("n").as("n_b")),
+        col("source_b") === col("__sb"), "left")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(n_shared * 10000L) div least(n_a, n_b)").as("overlap_bp"))
+  }
+
   /** The survivor rule shared by the cluster-dedup family ([[minhashDedup]],
     * [[embeddingDedup]]): connected components over the candidate pairs,
     * keep the minimum id per cluster — ONE implementation so the two

@@ -773,6 +773,70 @@ class GraphDedupSpec extends SparkSpec {
       bloomFpp = Some(0.01)).count() == 1)
   }
 
+  test("incrementalNearDups: verified corpus near-dups, NULL/blank kept, bloom ≡ plain") {
+    val tpl = "shared boilerplate press release text appears many times verbatim"
+    val corpus = Seq(
+      (100L, tpl),                                                      // clone of batch 1
+      (101L, tpl),                                                      // second clone → n_corpus_dups 2
+      (102L, "completely different corpus material entirely unrelated"),
+      (103L, null: String)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, tpl),                                                        // near-dup'd twice in corpus
+      (2L, "totally novel batch document about something else entirely"),
+      (3L, null: String),                                               // no shingles → kept, NULL max
+      (4L, "")).toDF("doc_id", "text")                                  // blank → kept
+    val v = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    assert(v(1L) == ((2L, Some(1.0), false)))
+    assert(v(2L) == ((0L, None, true)))
+    assert(v(3L) == ((0L, None, true)))
+    assert(v(4L) == ((0L, None, true)))
+    // the bloom band-bucket prefilter must be invisible in the output
+    // (no false negatives; the exact band join + Jaccard verify decide)
+    val vb = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+      bloomFpp = Some(0.01))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(vb == v.map { case (id, (n, _, k)) => (id, n, k) }.toSet)
+    // drop variant: corpus near-dups vanish, then WITHIN-batch minhash
+    // dedup keeps min id per clone cluster; NULL/blank rows survive
+    val batch2 = batch.union(Seq(
+      (5L, "totally novel batch document about something else entirely"))
+      .toDF("doc_id", "text"))
+    val kept = Dedup.incrementalNearDedup(batch2, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+        numHashes = 64, bands = 7))
+  }
+
+  test("sourceOverlap: distinct-key containment matrix, NULL source group, fingerprint keys") {
+    val df = Seq(
+      ("A", "shared alpha"), ("A", "shared alpha"), // within-source dup → ONE key
+      ("A", "only in a"),
+      ("B", "shared alpha"), ("B", "shared beta"),
+      ("C", "shared beta"),
+      (null, "shared alpha"),                       // NULL source is a group
+      ("C", null: String))                          // NULL text sits out
+      .toDF("source", "text")
+    val m = Dedup.sourceOverlap(df, "source", "text").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(m == Set(
+      (None, "A", 1L, 1L, 2L, 10000L),      // NULL group ordered first
+      (None, "B", 1L, 1L, 2L, 10000L),
+      (Some("A"), "B", 1L, 2L, 2L, 5000L),  // containment of the smaller side
+      (Some("B"), "C", 1L, 2L, 1L, 10000L)), m.toString)
+    // fingerprint keys: case/word-order variants are one shared key
+    val fp = Dedup.sourceOverlap(
+      Seq(("A", "Alpha Shared"), ("B", "shared ALPHA")).toDF("source", "text"),
+      "source", "text", method = "fingerprint").collect()
+    assert(fp.length == 1 && fp(0).getLong(2) == 1L && fp(0).getLong(5) == 10000L)
+    intercept[RuntimeException](
+      Dedup.sourceOverlap(df, "source", "text", method = "nope"))
+  }
+
   test("semanticContaminationFlags: max cosine vs test set, NULLs, empty test set") {
     val corpus = Seq(
       (1L, Some(Seq(1.0f, 0.0f))),   // = test vector → max_cos 1.0

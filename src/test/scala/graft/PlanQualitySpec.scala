@@ -329,6 +329,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p) // rollup rides a broadcast
   }
 
+  test("q105 incremental near-dup exchanges only its declared key families") {
+    // the bloom path: corpus band rows meet the batch's on (band,
+    // bucket) — post-filter collisions only; the pair collapse keys on
+    // (__bid, __cid); the batch shingle re-attach on __bid; the final
+    // verdict attach on the id. Document text itself never shuffles —
+    // only shingle-hash arrays of colliding docs ride the band exchange.
+    val p = plan("q105_incremental_neardup")
+    val fams = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .map(_.split(",\\s*").toSeq.dropRight(1)
+        .map(_.replaceAll("#\\d+L?", "").trim).sorted.mkString(","))
+      .toSet
+    assert(fams.subsetOf(Set("band,bucket", "__bid,__cid", "__bid", "doc_id")),
+      s"unexpected exchange family: $fams in\n$p")
+  }
+
+  test("q106 source overlap: cached key table, broadcast totals, no single-partition stage") {
+    val p = plan("q106_source_overlap")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (source, key) table must cache across the matrix sides:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must ride a broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q96 e2e curation composes without growing the shuffle surface") {
     // six stages, but the exchanges stay exactly the stages' own:
     // __dedup_key (fingerprint keep-min), __gram_h (decontamination

@@ -1583,6 +1583,16 @@ class RecipeConfSpec extends SparkSpec {
          |    steps:
          |      - dedup: {method: incremental, id: id, text: text,
          |                dataset: corpus, prefilter: bloom}
+         |  incnear:
+         |    input: docs
+         |    steps:
+         |      - dedup: {method: incremental_near, id: id, text: text,
+         |                dataset: corpus, prefilter: bloom}
+         |  ovl:
+         |    input: docs
+         |    steps:
+         |      - eval: {t3: "case when id % 2 = 0 then 'x' else text end"}
+         |      - overlap: {source: lang, text: t3}
          |  best:
          |    input: docs
          |    steps:
@@ -1632,6 +1642,19 @@ class RecipeConfSpec extends SparkSpec {
     val inc = RecipeConf.run(spark, conf, "inc")
     assert(inc.count() == 99L)
     assert(inc.filter(col("id") === 7L).count() == 0)
+    // incremental_near: 'doc number 7' is a shingle-identical corpus
+    // near-dup → dropped; the 99 pairwise-distinct others all survive
+    // the within-batch pass too
+    val incn = RecipeConf.run(spark, conf, "incnear")
+    assert(incn.count() == 99L)
+    assert(incn.filter(col("id") === 7L).count() == 0)
+    // overlap: the eval collapses every even id to one shared key, so
+    // en/fr share exactly that one; en keys = 1 + 40 odd, fr = 1 + 10
+    val ovl = RecipeConf.run(spark, conf, "ovl").collect()
+    assert(ovl.length == 1)
+    assert((ovl(0).getString(0), ovl(0).getString(1), ovl(0).getLong(2),
+      ovl(0).getLong(3), ovl(0).getLong(4)) == (("en", "fr", 1L, 41L, 11L)),
+      ovl(0).toString)
     // keep-best: ids 1..50 collapse to one 'dup' group whose BEST
     // (max score=id) survivor is id 50; 51..100 stay distinct
     val best = RecipeConf.run(spark, conf, "best")
