@@ -79,10 +79,15 @@ object Cluster {
     *
     * The per-iteration collect is k·dim longs — the declared-small
     * one-row-per-round artifact (the bpeTrain / k-means-iteration
-    * pattern); the corpus itself is scanned once per iteration with
-    * a broadcast codebook and never shuffles beyond the k·dim-cell
-    * partial agg. `iters` is a FIXED budget, not a convergence test:
-    * convergence checks compare floats and would fork engines. */
+    * pattern); the training frame is cached once (quantized) and
+    * scanned once per iteration with a broadcast codebook, never
+    * shuffling beyond the k·dim-cell partial agg. At corpus scale the
+    * caller fits on a bounded sample (the standard codebook practice —
+    * quality saturates far below corpus size) and assigns the full
+    * corpus afterwards with [[clusterAssign]], so the cache is
+    * sample-sized, not 100 TB. `iters` is a FIXED budget, not a
+    * convergence test: convergence checks compare floats and would
+    * fork engines. */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
       seed: Long = 42L, iters: Int = 4, scale: Int = 10000): DataFrame = {
     val spark = df.sparkSession
@@ -99,49 +104,164 @@ object Cluster {
     * round-trip through a division. */
   private[graft] def fitCentroidsQ(df: DataFrame, idCol: String,
       vecCol: String, k: Int, seed: Long, iters: Int,
-      scale: Int): IndexedSeq[(Long, IndexedSeq[Long])] = {
+      scale: Int, localThreshold: Int = 65536): IndexedSeq[(Long, IndexedSeq[Long])] = {
     require(k >= 1, s"fitCentroids needs k >= 1, got $k")
     require(iters >= 1, s"fitCentroids needs iters >= 1, got $iters")
     val spark = df.sparkSession
-    val qdf = df.filter(col(vecCol).isNotNull)
+    val qdf0 = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
-    // seeded init: k rows by (60-bit md5 hash, id) — TakeOrderedAndProject,
-    // never a global sort; collect order IS the cid order
-    val h = conv(substring(md5(concat(lit(seed.toString),
-      col("__id").cast("string"))), 1, 15), 16, 10).cast("long")
-    var cents: IndexedSeq[(Long, IndexedSeq[Long])] =
-      qdf.withColumn("__h", h).orderBy(col("__h"), col("__id")).limit(k)
-        .select("__qv").collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i.toLong, r.getSeq[Long](0).toIndexedSeq)
-        }.toIndexedSeq
-    require(cents.nonEmpty, "fitCentroids: no non-null vectors to fit")
-    for (_ <- 1 to iters) {
-      val centsDf = spark.createDataFrame(cents).toDF("cid", "cv")
-      // rows whose dimension matches no centroid assign NULL and sit out
-      val assigned = clusterAssign(qdf, "__id", "__qv", centsDf, "cid", "cv")
-        .filter(col("cluster_id").isNotNull)
-      val stats = assigned
-        .select(col("cluster_id"),
-          posexplode(col("__qv")).as(Seq("__pos", "__q")))
-        .groupBy("cluster_id", "__pos")
-        .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.map(r => r.getInt(1) ->
-            java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+    // regime split, the bpeTrain pattern: the iterations are strictly
+    // sequential, and at the typical codebook-fit scale (a bounded
+    // sample) 1 + 2·iters Spark job round-trips are nearly all
+    // scheduler/plan latency — measured as q60_ann_ivf_build spending
+    // 3.7 of its 5.8 s inside a 2000-row fit. One limit-collect both
+    // PROBES the size and, when the sample fits, IS the data read: the
+    // driver loop below runs the identical integer arithmetic
+    // (fitLocalQ — equality with the distributed regime is pinned by
+    // GraphDedupSpec), so the oracle replay cannot tell the regimes
+    // apart. Above the threshold (≈ rows·dims·8 B + boxing; lower it
+    // for fat embeddings) the per-iteration Spark jobs run over a
+    // cached quantized frame — the regime for a sample that outgrows
+    // the driver.
+    val probe = qdf0.limit(localThreshold + 1).collect()
+    if (probe.length <= localThreshold)
+      return fitLocalQ(probe.map(r =>
+        (r.getLong(0), r.getSeq[java.lang.Long](1).toIndexedSeq)), k, seed, iters)
+    // the quantized frame feeds the init pass PLUS one assignment + one
+    // moment aggregation per iteration — without a cache that is
+    // 1 + 2·iters re-reads and re-quantizations of the source. Explicit
+    // persist, NOT AutoUnpersist: the init collect below is itself an
+    // action and would release the cache before the iterations read it.
+    val qdf = qdf0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeded init: k rows by (60-bit md5 hash, id) — TakeOrderedAndProject,
+      // never a global sort; collect order IS the cid order
+      val h = conv(substring(md5(concat(lit(seed.toString),
+        col("__id").cast("string"))), 1, 15), 16, 10).cast("long")
+      var cents: IndexedSeq[(Long, IndexedSeq[Long])] =
+        qdf.withColumn("__h", h).orderBy(col("__h"), col("__id")).limit(k)
+          .select("__qv").collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i.toLong, r.getSeq[Long](0).toIndexedSeq)
+          }.toIndexedSeq
+      require(cents.nonEmpty, "fitCentroids: no non-null vectors to fit")
+      for (_ <- 1 to iters) {
+        val centsDf = spark.createDataFrame(cents).toDF("cid", "cv")
+        // rows whose dimension matches no centroid assign NULL and sit out
+        val assigned = clusterAssign(qdf, "__id", "__qv", centsDf, "cid", "cv")
+          .filter(col("cluster_id").isNotNull)
+        val stats = assigned
+          .select(col("cluster_id"),
+            posexplode(col("__qv")).as(Seq("__pos", "__q")))
+          .groupBy("cluster_id", "__pos")
+          .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.map(r => r.getInt(1) ->
+              java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+          }
+        cents = cents.map { case (cid, old) =>
+          stats.get(cid) match {
+            case Some(byPos) => (cid, old.indices.map(byPos))
+            case None        => (cid, old) // empty cluster keeps its centroid
+          }
         }
-      cents = cents.map { case (cid, old) =>
-        stats.get(cid) match {
-          case Some(byPos) => (cid, old.indices.map(byPos))
-          case None        => (cid, old) // empty cluster keeps its centroid
+      }
+      cents
+    } finally qdf.unpersist(false)
+  }
+
+  /** The 60-bit md5 init hash, driver-side: byte-for-byte the
+    * distributed spelling `conv(substring(md5(concat(seed, id)), 1, 15),
+    * 16, 10)` — md5 hex is lowercase on both sides and 15 hex digits fit
+    * a long exactly. */
+  private def initHash60(seed: Long, id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((seed.toString + id.toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Driver-regime Lloyd's over an already-collected quantized sample —
+    * the SAME integer arithmetic as the distributed loop in
+    * [[fitCentroidsQ]], statement for statement:
+    *  - init: rank by (initHash60, id), take k, cid = rank;
+    *  - assign: left-to-right strict-< argmin of Σ(qᵢ−cᵢ)² over the
+    *    cid-ordered codebook (every term an exact integer < 2⁵³, so the
+    *    double fold the distributed expression runs and the primitive
+    *    loop here are the same numbers); rows/centroids with a
+    *    mismatched dimension or a NULL element never win and sit out —
+    *    mirroring zip_with's NULL padding semantics;
+    *  - update: per-dimension floorDiv of member sums; empty clusters
+    *    keep their centroid.
+    * Equality of the two regimes is pinned by GraphDedupSpec. */
+  private def fitLocalQ(rows: Array[(Long, IndexedSeq[java.lang.Long])],
+      k: Int, seed: Long, iters: Int): IndexedSeq[(Long, IndexedSeq[Long])] = {
+    require(rows.nonEmpty, "fitCentroids: no non-null vectors to fit")
+    // prim = the unboxed vector for math; null-element vectors keep
+    // prim = null and participate only as potential init seats
+    val prepped = rows.map { case (id, raw) =>
+      val prim = if (raw.contains(null)) null
+        else { val a = new Array[Long](raw.length)
+          var i = 0; while (i < raw.length) { a(i) = raw(i); i += 1 }; a }
+      (id, raw, prim)
+    }
+    val init = prepped
+      .map { case (id, raw, prim) => (initHash60(seed, id), id, raw, prim) }
+      .sortBy { case (h, id, _, _) => (h, id) }
+      .take(k)
+    var cents: IndexedSeq[(IndexedSeq[java.lang.Long], Array[Long])] =
+      init.map { case (_, _, raw, prim) => (raw, prim) }.toIndexedSeq
+    for (_ <- 1 to iters) {
+      val sums = cents.map { case (_, prim) =>
+        if (prim == null) null else new Array[Long](prim.length) }
+      val counts = new Array[Long](cents.length)
+      prepped.foreach { case (_, _, qv) =>
+        if (qv != null) {
+          var bestIdx = -1
+          var bestD2 = Double.MaxValue
+          var ci = 0
+          while (ci < cents.length) {
+            val cv = cents(ci)._2
+            if (cv != null && cv.length == qv.length) {
+              var d2 = 0.0
+              var j = 0
+              while (j < qv.length) {
+                val d = (qv(j) - cv(j)).toDouble; d2 += d * d; j += 1
+              }
+              if (d2 < bestD2) { bestD2 = d2; bestIdx = ci }
+            }
+            ci += 1
+          }
+          if (bestIdx >= 0) {
+            val s = sums(bestIdx)
+            var j = 0
+            while (j < qv.length) { s(j) += qv(j); j += 1 }
+            counts(bestIdx) += 1
+          }
+        }
+      }
+      cents = cents.zipWithIndex.map { case ((raw, prim), i) =>
+        if (counts(i) == 0L) (raw, prim) // empty cluster keeps its centroid
+        else {
+          val nc = Array.tabulate(prim.length)(j =>
+            java.lang.Math.floorDiv(sums(i)(j), counts(i)))
+          (nc.toIndexedSeq.map(Long.box), nc)
         }
       }
     }
-    cents
+    cents.zipWithIndex.map { case ((raw, prim), i) =>
+      (i.toLong,
+        if (prim != null) prim.toIndexedSeq
+        // a null-element seat surfaces exactly as the distributed
+        // collect would hand it back (boxed nulls in the coordinate seq)
+        else raw.asInstanceOf[IndexedSeq[Long]])
+    }
   }
 
   /** Cluster-balanced sample: assign, then keep at most `nPerCluster`

@@ -657,6 +657,18 @@ class GraphDedupSpec extends SparkSpec {
     assert(fsame.count() == 2)
     assert(fsame.collect().map(_.getAs[Seq[Double]]("cv").head).toSet
       == Set(1.0), "both centroids must survive at the seed coordinate")
+
+    // the driver-side and distributed fit regimes must be bit-identical
+    // (same init ranking, argmin, floor-division update) — including a
+    // wrong-dimension row that must sit out of assignment in both
+    val sample = ((0 until 60).map(i =>
+        (i.toLong, Seq((i % 5).toFloat, (i % 7).toFloat))) :+
+        (60L, Seq(9.0f)))
+      .toDF("id", "v")
+    val loc = Cluster.fitCentroidsQ(sample, "id", "v", 4, 42L, 4, 10000)
+    val dist = Cluster.fitCentroidsQ(sample, "id", "v", 4, 42L, 4, 10000,
+      localThreshold = 0)
+    assert(loc == dist, s"local $loc vs distributed $dist")
   }
 
   test("bloom-prefiltered decontamination is exactly the semi-join answer") {
