@@ -271,6 +271,21 @@ object RecipeConf {
         s.toIntOption.getOrElse(sys.error(
           s"ann_index sink: options.nlist must be an integer, got '$s'"))
       })
+    // persisted near-dup band index (shingles + band tables, manifest
+    // last) — the corpus side of incremental near-dup dedup, signed
+    // once; same whole-or-nothing contract as ann_index
+    case "neardup_index" if mode != "create" && mode != "overwrite" =>
+      sys.error(s"neardup_index sink only supports mode create/overwrite " +
+        s"(the index is rebuilt whole), got '$mode'")
+    case "neardup_index" => graft.dedup.Dedup.writeNearDupIndex(df,
+      idCol = ds.options.getOrElse("id",
+        sys.error("neardup_index sink needs options.id (doc id column)")),
+      textCol = ds.options.getOrElse("text",
+        sys.error("neardup_index sink needs options.text (text column)")),
+      path = ds.path,
+      shingleSize = sinkIntOpt(ds, "shingle_size", 3),
+      numHashes = sinkIntOpt(ds, "num_hashes", 64),
+      bands = sinkIntOpt(ds, "bands", 16))
     // strip `query` too: it is a READ option, and the JDBC writer
     // rejects dbtable+query together — a sql dataset declared with a
     // read query must still be usable as an output table
@@ -279,6 +294,12 @@ object RecipeConf {
       table = ds.path, mode = mode,
       props = ds.options -- Seq("url", "query"))
     case other => sys.error(s"unsupported sink format: $other")
+  }
+
+  private def sinkIntOpt(ds: DatasetConf, key: String, dflt: Int): Int = {
+    val s = ds.options.getOrElse(key, dflt.toString)
+    s.toIntOption.getOrElse(sys.error(
+      s"${ds.format} sink: options.$key must be an integer, got '$s'"))
   }
 
   // ------------------------------------------------------------- compile
@@ -654,15 +675,36 @@ object RecipeConf {
           // buckets, output identical):
           //   dedup: {method: incremental_near, id, text, dataset: corpus
           //           [, threshold: 0.6, prefilter: bloom, fpp: 0.01]}
-          case "incremental_near" => graft.dedup.Dedup.incrementalNearDedup(
-            df, namedDataset(), id, req("text"),
-            threshold = knobDouble("threshold", 0.6),
-            bloomFpp = knob("prefilter", "none") match {
+          //   dedup: {method: incremental_near, id, text, index: idx_ds}
+          //     → probe a persisted neardup_index dataset instead of
+          //       re-signing the corpus (the 100-TB regime, SCALE.md)
+          case "incremental_near" =>
+            val nearBloom = knob("prefilter", "none") match {
               case "none" => None
               case "bloom" => Some(knobDouble("fpp", 0.01))
               case other => sys.error(
                 s"dedup: unknown prefilter '$other' (none | bloom)")
-            })
+            }
+            m.get("index") match {
+              case Some(ix) if ix != null =>
+                val name = ix.toString
+                val ds = conf.datasets.getOrElse(name, sys.error(
+                  s"dedup: unknown index dataset '$name' " +
+                    s"(known: ${conf.datasets.keys.toSeq.sorted.mkString(", ")})"))
+                require(ds.format == "neardup_index",
+                  s"dedup: dataset '$name' has format '${ds.format}' — " +
+                    "'index' must name a neardup_index dataset")
+                graft.dedup.Dedup.incrementalNearDedupIndexed(
+                  df, ds.path, id, req("text"),
+                  threshold = knobDouble("threshold", 0.6),
+                  bloomFpp = nearBloom)
+              case Some(_) => sys.error("dedup: 'index' is blank — name a " +
+                "neardup_index dataset or use dataset: for direct scoring")
+              case None => graft.dedup.Dedup.incrementalNearDedup(
+                df, namedDataset(), id, req("text"),
+                threshold = knobDouble("threshold", 0.6),
+                bloomFpp = nearBloom)
+            }
           case other => sys.error(s"dedup: unknown method '$other' " +
             "(exact | fingerprint | minhash | lines | substring | embedding " +
             "| url | incremental | incremental_near)")

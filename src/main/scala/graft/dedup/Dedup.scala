@@ -340,26 +340,66 @@ object Dedup {
     * Appending `kept` rows (after a within-batch [[minhashDedup]])
     * preserves the corpus's near-dup invariant at LSH recall, so each
     * increment costs only the increment — never a corpus re-pairing. */
+  /** Shingle frame shared by the incremental near-dup family: one row
+    * per input row, (out, sh) with sh the sorted hashed shingle set. */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, out: String): DataFrame = df.select(
+    col(idCol).as(out),
+    shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))),
+      lit(shingleSize)).as("sh"))
+
+  /** Band rows of a shingle frame: (id[, sh], band, bucket) — one row
+    * per (doc, band). keepSh trades exchange width for a single scan
+    * (the bloom path); the narrow variant is the candidate-join side. */
+  private def bandFrame(base: DataFrame, id: String, numHashes: Int,
+      bands: Int, keepSh: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = base.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val cols = (if (keepSh) Seq(col(id), col("sh")) else Seq(col(id))) :+
+      explode(lshBands(col("sig"), bands, rowsPerBand)).as("b")
+    sig.select(cols: _*)
+      .select((if (keepSh) Seq(col(id), col("sh")) else Seq(col(id))) ++
+        Seq(col("b.band"), col("b.bucket")): _*)
+  }
+
+  /** Verdict assembly shared by the direct and indexed incremental
+    * near-dup paths: collapse multi-band candidate rows to pairs,
+    * re-attach the batch shingles, exact-verify Jaccard, roll up per
+    * batch doc, and left-join back onto EVERY batch id (shingle-less
+    * rows kept with zero dups and NULL score). `cand` carries
+    * (__bid, __cid, sh) with sh the CORPUS side's shingles. */
+  private def nearDupVerdicts(batch: DataFrame, bBase: DataFrame,
+      cand: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val verified = cand
+      .groupBy(col("__bid"), col("__cid"))
+      .agg(first(col("sh")).as("sh_c"))
+      .join(bBase.select(col("__bid"), col("sh").as("sh_b")), "__bid")
+      .withColumn("__inter",
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("sh_b"), col("sh_c")).cast("double"))
+      .withColumn("jaccard", round(
+        col("__inter") / (size(col("sh_b")) + size(col("sh_c")) - col("__inter")), 4))
+      .filter(col("jaccard") >= threshold)
+    val hits = verified.groupBy(col("__bid"))
+      .agg(count(lit(1)).as("n_corpus_dups"), max(col("jaccard")).as("max_jaccard"))
+    batch.select(col(idCol)).distinct()
+      .join(hits, col(idCol) === col("__bid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        col("max_jaccard"))
+      .withColumn("kept", col("n_corpus_dups") === 0)
+  }
+
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.6,
       bloomFpp: Option[Double] = None): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
-    val rowsPerBand = numHashes / bands
-    def shingled(df: DataFrame, out: String) = df.select(
-      col(idCol).as(out),
-      shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))),
-        lit(shingleSize)).as("sh"))
-    def withBands(base: DataFrame, id: String, keepSh: Boolean) = {
-      val sig = base.withColumn("sig",
-        minhashSignature(col("sh"), numHashes))
-      val cols = (if (keepSh) Seq(col(id), col("sh")) else Seq(col(id))) :+
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b")
-      sig.select(cols: _*)
-        .select((if (keepSh) Seq(col(id), col("sh")) else Seq(col(id))) ++
-          Seq(col("b.band"), col("b.bucket")): _*)
-    }
+    def shingled(df: DataFrame, out: String) =
+      shingleFrame(df, idCol, textCol, shingleSize, out)
+    def withBands(base: DataFrame, id: String, keepSh: Boolean) =
+      bandFrame(base, id, numHashes, bands, keepSh)
     // batch is the small side by premise: cache it once — it feeds the
     // band explode, the (bloom path's) filter build, and the verify join
     val bBase = graft.engine.AutoUnpersist.cache(
@@ -408,26 +448,121 @@ object Dedup {
           bBands.join(cHits, Seq("band", "bucket"))
         }
     }
-    // one exchange keyed on the pair collapses multi-band collisions,
-    // then the batch side's shingles re-attach from the cached base
-    val verified = cand
-      .groupBy(col("__bid"), col("__cid"))
-      .agg(first(col("sh")).as("sh_c"))
-      .join(bBase.select(col("__bid"), col("sh").as("sh_b")), "__bid")
-      .withColumn("__inter",
-        graft.functions.NativeExpressions.sortedIntersectCount(
-          col("sh_b"), col("sh_c")).cast("double"))
-      .withColumn("jaccard", round(
-        col("__inter") / (size(col("sh_b")) + size(col("sh_c")) - col("__inter")), 4))
-      .filter(col("jaccard") >= threshold)
-    val hits = verified.groupBy(col("__bid"))
-      .agg(count(lit(1)).as("n_corpus_dups"), max(col("jaccard")).as("max_jaccard"))
-    batch.select(col(idCol)).distinct()
-      .join(hits, col(idCol) === col("__bid"), "left")
-      .select(col(idCol),
-        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
-        col("max_jaccard"))
-      .withColumn("kept", col("n_corpus_dups") === 0)
+    nearDupVerdicts(batch, bBase, cand, idCol, threshold)
+  }
+
+  /** Persisted near-dup BAND INDEX — the production regime for
+    * [[incrementalNearDups]] at corpus scale. IncNearBench (SCALE.md)
+    * showed the direct operator's scaling term is corpus SIGNING
+    * (shingle + minhash compute, re-run on every call), not the
+    * exchange — so, exactly like `Ann.writeIvfIndex`, the corpus-side
+    * work is computed ONCE into a layout probes reuse: `shingles/`
+    * (id, sorted shingle hashes) and `bands/` (id, band, bucket), with
+    * a manifest written LAST certifying a complete build and carrying
+    * the signature parameters (a probe re-deriving them from its own
+    * defaults could silently band-mismatch the index). Appending a
+    * kept batch means signing ONLY the batch and appending its rows to
+    * both tables — each increment costs the increment. */
+  def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
+    val base = shingleFrame(corpus, idCol, textCol, shingleSize, "__cid")
+      .filter(size(col("sh")) > 0)
+    base.write.mode("overwrite").parquet(s"$path/shingles")
+    // recompute from the written table, not the input: ONE signing pass
+    // over the corpus total, and the two tables cannot disagree
+    val written = corpus.sparkSession.read.parquet(s"$path/shingles")
+    bandFrame(written, "__cid", numHashes, bands, keepSh = false)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    val rows = written.count()
+    writeNearDupManifest(corpus.sparkSession, path,
+      shingleSize, numHashes, bands, rows)
+  }
+
+  private def nearDupManifestFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.json")
+
+  private def writeNearDupManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, shingleSize: Int, numHashes: Int, bands: Int,
+      rows: Long): Unit = {
+    val p = nearDupManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"shingle_size": $shingleSize, "num_hashes": $numHashes, """ +
+        s""""bands": $bands, "rows": $rows, """ +
+        s""""built_ms": ${System.currentTimeMillis()}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readNearDupManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(Int, Int, Int, Long)] = {
+    val p = nearDupManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def f(k: String): Option[Long] =
+      (s""""$k":\\s*(-?\\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    for (s <- f("shingle_size"); h <- f("num_hashes"); b <- f("bands");
+         r <- f("rows"))
+      yield (s.toInt, h.toInt, b.toInt, r)
+  }
+
+  /** [[incrementalNearDups]] against a PERSISTED index: verdicts are
+    * identical (GraphDedupSpec pins parity), but the corpus side is a
+    * narrow parquet read of pre-computed bands plus a count-gated fetch
+    * of colliding docs' shingles — per-batch cost independent of corpus
+    * size. Signature parameters come FROM the manifest (never from
+    * caller defaults — a drifted probe would silently miss every
+    * near-dup); a missing manifest fails loudly (incomplete or
+    * pre-manifest build). */
+  def incrementalNearDupsIndexed(batch: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.6,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val (shingleSize, numHashes, bands, _) =
+      readNearDupManifest(spark, indexPath).getOrElse(sys.error(
+        s"no near-dup index manifest at $indexPath (incomplete build? " +
+          "rebuild with writeNearDupIndex)"))
+    val bBase = graft.engine.AutoUnpersist.cache(
+      shingleFrame(batch, idCol, textCol, shingleSize, "__bid")
+        .filter(size(col("sh")) > 0))
+    val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)
+    val cBands0 = spark.read.parquet(s"$indexPath/bands")
+    val cBands = bloomFpp match {
+      case None => cBands0
+      case Some(fpp) =>
+        require(fpp > 0 && fpp < 1, s"bloom fpp must be in (0, 1), got $fpp")
+        val bBuckets = bBands.select(col("bucket"))
+        val n = bBuckets.count()
+        if (n == 0) cBands0.limit(0)
+        else {
+          val bf = bBuckets.coalesce(8).stat.bloomFilter("bucket", n, fpp)
+          val bcast = spark.sparkContext.broadcast(bf)
+          val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
+          cBands0.filter(might(col("bucket")))
+        }
+    }
+    val pairs = bBands.join(cBands, Seq("band", "bucket"))
+      .select(col("__bid"), col("__cid")).distinct()
+    // colliding corpus docs' shingles fetch map-side when the hit set
+    // broadcasts (the count-gated pattern — collisions are dup-volume-
+    // sized by construction)
+    val hitP = pairs.select("__cid").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHits = hitP.count()
+    val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
+    val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
+    val cShingles = spark.read.parquet(s"$indexPath/shingles")
+      .join(hitIds, Seq("__cid"), "left_semi")
+    val cand = pairs.join(cShingles, "__cid")
+    nearDupVerdicts(batch, bBase, cand, idCol, threshold)
   }
 
   /** Drop-variant of [[incrementalNearDups]]: the batch rows safe to
@@ -496,6 +631,20 @@ object Dedup {
       .select(col("source_a"), col("source_b"), col("n_shared"),
         col("n_a"), col("n_b"),
         expr("(n_shared * 10000L) div least(n_a, n_b)").as("overlap_bp"))
+  }
+
+  /** [[incrementalNearDedup]] against a persisted index — drop verdicted
+    * rows, then [[minhashDedup]] within the survivors (the within-batch
+    * pass runs minhashDedup's own documented defaults; the index
+    * manifest governs only the corpus-side verdicts). */
+  def incrementalNearDedupIndexed(batch: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.6,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    val verdicts = incrementalNearDupsIndexed(batch, indexPath, idCol,
+      textCol, threshold, bloomFpp)
+    val novel = batch.join(
+      verdicts.filter(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
+    minhashDedup(novel, idCol, textCol, threshold)
   }
 
   /** The survivor rule shared by the cluster-dedup family ([[minhashDedup]],

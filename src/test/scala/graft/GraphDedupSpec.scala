@@ -821,6 +821,25 @@ class GraphDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
         numHashes = 64, bands = 7))
+
+    // the persisted band index must reproduce the direct verdicts
+    // exactly — build, manifest, probe (plain AND bloom); a missing
+    // manifest (torn build) fails loudly instead of probing nothing
+    def verdictSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toSet
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idxDir)
+    val direct = verdictSet(
+      Dedup.incrementalNearDups(batch, corpus, "doc_id", "text"))
+    assert(verdictSet(Dedup.incrementalNearDupsIndexed(
+      batch, idxDir, "doc_id", "text")) == direct)
+    assert(verdictSet(Dedup.incrementalNearDupsIndexed(
+      batch, idxDir, "doc_id", "text", bloomFpp = Some(0.01))) == direct)
+    val noIdx = intercept[RuntimeException](
+      Dedup.incrementalNearDupsIndexed(batch, s"$idxDir/nope",
+        "doc_id", "text"))
+    assert(noIdx.getMessage.contains("manifest"), noIdx.getMessage)
   }
 
   test("sourceOverlap: distinct-key containment matrix, NULL source group, fingerprint keys") {

@@ -1190,6 +1190,50 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("must name an ann_index dataset"), e.getMessage)
   }
 
+  test("neardup_index sink from YAML persists a probe-able band layout") {
+    import spark.implicits._
+    // corpus of distinct docs + one known text the batch will collide on
+    ((1L to 30L).map(i => (i, s"corpus document number $i about topic ${i % 5}")) :+
+      (99L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$dir/nd_corpus")
+    Seq((1L, "the quick brown fox jumps over the lazy dog"), // corpus dup
+        (2L, "an entirely novel batch document about nothing"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$dir/nd_batch")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  corpus: {path: $dir/nd_corpus, format: parquet}
+         |  batch: {path: $dir/nd_batch, format: parquet}
+         |  nd_idx:
+         |    path: $dir/nd_idx
+         |    format: neardup_index
+         |    options: {id: id, text: text}
+         |recipes:
+         |  build: {input: corpus, steps: [], output: nd_idx}
+         |  probe:
+         |    input: batch
+         |    steps:
+         |      - dedup: {method: incremental_near, id: id, text: text,
+         |                index: nd_idx}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "build")
+    // manifest written last certifies the build; tables are on disk
+    assert(graft.dedup.Dedup.readNearDupManifest(spark, s"$dir/nd_idx")
+      .exists(_._4 == 31L))
+    val kept = RecipeConf.run(spark, conf, "probe")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(kept == Seq(2L), kept.toString) // 1 is a corpus near-dup
+    // wrong-format index dataset is named at compile
+    val bad = RecipeConf.load(
+      s"""datasets:
+         |  batch: {path: $dir/nd_batch, format: parquet}
+         |recipes:
+         |  p: {input: batch, steps: [{dedup: {method: incremental_near,
+         |      id: id, text: text, index: batch}}]}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] { RecipeConf.run(spark, bad, "p") }
+    assert(e.getMessage.contains("must name a neardup_index dataset"), e.getMessage)
+  }
+
   test("cluster step assigns and caps from YAML, codebook or fitted") {
     import spark.implicits._
     // one NULL embedding rides along: the fitted path must not crash on
