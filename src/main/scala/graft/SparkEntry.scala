@@ -1635,7 +1635,12 @@ object SparkEntry {
     // tokenizer inference (round 10): train-then-encode the whole
     // corpus — a pure scan-pass plan whose per-word work runs in the
     // memoized native BpeCodec expression
-    "q102_bpe_encode")
+    "q102_bpe_encode",
+    // incremental near-dup against the persisted band index (round 10)
+    // — the production text-dedup probe path. The index builds on this
+    // JVM's first q107 touch (run 1), so the min of 5 samples is the
+    // steady-state probe, the q60 build/probe discipline.
+    "q107_neardup_index")
 
   // ------------------------------------------------------------- oracles
 

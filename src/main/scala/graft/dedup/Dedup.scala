@@ -549,14 +549,21 @@ object Dedup {
           cBands0.filter(might(col("bucket")))
         }
     }
-    val pairs = bBands.join(cBands, Seq("band", "bucket"))
+    // the pair set feeds BOTH the hit-id derivation and the candidate
+    // join — without a cache the corpus band scan + join runs twice.
+    // persist FIRST, count SECOND, register with AutoUnpersist LAST
+    // (the q68 ordering: the count is itself an action and would
+    // release an already-registered cache before the verdict join)
+    val pairsP = bBands.join(cBands, Seq("band", "bucket"))
       .select(col("__bid"), col("__cid")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // colliding corpus docs' shingles fetch map-side when the hit set
     // broadcasts (the count-gated pattern — collisions are dup-volume-
     // sized by construction)
-    val hitP = pairs.select("__cid").distinct()
+    val hitP = pairsP.select("__cid").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHits = hitP.count()
+    val pairs = graft.engine.AutoUnpersist.cache(pairsP)
     val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
     val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
     val cShingles = spark.read.parquet(s"$indexPath/shingles")
