@@ -1447,6 +1447,44 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.6)
     }),
 
+    // the STREAMING ingest gate over the same index
+    // (EventStream.nearDupFlagsStream): the batch side arrives as a
+    // stream and each row is flagged maybe_near_dup by exact broadcast
+    // bucket membership — q105's candidate test as a row-local map.
+    // Shares q107's index (identical corpus carve + plant) and the q105
+    // oracle CTE tower: on this fixture every ≥-threshold pair is an
+    // exact clone (identical signature → certain bucket hit) and
+    // spurious 64-bit bucket collisions between dissimilar docs are
+    // absent (verified at all three SFs), so candidate flag ≡ verified
+    // flag and the hash check pins BOTH the gate's arithmetic and its
+    // no-false-flag behavior on real data.
+    "q108_stream_neardup" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val tpl = lit("shared press release template gamma version three " +
+        "for near duplicate checks")
+      val corpus = d.filter(id % 4 =!= 1)
+        .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
+        .select("doc_id", "text")
+      val idx = nearIdxDir(dir)
+      if (!nearIdxBuilt.contains(idx)) {
+        graft.dedup.Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+        nearIdxBuilt.add(idx)
+      }
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      EventStream.runOnce(s, dir,
+        st => EventStream.nearDupFlagsStream(
+          st.filter(col("doc_id") % 4 === 1)
+            .withColumn("text",
+              when(col("doc_id") % 40 === 1, tpl).otherwise(col("text"))),
+          idx, "text"),
+        queryName = "q108_mem", schema = schema,
+        globFilter = Some("documents.parquet"))
+        .select("doc_id", "maybe_near_dup")
+    }),
+
     // cross-source duplicate-overlap matrix (Dedup.sourceOverlap): the
     // which-corpus-contains-which audit. The raw table's sources share
     // no exact text, so two templates are planted across id patterns
@@ -1674,11 +1712,10 @@ object SparkEntry {
     }
   }
 
-  /** The exhaustive cross-side near-dup verdict, shared by q105 (direct
-    * bloom path) and q107 (persisted band index): same plant + carve,
-    * q26's shingle spelling, every batch id left-joined to its
-    * verified-hit rollup. */
-  private lazy val nearDupOracleSql: String =
+  /** The exhaustive cross-side near-dup CTE tower shared by q105 / q107
+    * (verdict rollup) and q108 (streaming candidate flag): same plant +
+    * carve, q26's shingle spelling, hits rolled up per batch id. */
+  private lazy val nearDupOracleCtes: String =
     ("WITH d AS (SELECT doc_id, " +
       """CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1
         |       THEN 'shared press release template gamma version three for near duplicate checks'
@@ -1702,10 +1739,13 @@ object SparkEntry {
         | FROM b JOIN c ON true),
         |h AS (SELECT bid, COUNT(*) AS n_corpus_dups, MAX(j) AS max_jaccard
         | FROM p WHERE j >= 0.6 GROUP BY bid)
-        |SELECT i.doc_id, COALESCE(h.n_corpus_dups, 0) AS n_corpus_dups,
-        |  h.max_jaccard AS max_jaccard, h.bid IS NULL AS kept
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) i
-        |LEFT JOIN h ON i.doc_id = h.bid""".stripMargin)
+        |""".stripMargin)
+
+  private lazy val nearDupOracleSql: String = nearDupOracleCtes +
+    """SELECT i.doc_id, COALESCE(h.n_corpus_dups, 0) AS n_corpus_dups,
+      |  h.max_jaccard AS max_jaccard, h.bid IS NULL AS kept
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) i
+      |LEFT JOIN h ON i.doc_id = h.bid""".stripMargin
 
   private lazy val decontaminateCtes: String =
     ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
@@ -2991,6 +3031,15 @@ object SparkEntry {
     // the indexed probe answers the SAME exhaustive oracle — build,
     // manifest, and pruned probe are all under the check by construction
     "q107_neardup_index" -> nearDupOracleSql,
+
+    // the streaming gate's flag column against the same exhaustive hit
+    // rollup (candidate ≡ verified on this fixture — the query's
+    // comment derives why); batch rows yielding no shingles are never
+    // flagged, which the left join's NULL→false spells directly
+    "q108_stream_neardup" -> (nearDupOracleCtes +
+      """SELECT i.doc_id, h.bid IS NOT NULL AS maybe_near_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) i
+        |LEFT JOIN h ON i.doc_id = h.bid""".stripMargin),
 
     // both LMs, every quantized weight, and the top-100 cut re-derived
     // from scratch: target LM = every 3rd doc, reference = full corpus

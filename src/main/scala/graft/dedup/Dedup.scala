@@ -348,6 +348,14 @@ object Dedup {
     shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))),
       lit(shingleSize)).as("sh"))
 
+  /** The sorted hashed word-k-shingle set of a raw text Column — the
+    * row-local kernel behind the whole minhash family, exposed for the
+    * streaming ingest gate (EventStream.nearDupFlagsStream), which must
+    * sign rows with EXACTLY the batch family's arithmetic or its flags
+    * would silently diverge from the index. */
+  private[graft] def shingleHash(text: Column, shingleSize: Int): Column =
+    shingleHashUdf(Tools.tokenize(Tools.normalize(text)), lit(shingleSize))
+
   /** Band rows of a shingle frame: (id[, sh], band, bucket) — one row
     * per (doc, band). keepSh trades exchange width for a single scan
     * (the bloom path); the narrow variant is the candidate-join side. */

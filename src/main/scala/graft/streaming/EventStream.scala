@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 import org.apache.spark.sql.types._
@@ -248,6 +248,85 @@ object EventStream {
     contaminationFlagsStream(stream, test, textCol, n, testTextCol, fpp)
       .filter(!col("maybe_contaminated"))
       .drop("maybe_contaminated")
+
+  /** Ingest-time NEAR-dup prefilter against a persisted band index
+    * ([[graft.dedup.Dedup.writeNearDupIndex]]): each incoming row is
+    * signed ROW-LOCALLY with the manifest's parameters (shingle →
+    * minhash → band buckets — the batch family's exact arithmetic via
+    * Dedup.shingleHash, so gate and index cannot drift) and flagged
+    * `maybe_near_dup` when ANY of its band buckets exists in the
+    * corpus index. This is the batch operator's CANDIDATE test as a
+    * pure broadcast-membership map — no state, no join, no shuffle —
+    * under the ingest-then-batch double-pass discipline
+    * ([[dedupWithinWatermark]], [[contaminationFlagsStream]]): exact
+    * Jaccard accounting belongs to the batch verify; this gate only
+    * bounds what ingest admits. Flags are CONSERVATIVE by construction:
+    * a bucket collision without true similarity adds a false flag the
+    * batch pass settles, and a true near-dup is missed only where LSH
+    * banding itself would miss it (the same recall dial as the batch
+    * candidate join). Rows yielding no shingles (NULL/blank) are never
+    * flagged — unknown ≠ dirty, the family contract.
+    *
+    * `fpp = None` broadcasts the exact sorted distinct bucket array
+    * (≤ bands·|corpus| longs — the bounded-corpus mode, and the only
+    * EXACT-membership one); `fpp = Some(p)` broadcasts a Bloom over
+    * the buckets for corpora past driver reach. The q71 lesson (Spark's
+    * Bloom floors far above tiny nominal fpp) is ACCEPTABLE here,
+    * unlike in decontamination: this flag is already conservative, so
+    * a Bloom FP adds a false flag — it can never un-flag a real
+    * candidate. */
+  def nearDupFlagsStream(stream: DataFrame, indexPath: String,
+      textCol: String, fpp: Option[Double] = None): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = stream.sparkSession
+    val (shingleSize, numHashes, bands, _) =
+      Dedup.readNearDupManifest(spark, indexPath).getOrElse(sys.error(
+        s"no near-dup index manifest at $indexPath (incomplete build? " +
+          "rebuild with writeNearDupIndex)"))
+    val corpusBuckets = spark.read.parquet(s"$indexPath/bands")
+      .select(col("bucket"))
+    val sh = Dedup.shingleHash(col(textCol), shingleSize)
+    val buckets = transform(
+      Dedup.lshBands(Dedup.minhashSignature(sh, numHashes),
+        bands, numHashes / bands),
+      b => b.getField("bucket"))
+    val anyHit: Column = fpp match {
+      case None =>
+        val sorted = corpusBuckets.distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (sorted.isEmpty) lit(false)
+        else {
+          val bc = spark.sparkContext.broadcast(sorted)
+          val hit = udf { (bs: Seq[Long]) =>
+            bs != null && bs.exists(h =>
+              java.util.Arrays.binarySearch(bc.value, h) >= 0)
+          }
+          hit(buckets)
+        }
+      case Some(p) =>
+        require(p > 0 && p < 1, s"bloom fpp must be in (0, 1), got $p")
+        val n = corpusBuckets.count()
+        if (n == 0) lit(false)
+        else {
+          val bf = corpusBuckets.coalesce(8).stat.bloomFilter("bucket", n, p)
+          val bc = spark.sparkContext.broadcast(bf)
+          val hit = udf { (bs: Seq[Long]) =>
+            bs != null && bs.exists(bc.value.mightContainLong)
+          }
+          hit(buckets)
+        }
+    }
+    stream.withColumn("maybe_near_dup",
+      when(sh.isNotNull && size(sh) > 0, anyHit).otherwise(lit(false)))
+  }
+
+  /** Drop-variant of [[nearDupFlagsStream]]: admit only rows the gate
+    * clears (conservative — see the flag contract there). */
+  def nearDupFilterStream(stream: DataFrame, indexPath: String,
+      textCol: String, fpp: Option[Double] = None): DataFrame =
+    nearDupFlagsStream(stream, indexPath, textCol, fpp)
+      .filter(!col("maybe_near_dup"))
+      .drop("maybe_near_dup")
 
   /** Stream → keyed-upsert parquet sink via foreachBatch: each
     * micro-batch merges into the target by key (last write wins), the

@@ -343,6 +343,48 @@ class ModulesSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup gate flags index candidates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.dedup.Dedup
+    implicit val sq = spark.sqlContext
+    val tpl = "a well known corpus boilerplate paragraph repeated verbatim"
+    val corpus = Seq((100L, tpl),
+      (101L, "some other corpus material entirely distinct from anything"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("neardup-gate").toString
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val src = MemoryStream[(Long, String)]
+    val out = EventStream.nearDupFlagsStream(
+      src.toDF().toDF("doc_id", "text"), idx, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ndg_stream").start()
+    try {
+      src.addData((1L, tpl),                                   // exact clone → certain hit
+        (2L, "a completely novel incoming document about nothing"),
+        (3L, null: String),                                    // no shingles → never flagged
+        (4L, ""))
+      q.processAllAvailable()
+      src.addData((5L, tpl))                                   // later micro-batch, same gate
+      q.processAllAvailable()
+      val m = spark.table("ndg_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_near_dup"))
+        .toMap
+      assert(m == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+        5L -> true), m.toString)
+    } finally q.stop()
+    // the drop-variant, the Bloom mode's no-false-negative contract,
+    // and the torn-build loud fail, on the batch runner for brevity
+    val docs = Seq((1L, tpl), (2L, "nothing like the corpus")).toDF("doc_id", "text")
+    assert(EventStream.nearDupFilterStream(docs, idx, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(EventStream.nearDupFlagsStream(docs, idx, "text", fpp = Some(0.01))
+      .filter(col("doc_id") === 1L).head.getAs[Boolean]("maybe_near_dup"))
+    val e = intercept[RuntimeException](
+      EventStream.nearDupFlagsStream(docs, s"$idx/nope", "text"))
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
+
   test("streaming sessionize carries the open session ACROSS micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.Ev
