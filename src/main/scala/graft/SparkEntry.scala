@@ -62,6 +62,40 @@ object SparkEntry {
   private val nearIdxBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The ONE near-dup fixture shared by q105/q107/q108 and their common
+    * oracle (nearDupOracleCtes spells the identical plant + carve): a
+    * batch/corpus carve of `documents` with a template planted across
+    * the boundary. Defined once — a drift between any query's fixture
+    * and the oracle would surface as a confusing multi-query hash
+    * failure. Returns (batch, corpus). */
+  private def nearDupFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val tpl = lit("shared press release template gamma version three " +
+      "for near duplicate checks")
+    val batch = d.filter(id % 4 === 1)
+      .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
+      .select("doc_id", "text")
+    val corpus = d.filter(id % 4 =!= 1)
+      .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
+      .select("doc_id", "text")
+    (batch, corpus)
+  }
+
+  /** Build the shared q107/q108 band index over the fixture corpus on
+    * this JVM's first touch (the ivfBuilt guard contract) and return
+    * its path. */
+  private def ensureNearIdx(s: SparkSession, dir: String): String = {
+    val idx = nearIdxDir(dir)
+    if (!nearIdxBuilt.contains(idx)) {
+      graft.dedup.Dedup.writeNearDupIndex(
+        nearDupFixture(s, dir)._2, "doc_id", "text", idx)
+      nearIdxBuilt.add(idx)
+    }
+    idx
+  }
+
   /** Exact decimal sum reported as double — see determinism note above. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -1405,16 +1439,7 @@ object SparkEntry {
     // band, so candidate recall must be total for the hash to pass —
     // and bloom exactness rides the same check, q53/q68 pattern).
     "q105_incremental_neardup" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val id = col("doc_id")
-      val tpl = lit("shared press release template gamma version three " +
-        "for near duplicate checks")
-      val batch = d.filter(id % 4 === 1)
-        .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
-        .select("doc_id", "text")
-      val corpus = d.filter(id % 4 =!= 1)
-        .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
-        .select("doc_id", "text")
+      val (batch, corpus) = nearDupFixture(s, dir)
       graft.dedup.Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
         threshold = 0.6, bloomFpp = Some(0.01))
     }),
@@ -1428,23 +1453,9 @@ object SparkEntry {
     // → probe round trip must reproduce the exhaustive answer. Build
     // runs on this JVM's first touch (the q60 guard pattern).
     "q107_neardup_index" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val id = col("doc_id")
-      val tpl = lit("shared press release template gamma version three " +
-        "for near duplicate checks")
-      val batch = d.filter(id % 4 === 1)
-        .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
-        .select("doc_id", "text")
-      val corpus = d.filter(id % 4 =!= 1)
-        .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
-        .select("doc_id", "text")
-      val idx = nearIdxDir(dir)
-      if (!nearIdxBuilt.contains(idx)) {
-        graft.dedup.Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
-        nearIdxBuilt.add(idx)
-      }
-      graft.dedup.Dedup.incrementalNearDupsIndexed(batch, idx,
-        "doc_id", "text", threshold = 0.6)
+      val (batch, _) = nearDupFixture(s, dir)
+      graft.dedup.Dedup.incrementalNearDupsIndexed(batch,
+        ensureNearIdx(s, dir), "doc_id", "text", threshold = 0.6)
     }),
 
     // the STREAMING ingest gate over the same index
@@ -1460,20 +1471,12 @@ object SparkEntry {
     // no-false-flag behavior on real data.
     "q108_stream_neardup" -> ((s, dir) => {
       import graft.streaming.EventStream
-      val d = t(s, dir, "documents")
-      val id = col("doc_id")
+      val idx = ensureNearIdx(s, dir)
+      // the stream applies the fixture's BATCH-side plant to the rows
+      // it admits — the same transform nearDupFixture applies statically
       val tpl = lit("shared press release template gamma version three " +
         "for near duplicate checks")
-      val corpus = d.filter(id % 4 =!= 1)
-        .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
-        .select("doc_id", "text")
-      val idx = nearIdxDir(dir)
-      if (!nearIdxBuilt.contains(idx)) {
-        graft.dedup.Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
-        nearIdxBuilt.add(idx)
-      }
-      val path = s"$dir/documents.parquet"
-      val schema = s.read.parquet(path).schema
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
       EventStream.runOnce(s, dir,
         st => EventStream.nearDupFlagsStream(
           st.filter(col("doc_id") % 4 === 1)

@@ -266,11 +266,7 @@ object RecipeConf {
       cVec = ds.options.getOrElse("vec",
         sys.error("ann_index sink needs options.vec (embedding column)")),
       path = ds.path,
-      nlist = {
-        val s = ds.options.getOrElse("nlist", "16")
-        s.toIntOption.getOrElse(sys.error(
-          s"ann_index sink: options.nlist must be an integer, got '$s'"))
-      })
+      nlist = sinkIntOpt(ds, "nlist", 16))
     // persisted near-dup band index (shingles + band tables, manifest
     // last) — the corpus side of incremental near-dup dedup, signed
     // once; same whole-or-nothing contract as ann_index
@@ -611,6 +607,14 @@ object RecipeConf {
       //             ngram|embedding, ...} → candidate pair table
       case "dedup" => df => {
         val id = req("id")
+        // one prefilter contract for the whole incremental family —
+        // parsed once so the two methods cannot silently diverge
+        def prefilterFpp(): Option[Double] = knob("prefilter", "none") match {
+          case "none" => None
+          case "bloom" => Some(knobDouble("fpp", 0.01))
+          case other => sys.error(
+            s"dedup: unknown prefilter '$other' (none | bloom)")
+        }
         // keep: best flips the survivor rule from min-id to
         // max-`score` (ties → min id) for the exact-key methods:
         //   dedup: {method: exact|fingerprint, keep: best, score: col}
@@ -662,12 +666,7 @@ object RecipeConf {
           case "incremental" => graft.dedup.Dedup.incrementalDedup(
             df, namedDataset(), id, req("text"),
             method = knob("key", "exact"),
-            bloomFpp = knob("prefilter", "none") match {
-              case "none" => None
-              case "bloom" => Some(knobDouble("fpp", 0.01))
-              case other => sys.error(
-                s"dedup: unknown prefilter '$other' (none | bloom)")
-            })
+            bloomFpp = prefilterFpp())
           // incremental_near: NEAR-dup (shingle-Jaccard) batch-vs-corpus
           // dedup — drop batch rows with a verified corpus near-dup,
           // then minhash-dedup within the survivors; same prefilter
@@ -679,12 +678,7 @@ object RecipeConf {
           //     → probe a persisted neardup_index dataset instead of
           //       re-signing the corpus (the 100-TB regime, SCALE.md)
           case "incremental_near" =>
-            val nearBloom = knob("prefilter", "none") match {
-              case "none" => None
-              case "bloom" => Some(knobDouble("fpp", 0.01))
-              case other => sys.error(
-                s"dedup: unknown prefilter '$other' (none | bloom)")
-            }
+            val nearBloom = prefilterFpp()
             m.get("index") match {
               case Some(ix) if ix != null =>
                 val name = ix.toString

@@ -297,10 +297,16 @@ object Dedup {
   /** Full near-dup dedup: LSH pairs → connected components → keep min id
     * per cluster — or, with `keepScore`, the max-score row per cluster
     * (ties → min id), the same quality-aware survivor rule as
-    * [[dedupKeepBest]] lifted to NEAR-dup clusters. */
+    * [[dedupKeepBest]] lifted to NEAR-dup clusters. Signature knobs
+    * pass through to [[minhashNearDups]] so callers composing this with
+    * the incremental family can hold ONE similarity criterion. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, keepScore: Option[String] = None): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+      threshold: Double = 0.6, keepScore: Option[String] = None,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol,
+      shingleSize = shingleSize, numHashes = numHashes, bands = bands,
+      threshold = threshold)
     keepScore match {
       case None => keepMinPerCluster(df, idCol, pairs)
       case Some(s) => keepBestPerCluster(df, idCol, pairs, s)
@@ -409,9 +415,15 @@ object Dedup {
     def withBands(base: DataFrame, id: String, keepSh: Boolean) =
       bandFrame(base, id, numHashes, bands, keepSh)
     // batch is the small side by premise: cache it once — it feeds the
-    // band explode, the (bloom path's) filter build, and the verify join
-    val bBase = graft.engine.AutoUnpersist.cache(
-      shingled(batch, "__bid").filter(size(col("sh")) > 0))
+    // band explode, the (bloom path's) filter build, and the verify
+    // join. Registered with AutoUnpersist only at the END (the q68
+    // ordering generalized): the bloom branch's sizing count and filter
+    // build are actions whose plans expose this entry directly
+    // (bBuckets is an unpersisted projection over it), so an early
+    // registration would release the cache there and every later pass
+    // would re-shingle the batch from scratch.
+    val bBase = shingled(batch, "__bid").filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = withBands(bBase, "__bid", keepSh = false)
     // candidate (batch, corpus, corpus-shingles) triples, one per
     // band-colliding pair — the physical strategy differs per path but
@@ -456,7 +468,8 @@ object Dedup {
           bBands.join(cHits, Seq("band", "bucket"))
         }
     }
-    nearDupVerdicts(batch, bBase, cand, idCol, threshold)
+    nearDupVerdicts(batch,
+      graft.engine.AutoUnpersist.cache(bBase), cand, idCol, threshold)
   }
 
   /** Persisted near-dup BAND INDEX — the production regime for
@@ -476,6 +489,14 @@ object Dedup {
       bands: Int = 16): Unit = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
+    // a REBUILD that dies between the table writes must not leave the
+    // PREVIOUS build's manifest certifying the new half-written tables
+    // (worst case: old band count vs new band tables — every probe
+    // silently finds nothing). Retract the certificate first; it is
+    // re-issued only after both tables land.
+    val mf = nearDupManifestFile(path)
+    mf.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(mf, false)
     val base = shingleFrame(corpus, idCol, textCol, shingleSize, "__cid")
       .filter(size(col("sh")) > 0)
     base.write.mode("overwrite").parquet(s"$path/shingles")
@@ -538,9 +559,12 @@ object Dedup {
       readNearDupManifest(spark, indexPath).getOrElse(sys.error(
         s"no near-dup index manifest at $indexPath (incomplete build? " +
           "rebuild with writeNearDupIndex)"))
-    val bBase = graft.engine.AutoUnpersist.cache(
-      shingleFrame(batch, idCol, textCol, shingleSize, "__bid")
-        .filter(size(col("sh")) > 0))
+    // registered with AutoUnpersist at the END, like the direct path:
+    // the bloom branch's count/build actions would release an
+    // already-registered entry (bBuckets is an unpersisted projection)
+    val bBase = shingleFrame(batch, idCol, textCol, shingleSize, "__bid")
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)
     val cBands0 = spark.read.parquet(s"$indexPath/bands")
     val cBands = bloomFpp match {
@@ -577,13 +601,16 @@ object Dedup {
     val cShingles = spark.read.parquet(s"$indexPath/shingles")
       .join(hitIds, Seq("__cid"), "left_semi")
     val cand = pairs.join(cShingles, "__cid")
-    nearDupVerdicts(batch, bBase, cand, idCol, threshold)
+    nearDupVerdicts(batch,
+      graft.engine.AutoUnpersist.cache(bBase), cand, idCol, threshold)
   }
 
   /** Drop-variant of [[incrementalNearDups]]: the batch rows safe to
     * append to the corpus — no verified corpus near-dup, then
     * [[minhashDedup]] WITHIN the survivors (two batch copies of one new
-    * doc must not both survive; corpus rows are never touched). */
+    * doc must not both survive; corpus rows are never touched). The
+    * signature parameters govern BOTH passes — one similarity
+    * criterion, vs-corpus and within-batch alike. */
   def incrementalNearDedup(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.6,
@@ -592,7 +619,8 @@ object Dedup {
       shingleSize, numHashes, bands, threshold, bloomFpp)
     val novel = batch.join(
       verdicts.filter(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
-    minhashDedup(novel, idCol, textCol, threshold)
+    minhashDedup(novel, idCol, textCol, threshold,
+      shingleSize = shingleSize, numHashes = numHashes, bands = bands)
   }
 
   /** Cross-source duplicate-overlap matrix — the "how much of source A
@@ -649,17 +677,22 @@ object Dedup {
   }
 
   /** [[incrementalNearDedup]] against a persisted index — drop verdicted
-    * rows, then [[minhashDedup]] within the survivors (the within-batch
-    * pass runs minhashDedup's own documented defaults; the index
-    * manifest governs only the corpus-side verdicts). */
+    * rows, then [[minhashDedup]] within the survivors with the INDEX
+    * MANIFEST's signature parameters, so the vs-corpus and within-batch
+    * criteria cannot drift. */
   def incrementalNearDedupIndexed(batch: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double = 0.6,
       bloomFpp: Option[Double] = None): DataFrame = {
+    val (shingleSize, numHashes, bands, _) =
+      readNearDupManifest(batch.sparkSession, indexPath).getOrElse(sys.error(
+        s"no near-dup index manifest at $indexPath (incomplete build? " +
+          "rebuild with writeNearDupIndex)"))
     val verdicts = incrementalNearDupsIndexed(batch, indexPath, idCol,
       textCol, threshold, bloomFpp)
     val novel = batch.join(
       verdicts.filter(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
-    minhashDedup(novel, idCol, textCol, threshold)
+    minhashDedup(novel, idCol, textCol, threshold,
+      shingleSize = shingleSize, numHashes = numHashes, bands = bands)
   }
 
   /** The survivor rule shared by the cluster-dedup family ([[minhashDedup]],

@@ -221,6 +221,14 @@ object Ann {
     * which is the property that makes IVF work at 100 TB. */
   def writeIvfIndex(corpus: DataFrame, cId: String, cVec: String,
       path: String, nlist: Int = 16, seed: Long = 42L): Unit = {
+    // a REBUILD dying between the table writes must not leave the
+    // previous build's manifest certifying half-written tables (e.g.
+    // old nlist over new cell dirs) — retract the certificate first,
+    // re-issue only after both tables land (same contract as
+    // Dedup.writeNearDupIndex)
+    val mf0 = manifestFile(path)
+    mf0.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(mf0, false)
     // deterministic quantized-integer k-means (Cluster.fitCentroids's
     // engine-portable contract) — the cell layout is replayable from
     // (data, nlist, seed) alone, so the index build itself sits under

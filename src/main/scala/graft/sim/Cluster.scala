@@ -89,10 +89,12 @@ object Cluster {
     * convergence test: convergence checks compare floats and would
     * fork engines. */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      seed: Long = 42L, iters: Int = 4, scale: Int = 10000): DataFrame = {
+      seed: Long = 42L, iters: Int = 4, scale: Int = 10000,
+      localThreshold: Int = 65536): DataFrame = {
     val spark = df.sparkSession
     spark.createDataFrame(
-        fitCentroidsQ(df, idCol, vecCol, k, seed, iters, scale)
+        fitCentroidsQ(df, idCol, vecCol, k, seed, iters, scale,
+          localThreshold)
           .map { case (cid, qc) => (cid, qc.map(_.toDouble / scale)) })
       .toDF("cid", "cv")
   }
@@ -108,7 +110,13 @@ object Cluster {
     require(k >= 1, s"fitCentroids needs k >= 1, got $k")
     require(iters >= 1, s"fitCentroids needs iters >= 1, got $iters")
     val spark = df.sparkSession
-    val qdf0 = df.filter(col(vecCol).isNotNull)
+    // NULL ids are excluded from the FIT in both regimes: the seeded
+    // init ranks by md5(seed‖id), and a NULL id hashes to NULL — every
+    // NULL-id row would tie at (NULL, NULL) and seed centroids
+    // NONDETERMINISTICALLY, forking the oracle replay. (Rows with NULL
+    // ids can still be ASSIGNED later — clusterAssign never reads the
+    // id.)
+    val qdf0 = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
@@ -116,18 +124,23 @@ object Cluster {
     // sequential, and at the typical codebook-fit scale (a bounded
     // sample) 1 + 2·iters Spark job round-trips are nearly all
     // scheduler/plan latency — measured as q60_ann_ivf_build spending
-    // 3.7 of its 5.8 s inside a 2000-row fit. One limit-collect both
-    // PROBES the size and, when the sample fits, IS the data read: the
-    // driver loop below runs the identical integer arithmetic
-    // (fitLocalQ — equality with the distributed regime is pinned by
-    // GraphDedupSpec), so the oracle replay cannot tell the regimes
-    // apart. Above the threshold (≈ rows·dims·8 B + boxing; lower it
-    // for fat embeddings) the per-iteration Spark jobs run over a
-    // cached quantized frame — the regime for a sample that outgrows
-    // the driver.
-    val probe = qdf0.limit(localThreshold + 1).collect()
-    if (probe.length <= localThreshold)
-      return fitLocalQ(probe.map(r =>
+    // 3.7 of its 5.8 s inside a 2000-row fit. One cheap aggregate
+    // probes rows AND the widest dimension (the bpeTrain count-then-
+    // collect split — never a speculative 65k-row collect whose only
+    // outcome is "too big"); when rows·dims fits the driver budget, the
+    // sample collects once and the loop below runs the identical
+    // integer arithmetic (fitLocalQ — equality with the distributed
+    // regime is pinned by GraphDedupSpec), so the oracle replay cannot
+    // tell the regimes apart. Otherwise the per-iteration Spark jobs
+    // run over a cached quantized frame — the regime for a sample that
+    // outgrows the driver.
+    val st = qdf0.agg(count(lit(1)), max(size(col("__qv")))).head()
+    val n = st.getLong(0)
+    val maxDim = if (st.isNullAt(1)) 0L else st.getInt(1).toLong
+    // 16M quantized longs ≈ 128 MB primitive (a few × boxed during the
+    // one-pass decode) — the declared-small driver budget
+    if (n <= localThreshold && n * math.max(maxDim, 1L) <= 16000000L)
+      return fitLocalQ(qdf0.collect().map(r =>
         (r.getLong(0), r.getSeq[java.lang.Long](1).toIndexedSeq)), k, seed, iters)
     // the quantized frame feeds the init pass PLUS one assignment + one
     // moment aggregation per iteration — without a cache that is

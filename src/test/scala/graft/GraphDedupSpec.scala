@@ -669,6 +669,17 @@ class GraphDedupSpec extends SparkSpec {
     val dist = Cluster.fitCentroidsQ(sample, "id", "v", 4, 42L, 4, 10000,
       localThreshold = 0)
     assert(loc == dist, s"local $loc vs distributed $dist")
+
+    // a NULL id hashes to NULL and would seed init NONDETERMINISTICALLY
+    // — such rows are excluded from the fit in both regimes (they can
+    // still be assigned later; clusterAssign never reads the id)
+    val nullRow = Seq(Tuple1(Seq(9.9f, 9.9f))).toDF("v")
+      .withColumn("id", org.apache.spark.sql.functions.lit(null).cast("long"))
+      .select("id", "v")
+    val withNull = sample.unionByName(nullRow)
+    assert(Cluster.fitCentroidsQ(withNull, "id", "v", 4, 42L, 4, 10000) == loc)
+    assert(Cluster.fitCentroidsQ(withNull, "id", "v", 4, 42L, 4, 10000,
+      localThreshold = 0) == loc)
   }
 
   test("bloom-prefiltered decontamination is exactly the semi-join answer") {
@@ -840,6 +851,19 @@ class GraphDedupSpec extends SparkSpec {
       Dedup.incrementalNearDupsIndexed(batch, s"$idxDir/nope",
         "doc_id", "text"))
     assert(noIdx.getMessage.contains("manifest"), noIdx.getMessage)
+
+    // a failing REBUILD must retract the manifest BEFORE touching the
+    // tables — a surviving old manifest would certify torn state and
+    // probes would silently find nothing instead of failing loudly
+    val boom = org.apache.spark.sql.functions.udf { (s: String) =>
+      sys.error("boom"): String }
+    intercept[Throwable](Dedup.writeNearDupIndex(
+      corpus.withColumn("text", boom(col("text"))), "doc_id", "text", idxDir))
+    assert(Dedup.readNearDupManifest(spark, idxDir).isEmpty,
+      "failed rebuild left a live manifest")
+    val torn = intercept[RuntimeException](
+      Dedup.incrementalNearDupsIndexed(batch, idxDir, "doc_id", "text"))
+    assert(torn.getMessage.contains("manifest"), torn.getMessage)
   }
 
   test("sourceOverlap: distinct-key containment matrix, NULL source group, fingerprint keys") {
