@@ -1547,6 +1547,17 @@ object SparkEntry {
     "q58_vocab" -> ((s, dir) =>
       graft.text.Curation.vocabTopK(t(s, dir, "documents"), "text", k = 50)),
 
+    // tokenizer-vocabulary coverage audit (Curation.vocabCoverage):
+    // per-doc OOV accounting against the corpus's own q58-contract
+    // top-50 vocabulary — broadcast vocab, map-side token flags, one
+    // doc-id exchange. A k this small leaves real OOV mass in every
+    // doc, so both counters and the bp ratio are live.
+    "q109_vocab_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = graft.text.Curation.vocabTopK(d, "text", k = 50)
+      graft.text.Curation.vocabCoverage(d, "doc_id", "text", vocab)
+    }),
+
     // CCNet-style LM quality proxy (Curation.unigramLogProb): every doc
     // scored under the unigram LM of the corpus itself
     "q59_lm_logprob" -> ((s, dir) => {
@@ -3090,6 +3101,25 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS t
         |      FROM documents WHERE <STRIP:text> <> '')
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    // q58's vocabulary rebuilt, then every doc's token stream flagged
+    // against it: counts, OOV, and the integer-bp ratio re-derived; the
+    // outer id spine keeps token-less docs at (0, 0, NULL)
+    "q109_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS t
+        | FROM documents WHERE <STRIP:text> <> ''),
+        |v AS (SELECT t AS token FROM tok
+        | GROUP BY 1 ORDER BY COUNT(*) DESC, token LIMIT 50),
+        |per AS (SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        | FROM tok LEFT JOIN v ON tok.t = v.token GROUP BY 1)
+        |SELECT i.doc_id,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.n_oov, 0) AS n_oov,
+        |  CASE WHEN p.n_tokens > 0 THEN (p.n_oov * 10000) // p.n_tokens END AS oov_bp
+        |FROM (SELECT doc_id FROM documents) i
+        |LEFT JOIN per p ON i.doc_id = p.doc_id""".stripMargin,
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

@@ -477,6 +477,12 @@ object RecipeConf {
       case "overlap" => df =>
         graft.dedup.Dedup.sourceOverlap(df, req("source"), req("text"),
           method = knob("key", "exact"))
+      // tokenizer-vocabulary coverage audit — per-doc OOV accounting
+      // against a vocab dataset (the vocab/bpe artifact):
+      //   oov: {id, text, dataset: vocab[, token: symbol]}
+      case "oov" => df =>
+        graft.text.Curation.vocabCoverage(df, req("id"), req("text"),
+          namedDataset(), symCol = knob("token", "token"))
       // rebalance an under-parallelized input (single-small-file scan)
       // before heavy row-local work; NO-OP on any already-parallel
       // scan: rebalance: {partitions: n} (default = session cores)

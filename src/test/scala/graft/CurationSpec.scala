@@ -407,6 +407,32 @@ class CurationSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ vocab
+  test("vocabCoverage: per-doc OOV accounting, token-less docs NULL, broadcast vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta ALPHA"),   // fully covered (lowercased)
+      (2L, "alpha gamma delta"),  // 2 of 3 OOV → 6666 bp (floor div)
+      (3L, ""),                   // no tokens → (0, 0, NULL)
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val vocab = Seq("alpha", "beta").toDF("token")
+    val out = Curation.vocabCoverage(docs, "doc_id", "text", vocab)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(1L) == ((3L, 0L, Some(0L))))
+    assert(out(2L) == ((3L, 2L, Some(6666L))))
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(4L) == ((0L, 0L, None)))
+    // the vocab must BROADCAST into the token join — the corpus token
+    // stream feeds it straight from the explode, never via a sort-merge
+    // (the vocab's own tiny distinct exchange is fine)
+    val plan = Curation.vocabCoverage(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [__tok"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("vocabTopK counts lowercased tokens with deterministic tie-break") {
     val df = Seq("b a", "a B", "c b a").toDF("text")
     val out = Curation.vocabTopK(df, "text", k = 2).collect()

@@ -1600,6 +1600,9 @@ class RecipeConfSpec extends SparkSpec {
     // embeddings + a benchmark vector equal to row 1's
     Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.9f, 0.1f)))
       .toDF("id", "v").write.mode("overwrite").parquet(s"$dir/r9_vecs")
+    // a two-word vocabulary for the oov step
+    Seq("doc", "number").toDF("token")
+      .write.mode("overwrite").parquet(s"$dir/r9_vocab")
     Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("bv")
       .write.mode("overwrite").parquet(s"$dir/r9_bench")
     val conf = RecipeConf.load(
@@ -1608,6 +1611,7 @@ class RecipeConfSpec extends SparkSpec {
          |  corpus: {path: $dir/r9_corpus, format: parquet}
          |  vecs: {path: $dir/r9_vecs, format: parquet}
          |  bench: {path: $dir/r9_bench, format: parquet}
+         |  vcb: {path: $dir/r9_vocab, format: parquet}
          |recipes:
          |  strat:
          |    input: docs
@@ -1637,6 +1641,10 @@ class RecipeConfSpec extends SparkSpec {
          |    steps:
          |      - eval: {t3: "case when id % 2 = 0 then 'x' else text end"}
          |      - overlap: {source: lang, text: t3}
+         |  oovr:
+         |    input: docs
+         |    steps:
+         |      - oov: {id: id, text: text, dataset: vcb}
          |  best:
          |    input: docs
          |    steps:
@@ -1692,6 +1700,12 @@ class RecipeConfSpec extends SparkSpec {
     val incn = RecipeConf.run(spark, conf, "incnear")
     assert(incn.count() == 99L)
     assert(incn.filter(col("id") === 7L).count() == 0)
+    // oov: every 'doc number N' doc covers doc+number, N is OOV →
+    // uniformly (3 tokens, 1 oov, 3333 bp)
+    val oovr = RecipeConf.run(spark, conf, "oovr").collect()
+    assert(oovr.length == 100)
+    assert(oovr.forall(r => r.getLong(1) == 3L && r.getLong(2) == 1L &&
+      r.getLong(3) == 3333L), oovr.take(3).mkString(";"))
     // overlap: the eval collapses every even id to one shared key, so
     // en/fr share exactly that one; en keys = 1 + 40 odd, fr = 1 + 10
     val ovl = RecipeConf.run(spark, conf, "ovl").collect()
