@@ -435,4 +435,88 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("incrementalNearDups: no false flags, certain clone recall, verdict consistency (batched)") {
+    // 8 generated cases with DISJOINT vocabularies (cross-case Jaccard
+    // is exactly 0, so one union-frame run covers them all); small
+    // shared vocab per case makes natural overlap — including pairs
+    // near the threshold — frequent. One exact corpus clone is planted
+    // into each case's batch: identical shingle sets give identical
+    // signatures, so clone recall is CERTAIN, not probabilistic.
+    val rnd = new scala.util.Random(7)
+    final case class Doc(id: Long, text: String)
+    val cases = (0 until 8).map { k =>
+      val v = (0 until 12).map(i => s"w${k}x$i")
+      def doc(i: Int, base: Long) = Doc(base + i,
+        Seq.fill(4 + rnd.nextInt(7))(v(rnd.nextInt(v.size))).mkString(" "))
+      val corpus = (0 until 20).map(i => doc(i, k * 1000L))
+      val batch = (0 until 8).map(i => doc(i, k * 1000L + 500)) :+
+        Doc(k * 1000L + 599, corpus(rnd.nextInt(corpus.size)).text)
+      (batch, corpus)
+    }
+    val batchDf = cases.flatMap(_._1).map(d => (d.id, d.text)).toDF("doc_id", "text")
+    val corpusDf = cases.flatMap(_._2).map(d => (d.id, d.text)).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batchDf, corpusDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getBoolean(3)))).toMap
+    def shingles(text: String): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (t.isEmpty) Set.empty
+      else if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    // the engine's exact arithmetic: double division rounded to 4dp
+    // HALF_UP (Spark round) before the threshold compare
+    def jac4(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size.toDouble
+      if (a.isEmpty || b.isEmpty) 0.0
+      else BigDecimal(i / (a.size + b.size - i))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((batch, corpus) <- cases; d <- batch) {
+      val ex = corpus.map(c => jac4(shingles(d.text), shingles(c.text)))
+      val exHits = ex.filter(_ >= 0.6)
+      val (n, mx, kept) = out(d.id)
+      assert(kept == (n == 0L), s"doc ${d.id}")
+      // bands only bound the comparison set — never a flag the
+      // exhaustive truth lacks
+      assert(n <= exHits.size, s"doc ${d.id}: engine $n > exhaustive ${exHits.size}")
+      if (n > 0)
+        assert(mx.get >= 0.6 && mx.get <= exHits.max,
+          s"doc ${d.id}: max ${mx.get} vs exhaustive ${exHits.max}")
+      if (ex.contains(1.0)) { // planted (or accidental) exact clone
+        assert(n >= 1L, s"doc ${d.id}: clone missed")
+        assert(mx.get == 1.0, s"doc ${d.id}: clone max ${mx.get}")
+      }
+    }
+  }
+
+  test("sourceOverlap equals brute force on generated frames (batched)") {
+    // 10 cases union into one frame (case-tagged sources and texts keep
+    // them disjoint); JVM brute force recomputes the whole matrix
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 10).flatMap { k =>
+      val texts = (0 until 6).map(i => s"t${k}x$i")
+      (0 until 40).map { _ =>
+        (s"c${k}s${rnd.nextInt(4)}", texts(rnd.nextInt(texts.size))) }
+    }
+    val out = Dedup.sourceOverlap(rows.toDF("source", "text"), "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val keys = rows.distinct // distinct (source, text); md5 is injective here
+    val tot = keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, ss) <- keys.groupBy(_._2); a <- ss.map(_._1); b <- ss.map(_._1)
+         if a < b)
+      pairCnt((a, b)) = pairCnt.getOrElse((a, b), 0L) + 1L
+    assert(out.keySet == pairCnt.keySet,
+      s"pair sets differ: extra=${out.keySet -- pairCnt.keySet} " +
+        s"missing=${pairCnt.keySet -- out.keySet}")
+    for (((a, b), n) <- pairCnt) {
+      val (ns, na, nb, bp) = out((a, b))
+      assert(ns == n && na == tot(a) && nb == tot(b), s"($a,$b)")
+      assert(bp == n * 10000L / math.min(na, nb), s"($a,$b) bp $bp")
+    }
+  }
 }
