@@ -285,7 +285,10 @@ object EventStream {
           "rebuild with writeNearDupIndex)"))
     val corpusBuckets = spark.read.parquet(s"$indexPath/bands")
       .select(col("bucket"))
-    val sh = Dedup.shingleHash(col(textCol), shingleSize)
+    // the shingle UDF is the row's expensive part — materialize it ONCE
+    // per row (a shared Column expression would re-run it under the
+    // guard, the size check, and the signature)
+    val sh = col("__gate_sh")
     val buckets = transform(
       Dedup.lshBands(Dedup.minhashSignature(sh, numHashes),
         bands, numHashes / bands),
@@ -316,8 +319,11 @@ object EventStream {
           hit(buckets)
         }
     }
-    stream.withColumn("maybe_near_dup",
-      when(sh.isNotNull && size(sh) > 0, anyHit).otherwise(lit(false)))
+    stream
+      .withColumn("__gate_sh", Dedup.shingleHash(col(textCol), shingleSize))
+      .withColumn("maybe_near_dup",
+        when(sh.isNotNull && size(sh) > 0, anyHit).otherwise(lit(false)))
+      .drop("__gate_sh")
   }
 
   /** Drop-variant of [[nearDupFlagsStream]]: admit only rows the gate
