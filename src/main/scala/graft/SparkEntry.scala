@@ -83,6 +83,22 @@ object SparkEntry {
     (batch, corpus)
   }
 
+  /** The q110/q111 classifier fixture: the raw synthetic docs carry NO
+    * linearly-learnable label (one 31-token bag in every language), so
+    * the class is PLANTED — disjoint marker tokens by id pattern, with
+    * a deterministic ~6% label flip (id % 17) so the classes are
+    * noisy-separable and every perceptron epoch has a live
+    * misclassified batch. The oracle's `d` CTE replays this transform
+    * verbatim. */
+  private def classifierFixture(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val base = when(id % 2 === 0, 1L).otherwise(-1L)
+    d.withColumn("text", concat(col("text"),
+        when(id % 2 === 0, lit(" crisp curated prose"))
+          .otherwise(lit(" noisy boiler plate"))))
+      .withColumn("y", when(id % 17 === 0, -base).otherwise(base))
+  }
+
   /** Build the shared q107/q108 band index over the fixture corpus on
     * this JVM's first touch (the ivfBuilt guard contract) and return
     * its path. */
@@ -1558,6 +1574,40 @@ object SparkEntry {
       graft.text.Curation.vocabCoverage(d, "doc_id", "text", vocab)
     }),
 
+    // fastText-style linear classifier TRAINING
+    // (LinearClassifier.trainTextClassifier): batch perceptron over
+    // 256 hashed set-of-words buckets, 3 fixed epochs, all-integer
+    // arithmetic — the weight table is the model artifact. The raw
+    // synthetic docs are a uniform bag of the SAME 31 tokens in every
+    // language (no honest label is linearly learnable), so the fixture
+    // plants one: disjoint class-marker tokens appended by id pattern
+    // (the q57 injection discipline) plus a ~6% deterministic label
+    // flip (id % 17) — noisy-separable by construction. The fit finds
+    // the planted separator (measured: epoch-1 all-docs update, then
+    // the mis batch = exactly the 30 flipped rows, every later epoch —
+    // live but stable), so the margin→mis→delta tower is exercised end
+    // to end AND the model is demonstrably non-degenerate.
+    "q110_classifier_fit" -> ((s, dir) => {
+      graft.ml.LinearClassifier.trainTextClassifier(
+        classifierFixture(t(s, dir, "documents")), "doc_id", "text", "y",
+        buckets = 256, epochs = 3, binary = true).orderBy("feat")
+    }),
+
+    // ... and SCORING: the same fit applied back over the corpus — one
+    // broadcast weight join + one doc-id exchange, margin and ±1
+    // verdict per doc (the shape that scores 100 TB: no iteration,
+    // no driver). On this fixture the fit recovers the planted class
+    // on every row (flipped labels score as their PLANTED class — the
+    // model shrugs off the 6% noise) — pinned by the hash on every
+    // margin.
+    "q111_classifier_score" -> ((s, dir) => {
+      val d = classifierFixture(t(s, dir, "documents"))
+      val w = graft.ml.LinearClassifier.trainTextClassifier(d, "doc_id",
+        "text", "y", buckets = 256, epochs = 3, binary = true)
+      graft.ml.LinearClassifier.scoreTextClassifier(d, "doc_id", "text", w,
+        buckets = 256, binary = true).select("doc_id", "margin", "pred")
+    }),
+
     // CCNet-style LM quality proxy (Curation.unigramLogProb): every doc
     // scored under the unigram LM of the corpus itself
     "q59_lm_logprob" -> ((s, dir) => {
@@ -1898,6 +1948,52 @@ object SparkEntry {
          |  WHERE cid NOT IN (SELECT cid FROM s$r))""".stripMargin
     }.mkString(",\n")
     init + ",\n" + rounds
+  }
+
+  /** Shared by q110 (classifier fit) and q111 (classifier scoring): the
+    * batch-perceptron epochs unrolled as CTE blocks (the q97/q74
+    * pattern). `d` is the fit corpus with its planted noisy label; `f`
+    * the hashed PRESENCE triples (binary = true — x is 1 per distinct
+    * bucket) plus one bias triple (feat −1) per doc — exactly
+    * LinearClassifier.textFeatures' contract; `w1` the epoch-1
+    * update (all-zero weights leave every doc misclassified, so epoch 1
+    * is the full class-difference sum); each later round r: margins
+    * m$r, misclassified set mis$r (zero margin counts as wrong), update
+    * batch dl$r, and the full-outer weight merge w$r. All arithmetic is
+    * 64-bit-integer exact, so w$epochs matches the engine's weight
+    * table bit for bit. */
+  private def perceptronOracleCtes(buckets: Int, epochs: Int): String = {
+    val head =
+      s"""WITH d AS (SELECT doc_id AS id,
+         |   CASE WHEN doc_id % 17 = 0 THEN -yb ELSE yb END AS y, text
+         |  FROM (SELECT doc_id,
+         |     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS yb,
+         |     text || CASE WHEN doc_id % 2 = 0 THEN ' crisp curated prose'
+         |                  ELSE ' noisy boiler plate' END AS text
+         |    FROM documents)
+         |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         |tok AS (SELECT id,
+         |   unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS t
+         |  FROM d WHERE <STRIP:text> <> ''),
+         |f AS (SELECT id,
+         |   ('0x' || substr(md5(t), 1, 15))::BIGINT % $buckets AS feat,
+         |   1::BIGINT AS x FROM tok GROUP BY 1, 2
+         |  UNION ALL SELECT id, -1::BIGINT, 1::BIGINT FROM d),
+         |w1 AS (SELECT f.feat, SUM(d.y * f.x) AS w
+         |  FROM f JOIN d USING (id) GROUP BY 1)""".stripMargin
+    val rounds = (2 to epochs).map { r =>
+      s"""m$r AS (SELECT d.id, d.y, COALESCE(SUM(f.x * w.w), 0) AS margin
+         |  FROM d LEFT JOIN f ON f.id = d.id
+         |  LEFT JOIN w${r - 1} w ON w.feat = f.feat
+         |  GROUP BY d.id, d.y),
+         |mis$r AS (SELECT id, y FROM m$r WHERE y * margin <= 0),
+         |dl$r AS (SELECT f.feat, SUM(m.y * f.x) AS dw
+         |  FROM f JOIN mis$r m USING (id) GROUP BY 1),
+         |w$r AS (SELECT COALESCE(w.feat, u.feat) AS feat,
+         |   COALESCE(w.w, 0) + COALESCE(u.dw, 0) AS w
+         |  FROM w${r - 1} w FULL OUTER JOIN dl$r u ON w.feat = u.feat)""".stripMargin
+    }.mkString(",\n")
+    if (epochs >= 2) head + ",\n" + rounds else head
   }
 
   private val oracleSqlRaw: Map[String, String] = Map(
@@ -3120,6 +3216,22 @@ object SparkEntry {
         |  CASE WHEN p.n_tokens > 0 THEN (p.n_oov * 10000) // p.n_tokens END AS oov_bp
         |FROM (SELECT doc_id FROM documents) i
         |LEFT JOIN per p ON i.doc_id = p.doc_id""".stripMargin,
+
+    // the perceptron epochs replayed (3 rounds, 256 buckets); the cast
+    // back from HUGEINT is the playbook rule for integer aggregates
+    "q110_classifier_fit" -> (perceptronOracleCtes(256, 3) +
+      "\nSELECT feat, CAST(w AS BIGINT) AS w FROM w3 ORDER BY feat"),
+
+    // the same tower, then every doc's margin under the final weights;
+    // docs outside the fit corpus (NULL text/id) keep NULL margin+pred
+    "q111_classifier_score" -> (perceptronOracleCtes(256, 3) +
+      """,
+        |mf AS (SELECT f.id, SUM(f.x * w.w) AS margin
+        |  FROM f JOIN w3 w ON w.feat = f.feat GROUP BY 1)
+        |SELECT doc.doc_id, CAST(mf.margin AS BIGINT) AS margin,
+        |  CASE WHEN mf.margin > 0 THEN 1
+        |       WHEN mf.margin IS NOT NULL THEN -1 END AS pred
+        |FROM documents doc LEFT JOIN mf ON mf.id = doc.doc_id""".stripMargin),
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

@@ -483,6 +483,28 @@ object RecipeConf {
       case "oov" => df =>
         graft.text.Curation.vocabCoverage(df, req("id"), req("text"),
           namedDataset(), symCol = knob("token", "token"))
+      // fastText-style linear classifier (batch perceptron, integer
+      // weights). Two shapes, disambiguated by which key is present:
+      //   classify: {id, text, label: ycol[, buckets, epochs, binary]}
+      //     → the (feat, w) weight-table artifact (persist it);
+      //   classify: {id, text, dataset: weights[, buckets, binary]}
+      //     → df + (margin, pred). buckets/binary are PART OF the
+      //       model — score with the training values.
+      case "classify" => df => {
+        val hasLabel = m.contains("label")
+        val hasWeights = m.contains("dataset")
+        require(hasLabel != hasWeights,
+          "classify: exactly one of label (fit) or dataset (score) required")
+        val buckets = knobInt("buckets", 4096)
+        val binary = knobBool("binary", false)
+        if (hasLabel)
+          graft.ml.LinearClassifier.trainTextClassifier(df, req("id"),
+            req("text"), req("label"), buckets,
+            epochs = knobInt("epochs", 3), binary = binary)
+        else
+          graft.ml.LinearClassifier.scoreTextClassifier(df, req("id"),
+            req("text"), namedDataset(), buckets, binary = binary)
+      }
       // rebalance an under-parallelized input (single-small-file scan)
       // before heavy row-local work; NO-OP on any already-parallel
       // scan: rebalance: {partitions: n} (default = session cores)

@@ -1,0 +1,286 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear classification over sparse integer features — the
+  * fastText-style quality/language gate of large-scale curation
+  * pipelines (CCNet's fastText language filter, the "quality
+  * classifier" stage of GPT-3/LLaMA-style web filtering — both are
+  * linear models over hashed bag-of-words features; Joulin et al. 2016,
+  * arXiv:1607.01759 establish that linear + feature hashing is the
+  * right operating point at corpus scale).
+  *
+  * The trainer is a BATCH perceptron run entirely in 64-bit integer
+  * arithmetic: features are token COUNTS (or quantized vector
+  * components), weights are integer sums of per-epoch update batches,
+  * and the update rule per epoch is
+  *
+  *   margin_i = Σ_f w_f · x_{i,f}          (exact long arithmetic)
+  *   mis      = { i : y_i · margin_i ≤ 0 }  (classic perceptron rule —
+  *                                           a zero margin counts as
+  *                                           wrong, so epoch 1 over
+  *                                           all-zero weights updates
+  *                                           on EVERY doc)
+  *   w_f     += Σ_{i ∈ mis} y_i · x_{i,f}
+  *
+  * Batch (not online) updates make the fit a pure function of the SET
+  * of training rows: no row-order dependence, so the result is
+  * identical across partitionings, retries, and engines — the same
+  * determinism contract as the quantized-integer k-means
+  * ([[graft.sim.Cluster.fitCentroids]]) and BPE training, and like
+  * those the fixed epochs unroll as CTE blocks in an external SQL
+  * oracle. The bias rides as feature [[biasFeat]] (= −1, below any
+  * hash bucket and any vector dimension), so no term in the
+  * arithmetic is special-cased.
+  *
+  * Scale shape (the 100-TB story): the weight vector is bounded by the
+  * feature-hash bucket count (or the embedding dimension) — a
+  * declared-small artifact that BROADCASTS; per epoch the cached
+  * feature triples are scanned once through two map-side-combinable
+  * aggregations (one doc-id exchange for margins, one feat exchange
+  * for the update batch) plus one ≤-buckets-row collect. Epochs are a
+  * FIXED budget, not a convergence test (float convergence checks fork
+  * engines; a fixed budget replays). Like the k-means fit, a
+  * sample-sized training set (the normal case — labeled data is the
+  * scarce side) takes the driver-side regime: one collect, identical
+  * integer arithmetic, zero per-epoch scheduler latency; regime
+  * equality is spec-pinned. SCORING the full corpus is one
+  * broadcast-join + doc-id aggregation — no iteration, no driver. */
+object LinearClassifier {
+
+  /** The bias term's feature id: −1 sits below every md5 hash bucket
+    * (nonnegative) and every vector dimension (0-based), so it can
+    * never collide with a real feature. */
+  val biasFeat: Long = -1L
+
+  // ------------------------------------------------------------ features
+  /** Hashed bag-of-words triples (id, feat, x): tokens of the (by
+    * default lowercased) text — [[graft.functions.Tools.tokenize]], the
+    * vocabTopK spelling — hashed by the engine-portable 60-bit md5 into
+    * `buckets` feature ids, counted per doc; plus one bias triple
+    * (id, −1, 1) per non-NULL-text doc. NULL-text and NULL-id rows are
+    * excluded (they can still be SCORED — [[scorePerceptron]] surfaces
+    * them as NULL margin, unknown ≠ verdict). Blank/token-less docs
+    * keep their bias triple: "no tokens" is evidence, not absence.
+    *
+    * `binary = true` switches to PRESENCE features (x = 1 per distinct
+    * bucket — the set-of-words variant): raw counts make full-batch
+    * perceptron updates overshoot when a few hot shared tokens carry
+    * counts in the tens per doc (each misclassified doc pushes a hot
+    * weight by its whole count, and the batch sums those — measured on
+    * the driver fixture: count features oscillate at ~50–67% while
+    * presence features converge to the planted separator in 2
+    * epochs). The flag is part of the MODEL — scoring must use the
+    * same value. */
+  def textFeatures(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, lowercase: Boolean = true,
+      binary: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"textFeatures: buckets must be >= 2, got $buckets")
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val base = df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Tools.tokenize(c).as("__toks"))
+    val hashed = base
+      .select(col("id"), explode(col("__toks")).as("__tok"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("feat"))
+      .groupBy("id", "feat")
+      .agg((if (binary) least(count(lit(1)), lit(1L)) else count(lit(1))).as("x"))
+    hashed.unionByName(base.select(col("id"),
+      lit(biasFeat).as("feat"), lit(1L).as("x")))
+  }
+
+  /** Quantized dense-vector triples (id, feat, x): feature ids are the
+    * vector positions, values `floor(v·scale)` longs (the q70 distance
+    * quantization — integer-exact on both engines); plus the bias
+    * triple. NULL vectors / NULL ids are excluded; NULL ELEMENTS sit
+    * out (their dimension contributes nothing for that row), mirroring
+    * clusterAssign's zip_with padding semantics. */
+  def vectorFeatures(df: DataFrame, idCol: String, vecCol: String,
+      scale: Int = 10000): DataFrame = {
+    require(scale >= 1, s"vectorFeatures: scale must be >= 1, got $scale")
+    val base = df
+      .filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
+    val dims = base
+      .select(col("id"), posexplode(col("__qv")).as(Seq("__pos", "__q")))
+      .filter(col("__q").isNotNull)
+      .select(col("id"), col("__pos").cast("long").as("feat"),
+        col("__q").as("x"))
+    dims.unionByName(base.select(col("id"),
+      lit(biasFeat).as("feat"), lit(1L).as("x")))
+  }
+
+  // ----------------------------------------------------------------- fit
+  /** Batch-perceptron fit over prepared triples. `feats` carries
+    * (id, feat, x) — [[textFeatures]] / [[vectorFeatures]] output or any
+    * custom integer featurization; `docs` carries (id, y) with y
+    * EXACTLY ±1 (anything else fails loudly — a 0/1 label silently
+    * breaks the sign arithmetic) and UNIQUE non-NULL ids (a duplicated
+    * id would double-count its updates, and replay engines would fork
+    * on which copy "wins" — fail loudly instead). Returns the weight
+    * table (feat, w): every feature of every fit doc appears (epoch 1
+    * touches all of them), including zero-crossing weights — the exact
+    * table an unrolled SQL replay produces.
+    *
+    * Regimes (the bpeTrain / fitCentroids split): triples counts at or
+    * under `localThreshold` collect once and run the identical
+    * arithmetic driver-side (sequential epochs over a sample-sized
+    * labeled set are scheduler latency, not compute — the q60-build
+    * lesson); larger fits iterate over the cached frames with a
+    * broadcast weight table, one doc-id + one feat exchange per epoch.
+    * Regime equality is pinned by LinearClassifierSpec. */
+  def fitPerceptron(feats: DataFrame, docs: DataFrame, epochs: Int = 3,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    require(epochs >= 1, s"fitPerceptron: epochs must be >= 1, got $epochs")
+    val spark = feats.sparkSession
+    val fc0 = feats.select(col("id").cast("long").as("id"),
+      col("feat").cast("long").as("feat"), col("x").cast("long").as("x"))
+    val dc0 = docs.filter(col("id").isNotNull)
+      .select(col("id").cast("long").as("id"), col("y").cast("long").as("y"))
+    // explicit persist, NOT AutoUnpersist: the probe agg below is an
+    // action and would release an auto-scoped cache before the epoch
+    // loop reads it (the fitCentroids ordering lesson)
+    val fc = fc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dc = dc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = dc.agg(count(lit(1)), countDistinct(col("id")),
+        sum(when(col("y").isNull || abs(col("y")) =!= 1, 1L).otherwise(0L))).head()
+      val nDocs = st.getLong(0)
+      require(nDocs > 0, "fitPerceptron: no rows to fit")
+      require(st.getLong(1) == nDocs,
+        s"fitPerceptron: ids must be unique (${nDocs - st.getLong(1)} duplicated)")
+      require(st.getLong(2) == 0,
+        s"fitPerceptron: labels must be exactly +1/-1 (${st.getLong(2)} rows are not)")
+      val nTriples = fc.count()
+      val w: Map[Long, Long] =
+        if (nTriples <= localThreshold)
+          fitLocal(fc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+            dc.collect().map(r => (r.getLong(0), r.getLong(1))), epochs)
+        else fitDistributed(fc, dc, epochs)
+      spark.createDataFrame(w.toSeq).toDF("feat", "w")
+    } finally { fc.unpersist(false); dc.unpersist(false) }
+  }
+
+  /** One Spark job per epoch: margins (doc-id exchange) → misclassified
+    * set → per-feature update batch (feat exchange) → ≤-features-row
+    * collect. The weight table broadcasts every epoch. */
+  private def fitDistributed(fc: DataFrame, dc: DataFrame,
+      epochs: Int): Map[Long, Long] = {
+    val spark = fc.sparkSession
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to epochs) {
+      val wDf = spark.createDataFrame(w.toSeq).toDF("feat", "w")
+      // epoch 1: w is empty → the inner join is empty → every doc's
+      // left-joined margin coalesces to 0 → y·0 ≤ 0 → all docs update,
+      // exactly the local loop's (and the SQL replay's) behavior
+      val margins = fc.join(broadcast(wDf), Seq("feat"))
+        .groupBy("id").agg(sum(col("x") * col("w")).as("__m"))
+      val mis = dc.join(margins, Seq("id"), "left")
+        .filter(col("y") * coalesce(col("__m"), lit(0L)) <= 0)
+        .select("id", "y")
+      val deltas = fc.join(mis, Seq("id"))
+        .groupBy("feat").agg(sum(col("y") * col("x")).as("dw"))
+        .collect()
+      w = deltas.foldLeft(w) { case (acc, r) =>
+        val f = r.getLong(0)
+        acc.updated(f, acc.getOrElse(f, 0L) + r.getLong(1))
+      }
+    }
+    w
+  }
+
+  /** Driver-regime epochs over collected triples — the SAME integer
+    * arithmetic as [[fitDistributed]] statement for statement; batch
+    * semantics (deltas applied after the full pass) make row order
+    * irrelevant, so the two regimes agree bit for bit. */
+  private def fitLocal(triples: Array[(Long, Long, Long)],
+      docs: Array[(Long, Long)], epochs: Int): Map[Long, Long] = {
+    val byDoc = triples.groupBy(_._1)
+    val w = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (_ <- 1 to epochs) {
+      val deltas = scala.collection.mutable.HashMap.empty[Long, Long]
+      docs.foreach { case (id, y) =>
+        val fs = byDoc.getOrElse(id, Array.empty[(Long, Long, Long)])
+        var margin = 0L
+        fs.foreach { case (_, f, x) => margin += x * w.getOrElse(f, 0L) }
+        if (y * margin <= 0)
+          fs.foreach { case (_, f, x) =>
+            deltas.update(f, deltas.getOrElse(f, 0L) + y * x)
+          }
+      }
+      deltas.foreach { case (f, d) => w.update(f, w.getOrElse(f, 0L) + d) }
+    }
+    w.toMap
+  }
+
+  // --------------------------------------------------------------- score
+  /** Attach (margin, pred) to `df` from a fitted weight table: margin =
+    * Σ w_f·x_f over the row's triples (exact long), pred = +1 iff
+    * margin > 0 else −1 (the fit treats 0 as the negative side, scoring
+    * agrees). Rows with no triples — NULL text / NULL id — surface NULL
+    * margin and NULL pred, never a guessed class. The weight table
+    * broadcasts; the only exchange is the doc-id margin aggregation. */
+  def scorePerceptron(df: DataFrame, idCol: String, feats: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val w = broadcast(weights.select(col("feat").cast("long").as("feat"),
+      col("w").cast("long").as("w")))
+    val margins = feats
+      .join(w, Seq("feat"))
+      .groupBy("id").agg(sum(col("x") * col("w")).as("margin"))
+    df.join(margins, df(idCol).cast("long") === margins("id"), "left")
+      // drop by REFERENCE: the caller's own id column may be named "id"
+      // too, and a by-name drop would take both
+      .drop(margins("id"))
+      .withColumn("pred",
+        when(col("margin") > 0, 1).when(col("margin").isNotNull, -1))
+  }
+
+  // ---------------------------------------------------------- front doors
+  /** Train a text classifier: hashed-bag-of-words features + batch
+    * perceptron. `labelCol` must hold exactly ±1. */
+  def trainTextClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 4096, epochs: Int = 3,
+      lowercase: Boolean = true, binary: Boolean = false,
+      localThreshold: Long = 1L << 20): DataFrame =
+    fitPerceptron(
+      textFeatures(df, idCol, textCol, buckets, lowercase, binary),
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), col(labelCol).as("y")),
+      epochs, localThreshold)
+
+  /** Score every row of `df` under a [[trainTextClassifier]] weight
+    * table. `buckets`/`lowercase`/`binary` MUST match the training
+    * call — the hash space and feature form are part of the model
+    * (persist them next to the weights; the YAML step carries them
+    * together). */
+  def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 4096,
+      lowercase: Boolean = true, binary: Boolean = false): DataFrame =
+    scorePerceptron(df, idCol,
+      textFeatures(df, idCol, textCol, buckets, lowercase, binary), weights)
+
+  /** Train on dense vectors (e.g. the embeddings table): quantized
+    * components as features. `labelCol` must hold exactly ±1. */
+  def trainVectorClassifier(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, scale: Int = 10000, epochs: Int = 3,
+      localThreshold: Long = 1L << 20): DataFrame =
+    fitPerceptron(
+      vectorFeatures(df, idCol, vecCol, scale),
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(labelCol).as("y")),
+      epochs, localThreshold)
+
+  /** Score dense vectors under a [[trainVectorClassifier]] weight table
+    * (same `scale` as training — the quantization is part of the
+    * model). */
+  def scoreVectorClassifier(df: DataFrame, idCol: String, vecCol: String,
+      weights: DataFrame, scale: Int = 10000): DataFrame =
+    scorePerceptron(df, idCol, vectorFeatures(df, idCol, vecCol, scale),
+      weights)
+}

@@ -1884,4 +1884,55 @@ class RecipeConfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not supported"))
   }
+
+  test("round-10 classify step: fit → persisted weights → score round trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    (1L to 40L).toDF("id")
+      .withColumn("text", when(col("id") % 2 === 0,
+          concat(lit("good solid prose item "), col("id").cast("string")))
+        .otherwise(concat(lit("bad spam junk item "), col("id").cast("string"))))
+      .withColumn("y", when(col("id") % 2 === 0, 1L).otherwise(-1L))
+      .write.mode("overwrite").parquet(s"$dir/cls_docs")
+    val fitConf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/cls_docs, format: parquet}
+         |recipes:
+         |  fitw:
+         |    input: docs
+         |    steps:
+         |      - classify: {id: id, text: text, label: y, buckets: 64,
+         |                   epochs: 3, binary: true}
+         |""".stripMargin)
+    val w = RecipeConf.run(spark, fitConf, "fitw")
+    assert(w.columns.toSeq == Seq("feat", "w"))
+    w.write.mode("overwrite").parquet(s"$dir/cls_w")
+    val scoreConf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/cls_docs, format: parquet}
+         |  weights: {path: $dir/cls_w, format: parquet}
+         |recipes:
+         |  sc:
+         |    input: docs
+         |    steps:
+         |      - classify: {id: id, text: text, dataset: weights,
+         |                   buckets: 64, binary: true}
+         |""".stripMargin)
+    val scored = RecipeConf.run(spark, scoreConf, "sc")
+    assert(scored.filter(col("pred") =!= col("y").cast("int")).count() == 0,
+      "disjoint class vocabularies must separate through the YAML round trip")
+    // both label and dataset — ambiguous — must fail loudly
+    val both = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/cls_docs, format: parquet}
+         |  weights: {path: $dir/cls_w, format: parquet}
+         |recipes:
+         |  bad:
+         |    input: docs
+         |    steps:
+         |      - classify: {id: id, text: text, label: y, dataset: weights}
+         |""".stripMargin)
+    val err = intercept[Exception] { RecipeConf.run(spark, both, "bad") }
+    assert(err.getMessage.contains("classify"), err.getMessage)
+  }
 }
