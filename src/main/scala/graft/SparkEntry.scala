@@ -389,6 +389,26 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockCol = "source", n = 3, threshold = 0.8)),
 
+    // n-gram CONTAINMENT pairs (Dedup.containmentPairs): the subset-
+    // duplication detector — |A∩B| / min set size in exact basis
+    // points. The plant: a long template (id % 50 = 0) and its literal
+    // PREFIX (id % 50 = 7), so every same-source (prefix, template)
+    // pair sits at containment 10⁴ while its Jaccard is only ~0.4 —
+    // exactly the asymmetric class q24's metric structurally misses.
+    // Threshold 9000 keeps ~70 natural high-overlap pairs live too
+    // (measured at sf0.01), so the verify path is exercised beyond the
+    // planted exact-subset rows.
+    "q112_containment_pairs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val doc = t(s, dir, "documents").withColumn("text",
+        when(id % 50 === 0, lit("alpha beta gamma delta epsilon zeta eta " +
+          "theta iota kappa lambda mu nu xi omicron pi"))
+          .when(id % 50 === 7, lit("alpha beta gamma delta epsilon zeta"))
+          .otherwise(col("text")))
+      Dedup.containmentPairs(doc, "doc_id", "text", blockCol = "source",
+        n = 3, thresholdBp = 9000L)
+    }),
+
     // brute-force cosine top-k ANN (Ann.bruteForceTopK)
     "q25_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2209,6 +2229,28 @@ object SparkEntry {
           |    / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
           | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
           |WHERE jaccard >= 0.8""".stripMargin),
+
+    // the exhaustive containment replay over the SAME planted carve:
+    // every same-source pair's |A∩B|·10⁴ div min(|A|,|B|) in the same
+    // long arithmetic (len products never reach HUGEINT — no SUM)
+    "q112_containment_pairs" ->
+      ("WITH raw AS (SELECT doc_id, source, " +
+        """CASE WHEN doc_id % 50 = 0
+          |  THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi'
+          |  WHEN doc_id % 50 = 7 THEN 'alpha beta gamma delta epsilon zeta'
+          |  ELSE text END AS text FROM documents),
+          |""".stripMargin +
+        "n AS (SELECT doc_id, source, " + normSql.format("text") + " AS s FROM raw), " +
+        """g AS (
+          | SELECT doc_id, source, list_distinct(list_transform(
+          |   generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS grams
+          | FROM n WHERE length(s) >= 3)
+          |SELECT id_a, id_b, containment_bp FROM (
+          | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  (len(list_intersect(a.grams, b.grams)) * 10000)
+          |    // least(len(a.grams), len(b.grams)) AS containment_bp
+          | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+          |WHERE containment_bp >= 9000""".stripMargin),
 
     "q25_ann_topk" -> annTopKOracleSql,
 

@@ -908,4 +908,107 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
     out
   }
+
+  // ------------------------------------------------- containment pairs
+  /** Near-SUBSET duplication within a blocking key: pairs whose n-gram
+    * CONTAINMENT |A∩B| / min(|A|,|B|) clears `thresholdBp` basis
+    * points. This is the asymmetric-duplication detector Jaccard
+    * structurally misses: a short doc quoted whole inside a long one
+    * (syndicated article + commentary, a chunk re-packed into a larger
+    * shard, quoted boilerplate) has containment 1.0 but Jaccard only
+    * |A|/|B| — far below any near-dup threshold once sizes diverge.
+    *
+    * Candidates: for C(A,B) ≥ t the SMALLER set must share at least
+    * ceil(t·|S_min|) grams, so by pigeonhole it shares one of its first
+    * |S| − ceil(t·|S|) + 1 sorted grams — each doc's own-size prefix
+    * (valid precisely when that doc IS the min side) joins against the
+    * FULL gram postings of its block, both directions at once (the
+    * id ≠ id join sees (small, big) from the small side's prefix).
+    * Unlike the Jaccard prefix join this meets prefix × postings, not
+    * prefix × prefix — containment constrains only the smaller side,
+    * so the big side must be fully indexed. `maxDocFreq` REMOVES grams
+    * whose block-level document frequency exceeds the cap from the
+    * gram universe itself before anything else runs (boilerplate-blind
+    * containment — the C4 line-dedup spirit applied to the similarity
+    * space): boilerplate grams shared by half the block would
+    * otherwise fan the candidate join toward all-pairs, and merely
+    * dropping them from the postings side would silently lose pairs
+    * whose short prefix IS a hot gram (a high threshold makes the
+    * prefix a single gram — the spec's exact-dup-plus-boilerplate case
+    * caught exactly that). Removing them from the universe keeps the
+    * plan EXACT with respect to the filtered metric: same candidates,
+    * same intersects, same denominators. Docs left gramless by the
+    * filter sit out, and the cap costs one extra (block, gram)
+    * docfreq exchange — capped mode only. Verification is exact either
+    * way: surviving candidates re-attach both gram sets and the
+    * merge-scan intersect decides.
+    * containment_bp = inter·10⁴ div min(|A|,|B|) in exact long
+    * arithmetic (hash-stable across engines). Docs with no grams
+    * (NULL / shorter than n after normalize) sit out — containment
+    * over an empty set is undefined, not 0 or 1. Output: (id_a, id_b,
+    * containment_bp) with id_a < id_b. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, thresholdBp: Long = 9000L,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"containmentPairs: thresholdBp must be in [1, 10000], got $thresholdBp")
+    maxDocFreq.foreach(cap => require(cap >= 1,
+      s"containmentPairs: maxDocFreq must be >= 1, got $cap"))
+    // the cached gram frame feeds prefix, postings AND two verify-side
+    // re-attach joins (the ngramJaccardPairs cache rationale)
+    val g0 = graft.engine.AutoUnpersist.cache(
+      df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        sort_array(array_distinct(transform(
+          Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
+          .as("grams"))
+        .filter(size(col("grams")) > 0))
+    // the capped mode rebuilds the gram sets WITHOUT the hot grams so
+    // prefix, postings, intersects and denominators all see one
+    // consistent filtered universe (see the scaladoc)
+    val g = maxDocFreq match {
+      case None => g0
+      case Some(cap) =>
+        val ex = g0.select(col("id"), col("block"),
+          explode(col("grams")).as("pg"))
+        val hot = ex.groupBy("block", "pg")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select("block", "pg")
+        graft.engine.AutoUnpersist.cache(
+          ex.join(hot, Seq("block", "pg"), "left_anti")
+            .groupBy("id", "block")
+            .agg(sort_array(collect_list(col("pg"))).as("grams"))
+            .filter(size(col("grams")) > 0))
+    }
+    // prefix length over longs: |S| − ceil(t·|S|) + 1 with
+    // ceil(a·b/10⁴) = (a·b + 9999) div 10⁴ — exact integer, no float
+    // boundary (the selectTopFraction quota discipline)
+    val pref = g.select(col("id"), col("block"),
+      explode(slice(col("grams"), lit(1),
+        expr(s"cast(size(grams) - (cast(size(grams) as bigint) * $thresholdBp" +
+          s" + 9999) div 10000 + 1 as int)"))).as("pg"))
+    val post = g.select(col("id"), col("block"), explode(col("grams")).as("pg"))
+    val pa = pref.alias("pa")
+    // shuffle_hash pinned for the same reason as the Jaccard join: the
+    // posting index is corpus-sized and UDF-derived — the static
+    // planner's estimate is fiction
+    val pb = post.hint("shuffle_hash").alias("pb")
+    val cand = pa.join(pb,
+        col("pa.block") === col("pb.block") && col("pa.pg") === col("pb.pg") &&
+          col("pa.id") =!= col("pb.id"))
+      .select(least(col("pa.id"), col("pb.id")).as("id_a"),
+        greatest(col("pa.id"), col("pb.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("ga"))
+        .hint("shuffle_hash"), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("gb"))
+        .hint("shuffle_hash"), "id_b")
+      .withColumn("inter",
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("ga"), col("gb")).cast("long"))
+      .withColumn("containment_bp",
+        expr("inter * 10000 div least(cast(size(ga) as bigint), cast(size(gb) as bigint))"))
+      .filter(col("containment_bp") >= thresholdBp)
+      .select("id_a", "id_b", "containment_bp")
+  }
 }

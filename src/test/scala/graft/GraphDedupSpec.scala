@@ -997,4 +997,78 @@ class GraphDedupSpec extends SparkSpec {
       Ann.semanticContaminationFlagsLsh(corpus, "id", "v", test, "tv",
         0.9, bits = 40, tables = 3))
   }
+
+  // ---------------------------------------------------- containment pairs
+  test("containment finds the subset pair Jaccard structurally misses") {
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val small = "alpha beta gamma delta epsilon" // literal prefix → grams ⊂ big's
+    val docs = Seq((1L, big, "b"), (2L, small, "b"), (3L, "totally different words here", "b"))
+      .toDF("id", "text", "blk")
+    val pairs = Dedup.containmentPairs(docs, "id", "text", "blk",
+        n = 3, thresholdBp = 9500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 10000L)), pairs.mkString(";"))
+    // the SAME pair under Jaccard at a plain near-dup threshold: absent
+    assert(Dedup.ngramJaccardPairs(docs, "id", "text", "blk",
+      n = 3, threshold = 0.8).count() == 0)
+  }
+
+  test("containment: threshold excludes partial overlap; blocks isolate; gramless docs sit out") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "b1"),
+      (2L, "alpha beta zzz qqq vvv www", "b1"),  // shares only 'alpha beta'
+      (3L, "alpha beta gamma delta", "b2"),       // identical to 1, other block
+      (4L, null.asInstanceOf[String], "b1"),
+      (5L, "ab", "b1"))                           // shorter than n after normalize
+      .toDF("id", "text", "blk")
+    val out = Dedup.containmentPairs(docs, "id", "text", "blk",
+      n = 3, thresholdBp = 9000L)
+    assert(out.count() == 0, out.collect().mkString(";"))
+    // drop the threshold and the partial pair appears with its exact bp
+    val loose = Dedup.containmentPairs(docs, "id", "text", "blk",
+        n = 3, thresholdBp = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)))
+    assert(!loose.exists(p => p._1 == 3L || p._2 == 3L), "blocks must isolate")
+  }
+
+  test("containment: maxDocFreq cap keeps exact-dup pairs via non-hot prefix grams") {
+    // 'shared boiler line' grams are in EVERY doc (hot); docs 1/2 are
+    // exact dups whose remaining grams are unique to them
+    val docs = Seq(
+      (1L, "unique payload one shared boiler line", "b"),
+      (2L, "unique payload one shared boiler line", "b"),
+      (3L, "other content entirely shared boiler line", "b"),
+      (4L, "fourth body of text shared boiler line", "b"))
+      .toDF("id", "text", "blk")
+    val capped = Dedup.containmentPairs(docs, "id", "text", "blk",
+        n = 3, thresholdBp = 9900L, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 10000L)), capped.mkString(";"))
+  }
+
+  test("containment: prefix-filtered plan matches the brute-force metric exactly") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("data", "spark", "table", "row", "scan", "merge", "key", "hash")
+    val docs = (1L to 40L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "b")
+    }
+    val df = docs.toDF("id", "text", "blk")
+    val got = Dedup.containmentPairs(df, "id", "text", "blk",
+        n = 3, thresholdBp = 7000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force over distinct STRING gram sets (the hash preserves
+    // distinct counts — no collisions at this scale)
+    val sets = docs.map { case (i, t, _) =>
+      i -> Tools.charNgramsStr(Tools.normalizeStr(t), 3).toSet }.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+      bp = sa.intersect(sb).size.toLong * 10000L / math.min(sa.size, sb.size)
+      if bp >= 7000L
+    } yield (a, b) -> bp).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
 }
