@@ -416,6 +416,19 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // int8 scalar-quantized ANN (Ann.int8Params → quantizeInt8 →
+    // quantizedTopK): the 4× memory cut for 100-TB embedding scans.
+    // Same probe carve as q25; ranking is the exact integer grid
+    // distance, so every quantized coordinate AND every d2q replays in
+    // DuckDB (params, quantization, exhaustive rank re-derived from
+    // the float embeddings from scratch).
+    "q113_ann_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qe = Ann.quantizeInt8(e, "embedding", Ann.int8Params(e, "embedding"))
+      Ann.quantizedTopK(qe.filter(col("vec_id") % 100 === 0), qe,
+        "vec_id", "qvec", "vec_id", "qvec", k = 10)
+    }),
+
     // IVF index BUILD alone (Ann.writeIvfIndex): k-means fit + the
     // hive-partitioned cell-layout write. Split from the probe so the
     // bench tracks each side of the build-once/query-many trade
@@ -1578,6 +1591,16 @@ object SparkEntry {
         ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
     }),
 
+    // SOFT dedup (Dedup.duplicationWeights): duplicates down-weighted,
+    // not dropped — each fingerprint group's rows carry dup_count and
+    // weight_bp = 10⁴ div dup_count, so a group's total sampling mass
+    // is one doc's worth. The corpus has real fingerprint-dup groups
+    // (the q21/q84 carve), so both columns are live beyond 1/10⁴.
+    "q114_dedup_weights" -> ((s, dir) =>
+      graft.dedup.Dedup.duplicationWeights(t(s, dir, "documents"),
+          "doc_id", "text", method = "fingerprint")
+        .select("doc_id", "dup_count", "weight_bp")),
+
     // corpus vocabulary top-k (Curation.vocabTopK) — the tokenizer-
     // training primitive; map-side-combined count + TakeOrdered
     "q58_vocab" -> ((s, dir) =>
@@ -2170,6 +2193,18 @@ object SparkEntry {
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
         s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp FROM documents"),
 
+    // the q21 fingerprint key, then a count window + exact long
+    // division — no join back, no HUGEINT (window COUNT is BIGINT)
+    "q114_dedup_weights" ->
+      ("WITH k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp FROM documents)\n" +
+        """SELECT doc_id,
+          | CASE WHEN fp IS NULL THEN NULL
+          |      ELSE COUNT(*) OVER (PARTITION BY fp) END AS dup_count,
+          | CASE WHEN fp IS NULL THEN NULL
+          |      ELSE 10000 // (COUNT(*) OVER (PARTITION BY fp)) END AS weight_bp
+          |FROM k""".stripMargin),
+
     "q22_text_stats" ->
       """WITH base AS (
         | SELECT doc_id, text,
@@ -2253,6 +2288,41 @@ object SparkEntry {
           |WHERE containment_bp >= 9000""".stripMargin),
 
     "q25_ann_topk" -> annTopKOracleSql,
+
+    // the scalar-quantization pipeline replayed from the float
+    // embeddings: per-dim min/max codebook, the one fixed IEEE
+    // quantize expression (identical spelling on both engines — the
+    // q70 floor discipline), then the exhaustive integer grid distance
+    "q113_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |u AS (SELECT vec_id, w.pos AS pos, w.x AS x
+        |      FROM (SELECT vec_id, unnest(list_transform(
+        |              generate_series(1, len(v)), j -> {'pos': j, 'x': v[j]})) AS w
+        |            FROM e)),
+        |p AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u
+        |      WHERE x IS NOT NULL GROUP BY pos),
+        |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+        |       FROM p),
+        |qv AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
+        |         j -> CASE WHEN v[j] IS NULL THEN NULL
+        |              WHEN mxs[j] = mns[j] THEN 0
+        |              ELSE least(255, greatest(0, CAST(floor(
+        |                ((v[j] - mns[j]) * 255.0) / (mxs[j] - mns[j]))
+        |                AS BIGINT))) END) AS q
+        |       FROM e, pl),
+        |s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_sum(list_transform(generate_series(1, len(a.q)),
+        |          j -> (a.q[j] - c.q[j]) * (a.q[j] - c.q[j]))) AS d2q
+        |      FROM (SELECT * FROM qv WHERE vec_id % 100 = 0) a
+        |      CROSS JOIN qv c WHERE a.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, CAST(d2q AS BIGINT) AS d2q,
+        |       CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT query_id, neighbor_id, d2q,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY d2q, neighbor_id) AS rank
+        |      FROM s WHERE d2q IS NOT NULL)
+        |WHERE rank <= 10""".stripMargin,
 
     // q60 probes EVERY cell (nprobe = nlist), so the persisted-index IVF
     // path is exhaustive and must reproduce the brute-force answer —

@@ -643,13 +643,23 @@ object RecipeConf {
           case other => sys.error(
             s"dedup: unknown prefilter '$other' (none | bloom)")
         }
+        // keep: weight = SOFT dedup — nothing dropped, every row gets
+        // (dup_count, weight_bp = 10⁴ div dup_count):
+        //   dedup: {method: exact|fingerprint, keep: weight}
+        if (knob("keep", "first") == "weight") {
+          val m = knob("method", "exact")
+          if (!Set("exact", "fingerprint").contains(m))
+            sys.error(s"dedup: keep: weight requires method " +
+              s"exact | fingerprint, got '$m'")
+          graft.dedup.Dedup.duplicationWeights(df, id, req("text"), m)
+        } else {
         // keep: best flips the survivor rule from min-id to
         // max-`score` (ties → min id) for the exact-key methods:
         //   dedup: {method: exact|fingerprint, keep: best, score: col}
         val keepBest = knob("keep", "first") match {
           case "first" => false
           case "best"  => true
-          case other => sys.error(s"dedup: unknown keep '$other' (first | best)")
+          case other => sys.error(s"dedup: unknown keep '$other' (first | best | weight)")
         }
         // keep: best exists for the keyed and clustered families; a
         // silent ignore on the rewrite methods (lines/substring) would
@@ -730,6 +740,7 @@ object RecipeConf {
           case other => sys.error(s"dedup: unknown method '$other' " +
             "(exact | fingerprint | minhash | lines | substring | embedding " +
             "| url | incremental | incremental_near)")
+        }
         }
       }
       //   pack: {id: col, text: col, budget: N, shard: col} →

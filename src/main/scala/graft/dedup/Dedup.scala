@@ -909,6 +909,41 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------------ duplication weights
+  /** SOFT dedup: instead of dropping duplicates, stamp every row with
+    * its content-group size and the proportional down-weight
+    * `weight_bp = 10⁴ div dup_count` — each duplicate group then
+    * contributes one document's worth of total sampling mass (up to
+    * the div floor), the frequency-reweighting alternative to hard
+    * removal used when duplicates carry signal (popular ≠ redundant —
+    * hard dedup erases the popularity prior, down-weighting keeps it
+    * bounded). Compose with the `sample` step's rate column or a
+    * training loader's per-example weights.
+    *
+    * Keys: `exact` = md5 of the raw text (the [[exactGroups]] key);
+    * `fingerprint` = md5 of sorted distinct normalized tokens (the
+    * [[fingerprint]] key — order/casing/punctuation-blind). NULL texts
+    * keep (NULL, NULL) — the family's NULL-key contract: a missing doc
+    * is not a duplicate of every other missing doc, and unknown ≠
+    * down-weighted. ONE content-key exchange (a count window, no join
+    * back); weight arithmetic is exact long division, so every weight
+    * replays externally. */
+  def duplicationWeights(df: DataFrame, idCol: String, textCol: String,
+      method: String = "exact"): DataFrame = {
+    val key = method match {
+      case "exact"       => md5(col(textCol).cast("binary"))
+      case "fingerprint" => fingerprint(col(textCol))
+      case other => sys.error(
+        s"duplicationWeights: method must be exact or fingerprint, got $other")
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    df.withColumn("__k", key)
+      .withColumn("dup_count",
+        when(col("__k").isNotNull, count(lit(1)).over(w)))
+      .withColumn("weight_bp", expr("10000 div dup_count"))
+      .drop("__k")
+  }
+
   // ------------------------------------------------- containment pairs
   /** Near-SUBSET duplication within a blocking key: pairs whose n-gram
     * CONTAINMENT |A∩B| / min(|A|,|B|) clears `thresholdBp` basis

@@ -544,4 +544,97 @@ object Ann {
         threshold)
       .filter(!col("contaminated"))
       .drop("max_cos_q", "contaminated")
+
+  // ------------------------------------------------- int8 quantization
+  /** Per-dimension [min, max] of a vector column — the scalar-
+    * quantization codebook (FAISS SQ8's train step). A dims-sized
+    * declared-small artifact: persist it next to the quantized corpus;
+    * [[quantizeInt8]] and any future batch MUST quantize with the SAME
+    * params or their grids are incomparable. One posexplode exchange
+    * keyed by dimension (dims cells, map-side combined); min/max are
+    * exactly associative so the result is partitioning-independent. */
+  def int8Params(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy("pos")
+      .agg(min(col("__v").cast("double")).as("mn"),
+        max(col("__v").cast("double")).as("mx"))
+
+  /** Scalar int8 quantization of an embedding column against an
+    * [[int8Params]] codebook: per dimension
+    * `q = clamp(floor((x − mn)·255 / (mx − mn)), 0, 255)` (a
+    * degenerate dimension, mx = mn, maps to 0). This is the 4× memory
+    * cut that keeps 100 TB of float32 embeddings scannable: the grid
+    * values live in [0, 255], so parquet bit-packs the column to ~9
+    * bits/element on disk and every downstream comparison runs in
+    * exact integer arithmetic (an external SQL oracle replays the
+    * quantization bit for bit — the float part is one fixed IEEE
+    * expression both engines evaluate identically, the q70 floor
+    * discipline). The codebook rides a one-row broadcast (the
+    * clusterAssign pattern); quantization itself is row-local, no
+    * shuffle. NULL vectors stay NULL; NULL ELEMENTS and dimensions
+    * beyond the codebook quantize to NULL elements (malformed
+    * embeddings are data, not errors — [[quantizedTopK]] surfaces
+    * them as unrankable, never as a guessed distance). */
+  def quantizeInt8(df: DataFrame, vecCol: String, params: DataFrame,
+      outCol: String = "qvec"): DataFrame = {
+    val p = broadcast(params
+      .select(struct(col("pos").cast("int").as("pos"),
+        col("mn").cast("double").as("mn"),
+        col("mx").cast("double").as("mx")).as("__p"))
+      .agg(array_sort(collect_list(col("__p"))).as("__ps")))
+    val q = transform(col(vecCol), (x, i) => {
+      val pr = element_at(col("__ps"), i + 1)
+      when(x.isNotNull && pr.isNotNull,
+        when(pr.getField("mx") === pr.getField("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor(((x.cast("double") - pr.getField("mn")) * 255.0)
+              / (pr.getField("mx") - pr.getField("mn"))).cast("long"))))
+        .cast("int"))
+    })
+    df.crossJoin(p)
+      .withColumn(outCol, when(col(vecCol).isNotNull, q))
+      .drop("__ps")
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: rank by the exact
+    * integer grid distance d2q = Σ(qa_d − qb_d)² ascending (ties by
+    * neighbor id). The metric is L2 in the per-dimension NORMALIZED
+    * space — each axis is stretched by 255/range before the squares —
+    * i.e. range-weighted L2, the standard scalar-quantization ANN
+    * contract (FAISS SQ8 ranks on reconstructions of the same grid).
+    * Identical vectors quantize identically at d2q = 0, so planted-
+    * duplicate recall is certain; the recall-vs-float-cosine gap on
+    * near-but-not-identical pairs is the quantization error the 4×
+    * memory cut buys (spec-measured). Pairs whose grids don't align
+    * (NULL elements, mismatched dims) get NULL d2q and are EXCLUDED
+    * from ranking — unknown ≠ near. Queries broadcast and dedupe by id
+    * (the [[bruteForceTopK]] contract); d2q is exact long arithmetic,
+    * so ranking replays in any 64-bit engine. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries
+      .select(col(qId).as("query_id"), col(qVec).as("__qq"))
+      .dropDuplicates("query_id"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__qc"))
+    val joined = q.crossJoin(c)
+    val filtered =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val d2 = aggregate(
+      zip_with(col("__qq"), col("__qc"),
+        (a, b) => (a.cast("long") - b.cast("long")) *
+          (a.cast("long") - b.cast("long"))),
+      lit(0L), (s, x) => s + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2q").asc, col("neighbor_id"))
+    filtered
+      .withColumn("d2q", d2)
+      .filter(col("d2q").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "d2q", "rank")
+  }
 }

@@ -998,6 +998,76 @@ class GraphDedupSpec extends SparkSpec {
         0.9, bits = 40, tables = 3))
   }
 
+  // ------------------------------------------------ duplication weights
+  test("duplicationWeights: group mass sums to one doc's worth; NULL text unknown; key choice matters") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique body"),
+      (5L, "Same   TEXT"),        // fingerprint-equal to 1-3, exact-distinct
+      (6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val exact = Dedup.duplicationWeights(docs, "id", "text", "exact")
+      .select("id", "dup_count", "weight_bp")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(exact(1L) == (Some(3L), Some(3333L)))   // 10000 div 3
+    assert(exact(4L) == (Some(1L), Some(10000L)))
+    assert(exact(5L) == (Some(1L), Some(10000L)))  // exact key: distinct
+    assert(exact(6L) == (None, None) && exact(7L) == (None, None))
+    val fp = Dedup.duplicationWeights(docs, "id", "text", "fingerprint")
+      .select("id", "dup_count")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fp(5L) == Some(4L), "normalized key folds casing/whitespace")
+    intercept[RuntimeException](
+      Dedup.duplicationWeights(docs, "id", "text", "nope"))
+  }
+
+  // ------------------------------------------------- int8 quantized ANN
+  test("int8Params + quantizeInt8: codebook, clamp edges, degenerate dim, NULLs") {
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f, 7.0f)),
+      (2L, Seq(10.0f, 5.0f, 3.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "v")
+    val params = Ann.int8Params(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(params == Map(0 -> (0.0, 10.0), 1 -> (5.0, 5.0), 2 -> (3.0, 7.0)))
+    val q = Ann.quantizeInt8(df, "v", Ann.int8Params(df, "v"))
+      .select("id", "qvec").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Integer](1))).toMap
+    // dim0: 0→0, 10→255 (exact top of range); dim1 degenerate → 0;
+    // dim2: 7→255, 3→0
+    assert(q(1L).get == Seq(0, 0, 255), q(1L).toString)
+    assert(q(2L).get == Seq(255, 0, 0), q(2L).toString)
+    assert(q(3L).isEmpty, "NULL vector stays NULL")
+  }
+
+  test("quantizedTopK: planted duplicate at d2q 0; clusters never cross; NULL grids excluded") {
+    val rnd = new scala.util.Random(5)
+    def near(base: Float) = Seq.fill(4)(base + rnd.nextFloat() * 0.1f)
+    // cluster A around 1.0, cluster B around 100.0; id 1 and 2 identical
+    val a1 = Seq(1.0f, 1.1f, 0.9f, 1.0f)
+    val rows = Seq((1L, a1), (2L, a1)) ++
+      (3L to 10L).map(i => (i, near(1.0f))) ++
+      (11L to 20L).map(i => (i, near(100.0f))) :+
+      (21L, Seq(1.0f, null.asInstanceOf[Float], 1.0f, 1.0f))
+    val df = rows.toDF("vec_id", "v")
+      // a NULL element survives toDF as 0.0 for primitives — rebuild it
+      .withColumn("v", when(col("vec_id") === 21L,
+        array(lit(1.0f), lit(null).cast("float"), lit(1.0f), lit(1.0f)))
+        .otherwise(col("v")))
+    val qdf = Ann.quantizeInt8(df, "v", Ann.int8Params(df, "v"))
+    val top = Ann.quantizedTopK(qdf.filter(col("vec_id") === 1L), qdf,
+      "vec_id", "qvec", "vec_id", "qvec", k = 9).collect()
+    assert(top.head.getLong(1) == 2L && top.head.getLong(2) == 0L,
+      s"identical vector must rank first at d2q 0: ${top.head}")
+    // every neighbor of the A-query is an A-member (quantization error
+    // cannot bridge a 100x cluster gap); the NULL-grid row never appears
+    val ids = top.map(_.getLong(1)).toSet
+    assert(ids.subsetOf((2L to 10L).toSet), ids.toString)
+    assert(!ids.contains(21L))
+  }
+
   // ---------------------------------------------------- containment pairs
   test("containment finds the subset pair Jaccard structurally misses") {
     val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

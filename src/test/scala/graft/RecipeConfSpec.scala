@@ -1885,6 +1885,33 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("round-10 dedup keep: weight — soft dedup through YAML") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Seq((1L, "dup body"), (2L, "dup body"), (3L, "solo"))
+      .toDF("id", "text").write.mode("overwrite").parquet(s"$dir/sw_docs")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/sw_docs, format: parquet}
+         |recipes:
+         |  w:
+         |    input: docs
+         |    steps:
+         |      - dedup: {id: id, text: text, keep: weight}
+         |  bad:
+         |    input: docs
+         |    steps:
+         |      - dedup: {id: id, text: text, keep: weight, method: minhash}
+         |""".stripMargin)
+    val out = RecipeConf.run(spark, conf, "w")
+    assert(out.count() == 3, "soft dedup drops nothing")
+    val w1 = out.filter(col("id") === 1L).select("weight_bp").head().getLong(0)
+    val w3 = out.filter(col("id") === 3L).select("weight_bp").head().getLong(0)
+    assert(w1 == 5000L && w3 == 10000L)
+    val err = intercept[Exception] { RecipeConf.run(spark, conf, "bad") }
+    assert(err.getMessage.contains("weight"), err.getMessage)
+  }
+
   test("round-10 classify step: fit → persisted weights → score round trip") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit, when}
