@@ -55,6 +55,39 @@ class PlanQualitySpec extends SparkSpec {
       s"queries must broadcast and the corpus stream:\n$p")
   }
 
+  test("q112 containment: native intersect, shuffle-hash joins, NO corpus broadcast, no cartesian") {
+    val p = plan("q112_containment_pairs")
+    assert(p.contains("sorted_intersect_count"), p)
+    // same contract as q24: the gram/posting frames are corpus-sized
+    // and UDF-derived — candidates meet through the (block, gram)
+    // shuffle join, never a broadcast or a cross product
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus side must not be broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle-hash joins:\n$p")
+  }
+
+  test("q113 quantized ANN: query side broadcasts, top-k prunes via WindowGroupLimit") {
+    val p = plan("q113_ann_quantized")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"quantized queries must broadcast and the corpus stream:\n$p")
+  }
+
+  test("q111 classifier scoring: weights broadcast; no cartesian") {
+    val p = plan("q111_classifier_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q114 soft dedup: one count window, no join, no single partition") {
+    val p = plan("q114_dedup_weights")
+    assert(!p.contains("Join"), s"weights need no join back:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q24 jaccard: prefix-filtered candidates, native intersect, NO corpus broadcast") {
     val p = plan("q24_jaccard_pairs")
     assert(p.contains("sorted_intersect_count"), p)
