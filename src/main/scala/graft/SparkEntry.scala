@@ -389,15 +389,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockCol = "source", n = 3, threshold = 0.8)),
 
-    // n-gram CONTAINMENT pairs (Dedup.containmentPairs): the subset-
-    // duplication detector — |A∩B| / min set size in exact basis
-    // points. The plant: a long template (id % 50 = 0) and its literal
-    // PREFIX (id % 50 = 7), so every same-source (prefix, template)
-    // pair sits at containment 10⁴ while its Jaccard is only ~0.4 —
-    // exactly the asymmetric class q24's metric structurally misses.
-    // Threshold 9000 keeps ~70 natural high-overlap pairs live too
-    // (measured at sf0.01), so the verify path is exercised beyond the
-    // planted exact-subset rows.
+    // word-shingle CONTAINMENT pairs (Dedup.containmentPairs): the
+    // subset-duplication detector — |A∩B| / min set size in exact
+    // basis points over 3-word shingles (the minhash unit — the
+    // document-scale gram universe; ContainBench records why char
+    // grams degenerate past ~10³-doc blocks). The plant: a long
+    // template (id % 50 = 0) and its literal PREFIX (id % 50 = 7), so
+    // every same-source (prefix, template) pair sits at containment
+    // 10⁴ while its Jaccard is far below any near-dup threshold —
+    // exactly the asymmetric class q24/q26 structurally miss. At 9000
+    // bp the output is the planted pairs + the corpus's real exact-dup
+    // groups (measured: everything else sits below 2000 bp).
     "q112_containment_pairs" -> ((s, dir) => {
       val id = col("doc_id")
       val doc = t(s, dir, "documents").withColumn("text",
@@ -1785,7 +1787,15 @@ object SparkEntry {
     // — the production text-dedup probe path. The index builds on this
     // JVM's first q107 touch (run 1), so the min of 5 samples is the
     // steady-state probe, the q60 build/probe discipline.
-    "q107_neardup_index")
+    "q107_neardup_index",
+    // round-10 additions: the classifier fit (3 integer perceptron
+    // epochs — at bench SFs the driver-side regime, so the number is
+    // dominated by the one triples collect), its corpus-scoring pass
+    // (broadcast weights + one doc-id exchange), the containment-pair
+    // detector (prefix × postings candidates), and the int8-quantized
+    // ANN probe (the 4x-memory scan path; q25 is its float twin)
+    "q110_classifier_fit", "q111_classifier_score",
+    "q112_containment_pairs", "q113_ann_quantized")
 
   // ------------------------------------------------------------- oracles
 
@@ -2266,8 +2276,10 @@ object SparkEntry {
           |WHERE jaccard >= 0.8""".stripMargin),
 
     // the exhaustive containment replay over the SAME planted carve:
-    // every same-source pair's |A∩B|·10⁴ div min(|A|,|B|) in the same
-    // long arithmetic (len products never reach HUGEINT — no SUM)
+    // q26's word-3-shingle spelling (string shingles — distinct counts
+    // equal the engine's fnv64 set counts), then every same-source
+    // pair's |A∩B|·10⁴ div min(|A|,|B|) in the same long arithmetic
+    // (len products never reach HUGEINT — no SUM)
     "q112_containment_pairs" ->
       ("WITH raw AS (SELECT doc_id, source, " +
         """CASE WHEN doc_id % 50 = 0
@@ -2276,14 +2288,16 @@ object SparkEntry {
           |  ELSE text END AS text FROM documents),
           |""".stripMargin +
         "n AS (SELECT doc_id, source, " + normSql.format("text") + " AS s FROM raw), " +
-        """g AS (
-          | SELECT doc_id, source, list_distinct(list_transform(
-          |   generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS grams
-          | FROM n WHERE length(s) >= 3)
+        """t AS (SELECT doc_id, source, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
+          |g AS (SELECT doc_id, source,
+          |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+          | FROM t)
           |SELECT id_a, id_b, containment_bp FROM (
           | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |  (len(list_intersect(a.grams, b.grams)) * 10000)
-          |    // least(len(a.grams), len(b.grams)) AS containment_bp
+          |  (len(list_intersect(a.sh, b.sh)) * 10000)
+          |    // least(len(a.sh), len(b.sh)) AS containment_bp
           | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
           |WHERE containment_bp >= 9000""".stripMargin),
 

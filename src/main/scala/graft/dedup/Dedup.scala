@@ -977,25 +977,46 @@ object Dedup {
     * docfreq exchange — capped mode only. Verification is exact either
     * way: surviving candidates re-attach both gram sets and the
     * merge-scan intersect decides.
+    *
+    * `unit` picks the gram universe, and at scale the choice IS the
+    * plan: `"word"` (n-word shingles, the minhash unit — DEFAULT for
+    * document corpora) has a universe ∝ vocabulary^n, so posting lists
+    * stay short and cost tracks gram volume; `"char"` (n-char grams,
+    * the short-string/fuzzy-name unit, q24's) has a universe bounded
+    * by alphabet^n — a few thousand distinct trigrams corpus-wide — so
+    * beyond ~10³-doc blocks most grams sit in most docs and the
+    * prefix × postings join degenerates toward block² (ContainBench
+    * measured the uncapped char path OOMing local[32] at 100k
+    * synthetic docs; the word path sweeps linearly). Use char only on
+    * small blocks or with `maxDocFreq`.
+    *
     * containment_bp = inter·10⁴ div min(|A|,|B|) in exact long
     * arithmetic (hash-stable across engines). Docs with no grams
-    * (NULL / shorter than n after normalize) sit out — containment
-    * over an empty set is undefined, not 0 or 1. Output: (id_a, id_b,
-    * containment_bp) with id_a < id_b. */
+    * (NULL / blank; in char mode also shorter than n after normalize —
+    * word mode folds short docs into one whole-text shingle, the
+    * minhash contract) sit out — containment over an empty set is
+    * undefined, not 0 or 1. Output: (id_a, id_b, containment_bp) with
+    * id_a < id_b. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, thresholdBp: Long = 9000L,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = None, unit: String = "word"): DataFrame = {
     require(thresholdBp >= 1 && thresholdBp <= 10000,
       s"containmentPairs: thresholdBp must be in [1, 10000], got $thresholdBp")
     maxDocFreq.foreach(cap => require(cap >= 1,
       s"containmentPairs: maxDocFreq must be >= 1, got $cap"))
+    val gramSet = unit match {
+      // shingleHash already returns the sorted distinct hash set
+      case "word" => shingleHash(col(textCol), n)
+      case "char" => sort_array(array_distinct(transform(
+        Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
+      case other => sys.error(
+        s"containmentPairs: unit must be word or char, got $other")
+    }
     // the cached gram frame feeds prefix, postings AND two verify-side
     // re-attach joins (the ngramJaccardPairs cache rationale)
     val g0 = graft.engine.AutoUnpersist.cache(
       df.select(col(idCol).as("id"), col(blockCol).as("block"),
-        sort_array(array_distinct(transform(
-          Tools.charNgrams(Tools.normalize(col(textCol)), n), s => xxhash64(s))))
-          .as("grams"))
+        gramSet.as("grams"))
         .filter(size(col("grams")) > 0))
     // the capped mode rebuilds the gram sets WITHOUT the hot grams so
     // prefix, postings, intersects and denominators all see one

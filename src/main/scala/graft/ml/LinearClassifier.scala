@@ -225,7 +225,12 @@ object LinearClassifier {
     * margin > 0 else −1 (the fit treats 0 as the negative side, scoring
     * agrees). Rows with no triples — NULL text / NULL id — surface NULL
     * margin and NULL pred, never a guessed class. The weight table
-    * broadcasts; the only exchange is the doc-id margin aggregation. */
+    * broadcasts; the only exchange is the doc-id margin aggregation.
+    *
+    * Unlike the FIT (which requires unique ids), scoring tolerates
+    * duplicate ids — but their triples merge under one id, so the
+    * duplicates share one pooled margin. Dedup upstream if per-ROW
+    * scores are wanted for duplicated ids. */
   def scorePerceptron(df: DataFrame, idCol: String, feats: DataFrame,
       weights: DataFrame): DataFrame = {
     val w = broadcast(weights.select(col("feat").cast("long").as("feat"),

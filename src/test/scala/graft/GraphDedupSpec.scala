@@ -1084,7 +1084,7 @@ class GraphDedupSpec extends SparkSpec {
       n = 3, threshold = 0.8).count() == 0)
   }
 
-  test("containment: threshold excludes partial overlap; blocks isolate; gramless docs sit out") {
+  test("containment (char unit): threshold excludes partial overlap; blocks isolate; gramless docs sit out") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", "b1"),
       (2L, "alpha beta zzz qqq vvv www", "b1"),  // shares only 'alpha beta'
@@ -1093,14 +1093,34 @@ class GraphDedupSpec extends SparkSpec {
       (5L, "ab", "b1"))                           // shorter than n after normalize
       .toDF("id", "text", "blk")
     val out = Dedup.containmentPairs(docs, "id", "text", "blk",
-      n = 3, thresholdBp = 9000L)
+      n = 3, thresholdBp = 9000L, unit = "char")
     assert(out.count() == 0, out.collect().mkString(";"))
     // drop the threshold and the partial pair appears with its exact bp
     val loose = Dedup.containmentPairs(docs, "id", "text", "blk",
-        n = 3, thresholdBp = 1000L)
+        n = 3, thresholdBp = 1000L, unit = "char")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(loose.contains((1L, 2L)))
     assert(!loose.exists(p => p._1 == 3L || p._2 == 3L), "blocks must isolate")
+    intercept[RuntimeException](
+      Dedup.containmentPairs(docs, "id", "text", "blk", unit = "sentence"))
+  }
+
+  test("containment: word vs char units disagree exactly where they should") {
+    // same 2-token overlap: at the char level 'alpha beta ' dominates
+    // the short doc's grams; at the word level no 3-shingle is shared
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "b"),
+      (2L, "alpha beta", "b"))
+      .toDF("id", "text", "blk")
+    val word = Dedup.containmentPairs(docs, "id", "text", "blk",
+      n = 3, thresholdBp = 5000L)
+    assert(word.count() == 0,
+      "no shared word 3-shingle: the 2-token doc folds to one whole-text shingle")
+    val char = Dedup.containmentPairs(docs, "id", "text", "blk",
+        n = 3, thresholdBp = 5000L, unit = "char")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(char.toSeq == Seq((1L, 2L, 10000L)),
+      s"every char gram of 'alpha beta' is inside the long doc: ${char.mkString(";")}")
   }
 
   test("containment: maxDocFreq cap keeps exact-dup pairs via non-hot prefix grams") {
@@ -1127,7 +1147,7 @@ class GraphDedupSpec extends SparkSpec {
     }
     val df = docs.toDF("id", "text", "blk")
     val got = Dedup.containmentPairs(df, "id", "text", "blk",
-        n = 3, thresholdBp = 7000L)
+        n = 3, thresholdBp = 7000L, unit = "char")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     // brute force over distinct STRING gram sets (the hash preserves
     // distinct counts — no collisions at this scale)

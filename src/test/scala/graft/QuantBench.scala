@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Ann
+
+/** Measures what int8 scalar quantization actually buys at growing
+  * corpus sizes: on-disk parquet bytes (the scan-volume proxy — at
+  * 100 TB the embedding scan IS the cost) and brute-force top-k wall
+  * for the float-cosine path (q25's plan) vs the integer-grid path
+  * (q113's plan), same 100-query probe set. The quantized corpus is
+  * written once (build-side, off the clock — the codebook + quantize
+  * pass amortizes like any index build).
+  *
+  * Vectors: dim-64 closed-form FULL-PRECISION floats in [-1, 1]
+  * (xxhash64 scaled by 2⁻⁶³, no UDF). Full precision matters for the
+  * bytes claim: a low-cardinality fixture (first attempt: 10⁴ distinct
+  * values/dim) lets parquet dictionary-encode the FLOAT side too and
+  * understates the ratio at 1.8× — real embeddings are near-unique
+  * floats and effectively incompressible.
+  *
+  *   sbt "Test/runMain graft.QuantBench [runs] [vecN ...]"
+  */
+object QuantBench {
+  private val DIM = 64
+
+  private def vecs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${DIM - 1}),
+           |  j -> cast(cast(xxhash64(vec_id, j) as double)
+           |            / 9.223372036854776e18 as float))"""
+          .stripMargin))
+
+  private def dirBytes(p: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(p))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val runs = args.headOption.flatMap(_.toIntOption).getOrElse(2)
+    val scales =
+      if (args.drop(1).nonEmpty) args.drop(1).toSeq.map(_.toLong)
+      else Seq(100000L, 300000L, 1000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val load = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("?")
+    println(s"[quant] loadavg at start: $load")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quant")
+    try {
+      for (n <- scales) {
+        val fPath = s"$tmp/float$n"
+        vecs(spark, n).write.parquet(fPath)
+        val fl = spark.read.parquet(fPath)
+        // build side, off the clock: codebook + quantize + write
+        val qPath = s"$tmp/q$n"
+        val tb0 = System.nanoTime()
+        Ann.quantizeInt8(fl, "embedding", Ann.int8Params(fl, "embedding"))
+          .select("vec_id", "qvec").write.parquet(qPath)
+        val buildS = (System.nanoTime() - tb0) / 1e9
+        val qv = spark.read.parquet(qPath)
+        val fB = dirBytes(fPath); val qB = dirBytes(qPath)
+        println(f"[quant] n=$n%-9d floatMB=${fB / 1048576.0}%8.1f " +
+          f"int8MB=${qB / 1048576.0}%8.1f ratio=${fB.toDouble / qB}%5.2f " +
+          f"(quantize+write $buildS%6.3f s, one-time)")
+
+        def measure(mode: String, run: () => Long): Unit = {
+          val samples = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            val rows = run()
+            spark.catalog.clearCache()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          println(f"[quant] n=$n%-9d mode=$mode%-6s " +
+            f"min=${samples.map(_._1).min}%7.3f rows=${samples.head._2} " +
+            s"samples=${samples.map(s => f"${s._1}%.3f").mkString(",")}")
+        }
+        measure("float", () => Ann.bruteForceTopK(
+          fl.filter(col("vec_id") % (n / 25) === 0), fl,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10).count())
+        measure("int8", () => Ann.quantizedTopK(
+          qv.filter(col("vec_id") % (n / 25) === 0), qv,
+          "vec_id", "qvec", "vec_id", "qvec", k = 10).count())
+      }
+    } finally {
+      spark.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+}
