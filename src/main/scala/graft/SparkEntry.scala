@@ -2326,8 +2326,12 @@ object SparkEntry {
         |                AS BIGINT))) END) AS q
         |       FROM e, pl),
         |s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        list_sum(list_transform(generate_series(1, len(a.q)),
-        |          j -> (a.q[j] - c.q[j]) * (a.q[j] - c.q[j]))) AS d2q
+        |        CASE WHEN len(a.q) <> len(c.q)
+        |               OR len(list_filter(a.q, x -> x IS NULL)) > 0
+        |               OR len(list_filter(c.q, x -> x IS NULL)) > 0
+        |             THEN NULL
+        |             ELSE list_sum(list_transform(generate_series(1, len(a.q)),
+        |               j -> (a.q[j] - c.q[j]) * (a.q[j] - c.q[j]))) END AS d2q
         |      FROM (SELECT * FROM qv WHERE vec_id % 100 = 0) a
         |      CROSS JOIN qv c WHERE a.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, CAST(d2q AS BIGINT) AS d2q,

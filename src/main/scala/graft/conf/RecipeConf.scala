@@ -487,23 +487,32 @@ object RecipeConf {
       // weights). Two shapes, disambiguated by which key is present:
       //   classify: {id, text, label: ycol[, buckets, epochs, binary]}
       //     → the (feat, w) weight-table artifact (persist it);
-      //   classify: {id, text, dataset: weights[, buckets, binary]}
+      //   classify: {id, text, dataset: weights, buckets, binary}
       //     → df + (margin, pred). buckets/binary are PART OF the
-      //       model — score with the training values.
+      //       model, and the weight artifact carries no metadata to
+      //       detect a mismatch — so SCORE mode requires both
+      //       EXPLICITLY (defaulting them would silently hash into a
+      //       different feature space and mis-score every row).
       case "classify" => df => {
         val hasLabel = m.contains("label")
         val hasWeights = m.contains("dataset")
         require(hasLabel != hasWeights,
           "classify: exactly one of label (fit) or dataset (score) required")
-        val buckets = knobInt("buckets", 4096)
-        val binary = knobBool("binary", false)
         if (hasLabel)
           graft.ml.LinearClassifier.trainTextClassifier(df, req("id"),
-            req("text"), req("label"), buckets,
-            epochs = knobInt("epochs", 3), binary = binary)
-        else
+            req("text"), req("label"), knobInt("buckets", 4096),
+            epochs = knobInt("epochs", 3),
+            binary = knobBool("binary", false))
+        else {
+          if (!m.contains("buckets") || !m.contains("binary"))
+            sys.error("classify (score): buckets and binary must be given " +
+              "explicitly and match the training call — they define the " +
+              "model's feature space, and the weight table cannot " +
+              "detect a mismatch")
           graft.ml.LinearClassifier.scoreTextClassifier(df, req("id"),
-            req("text"), namedDataset(), buckets, binary = binary)
+            req("text"), namedDataset(), knobInt("buckets", 4096),
+            binary = knobBool("binary", false))
+        }
       }
       // rebalance an under-parallelized input (single-small-file scan)
       // before heavy row-local work; NO-OP on any already-parallel

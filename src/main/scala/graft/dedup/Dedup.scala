@@ -937,10 +937,18 @@ object Dedup {
         s"duplicationWeights: method must be exact or fingerprint, got $other")
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
-    df.withColumn("__k", key)
-      .withColumn("dup_count",
-        when(col("__k").isNotNull, count(lit(1)).over(w)))
+    // NULL-text rows route AROUND the window, not through it: their
+    // output is unconditionally (NULL, NULL), but partitionBy would
+    // still hash every NULL key into ONE task — a straggler/OOM hazard
+    // when a big corpus has a real missing-text fraction (the
+    // keepMinPerKey split, same reason)
+    val keyed = df.withColumn("__k", key)
+    keyed.filter(col("__k").isNotNull)
+      .withColumn("dup_count", count(lit(1)).over(w))
       .withColumn("weight_bp", expr("10000 div dup_count"))
+      .unionByName(keyed.filter(col("__k").isNull)
+        .withColumn("dup_count", lit(null).cast("long"))
+        .withColumn("weight_bp", lit(null).cast("long")))
       .drop("__k")
   }
 

@@ -139,10 +139,19 @@ object LinearClassifier {
       localThreshold: Long = 1L << 20): DataFrame = {
     require(epochs >= 1, s"fitPerceptron: epochs must be >= 1, got $epochs")
     val spark = feats.sparkSession
-    val fc0 = feats.select(col("id").cast("long").as("id"),
-      col("feat").cast("long").as("feat"), col("x").cast("long").as("x"))
-    val dc0 = docs.filter(col("id").isNotNull)
+    // NULL triples sit out EXPLICITLY (filtered after the cast): the
+    // built-in featurizers never emit them, but fitPerceptron accepts
+    // custom feats frames, and without this filter the two regimes
+    // would diverge (the joins drop NULL ids silently, the collected
+    // loop would NPE)
+    val fc0 = feats
+      .select(col("id").cast("long").as("id"),
+        col("feat").cast("long").as("feat"), col("x").cast("long").as("x"))
+      .filter(col("id").isNotNull && col("feat").isNotNull &&
+        col("x").isNotNull)
+    val dc0 = docs
       .select(col("id").cast("long").as("id"), col("y").cast("long").as("y"))
+      .filter(col("id").isNotNull)
     // explicit persist, NOT AutoUnpersist: the probe agg below is an
     // action and would release an auto-scoped cache before the epoch
     // loop reads it (the fitCentroids ordering lesson)

@@ -579,13 +579,19 @@ object Ann {
     * them as unrankable, never as a guessed distance). */
   def quantizeInt8(df: DataFrame, vecCol: String, params: DataFrame,
       outCol: String = "qvec"): DataFrame = {
+    // keyed by pos, NOT positional: a codebook with a gap (a dimension
+    // NULL in every row, or a user-persisted params table missing a
+    // pos) must leave exactly that dimension NULL — a pos-sorted array
+    // indexed by ordinal would silently misalign every later dimension
+    // against its neighbor's [mn, mx]
     val p = broadcast(params
-      .select(struct(col("pos").cast("int").as("pos"),
-        col("mn").cast("double").as("mn"),
-        col("mx").cast("double").as("mx")).as("__p"))
-      .agg(array_sort(collect_list(col("__p"))).as("__ps")))
+      .select(col("pos").cast("int").as("__pos"),
+        struct(col("mn").cast("double").as("mn"),
+          col("mx").cast("double").as("mx")).as("__mm"))
+      .agg(map_from_entries(collect_list(struct(col("__pos"), col("__mm"))))
+        .as("__pm")))
     val q = transform(col(vecCol), (x, i) => {
-      val pr = element_at(col("__ps"), i + 1)
+      val pr = element_at(col("__pm"), i.cast("int"))
       when(x.isNotNull && pr.isNotNull,
         when(pr.getField("mx") === pr.getField("mn"), lit(0L))
           .otherwise(least(lit(255L), greatest(lit(0L),
@@ -595,7 +601,7 @@ object Ann {
     })
     df.crossJoin(p)
       .withColumn(outCol, when(col(vecCol).isNotNull, q))
-      .drop("__ps")
+      .drop("__pm")
   }
 
   /** Brute-force top-k over int8-quantized vectors: rank by the exact

@@ -1040,6 +1040,12 @@ class GraphDedupSpec extends SparkSpec {
     assert(q(1L).get == Seq(0, 0, 255), q(1L).toString)
     assert(q(2L).get == Seq(255, 0, 0), q(2L).toString)
     assert(q(3L).isEmpty, "NULL vector stays NULL")
+    // a codebook GAP (pos 1 missing) must NULL exactly that dimension —
+    // a positional lookup would misalign pos 2 against pos 1's range
+    val gappy = Seq((0, 0.0, 10.0), (2, 3.0, 7.0)).toDF("pos", "mn", "mx")
+    val qg = Ann.quantizeInt8(df.filter(col("id") === 1L), "v", gappy)
+      .select("qvec").head().getSeq[Integer](0)
+    assert(qg(0) == 0 && qg(1) == null && qg(2) == 255, qg.toString)
   }
 
   test("quantizedTopK: planted duplicate at d2q 0; clusters never cross; NULL grids excluded") {

@@ -9,7 +9,7 @@ import graft.sim.Ann
   * corpus sizes: on-disk parquet bytes (the scan-volume proxy — at
   * 100 TB the embedding scan IS the cost) and brute-force top-k wall
   * for the float-cosine path (q25's plan) vs the integer-grid path
-  * (q113's plan), same 100-query probe set. The quantized corpus is
+  * (q113's plan), same 25-query probe set. The quantized corpus is
   * written once (build-side, off the clock — the codebook + quantize
   * pass amortizes like any index build).
   *

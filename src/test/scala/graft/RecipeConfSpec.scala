@@ -1958,8 +1958,16 @@ class RecipeConfSpec extends SparkSpec {
          |    input: docs
          |    steps:
          |      - classify: {id: id, text: text, label: y, dataset: weights}
+         |  lax:
+         |    input: docs
+         |    steps:
+         |      - classify: {id: id, text: text, dataset: weights}
          |""".stripMargin)
     val err = intercept[Exception] { RecipeConf.run(spark, both, "bad") }
     assert(err.getMessage.contains("classify"), err.getMessage)
+    // score mode with buckets/binary omitted — the silent-mis-scoring
+    // hazard — must fail loudly too
+    val lax = intercept[Exception] { RecipeConf.run(spark, both, "lax") }
+    assert(lax.getMessage.contains("explicitly"), lax.getMessage)
   }
 }
