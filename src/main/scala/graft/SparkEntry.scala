@@ -1653,6 +1653,26 @@ object SparkEntry {
         buckets = 256, binary = true).select("doc_id", "margin", "pred")
     }),
 
+    // q111's scoring at INGEST time (EventStream.classifyStream): the
+    // docs arrive as a stream, the batch-fitted weight table rides the
+    // plan as a literal map, and each row's margin is a row-local fold
+    // — zero streaming state (the q71 discipline). Same rows, same
+    // weights, q111's oracle verbatim: batch join vs streaming fold
+    // must agree bit for bit.
+    "q115_stream_classify" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val d = classifierFixture(t(s, dir, "documents"))
+      val w = graft.ml.LinearClassifier.trainTextClassifier(d, "doc_id",
+        "text", "y", buckets = 256, epochs = 3, binary = true)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      EventStream.runOnce(s, dir,
+        st => EventStream.classifyStream(classifierFixture(st), w, "text",
+          buckets = 256, binary = true)
+          .select("doc_id", "margin", "pred"),
+        queryName = "q115_mem", schema = schema,
+        globFilter = Some("documents.parquet"))
+    }),
+
     // CCNet-style LM quality proxy (Curation.unigramLogProb): every doc
     // scored under the unigram LM of the corpus itself
     "q59_lm_logprob" -> ((s, dir) => {
@@ -2048,6 +2068,19 @@ object SparkEntry {
     }.mkString(",\n")
     if (epochs >= 2) head + ",\n" + rounds else head
   }
+
+  /** Shared by q111 (batch scoring) and q115 (the streaming gate):
+    * per-doc margins under the fitted weights — two physical
+    * strategies, one contract. */
+  private val classifierScoreOracleSql: String =
+    perceptronOracleCtes(256, 3) +
+      """,
+        |mf AS (SELECT f.id, SUM(f.x * w.w) AS margin
+        |  FROM f JOIN w3 w ON w.feat = f.feat GROUP BY 1)
+        |SELECT doc.doc_id, CAST(mf.margin AS BIGINT) AS margin,
+        |  CASE WHEN mf.margin > 0 THEN 1
+        |       WHEN mf.margin IS NOT NULL THEN -1 END AS pred
+        |FROM documents doc LEFT JOIN mf ON mf.id = doc.doc_id""".stripMargin
 
   private val oracleSqlRaw: Map[String, String] = Map(
     "q01_agg" ->
@@ -3354,14 +3387,13 @@ object SparkEntry {
 
     // the same tower, then every doc's margin under the final weights;
     // docs outside the fit corpus (NULL text/id) keep NULL margin+pred
-    "q111_classifier_score" -> (perceptronOracleCtes(256, 3) +
-      """,
-        |mf AS (SELECT f.id, SUM(f.x * w.w) AS margin
-        |  FROM f JOIN w3 w ON w.feat = f.feat GROUP BY 1)
-        |SELECT doc.doc_id, CAST(mf.margin AS BIGINT) AS margin,
-        |  CASE WHEN mf.margin > 0 THEN 1
-        |       WHEN mf.margin IS NOT NULL THEN -1 END AS pred
-        |FROM documents doc LEFT JOIN mf ON mf.id = doc.doc_id""".stripMargin),
+    "q111_classifier_score" -> classifierScoreOracleSql,
+
+    // the STREAMING gate scores the same rows under the same weights —
+    // q111's oracle verbatim (one oracle family, two physical
+    // strategies: batch broadcast join + doc-id exchange vs the
+    // row-local literal-map fold per micro-batch)
+    "q115_stream_classify" -> classifierScoreOracleSql,
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

@@ -352,6 +352,45 @@ object EventStream {
     * result synchronously via the memory sink (local smoke-test path).
     * `complete` mode emits final aggregates for bounded input; `append`
     * only emits below the watermark. */
+  /** Ingest-time classifier gate: every arriving row scored under a
+    * FITTED weight table ([[graft.ml.LinearClassifier]] output) as a
+    * pure map per micro-batch — zero streaming state, the
+    * decontaminateStream discipline. The declared-small weight table
+    * (≤ buckets + 1 rows by construction) collects once and rides the
+    * plan as literal arrays; the margin is a row-local fold over the
+    * row's hashed tokens (`binary = true` folds distinct buckets —
+    * MUST match the training call, the scoreTextClassifier contract),
+    * seeded with the bias weight, unknown buckets contributing 0 —
+    * exactly the batch scorer's join semantics (spec-pinned equal).
+    * NULL text → NULL margin + NULL pred; blank text → bias-only
+    * margin. Adds (margin, pred) to the stream. */
+  def classifyStream(stream: DataFrame, weights: DataFrame,
+      textCol: String, buckets: Int, lowercase: Boolean = true,
+      binary: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"classifyStream: buckets must be >= 2, got $buckets")
+    val rows = weights
+      .select(col("feat").cast("long"), col("w").cast("long")).collect()
+    require(rows.nonEmpty, "classifyStream: empty weight table " +
+      "(a LinearClassifier fit always contains at least the bias row)")
+    val bias = rows.find(_.getLong(0) == graft.ml.LinearClassifier.biasFeat)
+      .map(_.getLong(1)).getOrElse(0L)
+    val nonBias = rows.filter(_.getLong(0) != graft.ml.LinearClassifier.biasFeat)
+    val wmap = map_from_arrays(
+      lit(nonBias.map(_.getLong(0))), lit(nonBias.map(_.getLong(1))))
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val hashed = transform(graft.functions.Tools.tokenize(c),
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val folded = if (binary) array_distinct(hashed) else hashed
+    val margin = when(col(textCol).isNotNull,
+      aggregate(folded, lit(bias),
+        (s, h) => s + coalesce(element_at(wmap, h), lit(0L))))
+    stream
+      .withColumn("margin", margin)
+      .withColumn("pred",
+        when(col("margin") > 0, 1).when(col("margin").isNotNull, -1))
+  }
+
   def runOnce(spark: SparkSession, dir: String,
       plan: DataFrame => DataFrame, queryName: String,
       schema: StructType = eventSchema, outputMode: String = "append",

@@ -385,6 +385,51 @@ class ModulesSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest"), e.getMessage)
   }
 
+  test("streaming classifier gate equals the batch scorer row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.ml.LinearClassifier
+    implicit val sq = spark.sqlContext
+    val train = spark.range(40).select(col("id"),
+      when(col("id") % 2 === 0, concat(lit("good solid prose item "),
+          col("id").cast("string")))
+        .otherwise(concat(lit("bad spam junk item "),
+          col("id").cast("string"))).as("text"),
+      when(col("id") % 2 === 0, 1L).otherwise(-1L).as("y"))
+    val w = LinearClassifier.trainTextClassifier(train, "id", "text", "y",
+      buckets = 64, epochs = 3, binary = true)
+    // the batch scorer's answers on a probe set incl. NULL and blank
+    val probe = Seq((1L, "good solid prose item 2"),
+      (2L, "bad spam junk item 3"), (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("id", "text")
+    val batch = LinearClassifier.scoreTextClassifier(probe, "id", "text", w,
+        buckets = 64, binary = true)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("margin"))),
+          Option(r.get(r.fieldIndex("pred"))))).toMap
+    val src = MemoryStream[(Long, String)]
+    val out = EventStream.classifyStream(src.toDF().toDF("id", "text"), w,
+      "text", buckets = 64, binary = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cls_stream").start()
+    try {
+      src.addData((1L, "good solid prose item 2"),
+        (2L, "bad spam junk item 3"), (3L, null: String))
+      q.processAllAvailable()
+      src.addData((4L, "")) // later micro-batch, same literal-map gate
+      q.processAllAvailable()
+      val m = spark.table("cls_stream").collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(r.fieldIndex("margin"))),
+            Option(r.get(r.fieldIndex("pred"))))).toMap
+      assert(m == batch, s"stream $m vs batch $batch")
+      assert(m(1L)._2 == Some(1) && m(2L)._2 == Some(-1))
+      assert(m(3L) == (None, None), "NULL text stays unknown")
+    } finally q.stop()
+    intercept[IllegalArgumentException](EventStream.classifyStream(
+      probe, w.filter(lit(false)), "text", buckets = 64))
+  }
+
   test("streaming sessionize carries the open session ACROSS micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.Ev
