@@ -36,6 +36,11 @@ object SparkEntry {
   private def ivfIdxDir(dir: String): String =
     scratchDir("graft-ivf-q60", tag = dir)
 
+  /** q116's int8-quantized IVF index dir — its own layout (grids +
+    * codebook), so it never shares q60's float dir. */
+  private def ivfqIdxDir(dir: String): String =
+    scratchDir("graft-ivfq-q116", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -482,6 +487,26 @@ object SparkEntry {
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // int8-quantized persisted IVF (the FAISS-IVF-SQ8 configuration):
+    // cells store GRIDS (the QuantBench 3.8× scan cut applied to the
+    // pruned cell reads), the codebook persists as the index's third
+    // table, probes quantize the queries under it and rank by the
+    // exact integer grid distance. nprobe = nlist → exhaustive → must
+    // reproduce q113's brute-force quantized answer — the q25 ≡ q60
+    // discipline on the quantized pair, under q113's oracle verbatim.
+    // Build-once guard per JVM (the q60 contract).
+    "q116_ann_ivf_quantized" -> ((s, dir) => {
+      val idx = ivfqIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 16,
+          quantize = true)
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKQuantized(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
@@ -1981,6 +2006,46 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Shared by q113 (brute-force quantized top-k) and q116 (the int8
+    * IVF index probed exhaustively): the scalar-quantization pipeline
+    * replayed from the float embeddings — per-dim min/max codebook,
+    * the one fixed IEEE quantize expression, the mismatched-grid /
+    * NULL-element exclusion, then exhaustive integer grid ranking. */
+  private val quantTopKOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |u AS (SELECT vec_id, w.pos AS pos, w.x AS x
+      |      FROM (SELECT vec_id, unnest(list_transform(
+      |              generate_series(1, len(v)), j -> {'pos': j, 'x': v[j]})) AS w
+      |            FROM e)),
+      |p AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u
+      |      WHERE x IS NOT NULL GROUP BY pos),
+      |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      |       FROM p),
+      |qv AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
+      |         j -> CASE WHEN v[j] IS NULL THEN NULL
+      |              WHEN mxs[j] = mns[j] THEN 0
+      |              ELSE least(255, greatest(0, CAST(floor(
+      |                ((v[j] - mns[j]) * 255.0) / (mxs[j] - mns[j]))
+      |                AS BIGINT))) END) AS q
+      |       FROM e, pl),
+      |s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        CASE WHEN len(a.q) <> len(c.q)
+      |               OR len(list_filter(a.q, x -> x IS NULL)) > 0
+      |               OR len(list_filter(c.q, x -> x IS NULL)) > 0
+      |             THEN NULL
+      |             ELSE list_sum(list_transform(generate_series(1, len(a.q)),
+      |               j -> (a.q[j] - c.q[j]) * (a.q[j] - c.q[j]))) END AS d2q
+      |      FROM (SELECT * FROM qv WHERE vec_id % 100 = 0) a
+      |      CROSS JOIN qv c WHERE a.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, CAST(d2q AS BIGINT) AS d2q,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT query_id, neighbor_id, d2q,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY d2q, neighbor_id) AS rank
+      |      FROM s WHERE d2q IS NOT NULL)
+      |WHERE rank <= 10""".stripMargin
+
   /** Shared by q74 (codebook fit) and q60_ann_ivf_build (IVF layout):
     * the quantized-integer Lloyd's replay — Cluster.fitCentroids's
     * exact contract unrolled as CTE blocks, the q97 BPE-round pattern.
@@ -2340,40 +2405,12 @@ object SparkEntry {
     // embeddings: per-dim min/max codebook, the one fixed IEEE
     // quantize expression (identical spelling on both engines — the
     // q70 floor discipline), then the exhaustive integer grid distance
-    "q113_ann_quantized" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE embedding IS NOT NULL),
-        |u AS (SELECT vec_id, w.pos AS pos, w.x AS x
-        |      FROM (SELECT vec_id, unnest(list_transform(
-        |              generate_series(1, len(v)), j -> {'pos': j, 'x': v[j]})) AS w
-        |            FROM e)),
-        |p AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u
-        |      WHERE x IS NOT NULL GROUP BY pos),
-        |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
-        |       FROM p),
-        |qv AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
-        |         j -> CASE WHEN v[j] IS NULL THEN NULL
-        |              WHEN mxs[j] = mns[j] THEN 0
-        |              ELSE least(255, greatest(0, CAST(floor(
-        |                ((v[j] - mns[j]) * 255.0) / (mxs[j] - mns[j]))
-        |                AS BIGINT))) END) AS q
-        |       FROM e, pl),
-        |s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        CASE WHEN len(a.q) <> len(c.q)
-        |               OR len(list_filter(a.q, x -> x IS NULL)) > 0
-        |               OR len(list_filter(c.q, x -> x IS NULL)) > 0
-        |             THEN NULL
-        |             ELSE list_sum(list_transform(generate_series(1, len(a.q)),
-        |               j -> (a.q[j] - c.q[j]) * (a.q[j] - c.q[j]))) END AS d2q
-        |      FROM (SELECT * FROM qv WHERE vec_id % 100 = 0) a
-        |      CROSS JOIN qv c WHERE a.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, CAST(d2q AS BIGINT) AS d2q,
-        |       CAST(rank AS INTEGER) AS rank
-        |FROM (SELECT query_id, neighbor_id, d2q,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id
-        |          ORDER BY d2q, neighbor_id) AS rank
-        |      FROM s WHERE d2q IS NOT NULL)
-        |WHERE rank <= 10""".stripMargin,
+    "q113_ann_quantized" -> quantTopKOracleSql,
+
+    // the persisted quantized index probed exhaustively must reproduce
+    // the brute-force quantized answer — the SAME oracle as q113, by
+    // construction not coincidence (the q25/q60 pair's discipline)
+    "q116_ann_ivf_quantized" -> quantTopKOracleSql,
 
     // q60 probes EVERY cell (nprobe = nlist), so the persisted-index IVF
     // path is exhaustive and must reproduce the brute-force answer —

@@ -260,13 +260,16 @@ object RecipeConf {
     case "ann_index" if mode != "create" && mode != "overwrite" =>
       sys.error(s"ann_index sink only supports mode create/overwrite " +
         s"(the index is rebuilt whole), got '$mode'")
+    // options.quantize: true builds the int8 layout (grids + codebook —
+    // the FAISS-IVF-SQ8 shape); probe it with ann_topk quantized: true
     case "ann_index" => graft.sim.Ann.writeIvfIndex(df,
       cId = ds.options.getOrElse("id",
         sys.error("ann_index sink needs options.id (vector id column)")),
       cVec = ds.options.getOrElse("vec",
         sys.error("ann_index sink needs options.vec (embedding column)")),
       path = ds.path,
-      nlist = sinkIntOpt(ds, "nlist", 16))
+      nlist = sinkIntOpt(ds, "nlist", 16),
+      quantize = ds.options.get("quantize").exists(_.toBoolean))
     // persisted near-dup band index (shingles + band tables, manifest
     // last) — the corpus side of incremental near-dup dedup, signed
     // once; same whole-or-nothing contract as ann_index
@@ -1171,7 +1174,13 @@ object RecipeConf {
             require(ds.format == "ann_index",
               s"$op: dataset '$name' has format '${ds.format}' — " +
                 "'index' must name an ann_index dataset")
-            graft.sim.Ann.ivfIndexTopK(spark, ds.path, df, id, vec,
+            // quantized: true routes to the int8 probe; each entry
+            // point refuses the other's layout loudly, so a stale YAML
+            // flag cannot silently score the wrong space
+            if (knobBool("quantized", false))
+              graft.sim.Ann.ivfIndexTopKQuantized(spark, ds.path, df, id,
+                vec, k = k, nprobe = knobInt("nprobe", 4))
+            else graft.sim.Ann.ivfIndexTopK(spark, ds.path, df, id, vec,
               k = k, nprobe = knobInt("nprobe", 4))
           case Some(_) => sys.error(s"$op: 'index' is blank — name an " +
             "ann_index dataset or use dataset:/method: for direct scoring")

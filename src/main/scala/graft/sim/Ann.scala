@@ -219,8 +219,20 @@ object Ann {
     * filters on `__cell`, so Spark prunes whole cell directories at the
     * scan — each query batch reads nprobe/nlist of the corpus bytes,
     * which is the property that makes IVF work at 100 TB. */
+  /** `quantize = true` builds the FAISS-IVF-SQ8 configuration: cells
+    * store int8 GRIDS (one quarter of the float bytes — the QuantBench
+    * 3.8× parquet measurement — which at 100 TB is the difference in
+    * what a probe's pruned cell scan reads) plus the [[int8Params]]
+    * codebook as a third index table; probes quantize the QUERY under
+    * the stored codebook and rank by the exact integer grid distance
+    * ([[quantizedTopK]]'s contract) via [[ivfIndexTopKQuantized]].
+    * The float and quantized layouts are distinct index formats — the
+    * manifest records which one was built and each probe entry point
+    * refuses the other's layout loudly (scoring float cosine against
+    * grids, or grids against floats, would be silently wrong). */
   def writeIvfIndex(corpus: DataFrame, cId: String, cVec: String,
-      path: String, nlist: Int = 16, seed: Long = 42L): Unit = {
+      path: String, nlist: Int = 16, seed: Long = 42L,
+      quantize: Boolean = false): Unit = {
     // a REBUILD dying between the table writes must not leave the
     // previous build's manifest certifying half-written tables (e.g.
     // old nlist over new cell dirs) — retract the certificate first,
@@ -247,10 +259,21 @@ object Ann {
         col(cVec).as("__cv"))
       .withColumn("__qv", transform(col("__cv"),
         x => floor(x.cast("double") * scale).cast("long")))
-    graft.sim.Cluster
+    val assigned0 = graft.sim.Cluster
       .clusterAssign(corpusQ, "neighbor_id", "__qv", centsQDf, "cid", "qcv")
-      .select(col("neighbor_id"), col("__cv"),
-        col("cluster_id").cast("int").as("__cell"))
+      .withColumn("__cell", col("cluster_id").cast("int"))
+    val assigned =
+      if (!quantize) assigned0.select("neighbor_id", "__cv", "__cell")
+      else {
+        // the codebook is fit on the SAME corpus the cells store, and
+        // persisted as the index's third table — a probe quantizing its
+        // queries under any other params would sit on a different grid
+        val params = int8Params(corpus, cVec)
+        params.coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+        quantizeInt8(assigned0, "__cv", params, "qvec")
+          .select("neighbor_id", "qvec", "__cell")
+      }
+    assigned
       // one output dir (and typically one file) per cell
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
@@ -271,7 +294,7 @@ object Ann {
     // the written footers (metadata-only count — no data re-read).
     val spark = corpus.sparkSession
     val rows = spark.read.parquet(s"$path/assigned").count()
-    writeManifest(spark, path, nlist, rows)
+    writeManifest(spark, path, nlist, rows, quant = quantize)
   }
 
   /** Manifest location + read/write. One tiny JSON line; parsed with a
@@ -281,22 +304,25 @@ object Ann {
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.json")
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, nlist: Int, rows: Long): Unit = {
+      path: String, nlist: Int, rows: Long, quant: Boolean): Unit = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
       (s"""{"nlist": $nlist, "rows": $rows, """ +
+        s""""quant": ${if (quant) 1 else 0}, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Read an index dir's build manifest: (nlist, rows, built_ms).
-    * None when absent — an incomplete or pre-manifest build. */
+  /** Read an index dir's build manifest: (nlist, rows, built_ms,
+    * quantized). None when absent — an incomplete or pre-manifest
+    * build; a pre-quantization manifest (no `quant` field) reads as a
+    * float layout. */
   private[graft] def readManifest(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : Option[(Int, Long, Long)] = {
+      : Option[(Int, Long, Long, Boolean)] = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -307,7 +333,7 @@ object Ann {
       def field(k: String): Option[Long] =
         (s""""$k":\\s*(\\d+)""".r).findFirstMatchIn(txt).map(_.group(1).toLong)
       for (n <- field("nlist"); r <- field("rows"); b <- field("built_ms"))
-        yield (n.toInt, r, b)
+        yield (n.toInt, r, b, field("quant").exists(_ == 1L))
     }
   }
 
@@ -316,41 +342,52 @@ object Ann {
     * partitioned corpus — the `__cell` keys drive partition pruning so
     * only probed cell directories are read. Same scoring contract as
     * ivfTopK. */
-  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, qId: String, qVec: String,
-      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  /** Shared probe-side index opener: existence, torn-build / staleness
+    * guards (manifest written LAST; centroid table must agree with its
+    * nlist), and the float-vs-quantized LAYOUT check — scoring float
+    * cosine against int8 grids (or grids against floats) would be
+    * silently wrong, so each probe entry point names the right one.
+    * Cost: one tiny-file read + a count on the nlist-row centroid
+    * table; the 100-TB assigned/ table is never touched by the check. */
+  private def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, probe: String, wantQuant: Boolean)
+      : (DataFrame, DataFrame) = {
     // name a wrong path / not-an-index directory instead of surfacing a
     // bare parquet PATH_NOT_FOUND from one of the two sub-reads
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("assigned", "centroids").foreach { t =>
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
-        s"ivfIndexTopK: '$path' is not an IVF index (missing $t/ — " +
+        s"$probe: '$path' is not an IVF index (missing $t/ — " +
           "build one with writeIvfIndex or the ann_index sink)")
     }
-    // staleness / torn-build guard: the manifest is written LAST by
-    // writeIvfIndex, so a missing manifest means the build never
-    // finished (or an out-of-band rebuild is mid-write), and a centroid
-    // table whose size disagrees with the manifest's nlist means the
-    // probe would score against cells from one build and centroids from
-    // another. Both fail loudly here — a long-lived JVM (the API
-    // server) must never silently probe a dir someone rebuilt under it.
-    // Cost: one tiny-file read + a count on the nlist-row centroid
-    // table; the 100-TB assigned/ table is never touched by the check.
+    // a long-lived JVM (the API server) must never silently probe a
+    // dir someone rebuilt under it — both torn states fail loudly
     val mf = readManifest(spark, path).getOrElse(
       throw new IllegalStateException(
-        s"ivfIndexTopK: '$path' has no build manifest — the index build " +
+        s"$probe: '$path' has no build manifest — the index build " +
           "did not complete (or is being rebuilt right now); rerun " +
           "writeIvfIndex / the ann_index sink"))
+    require(mf._4 == wantQuant,
+      if (mf._4) s"$probe: '$path' is an int8-QUANTIZED index — probe " +
+        "with ivfIndexTopKQuantized (float cosine against grids would " +
+        "be silently wrong)"
+      else s"$probe: '$path' is a FLOAT index — probe with ivfIndexTopK " +
+        "(it stores no grids or codebook)")
     val centDfRaw = spark.read.parquet(s"$path/centroids")
     val nCent = centDfRaw.count()
     require(nCent == mf._1,
-      s"ivfIndexTopK: '$path' is torn — manifest says nlist=${mf._1} but " +
+      s"$probe: '$path' is torn — manifest says nlist=${mf._1} but " +
         s"centroids/ has $nCent rows (index rebuilt out-of-band " +
         "mid-probe?); rebuild with writeIvfIndex")
-    val assigned = spark.read.parquet(s"$path/assigned")
+    (centDfRaw, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Rank each query's nprobe nearest cells by float centroid distance:
+    * (query_id, __qv raw, __cell) probe rows — the cell keys drive the
+    * partition-pruned assigned/ scan in both probe flavors. */
+  private def probeCells(queries: DataFrame, qId: String, qVec: String,
+      centDfRaw: DataFrame, nprobe: Int): DataFrame = {
     val centDf = broadcast(centDfRaw)
     val q = queryProjection(queries, qId, qVec)
     val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
@@ -358,12 +395,60 @@ object Ann {
       zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("__cell"))
-    val probes = qd.crossJoin(centDf)
+    qd.crossJoin(centDf)
       .withColumn("__d2", dist2)
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select("query_id", "__qv", "__cell")
+  }
+
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val (centDfRaw, assigned) =
+      openIvfIndex(spark, path, "ivfIndexTopK", wantQuant = false)
+    val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
     scoreAndRank(probes.join(assigned, Seq("__cell")), k, excludeSelf)
+  }
+
+  /** Probe an int8-quantized IVF index (writeIvfIndex `quantize =
+    * true`): cells rank by float centroid distance as usual, the QUERY
+    * vectors quantize under the index's own persisted codebook, and
+    * candidates rank by the exact integer grid distance —
+    * [[quantizedTopK]]'s contract, so an exhaustive probe
+    * (nprobe = nlist) must reproduce the brute-force quantized answer
+    * (the q25 ≡ q60 discipline, on the quantized pair q113 ≡ q116).
+    * Output: (query_id, neighbor_id, d2q, rank). */
+  def ivfIndexTopKQuantized(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val (centDfRaw, assigned) =
+      openIvfIndex(spark, path, "ivfIndexTopKQuantized", wantQuant = true)
+    val params = spark.read.parquet(s"$path/params")
+    val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
+    val probesQ = quantizeInt8(probes, "__qv", params, "__qq")
+      .select("query_id", "__qq", "__cell")
+    val cands = probesQ.join(assigned, Seq("__cell"))
+    val filtered =
+      if (excludeSelf) cands.filter(col("query_id") =!= col("neighbor_id"))
+      else cands
+    val d2 = aggregate(
+      zip_with(col("__qq"), col("qvec"),
+        (a, b) => (a.cast("long") - b.cast("long")) *
+          (a.cast("long") - b.cast("long"))),
+      lit(0L), (s, x) => s + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2q").asc, col("neighbor_id"))
+    filtered
+      .withColumn("d2q", d2)
+      .filter(col("d2q").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "d2q", "rank")
   }
 
   /** Embedding near-duplicate pairs within a blocking column: exact

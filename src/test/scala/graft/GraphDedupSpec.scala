@@ -296,6 +296,39 @@ class GraphDedupSpec extends SparkSpec {
     assert(e4.getMessage.contains("torn"), e4.getMessage)
   }
 
+  test("int8 IVF index: exhaustive probe equals brute-force quantized; layouts refuse each other") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val idxQ = java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxQ, nlist = 8,
+      quantize = true)
+    // exhaustive probe (nprobe = nlist) must EQUAL the brute-force
+    // quantized answer — same codebook, same grid, same ranking
+    val viaIndex = Ann.ivfIndexTopKQuantized(spark, idxQ, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val qv = Ann.quantizeInt8(e, "embedding", Ann.int8Params(e, "embedding"))
+    val direct = Ann.quantizedTopK(qv.filter(col("vec_id") % 100 === 0), qv,
+      "vec_id", "qvec", "vec_id", "qvec", k = 5)
+    assert(viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0,
+      "quantized index probe diverges from brute-force quantized")
+    // the index stores grids + codebook, never floats
+    assert(new java.io.File(s"$idxQ/params").exists())
+    assert(spark.read.parquet(s"$idxQ/assigned").columns.toSet ==
+      Set("neighbor_id", "qvec", "__cell"))
+    // layout checks are LOUD in both directions
+    val eF = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, idxQ, q, "vec_id", "embedding", k = 2)
+    }
+    assert(eF.getMessage.contains("QUANTIZED"), eF.getMessage)
+    val idxF = java.nio.file.Files.createTempDirectory("graft-ivff").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxF, nlist = 8)
+    val eQ = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopKQuantized(spark, idxF, q, "vec_id", "embedding", k = 2)
+    }
+    assert(eQ.getMessage.contains("FLOAT"), eQ.getMessage)
+  }
+
   test("hyperplane-LSH ANN: pinned recall + exact scores on the driver embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")

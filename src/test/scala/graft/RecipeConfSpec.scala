@@ -1188,6 +1188,42 @@ class RecipeConfSpec extends SparkSpec {
          |""".stripMargin)
     val e = intercept[IllegalArgumentException] { RecipeConf.run(spark, bad, "p") }
     assert(e.getMessage.contains("must name an ann_index dataset"), e.getMessage)
+
+    // the int8 layout end-to-end from YAML: quantize: true sink, then
+    // ann_topk quantized: true probes it exhaustively — must equal the
+    // brute-force quantized ranking; the float probe refuses the layout
+    val qc = RecipeConf.load(
+      s"""datasets:
+         |  vectors: {path: $dir/ann_in, format: parquet}
+         |  the_ann_q:
+         |    path: $dir/ann_out_q
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "4", quantize: "true"}
+         |recipes:
+         |  build: {input: vectors, steps: [], output: the_ann_q}
+         |  probe:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2,
+         |                   index: the_ann_q, nprobe: 4, quantized: true}
+         |  wrongprobe:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2, index: the_ann_q}
+         |""".stripMargin)
+    RecipeConf.run(spark, qc, "build")
+    val vq = graft.sim.Ann.quantizeInt8(
+      spark.read.parquet(s"$dir/ann_in"), "embedding",
+      graft.sim.Ann.int8Params(spark.read.parquet(s"$dir/ann_in"), "embedding"))
+    val directQ = graft.sim.Ann.quantizedTopK(vq, vq,
+      "vec_id", "qvec", "vec_id", "qvec", k = 2)
+    val probedQ = RecipeConf.run(spark, qc, "probe")
+    assert(probedQ.exceptAll(directQ).isEmpty && directQ.exceptAll(probedQ).isEmpty,
+      "YAML quantized probe diverges from brute-force quantized")
+    val eQ = intercept[IllegalArgumentException] {
+      RecipeConf.run(spark, qc, "wrongprobe")
+    }
+    assert(eQ.getMessage.contains("QUANTIZED"), eQ.getMessage)
   }
 
   test("neardup_index sink from YAML persists a probe-able band layout") {
