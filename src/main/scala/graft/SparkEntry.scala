@@ -1691,8 +1691,8 @@ object SparkEntry {
         "text", "y", buckets = 256, epochs = 3, binary = true)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       EventStream.runOnce(s, dir,
-        st => EventStream.classifyStream(classifierFixture(st), w, "text",
-          buckets = 256, binary = true)
+        st => EventStream.classifyStream(classifierFixture(st), w,
+          "doc_id", "text", buckets = 256, binary = true)
           .select("doc_id", "margin", "pred"),
         queryName = "q115_mem", schema = schema,
         globFilter = Some("documents.parquet"))
@@ -1840,7 +1840,11 @@ object SparkEntry {
     // detector (prefix × postings candidates), and the int8-quantized
     // ANN probe (the 4x-memory scan path; q25 is its float twin)
     "q110_classifier_fit", "q111_classifier_score",
-    "q112_containment_pairs", "q113_ann_quantized")
+    "q112_containment_pairs", "q113_ann_quantized",
+    // the persisted int8 IVF probe (builds on this JVM's first q116
+    // touch, so the min of 5 samples is the steady-state probe — the
+    // q60/q107 build-once discipline)
+    "q116_ann_ivf_quantized")
 
   // ------------------------------------------------------------- oracles
 

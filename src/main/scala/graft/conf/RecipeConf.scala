@@ -269,7 +269,11 @@ object RecipeConf {
         sys.error("ann_index sink needs options.vec (embedding column)")),
       path = ds.path,
       nlist = sinkIntOpt(ds, "nlist", 16),
-      quantize = ds.options.get("quantize").exists(_.toBoolean))
+      quantize = ds.options.get("quantize") match {
+        case None => false
+        case Some(v) => v.toBooleanOption.getOrElse(sys.error(
+          s"ann_index sink: options.quantize must be true/false, got '$v'"))
+      })
     // persisted near-dup band index (shingles + band tables, manifest
     // last) — the corpus side of incremental near-dup dedup, signed
     // once; same whole-or-nothing contract as ann_index

@@ -358,7 +358,7 @@ object Ann {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("assigned", "centroids").foreach { t =>
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
-        s"$probe: '$path' is not an IVF index (missing $t/ — " +
+        s"$probe: '$path' is not a complete IVF index (missing $t/ — " +
           "build one with writeIvfIndex or the ann_index sink)")
     }
     // a long-lived JVM (the API server) must never silently probe a
@@ -374,6 +374,14 @@ object Ann {
         "be silently wrong)"
       else s"$probe: '$path' is a FLOAT index — probe with ivfIndexTopK " +
         "(it stores no grids or codebook)")
+    // a quantized layout has a third table — checked AFTER the layout
+    // test (a float dir should say FLOAT, not "missing params/") so a
+    // torn quantized build names the contract instead of surfacing a
+    // bare parquet PATH_NOT_FOUND on params/
+    if (wantQuant)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/params")),
+        s"$probe: '$path' is not a complete IVF index (missing params/ — " +
+          "build one with writeIvfIndex or the ann_index sink)")
     val centDfRaw = spark.read.parquet(s"$path/centroids")
     val nCent = centDfRaw.count()
     require(nCent == mf._1,
@@ -432,23 +440,9 @@ object Ann {
     val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
     val probesQ = quantizeInt8(probes, "__qv", params, "__qq")
       .select("query_id", "__qq", "__cell")
-    val cands = probesQ.join(assigned, Seq("__cell"))
-    val filtered =
-      if (excludeSelf) cands.filter(col("query_id") =!= col("neighbor_id"))
-      else cands
-    val d2 = aggregate(
-      zip_with(col("__qq"), col("qvec"),
-        (a, b) => (a.cast("long") - b.cast("long")) *
-          (a.cast("long") - b.cast("long"))),
-      lit(0L), (s, x) => s + x)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2q").asc, col("neighbor_id"))
-    filtered
-      .withColumn("d2q", d2)
-      .filter(col("d2q").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "d2q", "rank")
+    rankByGridDistance(
+      probesQ.join(assigned.withColumnRenamed("qvec", "__qc"), Seq("__cell")),
+      k, excludeSelf)
   }
 
   /** Embedding near-duplicate pairs within a blocking column: exact
@@ -710,10 +704,21 @@ object Ann {
       .select(col(qId).as("query_id"), col(qVec).as("__qq"))
       .dropDuplicates("query_id"))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__qc"))
-    val joined = q.crossJoin(c)
+    rankByGridDistance(q.crossJoin(c), k, excludeSelf)
+  }
+
+  /** Shared integer-grid scoring tail — ONE implementation for the
+    * brute-force ([[quantizedTopK]]) and persisted-index
+    * ([[ivfIndexTopKQuantized]]) probes, the scoreAndRank discipline:
+    * the q113 ≡ q116 shared-oracle contract holds BY CONSTRUCTION only
+    * while the two entry points cannot drift on the distance, the
+    * NULL-grid exclusion, the tie-break, or excludeSelf. Candidates
+    * must carry (query_id, __qq, neighbor_id, __qc). */
+  private def rankByGridDistance(candidates: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val filtered =
-      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
-      else joined
+      if (excludeSelf) candidates.filter(col("query_id") =!= col("neighbor_id"))
+      else candidates
     val d2 = aggregate(
       zip_with(col("__qq"), col("__qc"),
         (a, b) => (a.cast("long") - b.cast("long")) *

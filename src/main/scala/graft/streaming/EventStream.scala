@@ -361,12 +361,18 @@ object EventStream {
     * row's hashed tokens (`binary = true` folds distinct buckets —
     * MUST match the training call, the scoreTextClassifier contract),
     * seeded with the bias weight, unknown buckets contributing 0 —
-    * exactly the batch scorer's join semantics (spec-pinned equal).
-    * NULL text → NULL margin + NULL pred; blank text → bias-only
-    * margin. Adds (margin, pred) to the stream. */
+    * the batch scorer's join semantics (spec-pinned equal).
+    * NULL id or NULL text → NULL margin + NULL pred (the batch scorer
+    * surfaces exactly those rows as unknown — the id column is part of
+    * the contract, not decoration); blank text → bias-only margin.
+    * One deliberate divergence: a stateless gate scores each row
+    * INDEPENDENTLY, while the batch scorer pools a duplicated id's
+    * tokens into one shared margin — feed the gate unique ids (the
+    * fit's own contract) if the two must agree row for row. Adds
+    * (margin, pred) to the stream. */
   def classifyStream(stream: DataFrame, weights: DataFrame,
-      textCol: String, buckets: Int, lowercase: Boolean = true,
-      binary: Boolean = false): DataFrame = {
+      idCol: String, textCol: String, buckets: Int,
+      lowercase: Boolean = true, binary: Boolean = false): DataFrame = {
     require(buckets >= 2, s"classifyStream: buckets must be >= 2, got $buckets")
     val rows = weights
       .select(col("feat").cast("long"), col("w").cast("long")).collect()
@@ -382,7 +388,7 @@ object EventStream {
       t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
         lit(buckets.toLong)))
     val folded = if (binary) array_distinct(hashed) else hashed
-    val margin = when(col(textCol).isNotNull,
+    val margin = when(col(idCol).isNotNull && col(textCol).isNotNull,
       aggregate(folded, lit(bias),
         (s, h) => s + coalesce(element_at(wmap, h), lit(0L))))
     stream

@@ -272,7 +272,7 @@ class GraphDedupSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       Ann.ivfIndexTopK(spark, s"$idxPath/nope", q, "vec_id", "embedding", k = 2)
     }
-    assert(e2.getMessage.contains("not an IVF index"), e2.getMessage)
+    assert(e2.getMessage.contains("not a complete IVF index"), e2.getMessage)
     // torn-build guards (r8 VERDICT #7): the manifest is written LAST,
     // so (a) no manifest = build never completed → loud failure, and
     // (b) a manifest disagreeing with the centroid table = tables from

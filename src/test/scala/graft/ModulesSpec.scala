@@ -408,26 +408,35 @@ class ModulesSpec extends SparkSpec {
         (Option(r.get(r.fieldIndex("margin"))),
           Option(r.get(r.fieldIndex("pred"))))).toMap
     val src = MemoryStream[(Long, String)]
-    val out = EventStream.classifyStream(src.toDF().toDF("id", "text"), w,
-      "text", buckets = 64, binary = true)
+    // id 99 maps to a NULL id inside the stream plan — the unknown-id
+    // branch (MemoryStream's tuple encoder cannot carry a null Long)
+    val out = EventStream.classifyStream(
+      src.toDF().toDF("id", "text").withColumn("id",
+        when(col("id") === 99L, lit(null).cast("long")).otherwise(col("id"))),
+      w, "id", "text", buckets = 64, binary = true)
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("cls_stream").start()
     try {
       src.addData((1L, "good solid prose item 2"),
         (2L, "bad spam junk item 3"), (3L, null: String))
       q.processAllAvailable()
-      src.addData((4L, "")) // later micro-batch, same literal-map gate
+      src.addData((4L, ""), (99L, "good solid prose item 2"))
       q.processAllAvailable()
-      val m = spark.table("cls_stream").collect()
+      val rows = spark.table("cls_stream").collect()
+      val m = rows.filter(!_.isNullAt(0))
         .map(r => r.getLong(0) ->
           (Option(r.get(r.fieldIndex("margin"))),
             Option(r.get(r.fieldIndex("pred"))))).toMap
       assert(m == batch, s"stream $m vs batch $batch")
       assert(m(1L)._2 == Some(1) && m(2L)._2 == Some(-1))
       assert(m(3L) == (None, None), "NULL text stays unknown")
+      val nullId = rows.find(_.isNullAt(0)).get
+      assert(nullId.isNullAt(nullId.fieldIndex("margin")) &&
+        nullId.isNullAt(nullId.fieldIndex("pred")),
+        "NULL id stays unknown even with scoreable text")
     } finally q.stop()
     intercept[IllegalArgumentException](EventStream.classifyStream(
-      probe, w.filter(lit(false)), "text", buckets = 64))
+      probe, w.filter(lit(false)), "id", "text", buckets = 64))
   }
 
   test("streaming sessionize carries the open session ACROSS micro-batches") {
