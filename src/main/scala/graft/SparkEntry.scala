@@ -104,6 +104,26 @@ object SparkEntry {
       .withColumn("y", when(id % 17 === 0, -base).otherwise(base))
   }
 
+  /** The q117/q118 MULTICLASS fixture: three disjoint marker phrases
+    * planted by id % 3, labels rotated one class forward for the
+    * id % 17 flips (~6% label noise). Each pairwise split is balanced
+    * and noisy-separable — the one-vs-one trainer's stable regime
+    * (simulated before wiring: 3 epochs recover the planted class on
+    * all 500 rows; the flips stay as each pair's live mis batch). The
+    * oracle's `d` CTE replays this transform verbatim. */
+  private def multiClassifierFixture(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val idx = id % 3
+    d.withColumn("text", concat(col("text"),
+        when(idx === 0, lit(" crisp curated prose"))
+          .when(idx === 1, lit(" noisy boiler plate"))
+          .otherwise(lit(" mediocre average filler"))))
+      .withColumn("lb", when(id % 17 === 0,
+          when(idx === 0, "spam").when(idx === 1, "filler").otherwise("prose"))
+        .otherwise(
+          when(idx === 0, "prose").when(idx === 1, "spam").otherwise("filler")))
+  }
+
   /** Build the shared q107/q108 band index over the fixture corpus on
     * this JVM's first touch (the ivfBuilt guard contract) and return
     * its path. */
@@ -1678,6 +1698,34 @@ object SparkEntry {
         buckets = 256, binary = true).select("doc_id", "margin", "pred")
     }),
 
+    // MULTICLASS (one-vs-one) classifier training
+    // (LinearClassifier.trainTextClassifierMulti): one balanced
+    // pairwise perceptron per class pair — the fastText-style
+    // language/quality router. Three planted classes with rotated
+    // label flips (the q110 discipline, multiclass); the model is the
+    // (label_a, label_b, feat, w) table, every coordinate
+    // oracle-replayed through three pairwise CTE towers.
+    "q117_classifier_multi_fit" -> ((s, dir) => {
+      graft.ml.LinearClassifier.trainTextClassifierMulti(
+        multiClassifierFixture(t(s, dir, "documents")), "doc_id", "text",
+        "lb", buckets = 256, epochs = 3, binary = true)
+        .orderBy("label_a", "label_b", "feat")
+    }),
+
+    // ... and multiclass PREDICTION: every doc scored by all pairs,
+    // majority vote, lexicographic tie-break — recovers the planted
+    // class on every row (the ~6% flipped labels lose their vote, the
+    // noise-robustness the decomposition buys). One broadcast of the
+    // pairs x features table + id-keyed exchanges, no iteration.
+    "q118_classifier_multi_pred" -> ((s, dir) => {
+      val d = multiClassifierFixture(t(s, dir, "documents"))
+      val w = graft.ml.LinearClassifier.trainTextClassifierMulti(d,
+        "doc_id", "text", "lb", buckets = 256, epochs = 3, binary = true)
+      graft.ml.LinearClassifier.scoreTextClassifierMulti(d, "doc_id",
+        "text", w, buckets = 256, binary = true)
+        .select("doc_id", "pred_label", "n_votes")
+    }),
+
     // q111's scoring at INGEST time (EventStream.classifyStream): the
     // docs arrive as a stream, the batch-fitted weight table rides the
     // plan as a literal map, and each row's margin is a row-local fold
@@ -2137,6 +2185,64 @@ object SparkEntry {
     }.mkString(",\n")
     if (epochs >= 2) head + ",\n" + rounds else head
   }
+
+  /** Shared by q117 (multiclass fit) and q118 (multiclass prediction):
+    * the one-vs-one decomposition replayed — the shared fixture `d`
+    * (three planted marker classes, rotated id % 17 flips), the
+    * presence-triples `f`, then one full perceptron CTE tower PER
+    * CLASS PAIR (suffix-named; each pair's docs filtered to its two
+    * labels, y = +1 for the lexicographically smaller). Epochs unroll
+    * exactly like the binary tower. */
+  private def perceptronOvOOracleCtes(buckets: Int, epochs: Int): String = {
+    val head =
+      s"""WITH d AS (SELECT doc_id AS id,
+         |   CASE WHEN doc_id % 17 = 0 THEN
+         |     CASE WHEN doc_id % 3 = 0 THEN 'spam'
+         |          WHEN doc_id % 3 = 1 THEN 'filler' ELSE 'prose' END
+         |   ELSE
+         |     CASE WHEN doc_id % 3 = 0 THEN 'prose'
+         |          WHEN doc_id % 3 = 1 THEN 'spam' ELSE 'filler' END
+         |   END AS lb,
+         |   text || CASE WHEN doc_id % 3 = 0 THEN ' crisp curated prose'
+         |                WHEN doc_id % 3 = 1 THEN ' noisy boiler plate'
+         |                ELSE ' mediocre average filler' END AS text
+         |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         |tok AS (SELECT id,
+         |   unnest(string_split_regex(<STRIP:lower(text)>, '<WS>+')) AS t
+         |  FROM d WHERE <STRIP:text> <> ''),
+         |f AS (SELECT id,
+         |   ('0x' || substr(md5(t), 1, 15))::BIGINT % $buckets AS feat,
+         |   1::BIGINT AS x FROM tok GROUP BY 1, 2
+         |  UNION ALL SELECT id, -1::BIGINT, 1::BIGINT FROM d)""".stripMargin
+    val towers = ovoPairs.map { case (s, a, b) =>
+      val base =
+        s"""d$s AS (SELECT id, CASE WHEN lb = '$a' THEN 1 ELSE -1 END AS y
+           |  FROM d WHERE lb IN ('$a', '$b')),
+           |w${s}1 AS (SELECT f.feat, SUM(dd.y * f.x) AS w
+           |  FROM f JOIN d$s dd USING (id) GROUP BY 1)""".stripMargin
+      val rounds = (2 to epochs).map { r =>
+        s"""m$s$r AS (SELECT dd.id, dd.y, COALESCE(SUM(f.x * w.w), 0) AS margin
+           |  FROM d$s dd LEFT JOIN f ON f.id = dd.id
+           |  LEFT JOIN w$s${r - 1} w ON w.feat = f.feat
+           |  GROUP BY dd.id, dd.y),
+           |mis$s$r AS (SELECT id, y FROM m$s$r WHERE y * margin <= 0),
+           |dl$s$r AS (SELECT f.feat, SUM(m.y * f.x) AS dw
+           |  FROM f JOIN mis$s$r m USING (id) GROUP BY 1),
+           |w$s$r AS (SELECT COALESCE(w.feat, u.feat) AS feat,
+           |   COALESCE(w.w, 0) + COALESCE(u.dw, 0) AS w
+           |  FROM w$s${r - 1} w FULL OUTER JOIN dl$s$r u ON w.feat = u.feat)"""
+          .stripMargin
+      }.mkString(",\n")
+      if (epochs >= 2) base + ",\n" + rounds else base
+    }.mkString(",\n")
+    head + ",\n" + towers
+  }
+
+  /** The q117/q118 class pairs: (cte suffix, label_a, label_b) with
+    * label_a < label_b — the trainer's own pair enumeration order. */
+  private val ovoPairs = Seq(
+    ("fp", "filler", "prose"), ("fs", "filler", "spam"),
+    ("ps", "prose", "spam"))
 
   /** Shared by q111 (batch scoring) and q115 (the streaming gate):
     * per-doc margins under the fitted weights — two physical
@@ -3435,6 +3541,33 @@ object SparkEntry {
     // strategies: batch broadcast join + doc-id exchange vs the
     // row-local literal-map fold per micro-batch)
     "q115_stream_classify" -> classifierScoreOracleSql,
+
+    // the three pairwise towers' final weight tables, stacked with
+    // their pair labels — the whole multiclass model hash-checked
+    "q117_classifier_multi_fit" -> (perceptronOvOOracleCtes(256, 3) +
+      "\n" + ovoPairs.map { case (s, a, b) =>
+        s"SELECT '$a' AS label_a, '$b' AS label_b, feat, " +
+          s"CAST(w AS BIGINT) AS w FROM w${s}3"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY label_a, label_b, feat")),
+
+    // every doc scored by every pair, majority vote, lexicographic
+    // tie-break — the prediction surface over the same towers
+    "q118_classifier_multi_pred" -> (perceptronOvOOracleCtes(256, 3) +
+      s""",
+        |mg AS (${ovoPairs.map { case (s, a, b) =>
+          s"""SELECT f.id, '$a' AS la, '$b' AS lbl, SUM(f.x * w.w) AS m
+             |  FROM f JOIN w${s}3 w ON w.feat = f.feat GROUP BY 1""".stripMargin
+        }.mkString("\nUNION ALL\n")}),
+        |vt AS (SELECT id, CASE WHEN m > 0 THEN la ELSE lbl END AS winner
+        |       FROM mg),
+        |vc AS (SELECT id, winner, COUNT(*) AS n_votes FROM vt GROUP BY 1, 2),
+        |best AS (SELECT id, winner, n_votes FROM (
+        |   SELECT id, winner, n_votes, ROW_NUMBER() OVER (
+        |     PARTITION BY id ORDER BY n_votes DESC, winner) AS rn FROM vc)
+        |  WHERE rn = 1)
+        |SELECT doc.doc_id, best.winner AS pred_label, best.n_votes
+        |FROM documents doc LEFT JOIN best ON best.id = doc.doc_id"""
+        .stripMargin),
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

@@ -492,31 +492,47 @@ object RecipeConf {
           namedDataset(), symCol = knob("token", "token"))
       // fastText-style linear classifier (batch perceptron, integer
       // weights). Two shapes, disambiguated by which key is present:
-      //   classify: {id, text, label: ycol[, buckets, epochs, binary]}
-      //     → the (feat, w) weight-table artifact (persist it);
-      //   classify: {id, text, dataset: weights, buckets, binary}
-      //     → df + (margin, pred). buckets/binary are PART OF the
-      //       model, and the weight artifact carries no metadata to
-      //       detect a mismatch — so SCORE mode requires both
-      //       EXPLICITLY (defaulting them would silently hash into a
-      //       different feature space and mis-score every row).
+      //   classify: {id, text, label: ycol[, buckets, epochs, binary,
+      //              multi]}
+      //     → the weight-table artifact (persist it): (feat, w) for
+      //       binary ±1 labels, or with multi: true one one-vs-one
+      //       perceptron per class pair — (label_a, label_b, feat, w)
+      //       over an arbitrary string label column;
+      //   classify: {id, text, dataset: weights, buckets, binary
+      //              [, multi]}
+      //     → df + (margin, pred) / (pred_label, n_votes).
+      //       buckets/binary are PART OF the model, and the weight
+      //       artifact carries no metadata to detect a mismatch — so
+      //       SCORE mode requires both EXPLICITLY (defaulting them
+      //       would silently hash into a different feature space and
+      //       mis-score every row).
       case "classify" => df => {
         val hasLabel = m.contains("label")
         val hasWeights = m.contains("dataset")
         require(hasLabel != hasWeights,
           "classify: exactly one of label (fit) or dataset (score) required")
-        if (hasLabel)
-          graft.ml.LinearClassifier.trainTextClassifier(df, req("id"),
+        val multi = knobBool("multi", false)
+        if (hasLabel) {
+          if (multi)
+            graft.ml.LinearClassifier.trainTextClassifierMulti(df, req("id"),
+              req("text"), req("label"), knobInt("buckets", 4096),
+              epochs = knobInt("epochs", 3),
+              binary = knobBool("binary", false))
+          else graft.ml.LinearClassifier.trainTextClassifier(df, req("id"),
             req("text"), req("label"), knobInt("buckets", 4096),
             epochs = knobInt("epochs", 3),
             binary = knobBool("binary", false))
-        else {
+        } else {
           if (!m.contains("buckets") || !m.contains("binary"))
             sys.error("classify (score): buckets and binary must be given " +
               "explicitly and match the training call — they define the " +
               "model's feature space, and the weight table cannot " +
               "detect a mismatch")
-          graft.ml.LinearClassifier.scoreTextClassifier(df, req("id"),
+          if (multi)
+            graft.ml.LinearClassifier.scoreTextClassifierMulti(df, req("id"),
+              req("text"), namedDataset(), knobInt("buckets", 4096),
+              binary = knobBool("binary", false))
+          else graft.ml.LinearClassifier.scoreTextClassifier(df, req("id"),
             req("text"), namedDataset(), knobInt("buckets", 4096),
             binary = knobBool("binary", false))
         }

@@ -83,6 +83,56 @@ class LinearClassifierSpec extends SparkSpec {
     assert(cnt.select("x").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("one-vs-one multiclass: recovers three disjoint-marker classes; deterministic tie-break") {
+    val docs = spark.range(90).select(col("id"),
+      when(col("id") === 89, lit(null).cast("string"))
+        .when(col("id") % 3 === 0, concat(lit("alpha quality writing piece "), col("id")))
+        .when(col("id") % 3 === 1, concat(lit("beta advertising clickbait piece "), col("id")))
+        .otherwise(concat(lit("gamma neutral reference piece "), col("id"))).as("text"),
+      when(col("id") % 3 === 0, "good").when(col("id") % 3 === 1, "ads")
+        .otherwise("ref").as("lb"))
+    val w = LinearClassifier.trainTextClassifierMulti(docs, "id", "text", "lb",
+      buckets = 128, epochs = 3, binary = true)
+    // model shape: 3 pairs, label_a < label_b everywhere
+    val pairs = w.select("label_a", "label_b").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("ads", "good"), ("ads", "ref"), ("good", "ref")))
+    assert(w.filter(col("label_a") >= col("label_b")).count() == 0)
+    val scored = LinearClassifier.scoreTextClassifierMulti(docs, "id", "text",
+      w, buckets = 128, binary = true)
+    assert(scored.filter(col("text").isNotNull &&
+      col("pred_label") =!= col("lb")).count() == 0,
+      "disjoint class vocabularies must separate")
+    val nullRow = scored.filter(col("id") === 89).head()
+    assert(nullRow.isNullAt(nullRow.fieldIndex("pred_label")) &&
+      nullRow.isNullAt(nullRow.fieldIndex("n_votes")))
+    // every decided row carries the unanimous 2-vote count here
+    assert(scored.filter(col("text").isNotNull)
+      .select("n_votes").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("multiclass loud failures: NULL labels, one class, class-count cap") {
+    val one = Seq((1L, "text a", "only"), (2L, "text b", "only"))
+      .toDF("id", "text", "lb")
+    val eOne = intercept[IllegalArgumentException] {
+      LinearClassifier.trainTextClassifierMulti(one, "id", "text", "lb")
+    }
+    assert(eOne.getMessage.contains(">= 2 classes"), eOne.getMessage)
+    val withNull = Seq((1L, "text a", "x"), (2L, "text b", null: String))
+      .toDF("id", "text", "lb")
+    val eNull = intercept[IllegalArgumentException] {
+      LinearClassifier.trainTextClassifierMulti(withNull, "id", "text", "lb")
+    }
+    assert(eNull.getMessage.contains("non-NULL"), eNull.getMessage)
+    val tooMany = spark.range(70).select(col("id"),
+      concat(lit("doc "), col("id")).as("text"),
+      concat(lit("c"), col("id")).as("lb"))
+    val eCap = intercept[IllegalArgumentException] {
+      LinearClassifier.trainTextClassifierMulti(tooMany, "id", "text", "lb")
+    }
+    assert(eCap.getMessage.contains("cap is 64"), eCap.getMessage)
+  }
+
   test("loud failures: non-±1 labels, duplicate ids, bad epochs") {
     val feats = Seq((1L, 10L, 1L)).toDF("id", "feat", "x")
     val bad = intercept[IllegalArgumentException] {

@@ -2005,5 +2005,43 @@ class RecipeConfSpec extends SparkSpec {
     // hazard — must fail loudly too
     val lax = intercept[Exception] { RecipeConf.run(spark, both, "lax") }
     assert(lax.getMessage.contains("explicitly"), lax.getMessage)
+    // multiclass (one-vs-one) through the same step: three disjoint
+    // vocabularies round-trip fit → persist → predict
+    (1L to 60L).toDF("id")
+      .withColumn("text", when(col("id") % 3 === 0,
+          concat(lit("solid factual writing "), col("id").cast("string")))
+        .when(col("id") % 3 === 1,
+          concat(lit("flashy promo pitch "), col("id").cast("string")))
+        .otherwise(concat(lit("casual chat message "), col("id").cast("string"))))
+      .withColumn("lb", when(col("id") % 3 === 0, "fact")
+        .when(col("id") % 3 === 1, "promo").otherwise("chat"))
+      .write.mode("overwrite").parquet(s"$dir/cls_m_docs")
+    val mConf = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/cls_m_docs, format: parquet}
+         |recipes:
+         |  fitm:
+         |    input: docs
+         |    steps:
+         |      - classify: {id: id, text: text, label: lb, multi: true,
+         |                   buckets: 64, epochs: 3, binary: true}
+         |""".stripMargin)
+    val mw = RecipeConf.run(spark, mConf, "fitm")
+    assert(mw.columns.toSeq == Seq("label_a", "label_b", "feat", "w"))
+    mw.write.mode("overwrite").parquet(s"$dir/cls_m_w")
+    val mScore = RecipeConf.load(
+      s"""datasets:
+         |  docs: {path: $dir/cls_m_docs, format: parquet}
+         |  weights: {path: $dir/cls_m_w, format: parquet}
+         |recipes:
+         |  sc:
+         |    input: docs
+         |    steps:
+         |      - classify: {id: id, text: text, dataset: weights,
+         |                   multi: true, buckets: 64, binary: true}
+         |""".stripMargin)
+    val mPred = RecipeConf.run(spark, mScore, "sc")
+    assert(mPred.filter(col("pred_label") =!= col("lb")).count() == 0,
+      "multiclass YAML round trip must separate the three vocabularies")
   }
 }
