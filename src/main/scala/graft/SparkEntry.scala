@@ -1648,6 +1648,17 @@ object SparkEntry {
           "doc_id", "text", method = "fingerprint")
         .select("doc_id", "dup_count", "weight_bp")),
 
+    // soft dedup EXECUTED (Ops.sampleByWeight over q114's weights):
+    // each fingerprint-dup group keeps ≈ one row in expectation, every
+    // keep decision a salted md5 bucket — the full
+    // down-weight-then-subsample loop under one hash check
+    "q119_weighted_sample" -> ((s, dir) =>
+      graft.operators.Ops.sampleByWeight(
+        graft.dedup.Dedup.duplicationWeights(t(s, dir, "documents"),
+          "doc_id", "text", method = "fingerprint"),
+        "doc_id", "weight_bp", salt = "v1")
+        .select("doc_id", "dup_count", "weight_bp")),
+
     // corpus vocabulary top-k (Curation.vocabTopK) — the tokenizer-
     // training primitive; map-side-combined count + TakeOrdered
     "q58_vocab" -> ((s, dir) =>
@@ -2410,6 +2421,21 @@ object SparkEntry {
     "q21_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
         s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp FROM documents"),
+
+    // q114's weights + the salted keep bucket — the sampler replayed
+    "q119_weighted_sample" ->
+      ("WITH k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        s"string_split_regex(${normSql.format("text")}, '\\s+'))), ' ')) AS fp FROM documents),\n" +
+        """wts AS (SELECT doc_id,
+          |  CASE WHEN fp IS NULL THEN NULL
+          |       ELSE COUNT(*) OVER (PARTITION BY fp) END AS dup_count,
+          |  CASE WHEN fp IS NULL THEN NULL
+          |       ELSE 10000 // (COUNT(*) OVER (PARTITION BY fp)) END AS weight_bp
+          | FROM k)
+          |SELECT doc_id, dup_count, weight_bp FROM wts
+          |WHERE weight_bp IS NULL
+          |   OR ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 10000 < weight_bp""".stripMargin),
 
     // the q21 fingerprint key, then a count window + exact long
     // division — no join back, no HUGEINT (window COUNT is BIGINT)

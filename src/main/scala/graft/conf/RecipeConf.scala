@@ -949,6 +949,11 @@ object RecipeConf {
         // epochs: {src: factor, ...} — repeat-factor UPsampling (adds
         // `epoch`); factors may be fractional or < 1, unlisted keys
         // take `default` (1 = pass-through)
+        // weight: col — per-row keep probability in basis points (the
+        // soft-dedup weight_bp consumer): sample: {id, weight: col}
+        case None if m.get("weight").exists(_ != null) =>
+          Ops.sampleByWeight(df, req("id"), req("weight"),
+            salt = knob("salt", ""))
         case None if m.get("epochs").exists(_ != null) =>
           Ops.epochsMix(df, req("key"), req("id"),
             anyMap(m("epochs")).toSeq

@@ -311,6 +311,28 @@ object Ops {
       16, 10).cast("long"),
     lit(10000L))
 
+  /** Per-row WEIGHTED sampling: keep each row with probability
+    * `weightCol` / 10⁴ — the consumer of soft-dedup's `weight_bp`
+    * ([[graft.dedup.Dedup.duplicationWeights]]), turning
+    * down-weighting into an executable subsample: a dup group of n
+    * keeps ≈ one row in expectation, every decision a deterministic
+    * salted-md5 bucket (re-runs and engines agree; the salt re-rolls).
+    * NULL weights KEEP their rows — the weight producer deliberately
+    * marks unknown-content rows NULL, and a sampler silently dropping
+    * them would delete exactly the rows nobody scored. Out-of-range
+    * weights fail loudly per row (a clamped or mod-ed weight would
+    * silently resample the whole corpus at the wrong rate). */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+      salt: String = ""): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val checked = when(w.isNull, lit(null).cast("long"))
+      .when(w < 0 || w > 10000, raise_error(concat(
+        lit(s"sampleByWeight: $weightCol must be in [0, 10000] bp, got "),
+        w.cast("string"))))
+      .otherwise(w)
+    df.filter(checked.isNull || hashBucket(idCol, salt) < checked)
+  }
+
   /** Stamp each row with the BASENAME of the file it was scanned from
     * (`input_file_name()`) — scan-level provenance. At 100 TB this is
     * the debugging handle that matters: a bad row traces to its source

@@ -251,6 +251,35 @@ class OpsSpec extends SparkSpec {
       Ops.sampleByKey(df, "k", "id", Seq("big" -> 1.5)))
   }
 
+  test("sampleByWeight: bp keep rates, NULL keeps, out-of-range raises, salt re-rolls") {
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("w", when(col("id") <= 300, lit(10000L))
+        .when(col("id") <= 600, lit(0L))
+        .when(col("id") <= 900, lit(5000L))
+        .otherwise(lit(null).cast("long")))
+    val kept = Ops.sampleByWeight(df, "id", "w").collect().map(_.getLong(0))
+    assert((1L to 300L).forall(kept.contains), "weight 10000 keeps every row")
+    assert(!kept.exists(i => i > 300 && i <= 600), "weight 0 drops every row")
+    val half = kept.count(i => i > 600 && i <= 900)
+    assert(math.abs(half - 150) < 60, s"~half of the 5000bp band, got $half")
+    assert((901L to 1000L).forall(kept.contains), "NULL weights keep (unknown)")
+    // deterministic per salt; a new salt re-rolls the 5000bp band
+    val again = Ops.sampleByWeight(df, "id", "w").collect().map(_.getLong(0))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+    val rerolled = Ops.sampleByWeight(df, "id", "w", salt = "v2")
+      .collect().map(_.getLong(0)).filter(i => i > 600 && i <= 900).toSet
+    assert(rerolled != kept.filter(i => i > 600 && i <= 900).toSet)
+    // row-local: no shuffle
+    assert(!Ops.sampleByWeight(df, "id", "w")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    val bad = df.withColumn("w", when(col("id") === 5, lit(10001L))
+      .otherwise(col("w")))
+    val e = intercept[Exception] {
+      Ops.sampleByWeight(bad, "id", "w").count()
+    }
+    assert(e.getMessage.contains("10000"), e.getMessage)
+  }
+
   test("curation ops treat null ids consistently (one shared bucket, never dropped)") {
     val df = (1L to 50L).toDF("v")
       .withColumn("id", when(col("v") <= 45, col("v")).otherwise(lit(null)))
