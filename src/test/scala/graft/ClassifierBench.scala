@@ -104,6 +104,25 @@ object ClassifierBench {
           LinearClassifier.scoreTextClassifier(d, "id", "text", w,
             buckets = 4096, binary = true)
             .filter(col("pred") === 1).count())
+        // 4-class one-vs-one over the same corpus (6 pairwise fits,
+        // triples featurized+cached ONCE): the multiclass overhead
+        // claim — ~pairs x the binary per-pair cost, never pairs x
+        // featurization
+        val d4 = spark.read.parquet(path)
+          .withColumn("text", expr(
+            """concat(text, CASE pmod(id, 4)
+              |  WHEN 0 THEN ' crisp curated prose'
+              |  WHEN 1 THEN ' noisy boiler plate'
+              |  WHEN 2 THEN ' mediocre average filler'
+              |  ELSE ' dense legal contract' END)""".stripMargin))
+          .withColumn("lb", expr(
+            "CASE pmod(id + CASE WHEN id % 17 = 0 THEN 1 ELSE 0 END, 4) " +
+              "WHEN 0 THEN 'prose' WHEN 1 THEN 'spam' " +
+              "WHEN 2 THEN 'filler' ELSE 'legal' END"))
+        measure("multi4", () =>
+          LinearClassifier.trainTextClassifierMulti(d4, "id", "text", "lb",
+            buckets = 4096, epochs = 3, binary = true,
+            localThreshold = 0L).count())
       }
     } finally {
       spark.stop()
