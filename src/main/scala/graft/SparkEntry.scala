@@ -2434,7 +2434,8 @@ object SparkEntry {
           | FROM k)
           |SELECT doc_id, dup_count, weight_bp FROM wts
           |WHERE weight_bp IS NULL
-          |   OR ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |   OR ('0x' || substr(md5('v1' ||
+          |        COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 15))::BIGINT
           |        % 10000 < weight_bp""".stripMargin),
 
     // the q21 fingerprint key, then a count window + exact long

@@ -242,6 +242,13 @@ object LinearClassifier {
     * scores are wanted for duplicated ids. */
   def scorePerceptron(df: DataFrame, idCol: String, feats: DataFrame,
       weights: DataFrame): DataFrame = {
+    // a MULTICLASS weight table is detectable from its shape — summing
+    // margins over every pairwise vector would be silently meaningless,
+    // so refuse it here rather than trust the caller's routing
+    require(!weights.columns.contains("label_a"),
+      "scorePerceptron: this weight table carries pairwise labels — a " +
+        "trainTextClassifierMulti model; score it with " +
+        "scoreTextClassifierMulti (multi: true in the YAML step)")
     val w = broadcast(weights.select(col("feat").cast("long").as("feat"),
       col("w").cast("long").as("w")))
     val margins = feats
@@ -303,7 +310,6 @@ object LinearClassifier {
       textCol: String, labelCol: String, buckets: Int = 4096,
       epochs: Int = 3, lowercase: Boolean = true, binary: Boolean = false,
       localThreshold: Long = 1L << 20): DataFrame = {
-    val spark = df.sparkSession
     val feats = textFeatures(df, idCol, textCol, buckets, lowercase, binary)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
@@ -328,7 +334,28 @@ object LinearClassifier {
         s"trainTextClassifierMulti: ${classes.size} classes is " +
           s"${classes.size * (classes.size - 1) / 2} pairwise models — " +
           "cap is 64 classes; hash/bucket the label space first")
-      classes.combinations(2).map { case Seq(a, b) =>
+      val spark = df.sparkSession
+      val nTriples = feats.count()
+      if (nTriples <= localThreshold) {
+        // driver regime, COLLECTED ONCE: k(k−1)/2 fitPerceptron calls
+        // would each re-collect and re-validate the full shared triples
+        // frame (2,016 full collects at the 64-class cap); one transfer
+        // feeds every pairwise fitLocal — the identical arithmetic,
+        // regime equality inherited from the binary spec pin
+        val triples = feats.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val labeled = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+        classes.combinations(2).map { case Seq(a, b) =>
+          val pair = labeled.collect {
+            case (id, lb) if lb == a => (id, 1L)
+            case (id, lb) if lb == b => (id, -1L)
+          }
+          spark.createDataFrame(
+              fitLocal(triples, pair, epochs).toSeq).toDF("feat", "w")
+            .withColumn("label_a", lit(a)).withColumn("label_b", lit(b))
+        }.reduce(_.unionByName(_))
+          .select("label_a", "label_b", "feat", "w")
+      } else classes.combinations(2).map { case Seq(a, b) =>
         val pair = docs.filter(col("__lb").isin(a, b))
           .select(col("id"),
             when(col("__lb") === a, 1L).otherwise(-1L).as("y"))
@@ -348,14 +375,20 @@ object LinearClassifier {
     * for its winner (margin > 0 → label_a, else label_b — the binary
     * pred contract), and `pred_label` is the majority vote with ties
     * broken toward the lexicographically smallest label
-    * (deterministic). `n_votes` carries the winner's count (an
-    * all-way tie at k−1 votes is a low-confidence verdict — filter on
-    * it). NULL text / NULL id rows surface NULL pred_label + NULL
+    * (deterministic). `n_votes` carries the winner's count: k−1 is a
+    * UNANIMOUS winner (it won every one of its pairs — maximum
+    * confidence), while a Condorcet cycle leaves the leaders at
+    * (k−1)/2 — filter LOW n_votes for confidence, never the
+    * unanimous rows. NULL text / NULL id rows surface NULL pred_label + NULL
     * n_votes. buckets/lowercase/binary MUST match training — the
     * feature space is the model. */
   def scoreTextClassifierMulti(df: DataFrame, idCol: String,
       textCol: String, weights: DataFrame, buckets: Int = 4096,
       lowercase: Boolean = true, binary: Boolean = false): DataFrame = {
+    require(weights.columns.contains("label_a"),
+      "scoreTextClassifierMulti: this weight table has no pairwise " +
+        "labels — a binary trainTextClassifier model; score it with " +
+        "scoreTextClassifier")
     val feats = textFeatures(df, idCol, textCol, buckets, lowercase, binary)
     val w = broadcast(weights.select(col("label_a"), col("label_b"),
       col("feat").cast("long").as("feat"), col("w").cast("long").as("w")))

@@ -2041,6 +2041,9 @@ class RecipeConfSpec extends SparkSpec {
          |                   multi: true, buckets: 64, binary: true}
          |""".stripMargin)
     val mPred = RecipeConf.run(spark, mScore, "sc")
+    // the NULL guard first: a broken join would NULL every pred_label
+    // and the =!= filter below would vacuously pass
+    assert(mPred.filter(col("pred_label").isNull).count() == 0)
     assert(mPred.filter(col("pred_label") =!= col("lb")).count() == 0,
       "multiclass YAML round trip must separate the three vocabularies")
   }
