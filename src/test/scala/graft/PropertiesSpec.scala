@@ -519,4 +519,89 @@ class PropertiesSpec extends SparkSpec {
       assert(bp == n * 10000L / math.min(na, nb), s"($a,$b) bp $bp")
     }
   }
+
+  test("perceptron fit is a pure function of the row SET (partitioning/order invariant)") {
+    // batch updates must make the fit independent of physical layout —
+    // the determinism the oracle replay and retries both rely on
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("data", "spark", "rowx", "keyz", "good", "spam", "href")
+    val rows = (1L to 120L).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      val marker = if (i % 2 == 0) " alpha signal" else " beta noise"
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ") + marker,
+        if (i % 13 == 0) -(if (i % 2 == 0) 1L else -1L)
+        else (if (i % 2 == 0) 1L else -1L))
+    }
+    def weights(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ml.LinearClassifier.trainTextClassifier(df, "id", "text", "y",
+          buckets = 64, epochs = 3, binary = true, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = rows.toDF("id", "text", "y")
+    val w1 = weights(base.repartition(7))
+    val w2 = weights(base.repartition(3, col("id")))
+    val w3 = weights(spark.createDataFrame(
+      spark.sparkContext.parallelize(rnd.shuffle(rows), 5))
+      .toDF("id", "text", "y"))
+    assert(w1 == w2 && w2 == w3,
+      "fit must not depend on partitioning or row order")
+    // ... and the driver regime agrees with all of them (binary pin is
+    // one fixture; this pins it across layouts)
+    val wLocal = graft.ml.LinearClassifier.trainTextClassifier(base,
+        "id", "text", "y", buckets = 64, epochs = 3, binary = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wLocal == w1)
+  }
+
+  test("containment (word unit) matches brute force on generated corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (seed <- Seq(3, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 35L).map { i =>
+        val len = 3 + rnd.nextInt(9)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "b")
+      }
+      val got = Dedup.containmentPairs(docs.toDF("id", "text", "blk"),
+          "id", "text", "blk", n = 3, thresholdBp = 6000L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // brute force over distinct STRING word shingles (short docs fold
+      // to one whole-text shingle — the minhash contract)
+      def sh(t: String): Set[String] = {
+        val toks = t.split(" ").toSeq
+        if (toks.length < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        a <- docs; b <- docs if a._1 < b._1
+        sa = sh(a._2); sb = sh(b._2)
+        bp = sa.intersect(sb).size.toLong * 10000L / math.min(sa.size, sb.size)
+        if bp >= 6000L
+      } yield (a._1, b._1) -> bp).toMap
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("quantizeInt8 grid values stay in [0, 255] for any finite input; non-finite fails loudly, not silently") {
+    import graft.sim.Ann
+    val rnd = new scala.util.Random(9)
+    val finite = (1L to 60L).map(i =>
+      (i, Seq.fill(6)((rnd.nextFloat() - 0.5f) * math.pow(10, rnd.nextInt(8)).toFloat)))
+    val df = finite.toDF("id", "v")
+    val q = Ann.quantizeInt8(df, "v", Ann.int8Params(df, "v"))
+      .select("qvec").collect().flatMap(_.getSeq[Integer](0))
+    assert(q.forall(x => x == null || (x >= 0 && x <= 255)), "grid bound")
+    // non-finite embeddings: record the CURRENT contract so a change is
+    // deliberate — NaN propagates through the quantize arithmetic and
+    // the ANSI long cast rejects it loudly (never a silent wrong cell)
+    val bad = Seq((1L, Seq(Float.NaN, 1.0f))).toDF("id", "v")
+    val params = Seq((0, 0.0, 1.0), (1, 0.0, 1.0)).toDF("pos", "mn", "mx")
+    val res = scala.util.Try(
+      Ann.quantizeInt8(bad, "v", params).select("qvec").collect())
+    res match {
+      case scala.util.Failure(_) => () // loud — acceptable
+      case scala.util.Success(rows) =>
+        val cell = rows.head.getSeq[Integer](0).head
+        assert(cell == null || (cell >= 0 && cell <= 255),
+          s"NaN must not produce an out-of-grid cell, got $cell")
+    }
+  }
 }
