@@ -1737,6 +1737,25 @@ object SparkEntry {
         .select("doc_id", "pred_label", "n_votes")
     }),
 
+    // q118's multiclass prediction at INGEST time
+    // (EventStream.classifyStreamMulti): every arriving row scored by
+    // all pairwise perceptrons and majority-voted as ONE row-local
+    // expression — zero streaming state, the ingest-time language/
+    // quality router. Same rows, same weights, q118's oracle verbatim.
+    "q120_stream_classify_multi" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val d = multiClassifierFixture(t(s, dir, "documents"))
+      val w = graft.ml.LinearClassifier.trainTextClassifierMulti(d,
+        "doc_id", "text", "lb", buckets = 256, epochs = 3, binary = true)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      EventStream.runOnce(s, dir,
+        st => EventStream.classifyStreamMulti(multiClassifierFixture(st), w,
+          "doc_id", "text", buckets = 256, binary = true)
+          .select("doc_id", "pred_label", "n_votes"),
+        queryName = "q120_mem", schema = schema,
+        globFilter = Some("documents.parquet"))
+    }),
+
     // q111's scoring at INGEST time (EventStream.classifyStream): the
     // docs arrive as a stream, the batch-fitted weight table rides the
     // plan as a literal map, and each row's margin is a row-local fold
@@ -2254,6 +2273,27 @@ object SparkEntry {
   private val ovoPairs = Seq(
     ("fp", "filler", "prose"), ("fs", "filler", "spam"),
     ("ps", "prose", "spam"))
+
+  /** Shared by q118 (batch multiclass prediction) and q120 (the
+    * streaming multiclass gate): every doc's majority vote over the
+    * three pairwise towers — two physical strategies, one contract. */
+  private lazy val multiPredOracleSql: String =
+    perceptronOvOOracleCtes(256, 3) +
+      s""",
+        |mg AS (${ovoPairs.map { case (s, a, b) =>
+          s"""SELECT f.id, '$a' AS la, '$b' AS lbl, SUM(f.x * w.w) AS m
+             |  FROM f JOIN w${s}3 w ON w.feat = f.feat GROUP BY 1""".stripMargin
+        }.mkString("\nUNION ALL\n")}),
+        |vt AS (SELECT id, CASE WHEN m > 0 THEN la ELSE lbl END AS winner
+        |       FROM mg),
+        |vc AS (SELECT id, winner, COUNT(*) AS n_votes FROM vt GROUP BY 1, 2),
+        |best AS (SELECT id, winner, n_votes FROM (
+        |   SELECT id, winner, n_votes, ROW_NUMBER() OVER (
+        |     PARTITION BY id ORDER BY n_votes DESC, winner) AS rn FROM vc)
+        |  WHERE rn = 1)
+        |SELECT doc.doc_id, best.winner AS pred_label, best.n_votes
+        |FROM documents doc LEFT JOIN best ON best.id = doc.doc_id"""
+        .stripMargin
 
   /** Shared by q111 (batch scoring) and q115 (the streaming gate):
     * per-doc margins under the fitted weights — two physical
@@ -3579,22 +3619,12 @@ object SparkEntry {
 
     // every doc scored by every pair, majority vote, lexicographic
     // tie-break — the prediction surface over the same towers
-    "q118_classifier_multi_pred" -> (perceptronOvOOracleCtes(256, 3) +
-      s""",
-        |mg AS (${ovoPairs.map { case (s, a, b) =>
-          s"""SELECT f.id, '$a' AS la, '$b' AS lbl, SUM(f.x * w.w) AS m
-             |  FROM f JOIN w${s}3 w ON w.feat = f.feat GROUP BY 1""".stripMargin
-        }.mkString("\nUNION ALL\n")}),
-        |vt AS (SELECT id, CASE WHEN m > 0 THEN la ELSE lbl END AS winner
-        |       FROM mg),
-        |vc AS (SELECT id, winner, COUNT(*) AS n_votes FROM vt GROUP BY 1, 2),
-        |best AS (SELECT id, winner, n_votes FROM (
-        |   SELECT id, winner, n_votes, ROW_NUMBER() OVER (
-        |     PARTITION BY id ORDER BY n_votes DESC, winner) AS rn FROM vc)
-        |  WHERE rn = 1)
-        |SELECT doc.doc_id, best.winner AS pred_label, best.n_votes
-        |FROM documents doc LEFT JOIN best ON best.id = doc.doc_id"""
-        .stripMargin),
+    "q118_classifier_multi_pred" -> multiPredOracleSql,
+
+    // the STREAMING multiclass gate: the same rows, the same weights,
+    // q118's oracle verbatim — batch exchanges vs one row-local
+    // expression per micro-batch (the q111/q115 pairing, multiclass)
+    "q120_stream_classify_multi" -> multiPredOracleSql,
 
     // the same md5 bucket arithmetic, spelled in SQL: cumulative ranges
     // over bucket = top-60-bits(md5(salt || id)) mod 10000

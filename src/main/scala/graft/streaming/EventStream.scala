@@ -397,6 +397,61 @@ object EventStream {
         when(col("margin") > 0, 1).when(col("margin").isNotNull, -1))
   }
 
+  /** MULTICLASS ingest gate: [[classifyStream]]'s one-vs-one sibling —
+    * each arriving row scored by every pairwise perceptron of a
+    * [[graft.ml.LinearClassifier.trainTextClassifierMulti]] weight
+    * table, majority vote, lexicographic tie-break, all as ONE
+    * row-local expression (per-pair literal weight maps, a fold per
+    * pair, then a vote fold over the class set known at plan time) —
+    * zero streaming state, the ingest-time language/quality router.
+    * Adds (pred_label, n_votes); NULL id / NULL text → NULL both (the
+    * batch scorer's contract, spec-pinned equal row for row — the
+    * per-row-vs-pooled duplicate-id caveat of [[classifyStream]]
+    * applies here too). */
+  def classifyStreamMulti(stream: DataFrame, weights: DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      lowercase: Boolean = true, binary: Boolean = false): DataFrame = {
+    require(buckets >= 2,
+      s"classifyStreamMulti: buckets must be >= 2, got $buckets")
+    val rows = weights.select(col("label_a"), col("label_b"),
+      col("feat").cast("long"), col("w").cast("long")).collect()
+    require(rows.nonEmpty, "classifyStreamMulti: empty weight table")
+    val pairs = rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .toSeq.sortBy(_._1)
+    val classes = pairs.flatMap(p => Seq(p._1._1, p._1._2)).distinct.sorted
+    val c = if (lowercase) lower(col(textCol)) else col(textCol)
+    val hashed = transform(graft.functions.Tools.tokenize(c),
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val folded = if (binary) array_distinct(hashed) else hashed
+    // one winner Column per pair: margin fold under that pair's
+    // literal map (bias seeded, unknown buckets 0), > 0 → label_a
+    val winners = array(pairs.map { case ((a, b), ws) =>
+      val bias = ws.find(_.getLong(2) == graft.ml.LinearClassifier.biasFeat)
+        .map(_.getLong(3)).getOrElse(0L)
+      val nb = ws.filter(_.getLong(2) != graft.ml.LinearClassifier.biasFeat)
+      val wmap = map_from_arrays(
+        lit(nb.map(_.getLong(2))), lit(nb.map(_.getLong(3))))
+      val margin = aggregate(folded, lit(bias),
+        (s, h) => s + coalesce(element_at(wmap, h), lit(0L)))
+      when(margin > 0, lit(a)).otherwise(lit(b))
+    }: _*)
+    // vote fold over the ascending class list: strict > keeps the
+    // FIRST (lexicographically smallest) leader on ties — exactly the
+    // batch scorer's (votes desc, label asc) window
+    val best = classes.foldLeft(
+        struct(lit(null).cast("string").as("lb"), lit(-1L).as("n"))) {
+      (acc, cl) =>
+        val n = size(filter(winners, x => x === cl)).cast("long")
+        when(n > acc.getField("n"),
+          struct(lit(cl).as("lb"), n.as("n"))).otherwise(acc)
+    }
+    val scored = when(col(idCol).isNotNull && col(textCol).isNotNull, best)
+    stream
+      .withColumn("pred_label", scored.getField("lb"))
+      .withColumn("n_votes", scored.getField("n"))
+  }
+
   def runOnce(spark: SparkSession, dir: String,
       plan: DataFrame => DataFrame, queryName: String,
       schema: StructType = eventSchema, outputMode: String = "append",

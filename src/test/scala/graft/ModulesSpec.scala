@@ -439,6 +439,52 @@ class ModulesSpec extends SparkSpec {
       probe, w.filter(lit(false)), "id", "text", buckets = 64))
   }
 
+  test("streaming multiclass gate equals the batch voter row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.ml.LinearClassifier
+    implicit val sq = spark.sqlContext
+    val train = spark.range(90).select(col("id"),
+      when(col("id") % 3 === 0, concat(lit("alpha quality writing piece "), col("id")))
+        .when(col("id") % 3 === 1, concat(lit("beta advertising clickbait piece "), col("id")))
+        .otherwise(concat(lit("gamma neutral reference piece "), col("id"))).as("text"),
+      when(col("id") % 3 === 0, "good").when(col("id") % 3 === 1, "ads")
+        .otherwise("ref").as("lb"))
+    val w = LinearClassifier.trainTextClassifierMulti(train, "id", "text",
+      "lb", buckets = 128, epochs = 3, binary = true)
+    val probe = Seq((1L, "alpha quality writing piece 3"),
+      (2L, "beta advertising clickbait piece 4"),
+      (3L, "gamma neutral reference piece 5"),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("id", "text")
+    val batch = LinearClassifier.scoreTextClassifierMulti(probe, "id",
+        "text", w, buckets = 128, binary = true)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("pred_label"))),
+          Option(r.get(r.fieldIndex("n_votes"))))).toMap
+    val src = MemoryStream[(Long, String)]
+    val out = EventStream.classifyStreamMulti(src.toDF().toDF("id", "text"),
+      w, "id", "text", buckets = 128, binary = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("clsm_stream").start()
+    try {
+      src.addData((1L, "alpha quality writing piece 3"),
+        (2L, "beta advertising clickbait piece 4"), (4L, null: String))
+      q.processAllAvailable()
+      src.addData((3L, "gamma neutral reference piece 5"), (5L, ""))
+      q.processAllAvailable()
+      val m = spark.table("clsm_stream").collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(r.fieldIndex("pred_label"))),
+            Option(r.get(r.fieldIndex("n_votes"))))).toMap
+      assert(m == batch, s"stream $m vs batch $batch")
+      assert(m(1L)._1 == Some("good") && m(2L)._1 == Some("ads") &&
+        m(3L)._1 == Some("ref"))
+      assert(m(4L) == (None, None), "NULL text stays unknown")
+    } finally q.stop()
+    intercept[IllegalArgumentException](EventStream.classifyStreamMulti(
+      probe, w.filter(lit(false)), "id", "text", buckets = 128))
+  }
+
   test("streaming sessionize carries the open session ACROSS micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.Ev
