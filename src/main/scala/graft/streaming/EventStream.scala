@@ -418,6 +418,14 @@ object EventStream {
     require(rows.nonEmpty, "classifyStreamMulti: empty weight table")
     val pairs = rows.groupBy(r => (r.getString(0), r.getString(1)))
       .toSeq.sortBy(_._1)
+    // every pair's weights become plan LITERALS here (that is what
+    // keeps the gate stateless), so the expression grows as
+    // pairs × buckets — cap it loudly before the plan does
+    require(pairs.size <= 32,
+      s"classifyStreamMulti: ${pairs.size} pairwise models embed " +
+        s"~${pairs.size}×$buckets weight literals into one streaming " +
+        "expression — cap is 32 pairs (9 classes); route bigger label " +
+        "spaces through the batch scorer after ingest")
     val classes = pairs.flatMap(p => Seq(p._1._1, p._1._2)).distinct.sorted
     val c = if (lowercase) lower(col(textCol)) else col(textCol)
     val hashed = transform(graft.functions.Tools.tokenize(c),
