@@ -374,6 +374,12 @@ object EventStream {
       idCol: String, textCol: String, buckets: Int,
       lowercase: Boolean = true, binary: Boolean = false): DataFrame = {
     require(buckets >= 2, s"classifyStream: buckets must be >= 2, got $buckets")
+    // the batch scorers' shape guard, mirrored: a multiclass table's
+    // feat/w columns would select fine and then either collide in
+    // map_from_arrays or silently sum margins across pairs
+    require(!weights.columns.contains("label_a"),
+      "classifyStream: this weight table carries pairwise labels — a " +
+        "trainTextClassifierMulti model; gate with classifyStreamMulti")
     val rows = weights
       .select(col("feat").cast("long"), col("w").cast("long")).collect()
     require(rows.nonEmpty, "classifyStream: empty weight table " +
@@ -424,8 +430,9 @@ object EventStream {
     require(pairs.size <= 32,
       s"classifyStreamMulti: ${pairs.size} pairwise models embed " +
         s"~${pairs.size}×$buckets weight literals into one streaming " +
-        "expression — cap is 32 pairs (9 classes); route bigger label " +
-        "spaces through the batch scorer after ingest")
+        "expression — cap is 32 pairs (a full one-vs-one space of 8 " +
+        "classes = 28 pairs); route bigger label spaces through the " +
+        "batch scorer after ingest")
     val classes = pairs.flatMap(p => Seq(p._1._1, p._1._2)).distinct.sorted
     val c = if (lowercase) lower(col(textCol)) else col(textCol)
     val hashed = transform(graft.functions.Tools.tokenize(c),
@@ -444,20 +451,29 @@ object EventStream {
         (s, h) => s + coalesce(element_at(wmap, h), lit(0L)))
       when(margin > 0, lit(a)).otherwise(lit(b))
     }: _*)
-    // vote fold over the ascending class list: strict > keeps the
-    // FIRST (lexicographically smallest) leader on ties — exactly the
-    // batch scorer's (votes desc, label asc) window
-    val best = classes.foldLeft(
-        struct(lit(null).cast("string").as("lb"), lit(-1L).as("n"))) {
-      (acc, cl) =>
-        val n = size(filter(winners, x => x === cl)).cast("long")
-        when(n > acc.getField("n"),
-          struct(lit(cl).as("lb"), n.as("n"))).otherwise(acc)
-    }
-    val scored = when(col(idCol).isNotNull && col(textCol).isNotNull, best)
+    // the vote: per-class counts as ONE array column, argmax via ONE
+    // aggregate lambda. A Scala-level when-chain foldLeft here would
+    // embed its accumulator twice per step — 2^k subtree copies of the
+    // winners array, blowing codegen at the class cap — while
+    // aggregate's lambda is a single plan node however many classes,
+    // and the winners array materializes once as a real column.
+    // Ascending class order + strict > keeps the lexicographically
+    // smallest leader on ties — exactly the batch scorer's
+    // (votes desc, label asc) window.
+    val votes = array(classes.map(cl => struct(
+      size(filter(col("__winners"), x => x === cl)).cast("long").as("n"),
+      lit(cl).as("lb"))): _*)
+    val best = aggregate(col("__votes"),
+      struct(lit(-1L).as("n"), lit(null).cast("string").as("lb")),
+      (acc, v) => when(v.getField("n") > acc.getField("n"), v).otherwise(acc))
+    val known = col(idCol).isNotNull && col(textCol).isNotNull
     stream
-      .withColumn("pred_label", scored.getField("lb"))
-      .withColumn("n_votes", scored.getField("n"))
+      .withColumn("__winners", winners)
+      .withColumn("__votes", votes)
+      .withColumn("__best", when(known, best))
+      .withColumn("pred_label", col("__best").getField("lb"))
+      .withColumn("n_votes", col("__best").getField("n"))
+      .drop("__winners", "__votes", "__best")
   }
 
   def runOnce(spark: SparkSession, dir: String,

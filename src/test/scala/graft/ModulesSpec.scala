@@ -483,6 +483,11 @@ class ModulesSpec extends SparkSpec {
     } finally q.stop()
     intercept[IllegalArgumentException](EventStream.classifyStreamMulti(
       probe, w.filter(lit(false)), "id", "text", buckets = 128))
+    // the binary gate must refuse a multiclass table by SHAPE (its
+    // feat/w columns would select fine and then mis-score silently)
+    val eShape = intercept[IllegalArgumentException](
+      EventStream.classifyStream(probe, w, "id", "text", buckets = 128))
+    assert(eShape.getMessage.contains("pairwise"), eShape.getMessage)
   }
 
   test("streaming sessionize carries the open session ACROSS micro-batches") {

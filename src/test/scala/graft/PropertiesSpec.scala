@@ -556,8 +556,10 @@ class PropertiesSpec extends SparkSpec {
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
     for (seed <- Seq(3, 17, 41)) {
       val rnd = new scala.util.Random(seed)
+      // lengths from 1 so the short-doc whole-text-shingle fold is LIVE
+      // on both sides (3+ would leave that branch dead code)
       val docs = (1L to 35L).map { i =>
-        val len = 3 + rnd.nextInt(9)
+        val len = 1 + rnd.nextInt(11)
         (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "b")
       }
       val got = Dedup.containmentPairs(docs.toDF("id", "text", "blk"),
