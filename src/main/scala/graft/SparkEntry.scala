@@ -2143,7 +2143,8 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id AS id,
          |   list_transform(CAST(embedding AS DOUBLE[]),
          |     x -> CAST(floor(x*10000) AS BIGINT)) AS qv
-         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          |cq0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
          |   SELECT qv, ROW_NUMBER() OVER (ORDER BY
          |     ('0x' || substr(md5('42' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,

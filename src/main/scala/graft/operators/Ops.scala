@@ -539,14 +539,34 @@ object Ops {
     * small by precondition) round-robin shuffle.
     *
     * `target` defaults to the session's default parallelism (= cores
-    * at local, executor slots on a cluster). Partition count comes
-    * from the compiled physical plan (file listing only — no job
-    * runs). */
+    * at local, executor slots on a cluster).
+    *
+    * The no-op decision is made ONLY for scan-level inputs (narrow ops
+    * over a relation — project/filter/generate, no join/agg/window/
+    * sort/repartition upstream), where the static partition count IS
+    * the file-split count and compiling it costs a file listing, no
+    * job. For anything wider the static count lies under AQE — a
+    * post-shuffle input reports the configured shuffle-partition
+    * count (e.g. 32) even when AQE coalesces it to 1 at runtime, so
+    * trusting it would silently SKIP the rebalance exactly where it is
+    * needed (r10 ADVICE), and `df.rdd` would force physical-plan
+    * compilation of the whole upstream subtree. There the repartition
+    * is applied unconditionally — conservative, and cheap by the
+    * operator's own precondition (the input is small; that is why it
+    * is under-parallelized). */
   def rebalance(df: DataFrame, target: Int = 0): DataFrame = {
     val goal =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= goal) df else df.repartition(goal)
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val scanLevel = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
+          _: lp.RepartitionOperation | _: lp.GlobalLimit |
+          _: lp.Deduplicate) => p
+    }.isEmpty
+    if (!scanLevel) df.repartition(goal)
+    else if (df.rdd.getNumPartitions >= goal) df
+    else df.repartition(goal)
   }
 
   /** Corpus snapshot diff — the incremental-pipeline audit companion to

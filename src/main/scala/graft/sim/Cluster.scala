@@ -115,11 +115,21 @@ object Cluster {
     // NULL-id row would tie at (NULL, NULL) and seed centroids
     // NONDETERMINISTICALLY, forking the oracle replay. (Rows with NULL
     // ids can still be ASSIGNED later — clusterAssign never reads the
-    // id.)
+    // id.) Vectors containing NULL ELEMENTS are excluded too (r10
+    // ADVICE): assignment already sits them out (a NULL term NULLs the
+    // whole d2, so they can never win a cluster), but the md5 init
+    // ranking would happily SEAT one as a centroid — and a null-seat
+    // centroid never attracts members, so its boxed-null coordinates
+    // survive every update and NPE in fitCentroids' unquantize (and in
+    // writeIvfIndex/ivfTopK, which consume the same codebook). One
+    // filter here keeps both regimes consistent with the scaladoc's
+    // "NULL elements sit out" promise; the DuckDB oracle CTE carries
+    // the same list_filter predicate.
     val qdf0 = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
+      .filter(!exists(col("__qv"), x => x.isNull))
     // regime split, the bpeTrain pattern: the iterations are strictly
     // sequential, and at the typical codebook-fit scale (a bounded
     // sample) 1 + 2·iters Spark job round-trips are nearly all
@@ -216,8 +226,11 @@ object Cluster {
   private def fitLocalQ(rows: Array[(Long, IndexedSeq[java.lang.Long])],
       k: Int, seed: Long, iters: Int): IndexedSeq[(Long, IndexedSeq[Long])] = {
     require(rows.nonEmpty, "fitCentroids: no non-null vectors to fit")
-    // prim = the unboxed vector for math; null-element vectors keep
-    // prim = null and participate only as potential init seats
+    // prim = the unboxed vector for math. Null-element vectors are
+    // filtered out in fitCentroidsQ before either regime runs (r10
+    // ADVICE — a null init seat NPEs every consumer), so prim = null is
+    // defensive only: it keeps this private loop total if a future
+    // caller feeds it unfiltered rows.
     val prepped = rows.map { case (id, raw) =>
       val prim = if (raw.contains(null)) null
         else { val a = new Array[Long](raw.length)
