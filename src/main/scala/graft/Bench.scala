@@ -35,7 +35,7 @@ object Bench {
     * Subtracting our own process CPU isolates the external burst that
     * actually skews samples (r8's q29: 34 s vs 6.8 s across runs).
     * Returns -1 when /proc or the com.sun MXBean is unavailable. */
-  private def externalBusyCores(ms: Long): Double = {
+  private[graft] def externalBusyCores(ms: Long): Double = {
     val b0 = procStatBusyJiffies(); val s0 = selfCpuNanos()
     if (b0.isEmpty || s0 < 0) return -1.0
     val w0 = System.nanoTime()
@@ -155,8 +155,15 @@ object Bench {
     // stretch the bench by 3 min × every query
     var quietBudgetMs = sys.env.get("SPARK_GRAFT_QUIET_BUDGET_SECS")
       .map(_.toLong * 1000).getOrElse(600000L)
-    val quietInfo = scala.collection.mutable.LinkedHashMap[String, (Int, Double)]()
-    def quietWait(name: String): Unit = {
+    // (waits, extStart, extEnd): the r10 incident was an external burst
+    // arriving AFTER the single pre-loop reading and staying uniform
+    // enough (spread 0.28) to slip the >30% spread guard — q53's five
+    // samples read 3.9–5.0 s on a bit-identical tree the judge measured
+    // at 0.56 s. The post-loop reading makes such lines SELF-disclose
+    // (and costs one judge A/B less per round).
+    val quietInfo =
+      scala.collection.mutable.LinkedHashMap[String, (Int, Double, Double)]()
+    def quietWait(name: String): (Int, Double) = {
       var ext = externalBusyCores(500)
       var waits = 0
       while (ext > extGate && waits < quietRetries && quietBudgetMs >= quietSleepMs) {
@@ -167,11 +174,11 @@ object Bench {
         waits += 1
         ext = externalBusyCores(500)
       }
-      quietInfo(name) = (waits, ext)
+      (waits, ext)
     }
     val results = queryList.map { name =>
       val fn = SparkEntry.queries(name)
-      quietWait(name)
+      val (waits0, extStart) = quietWait(name)
       def once(): Option[Double] = {
         // queries with an internal persist() (minhash shingles, the LM
         // table) would otherwise serve runs 2..N from run 1's cache and
@@ -201,6 +208,24 @@ object Bench {
         samples = samples :+ once()
         extra += 1
       }
+      // post-loop reading (r10 verdict #1): a burst that arrived after
+      // extStart contaminates every sample of THIS query invisibly to
+      // the pre-loop gate. The FIRST post-loop reading is what goes to
+      // the JSON — it is the disclosure; a later drained reading must
+      // never overwrite it or the line would stop self-disclosing.
+      // When that reading is hot, spend bounded budget waiting for the
+      // host to drain and take ONE recovery sample: on a drained host
+      // its value converges on steady state and the reported min
+      // self-heals, while the `contaminated` array still names the
+      // line so the reader knows which samples to distrust.
+      val extEnd = externalBusyCores(500)
+      var waits1 = waits0
+      if (extEnd > extGate) {
+        val (w, drained) = quietWait(name)
+        waits1 += w
+        if (drained <= extGate) samples = samples :+ once()
+      }
+      quietInfo(name) = (waits1, extStart, extEnd)
       (name, samples)
     }
     def f(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d)
@@ -233,16 +258,30 @@ object Bench {
     // quiet-host gate saw — external contamination), loadavg1m the
     // end-of-run value (dominated by our own JVM; kept for continuity
     // with rounds ≤ 7). quiet = per-query [waits, external busy cores
-    // at sample-loop start]; quiet_wait_failed names queries that
-    // started with external load above the gate even after the bounded
-    // waits — those samples carry disclosed contamination.
-    val quietJson = quietInfo.map { case (k, (w, e)) =>
-      "\"" + k + "\":[" + w + "," + f(e) + "]"
+    // at sample-loop start, external busy cores at sample-loop END —
+    // the r10-verdict self-disclosure]; quiet_wait_failed names queries
+    // that STARTED hot even after the bounded waits; contaminated names
+    // every query either reading flags — distrust those lines' samples
+    // (a recovery sample taken after a successful drain is included, so
+    // the min may still be clean).
+    val quietJson = quietInfo.map { case (k, (w, s0, s1)) =>
+      "\"" + k + "\":[" + w + "," + f(s0) + "," + f(s1) + "]"
     }.mkString("{", ",", "}")
     val quietFailed = quietInfo.collect {
-      case (k, (_, e)) if e > extGate => "\"" + k + "\""
+      case (k, (_, s0, _)) if s0 > extGate => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"sf":"$sfDir"}""")
+    val contaminated = quietInfo.collect {
+      case (k, (_, s0, s1)) if isContaminated(s0, s1, extGate) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** A bench line is contaminated when EITHER external-load reading —
+    * before the sample loop (the r8 fix) or after it (the r10 fix: a
+    * uniform burst arriving mid-loop passed the pre-loop gate AND the
+    * 30% spread guard) — exceeds the gate. A reading of -1 means /proc
+    * was unavailable: unknown, not contaminated. */
+  private[graft] def isContaminated(extStart: Double, extEnd: Double,
+      gate: Double): Boolean = extStart > gate || extEnd > gate
 }

@@ -41,6 +41,11 @@ object SparkEntry {
   private def ivfqIdxDir(dir: String): String =
     scratchDir("graft-ivfq-q116", tag = dir)
 
+  /** q122's product-quantized IVF index dir — a third layout (m-byte
+    * codes + per-subspace codebooks), never shared with q60/q116. */
+  private def ivfpqIdxDir(dir: String): String =
+    scratchDir("graft-ivfpq-q122", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -527,6 +532,40 @@ object SparkEntry {
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopKQuantized(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // product-quantized ANN (Ann.pqTopK — the FAISS-PQ train/encode/ADC
+    // pipeline, Jégou et al. 2011): the 64 dims split into m=4
+    // subspaces, each with a ksub=8 integer-k-means codebook; corpus
+    // rows store 4 one-byte codes (32× smaller than the floats at the
+    // library default m=8), queries rank by the exact integer ADC
+    // distance. Same probe carve as q25/q113; every codebook
+    // coordinate, code, and ADC sum replays in DuckDB from the float
+    // embeddings (per-subspace k-means CTE towers — the q74 pattern —
+    // then assignment + lookup joins).
+    "q121_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.pqTopK(e.filter(col("vec_id") % 100 === 0), e,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, m = 4, ksub = 8)
+    }),
+
+    // persisted IVF-PQ (the FAISS-IVFPQ configuration): coarse cells
+    // partition-prune the scan AND the cells store m-byte codes — the
+    // two compressions multiply. nprobe = nlist → exhaustive → must
+    // reproduce q121's brute-force PQ answer under q121's oracle
+    // VERBATIM (the q25 ≡ q60 / q113 ≡ q116 discipline). Build-once
+    // guard per JVM (the q60 contract).
+    "q122_ann_ivf_pq" -> ((s, dir) => {
+      val idx = ivfpqIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndexPq(e, "vec_id", "embedding", idx, nlist = 16,
+          m = 4, ksub = 8)
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
@@ -1648,6 +1687,24 @@ object SparkEntry {
           "doc_id", "text", method = "fingerprint")
         .select("doc_id", "dup_count", "weight_bp")),
 
+    // cross-source NEAR-dup overlap (Dedup.crossSourceNearDupOverlap):
+    // q106's audit for the duplication exact keys cannot see. The
+    // plant: doc_id % 37 = 5 rows share one boilerplate text across
+    // sources (the C4-vs-CommonCrawl replicated-page shape), so those
+    // sources overlap at Jaccard 1.0; the exhaustive oracle replays
+    // the whole word-shingle Jaccard matrix (the q26 recall argument:
+    // at ≥0.6 the 16×4 banding misses ~nothing, so candidate recall
+    // must be total for the hash compare to pass).
+    "q123_source_neardup_overlap" -> ((s, dir) => {
+      val doc = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 37 === 5,
+          lit("replicated boilerplate page copied across crawl sources " +
+            "verbatim with every mirror"))
+          .otherwise(col("text")))
+      Dedup.crossSourceNearDupOverlap(doc, "doc_id", "text", "source",
+        threshold = 0.6)
+    }),
+
     // soft dedup EXECUTED (Ops.sampleByWeight over q114's weights):
     // each fingerprint-dup group keeps ≈ one row in expectation, every
     // keep decision a salted md5 bucket — the full
@@ -1773,6 +1830,39 @@ object SparkEntry {
           "doc_id", "text", buckets = 256, binary = true)
           .select("doc_id", "margin", "pred"),
         queryName = "q115_mem", schema = schema,
+        globFilter = Some("documents.parquet"))
+    }),
+
+    // the quality + PII stages at INGEST time
+    // (EventStream.qualityGateStream): docs flow through as a stream
+    // and each row gets its Gopher verdict + scrubbed text as a pure
+    // map — zero state, the q71/q115 router discipline, completing the
+    // ingest-time chain (near-dup → decontaminate → classify →
+    // quality → scrub). Text carries q57's deterministic PII
+    // injections so the scrub is live; keep uses q56's minWords=30 so
+    // both verdicts occur. The oracle is the batch q56 metric tower +
+    // q57 scrub over the SAME augmented text — batch ≡ stream by
+    // construction (the gate IS the batch Columns), and the driver
+    // hash-checks it end to end through a real streaming query.
+    "q124_stream_quality" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      EventStream.runOnce(s, dir,
+        st => {
+          val id = col("doc_id")
+          val aug = concat(col("text"),
+            when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+            when(id % 4 === 0, concat(lit(" from 10."), (id % 200).cast("string"),
+              lit(".0."), (id % 250).cast("string"))).otherwise(lit("")),
+            when(id % 5 === 0, concat(lit(" call +1"),
+              lpad((id % 10000000).cast("string"), 9, "0"))).otherwise(lit("")))
+          EventStream.qualityGateStream(
+              st.withColumn("text", aug), "text", minWords = 30)
+            .select(id, col("keep"), col("clean_text"))
+        },
+        queryName = "q124_mem", schema = schema,
         globFilter = Some("documents.parquet"))
     }),
 
@@ -1922,7 +2012,11 @@ object SparkEntry {
     // the persisted int8 IVF probe (builds on this JVM's first q116
     // touch, so the min of 5 samples is the steady-state probe — the
     // q60/q107 build-once discipline)
-    "q116_ann_ivf_quantized")
+    "q116_ann_ivf_quantized",
+    // round-11: product quantization — brute-force ADC ranking (fit +
+    // encode + rank in one plan) and the persisted IVF-PQ probe
+    // (builds on first touch; min of 5 = steady-state probe)
+    "q121_ann_pq", "q122_ann_ivf_pq")
 
   // ------------------------------------------------------------- oracles
 
@@ -2127,6 +2221,87 @@ object SparkEntry {
       |          ORDER BY d2q, neighbor_id) AS rank
       |      FROM s WHERE d2q IS NOT NULL)
       |WHERE rank <= 10""".stripMargin
+
+  /** Shared by q121 (brute-force PQ ADC top-k) and q122 (the IVF-PQ
+    * index probed exhaustively): the whole product-quantization
+    * pipeline replayed from the float embeddings — per-subspace
+    * quantized-integer k-means towers (the q74 CTE pattern, one tower
+    * per subspace over the sliced vectors, all sharing one md5 init
+    * ranking), final-codebook code assignment (ties to the smaller
+    * cid), the query-side ADC grids, then the exhaustive integer ADC
+    * ranking. Every join is INNER on the per-subspace code/ADC rows,
+    * which reproduces the engine's whole-vector validity rule (a row
+    * invalid in any subspace ranks nowhere). */
+  private def pqTopKOracleSql(m: Int, dsub: Int, ksub: Int,
+      iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT vec_id AS id,
+        |   list_transform(CAST(embedding AS DOUBLE[]),
+        |     x -> CAST(floor(x*10000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+        |h AS (SELECT id,
+        |   ('0x' || substr(md5('42' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM e)""".stripMargin
+    val subs = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      val tower = (1 to iters).map { r =>
+        s"""d$s$r AS (SELECT es.id, c.cid,
+           |   list_sum(list_transform(generate_series(1, len(es.sv)),
+           |     j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))) AS d2
+           |  FROM es$s es CROSS JOIN cq$s${r - 1} c),
+           |a$s$r AS (SELECT id, cid FROM (SELECT id, cid,
+           |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           |   FROM d$s$r) WHERE rn = 1),
+           |s$s$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
+           |  FROM a$s$r a JOIN (SELECT id, unnest(range(len(sv))) AS pos,
+           |     unnest(sv) AS q FROM es$s) u USING (id) GROUP BY 1, 2),
+           |cq$s$r AS (
+           |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
+           |    ORDER BY pos) AS cv FROM s$s$r GROUP BY cid
+           |  UNION ALL
+           |  SELECT cid, cv FROM cq$s${r - 1}
+           |  WHERE cid NOT IN (SELECT cid FROM s$s$r))""".stripMargin
+      }.mkString(",\n")
+      s"""es$s AS (SELECT id, list_slice(qv, $lo, $hi) AS sv FROM e
+         |  WHERE len(list_filter(list_slice(qv, $lo, $hi),
+         |    x -> x IS NULL)) = 0),
+         |cq${s}0 AS (SELECT rn - 1 AS cid, sv AS cv FROM (
+         |   SELECT es.sv, ROW_NUMBER() OVER (ORDER BY h.hh, es.id) AS rn
+         |   FROM es$s es JOIN h ON h.id = es.id) WHERE rn <= $ksub),
+         |$tower,
+         |code$s AS (SELECT id, cid FROM (
+         |   SELECT es.id, c.cid, ROW_NUMBER() OVER (PARTITION BY es.id
+         |     ORDER BY list_sum(list_transform(generate_series(1, len(es.sv)),
+         |       j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))), c.cid) AS rn
+         |   FROM es$s es CROSS JOIN cq$s$iters c) WHERE rn = 1),
+         |qa$s AS (SELECT es.id AS query_id, c.cid,
+         |   CAST(list_sum(list_transform(generate_series(1, len(es.sv)),
+         |     j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))) AS BIGINT) AS d2
+         |  FROM es$s es CROSS JOIN cq$s$iters c WHERE es.id % 100 = 0)"""
+        .stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m).map(s =>
+      s"  JOIN code$s c$s ON c$s.id = c0.id").mkString("\n")
+    val adcJoins = (0 until m).map(s =>
+      s"  JOIN qa$s ON qa$s.query_id = q.query_id AND qa$s.cid = c$s.cid")
+      .mkString("\n")
+    val dsum = (0 until m).map(s => s"qa$s.d2").mkString(" + ")
+    s"""$head,
+       |$subs,
+       |scored AS (SELECT q.query_id, c0.id AS neighbor_id,
+       |   $dsum AS d2pq
+       |  FROM (SELECT DISTINCT query_id FROM qa0) q
+       |  JOIN code0 c0 ON c0.id <> q.query_id
+       |$codeJoins
+       |$adcJoins)
+       |SELECT query_id, neighbor_id, CAST(d2pq AS BIGINT) AS d2pq,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, neighbor_id, d2pq,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY d2pq, neighbor_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= 10""".stripMargin
+  }
 
   /** Shared by q74 (codebook fit) and q60_ann_ivf_build (IVF layout):
     * the quantized-integer Lloyd's replay — Cluster.fitCentroids's
@@ -2590,6 +2765,14 @@ object SparkEntry {
     // construction not coincidence (the q25/q60 pair's discipline)
     "q116_ann_ivf_quantized" -> quantTopKOracleSql,
 
+    // the product-quantization pipeline replayed from scratch: four
+    // per-subspace k-means CTE towers, code assignment, ADC ranking
+    "q121_ann_pq" -> pqTopKOracleSql(m = 4, dsub = 16, ksub = 8, iters = 4),
+
+    // the persisted IVF-PQ index probed exhaustively must reproduce the
+    // brute-force PQ answer — q121's oracle VERBATIM (q113 ≡ q116 shape)
+    "q122_ann_ivf_pq" -> pqTopKOracleSql(m = 4, dsub = 16, ksub = 8, iters = 4),
+
     // q60 probes EVERY cell (nprobe = nlist), so the persisted-index IVF
     // path is exhaustive and must reproduce the brute-force answer —
     // the SAME oracle as q25, by construction not coincidence.
@@ -2878,6 +3061,47 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(a, '${graft.text.Curation.ipv4Pattern}')) AS INT) AS n_ips,
         | CAST(len(regexp_extract_all(a, '${graft.text.Curation.phonePattern}')) AS INT) AS n_phones
         |FROM aug""".stripMargin),
+
+    // the streaming gate's verdict + scrub against the batch oracles
+    // verbatim: q56's rounded metric tower (over the augmented text) for
+    // keep at minWords=30, q57's chained scrub for clean_text — one CTE
+    // chain, NULL text rows surface NULL keep + NULL clean_text
+    "q124_stream_quality" ->
+      (s"""WITH aug AS (SELECT doc_id, text ||
+        | CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        | CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+        | CASE WHEN doc_id % 5 = 0 THEN ' call +1' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 9, '0') ELSE '' END AS a
+        | FROM documents),
+        |base AS (SELECT doc_id, a,
+        |  CASE WHEN <STRIP:a> = '' THEN [] ELSE string_split_regex(<STRIP:a>, '<WS>+') END AS toks,
+        |  string_split(a, chr(10)) AS ls
+        | FROM aug),
+        |m AS (SELECT doc_id, a,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(a, '<WS>', '', 'g')) AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE ((length(a) - length(replace(a, '#', '')))
+        |        + (length(a) - length(replace(a, '...', ''))) / 3) / len(toks) END, 4) AS symbol_ratio,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |    / len(ls), 4) AS bullet_frac,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+        |    / len(ls), 4) AS ellipsis_frac,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 4) AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(list_filter(
+        |    string_split_regex(<STRIP:lower(a)>, '<WS>+'), t -> t <> '')),
+        |    <GOPHER_STOPWORDS>)) AS INT) AS stop_hits
+        | FROM base)
+        |SELECT doc_id,
+        | (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep,
+        | regexp_replace(regexp_replace(regexp_replace(a,
+        |   '${graft.text.Curation.emailPattern}', '<EMAIL>', 'g'),
+        |   '${graft.text.Curation.ipv4Pattern}', '<IP>', 'g'),
+        |   '${graft.text.Curation.phonePattern}', '<PHONE>', 'g') AS clean_text
+        |FROM m""".stripMargin),
 
     // same quantized-log arithmetic: per-vocab-entry floor(log10 * 1e4)
     // as BIGINT, order-free integer sums, one division at the end (no
@@ -3507,6 +3731,40 @@ object SparkEntry {
         |FROM p
         |LEFT JOIN tot ta ON p.source_a IS NOT DISTINCT FROM ta.source
         |LEFT JOIN tot tb ON p.source_b = tb.source""".stripMargin,
+
+    // the near-dup matrix replayed EXHAUSTIVELY: same boilerplate
+    // plant, q26's shingle spelling, every cross-source pair's exact
+    // word-shingle Jaccard, both directions expanded, distinct-doc
+    // counts, totals over the shingled universe, bp as exact integer
+    // division — the engine's bands only bound the comparison set
+    "q123_source_neardup_overlap" ->
+      ("WITH raw AS (SELECT doc_id, source, " +
+        """CASE WHEN doc_id % 37 = 5
+          |  THEN 'replicated boilerplate page copied across crawl sources verbatim with every mirror'
+          |  ELSE text END AS text FROM documents),
+          |""".stripMargin +
+        "n AS (SELECT doc_id, source, " + normSql.format("text") + " AS s FROM raw), " +
+        """t AS (SELECT doc_id, source, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
+          |g AS (SELECT doc_id, source,
+          |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+          | FROM t),
+          |hits AS (
+          | SELECT a.doc_id AS id_a, a.source AS sa, b.doc_id AS id_b, b.source AS sb
+          | FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |   AND (a.source IS DISTINCT FROM b.source)
+          | WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.6),
+          |dirs AS (SELECT sa AS source_a, sb AS source_b, id_a AS id FROM hits
+          |  UNION ALL SELECT sb, sa, id_b FROM hits),
+          |counts AS (SELECT source_a, source_b, COUNT(DISTINCT id) AS n_docs_a_in_b
+          |  FROM dirs GROUP BY 1, 2),
+          |tot AS (SELECT source, COUNT(DISTINCT doc_id) AS n_a FROM g GROUP BY 1)
+          |SELECT source_a, source_b, n_docs_a_in_b, n_a,
+          |  (n_docs_a_in_b * 10000) // n_a AS share_bp
+          |FROM counts JOIN tot ON tot.source IS NOT DISTINCT FROM counts.source_a"""
+          .stripMargin),
 
     // the exhaustive cross-side near-dup verdict replayed from scratch:
     // same template plant + carve, q26's shingle spelling, every batch

@@ -253,27 +253,61 @@ object RecipeConf {
         sys.error(s"index sink needs options.analyzed (token-array column)")),
       mode = if (mode == "create") "overwrite" else mode)
     // persisted IVF ANN index: centroids + cell-partitioned corpus
-    // (build-once / query-many similarity search). The index build is
-    // whole-or-nothing — 'append' would silently destroy the previous
-    // index (writeIvfIndex overwrites both tables), so only full
-    // (re)builds are accepted.
+    // (build-once / query-many similarity search). create/overwrite
+    // (re)build whole; 'append' extends a COMPLETE index under its
+    // existing geometry (Ann.appendIvfIndex) — any geometry option the
+    // dataset block declares is cross-checked against the manifest and
+    // a mismatch refuses loudly (a drifted nlist/quantize/pq knob
+    // would otherwise silently mix two grids in one index).
+    case "ann_index" if mode == "append" =>
+      val spark = df.sparkSession
+      graft.sim.Ann.readManifest(spark, ds.path).foreach { mf =>
+        def drift(knob: String, declared: String, actual: String): Unit =
+          if (declared != actual) sys.error(
+            s"ann_index append: options.$knob declares '$declared' but " +
+              s"the index at ${ds.path} was built with '$actual' — " +
+              "drifted geometry; rebuild (mode overwrite) to change it")
+        ds.options.get("nlist").foreach(v => drift("nlist", v, mf.nlist.toString))
+        ds.options.get("quantize").foreach { v =>
+          val built = mf.quant match {
+            case 0 => "false"; case 1 => "sq8"; case _ => "pq" }
+          val norm = if (v == "true") "sq8" else v
+          drift("quantize", norm, built)
+        }
+        ds.options.get("pq_m").foreach(v => drift("pq_m", v, mf.pqM.toString))
+        ds.options.get("pq_ksub").foreach(v => drift("pq_ksub", v, mf.pqKsub.toString))
+      }
+      graft.sim.Ann.appendIvfIndex(df,
+        cId = ds.options.getOrElse("id",
+          sys.error("ann_index sink needs options.id (vector id column)")),
+        cVec = ds.options.getOrElse("vec",
+          sys.error("ann_index sink needs options.vec (embedding column)")),
+        path = ds.path)
     case "ann_index" if mode != "create" && mode != "overwrite" =>
-      sys.error(s"ann_index sink only supports mode create/overwrite " +
-        s"(the index is rebuilt whole), got '$mode'")
-    // options.quantize: true builds the int8 layout (grids + codebook —
-    // the FAISS-IVF-SQ8 shape); probe it with ann_topk quantized: true
-    case "ann_index" => graft.sim.Ann.writeIvfIndex(df,
-      cId = ds.options.getOrElse("id",
-        sys.error("ann_index sink needs options.id (vector id column)")),
-      cVec = ds.options.getOrElse("vec",
-        sys.error("ann_index sink needs options.vec (embedding column)")),
-      path = ds.path,
-      nlist = sinkIntOpt(ds, "nlist", 16),
-      quantize = ds.options.get("quantize") match {
-        case None => false
-        case Some(v) => v.toBooleanOption.getOrElse(sys.error(
-          s"ann_index sink: options.quantize must be true/false, got '$v'"))
-      })
+      sys.error(s"ann_index sink only supports mode create/overwrite/" +
+        s"append, got '$mode'")
+    // options.quantize selects the cell layout: false/absent = float,
+    // true/sq8 = int8 scalar grids (FAISS-IVF-SQ8), pq = product-
+    // quantized m-byte codes (FAISS-IVFPQ; options.pq_m/pq_ksub set the
+    // code geometry). Probe with the matching ann_topk quantized: knob —
+    // each probe refuses the other layouts loudly.
+    case "ann_index" =>
+      val cId = ds.options.getOrElse("id",
+        sys.error("ann_index sink needs options.id (vector id column)"))
+      val cVec = ds.options.getOrElse("vec",
+        sys.error("ann_index sink needs options.vec (embedding column)"))
+      val nlist = sinkIntOpt(ds, "nlist", 16)
+      ds.options.getOrElse("quantize", "false") match {
+        case "false" => graft.sim.Ann.writeIvfIndex(df, cId, cVec,
+          ds.path, nlist = nlist, quantize = false)
+        case "true" | "sq8" => graft.sim.Ann.writeIvfIndex(df, cId, cVec,
+          ds.path, nlist = nlist, quantize = true)
+        case "pq" => graft.sim.Ann.writeIvfIndexPq(df, cId, cVec,
+          ds.path, nlist = nlist,
+          m = sinkIntOpt(ds, "pq_m", 8), ksub = sinkIntOpt(ds, "pq_ksub", 256))
+        case v => sys.error(
+          s"ann_index sink: options.quantize must be true/false/sq8/pq, got '$v'")
+      }
     // persisted near-dup band index (shingles + band tables, manifest
     // last) — the corpus side of incremental near-dup dedup, signed
     // once; same whole-or-nothing contract as ann_index
@@ -1199,14 +1233,21 @@ object RecipeConf {
             require(ds.format == "ann_index",
               s"$op: dataset '$name' has format '${ds.format}' — " +
                 "'index' must name an ann_index dataset")
-            // quantized: true routes to the int8 probe; each entry
-            // point refuses the other's layout loudly, so a stale YAML
-            // flag cannot silently score the wrong space
-            if (knobBool("quantized", false))
-              graft.sim.Ann.ivfIndexTopKQuantized(spark, ds.path, df, id,
-                vec, k = k, nprobe = knobInt("nprobe", 4))
-            else graft.sim.Ann.ivfIndexTopK(spark, ds.path, df, id, vec,
-              k = k, nprobe = knobInt("nprobe", 4))
+            // quantized routes to the layout's probe (true/sq8 → int8
+            // grids, pq → ADC); each entry point refuses the other
+            // layouts loudly, so a stale YAML flag cannot silently
+            // score the wrong space
+            knob("quantized", "false") match {
+              case "false" => graft.sim.Ann.ivfIndexTopK(spark, ds.path,
+                df, id, vec, k = k, nprobe = knobInt("nprobe", 4))
+              case "true" | "sq8" => graft.sim.Ann.ivfIndexTopKQuantized(
+                spark, ds.path, df, id, vec, k = k,
+                nprobe = knobInt("nprobe", 4))
+              case "pq" => graft.sim.Ann.ivfIndexTopKPq(spark, ds.path,
+                df, id, vec, k = k, nprobe = knobInt("nprobe", 4))
+              case v => sys.error(
+                s"$op: quantized must be true/false/sq8/pq, got '$v'")
+            }
           case Some(_) => sys.error(s"$op: 'index' is blank — name an " +
             "ann_index dataset or use dataset:/method: for direct scoring")
           case None =>

@@ -676,6 +676,86 @@ object Dedup {
         expr("(n_shared * 10000L) div least(n_a, n_b)").as("overlap_bp"))
   }
 
+  /** NEAR-dup cross-source overlap — [[sourceOverlap]]'s sibling for
+    * the duplication exact keys cannot see (the real C4-vs-CommonCrawl
+    * audit: how much of source A already exists in source B as a NEAR
+    * duplicate). One row per ordered co-occurring source pair:
+    * (source_a, source_b, n_docs_a_in_b, n_a, share_bp) where
+    * n_docs_a_in_b counts DISTINCT source-a docs with a VERIFIED
+    * (word-shingle Jaccard ≥ `threshold`, exact — the bands only bound
+    * the comparison set) partner in source_b, n_a is source-a's
+    * comparable universe (docs yielding shingles — NULL/blank rows
+    * cannot near-dup anything and sit out of both sides), and
+    * share_bp = n_docs_a_in_b·10⁴ div n_a in exact integer basis
+    * points (the skewStats arithmetic). The measure is ASYMMETRIC by
+    * design — both directions of a pair are emitted; pairs sharing
+    * nothing are absent. A NULL source is its own group (the
+    * domainStats never-silently-drop contract).
+    *
+    * Scale shape (the [[minhashNearDups]] discipline, cross-source):
+    * ONE narrow (band, bucket, id, source) exchange per side of the
+    * self-join — shingle arrays never enter the candidate shuffle;
+    * candidates dedup on the id pair and re-attach shingles for the
+    * surviving few; the verify is the exact sorted-intersect Jaccard.
+    * Same-source collisions drop INSIDE the band join (the audit is
+    * cross-source; within-source duplication is [[minhashDedup]]'s
+    * job), so the candidate volume is bounded by true cross-source
+    * duplication + the band fpp trickle. The final matrix is
+    * source-cardinality-squared — declared-few sources, the
+    * sourceOverlap contract. */
+  def crossSourceNearDupOverlap(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
+    val rowsPerBand = numHashes / bands
+    val base = graft.engine.AutoUnpersist.cache(df.select(
+        col(idCol).as("id"), col(sourceCol).as("src"),
+        shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))),
+          lit(shingleSize)).as("shingles"))
+      .filter(size(col("shingles")) > 0))
+    val banded = base
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .select(col("id"), col("src"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("src"), col("b.band"), col("b.bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    // id < id dedups the unordered candidate; the DIRECTIONS are
+    // re-expanded after the verify (one verified pair feeds both
+    // (sa → sb) and (sb → sa) rows). NULL-safe inequality keeps the
+    // NULL source a real group instead of silently dropping its pairs.
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") && !(col("a.src") <=> col("b.src")))
+      .select(col("a.id").as("id_a"), col("a.src").as("src_a"),
+        col("b.id").as("id_b"), col("b.src").as("src_b"))
+      .distinct()
+    val verified = pairs
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("__inter",
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", round(
+        col("__inter") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "src_a", "id_b", "src_b")
+    val dirs = verified
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        col("id_a").as("__doc"))
+      .unionByName(verified
+        .select(col("src_b").as("source_a"), col("src_a").as("source_b"),
+          col("id_b").as("__doc")))
+    val totals = broadcast(base.groupBy(col("src").as("__sa"))
+      .agg(countDistinct(col("id")).as("n_a")))
+    dirs.groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("__doc")).as("n_docs_a_in_b"))
+      .join(totals, col("source_a") <=> col("__sa"), "left")
+      .select(col("source_a"), col("source_b"), col("n_docs_a_in_b"),
+        col("n_a"), expr("(n_docs_a_in_b * 10000L) div n_a").as("share_bp"))
+  }
+
   /** [[incrementalNearDedup]] against a persisted index — drop verdicted
     * rows, then [[minhashDedup]] within the survivors with the INDEX
     * MANIFEST's signature parameters, so the vs-corpus and within-batch

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Similarity
@@ -294,35 +294,53 @@ object Ann {
     // the written footers (metadata-only count — no data re-read).
     val spark = corpus.sparkSession
     val rows = spark.read.parquet(s"$path/assigned").count()
-    writeManifest(spark, path, nlist, rows, quant = quantize)
+    writeManifest(spark, path, nlist, rows, quant = if (quantize) 1 else 0)
   }
 
   /** Manifest location + read/write. One tiny JSON line; parsed with a
     * regex rather than a JSON library to keep the index format free of
-    * any dependency (the three fields are flat integers). */
+    * any dependency (the fields are flat integers). `quant` encodes the
+    * LAYOUT: 0 float cells, 1 int8 scalar grids (SQ8), 2 product-
+    * quantized codes (PQ, with `pq_m`/`pq_ksub` recording the code
+    * geometry a probe must reuse verbatim). */
   private def manifestFile(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.json")
 
+  private[graft] case class IvfManifest(nlist: Int, rows: Long,
+      builtMs: Long, quant: Int, pqM: Int, pqKsub: Int,
+      version: Long) {
+    def layoutName: String = quant match {
+      case 0 => "FLOAT"; case 1 => "int8-QUANTIZED (SQ8)"
+      case _ => "PRODUCT-QUANTIZED (PQ)"
+    }
+    def probeName: String = quant match {
+      case 0 => "ivfIndexTopK"; case 1 => "ivfIndexTopKQuantized"
+      case _ => "ivfIndexTopKPq"
+    }
+  }
+
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, nlist: Int, rows: Long, quant: Boolean): Unit = {
+      path: String, nlist: Int, rows: Long, quant: Int,
+      pqM: Int = 0, pqKsub: Int = 0, version: Long = 0): Unit = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
       (s"""{"nlist": $nlist, "rows": $rows, """ +
-        s""""quant": ${if (quant) 1 else 0}, """ +
+        s""""quant": $quant, "pq_m": $pqM, "pq_ksub": $pqKsub, """ +
+        s""""version": $version, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Read an index dir's build manifest: (nlist, rows, built_ms,
-    * quantized). None when absent — an incomplete or pre-manifest
-    * build; a pre-quantization manifest (no `quant` field) reads as a
-    * float layout. */
+  /** Read an index dir's build manifest. None when absent — an
+    * incomplete or pre-manifest build; a pre-quantization manifest (no
+    * `quant` field) reads as a float layout, a pre-PQ one (no `pq_m`)
+    * as its recorded quant with no code geometry. */
   private[graft] def readManifest(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : Option[(Int, Long, Long, Boolean)] = {
+      : Option[IvfManifest] = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -333,7 +351,11 @@ object Ann {
       def field(k: String): Option[Long] =
         (s""""$k":\\s*(\\d+)""".r).findFirstMatchIn(txt).map(_.group(1).toLong)
       for (n <- field("nlist"); r <- field("rows"); b <- field("built_ms"))
-        yield (n.toInt, r, b, field("quant").exists(_ == 1L))
+        yield IvfManifest(n.toInt, r, b,
+          field("quant").getOrElse(0L).toInt,
+          field("pq_m").getOrElse(0L).toInt,
+          field("pq_ksub").getOrElse(0L).toInt,
+          field("version").getOrElse(0L))
     }
   }
 
@@ -350,8 +372,8 @@ object Ann {
     * Cost: one tiny-file read + a count on the nlist-row centroid
     * table; the 100-TB assigned/ table is never touched by the check. */
   private def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, probe: String, wantQuant: Boolean)
-      : (DataFrame, DataFrame) = {
+      path: String, probe: String, wantQuant: Int)
+      : (DataFrame, DataFrame, IvfManifest) = {
     // name a wrong path / not-an-index directory instead of surfacing a
     // bare parquet PATH_NOT_FOUND from one of the two sub-reads
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -368,27 +390,33 @@ object Ann {
         s"$probe: '$path' has no build manifest — the index build " +
           "did not complete (or is being rebuilt right now); rerun " +
           "writeIvfIndex / the ann_index sink"))
-    require(mf._4 == wantQuant,
-      if (mf._4) s"$probe: '$path' is an int8-QUANTIZED index — probe " +
-        "with ivfIndexTopKQuantized (float cosine against grids would " +
-        "be silently wrong)"
-      else s"$probe: '$path' is a FLOAT index — probe with ivfIndexTopK " +
-        "(it stores no grids or codebook)")
-    // a quantized layout has a third table — checked AFTER the layout
+    // the three layouts are distinct index FORMATS — scoring float
+    // cosine against grids, grids against floats, or ADC against
+    // either would be silently wrong, so each probe entry point names
+    // the one that matches the manifest
+    require(mf.quant == wantQuant,
+      s"$probe: '$path' is a ${mf.layoutName} index — probe it with " +
+        s"${mf.probeName} (ranking one layout's cells under another " +
+        "layout's metric would be silently wrong)")
+    // quantized layouts have a third table — checked AFTER the layout
     // test (a float dir should say FLOAT, not "missing params/") so a
     // torn quantized build names the contract instead of surfacing a
-    // bare parquet PATH_NOT_FOUND on params/
-    if (wantQuant)
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/params")),
-        s"$probe: '$path' is not a complete IVF index (missing params/ — " +
+    // bare parquet PATH_NOT_FOUND on the sub-read
+    val extra = wantQuant match {
+      case 1 => Some("params"); case 2 => Some("pq"); case _ => None
+    }
+    extra.foreach { t =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
+        s"$probe: '$path' is not a complete IVF index (missing $t/ — " +
           "build one with writeIvfIndex or the ann_index sink)")
+    }
     val centDfRaw = spark.read.parquet(s"$path/centroids")
     val nCent = centDfRaw.count()
-    require(nCent == mf._1,
-      s"$probe: '$path' is torn — manifest says nlist=${mf._1} but " +
+    require(nCent == mf.nlist,
+      s"$probe: '$path' is torn — manifest says nlist=${mf.nlist} but " +
         s"centroids/ has $nCent rows (index rebuilt out-of-band " +
         "mid-probe?); rebuild with writeIvfIndex")
-    (centDfRaw, spark.read.parquet(s"$path/assigned"))
+    (centDfRaw, spark.read.parquet(s"$path/assigned"), mf)
   }
 
   /** Rank each query's nprobe nearest cells by float centroid distance:
@@ -415,8 +443,8 @@ object Ann {
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val (centDfRaw, assigned) =
-      openIvfIndex(spark, path, "ivfIndexTopK", wantQuant = false)
+    val (centDfRaw, assigned, _) =
+      openIvfIndex(spark, path, "ivfIndexTopK", wantQuant = 0)
     val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
     scoreAndRank(probes.join(assigned, Seq("__cell")), k, excludeSelf)
   }
@@ -434,8 +462,8 @@ object Ann {
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val (centDfRaw, assigned) =
-      openIvfIndex(spark, path, "ivfIndexTopKQuantized", wantQuant = true)
+    val (centDfRaw, assigned, _) =
+      openIvfIndex(spark, path, "ivfIndexTopKQuantized", wantQuant = 1)
     val params = spark.read.parquet(s"$path/params")
     val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
     val probesQ = quantizeInt8(probes, "__qv", params, "__qq")
@@ -732,5 +760,386 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "d2q", "rank")
+  }
+
+  // ------------------------------------------- product quantization (PQ)
+  /** Fit PQ codebooks: the embedding's `dim` dimensions split into `m`
+    * contiguous subspaces of dsub = dim/m, and each subspace gets its
+    * own `ksub`-centroid codebook from the SAME deterministic
+    * quantized-integer k-means the IVF coarse quantizer uses
+    * ([[Cluster.fitCentroidsQ]] — seeded md5 init over the row ids, so
+    * every subspace seats the same init ROWS, integer argmin, floor-
+    * division updates; the whole fit replays as CTE towers in an
+    * external SQL engine). This is the FAISS-IVFPQ train step (Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search"),
+    * the actual 100-TB workhorse: codes are m BYTES per vector vs
+    * dim·4 float bytes — 32× at (m=8, dim=64) where SQ8 manages ~4×.
+    *
+    * The corpus must have ONE embedding dimension (loud otherwise —
+    * subspace boundaries on ragged vectors would be meaningless) and m
+    * must divide it. Rows with NULL vectors or NULL elements sit out
+    * of the fit (the fitCentroidsQ contract) and later encode to NULL
+    * codes. Returns driver-side (sub, cid, coordinates·10⁴) — m·ksub
+    * rows of dsub longs, the declared-small artifact. */
+  private[graft] def fitPqQ(corpus: DataFrame, cId: String, cVec: String,
+      m: Int, ksub: Int, seed: Long, iters: Int)
+      : IndexedSeq[(Int, Long, IndexedSeq[Long])] = {
+    require(m >= 1, s"PQ needs m >= 1 subspaces, got $m")
+    require(ksub >= 1 && ksub <= 256,
+      s"PQ needs ksub in [1, 256] (codes are one byte), got $ksub")
+    val dims = corpus.filter(col(cVec).isNotNull)
+      .select(size(col(cVec)).as("d")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(dims.length == 1,
+      s"PQ needs one uniform embedding dimension, got ${dims.toSeq}")
+    val dim = dims.head
+    require(dim % m == 0,
+      s"PQ subspace count m=$m must divide the embedding dimension $dim")
+    val dsub = dim / m
+    (0 until m).flatMap { s =>
+      val sliced = corpus.select(col(cId),
+        slice(col(cVec), s * dsub + 1, dsub).as("__sv"))
+      Cluster.fitCentroidsQ(sliced, cId, "__sv", ksub, seed, iters,
+          scale = 10000)
+        .map { case (cid, qc) => (s, cid, qc) }
+    }
+  }
+
+  /** [[fitPqQ]] as a persistable (sub, cid, qcv) DataFrame — the PQ
+    * index's codebook table ([[writeIvfIndexPq]] stores it as pq/). */
+  def pqCodebooks(corpus: DataFrame, cId: String, cVec: String,
+      m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+      iters: Int = 4): DataFrame =
+    corpus.sparkSession.createDataFrame(fitPqQ(corpus, cId, cVec, m,
+      ksub, seed, iters)).toDF("sub", "cid", "qcv")
+
+  /** Collect a (sub, cid, qcv) codebook table into the plan-literal
+    * geometry the row-local encode/ADC expressions consume:
+    * (m, dsub, cb[sub][cid] = quantized centroid). Declared-small with
+    * a loud cap — m·ksub·dsub longs ride into every task as one typed
+    * literal (the classifyStream weight-literal discipline). */
+  private def collectPqCodebooks(codebooks: DataFrame)
+      : (Int, Int, Seq[Seq[Seq[Long]]]) = {
+    val rows = codebooks
+      .select(col("sub").cast("int"), col("cid").cast("long"),
+        col("qcv").cast("array<bigint>"))
+      .collect()
+    require(rows.nonEmpty, "PQ: empty codebook table")
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.keySet.max + 1
+    require(bySub.keySet == (0 until m).toSet,
+      s"PQ: codebook table is torn — subspaces ${bySub.keySet.toSeq.sorted} " +
+        s"are not contiguous from 0")
+    val cb = (0 until m).map { s =>
+      val cents = bySub(s).sortBy(_.getLong(1))
+      require(cents.map(_.getLong(1)).toSeq == cents.indices.map(_.toLong),
+        s"PQ: subspace $s centroid ids are not 0..${cents.length - 1}")
+      cents.map(_.getSeq[Long](2).toIndexedSeq.toSeq).toSeq
+    }
+    val dsubs = cb.flatMap(_.map(_.length)).distinct
+    require(dsubs.length == 1,
+      s"PQ: codebook sub-vector lengths disagree: $dsubs")
+    val total = m.toLong * cb.head.length * dsubs.head
+    require(total <= 2000000L,
+      s"PQ: codebook is $total longs — too large to ride as a plan " +
+        "literal (cap 2M ≈ 16 MB); reduce m/ksub")
+    (m, dsubs.head, cb)
+  }
+
+  /** The per-subspace integer distance Σ(qv[s·dsub+j] − c[j])² between
+    * a materialized quantized-vector COLUMN and a literal centroid —
+    * the one arithmetic shared by encode (corpus side) and ADC (query
+    * side), so the two sides cannot drift. Exact long math: quantized
+    * coordinates are ≤ ~10⁵ in magnitude, so each term < 2⁴⁰ and a
+    * dsub-term sum stays far under 2⁵³. */
+  private def pqSubDist(qv: Column, s: Column, dsub: Int,
+      cent: Column): Column =
+    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L), (a, j) => {
+      val d = element_at(qv, (s * dsub + j + 1).cast("int")) -
+        element_at(cent, (j + 1).cast("int"))
+      a + d * d
+    })
+
+  /** Attach PQ codes: per subspace the argmin centroid (ties to the
+    * smaller cid — the clusterAssign tie-break), as one int array
+    * column of m entries in [0, ksub). Row-local — the codebook rides
+    * as a literal, the corpus never shuffles. Rows with a NULL vector,
+    * a NULL element, or a non-codebook dimension get NULL codes
+    * (malformed embeddings are data, not errors — ranking later
+    * excludes them, never guesses). */
+  def encodePq(df: DataFrame, vecCol: String, codebooks: DataFrame,
+      outCol: String = "codes"): DataFrame = {
+    val (m, dsub, cb) = collectPqCodebooks(codebooks)
+    val cbLit = typedlit(cb)
+    val qv = col("__pq_qv")
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val zero = struct(lit(null).cast("int").as("cid"),
+        lit(Long.MaxValue).as("d2"))
+      aggregate(sequence(lit(0), lit(cb.head.length - 1)), zero, (acc, k) => {
+        val cent = element_at(element_at(cbLit, (s + 1).cast("int")),
+          (k + 1).cast("int"))
+        val d2 = pqSubDist(qv, s, dsub, cent)
+        when(d2 < acc.getField("d2"),
+          struct(k.cast("int").as("cid"), d2.as("d2"))).otherwise(acc)
+      }).getField("cid")
+    })
+    val valid = col(vecCol).isNotNull &&
+      size(col(vecCol)) === lit(m * dsub) && !exists(qv, x => x.isNull)
+    df
+      // materialized ONCE as a real column: element_at over an
+      // attribute is O(1) array indexing, while element_at over the
+      // inline transform(...) expression would re-run the whole
+      // quantization per access — m·ksub·dsub times per row
+      .withColumn("__pq_qv", transform(col(vecCol),
+        x => floor(x.cast("double") * 10000).cast("long")))
+      .withColumn(outCol, when(valid, codes))
+      .drop("__pq_qv")
+  }
+
+  /** Attach the query-side ADC (asymmetric distance computation)
+    * lookup tables: per subspace, the integer distance from the
+    * query's sub-vector to EVERY centroid — an m × ksub long grid per
+    * query, computed row-local under the same literal codebook the
+    * encode used. A candidate's distance is then m array lookups
+    * ([[rankByAdc]]), never a re-scan of the codebook. */
+  private def withAdc(queries: DataFrame, vecCol: String,
+      m: Int, dsub: Int, cb: Seq[Seq[Seq[Long]]],
+      outCol: String): DataFrame = {
+    val cbLit = typedlit(cb)
+    val qv = col("__pq_qv")
+    val adc = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(cb.head.length - 1)), k =>
+        pqSubDist(qv, s, dsub,
+          element_at(element_at(cbLit, (s + 1).cast("int")),
+            (k + 1).cast("int")))))
+    val valid = col(vecCol).isNotNull &&
+      size(col(vecCol)) === lit(m * dsub) && !exists(qv, x => x.isNull)
+    queries
+      .withColumn("__pq_qv", transform(col(vecCol),
+        x => floor(x.cast("double") * 10000).cast("long")))
+      .withColumn(outCol, when(valid, adc))
+      .drop("__pq_qv")
+  }
+
+  /** Shared ADC scoring tail (the scoreAndRank/rankByGridDistance
+    * discipline — ONE implementation so the brute-force and persisted-
+    * index probes cannot drift): candidates carry (query_id, __adc,
+    * neighbor_id, __codes); distance = Σ_s __adc[s][__codes[s]], exact
+    * long arithmetic; NULL codes or NULL ADC (malformed vectors) rank
+    * nowhere. Ties by neighbor id. */
+  private def rankByAdc(candidates: DataFrame, m: Int, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val filtered =
+      if (excludeSelf) candidates.filter(col("query_id") =!= col("neighbor_id"))
+      else candidates
+    val d2 = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (a, s) =>
+      a + element_at(element_at(col("__adc"), (s + 1).cast("int")),
+        element_at(col("__codes"), (s + 1).cast("int")) + 1))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2pq").asc, col("neighbor_id"))
+    filtered
+      .withColumn("d2pq",
+        when(col("__adc").isNotNull && col("__codes").isNotNull, d2))
+      .filter(col("d2pq").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "d2pq", "rank")
+  }
+
+  /** Brute-force top-k under product quantization: fit the codebooks on
+    * the corpus, encode it, and rank every query's candidates by the
+    * exact integer ADC distance (ascending, ties by neighbor id) — the
+    * PQ analogue of [[quantizedTopK]] and the semantics a persisted
+    * IVF-PQ index probed exhaustively must reproduce (the q25 ≡ q60 /
+    * q113 ≡ q116 discipline). The metric is the PQ approximation of
+    * quantized L2: each sub-vector snaps to its nearest codeword and
+    * the query measures to the codeword, not the original — the
+    * controlled error that buys m-bytes-per-vector storage. Identical
+    * vectors share codes, so their mutual ADC distance equals the
+    * query-to-own-codeword floor — planted-duplicate recall is
+    * certain at rank 1 (spec-pinned). Deterministic for fixed
+    * (data, m, ksub, seed); replays in any 64-bit engine. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+      iters: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val cb = pqCodebooks(corpus, cId, cVec, m, ksub, seed, iters)
+    val coded = encodePq(
+      corpus.select(col(cId).as("__nid"), col(cVec).as("__cv")),
+      "__cv", cb, "__pqcodes").drop("__cv")
+    pqTopKEncoded(queries, coded, cb, qId, qVec, "__nid", "__pqcodes",
+      k, excludeSelf)
+  }
+
+  /** Rank against a PRE-ENCODED corpus under a persisted codebook table
+    * — the flat (non-IVF) query-many path: encode + write the codes
+    * once ([[pqCodebooks]] → [[encodePq]]), then every query batch
+    * scans m bytes per vector instead of dim·4. Exactly [[pqTopK]]'s
+    * semantics (pqTopK routes through here), provided the codes were
+    * produced under the SAME codebook table — the codebook is the
+    * model, the SQ8-params/pq-manifest discipline. */
+  def pqTopKEncoded(queries: DataFrame, codedCorpus: DataFrame,
+      codebooks: DataFrame, qId: String, qVec: String,
+      cId: String, codesCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (m, dsub, cbSeq) = collectPqCodebooks(codebooks)
+    val c = codedCorpus.select(col(cId).as("neighbor_id"),
+      col(codesCol).as("__codes"))
+    val q = broadcast(withAdc(queryProjection(queries, qId, qVec),
+      "__qv", m, dsub, cbSeq, "__adc").drop("__qv"))
+    rankByAdc(q.crossJoin(c), m, k, excludeSelf)
+  }
+
+  /** Persist an IVF-PQ index — the FAISS-IVFPQ configuration and the
+    * natural completion of the quantized family: the coarse k-means
+    * cell layout of [[writeIvfIndex]] (partition-pruned probes), cells
+    * storing m-BYTE PQ codes instead of vectors (16–32× smaller scans
+    * than float, vs SQ8's ~4×), plus the per-subspace codebooks as the
+    * index's pq/ table. Probes rank by integer ADC under the STORED
+    * codebooks ([[ivfIndexTopKPq]]); the manifest records quant=2 and
+    * the code geometry, and every other probe refuses the layout
+    * loudly. Same torn-build discipline as the float/SQ8 builds
+    * (manifest retracted first, re-issued last). */
+  def writeIvfIndexPq(corpus: DataFrame, cId: String, cVec: String,
+      path: String, nlist: Int = 16, seed: Long = 42L,
+      m: Int = 8, ksub: Int = 256): Unit = {
+    val mf0 = manifestFile(path)
+    mf0.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(mf0, false)
+    val scale = 10000
+    // coarse quantizer: the same fit + integer-space cell assignment as
+    // the float/SQ8 layouts — one cell geometry across all three
+    val qcents = graft.sim.Cluster.fitCentroidsQ(
+      corpus, cId, cVec, nlist, seed, iters = 4, scale = scale)
+    val centsQDf = corpus.sparkSession
+      .createDataFrame(qcents).toDF("cid", "qcv")
+    val corpusQ = corpus.select(col(cId).as("neighbor_id"),
+        col(cVec).as("__cv"))
+      .withColumn("__qv", transform(col("__cv"),
+        x => floor(x.cast("double") * scale).cast("long")))
+    val assigned0 = graft.sim.Cluster
+      .clusterAssign(corpusQ, "neighbor_id", "__qv", centsQDf, "cid", "qcv")
+      .withColumn("__cell", col("cluster_id").cast("int"))
+    // PQ codebooks fit on the SAME corpus the cells store, persisted as
+    // the third table — a probe building ADC under any other codebook
+    // would score a different geometry (the SQ8 params/ contract)
+    val cb = pqCodebooks(corpus, cId, cVec, m, ksub, seed)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
+        "__cv", cb, "codes")
+      .select("neighbor_id", "codes", "__cell")
+      .repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
+    corpus.sparkSession.createDataFrame(
+        qcents.map { case (c, qv) =>
+          (c.toInt, qv.map(_.toDouble / scale), qv)
+        })
+      .toDF("__cell", "__centroid", "__qcentroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = corpus.sparkSession
+    val rows = spark.read.parquet(s"$path/assigned").count()
+    writeManifest(spark, path, nlist, rows, quant = 2,
+      pqM = m, pqKsub = ksub)
+  }
+
+  /** Append a batch to a persisted IVF index under the index's
+    * EXISTING geometry — the increment path exact and near-dup dedup
+    * already have (incrementalDedup / the q107 band-index append) and
+    * the ANN index lacked: a new embedding batch no longer forces a
+    * full rebuild. The batch is assigned under the STORED centroids
+    * (same integer-space argmin as the build), encoded under the
+    * STORED codebook for quantized layouts (SQ8 params / PQ
+    * codebooks — re-deriving either from batch statistics would put
+    * the batch on a DIFFERENT grid than the cells it joins), appended
+    * to the cell partitions, and the manifest re-issued with the new
+    * row count and a bumped `version`. Works for all three layouts.
+    *
+    * Torn-append discipline (the build's contract): the manifest is
+    * retracted BEFORE the append and re-issued after, so a crash
+    * mid-append leaves no certificate and every probe fails loudly
+    * instead of reading half a batch. Geometry always comes FROM the
+    * manifest — there are no tuning parameters to drift; the YAML
+    * sink cross-checks any declared options against the manifest and
+    * refuses mismatches loudly. Duplicate ids are the CALLER's
+    * contract (append kept rows — run the incremental dedup gate
+    * first, the q107 discipline); an append never dedups.
+    *
+    * Semantics after append: for the FLOAT layout an exhaustive probe
+    * still equals brute-force cosine over corpus ∪ batch (the cells
+    * only partition; scoring reads true vectors). For quantized
+    * layouts the batch lands on the ORIGINAL build's grid/codewords —
+    * deliberately: comparability across increments IS the index
+    * contract (FAISS adds to a trained index the same way); re-train
+    * (rebuild) when the embedding distribution drifts. */
+  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val mf = readManifest(spark, path).getOrElse(sys.error(
+      s"appendIvfIndex: no build manifest at '$path' — an append can " +
+        "only extend a COMPLETE index (build with writeIvfIndex / the " +
+        "ann_index sink first)"))
+    val centDf = spark.read.parquet(s"$path/centroids")
+    require(centDf.count() == mf.nlist,
+      s"appendIvfIndex: '$path' is torn — manifest says nlist=${mf.nlist} " +
+        s"but centroids/ disagrees; rebuild with writeIvfIndex")
+    val scale = 10000
+    val centsQ = centDf.select(col("__cell").cast("long").as("cid"),
+      col("__qcentroid").as("qcv"))
+    val batchQ = batch.select(col(cId).as("neighbor_id"),
+        col(cVec).as("__cv"))
+      .withColumn("__qv", transform(col("__cv"),
+        x => floor(x.cast("double") * scale).cast("long")))
+    val assigned0 = graft.sim.Cluster
+      .clusterAssign(batchQ, "neighbor_id", "__qv", centsQ, "cid", "qcv")
+      .withColumn("__cell", col("cluster_id").cast("int"))
+    val rows = mf.quant match {
+      case 0 => assigned0.select("neighbor_id", "__cv", "__cell")
+      case 1 =>
+        val params = spark.read.parquet(s"$path/params")
+        quantizeInt8(assigned0, "__cv", params, "qvec")
+          .select("neighbor_id", "qvec", "__cell")
+      case _ =>
+        val cb = spark.read.parquet(s"$path/pq")
+        encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
+            "__cv", cb, "codes")
+          .select("neighbor_id", "codes", "__cell")
+    }
+    val mfp = manifestFile(path)
+    mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mfp, false)
+    rows.repartition(col("__cell"))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
+    val total = spark.read.parquet(s"$path/assigned").count()
+    writeManifest(spark, path, mf.nlist, total, mf.quant,
+      mf.pqM, mf.pqKsub, version = mf.version + 1)
+  }
+
+  /** Probe a persisted IVF-PQ index: cells rank by float centroid
+    * distance (the shared probeCells), each query builds its ADC grid
+    * under the index's OWN pq/ codebooks, and candidates in the probed
+    * cells rank by exact integer ADC — [[pqTopK]]'s contract, so an
+    * exhaustive probe (nprobe = nlist) must reproduce the brute-force
+    * PQ answer (spec- and oracle-pinned, the q113 ≡ q116 shape).
+    * Output: (query_id, neighbor_id, d2pq, rank). At scale a probe
+    * reads nprobe/nlist of the CODE bytes — the two compressions
+    * (partition pruning × 32× code shrink) multiply. */
+  def ivfIndexTopKPq(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val (centDfRaw, assigned, _) =
+      openIvfIndex(spark, path, "ivfIndexTopKPq", wantQuant = 2)
+    val cb = spark.read.parquet(s"$path/pq")
+    val (m, dsub, cbSeq) = collectPqCodebooks(cb)
+    val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
+    // ADC rides the (tiny, broadcast) query side; probes re-attach it
+    // by query id so the per-cell candidate join stays narrow
+    val qAdc = broadcast(withAdc(queryProjection(queries, qId, qVec),
+      "__qv", m, dsub, cbSeq, "__adc").drop("__qv"))
+    val cand = probes.drop("__qv").join(qAdc, Seq("query_id"))
+      .join(assigned.withColumnRenamed("codes", "__codes"), Seq("__cell"))
+    rankByAdc(cand, m, k, excludeSelf)
   }
 }

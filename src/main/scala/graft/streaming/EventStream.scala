@@ -492,6 +492,28 @@ object EventStream {
       .drop("__winners", "__votes", "__best")
   }
 
+  /** Ingest-time QUALITY + PII gate — the last stages of the full
+    * ingest router (near-dup gate → decontamination → classifier →
+    * quality → scrub; [[nearDupFlagsStream]] / [[decontaminateStream]] /
+    * [[classifyStream]] are the earlier ones), both already pure
+    * row-local Columns ([[graft.text.Curation.gopherKeep]] /
+    * [[graft.text.Curation.scrubPii]]), lifted over a stream as a pure
+    * map: zero streaming state, no watermark — the shape that survives
+    * any ingest rate. Adds `keep` (the Gopher-rule verdict at the
+    * given word bounds; NULL text yields NULL — unknown ≠ verdict, the
+    * batch operator's contract) and `clean_text` (the PII-scrubbed
+    * text; NULL stays NULL). Batch ≡ stream row for row (spec-pinned:
+    * the columns are the batch operators VERBATIM). Routing on the
+    * verdict is the caller's composition (`.filter(col("keep"))` to
+    * admit, the usual ingest-then-batch double-pass discipline for
+    * exact accounting). */
+  def qualityGateStream(stream: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    stream
+      .withColumn("keep",
+        graft.text.Curation.gopherKeep(col(textCol), minWords, maxWords))
+      .withColumn("clean_text", graft.text.Curation.scrubPii(col(textCol)))
+
   def runOnce(spark: SparkSession, dir: String,
       plan: DataFrame => DataFrame, queryName: String,
       schema: StructType = eventSchema, outputMode: String = "append",

@@ -329,6 +329,124 @@ class GraphDedupSpec extends SparkSpec {
     assert(eQ.getMessage.contains("FLOAT"), eQ.getMessage)
   }
 
+  test("IVF-PQ index: exhaustive ADC probe equals brute-force PQ; planted duplicate; layouts refuse each other") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Ann.writeIvfIndexPq(e, "vec_id", "embedding", idx, nlist = 8,
+      m = 4, ksub = 8)
+    // exhaustive probe (nprobe = nlist) must EQUAL the brute-force PQ
+    // ranking — same codebooks (same corpus + seed), same codes, same
+    // ADC arithmetic
+    val viaIndex = Ann.ivfIndexTopKPq(spark, idx, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val direct = Ann.pqTopK(q, e, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, m = 4, ksub = 8)
+    assert(viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0,
+      "IVF-PQ index probe diverges from brute-force PQ")
+    // the index stores m-byte codes + the two codebook tables — never
+    // vectors or grids
+    assert(new java.io.File(s"$idx/pq").exists())
+    assert(spark.read.parquet(s"$idx/assigned").columns.toSet ==
+      Set("neighbor_id", "codes", "__cell"))
+    assert(spark.read.parquet(s"$idx/pq").count() == 4 * 8)
+    // a planted EXACT copy shares every code with its query, so its ADC
+    // distance is the query-to-own-codeword floor: it must sit at the
+    // rank-1 distance (another corpus vector may TIE by landing in the
+    // same 4 codewords — ties break by id — so pin the distance, not
+    // the id)
+    val planted = q.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"))
+    val withDup = Ann.pqTopK(q,
+      e.select("vec_id", "embedding").unionByName(planted),
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 4, ksub = 8)
+    val best = withDup.filter(col("rank") === 1)
+      .select(col("query_id"), col("d2pq").as("best_d2"))
+    val dupRows = withDup
+      .filter(col("neighbor_id") === col("query_id") + 10000)
+      .join(best, Seq("query_id"))
+    assert(dupRows.count() == q.count(),
+      "a planted exact copy fell out of the PQ top-5")
+    assert(dupRows.filter(col("d2pq") =!= col("best_d2")).isEmpty,
+      "a planted exact copy ranked above some other vector's ADC floor")
+    // NULL / malformed vectors encode to NULL codes, never a guess
+    import spark.implicits._
+    val cb = Ann.pqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 8)
+    val bad = Seq((1L, null.asInstanceOf[Array[Float]]),
+        (2L, Array(0.1f, 0.2f))) // wrong dimension
+      .toDF("vec_id", "embedding")
+    val codes = Ann.encodePq(bad, "embedding", cb, "codes")
+      .select("codes").collect()
+    assert(codes.forall(_.isNullAt(0)),
+      "malformed vectors must encode to NULL codes")
+    // layout checks are LOUD in all directions
+    val eF = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, idx, q, "vec_id", "embedding", k = 2)
+    }
+    assert(eF.getMessage.contains("PRODUCT-QUANTIZED"), eF.getMessage)
+    val eQ = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopKQuantized(spark, idx, q, "vec_id", "embedding", k = 2)
+    }
+    assert(eQ.getMessage.contains("PRODUCT-QUANTIZED"), eQ.getMessage)
+    val idxF = java.nio.file.Files.createTempDirectory("graft-ivff2").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxF, nlist = 8)
+    val ePq = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopKPq(spark, idxF, q, "vec_id", "embedding", k = 2)
+    }
+    assert(ePq.getMessage.contains("FLOAT"), ePq.getMessage)
+  }
+
+  test("appendIvfIndex: float append ≡ full rebuild; quantized batch lands on the ORIGINAL grid; version bumps; torn is loud") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val part1 = e.filter(col("vec_id") % 2 === 0)
+    val part2 = e.filter(col("vec_id") % 2 =!= 0)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    // FLOAT layout: an exhaustive probe reads true vectors, so the
+    // coarse geometry cannot affect it — build-on-half + append must
+    // hash-equal the full rebuild probed exhaustively
+    val idxA = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Ann.writeIvfIndex(part1, "vec_id", "embedding", idxA, nlist = 8)
+    Ann.appendIvfIndex(part2, "vec_id", "embedding", idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxB, nlist = 8)
+    val viaAppend = Ann.ivfIndexTopK(spark, idxA, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val viaRebuild = Ann.ivfIndexTopK(spark, idxB, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(viaAppend.exceptAll(viaRebuild).count() == 0 &&
+      viaRebuild.exceptAll(viaAppend).count() == 0,
+      "probe-after-append diverged from probe-after-rebuild")
+    // manifest: full row count, version bumped past the build's 0
+    val mfA = Ann.readManifest(spark, idxA).get
+    assert(mfA.rows == e.count() && mfA.version == 1L, mfA.toString)
+    // SQ8 layout: the appended batch must quantize under the ORIGINAL
+    // params table (comparability across increments is the index
+    // contract) — the reference is the brute-force quantized ranking
+    // with EVERYTHING on part1's grid
+    val idxQ = java.nio.file.Files.createTempDirectory("graft-ivfq-app").toString
+    Ann.writeIvfIndex(part1, "vec_id", "embedding", idxQ, nlist = 8,
+      quantize = true)
+    Ann.appendIvfIndex(part2, "vec_id", "embedding", idxQ)
+    val params1 = spark.read.parquet(s"$idxQ/params")
+    val allOnGrid1 = Ann.quantizeInt8(e, "embedding", params1)
+    val directQ = Ann.quantizedTopK(
+      allOnGrid1.filter(col("vec_id") % 100 === 0), allOnGrid1,
+      "vec_id", "qvec", "vec_id", "qvec", k = 5)
+    val probeQ = Ann.ivfIndexTopKQuantized(spark, idxQ, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(probeQ.exceptAll(directQ).count() == 0 &&
+      directQ.exceptAll(probeQ).count() == 0,
+      "appended batch did not land on the original SQ8 grid")
+    // appending to a dir with no manifest is loud — never a silent
+    // half-index
+    val bare = java.nio.file.Files.createTempDirectory("graft-ivf-bare").toString
+    val eApp = intercept[RuntimeException](
+      Ann.appendIvfIndex(part2, "vec_id", "embedding", bare))
+    assert(eApp.getMessage.contains("manifest"), eApp.getMessage)
+  }
+
   test("hyperplane-LSH ANN: pinned recall + exact scores on the driver embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
@@ -923,6 +1041,36 @@ class GraphDedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp(0).getLong(2) == 1L && fp(0).getLong(5) == 10000L)
     intercept[RuntimeException](
       Dedup.sourceOverlap(df, "source", "text", method = "nope"))
+  }
+
+  test("crossSourceNearDupOverlap: asymmetric matrix, distinct docs, NULL source group, same-source pairs ignored") {
+    val docs = Seq(
+      (1L, "A", "the quick brown fox jumps over the lazy dog"),
+      (2L, "B", "the quick brown fox jumps over the lazy dog"), // exact cross-dup of 1
+      (3L, "B", "the quick brown fox jumps over the lazy dog today"), // 0.875 vs 1/2
+      (4L, "A", "completely different text about nothing shared anywhere"),
+      (5L, "C", "another unrelated document in the third source"),
+      (6L, "A", null: String), // no shingles → out of both sides
+      (7L, null: String, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "src", "text")
+    val m = Dedup.crossSourceNearDupOverlap(docs, "id", "text", "src")
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // universes: A = {1, 4} (6 sits out), B = {2, 3}, C = {5}, NULL = {7}
+    assert(m == Map(
+      // 2 and 3 are BOTH within reach of A's doc 1, but doc 1 counts
+      // ONCE in the A→B direction — distinct docs, not pair volume
+      (Some("A"), Some("B")) -> (1L, 2L, 5000L),
+      (Some("B"), Some("A")) -> (2L, 2L, 10000L),
+      (Some("A"), None) -> (1L, 2L, 5000L),
+      (None, Some("A")) -> (1L, 1L, 10000L),
+      (Some("B"), None) -> (2L, 2L, 10000L),
+      (None, Some("B")) -> (1L, 1L, 10000L)), m.toString)
+    // C shares nothing → absent entirely; same-source near-dups (none
+    // planted here, but 2-3 would be one at B-B) never create a row
+    assert(!m.keySet.exists { case (a, b) => a == b || a == Some("C") ||
+      b == Some("C") })
   }
 
   test("semanticContaminationFlags: max cosine vs test set, NULLs, empty test set") {

@@ -1052,4 +1052,75 @@ class ModulesSpec extends SparkSpec {
     val km = r.getAs[Double]("km")
     assert(km > 380 && km < 400)
   }
+
+  test("qualityGateStream: batch ≡ stream incl. NULL rows; scrub + verdict live") {
+    import spark.implicits._
+    val dir = s"$tmpDir/qgate"
+    val good = "the quick brown fox jumps over the lazy dog and that " +
+      "fine hound have kept with it to be sure of the outcome today " +
+      "contact bob@mail.example.com or call +1555123456 from 10.0.0.1"
+    val docs = Seq(
+      (1L, good),                          // passes at minWords=5, PII scrubbed
+      (2L, "short"),                       // fails the word floor
+      (3L, null.asInstanceOf[String]))     // NULL → NULL verdict, NULL clean
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/in")
+    val plan = (df: org.apache.spark.sql.DataFrame) =>
+      EventStream.qualityGateStream(df, "text", minWords = 5)
+    val streamed = EventStream.runOnce(spark, s"$dir/in", plan,
+      "qgate_mem", schema = docs.schema)
+    val batch = plan(spark.read.parquet(s"$dir/in"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming quality gate diverged from the batch Columns")
+    val by = streamed.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getBoolean(2)),
+        Option(r.getString(3)))).toMap
+    assert(by(1L)._1 == Some(true))
+    val clean = by(1L)._2.get
+    assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>") &&
+      clean.contains("<IP>") && !clean.contains("bob@"), clean)
+    assert(by(2L) == (Some(false), Some("short")))
+    assert(by(3L) == (None, None), "NULL text must stay unknown, not a verdict")
+  }
+
+  test("bench contamination flag fires under synthetic external load " +
+      "(the r10 q53/q68 uniform-burst incident)") {
+    // the pure predicate: either reading over the gate marks the line
+    assert(!Bench.isContaminated(0.1, 0.2, gate = 1.5))
+    assert(Bench.isContaminated(2.0, 0.1, gate = 1.5)) // started hot (r8)
+    assert(Bench.isContaminated(0.1, 2.0, gate = 1.5)) // burst mid-loop (r10)
+    assert(!Bench.isContaminated(-1.0, -1.0, gate = 1.5)) // /proc unknown
+    // the sensor: externalBusyCores must SEE cpu burned by processes
+    // outside this JVM (it subtracts our own process time — a spin
+    // thread in this JVM would be invisible by design). Six spinners
+    // should read well above the 1.5-core default gate; `timeout 20`
+    // is the safety net if the finally is never reached.
+    // spin INSIDE the spawned bash (no `timeout` wrapper — killing the
+    // wrapper would orphan a still-spinning child, which is exactly
+    // what the first version of this test did to itself); SECONDS is
+    // the in-process safety net if the finally never runs
+    val spinners = (1 to 6).map { _ =>
+      new ProcessBuilder("bash", "-c",
+        "while [ $SECONDS -lt 30 ]; do :; done").start()
+    }
+    val ext = try {
+      Thread.sleep(500) // let the spinners reach steady burn
+      val e = Bench.externalBusyCores(700)
+      assert(e > 1.5, s"externalBusyCores read $e with 6 external " +
+        "spinners running — the sensor missed the synthetic burst")
+      assert(Bench.isContaminated(0.0, e, gate = 1.5))
+      e
+    } finally {
+      spinners.foreach(_.destroyForcibly())
+      spinners.foreach(_.waitFor())
+    }
+    // after the spinners die the reading must DROP — the sensor tracks
+    // the burst, not a constant. Compared against the hot reading (not
+    // against an absolute "quiet" bound) so genuine ambient load on a
+    // shared host cannot flake this assert.
+    Thread.sleep(500)
+    val after = Bench.externalBusyCores(700)
+    assert(after < ext - 2.0, s"external load read $after after killing " +
+      s"the spinners vs $ext during — the sensor did not track the burst")
+  }
 }

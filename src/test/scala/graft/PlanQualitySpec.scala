@@ -74,6 +74,19 @@ class PlanQualitySpec extends SparkSpec {
       s"quantized queries must broadcast and the corpus stream:\n$p")
   }
 
+  test("q121 PQ ANN: query side (with ADC grids) broadcasts, codebook is a literal, top-k prunes via WindowGroupLimit") {
+    val p = plan("q121_ann_pq")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the query rows carry their ADC lookup grids and broadcast; the
+    // coded corpus streams — the exact q25/q113 shape, but each
+    // streamed row is m bytes of codes, not the vector
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"PQ queries must broadcast and the coded corpus stream:\n$p")
+    // the codebook rides as a plan literal (collected driver-side at
+    // plan build): no join, no shuffle, no scan may appear for it
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q111 classifier scoring: weights broadcast; no cartesian") {
     val p = plan("q111_classifier_score")
     assert(p.contains("BroadcastHashJoin"),

@@ -86,12 +86,34 @@ object QuantBench {
             f"min=${samples.map(_._1).min}%7.3f rows=${samples.head._2} " +
             s"samples=${samples.map(s => f"${s._1}%.3f").mkString(",")}")
         }
+        // PQ build side, off the clock like the SQ8 build: codebooks fit
+        // on a BOUNDED sample (the documented codebook practice — fit
+        // quality saturates far below corpus size; the fit must not
+        // scale with n), then the whole corpus encodes to m-byte codes
+        val pqPath = s"$tmp/pq$n"
+        val tp0 = System.nanoTime()
+        val cb = Ann.pqCodebooks(
+          fl.filter(col("vec_id") % ((n / 50000L) max 1L) === 0),
+          "vec_id", "embedding", m = 8, ksub = 256)
+        Ann.encodePq(fl, "embedding", cb, "codes")
+          .select("vec_id", "codes").write.parquet(pqPath)
+        val pqBuildS = (System.nanoTime() - tp0) / 1e9
+        val pq = spark.read.parquet(pqPath)
+        val pqB = dirBytes(pqPath)
+        println(f"[quant] n=$n%-9d pqMB=${pqB / 1048576.0}%8.1f " +
+          f"ratio_vs_float=${fB.toDouble / pqB}%5.2f " +
+          f"ratio_vs_int8=${qB.toDouble / pqB}%5.2f " +
+          f"(fit+encode+write $pqBuildS%6.3f s, one-time)")
+
         measure("float", () => Ann.bruteForceTopK(
           fl.filter(col("vec_id") % (n / 25) === 0), fl,
           "vec_id", "embedding", "vec_id", "embedding", k = 10).count())
         measure("int8", () => Ann.quantizedTopK(
           qv.filter(col("vec_id") % (n / 25) === 0), qv,
           "vec_id", "qvec", "vec_id", "qvec", k = 10).count())
+        measure("pq", () => Ann.pqTopKEncoded(
+          fl.filter(col("vec_id") % (n / 25) === 0), pq, cb,
+          "vec_id", "embedding", "vec_id", "codes", k = 10).count())
       }
     } finally {
       spark.stop()

@@ -1224,6 +1224,90 @@ class RecipeConfSpec extends SparkSpec {
       RecipeConf.run(spark, qc, "wrongprobe")
     }
     assert(eQ.getMessage.contains("QUANTIZED"), eQ.getMessage)
+
+    // the IVF-PQ layout end-to-end from YAML: quantize: pq sink with
+    // explicit code geometry, then ann_topk quantized: pq probes it
+    // exhaustively — must equal the brute-force PQ ranking; a stale
+    // float flag refuses the layout
+    val pc = RecipeConf.load(
+      s"""datasets:
+         |  vectors: {path: $dir/ann_in, format: parquet}
+         |  the_ann_pq:
+         |    path: $dir/ann_out_pq
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "4",
+         |              quantize: "pq", pq_m: "4", pq_ksub: "8"}
+         |recipes:
+         |  build: {input: vectors, steps: [], output: the_ann_pq}
+         |  probe:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2,
+         |                   index: the_ann_pq, nprobe: 4, quantized: pq}
+         |  wrongprobe:
+         |    input: vectors
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2, index: the_ann_pq}
+         |""".stripMargin)
+    RecipeConf.run(spark, pc, "build")
+    val vecs = spark.read.parquet(s"$dir/ann_in")
+    val directPq = graft.sim.Ann.pqTopK(vecs, vecs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2, m = 4, ksub = 8)
+    val probedPq = RecipeConf.run(spark, pc, "probe")
+    assert(probedPq.exceptAll(directPq).isEmpty &&
+      directPq.exceptAll(probedPq).isEmpty,
+      "YAML PQ probe diverges from brute-force PQ")
+    val ePq = intercept[IllegalArgumentException] {
+      RecipeConf.run(spark, pc, "wrongprobe")
+    }
+    assert(ePq.getMessage.contains("PRODUCT-QUANTIZED"), ePq.getMessage)
+  }
+
+  test("ann_index append from YAML extends the index; drifted geometry options refuse loudly") {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/ann_in")
+    vecs.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/ann_half")
+    vecs.filter(col("vec_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$dir/ann_rest")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  half: {path: $dir/ann_half, format: parquet}
+         |  rest: {path: $dir/ann_rest, format: parquet}
+         |  all: {path: $dir/ann_in, format: parquet}
+         |  idx:
+         |    path: $dir/ann_app_idx
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "4"}
+         |  idx_drift:
+         |    path: $dir/ann_app_idx
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "8"}
+         |recipes:
+         |  build: {input: half, steps: [], output: idx}
+         |  extend: {input: rest, steps: [], output: idx}
+         |  drift: {input: rest, steps: [], output: idx_drift}
+         |  probe:
+         |    input: all
+         |    steps:
+         |      - ann_topk: {id: vec_id, vec: embedding, k: 2, index: idx,
+         |                   nprobe: 4}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "build")
+    RecipeConf.run(spark, conf, "extend", mode = "append")
+    // after the append the index answers over the WHOLE corpus: an
+    // exhaustive probe equals brute-force cosine over all vectors
+    val probed = RecipeConf.run(spark, conf, "probe")
+    val direct = graft.sim.Ann.bruteForceTopK(vecs, vecs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      "appended YAML index diverges from brute force over the union")
+    assert(graft.sim.Ann.readManifest(spark, s"$dir/ann_app_idx")
+      .exists(m => m.version == 1L && m.rows == vecs.count()))
+    // a dataset block declaring different geometry cannot append
+    val eDrift = intercept[RuntimeException](
+      RecipeConf.run(spark, conf, "drift", mode = "append"))
+    assert(eDrift.getMessage.contains("drifted"), eDrift.getMessage)
   }
 
   test("neardup_index sink from YAML persists a probe-able band layout") {
