@@ -700,9 +700,23 @@ object Dedup {
     * Same-source collisions drop INSIDE the band join (the audit is
     * cross-source; within-source duplication is [[minhashDedup]]'s
     * job), so the candidate volume is bounded by true cross-source
-    * duplication + the band fpp trickle. The final matrix is
-    * source-cardinality-squared — declared-few sources, the
-    * sourceOverlap contract. */
+    * duplication + the band fpp trickle.
+    *
+    * Mega-group discipline: EXACT copies collapse per
+    * (source, shingle set) BEFORE banding — one representative row
+    * carrying its distinct-doc count. The matrix counts docs, and
+    * every exact copy of a doc matches exactly what the doc matches,
+    * so the collapse is semantics-preserving while bounding an exact
+    * boilerplate group's pair volume by sources²/2 instead of g²/2
+    * (the audit's common worst case — one page replicated millions of
+    * times across a handful of crawls — goes from quadratic to flat;
+    * CrossNearBench stage-profiled the uncollapsed regime at 31.7M
+    * candidate rows for 6k copies at 300k docs). NEAR-but-not-exact
+    * mega-groups (g mutually-similar DISTINCT texts) keep their g²/2
+    * verified pairs — that is real duplication structure the audit is
+    * asked to count; cap or pre-dedup upstream if a corpus is shaped
+    * like that. The final matrix is source-cardinality-squared —
+    * declared-few sources, the sourceOverlap contract. */
   def crossSourceNearDupOverlap(df: DataFrame, idCol: String,
       textCol: String, sourceCol: String, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
@@ -710,47 +724,60 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes)")
     val rowsPerBand = numHashes / bands
-    val base = graft.engine.AutoUnpersist.cache(df.select(
+    val raw = df.select(
         col(idCol).as("id"), col(sourceCol).as("src"),
         shingleHashUdf(Tools.tokenize(Tools.normalize(col(textCol))),
           lit(shingleSize)).as("shingles"))
-      .filter(size(col("shingles")) > 0))
+      .filter(size(col("shingles")) > 0)
+    // the exact-collapse: one rep per (source, shingle set), keyed by a
+    // deterministic 64-bit hash of the sorted set (the family's fnv64
+    // shingle keys already accept 64-bit identity). cnt = how many
+    // distinct docs the rep speaks for.
+    val base = graft.engine.AutoUnpersist.cache(raw
+      .groupBy(col("src"), col("shingles"))
+      .agg(countDistinct(col("id")).as("cnt"))
+      .withColumn("rep", xxhash64(col("src"), col("shingles"))))
     val banded = base
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .select(col("id"), col("src"),
+      .select(col("rep"), col("src"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("src"), col("b.band"), col("b.bucket"))
+      .select(col("rep"), col("src"), col("b.band"), col("b.bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
-    // id < id dedups the unordered candidate; the DIRECTIONS are
+    // rep < rep dedups the unordered candidate; the DIRECTIONS are
     // re-expanded after the verify (one verified pair feeds both
     // (sa → sb) and (sb → sa) rows). NULL-safe inequality keeps the
     // NULL source a real group instead of silently dropping its pairs.
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id") && !(col("a.src") <=> col("b.src")))
-      .select(col("a.id").as("id_a"), col("a.src").as("src_a"),
-        col("b.id").as("id_b"), col("b.src").as("src_b"))
+          col("a.rep") < col("b.rep") && !(col("a.src") <=> col("b.src")))
+      .select(col("a.rep").as("rep_a"), col("a.src").as("src_a"),
+        col("b.rep").as("rep_b"), col("b.src").as("src_b"))
       .distinct()
     val verified = pairs
-      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(base.select(col("rep").as("rep_a"), col("shingles").as("sh_a"),
+        col("cnt").as("cnt_a")), "rep_a")
+      .join(base.select(col("rep").as("rep_b"), col("shingles").as("sh_b"),
+        col("cnt").as("cnt_b")), "rep_b")
       .withColumn("__inter",
         graft.functions.NativeExpressions.sortedIntersectCount(
           col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard", round(
         col("__inter") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "src_a", "id_b", "src_b")
+      .select("rep_a", "src_a", "cnt_a", "rep_b", "src_b", "cnt_b")
     val dirs = verified
       .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
-        col("id_a").as("__doc"))
+        col("rep_a").as("__rep"), col("cnt_a").as("__cnt"))
       .unionByName(verified
         .select(col("src_b").as("source_a"), col("src_a").as("source_b"),
-          col("id_b").as("__doc")))
+          col("rep_b").as("__rep"), col("cnt_b").as("__cnt")))
+      // a rep matched by SEVERAL partner reps still speaks for its cnt
+      // docs once per direction — dedup before the sum
+      .distinct()
     val totals = broadcast(base.groupBy(col("src").as("__sa"))
-      .agg(countDistinct(col("id")).as("n_a")))
+      .agg(sum(col("cnt")).as("n_a")))
     dirs.groupBy(col("source_a"), col("source_b"))
-      .agg(countDistinct(col("__doc")).as("n_docs_a_in_b"))
+      .agg(sum(col("__cnt")).as("n_docs_a_in_b"))
       .join(totals, col("source_a") <=> col("__sa"), "left")
       .select(col("source_a"), col("source_b"), col("n_docs_a_in_b"),
         col("n_a"), expr("(n_docs_a_in_b * 10000L) div n_a").as("share_bp"))

@@ -863,37 +863,75 @@ object Ann {
   /** Attach PQ codes: per subspace the argmin centroid (ties to the
     * smaller cid — the clusterAssign tie-break), as one int array
     * column of m entries in [0, ksub). Row-local — the codebook rides
-    * as a literal, the corpus never shuffles. Rows with a NULL vector,
-    * a NULL element, or a non-codebook dimension get NULL codes
-    * (malformed embeddings are data, not errors — ranking later
-    * excludes them, never guesses). */
+    * in the encoder's closure, the corpus never shuffles. Rows with a
+    * NULL vector, a NULL element, or a non-codebook dimension get
+    * NULL codes (malformed embeddings are data, not errors — ranking
+    * later excludes them, never guesses).
+    *
+    * The argmin is a tight primitive UDF loop, NOT a Column
+    * transform/aggregate tower, deliberately (the hyperplaneSig
+    * rationale): higher-order functions do not enter codegen, and the
+    * per-row work here is m·ksub·dsub integer ops (16k at the m=8/
+    * ksub=256 defaults) — QuantBench measured the interpreted-
+    * expression spelling at ~0.44 ms/vector, which is the BUILD cost
+    * of the whole PQ index at corpus scale. The loop computes the
+    * identical integer arithmetic (strict <, ascending k → smallest
+    * cid on ties), so the oracle replay is unchanged. */
   def encodePq(df: DataFrame, vecCol: String, codebooks: DataFrame,
       outCol: String = "codes"): DataFrame = {
     val (m, dsub, cb) = collectPqCodebooks(codebooks)
-    val cbLit = typedlit(cb)
-    val qv = col("__pq_qv")
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
-      val zero = struct(lit(null).cast("int").as("cid"),
-        lit(Long.MaxValue).as("d2"))
-      aggregate(sequence(lit(0), lit(cb.head.length - 1)), zero, (acc, k) => {
-        val cent = element_at(element_at(cbLit, (s + 1).cast("int")),
-          (k + 1).cast("int"))
-        val d2 = pqSubDist(qv, s, dsub, cent)
-        when(d2 < acc.getField("d2"),
-          struct(k.cast("int").as("cid"), d2.as("d2"))).otherwise(acc)
-      }).getField("cid")
-    })
+    val cbArr: Array[Array[Array[Long]]] =
+      cb.map(_.map(_.toArray).toArray).toArray
+    val bc = df.sparkSession.sparkContext.broadcast(cbArr)
+    val mm = m; val ds = dsub
+    // Seq[Double], and the Column cast below is to array<double>:
+    // float → double widening is exact, so floor(x·10⁴) sees the same
+    // value the Column spelling (and the oracle's CAST(… AS DOUBLE[]))
+    // sees — a float-side cast would re-quantize double corpora
+    val enc = udf { (v: Seq[Double]) =>
+      if (v == null || v.length != mm * ds) null
+      else {
+        val qv = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) {
+          qv(i) = math.floor(v(i) * 10000).toLong
+          i += 1
+        }
+        val books = bc.value
+        val codes = new Array[Int](mm)
+        var s = 0
+        while (s < mm) {
+          val cents = books(s)
+          var best = -1
+          var bestD = Long.MaxValue
+          var k = 0
+          while (k < cents.length) {
+            val c = cents(k)
+            var d = 0L
+            var j = 0
+            while (j < ds) {
+              val t = qv(s * ds + j) - c(j)
+              d += t * t
+              j += 1
+            }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        codes
+      }
+    }
+    // NULL-element vectors must yield NULL codes, and a Scala UDF over
+    // a primitive-element array cannot see per-element nulls reliably —
+    // the guard stays Column-side (cheap: one pass, short-circuits on
+    // the first null element)
     val valid = col(vecCol).isNotNull &&
-      size(col(vecCol)) === lit(m * dsub) && !exists(qv, x => x.isNull)
-    df
-      // materialized ONCE as a real column: element_at over an
-      // attribute is O(1) array indexing, while element_at over the
-      // inline transform(...) expression would re-run the whole
-      // quantization per access — m·ksub·dsub times per row
-      .withColumn("__pq_qv", transform(col(vecCol),
-        x => floor(x.cast("double") * 10000).cast("long")))
-      .withColumn(outCol, when(valid, codes))
-      .drop("__pq_qv")
+      size(col(vecCol)) === lit(m * dsub) &&
+      !exists(col(vecCol), x => x.isNull)
+    df.withColumn(outCol,
+      when(valid, enc(col(vecCol).cast("array<double>"))))
   }
 
   /** Attach the query-side ADC (asymmetric distance computation)

@@ -82,8 +82,9 @@ class PlanQualitySpec extends SparkSpec {
     // streamed row is m bytes of codes, not the vector
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
       s"PQ queries must broadcast and the coded corpus stream:\n$p")
-    // the codebook rides as a plan literal (collected driver-side at
-    // plan build): no join, no shuffle, no scan may appear for it
+    // the codebook rides driver-side (ADC literals on the query side,
+    // a broadcast closure in the encode UDF): no join, no shuffle, no
+    // scan may appear for it
     assert(!p.contains("CartesianProduct"), p)
   }
 
