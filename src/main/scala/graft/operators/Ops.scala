@@ -550,10 +550,14 @@ object Ops {
     * count (e.g. 32) even when AQE coalesces it to 1 at runtime, so
     * trusting it would silently SKIP the rebalance exactly where it is
     * needed (r10 ADVICE), and `df.rdd` would force physical-plan
-    * compilation of the whole upstream subtree. There the repartition
-    * is applied unconditionally — conservative, and cheap by the
-    * operator's own precondition (the input is small; that is why it
-    * is under-parallelized). */
+    * compilation of the whole upstream subtree. There the decision
+    * falls to the optimizer's SIZE estimate: a small input (within
+    * goal × 128 MB — the operator's own precondition; it is small,
+    * that is why it is under-parallelized) repartitions
+    * unconditionally, while an estimated-large input is left
+    * UNTOUCHED — mid-pipeline `rebalance` on a genuinely big frame
+    * must never silently buy a full-data round-robin exchange that
+    * can also CAP parallelism at `goal` (r11 review finding). */
   def rebalance(df: DataFrame, target: Int = 0): DataFrame = {
     val goal =
       if (target > 0) target
@@ -564,7 +568,11 @@ object Ops {
           _: lp.RepartitionOperation | _: lp.GlobalLimit |
           _: lp.Deduplicate) => p
     }.isEmpty
-    if (!scanLevel) df.repartition(goal)
+    if (!scanLevel) {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= BigInt(goal) * 128L * 1024 * 1024) df.repartition(goal)
+      else df
+    }
     else if (df.rdd.getNumPartitions >= goal) df
     else df.repartition(goal)
   }

@@ -796,14 +796,32 @@ object Ann {
     require(dim % m == 0,
       s"PQ subspace count m=$m must divide the embedding dimension $dim")
     val dsub = dim / m
-    (0 until m).flatMap { s =>
+    val books = (0 until m).map { s =>
       val sliced = corpus.select(col(cId),
         slice(col(cVec), s * dsub + 1, dsub).as("__sv"))
       Cluster.fitCentroidsQ(sliced, cId, "__sv", ksub, seed, iters,
-          scale = 10000)
-        .map { case (cid, qc) => (s, cid, qc) }
+        scale = PqScale)
+    }
+    // fail at BUILD time, not first probe, when the subspaces seated
+    // UNEVEN centroid counts (null elements concentrated in some slice
+    // left it fewer valid rows than ksub) — the uniform-size contract
+    // collectPqCodebooks re-enforces on the read path. A uniformly
+    // smaller book (tiny corpus < ksub everywhere) stays legal.
+    val sizes = books.map(_.size).distinct
+    require(sizes.length == 1,
+      s"PQ: subspace codebooks seated ${books.map(_.size)} centroids — " +
+        "uneven slices (null elements concentrated in some subspace?); " +
+        "lower ksub or clean the corpus")
+    books.zipWithIndex.flatMap { case (b, s) =>
+      b.map { case (cid, qc) => (s, cid, qc) }
     }
   }
+
+  /** The PQ family's ONE quantization scale: encode (primitive UDF
+    * loop), the query-side ADC grids, and the per-subspace k-means fits
+    * must all place values on the same floor(x·scale) integer grid —
+    * three spellings, one constant, so they cannot drift. */
+  private val PqScale = 10000
 
   /** [[fitPqQ]] as a persistable (sub, cid, qcv) DataFrame — the PQ
     * index's codebook table ([[writeIvfIndexPq]] stores it as pq/). */
@@ -839,6 +857,18 @@ object Ann {
     val dsubs = cb.flatMap(_.map(_.length)).distinct
     require(dsubs.length == 1,
       s"PQ: codebook sub-vector lengths disagree: $dsubs")
+    // uniform centroid COUNT across subspaces is part of the layout
+    // contract: the ADC grids are sized by one ksub, so a ragged book
+    // (a subspace that seated fewer centroids — fewer valid rows than
+    // ksub in that slice) would make codes ≥ the short grid index out
+    // of bounds and silently drop those candidates from ranking (or
+    // throw under ANSI element_at). Fail at the codebook boundary with
+    // the actionable cause instead.
+    val ksubs = cb.map(_.length).distinct
+    require(ksubs.length == 1,
+      s"PQ: subspace codebook sizes disagree ($ksubs) — some subspace " +
+        "seated fewer centroids than ksub (fewer valid rows than ksub " +
+        "in that slice); lower ksub or clean the corpus, then rebuild")
     val total = m.toLong * cb.head.length * dsubs.head
     require(total <= 2000000L,
       s"PQ: codebook is $total longs — too large to ride as a plan " +
@@ -848,8 +878,11 @@ object Ann {
 
   /** The per-subspace integer distance Σ(qv[s·dsub+j] − c[j])² between
     * a materialized quantized-vector COLUMN and a literal centroid —
-    * the one arithmetic shared by encode (corpus side) and ADC (query
-    * side), so the two sides cannot drift. Exact long math: quantized
+    * the QUERY side's ADC arithmetic. The corpus-side encode computes
+    * the same sums in its primitive UDF loop ([[encodePq]] — two
+    * spellings since the 19× encode rewrite, sharing [[PqScale]] and
+    * pinned against each other by the q121/q122 oracles, which replay
+    * both sides from the floats). Exact long math: quantized
     * coordinates are ≤ ~10⁵ in magnitude, so each term < 2⁴⁰ and a
     * dsub-term sum stays far under 2⁵³. */
   private def pqSubDist(qv: Column, s: Column, dsub: Int,
@@ -894,7 +927,7 @@ object Ann {
         val qv = new Array[Long](v.length)
         var i = 0
         while (i < v.length) {
-          qv(i) = math.floor(v(i) * 10000).toLong
+          qv(i) = math.floor(v(i) * PqScale).toLong
           i += 1
         }
         val books = bc.value
@@ -954,7 +987,7 @@ object Ann {
       size(col(vecCol)) === lit(m * dsub) && !exists(qv, x => x.isNull)
     queries
       .withColumn("__pq_qv", transform(col(vecCol),
-        x => floor(x.cast("double") * 10000).cast("long")))
+        x => floor(x.cast("double") * PqScale).cast("long")))
       .withColumn(outCol, when(valid, adc))
       .drop("__pq_qv")
   }

@@ -295,24 +295,29 @@ object EventStream {
       b => b.getField("bucket"))
     val anyHit: Column = fpp match {
       case None =>
-        // count-gate BEFORE the collect (r10 ADVICE — mirroring the
+        // size-gate the driver collect (r10 ADVICE — mirroring the
         // nHits <= 1e6 gating of incrementalNearDupsIndexed): the exact
         // path ships the index's full distinct bucket set to the
         // driver, which is fine for the bounded corpora it is meant for
         // (≤ bands·|corpus| longs) but OOMs the driver if someone
-        // points the gate at a 100-TB index with defaults. Fail loudly
-        // and name the Bloom escape hatch rather than auto-degrade:
-        // swapping in a Bloom silently would change the flag's
-        // exactness contract under the caller.
-        val nBuckets = corpusBuckets.distinct().count()
-        require(nBuckets <= 16000000L,
-          s"nearDupFlagsStream: the index at $indexPath has $nBuckets " +
-            "distinct band buckets — too many to broadcast exactly " +
-            "(cap 16M ≈ 128 MB of longs); pass fpp = Some(p) to gate " +
-            "through a Bloom filter instead (conservative: adds false " +
-            "flags only, never misses a candidate)")
-        val sorted = corpusBuckets.distinct()
-          .collect().map(_.getLong(0)).sorted
+        // points the gate at a 100-TB index with defaults. ONE pass:
+        // collect through a cap+1 limit and fail on overflow — a
+        // separate count() gate would re-run the full distinct (r11
+        // review finding); the limit bounds driver memory to exactly
+        // what the happy path accepts anyway. Fail loudly and name the
+        // Bloom escape hatch rather than auto-degrade: swapping in a
+        // Bloom silently would change the flag's exactness contract
+        // under the caller.
+        val cap = 16000000
+        val collected = corpusBuckets.distinct().limit(cap + 1)
+          .collect()
+        require(collected.length <= cap,
+          s"nearDupFlagsStream: the index at $indexPath has more than " +
+            s"$cap distinct band buckets — too many to broadcast " +
+            "exactly (cap ≈ 128 MB of longs); pass fpp = Some(p) to " +
+            "gate through a Bloom filter instead (conservative: adds " +
+            "false flags only, never misses a candidate)")
+        val sorted = collected.map(_.getLong(0)).sorted
         if (sorted.isEmpty) lit(false)
         else {
           val bc = spark.sparkContext.broadcast(sorted)

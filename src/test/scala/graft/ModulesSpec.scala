@@ -1095,6 +1095,12 @@ class ModulesSpec extends SparkSpec {
     // thread in this JVM would be invisible by design). Six spinners
     // should read well above the 1.5-core default gate; `timeout 20`
     // is the safety net if the finally is never reached.
+    // the live-sensor half needs headroom for 6 spinners to read
+    // clearly above the 1.5-core gate — on a ≤ 4-core host the burst
+    // saturates at the core count and both asserts turn flaky, so the
+    // sensor test (not the pure predicate above) is skipped there
+    assume(Runtime.getRuntime.availableProcessors >= 8,
+      "needs >= 8 cores for an unambiguous synthetic burst")
     // spin INSIDE the spawned bash (no `timeout` wrapper — killing the
     // wrapper would orphan a still-spinning child, which is exactly
     // what the first version of this test did to itself); SECONDS is
@@ -1115,12 +1121,12 @@ class ModulesSpec extends SparkSpec {
       spinners.foreach(_.waitFor())
     }
     // after the spinners die the reading must DROP — the sensor tracks
-    // the burst, not a constant. Compared against the hot reading (not
-    // against an absolute "quiet" bound) so genuine ambient load on a
-    // shared host cannot flake this assert.
+    // the burst, not a constant. Compared RELATIVELY against the hot
+    // reading (not an absolute bound) so genuine ambient load cannot
+    // flake this assert on a shared host.
     Thread.sleep(500)
     val after = Bench.externalBusyCores(700)
-    assert(after < ext - 2.0, s"external load read $after after killing " +
+    assert(after < ext * 0.5, s"external load read $after after killing " +
       s"the spinners vs $ext during — the sensor did not track the burst")
   }
 }
