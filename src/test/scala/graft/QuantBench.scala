@@ -114,6 +114,38 @@ object QuantBench {
         measure("pq", () => Ann.pqTopKEncoded(
           fl.filter(col("vec_id") % (n / 25) === 0), pq, cb,
           "vec_id", "embedding", "vec_id", "codes", k = 10).count())
+
+        // recall@10 against the float-cosine ground truth — the quality
+        // half of each compression's trade (the byte/wall halves are
+        // above). Both quantized rankings are EXACT under their own
+        // metric; recall measures how much of the float answer that
+        // metric preserves. READ THE NUMBER IN CONTEXT: this corpus is
+        // uniform-random vectors, the recall WORST case — the float
+        // top-10 is a noise-ranking of near-ties (all cosines ≈ 0.3)
+        // and there is no cluster structure for PQ codebooks to learn,
+        // so the measured 0.59 (int8) / 0.22 (pq at m=8, ksub=256) are
+        // floors, not expectations for real embeddings (FAISS reports
+        // the same cliff on random data). The recall that matters for
+        // DEDUP — identical/near-identical vectors — is deterministic
+        // (same codes → ADC floor) and spec-pinned in GraphDedupSpec's
+        // planted-duplicate cases; raise m for finer grids when
+        // retrieval (not dedup) is the workload.
+        val qs = fl.filter(col("vec_id") % (n / 25) === 0)
+        val truth = Ann.bruteForceTopK(qs, fl, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10).select("query_id", "neighbor_id")
+        val nTruth = truth.count().toDouble
+        def recall(hits: DataFrame): Double = hits
+          .select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count() / nTruth
+        val rSq8 = recall(Ann.quantizedTopK(
+          qv.filter(col("vec_id") % (n / 25) === 0), qv,
+          "vec_id", "qvec", "vec_id", "qvec", k = 10))
+        val rPq = recall(Ann.pqTopKEncoded(qs, pq, cb,
+          "vec_id", "embedding", "vec_id", "codes", k = 10))
+        println(f"[quant] n=$n%-9d recall@10 vs float: int8=$rSq8%.3f " +
+          f"pq=$rPq%.3f (m=8, ksub=256)")
+        spark.catalog.clearCache()
       }
     } finally {
       spark.stop()
