@@ -46,6 +46,11 @@ object SparkEntry {
   private def ivfpqIdxDir(dir: String): String =
     scratchDir("graft-ivfpq-q122", tag = dir)
 
+  /** q125's RESIDUAL IVF-PQ index dir — same layout class as q122 but
+    * an incomparable code geometry (residual space), own dir. */
+  private def ivfpqrIdxDir(dir: String): String =
+    scratchDir("graft-ivfpqr-q125", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -567,6 +572,26 @@ object SparkEntry {
       }
       Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // RESIDUAL IVF-PQ (the true FAISS-IVFPQ train step, Jégou et al.
+    // §IV): PQ codebooks fit on — and codes encode — the integer
+    // residuals qv − qc[cell], so the codeword budget spends itself on
+    // within-cell structure. Exhaustive probe (nprobe = nlist); the
+    // oracle replays the ENTIRE pipeline from the floats: coarse
+    // k-means tower → fresh final assignment → residuals →
+    // per-subspace residual towers → codes → per-(query, cell) ADC
+    // grids, every step exact long arithmetic. Build-once per JVM.
+    "q125_ann_ivf_pqr" -> ((s, dir) => {
+      val idx = ivfpqrIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndexPq(e, "vec_id", "embedding", idx, nlist = 8,
+          m = 4, ksub = 8, residual = true)
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 8)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -2014,9 +2039,10 @@ object SparkEntry {
     // q60/q107 build-once discipline)
     "q116_ann_ivf_quantized",
     // round-11: product quantization — brute-force ADC ranking (fit +
-    // encode + rank in one plan) and the persisted IVF-PQ probe
-    // (builds on first touch; min of 5 = steady-state probe)
-    "q121_ann_pq", "q122_ann_ivf_pq")
+    // encode + rank in one plan), the persisted IVF-PQ probe, and the
+    // RESIDUAL IVF-PQ probe (both build on first touch; min of 5 =
+    // steady-state probe)
+    "q121_ann_pq", "q122_ann_ivf_pq", "q125_ann_ivf_pqr")
 
   // ------------------------------------------------------------- oracles
 
@@ -2293,6 +2319,126 @@ object SparkEntry {
        |  FROM (SELECT DISTINCT query_id FROM qa0) q
        |  JOIN code0 c0 ON c0.id <> q.query_id
        |$codeJoins
+       |$adcJoins)
+       |SELECT query_id, neighbor_id, CAST(d2pq AS BIGINT) AS d2pq,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, neighbor_id, d2pq,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY d2pq, neighbor_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** q125's RESIDUAL IVF-PQ replay — the q121 pipeline with the true
+    * FAISS-IVFPQ train step in front: the coarse k-means tower (the
+    * exact kmeansOracleCtes arithmetic, re-emitted here with `c`-
+    * prefixed CTE names so both generators stay independent), a fresh
+    * final assignment under the finished coarse codebook, the integer
+    * residuals qv − qc[cell], then per-subspace k-means towers OVER
+    * THE RESIDUALS, residual code assignment, and per-(query, cell)
+    * ADC grids — a candidate's distance uses the grid of ITS OWN cell
+    * (the probe joins on the cell key). All long-exact. */
+  private def pqrTopKOracleSql(nlist: Int, m: Int, dsub: Int, ksub: Int,
+      iters: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+         |   list_transform(CAST(embedding AS DOUBLE[]),
+         |     x -> CAST(floor(x*10000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |h AS MATERIALIZED (SELECT id,
+         |   ('0x' || substr(md5('42' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS hh
+         |  FROM e),
+         |ccq0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
+         |   SELECT qv, ROW_NUMBER() OVER (ORDER BY h.hh, e.id) AS rn
+         |   FROM e JOIN h ON h.id = e.id) WHERE rn <= $nlist)""".stripMargin
+    val coarse = (1 to iters).map { r =>
+      s"""cd$r AS (SELECT e.id, c.cid,
+         |   list_sum(list_transform(generate_series(1, len(e.qv)),
+         |     j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))) AS d2
+         |  FROM e CROSS JOIN ccq${r - 1} c),
+         |ca$r AS (SELECT id, cid FROM (SELECT id, cid,
+         |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |   FROM cd$r) WHERE rn = 1),
+         |cs$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
+         |  FROM ca$r a JOIN (SELECT id, unnest(range(len(qv))) AS pos,
+         |     unnest(qv) AS q FROM e) u USING (id) GROUP BY 1, 2),
+         |ccq$r AS (
+         |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
+         |    ORDER BY pos) AS cv FROM cs$r GROUP BY cid
+         |  UNION ALL
+         |  SELECT cid, cv FROM ccq${r - 1}
+         |  WHERE cid NOT IN (SELECT cid FROM cs$r))""".stripMargin
+    }.mkString(",\n")
+    val residual =
+      s"""afin AS (SELECT id, cid FROM (SELECT e.id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+         |     list_sum(list_transform(generate_series(1, len(e.qv)),
+         |       j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))), c.cid) AS rn
+         |   FROM e CROSS JOIN ccq$iters c) WHERE rn = 1),
+         |res AS MATERIALIZED (SELECT e.id, a.cid AS cell,
+         |   list_transform(generate_series(1, len(e.qv)),
+         |     j -> e.qv[j] - c.cv[j]) AS rv
+         |  FROM e JOIN afin a USING (id) JOIN ccq$iters c ON c.cid = a.cid)"""
+        .stripMargin
+    val subs = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      val tower = (1 to iters).map { r =>
+        s"""dr$s$r AS (SELECT es.id, c.cid,
+           |   list_sum(list_transform(generate_series(1, len(es.sv)),
+           |     j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))) AS d2
+           |  FROM esr$s es CROSS JOIN cqr$s${r - 1} c),
+           |ar$s$r AS (SELECT id, cid FROM (SELECT id, cid,
+           |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           |   FROM dr$s$r) WHERE rn = 1),
+           |sr$s$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
+           |  FROM ar$s$r a JOIN (SELECT id, unnest(range(len(sv))) AS pos,
+           |     unnest(sv) AS q FROM esr$s) u USING (id) GROUP BY 1, 2),
+           |cqr$s$r AS (
+           |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
+           |    ORDER BY pos) AS cv FROM sr$s$r GROUP BY cid
+           |  UNION ALL
+           |  SELECT cid, cv FROM cqr$s${r - 1}
+           |  WHERE cid NOT IN (SELECT cid FROM sr$s$r))""".stripMargin
+      }.mkString(",\n")
+      s"""esr$s AS MATERIALIZED (SELECT id, list_slice(rv, $lo, $hi) AS sv FROM res),
+         |cqr${s}0 AS (SELECT rn - 1 AS cid, sv AS cv FROM (
+         |   SELECT es.sv, ROW_NUMBER() OVER (ORDER BY h.hh, es.id) AS rn
+         |   FROM esr$s es JOIN h ON h.id = es.id) WHERE rn <= $ksub),
+         |$tower,
+         |code$s AS (SELECT id, cid FROM (
+         |   SELECT es.id, c.cid, ROW_NUMBER() OVER (PARTITION BY es.id
+         |     ORDER BY list_sum(list_transform(generate_series(1, len(es.sv)),
+         |       j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))), c.cid) AS rn
+         |   FROM esr$s es CROSS JOIN cqr$s$iters c) WHERE rn = 1),
+         |qa$s AS (SELECT qr.query_id, qr.cell, c.cid,
+         |   CAST(list_sum(list_transform(generate_series(1, $dsub),
+         |     j -> (qr.sv[j]-c.cv[j])*(qr.sv[j]-c.cv[j]))) AS BIGINT) AS d2
+         |  FROM (SELECT query_id, cell, list_slice(rv, $lo, $hi) AS sv
+         |        FROM qres) qr CROSS JOIN cqr$s$iters c)""".stripMargin
+    }.mkString(",\n")
+    val qres =
+      s"""qres AS MATERIALIZED (SELECT e.id AS query_id, cc.cid AS cell,
+         |   list_transform(generate_series(1, len(e.qv)),
+         |     j -> e.qv[j] - cc.cv[j]) AS rv
+         |  FROM e CROSS JOIN ccq$iters cc WHERE e.id % 100 = 0)""".stripMargin
+    val codeJoins = (1 until m).map(s =>
+      s"  JOIN code$s c$s ON c$s.id = c0.id").mkString("\n")
+    val adcJoins = (0 until m).map(s =>
+      s"  JOIN qa$s ON qa$s.query_id = q.query_id AND qa$s.cell = cf.cid " +
+        s"AND qa$s.cid = c$s.cid").mkString("\n")
+    val dsum = (0 until m).map(s => s"qa$s.d2").mkString(" + ")
+    s"""$head,
+       |$coarse,
+       |$residual,
+       |$qres,
+       |$subs,
+       |scored AS (SELECT q.query_id, c0.id AS neighbor_id,
+       |   $dsum AS d2pq
+       |  FROM (SELECT DISTINCT query_id FROM qres) q
+       |  JOIN code0 c0 ON c0.id <> q.query_id
+       |$codeJoins
+       |  JOIN afin cf ON cf.id = c0.id
        |$adcJoins)
        |SELECT query_id, neighbor_id, CAST(d2pq AS BIGINT) AS d2pq,
        |       CAST(rank AS INTEGER) AS rank
@@ -2772,6 +2918,11 @@ object SparkEntry {
     // the persisted IVF-PQ index probed exhaustively must reproduce the
     // brute-force PQ answer — q121's oracle VERBATIM (q113 ≡ q116 shape)
     "q122_ann_ivf_pq" -> pqTopKOracleSql(m = 4, dsub = 16, ksub = 8, iters = 4),
+
+    // the RESIDUAL pipeline replayed whole: coarse tower + fresh final
+    // assignment + residual subspace towers + per-(query, cell) ADC
+    "q125_ann_ivf_pqr" ->
+      pqrTopKOracleSql(nlist = 8, m = 4, dsub = 16, ksub = 8, iters = 4),
 
     // q60 probes EVERY cell (nprobe = nlist), so the persisted-index IVF
     // path is exhaustive and must reproduce the brute-force answer —

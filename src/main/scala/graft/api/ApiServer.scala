@@ -437,8 +437,9 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
 
       // vector-search proxy — the ANN counterpart of _search for the
       // validation frontend. An `ann_index` dataset probes its persisted
-      // IVF index (Ann.ivfIndexTopK: broadcast centroids, partition-
-      // pruned cell reads — the 100-TB shape); any other dataset scores
+      // IVF index (broadcast centroids, partition-pruned cell reads —
+      // the 100-TB shape; float / SQ8 / PQ layouts dispatch by the
+      // index's own manifest); any other dataset scores
       // exact brute-force cosine over id/vec columns named in the
       // request (correct at any size, and the right plan for corpora
       // small enough that an index would not pay back its probe setup).
@@ -479,10 +480,26 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           val queries = Seq((0L, vec)).toDF("query_id", "__q")
           val hits = (ds.format, params.get("id"), params.get("vec")) match {
             case ("ann_index", _, _) =>
-              Some(graft.sim.Ann.ivfIndexTopK(spark, ds.path, queries,
-                "query_id", "__q", k,
-                nprobe = nprobeOpt.get,
-                excludeSelf = false))
+              // dispatch on the index's OWN layout (manifest quant):
+              // each probe refuses the other layouts loudly, so routing
+              // by anything client-side would turn a stale flag into a
+              // 500 — the manifest is the authority. Scores keep each
+              // layout's native metric column (cosine `score` / integer
+              // `d2q` / `d2pq`) — renaming them would hide which metric
+              // ranked the hits.
+              val quant = graft.sim.Ann.readManifest(spark, ds.path)
+                .map(_.quant).getOrElse(0)
+              Some(quant match {
+                case 1 => graft.sim.Ann.ivfIndexTopKQuantized(spark,
+                  ds.path, queries, "query_id", "__q", k,
+                  nprobe = nprobeOpt.get, excludeSelf = false)
+                case 2 => graft.sim.Ann.ivfIndexTopKPq(spark, ds.path,
+                  queries, "query_id", "__q", k,
+                  nprobe = nprobeOpt.get, excludeSelf = false)
+                case _ => graft.sim.Ann.ivfIndexTopK(spark, ds.path,
+                  queries, "query_id", "__q", k,
+                  nprobe = nprobeOpt.get, excludeSelf = false)
+              })
             // method=lsh mirrors the YAML ann_topk step's other scale
             // path (multi-table hyperplane buckets); default stays
             // exact brute force
@@ -498,8 +515,15 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
             case _ => None
           }
           hits match {
-            case Some(h) => respond(ex, 200, jsonRows(
-              h.select("neighbor_id", "score", "rank").orderBy("rank"), k))
+            case Some(h) =>
+              // each layout ranks under its own metric column (cosine
+              // `score` / integer `d2q` / `d2pq`) — keep whichever the
+              // probe produced; renaming would hide the metric
+              val metric = h.columns
+                .find(c => c == "score" || c == "d2q" || c == "d2pq")
+                .getOrElse("score")
+              respond(ex, 200, jsonRows(
+                h.select("neighbor_id", metric, "rank").orderBy("rank"), k))
             case None => respond(ex, 400,
               """{"error": "id and vec column params required unless """ +
                 """the dataset is an ann_index"}""")

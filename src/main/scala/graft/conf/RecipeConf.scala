@@ -270,7 +270,8 @@ object RecipeConf {
         ds.options.get("nlist").foreach(v => drift("nlist", v, mf.nlist.toString))
         ds.options.get("quantize").foreach { v =>
           val built = mf.quant match {
-            case 0 => "false"; case 1 => "sq8"; case _ => "pq" }
+            case 0 => "false"; case 1 => "sq8"
+            case _ => if (mf.pqRes == 1) "pqr" else "pq" }
           val norm = if (v == "true") "sq8" else v
           drift("quantize", norm, built)
         }
@@ -305,8 +306,15 @@ object RecipeConf {
         case "pq" => graft.sim.Ann.writeIvfIndexPq(df, cId, cVec,
           ds.path, nlist = nlist,
           m = sinkIntOpt(ds, "pq_m", 8), ksub = sinkIntOpt(ds, "pq_ksub", 256))
+        // pqr = PQ over RESIDUALS (the true FAISS-IVFPQ shape); probed
+        // with the same ann_topk quantized: pq — the probe dispatches
+        // on the manifest's pq_res
+        case "pqr" => graft.sim.Ann.writeIvfIndexPq(df, cId, cVec,
+          ds.path, nlist = nlist,
+          m = sinkIntOpt(ds, "pq_m", 8), ksub = sinkIntOpt(ds, "pq_ksub", 256),
+          residual = true)
         case v => sys.error(
-          s"ann_index sink: options.quantize must be true/false/sq8/pq, got '$v'")
+          s"ann_index sink: options.quantize must be true/false/sq8/pq/pqr, got '$v'")
       }
     // persisted near-dup band index (shingles + band tables, manifest
     // last) — the corpus side of incremental near-dup dedup, signed

@@ -747,7 +747,12 @@ object Dedup {
     // re-expanded after the verify (one verified pair feeds both
     // (sa → sb) and (sb → sa) rows). NULL-safe inequality keeps the
     // NULL source a real group instead of silently dropping its pairs.
-    val pairs = a.join(b,
+    // shuffle_hash pins (the q24/q112/cosineNearDupsLSH discipline):
+    // every side here is corpus-sized and UDF-derived, so the static
+    // planner under-estimates it and would BROADCAST — a plan AQE
+    // cannot reverse at runtime and the fatal-at-scale shape
+    // (PlanQualitySpec pins the shuffle join).
+    val pairs = a.join(b.hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.rep") < col("b.rep") && !(col("a.src") <=> col("b.src")))
       .select(col("a.rep").as("rep_a"), col("a.src").as("src_a"),
@@ -755,9 +760,9 @@ object Dedup {
       .distinct()
     val verified = pairs
       .join(base.select(col("rep").as("rep_a"), col("shingles").as("sh_a"),
-        col("cnt").as("cnt_a")), "rep_a")
+        col("cnt").as("cnt_a")).hint("shuffle_hash"), "rep_a")
       .join(base.select(col("rep").as("rep_b"), col("shingles").as("sh_b"),
-        col("cnt").as("cnt_b")), "rep_b")
+        col("cnt").as("cnt_b")).hint("shuffle_hash"), "rep_b")
       .withColumn("__inter",
         graft.functions.NativeExpressions.sortedIntersectCount(
           col("sh_a"), col("sh_b")).cast("double"))

@@ -308,7 +308,7 @@ object Ann {
 
   private[graft] case class IvfManifest(nlist: Int, rows: Long,
       builtMs: Long, quant: Int, pqM: Int, pqKsub: Int,
-      version: Long) {
+      version: Long, pqRes: Int = 0) {
     def layoutName: String = quant match {
       case 0 => "FLOAT"; case 1 => "int8-QUANTIZED (SQ8)"
       case _ => "PRODUCT-QUANTIZED (PQ)"
@@ -321,14 +321,15 @@ object Ann {
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
       path: String, nlist: Int, rows: Long, quant: Int,
-      pqM: Int = 0, pqKsub: Int = 0, version: Long = 0): Unit = {
+      pqM: Int = 0, pqKsub: Int = 0, version: Long = 0,
+      pqRes: Int = 0): Unit = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
       (s"""{"nlist": $nlist, "rows": $rows, """ +
         s""""quant": $quant, "pq_m": $pqM, "pq_ksub": $pqKsub, """ +
-        s""""version": $version, """ +
+        s""""pq_res": $pqRes, "version": $version, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -355,7 +356,8 @@ object Ann {
           field("quant").getOrElse(0L).toInt,
           field("pq_m").getOrElse(0L).toInt,
           field("pq_ksub").getOrElse(0L).toInt,
-          field("version").getOrElse(0L))
+          field("version").getOrElse(0L),
+          field("pq_res").getOrElse(0L).toInt)
     }
   }
 
@@ -782,7 +784,8 @@ object Ann {
     * codes. Returns driver-side (sub, cid, coordinates·10⁴) — m·ksub
     * rows of dsub longs, the declared-small artifact. */
   private[graft] def fitPqQ(corpus: DataFrame, cId: String, cVec: String,
-      m: Int, ksub: Int, seed: Long, iters: Int)
+      m: Int, ksub: Int, seed: Long, iters: Int,
+      preQuantized: Boolean = false)
       : IndexedSeq[(Int, Long, IndexedSeq[Long])] = {
     require(m >= 1, s"PQ needs m >= 1 subspaces, got $m")
     require(ksub >= 1 && ksub <= 256,
@@ -800,7 +803,7 @@ object Ann {
       val sliced = corpus.select(col(cId),
         slice(col(cVec), s * dsub + 1, dsub).as("__sv"))
       Cluster.fitCentroidsQ(sliced, cId, "__sv", ksub, seed, iters,
-        scale = PqScale)
+        scale = PqScale, preQuantized = preQuantized)
     }
     // fail at BUILD time, not first probe, when the subspaces seated
     // UNEVEN centroid counts (null elements concentrated in some slice
@@ -930,30 +933,7 @@ object Ann {
           qv(i) = math.floor(v(i) * PqScale).toLong
           i += 1
         }
-        val books = bc.value
-        val codes = new Array[Int](mm)
-        var s = 0
-        while (s < mm) {
-          val cents = books(s)
-          var best = -1
-          var bestD = Long.MaxValue
-          var k = 0
-          while (k < cents.length) {
-            val c = cents(k)
-            var d = 0L
-            var j = 0
-            while (j < ds) {
-              val t = qv(s * ds + j) - c(j)
-              d += t * t
-              j += 1
-            }
-            if (d < bestD) { bestD = d; best = k }
-            k += 1
-          }
-          codes(s) = best
-          s += 1
-        }
-        codes
+        pqArgmin(bc.value, mm, ds, qv)
       }
     }
     // NULL-element vectors must yield NULL codes, and a Scala UDF over
@@ -967,28 +947,101 @@ object Ann {
       when(valid, enc(col(vecCol).cast("array<double>"))))
   }
 
+  /** The ONE code-assignment loop (strict <, ascending k → smallest
+    * cid on ties) shared by the float encoder ([[encodePq]]) and the
+    * residual encoder ([[encodePqResidual]]). */
+  private def pqArgmin(books: Array[Array[Array[Long]]], m: Int,
+      dsub: Int, qv: Array[Long]): Array[Int] = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      var best = -1
+      var bestD = Long.MaxValue
+      var k = 0
+      while (k < cents.length) {
+        val c = cents(k)
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val t = qv(s * dsub + j) - c(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    codes
+  }
+
+  /** [[encodePq]] for RESIDUAL vectors: the row's cell id looks up the
+    * coarse centroid (both on the floor(x·10⁴) grid), the residual
+    * qv − qc[cell] is exact integer subtraction, and the codes come
+    * from the same [[pqArgmin]] under residual-space codebooks.
+    * NULL/ragged vectors or a NULL cell → NULL codes. */
+  private def encodePqResidual(df: DataFrame, vecCol: String,
+      cellCol: String, coarse: IndexedSeq[IndexedSeq[Long]],
+      codebooks: DataFrame, outCol: String): DataFrame = {
+    val (m, dsub, cb) = collectPqCodebooks(codebooks)
+    val cbArr: Array[Array[Array[Long]]] =
+      cb.map(_.map(_.toArray).toArray).toArray
+    val coarseArr: Array[Array[Long]] = coarse.map(_.toArray).toArray
+    val bc = df.sparkSession.sparkContext.broadcast((cbArr, coarseArr))
+    val mm = m; val ds = dsub
+    val enc = udf { (v: Seq[Double], cell: Int) =>
+      val (books, cents) = bc.value
+      if (v == null || v.length != mm * ds ||
+          cell < 0 || cell >= cents.length) null
+      else {
+        val qc = cents(cell)
+        val rv = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) {
+          rv(i) = math.floor(v(i) * PqScale).toLong - qc(i)
+          i += 1
+        }
+        pqArgmin(books, mm, ds, rv)
+      }
+    }
+    val valid = col(vecCol).isNotNull && col(cellCol).isNotNull &&
+      size(col(vecCol)) === lit(m * dsub) &&
+      !exists(col(vecCol), x => x.isNull)
+    df.withColumn(outCol, when(valid,
+      enc(col(vecCol).cast("array<double>"), col(cellCol).cast("int"))))
+  }
+
   /** Attach the query-side ADC (asymmetric distance computation)
     * lookup tables: per subspace, the integer distance from the
     * query's sub-vector to EVERY centroid — an m × ksub long grid per
     * query, computed row-local under the same literal codebook the
     * encode used. A candidate's distance is then m array lookups
     * ([[rankByAdc]]), never a re-scan of the codebook. */
+  /** The m × ksub ADC grid over a MATERIALIZED quantized-vector column
+    * — shared by the raw-space query side ([[withAdc]]) and the
+    * residual probe rows ([[ivfIndexTopKPq]]'s pq_res branch). */
+  private def adcGrid(qv: Column, m: Int, dsub: Int, ksub: Int,
+      cbLit: Column): Column =
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(ksub - 1)), k =>
+        pqSubDist(qv, s, dsub,
+          element_at(element_at(cbLit, (s + 1).cast("int")),
+            (k + 1).cast("int")))))
+
   private def withAdc(queries: DataFrame, vecCol: String,
       m: Int, dsub: Int, cb: Seq[Seq[Seq[Long]]],
       outCol: String): DataFrame = {
     val cbLit = typedlit(cb)
     val qv = col("__pq_qv")
-    val adc = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(sequence(lit(0), lit(cb.head.length - 1)), k =>
-        pqSubDist(qv, s, dsub,
-          element_at(element_at(cbLit, (s + 1).cast("int")),
-            (k + 1).cast("int")))))
     val valid = col(vecCol).isNotNull &&
       size(col(vecCol)) === lit(m * dsub) && !exists(qv, x => x.isNull)
     queries
       .withColumn("__pq_qv", transform(col(vecCol),
         x => floor(x.cast("double") * PqScale).cast("long")))
-      .withColumn(outCol, when(valid, adc))
+      .withColumn(outCol,
+        when(valid, adcGrid(qv, m, dsub, cb.head.length, cbLit)))
       .drop("__pq_qv")
   }
 
@@ -1072,9 +1125,21 @@ object Ann {
     * the code geometry, and every other probe refuses the layout
     * loudly. Same torn-build discipline as the float/SQ8 builds
     * (manifest retracted first, re-issued last). */
+  /** `residual = true` builds the TRUE FAISS-IVFPQ configuration: the
+    * PQ codebooks fit on (and the codes encode) the integer RESIDUALS
+    * qv − qc[cell] instead of the raw vectors. Residuals concentrate
+    * around zero inside every cell, so a fixed codebook budget spends
+    * its codewords on the within-cell structure the ADC actually ranks
+    * — the quality step that makes IVFPQ the production configuration
+    * (Jégou et al. §IV). Both quantized grids share [[PqScale]], so
+    * the residual is EXACT long subtraction and the whole train/encode
+    * replays in an external SQL engine (the q125 oracle: coarse tower
+    * → residual CTE → per-subspace towers). The manifest records
+    * pq_res = 1; [[ivfIndexTopKPq]] dispatches on it — raw-space and
+    * residual-space codes are incomparable geometries. */
   def writeIvfIndexPq(corpus: DataFrame, cId: String, cVec: String,
       path: String, nlist: Int = 16, seed: Long = 42L,
-      m: Int = 8, ksub: Int = 256): Unit = {
+      m: Int = 8, ksub: Int = 256, residual: Boolean = false): Unit = {
     val mf0 = manifestFile(path)
     mf0.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
       .delete(mf0, false)
@@ -1095,10 +1160,33 @@ object Ann {
     // PQ codebooks fit on the SAME corpus the cells store, persisted as
     // the third table — a probe building ADC under any other codebook
     // would score a different geometry (the SQ8 params/ contract)
-    val cb = pqCodebooks(corpus, cId, cVec, m, ksub, seed)
+    val coarseByCell = qcents.map(_._2)
+    val cb =
+      if (!residual) pqCodebooks(corpus, cId, cVec, m, ksub, seed)
+      else {
+        // integer residuals: coarse centroids ride a plan literal (the
+        // declared-small nlist × dim table), subtraction is exact on
+        // the shared grid; rows with no cell (NULL/ragged vectors)
+        // yield NULL residuals and sit out of the fit
+        val coarseLit = typedlit(coarseByCell.map(_.toSeq))
+        val res = assigned0
+          .filter(col("__cell").isNotNull)
+          .select(col("neighbor_id"),
+            zip_with(col("__qv"),
+              element_at(coarseLit, col("__cell") + 1),
+              (a, b) => a - b).as("__rv"))
+        corpus.sparkSession.createDataFrame(
+            fitPqQ(res, "neighbor_id", "__rv", m, ksub, seed, iters = 4,
+              preQuantized = true))
+          .toDF("sub", "cid", "qcv")
+      }
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-    encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
+    val coded =
+      if (!residual) encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
         "__cv", cb, "codes")
+      else encodePqResidual(assigned0.select("neighbor_id", "__cv", "__cell"),
+        "__cv", "__cell", coarseByCell, cb, "codes")
+    coded
       .select("neighbor_id", "codes", "__cell")
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
@@ -1111,7 +1199,7 @@ object Ann {
     val spark = corpus.sparkSession
     val rows = spark.read.parquet(s"$path/assigned").count()
     writeManifest(spark, path, nlist, rows, quant = 2,
-      pqM = m, pqKsub = ksub)
+      pqM = m, pqKsub = ksub, pqRes = if (residual) 1 else 0)
   }
 
   /** Append a batch to a persisted IVF index under the index's
@@ -1172,9 +1260,22 @@ object Ann {
           .select("neighbor_id", "qvec", "__cell")
       case _ =>
         val cb = spark.read.parquet(s"$path/pq")
-        encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
-            "__cv", cb, "codes")
-          .select("neighbor_id", "codes", "__cell")
+        if (mf.pqRes == 0)
+          encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
+              "__cv", cb, "codes")
+            .select("neighbor_id", "codes", "__cell")
+        else {
+          // residual layout: the batch encodes against the STORED
+          // coarse centroids' residual space, like the build
+          val coarse = centDf
+            .select(col("__cell").cast("int"), col("__qcentroid"))
+            .collect().sortBy(_.getInt(0))
+            .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+          encodePqResidual(
+              assigned0.select("neighbor_id", "__cv", "__cell"),
+              "__cv", "__cell", coarse, cb, "codes")
+            .select("neighbor_id", "codes", "__cell")
+        }
     }
     val mfp = manifestFile(path)
     mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1183,7 +1284,7 @@ object Ann {
       .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
     val total = spark.read.parquet(s"$path/assigned").count()
     writeManifest(spark, path, mf.nlist, total, mf.quant,
-      mf.pqM, mf.pqKsub, version = mf.version + 1)
+      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes)
   }
 
   /** Probe a persisted IVF-PQ index: cells rank by float centroid
@@ -1200,17 +1301,48 @@ object Ann {
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val (centDfRaw, assigned, _) =
+    val (centDfRaw, assigned, mf) =
       openIvfIndex(spark, path, "ivfIndexTopKPq", wantQuant = 2)
     val cb = spark.read.parquet(s"$path/pq")
     val (m, dsub, cbSeq) = collectPqCodebooks(cb)
     val probes = probeCells(queries, qId, qVec, centDfRaw, nprobe)
-    // ADC rides the (tiny, broadcast) query side; probes re-attach it
-    // by query id so the per-cell candidate join stays narrow
-    val qAdc = broadcast(withAdc(queryProjection(queries, qId, qVec),
-      "__qv", m, dsub, cbSeq, "__adc").drop("__qv"))
-    val cand = probes.drop("__qv").join(qAdc, Seq("query_id"))
-      .join(assigned.withColumnRenamed("codes", "__codes"), Seq("__cell"))
+    val cand =
+      if (mf.pqRes == 0) {
+        // raw-space codes: the ADC grid depends on the query alone —
+        // it rides the (tiny, broadcast) query side and probes
+        // re-attach it by query id so the candidate join stays narrow
+        val qAdc = broadcast(withAdc(queryProjection(queries, qId, qVec),
+          "__qv", m, dsub, cbSeq, "__adc").drop("__qv"))
+        probes.drop("__qv").join(qAdc, Seq("query_id"))
+          .join(assigned.withColumnRenamed("codes", "__codes"),
+            Seq("__cell"))
+      } else {
+        // RESIDUAL codes: the grid depends on (query, probed cell) —
+        // each probe row subtracts its cell's coarse centroid (exact
+        // long arithmetic on the shared grid) and builds its own ADC.
+        // Still queries × nprobe rows: tiny, and the per-row grid is
+        // the same m·ksub·dsub work the raw path does once per query.
+        val coarse = centDfRaw
+          .select(col("__cell").cast("int"), col("__qcentroid"))
+          .collect().sortBy(_.getInt(0))
+          .map(_.getSeq[Long](1).toSeq).toSeq
+        val coarseLit = typedlit(coarse)
+        val cbLit = typedlit(cbSeq)
+        val valid = col("__qv").isNotNull &&
+          size(col("__qv")) === lit(m * dsub) &&
+          !exists(col("__qv"), x => x.isNull)
+        probes
+          .withColumn("__pq_rqv", zip_with(
+            transform(col("__qv"),
+              x => floor(x.cast("double") * PqScale).cast("long")),
+            element_at(coarseLit, col("__cell") + 1),
+            (a, b) => a - b))
+          .withColumn("__adc", when(valid,
+            adcGrid(col("__pq_rqv"), m, dsub, cbSeq.head.length, cbLit)))
+          .drop("__qv", "__pq_rqv")
+          .join(assigned.withColumnRenamed("codes", "__codes"),
+            Seq("__cell"))
+      }
     rankByAdc(cand, m, k, excludeSelf)
   }
 }

@@ -104,9 +104,17 @@ object Cluster {
     * so index builders (IVF) can assign cells in the SAME integer space
     * the fit ran in — re-deriving them from the double codebook would
     * round-trip through a division. */
+  /** `preQuantized = true` takes `vecCol` as ALREADY-integer long
+    * arrays (residual vectors — differences of two quantized grids are
+    * exact integers; re-quantizing them through a double division
+    * would round-trip off the grid) and skips the floor(x·scale)
+    * transform; everything else — seeded init, integer argmin,
+    * floor-division updates, null filtering — is identical, so the
+    * oracle towers replay both modes with one spelling. */
   private[graft] def fitCentroidsQ(df: DataFrame, idCol: String,
       vecCol: String, k: Int, seed: Long, iters: Int,
-      scale: Int, localThreshold: Int = 65536): IndexedSeq[(Long, IndexedSeq[Long])] = {
+      scale: Int, localThreshold: Int = 65536,
+      preQuantized: Boolean = false): IndexedSeq[(Long, IndexedSeq[Long])] = {
     require(k >= 1, s"fitCentroids needs k >= 1, got $k")
     require(iters >= 1, s"fitCentroids needs iters >= 1, got $iters")
     val spark = df.sparkSession
@@ -125,10 +133,12 @@ object Cluster {
     // filter here keeps both regimes consistent with the scaladoc's
     // "NULL elements sit out" promise; the DuckDB oracle CTE carries
     // the same list_filter predicate.
+    val quant: Column =
+      if (preQuantized) col(vecCol).cast("array<bigint>")
+      else transform(col(vecCol),
+        x => floor(x.cast("double") * scale).cast("long"))
     val qdf0 = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("__id"),
-        transform(col(vecCol),
-          x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
+      .select(col(idCol).cast("long").as("__id"), quant.as("__qv"))
       .filter(!exists(col("__qv"), x => x.isNull))
     // regime split, the bpeTrain pattern: the iterations are strictly
     // sequential, and at the typical codebook-fit scale (a bounded

@@ -528,6 +528,26 @@ class ApiServerSpec extends SparkSpec {
       assert(send("POST",
         s"$base/datasets/idx/_knn?vector=$vec&k=1&method=lsh")
         .statusCode() == 400)
+      // a PQ-layout index dispatches by its manifest (float probe
+      // would refuse the layout → a 500): exhaustive probe returns
+      // hits ranked by the ADC metric (d2pq column, top hit still 7 —
+      // the identical vector shares every code, the ADC floor)
+      graft.sim.Ann.writeIvfIndexPq(emb, "vid", "v", s"$dir/knn-idx-pq",
+        nlist = 4, m = 2, ksub = 8)
+      val confPq = RecipeConf.load(
+        s"""datasets:
+           |  idxpq: {path: $dir/knn-idx-pq, format: ann_index}
+           |recipes: {}
+           |""".stripMargin)
+      val apiPq = new ApiServer(spark, confPq).start()
+      try {
+        val pq = send("POST",
+          s"http://localhost:${apiPq.actualPort}/api/datasets/idxpq/_knn" +
+            s"?vector=$vec&k=3&nprobe=4")
+        assert(pq.statusCode() == 200, pq.body())
+        assert(pq.body().startsWith("""[{"neighbor_id":7"""), pq.body())
+        assert(pq.body().contains("d2pq"), pq.body())
+      } finally apiPq.stop()
       // guards: missing/garbled vector; brute force without columns named
       assert(send("POST", s"$base/datasets/emb/_knn?k=3&id=vid&vec=v").statusCode() == 400)
       assert(send("POST", s"$base/datasets/emb/_knn?vector=a,b&id=vid&vec=v").statusCode() == 400)

@@ -397,6 +397,57 @@ class GraphDedupSpec extends SparkSpec {
     assert(ePq.getMessage.contains("FLOAT"), ePq.getMessage)
   }
 
+  test("residual IVF-PQ: planted duplicate at the ADC floor; geometry recorded in the manifest; drift refused at append") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val planted = q.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"))
+    val corpus = e.unionByName(planted)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    Ann.writeIvfIndexPq(corpus, "vec_id", "embedding", idx, nlist = 4,
+      m = 4, ksub = 8, residual = true)
+    assert(Ann.readManifest(spark, idx).exists(m =>
+      m.quant == 2 && m.pqRes == 1))
+    // an exact copy lands in the same cell (same vector, same argmin),
+    // has the same residual, hence the same codes — its ADC distance
+    // is the query-to-own-codeword floor and must equal the rank-1
+    // distance (ties by id can put a code-sharing vector first)
+    val hits = Ann.ivfIndexTopKPq(spark, idx, q, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val best = hits.filter(col("rank") === 1)
+      .select(col("query_id"), col("d2pq").as("best_d2"))
+    val dup = hits.filter(col("neighbor_id") === col("query_id") + 10000)
+      .join(best, Seq("query_id"))
+    assert(dup.count() == q.count(),
+      "a planted exact copy fell out of the residual-PQ top-5")
+    assert(dup.filter(col("d2pq") =!= col("best_d2")).isEmpty,
+      "a planted exact copy sat above the ADC floor")
+    // the probe ranks ALL corpus rows when exhaustive — dense ranks
+    val ranks = hits.groupBy("query_id")
+      .agg(sort_array(collect_list(col("rank"))).as("rs"))
+      .select("rs").collect()
+    ranks.foreach { r =>
+      val rs = r.getSeq[Int](0)
+      assert(rs == (1 to rs.length), s"ranks not dense: $rs")
+    }
+    // appending under a dataset block that declares plain pq refuses —
+    // raw-space and residual-space codes are incomparable geometries
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  batch: {path: $idx/centroids, format: parquet}
+         |  idxw:
+         |    path: $idx
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, quantize: "pq"}
+         |recipes:
+         |  app: {input: batch, steps: [], output: idxw}
+         |""".stripMargin)
+    val eDrift = intercept[RuntimeException](
+      graft.conf.RecipeConf.run(spark, conf, "app", mode = "append"))
+    assert(eDrift.getMessage.contains("drifted"), eDrift.getMessage)
+  }
+
   test("appendIvfIndex: float append ≡ full rebuild; quantized batch lands on the ORIGINAL grid; version bumps; torn is loud") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")

@@ -88,6 +88,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q123 cross-source near-dup matrix: no cartesian; the rep-band self-join shuffles (corpus never broadcasts into it)") {
+    val p = plan("q123_source_neardup_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the banded rep frame is corpus-sized and UDF-derived (static
+    // stats unknown): candidates must meet through a SHUFFLE join on
+    // (band, bucket) — a misestimated broadcast of the corpus side is
+    // the fatal-at-scale plan this pin exists to catch. The tiny
+    // totals table broadcasting at the END is fine and expected.
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"the band self-join must be a shuffle join:\n$p")
+  }
+
   test("q111 classifier scoring: weights broadcast; no cartesian") {
     val p = plan("q111_classifier_score")
     assert(p.contains("BroadcastHashJoin"),
