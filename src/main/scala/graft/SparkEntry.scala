@@ -51,6 +51,12 @@ object SparkEntry {
   private def ivfpqrIdxDir(dir: String): String =
     scratchDir("graft-ivfpqr-q125", tag = dir)
 
+  /** q126's incremental index dir: built on half the corpus, extended
+    * by appendIvfIndex — never shared with q60's full-corpus build
+    * (same layout, different build history is the point). */
+  private def ivfApndIdxDir(dir: String): String =
+    scratchDir("graft-ivfapp-q126", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -59,6 +65,23 @@ object SparkEntry {
     val t = tag.replaceAll("[^0-9a-zA-Z.]+", "_")
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"$name-${ProcessHandle.current().pid()}-$t").getAbsolutePath
+  }
+
+  /** The build queries' shared result: the persisted cell layout as
+    * (cell, row count, integer centroid norm) — identical across the
+    * float/SQ8/PQ/PQR layouts because the coarse quantizer is the same
+    * seeded integer k-means, so one oracle replay per nlist covers all
+    * of them. Cheap by construction: counts read only the assigned/
+    * footer-level __cell column, norms the nlist-row centroid table. */
+  private def ivfCellSummary(s: SparkSession, idx: String): DataFrame = {
+    val counts = s.read.parquet(s"$idx/assigned")
+      .groupBy(col("__cell").cast("int").as("__cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val norms = s.read.parquet(s"$idx/centroids")
+      .select(col("__cell").cast("int").as("__cell"),
+        aggregate(transform(col("__qcentroid"), x => x * x),
+          lit(0L), (a, x) => a + x).as("centroid_norm2_q"))
+    counts.join(norms, Seq("__cell")).orderBy("__cell")
   }
 
   /** Index dirs THIS JVM has built (q60's skip-rebuild guard). In-memory
@@ -484,14 +507,37 @@ object SparkEntry {
       Ann.writeIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
         ivfIdxDir(dir), nlist = 16)
       ivfBuilt.add(ivfIdxDir(dir))
-      val counts = s.read.parquet(s"${ivfIdxDir(dir)}/assigned")
-        .groupBy(col("__cell").cast("int").as("__cell"))
-        .agg(count(lit(1)).as("n_vectors"))
-      val norms = s.read.parquet(s"${ivfIdxDir(dir)}/centroids")
-        .select(col("__cell").cast("int").as("__cell"),
-          aggregate(transform(col("__qcentroid"), x => x * x),
-            lit(0L), (a, x) => a + x).as("centroid_norm2_q"))
-      counts.join(norms, Seq("__cell")).orderBy("__cell")
+      ivfCellSummary(s, ivfIdxDir(dir))
+    }),
+
+    // the three persisted quantized builds as their own gate + bench
+    // lines (round-12 verdict #2: r11 mixed these one-time builds into
+    // the probe sample streams). Each rebuilds its layout
+    // unconditionally — Bench times the build here, and marking
+    // ivfBuilt makes every later probe sample pure probe. The returned
+    // summary is the cell LAYOUT (per-cell row counts + integer
+    // centroid norms): the coarse geometry is the quantized-integer
+    // k-means shared across all three layouts, so the oracle is
+    // q60_ann_ivf_build's replay at the matching nlist.
+    "q116_ann_ivf_quantized_build" -> ((s, dir) => {
+      Ann.writeIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfqIdxDir(dir), nlist = 16, quantize = true)
+      ivfBuilt.add(ivfqIdxDir(dir))
+      ivfCellSummary(s, ivfqIdxDir(dir))
+    }),
+
+    "q122_ann_ivf_pq_build" -> ((s, dir) => {
+      Ann.writeIvfIndexPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfpqIdxDir(dir), nlist = 16, m = 4, ksub = 8)
+      ivfBuilt.add(ivfpqIdxDir(dir))
+      ivfCellSummary(s, ivfpqIdxDir(dir))
+    }),
+
+    "q125_ann_ivf_pqr_build" -> ((s, dir) => {
+      Ann.writeIvfIndexPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfpqrIdxDir(dir), nlist = 8, m = 4, ksub = 8, residual = true)
+      ivfBuilt.add(ivfpqrIdxDir(dir))
+      ivfCellSummary(s, ivfpqrIdxDir(dir))
     }),
 
     // IVF ANN over a PERSISTED index (Ann.writeIvfIndex + ivfIndexTopK)
@@ -592,6 +638,44 @@ object SparkEntry {
       }
       Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 8)
+    }),
+
+    // INCREMENTAL IVF (Ann.appendIvfIndex, round-12 verdict #3 — the
+    // one r11 operator that was spec-only): build the float index on
+    // the EVEN half of the corpus, append the odd half through the
+    // RecipeConf YAML ann_index append mode (so the gate exercises the
+    // recipe sink routing + the declared-geometry drift cross-check,
+    // not just the library call), then probe exhaustively. For the
+    // FLOAT layout the cells only partition — scoring reads true
+    // vectors — so append ≡ rebuild EXACTLY and the exhaustive probe
+    // must reproduce the brute-force cosine answer over the union:
+    // q25/q60's oracle verbatim, by construction. Build-once guard per
+    // JVM (the q60 contract); the append batch stages through a
+    // pid-scoped scratch parquet (the YAML dataset needs a path).
+    "q126_ann_ivf_append" -> ((s, dir) => {
+      val idx = ivfApndIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 16)
+        val batchPath = scratchDir("graft-ivfapp-batch", tag = dir)
+        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(batchPath)
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  batch: {path: $batchPath, format: parquet}
+             |  idxw:
+             |    path: $idx
+             |    format: ann_index
+             |    options: {id: vec_id, vec: embedding, nlist: "16", quantize: "false"}
+             |recipes:
+             |  app: {input: batch, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -2034,15 +2118,20 @@ object SparkEntry {
     // ANN probe (the 4x-memory scan path; q25 is its float twin)
     "q110_classifier_fit", "q111_classifier_score",
     "q112_containment_pairs", "q113_ann_quantized",
-    // the persisted int8 IVF probe (builds on this JVM's first q116
-    // touch, so the min of 5 samples is the steady-state probe — the
-    // q60/q107 build-once discipline)
-    "q116_ann_ivf_quantized",
+    // the persisted int8 IVF probe. Its one-time build is its own
+    // SEQUENCED line (round-12 verdict #2: r11 mixed the 3.9–38 s
+    // builds into the probe sample streams — bimodal lines that
+    // tripped the spread guard and read as phantom regressions), the
+    // q60_ann_ivf_build discipline applied to all three persisted
+    // quantized layouts: _build runs first, every probe sample then
+    // times the probe alone.
+    "q116_ann_ivf_quantized_build", "q116_ann_ivf_quantized",
     // round-11: product quantization — brute-force ADC ranking (fit +
     // encode + rank in one plan), the persisted IVF-PQ probe, and the
-    // RESIDUAL IVF-PQ probe (both build on first touch; min of 5 =
-    // steady-state probe)
-    "q121_ann_pq", "q122_ann_ivf_pq", "q125_ann_ivf_pqr")
+    // RESIDUAL IVF-PQ probe (each after its own sequenced build)
+    "q121_ann_pq",
+    "q122_ann_ivf_pq_build", "q122_ann_ivf_pq",
+    "q125_ann_ivf_pqr_build", "q125_ann_ivf_pqr")
 
   // ------------------------------------------------------------- oracles
 
@@ -2492,6 +2581,30 @@ object SparkEntry {
     init + ",\n" + rounds
   }
 
+  /** The IVF build-summary oracle (q60/q116/q122/q125 _build lines):
+    * the replayed quantized-integer k-means fit (kmeansOracleCtes) at
+    * the layout's nlist, plus one more assignment pass (d5/a5) against
+    * the FINAL centroids — exactly what writeIvfIndex/writeIvfIndexPq
+    * persist as the cell layout: per-cell row counts and the integer
+    * centroid norm Σqc² (empty cells appear on neither side). */
+  private def ivfBuildOracleSql(nlist: Int): String =
+    kmeansOracleCtes(k = nlist, iters = 4) +
+      """,
+        |d5 AS (SELECT e.id, c.cid,
+        |   list_sum(list_transform(generate_series(1, len(e.qv)),
+        |     j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))) AS d2
+        |  FROM e CROSS JOIN cq4 c),
+        |a5 AS (SELECT id, cid FROM (SELECT id, cid,
+        |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        |   FROM d5) WHERE rn = 1),
+        |cnt AS (SELECT cid, COUNT(*) AS n_vectors FROM a5 GROUP BY 1),
+        |nrm AS (SELECT cid,
+        |   list_sum(list_transform(cv, x -> x*x)) AS n2 FROM cq4)
+        |SELECT CAST(c.cid AS INT) AS __cell,
+        |  CAST(c.n_vectors AS BIGINT) AS n_vectors,
+        |  CAST(n.n2 AS BIGINT) AS centroid_norm2_q
+        |FROM cnt c JOIN nrm n USING (cid)""".stripMargin
+
   /** Shared by q110 (classifier fit) and q111 (classifier scoring): the
     * batch-perceptron epochs unrolled as CTE blocks (the q97/q74
     * pattern). `d` is the fit corpus with its planted noisy label; `f`
@@ -2929,6 +3042,12 @@ object SparkEntry {
     // the SAME oracle as q25, by construction not coincidence.
     "q60_ann_ivf" -> annTopKOracleSql,
 
+    // build-on-half + YAML-append-the-rest probed exhaustively: float
+    // cells only partition (scoring reads true vectors), so the answer
+    // over the union is q25/q60's brute-force oracle VERBATIM — the
+    // append ≡ rebuild spec promoted to the driver gate
+    "q126_ann_ivf_append" -> annTopKOracleSql,
+
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have
     // ~1-2e-12 miss probability per true pair, so candidate recall —
@@ -3111,23 +3230,16 @@ object SparkEntry {
     // (d5/a5) against the FINAL centroids — exactly what writeIvfIndex
     // persists as the cell layout: per-cell row counts and the integer
     // centroid norm Σqc² (empty cells appear on neither side)
-    "q60_ann_ivf_build" ->
-      (kmeansOracleCtes(k = 16, iters = 4) +
-        """,
-          |d5 AS (SELECT e.id, c.cid,
-          |   list_sum(list_transform(generate_series(1, len(e.qv)),
-          |     j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))) AS d2
-          |  FROM e CROSS JOIN cq4 c),
-          |a5 AS (SELECT id, cid FROM (SELECT id, cid,
-          |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-          |   FROM d5) WHERE rn = 1),
-          |cnt AS (SELECT cid, COUNT(*) AS n_vectors FROM a5 GROUP BY 1),
-          |nrm AS (SELECT cid,
-          |   list_sum(list_transform(cv, x -> x*x)) AS n2 FROM cq4)
-          |SELECT CAST(c.cid AS INT) AS __cell,
-          |  CAST(c.n_vectors AS BIGINT) AS n_vectors,
-          |  CAST(n.n2 AS BIGINT) AS centroid_norm2_q
-          |FROM cnt c JOIN nrm n USING (cid)""".stripMargin),
+    "q60_ann_ivf_build" -> ivfBuildOracleSql(nlist = 16),
+
+    // the quantized layouts share q60's coarse geometry (same seeded
+    // integer k-means over the same corpus), so their build summaries
+    // answer the SAME cell-layout replay at the matching nlist — what
+    // differs between the layouts (grids / codes / residual codes) is
+    // under the PROBE oracles (q116/q122/q125)
+    "q116_ann_ivf_quantized_build" -> ivfBuildOracleSql(nlist = 16),
+    "q122_ann_ivf_pq_build" -> ivfBuildOracleSql(nlist = 16),
+    "q125_ann_ivf_pqr_build" -> ivfBuildOracleSql(nlist = 8),
 
     // same window arithmetic over DuckDB lists: chunk i (0-based) covers
     // 1-based inclusive token slice [i*stride+1, min(i*stride+size, ntok)]

@@ -730,13 +730,18 @@ object Dedup {
           lit(shingleSize)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     // the exact-collapse: one rep per (source, shingle set), keyed by a
-    // deterministic 64-bit hash of the sorted set (the family's fnv64
-    // shingle keys already accept 64-bit identity). cnt = how many
-    // distinct docs the rep speaks for.
+    // deterministic 128-bit hash of the group (md5 over the struct's
+    // JSON — r11 ADVICE: a 64-bit key has a non-negligible birthday
+    // collision probability at billions of groups, and a collision
+    // here silently MERGES two distinct groups, corrupting doc counts
+    // with no error; 128 bits puts the bound past 2⁶⁰ groups). The key
+    // stays narrow (32 bytes) so the band shuffle never carries the
+    // shingle arrays. cnt = how many distinct docs the rep speaks for.
     val base = graft.engine.AutoUnpersist.cache(raw
       .groupBy(col("src"), col("shingles"))
       .agg(countDistinct(col("id")).as("cnt"))
-      .withColumn("rep", xxhash64(col("src"), col("shingles"))))
+      .withColumn("rep",
+        md5(to_json(struct(col("src"), col("shingles"))))))
     val banded = base
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .select(col("rep"), col("src"),

@@ -551,13 +551,23 @@ object Ops {
     * trusting it would silently SKIP the rebalance exactly where it is
     * needed (r10 ADVICE), and `df.rdd` would force physical-plan
     * compilation of the whole upstream subtree. There the decision
-    * falls to the optimizer's SIZE estimate: a small input (within
-    * goal × 128 MB — the operator's own precondition; it is small,
-    * that is why it is under-parallelized) repartitions
-    * unconditionally, while an estimated-large input is left
-    * UNTOUCHED — mid-pipeline `rebalance` on a genuinely big frame
-    * must never silently buy a full-data round-robin exchange that
-    * can also CAP parallelism at `goal` (r11 review finding). */
+    * falls to the optimizer's SIZE estimate, with two honest limits
+    * (r11 ADVICE):
+    *   - the exchange added is the REBALANCE hint, not
+    *     `repartition(goal)`: AQE sizes the output partitioning at
+    *     RUNTIME (splitting skew, coalescing slivers), so a frame that
+    *     turns out already-parallel is never CAPPED at `goal` by a
+    *     static guess — the hazard a fixed-width repartition carries;
+    *   - without CBO a Join's size estimate is the PRODUCT of its
+    *     children and an Aggregate inherits its child's size, so a
+    *     small post-join/post-agg frame often reads as huge and is
+    *     then left untouched. That skip is deliberate conservatism:
+    *     the operator must never risk buying a full-data exchange on
+    *     a frame that really is big, and an AQE-coalesced small wide
+    *     frame that slips through costs low parallelism, not
+    *     wrong results. Callers that KNOW a wide frame is small can
+    *     `.cache()` it first (a cached plan reports measured bytes)
+    *     or repartition explicitly. */
   def rebalance(df: DataFrame, target: Int = 0): DataFrame = {
     val goal =
       if (target > 0) target
@@ -570,7 +580,7 @@ object Ops {
     }.isEmpty
     if (!scanLevel) {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= BigInt(goal) * 128L * 1024 * 1024) df.repartition(goal)
+      if (est <= BigInt(goal) * 128L * 1024 * 1024) df.hint("rebalance")
       else df
     }
     else if (df.rdd.getNumPartitions >= goal) df

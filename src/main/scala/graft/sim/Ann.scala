@@ -1242,6 +1242,21 @@ object Ann {
     require(centDf.count() == mf.nlist,
       s"appendIvfIndex: '$path' is torn — manifest says nlist=${mf.nlist} " +
         s"but centroids/ disagrees; rebuild with writeIvfIndex")
+    // quantized layouts carry a codebook table the batch must encode
+    // under — name a torn index and the rebuild remedy BEFORE the
+    // parquet read (openIvfIndex's contract; r11 ADVICE: a bare
+    // PATH_NOT_FOUND here broke the index family's loud-refusal rule)
+    val extraTable = mf.quant match {
+      case 1 => Some("params"); case 2 => Some("pq"); case _ => None
+    }
+    extraTable.foreach { t =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
+        s"appendIvfIndex: '$path' is a ${mf.layoutName} index missing " +
+          s"its $t/ table — torn build; rebuild with writeIvfIndex " +
+          "before appending")
+    }
     val scale = 10000
     val centsQ = centDf.select(col("__cell").cast("long").as("cid"),
       col("__qcentroid").as("qcv"))

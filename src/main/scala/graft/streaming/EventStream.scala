@@ -304,20 +304,30 @@ object EventStream {
         // collect through a cap+1 limit and fail on overflow — a
         // separate count() gate would re-run the full distinct (r11
         // review finding); the limit bounds driver memory to exactly
-        // what the happy path accepts anyway. Fail loudly and name the
-        // Bloom escape hatch rather than auto-degrade: swapping in a
-        // Bloom silently would change the flag's exactness contract
-        // under the caller.
-        val cap = 16000000
-        val collected = corpusBuckets.distinct().limit(cap + 1)
+        // what the happy path accepts anyway. The column collects as
+        // PRIMITIVE longs (r11 ADVICE: generic Rows box every element —
+        // several GB of Row overhead at the cap, so the collect itself
+        // could OOM a default driver before the require fired), and the
+        // cap is sized from the driver's OWN heap — at most 1/16 of
+        // max heap as 8-byte longs, ceilinged at 16M (128 MB). Fail
+        // loudly and name the Bloom escape hatch rather than
+        // auto-degrade: swapping in a Bloom silently would change the
+        // flag's exactness contract under the caller.
+        val cap = math.min(16000000L,
+          Runtime.getRuntime.maxMemory() / (16L * 8L)).toInt
+        val sorted = corpusBuckets.distinct().limit(cap + 1)
+          .select(col("bucket").cast("long"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
           .collect()
-        require(collected.length <= cap,
+        require(sorted.length <= cap,
           s"nearDupFlagsStream: the index at $indexPath has more than " +
             s"$cap distinct band buckets — too many to broadcast " +
-            "exactly (cap ≈ 128 MB of longs); pass fpp = Some(p) to " +
-            "gate through a Bloom filter instead (conservative: adds " +
-            "false flags only, never misses a candidate)")
-        val sorted = collected.map(_.getLong(0)).sorted
+            s"exactly (cap = min(16M, driverHeap/16 as longs) ≈ " +
+            f"${cap * 8L / 1048576}%d MB of primitive longs); pass " +
+            "fpp = Some(p) to gate through a Bloom filter instead " +
+            "(conservative: adds false flags only, never misses a " +
+            "candidate)")
+        java.util.Arrays.sort(sorted)
         if (sorted.isEmpty) lit(false)
         else {
           val bc = spark.sparkContext.broadcast(sorted)

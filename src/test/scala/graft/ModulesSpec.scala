@@ -1129,4 +1129,57 @@ class ModulesSpec extends SparkSpec {
     assert(after < ext * 0.5, s"external load read $after after killing " +
       s"the spinners vs $ext during — the sensor did not track the burst")
   }
+
+  test("per-sample contamination flag fires on a synthetic MID-LOOP " +
+      "burst (the r11 q116/q121/q122 phantom-regression incident)") {
+    import Bench.Sample
+    // the pure predicate: the line is contaminated iff the MIN
+    // successful sample's OWN window saw external load over the gate —
+    // loop-boundary readings cannot see a burst that lives between them
+    def s(secs: Double, ext: Double) = Sample(secs, 0.5, ext)
+    // r11's shape: every sample inflated, burst present throughout —
+    // the min sample itself is dirty
+    assert(Bench.minSampleContaminated(
+      Seq(s(12.4, 9.0), s(21.2, 11.0), s(17.2, 10.0)), gate = 1.5))
+    // a burst that hit only SLOW samples leaves the reported min
+    // trustworthy: not flagged (the min self-heals, the samples array
+    // still shows the spread)
+    assert(!Bench.minSampleContaminated(
+      Seq(s(1.4, 0.1), s(12.4, 9.0), s(1.5, 0.2)), gate = 1.5))
+    // no /proc → unknown, not contaminated
+    assert(!Bench.minSampleContaminated(Seq(s(1.4, -1.0)), gate = 1.5))
+    assert(!Bench.minSampleContaminated(Nil, gate = 1.5))
+    // the live sensor: measureSample must SEE a burst that lives
+    // entirely inside the sample's window (what the r11 loop-boundary
+    // readings missed) — same core-count guard as the sensor test above
+    assume(Runtime.getRuntime.availableProcessors >= 8,
+      "needs >= 8 cores for an unambiguous synthetic burst")
+    val spinners = (1 to 6).map { _ =>
+      new ProcessBuilder("bash", "-c",
+        "while [ $SECONDS -lt 30 ]; do :; done").start()
+    }
+    val hot = try {
+      Thread.sleep(500) // let the spinners reach steady burn
+      Bench.measureSample(Runtime.getRuntime.availableProcessors) {
+        Thread.sleep(700)
+      }
+    } finally {
+      spinners.foreach(_.destroyForcibly())
+      spinners.foreach(_.waitFor())
+    }
+    assert(hot.ext > 1.5, s"measureSample read ext=${hot.ext} with 6 " +
+      "external spinners running through the whole sample window")
+    assert(Bench.minSampleContaminated(Seq(hot), gate = 1.5),
+      "the mid-loop burst did not flag the (only, hence min) sample")
+    // an honest busy sample in a quiet room: our own spin must show up
+    // in cpu_share, not in ext
+    Thread.sleep(500)
+    val honest = Bench.measureSample(Runtime.getRuntime.availableProcessors) {
+      val t0 = System.nanoTime()
+      var x = 0L
+      while (System.nanoTime() - t0 < 700L * 1000 * 1000) x += 1
+    }
+    assert(honest.share > 0, s"self CPU share read ${honest.share} " +
+      "during an in-JVM spin")
+  }
 }
