@@ -480,26 +480,16 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           val queries = Seq((0L, vec)).toDF("query_id", "__q")
           val hits = (ds.format, params.get("id"), params.get("vec")) match {
             case ("ann_index", _, _) =>
-              // dispatch on the index's OWN layout (manifest quant):
-              // each probe refuses the other layouts loudly, so routing
-              // by anything client-side would turn a stale flag into a
-              // 500 — the manifest is the authority. Scores keep each
-              // layout's native metric column (cosine `score` / integer
-              // `d2q` / `d2pq`) — renaming them would hide which metric
-              // ranked the hits.
-              val quant = graft.sim.Ann.readManifest(spark, ds.path)
-                .map(_.quant).getOrElse(0)
-              Some(quant match {
-                case 1 => graft.sim.Ann.ivfIndexTopKQuantized(spark,
-                  ds.path, queries, "query_id", "__q", k,
-                  nprobe = nprobeOpt.get, excludeSelf = false)
-                case 2 => graft.sim.Ann.ivfIndexTopKPq(spark, ds.path,
-                  queries, "query_id", "__q", k,
-                  nprobe = nprobeOpt.get, excludeSelf = false)
-                case _ => graft.sim.Ann.ivfIndexTopK(spark, ds.path,
-                  queries, "query_id", "__q", k,
-                  nprobe = nprobeOpt.get, excludeSelf = false)
-              })
+              // dispatch on the index's OWN layout (manifest quant) via
+              // the shared Ann.ivfIndexTopKAuto — the manifest is the
+              // authority; routing by anything client-side would turn a
+              // stale flag into a 500. Scores keep each layout's native
+              // metric column (cosine `score` / integer `d2q` /
+              // `d2pq`) — renaming them would hide which metric ranked
+              // the hits.
+              Some(graft.sim.Ann.ivfIndexTopKAuto(spark, ds.path,
+                queries, "query_id", "__q", k,
+                nprobe = nprobeOpt.get, excludeSelf = false))
             // method=lsh mirrors the YAML ann_topk step's other scale
             // path (multi-table hyperplane buckets); default stays
             // exact brute force

@@ -1360,4 +1360,33 @@ object Ann {
       }
     rankByAdc(cand, m, k, excludeSelf)
   }
+
+  /** Manifest-dispatched probe across the three index layouts — the
+    * manifest is the AUTHORITY for which metric ranks the hits (float
+    * cosine / SQ8 integer grid / PQ ADC): routing on anything
+    * caller-side would turn a stale flag into the wrong metric (each
+    * single-layout entry point refuses the others loudly for exactly
+    * that reason; this one routes instead). Output keeps the layout's
+    * native metric column (`score` / `d2q` / `d2pq`) plus
+    * (query_id, neighbor_id, rank) — renaming would hide which metric
+    * ranked the hits. A missing manifest refuses loudly BEFORE any
+    * table read (the openIvfIndex torn-build contract). Shared by the
+    * API `_knn` route and the streaming ingest probe. */
+  def ivfIndexTopKAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qId: String, qVec: String,
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val mf = readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"ivfIndexTopKAuto: '$path' has no build manifest — the index " +
+          "build did not complete (or is being rebuilt right now); " +
+          "rerun writeIvfIndex / the ann_index sink"))
+    mf.quant match {
+      case 1 => ivfIndexTopKQuantized(spark, path, queries, qId, qVec,
+        k, nprobe, excludeSelf)
+      case 2 => ivfIndexTopKPq(spark, path, queries, qId, qVec,
+        k, nprobe, excludeSelf)
+      case _ => ivfIndexTopK(spark, path, queries, qId, qVec,
+        k, nprobe, excludeSelf)
+    }
+  }
 }

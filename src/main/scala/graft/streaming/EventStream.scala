@@ -365,6 +365,51 @@ object EventStream {
       .filter(!col("maybe_near_dup"))
       .drop("maybe_near_dup")
 
+  /** Ingest-time ANN probe against a persisted IVF index — the
+    * EMBEDDING sibling of [[nearDupFlagsStream]]'s shingle gate,
+    * closing the ingest router's last modality (near-dup →
+    * decontaminate → classify → quality+PII now has a semantic
+    * neighbor lookup): each micro-batch of arriving query vectors runs
+    * the BATCH index probe VERBATIM, manifest-dispatched across the
+    * float/SQ8/PQ layouts ([[graft.sim.Ann.ivfIndexTopKAuto]] — the
+    * manifest is the authority, so gate and batch probe cannot drift),
+    * and appends its hits to `outPath`.
+    *
+    * This is deliberately the batch-of-stream shape, not a stream-side
+    * reimplementation: top-k ranking needs per-query windows that
+    * Structured Streaming forbids on an unbounded stream, but each
+    * micro-batch is a bounded DataFrame where the batch operator —
+    * partition-pruned cell reads and all — runs unchanged, and a probe
+    * answers PER QUERY, so queries partition across micro-batches
+    * independently and the union of micro-batch outputs IS the batch
+    * answer over the same rows (spec-pinned, including under
+    * maxFilesPerTrigger=1). Zero streaming state; per-batch cost is
+    * the batch probe's own (nprobe/nlist of the index bytes). The
+    * caller's contract: unique query ids per stream (the
+    * [[classifyStream]] duplicate-id caveat — an id arriving in TWO
+    * micro-batches probes twice and appends both results; dedup at
+    * ingest with [[dedupWithinWatermark]] first). A missing/torn index
+    * refuses at STREAM START, not first batch (the openIvfIndex loud
+    * contract). Returns the started query; caller awaits/stops. */
+  def annProbeStream(stream: DataFrame, indexPath: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, outPath: String,
+      checkpoint: String, excludeSelf: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sim.Ann
+    Ann.readManifest(stream.sparkSession, indexPath).getOrElse(sys.error(
+      s"annProbeStream: no IVF index manifest at $indexPath (incomplete " +
+        "build? rebuild with writeIvfIndex / the ann_index sink)"))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ann.ivfIndexTopKAuto(batch.sparkSession, indexPath, batch,
+            idCol, vecCol, k, nprobe, excludeSelf)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Stream → keyed-upsert parquet sink via foreachBatch: each
     * micro-batch merges into the target by key (last write wins), the
     * streaming face of the ES-style `update` output mode

@@ -385,6 +385,66 @@ class ModulesSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest"), e.getMessage)
   }
 
+  test("streaming ANN probe equals the batch probe across micro-batches; " +
+      "dispatches on the manifest; refuses a missing index at start") {
+    import graft.streaming.EventStream
+    import graft.sim.Ann
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q0 = e.filter(col("vec_id") % 100 === 0)
+    val idxF = java.nio.file.Files.createTempDirectory("annps-f").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxF, nlist = 8)
+    val idxQ = java.nio.file.Files.createTempDirectory("annps-q").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxQ, nlist = 8,
+      quantize = true)
+    // the arriving queries as a 3-file dir + maxFilesPerTrigger=1 →
+    // three REAL micro-batches, so the union-of-batches contract is
+    // what's tested, not a single-batch degenerate case
+    val qDir = java.nio.file.Files.createTempDirectory("annps-in").toString
+    q0.repartition(3).write.mode("overwrite").parquet(qDir)
+    def streamed(idx: String): (org.apache.spark.sql.DataFrame, Int) = {
+      val out = java.nio.file.Files.createTempDirectory("annps-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("annps-ck").toString
+      val stream = spark.readStream.schema(q0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(qDir)
+      val sq = EventStream.annProbeStream(stream, idx,
+        "vec_id", "embedding", k = 5, nprobe = 8,
+        outPath = out, checkpoint = ckpt)
+      sq.processAllAvailable()
+      val fed = sq.recentProgress.count(_.numInputRows > 0)
+      sq.stop()
+      (spark.read.parquet(out), fed)
+    }
+    // float layout: stream ≡ batch, hash-for-hash
+    val (gotF, batchesF) = streamed(idxF)
+    assert(batchesF >= 2,
+      s"expected multiple micro-batches, got $batchesF — the union " +
+        "contract was not exercised")
+    val batF = Ann.ivfIndexTopK(spark, idxF, q0, "vec_id", "embedding",
+      k = 5, nprobe = 8)
+    assert(gotF.exceptAll(batF).count() == 0 &&
+      batF.exceptAll(gotF).count() == 0,
+      "streamed float probe diverged from the batch probe")
+    // SQ8 layout through the SAME entry point: the manifest routed to
+    // the quantized probe (native d2q metric column), result ≡ batch
+    val (gotQ, _) = streamed(idxQ)
+    assert(gotQ.columns.contains("d2q"),
+      s"manifest dispatch missed: got columns ${gotQ.columns.mkString(",")}")
+    val batQ = Ann.ivfIndexTopKQuantized(spark, idxQ, q0,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(gotQ.exceptAll(batQ).count() == 0 &&
+      batQ.exceptAll(gotQ).count() == 0,
+      "streamed SQ8 probe diverged from the batch probe")
+    // a dir with no manifest refuses at stream START — before any
+    // micro-batch runs, not as a mid-stream task failure
+    val bare = java.nio.file.Files.createTempDirectory("annps-bare").toString
+    val err = intercept[RuntimeException](EventStream.annProbeStream(
+      spark.readStream.schema(q0.schema).parquet(qDir), bare,
+      "vec_id", "embedding", k = 5, nprobe = 8,
+      outPath = bare + "/out", checkpoint = bare + "/ck"))
+    assert(err.getMessage.contains("manifest"), err.getMessage)
+  }
+
   test("streaming classifier gate equals the batch scorer row for row") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
