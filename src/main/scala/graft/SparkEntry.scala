@@ -121,6 +121,27 @@ object SparkEntry {
     (batch, corpus)
   }
 
+  /** The q128 cross-source QUOTATION fixture (shared with its spec):
+    * id % 41 = 7 docs become a 9-word quotation (7 word-3-shingles),
+    * id % 41 = 9 docs a 28-word page quoting it whole as a contiguous
+    * span — so the quote's shingle set is a SUBSET of the page's
+    * (containment 10⁴ bp) while the pair's Jaccard is 7/26 ≈ 0.27,
+    * below the near-dup family's 0.6 threshold. Word material is NATO
+    * alphabet (absent from the synthetic corpus vocabulary), so the
+    * plant can't accidentally near-dup natural docs. */
+  private[graft] def q41Fixture(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val quote =
+      "sierra tango uniform victor whiskey xray yankee zulu quebec"
+    val page = "framing commentary narrative opens preamble context " +
+      quote + " trailing analysis continues onward covering manifold " +
+      "subsequent windows entirely separate tokens conclude"
+    d.withColumn("text",
+      when(id % 41 === 7, lit(quote))
+        .when(id % 41 === 9, lit(page))
+        .otherwise(col("text")))
+  }
+
   /** The q110/q111 classifier fixture: the raw synthetic docs carry NO
     * linearly-learnable label (one 31-token bag in every language), so
     * the class is PLANTED — disjoint marker tokens by id pattern, with
@@ -1849,6 +1870,20 @@ object SparkEntry {
       Dedup.crossSourceNearDupOverlap(doc, "doc_id", "text", "source",
         threshold = 0.6)
     }),
+
+    // cross-source CONTAINMENT overlap
+    // (Dedup.crossSourceContainmentOverlap): the subset duplication
+    // q123's Jaccard matrix structurally misses. The discriminating
+    // plant: id % 41 = 7 docs become a 9-word quotation, id % 41 = 9
+    // docs a 28-word page QUOTING it whole — the pair's Jaccard is
+    // 7/26 ≈ 0.27 (invisible to q123 at its 0.6 threshold, the
+    // q41Fixture spec pins that) while min-side containment is 10⁴ bp.
+    // The exhaustive oracle replays the whole containment matrix; the
+    // pigeonhole prefix join's recall is exact (not an LSH dial), so
+    // candidate recall is total by construction.
+    "q128_source_containment_overlap" -> ((s, dir) =>
+      Dedup.crossSourceContainmentOverlap(q41Fixture(t(s, dir, "documents")),
+        "doc_id", "text", "source", thresholdBp = 8000L)),
 
     // soft dedup EXECUTED (Ops.sampleByWeight over q114's weights):
     // each fingerprint-dup group keeps ≈ one row in expectation, every
@@ -4061,6 +4096,42 @@ object SparkEntry {
           |   AND (a.source IS DISTINCT FROM b.source)
           | WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.6),
+          |dirs AS (SELECT sa AS source_a, sb AS source_b, id_a AS id FROM hits
+          |  UNION ALL SELECT sb, sa, id_b FROM hits),
+          |counts AS (SELECT source_a, source_b, COUNT(DISTINCT id) AS n_docs_a_in_b
+          |  FROM dirs GROUP BY 1, 2),
+          |tot AS (SELECT source, COUNT(DISTINCT doc_id) AS n_a FROM g GROUP BY 1)
+          |SELECT source_a, source_b, n_docs_a_in_b, n_a,
+          |  (n_docs_a_in_b * 10000) // n_a AS share_bp
+          |FROM counts JOIN tot ON tot.source IS NOT DISTINCT FROM counts.source_a"""
+          .stripMargin),
+
+    // the exhaustive cross-source CONTAINMENT matrix replayed from
+    // scratch: q128's quotation plant, q26's shingle spelling, then
+    // every cross-source pair's |A∩B|·10⁴ // min(|A|,|B|) at 8000 bp —
+    // the engine's pigeonhole prefix join has EXACT recall (not an LSH
+    // dial), so the matrices must coincide identically
+    "q128_source_containment_overlap" ->
+      ("WITH raw AS (SELECT doc_id, source, " +
+        """CASE WHEN doc_id % 41 = 7
+          |  THEN 'sierra tango uniform victor whiskey xray yankee zulu quebec'
+          |  WHEN doc_id % 41 = 9
+          |  THEN 'framing commentary narrative opens preamble context sierra tango uniform victor whiskey xray yankee zulu quebec trailing analysis continues onward covering manifold subsequent windows entirely separate tokens conclude'
+          |  ELSE text END AS text FROM documents),
+          |""".stripMargin +
+        "n AS (SELECT doc_id, source, " + normSql.format("text") + " AS s FROM raw), " +
+        """t AS (SELECT doc_id, source, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
+          |g AS (SELECT doc_id, source,
+          |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+          | FROM t),
+          |hits AS (
+          | SELECT a.doc_id AS id_a, a.source AS sa, b.doc_id AS id_b, b.source AS sb
+          | FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |   AND (a.source IS DISTINCT FROM b.source)
+          | WHERE (len(list_intersect(a.sh, b.sh)) * 10000)
+          |    // least(len(a.sh), len(b.sh)) >= 8000),
           |dirs AS (SELECT sa AS source_a, sb AS source_b, id_a AS id FROM hits
           |  UNION ALL SELECT sb, sa, id_b FROM hits),
           |counts AS (SELECT source_a, source_b, COUNT(DISTINCT id) AS n_docs_a_in_b

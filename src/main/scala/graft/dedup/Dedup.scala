@@ -735,13 +735,15 @@ object Dedup {
     // collision probability at billions of groups, and a collision
     // here silently MERGES two distinct groups, corrupting doc counts
     // with no error; 128 bits puts the bound past 2⁶⁰ groups). The key
-    // stays narrow (32 bytes) so the band shuffle never carries the
-    // shingle arrays. cnt = how many distinct docs the rep speaks for.
+    // rides as 16-byte BINARY (unhex of the md5 hex — the 32-char
+    // string costs a measured ~25% extra band shuffle at 1M docs), so
+    // the band exchange never carries the shingle arrays. cnt = how
+    // many distinct docs the rep speaks for.
     val base = graft.engine.AutoUnpersist.cache(raw
       .groupBy(col("src"), col("shingles"))
       .agg(countDistinct(col("id")).as("cnt"))
       .withColumn("rep",
-        md5(to_json(struct(col("src"), col("shingles"))))))
+        unhex(md5(to_json(struct(col("src"), col("shingles")))))))
     val banded = base
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .select(col("rep"), col("src"),
@@ -774,6 +776,140 @@ object Dedup {
       .withColumn("jaccard", round(
         col("__inter") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")), 4))
       .filter(col("jaccard") >= threshold)
+      .select("rep_a", "src_a", "cnt_a", "rep_b", "src_b", "cnt_b")
+    val dirs = verified
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        col("rep_a").as("__rep"), col("cnt_a").as("__cnt"))
+      .unionByName(verified
+        .select(col("src_b").as("source_a"), col("src_a").as("source_b"),
+          col("rep_b").as("__rep"), col("cnt_b").as("__cnt")))
+      // a rep matched by SEVERAL partner reps still speaks for its cnt
+      // docs once per direction — dedup before the sum
+      .distinct()
+    val totals = broadcast(base.groupBy(col("src").as("__sa"))
+      .agg(sum(col("cnt")).as("n_a")))
+    dirs.groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__cnt")).as("n_docs_a_in_b"))
+      .join(totals, col("source_a") <=> col("__sa"), "left")
+      .select(col("source_a"), col("source_b"), col("n_docs_a_in_b"),
+        col("n_a"), expr("(n_docs_a_in_b * 10000L) div n_a").as("share_bp"))
+  }
+
+  /** Cross-source CONTAINMENT overlap — [[crossSourceNearDupOverlap]]'s
+    * asymmetric-duplication sibling, for the subset duplication Jaccard
+    * structurally misses across sources (a short doc quoted WHOLE
+    * inside another crawl's long doc has containment 1.0 but Jaccard
+    * only |A|/|B| — far below any near-dup threshold once sizes
+    * diverge; exactly the gap [[containmentPairs]] closes within a
+    * block, measured cross-source here). One row per ordered
+    * co-occurring source pair:
+    * (source_a, source_b, n_docs_a_in_b, n_a, share_bp) where
+    * n_docs_a_in_b counts DISTINCT source-a docs with a VERIFIED
+    * partner in source_b — n-word-shingle containment
+    * |A∩B|·10⁴ div min(|A|,|B|) ≥ `thresholdBp`, exact long
+    * arithmetic — n_a is source-a's comparable universe (docs yielding
+    * shingles), share_bp = n_docs_a_in_b·10⁴ div n_a. The min-side
+    * containment relation is symmetric, so a verified pair feeds both
+    * directions (each reporting its own side's doc share); pairs
+    * sharing nothing are absent; a NULL source is its own group.
+    *
+    * Scale shape — containmentPairs' pigeonhole machinery under
+    * crossSourceNearDupOverlap's exact-copy collapse:
+    *   - exact copies collapse per (source, shingle set) BEFORE
+    *     anything runs (one 128-bit rep carrying its distinct-doc
+    *     count — the q123 mega-group bound: a page replicated millions
+    *     of times across a handful of crawls costs sources²/2 pairs,
+    *     not copies²/2);
+    *   - candidates are the min-side PREFIX × full POSTINGS join (for
+    *     C(A,B) ≥ t the smaller set must share one of its first
+    *     |S| − ceil(t·|S|) + 1 sorted grams — exact pigeonhole recall,
+    *     not an LSH dial), cross-source only, gram keys 8 B;
+    *   - `maxDocFreq` removes grams held by more than `cap` collapsed
+    *     groups from the UNIVERSE itself (prefix, postings, intersects
+    *     and denominators all see one consistent filtered universe —
+    *     containmentPairs' boilerplate-blind discipline; frequency
+    *     counts collapsed (source, shingle-set) GROUPS because posting
+    *     fan-out is what the cap bounds; reps left gramless sit out);
+    *   - verified candidates re-attach shingles for the exact
+    *     merge-scan intersect; the matrix is source²-bounded
+    *     (declared-few sources, the sourceOverlap contract).
+    * NEAR-but-not-exact mega-groups keep their quadratic verified
+    * pairs — real duplication structure the audit must count (the
+    * crossSourceNearDupOverlap caveat applies verbatim). */
+  def crossSourceContainmentOverlap(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, n: Int = 3,
+      thresholdBp: Long = 9000L, maxDocFreq: Option[Int] = None)
+      : DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"crossSourceContainmentOverlap: thresholdBp must be in " +
+        s"[1, 10000], got $thresholdBp")
+    maxDocFreq.foreach(cap => require(cap >= 1,
+      s"crossSourceContainmentOverlap: maxDocFreq must be >= 1, got $cap"))
+    val raw = df.select(
+        col(idCol).as("id"), col(sourceCol).as("src"),
+        shingleHash(col(textCol), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    // the q123 collapse with its 128-bit rep key (md5 over the group
+    // struct, carried as 16-byte binary — a 64-bit key's birthday
+    // collision would silently merge two groups at
+    // billions-of-groups scale)
+    val base0 = raw
+      .groupBy(col("src"), col("grams"))
+      .agg(countDistinct(col("id")).as("cnt"))
+      .withColumn("rep",
+        unhex(md5(to_json(struct(col("src"), col("grams"))))))
+    val base = graft.engine.AutoUnpersist.cache(maxDocFreq match {
+      case None => base0
+      case Some(cap) =>
+        // rebuild the gram sets WITHOUT the hot grams so the whole
+        // plan sees one consistent filtered universe (containmentPairs'
+        // exactness argument); rep/cnt are preserved per group — two
+        // groups collapsing to the same filtered set stay separate
+        // reps, which only means both match the same partners
+        val ex = base0.select(col("rep"), col("src"), col("cnt"),
+          explode(col("grams")).as("pg"))
+        val hot = ex.groupBy("pg")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select("pg")
+        ex.join(hot, Seq("pg"), "left_anti")
+          .groupBy("rep", "src", "cnt")
+          .agg(sort_array(collect_list(col("pg"))).as("grams"))
+          .filter(size(col("grams")) > 0)
+    })
+    // prefix length over longs: |S| − ceil(t·|S|) + 1 with
+    // ceil(a·b/10⁴) = (a·b + 9999) div 10⁴ (the containmentPairs
+    // integer-exact quota)
+    val pref = base.select(col("rep"), col("src"),
+      explode(slice(col("grams"), lit(1),
+        expr(s"cast(size(grams) - (cast(size(grams) as bigint) * " +
+          s"$thresholdBp + 9999) div 10000 + 1 as int)"))).as("pg"))
+    val post = base.select(col("rep"), col("src"),
+      explode(col("grams")).as("pg"))
+    val pa = pref.alias("pa")
+    // shuffle_hash pinned: both sides are corpus-sized and UDF-derived
+    // — the static planner's size estimate is fiction and a broadcast
+    // here is the fatal-at-scale shape (the q112/q123 discipline)
+    val pb = post.hint("shuffle_hash").alias("pb")
+    val cand = pa.join(pb,
+        col("pa.pg") === col("pb.pg") &&
+          col("pa.rep") =!= col("pb.rep") &&
+          !(col("pa.src") <=> col("pb.src")))
+      .select(least(col("pa.rep"), col("pb.rep")).as("rep_a"),
+        greatest(col("pa.rep"), col("pb.rep")).as("rep_b"))
+      .distinct()
+    val verified = cand
+      .join(base.select(col("rep").as("rep_a"), col("src").as("src_a"),
+        col("grams").as("sh_a"), col("cnt").as("cnt_a"))
+        .hint("shuffle_hash"), "rep_a")
+      .join(base.select(col("rep").as("rep_b"), col("src").as("src_b"),
+        col("grams").as("sh_b"), col("cnt").as("cnt_b"))
+        .hint("shuffle_hash"), "rep_b")
+      .withColumn("__inter",
+        graft.functions.NativeExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("containment_bp", expr("__inter * 10000 div " +
+        "least(cast(size(sh_a) as bigint), cast(size(sh_b) as bigint))"))
+      .filter(col("containment_bp") >= thresholdBp)
       .select("rep_a", "src_a", "cnt_a", "rep_b", "src_b", "cnt_b")
     val dirs = verified
       .select(col("src_a").as("source_a"), col("src_b").as("source_b"),

@@ -124,6 +124,80 @@ object CrossNearBench {
       println(f"[crossnear] MEGA n=$n (20k exact copies, 32 sources) " +
         f"wall=$mWall%7.3f shuffleMB=${shuffleBytes.get() / 1048576.0}%8.1f " +
         f"matrixRows=$mRows")
+
+      // ---- cross-source CONTAINMENT (q128) slopes: same methodology.
+      // Planted quotations with CONSTANT pair size (the fixture-trap
+      // lesson above): ids k ≡ 0 (mod 100) are a 8-word quote derived
+      // from key k/100; ids k ≡ 50 are a 20-word page whose first 8
+      // words ARE that quote — containment 10⁴ bp, Jaccard ≈ 6/18 ≈
+      // 0.33 (a near-dup sweep would not see them). Clean docs' grams
+      // are id-unique, so candidate volume is plant-bounded and the
+      // linear term is the shingle+prefix+postings signing.
+      def quoteCorpus(n2: Long): DataFrame =
+        spark.range(n2).toDF("id")
+          .withColumn("source",
+            concat(lit("src"), pmod(xxhash64(col("id")), lit(32)).cast("string")))
+          .withColumn("text",
+            when(col("id") % 100 === 0,
+              expr("array_join(transform(sequence(0, 7), " +
+                "j -> concat('q', xxhash64(CAST(id DIV 100 AS LONG), j))), ' ')"))
+            .when(col("id") % 100 === 50,
+              expr("array_join(transform(sequence(0, 19), j -> CASE " +
+                "WHEN j < 8 THEN concat('q', xxhash64(CAST(id DIV 100 AS LONG), j)) " +
+                "ELSE concat('p', xxhash64(id, j)) END), ' ')"))
+            .otherwise(expr(
+              "array_join(transform(sequence(0, 11), j -> concat('w', xxhash64(id, j))), ' ')")))
+      for (n2 <- scales) {
+        val path = s"$tmp/quote$n2"
+        quoteCorpus(n2).write.parquet(path)
+        val d = spark.read.parquet(path)
+        val samples = (1 to runs).map { _ =>
+          val t0c = System.nanoTime()
+          val rows = Dedup.crossSourceContainmentOverlap(
+            d, "id", "text", "source", thresholdBp = 8000L).count()
+          spark.catalog.clearCache()
+          ((System.nanoTime() - t0c) / 1e9, rows)
+        }
+        Thread.sleep(500)
+        shuffleBytes.set(0)
+        val marker = Dedup.crossSourceContainmentOverlap(
+          d, "id", "text", "source", thresholdBp = 8000L).count()
+        spark.catalog.clearCache()
+        Thread.sleep(500)
+        val mb = shuffleBytes.get() / 1024.0 / 1024.0
+        println(f"[crosscontain] n=$n2%-9d s=32 min=${samples.map(_._1).min}%7.3f " +
+          f"shuffleMB=$mb%8.1f matrixRows=$marker " +
+          s"samples=${samples.map(x => f"${x._1}%.3f").mkString(",")}")
+      }
+      // the containment MEGA regime: one quote replicated in every
+      // 100th doc AND one page quoting it in every (100th + 50) doc —
+      // 10k + 10k exact copies collapse to ≤ 32 + 32 reps, so the
+      // pair volume is sources²-bounded however many copies exist
+      val megaQ = s"$tmp/megaq"
+      spark.range(n).toDF("id")
+        .withColumn("source",
+          concat(lit("src"), pmod(xxhash64(col("id")), lit(32)).cast("string")))
+        .withColumn("text",
+          when(col("id") % 100 === 0,
+            lit("one widely quoted short passage appearing verbatim everywhere"))
+          .when(col("id") % 100 === 50,
+            lit("long framing page that reproduces one widely quoted short " +
+              "passage appearing verbatim everywhere and then continues " +
+              "with much further commentary prose"))
+          .otherwise(expr(
+            "array_join(transform(sequence(0, 11), j -> concat('w', xxhash64(id, j))), ' ')")))
+        .write.parquet(megaQ)
+      val megaQd = spark.read.parquet(megaQ)
+      Thread.sleep(500)
+      shuffleBytes.set(0)
+      val t0q = System.nanoTime()
+      val qRows = Dedup.crossSourceContainmentOverlap(
+        megaQd, "id", "text", "source", thresholdBp = 8000L).count()
+      val qWall = (System.nanoTime() - t0q) / 1e9
+      Thread.sleep(500)
+      println(f"[crosscontain] MEGA n=$n (10k quote + 10k page copies, " +
+        f"32 sources) wall=$qWall%7.3f " +
+        f"shuffleMB=${shuffleBytes.get() / 1048576.0}%8.1f matrixRows=$qRows")
     } finally {
       spark.stop()
       def rm(f: java.io.File): Unit = {

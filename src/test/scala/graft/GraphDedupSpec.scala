@@ -498,6 +498,79 @@ class GraphDedupSpec extends SparkSpec {
     assert(eApp.getMessage.contains("manifest"), eApp.getMessage)
   }
 
+  test("clustered-embedding recall@10: SQ8 preserves the float ranking, residual PQ beats raw PQ, floors pinned") {
+    // the planted-cluster shape (QuantBench.clusteredVecs small): 2000
+    // dim-64 UNIT-NORM vectors in 16 clusters, noise ±0.2 around ±1
+    // centers — the float top-10 of a query is its own cluster's
+    // members, so recall measures whether a quantized metric keeps
+    // finding THEM. Unit norm matters: the quantized paths rank by
+    // integer L2 while the float path ranks by cosine, and on the unit
+    // sphere the two orders coincide — so recall here isolates pure
+    // QUANTIZATION loss (un-normalized vectors add a metric gap that
+    // caps recall near 0.7 for every layout at once; measured while
+    // building this fixture). Deterministic closed-form fixture →
+    // regression pins, not statistical expectations.
+    val n = 2000L
+    val cv = spark.range(n).toDF("vec_id")
+      .withColumn("__raw", expr(
+        """transform(sequence(0, 63),
+          |  j -> cast(xxhash64(vec_id % 16, j) as double)
+          |         / 9.223372036854776e18
+          |    + 0.2 * cast(xxhash64(vec_id, j) as double)
+          |      / 9.223372036854776e18)""".stripMargin))
+      .withColumn("embedding", expr(
+        """transform(__raw, x -> cast(x / sqrt(aggregate(__raw,
+          |  cast(0.0 as double), (a, y) -> a + y * y)) as float))"""
+          .stripMargin))
+      .drop("__raw")
+    val qs = cv.filter(col("vec_id") % 100 === 0) // 20 queries
+    val truth = Ann.bruteForceTopK(qs, cv, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10).select("query_id", "neighbor_id").cache()
+    val nT = truth.count().toDouble
+    def recall(h: org.apache.spark.sql.DataFrame): Double = h
+      .select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .count() / nT
+    val sq8 = java.nio.file.Files.createTempDirectory("clrec-sq8").toString
+    Ann.writeIvfIndex(cv, "vec_id", "embedding", sq8, nlist = 16,
+      quantize = true)
+    val pq = java.nio.file.Files.createTempDirectory("clrec-pq").toString
+    Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pq, nlist = 16,
+      m = 4, ksub = 64)
+    val pqr = java.nio.file.Files.createTempDirectory("clrec-pqr").toString
+    Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pqr, nlist = 16,
+      m = 4, ksub = 64, residual = true)
+    def probeS(np: Int) = recall(Ann.ivfIndexTopKQuantized(spark, sq8, qs,
+      "vec_id", "embedding", k = 10, nprobe = np))
+    def probeP(np: Int) = recall(Ann.ivfIndexTopKPq(spark, pq, qs,
+      "vec_id", "embedding", k = 10, nprobe = np))
+    def probeR(np: Int) = recall(Ann.ivfIndexTopKPq(spark, pqr, qs,
+      "vec_id", "embedding", k = 10, nprobe = np))
+    val (s1, s8) = (probeS(1), probeS(16))
+    val (p8, r8) = (probeP(16), probeR(16))
+    info(f"clustered recall@10: sq8 np1=$s1%.3f np16=$s8%.3f " +
+      f"pq np16=$p8%.3f pqr np16=$r8%.3f")
+    // SQ8's 255-level grid resolves the within-cluster noise: measured
+    // 0.85 exhaustive on this deterministic fixture (the residue is
+    // near-tie shuffling among ~125 cluster mates, not lost clusters)
+    assert(s8 >= 0.80, f"SQ8 exhaustive recall $s8%.3f < 0.80")
+    // a cluster's members land in ONE cell (noise ≪ centroid margins),
+    // so even nprobe=1 keeps 0.80 of the exhaustive 0.85 — partition
+    // pruning costs recall only when the metric does, which is the
+    // IVF family's point
+    assert(s1 >= 0.75, f"SQ8 nprobe=1 recall $s1%.3f < 0.75")
+    // raw-space PQ codewords park on cluster centers and COLLAPSE
+    // cluster mates to near-identical codes (ties → id order — recall
+    // tends to k/|cluster|; measured 0.21 at ksub=64); residual
+    // codebooks spend the same codeword budget on the WITHIN-cluster
+    // noise structure instead (measured 0.33 — ×1.57). The relative
+    // pin is the residual train step's justification (Jégou §IV);
+    // margins sit under the deterministic measurements.
+    assert(r8 >= p8 + 0.08 && r8 >= 0.25,
+      f"residual PQ ($r8%.3f) did not beat raw PQ ($p8%.3f) by the " +
+        "pinned margin on clustered embeddings")
+  }
+
   test("hyperplane-LSH ANN: pinned recall + exact scores on the driver embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
@@ -1122,6 +1195,66 @@ class GraphDedupSpec extends SparkSpec {
     // planted here, but 2-3 would be one at B-B) never create a row
     assert(!m.keySet.exists { case (a, b) => a == b || a == Some("C") ||
       b == Some("C") })
+  }
+
+  test("crossSourceContainmentOverlap: sees the quotation Jaccard misses; exact copies collapse; NULL source; hot-gram cap consistent") {
+    // the discriminating shape: a 9-word quote (7 word-3-shingles)
+    // contained WHOLE in a 28-word page of another source — min-side
+    // containment 10⁴ bp, Jaccard 7/26 ≈ 0.27
+    val quote = "sierra tango uniform victor whiskey xray yankee zulu quebec"
+    val page = "framing commentary narrative opens preamble context " +
+      quote + " trailing analysis continues onward covering manifold " +
+      "subsequent windows entirely separate tokens conclude"
+    val docs = Seq(
+      (1L, Option("A"), quote),
+      (2L, Option("B"), page),  // quotes doc 1 whole
+      (3L, Option("A"), quote), // exact copy of 1 → same rep, cnt 2
+      (4L, Option("B"), "entirely unrelated page about other things " +
+        "with many words here"),
+      (5L, Option.empty[String], quote), // NULL source is its own group
+      (6L, Option("A"), null: String))   // no shingles → out of both sides
+      .toDF("id", "src", "text")
+    val m = Dedup.crossSourceContainmentOverlap(docs, "id", "text", "src",
+        thresholdBp = 8000L)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // universes: A = {1, 3} (6 sits out), B = {2, 4}, NULL = {5}
+    assert(m == Map(
+      (Some("A"), Some("B")) -> (2L, 2L, 10000L), // both copies quoted in 2
+      (Some("B"), Some("A")) -> (1L, 2L, 5000L),
+      (Some("A"), None) -> (2L, 2L, 10000L),      // exact cross-copies
+      (None, Some("A")) -> (1L, 1L, 10000L),
+      (Some("B"), None) -> (1L, 2L, 5000L),
+      (None, Some("B")) -> (1L, 1L, 10000L)), m.toString)
+    // the DISCRIMINATOR: the near-dup matrix at 0.6 must NOT connect A
+    // and B — the quote-in-page pair is invisible to Jaccard (the exact
+    // A↔NULL copies are visible to both families, as they should be)
+    val nd = Dedup.crossSourceNearDupOverlap(docs, "id", "text", "src",
+        threshold = 0.6)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+      .toSet
+    assert(!nd.contains((Some("A"), Some("B"))) &&
+      !nd.contains((Some("B"), Some("A"))),
+      s"Jaccard at 0.6 saw the quotation pair: $nd")
+    assert(nd.contains((Some("A"), None)), s"near-dup missed the exact copies: $nd")
+    // hot-gram cap: the quote's shingles live in 3 collapsed groups —
+    // maxDocFreq = 1 removes them from the UNIVERSE, the quote groups
+    // go gramless and sit out, and no pair survives (the filtered
+    // metric is exact, not a lossy candidate cut); a cap of 3 removes
+    // nothing and reproduces the full matrix
+    assert(Dedup.crossSourceContainmentOverlap(docs, "id", "text", "src",
+      thresholdBp = 8000L, maxDocFreq = Some(1)).isEmpty)
+    val capped = Dedup.crossSourceContainmentOverlap(docs, "id", "text",
+        "src", thresholdBp = 8000L, maxDocFreq = Some(3))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(capped == m, capped.toString)
+    intercept[IllegalArgumentException](Dedup.crossSourceContainmentOverlap(
+      docs, "id", "text", "src", thresholdBp = 10001L))
+    intercept[IllegalArgumentException](Dedup.crossSourceContainmentOverlap(
+      docs, "id", "text", "src", maxDocFreq = Some(0)))
   }
 
   test("semanticContaminationFlags: max cosine vs test set, NULLs, empty test set") {

@@ -33,6 +33,35 @@ object QuantBench {
            |            / 9.223372036854776e18 as float))"""
           .stripMargin))
 
+  /** CLUSTERED UNIT-NORM vectors — the shape real embeddings have and
+    * the uniform-random fixture above deliberately lacks (its recall
+    * numbers are the disclosed worst-case floor): vector i = center
+    * (i mod `clusters`) + per-vector noise (±0.2 around ±1 centers),
+    * L2-normalized, all closed-form xxhash64 (no UDF, deterministic).
+    * Within-cluster cosines ≈ 1, cross-cluster ≈ random, so the float
+    * top-10 of any query is its own cluster's members and recall
+    * measures whether a quantized/pruned probe keeps finding THEM.
+    * Unit norm matters: the quantized paths rank by integer L2, the
+    * float path by cosine, and only on the unit sphere do the two
+    * orders coincide — un-normalized vectors add a metric gap that
+    * caps recall near 0.7 for EVERY layout at once (measured while
+    * building this fixture), hiding the quantization signal. */
+  private def clusteredVecs(spark: SparkSession, n: Long,
+      clusters: Int): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("__raw", expr(
+        s"""transform(sequence(0, ${DIM - 1}),
+           |  j -> cast(xxhash64(vec_id % $clusters, j) as double)
+           |         / 9.223372036854776e18
+           |    + 0.2 * cast(xxhash64(vec_id, j) as double)
+           |      / 9.223372036854776e18)"""
+          .stripMargin))
+      .withColumn("embedding", expr(
+        """transform(__raw, x -> cast(x / sqrt(aggregate(__raw,
+          |  cast(0.0 as double), (a, y) -> a + y * y)) as float))"""
+          .stripMargin))
+      .drop("__raw")
+
   private def dirBytes(p: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isFile) f.length
@@ -147,6 +176,72 @@ object QuantBench {
           f"pq=$rPq%.3f (m=8, ksub=256)")
         spark.catalog.clearCache()
       }
+
+      // ---- clustered recall (round 12): the nprobe → recall@10 curve
+      // on CLUSTERED vectors for the three persisted quantized
+      // layouts. The uniform-random recalls above are the disclosed
+      // worst-case floor (no structure to preserve); these fixtures
+      // have the structure real embeddings have, so they are the
+      // numbers to size nprobe from (recorded in SCALE.md; floors
+      // pinned in GraphDedupSpec so a codebook/probe regression trips
+      // a test). Two regimes:
+      //   - ALIGNED (clusters = nlist): every natural cluster sits
+      //     inside one k-means cell, so pruning is FREE — the curve is
+      //     flat from nprobe=1 and the table's story is each metric's
+      //     recall, not the cell count's. Residuals ≈ the
+      //     within-cluster noise, exactly the structure the residual
+      //     train step exists to encode (nlist ≪ clusters leaves
+      //     between-cluster offsets in the residuals and PQR degrades
+      //     to raw PQ — measured while building the spec fixture).
+      //   - OVER-PARTITIONED (nlist ≫ clusters — the realistic 100-TB
+      //     setting, where nlist is thousands): k-means SPLITS each
+      //     natural cluster across ~nlist/clusters cells, a query's
+      //     true neighbors straddle them, and recall climbs with
+      //     nprobe — the curve readers size nprobe from.
+      def recallCurve(label: String, clusters: Int, nlist: Int,
+          ksub: Int, probes: Seq[Int]): Unit = {
+        val cn = 100000L
+        val cPath = s"$tmp/clustered-$label"
+        clusteredVecs(spark, cn, clusters).write.parquet(cPath)
+        val cv = spark.read.parquet(cPath)
+        val cqs = cv.filter(col("vec_id") % (cn / 25) === 0)
+        val cTruth = Ann.bruteForceTopK(cqs, cv, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10).select("query_id", "neighbor_id")
+          .cache()
+        val cN = cTruth.count().toDouble
+        def cRecall(hits: DataFrame): Double = hits
+          .select("query_id", "neighbor_id")
+          .join(cTruth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count() / cN
+        val sq8Idx = s"$tmp/cl-$label-sq8"; val pqIdx = s"$tmp/cl-$label-pq"
+        val pqrIdx = s"$tmp/cl-$label-pqr"
+        val tb1 = System.nanoTime()
+        Ann.writeIvfIndex(cv, "vec_id", "embedding", sq8Idx, nlist,
+          quantize = true)
+        Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pqIdx, nlist,
+          m = 8, ksub = ksub)
+        Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pqrIdx, nlist,
+          m = 8, ksub = ksub, residual = true)
+        println(f"[quant] clustered-$label n=$cn builds (sq8+pq+pqr, " +
+          f"clusters=$clusters, nlist=$nlist, m=8, ksub=$ksub): " +
+          f"${(System.nanoTime() - tb1) / 1e9}%6.1f s one-time")
+        for (np <- probes) {
+          val rS = cRecall(Ann.ivfIndexTopKQuantized(spark, sq8Idx, cqs,
+            "vec_id", "embedding", k = 10, nprobe = np))
+          val rP = cRecall(Ann.ivfIndexTopKPq(spark, pqIdx, cqs,
+            "vec_id", "embedding", k = 10, nprobe = np))
+          val rR = cRecall(Ann.ivfIndexTopKPq(spark, pqrIdx, cqs,
+            "vec_id", "embedding", k = 10, nprobe = np))
+          println(f"[quant] clustered-$label n=$cn recall@10 " +
+            f"nprobe=$np%-3d sq8=$rS%.3f pq=$rP%.3f pqr=$rR%.3f")
+        }
+        cTruth.unpersist()
+        ()
+      }
+      recallCurve("aligned", clusters = 64, nlist = 64, ksub = 256,
+        probes = Seq(1, 4, 16, 64))
+      recallCurve("overpart", clusters = 16, nlist = 64, ksub = 64,
+        probes = Seq(1, 2, 4, 8, 16, 32, 64))
     } finally {
       spark.stop()
       def rm(f: java.io.File): Unit = {
