@@ -694,7 +694,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, nprobe = 16,
         outPath = out, checkpoint = ckpt)
       q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
+      // the sink is one overwritten subdirectory per epoch (replay
+      // idempotency — the annProbeStream contract), not a flat dir
+      s.read.option("recursiveFileLookup", "true").parquet(out)
     }),
 
     // INCREMENTAL IVF (Ann.appendIvfIndex, round-12 verdict #3 — the

@@ -551,13 +551,19 @@ object Ops {
     * trusting it would silently SKIP the rebalance exactly where it is
     * needed (r10 ADVICE), and `df.rdd` would force physical-plan
     * compilation of the whole upstream subtree. There the decision
-    * falls to the optimizer's SIZE estimate, with two honest limits
-    * (r11 ADVICE):
-    *   - the exchange added is the REBALANCE hint, not
-    *     `repartition(goal)`: AQE sizes the output partitioning at
-    *     RUNTIME (splitting skew, coalescing slivers), so a frame that
-    *     turns out already-parallel is never CAPPED at `goal` by a
-    *     static guess — the hazard a fixed-width repartition carries;
+    * falls to the optimizer's SIZE estimate, with two honest limits:
+    *   - an estimated-small wide frame pays `repartition(goal)`
+    *     UNCONDITIONALLY — a fixed explicit width, NOT the REBALANCE
+    *     hint, because AQE sizes a rebalance by BYTES (the 64 MB
+    *     advisory), which would coalesce a byte-small CPU-heavy frame
+    *     right back to ~1 partition (the r10 condition this branch
+    *     exists to fix) and would silently ignore an explicit
+    *     `target` (r12 review). The costs are bounded and accepted:
+    *     a frame that was already parallel pays one exchange of at
+    *     most goal × 128 MB (the branch's own precondition), and the
+    *     fixed width is `goal` — the session's full parallelism by
+    *     default, so "capped at goal" is not a real loss for a small
+    *     frame (r11 ADVICE, adjudicated this way in r12);
     *   - without CBO a Join's size estimate is the PRODUCT of its
     *     children and an Aggregate inherits its child's size, so a
     *     small post-join/post-agg frame often reads as huge and is
@@ -580,7 +586,7 @@ object Ops {
     }.isEmpty
     if (!scanLevel) {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= BigInt(goal) * 128L * 1024 * 1024) df.hint("rebalance")
+      if (est <= BigInt(goal) * 128L * 1024 * 1024) df.repartition(goal)
       else df
     }
     else if (df.rdd.getNumPartitions >= goal) df

@@ -387,10 +387,21 @@ object EventStream {
     * the batch probe's own (nprobe/nlist of the index bytes). The
     * caller's contract: unique query ids per stream (the
     * [[classifyStream]] duplicate-id caveat — an id arriving in TWO
-    * micro-batches probes twice and appends both results; dedup at
+    * micro-batches probes twice and emits both results; dedup at
     * ingest with [[dedupWithinWatermark]] first). A missing/torn index
     * refuses at STREAM START, not first batch (the openIvfIndex loud
-    * contract). Returns the started query; caller awaits/stops. */
+    * contract).
+    *
+    * Sink idempotency (r12 review): foreachBatch is AT-LEAST-ONCE — a
+    * crash between a successful write and the checkpoint commit
+    * replays the epoch — so each epoch OVERWRITES its own
+    * subdirectory (`outPath/epoch_N`) instead of appending to a flat
+    * dir, and a replay lands on the same path instead of duplicating
+    * every hit row. Read the results back with
+    * `option("recursiveFileLookup", "true")` (the underscore dir name
+    * is deliberately NOT partition syntax, so no phantom column
+    * appears in the schema). Returns the started query; caller
+    * awaits/stops. */
   def annProbeStream(stream: DataFrame, indexPath: String, idCol: String,
       vecCol: String, k: Int, nprobe: Int, outPath: String,
       checkpoint: String, excludeSelf: Boolean = true)
@@ -402,10 +413,10 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         Ann.ivfIndexTopKAuto(batch.sparkSession, indexPath, batch,
             idCol, vecCol, k, nprobe, excludeSelf)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/epoch_$epoch")
       }
       .start()
   }

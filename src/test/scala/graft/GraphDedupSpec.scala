@@ -499,30 +499,22 @@ class GraphDedupSpec extends SparkSpec {
   }
 
   test("clustered-embedding recall@10: SQ8 preserves the float ranking, residual PQ beats raw PQ, floors pinned") {
-    // the planted-cluster shape (QuantBench.clusteredVecs small): 2000
-    // dim-64 UNIT-NORM vectors in 16 clusters, noise ±0.2 around ±1
-    // centers — the float top-10 of a query is its own cluster's
-    // members, so recall measures whether a quantized metric keeps
-    // finding THEM. Unit norm matters: the quantized paths rank by
-    // integer L2 while the float path ranks by cosine, and on the unit
-    // sphere the two orders coincide — so recall here isolates pure
-    // QUANTIZATION loss (un-normalized vectors add a metric gap that
-    // caps recall near 0.7 for every layout at once; measured while
-    // building this fixture). Deterministic closed-form fixture →
-    // regression pins, not statistical expectations.
+    // QuantBench.clusteredVecs — the SAME fixture the SCALE.md
+    // nprobe→recall curves are measured on (shared, not re-spelled,
+    // so the pinned floors and the bench tables cannot silently drift
+    // onto different fixtures — r12 review): 2000 dim-64 UNIT-NORM
+    // vectors in 16 clusters, noise ±0.2 around ±1 centers — the
+    // float top-10 of a query is its own cluster's members, so recall
+    // measures whether a quantized metric keeps finding THEM. Unit
+    // norm matters: the quantized paths rank by integer L2 while the
+    // float path ranks by cosine, and on the unit sphere the two
+    // orders coincide — recall isolates pure QUANTIZATION loss
+    // (un-normalized vectors add a metric gap that caps recall near
+    // 0.7 for every layout at once; measured while building the
+    // fixture). Deterministic closed-form fixture → regression pins,
+    // not statistical expectations.
     val n = 2000L
-    val cv = spark.range(n).toDF("vec_id")
-      .withColumn("__raw", expr(
-        """transform(sequence(0, 63),
-          |  j -> cast(xxhash64(vec_id % 16, j) as double)
-          |         / 9.223372036854776e18
-          |    + 0.2 * cast(xxhash64(vec_id, j) as double)
-          |      / 9.223372036854776e18)""".stripMargin))
-      .withColumn("embedding", expr(
-        """transform(__raw, x -> cast(x / sqrt(aggregate(__raw,
-          |  cast(0.0 as double), (a, y) -> a + y * y)) as float))"""
-          .stripMargin))
-      .drop("__raw")
+    val cv = QuantBench.clusteredVecs(spark, n, clusters = 16)
     val qs = cv.filter(col("vec_id") % 100 === 0) // 20 queries
     val truth = Ann.bruteForceTopK(qs, cv, "vec_id", "embedding",
       "vec_id", "embedding", k = 10).select("query_id", "neighbor_id").cache()

@@ -413,7 +413,8 @@ class ModulesSpec extends SparkSpec {
       sq.processAllAvailable()
       val fed = sq.recentProgress.count(_.numInputRows > 0)
       sq.stop()
-      (spark.read.parquet(out), fed)
+      // per-epoch subdirectories (the replay-idempotency contract)
+      (spark.read.option("recursiveFileLookup", "true").parquet(out), fed)
     }
     // float layout: stream ≡ batch, hash-for-hash
     val (gotF, batchesF) = streamed(idxF)

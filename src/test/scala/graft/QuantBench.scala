@@ -46,7 +46,7 @@ object QuantBench {
     * orders coincide — un-normalized vectors add a metric gap that
     * caps recall near 0.7 for EVERY layout at once (measured while
     * building this fixture), hiding the quantization signal. */
-  private def clusteredVecs(spark: SparkSession, n: Long,
+  private[graft] def clusteredVecs(spark: SparkSession, n: Long,
       clusters: Int): DataFrame =
     spark.range(n).toDF("vec_id")
       .withColumn("__raw", expr(
