@@ -2163,6 +2163,12 @@ object SparkEntry {
     // the partition-pruned probe. _build MUST run first — it writes the
     // per-JVM index q60_ann_ivf then probes without rebuilding.
     "q60_ann_ivf_build", "q60_ann_ivf",
+    // the streaming probe (round 12): the same q60 index (built two
+    // lines up — the ivfBuilt guard makes every sample probe-only)
+    // driven through a real file-source streaming query + the
+    // per-epoch sink; the number is the batch probe + the
+    // micro-batch/sink overhead, the ingest router's embedding cost
+    "q127_stream_ann_probe",
     // the other 100-TB ANN path (multi-table hyperplane LSH via the
     // YAML ann_topk step), benched since it joined the gate in round 8
     "q62_ann_lsh",
@@ -2190,7 +2196,12 @@ object SparkEntry {
     // detector (prefix × postings candidates), and the int8-quantized
     // ANN probe (the 4x-memory scan path; q25 is its float twin)
     "q110_classifier_fit", "q111_classifier_score",
-    "q112_containment_pairs", "q113_ann_quantized",
+    "q112_containment_pairs",
+    // cross-source containment (round 12): the corpus-wide pigeonhole
+    // prefix × postings audit — CrossNearBench carries its synthetic
+    // slopes; this row keeps a driver-tracked number at the gate SF
+    "q128_source_containment_overlap",
+    "q113_ann_quantized",
     // the persisted int8 IVF probe. Its one-time build is its own
     // SEQUENCED line (round-12 verdict #2: r11 mixed the 3.9–38 s
     // builds into the probe sample streams — bimodal lines that

@@ -100,6 +100,18 @@ class PlanQualitySpec extends SparkSpec {
       s"the band self-join must be a shuffle join:\n$p")
   }
 
+  test("q128 cross-source containment: native intersect, shuffle joins, NO corpus broadcast, no cartesian") {
+    val p = plan("q128_source_containment_overlap")
+    assert(p.contains("sorted_intersect_count"), p)
+    // the q112 contract cross-source: prefix and posting frames are
+    // corpus-sized and UDF-derived — candidates meet through the gram
+    // shuffle join, never a broadcast of the corpus or a cross
+    // product (the end-of-plan totals broadcast is tiny and expected)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected shuffle-hash prefix x postings / re-attach joins:\n$p")
+  }
+
   test("q111 classifier scoring: weights broadcast; no cartesian") {
     val p = plan("q111_classifier_score")
     assert(p.contains("BroadcastHashJoin"),
