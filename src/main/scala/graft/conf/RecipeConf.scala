@@ -521,11 +521,34 @@ object RecipeConf {
       //   skew: {key: col[, n: 20]}
       case "skew" => df =>
         Ops.skewStats(df, req("key"), knobInt("n", 20))
-      // cross-source duplicate-overlap matrix (which corpus contains
-      // which): overlap: {source: col, text: col[, key: fingerprint]}
+      // cross-source duplicate-overlap matrices (which corpus contains
+      // which), three duplication lenses under one step:
+      //   overlap: {source: col, text: col[, key: fingerprint]}
+      //     → exact/fingerprint content keys (Dedup.sourceOverlap)
+      //   overlap: {mode: neardup, id, source, text[, threshold: 0.6]}
+      //     → verified word-shingle Jaccard near-dups
+      //       (Dedup.crossSourceNearDupOverlap — exact-copy collapse)
+      //   overlap: {mode: containment, id, source, text
+      //             [, threshold_bp: 9000][, n: 3][, max_doc_freq: k]}
+      //     → min-side n-gram containment, the quoted-subset audit
+      //       Jaccard misses (Dedup.crossSourceContainmentOverlap)
       case "overlap" => df =>
-        graft.dedup.Dedup.sourceOverlap(df, req("source"), req("text"),
-          method = knob("key", "exact"))
+        knob("mode", "keys") match {
+          case "keys" =>
+            graft.dedup.Dedup.sourceOverlap(df, req("source"), req("text"),
+              method = knob("key", "exact"))
+          case "neardup" =>
+            graft.dedup.Dedup.crossSourceNearDupOverlap(df, req("id"),
+              req("text"), req("source"),
+              threshold = knob("threshold", "0.6").toDouble)
+          case "containment" =>
+            graft.dedup.Dedup.crossSourceContainmentOverlap(df, req("id"),
+              req("text"), req("source"), n = knobInt("n", 3),
+              thresholdBp = knobInt("threshold_bp", 9000).toLong,
+              maxDocFreq = m.get("max_doc_freq").map(_.toString.toInt))
+          case other => sys.error(
+            s"overlap: unknown mode '$other' (keys | neardup | containment)")
+        }
       // tokenizer-vocabulary coverage audit — per-doc OOV accounting
       // against a vocab dataset (the vocab/bpe artifact):
       //   oov: {id, text, dataset: vocab[, token: symbol]}

@@ -1761,6 +1761,17 @@ class RecipeConfSpec extends SparkSpec {
          |    steps:
          |      - eval: {t3: "case when id % 2 = 0 then 'x' else text end"}
          |      - overlap: {source: lang, text: t3}
+         |  ovln:
+         |    input: docs
+         |    steps:
+         |      - eval: {t5: "case when id % 2 = 0 then 'shared boiler plate page replicated verbatim' else text end"}
+         |      - overlap: {mode: neardup, id: id, source: lang, text: t5}
+         |  ovlc:
+         |    input: docs
+         |    steps:
+         |      - eval: {t6: "case when id = 1 then 'alpha beta gamma delta epsilon' when id = 99 then 'intro words here alpha beta gamma delta epsilon tail words continue onward further' else text end"}
+         |      - overlap: {mode: containment, id: id, source: lang,
+         |                  text: t6, threshold_bp: 8000}
          |  oovr:
          |    input: docs
          |    steps:
@@ -1833,6 +1844,24 @@ class RecipeConfSpec extends SparkSpec {
     assert((ovl(0).getString(0), ovl(0).getString(1), ovl(0).getLong(2),
       ovl(0).getLong(3), ovl(0).getLong(4)) == (("en", "fr", 1L, 41L, 11L)),
       ovl(0).toString)
+    // overlap mode neardup: every even id carries one shared boilerplate
+    // (Jaccard 1.0 cross-source); odd 'doc number N' docs are pairwise
+    // distinct — en evens 40 of 80, fr evens 10 of 20, both 5000 bp
+    val ovln = RecipeConf.run(spark, conf, "ovln").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ovln == Map(
+      ("en", "fr") -> ((40L, 80L, 5000L)),
+      ("fr", "en") -> ((10L, 20L, 5000L))), ovln.toString)
+    // overlap mode containment: en doc 1 is a 5-word quote reproduced
+    // whole inside fr doc 99's 13-word page — containment 10^4 bp at a
+    // Jaccard of only 3/11, the pair the neardup mode cannot see
+    val ovlc = RecipeConf.run(spark, conf, "ovlc").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ovlc == Map(
+      ("en", "fr") -> ((1L, 80L, 125L)),
+      ("fr", "en") -> ((1L, 20L, 500L))), ovlc.toString)
     // keep-best: ids 1..50 collapse to one 'dup' group whose BEST
     // (max score=id) survivor is id 50; 51..100 stay distinct
     val best = RecipeConf.run(spark, conf, "best")
