@@ -21,6 +21,21 @@ object Bench {
       p.sum - p(3) - (if (p.length > 4) p(4) else 0L)
     }.toOption
 
+  /** iowait jiffies (field 5 of /proc/stat's cpu line): time cores sat
+    * waiting on DISK. The per-sample CPU sensors are blind to a
+    * neighbor stealing I/O bandwidth — iowait makes that pressure
+    * VISIBLE (a slow sample with low cpu_share, low ext_during and
+    * high iowait was disk-bound), though not attributed (our own cold
+    * page-cache reads raise it too), so it informs the reader and
+    * never flags by itself. */
+  private def procStatIowaitJiffies(): Option[Long] =
+    scala.util.Try {
+      val p = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      if (p.length > 4) p(4) else 0L
+    }.toOption
+
   private def selfCpuNanos(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case s: com.sun.management.OperatingSystemMXBean => s.getProcessCpuTime
@@ -268,12 +283,17 @@ object Bench {
     val sampleJson = perSample(_.secs)
     // parallel per-sample arrays (r11 verdict #1): cpu_share = this
     // JVM's process-CPU seconds over (wall × cores) during that exact
-    // sample; ext_during = external busy cores over the same window.
-    // The reader's rule: a slow sample with high ext_during (or low
-    // cpu_share) is contaminated, a slow sample with high cpu_share is
-    // honest work.
+    // sample; ext_during = external busy cores over the same window;
+    // iowait = cores stalled on disk over the same window (visible but
+    // unattributed — our own cold reads raise it too, so it informs,
+    // never flags). The reader's rule: slow + high ext_during (or low
+    // cpu_share) = CPU contamination; slow + high cpu_share = honest
+    // work; slow + low cpu_share + low ext_during + high iowait =
+    // disk-bound (honest cold cache OR a disk-stealing neighbor — the
+    // same-day A/B adjudicates).
     val shareJson = perSample(_.share)
     val extJson = perSample(_.ext)
+    val iowJson = perSample(_.iow)
     val total = mins.map(_._2).filter(_ >= 0).sum
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -300,32 +320,41 @@ object Bench {
           minSampleContaminated(ss.flatten, extGate)
       } => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** One timed run: wall seconds, this JVM's CPU share of (wall ×
-    * cores) over the run's own window, and EXTERNAL busy cores over the
-    * same window (-1 = /proc or the com.sun MXBean unavailable). */
-  private[graft] case class Sample(secs: Double, share: Double, ext: Double)
+    * cores) over the run's own window, EXTERNAL busy cores over the
+    * same window, and iowait cores over the same window (disk
+    * pressure — see [[procStatIowaitJiffies]]: visible, not
+    * attributed, never flags by itself). -1 = /proc or the com.sun
+    * MXBean unavailable. */
+  private[graft] case class Sample(secs: Double, share: Double,
+      ext: Double, iow: Double = -1.0)
 
-  /** Time `body` and measure, over ITS OWN window, this JVM's CPU share
-    * and the external busy cores — the per-sample contamination sensors
-    * (r11 verdict #1). Propagates `body`'s exceptions; a sample that
-    * failed has no meaningful window. */
+  /** Time `body` and measure, over ITS OWN window, this JVM's CPU
+    * share, the external busy cores, and the iowait cores — the
+    * per-sample contamination sensors (r11 verdict #1). Propagates
+    * `body`'s exceptions; a sample that failed has no meaningful
+    * window. */
   private[graft] def measureSample(nCpus: Int)(body: => Unit): Sample = {
     val b0 = procStatBusyJiffies(); val s0 = selfCpuNanos()
+    val w0 = procStatIowaitJiffies()
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
     val b1 = procStatBusyJiffies(); val s1 = selfCpuNanos()
+    val w1 = procStatIowaitJiffies()
     if (b0.isEmpty || b1.isEmpty || s0 < 0 || s1 < 0 || wall <= 0)
       Sample(wall, -1.0, -1.0) // /proc or the MXBean unavailable: unknown
     else {
       val self = (s1 - s0) / 1e9
       val busy = (b1.get - b0.get) / 100.0
+      val iow = (for (a <- w0; b <- w1)
+        yield math.max(0.0, (b - a) / 100.0 / wall)).getOrElse(-1.0)
       Sample(wall, self / (wall * nCpus),
-        math.max(0.0, (busy - self) / wall))
+        math.max(0.0, (busy - self) / wall), iow)
     }
   }
 
