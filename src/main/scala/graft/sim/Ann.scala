@@ -1154,9 +1154,16 @@ object Ann {
         col(cVec).as("__cv"))
       .withColumn("__qv", transform(col("__cv"),
         x => floor(x.cast("double") * scale).cast("long")))
+    // cached EXPLICITLY (not AutoUnpersist — fitPqQ's dims probe, its
+    // per-subspace agg+collect pairs, and the final encode are all
+    // separate ACTIONS over this frame, and each would otherwise
+    // recompute the full assignment subtree: the residual build spent
+    // a measured 10.4 s at sf0.1 mostly re-assigning the corpus 9×)
     val assigned0 = graft.sim.Cluster
       .clusterAssign(corpusQ, "neighbor_id", "__qv", centsQDf, "cid", "qcv")
       .withColumn("__cell", col("cluster_id").cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // PQ codebooks fit on the SAME corpus the cells store, persisted as
     // the third table — a probe building ADC under any other codebook
     // would score a different geometry (the SQ8 params/ contract)
@@ -1190,6 +1197,7 @@ object Ann {
       .select("neighbor_id", "codes", "__cell")
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
+    } finally { assigned0.unpersist(); () }
     corpus.sparkSession.createDataFrame(
         qcents.map { case (c, qv) =>
           (c.toInt, qv.map(_.toDouble / scale), qv)
