@@ -11,29 +11,24 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").head.toDouble)
       .getOrElse(-1.0)
 
-  /** Aggregate busy jiffies from /proc/stat line 1 (total - idle -
-    * iowait). USER_HZ is 100 on every mainstream Linux. */
-  private def procStatBusyJiffies(): Option[Long] =
+  /** ONE /proc/stat cpu-line snapshot: (busy, iowait) jiffies — busy =
+    * total − idle − iowait; iowait = field 5, time cores sat waiting
+    * on DISK. One read/parse per snapshot so both sensors see the SAME
+    * instant (r12 review: two separate readers took busy and iowait
+    * from snapshots microseconds apart). The per-sample CPU sensors
+    * are blind to a neighbor stealing I/O bandwidth — iowait makes
+    * that pressure VISIBLE (slow + low cpu_share + low ext_during +
+    * high iowait = disk-bound), though not attributed (our own
+    * cold-cache reads raise it too), so it informs the reader and
+    * never flags by itself. USER_HZ is 100 on every mainstream
+    * Linux. */
+  private def procStatJiffies(): Option[(Long, Long)] =
     scala.util.Try {
       val p = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0)
         .trim.split("\\s+").drop(1).map(_.toLong)
-      p.sum - p(3) - (if (p.length > 4) p(4) else 0L)
-    }.toOption
-
-  /** iowait jiffies (field 5 of /proc/stat's cpu line): time cores sat
-    * waiting on DISK. The per-sample CPU sensors are blind to a
-    * neighbor stealing I/O bandwidth — iowait makes that pressure
-    * VISIBLE (a slow sample with low cpu_share, low ext_during and
-    * high iowait was disk-bound), though not attributed (our own cold
-    * page-cache reads raise it too), so it informs the reader and
-    * never flags by itself. */
-  private def procStatIowaitJiffies(): Option[Long] =
-    scala.util.Try {
-      val p = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0)
-        .trim.split("\\s+").drop(1).map(_.toLong)
-      if (p.length > 4) p(4) else 0L
+      val iow = if (p.length > 4) p(4) else 0L
+      (p.sum - p(3) - iow, iow)
     }.toOption
 
   private def selfCpuNanos(): Long =
@@ -51,14 +46,14 @@ object Bench {
     * actually skews samples (r8's q29: 34 s vs 6.8 s across runs).
     * Returns -1 when /proc or the com.sun MXBean is unavailable. */
   private[graft] def externalBusyCores(ms: Long): Double = {
-    val b0 = procStatBusyJiffies(); val s0 = selfCpuNanos()
+    val b0 = procStatJiffies(); val s0 = selfCpuNanos()
     if (b0.isEmpty || s0 < 0) return -1.0
     val w0 = System.nanoTime()
     Thread.sleep(ms)
-    val b1 = procStatBusyJiffies(); val s1 = selfCpuNanos()
+    val b1 = procStatJiffies(); val s1 = selfCpuNanos()
     if (b1.isEmpty || s1 < 0) return -1.0
     val wall = (System.nanoTime() - w0) / 1e9
-    val totalBusy = (b1.get - b0.get) / 100.0
+    val totalBusy = (b1.get._1 - b0.get._1) / 100.0
     math.max(0.0, (totalBusy - (s1 - s0) / 1e9) / wall)
   }
 
@@ -327,7 +322,7 @@ object Bench {
   /** One timed run: wall seconds, this JVM's CPU share of (wall ×
     * cores) over the run's own window, EXTERNAL busy cores over the
     * same window, and iowait cores over the same window (disk
-    * pressure — see [[procStatIowaitJiffies]]: visible, not
+    * pressure — see [[procStatJiffies]]: visible, not
     * attributed, never flags by itself). -1 = /proc or the com.sun
     * MXBean unavailable. */
   private[graft] case class Sample(secs: Double, share: Double,
@@ -339,20 +334,17 @@ object Bench {
     * `body`'s exceptions; a sample that failed has no meaningful
     * window. */
   private[graft] def measureSample(nCpus: Int)(body: => Unit): Sample = {
-    val b0 = procStatBusyJiffies(); val s0 = selfCpuNanos()
-    val w0 = procStatIowaitJiffies()
+    val b0 = procStatJiffies(); val s0 = selfCpuNanos()
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
-    val b1 = procStatBusyJiffies(); val s1 = selfCpuNanos()
-    val w1 = procStatIowaitJiffies()
+    val b1 = procStatJiffies(); val s1 = selfCpuNanos()
     if (b0.isEmpty || b1.isEmpty || s0 < 0 || s1 < 0 || wall <= 0)
       Sample(wall, -1.0, -1.0) // /proc or the MXBean unavailable: unknown
     else {
       val self = (s1 - s0) / 1e9
-      val busy = (b1.get - b0.get) / 100.0
-      val iow = (for (a <- w0; b <- w1)
-        yield math.max(0.0, (b - a) / 100.0 / wall)).getOrElse(-1.0)
+      val busy = (b1.get._1 - b0.get._1) / 100.0
+      val iow = math.max(0.0, (b1.get._2 - b0.get._2) / 100.0 / wall)
       Sample(wall, self / (wall * nCpus),
         math.max(0.0, (busy - self) / wall), iow)
     }

@@ -669,9 +669,10 @@ object SparkEntry {
     // back. Exhaustive probe (nprobe = nlist) over the full corpus →
     // the result must be q25/q60's brute-force answer — batch ≡ stream
     // by construction (the q108 gate's shape, lifted to embeddings).
-    // Sink + checkpoint clear per invocation: the sink appends and a
-    // leftover checkpoint would mark the input already-processed
-    // (second Bench run would read an empty delta).
+    // Sink + checkpoint clear per invocation: a leftover checkpoint
+    // would mark the input already-processed (a second Bench run would
+    // read an empty delta and probe nothing); the per-epoch sink dirs
+    // go with it so the read-back never mixes two invocations.
     "q127_stream_ann_probe" -> ((s, dir) => {
       import graft.streaming.EventStream
       val idx = ivfIdxDir(dir)

@@ -540,12 +540,16 @@ object RecipeConf {
           case "neardup" =>
             graft.dedup.Dedup.crossSourceNearDupOverlap(df, req("id"),
               req("text"), req("source"),
-              threshold = knob("threshold", "0.6").toDouble)
+              threshold = knobDouble("threshold", 0.6))
           case "containment" =>
             graft.dedup.Dedup.crossSourceContainmentOverlap(df, req("id"),
               req("text"), req("source"), n = knobInt("n", 3),
               thresholdBp = knobInt("threshold_bp", 9000).toLong,
-              maxDocFreq = m.get("max_doc_freq").map(_.toString.toInt))
+              // knobOpt keeps the Knobs contract: blank / unparseable
+              // names the step+knob, never an anonymous NPE/NFE
+              maxDocFreq = knobOpt("max_doc_freq").map(s =>
+                s.toIntOption.getOrElse(sys.error(
+                  s"$op: 'max_doc_freq' must be an integer, got '$s'"))))
           case other => sys.error(
             s"overlap: unknown mode '$other' (keys | neardup | containment)")
         }

@@ -1154,15 +1154,23 @@ object Ann {
         col(cVec).as("__cv"))
       .withColumn("__qv", transform(col("__cv"),
         x => floor(x.cast("double") * scale).cast("long")))
-    // cached EXPLICITLY (not AutoUnpersist — fitPqQ's dims probe, its
-    // per-subspace agg+collect pairs, and the final encode are all
-    // separate ACTIONS over this frame, and each would otherwise
-    // recompute the full assignment subtree: the residual build spent
-    // a measured 10.4 s at sf0.1 mostly re-assigning the corpus 9×)
-    val assigned0 = graft.sim.Cluster
+    // the RESIDUAL path caches the assignment EXPLICITLY (not
+    // AutoUnpersist — fitPqQ's dims probe, its per-subspace
+    // agg+collect pairs, and the final encode are all separate ACTIONS
+    // over this frame, and each would otherwise recompute the full
+    // assignment subtree: the residual build spent a measured 10.4 s
+    // at sf0.1 mostly re-assigning the corpus 9×). The raw-space path
+    // fits its codebooks on `corpus` directly and runs exactly ONE
+    // action over this frame (the coded write), so caching there would
+    // be pure overhead — a corpus-sized materialization with zero
+    // reuse (r12 review).
+    val assigned0raw = graft.sim.Cluster
       .clusterAssign(corpusQ, "neighbor_id", "__qv", centsQDf, "cid", "qcv")
       .withColumn("__cell", col("cluster_id").cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned0 =
+      if (residual) assigned0raw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0raw
     try {
     // PQ codebooks fit on the SAME corpus the cells store, persisted as
     // the third table — a probe building ADC under any other codebook
@@ -1197,7 +1205,7 @@ object Ann {
       .select("neighbor_id", "codes", "__cell")
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
-    } finally { assigned0.unpersist(); () }
+    } finally { if (residual) { assigned0.unpersist(); () } }
     corpus.sparkSession.createDataFrame(
         qcents.map { case (c, qv) =>
           (c.toInt, qv.map(_.toDouble / scale), qv)

@@ -396,6 +396,34 @@ class OpsSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("rebalance on WIDE frames: estimated-small lands at exactly the " +
+      "target; estimated-large stays untouched (r12 review pin)") {
+    // a post-aggregate frame: scan-level static counts lie under AQE,
+    // so the wide branch decides by size estimate. Estimated-small →
+    // an explicit repartition(goal) — a FIXED width AQE must not
+    // coalesce away (the REBALANCE hint sized output by bytes and
+    // merged byte-small CPU-heavy frames back to ~1 partition, and it
+    // ignored an explicit target; both regressions this test pins out)
+    val agg = spark.range(0, 1000, 1, numPartitions = 4).toDF("id")
+      .groupBy((col("id") % 97).as("k")).count()
+    val est = agg.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est <= BigInt(8) * 128L * 1024 * 1024,
+      s"fixture must sit under the small-estimate gate, est=$est")
+    val r = Ops.rebalance(agg, target = 8)
+    assert(r.rdd.getNumPartitions == 8,
+      s"explicit target not honored on a wide frame: ${r.rdd.getNumPartitions}")
+    assert(r.count() == 97)
+    // estimated-large (a join's product estimate): left UNTOUCHED —
+    // the operator must never buy a full-data exchange on a frame the
+    // optimizer thinks is big
+    val a = spark.range(0, 100000).toDF("id")
+    val big = a.join(a.withColumnRenamed("id", "id2"),
+      col("id") === col("id2") % 100000)
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(8) * 128L * 1024 * 1024, "fixture must exceed the gate")
+    assert(Ops.rebalance(big, target = 8) eq big)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; null-safe") {
     val oldV = Seq((1L, Some("a"), "en"), (2L, Some("b"), "en"),
       (3L, None, "fr"), (4L, Some("d"), "en"))
