@@ -6,6 +6,8 @@ import org.apache.spark.sql.SparkSession
   * column is actually computed (a bare count() would let Catalyst prune
   * the interesting work away). */
 object Bench {
+  import scala.jdk.CollectionConverters._
+
   private def loadavg1m(): Double =
     scala.util.Try(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").head.toDouble)
@@ -36,6 +38,24 @@ object Bench {
       case s: com.sun.management.OperatingSystemMXBean => s.getProcessCpuTime
       case _ => -1L
     }
+
+  /** This process's cumulative BLOCK-DEVICE reads (`/proc/self/io`
+    * read_bytes — page-cache hits don't count, which is the point:
+    * it attributes DISK pressure). r12 left iowait visible but
+    * unattributed (own cold-cache reads vs a disk-stealing neighbor
+    * were indistinguishable); the per-sample delta of this counter
+    * closes that: high iowait + HIGH own read rate = our own cold
+    * scan (honest), high iowait + LOW own read rate = something else
+    * owns the disk (contaminated). -1 when /proc/self/io is
+    * unavailable (non-Linux). */
+  private def selfReadBytes(): Long =
+    scala.util.Try {
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/io")).asScala
+        .collectFirst { case l if l.startsWith("read_bytes:") =>
+          l.split("\\s+")(1).toLong }
+        .getOrElse(-1L)
+    }.getOrElse(-1L)
 
   /** CPU cores busy on this host attributable to OTHER processes,
     * sampled over `ms`. This — not loadavg — is the right mid-run
@@ -186,7 +206,11 @@ object Bench {
       }
       (waits, ext)
     }
-    val nCpus = cpus.toIntOption.getOrElse(32)
+    // a non-numeric SPARK_GRAFT_CPUS (e.g. '*') must not silently skew
+    // every cpu_share denominator with a hardcoded 32 (r12 ADVICE) —
+    // fall back to what the host actually has
+    val nCpus = cpus.toIntOption.getOrElse(
+      Runtime.getRuntime.availableProcessors)
     val results = queryList.map { name =>
       val fn = SparkEntry.queries(name)
       val (waits0, extStart) = quietWait(name)
@@ -289,6 +313,11 @@ object Bench {
     val shareJson = perSample(_.share)
     val extJson = perSample(_.ext)
     val iowJson = perSample(_.iow)
+    // self_read_mbps: this process's OWN block-read rate per sample —
+    // the iowait attribution (r12 verdict #5): slow + high iowait +
+    // HIGH self read = honest cold scan; + LOW self read = a neighbor
+    // owns the disk (auto-flagged via minSampleDiskContaminated)
+    val rdJson = perSample(_.rdMBps)
     val total = mins.map(_._2).filter(_ >= 0).sum
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -312,41 +341,56 @@ object Bench {
       case (k, ss) if {
         val (_, s0, s1) = quietInfo(k)
         isContaminated(s0, s1, extGate) ||
-          minSampleContaminated(ss.flatten, extGate)
+          minSampleContaminated(ss.flatten, extGate) ||
+          minSampleDiskContaminated(ss.flatten, extGate)
       } => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"self_read_mbps":$rdJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    // compact FINAL line (r12 verdict #1): the driver archives only a
+    // ~2 KB tail of this stdout, and r12's per-sample arrays pushed the
+    // full line's leading "queries" object out of that window —
+    // BENCH_r12.json carried NO per-query numbers (parsed: null). The
+    // LAST line therefore repeats the headline (per-query mins + total
+    // + contaminated) compactly, so any tail window keeps it however
+    // many parallel arrays the full JSON grows.
+    println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","queries":$qs,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** One timed run: wall seconds, this JVM's CPU share of (wall ×
     * cores) over the run's own window, EXTERNAL busy cores over the
-    * same window, and iowait cores over the same window (disk
-    * pressure — see [[procStatJiffies]]: visible, not
-    * attributed, never flags by itself). -1 = /proc or the com.sun
-    * MXBean unavailable. */
+    * same window, iowait cores over the same window, and this
+    * process's own block-device read rate (MB/s) over the same window
+    * ([[selfReadBytes]] — the r12-verdict #5 disk ATTRIBUTION:
+    * iowait alone is visible but unattributed). -1 = the relevant
+    * /proc file or the com.sun MXBean unavailable. */
   private[graft] case class Sample(secs: Double, share: Double,
-      ext: Double, iow: Double = -1.0)
+      ext: Double, iow: Double = -1.0, rdMBps: Double = -1.0)
 
   /** Time `body` and measure, over ITS OWN window, this JVM's CPU
-    * share, the external busy cores, and the iowait cores — the
-    * per-sample contamination sensors (r11 verdict #1). Propagates
-    * `body`'s exceptions; a sample that failed has no meaningful
-    * window. */
+    * share, the external busy cores, the iowait cores, and this
+    * process's own disk-read rate — the per-sample contamination
+    * sensors (r11 verdict #1; the read rate is r12 verdict #5).
+    * Propagates `body`'s exceptions; a sample that failed has no
+    * meaningful window. */
   private[graft] def measureSample(nCpus: Int)(body: => Unit): Sample = {
     val b0 = procStatJiffies(); val s0 = selfCpuNanos()
+    val r0 = selfReadBytes()
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
     val b1 = procStatJiffies(); val s1 = selfCpuNanos()
+    val r1 = selfReadBytes()
+    val rd = if (r0 < 0 || r1 < 0 || wall <= 0) -1.0
+      else math.max(0.0, (r1 - r0) / 1048576.0 / wall)
     if (b0.isEmpty || b1.isEmpty || s0 < 0 || s1 < 0 || wall <= 0)
-      Sample(wall, -1.0, -1.0) // /proc or the MXBean unavailable: unknown
+      Sample(wall, -1.0, -1.0, -1.0, rd) // /proc or the MXBean unavailable
     else {
       val self = (s1 - s0) / 1e9
       val busy = (b1.get._1 - b0.get._1) / 100.0
       val iow = math.max(0.0, (b1.get._2 - b0.get._2) / 100.0 / wall)
       Sample(wall, self / (wall * nCpus),
-        math.max(0.0, (busy - self) / wall), iow)
+        math.max(0.0, (busy - self) / wall), iow, rd)
     }
   }
 
@@ -368,4 +412,20 @@ object Bench {
   private[graft] def minSampleContaminated(samples: Seq[Sample],
       gate: Double): Boolean =
     samples.minByOption(_.secs).exists(_.ext > gate)
+
+  /** The r12 fix (verdict #5): iowait was visible but unattributed —
+    * a slow sample stalled on disk could be our own cold parquet scan
+    * (honest) or a disk-hammering neighbor (contamination), and only a
+    * same-day A/B could tell. The attribution is this process's OWN
+    * block-read rate over the min sample's window: a cold scan that
+    * stalls the CPUs on iowait is READING (tens-to-hundreds of MB/s
+    * through /proc/self/io read_bytes), so high iowait + a near-idle
+    * own read rate (< 4 MB/s) means something ELSE owns the disk —
+    * flag it. Both sensors at -1 (no /proc) stay unknown, not
+    * contaminated; the same-day A/B remains the final adjudicator
+    * (SCALE.md bench-trust rules). */
+  private[graft] def minSampleDiskContaminated(samples: Seq[Sample],
+      gate: Double): Boolean =
+    samples.minByOption(_.secs).exists(s =>
+      s.iow > gate && s.rdMBps >= 0 && s.rdMBps < 4.0)
 }

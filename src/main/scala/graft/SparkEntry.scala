@@ -57,6 +57,14 @@ object SparkEntry {
   private def ivfApndIdxDir(dir: String): String =
     scratchDir("graft-ivfapp-q126", tag = dir)
 
+  /** q129's incremental QUANTIZED index dir: the SQ8 sibling of q126's
+    * float append — the appended batch must encode under the STORED
+    * half-corpus grid, which is exactly where geometry drift would
+    * corrupt results (r12 verdict #2: the quantized append paths had
+    * specs but no driver gate). */
+  private def ivfApndSqIdxDir(dir: String): String =
+    scratchDir("graft-ivfappq-q129", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -735,6 +743,46 @@ object SparkEntry {
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // INCREMENTAL QUANTIZED IVF (round-13 verdict #2 — q126 gated only
+    // the float append, where cells merely partition; the SQ8 path is
+    // where geometry drift would corrupt results): build the SQ8 index
+    // on the EVEN half — so the int8 grid (params) is fit on the even
+    // half ALONE — then YAML-append the odd half, which must encode
+    // under that STORED grid (Ann.appendIvfIndex quant=1; the drift
+    // cross-check sees quantize='sq8' match the manifest). The
+    // exhaustive probe then equals brute-force integer-grid ranking
+    // over the union WITH every vector quantized under the even-half
+    // params — q113's oracle with its params CTE restricted to even
+    // ids (the one place append ≢ rebuild: a rebuild would refit the
+    // grid on the union; the append contract is comparability under
+    // the original geometry, FAISS's add-to-trained-index semantics,
+    // and the oracle pins exactly that).
+    "q129_ann_ivf_append_sq8" -> ((s, dir) => {
+      val idx = ivfApndSqIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 16, quantize = true)
+        val batchPath = scratchDir("graft-ivfappq-batch", tag = dir)
+        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(batchPath)
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  batch: {path: $batchPath, format: parquet}
+             |  idxw:
+             |    path: $idx
+             |    format: ann_index
+             |    options: {id: vec_id, vec: embedding, nlist: "16", quantize: "sq8"}
+             |recipes:
+             |  app: {input: batch, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKQuantized(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
@@ -2216,7 +2264,11 @@ object SparkEntry {
     // RESIDUAL IVF-PQ probe (each after its own sequenced build)
     "q121_ann_pq",
     "q122_ann_ivf_pq_build", "q122_ann_ivf_pq",
-    "q125_ann_ivf_pqr_build", "q125_ann_ivf_pqr")
+    "q125_ann_ivf_pqr_build", "q125_ann_ivf_pqr",
+    // round-13: the SQ8 append (build-on-half + YAML-append + probe —
+    // first touch pays build+append, later samples are pure probe via
+    // the ivfBuilt guard)
+    "q129_ann_ivf_append_sq8")
 
   // ------------------------------------------------------------- oracles
 
@@ -2382,12 +2434,15 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** Shared by q113 (brute-force quantized top-k) and q116 (the int8
-    * IVF index probed exhaustively): the scalar-quantization pipeline
-    * replayed from the float embeddings — per-dim min/max codebook,
-    * the one fixed IEEE quantize expression, the mismatched-grid /
-    * NULL-element exclusion, then exhaustive integer grid ranking. */
-  private val quantTopKOracleSql: String =
+  /** Shared by q113 (brute-force quantized top-k), q116 (the int8 IVF
+    * index probed exhaustively), and q129 (the SQ8 append, where the
+    * grid fits on the even half alone — `paramsFilter`): the
+    * scalar-quantization pipeline replayed from the float embeddings —
+    * per-dim min/max codebook over the FIT corpus, the one fixed IEEE
+    * quantize expression (clamped, so out-of-grid appended values pin
+    * to 0/255 on both sides), the mismatched-grid / NULL-element
+    * exclusion, then exhaustive integer grid ranking. */
+  private def quantTopKOracleSqlWith(paramsFilter: String): String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings WHERE embedding IS NOT NULL),
       |u AS (SELECT vec_id, w.pos AS pos, w.x AS x
@@ -2395,7 +2450,9 @@ object SparkEntry {
       |              generate_series(1, len(v)), j -> {'pos': j, 'x': v[j]})) AS w
       |            FROM e)),
       |p AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u
-      |      WHERE x IS NOT NULL GROUP BY pos),
+      |      WHERE x IS NOT NULL<PFILTER> GROUP BY pos),"""
+      .stripMargin.replace("<PFILTER>", paramsFilter) +
+    """
       |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
       |       FROM p),
       |qv AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
@@ -2421,6 +2478,8 @@ object SparkEntry {
       |          ORDER BY d2q, neighbor_id) AS rank
       |      FROM s WHERE d2q IS NOT NULL)
       |WHERE rank <= 10""".stripMargin
+
+  private val quantTopKOracleSql: String = quantTopKOracleSqlWith("")
 
   /** Shared by q121 (brute-force PQ ADC top-k) and q122 (the IVF-PQ
     * index probed exhaustively): the whole product-quantization
@@ -3138,6 +3197,16 @@ object SparkEntry {
     // the full corpus — so its union through the file sink answers
     // q25/q60's brute-force oracle, batch ≡ stream by construction
     "q127_stream_ann_probe" -> annTopKOracleSql,
+
+    // the SQ8 append probed exhaustively: every vector (built half AND
+    // appended half) quantizes under the EVEN-half grid — q113's oracle
+    // with its params CTE restricted to vec_id % 2 = 0. Deliberately
+    // NOT the full-corpus oracle: append means comparability under the
+    // original geometry (a rebuild would refit the grid), and this
+    // restriction is precisely what fails if the append path ever
+    // refits or drifts the stored params.
+    "q129_ann_ivf_append_sq8" ->
+      quantTopKOracleSqlWith(" AND vec_id % 2 = 0"),
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have

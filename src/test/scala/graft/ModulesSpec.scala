@@ -1243,4 +1243,39 @@ class ModulesSpec extends SparkSpec {
     assert(honest.share > 0, s"self CPU share read ${honest.share} " +
       "during an in-JVM spin")
   }
+
+  test("disk-pressure flag: high iowait with a near-idle OWN read rate " +
+      "contaminates the min sample; an honest cold scan does not " +
+      "(r12 verdict #5 — iowait attribution)") {
+    import Bench.Sample
+    def s(secs: Double, iow: Double, rd: Double) =
+      Sample(secs, 0.1, 0.1, iow, rd)
+    // a disk-stealing neighbor: cores stalled on iowait while WE read
+    // almost nothing — the min sample's slowness is not ours
+    assert(Bench.minSampleDiskContaminated(
+      Seq(s(8.0, 4.0, 0.2), s(9.1, 5.0, 0.1)), gate = 1.5))
+    // an honest cold parquet scan: the iowait is OUR reads (high own
+    // MB/s) — informative, never flagged
+    assert(!Bench.minSampleDiskContaminated(
+      Seq(s(8.0, 4.0, 180.0)), gate = 1.5))
+    // quiet disk: no iowait, nothing to attribute
+    assert(!Bench.minSampleDiskContaminated(
+      Seq(s(1.2, 0.0, 0.0)), gate = 1.5))
+    // burst on a SLOW sample only: the reported min stays trustworthy
+    assert(!Bench.minSampleDiskContaminated(
+      Seq(s(1.2, 0.0, 0.0), s(9.0, 5.0, 0.1)), gate = 1.5))
+    // sensors unavailable (-1) → unknown, not contaminated
+    assert(!Bench.minSampleDiskContaminated(
+      Seq(s(1.2, -1.0, -1.0)), gate = 1.5))
+    assert(!Bench.minSampleDiskContaminated(Nil, gate = 1.5))
+    // the live sensor: an in-JVM spin does no block reads — rdMBps
+    // must read ≈ 0, not -1 (the /proc/self/io plumbing works)
+    val quiet = Bench.measureSample(Runtime.getRuntime.availableProcessors) {
+      val t0 = System.nanoTime()
+      var x = 0L
+      while (System.nanoTime() - t0 < 300L * 1000 * 1000) x += 1
+    }
+    assert(quiet.rdMBps >= 0, s"self_read_mbps read ${quiet.rdMBps} — " +
+      "/proc/self/io should be readable on this host")
+  }
 }
