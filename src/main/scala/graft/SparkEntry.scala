@@ -2097,6 +2097,65 @@ object SparkEntry {
         globFilter = Some("documents.parquet"))
     }),
 
+    // the INGEST ROUTER end-to-end as ONE streaming query (round-13
+    // verdict #3: all five modality gates pass separately — q108
+    // near-dup, q71 decontaminate, q115 classify, q124 quality+PII —
+    // but no gate ran one stream through the CHAIN, so the
+    // composition semantics, each stage's survivors feeding the next,
+    // were unpinned). The chain, in router order: the q108 carve +
+    // plant arrives as a stream → near-dup DROP gate against the
+    // persisted q107/q108 band index → exact decontamination DROP
+    // gate against the q71 benchmark carve (raw % 20 = 0 docs) → a
+    // feature map (marker by id % 3 + q57-style email/phone
+    // injections; an id % 4 = 1 carve has no % 4 = 0 ids, so the IP
+    // branch is structurally dead and omitted) → classifier gate
+    // under weights trained batch-side on the q110 fixture → quality
+    // verdict + PII scrub. Every stage is a stateless map/filter, so
+    // the chain composes in one streaming plan; the oracle replays
+    // the whole cascade batch-side (near-dup tower → contamination
+    // grams → the perceptron tower → margins + quality metrics over
+    // the survivors' augmented text) — batch ≡ stream for the
+    // COMPOSITION, not just each stage (the ModulesSpec chain case
+    // pins it across micro-batches too).
+    "q130_stream_router" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val idx = ensureNearIdx(s, dir)
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val test = raw.filter(col("doc_id") % 20 === 0)
+      val w = graft.ml.LinearClassifier.trainTextClassifier(
+        classifierFixture(t(s, dir, "documents")), "doc_id", "text", "y",
+        buckets = 256, epochs = 3, binary = true)
+      val tpl = lit("shared press release template gamma version three " +
+        "for near duplicate checks")
+      EventStream.runOnce(s, dir,
+        st => {
+          val id = col("doc_id")
+          // stage 0: the q108 ingest carve with its boundary plant
+          val arriving = st.filter(id % 4 === 1)
+            .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
+          // stage 1 — near-dup DROP gate (admits only non-candidates)
+          val s1 = EventStream.nearDupFilterStream(arriving, idx, "text")
+          // stage 2 — decontamination DROP gate (exact membership)
+          val s2 = EventStream.decontaminateStream(s1, test, "text", n = 4)
+          // stage 3 — feature map, then the classifier gate
+          val aug = concat(col("text"),
+            when(id % 3 === 0, lit(" crisp curated prose"))
+              .otherwise(lit(" noisy boiler plate")),
+            when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+            when(id % 5 === 0, concat(lit(" call +1"),
+              lpad((id % 10000000).cast("string"), 9, "0"))).otherwise(lit("")))
+          val s3 = EventStream.classifyStream(s2.withColumn("text", aug),
+            w, "doc_id", "text", buckets = 256, binary = true)
+          // stage 4 — quality verdict + PII scrub
+          EventStream.qualityGateStream(s3, "text", minWords = 30)
+            .select(id, col("margin"), col("pred"), col("keep"),
+              col("clean_text"))
+        },
+        queryName = "q130_mem", schema = raw.schema,
+        globFilter = Some("documents.parquet"))
+    }),
+
     // CCNet-style LM quality proxy (Curation.unigramLogProb): every doc
     // scored under the unigram LM of the corpus itself
     "q59_lm_logprob" -> ((s, dir) => {
@@ -2267,8 +2326,11 @@ object SparkEntry {
     "q125_ann_ivf_pqr_build", "q125_ann_ivf_pqr",
     // round-13: the SQ8 append (build-on-half + YAML-append + probe —
     // first touch pays build+append, later samples are pure probe via
-    // the ivfBuilt guard)
-    "q129_ann_ivf_append_sq8")
+    // the ivfBuilt guard) and the ingest-router CHAIN (near-dup gate →
+    // decontaminate → classify → quality+PII as ONE streaming query —
+    // the composed per-ingest cost; the band index builds on the first
+    // q107 touch earlier in this list, so samples are chain-only)
+    "q129_ann_ivf_append_sq8", "q130_stream_router")
 
   // ------------------------------------------------------------- oracles
 
@@ -2887,6 +2949,115 @@ object SparkEntry {
         |       WHEN mf.margin IS NOT NULL THEN -1 END AS pred
         |FROM documents doc LEFT JOIN mf ON mf.id = doc.doc_id""".stripMargin
 
+  /** q130's oracle: the whole ingest-router CASCADE replayed batch-side
+    * in one WITH chain — the perceptron tower (w3, trained on the q110
+    * fixture over the FULL corpus, exactly what the query trains
+    * batch-side), then the q105/q107/q108 near-dup tower over the
+    * planted carve (renamed nd/n1/t1/g1/h1 — the perceptron tower owns
+    * d/tok/f), the q53-family contamination grams (stream side over the
+    * planted text ≡ raw on survivors; test side over the RAW % 20 = 0
+    * docs, matching the query's `raw` read), the survivors' augmented
+    * text, margins under w3, and the q124 quality tower + scrub. Each
+    * stage's spelling is the corresponding green single-stage oracle's,
+    * verbatim; what this oracle adds is the COMPOSITION — survivors of
+    * stage k feed stage k+1, so a drift in any stage's drop set fails
+    * the row count, and a drift in flag-vs-drop interaction fails the
+    * hash. */
+  private lazy val streamRouterOracleSql: String = {
+    val tpl = "shared press release template gamma version three " +
+      "for near duplicate checks"
+    perceptronOracleCtes(256, 3) + ",\n" +
+      s"""nd AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1 THEN '$tpl'
+         |       WHEN doc_id % 4 <> 1 AND doc_id % 10 = 2 THEN '$tpl'
+         |       ELSE text END AS text
+         | FROM documents),
+         |""".stripMargin +
+      "n1 AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM nd),\n" +
+      """t1 AS (SELECT doc_id, string_split(s, ' ') AS toks FROM n1 WHERE s <> ''),
+        |g1 AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+        | FROM t1),
+        |h1 AS (SELECT DISTINCT b.doc_id AS bid
+        | FROM (SELECT * FROM g1 WHERE doc_id % 4 = 1) b
+        | JOIN (SELECT * FROM g1 WHERE doc_id % 4 <> 1) c
+        |   ON ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |        / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4) >= 0.6),
+        |surv1 AS (SELECT d0.doc_id
+        | FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d0
+        | LEFT JOIN h1 ON h1.bid = d0.doc_id WHERE h1.bid IS NULL),
+        |sg AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+        | FROM (SELECT doc_id, string_split(s, ' ') AS toks FROM n1
+        |       WHERE doc_id % 4 = 1 AND s <> '')
+        | WHERE len(toks) >= 4),
+        |rtest AS (SELECT DISTINCT unnest(gs) AS gram FROM (
+        |  SELECT list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+3], ' '))) AS gs
+        |  FROM (SELECT string_split_regex(<RAWNORM>, '\s+') AS toks
+        |        FROM documents WHERE doc_id % 20 = 0)
+        |  WHERE len(toks) >= 4)),
+        |dbad AS (SELECT DISTINCT e1.doc_id
+        | FROM (SELECT doc_id, unnest(gs) AS gram FROM sg) e1
+        | JOIN rtest USING (gram)),
+        |surv2 AS (SELECT s1.doc_id FROM surv1 s1
+        | LEFT JOIN dbad b ON b.doc_id = s1.doc_id WHERE b.doc_id IS NULL),
+        |aug AS (SELECT d2.doc_id, doc.text ||
+        |  CASE WHEN d2.doc_id % 3 = 0 THEN ' crisp curated prose'
+        |       ELSE ' noisy boiler plate' END ||
+        |  CASE WHEN d2.doc_id % 3 = 0 THEN ' contact user' ||
+        |       CAST(d2.doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        |  CASE WHEN d2.doc_id % 5 = 0 THEN ' call +1' ||
+        |       lpad(CAST(d2.doc_id % 10000000 AS VARCHAR), 9, '0') ELSE '' END AS a
+        | FROM surv2 d2 JOIN documents doc ON doc.doc_id = d2.doc_id),
+        |stok AS (SELECT doc_id,
+        |   unnest(string_split_regex(<STRIP:lower(a)>, '<WS>+')) AS t
+        |  FROM aug WHERE <STRIP:a> <> ''),
+        |sfeat AS (SELECT doc_id,
+        |   ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS feat,
+        |   1::BIGINT AS x FROM stok GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id, -1::BIGINT, 1::BIGINT FROM aug
+        |  WHERE a IS NOT NULL),
+        |smf AS (SELECT sfeat.doc_id, SUM(sfeat.x * w.w) AS margin
+        |  FROM sfeat JOIN w3 w ON w.feat = sfeat.feat GROUP BY 1),
+        |qbase AS (SELECT doc_id, a,
+        |  CASE WHEN <STRIP:a> = '' THEN [] ELSE string_split_regex(<STRIP:a>, '<WS>+') END AS toks,
+        |  string_split(a, chr(10)) AS ls
+        | FROM aug),
+        |qm AS (SELECT doc_id, a,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(a, '<WS>', '', 'g')) AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE ((length(a) - length(replace(a, '#', '')))
+        |        + (length(a) - length(replace(a, '...', ''))) / 3) / len(toks) END, 4) AS symbol_ratio,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |    / len(ls), 4) AS bullet_frac,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+        |    / len(ls), 4) AS ellipsis_frac,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 4) AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(list_filter(
+        |    string_split_regex(<STRIP:lower(a)>, '<WS>+'), t -> t <> '')),
+        |    <GOPHER_STOPWORDS>)) AS INT) AS stop_hits
+        | FROM qbase)
+        |""".stripMargin +
+      s"""SELECT q.doc_id, CAST(smf.margin AS BIGINT) AS margin,
+         |  CASE WHEN smf.margin > 0 THEN 1
+         |       WHEN smf.margin IS NOT NULL THEN -1 END AS pred,
+         |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep,
+         |  regexp_replace(regexp_replace(regexp_replace(a,
+         |    '${graft.text.Curation.emailPattern}', '<EMAIL>', 'g'),
+         |    '${graft.text.Curation.ipv4Pattern}', '<IP>', 'g'),
+         |    '${graft.text.Curation.phonePattern}', '<PHONE>', 'g') AS clean_text
+         |FROM qm q LEFT JOIN smf ON smf.doc_id = q.doc_id""".stripMargin
+  }.replace("<RAWNORM>", normSql.format("text"))
+
   private val oracleSqlRaw: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3207,6 +3378,12 @@ object SparkEntry {
     // refits or drifts the stored params.
     "q129_ann_ivf_append_sq8" ->
       quantTopKOracleSqlWith(" AND vec_id % 2 = 0"),
+
+    // the ingest-router CHAIN: near-dup drop → decontaminate drop →
+    // classify → quality+PII, replayed batch-side as one CTE cascade —
+    // the composition (each stage's survivors feed the next) is the
+    // contract, not any single stage
+    "q130_stream_router" -> streamRouterOracleSql,
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have

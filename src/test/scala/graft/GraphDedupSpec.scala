@@ -249,7 +249,7 @@ class GraphDedupSpec extends SparkSpec {
 
     // persisted index round trip: same seed and layout → identical
     // results to the in-memory path, across a fresh read
-    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val idxPath = scratch("graft-ivf")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxPath, nlist = 8)
     val fromIndex = Ann.ivfIndexTopK(spark, idxPath, q, "vec_id", "embedding",
         k = 5, nprobe = 4, excludeSelf = true)
@@ -299,7 +299,7 @@ class GraphDedupSpec extends SparkSpec {
   test("int8 IVF index: exhaustive probe equals brute-force quantized; layouts refuse each other") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
-    val idxQ = java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+    val idxQ = scratch("graft-ivfq")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxQ, nlist = 8,
       quantize = true)
     // exhaustive probe (nprobe = nlist) must EQUAL the brute-force
@@ -321,7 +321,7 @@ class GraphDedupSpec extends SparkSpec {
       Ann.ivfIndexTopK(spark, idxQ, q, "vec_id", "embedding", k = 2)
     }
     assert(eF.getMessage.contains("QUANTIZED"), eF.getMessage)
-    val idxF = java.nio.file.Files.createTempDirectory("graft-ivff").toString
+    val idxF = scratch("graft-ivff")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxF, nlist = 8)
     val eQ = intercept[IllegalArgumentException] {
       Ann.ivfIndexTopKQuantized(spark, idxF, q, "vec_id", "embedding", k = 2)
@@ -332,7 +332,7 @@ class GraphDedupSpec extends SparkSpec {
   test("IVF-PQ index: exhaustive ADC probe equals brute-force PQ; planted duplicate; layouts refuse each other") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val idx = scratch("graft-ivfpq")
     Ann.writeIvfIndexPq(e, "vec_id", "embedding", idx, nlist = 8,
       m = 4, ksub = 8)
     // exhaustive probe (nprobe = nlist) must EQUAL the brute-force PQ
@@ -389,7 +389,7 @@ class GraphDedupSpec extends SparkSpec {
       Ann.ivfIndexTopKQuantized(spark, idx, q, "vec_id", "embedding", k = 2)
     }
     assert(eQ.getMessage.contains("PRODUCT-QUANTIZED"), eQ.getMessage)
-    val idxF = java.nio.file.Files.createTempDirectory("graft-ivff2").toString
+    val idxF = scratch("graft-ivff2")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxF, nlist = 8)
     val ePq = intercept[IllegalArgumentException] {
       Ann.ivfIndexTopKPq(spark, idxF, q, "vec_id", "embedding", k = 2)
@@ -404,7 +404,7 @@ class GraphDedupSpec extends SparkSpec {
     val planted = q.select((col("vec_id") + 10000).as("vec_id"),
       col("embedding"))
     val corpus = e.unionByName(planted)
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    val idx = scratch("graft-ivfpqr")
     Ann.writeIvfIndexPq(corpus, "vec_id", "embedding", idx, nlist = 4,
       m = 4, ksub = 8, residual = true)
     assert(Ann.readManifest(spark, idx).exists(m =>
@@ -457,10 +457,10 @@ class GraphDedupSpec extends SparkSpec {
     // FLOAT layout: an exhaustive probe reads true vectors, so the
     // coarse geometry cannot affect it — build-on-half + append must
     // hash-equal the full rebuild probed exhaustively
-    val idxA = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val idxA = scratch("graft-ivf-app")
     Ann.writeIvfIndex(part1, "vec_id", "embedding", idxA, nlist = 8)
     Ann.appendIvfIndex(part2, "vec_id", "embedding", idxA)
-    val idxB = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    val idxB = scratch("graft-ivf-reb")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxB, nlist = 8)
     val viaAppend = Ann.ivfIndexTopK(spark, idxA, q,
       "vec_id", "embedding", k = 5, nprobe = 8)
@@ -476,7 +476,7 @@ class GraphDedupSpec extends SparkSpec {
     // params table (comparability across increments is the index
     // contract) — the reference is the brute-force quantized ranking
     // with EVERYTHING on part1's grid
-    val idxQ = java.nio.file.Files.createTempDirectory("graft-ivfq-app").toString
+    val idxQ = scratch("graft-ivfq-app")
     Ann.writeIvfIndex(part1, "vec_id", "embedding", idxQ, nlist = 8,
       quantize = true)
     Ann.appendIvfIndex(part2, "vec_id", "embedding", idxQ)
@@ -492,7 +492,7 @@ class GraphDedupSpec extends SparkSpec {
       "appended batch did not land on the original SQ8 grid")
     // appending to a dir with no manifest is loud — never a silent
     // half-index
-    val bare = java.nio.file.Files.createTempDirectory("graft-ivf-bare").toString
+    val bare = scratch("graft-ivf-bare")
     val eApp = intercept[RuntimeException](
       Ann.appendIvfIndex(part2, "vec_id", "embedding", bare))
     assert(eApp.getMessage.contains("manifest"), eApp.getMessage)
@@ -523,13 +523,13 @@ class GraphDedupSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
       .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .count() / nT
-    val sq8 = java.nio.file.Files.createTempDirectory("clrec-sq8").toString
+    val sq8 = scratch("clrec-sq8")
     Ann.writeIvfIndex(cv, "vec_id", "embedding", sq8, nlist = 16,
       quantize = true)
-    val pq = java.nio.file.Files.createTempDirectory("clrec-pq").toString
+    val pq = scratch("clrec-pq")
     Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pq, nlist = 16,
       m = 4, ksub = 64)
-    val pqr = java.nio.file.Files.createTempDirectory("clrec-pqr").toString
+    val pqr = scratch("clrec-pqr")
     Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pqr, nlist = 16,
       m = 4, ksub = 64, residual = true)
     def probeS(np: Int) = recall(Ann.ivfIndexTopKQuantized(spark, sq8, qs,
@@ -1106,7 +1106,7 @@ class GraphDedupSpec extends SparkSpec {
     def verdictSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toSet
-    val idxDir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    val idxDir = scratch("neardup-idx")
     Dedup.writeNearDupIndex(corpus, "doc_id", "text", idxDir)
     val direct = verdictSet(
       Dedup.incrementalNearDups(batch, corpus, "doc_id", "text"))

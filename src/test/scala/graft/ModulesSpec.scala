@@ -13,7 +13,7 @@ import graft.functions.Registry
 class ModulesSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir = Files.createTempDirectory("graft-test").toString
+  private def tmpDir = scratch("graft-test")
 
   test("csv sink/source round trip: all-string, ';' sep, missing → empty string") {
     val dir = s"$tmpDir/csv"
@@ -352,7 +352,7 @@ class ModulesSpec extends SparkSpec {
     val corpus = Seq((100L, tpl),
       (101L, "some other corpus material entirely distinct from anything"))
       .toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("neardup-gate").toString
+    val idx = scratch("neardup-gate")
     Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
     val src = MemoryStream[(Long, String)]
     val out = EventStream.nearDupFlagsStream(
@@ -392,19 +392,19 @@ class ModulesSpec extends SparkSpec {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
     val q0 = e.filter(col("vec_id") % 100 === 0)
-    val idxF = java.nio.file.Files.createTempDirectory("annps-f").toString
+    val idxF = scratch("annps-f")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxF, nlist = 8)
-    val idxQ = java.nio.file.Files.createTempDirectory("annps-q").toString
+    val idxQ = scratch("annps-q")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxQ, nlist = 8,
       quantize = true)
     // the arriving queries as a 3-file dir + maxFilesPerTrigger=1 →
     // three REAL micro-batches, so the union-of-batches contract is
     // what's tested, not a single-batch degenerate case
-    val qDir = java.nio.file.Files.createTempDirectory("annps-in").toString
+    val qDir = scratch("annps-in")
     q0.repartition(3).write.mode("overwrite").parquet(qDir)
     def streamed(idx: String): (org.apache.spark.sql.DataFrame, Int) = {
-      val out = java.nio.file.Files.createTempDirectory("annps-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("annps-ck").toString
+      val out = scratch("annps-out")
+      val ckpt = scratch("annps-ck")
       val stream = spark.readStream.schema(q0.schema)
         .option("maxFilesPerTrigger", 1).parquet(qDir)
       val sq = EventStream.annProbeStream(stream, idx,
@@ -438,7 +438,7 @@ class ModulesSpec extends SparkSpec {
       "streamed SQ8 probe diverged from the batch probe")
     // a dir with no manifest refuses at stream START — before any
     // micro-batch runs, not as a mid-stream task failure
-    val bare = java.nio.file.Files.createTempDirectory("annps-bare").toString
+    val bare = scratch("annps-bare")
     val err = intercept[RuntimeException](EventStream.annProbeStream(
       spark.readStream.schema(q0.schema).parquet(qDir), bare,
       "vec_id", "embedding", k = 5, nprobe = 8,
@@ -1142,6 +1142,83 @@ class ModulesSpec extends SparkSpec {
       clean.contains("<IP>") && !clean.contains("bob@"), clean)
     assert(by(2L) == (Some(false), Some("short")))
     assert(by(3L) == (None, None), "NULL text must stay unknown, not a verdict")
+  }
+
+  test("ingest router CHAIN: near-dup → decontaminate → classify → " +
+      "quality composes stream ≡ batch across real micro-batches; each " +
+      "stage's survivors feed the next (the q130 contract)") {
+    import graft.ml.LinearClassifier
+    import graft.dedup.Dedup
+    // stage artifacts, all batch-side (the router's contract: gates are
+    // stateless maps under driver-collected artifacts)
+    val tpl = "a well known corpus boilerplate paragraph repeated verbatim " +
+      "across the whole crawl with every mirror keeping it intact"
+    val idx = scratch("router-idx")
+    Dedup.writeNearDupIndex(Seq((100L, tpl),
+        (101L, "some other corpus material entirely distinct from anything"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val bench = Seq((900L, "the secret held out benchmark phrase appears"))
+      .toDF("doc_id", "text")
+    val train = spark.range(40).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, concat(lit("good solid prose item "),
+          col("id").cast("string")))
+        .otherwise(concat(lit("bad spam junk item "),
+          col("id").cast("string"))).as("text"),
+      when(col("id") % 2 === 0, 1L).otherwise(-1L).as("y"))
+    val w = LinearClassifier.trainTextClassifier(train, "doc_id", "text",
+      "y", buckets = 64, epochs = 3, binary = true)
+    val good = "good solid prose item 2 and the quick brown fox jumps " +
+      "over the lazy dog to be sure of that fine outcome today with " +
+      "contact bob@mail.example.com on file"
+    val docs = Seq(
+      (1L, tpl),                                            // dropped @ near-dup
+      (2L, "the secret held out benchmark phrase appears here too"), // dropped @ decontaminate
+      (3L, good),                                           // full pass, PII scrubbed
+      (4L, "bad spam junk item 3"),                         // passes gates, keep=false (short)
+      (5L, null.asInstanceOf[String]))                      // NULL → admitted, NULL verdicts
+      .toDF("doc_id", "text")
+    val inDir = scratch("router-in")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    // the CHAIN, shared verbatim between the stream and batch runs —
+    // every stage is a stateless map/filter, so one function is the plan
+    val chain = (df: org.apache.spark.sql.DataFrame) =>
+      EventStream.qualityGateStream(
+        EventStream.classifyStream(
+          EventStream.decontaminateStream(
+            EventStream.nearDupFilterStream(df, idx, "text"),
+            bench, "text", n = 3),
+          w, "doc_id", "text", buckets = 64, binary = true),
+        "text", minWords = 5)
+    // 3-file input + maxFilesPerTrigger=1 → real micro-batches: the
+    // composition must hold per batch, not only on the single-batch
+    // degenerate case
+    val sq = chain(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("router_chain").start()
+    val streamed = try {
+      sq.processAllAvailable()
+      assert(sq.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected multiple micro-batches — the per-batch composition " +
+          "was not exercised")
+      spark.table("router_chain")
+    } finally sq.stop()
+    val batch = chain(spark.read.parquet(inDir))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "the streamed chain diverged from the same chain over a batch read")
+    val by = streamed.collect().map(r => r.getLong(0) -> r).toMap
+    assert(by.keySet == Set(3L, 4L, 5L),
+      s"survivor set ${by.keySet} — expected the near-dup (1) and " +
+        "contaminated (2) rows dropped, everything else admitted")
+    assert(by(3L).getAs[Int]("pred") == 1 && by(3L).getAs[Boolean]("keep"),
+      "the clean doc must score positive and pass quality")
+    assert(by(3L).getAs[String]("clean_text").contains("<EMAIL>"),
+      "the scrub stage must fire on the survivor's PII")
+    assert(by(4L).getAs[Int]("pred") == -1 && !by(4L).getAs[Boolean]("keep"),
+      "the spam doc passes the drop gates but fails quality")
+    assert(by(5L).isNullAt(by(5L).fieldIndex("margin")) &&
+      by(5L).isNullAt(by(5L).fieldIndex("keep")),
+      "NULL text flows through every gate as unknown, never a verdict")
   }
 
   test("bench contamination flag fires under synthetic external load " +

@@ -22,9 +22,37 @@ object TestSpark {
   }
 }
 
+/** JVM-wide registry of test scratch dirs, removed on exit (r12
+  * ADVICE: index/sink temp trees created with bare createTempDirectory
+  * accumulated multi-MB per suite run — the bench mains rm their
+  * trees; the suites should too). A shutdown hook beats afterAll here
+  * because the session (and some artifacts) are shared across suites
+  * in one forked JVM. */
+object TestScratch {
+  import scala.jdk.CollectionConverters._
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    dirs.asScala.foreach { root =>
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }))
+  def dir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.add(p)
+    p.toString
+  }
+}
+
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   import scala.jdk.CollectionConverters._
+
+  /** Temp dir removed at JVM exit — use for any on-disk test artifact
+    * (index trees, stream sinks, checkpoints). */
+  def scratch(prefix: String): String = TestScratch.dir(prefix)
 
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
