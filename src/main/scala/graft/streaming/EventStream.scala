@@ -400,8 +400,16 @@ object EventStream {
     * every hit row. Read the results back with
     * `option("recursiveFileLookup", "true")` (the underscore dir name
     * is deliberately NOT partition syntax, so no phantom column
-    * appears in the schema). Returns the started query; caller
-    * awaits/stops. */
+    * appears in the schema).
+    *
+    * Caller contract (r12 ADVICE): `outPath` and `checkpoint` live
+    * and die TOGETHER. Epoch numbering restarts at 0 under a fresh
+    * checkpoint, so reusing an old outPath with a new/cleared
+    * checkpoint would silently mix (and partially overwrite) a
+    * previous invocation's epoch_N dirs into the read-back — this
+    * entry point therefore REFUSES a non-empty outPath when the
+    * checkpoint does not exist yet (clear both, or keep both).
+    * Returns the started query; caller awaits/stops. */
   def annProbeStream(stream: DataFrame, indexPath: String, idCol: String,
       vecCol: String, k: Int, nprobe: Int, outPath: String,
       checkpoint: String, excludeSelf: Boolean = true)
@@ -410,6 +418,17 @@ object EventStream {
     Ann.readManifest(stream.sparkSession, indexPath).getOrElse(sys.error(
       s"annProbeStream: no IVF index manifest at $indexPath (incomplete " +
         "build? rebuild with writeIvfIndex / the ann_index sink)"))
+    val hconf = stream.sparkSession.sparkContext.hadoopConfiguration
+    val ckptP = new org.apache.hadoop.fs.Path(checkpoint)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outP.getFileSystem(hconf)
+    if (!ckptP.getFileSystem(hconf).exists(ckptP) &&
+        outFs.exists(outP) && outFs.listStatus(outP).nonEmpty)
+      sys.error(s"annProbeStream: checkpoint '$checkpoint' is fresh but " +
+        s"outPath '$outPath' is not empty — epoch numbering restarts at " +
+        "0 under a fresh checkpoint and would silently mix with (and " +
+        "partially overwrite) the leftover epoch dirs; clear outPath " +
+        "and checkpoint together, or keep both to resume")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

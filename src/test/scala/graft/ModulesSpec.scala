@@ -444,6 +444,17 @@ class ModulesSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 8,
       outPath = bare + "/out", checkpoint = bare + "/ck"))
     assert(err.getMessage.contains("manifest"), err.getMessage)
+    // a LEFTOVER outPath under a FRESH checkpoint refuses at start:
+    // epoch numbering restarts at 0 and would silently mix/overwrite
+    // the old epoch dirs into the read-back (r12 ADVICE — the
+    // outPath/checkpoint live-together contract)
+    val staleOut = scratch("annps-stale")
+    new java.io.File(staleOut, "epoch_0").mkdirs()
+    val err2 = intercept[RuntimeException](EventStream.annProbeStream(
+      spark.readStream.schema(q0.schema).parquet(qDir), idxF,
+      "vec_id", "embedding", k = 5, nprobe = 8,
+      outPath = staleOut, checkpoint = scratch("annps-freshck") + "/ck"))
+    assert(err2.getMessage.contains("outPath"), err2.getMessage)
   }
 
   test("streaming classifier gate equals the batch scorer row for row") {

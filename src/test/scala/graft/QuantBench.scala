@@ -36,8 +36,13 @@ object QuantBench {
   /** CLUSTERED UNIT-NORM vectors — the shape real embeddings have and
     * the uniform-random fixture above deliberately lacks (its recall
     * numbers are the disclosed worst-case floor): vector i = center
-    * (i mod `clusters`) + per-vector noise (±0.2 around ±1 centers),
-    * L2-normalized, all closed-form xxhash64 (no UDF, deterministic).
+    * (i mod `clusters`) + per-vector noise — centers are UNIFORM in
+    * [-1, 1] per coordinate (xxhash64 / 2⁶³), noise ±0.2 per
+    * coordinate (r12 ADVICE: an earlier wording claimed ±1 centers;
+    * between-cluster separation is the uniform-difference kind, not
+    * saturated corners — the pinned floors were measured on THIS
+    * geometry) — then L2-normalized, all closed-form xxhash64 (no
+    * UDF, deterministic).
     * Within-cluster cosines ≈ 1, cross-cluster ≈ random, so the float
     * top-10 of any query is its own cluster's members and recall
     * measures whether a quantized/pruned probe keeps finding THEM.
@@ -199,7 +204,7 @@ object QuantBench {
       //     true neighbors straddle them, and recall climbs with
       //     nprobe — the curve readers size nprobe from.
       def recallCurve(label: String, clusters: Int, nlist: Int,
-          ksub: Int, probes: Seq[Int]): Unit = {
+          ksub: Int, probes: Seq[Int], m: Int = 8): Unit = {
         val cn = 100000L
         val cPath = s"$tmp/clustered-$label"
         clusteredVecs(spark, cn, clusters).write.parquet(cPath)
@@ -219,11 +224,11 @@ object QuantBench {
         Ann.writeIvfIndex(cv, "vec_id", "embedding", sq8Idx, nlist,
           quantize = true)
         Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pqIdx, nlist,
-          m = 8, ksub = ksub)
+          m = m, ksub = ksub)
         Ann.writeIvfIndexPq(cv, "vec_id", "embedding", pqrIdx, nlist,
-          m = 8, ksub = ksub, residual = true)
+          m = m, ksub = ksub, residual = true)
         println(f"[quant] clustered-$label n=$cn builds (sq8+pq+pqr, " +
-          f"clusters=$clusters, nlist=$nlist, m=8, ksub=$ksub): " +
+          f"clusters=$clusters, nlist=$nlist, m=$m, ksub=$ksub): " +
           f"${(System.nanoTime() - tb1) / 1e9}%6.1f s one-time")
         for (np <- probes) {
           val rS = cRecall(Ann.ivfIndexTopKQuantized(spark, sq8Idx, cqs,
@@ -242,6 +247,14 @@ object QuantBench {
         probes = Seq(1, 4, 16, 64))
       recallCurve("overpart", clusters = 16, nlist = 64, ksub = 64,
         probes = Seq(1, 2, 4, 8, 16, 32, 64))
+      // the m-SWEEP point (round-13 verdict #6): does PQ/residual-PQ's
+      // memory win over SQ8 ever buy retrieval-grade recall on
+      // clustered data? m=16 (dsub=4) × ksub=256 is the finest grid
+      // the 64-dim fixture supports at byte codes — codes are 16 B/vec
+      // vs SQ8's 64 B (still 4×). Same regime as `overpart` so the two
+      // tables differ only in code geometry.
+      recallCurve("overpart-m16", clusters = 16, nlist = 64, ksub = 256,
+        probes = Seq(4, 16, 64), m = 16)
     } finally {
       spark.stop()
       def rm(f: java.io.File): Unit = {
