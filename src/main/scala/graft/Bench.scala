@@ -39,22 +39,26 @@ object Bench {
       case _ => -1L
     }
 
-  /** This process's cumulative BLOCK-DEVICE reads (`/proc/self/io`
-    * read_bytes — page-cache hits don't count, which is the point:
-    * it attributes DISK pressure). r12 left iowait visible but
-    * unattributed (own cold-cache reads vs a disk-stealing neighbor
-    * were indistinguishable); the per-sample delta of this counter
-    * closes that: high iowait + HIGH own read rate = our own cold
-    * scan (honest), high iowait + LOW own read rate = something else
-    * owns the disk (contaminated). -1 when /proc/self/io is
-    * unavailable (non-Linux). */
-  private def selfReadBytes(): Long =
+  /** This process's cumulative BLOCK-DEVICE bytes, reads + writes
+    * (`/proc/self/io` read_bytes + write_bytes — page-cache hits don't
+    * count, which is the point: it attributes DISK pressure). r12 left
+    * iowait visible but unattributed (own cold-cache reads vs a
+    * disk-stealing neighbor were indistinguishable); the per-sample
+    * delta of this counter closes that: high iowait + HIGH own I/O
+    * rate = our own cold scan or index/sink write (honest), high
+    * iowait + LOW own I/O rate = something else owns the disk
+    * (contaminated). Writes count too (round-13 review): the `_build`
+    * bench lines rewrite whole indexes every sample, and a
+    * dirty-page-flush stall on our own writes shows ~0 read_bytes —
+    * reads alone would false-flag every honest write-bound sample.
+    * -1 when /proc/self/io is unavailable (non-Linux). */
+  private def selfIoBytes(): Long =
     scala.util.Try {
-      java.nio.file.Files.readAllLines(
+      val m = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/self/io")).asScala
-        .collectFirst { case l if l.startsWith("read_bytes:") =>
-          l.split("\\s+")(1).toLong }
-        .getOrElse(-1L)
+        .collect { case l if l.startsWith("read_bytes:") ||
+            l.startsWith("write_bytes:") => l.split("\\s+")(1).toLong }
+      if (m.size == 2) m.sum else -1L
     }.getOrElse(-1L)
 
   /** CPU cores busy on this host attributable to OTHER processes,
@@ -313,11 +317,12 @@ object Bench {
     val shareJson = perSample(_.share)
     val extJson = perSample(_.ext)
     val iowJson = perSample(_.iow)
-    // self_read_mbps: this process's OWN block-read rate per sample —
-    // the iowait attribution (r12 verdict #5): slow + high iowait +
-    // HIGH self read = honest cold scan; + LOW self read = a neighbor
-    // owns the disk (auto-flagged via minSampleDiskContaminated)
-    val rdJson = perSample(_.rdMBps)
+    // self_io_mbps: this process's OWN block read+write rate per
+    // sample — the iowait attribution (r12 verdict #5): slow + high
+    // iowait + HIGH self I/O = honest cold scan or index/sink write;
+    // + LOW self I/O = a neighbor owns the disk (auto-flagged via
+    // minSampleDiskContaminated)
+    val rdJson = perSample(_.ioMBps)
     val total = mins.map(_._2).filter(_ >= 0).sum
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -345,7 +350,7 @@ object Bench {
           minSampleDiskContaminated(ss.flatten, extGate)
       } => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"self_read_mbps":$rdJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"self_io_mbps":$rdJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
     // compact FINAL line (r12 verdict #1): the driver archives only a
     // ~2 KB tail of this stdout, and r12's per-sample arrays pushed the
     // full line's leading "queries" object out of that window —
@@ -361,11 +366,11 @@ object Bench {
     * cores) over the run's own window, EXTERNAL busy cores over the
     * same window, iowait cores over the same window, and this
     * process's own block-device read rate (MB/s) over the same window
-    * ([[selfReadBytes]] — the r12-verdict #5 disk ATTRIBUTION:
+    * ([[selfIoBytes]] — the r12-verdict #5 disk ATTRIBUTION:
     * iowait alone is visible but unattributed). -1 = the relevant
     * /proc file or the com.sun MXBean unavailable. */
   private[graft] case class Sample(secs: Double, share: Double,
-      ext: Double, iow: Double = -1.0, rdMBps: Double = -1.0)
+      ext: Double, iow: Double = -1.0, ioMBps: Double = -1.0)
 
   /** Time `body` and measure, over ITS OWN window, this JVM's CPU
     * share, the external busy cores, the iowait cores, and this
@@ -375,12 +380,12 @@ object Bench {
     * meaningful window. */
   private[graft] def measureSample(nCpus: Int)(body: => Unit): Sample = {
     val b0 = procStatJiffies(); val s0 = selfCpuNanos()
-    val r0 = selfReadBytes()
+    val r0 = selfIoBytes()
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
     val b1 = procStatJiffies(); val s1 = selfCpuNanos()
-    val r1 = selfReadBytes()
+    val r1 = selfIoBytes()
     val rd = if (r0 < 0 || r1 < 0 || wall <= 0) -1.0
       else math.max(0.0, (r1 - r0) / 1048576.0 / wall)
     if (b0.isEmpty || b1.isEmpty || s0 < 0 || s1 < 0 || wall <= 0)
@@ -427,5 +432,5 @@ object Bench {
   private[graft] def minSampleDiskContaminated(samples: Seq[Sample],
       gate: Double): Boolean =
     samples.minByOption(_.secs).exists(s =>
-      s.iow > gate && s.rdMBps >= 0 && s.rdMBps < 4.0)
+      s.iow > gate && s.ioMBps >= 0 && s.ioMBps < 4.0)
 }

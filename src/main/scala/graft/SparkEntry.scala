@@ -108,6 +108,23 @@ object SparkEntry {
   private val nearIdxBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The ONE near-dup template, interpolated into every Scala fixture
+    * AND both oracle spellings (r13 review: the literal existed in 5
+    * places — a one-word edit missing one copy would surface as a
+    * confusing multi-query hash failure). */
+  private val nearDupTpl = "shared press release template gamma " +
+    "version three for near duplicate checks"
+
+  /** The q108/q130 ingest-side carve: nearDupFixture's BATCH transform
+    * applied to an arriving frame (stream or static) — one spelling
+    * shared by the fixture and both streaming gates. */
+  private def nearDupStreamCarve(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    df.filter(id % 4 === 1)
+      .withColumn("text",
+        when(id % 40 === 1, lit(nearDupTpl)).otherwise(col("text")))
+  }
+
   /** The ONE near-dup fixture shared by q105/q107/q108 and their common
     * oracle (nearDupOracleCtes spells the identical plant + carve): a
     * batch/corpus carve of `documents` with a template planted across
@@ -118,13 +135,10 @@ object SparkEntry {
       : (DataFrame, DataFrame) = {
     val d = t(s, dir, "documents")
     val id = col("doc_id")
-    val tpl = lit("shared press release template gamma version three " +
-      "for near duplicate checks")
-    val batch = d.filter(id % 4 === 1)
-      .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
-      .select("doc_id", "text")
+    val batch = nearDupStreamCarve(d).select("doc_id", "text")
     val corpus = d.filter(id % 4 =!= 1)
-      .withColumn("text", when(id % 10 === 2, tpl).otherwise(col("text")))
+      .withColumn("text",
+        when(id % 10 === 2, lit(nearDupTpl)).otherwise(col("text")))
       .select("doc_id", "text")
     (batch, corpus)
   }
@@ -1824,16 +1838,11 @@ object SparkEntry {
     "q108_stream_neardup" -> ((s, dir) => {
       import graft.streaming.EventStream
       val idx = ensureNearIdx(s, dir)
-      // the stream applies the fixture's BATCH-side plant to the rows
-      // it admits — the same transform nearDupFixture applies statically
-      val tpl = lit("shared press release template gamma version three " +
-        "for near duplicate checks")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // the stream applies the fixture's BATCH-side plant to the rows
+      // it admits — nearDupStreamCarve, the one shared spelling
       EventStream.runOnce(s, dir,
-        st => EventStream.nearDupFlagsStream(
-          st.filter(col("doc_id") % 4 === 1)
-            .withColumn("text",
-              when(col("doc_id") % 40 === 1, tpl).otherwise(col("text"))),
+        st => EventStream.nearDupFlagsStream(nearDupStreamCarve(st),
           idx, "text"),
         queryName = "q108_mem", schema = schema,
         globFilter = Some("documents.parquet"))
@@ -2125,16 +2134,14 @@ object SparkEntry {
       val w = graft.ml.LinearClassifier.trainTextClassifier(
         classifierFixture(t(s, dir, "documents")), "doc_id", "text", "y",
         buckets = 256, epochs = 3, binary = true)
-      val tpl = lit("shared press release template gamma version three " +
-        "for near duplicate checks")
       EventStream.runOnce(s, dir,
         st => {
           val id = col("doc_id")
           // stage 0: the q108 ingest carve with its boundary plant
-          val arriving = st.filter(id % 4 === 1)
-            .withColumn("text", when(id % 40 === 1, tpl).otherwise(col("text")))
+          // (nearDupStreamCarve — the one shared spelling)
           // stage 1 — near-dup DROP gate (admits only non-candidates)
-          val s1 = EventStream.nearDupFilterStream(arriving, idx, "text")
+          val s1 = EventStream.nearDupFilterStream(
+            nearDupStreamCarve(st), idx, "text")
           // stage 2 — decontamination DROP gate (exact membership)
           val s2 = EventStream.decontaminateStream(s1, test, "text", n = 4)
           // stage 3 — feature map, then the classifier gate
@@ -2369,10 +2376,10 @@ object SparkEntry {
     * carve, q26's shingle spelling, hits rolled up per batch id. */
   private lazy val nearDupOracleCtes: String =
     ("WITH d AS (SELECT doc_id, " +
-      """CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1
-        |       THEN 'shared press release template gamma version three for near duplicate checks'
+      s"""CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1
+        |       THEN '$nearDupTpl'
         |     WHEN doc_id % 4 <> 1 AND doc_id % 10 = 2
-        |       THEN 'shared press release template gamma version three for near duplicate checks'
+        |       THEN '$nearDupTpl'
         |     ELSE text END AS text
         | FROM documents),
         |""".stripMargin +
@@ -2964,8 +2971,7 @@ object SparkEntry {
     * the row count, and a drift in flag-vs-drop interaction fails the
     * hash. */
   private lazy val streamRouterOracleSql: String = {
-    val tpl = "shared press release template gamma version three " +
-      "for near duplicate checks"
+    val tpl = nearDupTpl
     perceptronOracleCtes(256, 3) + ",\n" +
       s"""nd AS (SELECT doc_id,
          |  CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1 THEN '$tpl'

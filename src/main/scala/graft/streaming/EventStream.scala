@@ -419,16 +419,22 @@ object EventStream {
       s"annProbeStream: no IVF index manifest at $indexPath (incomplete " +
         "build? rebuild with writeIvfIndex / the ann_index sink)"))
     val hconf = stream.sparkSession.sparkContext.hadoopConfiguration
-    val ckptP = new org.apache.hadoop.fs.Path(checkpoint)
+    // "fresh" = no committed offsets yet — an existing-but-EMPTY
+    // checkpoint dir (mkdir'd by a temp-dir helper, or rm -rf'd of its
+    // contents) restarts epoch numbering exactly like a missing one,
+    // so testing dir existence would let the docstring's 'cleared
+    // checkpoint' case slip through (round-13 review)
+    val offsP = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val outFs = outP.getFileSystem(hconf)
-    if (!ckptP.getFileSystem(hconf).exists(ckptP) &&
+    if (!offsP.getFileSystem(hconf).exists(offsP) &&
         outFs.exists(outP) && outFs.listStatus(outP).nonEmpty)
-      sys.error(s"annProbeStream: checkpoint '$checkpoint' is fresh but " +
-        s"outPath '$outPath' is not empty — epoch numbering restarts at " +
-        "0 under a fresh checkpoint and would silently mix with (and " +
-        "partially overwrite) the leftover epoch dirs; clear outPath " +
-        "and checkpoint together, or keep both to resume")
+      sys.error(s"annProbeStream: checkpoint '$checkpoint' is fresh (no " +
+        s"committed offsets) but outPath '$outPath' is not empty — epoch " +
+        "numbering restarts at 0 under a fresh checkpoint and would " +
+        "silently mix with (and partially overwrite) the leftover epoch " +
+        "dirs; clear outPath and checkpoint together, or keep both to " +
+        "resume")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

@@ -455,6 +455,14 @@ class ModulesSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 8,
       outPath = staleOut, checkpoint = scratch("annps-freshck") + "/ck"))
     assert(err2.getMessage.contains("outPath"), err2.getMessage)
+    // an existing-but-EMPTY (cleared/mkdir'd) checkpoint dir is just
+    // as fresh — no committed offsets — and must refuse the same way
+    // (round-13 review: a dir-existence test would let it slip)
+    val err3 = intercept[RuntimeException](EventStream.annProbeStream(
+      spark.readStream.schema(q0.schema).parquet(qDir), idxF,
+      "vec_id", "embedding", k = 5, nprobe = 8,
+      outPath = staleOut, checkpoint = scratch("annps-emptyck")))
+    assert(err3.getMessage.contains("outPath"), err3.getMessage)
   }
 
   test("streaming classifier gate equals the batch scorer row for row") {
@@ -1356,14 +1364,14 @@ class ModulesSpec extends SparkSpec {
     assert(!Bench.minSampleDiskContaminated(
       Seq(s(1.2, -1.0, -1.0)), gate = 1.5))
     assert(!Bench.minSampleDiskContaminated(Nil, gate = 1.5))
-    // the live sensor: an in-JVM spin does no block reads — rdMBps
+    // the live sensor: an in-JVM spin does no block I/O — ioMBps
     // must read ≈ 0, not -1 (the /proc/self/io plumbing works)
     val quiet = Bench.measureSample(Runtime.getRuntime.availableProcessors) {
       val t0 = System.nanoTime()
       var x = 0L
       while (System.nanoTime() - t0 < 300L * 1000 * 1000) x += 1
     }
-    assert(quiet.rdMBps >= 0, s"self_read_mbps read ${quiet.rdMBps} — " +
+    assert(quiet.ioMBps >= 0, s"self_io_mbps read ${quiet.ioMBps} — " +
       "/proc/self/io should be readable on this host")
   }
 }

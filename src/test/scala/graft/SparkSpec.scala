@@ -32,12 +32,23 @@ object TestScratch {
   import scala.jdk.CollectionConverters._
   private val dirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  // each root deletes under its own Try and the walk stream is closed
+  // (round-13 review): Spark's own shutdown hooks may still touch a
+  // checkpoint/sink dir concurrently — one DirectoryNotEmpty/IO
+  // exception must not kill the hook thread and leak every dir
+  // registered after it
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     dirs.asScala.foreach { root =>
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      scala.util.Try {
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => scala.util.Try(
+              java.nio.file.Files.deleteIfExists(p)))
+          finally walk.close()
+        }
+      }
     }))
   def dir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
