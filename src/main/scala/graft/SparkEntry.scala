@@ -65,6 +65,13 @@ object SparkEntry {
   private def ivfApndSqIdxDir(dir: String): String =
     scratchDir("graft-ivfappq-q129", tag = dir)
 
+  /** q131's STREAM-appended index dir: built on half the corpus, the
+    * other half arriving as a stream into the index's epoch-partitioned
+    * stream/ table (appendIvfIndexStream) — never shared with the
+    * batch-append dirs (different accumulation history is the point). */
+  private def ivfStrIdxDir(dir: String): String =
+    scratchDir("graft-ivfstr-q131", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -797,6 +804,44 @@ object SparkEntry {
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopKQuantized(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // STREAMING IVF append (EventStream.appendIvfIndexStream — round
+    // 13's ingest-loop closer): the index is built on the EVEN half,
+    // the odd half ARRIVES AS A STREAM and each micro-batch encodes
+    // under the STORED geometry (the shared encodeUnderStoredGeometry,
+    // so stream and batch append cannot drift) into the index's
+    // epoch-partitioned stream/ table — replay-idempotent by dynamic
+    // epoch-partition overwrite. The exhaustive probe reads built ∪
+    // streamed (openIvfIndex unions, both sides cell-pruned), and for
+    // the FLOAT layout cells only partition — so the answer is
+    // q25/q60/q126's brute-force oracle over the union, by
+    // construction. Dir + checkpoint wiped before the build (a
+    // pid-recycled leftover stream/ table would double rows).
+    "q131_ann_ivf_stream_append" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val idx = ivfStrIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        val ckpt = scratchDir("graft-ivfstr-ckpt", tag = dir)
+        Seq(idx, ckpt).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 16)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val q = EventStream.appendIvfIndexStream(
+          stream.filter(col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"),
+          idx, "vec_id", "embedding", checkpoint = ckpt)
+        q.processAllAvailable(); q.stop()
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
@@ -2333,11 +2378,15 @@ object SparkEntry {
     "q125_ann_ivf_pqr_build", "q125_ann_ivf_pqr",
     // round-13: the SQ8 append (build-on-half + YAML-append + probe —
     // first touch pays build+append, later samples are pure probe via
-    // the ivfBuilt guard) and the ingest-router CHAIN (near-dup gate →
+    // the ivfBuilt guard), the ingest-router CHAIN (near-dup gate →
     // decontaminate → classify → quality+PII as ONE streaming query —
     // the composed per-ingest cost; the band index builds on the first
-    // q107 touch earlier in this list, so samples are chain-only)
-    "q129_ann_ivf_append_sq8", "q130_stream_router")
+    // q107 touch earlier in this list, so samples are chain-only), and
+    // the STREAM-appended index probe (built ∪ streamed union read,
+    // both sides cell-pruned — the steady-state cost of probing an
+    // index that is still ingesting)
+    "q129_ann_ivf_append_sq8", "q130_stream_router",
+    "q131_ann_ivf_stream_append")
 
   // ------------------------------------------------------------- oracles
 
@@ -3390,6 +3439,13 @@ object SparkEntry {
     // the composition (each stage's survivors feed the next) is the
     // contract, not any single stage
     "q130_stream_router" -> streamRouterOracleSql,
+
+    // build-on-half + STREAM the rest into the epoch-partitioned
+    // stream/ table, probed exhaustively: float cells only partition,
+    // so built ∪ streamed answers the same brute-force oracle as
+    // q25/q60/q126 — stream append ≡ batch append ≡ rebuild, by
+    // construction
+    "q131_ann_ivf_stream_append" -> annTopKOracleSql,
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have

@@ -239,8 +239,15 @@ object Ann {
     // re-issue only after both tables land (same contract as
     // Dedup.writeNearDupIndex)
     val mf0 = manifestFile(path)
-    mf0.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(mf0, false)
+    val fs0 = mf0.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(mf0, false)
+    // a REBUILD re-trains the geometry, so any streamed epoch
+    // partitions (appendIvfIndexStream) encoded under the OLD
+    // centroids/grid must not survive to be unioned into probes of
+    // the new index — silently mixing two geometries is exactly what
+    // the manifest discipline exists to prevent
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$path/stream"), true)
     // deterministic quantized-integer k-means (Cluster.fitCentroids's
     // engine-portable contract) — the cell layout is replayable from
     // (data, nlist, seed) alone, so the index build itself sits under
@@ -418,7 +425,19 @@ object Ann {
       s"$probe: '$path' is torn — manifest says nlist=${mf.nlist} but " +
         s"centroids/ has $nCent rows (index rebuilt out-of-band " +
         "mid-probe?); rebuild with writeIvfIndex")
-    (centDfRaw, spark.read.parquet(s"$path/assigned"), mf)
+    // STREAMED epoch partitions (appendIvfIndexStream) probe alongside
+    // the built table: a two-table union per probe, each side pruned
+    // on __cell independently (the filter pushes through the union),
+    // until compactIvfIndex folds them in. The stream table carries
+    // the layout's own payload column, so every probe flavor reads it
+    // unchanged; __epoch is the idempotency key, not data.
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val withStream =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stream")))
+        assigned.unionByName(
+          spark.read.parquet(s"$path/stream").drop("__epoch"))
+      else assigned
+    (centDfRaw, withStream, mf)
   }
 
   /** Rank each query's nprobe nearest cells by float centroid distance:
@@ -1141,8 +1160,12 @@ object Ann {
       path: String, nlist: Int = 16, seed: Long = 42L,
       m: Int = 8, ksub: Int = 256, residual: Boolean = false): Unit = {
     val mf0 = manifestFile(path)
-    mf0.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(mf0, false)
+    val fs0 = mf0.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(mf0, false)
+    // stale streamed epochs from a pre-rebuild stream would mix the
+    // OLD geometry into probes of the new index (see writeIvfIndex)
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$path/stream"), true)
     val scale = 10000
     // coarse quantizer: the same fit + integer-space cell assignment as
     // the float/SQ8 layouts — one cell geometry across all three
@@ -1247,16 +1270,27 @@ object Ann {
     * deliberately: comparability across increments IS the index
     * contract (FAISS adds to a trained index the same way); re-train
     * (rebuild) when the embedding distribution drifts. */
-  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String,
-      path: String): Unit = {
+  /** Encode a batch under a persisted index's STORED geometry — the
+    * shared core of [[appendIvfIndex]] and the streaming append sink
+    * ([[graft.streaming.EventStream.appendIvfIndexStream]]): assign
+    * cells under the stored centroids (the build's integer-space
+    * argmin), encode under the stored codebook for quantized layouts
+    * (SQ8 params / PQ codebooks — batch statistics would put the rows
+    * on a DIFFERENT grid than the cells they join). Returns
+    * (neighbor_id, payload, __cell) rows in the layout's own payload
+    * column, plus the manifest. Torn-index states refuse loudly
+    * before any table read (the openIvfIndex contract). */
+  private[graft] def encodeUnderStoredGeometry(batch: DataFrame,
+      cId: String, cVec: String, path: String, caller: String)
+      : (DataFrame, IvfManifest) = {
     val spark = batch.sparkSession
     val mf = readManifest(spark, path).getOrElse(sys.error(
-      s"appendIvfIndex: no build manifest at '$path' — an append can " +
+      s"$caller: no build manifest at '$path' — an append can " +
         "only extend a COMPLETE index (build with writeIvfIndex / the " +
         "ann_index sink first)"))
     val centDf = spark.read.parquet(s"$path/centroids")
     require(centDf.count() == mf.nlist,
-      s"appendIvfIndex: '$path' is torn — manifest says nlist=${mf.nlist} " +
+      s"$caller: '$path' is torn — manifest says nlist=${mf.nlist} " +
         s"but centroids/ disagrees; rebuild with writeIvfIndex")
     // quantized layouts carry a codebook table the batch must encode
     // under — name a torn index and the rebuild remedy BEFORE the
@@ -1269,7 +1303,7 @@ object Ann {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
-        s"appendIvfIndex: '$path' is a ${mf.layoutName} index missing " +
+        s"$caller: '$path' is a ${mf.layoutName} index missing " +
           s"its $t/ table — torn build; rebuild with writeIvfIndex " +
           "before appending")
     }
@@ -1308,11 +1342,56 @@ object Ann {
             .select("neighbor_id", "codes", "__cell")
         }
     }
+    (rows, mf)
+  }
+
+  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val (rows, mf) =
+      encodeUnderStoredGeometry(batch, cId, cVec, path, "appendIvfIndex")
     val mfp = manifestFile(path)
     mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(mfp, false)
     rows.repartition(col("__cell"))
       .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
+    val total = spark.read.parquet(s"$path/assigned").count()
+    writeManifest(spark, path, mf.nlist, total, mf.quant,
+      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes)
+  }
+
+  /** Fold the streamed epoch partitions (`path/stream`, written by
+    * [[graft.streaming.EventStream.appendIvfIndexStream]]) into the
+    * main `assigned/` table: one rewrite off the hot path — the
+    * LSM-style compaction that keeps the steady-state probe a
+    * two-table union at worst and a single table after. The manifest
+    * is retracted during the rewrite (the torn-build discipline: a
+    * crash mid-compaction leaves no certificate, and the streamed
+    * rows are only deleted AFTER the merged table landed). No-op when
+    * no streamed rows exist. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val streamP = new org.apache.hadoop.fs.Path(s"$path/stream")
+    if (!fs.exists(streamP)) return
+    val mf = readManifest(spark, path).getOrElse(sys.error(
+      s"compactIvfIndex: no build manifest at '$path' — nothing " +
+        "certified to compact; rebuild with writeIvfIndex"))
+    val merged = spark.read.parquet(s"$path/assigned")
+      .unionByName(spark.read.parquet(s"$path/stream").drop("__epoch"))
+    val mfp = manifestFile(path)
+    mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mfp, false)
+    // stage the merge beside the live table, then swap — rewriting
+    // assigned/ in place would read and overwrite the same files
+    val staged = s"$path/assigned_compact"
+    merged.repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(staged)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$path/assigned"))
+    fs.delete(streamP, true)
     val total = spark.read.parquet(s"$path/assigned").count()
     writeManifest(spark, path, mf.nlist, total, mf.quant,
       mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes)

@@ -446,6 +446,55 @@ object EventStream {
       .start()
   }
 
+  /** Stream → persisted IVF ANN index: each micro-batch of admitted
+    * embeddings is encoded under the index's STORED geometry (cells
+    * under the build's centroids, payload under the build's SQ8
+    * grid / PQ codebooks — [[graft.sim.Ann.encodeUnderStoredGeometry]],
+    * shared with the batch append so stream and batch cannot drift)
+    * and lands in the index's `stream/` table, hive-partitioned by
+    * (__epoch, __cell). This closes the ingest loop: rows the router
+    * admits become PROBE-VISIBLE immediately — every probe flavor
+    * reads built ∪ streamed (openIvfIndex unions the two, each side
+    * still partition-pruned on __cell) — and
+    * [[graft.sim.Ann.compactIvfIndex]] folds the epochs into the main
+    * table off the hot path (the LSM shape).
+    *
+    * Replay idempotency (the annProbeStream discipline, applied to a
+    * SINK that accumulates): foreachBatch is at-least-once, and a
+    * replayed `write.mode(append)` would duplicate every row — so
+    * each epoch DYNAMIC-OVERWRITES only its own `__epoch=N`
+    * partitions (partitionOverwriteMode=dynamic): a replay of epoch N
+    * rewrites exactly epoch N's rows and cannot touch any other
+    * epoch. The manifest stays UNTOUCHED by the stream (version
+    * bumps belong to batch appends/compaction); duplicate ids across
+    * epochs are the caller's contract, same as the batch append
+    * (dedup at ingest first — the q107 discipline). A missing/torn
+    * index refuses at STREAM START. Returns the started query;
+    * caller awaits/stops. */
+  def appendIvfIndexStream(stream: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sim.Ann
+    Ann.readManifest(stream.sparkSession, indexPath).getOrElse(sys.error(
+      s"appendIvfIndexStream: no IVF index manifest at $indexPath " +
+        "(incomplete build? rebuild with writeIvfIndex / the ann_index " +
+        "sink first)"))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (rows, _) = Ann.encodeUnderStoredGeometry(
+          batch, idCol, vecCol, indexPath, "appendIvfIndexStream")
+        rows.withColumn("__epoch", lit(epoch))
+          .repartition(col("__cell"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__epoch", "__cell")
+          .parquet(s"$indexPath/stream")
+      }
+      .start()
+  }
+
   /** Stream → keyed-upsert parquet sink via foreachBatch: each
     * micro-batch merges into the target by key (last write wins), the
     * streaming face of the ES-style `update` output mode

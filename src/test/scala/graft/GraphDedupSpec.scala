@@ -498,6 +498,111 @@ class GraphDedupSpec extends SparkSpec {
     assert(eApp.getMessage.contains("manifest"), eApp.getMessage)
   }
 
+  test("appendIvfIndexStream: streamed epochs probe alongside the built " +
+      "table, a replay cannot duplicate, compaction folds them in, SQ8 " +
+      "rows land on the stored grid") {
+    import graft.streaming.EventStream
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val part1 = e.filter(col("vec_id") % 2 === 0)
+    val part2 = e.filter(col("vec_id") % 2 =!= 0)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val inDir = scratch("ivfstr-in")
+    part2.repartition(3).write.mode("overwrite").parquet(inDir)
+    def runStream(idx: String, ckpt: String): Unit = {
+      val sq = EventStream.appendIvfIndexStream(
+        spark.readStream.schema(part2.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir),
+        idx, "vec_id", "embedding", checkpoint = ckpt)
+      sq.processAllAvailable()
+      assert(sq.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected multiple micro-batches — the per-epoch accumulation " +
+          "was not exercised")
+      sq.stop()
+    }
+    // FLOAT: build on half, stream the rest in — the exhaustive probe
+    // over built ∪ streamed must equal the full rebuild's
+    val idx = scratch("ivfstr-f")
+    Ann.writeIvfIndex(part1, "vec_id", "embedding", idx, nlist = 8)
+    runStream(idx, scratch("ivfstr-ck") + "/ck")
+    val idxFull = scratch("ivfstr-reb")
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxFull, nlist = 8)
+    val viaStream = Ann.ivfIndexTopK(spark, idx, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val viaRebuild = Ann.ivfIndexTopK(spark, idxFull, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(viaStream.exceptAll(viaRebuild).count() == 0 &&
+      viaRebuild.exceptAll(viaStream).count() == 0,
+      "probe over built ∪ streamed diverged from the full rebuild")
+    // plan quality: the union must not cost the layout its point —
+    // dynamic partition pruning still fires on the probed cell join
+    // (both union sides are hive-partitioned by __cell, and the
+    // runtime __cell IN filter pushes through the union)
+    val plan = Ann.ivfIndexTopK(spark, idx, q,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the built ∪ streamed " +
+        s"probe scan:\n$plan")
+    // REPLAY idempotency: re-running the same bounded stream under a
+    // FRESH checkpoint re-delivers every epoch (the at-least-once
+    // worst case, all epochs at once) — dynamic epoch-partition
+    // overwrite must leave the streamed set bit-identical, never
+    // doubled
+    val before = spark.read.parquet(s"$idx/stream").count()
+    runStream(idx, scratch("ivfstr-ck2") + "/ck")
+    val after = spark.read.parquet(s"$idx/stream").count()
+    assert(after == before && after == part2.count(),
+      s"replay changed the streamed rows: $before -> $after " +
+        s"(expected ${part2.count()})")
+    // COMPACTION: fold stream/ into assigned/, probe unchanged,
+    // manifest re-certified with the full count + a bumped version
+    Ann.compactIvfIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
+      "compaction left the stream/ table behind")
+    val viaCompacted = Ann.ivfIndexTopK(spark, idx, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(viaCompacted.exceptAll(viaRebuild).count() == 0 &&
+      viaRebuild.exceptAll(viaCompacted).count() == 0,
+      "compaction changed the probe answer")
+    val mf = Ann.readManifest(spark, idx).get
+    assert(mf.rows == e.count() && mf.version == 1L, mf.toString)
+    // SQ8: streamed rows must encode under the ORIGINAL half-corpus
+    // grid (the batch-append contract, via the shared
+    // encodeUnderStoredGeometry) — reference = brute force with
+    // EVERYTHING on part1's params
+    val idxQ = scratch("ivfstr-q")
+    Ann.writeIvfIndex(part1, "vec_id", "embedding", idxQ, nlist = 8,
+      quantize = true)
+    runStream(idxQ, scratch("ivfstr-ckq") + "/ck")
+    val params1 = spark.read.parquet(s"$idxQ/params")
+    val allOnGrid1 = Ann.quantizeInt8(e, "embedding", params1)
+    val directQ = Ann.quantizedTopK(
+      allOnGrid1.filter(col("vec_id") % 100 === 0), allOnGrid1,
+      "vec_id", "qvec", "vec_id", "qvec", k = 5)
+    val probeQ = Ann.ivfIndexTopKQuantized(spark, idxQ, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(probeQ.exceptAll(directQ).count() == 0 &&
+      directQ.exceptAll(probeQ).count() == 0,
+      "streamed batch did not land on the original SQ8 grid")
+    // a REBUILD re-trains the geometry, so it must clear the streamed
+    // epochs (rows encoded under the OLD grid silently mixing into
+    // probes of the new index is the torn state the manifest
+    // discipline exists to prevent)
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idxQ, nlist = 8,
+      quantize = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxQ/stream")),
+      "rebuild left old-geometry streamed epochs behind")
+    // a missing index refuses at STREAM START, not first batch
+    val bare = scratch("ivfstr-bare")
+    val err = intercept[RuntimeException](EventStream.appendIvfIndexStream(
+      spark.readStream.schema(part2.schema).parquet(inDir),
+      bare, "vec_id", "embedding", checkpoint = bare + "/ck"))
+    assert(err.getMessage.contains("manifest"), err.getMessage)
+  }
+
   test("clustered-embedding recall@10: SQ8 preserves the float ranking, residual PQ beats raw PQ, floors pinned") {
     // QuantBench.clusteredVecs — the SAME fixture the SCALE.md
     // nprobe→recall curves are measured on (shared, not re-spelled,
