@@ -301,7 +301,12 @@ object Ann {
     // the written footers (metadata-only count — no data re-read).
     val spark = corpus.sparkSession
     val rows = spark.read.parquet(s"$path/assigned").count()
-    writeManifest(spark, path, nlist, rows, quant = if (quantize) 1 else 0)
+    // a fresh geometry identity per (re)build (nanoTime: two rebuilds
+    // in one millisecond must still differ) — stream writers compare
+    // it per batch to catch an out-of-band retrain; stream marks reset
+    // with the stream/ table the build just cleared
+    writeManifest(spark, path, nlist, rows, quant = if (quantize) 1 else 0,
+      geomId = System.nanoTime())
   }
 
   /** Manifest location + read/write. One tiny JSON line; parsed with a
@@ -315,7 +320,18 @@ object Ann {
 
   private[graft] case class IvfManifest(nlist: Int, rows: Long,
       builtMs: Long, quant: Int, pqM: Int, pqKsub: Int,
-      version: Long, pqRes: Int = 0) {
+      version: Long, pqRes: Int = 0,
+      // geometry identity: stamped at BUILD time, PRESERVED by
+      // append/compaction — the streaming writer's per-batch tripwire
+      // against an out-of-band rebuild (version/built_ms change on
+      // every legitimate compaction too, so they can't distinguish
+      // "recompacted" from "retrained")
+      geomId: Long = 0L,
+      // compaction watermarks per stream incarnation (__stream tag →
+      // highest epoch folded into assigned/): a replayed epoch at or
+      // below its tag's mark is ALREADY in the main table and the
+      // sink must skip it, not re-create it in stream/
+      streamMarks: Map[String, Long] = Map.empty) {
     def layoutName: String = quant match {
       case 0 => "FLOAT"; case 1 => "int8-QUANTIZED (SQ8)"
       case _ => "PRODUCT-QUANTIZED (PQ)"
@@ -329,14 +345,21 @@ object Ann {
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
       path: String, nlist: Int, rows: Long, quant: Int,
       pqM: Int = 0, pqKsub: Int = 0, version: Long = 0,
-      pqRes: Int = 0): Unit = {
+      pqRes: Int = 0, geomId: Long = 0L,
+      streamMarks: Map[String, Long] = Map.empty): Unit = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
+    // stream tags are md5-hex prefixes (sanitized below just in case)
+    val marks = streamMarks.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""${k.replaceAll("[^0-9a-zA-Z]", "")}": $v""" }
+      .mkString("{", ", ", "}")
     try out.write(
       (s"""{"nlist": $nlist, "rows": $rows, """ +
         s""""quant": $quant, "pq_m": $pqM, "pq_ksub": $pqKsub, """ +
         s""""pq_res": $pqRes, "version": $version, """ +
+        s""""geom_id": $geomId, "stream_marks": $marks, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -358,13 +381,22 @@ object Ann {
         finally in.close()
       def field(k: String): Option[Long] =
         (s""""$k":\\s*(\\d+)""".r).findFirstMatchIn(txt).map(_.group(1).toLong)
+      val marks = """"stream_marks":\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)) match {
+          case None => Map.empty[String, Long]
+          case Some(body) =>
+            """"(\w+)":\s*(\d+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toLong).toMap
+        }
       for (n <- field("nlist"); r <- field("rows"); b <- field("built_ms"))
         yield IvfManifest(n.toInt, r, b,
           field("quant").getOrElse(0L).toInt,
           field("pq_m").getOrElse(0L).toInt,
           field("pq_ksub").getOrElse(0L).toInt,
           field("version").getOrElse(0L),
-          field("pq_res").getOrElse(0L).toInt)
+          field("pq_res").getOrElse(0L).toInt,
+          field("geom_id").getOrElse(0L),
+          marks)
     }
   }
 
@@ -430,12 +462,15 @@ object Ann {
     // on __cell independently (the filter pushes through the union),
     // until compactIvfIndex folds them in. The stream table carries
     // the layout's own payload column, so every probe flavor reads it
-    // unchanged; __epoch is the idempotency key, not data.
+    // unchanged; (__stream, __epoch) are the idempotency keys, not
+    // data. hasParquetFile (not bare exists): a file-less stream/
+    // remnant must not turn the whole index unprobable with a
+    // schema-inference error (r13 review).
     val assigned = spark.read.parquet(s"$path/assigned")
     val withStream =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stream")))
+      if (hasParquetFile(fs, new org.apache.hadoop.fs.Path(s"$path/stream")))
         assigned.unionByName(
-          spark.read.parquet(s"$path/stream").drop("__epoch"))
+          spark.read.parquet(s"$path/stream").drop("__epoch", "__stream"))
       else assigned
     (centDfRaw, withStream, mf)
   }
@@ -1238,75 +1273,80 @@ object Ann {
     val spark = corpus.sparkSession
     val rows = spark.read.parquet(s"$path/assigned").count()
     writeManifest(spark, path, nlist, rows, quant = 2,
-      pqM = m, pqKsub = ksub, pqRes = if (residual) 1 else 0)
+      pqM = m, pqKsub = ksub, pqRes = if (residual) 1 else 0,
+      geomId = System.nanoTime())
   }
 
-  /** Append a batch to a persisted IVF index under the index's
-    * EXISTING geometry — the increment path exact and near-dup dedup
-    * already have (incrementalDedup / the q107 band-index append) and
-    * the ANN index lacked: a new embedding batch no longer forces a
-    * full rebuild. The batch is assigned under the STORED centroids
-    * (same integer-space argmin as the build), encoded under the
-    * STORED codebook for quantized layouts (SQ8 params / PQ
-    * codebooks — re-deriving either from batch statistics would put
-    * the batch on a DIFFERENT grid than the cells it joins), appended
-    * to the cell partitions, and the manifest re-issued with the new
-    * row count and a bumped `version`. Works for all three layouts.
+  /** Encode a batch under a persisted index's STORED geometry — the
+    * shared core of [[appendIvfIndex]] and the streaming append sink
+    * ([[graft.streaming.EventStream.appendIvfIndexStream]]): the
+    * increment path exact and near-dup dedup already had
+    * (incrementalDedup / the q107 band-index append) and the ANN index
+    * lacked — a new embedding batch no longer forces a full rebuild.
+    * Cells assign under the stored centroids (the build's
+    * integer-space argmin), payloads encode under the stored codebook
+    * for quantized layouts (SQ8 params / PQ codebooks — batch
+    * statistics would put the rows on a DIFFERENT grid than the cells
+    * they join). Geometry always comes FROM the manifest — there are
+    * no tuning parameters to drift (the YAML sink cross-checks any
+    * declared options and refuses mismatches loudly). Works for all
+    * three layouts.
     *
-    * Torn-append discipline (the build's contract): the manifest is
-    * retracted BEFORE the append and re-issued after, so a crash
-    * mid-append leaves no certificate and every probe fails loudly
-    * instead of reading half a batch. Geometry always comes FROM the
-    * manifest — there are no tuning parameters to drift; the YAML
-    * sink cross-checks any declared options against the manifest and
-    * refuses mismatches loudly. Duplicate ids are the CALLER's
-    * contract (append kept rows — run the incremental dedup gate
-    * first, the q107 discipline); an append never dedups.
-    *
-    * Semantics after append: for the FLOAT layout an exhaustive probe
-    * still equals brute-force cosine over corpus ∪ batch (the cells
-    * only partition; scoring reads true vectors). For quantized
+    * Semantics: for the FLOAT layout an exhaustive probe after an
+    * append still equals brute-force cosine over corpus ∪ batch (the
+    * cells only partition; scoring reads true vectors). For quantized
     * layouts the batch lands on the ORIGINAL build's grid/codewords —
     * deliberately: comparability across increments IS the index
     * contract (FAISS adds to a trained index the same way); re-train
-    * (rebuild) when the embedding distribution drifts. */
-  /** Encode a batch under a persisted index's STORED geometry — the
-    * shared core of [[appendIvfIndex]] and the streaming append sink
-    * ([[graft.streaming.EventStream.appendIvfIndexStream]]): assign
-    * cells under the stored centroids (the build's integer-space
-    * argmin), encode under the stored codebook for quantized layouts
-    * (SQ8 params / PQ codebooks — batch statistics would put the rows
-    * on a DIFFERENT grid than the cells they join). Returns
+    * (rebuild) when the embedding distribution drifts. Returns
     * (neighbor_id, payload, __cell) rows in the layout's own payload
     * column, plus the manifest. Torn-index states refuse loudly
     * before any table read (the openIvfIndex contract). */
-  private[graft] def encodeUnderStoredGeometry(batch: DataFrame,
-      cId: String, cVec: String, path: String, caller: String)
-      : (DataFrame, IvfManifest) = {
-    val spark = batch.sparkSession
-    val mf = readManifest(spark, path).getOrElse(sys.error(
+  /** Load and validate a persisted index's geometry (manifest +
+    * centroids), with the append family's torn-index refusals —
+    * shared by the per-call encode path and the streaming sink's
+    * once-at-start load. */
+  private[graft] def loadIndexGeometry(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      caller: String): (IvfManifest, DataFrame) = {
+    val m = readManifest(spark, path).getOrElse(sys.error(
       s"$caller: no build manifest at '$path' — an append can " +
         "only extend a COMPLETE index (build with writeIvfIndex / the " +
         "ann_index sink first)"))
-    val centDf = spark.read.parquet(s"$path/centroids")
-    require(centDf.count() == mf.nlist,
-      s"$caller: '$path' is torn — manifest says nlist=${mf.nlist} " +
+    val c = spark.read.parquet(s"$path/centroids")
+    require(c.count() == m.nlist,
+      s"$caller: '$path' is torn — manifest says nlist=${m.nlist} " +
         s"but centroids/ disagrees; rebuild with writeIvfIndex")
     // quantized layouts carry a codebook table the batch must encode
     // under — name a torn index and the rebuild remedy BEFORE the
     // parquet read (openIvfIndex's contract; r11 ADVICE: a bare
     // PATH_NOT_FOUND here broke the index family's loud-refusal rule)
-    val extraTable = mf.quant match {
+    val extraTable = m.quant match {
       case 1 => Some("params"); case 2 => Some("pq"); case _ => None
     }
     extraTable.foreach { t =>
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")),
-        s"$caller: '$path' is a ${mf.layoutName} index missing " +
+        s"$caller: '$path' is a ${m.layoutName} index missing " +
           s"its $t/ table — torn build; rebuild with writeIvfIndex " +
           "before appending")
     }
+    (m, c)
+  }
+
+  private[graft] def encodeUnderStoredGeometry(batch: DataFrame,
+      cId: String, cVec: String, path: String, caller: String,
+      pre: Option[(IvfManifest, DataFrame)] = None)
+      : (DataFrame, IvfManifest) = {
+    val spark = batch.sparkSession
+    // `pre` = (manifest, centroids) validated and cached by a
+    // long-running caller (the streaming sink loads geometry once at
+    // stream start — the per-batch torn checks would otherwise repeat
+    // a count job per trigger; the caller keeps its own geom_id
+    // tripwire against out-of-band retrains)
+    val (mf, centDf) =
+      pre.getOrElse(loadIndexGeometry(spark, path, caller))
     val scale = 10000
     val centsQ = centDf.select(col("__cell").cast("long").as("cid"),
       col("__qcentroid").as("qcv"))
@@ -1345,6 +1385,17 @@ object Ann {
     (rows, mf)
   }
 
+  /** Append a batch to a persisted IVF index under its EXISTING
+    * geometry ([[encodeUnderStoredGeometry]]), appended to the cell
+    * partitions, the manifest re-issued with the new row count and a
+    * bumped `version` (geometry identity and stream marks carried
+    * unchanged — an append extends, never retrains). Torn-append
+    * discipline: the manifest is retracted BEFORE the append and
+    * re-issued after, so a crash mid-append leaves no certificate and
+    * every probe fails loudly instead of reading half a batch.
+    * Duplicate ids are the CALLER's contract (append kept rows — run
+    * the incremental dedup gate first, the q107 discipline); an
+    * append never dedups. */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String,
       path: String): Unit = {
     val spark = batch.sparkSession
@@ -1357,18 +1408,64 @@ object Ann {
       .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
     val total = spark.read.parquet(s"$path/assigned").count()
     writeManifest(spark, path, mf.nlist, total, mf.quant,
-      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes)
+      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
+      geomId = mf.geomId, streamMarks = mf.streamMarks)
+  }
+
+  /** Does any parquet data file exist under `p`? Guards the probe
+    * union and the compaction read against a `stream/` tree holding
+    * only `_SUCCESS` markers / empty epoch dirs (a crash remnant —
+    * the sink skips empty batches, but a die-mid-write can leave
+    * one), where a bare parquet read would throw "unable to infer
+    * schema" and turn a working index unprobable (r13 review). */
+  private def hasParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
+  /** The streamed-epoch partition dirs currently under `path/stream`:
+    * (streamTag, epoch, dir) triples — the SNAPSHOT unit compaction
+    * folds and deletes. */
+  private def listStreamEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String)
+      : Seq[(String, Long, org.apache.hadoop.fs.Path)] = {
+    val streamP = new org.apache.hadoop.fs.Path(s"$path/stream")
+    if (!fs.exists(streamP)) return Nil
+    for {
+      sd <- fs.listStatus(streamP).toSeq
+      if sd.isDirectory && sd.getPath.getName.startsWith("__stream=")
+      ed <- fs.listStatus(sd.getPath).toSeq
+      if ed.isDirectory && ed.getPath.getName.startsWith("__epoch=")
+    } yield (sd.getPath.getName.stripPrefix("__stream="),
+      ed.getPath.getName.stripPrefix("__epoch=").toLong, ed.getPath)
   }
 
   /** Fold the streamed epoch partitions (`path/stream`, written by
     * [[graft.streaming.EventStream.appendIvfIndexStream]]) into the
     * main `assigned/` table: one rewrite off the hot path — the
     * LSM-style compaction that keeps the steady-state probe a
-    * two-table union at worst and a single table after. The manifest
-    * is retracted during the rewrite (the torn-build discipline: a
-    * crash mid-compaction leaves no certificate, and the streamed
-    * rows are only deleted AFTER the merged table landed). No-op when
-    * no streamed rows exist. */
+    * two-table union at worst and a single table after.
+    *
+    * Safe beside a LIVE stream (r13 review): the fold operates on a
+    * SNAPSHOT — the epoch dirs listed at entry are read explicitly,
+    * folded, and exactly those dirs deleted, so an epoch landing
+    * mid-compaction survives in stream/ (still probed via the union)
+    * instead of being deleted unmerged. And a later REPLAY of a
+    * folded epoch must not resurrect it in stream/: each folded
+    * stream incarnation's highest epoch is recorded in the manifest
+    * (`stream_marks`), and the sink skips any (tag, epoch) at or
+    * below its mark — those rows are already in assigned/.
+    *
+    * The manifest is retracted during the rewrite (the torn-build
+    * discipline: a crash mid-compaction leaves no certificate, and
+    * the streamed rows are only deleted AFTER the merged table
+    * landed). No-op when no streamed rows exist; file-less crash
+    * remnants are swept without a fold. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -1378,8 +1475,18 @@ object Ann {
     val mf = readManifest(spark, path).getOrElse(sys.error(
       s"compactIvfIndex: no build manifest at '$path' — nothing " +
         "certified to compact; rebuild with writeIvfIndex"))
+    // the snapshot: fold + delete exactly these dirs, nothing newer
+    val epochs = listStreamEpochs(fs, path)
+    val (live, husks) = epochs.partition(e => hasParquetFile(fs, e._3))
+    husks.foreach(e => fs.delete(e._3, true)) // file-less crash remnants
+    if (live.isEmpty) {
+      if (!hasParquetFile(fs, streamP)) fs.delete(streamP, true)
+      return
+    }
+    val snap = spark.read.option("basePath", s"$path/stream")
+      .parquet(live.map(_._3.toString): _*)
     val merged = spark.read.parquet(s"$path/assigned")
-      .unionByName(spark.read.parquet(s"$path/stream").drop("__epoch"))
+      .unionByName(snap.drop("__epoch", "__stream"))
     val mfp = manifestFile(path)
     mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(mfp, false)
@@ -1391,10 +1498,16 @@ object Ann {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
     fs.rename(new org.apache.hadoop.fs.Path(staged),
       new org.apache.hadoop.fs.Path(s"$path/assigned"))
-    fs.delete(streamP, true)
+    live.foreach(e => fs.delete(e._3, true))
+    if (!hasParquetFile(fs, streamP)) fs.delete(streamP, true)
+    val folded = live.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val marks = mf.streamMarks ++ folded.map { case (tag, mx) =>
+      tag -> math.max(mx, mf.streamMarks.getOrElse(tag, -1L))
+    }
     val total = spark.read.parquet(s"$path/assigned").count()
     writeManifest(spark, path, mf.nlist, total, mf.quant,
-      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes)
+      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
+      geomId = mf.geomId, streamMarks = marks)
   }
 
   /** Probe a persisted IVF-PQ index: cells rank by float centroid

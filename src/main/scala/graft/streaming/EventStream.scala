@@ -462,37 +462,114 @@ object EventStream {
     * Replay idempotency (the annProbeStream discipline, applied to a
     * SINK that accumulates): foreachBatch is at-least-once, and a
     * replayed `write.mode(append)` would duplicate every row — so
-    * each epoch DYNAMIC-OVERWRITES only its own `__epoch=N`
-    * partitions (partitionOverwriteMode=dynamic): a replay of epoch N
-    * rewrites exactly epoch N's rows and cannot touch any other
-    * epoch. The manifest stays UNTOUCHED by the stream (version
-    * bumps belong to batch appends/compaction); duplicate ids across
-    * epochs are the caller's contract, same as the batch append
-    * (dedup at ingest first — the q107 discipline). A missing/torn
-    * index refuses at STREAM START. Returns the started query;
+    * each epoch DYNAMIC-OVERWRITES only its own partitions, keyed by
+    * (__stream, __epoch): `__stream` is a hash of the CHECKPOINT path
+    * (epoch numbering is checkpoint-scoped, so the partition key must
+    * be too — a fresh checkpoint's epoch 0 lands in its own
+    * incarnation's partitions instead of colliding with an older
+    * stream's), and a replay of (tag, N) rewrites exactly its own
+    * rows. A replay of an epoch compactIvfIndex ALREADY FOLDED is
+    * skipped via the manifest's `stream_marks` watermark — rewriting
+    * it into stream/ would double rows the main table now holds (r13
+    * review). Two start-time refusals: a missing/torn index, and a
+    * fresh checkpoint (no committed offsets) whose tag already has
+    * leftover epochs or a compaction mark — reusing a checkpoint PATH
+    * after clearing it would replay epoch numbers into a history that
+    * remembers them; use a NEW checkpoint path instead.
+    *
+    * Per-batch cost: geometry loads ONCE at start (centroids +
+    * manifest — r13 review: re-reading per micro-batch repeated a
+    * count job and, for PQR, a driver collect for every trigger);
+    * each batch pays one tiny manifest re-read as the out-of-band
+    * REBUILD tripwire (`geom_id` changes on retrain — version/
+    * built_ms can't distinguish a legitimate concurrent compaction
+    * from a retrain, the geometry identity can). Empty micro-batches
+    * write nothing. The manifest stays untouched by the stream
+    * (version bumps belong to batch appends/compaction); duplicate
+    * ids across epochs are the caller's contract, same as the batch
+    * append (dedup at ingest first — the q107 discipline). Single
+    * streaming writer per index; stop the stream before a REBUILD
+    * (an in-flight batch encoding under the old geometry could land
+    * after the rebuild's stream/ clear — the same out-of-band
+    * contract every probe documents). Returns the started query;
     * caller awaits/stops. */
   def appendIvfIndexStream(stream: DataFrame, indexPath: String,
       idCol: String, vecCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sim.Ann
-    Ann.readManifest(stream.sparkSession, indexPath).getOrElse(sys.error(
-      s"appendIvfIndexStream: no IVF index manifest at $indexPath " +
-        "(incomplete build? rebuild with writeIvfIndex / the ann_index " +
-        "sink first)"))
+    val spark = stream.sparkSession
+    // geometry loads + validates ONCE (torn checks included); the
+    // centroids cache serves every micro-batch — per-batch work is
+    // one manifest re-read (the retrain tripwire) + the encode
+    val (mf0, cent0) =
+      Ann.loadIndexGeometry(spark, indexPath, "appendIvfIndexStream")
+    val cent = cent0.persist()
+    val tag = streamTag(checkpoint)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val offsP = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val tagDir = new org.apache.hadoop.fs.Path(
+      s"$indexPath/stream/__stream=$tag")
+    if (!offsP.getFileSystem(hconf).exists(offsP) &&
+        (tagDir.getFileSystem(hconf).exists(tagDir) ||
+          mf0.streamMarks.contains(tag)))
+      sys.error(s"appendIvfIndexStream: checkpoint '$checkpoint' is " +
+        s"fresh (no committed offsets) but the index at $indexPath " +
+        s"already has epochs or a compaction mark for its tag " +
+        s"'$tag' — a restarted epoch numbering would collide with " +
+        "(or be skipped against) that history; use a NEW checkpoint " +
+        "path, or keep the old checkpoint to resume")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val (rows, _) = Ann.encodeUnderStoredGeometry(
-          batch, idCol, vecCol, indexPath, "appendIvfIndexStream")
-        rows.withColumn("__epoch", lit(epoch))
-          .repartition(col("__cell"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__epoch", "__cell")
-          .parquet(s"$indexPath/stream")
+        appendIvfBatch(batch, indexPath, idCol, vecCol, tag, epoch,
+          pre = (mf0, cent))
       }
       .start()
+  }
+
+  /** The checkpoint-scoped stream incarnation tag: epoch ids are only
+    * unique within one checkpoint, so everything keyed by epoch
+    * (partitions, compaction marks) is keyed by this too. */
+  private[graft] def streamTag(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+
+  /** One micro-batch of [[appendIvfIndexStream]] — package-visible so
+    * the replay spec can drive the exact at-least-once cases (same
+    * (tag, epoch) twice; a folded epoch's replay) without a crash
+    * harness. */
+  private[graft] def appendIvfBatch(batch: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, tag: String, epoch: Long,
+      pre: (graft.sim.Ann.IvfManifest, DataFrame)): Unit = {
+    import graft.sim.Ann
+    val mf = Ann.readManifest(batch.sparkSession, indexPath)
+      .getOrElse(sys.error(
+        s"appendIvfIndexStream: the manifest at $indexPath vanished " +
+          "mid-stream — index being rebuilt? stop the stream during " +
+          "rebuilds (single-writer contract)"))
+    require(mf.geomId == pre._1.geomId,
+      s"appendIvfIndexStream: the index at $indexPath was RETRAINED " +
+        s"mid-stream (geometry id ${mf.geomId} != stream-start " +
+        s"${pre._1.geomId}) — rows encoded under the old geometry " +
+        "must not mix in; restart the stream against the new index")
+    // a folded epoch's replay: its rows already live in assigned/
+    // (stream_marks is compaction's receipt) — re-creating them in
+    // stream/ would double every one of them in the probe union.
+    // The CURRENT manifest's marks (not stream-start's): compaction
+    // runs legitimately beside a live stream.
+    if (mf.streamMarks.get(tag).exists(epoch <= _)) return
+    if (batch.isEmpty) return // nothing to write, no empty epoch husk
+    val (rows, _) = Ann.encodeUnderStoredGeometry(
+      batch, idCol, vecCol, indexPath, "appendIvfIndexStream",
+      pre = Some(pre))
+    rows.withColumn("__stream", lit(tag)).withColumn("__epoch", lit(epoch))
+      .repartition(col("__cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__stream", "__epoch", "__cell")
+      .parquet(s"$indexPath/stream")
   }
 
   /** Stream → keyed-upsert parquet sink via foreachBatch: each

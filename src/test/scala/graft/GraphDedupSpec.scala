@@ -524,7 +524,8 @@ class GraphDedupSpec extends SparkSpec {
     // over built ∪ streamed must equal the full rebuild's
     val idx = scratch("ivfstr-f")
     Ann.writeIvfIndex(part1, "vec_id", "embedding", idx, nlist = 8)
-    runStream(idx, scratch("ivfstr-ck") + "/ck")
+    val ck1 = scratch("ivfstr-ck") + "/ck"
+    runStream(idx, ck1)
     val idxFull = scratch("ivfstr-reb")
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxFull, nlist = 8)
     val viaStream = Ann.ivfIndexTopK(spark, idx, q,
@@ -544,22 +545,22 @@ class GraphDedupSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the built ∪ streamed " +
         s"probe scan:\n$plan")
-    // REPLAY idempotency: re-running the same bounded stream under a
-    // FRESH checkpoint re-delivers every epoch (the at-least-once
-    // worst case, all epochs at once) — dynamic epoch-partition
-    // overwrite must leave the streamed set bit-identical, never
-    // doubled
-    val before = spark.read.parquet(s"$idx/stream").count()
-    runStream(idx, scratch("ivfstr-ck2") + "/ck")
-    val after = spark.read.parquet(s"$idx/stream").count()
-    assert(after == before && after == part2.count(),
-      s"replay changed the streamed rows: $before -> $after " +
-        s"(expected ${part2.count()})")
-    // COMPACTION: fold stream/ into assigned/, probe unchanged,
-    // manifest re-certified with the full count + a bumped version
-    Ann.compactIvfIndex(spark, idx)
+    // fresh-checkpoint guard: clearing the checkpoint but keeping the
+    // index restarts epoch numbering into a stream/ history that
+    // remembers this tag's epochs — refused at start (r13 review: the
+    // sibling annProbeStream guard, applied to the accumulating sink)
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ck1), true)
+    val eFresh = intercept[RuntimeException](
+      EventStream.appendIvfIndexStream(
+        spark.readStream.schema(part2.schema).parquet(inDir),
+        idx, "vec_id", "embedding", checkpoint = ck1))
+    assert(eFresh.getMessage.contains("fresh"), eFresh.getMessage)
+    // COMPACTION: fold stream/ into assigned/, probe unchanged,
+    // manifest re-certified with the full count + a bumped version +
+    // the folded tag's watermark
+    Ann.compactIvfIndex(spark, idx)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
       "compaction left the stream/ table behind")
     val viaCompacted = Ann.ivfIndexTopK(spark, idx, q,
@@ -568,7 +569,40 @@ class GraphDedupSpec extends SparkSpec {
       viaRebuild.exceptAll(viaCompacted).count() == 0,
       "compaction changed the probe answer")
     val mf = Ann.readManifest(spark, idx).get
-    assert(mf.rows == e.count() && mf.version == 1L, mf.toString)
+    assert(mf.rows == e.count() && mf.version == 1L &&
+      mf.streamMarks.nonEmpty, mf.toString)
+    // REPLAY semantics on a dedicated mini-index, driving the exact
+    // at-least-once cases through the per-batch body: (a) the same
+    // (tag, epoch) twice → dynamic epoch-overwrite rewrites, never
+    // doubles; (b) a FOLDED epoch's replay is skipped via the
+    // manifest watermark (re-creating it would double rows the main
+    // table now holds — the r13-review compaction/replay hole); (c) a
+    // LATER epoch of the same tag still appends.
+    val idx3 = scratch("ivfstr-replay")
+    Ann.writeIvfIndex(part1, "vec_id", "embedding", idx3, nlist = 4)
+    val pre3 = Ann.loadIndexGeometry(spark, idx3, "spec")
+    val b = part2.limit(50)
+    val bn = b.count()
+    EventStream.appendIvfBatch(b, idx3, "vec_id", "embedding", "aa", 7, pre3)
+    EventStream.appendIvfBatch(b, idx3, "vec_id", "embedding", "aa", 7, pre3)
+    assert(spark.read.parquet(s"$idx3/stream").count() == bn,
+      "a replayed epoch doubled its rows")
+    Ann.compactIvfIndex(spark, idx3)
+    val mf3 = Ann.readManifest(spark, idx3).get
+    assert(mf3.streamMarks == Map("aa" -> 7L), mf3.toString)
+    EventStream.appendIvfBatch(b, idx3, "vec_id", "embedding", "aa", 7, pre3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx3/stream")),
+      "a folded epoch's replay resurrected rows already in assigned/")
+    EventStream.appendIvfBatch(b, idx3, "vec_id", "embedding", "aa", 8, pre3)
+    assert(spark.read.parquet(s"$idx3/stream").count() == bn,
+      "a post-compaction epoch of the same tag must still append")
+    // an EMPTY micro-batch writes nothing (no file-less epoch husk
+    // that would crash the union read's schema inference)
+    EventStream.appendIvfBatch(b.limit(0), idx3, "vec_id", "embedding",
+      "aa", 9, pre3)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$idx3/stream/__stream=aa/__epoch=9")),
+      "an empty micro-batch left an epoch husk")
     // SQ8: streamed rows must encode under the ORIGINAL half-corpus
     // grid (the batch-append contract, via the shared
     // encodeUnderStoredGeometry) — reference = brute force with
@@ -591,10 +625,15 @@ class GraphDedupSpec extends SparkSpec {
     // epochs (rows encoded under the OLD grid silently mixing into
     // probes of the new index is the torn state the manifest
     // discipline exists to prevent)
+    val geomBefore = Ann.readManifest(spark, idxQ).get.geomId
     Ann.writeIvfIndex(e, "vec_id", "embedding", idxQ, nlist = 8,
       quantize = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxQ/stream")),
       "rebuild left old-geometry streamed epochs behind")
+    val mfReb = Ann.readManifest(spark, idxQ).get
+    assert(mfReb.streamMarks.isEmpty && mfReb.geomId != geomBefore,
+      s"rebuild must reset stream marks and mint a new geometry id: " +
+        s"$mfReb (was geomId=$geomBefore)")
     // a missing index refuses at STREAM START, not first batch
     val bare = scratch("ivfstr-bare")
     val err = intercept[RuntimeException](EventStream.appendIvfIndexStream(
