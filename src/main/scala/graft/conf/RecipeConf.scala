@@ -284,9 +284,18 @@ object RecipeConf {
         cVec = ds.options.getOrElse("vec",
           sys.error("ann_index sink needs options.vec (embedding column)")),
         path = ds.path)
+    // 'compact' folds the streamed epoch partitions
+    // (appendIvfIndexStream) into the main table — the index lifecycle's
+    // maintenance step, runnable from the same YAML that owns the
+    // build/append (Ann.compactIvfIndex: snapshot-scoped, watermarked,
+    // no-op without streamed rows). The recipe's input frame is
+    // deliberately ignored: compaction rewrites what the index already
+    // holds.
+    case "ann_index" if mode == "compact" =>
+      graft.sim.Ann.compactIvfIndex(df.sparkSession, ds.path)
     case "ann_index" if mode != "create" && mode != "overwrite" =>
       sys.error(s"ann_index sink only supports mode create/overwrite/" +
-        s"append, got '$mode'")
+        s"append/compact, got '$mode'")
     // options.quantize selects the cell layout: false/absent = float,
     // true/sq8 = int8 scalar grids (FAISS-IVF-SQ8), pq = product-
     // quantized m-byte codes (FAISS-IVFPQ; options.pq_m/pq_ksub set the

@@ -1308,6 +1308,33 @@ class RecipeConfSpec extends SparkSpec {
     val eDrift = intercept[RuntimeException](
       RecipeConf.run(spark, conf, "drift", mode = "append"))
     assert(eDrift.getMessage.contains("drifted"), eDrift.getMessage)
+    // mode=compact folds STREAMED epoch partitions into the main
+    // table through the same YAML that owns the build/append — the
+    // full index lifecycle is recipe-driven. Plant one streamed epoch
+    // via the sink's per-batch body, fold it, and the exhaustive
+    // probe must still equal brute force (now over corpus + the
+    // streamed rows) with the watermark recorded.
+    val idxPath = s"$dir/ann_app_idx"
+    val extra = vecs.limit(3).select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    graft.streaming.EventStream.appendIvfBatch(extra, idxPath,
+      "vec_id", "embedding", tag = "yamlck", epoch = 0,
+      pre = graft.sim.Ann.loadIndexGeometry(spark, idxPath, "spec"))
+    RecipeConf.run(spark, conf, "extend", mode = "compact")
+    val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/stream")),
+      "YAML compact left the stream/ table behind")
+    val all2 = vecs.unionByName(extra)
+    val probed2 = RecipeConf.run(spark, conf, "probe")
+    val direct2 = graft.sim.Ann.bruteForceTopK(vecs, all2,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    assert(probed2.exceptAll(direct2).isEmpty &&
+      direct2.exceptAll(probed2).isEmpty,
+      "compacted YAML index diverges from brute force over the union")
+    assert(graft.sim.Ann.readManifest(spark, idxPath)
+      .exists(m => m.streamMarks == Map("yamlck" -> 0L) &&
+        m.rows == all2.count()))
   }
 
   test("neardup_index sink from YAML persists a probe-able band layout") {
