@@ -425,8 +425,11 @@ object Ann {
           "build one with writeIvfIndex or the ann_index sink)")
     }
     // a long-lived JVM (the API server) must never silently probe a
-    // dir someone rebuilt under it — both torn states fail loudly
-    val mf = readManifest(spark, path).getOrElse(
+    // dir someone rebuilt under it — both torn states fail loudly.
+    // Patient read: a concurrent compaction retracts the certificate
+    // for its narrow swap window and a probe landing inside it should
+    // ride it out, not die on a transient state.
+    val mf = readManifestPatient(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$probe: '$path' has no build manifest — the index build " +
           "did not complete (or is being rebuilt right now); rerun " +
@@ -1337,7 +1340,8 @@ object Ann {
 
   private[graft] def encodeUnderStoredGeometry(batch: DataFrame,
       cId: String, cVec: String, path: String, caller: String,
-      pre: Option[(IvfManifest, DataFrame)] = None)
+      pre: Option[(IvfManifest, DataFrame)] = None,
+      preExtra: Option[DataFrame] = None)
       : (DataFrame, IvfManifest) = {
     val spark = batch.sparkSession
     // `pre` = (manifest, centroids) validated and cached by a
@@ -1360,11 +1364,15 @@ object Ann {
     val rows = mf.quant match {
       case 0 => assigned0.select("neighbor_id", "__cv", "__cell")
       case 1 =>
-        val params = spark.read.parquet(s"$path/params")
+        // preExtra = the codebook table a long-running caller loaded
+        // (and persisted) once at stream start — the per-call read is
+        // the batch-append path
+        val params = preExtra.getOrElse(
+          spark.read.parquet(s"$path/params"))
         quantizeInt8(assigned0, "__cv", params, "qvec")
           .select("neighbor_id", "qvec", "__cell")
       case _ =>
-        val cb = spark.read.parquet(s"$path/pq")
+        val cb = preExtra.getOrElse(spark.read.parquet(s"$path/pq"))
         if (mf.pqRes == 0)
           encodePq(assigned0.select("neighbor_id", "__cv", "__cell"),
               "__cv", cb, "codes")
@@ -1420,24 +1428,64 @@ object Ann {
     * schema" and turn a working index unprobable (r13 review). */
   private def hasParquetFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean = {
-    if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    // manual recursion SKIPPING hidden names ('_', '.'): Spark's
+    // partition discovery ignores them, so counting a parquet file
+    // inside .spark-staging-* (a kill-mid-write remnant) would send
+    // the caller into a union read that then sees zero data files and
+    // crashes on schema inference — the exact state this guard exists
+    // to keep probe-able (r13 review #2)
+    // Spark's own discovery rule: '_'/'.'-prefixed names are hidden
+    // UNLESS they contain '=' (partition dirs like __cell=3 — the
+    // index layout itself relies on that carve-out)
+    def visible(n: String) =
+      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
+    def walk(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) visible(n) && walk(st.getPath)
+        else visible(n) && n.endsWith(".parquet")
+      }
+    fs.exists(p) && walk(p)
+  }
+
+  /** Read the manifest with a SHORT bounded retry on absence: a
+    * compaction retracts the certificate for its (narrow) swap window,
+    * and a live probe or sink batch landing inside it must not die on
+    * a transient state — while a crashed build's PERMANENT absence
+    * still fails after the ~1 s budget (the loud-refusal contract,
+    * delayed one second). */
+  private[graft] def readManifestPatient(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[IvfManifest] = {
+    var attempt = 0
+    var mf = readManifest(spark, path)
+    while (mf.isEmpty && attempt < 4) {
+      Thread.sleep(250); attempt += 1
+      mf = readManifest(spark, path)
     }
-    false
+    mf
   }
 
   /** The streamed-epoch partition dirs currently under `path/stream`:
     * (streamTag, epoch, dir) triples — the SNAPSHOT unit compaction
-    * folds and deletes. */
+    * folds and deletes. A legacy single-level layout (bare __epoch=*
+    * dirs from before the checkpoint-tag partitioning) refuses loudly:
+    * silently ignoring it would make compaction a forever-no-op while
+    * a resumed stream writes the two-level layout beside it and every
+    * probe dies on conflicting partition structures. */
   private def listStreamEpochs(fs: org.apache.hadoop.fs.FileSystem,
       path: String)
       : Seq[(String, Long, org.apache.hadoop.fs.Path)] = {
     val streamP = new org.apache.hadoop.fs.Path(s"$path/stream")
     if (!fs.exists(streamP)) return Nil
+    val top = fs.listStatus(streamP).toSeq
+    require(!top.exists(s => s.isDirectory &&
+        s.getPath.getName.startsWith("__epoch=")),
+      s"the stream/ table at '$path' uses the legacy un-tagged epoch " +
+        "layout — rebuild the index (writeIvfIndex clears stream/) " +
+        "before streaming into it again")
     for {
-      sd <- fs.listStatus(streamP).toSeq
+      sd <- top
       if sd.isDirectory && sd.getPath.getName.startsWith("__stream=")
       ed <- fs.listStatus(sd.getPath).toSeq
       if ed.isDirectory && ed.getPath.getName.startsWith("__epoch=")
@@ -1475,10 +1523,19 @@ object Ann {
     val mf = readManifest(spark, path).getOrElse(sys.error(
       s"compactIvfIndex: no build manifest at '$path' — nothing " +
         "certified to compact; rebuild with writeIvfIndex"))
-    // the snapshot: fold + delete exactly these dirs, nothing newer
+    // the snapshot: fold + delete exactly these dirs, nothing newer.
+    // Three bins: file-less crash husks (swept), RESURRECTED epochs —
+    // at/below their tag's existing watermark, i.e. a replay that
+    // raced a previous compaction and re-created a dir whose rows the
+    // main table already holds (r13 review #3) — deleted WITHOUT
+    // folding (folding again would make the duplication permanent),
+    // and genuinely new epochs (folded).
     val epochs = listStreamEpochs(fs, path)
-    val (live, husks) = epochs.partition(e => hasParquetFile(fs, e._3))
-    husks.foreach(e => fs.delete(e._3, true)) // file-less crash remnants
+    val (files, husks) = epochs.partition(e => hasParquetFile(fs, e._3))
+    husks.foreach(e => fs.delete(e._3, true))
+    val (resurrected, live) = files.partition { case (tag, ep, _) =>
+      mf.streamMarks.get(tag).exists(ep <= _) }
+    resurrected.foreach(e => fs.delete(e._3, true))
     if (live.isEmpty) {
       if (!hasParquetFile(fs, streamP)) fs.delete(streamP, true)
       return
@@ -1487,14 +1544,20 @@ object Ann {
       .parquet(live.map(_._3.toString): _*)
     val merged = spark.read.parquet(s"$path/assigned")
       .unionByName(snap.drop("__epoch", "__stream"))
-    val mfp = manifestFile(path)
-    mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(mfp, false)
-    // stage the merge beside the live table, then swap — rewriting
-    // assigned/ in place would read and overwrite the same files
+    // stage the merge FIRST (the long part — reading both tables and
+    // rewriting every cell), so the certificate-retraction window
+    // below covers only the swap + stream deletes: a live probe or
+    // sink batch rides out that narrow window on the bounded manifest
+    // retry (readManifestPatient; r13 review #1 — the old ordering
+    // retracted for the whole rewrite and killed concurrent readers),
+    // while a crash mid-swap still leaves no certificate and fails
+    // loudly, never a silent double-count.
     val staged = s"$path/assigned_compact"
     merged.repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(staged)
+    val mfp = manifestFile(path)
+    mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mfp, false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
     fs.rename(new org.apache.hadoop.fs.Path(staged),
       new org.apache.hadoop.fs.Path(s"$path/assigned"))
@@ -1583,7 +1646,7 @@ object Ann {
   def ivfIndexTopKAuto(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, qId: String, qVec: String,
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val mf = readManifest(spark, path).getOrElse(
+    val mf = readManifestPatient(spark, path).getOrElse(
       throw new IllegalStateException(
         s"ivfIndexTopKAuto: '$path' has no build manifest — the index " +
           "build did not complete (or is being rebuilt right now); " +

@@ -477,14 +477,18 @@ object EventStream {
     * after clearing it would replay epoch numbers into a history that
     * remembers them; use a NEW checkpoint path instead.
     *
-    * Per-batch cost: geometry loads ONCE at start (centroids +
-    * manifest — r13 review: re-reading per micro-batch repeated a
-    * count job and, for PQR, a driver collect for every trigger);
-    * each batch pays one tiny manifest re-read as the out-of-band
-    * REBUILD tripwire (`geom_id` changes on retrain — version/
-    * built_ms can't distinguish a legitimate concurrent compaction
-    * from a retrain, the geometry identity can). Empty micro-batches
-    * write nothing. The manifest stays untouched by the stream
+    * Per-batch cost: geometry loads ONCE at start (manifest torn
+    * checks, centroids and the quantized layouts' codebook table,
+    * both PERSISTED for the stream's lifetime and released when the
+    * query terminates — r13 review: re-reading per micro-batch
+    * repeated a count job and codebook footer reads every trigger;
+    * the PQR coarse collect still runs per batch but against the
+    * cached centroid blocks); each batch pays one tiny manifest
+    * re-read serving two purposes — the out-of-band REBUILD tripwire
+    * (`geom_id` changes on retrain; version/built_ms can't
+    * distinguish a legitimate concurrent compaction from a retrain,
+    * the geometry identity can) and the current compaction watermarks
+    * (see above). Empty micro-batches write nothing. The manifest stays untouched by the stream
     * (version bumps belong to batch appends/compaction); duplicate
     * ids across epochs are the caller's contract, same as the batch
     * append (dedup at ingest first — the q107 discipline). Single
@@ -498,14 +502,14 @@ object EventStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sim.Ann
     val spark = stream.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
     // geometry loads + validates ONCE (torn checks included); the
-    // centroids cache serves every micro-batch — per-batch work is
-    // one manifest re-read (the retrain tripwire) + the encode
+    // cached centroids + codebook serve every micro-batch — per-batch
+    // work is one manifest re-read (the retrain/marks read) + the
+    // encode
     val (mf0, cent0) =
       Ann.loadIndexGeometry(spark, indexPath, "appendIvfIndexStream")
-    val cent = cent0.persist()
-    val tag = streamTag(checkpoint)
-    val hconf = spark.sparkContext.hadoopConfiguration
+    val tag = streamTag(checkpoint, hconf)
     val offsP = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
     val tagDir = new org.apache.hadoop.fs.Path(
       s"$indexPath/stream/__stream=$tag")
@@ -518,23 +522,60 @@ object EventStream {
         s"'$tag' — a restarted epoch numbering would collide with " +
         "(or be skipped against) that history; use a NEW checkpoint " +
         "path, or keep the old checkpoint to resume")
-    stream.writeStream
+    // persist AFTER the refusals (a refused call must not leak cache
+    // entries); released when THIS query terminates, via a one-shot
+    // listener — the sink may outlive this method by days
+    val cent = cent0.persist()
+    val extra = (mf0.quant match {
+      case 1 => Some(s"$indexPath/params")
+      case 2 => Some(s"$indexPath/pq")
+      case _ => None
+    }).map(p => spark.read.parquet(p).persist())
+    val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         appendIvfBatch(batch, indexPath, idCol, vecCol, tag, epoch,
-          pre = (mf0, cent))
+          pre = (mf0, cent), preExtra = extra)
       }
       .start()
+    val qid = q.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            cent.unpersist()
+            extra.foreach(_.unpersist())
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 
   /** The checkpoint-scoped stream incarnation tag: epoch ids are only
     * unique within one checkpoint, so everything keyed by epoch
-    * (partitions, compaction marks) is keyed by this too. */
-  private[graft] def streamTag(checkpoint: String): String =
+    * (partitions, compaction marks) is keyed by this too. Hashes the
+    * QUALIFIED path, not the raw string (r13 review: '/tmp/ck',
+    * 'file:///tmp/ck' and '/tmp/ck/' are one physical checkpoint and
+    * must be one tag — a replay under a respelled path would
+    * otherwise land beside the original epochs instead of overwriting
+    * them). */
+  private[graft] def streamTag(checkpoint: String,
+      hconf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    val qualified = p.getFileSystem(hconf).makeQualified(p).toString
     java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map("%02x".format(_)).mkString
+  }
 
   /** One micro-batch of [[appendIvfIndexStream]] — package-visible so
     * the replay spec can drive the exact at-least-once cases (same
@@ -542,9 +583,19 @@ object EventStream {
     * harness. */
   private[graft] def appendIvfBatch(batch: DataFrame, indexPath: String,
       idCol: String, vecCol: String, tag: String, epoch: Long,
-      pre: (graft.sim.Ann.IvfManifest, DataFrame)): Unit = {
+      pre: (graft.sim.Ann.IvfManifest, DataFrame),
+      preExtra: Option[DataFrame] = None): Unit = {
     import graft.sim.Ann
-    val mf = Ann.readManifest(batch.sparkSession, indexPath)
+    // marks are compared against manifest keys that were sanitized on
+    // write — reject a tag the round trip would silently mangle (the
+    // sanitize/compare asymmetry would make its watermark ineffective)
+    require(tag.matches("[0-9a-zA-Z]+"),
+      s"appendIvfBatch: stream tag '$tag' must be alphanumeric " +
+        "(manifest mark keys are)")
+    // patient read: a concurrent compaction retracts the certificate
+    // for its narrow swap window — ride it out; a PERMANENT absence
+    // (rebuild/crash) still fails after the budget
+    val mf = Ann.readManifestPatient(batch.sparkSession, indexPath)
       .getOrElse(sys.error(
         s"appendIvfIndexStream: the manifest at $indexPath vanished " +
           "mid-stream — index being rebuilt? stop the stream during " +
@@ -563,13 +614,28 @@ object EventStream {
     if (batch.isEmpty) return // nothing to write, no empty epoch husk
     val (rows, _) = Ann.encodeUnderStoredGeometry(
       batch, idCol, vecCol, indexPath, "appendIvfIndexStream",
-      pre = Some(pre))
+      pre = Some(pre), preExtra = preExtra)
     rows.withColumn("__stream", lit(tag)).withColumn("__epoch", lit(epoch))
       .repartition(col("__cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__stream", "__epoch", "__cell")
       .parquet(s"$indexPath/stream")
+    // post-write verify (r13 review: the check-then-write race) — a
+    // compaction that folded THIS epoch's previous dir between our
+    // marks read and our write has already banked these rows in
+    // assigned/; the dir we just re-created would double them, so
+    // take it back. Between our write and this check the double
+    // exists transiently; compaction itself also skips-and-sweeps
+    // resurrected epochs (≤ mark), so the state can never become
+    // permanent whichever side wins the race.
+    val mfAfter = Ann.readManifestPatient(batch.sparkSession, indexPath)
+    if (mfAfter.exists(_.streamMarks.get(tag).exists(epoch <= _))) {
+      val d = new org.apache.hadoop.fs.Path(
+        s"$indexPath/stream/__stream=$tag/__epoch=$epoch")
+      d.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(d, true)
+    }
   }
 
   /** Stream → keyed-upsert parquet sink via foreachBatch: each

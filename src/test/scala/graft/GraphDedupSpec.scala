@@ -603,6 +603,36 @@ class GraphDedupSpec extends SparkSpec {
     assert(!fs.exists(
       new org.apache.hadoop.fs.Path(s"$idx3/stream/__stream=aa/__epoch=9")),
       "an empty micro-batch left an epoch husk")
+    // a RESURRECTED epoch (a replay that raced a previous compaction
+    // and re-created a dir at/below its tag's watermark) is swept by
+    // the next compaction WITHOUT re-folding — folding it again would
+    // make the transient double-count permanent in assigned/ (r13
+    // review #3's other half)
+    val base = spark.read.parquet(s"$idx3/assigned").count()
+    spark.read.parquet(s"$idx3/assigned").limit(5)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$idx3/stream/__stream=aa/__epoch=7")
+    Ann.compactIvfIndex(spark, idx3)
+    val mf4 = Ann.readManifest(spark, idx3).get
+    assert(spark.read.parquet(s"$idx3/assigned").count() == base + bn,
+      "compaction re-folded a resurrected epoch (or missed epoch 8)")
+    assert(mf4.streamMarks == Map("aa" -> 8L), mf4.toString)
+    // a non-alphanumeric tag would silently break its own watermark
+    // round trip (manifest keys are sanitized on write) — refused
+    val eTag = intercept[IllegalArgumentException](
+      EventStream.appendIvfBatch(b, idx3, "vec_id", "embedding",
+        "bad-tag", 0, pre3))
+    assert(eTag.getMessage.contains("alphanumeric"), eTag.getMessage)
+    // the LEGACY un-tagged stream layout refuses compaction loudly
+    // (silently ignoring it would no-op forever while a resumed
+    // stream writes the tagged layout beside it)
+    spark.read.parquet(s"$idx3/assigned").limit(3)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$idx3/stream/__epoch=0")
+    val eLegacy = intercept[IllegalArgumentException](
+      Ann.compactIvfIndex(spark, idx3))
+    assert(eLegacy.getMessage.contains("legacy"), eLegacy.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx3/stream"), true)
     // SQ8: streamed rows must encode under the ORIGINAL half-corpus
     // grid (the batch-append contract, via the shared
     // encodeUnderStoredGeometry) — reference = brute force with
