@@ -72,6 +72,28 @@ object SparkEntry {
   private def ivfStrIdxDir(dir: String): String =
     scratchDir("graft-ivfstr-q131", tag = dir)
 
+  /** q132's COMPACTED index dir: q131's accumulation history (build on
+    * half, stream the rest into the epoch-partitioned stream/ table)
+    * followed by the YAML compact maintenance step — own dir because
+    * the post-compaction layout (single main table, no stream/ reads)
+    * is the state under test, not shared with q131's still-streaming
+    * union. */
+  private def ivfCmpIdxDir(dir: String): String =
+    scratchDir("graft-ivfcmp-q132", tag = dir)
+
+  /** q133's incremental PQ index dir: the product-quantized sibling of
+    * q126/q129's appends — the appended batch must encode under the
+    * STORED per-subspace codebooks (encodeUnderStoredGeometry's pq
+    * branch, which q126/q129 never reach). */
+  private def ivfApndPqIdxDir(dir: String): String =
+    scratchDir("graft-ivfapppq-q133", tag = dir)
+
+  /** q134's incremental RESIDUAL-PQ index dir: the deepest append path
+    * — the batch assigns under the STORED coarse centroids AND encodes
+    * its residuals under the STORED residual codebooks. */
+  private def ivfApndPqrIdxDir(dir: String): String =
+    scratchDir("graft-ivfapppqr-q134", tag = dir)
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -843,6 +865,131 @@ object SparkEntry {
       }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // INDEX COMPACTION driver-gated (q131 gates the still-streaming
+    // union read; this gates the maintenance step that FOLDS it):
+    // q131's accumulation history replayed — build on the even half,
+    // stream the odd half into the epoch-partitioned stream/ table —
+    // then the YAML `ann_index` compact mode folds the epochs into the
+    // main cell-partitioned table. The query body then REQUIRES the
+    // stream/ table is actually gone (a compaction that silently
+    // no-ops would still pass the probe — the union read hides it),
+    // and probes exhaustively: float cells only partition, so the
+    // post-fold answer is q25/q60/q126/q131's brute-force oracle.
+    // Fold-preserves-the-answer and fold-actually-folds, both at the
+    // driver gate. No bench line: the steady-state cost of probing a
+    // compacted index IS q60's single-table probe (SCALE.md records
+    // the ~3% union overhead this step removes).
+    "q132_ann_ivf_compact" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val idx = ivfCmpIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        val ckpt = scratchDir("graft-ivfcmp-ckpt", tag = dir)
+        Seq(idx, ckpt).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 16)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val q = EventStream.appendIvfIndexStream(
+          stream.filter(col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"),
+          idx, "vec_id", "embedding", checkpoint = ckpt)
+        q.processAllAvailable(); q.stop()
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  emb: {path: $dir/embeddings.parquet, format: parquet}
+             |  idxw: {path: $idx, format: ann_index}
+             |recipes:
+             |  cmp: {input: emb, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "cmp", mode = "compact")
+        val sp = new org.apache.hadoop.fs.Path(s"$idx/stream")
+        require(!sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(sp),
+          s"q132: compaction left the stream/ table behind at $sp — " +
+            "the fold silently no-opped")
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // INCREMENTAL PQ IVF (q126 gated the float append, q129 the SQ8
+    // grid — this gates encodeUnderStoredGeometry's PQ branch, which
+    // neither reaches): the per-subspace codebooks fit on the EVEN
+    // half ALONE, the YAML-appended odd half must encode under those
+    // STORED codebooks (an append never refits). The exhaustive probe
+    // equals brute-force ADC ranking over the union with the towers
+    // trained on even ids only — q121's oracle with trainPred
+    // restricting exactly the training CTEs (plain-PQ cells only
+    // partition, so the coarse layout needs no oracle model).
+    "q133_ann_ivf_append_pq" -> ((s, dir) => {
+      val idx = ivfApndPqIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 8)
+        val batchPath = scratchDir("graft-ivfapppq-batch", tag = dir)
+        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(batchPath)
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  batch: {path: $batchPath, format: parquet}
+             |  idxw:
+             |    path: $idx
+             |    format: ann_index
+             |    options: {id: vec_id, vec: embedding, nlist: "16",
+             |      quantize: "pq", pq_m: "4", pq_ksub: "8"}
+             |recipes:
+             |  app: {input: batch, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // INCREMENTAL RESIDUAL-PQ IVF — the deepest append path: the
+    // appended batch assigns under the STORED coarse centroids AND
+    // encodes its residuals (qv − qc[cell]) under the STORED residual
+    // codebooks (encodeUnderStoredGeometry's pqRes branch — the one
+    // with TWO stored geometries to drift). Oracle = q125's full
+    // residual replay with the coarse tower and every residual
+    // subspace tower trained on even ids alone, while the final
+    // assignment, residuals, codes and ADC ranking cover the union.
+    "q134_ann_ivf_append_pqr" -> ((s, dir) => {
+      val idx = ivfApndPqrIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 8, m = 4, ksub = 8,
+          residual = true)
+        val batchPath = scratchDir("graft-ivfapppqr-batch", tag = dir)
+        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(batchPath)
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  batch: {path: $batchPath, format: parquet}
+             |  idxw:
+             |    path: $idx
+             |    format: ann_index
+             |    options: {id: vec_id, vec: embedding, nlist: "8",
+             |      quantize: "pqr", pq_m: "4", pq_ksub: "8"}
+             |recipes:
+             |  app: {input: batch, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 8)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -2610,7 +2757,16 @@ object SparkEntry {
     * which reproduces the engine's whole-vector validity rule (a row
     * invalid in any subspace ranks nowhere). */
   private def pqTopKOracleSql(m: Int, dsub: Int, ksub: Int,
-      iters: Int): String = {
+      iters: Int, trainPred: String = ""): String = {
+    // `trainPred` (a predicate on `id`) restricts the codebook-TRAINING
+    // rows — the append gates (q133) fit towers on the build half alone
+    // while code assignment and ranking still cover the union, which is
+    // exactly the append contract (encode under STORED codebooks, never
+    // refit). Empty keeps the original single-source shape, so the
+    // brute/probe oracles (q121/q122) are untouched.
+    def trainSrc(s: Int) = if (trainPred.isEmpty) s"es$s" else s"tr$s"
+    def trainCte(s: Int) = if (trainPred.isEmpty) ""
+      else s"tr$s AS (SELECT * FROM es$s WHERE $trainPred),\n"
     val head =
       """WITH e AS (SELECT vec_id AS id,
         |   list_transform(CAST(embedding AS DOUBLE[]),
@@ -2625,13 +2781,13 @@ object SparkEntry {
         s"""d$s$r AS (SELECT es.id, c.cid,
            |   list_sum(list_transform(generate_series(1, len(es.sv)),
            |     j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))) AS d2
-           |  FROM es$s es CROSS JOIN cq$s${r - 1} c),
+           |  FROM ${trainSrc(s)} es CROSS JOIN cq$s${r - 1} c),
            |a$s$r AS (SELECT id, cid FROM (SELECT id, cid,
            |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
            |   FROM d$s$r) WHERE rn = 1),
            |s$s$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
            |  FROM a$s$r a JOIN (SELECT id, unnest(range(len(sv))) AS pos,
-           |     unnest(sv) AS q FROM es$s) u USING (id) GROUP BY 1, 2),
+           |     unnest(sv) AS q FROM ${trainSrc(s)}) u USING (id) GROUP BY 1, 2),
            |cq$s$r AS (
            |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
            |    ORDER BY pos) AS cv FROM s$s$r GROUP BY cid
@@ -2642,9 +2798,9 @@ object SparkEntry {
       s"""es$s AS (SELECT id, list_slice(qv, $lo, $hi) AS sv FROM e
          |  WHERE len(list_filter(list_slice(qv, $lo, $hi),
          |    x -> x IS NULL)) = 0),
-         |cq${s}0 AS (SELECT rn - 1 AS cid, sv AS cv FROM (
+         |${trainCte(s)}cq${s}0 AS (SELECT rn - 1 AS cid, sv AS cv FROM (
          |   SELECT es.sv, ROW_NUMBER() OVER (ORDER BY h.hh, es.id) AS rn
-         |   FROM es$s es JOIN h ON h.id = es.id) WHERE rn <= $ksub),
+         |   FROM ${trainSrc(s)} es JOIN h ON h.id = es.id) WHERE rn <= $ksub),
          |$tower,
          |code$s AS (SELECT id, cid FROM (
          |   SELECT es.id, c.cid, ROW_NUMBER() OVER (PARTITION BY es.id
@@ -2690,7 +2846,20 @@ object SparkEntry {
     * ADC grids — a candidate's distance uses the grid of ITS OWN cell
     * (the probe joins on the cell key). All long-exact. */
   private def pqrTopKOracleSql(nlist: Int, m: Int, dsub: Int, ksub: Int,
-      iters: Int): String = {
+      iters: Int, trainPred: String = ""): String = {
+    // `trainPred` (a predicate on `id`): the append gate (q134) trains
+    // the coarse tower AND the residual-subspace towers on the build
+    // half alone; the final assignment `afin`, the residuals `res`,
+    // the code assignment and the ranking still cover the union —
+    // appended rows assign to STORED cells and encode against STORED
+    // residual codebooks, never refit. Empty keeps the original shape
+    // (q125's oracle untouched).
+    val eTrain = if (trainPred.isEmpty) "e" else "et"
+    val eTrainCte = if (trainPred.isEmpty) ""
+      else s",\net AS (SELECT * FROM e WHERE $trainPred)"
+    def rTrainSrc(s: Int) = if (trainPred.isEmpty) s"esr$s" else s"trr$s"
+    def rTrainCte(s: Int) = if (trainPred.isEmpty) ""
+      else s"trr$s AS (SELECT * FROM esr$s WHERE $trainPred),\n"
     val head =
       s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
          |   list_transform(CAST(embedding AS DOUBLE[]),
@@ -2699,21 +2868,21 @@ object SparkEntry {
          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          |h AS MATERIALIZED (SELECT id,
          |   ('0x' || substr(md5('42' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS hh
-         |  FROM e),
+         |  FROM e)$eTrainCte,
          |ccq0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
          |   SELECT qv, ROW_NUMBER() OVER (ORDER BY h.hh, e.id) AS rn
-         |   FROM e JOIN h ON h.id = e.id) WHERE rn <= $nlist)""".stripMargin
+         |   FROM $eTrain e JOIN h ON h.id = e.id) WHERE rn <= $nlist)""".stripMargin
     val coarse = (1 to iters).map { r =>
       s"""cd$r AS (SELECT e.id, c.cid,
          |   list_sum(list_transform(generate_series(1, len(e.qv)),
          |     j -> (e.qv[j]-c.cv[j])*(e.qv[j]-c.cv[j]))) AS d2
-         |  FROM e CROSS JOIN ccq${r - 1} c),
+         |  FROM $eTrain e CROSS JOIN ccq${r - 1} c),
          |ca$r AS (SELECT id, cid FROM (SELECT id, cid,
          |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
          |   FROM cd$r) WHERE rn = 1),
          |cs$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
          |  FROM ca$r a JOIN (SELECT id, unnest(range(len(qv))) AS pos,
-         |     unnest(qv) AS q FROM e) u USING (id) GROUP BY 1, 2),
+         |     unnest(qv) AS q FROM $eTrain) u USING (id) GROUP BY 1, 2),
          |ccq$r AS (
          |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
          |    ORDER BY pos) AS cv FROM cs$r GROUP BY cid
@@ -2738,13 +2907,13 @@ object SparkEntry {
         s"""dr$s$r AS (SELECT es.id, c.cid,
            |   list_sum(list_transform(generate_series(1, len(es.sv)),
            |     j -> (es.sv[j]-c.cv[j])*(es.sv[j]-c.cv[j]))) AS d2
-           |  FROM esr$s es CROSS JOIN cqr$s${r - 1} c),
+           |  FROM ${rTrainSrc(s)} es CROSS JOIN cqr$s${r - 1} c),
            |ar$s$r AS (SELECT id, cid FROM (SELECT id, cid,
            |   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
            |   FROM dr$s$r) WHERE rn = 1),
            |sr$s$r AS (SELECT a.cid, u.pos, SUM(u.q) AS sm, COUNT(*) AS n
            |  FROM ar$s$r a JOIN (SELECT id, unnest(range(len(sv))) AS pos,
-           |     unnest(sv) AS q FROM esr$s) u USING (id) GROUP BY 1, 2),
+           |     unnest(sv) AS q FROM ${rTrainSrc(s)}) u USING (id) GROUP BY 1, 2),
            |cqr$s$r AS (
            |  SELECT cid, list(CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
            |    ORDER BY pos) AS cv FROM sr$s$r GROUP BY cid
@@ -2753,9 +2922,9 @@ object SparkEntry {
            |  WHERE cid NOT IN (SELECT cid FROM sr$s$r))""".stripMargin
       }.mkString(",\n")
       s"""esr$s AS MATERIALIZED (SELECT id, list_slice(rv, $lo, $hi) AS sv FROM res),
-         |cqr${s}0 AS (SELECT rn - 1 AS cid, sv AS cv FROM (
+         |${rTrainCte(s)}cqr${s}0 AS (SELECT rn - 1 AS cid, sv AS cv FROM (
          |   SELECT es.sv, ROW_NUMBER() OVER (ORDER BY h.hh, es.id) AS rn
-         |   FROM esr$s es JOIN h ON h.id = es.id) WHERE rn <= $ksub),
+         |   FROM ${rTrainSrc(s)} es JOIN h ON h.id = es.id) WHERE rn <= $ksub),
          |$tower,
          |code$s AS (SELECT id, cid FROM (
          |   SELECT es.id, c.cid, ROW_NUMBER() OVER (PARTITION BY es.id
@@ -3446,6 +3615,30 @@ object SparkEntry {
     // q25/q60/q126 — stream append ≡ batch append ≡ rebuild, by
     // construction
     "q131_ann_ivf_stream_append" -> annTopKOracleSql,
+
+    // the PQ append probed exhaustively: codebooks fit on the even half
+    // alone (trainPred restricts exactly the tower CTEs), codes and
+    // ranking over the union — what fails here is the append path ever
+    // REFITTING the codebooks instead of encoding under the stored ones
+    "q133_ann_ivf_append_pq" ->
+      pqTopKOracleSql(m = 4, dsub = 16, ksub = 8, iters = 4,
+        trainPred = "id % 2 = 0"),
+
+    // the residual append probed exhaustively: coarse tower AND
+    // residual towers trained on the even half alone; assignment,
+    // residuals, codes, per-(query, cell) ADC over the union — both
+    // stored geometries (cells and residual codebooks) pinned at once
+    "q134_ann_ivf_append_pqr" ->
+      pqrTopKOracleSql(nlist = 8, m = 4, dsub = 16, ksub = 8, iters = 4,
+        trainPred = "id % 2 = 0"),
+
+    // q131's history + the YAML compact fold, probed exhaustively: the
+    // fold rewrites WHERE vectors live (epoch partitions → main cell
+    // partitions), never WHAT they are, so the post-compaction answer
+    // is the same brute-force oracle — fold-preserves-the-answer at
+    // the driver gate (the query body separately requires the stream/
+    // table is actually gone, so a silent no-op fold cannot pass)
+    "q132_ann_ivf_compact" -> annTopKOracleSql,
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have
