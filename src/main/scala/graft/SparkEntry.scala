@@ -94,6 +94,57 @@ object SparkEntry {
   private def ivfApndPqrIdxDir(dir: String): String =
     scratchDir("graft-ivfapppqr-q134", tag = dir)
 
+  /** Shared append-gate scaffold (q126/q129/q133/q134): stage the ODD
+    * half of `embeddings` as a scratch parquet (the YAML dataset needs
+    * a path) and append it to `idx` through the RecipeConf ann_index
+    * APPEND mode — so every append gate exercises the recipe sink
+    * routing + the declared-geometry drift cross-check, not just the
+    * library call. `optionsYaml` = the dataset block's flow-mapped
+    * options, declaring the geometry the drift check must accept. */
+  private def yamlAppendOddHalf(s: SparkSession, e: DataFrame,
+      idx: String, batchTag: String, dir: String,
+      optionsYaml: String): Unit = {
+    val batchPath = scratchDir(batchTag, tag = dir)
+    e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(batchPath)
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  batch: {path: $batchPath, format: parquet}
+         |  idxw:
+         |    path: $idx
+         |    format: ann_index
+         |    options: {$optionsYaml}
+         |recipes:
+         |  app: {input: batch, steps: [], output: idxw}
+         |""".stripMargin)
+    graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+  }
+
+  /** Shared accumulation history for the stream-append gates (q131,
+    * and q132's pre-fold state): wipe idx + checkpoint (a pid-recycled
+    * leftover stream/ table would double rows), build the float index
+    * on the EVEN half, then stream the ODD half into the index's
+    * epoch-partitioned stream/ table (appendIvfIndexStream — each
+    * micro-batch encodes under the STORED geometry). */
+  private def buildHalfStreamRest(s: SparkSession, dir: String,
+      idx: String, ckptTag: String): Unit = {
+    val e = t(s, dir, "embeddings")
+    val ckpt = scratchDir(ckptTag, tag = dir)
+    Seq(idx, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 16)
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val q = graft.streaming.EventStream.appendIvfIndexStream(
+      stream.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+      idx, "vec_id", "embedding", checkpoint = ckpt)
+    q.processAllAvailable(); q.stop()
+  }
+
   /** Shared pid-scoped scratch-dir contract (q60/q62/q64): bounded (one
     * dir per JVM per tag, rewritten in place across repeated
     * invocations), pid-suffixed against concurrent processes, and
@@ -769,20 +820,8 @@ object SparkEntry {
       if (!ivfBuilt.contains(idx)) {
         Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", idx, nlist = 16)
-        val batchPath = scratchDir("graft-ivfapp-batch", tag = dir)
-        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
-          .write.mode("overwrite").parquet(batchPath)
-        val conf = graft.conf.RecipeConf.load(
-          s"""datasets:
-             |  batch: {path: $batchPath, format: parquet}
-             |  idxw:
-             |    path: $idx
-             |    format: ann_index
-             |    options: {id: vec_id, vec: embedding, nlist: "16", quantize: "false"}
-             |recipes:
-             |  app: {input: batch, steps: [], output: idxw}
-             |""".stripMargin)
-        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        yamlAppendOddHalf(s, e, idx, "graft-ivfapp-batch", dir,
+          """id: vec_id, vec: embedding, nlist: "16", quantize: "false"""")
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
@@ -809,20 +848,8 @@ object SparkEntry {
       if (!ivfBuilt.contains(idx)) {
         Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", idx, nlist = 16, quantize = true)
-        val batchPath = scratchDir("graft-ivfappq-batch", tag = dir)
-        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
-          .write.mode("overwrite").parquet(batchPath)
-        val conf = graft.conf.RecipeConf.load(
-          s"""datasets:
-             |  batch: {path: $batchPath, format: parquet}
-             |  idxw:
-             |    path: $idx
-             |    format: ann_index
-             |    options: {id: vec_id, vec: embedding, nlist: "16", quantize: "sq8"}
-             |recipes:
-             |  app: {input: batch, steps: [], output: idxw}
-             |""".stripMargin)
-        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        yamlAppendOddHalf(s, e, idx, "graft-ivfappq-batch", dir,
+          """id: vec_id, vec: embedding, nlist: "16", quantize: "sq8"""")
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopKQuantized(s, idx, e.filter(col("vec_id") % 100 === 0),
@@ -842,28 +869,13 @@ object SparkEntry {
     // construction. Dir + checkpoint wiped before the build (a
     // pid-recycled leftover stream/ table would double rows).
     "q131_ann_ivf_stream_append" -> ((s, dir) => {
-      import graft.streaming.EventStream
       val idx = ivfStrIdxDir(dir)
-      val e = t(s, dir, "embeddings")
       if (!ivfBuilt.contains(idx)) {
-        val ckpt = scratchDir("graft-ivfstr-ckpt", tag = dir)
-        Seq(idx, ckpt).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-        }
-        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", idx, nlist = 16)
-        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        val q = EventStream.appendIvfIndexStream(
-          stream.filter(col("vec_id") % 2 =!= 0)
-            .select("vec_id", "embedding"),
-          idx, "vec_id", "embedding", checkpoint = ckpt)
-        q.processAllAvailable(); q.stop()
+        buildHalfStreamRest(s, dir, idx, "graft-ivfstr-ckpt")
         ivfBuilt.add(idx)
       }
-      Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+      Ann.ivfIndexTopK(s, idx,
+        t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
@@ -882,25 +894,10 @@ object SparkEntry {
     // compacted index IS q60's single-table probe (SCALE.md records
     // the ~3% union overhead this step removes).
     "q132_ann_ivf_compact" -> ((s, dir) => {
-      import graft.streaming.EventStream
       val idx = ivfCmpIdxDir(dir)
       val e = t(s, dir, "embeddings")
       if (!ivfBuilt.contains(idx)) {
-        val ckpt = scratchDir("graft-ivfcmp-ckpt", tag = dir)
-        Seq(idx, ckpt).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-        }
-        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", idx, nlist = 16)
-        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        val q = EventStream.appendIvfIndexStream(
-          stream.filter(col("vec_id") % 2 =!= 0)
-            .select("vec_id", "embedding"),
-          idx, "vec_id", "embedding", checkpoint = ckpt)
-        q.processAllAvailable(); q.stop()
+        buildHalfStreamRest(s, dir, idx, "graft-ivfcmp-ckpt")
         val conf = graft.conf.RecipeConf.load(
           s"""datasets:
              |  emb: {path: $dir/embeddings.parquet, format: parquet}
@@ -935,21 +932,9 @@ object SparkEntry {
       if (!ivfBuilt.contains(idx)) {
         Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 8)
-        val batchPath = scratchDir("graft-ivfapppq-batch", tag = dir)
-        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
-          .write.mode("overwrite").parquet(batchPath)
-        val conf = graft.conf.RecipeConf.load(
-          s"""datasets:
-             |  batch: {path: $batchPath, format: parquet}
-             |  idxw:
-             |    path: $idx
-             |    format: ann_index
-             |    options: {id: vec_id, vec: embedding, nlist: "16",
-             |      quantize: "pq", pq_m: "4", pq_ksub: "8"}
-             |recipes:
-             |  app: {input: batch, steps: [], output: idxw}
-             |""".stripMargin)
-        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        yamlAppendOddHalf(s, e, idx, "graft-ivfapppq-batch", dir,
+          """id: vec_id, vec: embedding, nlist: "16",
+            |      quantize: "pq", pq_m: "4", pq_ksub: "8"""".stripMargin)
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
