@@ -446,6 +446,25 @@ class GraphDedupSpec extends SparkSpec {
     val eDrift = intercept[RuntimeException](
       graft.conf.RecipeConf.run(spark, conf, "app", mode = "append"))
     assert(eDrift.getMessage.contains("drifted"), eDrift.getMessage)
+    // ... and so does a matching flavor with a drifted CODE geometry
+    // (pq_ksub) — the knob the q133/q134 append gates declare; a
+    // silently accepted mismatch would mix incompatible codebooks
+    val confK = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  batch: {path: $idx/centroids, format: parquet}
+         |  idxw:
+         |    path: $idx
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, quantize: "pqr",
+         |      pq_m: "2", pq_ksub: "16"}
+         |recipes:
+         |  app: {input: batch, steps: [], output: idxw}
+         |""".stripMargin)
+    val eK = intercept[RuntimeException](
+      graft.conf.RecipeConf.run(spark, confK, "app", mode = "append"))
+    assert(eK.getMessage.contains("drifted") &&
+      (eK.getMessage.contains("pq_m") || eK.getMessage.contains("pq_ksub")),
+      eK.getMessage)
   }
 
   test("appendIvfIndex: float append ≡ full rebuild; quantized batch lands on the ORIGINAL grid; version bumps; torn is loud") {
