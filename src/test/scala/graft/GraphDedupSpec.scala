@@ -670,6 +670,29 @@ class GraphDedupSpec extends SparkSpec {
     assert(probeQ.exceptAll(directQ).count() == 0 &&
       directQ.exceptAll(probeQ).count() == 0,
       "streamed batch did not land on the original SQ8 grid")
+    // PQ: streamed rows must encode under the ORIGINAL per-subspace
+    // codebooks. Reference = a BATCH append to an identically-built
+    // twin (the deterministic seeded build makes the twin's codebooks
+    // bit-identical): both routes share encodeUnderStoredGeometry —
+    // the batch side is q133's driver-gated path — so equal probes pin
+    // that the epoch sink preserves the CODE geometry end-to-end, the
+    // last unpinned (layout × route) cell
+    val idxP = scratch("ivfstr-pq")
+    Ann.writeIvfIndexPq(part1, "vec_id", "embedding", idxP, nlist = 8,
+      m = 4, ksub = 8)
+    runStream(idxP, scratch("ivfstr-ckp") + "/ck")
+    val idxPb = scratch("ivfstr-pqb")
+    Ann.writeIvfIndexPq(part1, "vec_id", "embedding", idxPb, nlist = 8,
+      m = 4, ksub = 8)
+    Ann.appendIvfIndex(part2, "vec_id", "embedding", idxPb)
+    val probeP = Ann.ivfIndexTopKPq(spark, idxP, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val probePb = Ann.ivfIndexTopKPq(spark, idxPb, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(probeP.exceptAll(probePb).count() == 0 &&
+      probePb.exceptAll(probeP).count() == 0,
+      "streamed PQ rows diverged from the batch append under the same " +
+        "stored codebooks")
     // a REBUILD re-trains the geometry, so it must clear the streamed
     // epochs (rows encoded under the OLD grid silently mixing into
     // probes of the new index is the torn state the manifest
