@@ -693,6 +693,19 @@ class GraphDedupSpec extends SparkSpec {
       probePb.exceptAll(probeP).count() == 0,
       "streamed PQ rows diverged from the batch append under the same " +
         "stored codebooks")
+    // ...and compaction folds the QUANTIZED epochs (code rows, not
+    // float vectors — the fold is schema-generic but only the float
+    // path was pinned): stream/ gone, probe answer preserved
+    Ann.compactIvfIndex(spark, idxP)
+    assert(!new org.apache.hadoop.fs.Path(s"$idxP/stream")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$idxP/stream")),
+      "compaction left the PQ stream/ table behind")
+    val probePc = Ann.ivfIndexTopKPq(spark, idxP, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(probePc.exceptAll(probePb).count() == 0 &&
+      probePb.exceptAll(probePc).count() == 0,
+      "compacting the PQ epochs changed the probe answer")
     // a REBUILD re-trains the geometry, so it must clear the streamed
     // epochs (rows encoded under the OLD grid silently mixing into
     // probes of the new index is the torn state the manifest
