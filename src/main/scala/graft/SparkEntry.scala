@@ -181,15 +181,19 @@ object SparkEntry {
   private val ivfBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** q130's batch-trained router weights, once per (JVM, sfdir) — the
-    * q60/ensureNearIdx build-once discipline: production trains the
-    * gate's classifier once batch-side, and the training cost has its
-    * OWN bench line (q110_classifier_fit), so re-deriving it inside
-    * every chain sample would double-count a measured cost and hide
-    * the chain's steady-state number. Deterministic fixture + seeded
-    * training → the cached weights are the re-derived weights. */
-  private val routerWeightsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** q130's batch-trained router weights, once per (SESSION, sfdir) —
+    * the q60/ensureNearIdx build-once discipline: production trains
+    * the gate's classifier once batch-side, and the training cost has
+    * its OWN bench line (q110_classifier_fit), so re-deriving it
+    * inside every chain sample would double-count a measured cost and
+    * hide the chain's steady-state number. Deterministic fixture +
+    * seeded training → the cached weights are the re-derived weights.
+    * The cached DataFrame's plan is bound to the session that built
+    * it (unlike ivfBuilt, which caches only PATHS), so the entry
+    * carries its session and a different/stopped session re-derives
+    * instead of collecting against a dead plan. */
+  private val routerWeightsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
   /** q107's near-dup band index dir + build guard — the same contract
     * as ivfIdxDir/ivfBuilt, for writeNearDupIndex. */
@@ -966,21 +970,9 @@ object SparkEntry {
         Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", idx, nlist = 8, m = 4, ksub = 8,
           residual = true)
-        val batchPath = scratchDir("graft-ivfapppqr-batch", tag = dir)
-        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
-          .write.mode("overwrite").parquet(batchPath)
-        val conf = graft.conf.RecipeConf.load(
-          s"""datasets:
-             |  batch: {path: $batchPath, format: parquet}
-             |  idxw:
-             |    path: $idx
-             |    format: ann_index
-             |    options: {id: vec_id, vec: embedding, nlist: "8",
-             |      quantize: "pqr", pq_m: "4", pq_ksub: "8"}
-             |recipes:
-             |  app: {input: batch, steps: [], output: idxw}
-             |""".stripMargin)
-        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        yamlAppendOddHalf(s, e, idx, "graft-ivfapppqr-batch", dir,
+          """id: vec_id, vec: embedding, nlist: "8",
+            |      quantize: "pqr", pq_m: "4", pq_ksub: "8"""".stripMargin)
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
@@ -2318,10 +2310,11 @@ object SparkEntry {
       val idx = ensureNearIdx(s, dir)
       val raw = s.read.parquet(s"$dir/documents.parquet")
       val test = raw.filter(col("doc_id") % 20 === 0)
-      val w = routerWeightsCache.computeIfAbsent(dir, _ =>
-        graft.ml.LinearClassifier.trainTextClassifier(
+      val w = routerWeightsCache.compute(dir, (_, prev) =>
+        if (prev != null && (prev._1 eq s)) prev
+        else (s, graft.ml.LinearClassifier.trainTextClassifier(
           classifierFixture(t(s, dir, "documents")), "doc_id", "text", "y",
-          buckets = 256, epochs = 3, binary = true).cache())
+          buckets = 256, epochs = 3, binary = true).cache()))._2
       EventStream.runOnce(s, dir,
         st => {
           val id = col("doc_id")
