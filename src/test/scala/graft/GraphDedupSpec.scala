@@ -706,6 +706,26 @@ class GraphDedupSpec extends SparkSpec {
     assert(probePc.exceptAll(probePb).count() == 0 &&
       probePb.exceptAll(probePc).count() == 0,
       "compacting the PQ epochs changed the probe answer")
+    // RESIDUAL PQ: the deepest streamed encode (assign under stored
+    // coarse centroids AND encode residuals under stored residual
+    // codebooks — encodeUnderStoredGeometry's pqRes branch, whose
+    // batch twin is q134's driver-gated path). Same twin construction.
+    val idxR = scratch("ivfstr-pqr")
+    Ann.writeIvfIndexPq(part1, "vec_id", "embedding", idxR, nlist = 4,
+      m = 4, ksub = 8, residual = true)
+    runStream(idxR, scratch("ivfstr-ckr") + "/ck")
+    val idxRb = scratch("ivfstr-pqrb")
+    Ann.writeIvfIndexPq(part1, "vec_id", "embedding", idxRb, nlist = 4,
+      m = 4, ksub = 8, residual = true)
+    Ann.appendIvfIndex(part2, "vec_id", "embedding", idxRb)
+    val probeR = Ann.ivfIndexTopKPq(spark, idxR, q,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val probeRb = Ann.ivfIndexTopKPq(spark, idxRb, q,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    assert(probeR.exceptAll(probeRb).count() == 0 &&
+      probeRb.exceptAll(probeR).count() == 0,
+      "streamed residual-PQ rows diverged from the batch append under " +
+        "the same stored coarse + residual geometry")
     // a REBUILD re-trains the geometry, so it must clear the streamed
     // epochs (rows encoded under the OLD grid silently mixing into
     // probes of the new index is the torn state the manifest
