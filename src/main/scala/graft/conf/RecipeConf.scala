@@ -284,18 +284,33 @@ object RecipeConf {
         cVec = ds.options.getOrElse("vec",
           sys.error("ann_index sink needs options.vec (embedding column)")),
         path = ds.path)
+      // auto-compaction policy (declared on the dataset block): fold
+      // the streamed backlog when it crosses the threshold — checked
+      // at every append boundary, cheap directory listing otherwise
+      graft.sim.Ann.maybeCompactIvfIndex(spark, ds.path,
+        afterEpochs = ds.options.get("compact_after_epochs").map(_.toInt),
+        afterRowsPct = ds.options.get("compact_after_rows_pct").map(_.toDouble))
+      ()
     // 'compact' folds the streamed epoch partitions
     // (appendIvfIndexStream) into the main table — the index lifecycle's
     // maintenance step, runnable from the same YAML that owns the
     // build/append (Ann.compactIvfIndex: snapshot-scoped, watermarked,
-    // no-op without streamed rows). The recipe's input frame is
-    // deliberately ignored: compaction rewrites what the index already
-    // holds.
+    // cell-scoped, no-op without streamed rows/tombstones). The
+    // recipe's input frame is deliberately ignored: compaction
+    // rewrites what the index already holds.
     case "ann_index" if mode == "compact" =>
       graft.sim.Ann.compactIvfIndex(df.sparkSession, ds.path)
+    // 'delete' tombstones the input frame's ids (options.id names the
+    // column) — the takedown verb: probes suppress them immediately,
+    // the next compact purges them physically (Ann.deleteFromIvfIndex)
+    case "ann_index" if mode == "delete" =>
+      graft.sim.Ann.deleteFromIvfIndex(df,
+        idCol = ds.options.getOrElse("id",
+          sys.error("ann_index sink needs options.id (vector id column)")),
+        path = ds.path)
     case "ann_index" if mode != "create" && mode != "overwrite" =>
       sys.error(s"ann_index sink only supports mode create/overwrite/" +
-        s"append/compact, got '$mode'")
+        s"append/compact/delete, got '$mode'")
     // options.quantize selects the cell layout: false/absent = float,
     // true/sq8 = int8 scalar grids (FAISS-IVF-SQ8), pq = product-
     // quantized m-byte codes (FAISS-IVFPQ; options.pq_m/pq_ksub set the
@@ -328,9 +343,16 @@ object RecipeConf {
     // persisted near-dup band index (shingles + band tables, manifest
     // last) — the corpus side of incremental near-dup dedup, signed
     // once; same whole-or-nothing contract as ann_index
+    // 'delete' tombstones the input frame's doc ids — probes stop
+    // matching them immediately; the next rebuild purges physically
+    case "neardup_index" if mode == "delete" =>
+      graft.dedup.Dedup.deleteFromNearDupIndex(df,
+        idCol = ds.options.getOrElse("id",
+          sys.error("neardup_index sink needs options.id (doc id column)")),
+        path = ds.path)
     case "neardup_index" if mode != "create" && mode != "overwrite" =>
-      sys.error(s"neardup_index sink only supports mode create/overwrite " +
-        s"(the index is rebuilt whole), got '$mode'")
+      sys.error(s"neardup_index sink only supports mode create/overwrite/" +
+        s"delete (the index tables are rebuilt whole), got '$mode'")
     case "neardup_index" => graft.dedup.Dedup.writeNearDupIndex(df,
       idCol = ds.options.getOrElse("id",
         sys.error("neardup_index sink needs options.id (doc id column)")),

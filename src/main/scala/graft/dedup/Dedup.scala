@@ -495,8 +495,13 @@ object Dedup {
     // silently finds nothing). Retract the certificate first; it is
     // re-issued only after both tables land.
     val mf = nearDupManifestFile(path)
-    mf.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(mf, false)
+    val fsIdx = mf.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fsIdx.delete(mf, false)
+    // stale tombstones go with the tables: the rebuild's corpus is the
+    // caller's authority on membership (deleteFromNearDupIndex's purge
+    // point — this index has no incremental fold)
+    fsIdx.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     val base = shingleFrame(corpus, idCol, textCol, shingleSize, "__cid")
       .filter(size(col("sh")) > 0)
     base.write.mode("overwrite").parquet(s"$path/shingles")
@@ -543,6 +548,29 @@ object Dedup {
       yield (s.toInt, h.toInt, b.toInt, r)
   }
 
+  /** DELETE for the band index — the takedown verb
+    * ([[graft.sim.Ann.deleteFromIvfIndex]]'s sibling, r13 verdict #2):
+    * tombstoned corpus ids append to a tiny `deletes/` table and every
+    * [[incrementalNearDupsIndexed]] probe anti-joins it broadcast, so
+    * a removed document stops vetoing new near-duplicates immediately,
+    * without re-signing the corpus. Physical purge happens at the next
+    * REBUILD (writeNearDupIndex clears deletes/ with the tables it
+    * rewrites — this index has no incremental fold step; its tables
+    * are append-only until rebuilt). Idempotent; unknown ids are
+    * legal. */
+  def deleteFromNearDupIndex(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    readNearDupManifest(spark, path).getOrElse(sys.error(
+      s"deleteFromNearDupIndex: no near-dup index manifest at $path " +
+        "(incomplete build? rebuild with writeNearDupIndex)"))
+    val idType = spark.read.parquet(s"$path/bands").schema("__cid").dataType
+    ids.select(col(idCol).cast(idType).as("__cid"))
+      .filter(col("__cid").isNotNull).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/deletes")
+  }
+
   /** [[incrementalNearDups]] against a PERSISTED index: verdicts are
     * identical (GraphDedupSpec pins parity), but the corpus side is a
     * narrow parquet read of pre-computed bands plus a count-gated fetch
@@ -550,7 +578,10 @@ object Dedup {
     * size. Signature parameters come FROM the manifest (never from
     * caller defaults — a drifted probe would silently miss every
     * near-dup); a missing manifest fails loudly (incomplete or
-    * pre-manifest build). */
+    * pre-manifest build). Tombstoned ids ([[deleteFromNearDupIndex]])
+    * are filtered at the band scan — sufficient AND cheapest: pairs,
+    * hit ids, and the shingle fetch all derive from it, so a deleted
+    * doc can never resurface downstream. */
   def incrementalNearDupsIndexed(batch: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double = 0.6,
       bloomFpp: Option[Double] = None): DataFrame = {
@@ -566,7 +597,16 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)
-    val cBands0 = spark.read.parquet(s"$indexPath/bands")
+    val cBandsAll = spark.read.parquet(s"$indexPath/bands")
+    val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    val cBands0 =
+      if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(delP))
+        cBandsAll.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(delP.toString).distinct()),
+          Seq("__cid"), "left_anti")
+      else cBandsAll
     val cBands = bloomFpp match {
       case None => cBands0
       case Some(fpp) =>

@@ -248,6 +248,10 @@ object Ann {
     // the new index — silently mixing two geometries is exactly what
     // the manifest discipline exists to prevent
     fs0.delete(new org.apache.hadoop.fs.Path(s"$path/stream"), true)
+    // stale tombstones go with it: a rebuild's corpus is the caller's
+    // authority on membership — an old takedown list suppressing a
+    // deliberately re-added id would be a silent wrong answer
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     // deterministic quantized-integer k-means (Cluster.fitCentroids's
     // engine-portable contract) — the cell layout is replayable from
     // (data, nlist, seed) alone, so the index build itself sits under
@@ -475,7 +479,19 @@ object Ann {
         assigned.unionByName(
           spark.read.parquet(s"$path/stream").drop("__epoch", "__stream"))
       else assigned
-    (centDfRaw, withStream, mf)
+    // TOMBSTONES (deleteFromIvfIndex): suppressed here, AFTER the
+    // stream union, so the takedown covers built and still-streaming
+    // rows alike across all three layouts. Broadcast anti-join — the
+    // deletes table is declared-small (takedowns, not corpus scale);
+    // compactIvfIndex purges the rows physically and clears the table.
+    val withDeletes =
+      if (hasParquetFile(fs, new org.apache.hadoop.fs.Path(s"$path/deletes")))
+        withStream.join(
+          broadcast(spark.read.parquet(s"$path/deletes")
+            .select(col("neighbor_id").as("__del_id")).distinct()),
+          col("neighbor_id") === col("__del_id"), "left_anti")
+      else withStream
+    (centDfRaw, withDeletes, mf)
   }
 
   /** Rank each query's nprobe nearest cells by float centroid distance:
@@ -1202,8 +1218,10 @@ object Ann {
       corpus.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(mf0, false)
     // stale streamed epochs from a pre-rebuild stream would mix the
-    // OLD geometry into probes of the new index (see writeIvfIndex)
+    // OLD geometry into probes of the new index, and stale tombstones
+    // would overrule the new corpus's membership (see writeIvfIndex)
     fs0.delete(new org.apache.hadoop.fs.Path(s"$path/stream"), true)
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     val scale = 10000
     // coarse quantizer: the same fit + integer-space cell assignment as
     // the float/SQ8 layouts — one cell geometry across all three
@@ -1403,21 +1421,77 @@ object Ann {
     * every probe fails loudly instead of reading half a batch.
     * Duplicate ids are the CALLER's contract (append kept rows — run
     * the incremental dedup gate first, the q107 discipline); an
-    * append never dedups. */
+    * append never dedups.
+    *
+    * Single-maintenance-writer contract: an append lands files in the
+    * same cell directories a concurrent [[compactIvfIndex]] deletes at
+    * swap time — interleaved, the appended rows silently vanish. Both
+    * sides enforce it: this method refuses while the fold's
+    * `_COMPACTING` marker exists and holds `_APPENDING` for its run,
+    * which the fold refuses on. A marker left by a CRASHED run blocks
+    * the other side until deleted by hand — the refusal names it (the
+    * torn-manifest loud-refusal style: never silently lose rows). */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String,
       path: String): Unit = {
     val spark = batch.sparkSession
-    val (rows, mf) =
-      encodeUnderStoredGeometry(batch, cId, cVec, path, "appendIvfIndex")
-    val mfp = manifestFile(path)
-    mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(mfp, false)
-    rows.repartition(col("__cell"))
-      .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
-    val total = spark.read.parquet(s"$path/assigned").count()
-    writeManifest(spark, path, mf.nlist, total, mf.quant,
-      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
-      geomId = mf.geomId, streamMarks = mf.streamMarks)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    require(!fs.exists(compactingP),
+      s"appendIvfIndex: a compaction is rewriting cell partitions at " +
+        s"'$path' (${compactingP.getName} exists) — rows appended now " +
+        "would be deleted by its swap (single-maintenance-writer " +
+        "contract); wait for the fold to finish, or delete the marker " +
+        "if it crashed mid-run")
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    fs.create(appendingP, true).close()
+    try {
+      val (rows, mf) =
+        encodeUnderStoredGeometry(batch, cId, cVec, path, "appendIvfIndex")
+      val mfp = manifestFile(path)
+      mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mfp, false)
+      rows.repartition(col("__cell"))
+        .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
+      val total = spark.read.parquet(s"$path/assigned").count()
+      writeManifest(spark, path, mf.nlist, total, mf.quant,
+        mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
+        geomId = mf.geomId, streamMarks = mf.streamMarks)
+    } finally { fs.delete(appendingP, false); () }
+  }
+
+  /** DELETE — the index lifecycle's takedown verb (r13 verdict #2): a
+    * 100-TB training-data pipeline must honor removals WITHOUT a
+    * rebuild. Tombstone semantics, LSM-style: the ids append to a
+    * tiny `deletes/` table (declared-small — takedowns are bounded by
+    * legal/ops reality, not corpus scale), every probe anti-joins it
+    * BROADCAST (openIvfIndex — one shared filter across all three
+    * layouts, covering built AND still-streaming rows), and the next
+    * [[compactIvfIndex]] purges the tombstoned rows physically and
+    * consumes the tombstone files. Until that purge the bytes remain
+    * on disk — callers with hard-erasure deadlines run the fold as
+    * part of the takedown.
+    *
+    * Ids are cast to the index's own id type (footer read, no data
+    * scan) so mixed-type callers cannot write an anti-join that never
+    * matches. Ids absent from the index are legal (idempotent — a
+    * takedown list replayed twice is routine); a delete never touches
+    * assigned/ or the manifest, so it is safe beside probes, appends,
+    * the streaming sink, and a running fold (a fold already past its
+    * tombstone snapshot leaves these ids for the next one). */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    readManifestPatient(spark, path).getOrElse(sys.error(
+      s"deleteFromIvfIndex: no build manifest at '$path' — deletes " +
+        "tombstone rows of a COMPLETE index (build with writeIvfIndex " +
+        "/ the ann_index sink first)"))
+    val idType = spark.read.parquet(s"$path/assigned")
+      .schema("neighbor_id").dataType
+    ids.select(col(idCol).cast(idType).as("neighbor_id"))
+      .filter(col("neighbor_id").isNotNull).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/deletes")
   }
 
   /** Does any parquet data file exist under `p`? Guards the probe
@@ -1495,9 +1569,20 @@ object Ann {
 
   /** Fold the streamed epoch partitions (`path/stream`, written by
     * [[graft.streaming.EventStream.appendIvfIndexStream]]) into the
-    * main `assigned/` table: one rewrite off the hot path — the
+    * main `assigned/` table, and purge tombstoned rows
+    * ([[deleteFromIvfIndex]]): one rewrite off the hot path — the
     * LSM-style compaction that keeps the steady-state probe a
     * two-table union at worst and a single table after.
+    *
+    * CELL-SCOPED (r14, the r13 verdict's one scale finding): the fold
+    * rewrites ONLY the cell partitions the streamed snapshot touches,
+    * plus any cell holding a tombstoned row — never the whole table.
+    * Cost is O(streamed rows + touched-cell bytes), not O(index): at
+    * a 100-TB index a small daily fold pays for the handful of cells
+    * its rows land in, while untouched cell directories keep their
+    * exact files (spec-pinned by file-name identity). Finding the
+    * tombstoned cells costs one column-pruned scan of the id column
+    * (footer-narrow, no payload bytes) — only when tombstones exist.
     *
     * Safe beside a LIVE stream (r13 review): the fold operates on a
     * SNAPSHOT — the epoch dirs listed at entry are read explicitly,
@@ -1507,27 +1592,59 @@ object Ann {
     * folded epoch must not resurrect it in stream/: each folded
     * stream incarnation's highest epoch is recorded in the manifest
     * (`stream_marks`), and the sink skips any (tag, epoch) at or
-    * below its mark — those rows are already in assigned/.
+    * below its mark — those rows are already in assigned/. Tombstone
+    * FILES are snapshotted the same way: the purge consumes exactly
+    * the delete files present at entry, so a takedown landing
+    * mid-compaction keeps suppressing its rows (probe-side anti-join)
+    * until the next fold purges it.
     *
-    * The manifest is retracted during the rewrite (the torn-build
+    * NOT safe beside a concurrent BATCH append (single-maintenance-
+    * writer contract): an append lands files directly in the cell
+    * dirs this fold deletes at swap time, so its rows could vanish.
+    * Both sides enforce it — this method refuses while the append's
+    * `_APPENDING` marker exists and holds `_COMPACTING` for its run,
+    * which [[appendIvfIndex]] refuses on. The STREAMING sink is
+    * exempt: it writes only epoch dirs under stream/, which the
+    * snapshot discipline already covers.
+    *
+    * The manifest is retracted during the swap (the torn-build
     * discipline: a crash mid-compaction leaves no certificate, and
-    * the streamed rows are only deleted AFTER the merged table
-    * landed). No-op when no streamed rows exist; file-less crash
-    * remnants are swept without a fold. */
+    * the streamed rows are only deleted AFTER the merged cells
+    * landed). No-op when no streamed rows and no tombstones exist;
+    * file-less crash remnants are swept without a fold. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val streamP = new org.apache.hadoop.fs.Path(s"$path/stream")
-    if (!fs.exists(streamP)) return
+    val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    // tombstone snapshot: purge + clear exactly these files — a delete
+    // landing mid-compaction survives to the next fold, still
+    // suppressed probe-side meanwhile
+    val delFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(delDir)) Nil
+      else fs.listStatus(delDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    if (!fs.exists(streamP) && delFiles.isEmpty) return
     val mf = readManifest(spark, path).getOrElse(sys.error(
       s"compactIvfIndex: no build manifest at '$path' — nothing " +
         "certified to compact; rebuild with writeIvfIndex"))
-    // the snapshot: fold + delete exactly these dirs, nothing newer.
-    // Three bins: file-less crash husks (swept), RESURRECTED epochs —
-    // at/below their tag's existing watermark, i.e. a replay that
-    // raced a previous compaction and re-created a dir whose rows the
-    // main table already holds (r13 review #3) — deleted WITHOUT
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    require(!fs.exists(appendingP),
+      s"compactIvfIndex: a batch append is running at '$path' " +
+        s"(${appendingP.getName} exists) — its freshly appended cell " +
+        "files would be deleted by this fold's swap (single-" +
+        "maintenance-writer contract); wait for the append to finish, " +
+        "or delete the marker if it crashed mid-run")
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    fs.create(compactingP, true).close()
+    try {
+    // the stream snapshot: fold + delete exactly these dirs, nothing
+    // newer. Three bins: file-less crash husks (swept), RESURRECTED
+    // epochs — at/below their tag's existing watermark, i.e. a replay
+    // that raced a previous compaction and re-created a dir whose rows
+    // the main table already holds (r13 review #3) — deleted WITHOUT
     // folding (folding again would make the duplication permanent),
     // and genuinely new epochs (folded).
     val epochs = listStreamEpochs(fs, path)
@@ -1536,41 +1653,153 @@ object Ann {
     val (resurrected, live) = files.partition { case (tag, ep, _) =>
       mf.streamMarks.get(tag).exists(ep <= _) }
     resurrected.foreach(e => fs.delete(e._3, true))
-    if (live.isEmpty) {
-      if (!hasParquetFile(fs, streamP)) fs.delete(streamP, true)
-      return
+    val dels: Option[DataFrame] =
+      if (delFiles.isEmpty) None
+      else Some(spark.read.parquet(delFiles.map(_.toString): _*)
+        .select(col("neighbor_id").as("__del_id")).distinct())
+    def sweepEmpties(): Unit = {
+      if (fs.exists(streamP) && !hasParquetFile(fs, streamP))
+        fs.delete(streamP, true)
+      if (fs.exists(delDir) && !hasParquetFile(fs, delDir)) {
+        fs.delete(delDir, true); ()
+      }
     }
-    val snap = spark.read.option("basePath", s"$path/stream")
-      .parquet(live.map(_._3.toString): _*)
-    val merged = spark.read.parquet(s"$path/assigned")
-      .unionByName(snap.drop("__epoch", "__stream"))
-    // stage the merge FIRST (the long part — reading both tables and
-    // rewriting every cell), so the certificate-retraction window
-    // below covers only the swap + stream deletes: a live probe or
-    // sink batch rides out that narrow window on the bounded manifest
-    // retry (readManifestPatient; r13 review #1 — the old ordering
-    // retracted for the whole rewrite and killed concurrent readers),
-    // while a crash mid-swap still leaves no certificate and fails
-    // loudly, never a silent double-count.
-    val staged = s"$path/assigned_compact"
+    if (live.isEmpty && dels.isEmpty) { sweepEmpties(); return }
+    // the touched partition set: cells streamed rows land in (from the
+    // directory names — no data read), plus cells holding a tombstoned
+    // row (one id-column-only scan, and only when tombstones exist)
+    val streamCells: Set[String] = live.flatMap { case (_, _, p) =>
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("__cell="))
+    }.toSet
+    val delCells: Set[String] = dels match {
+      case None => Set.empty
+      case Some(d) =>
+        spark.read.parquet(s"$path/assigned")
+          .join(broadcast(d), col("neighbor_id") === col("__del_id"),
+            "left_semi")
+          .select("__cell").distinct().collect()
+          .map(r => "__cell=" + (if (r.isNullAt(0)) NullPartitionName
+            else r.get(0).toString)).toSet
+    }
+    val touched = streamCells ++ delCells
+    if (touched.isEmpty) {
+      // tombstones matching nothing in assigned/ and no streamed rows:
+      // consume the snapshot files (the ids are gone or never existed)
+      delFiles.foreach(f => fs.delete(f, false))
+      sweepEmpties(); return
+    }
+    val touchedVals = touched.map(_.stripPrefix("__cell="))
+    val hasNullCell = touchedVals.contains(NullPartitionName)
+    val intCells = touchedVals.filter(_ != NullPartitionName).map(_.toInt).toSeq
+    val inTouched: Column = {
+      val in = if (intCells.nonEmpty) col("__cell").isin(intCells: _*)
+        else lit(false)
+      if (hasNullCell) in || col("__cell").isNull else in
+    }
+    // stage the merged TOUCHED cells first (the long part), so the
+    // certificate-retraction window below covers only the per-cell
+    // swap + stream/tombstone deletes: a live probe or sink batch
+    // rides out that narrow window on the bounded manifest retry
+    // (readManifestPatient; r13 review #1), while a crash mid-swap
+    // still leaves no certificate and fails loudly, never a silent
+    // double-count. The main-table read is partition-pruned to the
+    // touched cells — untouched directories are never opened.
+    val mainTouched = spark.read.parquet(s"$path/assigned")
+      .filter(inTouched)
+    val merged0 = (if (live.isEmpty) mainTouched
+      else mainTouched.unionByName(
+        spark.read.option("basePath", s"$path/stream")
+          .parquet(live.map(_._3.toString): _*)
+          .drop("__epoch", "__stream")))
+    val merged = dels.fold(merged0)(d => merged0.join(broadcast(d),
+      col("neighbor_id") === col("__del_id"), "left_anti"))
+    val stagedP = new org.apache.hadoop.fs.Path(s"$path/assigned_compact")
+    fs.delete(stagedP, true) // a crashed previous fold's leftover
     merged.repartition(col("__cell"))
-      .write.mode("overwrite").partitionBy("__cell").parquet(staged)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(stagedP.toString)
+    // incremental row accounting — O(touched), never a full-table
+    // count: new total = certified total − touched cells' old rows +
+    // touched cells' staged rows (both sides partition-pruned /
+    // staged-only footer counts)
+    val mainTouchedCount = mainTouched.count()
+    val stagedCount =
+      if (hasParquetFile(fs, stagedP))
+        spark.read.parquet(stagedP.toString).count()
+      else 0L // every touched row tombstoned — nothing staged
     val mfp = manifestFile(path)
     mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(mfp, false)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged),
-      new org.apache.hadoop.fs.Path(s"$path/assigned"))
+    touched.foreach { cellDir =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/$cellDir"),
+        true)
+      val src = new org.apache.hadoop.fs.Path(s"$path/assigned_compact/$cellDir")
+      if (fs.exists(src))
+        fs.rename(src,
+          new org.apache.hadoop.fs.Path(s"$path/assigned/$cellDir"))
+    }
+    fs.delete(stagedP, true)
     live.foreach(e => fs.delete(e._3, true))
-    if (!hasParquetFile(fs, streamP)) fs.delete(streamP, true)
+    delFiles.foreach(f => fs.delete(f, false))
+    sweepEmpties()
     val folded = live.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     val marks = mf.streamMarks ++ folded.map { case (tag, mx) =>
       tag -> math.max(mx, mf.streamMarks.getOrElse(tag, -1L))
     }
-    val total = spark.read.parquet(s"$path/assigned").count()
-    writeManifest(spark, path, mf.nlist, total, mf.quant,
+    writeManifest(spark, path, mf.nlist,
+      mf.rows - mainTouchedCount + stagedCount, mf.quant,
       mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
       geomId = mf.geomId, streamMarks = marks)
+    } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** Hive's directory name for a NULL partition value — the quarantine
+    * cell malformed embeddings land in (writeIvfIndex's NULL-cell
+    * contract). */
+  private val NullPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Auto-compaction policy (r13 verdict #5): fold when the stream/
+    * backlog crosses a declared threshold — `afterEpochs` (unfolded
+    * epoch count ≥ N) or `afterRowsPct` (streamed rows ≥ X% of the
+    * certified main-table rows). Checked at append / stream-batch
+    * boundaries by the YAML `ann_index` sink (`compact_after_epochs` /
+    * `compact_after_rows_pct` options) and the streaming sink.
+    *
+    * Cost model: the epoch check is pure directory listing (no data
+    * read, no Spark job) — safe every batch. The rows_pct check adds
+    * a footer-only count of the live epoch dirs (O(stream files),
+    * bounded by the backlog the policy exists to cap — by the time
+    * the listing is expensive, the fold it triggers removes it). A
+    * triggered fold costs O(streamed + touched cells)
+    * ([[compactIvfIndex]] is cell-scoped), so the policy's amortized
+    * cost per streamed row is a constant factor, while its absence
+    * lets probe-side union reads degrade without bound. Returns true
+    * when a fold ran. */
+  def maybeCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, afterEpochs: Option[Int] = None,
+      afterRowsPct: Option[Double] = None): Boolean = {
+    if (afterEpochs.isEmpty && afterRowsPct.isEmpty) return false
+    afterEpochs.foreach(n => require(n >= 1,
+      s"compact_after_epochs must be >= 1, got $n"))
+    afterRowsPct.foreach(p => require(p > 0,
+      s"compact_after_rows_pct must be > 0, got $p"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = readManifestPatient(spark, path).getOrElse(return false)
+    val live = listStreamEpochs(fs, path)
+      .filter(e => hasParquetFile(fs, e._3))
+      .filterNot { case (tag, ep, _) =>
+        mf.streamMarks.get(tag).exists(ep <= _) }
+    if (live.isEmpty) return false
+    val trip = afterEpochs.exists(live.size >= _) ||
+      afterRowsPct.exists { pct =>
+        val streamed = spark.read.option("basePath", s"$path/stream")
+          .parquet(live.map(_._3.toString): _*).count()
+        mf.rows > 0 && streamed * 100.0 / mf.rows >= pct
+      }
+    if (trip) compactIvfIndex(spark, path)
+    trip
   }
 
   /** Probe a persisted IVF-PQ index: cells rank by float centroid

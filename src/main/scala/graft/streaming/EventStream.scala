@@ -496,9 +496,19 @@ object EventStream {
     * (an in-flight batch encoding under the old geometry could land
     * after the rebuild's stream/ clear — the same out-of-band
     * contract every probe documents). Returns the started query;
-    * caller awaits/stops. */
+    * caller awaits/stops.
+    *
+    * `compactAfterEpochs` / `compactAfterRowsPct` enable the
+    * auto-compaction policy ([[graft.sim.Ann.maybeCompactIvfIndex]]):
+    * after each micro-batch lands, the stream/ backlog is checked
+    * (pure directory listing for the epoch rule) and a fold runs when
+    * the threshold is crossed — inside foreachBatch, so it never
+    * overlaps this sink's own epoch writes, and the snapshot
+    * discipline covers the rest. */
   def appendIvfIndexStream(stream: DataFrame, indexPath: String,
-      idCol: String, vecCol: String, checkpoint: String)
+      idCol: String, vecCol: String, checkpoint: String,
+      compactAfterEpochs: Option[Int] = None,
+      compactAfterRowsPct: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sim.Ann
     val spark = stream.sparkSession
@@ -537,6 +547,9 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         appendIvfBatch(batch, indexPath, idCol, vecCol, tag, epoch,
           pre = (mf0, cent), preExtra = extra)
+        graft.sim.Ann.maybeCompactIvfIndex(spark, indexPath,
+          compactAfterEpochs, compactAfterRowsPct)
+        ()
       }
       .start()
     val qid = q.id

@@ -1824,4 +1824,196 @@ class GraphDedupSpec extends SparkSpec {
     } yield (a, b) -> bp).toMap
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
+
+  test("cell-scoped compaction rewrites ONLY touched cells; DELETE " +
+      "tombstones suppress probes (built and streamed) and purge at " +
+      "the fold; writer-exclusion markers refuse interleaving") {
+    import graft.streaming.EventStream
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val idx = scratch("ivfcell")
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 8)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def cellFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/assigned")).toSeq
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+            .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+        }.toMap
+    // stream a SMALL batch (4 shifted-id twins of corpus vectors) — it
+    // lands in a strict subset of the 8 cells, which is what makes the
+    // fold's cell-scoping observable
+    val pre = Ann.loadIndexGeometry(spark, idx, "spec")
+    val b = e.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    EventStream.appendIvfBatch(b, idx, "vec_id", "embedding", "cc", 0, pre)
+    val streamCells = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$idx/stream/__stream=cc/__epoch=0")).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    // tombstone one BUILT id and one STREAMED id — the streamed one
+    // must vanish from probes before any fold ever runs
+    val victimBuilt = 17L
+    val victimStreamed = 1000001L
+    Ann.deleteFromIvfIndex(
+      Seq(victimBuilt, victimStreamed).toDF("vec_id"), "vec_id", idx)
+    val probed = Ann.ivfIndexTopK(spark, idx, q,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!probed.contains(victimBuilt) && !probed.contains(victimStreamed),
+      "tombstoned ids still probe-visible before the fold")
+    // ...while un-deleted streamed twins ARE reachable (vec_id 0's
+    // identical twin 1000000 sits at its query's top rank)
+    assert(probed.contains(1000000L),
+      "a live streamed row should be probe-visible")
+    // expected touched set = stream cells ∪ the tombstoned built id's
+    // cell (the streamed victim's cell is a stream cell already)
+    val victimCell = "__cell=" + spark.read.parquet(s"$idx/assigned")
+      .filter(col("neighbor_id") === victimBuilt)
+      .select("__cell").as[Int].head()
+    val expectedTouched = streamCells + victimCell
+    assert(expectedTouched.size < 8,
+      s"fixture degenerate — every cell touched ($expectedTouched); " +
+        "cell-scoping unobservable")
+    val before = cellFiles()
+    Ann.compactIvfIndex(spark, idx)
+    val after = cellFiles()
+    val changed = (before.keySet ++ after.keySet).filter(c =>
+      before.get(c) != after.get(c))
+    assert(changed == expectedTouched,
+      s"fold rewrote $changed, expected exactly $expectedTouched — " +
+        "cell-scoping broken (O(index) rewrite, the r13 scale finding)")
+    // purge is PHYSICAL: tombstoned rows gone from assigned/, the
+    // consumed tombstone files gone with them, stream/ folded away
+    val idsAfter = spark.read.parquet(s"$idx/assigned")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!idsAfter.contains(victimBuilt) &&
+      !idsAfter.contains(victimStreamed) && idsAfter.contains(1000000L),
+      "fold failed to purge tombstones (or dropped a live streamed row)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
+      "fold left deletes/ or stream/ behind")
+    val mf = Ann.readManifest(spark, idx).get
+    assert(mf.rows == e.count() + 4 - 2, mf.toString)
+    val probedAfter = Ann.ivfIndexTopK(spark, idx, q,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!probedAfter.contains(victimBuilt) &&
+      !probedAfter.contains(victimStreamed),
+      "purged ids resurfaced after the fold")
+    // tombstones alone (no streamed rows) also fold: only the
+    // victim's cell is rewritten
+    val victim2 = 23L
+    val victim2Cell = "__cell=" + spark.read.parquet(s"$idx/assigned")
+      .filter(col("neighbor_id") === victim2)
+      .select("__cell").as[Int].head()
+    Ann.deleteFromIvfIndex(Seq(victim2).toDF("vec_id"), "vec_id", idx)
+    val before2 = cellFiles()
+    Ann.compactIvfIndex(spark, idx)
+    val after2 = cellFiles()
+    val changed2 = (before2.keySet ++ after2.keySet).filter(c =>
+      before2.get(c) != after2.get(c))
+    assert(changed2 == Set(victim2Cell),
+      s"tombstone-only fold rewrote $changed2, expected $victim2Cell")
+    // unknown-id tombstones are legal and consumed without a rewrite
+    Ann.deleteFromIvfIndex(Seq(999999999L).toDF("vec_id"), "vec_id", idx)
+    val before3 = cellFiles()
+    Ann.compactIvfIndex(spark, idx)
+    assert(cellFiles() == before3,
+      "an unmatched tombstone caused a rewrite")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")),
+      "an unmatched tombstone was not consumed")
+    // WRITER EXCLUSION (single-maintenance-writer contract): a fold's
+    // marker refuses a concurrent batch append, and vice versa — the
+    // interleaving would silently lose appended rows at swap time
+    val compactingP = new org.apache.hadoop.fs.Path(s"$idx/_COMPACTING")
+    fs.create(compactingP, true).close()
+    val eApp = intercept[IllegalArgumentException](
+      Ann.appendIvfIndex(b, "vec_id", "embedding", idx))
+    assert(eApp.getMessage.contains("compaction"), eApp.getMessage)
+    fs.delete(compactingP, false)
+    val appendingP = new org.apache.hadoop.fs.Path(s"$idx/_APPENDING")
+    fs.create(appendingP, true).close()
+    Ann.deleteFromIvfIndex(Seq(29L).toDF("vec_id"), "vec_id", idx)
+    val eCmp = intercept[IllegalArgumentException](
+      Ann.compactIvfIndex(spark, idx))
+    assert(eCmp.getMessage.contains("append"), eCmp.getMessage)
+    fs.delete(appendingP, false)
+    Ann.compactIvfIndex(spark, idx) // consume the pending tombstone
+    // a rebuild clears stale tombstones with the stream table (the
+    // new corpus is the caller's authority on membership)
+    Ann.deleteFromIvfIndex(Seq(31L).toDF("vec_id"), "vec_id", idx)
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 8)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")),
+      "rebuild left stale tombstones")
+    assert(Ann.ivfIndexTopK(spark, idx, e.filter(col("vec_id") === 31L),
+        "vec_id", "embedding", k = 1, nprobe = 8, excludeSelf = false)
+      .filter(col("neighbor_id") === 31L).count() > 0,
+      "a stale tombstone suppressed a rebuilt row")
+  }
+
+  test("maybeCompactIvfIndex: folds when the backlog crosses the " +
+      "declared threshold, never below it") {
+    import graft.streaming.EventStream
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val idx = scratch("ivfauto")
+    Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 4)
+    val pre = Ann.loadIndexGeometry(spark, idx, "spec")
+    val odd = e.filter(col("vec_id") % 2 =!= 0).limit(30)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val streamP = new org.apache.hadoop.fs.Path(s"$idx/stream")
+    EventStream.appendIvfBatch(odd, idx, "vec_id", "embedding", "aa", 0, pre)
+    EventStream.appendIvfBatch(odd, idx, "vec_id", "embedding", "aa", 1, pre)
+    // no policy → never folds; below threshold → not folded
+    assert(!Ann.maybeCompactIvfIndex(spark, idx))
+    assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(3)))
+    assert(fs.exists(streamP), "policy folded below its threshold")
+    // crossing the epoch threshold folds
+    EventStream.appendIvfBatch(odd, idx, "vec_id", "embedding", "aa", 2, pre)
+    assert(Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(3)))
+    assert(!fs.exists(streamP), "policy did not fold at its threshold")
+    // rows_pct: one small epoch ≪ 50% of main rows → below; a tiny
+    // threshold → folds
+    EventStream.appendIvfBatch(odd, idx, "vec_id", "embedding", "aa", 3, pre)
+    assert(!Ann.maybeCompactIvfIndex(spark, idx,
+      afterRowsPct = Some(50.0)))
+    assert(fs.exists(streamP))
+    assert(Ann.maybeCompactIvfIndex(spark, idx,
+      afterRowsPct = Some(0.001)))
+    assert(!fs.exists(streamP))
+    // nothing pending → cheap false, regardless of policy
+    assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(1)))
+  }
+
+  test("deleteFromNearDupIndex: tombstoned corpus docs stop vetoing; " +
+      "rebuild purges the tombstones") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((1L, tpl), (2L, "completely different corpus text " +
+      "about census records and parquet files")).toDF("doc_id", "text")
+    val batch = Seq((10L, tpl)).toDF("doc_id", "text")
+    val idx = scratch("neardup-del")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    def verdict(): (Long, Boolean) =
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text")
+        .select("n_corpus_dups", "kept").collect().map(r =>
+          (r.getLong(0), r.getBoolean(1))).head
+    assert(verdict() == ((1L, false)), "clone should be vetoed pre-delete")
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
+    assert(verdict() == ((0L, true)),
+      "a tombstoned corpus doc kept vetoing its clones")
+    // idempotent / unknown ids are legal
+    Dedup.deleteFromNearDupIndex(Seq(1L, 777L).toDF("doc_id"), "doc_id", idx)
+    assert(verdict() == ((0L, true)))
+    // rebuild purges: the doc is back (it is in the corpus again) and
+    // deletes/ is gone
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val delP = new org.apache.hadoop.fs.Path(s"$idx/deletes")
+    assert(!delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(delP), "rebuild left stale tombstones")
+    assert(verdict() == ((1L, false)))
+  }
 }
