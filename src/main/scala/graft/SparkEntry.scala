@@ -94,6 +94,18 @@ object SparkEntry {
   private def ivfApndPqrIdxDir(dir: String): String =
     scratchDir("graft-ivfapppqr-q134", tag = dir)
 
+  /** q135's SQ8 STREAM-appended index dir: q131's accumulation history
+    * on the quantized layout — streamed rows must land on the stored
+    * int8 grid (the matrix's last driver-ungated stream cell). */
+  private def ivfStrSqIdxDir(dir: String): String =
+    scratchDir("graft-ivfstrq-q135", tag = dir)
+
+  /** q136's DELETE-gated index dir: build + append history, then a
+    * YAML takedown tombstones planted ids — probes must suppress them
+    * while they physically remain (the pre-compaction state). */
+  private def ivfDelIdxDir(dir: String): String =
+    scratchDir("graft-ivfdel-q136", tag = dir)
+
   /** Shared append-gate scaffold (q126/q129/q133/q134): stage the ODD
     * half of `embeddings` as a scratch parquet (the YAML dataset needs
     * a path) and append it to `idx` through the RecipeConf ann_index
@@ -127,7 +139,7 @@ object SparkEntry {
     * epoch-partitioned stream/ table (appendIvfIndexStream — each
     * micro-batch encodes under the STORED geometry). */
   private def buildHalfStreamRest(s: SparkSession, dir: String,
-      idx: String, ckptTag: String): Unit = {
+      idx: String, ckptTag: String, quantize: Boolean = false): Unit = {
     val e = t(s, dir, "embeddings")
     val ckpt = scratchDir(ckptTag, tag = dir)
     Seq(idx, ckpt).foreach { p =>
@@ -135,7 +147,7 @@ object SparkEntry {
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     }
     Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
-      "vec_id", "embedding", idx, nlist = 16)
+      "vec_id", "embedding", idx, nlist = 16, quantize = quantize)
     val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -977,6 +989,68 @@ object SparkEntry {
       }
       Ann.ivfIndexTopKPq(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 8)
+    }),
+
+    // SQ8 STREAM append (round-14 verdict #4 — the (SQ8, stream) cell
+    // was spec-only): the int8 grid fits on the EVEN half ALONE, the
+    // odd half ARRIVES AS A STREAM and every micro-batch must
+    // quantize under that STORED grid (encodeUnderStoredGeometry's
+    // SQ8 branch through the epoch sink). The exhaustive probe equals
+    // brute-force integer-grid ranking over the union with everything
+    // on the even-half params — q129's oracle VERBATIM: stream append
+    // ≡ batch append on the quantized layout, by shared-core
+    // construction, now pinned at the driver gate.
+    "q135_ann_ivf_stream_sq8" -> ((s, dir) => {
+      val idx = ivfStrSqIdxDir(dir)
+      if (!ivfBuilt.contains(idx)) {
+        buildHalfStreamRest(s, dir, idx, "graft-ivfstrq-ckpt",
+          quantize = true)
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKQuantized(s, idx,
+        t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // DELETE — the takedown verb at the driver gate (round-14 verdict
+    // #2): q126's build-on-half + YAML-append history, then every
+    // vec_id % 7 = 3 is tombstoned through the YAML ann_index DELETE
+    // mode. The exhaustive probe must answer brute-force cosine over
+    // the corpus MINUS the deleted ids while the tombstoned rows
+    // PHYSICALLY remain in the cell partitions (the pre-compaction
+    // state — the probe-side broadcast anti-join is what's under
+    // test; the fold's purge is spec-pinned in GraphDedupSpec).
+    // Queries keep the FULL %100 set: a takedown removes index rows,
+    // never the caller's queries.
+    "q136_ann_ivf_delete" -> ((s, dir) => {
+      val idx = ivfDelIdxDir(dir)
+      val e = t(s, dir, "embeddings")
+      if (!ivfBuilt.contains(idx)) {
+        Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 16)
+        yamlAppendOddHalf(s, e, idx, "graft-ivfdel-batch", dir,
+          """id: vec_id, vec: embedding, nlist: "16", quantize: "false"""")
+        // stage the takedown list and route it through the YAML
+        // delete mode (the recipe sink routing, not just the library
+        // call — the append-gate discipline)
+        val delPath = scratchDir("graft-ivfdel-ids", tag = dir)
+        e.filter(col("vec_id") % 7 === 3).select("vec_id")
+          .write.mode("overwrite").parquet(delPath)
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  ids: {path: $delPath, format: parquet}
+             |  idxw:
+             |    path: $idx
+             |    format: ann_index
+             |    options: {id: vec_id}
+             |recipes:
+             |  del: {input: ids, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "del", mode = "delete")
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -2522,7 +2596,14 @@ object SparkEntry {
     // both sides cell-pruned — the steady-state cost of probing an
     // index that is still ingesting)
     "q129_ann_ivf_append_sq8", "q130_stream_router",
-    "q131_ann_ivf_stream_append")
+    "q131_ann_ivf_stream_append",
+    // round-14: the SQ8 stream-append probe (quantized union read —
+    // first touch pays build+stream via the ivfBuilt guard, later
+    // samples are pure probe) and the tombstoned-index probe (the
+    // steady-state cost of the takedown anti-join every probe now
+    // carries when deletes/ exists — q126's probe plus one broadcast
+    // left-anti against a tiny id set)
+    "q135_ann_ivf_stream_sq8", "q136_ann_ivf_delete")
 
   // ------------------------------------------------------------- oracles
 
@@ -2673,10 +2754,13 @@ object SparkEntry {
 
   // shared by q25 (brute force) and q60 (persisted IVF index probed
   // exhaustively): both contracts are the exact cosine top-10
-  private val annTopKOracleSql: String =
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  /** `corpusPred` restricts the CORPUS side only (q136's takedown
+    * oracle: deleted ids leave the index, never the query set) — empty
+    * for the exhaustive full-corpus probes. */
+  private def annTopKOracleSqlWith(corpusPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       |           FROM embeddings WHERE vec_id % 100 = 0),
-      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings$corpusPred),
       |scored AS (
       | SELECT query_id, neighbor_id,
       |  ROUND(list_cosine_similarity(qv, cv), 4) AS score
@@ -2687,6 +2771,8 @@ object SparkEntry {
       | FROM scored)
       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  private val annTopKOracleSql: String = annTopKOracleSqlWith("")
 
   /** Shared by q113 (brute-force quantized top-k), q116 (the int8 IVF
     * index probed exhaustively), and q129 (the SQ8 append, where the
@@ -3628,6 +3714,20 @@ object SparkEntry {
     // the driver gate (the query body separately requires the stream/
     // table is actually gone, so a silent no-op fold cannot pass)
     "q132_ann_ivf_compact" -> annTopKOracleSql,
+
+    // the SQ8 STREAM append probed exhaustively: every vector (built
+    // even half AND streamed odd half) quantizes under the EVEN-half
+    // grid — q129's oracle verbatim (stream append ≡ batch append on
+    // the quantized layout, the shared-encode contract at the gate)
+    "q135_ann_ivf_stream_sq8" ->
+      quantTopKOracleSqlWith(" AND vec_id % 2 = 0"),
+
+    // the takedown: brute-force cosine over the corpus MINUS the
+    // tombstoned ids (one WHERE on the corpus CTE — queries keep the
+    // full set). What fails here is a probe layout missing the
+    // tombstone anti-join, or a delete that touched the wrong rows.
+    "q136_ann_ivf_delete" ->
+      annTopKOracleSqlWith(" WHERE vec_id % 7 <> 3"),
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have

@@ -1337,6 +1337,67 @@ class RecipeConfSpec extends SparkSpec {
         m.rows == all2.count()))
   }
 
+  test("ann_index compact_after policy folds at the declared threshold, " +
+      "not below; mode=delete tombstones through the recipe") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val idxPath = s"$dir/ann_auto_idx"
+    vecs.write.mode("overwrite").parquet(s"$dir/ann_auto_in")
+    vecs.limit(2).select((col("vec_id") + 20000).as("vec_id"),
+        col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/ann_auto_batch")
+    vecs.orderBy("vec_id").limit(1).select("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/ann_auto_del")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  all: {path: $dir/ann_auto_in, format: parquet}
+         |  batch: {path: $dir/ann_auto_batch, format: parquet}
+         |  delids: {path: $dir/ann_auto_del, format: parquet}
+         |  idx:
+         |    path: $idxPath
+         |    format: ann_index
+         |    options: {id: vec_id, vec: embedding, nlist: "4",
+         |              compact_after_epochs: "2"}
+         |recipes:
+         |  build: {input: all, steps: [], output: idx}
+         |  extend: {input: batch, steps: [], output: idx}
+         |  takedown: {input: delids, steps: [], output: idx}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "build")
+    // plant ONE streamed epoch — below the declared threshold of 2,
+    // so the append boundary's policy check must NOT fold it
+    val pre = graft.sim.Ann.loadIndexGeometry(spark, idxPath, "spec")
+    val extra = vecs.limit(3).select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    graft.streaming.EventStream.appendIvfBatch(extra, idxPath,
+      "vec_id", "embedding", tag = "autock", epoch = 0, pre = pre)
+    RecipeConf.run(spark, conf, "extend", mode = "append")
+    val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/stream")),
+      "policy folded below its threshold")
+    // second epoch crosses the threshold: the NEXT append boundary
+    // folds the backlog
+    graft.streaming.EventStream.appendIvfBatch(extra, idxPath,
+      "vec_id", "embedding", tag = "autock", epoch = 1, pre = pre)
+    RecipeConf.run(spark, conf, "extend", mode = "append")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/stream")),
+      "append boundary did not fold a backlog past compact_after_epochs")
+    // mode=delete routes the input frame's ids into the tombstone
+    // table; the probe suppresses them immediately
+    RecipeConf.run(spark, conf, "takedown", mode = "delete")
+    val victim = vecs.orderBy("vec_id").limit(1)
+      .select("vec_id").collect()(0).getLong(0)
+    val probed = graft.sim.Ann.ivfIndexTopK(spark, idxPath,
+      vecs.filter(col("vec_id") === victim), "vec_id", "embedding",
+      k = 1, nprobe = 4, excludeSelf = false)
+    assert(probed.filter(col("neighbor_id") === victim).isEmpty,
+      "a YAML-tombstoned id is still probe-visible")
+  }
+
   test("neardup_index sink from YAML persists a probe-able band layout") {
     import spark.implicits._
     // corpus of distinct docs + one known text the batch will collide on
