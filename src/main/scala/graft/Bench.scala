@@ -350,7 +350,14 @@ object Bench {
           minSampleDiskContaminated(ss.flatten, extGate)
       } => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"self_io_mbps":$rdJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    // first_touch: the benched queries whose sample 1 pays a build-once
+    // guard (SparkEntry.firstTouchQueries ∩ this run's list) — the
+    // bench_diff down-rank signal (r13 verdict #6: 1.3–1.7× preview
+    // swings repeatedly adjudicated to first-touch builds)
+    val firstTouch = SparkEntry.firstTouchQueries
+      .filter(queryList.contains).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"medians":$medJson,"samples":$sampleJson,"cpu_share":$shareJson,"ext_during":$extJson,"iowait":$iowJson,"self_io_mbps":$rdJson,"failed":$failed,"runs":$runs,"loadavg_start":${f(loadStart)},"loadavg1m":${f(loadavg1m())},"ext_busy_end":${f(externalBusyCores(500))},"quiet":$quietJson,"quiet_wait_failed":$quietFailed,"contaminated":$contaminated,"first_touch":$firstTouch,"sf":"$sfDir"}""")
     // compact FINAL line (r12 verdict #1): the driver archives only a
     // ~2 KB tail of this stdout, and r12's per-sample arrays pushed the
     // full line's leading "queries" object out of that window —
@@ -358,7 +365,7 @@ object Bench {
     // LAST line therefore repeats the headline (per-query mins + total
     // + contaminated) compactly, so any tail window keeps it however
     // many parallel arrays the full JSON grows.
-    println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","queries":$qs,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","queries":$qs,"contaminated":$contaminated,"first_touch":$firstTouch,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -2384,11 +2384,28 @@ object SparkEntry {
       val idx = ensureNearIdx(s, dir)
       val raw = s.read.parquet(s"$dir/documents.parquet")
       val test = raw.filter(col("doc_id") % 20 === 0)
-      val w = routerWeightsCache.compute(dir, (_, prev) =>
-        if (prev != null && (prev._1 eq s)) prev
-        else (s, graft.ml.LinearClassifier.trainTextClassifier(
-          classifierFixture(t(s, dir, "documents")), "doc_id", "text", "y",
-          buckets = 256, epochs = 3, binary = true).cache()))._2
+      // the seconds-long fit runs OUTSIDE the map's bin lock and only
+      // PUBLISHES under it; a replaced entry's cached plan unpersists
+      // when its session is still alive (r13 ADVICE: the old compute()
+      // trained under the lock and leaked the stale session's cache)
+      val w = {
+        val prev = routerWeightsCache.get(dir)
+        if (prev != null && (prev._1 eq s)) prev._2
+        else {
+          val fresh = (s, graft.ml.LinearClassifier.trainTextClassifier(
+            classifierFixture(t(s, dir, "documents")), "doc_id", "text",
+            "y", buckets = 256, epochs = 3, binary = true).cache())
+          val cur = routerWeightsCache.compute(dir, (_, p) =>
+            if (p != null && (p._1 eq s)) p else fresh)
+          if (!(cur eq fresh)) fresh._2.unpersist() // lost a same-session race
+          else if (prev != null && (prev._1 ne s) &&
+              !prev._1.sparkContext.isStopped) {
+            try prev._2.unpersist()
+            catch { case _: Throwable => () } // racing a session stop is fine
+          }
+          cur._2
+        }
+      }
       EventStream.runOnce(s, dir,
         st => {
           val id = col("doc_id")
@@ -2604,6 +2621,23 @@ object SparkEntry {
     // carries when deletes/ exists — q126's probe plus one broadcast
     // left-anti against a tiny id set)
     "q135_ann_ivf_stream_sq8", "q136_ann_ivf_delete")
+
+  /** benchQueries whose body holds a BUILD-ONCE guard (ivfBuilt /
+    * nearIdxBuilt / routerWeightsCache): in a fresh JVM their FIRST
+    * sample pays a one-time build/train that every later sample skips,
+    * so single-sample comparisons — bench previews, cross-round diffs
+    * over short sample streams — read the build as a phantom 1.3–1.7×
+    * swing (three r13 adjudications burned on exactly this). The bench
+    * emits this list as `first_touch` in both JSON lines;
+    * tools/bench_diff.py down-ranks those lines out of the attention
+    * list (r13 verdict #6). The `_build` lines are NOT here: they
+    * rebuild unconditionally, so their samples are uniform. */
+  val firstTouchQueries: Seq[String] = Seq(
+    "q60_ann_ivf", "q107_neardup_index", "q116_ann_ivf_quantized",
+    "q122_ann_ivf_pq", "q125_ann_ivf_pqr", "q127_stream_ann_probe",
+    "q129_ann_ivf_append_sq8", "q130_stream_router",
+    "q131_ann_ivf_stream_append", "q135_ann_ivf_stream_sq8",
+    "q136_ann_ivf_delete")
 
   // ------------------------------------------------------------- oracles
 

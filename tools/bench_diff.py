@@ -9,18 +9,35 @@ per-query numbers come from the LAST parseable {"metric": ...} object
 found — i.e. the compact summary line the bench prints last precisely
 so it survives the driver's ~2 KB tail window (see SCALE.md's
 bench-trust section; BENCH_r11/r12 predate it and carry parsed: null,
-so point this at a preview .out for those rounds).
+so point this at a preview .out for those rounds). An archive whose
+parsed.queries values are not plain numbers (a future per-sample-array
+format) is ignored in favor of the tail scan.
 
-Lines flagged `contaminated` in EITHER record are marked [CONTAM] and
-excluded from the attention list: their number is the sensor's min
-sample under a disclosed external burst, and the same-day A/B — not a
-cross-round diff — is the adjudicator for them. `threshold` (default
-1.5) bounds the ratio that earns attention; new/removed lines are
-always listed.
+Two classes of line are EXCLUDED from the attention list (but still
+printed, tagged):
+- [CONTAM]: flagged `contaminated` in either record — the number is
+  the sensor's min sample under a disclosed external burst; the
+  same-day A/B, not a cross-round diff, adjudicates those. This
+  applies to ratio lines AND new/removed lines alike.
+- [FIRST-TOUCH]: listed in either record's `first_touch` — the line
+  has a build-once guard, so short sample streams read the one-time
+  build as a phantom 1.3-1.7x swing (three r13 adjudications). They
+  get their own secondary list when beyond threshold: re-check those
+  with a multi-sample A/B before believing the ratio.
+
+`threshold` (default 1.5) bounds the ratio that earns attention;
+non-contaminated new/removed lines are always attention-worthy.
 """
 import json
 import re
 import sys
+
+
+def _numeric_queries(obj):
+    q = obj.get("queries")
+    return isinstance(q, dict) and q and all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in q.values())
 
 
 def load(path):
@@ -31,9 +48,12 @@ def load(path):
         if isinstance(d, dict) and "tail" in d:
             text = d["tail"]
             if isinstance(d.get("parsed"), dict):
-                # a parseable archive is already the full JSON line
                 p = d["parsed"]
-                if "queries" in p:
+                # only trust parsed when its queries are scalars — a
+                # future archive storing full records (per-sample
+                # arrays) must fall through to the tail's summary line
+                # instead of crashing the float formatting
+                if _numeric_queries(p):
                     return p
     except json.JSONDecodeError:
         pass
@@ -43,10 +63,10 @@ def load(path):
             cand = json.loads(m.group(0))
         except json.JSONDecodeError:
             continue
-        if isinstance(cand.get("queries"), dict):
+        if _numeric_queries(cand):
             best = cand  # keep the LAST one: the summary line
     if best is None:
-        sys.exit(f"{path}: no parseable bench line with a queries object")
+        sys.exit(f"{path}: no parseable bench line with a numeric queries object")
     return best
 
 
@@ -57,27 +77,34 @@ def main():
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     qo, qn = old["queries"], new["queries"]
     contam = set(old.get("contaminated", [])) | set(new.get("contaminated", []))
-    rows, attention = [], []
+    first = set(old.get("first_touch", [])) | set(new.get("first_touch", []))
+    rows, attention, ft_attention = [], [], []
     for q in sorted(set(qo) | set(qn)):
         a, b = qo.get(q), qn.get(q)
-        tag = " [CONTAM]" if q in contam else ""
+        tag = ("" if q not in contam else " [CONTAM]") + \
+            ("" if q not in first else " [FIRST-TOUCH]")
         if a is None:
             rows.append(f"{q}: NEW {b:.3f}s{tag}")
-            attention.append(q)
+            if q not in contam:
+                attention.append(q)
         elif b is None:
             rows.append(f"{q}: REMOVED (was {a:.3f}s){tag}")
-            attention.append(q)
+            if q not in contam:
+                attention.append(q)
         else:
             r = b / a if a else float("inf")
             rows.append(f"{q}: {a:.3f} -> {b:.3f}s  x{r:.2f}{tag}")
             if (r >= thresh or r <= 1 / thresh) and q not in contam:
-                attention.append(q)
+                (ft_attention if q in first else attention).append(q)
     print("\n".join(rows))
     to, tn = old.get("value"), new.get("value")
     if to is not None and tn is not None:
         print(f"total: {to:.2f} -> {tn:.2f}s  x{tn / to:.2f}")
     if contam:
         print(f"contaminated (excluded from attention): {sorted(contam)}")
+    if ft_attention:
+        print("first-touch lines beyond threshold (build-once guard — "
+              f"adjudicate with a multi-sample A/B, not this diff): {ft_attention}")
     print(f"needs attention (ratio beyond x{thresh}, or new/removed): "
           f"{attention if attention else 'none'}")
 
