@@ -283,8 +283,23 @@ object EventStream {
       Dedup.readNearDupManifest(spark, indexPath).getOrElse(sys.error(
         s"no near-dup index manifest at $indexPath (incomplete build? " +
           "rebuild with writeNearDupIndex)"))
-    val corpusBuckets = spark.read.parquet(s"$indexPath/bands")
-      .select(col("bucket"))
+    // tombstoned corpus docs (Dedup.deleteFromNearDupIndex) lose their
+    // buckets here too: this gate DROPS flagged rows at ingest
+    // (nearDupFilterStream), so a stale taken-down doc would silently
+    // destroy new arrivals that merely resemble it — the one place a
+    // conservative false flag is NOT settled by a later batch pass.
+    // Shared buckets survive through their live docs (the anti-join is
+    // on __cid, before the distinct).
+    val bandsAll = spark.read.parquet(s"$indexPath/bands")
+    val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    val corpusBuckets =
+      (if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(delP))
+        bandsAll.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(delP.toString).distinct()),
+          Seq("__cid"), "left_anti")
+      else bandsAll).select(col("bucket"))
     // the shingle UDF is the row's expensive part — materialize it ONCE
     // per row (a shared Column expression would re-run it under the
     // guard, the size check, and the signature)

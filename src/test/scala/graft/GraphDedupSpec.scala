@@ -1858,11 +1858,24 @@ class GraphDedupSpec extends SparkSpec {
     val victimStreamed = 1000001L
     Ann.deleteFromIvfIndex(
       Seq(victimBuilt, victimStreamed).toDF("vec_id"), "vec_id", idx)
-    val probed = Ann.ivfIndexTopK(spark, idx, q,
-        "vec_id", "embedding", k = 5, nprobe = 8)
-      .select("neighbor_id").as[Long].collect().toSet
+    val probedDf = Ann.ivfIndexTopK(spark, idx, q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val probed = probedDf.select("neighbor_id").as[Long].collect().toSet
     assert(!probed.contains(victimBuilt) && !probed.contains(victimStreamed),
       "tombstoned ids still probe-visible before the fold")
+    // plan shape: the tombstone filter must be a BROADCAST anti-join
+    // (deletes are declared-small — a shuffled anti would re-exchange
+    // the corpus), and it must not cost the probe its partition
+    // pruning
+    val probePlan = probedDf.queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastHashJoin") &&
+      probePlan.toLowerCase.contains("leftanti"),
+      s"tombstone anti-join is not broadcast:\n$probePlan")
+    val prunedPlan = Ann.ivfIndexTopK(spark, idx, q,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.toLowerCase.contains("dynamicpruning"),
+      s"tombstoned probe lost dynamic partition pruning:\n$prunedPlan")
     // ...while un-deleted streamed twins ARE reachable (vec_id 0's
     // identical twin 1000000 sits at its query's top rank)
     assert(probed.contains(1000000L),
@@ -2002,9 +2015,18 @@ class GraphDedupSpec extends SparkSpec {
         .select("n_corpus_dups", "kept").collect().map(r =>
           (r.getLong(0), r.getBoolean(1))).head
     assert(verdict() == ((1L, false)), "clone should be vetoed pre-delete")
+    // the streaming ingest gate DROPS flagged rows, so it must shed a
+    // taken-down doc's buckets too — a stale tombstoned doc would
+    // otherwise silently destroy new arrivals resembling it
+    def gateFlag(): Boolean =
+      graft.streaming.EventStream.nearDupFlagsStream(batch, idx, "text")
+        .select("maybe_near_dup").collect().head.getBoolean(0)
+    assert(gateFlag(), "gate should flag the clone pre-delete")
     Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", idx)
     assert(verdict() == ((0L, true)),
       "a tombstoned corpus doc kept vetoing its clones")
+    assert(!gateFlag(),
+      "the streaming gate kept flagging a tombstoned doc's buckets")
     // idempotent / unknown ids are legal
     Dedup.deleteFromNearDupIndex(Seq(1L, 777L).toDF("doc_id"), "doc_id", idx)
     assert(verdict() == ((0L, true)))
