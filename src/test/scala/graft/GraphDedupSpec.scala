@@ -2000,6 +2000,47 @@ class GraphDedupSpec extends SparkSpec {
     assert(!fs.exists(streamP))
     // nothing pending → cheap false, regardless of policy
     assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(1)))
+    // END-TO-END through the streaming sink: three single-file
+    // micro-batches under compactAfterEpochs=2 — the fold fires INSIDE
+    // foreachBatch when the backlog hits 2, leaving at most the
+    // below-threshold remainder in stream/, with the probe still
+    // answering over every row (folded ∪ still-streaming union)
+    val idx2 = scratch("ivfauto-stream")
+    Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx2, nlist = 4)
+    val inDir = scratch("ivfauto-in")
+    val oddAll = e.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    oddAll.repartition(3).write.mode("overwrite").parquet(inDir)
+    val sq = graft.streaming.EventStream.appendIvfIndexStream(
+      spark.readStream.schema(oddAll.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      idx2, "vec_id", "embedding",
+      checkpoint = scratch("ivfauto-ck") + "/ck",
+      compactAfterEpochs = Some(2))
+    sq.processAllAvailable(); sq.stop()
+    val mfS = Ann.readManifest(spark, idx2).get
+    assert(mfS.streamMarks.nonEmpty,
+      "the in-stream policy never folded (no watermark recorded)")
+    // unfolded epochs must be BELOW threshold
+    val streamDirs =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx2/stream"))) 0
+      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx2/stream"))
+        .filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath)).count(_.isDirectory)
+    assert(streamDirs < 2,
+      s"backlog of $streamDirs epochs survived a compactAfterEpochs=2 sink")
+    val viaAuto = Ann.ivfIndexTopK(spark, idx2,
+      e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val idx2Full = scratch("ivfauto-reb")
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idx2Full, nlist = 4)
+    val viaRebuild2 = Ann.ivfIndexTopK(spark, idx2Full,
+      e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    assert(viaAuto.exceptAll(viaRebuild2).count() == 0 &&
+      viaRebuild2.exceptAll(viaAuto).count() == 0,
+      "auto-compacted stream diverged from the full rebuild")
   }
 
   test("deleteFromNearDupIndex: tombstoned corpus docs stop vetoing; " +
