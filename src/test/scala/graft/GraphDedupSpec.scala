@@ -1964,6 +1964,35 @@ class GraphDedupSpec extends SparkSpec {
         "vec_id", "embedding", k = 1, nprobe = 8, excludeSelf = false)
       .filter(col("neighbor_id") === 31L).count() > 0,
       "a stale tombstone suppressed a rebuilt row")
+    // the QUANTIZED layouts execute the same openIvfIndex anti-join
+    // (q136 gates the float probe; this runs the SQ8 and PQ probes
+    // with live tombstones — the shared-opener claim, executed):
+    // an identical-twin query must find its twin at rank 1 until the
+    // twin is tombstoned, then never
+    for ((quant, build, probe) <- Seq[(String,
+        String => Unit, (String, org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.DataFrame)](
+      ("sq8",
+        (p: String) => Ann.writeIvfIndex(e, "vec_id", "embedding", p,
+          nlist = 4, quantize = true),
+        (p: String, qs: org.apache.spark.sql.DataFrame) =>
+          Ann.ivfIndexTopKQuantized(spark, p, qs, "vec_id", "embedding",
+            k = 1, nprobe = 4, excludeSelf = false)),
+      ("pq",
+        (p: String) => Ann.writeIvfIndexPq(e, "vec_id", "embedding", p,
+          nlist = 4, m = 4, ksub = 8),
+        (p: String, qs: org.apache.spark.sql.DataFrame) =>
+          Ann.ivfIndexTopKPq(spark, p, qs, "vec_id", "embedding",
+            k = 1, nprobe = 4, excludeSelf = false)))) {
+      val p = scratch(s"ivfdel-$quant")
+      build(p)
+      val self = e.filter(col("vec_id") === 17L)
+      assert(probe(p, self).filter(col("neighbor_id") === 17L)
+        .count() > 0, s"$quant: pre-delete self-probe missed")
+      Ann.deleteFromIvfIndex(Seq(17L).toDF("vec_id"), "vec_id", p)
+      assert(probe(p, self).filter(col("neighbor_id") === 17L)
+        .isEmpty, s"$quant: a tombstoned id is still probe-visible")
+    }
   }
 
   test("maybeCompactIvfIndex: folds when the backlog crosses the " +
