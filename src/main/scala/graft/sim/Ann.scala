@@ -1453,7 +1453,13 @@ object Ann {
         .delete(mfp, false)
       rows.repartition(col("__cell"))
         .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
-      val total = spark.read.parquet(s"$path/assigned").count()
+      // incremental row accounting (the compactIvfIndex discipline,
+      // r14): the encode is row-preserving (NULL/ragged vectors keep a
+      // NULL cell, they are written, never dropped), so the new total
+      // is certified + batch — an O(batch) count instead of re-listing
+      // every footer of a 100-TB table per append
+      val total = mf.rows +
+        batch.select(col(cId)).count()
       writeManifest(spark, path, mf.nlist, total, mf.quant,
         mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
         geomId = mf.geomId, streamMarks = mf.streamMarks)
