@@ -414,8 +414,12 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
           respond(ex, 400, """{"error": "size must be a positive integer"}""")
         else if (toks.isEmpty) respond(ex, 400, """{"error": "q required"}""")
         else {
-          val postings = spark.read.parquet(ds.path + "/postings")
-          val docs = spark.read.parquet(ds.path + "/docs")
+          // tombstone-aware reads (Sinks.deleteFromIndexed): a
+          // taken-down doc neither scores nor surfaces
+          val postings = graft.sources.Sources.indexedTable(
+            spark, ds.path, "postings")
+          val docs = graft.sources.Sources.indexedTable(
+            spark, ds.path, "docs")
           // corpus size rides the plan (no separate eager count job)
           val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
           // IDF over the QUERY tokens only — each token's df is counted

@@ -206,7 +206,8 @@ object RecipeConf {
         names = ds.options.getOrElse("names",
           sys.error("fwf dataset needs options.names (comma-separated)"))
           .split(",").toSeq.map(_.trim))
-      case "index" => Sources.parquet(spark, path + "/docs") // document store
+      // document store — tombstones (index sink mode delete) suppressed
+      case "index" => Sources.indexedTable(spark, path, "docs")
       // the reference's `sql` connector (recipes.py:484-509): path = the
       // table; options.query pushes a whole SELECT into the database
       case "sql" => Sources.jdbc(spark,
@@ -247,6 +248,12 @@ object RecipeConf {
     // the ES-bulk analogue: docs + token postings tables; `analyzed`
     // names the token-array column, `id` the doc id (row hash when
     // absent — recipes.py:771-790)
+    // 'delete' tombstones the input frame's ids (options.id names the
+    // column, default _id) — the takedown verb, consistent with the
+    // ann_index / neardup_index sinks; purge at the next rebuild
+    case "index" if mode == "delete" =>
+      Sinks.deleteFromIndexed(df,
+        idCol = ds.options.getOrElse("id", "_id"), path = ds.path)
     case "index" => Sinks.indexed(df, ds.path,
       idCol = ds.options.get("id"),
       analyzedCol = ds.options.getOrElse("analyzed",

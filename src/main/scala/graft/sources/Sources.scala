@@ -133,6 +133,24 @@ object Sources {
     if (select.nonEmpty) df.select(select.map(col): _*) else df
   }
 
+  /** One table of a document-index layout (`Sinks.indexed`: docs/ or
+    * postings/) with tombstones ([[Sinks.deleteFromIndexed]])
+    * suppressed — ONE reader shared by the recipe `index` dataset,
+    * the match step's right side (it resolves through that dataset
+    * read), and the API `_search` route, so a taken-down doc vanishes
+    * from every consumer at once. Broadcast anti-join on `_id`
+    * (takedowns are declared-small); no deletes/ → the plain read. */
+  def indexedTable(spark: SparkSession, path: String,
+      table: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/$table")
+    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(delP))
+      df.join(broadcast(spark.read.parquet(delP.toString).distinct()),
+        Seq("_id"), "left_anti")
+    else df
+  }
+
   /** ORC — beyond the reference's formats, but table stakes for a Spark
     * library: the other columnar lake format, with the same pushdown/
     * pruning story as parquet (built into spark-sql, no extra jars). */
@@ -385,8 +403,42 @@ object Sinks {
       case Some(c) => df.withColumn("_id", col(c))
       case None    => df.withColumn("_id", xxhash64(df.columns.toIndexedSeq.map(col): _*))
     }
+    // a REBUILD purges tombstones with the tables it rewrites (the
+    // writeIvfIndex / writeNearDupIndex discipline): the new corpus is
+    // the caller's authority on membership
+    if (mode == "overwrite") {
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      delP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(delP, true)
+    }
     withId.write.mode(mode).parquet(s"$path/docs")
     withId.select(col("_id"), explode(array_distinct(col(analyzedCol))).as("token"))
       .write.mode(mode).parquet(s"$path/postings")
+  }
+
+  /** DELETE for the document store — the takedown verb on the THIRD
+    * persisted artifact (the ANN index and the near-dup band index
+    * grew it this round): tombstoned `_id`s append to a tiny
+    * `deletes/` table and every reader of the layout suppresses them
+    * ([[Sources.indexedTable]] — the recipe `index` dataset read, the
+    * match step's right side through it, and the API `_search`
+    * route). Physical purge at the next rebuild (mode
+    * create/overwrite rewrites both tables and clears the
+    * tombstones); a delete itself never rewrites — O(ids), safe
+    * beside readers and appends. Idempotent; unknown ids are
+    * legal. */
+  def deleteFromIndexed(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")),
+      s"deleteFromIndexed: '$path' is not a document-index layout " +
+        "(missing docs/ — build one with the index sink first)")
+    val idType = spark.read.parquet(s"$path/docs").schema("_id").dataType
+    ids.select(col(idCol).cast(idType).as("_id"))
+      .filter(col("_id").isNotNull).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/deletes")
   }
 }

@@ -449,6 +449,14 @@ class ApiServerSpec extends SparkSpec {
       val pie = send("POST", s"$base/datasets/corpus/_search?q=pie&size=10")
       assert(pie.body().contains(""""id":3"""))
       assert(send("POST", s"$base/datasets/corpus/_search").statusCode() == 400)
+      // a taken-down doc (index-sink takedown verb) neither scores nor
+      // surfaces — the _search route reads through the tombstone-aware
+      // shared reader
+      Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", idxDir)
+      val afterDel = send("POST",
+        s"$base/datasets/corpus/_search?q=red+apple&size=5")
+      assert(!afterDel.body().contains(""""id":1""") &&
+        afterDel.body().contains(""""id":2"""), afterDel.body())
     } finally api.stop()
   }
 

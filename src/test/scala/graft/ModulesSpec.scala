@@ -217,6 +217,31 @@ class ModulesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/docs").count() == 2)
     val postings = spark.read.parquet(s"$dir/postings")
     assert(postings.filter($"token" === "red").count() == 2)
+    // DELETE (takedown verb, r14): a tombstoned doc vanishes from the
+    // shared reader — docs AND postings — while physically remaining;
+    // rebuild purges the tombstones
+    Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", dir)
+    assert(Sources.indexedTable(spark, dir, "docs").count() == 1)
+    assert(Sources.indexedTable(spark, dir, "postings")
+      .filter($"token" === "red").count() == 1)
+    // the recipe `index` dataset read routes through the same reader
+    val conf = graft.conf.RecipeConf.load(
+      s"""datasets:
+         |  the_idx: {path: $dir, format: index}
+         |recipes:
+         |  r: {input: the_idx, steps: []}
+         |""".stripMargin)
+    assert(graft.conf.RecipeConf.run(spark, conf, "r").count() == 1)
+    // idempotent / unknown ids; delete of both docs leaves zero rows
+    Sinks.deleteFromIndexed(Seq(1L, 2L, 99L).toDF("id"), "id", dir)
+    assert(Sources.indexedTable(spark, dir, "docs").count() == 0)
+    // rebuild (overwrite) clears the tombstones — the new corpus is
+    // the authority on membership
+    Sinks.indexed(df, dir, idCol = Some("id"), analyzedCol = "toks")
+    assert(Sources.indexedTable(spark, dir, "docs").count() == 2)
+    val eNoIdx = intercept[IllegalArgumentException](
+      Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", s"$dir/nope"))
+    assert(eNoIdx.getMessage.contains("docs/"), eNoIdx.getMessage)
   }
 
   test("readers hand s3a:// URIs to Hadoop unmodified (no engine-side path parsing)") {
