@@ -106,6 +106,97 @@ object SparkEntry {
   private def ivfDelIdxDir(dir: String): String =
     scratchDir("graft-ivfdel-q136", tag = dir)
 
+  /** q137's APPENDED band index dir: built on the corpus MINUS its
+    * template holders under a NON-default signature (num_hashes=60,
+    * bands=10 — six-row band slices that cannot accidentally align
+    * with a 64/16-signed batch), then the template holders arrive via
+    * the YAML neardup_index APPEND mode. Every probe hit therefore
+    * crosses the build/append boundary: an append that silently
+    * no-ops, or signs under defaults instead of the STORED manifest
+    * parameters, zeroes every verdict. */
+  private def nearApndIdxDir(dir: String): String =
+    scratchDir("graft-neardupapp-q137", tag = dir)
+
+  /** q138/q139's takedown-cascade artifacts: the band index (full
+    * fixture corpus) and the document index (docs + postings; built
+    * on the even ids, YAML-appended the odd ids), tombstoned by ONE
+    * cascading YAML takedown run and then both physically purged by
+    * their YAML compact modes. */
+  private def nearDelIdxDir(dir: String): String =
+    scratchDir("graft-neardupdel-q138", tag = dir)
+  private def docIdxDir(dir: String): String =
+    scratchDir("graft-docidx-q139", tag = dir)
+
+  /** Build q138/q139's shared artifact pair on this JVM's first touch
+    * (the ivfBuilt guard contract) and return (bandIdx, docIdx). The
+    * history each probe must answer through: build → append → ONE
+    * cascading takedown (both artifacts, one id frame, one YAML run)
+    * → compact each. The compact runs REQUIRE the tombstone tables
+    * gone afterwards (checked by the queries) — a no-op fold cannot
+    * hide behind the readers' anti-join. */
+  private def ensureTakedownArtifacts(s: SparkSession, dir: String)
+      : (String, String) = {
+    val bandIdx = nearDelIdxDir(dir)
+    val docIdx = docIdxDir(dir)
+    if (!ivfBuilt.contains(bandIdx)) {
+      val d = t(s, dir, "documents")
+      val (_, corpus) = nearDupFixture(s, dir)
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", bandIdx)
+      val analyzed = d.withColumn("toks",
+        Tools.tokenize(Tools.normalize(col("text"))))
+      graft.sources.Sinks.indexed(
+        analyzed.filter(col("doc_id") % 2 === 0), docIdx,
+        Some("doc_id"), "toks")
+      // odd half arrives through the YAML index sink's APPEND mode
+      val oddPath = scratchDir("graft-docidx-odd", tag = dir)
+      analyzed.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(oddPath)
+      val idsPath = scratchDir("graft-takedown-ids", tag = dir)
+      d.filter(col("doc_id") % 20 === 2).select("doc_id")
+        .write.mode("overwrite").parquet(idsPath)
+      val conf = graft.conf.RecipeConf.load(
+        s"""datasets:
+           |  odd: {path: $oddPath, format: parquet}
+           |  ids: {path: $idsPath, format: parquet}
+           |  docw:
+           |    path: $docIdx
+           |    format: index
+           |    options: {id: doc_id, analyzed: toks}
+           |  bandw:
+           |    path: $bandIdx
+           |    format: neardup_index
+           |    options: {id: doc_id, text: text}
+           |  td:
+           |    path: unused-takedown
+           |    format: takedown
+           |    options: {id: doc_id, index: $docIdx, neardup_index: $bandIdx}
+           |recipes:
+           |  app: {input: odd, steps: [], output: docw}
+           |  takedown: {input: ids, steps: [], output: td}
+           |  fold_band: {input: ids, steps: [], output: bandw}
+           |  fold_doc: {input: ids, steps: [], output: docw}
+           |""".stripMargin)
+      graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+      graft.conf.RecipeConf.run(s, conf, "takedown", mode = "delete")
+      graft.conf.RecipeConf.run(s, conf, "fold_band", mode = "compact")
+      graft.conf.RecipeConf.run(s, conf, "fold_doc", mode = "compact")
+      ivfBuilt.add(bandIdx)
+    }
+    (bandIdx, docIdx)
+  }
+
+  /** The q138/q139 post-compaction invariant: the fold must have
+    * CONSUMED the tombstone table — with it gone the readers run
+    * WITHOUT an anti-join, so a purge that silently kept (or dropped
+    * the wrong) rows lands straight in the hash compare. */
+  private def requireTombstonesConsumed(s: SparkSession, path: String,
+      what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    require(!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p),
+      s"$what: deletes/ still present at $path — the compact fold did " +
+        "not consume the tombstones")
+  }
+
   /** Shared append-gate scaffold (q126/q129/q133/q134): stage the ODD
     * half of `embeddings` as a scratch parquet (the YAML dataset needs
     * a path) and append it to `idx` through the RecipeConf ann_index
@@ -1051,6 +1142,79 @@ object SparkEntry {
       }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // band-index APPEND (extend-don't-re-sign — appendToNearDupIndex):
+    // the index is built WITHOUT the corpus's template holders under a
+    // non-default signature (60 hashes × 10 bands), and the holders
+    // arrive via the YAML neardup_index APPEND mode, signed under the
+    // manifest's STORED parameters. Probe ≡ q107's oracle VERBATIM:
+    // every expected hit crosses the build/append boundary, so an
+    // append that no-ops, or re-signs under 64/16 defaults (six-row
+    // vs four-row band slices — zero bucket alignment), zeroes every
+    // verdict and fails the hash.
+    "q137_neardup_index_append" -> ((s, dir) => {
+      val idx = nearApndIdxDir(dir)
+      if (!ivfBuilt.contains(idx)) {
+        val (_, corpus) = nearDupFixture(s, dir)
+        Dedup.writeNearDupIndex(
+          corpus.filter(col("doc_id") % 10 =!= 2), "doc_id", "text",
+          idx, shingleSize = 3, numHashes = 60, bands = 10)
+        val batchPath = scratchDir("graft-neardupapp-batch", tag = dir)
+        corpus.filter(col("doc_id") % 10 === 2)
+          .write.mode("overwrite").parquet(batchPath)
+        // through the YAML append mode, with the signature DECLARED on
+        // the dataset block — the drift cross-check must accept it
+        val conf = graft.conf.RecipeConf.load(
+          s"""datasets:
+             |  batch: {path: $batchPath, format: parquet}
+             |  idxw:
+             |    path: $idx
+             |    format: neardup_index
+             |    options: {id: doc_id, text: text, num_hashes: "60", bands: "10"}
+             |recipes:
+             |  app: {input: batch, steps: [], output: idxw}
+             |""".stripMargin)
+        graft.conf.RecipeConf.run(s, conf, "app", mode = "append")
+        ivfBuilt.add(idx)
+      }
+      val (batch, _) = nearDupFixture(s, dir)
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text",
+        threshold = 0.6)
+    }),
+
+    // band-index TAKEDOWN + COMPACT, driven through the CASCADING
+    // takedown verb (one id frame tombstones the band index AND q139's
+    // document store in one YAML run) and the YAML compact fold. The
+    // body REQUIRES deletes/ gone — with no tombstone table the probe
+    // runs WITHOUT its anti-join, so a fold that failed to purge (the
+    // removed template holders would resurface and RAISE the dup
+    // counts) or purged wrong files (surviving holders vanish) fails
+    // the hash directly.
+    "q138_neardup_takedown_compact" -> ((s, dir) => {
+      val (bandIdx, _) = ensureTakedownArtifacts(s, dir)
+      requireTombstonesConsumed(s, bandIdx, "q138_neardup_takedown_compact")
+      val (batch, _) = nearDupFixture(s, dir)
+      Dedup.incrementalNearDupsIndexed(batch, bandIdx, "doc_id", "text",
+        threshold = 0.6)
+    }),
+
+    // document-store LIFECYCLE (build even → YAML-append odd → the
+    // same cascading takedown → YAML compact): read back docs ∪
+    // postings through the tombstone-aware reader and report each
+    // surviving doc's distinct-token count. Deletes/ is REQUIRED gone
+    // (same contract as q138), so the raw post-purge tables answer —
+    // a resurrected doc, a lost appended doc, or postings purged out
+    // of step with docs all fail the hash.
+    "q139_docindex_lifecycle" -> ((s, dir) => {
+      val (_, docIdx) = ensureTakedownArtifacts(s, dir)
+      requireTombstonesConsumed(s, docIdx, "q139_docindex_lifecycle")
+      val docs = graft.sources.Sources.indexedTable(s, docIdx, "docs")
+      val posts = graft.sources.Sources.indexedTable(s, docIdx, "postings")
+      val cnt = posts.groupBy("_id").agg(count(lit(1)).as("n_tokens"))
+      docs.join(cnt, Seq("_id"), "left")
+        .select(col("_id").as("doc_id"), col("lang"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -2674,7 +2838,13 @@ object SparkEntry {
   /** The exhaustive cross-side near-dup CTE tower shared by q105 / q107
     * (verdict rollup) and q108 (streaming candidate flag): same plant +
     * carve, q26's shingle spelling, hits rolled up per batch id. */
-  private lazy val nearDupOracleCtes: String =
+  /** The q105/q107/q108 oracle CTE tower, parameterized on the CORPUS
+    * membership predicate: q138 probes the same fixture after a
+    * takedown removed `doc_id % 20 = 2` from the index, which the
+    * oracle spells as one extra predicate on the c CTE — everything
+    * else (plant, carve, signature arithmetic) is the ONE shared
+    * spelling. */
+  private def nearDupOracleCtesWith(corpusPred: String): String =
     ("WITH d AS (SELECT doc_id, " +
       s"""CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1
         |       THEN '$nearDupTpl'
@@ -2684,14 +2854,14 @@ object SparkEntry {
         | FROM documents),
         |""".stripMargin +
       "n AS (SELECT doc_id, " + normSql.format("text") + " AS s FROM d), " +
-      """t AS (SELECT doc_id, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
+      s"""t AS (SELECT doc_id, string_split(s, ' ') AS toks FROM n WHERE s <> ''),
         |g AS (SELECT doc_id,
         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
         |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
         | FROM t),
         |b AS (SELECT * FROM g WHERE doc_id % 4 = 1),
-        |c AS (SELECT * FROM g WHERE doc_id % 4 <> 1),
+        |c AS (SELECT * FROM g WHERE doc_id % 4 <> 1 AND ($corpusPred)),
         |p AS (SELECT b.doc_id AS bid,
         |  ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
         |    / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4) AS j
@@ -2700,11 +2870,16 @@ object SparkEntry {
         | FROM p WHERE j >= 0.6 GROUP BY bid)
         |""".stripMargin)
 
-  private lazy val nearDupOracleSql: String = nearDupOracleCtes +
+  private lazy val nearDupOracleCtes: String = nearDupOracleCtesWith("TRUE")
+
+  private lazy val nearDupOracleFinal: String =
     """SELECT i.doc_id, COALESCE(h.n_corpus_dups, 0) AS n_corpus_dups,
       |  h.max_jaccard AS max_jaccard, h.bid IS NULL AS kept
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) i
       |LEFT JOIN h ON i.doc_id = h.bid""".stripMargin
+
+  private lazy val nearDupOracleSql: String =
+    nearDupOracleCtes + nearDupOracleFinal
 
   private lazy val decontaminateCtes: String =
     ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
@@ -3762,6 +3937,31 @@ object SparkEntry {
     // tombstone anti-join, or a delete that touched the wrong rows.
     "q136_ann_ivf_delete" ->
       annTopKOracleSqlWith(" WHERE vec_id % 7 <> 3"),
+
+    // band-index append ≡ rebuild: the probe through the
+    // built-then-appended index must answer q107's oracle VERBATIM —
+    // the exhaustive verdicts over the whole fixture corpus
+    "q137_neardup_index_append" -> nearDupOracleSql,
+
+    // takedown + compact: the same tower with the tombstoned ids
+    // removed from the corpus CTE — one predicate is the entire
+    // semantic difference, everything else stays the shared spelling
+    "q138_neardup_takedown_compact" ->
+      (nearDupOracleCtesWith("doc_id % 20 <> 2") + nearDupOracleFinal),
+
+    // document-store lifecycle: survivors (build-even ∪ append-odd
+    // minus the takedown) with each doc's DISTINCT-token count under
+    // the shared normalize mirror — postings are exploded
+    // array_distinct(tokens), so len(list_distinct(...)) is the exact
+    // twin; NULL/empty text folds to 0 on both sides (no postings
+    // rows vs the guarded CASE)
+    "q139_docindex_lifecycle" ->
+      ("WITH n AS (SELECT doc_id, lang, " + normSql.format("text") +
+        """ AS s FROM documents)
+          |SELECT doc_id, lang,
+          |  CASE WHEN s IS NULL OR s = '' THEN 0
+          |       ELSE len(list_distinct(string_split(s, ' '))) END AS n_tokens
+          |FROM n WHERE doc_id % 20 <> 2""".stripMargin),
 
     // Oracle = the EXHAUSTIVE word-3-shingle Jaccard pairs at the same
     // threshold: at ≥0.6 the LSH bands (16×4 over 64 hashes) have

@@ -254,6 +254,16 @@ object RecipeConf {
     case "index" if mode == "delete" =>
       Sinks.deleteFromIndexed(df,
         idCol = ds.options.getOrElse("id", "_id"), path = ds.path)
+      // auto-purge policy (declared on the dataset block): fold the
+      // tombstone backlog physically once it crosses the threshold
+      Sinks.maybeCompactIndexed(df.sparkSession, ds.path,
+        afterDeletes = ds.options.get("purge_after_deletes").map(_.toLong))
+      ()
+    // 'compact' purges tombstoned docs physically from docs/ AND
+    // postings/ (file-scoped — untouched files are never rewritten);
+    // the input frame is deliberately ignored, like ann_index compact
+    case "index" if mode == "compact" =>
+      Sinks.compactIndexed(df.sparkSession, ds.path)
     case "index" => Sinks.indexed(df, ds.path,
       idCol = ds.options.get("id"),
       analyzedCol = ds.options.getOrElse("analyzed",
@@ -315,6 +325,13 @@ object RecipeConf {
         idCol = ds.options.getOrElse("id",
           sys.error("ann_index sink needs options.id (vector id column)")),
         path = ds.path)
+      // auto-purge policy: fold once the tombstone backlog crosses the
+      // declared share of the certified total — the takedown twin of
+      // the append boundary's compact_after_* checks
+      graft.sim.Ann.maybeCompactIvfIndex(df.sparkSession, ds.path,
+        afterDeletesPct =
+          ds.options.get("purge_after_deletes_pct").map(_.toDouble))
+      ()
     case "ann_index" if mode != "create" && mode != "overwrite" =>
       sys.error(s"ann_index sink only supports mode create/overwrite/" +
         s"append/compact/delete, got '$mode'")
@@ -357,9 +374,48 @@ object RecipeConf {
         idCol = ds.options.getOrElse("id",
           sys.error("neardup_index sink needs options.id (doc id column)")),
         path = ds.path)
+      // auto-purge policy (declared on the dataset block): fold the
+      // tombstone backlog physically once it crosses the threshold
+      graft.dedup.Dedup.maybeCompactNearDupIndex(df.sparkSession, ds.path,
+        afterDeletes = ds.options.get("purge_after_deletes").map(_.toLong),
+        afterDeletesPct =
+          ds.options.get("purge_after_deletes_pct").map(_.toDouble))
+      ()
+    // 'append' signs ONLY the batch under the manifest's STORED
+    // signature parameters (Dedup.appendToNearDupIndex) — any
+    // parameter the dataset block declares is cross-checked against
+    // the manifest and a mismatch refuses loudly (the ann_index append
+    // discipline: a drifted shingle_size/num_hashes/bands would
+    // silently band-mismatch every probe against the appended rows)
+    case "neardup_index" if mode == "append" =>
+      val spark = df.sparkSession
+      graft.dedup.Dedup.readNearDupManifest(spark, ds.path).foreach {
+        case (ss, nh, nb, _) =>
+          def drift(knob: String, declared: String, actual: String): Unit =
+            if (declared != actual) sys.error(
+              s"neardup_index append: options.$knob declares '$declared' " +
+                s"but the index at ${ds.path} was built with '$actual' — " +
+                "drifted signature; rebuild (mode overwrite) to change it")
+          ds.options.get("shingle_size")
+            .foreach(v => drift("shingle_size", v, ss.toString))
+          ds.options.get("num_hashes")
+            .foreach(v => drift("num_hashes", v, nh.toString))
+          ds.options.get("bands").foreach(v => drift("bands", v, nb.toString))
+      }
+      graft.dedup.Dedup.appendToNearDupIndex(df,
+        idCol = ds.options.getOrElse("id",
+          sys.error("neardup_index sink needs options.id (doc id column)")),
+        textCol = ds.options.getOrElse("text",
+          sys.error("neardup_index sink needs options.text (text column)")),
+        path = ds.path)
+    // 'compact' purges tombstoned docs physically from shingles/ AND
+    // bands/ (file-scoped — untouched files are never rewritten); the
+    // input frame is deliberately ignored, like ann_index compact
+    case "neardup_index" if mode == "compact" =>
+      graft.dedup.Dedup.compactNearDupIndex(df.sparkSession, ds.path)
     case "neardup_index" if mode != "create" && mode != "overwrite" =>
       sys.error(s"neardup_index sink only supports mode create/overwrite/" +
-        s"delete (the index tables are rebuilt whole), got '$mode'")
+        s"append/compact/delete, got '$mode'")
     case "neardup_index" => graft.dedup.Dedup.writeNearDupIndex(df,
       idCol = ds.options.getOrElse("id",
         sys.error("neardup_index sink needs options.id (doc id column)")),
@@ -376,6 +432,39 @@ object RecipeConf {
       url = ds.options.getOrElse("url", sys.error("sql dataset needs options.url")),
       table = ds.path, mode = mode,
       props = ds.options -- Seq("url", "query"))
+    // CASCADING takedown — ONE verb tombstoning an id frame across
+    // every persisted artifact a pipeline derives from its corpus:
+    // the document store (options.index), the near-dup band index
+    // (options.neardup_index), and the ANN index (options.ann_index) —
+    // any subset, each keyed by its own id column (a doc id and a
+    // vector id are different key spaces; options.id is the shared
+    // default). Each constituent delete is the artifact's own
+    // idempotent O(ids) tombstone verb, so a partial crash re-runs
+    // safely; the respective compact/rebuild steps purge physically.
+    // `path` is unused (a fan-out verb has no single table) and mode
+    // is forced: a takedown IS a delete.
+    case "takedown" =>
+      require(mode == "delete" || mode == "create",
+        s"takedown sink is the delete verb itself — run it with mode " +
+          s"delete (or the runner default), got '$mode'")
+      val targets = Seq("index", "neardup_index", "ann_index")
+        .flatMap(k => ds.options.get(k).map(k -> _))
+      require(targets.nonEmpty,
+        "takedown sink needs at least one target artifact path " +
+          "(options.index / options.neardup_index / options.ann_index)")
+      def idFor(target: String, fallback: String): String =
+        ds.options.getOrElse(s"${target}_id",
+          ds.options.getOrElse("id", fallback))
+      targets.foreach {
+        case ("index", p) =>
+          Sinks.deleteFromIndexed(df, idFor("index", "_id"), p)
+        case ("neardup_index", p) =>
+          graft.dedup.Dedup.deleteFromNearDupIndex(
+            df, idFor("neardup_index", "_id"), p)
+        case ("ann_index", p) =>
+          graft.sim.Ann.deleteFromIvfIndex(df, idFor("ann_index", "_id"), p)
+        case _ => ()
+      }
     case other => sys.error(s"unsupported sink format: $other")
   }
 

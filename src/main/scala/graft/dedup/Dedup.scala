@@ -499,8 +499,8 @@ object Dedup {
       corpus.sparkSession.sparkContext.hadoopConfiguration)
     fsIdx.delete(mf, false)
     // stale tombstones go with the tables: the rebuild's corpus is the
-    // caller's authority on membership (deleteFromNearDupIndex's purge
-    // point — this index has no incremental fold)
+    // caller's authority on membership (compactNearDupIndex's purge
+    // point, and the one way to resurrect a taken-down id)
     fsIdx.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     val base = shingleFrame(corpus, idCol, textCol, shingleSize, "__cid")
       .filter(size(col("sh")) > 0)
@@ -554,10 +554,11 @@ object Dedup {
     * [[incrementalNearDupsIndexed]] probe anti-joins it broadcast, so
     * a removed document stops vetoing new near-duplicates immediately,
     * without re-signing the corpus. Physical purge happens at the next
-    * REBUILD (writeNearDupIndex clears deletes/ with the tables it
-    * rewrites — this index has no incremental fold step; its tables
-    * are append-only until rebuilt). Idempotent; unknown ids are
-    * legal. */
+    * [[compactNearDupIndex]] (or a full rebuild — writeNearDupIndex
+    * clears deletes/ with the tables it rewrites). Idempotent; unknown
+    * ids are legal. A takedown is terminal for its id: re-appending a
+    * tombstoned id stays suppressed probe-side and the next purge
+    * removes the re-added rows too — resurrect an id by rebuilding. */
   def deleteFromNearDupIndex(ids: DataFrame, idCol: String,
       path: String): Unit = {
     val spark = ids.sparkSession
@@ -569,6 +570,211 @@ object Dedup {
       .filter(col("__cid").isNotNull).distinct()
       .coalesce(1)
       .write.mode("append").parquet(s"$path/deletes")
+  }
+
+  /** APPEND for the band index — extend, never re-sign
+    * ([[graft.sim.Ann.appendIvfIndex]]'s sibling): the batch is signed
+    * under the MANIFEST's stored (shingle_size, num_hashes, bands) —
+    * never caller defaults, the same stored-geometry discipline as the
+    * ANN append — and its rows append to both tables, so each
+    * increment costs the increment while a 100-TB corpus is never
+    * re-signed. The signing pass runs ONCE (the batch frame is
+    * persisted across the two table writes; shingle/minhash derivation
+    * is deterministic, so an evicted partition recomputes identically
+    * and the tables cannot disagree). Row accounting is incremental:
+    * new total = certified + batch (an O(batch) count, no re-list of
+    * the table footers).
+    *
+    * Torn-append discipline: the manifest is retracted before the
+    * first table write and re-issued after both landed — a crash
+    * mid-append leaves no certificate and every probe fails loudly
+    * instead of silently missing the batch's bands. Duplicate ids are
+    * the CALLER's contract (append kept rows — run the incremental
+    * dedup gate first, the q107 discipline); an append never dedups.
+    * Single-maintenance-writer: refuses while a fold's `_COMPACTING`
+    * marker exists and holds `_APPENDING` for its run, which
+    * [[compactNearDupIndex]] refuses on — interleaved, the fold's file
+    * swap could delete freshly appended rows. */
+  def appendToNearDupIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (shingleSize, numHashes, bands, rows) =
+      readNearDupManifest(spark, path).getOrElse(sys.error(
+        s"appendToNearDupIndex: no near-dup index manifest at $path — " +
+          "appends extend a COMPLETE index (build with " +
+          "writeNearDupIndex first)"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    require(!fs.exists(compactingP),
+      s"appendToNearDupIndex: a compaction is rewriting table files at " +
+        s"'$path' (${compactingP.getName} exists) — rows appended now " +
+        "could be deleted by its swap (single-maintenance-writer " +
+        "contract); wait for the fold to finish, or delete the marker " +
+        "if it crashed mid-run")
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    fs.create(appendingP, true).close()
+    try {
+      val base = shingleFrame(batch, idCol, textCol, shingleSize, "__cid")
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = base.count()
+        if (n > 0) {
+          fs.delete(nearDupManifestFile(path), false)
+          base.write.mode("append").parquet(s"$path/shingles")
+          bandFrame(base, "__cid", numHashes, bands, keepSh = false)
+            .write.mode("append").parquet(s"$path/bands")
+          writeNearDupManifest(spark, path,
+            shingleSize, numHashes, bands, rows + n)
+        }
+      } finally { base.unpersist(); () }
+    } finally { fs.delete(appendingP, false); () }
+  }
+
+  /** COMPACT for the band index — the physical tombstone purge
+    * ([[graft.sim.Ann.compactIvfIndex]]'s sibling), FILE-scoped the
+    * way the ANN fold is cell-scoped: the tables are flat (no
+    * partition key), so the purge locates the files actually holding
+    * a tombstoned row (one id-column-only scan over `_metadata
+    * .file_path`), rewrites ONLY those files' survivors, and swaps
+    * them in — untouched files are never read again nor rewritten, so
+    * a bounded takedown against a 100-TB index costs O(touched
+    * files), not O(index). Tombstone files are snapshotted at entry
+    * (the ANN discipline): a delete landing mid-fold survives to the
+    * next one, still suppressed probe-side meanwhile.
+    *
+    * Crash-safety is the certificate, not atomic renames: the
+    * manifest is retracted for the swap window (stage survivors →
+    * move staged files in → delete doomed files → consume tombstones
+    * → re-issue manifest with the purged count), so a crash mid-swap
+    * leaves a loudly-unprobable index, never a silent double-count or
+    * resurrection. Refuses while `_APPENDING` exists and holds
+    * `_COMPACTING` (single-maintenance-writer, both ways). No-op when
+    * no tombstones exist. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val delFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(delDir)) Nil
+      else fs.listStatus(delDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    if (delFiles.isEmpty) {
+      if (fs.exists(delDir)) { fs.delete(delDir, true); () }
+      return
+    }
+    val (shingleSize, numHashes, bands, rows) =
+      readNearDupManifest(spark, path).getOrElse(sys.error(
+        s"compactNearDupIndex: no near-dup index manifest at $path — " +
+          "nothing certified to compact; rebuild with writeNearDupIndex"))
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    require(!fs.exists(appendingP),
+      s"compactNearDupIndex: a batch append is running at '$path' " +
+        s"(${appendingP.getName} exists) — its freshly appended files " +
+        "could be deleted by this fold's swap (single-maintenance-" +
+        "writer contract); wait for the append to finish, or delete " +
+        "the marker if it crashed mid-run")
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    fs.create(compactingP, true).close()
+    try {
+      val dels = spark.read.parquet(delFiles.map(_.toString): _*)
+        .select(col("__cid").as("__del_id")).distinct()
+      // the touched file set per table: an id-and-path-only scan
+      // (parquet reads just __cid; file_path is scan metadata)
+      def doomedFiles(table: String): Seq[String] =
+        spark.read.parquet(s"$path/$table")
+          .select(col("__cid"), col("_metadata.file_path").as("__f"))
+          .join(broadcast(dels), col("__cid") === col("__del_id"),
+            "left_semi")
+          .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      val doomed = Seq("shingles", "bands").map(t => t -> doomedFiles(t))
+      if (doomed.forall(_._2.isEmpty)) {
+        // tombstones matching nothing: consume the snapshot files
+        delFiles.foreach(f => fs.delete(f, false))
+        sweepDeletesDir(fs, delDir)
+        return
+      }
+      // stage every touched file's survivors FIRST (the long part);
+      // the certificate-retraction window covers only the file moves
+      var purgedDocs = 0L
+      val staged = doomed.map { case (table, files) =>
+        val stagedP = new org.apache.hadoop.fs.Path(s"$path/${table}_compact")
+        fs.delete(stagedP, true) // a crashed previous fold's leftover
+        if (files.nonEmpty) {
+          val touched = spark.read.parquet(files: _*)
+          if (table == "shingles")
+            purgedDocs = touched
+              .join(broadcast(dels), col("__cid") === col("__del_id"),
+                "left_semi").count()
+          touched.join(broadcast(dels), col("__cid") === col("__del_id"),
+              "left_anti")
+            .write.mode("overwrite").parquet(stagedP.toString)
+        }
+        (table, files, stagedP)
+      }
+      fs.delete(nearDupManifestFile(path), false)
+      staged.foreach { case (table, files, stagedP) =>
+        if (files.nonEmpty) {
+          fs.listStatus(stagedP).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(
+                  s"$path/$table/${st.getPath.getName}"))
+            }
+          files.foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        }
+        fs.delete(stagedP, true)
+      }
+      delFiles.foreach(f => fs.delete(f, false))
+      sweepDeletesDir(fs, delDir)
+      writeNearDupManifest(spark, path,
+        shingleSize, numHashes, bands, rows - purgedDocs)
+    } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** Remove a deletes/ dir holding no parquet DATA file (a `_SUCCESS`
+    * marker alone is a husk) — but never one where a fresh tombstone
+    * landed after this fold's snapshot. */
+  private def sweepDeletesDir(fs: org.apache.hadoop.fs.FileSystem,
+      delDir: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(delDir) && !fs.listStatus(delDir).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+      fs.delete(delDir, true); ()
+    }
+
+  /** Auto-purge policy for the band index (the
+    * [[graft.sim.Ann.maybeCompactIvfIndex]] discipline at the DELETE
+    * boundary): fold when the tombstone backlog crosses a declared
+    * threshold — `afterDeletes` (tombstone rows ≥ N, an O(tombstones)
+    * count) or `afterDeletesPct` (tombstone rows ≥ X% of the
+    * manifest-certified total — no table re-list, the certified count
+    * is free). Checked by the YAML `neardup_index` delete mode.
+    * Returns true when a fold ran. */
+  def maybeCompactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, afterDeletes: Option[Long] = None,
+      afterDeletesPct: Option[Double] = None): Boolean = {
+    if (afterDeletes.isEmpty && afterDeletesPct.isEmpty) return false
+    afterDeletes.foreach(n => require(n >= 1,
+      s"purge_after_deletes must be >= 1, got $n"))
+    afterDeletesPct.foreach(p => require(p > 0,
+      s"purge_after_deletes_pct must be > 0, got $p"))
+    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (!delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(delP)) return false
+    val nDel = spark.read.parquet(delP.toString).count()
+    if (nDel == 0) return false
+    val hit = afterDeletes.exists(nDel >= _) ||
+      afterDeletesPct.exists { pct =>
+        val total = readNearDupManifest(spark, path).map(_._4).getOrElse(0L)
+        total > 0 && nDel * 100.0 >= pct * total
+      }
+    if (hit) compactNearDupIndex(spark, path)
+    hit
   }
 
   /** [[incrementalNearDups]] against a PERSISTED index: verdicts are

@@ -1780,16 +1780,24 @@ object Ann {
     * triggered fold costs O(streamed + touched cells)
     * ([[compactIvfIndex]] is cell-scoped), so the policy's amortized
     * cost per streamed row is a constant factor, while its absence
-    * lets probe-side union reads degrade without bound. Returns true
-    * when a fold ran. */
+    * lets probe-side union reads degrade without bound.
+    * `afterDeletesPct` (YAML `purge_after_deletes_pct`, checked at the
+    * delete boundary) trips the same fold on the TOMBSTONE backlog —
+    * tombstone rows ≥ X% of the certified total — so probe-side
+    * anti-join cost and not-yet-erased bytes stay bounded without a
+    * manual fold. Returns true when a fold ran. */
   def maybeCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, afterEpochs: Option[Int] = None,
-      afterRowsPct: Option[Double] = None): Boolean = {
-    if (afterEpochs.isEmpty && afterRowsPct.isEmpty) return false
+      afterRowsPct: Option[Double] = None,
+      afterDeletesPct: Option[Double] = None): Boolean = {
+    if (afterEpochs.isEmpty && afterRowsPct.isEmpty &&
+      afterDeletesPct.isEmpty) return false
     afterEpochs.foreach(n => require(n >= 1,
       s"compact_after_epochs must be >= 1, got $n"))
     afterRowsPct.foreach(p => require(p > 0,
       s"compact_after_rows_pct must be > 0, got $p"))
+    afterDeletesPct.foreach(p => require(p > 0,
+      s"purge_after_deletes_pct must be > 0, got $p"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mf = readManifestPatient(spark, path).getOrElse(return false)
@@ -1797,13 +1805,25 @@ object Ann {
       .filter(e => hasParquetFile(fs, e._3))
       .filterNot { case (tag, ep, _) =>
         mf.streamMarks.get(tag).exists(ep <= _) }
-    if (live.isEmpty) return false
-    val trip = afterEpochs.exists(live.size >= _) ||
+    val streamTrip = live.nonEmpty && (afterEpochs.exists(live.size >= _) ||
       afterRowsPct.exists { pct =>
         val streamed = spark.read.option("basePath", s"$path/stream")
           .parquet(live.map(_._3.toString): _*).count()
         mf.rows > 0 && streamed * 100.0 / mf.rows >= pct
+      })
+    // the takedown-backlog trigger (checked at the YAML delete
+    // boundary): tombstones ≥ X% of the certified total — an
+    // O(tombstones) count against the free manifest count, and the
+    // fold it trips purges them physically (a compaction with no live
+    // epochs is still a purge)
+    val delTrip = !streamTrip && afterDeletesPct.exists { pct =>
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      hasParquetFile(fs, delP) && {
+        val nDel = spark.read.parquet(delP.toString).count()
+        nDel > 0 && mf.rows > 0 && nDel * 100.0 >= pct * mf.rows
       }
+    }
+    val trip = streamTrip || delTrip
     if (trip) compactIvfIndex(spark, path)
     trip
   }

@@ -441,4 +441,94 @@ object Sinks {
       .coalesce(1)
       .write.mode("append").parquet(s"$path/deletes")
   }
+
+  /** COMPACT for the document store — the physical tombstone purge
+    * ([[graft.dedup.Dedup.compactNearDupIndex]]'s sibling, same
+    * FILE-scoped shape): locate the docs/ and postings/ files actually
+    * holding a tombstoned `_id` (an id-and-path-only scan over
+    * `_metadata.file_path`), rewrite only those files' survivors, swap
+    * them in, consume the tombstone snapshot — untouched files are
+    * never read nor rewritten, so a bounded takedown against a 100-TB
+    * store costs O(touched files), not O(store). Tombstone files are
+    * snapshotted at entry: a delete landing mid-purge survives to the
+    * next one, still suppressed by [[Sources.indexedTable]] meanwhile.
+    *
+    * This layout carries no manifest certificate, so the swap is NOT
+    * reader-atomic (a concurrent read can transiently see a purged
+    * file gone before its survivor file lands) — a maintenance-window
+    * op, the [[graft.sources.Layout.compact]] contract. Rows already
+    * suppressed probe-side can never resurface mid-swap (the
+    * tombstones are consumed only after both tables swapped). */
+  def compactIndexed(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")),
+      s"compactIndexed: '$path' is not a document-index layout " +
+        "(missing docs/ — build one with the index sink first)")
+    val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val delFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(delDir)) Nil
+      else fs.listStatus(delDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    if (delFiles.isEmpty) {
+      if (fs.exists(delDir)) { fs.delete(delDir, true); () }
+      return
+    }
+    val dels = spark.read.parquet(delFiles.map(_.toString): _*)
+      .select(col("_id").as("__del_id")).distinct()
+    def doomedFiles(table: String): Seq[String] =
+      spark.read.parquet(s"$path/$table")
+        .select(col("_id"), col("_metadata.file_path").as("__f"))
+        .join(broadcast(dels), col("_id") === col("__del_id"), "left_semi")
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    val staged = Seq("docs", "postings").map { table =>
+      val files = doomedFiles(table)
+      val stagedP = new org.apache.hadoop.fs.Path(s"$path/${table}_compact")
+      fs.delete(stagedP, true) // a crashed previous purge's leftover
+      if (files.nonEmpty)
+        spark.read.parquet(files: _*)
+          .join(broadcast(dels), col("_id") === col("__del_id"), "left_anti")
+          .write.mode("overwrite").parquet(stagedP.toString)
+      (table, files, stagedP)
+    }
+    staged.foreach { case (table, files, stagedP) =>
+      if (files.nonEmpty) {
+        fs.listStatus(stagedP).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(
+                s"$path/$table/${st.getPath.getName}"))
+          }
+        files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      }
+      fs.delete(stagedP, true)
+    }
+    delFiles.foreach(f => fs.delete(f, false))
+    if (fs.exists(delDir) && !fs.listStatus(delDir).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+      fs.delete(delDir, true); ()
+    }
+  }
+
+  /** Auto-purge policy for the document store, checked by the YAML
+    * `index` delete mode: purge when the tombstone backlog reaches
+    * `afterDeletes` rows (an O(tombstones) count — this layout has no
+    * manifest-certified total, so a pct-of-store trigger would cost a
+    * footer re-list per delete; the absolute knob is the one whose
+    * check stays free at 100 TB). Returns true when a purge ran. */
+  def maybeCompactIndexed(spark: SparkSession, path: String,
+      afterDeletes: Option[Long]): Boolean = {
+    if (afterDeletes.isEmpty) return false
+    afterDeletes.foreach(n => require(n >= 1,
+      s"purge_after_deletes must be >= 1, got $n"))
+    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (!delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(delP)) return false
+    val nDel = spark.read.parquet(delP.toString).count()
+    val hit = nDel > 0 && afterDeletes.exists(nDel >= _)
+    if (hit) compactIndexed(spark, path)
+    hit
+  }
 }

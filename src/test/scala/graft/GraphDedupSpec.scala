@@ -2108,4 +2108,104 @@ class GraphDedupSpec extends SparkSpec {
       .exists(delP), "rebuild left stale tombstones")
     assert(verdict() == ((1L, false)))
   }
+
+  test("appendToNearDupIndex: append ≡ rebuild under the STORED signature; " +
+      "writer-exclusion markers; file-scoped compact; auto-purge policy") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 8L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")) :+ (9L, tpl))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, tpl)).toDF("doc_id", "text")
+    val part1 = corpus.filter(col("doc_id") % 2 === 1)
+    val part2 = corpus.filter(col("doc_id") % 2 === 0)
+    def verdicts(idx: String) =
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toSet
+
+    // non-default signature (60 hashes × 10 bands): an append that
+    // re-signed under the 64/16 defaults would band-mismatch every
+    // probe, so append ≡ rebuild pins the stored-signature discipline
+    val apx = scratch("neardup-apnd")
+    Dedup.writeNearDupIndex(part1, "doc_id", "text", apx,
+      shingleSize = 3, numHashes = 60, bands = 10)
+    Dedup.appendToNearDupIndex(part2, "doc_id", "text", apx)
+    val reb = scratch("neardup-apnd-reb")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", reb,
+      shingleSize = 3, numHashes = 60, bands = 10)
+    assert(verdicts(apx) == verdicts(reb), "append diverged from rebuild")
+    // incremental row accounting: certified + batch, no table re-list
+    assert(Dedup.readNearDupManifest(spark, apx).map(_._4) ==
+      Dedup.readNearDupManifest(spark, reb).map(_._4))
+
+    // appends extend a COMPLETE index — no manifest is a loud refusal
+    val noIdx = intercept[RuntimeException](Dedup.appendToNearDupIndex(
+      part2, "doc_id", "text", scratch("neardup-apnd-none")))
+    assert(noIdx.getMessage.contains("manifest"), noIdx.getMessage)
+
+    // single-maintenance-writer, both directions: each verb refuses
+    // while the other's marker exists (interleaved, the fold's file
+    // swap could delete freshly appended rows)
+    val fs = new org.apache.hadoop.fs.Path(apx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compacting = new org.apache.hadoop.fs.Path(s"$apx/_COMPACTING")
+    fs.create(compacting, true).close()
+    val r1 = intercept[IllegalArgumentException](
+      Dedup.appendToNearDupIndex(part2, "doc_id", "text", apx))
+    assert(r1.getMessage.contains("_COMPACTING"), r1.getMessage)
+    fs.delete(compacting, false)
+    Dedup.deleteFromNearDupIndex(Seq(9L).toDF("doc_id"), "doc_id", apx)
+    val appending = new org.apache.hadoop.fs.Path(s"$apx/_APPENDING")
+    fs.create(appending, true).close()
+    val r2 = intercept[IllegalArgumentException](
+      Dedup.compactNearDupIndex(spark, apx))
+    assert(r2.getMessage.contains("_APPENDING"), r2.getMessage)
+    fs.delete(appending, false)
+
+    // file-scoped fold: files holding no tombstoned row are never read
+    // again nor rewritten (same name, same mtime) — the O(touched
+    // files) claim, concretely
+    def files(table: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$apx/$table")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val doomedF = spark.read.parquet(s"$apx/shingles")
+      .select(col("__cid"), col("_metadata.file_path").as("f"))
+      .filter(col("__cid") === 9L)
+      .select("f").distinct().collect()
+      .map(_.getString(0).split("/").last).toSet
+    assert(doomedF.nonEmpty)
+    val before = files("shingles")
+    val rowsBefore = Dedup.readNearDupManifest(spark, apx).get._4
+    Dedup.compactNearDupIndex(spark, apx)
+    val after = files("shingles")
+    assert((before.keySet -- doomedF).forall(f => after.get(f) == before.get(f)),
+      "an untouched file was rewritten by the file-scoped fold")
+    assert(doomedF.forall(f => !after.contains(f)),
+      "a doomed file survived the purge")
+    // tombstones consumed, accounting decremented, probe ≡ a rebuild
+    // on the survivors — the post-purge index IS the smaller corpus
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")),
+      "the fold did not consume its tombstones")
+    assert(Dedup.readNearDupManifest(spark, apx).get._4 == rowsBefore - 1)
+    val reb2 = scratch("neardup-apnd-reb2")
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") =!= 9L),
+      "doc_id", "text", reb2, shingleSize = 3, numHashes = 60, bands = 10)
+    assert(verdicts(apx) == verdicts(reb2),
+      "post-compact probe diverged from a rebuild on the survivors")
+    Dedup.compactNearDupIndex(spark, apx) // no tombstones → cheap no-op
+
+    // auto-purge policy: below the threshold nothing folds; at it, the
+    // backlog purges and the tombstone table is consumed
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), "doc_id", apx)
+    assert(!Dedup.maybeCompactNearDupIndex(spark, apx,
+      afterDeletes = Some(2L)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")),
+      "policy folded below its threshold")
+    Dedup.deleteFromNearDupIndex(Seq(3L).toDF("doc_id"), "doc_id", apx)
+    assert(Dedup.maybeCompactNearDupIndex(spark, apx,
+      afterDeletes = Some(2L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")))
+  }
 }

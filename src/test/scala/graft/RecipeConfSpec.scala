@@ -1442,6 +1442,87 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("must name a neardup_index dataset"), e.getMessage)
   }
 
+  test("takedown sink cascades one id frame across artifacts; neardup " +
+      "append refuses drift; index purge_after_deletes folds at threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, array_distinct, split}
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 8L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words")) :+ (9L, tpl)).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/td_docs")
+    Seq(9L).toDF("doc_id").write.mode("overwrite").parquet(s"$dir/td_ids")
+    val docIdx = s"$dir/td_docidx"
+    val bandIdx = s"$dir/td_bandidx"
+    graft.sources.Sinks.indexed(
+      docs.withColumn("toks", array_distinct(split(col("text"), " "))),
+      docIdx, Some("doc_id"), "toks")
+    graft.dedup.Dedup.writeNearDupIndex(docs, "doc_id", "text", bandIdx)
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  ids: {path: $dir/td_ids, format: parquet}
+         |  batch: {path: $dir/td_docs, format: parquet}
+         |  bandw:
+         |    path: $bandIdx
+         |    format: neardup_index
+         |    options: {id: doc_id, text: text, num_hashes: "32"}
+         |  td:
+         |    path: unused
+         |    format: takedown
+         |    options: {id: doc_id, index: $docIdx, neardup_index: $bandIdx}
+         |  td_none: {path: unused, format: takedown, options: {id: doc_id}}
+         |  docw:
+         |    path: $docIdx
+         |    format: index
+         |    options: {id: doc_id, analyzed: toks, purge_after_deletes: "3"}
+         |recipes:
+         |  takedown: {input: ids, steps: [], output: td}
+         |  bad_takedown: {input: ids, steps: [], output: td_none}
+         |  bad_append: {input: batch, steps: [], output: bandw}
+         |  del_doc: {input: ids, steps: [], output: docw}
+         |""".stripMargin)
+    // a takedown with no target artifact is a loud refusal
+    val e0 = intercept[IllegalArgumentException](
+      RecipeConf.run(spark, conf, "bad_takedown", mode = "delete"))
+    assert(e0.getMessage.contains("target artifact"), e0.getMessage)
+    // an append whose declared signature drifts from the manifest's
+    // stored parameters refuses instead of silently band-mismatching
+    val e1 = intercept[RuntimeException](
+      RecipeConf.run(spark, conf, "bad_append", mode = "append"))
+    assert(e1.getMessage.contains("drifted signature"), e1.getMessage)
+    // ONE cascading run tombstones doc 9 in BOTH artifacts
+    RecipeConf.run(spark, conf, "takedown", mode = "delete")
+    assert(graft.sources.Sources.indexedTable(spark, docIdx, "docs")
+      .filter(col("_id") === 9L).isEmpty, "doc store still serves doc 9")
+    val clone = Seq((100L, tpl)).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.incrementalNearDupsIndexed(
+        clone, bandIdx, "doc_id", "text")
+      .select("kept").collect().head.getBoolean(0),
+      "band index still vetoes against the taken-down doc")
+    // purge_after_deletes=3 at the index delete boundary: the takedown
+    // left one tombstone row and the first del_doc run adds a second —
+    // below the threshold the backlog stays; the next run's two more
+    // rows cross it and the purge runs
+    val fs = new org.apache.hadoop.fs.Path(docIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RecipeConf.run(spark, conf, "del_doc", mode = "delete")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$docIdx/deletes")),
+      "policy purged below its threshold")
+    Seq(9L, 4L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$dir/td_ids")
+    RecipeConf.run(spark, conf, "del_doc", mode = "delete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$docIdx/deletes")),
+      "policy did not purge past its threshold")
+    // the purge was physical: the RAW tables no longer hold 9 or 4,
+    // in docs/ and postings/ in step
+    assert(spark.read.parquet(s"$docIdx/docs")
+      .filter(col("_id").isin(9L, 4L)).isEmpty, "docs/ kept purged rows")
+    assert(spark.read.parquet(s"$docIdx/postings")
+      .filter(col("_id").isin(9L, 4L)).isEmpty,
+      "postings/ purged out of step with docs/")
+    assert(spark.read.parquet(s"$docIdx/docs").count() == 7)
+  }
+
   test("cluster step assigns and caps from YAML, codebook or fitted") {
     import spark.implicits._
     // one NULL embedding rides along: the fitted path must not crash on
