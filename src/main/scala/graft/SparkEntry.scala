@@ -197,6 +197,24 @@ object SparkEntry {
         "not consume the tombstones")
   }
 
+  /** q140's STREAM-appended band index dir: built on the corpus MINUS
+    * its template holders (q137's split) under the same non-default
+    * signature, then the holders arrive through a REAL file-source
+    * streaming query (appendNearDupIndexStream) — every probe hit
+    * crosses the build/stream boundary AND the probe reads main ∪
+    * streamed-epoch tables (no fold runs), so a stream that no-ops,
+    * re-signs under defaults, or whose epochs the union reader
+    * misses, zeroes every verdict. */
+  private def nearStrIdxDir(dir: String): String =
+    scratchDir("graft-neardupstr-q140", tag = dir)
+
+  /** q141's SELF-GROWING index dir: the admit gate streams the BATCH
+    * side through nearDupAdmitStream — near-dups of the index drop,
+    * survivors near-dedup within the batch, and the admitted docs
+    * join the index in the same micro-batch. */
+  private def nearAdmitIdxDir(dir: String): String =
+    scratchDir("graft-neardupadm-q141", tag = dir)
+
   /** Shared append-gate scaffold (q126/q129/q133/q134): stage the ODD
     * half of `embeddings` as a scratch parquet (the YAML dataset needs
     * a path) and append it to `idx` through the RecipeConf ann_index
@@ -1215,6 +1233,80 @@ object SparkEntry {
       docs.join(cnt, Seq("_id"), "left")
         .select(col("_id").as("doc_id"), col("lang"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    }),
+
+    // band-index STREAM append (q131's sibling for the dedup corpus):
+    // q137's build/append split, but the template holders arrive
+    // through a REAL file-source streaming query — signed in-stream
+    // under the manifest's STORED signature, landed in epoch-
+    // partitioned stream tables, and probed through the main ∪
+    // streamed union reader with NO fold in between. Probe ≡ q107's
+    // oracle VERBATIM: a stream that no-ops, signs under defaults, or
+    // whose epochs the union misses zeroes every verdict.
+    "q140_neardup_stream_append" -> ((s, dir) => {
+      val idx = nearStrIdxDir(dir)
+      if (!ivfBuilt.contains(idx)) {
+        val ckpt = scratchDir("graft-neardupstr-ckpt", tag = dir)
+        Seq(idx, ckpt).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        val (_, corpus) = nearDupFixture(s, dir)
+        Dedup.writeNearDupIndex(
+          corpus.filter(col("doc_id") % 10 =!= 2), "doc_id", "text",
+          idx, shingleSize = 3, numHashes = 60, bands = 10)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val id = col("doc_id")
+        val holders = stream.filter(id % 4 =!= 1 && id % 10 === 2)
+          .withColumn("text", lit(nearDupTpl)).select("doc_id", "text")
+        val q = graft.streaming.EventStream.appendNearDupIndexStream(
+          holders, idx, "doc_id", "text", checkpoint = ckpt)
+        q.processAllAvailable(); q.stop()
+        ivfBuilt.add(idx)
+      }
+      val (batch, _) = nearDupFixture(s, dir)
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text",
+        threshold = 0.6)
+    }),
+
+    // SELF-GROWING streaming dedup gate — admit AND remember: the
+    // index starts WITHOUT any template holder, the BATCH side streams
+    // through nearDupAdmitStream (vs-index drop → within-batch
+    // near-dedup under the stored signature → admitted docs appended
+    // to the index in the same micro-batch), and the result re-probes
+    // the batch against the GROWN index. The oracle replays all three
+    // stages: exhaustive vs-index pairs, connected-components keep-min
+    // within the survivors (a recursive CTE — minhashDedup's cluster
+    // rule), then the verdict tower against index ∪ admitted. An
+    // admit gate that admits a second template holder, forgets the
+    // one it admitted, or drops a survivor fails the hash.
+    "q141_neardup_admit_stream" -> ((s, dir) => {
+      val idx = nearAdmitIdxDir(dir)
+      if (!ivfBuilt.contains(idx)) {
+        val ckpt = scratchDir("graft-neardupadm-ckpt", tag = dir)
+        Seq(idx, ckpt).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        val (_, corpus) = nearDupFixture(s, dir)
+        Dedup.writeNearDupIndex(
+          corpus.filter(col("doc_id") % 10 =!= 2), "doc_id", "text", idx)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val arriving = nearDupStreamCarve(stream).select("doc_id", "text")
+        val q = graft.streaming.EventStream.nearDupAdmitStream(
+          arriving, idx, "doc_id", "text", checkpoint = ckpt)
+        q.processAllAvailable(); q.stop()
+        ivfBuilt.add(idx)
+      }
+      val (batch, _) = nearDupFixture(s, dir)
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text",
+        threshold = 0.6)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -2844,8 +2936,12 @@ object SparkEntry {
     * oracle spells as one extra predicate on the c CTE — everything
     * else (plant, carve, signature arithmetic) is the ONE shared
     * spelling. */
-  private def nearDupOracleCtesWith(corpusPred: String): String =
-    ("WITH d AS (SELECT doc_id, " +
+  /** The shared plant + normalize + shingle prefix (d/n/t/g CTEs) of
+    * every near-dup-fixture oracle — ONE spelling; `recursive` opts
+    * the WITH into recursive mode for towers that append a
+    * connected-components CTE (q141). */
+  private def nearDupShingleCtes(recursive: Boolean = false): String =
+    (s"WITH ${if (recursive) "RECURSIVE " else ""}d AS (SELECT doc_id, " +
       s"""CASE WHEN doc_id % 4 = 1 AND doc_id % 40 = 1
         |       THEN '$nearDupTpl'
         |     WHEN doc_id % 4 <> 1 AND doc_id % 10 = 2
@@ -2861,7 +2957,11 @@ object SparkEntry {
         |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
         | FROM t),
         |b AS (SELECT * FROM g WHERE doc_id % 4 = 1),
-        |c AS (SELECT * FROM g WHERE doc_id % 4 <> 1 AND ($corpusPred)),
+        |""".stripMargin)
+
+  private def nearDupOracleCtesWith(corpusPred: String): String =
+    (nearDupShingleCtes() +
+      s"""c AS (SELECT * FROM g WHERE doc_id % 4 <> 1 AND ($corpusPred)),
         |p AS (SELECT b.doc_id AS bid,
         |  ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
         |    / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4) AS j
@@ -2880,6 +2980,51 @@ object SparkEntry {
 
   private lazy val nearDupOracleSql: String =
     nearDupOracleCtes + nearDupOracleFinal
+
+  /** q141's oracle: the self-growing admit gate replayed in three SQL
+    * stages over the shared shingle prefix — (1) exhaustive vs-index
+    * verdicts drop batch docs near-dupping an index doc, (2) the
+    * survivors near-dedup by connected-components keep-min (a
+    * recursive CTE — minhashDedup's cluster rule: per component of
+    * the j ≥ 0.6 graph only the min id survives; self-edges keep
+    * isolated survivors in the closure), (3) the standard verdict
+    * tower re-probes the batch against index ∪ admitted — admitted
+    * docs self-match at j = 1, exactly like the Spark probe against
+    * the grown index. */
+  private lazy val nearDupAdmitOracleSql: String =
+    (nearDupShingleCtes(recursive = true) +
+      """c AS (SELECT * FROM g WHERE doc_id % 4 <> 1 AND doc_id % 10 <> 2),
+        |drop1 AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON
+        |  ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |    / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4)
+        |  >= 0.6),
+        |surv AS (SELECT * FROM b
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+        |e AS (
+        |  SELECT a.doc_id AS src, z.doc_id AS dst FROM surv a JOIN surv z
+        |   ON a.doc_id <> z.doc_id AND
+        |    ROUND(CAST(len(list_intersect(a.sh, z.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(z.sh) - len(list_intersect(a.sh, z.sh))), 4)
+        |    >= 0.6
+        |  UNION
+        |  SELECT doc_id, doc_id FROM surv),
+        |cc(node, comp) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN e ON cc.node = e.src),
+        |admitted AS (
+        |  SELECT node AS doc_id FROM cc GROUP BY node
+        |  HAVING MIN(comp) = node),
+        |c2 AS (SELECT * FROM c
+        |  UNION ALL SELECT g.* FROM g JOIN admitted USING (doc_id)),
+        |p AS (SELECT b.doc_id AS bid,
+        |  ROUND(CAST(len(list_intersect(b.sh, c2.sh)) AS DOUBLE)
+        |    / (len(b.sh) + len(c2.sh) - len(list_intersect(b.sh, c2.sh))), 4)
+        |    AS j
+        | FROM b JOIN c2 ON true),
+        |h AS (SELECT bid, COUNT(*) AS n_corpus_dups, MAX(j) AS max_jaccard
+        | FROM p WHERE j >= 0.6 GROUP BY bid)
+        |""".stripMargin + nearDupOracleFinal)
 
   private lazy val decontaminateCtes: String =
     ("WITH nn AS (SELECT doc_id, string_split_regex(" + normSql.format("text") +
@@ -3942,6 +4087,15 @@ object SparkEntry {
     // built-then-appended index must answer q107's oracle VERBATIM —
     // the exhaustive verdicts over the whole fixture corpus
     "q137_neardup_index_append" -> nearDupOracleSql,
+
+    // band-index STREAM append: same split as q137 delivered through a
+    // real streaming query, probed through the main ∪ streamed-epoch
+    // union (no fold) — the same exhaustive oracle answers
+    "q140_neardup_stream_append" -> nearDupOracleSql,
+
+    // self-growing admit gate: vs-index drop → CC keep-min within the
+    // batch (recursive CTE) → re-probe against index ∪ admitted
+    "q141_neardup_admit_stream" -> nearDupAdmitOracleSql,
 
     // takedown + compact: the same tower with the tombstoned ids
     // removed from the corpus CTE — one predicate is the entire

@@ -502,6 +502,12 @@ object Dedup {
     // caller's authority on membership (compactNearDupIndex's purge
     // point, and the one way to resurrect a taken-down id)
     fsIdx.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    // streamed epochs too, and the fresh manifest resets the marks
+    // (the appendIvfIndexStream rebuild discipline): stop any live
+    // stream first — an in-flight epoch landing after this clear would
+    // add docs the rebuild's corpus did not authorize
+    fsIdx.delete(new org.apache.hadoop.fs.Path(s"$path/stream_shingles"), true)
+    fsIdx.delete(new org.apache.hadoop.fs.Path(s"$path/stream_bands"), true)
     val base = shingleFrame(corpus, idCol, textCol, shingleSize, "__cid")
       .filter(size(col("sh")) > 0)
     base.write.mode("overwrite").parquet(s"$path/shingles")
@@ -520,16 +526,59 @@ object Dedup {
 
   private def writeNearDupManifest(spark: org.apache.spark.sql.SparkSession,
       path: String, shingleSize: Int, numHashes: Int, bands: Int,
-      rows: Long): Unit = {
+      rows: Long, marks: Map[String, Long] = Map.empty): Unit = {
     val p = nearDupManifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mark keys sanitized on write (the Ann manifest discipline): the
+    // stream tag is an MD5 prefix, but a hand-edited manifest must not
+    // smuggle JSON through the parser's regex
+    val marksJson = marks.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${k.replaceAll("[^0-9a-zA-Z]", "")}": $v""" }
+      .mkString("{", ", ", "}")
     val out = fs.create(p, true)
     try out.write(
       (s"""{"shingle_size": $shingleSize, "num_hashes": $numHashes, """ +
         s""""bands": $bands, "rows": $rows, """ +
+        s""""stream_marks": $marksJson, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The compaction watermarks from the band-index manifest: max
+    * FOLDED epoch per stream tag ([[graft.sim.Ann.IvfManifest]]'s
+    * `streamMarks` twin). Pre-streaming manifests (no key) read as
+    * empty. */
+  private[graft] def readNearDupMarks(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Map[String, Long] = {
+    val p = nearDupManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val obj = """"stream_marks":\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    """"([0-9a-zA-Z]+)":\s*(-?\d+)""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  /** [[readNearDupManifest]] with a SHORT bounded retry on absence
+    * (the [[graft.sim.Ann.readManifestPatient]] discipline): a
+    * compaction retracts the certificate for its narrow swap windows,
+    * and a live probe or stream batch landing inside one must ride it
+    * out — while a PERMANENT absence still fails after ~1 s. */
+  private[graft] def readNearDupManifestPatient(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(Int, Int, Int, Long)] = {
+    var attempt = 0
+    var mf = readNearDupManifest(spark, path)
+    while (mf.isEmpty && attempt < 4) {
+      Thread.sleep(250); attempt += 1
+      mf = readNearDupManifest(spark, path)
+    }
+    mf
   }
 
   private[graft] def readNearDupManifest(
@@ -621,28 +670,183 @@ object Dedup {
       try {
         val n = base.count()
         if (n > 0) {
+          val marks = readNearDupMarks(spark, path)
           fs.delete(nearDupManifestFile(path), false)
           base.write.mode("append").parquet(s"$path/shingles")
           bandFrame(base, "__cid", numHashes, bands, keepSh = false)
             .write.mode("append").parquet(s"$path/bands")
           writeNearDupManifest(spark, path,
-            shingleSize, numHashes, bands, rows + n)
+            shingleSize, numHashes, bands, rows + n, marks)
         }
       } finally { base.unpersist(); () }
     } finally { fs.delete(appendingP, false); () }
   }
 
-  /** COMPACT for the band index — the physical tombstone purge
-    * ([[graft.sim.Ann.compactIvfIndex]]'s sibling), FILE-scoped the
-    * way the ANN fold is cell-scoped: the tables are flat (no
-    * partition key), so the purge locates the files actually holding
-    * a tombstoned row (one id-column-only scan over `_metadata
-    * .file_path`), rewrites ONLY those files' survivors, and swaps
-    * them in — untouched files are never read again nor rewritten, so
-    * a bounded takedown against a 100-TB index costs O(touched
-    * files), not O(index). Tombstone files are snapshotted at entry
-    * (the ANN discipline): a delete landing mid-fold survives to the
-    * next one, still suppressed probe-side meanwhile.
+  /** Does `p` hold at least one VISIBLE parquet data file — Spark's
+    * own discovery rule ('_'/'.'-prefixed names hidden unless they
+    * contain '=')? The [[graft.sim.Ann]] guard, duplicated here
+    * because both are private to their module: a kill-mid-write
+    * remnant dir with only staging husks must read as "no epoch", not
+    * crash a union read on schema inference. */
+  private def hasParquetFileND(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    def visible(n: String) =
+      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
+    def walk(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) visible(n) && walk(st.getPath)
+        else visible(n) && n.endsWith(".parquet")
+      }
+    fs.exists(p) && walk(p)
+  }
+
+  /** The streamed epoch partition dirs under `path/stream_<table>`:
+    * (streamTag, epoch, dir) triples — the SNAPSHOT unit the fold
+    * consumes ([[graft.sim.Ann]]'s listStreamEpochs twin; this layout
+    * was born two-level, so no legacy refusal is needed). */
+  private def nearDupStreamEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, table: String)
+      : Seq[(String, Long, org.apache.hadoop.fs.Path)] = {
+    val streamP = new org.apache.hadoop.fs.Path(s"$path/stream_$table")
+    if (!fs.exists(streamP)) return Nil
+    for {
+      sd <- fs.listStatus(streamP).toSeq
+      if sd.isDirectory && sd.getPath.getName.startsWith("__stream=")
+      ed <- fs.listStatus(sd.getPath).toSeq
+      if ed.isDirectory && ed.getPath.getName.startsWith("__epoch=")
+    } yield (sd.getPath.getName.stripPrefix("__stream="),
+      ed.getPath.getName.stripPrefix("__epoch=").toLong, ed.getPath)
+  }
+
+  /** The LIVE (not yet folded, actually data-bearing) epoch dirs of
+    * one stream table: marks-filtered and husk-guarded. */
+  private def liveNearDupEpochs(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, table: String,
+      marks: Map[String, Long])
+      : Seq[(String, Long, org.apache.hadoop.fs.Path)] =
+    nearDupStreamEpochs(fs, path, table)
+      .filter(e => hasParquetFileND(fs, e._3))
+      .filterNot { case (tag, ep, _) => marks.get(tag).exists(ep <= _) }
+
+  /** The one table-open point for the band index's probe readers:
+    * main table ∪ live streamed epochs
+    * ([[graft.sim.Ann]]'s openIvfIndex discipline) — a probe landing
+    * between a stream batch and its fold sees the union, and after
+    * the fold the same rows from the main table; the verdicts cannot
+    * depend on WHEN the fold ran. `excludeEpoch` carves out one
+    * (tag, epoch) partition: the self-growing admit gate probes a
+    * batch against everything EXCEPT its own epoch's previous
+    * incarnation, so an at-least-once replay recomputes the same
+    * verdicts instead of being vetoed by itself. */
+  private[graft] def openNearDupTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String,
+      excludeEpoch: Option[(String, Long)] = None): DataFrame = {
+    val main = spark.read.parquet(s"$path/$table")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = liveNearDupEpochs(spark, fs, path, table,
+        readNearDupMarks(spark, path))
+      .filterNot { case (tag, ep, _) =>
+        excludeEpoch.contains((tag, ep)) }
+    if (live.isEmpty) main
+    else {
+      val cols = main.columns.toIndexedSeq.map(col)
+      main.unionByName(
+        spark.read.option("basePath", s"$path/stream_$table")
+          .parquet(live.map(_._3.toString): _*)
+          .select(cols: _*))
+    }
+  }
+
+  /** One micro-batch of the band-index STREAM append
+    * ([[graft.streaming.EventStream.appendNearDupIndexStream]]'s
+    * core; package-visible so the replay spec drives the exact
+    * at-least-once cases). The batch signs under the manifest's
+    * STORED signature — `pre` is the stream-start (shingleSize,
+    * numHashes, bands), re-checked against the current manifest every
+    * batch as the mid-stream-rebuild tripwire — and lands in
+    * `stream_shingles/` + `stream_bands/` partitioned by
+    * (__stream=checkpoint-tag, __epoch): dynamic partition overwrite
+    * makes an at-least-once replay rewrite its own epoch rather than
+    * duplicate it, a FOLDED epoch's replay is skipped against the
+    * manifest's stream_marks (and taken back by the post-write
+    * re-verify if a fold won the race — the appendIvfBatch discipline,
+    * both sides), and the data files carry exactly the main tables'
+    * schema so the fold is a plain append-and-delete. The manifest
+    * stays untouched (rows accounting happens at the fold); duplicate
+    * ids across epochs are the caller's contract — dedup at ingest
+    * first, or use the admit gate. */
+  private[graft] def appendNearDupStreamBatch(batch: DataFrame,
+      path: String, idCol: String, textCol: String, tag: String,
+      epoch: Long, pre: (Int, Int, Int)): Unit = {
+    require(tag.matches("[0-9a-zA-Z]+"),
+      s"appendNearDupStreamBatch: stream tag '$tag' must be " +
+        "alphanumeric (manifest mark keys are)")
+    val spark = batch.sparkSession
+    val (ss, nh, nb, _) =
+      readNearDupManifestPatient(spark, path).getOrElse(sys.error(
+        s"appendNearDupIndexStream: the manifest at $path vanished " +
+          "mid-stream — index being rebuilt? stop the stream during " +
+          "rebuilds (single-writer contract)"))
+    require((ss, nh, nb) == pre,
+      s"appendNearDupIndexStream: the index at $path was REBUILT " +
+        s"mid-stream with a different signature (($ss, $nh, $nb) != " +
+        s"stream-start $pre) — rows signed under the old parameters " +
+        "must not mix in; restart the stream against the new index")
+    if (readNearDupMarks(spark, path).get(tag).exists(epoch <= _)) return
+    if (batch.isEmpty) return
+    val base = shingleFrame(batch, idCol, textCol, ss, "__cid")
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (base.count() > 0) {
+        def land(df: DataFrame, table: String): Unit =
+          df.withColumn("__stream", lit(tag))
+            .withColumn("__epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__stream", "__epoch")
+            .parquet(s"$path/stream_$table")
+        land(base, "shingles")
+        land(bandFrame(base, "__cid", nh, nb, keepSh = false), "bands")
+        // post-write re-verify: a fold that banked this epoch's
+        // previous dir between our marks read and our writes has its
+        // rows in the main tables already — take the re-created dirs
+        // back (the fold's resurrected-epoch sweep closes the same
+        // race from its side)
+        if (readNearDupMarks(spark, path).get(tag).exists(epoch <= _)) {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Seq("shingles", "bands").foreach { t =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/stream_$t/__stream=$tag/__epoch=$epoch"), true)
+          }
+        }
+      }
+    } finally { base.unpersist(); () }
+  }
+
+  /** COMPACT for the band index — the stream fold AND the physical
+    * tombstone purge ([[graft.sim.Ann.compactIvfIndex]]'s sibling).
+    * Streamed epochs ([[appendNearDupStreamBatch]]) fold FIRST: their
+    * data files carry exactly the main tables' schema, so the fold
+    * appends them and deletes the epoch dirs — O(streamed rows), the
+    * main tables' existing files untouched — recording each tag's max
+    * folded epoch in the manifest's `stream_marks` (replay watermark).
+    * The purge is then FILE-scoped the way the ANN fold is
+    * cell-scoped: the tables are flat (no partition key), so it
+    * locates the files actually holding a tombstoned row (one
+    * id-column-only scan over `_metadata.file_path`), rewrites ONLY
+    * those files' survivors, and swaps them in — untouched files are
+    * never read again nor rewritten, so a bounded takedown against a
+    * 100-TB index costs O(touched files), not O(index). Tombstone
+    * files and epoch dirs are snapshotted at entry (the ANN
+    * discipline): a delete or epoch landing mid-fold survives to the
+    * next one, still suppressed/visible probe-side meanwhile
+    * ([[openNearDupTable]] unions live epochs).
     *
     * Crash-safety is the certificate, not atomic renames: the
     * manifest is retracted for the swap window (stage survivors →
@@ -662,11 +866,15 @@ object Dedup {
       else fs.listStatus(delDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
-    if (delFiles.isEmpty) {
-      if (fs.exists(delDir)) { fs.delete(delDir, true); () }
+    val marks0 = readNearDupMarks(spark, path)
+    val epochsSh = liveNearDupEpochs(spark, fs, path, "shingles", marks0)
+    val epochsBd = liveNearDupEpochs(spark, fs, path, "bands", marks0)
+    if (delFiles.isEmpty && epochsSh.isEmpty && epochsBd.isEmpty) {
+      sweepDeletesDir(fs, delDir)
+      sweepStreamHusks(fs, path)
       return
     }
-    val (shingleSize, numHashes, bands, rows) =
+    val (shingleSize, numHashes, bands, rows0) =
       readNearDupManifest(spark, path).getOrElse(sys.error(
         s"compactNearDupIndex: no near-dup index manifest at $path — " +
           "nothing certified to compact; rebuild with writeNearDupIndex"))
@@ -680,62 +888,137 @@ object Dedup {
     val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
     fs.create(compactingP, true).close()
     try {
-      val dels = spark.read.parquet(delFiles.map(_.toString): _*)
-        .select(col("__cid").as("__del_id")).distinct()
-      // the touched file set per table: an id-and-path-only scan
-      // (parquet reads just __cid; file_path is scan metadata)
-      def doomedFiles(table: String): Seq[String] =
-        spark.read.parquet(s"$path/$table")
-          .select(col("__cid"), col("_metadata.file_path").as("__f"))
-          .join(broadcast(dels), col("__cid") === col("__del_id"),
-            "left_semi")
-          .select("__f").distinct().collect().map(_.getString(0)).toSeq
-      val doomed = Seq("shingles", "bands").map(t => t -> doomedFiles(t))
-      if (doomed.forall(_._2.isEmpty)) {
-        // tombstones matching nothing: consume the snapshot files
+      var rows = rows0
+      var marks = marks0
+      // STEP 1 — fold the streamed epoch SNAPSHOT into the main
+      // tables: the stream data files carry exactly the main schema
+      // (__stream/__epoch are directory-encoded), so the fold is
+      // read → append → delete-epoch-dirs — O(streamed rows); the
+      // main tables' existing files are never read nor rewritten. A
+      // replay overwriting a snapshotted epoch mid-fold fails the
+      // fold's scan loudly (the file list is snapshotted) rather
+      // than folding a partial epoch.
+      if (epochsSh.nonEmpty || epochsBd.nonEmpty) {
+        def streamRows(table: String,
+            eps: Seq[(String, Long, org.apache.hadoop.fs.Path)]) =
+          if (eps.isEmpty) None
+          else {
+            val cols = spark.read.parquet(s"$path/$table")
+              .columns.toIndexedSeq.map(col)
+            Some(spark.read.option("basePath", s"$path/stream_$table")
+              .parquet(eps.map(_._3.toString): _*).select(cols: _*))
+          }
+        val foldSh = streamRows("shingles", epochsSh)
+        val foldBd = streamRows("bands", epochsBd)
+        // accounting BEFORE the retraction window opens
+        val folded = foldSh.map(_.count()).getOrElse(0L)
+        fs.delete(nearDupManifestFile(path), false)
+        foldSh.foreach(_.write.mode("append").parquet(s"$path/shingles"))
+        foldBd.foreach(_.write.mode("append").parquet(s"$path/bands"))
+        (epochsSh ++ epochsBd).foreach(e => fs.delete(e._3, true))
+        sweepStreamHusks(fs, path)
+        rows += folded
+        marks = marks ++ (epochsSh ++ epochsBd).groupBy(_._1).map {
+          case (tag, es) =>
+            tag -> math.max(es.map(_._2).max, marks.getOrElse(tag, -1L))
+        }
+        writeNearDupManifest(spark, path,
+          shingleSize, numHashes, bands, rows, marks)
+        // resurrected-epoch sweep (the appendNearDupStreamBatch race,
+        // closed from this side): a replay that re-created a folded
+        // epoch between our snapshot and the marks write is covered
+        // by the mark just recorded — delete it WITHOUT re-folding
+        // (its rows are already in the main tables)
+        Seq("shingles", "bands").foreach { t =>
+          nearDupStreamEpochs(fs, path, t).foreach { case (tg, ep, d) =>
+            if (marks.get(tg).exists(ep <= _)) { fs.delete(d, true); () }
+          }
+        }
+      }
+      // STEP 2 — the file-scoped tombstone purge, now covering the
+      // freshly folded rows too (the doomed-file scan runs on the
+      // post-fold tables)
+      if (delFiles.nonEmpty) {
+        val dels = spark.read.parquet(delFiles.map(_.toString): _*)
+          .select(col("__cid").as("__del_id")).distinct()
+        // the touched file set per table: an id-and-path-only scan
+        // (parquet reads just __cid; file_path is scan metadata)
+        def doomedFiles(table: String): Seq[String] =
+          spark.read.parquet(s"$path/$table")
+            .select(col("__cid"), col("_metadata.file_path").as("__f"))
+            .join(broadcast(dels), col("__cid") === col("__del_id"),
+              "left_semi")
+            .select("__f").distinct().collect().map(_.getString(0)).toSeq
+        val doomed = Seq("shingles", "bands").map(t => t -> doomedFiles(t))
+        if (doomed.forall(_._2.isEmpty)) {
+          // tombstones matching nothing: consume the snapshot files
+          delFiles.foreach(f => fs.delete(f, false))
+          sweepDeletesDir(fs, delDir)
+          return
+        }
+        // stage every touched file's survivors FIRST (the long part);
+        // the certificate-retraction window covers only the file moves
+        var purgedDocs = 0L
+        val staged = doomed.map { case (table, files) =>
+          val stagedP =
+            new org.apache.hadoop.fs.Path(s"$path/${table}_compact")
+          fs.delete(stagedP, true) // a crashed previous fold's leftover
+          if (files.nonEmpty) {
+            val touched = spark.read.parquet(files: _*)
+            if (table == "shingles")
+              purgedDocs = touched
+                .join(broadcast(dels), col("__cid") === col("__del_id"),
+                  "left_semi").count()
+            touched.join(broadcast(dels), col("__cid") === col("__del_id"),
+                "left_anti")
+              .write.mode("overwrite").parquet(stagedP.toString)
+          }
+          (table, files, stagedP)
+        }
+        fs.delete(nearDupManifestFile(path), false)
+        staged.foreach { case (table, files, stagedP) =>
+          if (files.nonEmpty) {
+            fs.listStatus(stagedP).toSeq
+              .filter(st =>
+                st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .foreach { st =>
+                fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(
+                    s"$path/$table/${st.getPath.getName}"))
+              }
+            files.foreach(f =>
+              fs.delete(new org.apache.hadoop.fs.Path(f), false))
+          }
+          fs.delete(stagedP, true)
+        }
         delFiles.foreach(f => fs.delete(f, false))
         sweepDeletesDir(fs, delDir)
-        return
+        writeNearDupManifest(spark, path,
+          shingleSize, numHashes, bands, rows - purgedDocs, marks)
       }
-      // stage every touched file's survivors FIRST (the long part);
-      // the certificate-retraction window covers only the file moves
-      var purgedDocs = 0L
-      val staged = doomed.map { case (table, files) =>
-        val stagedP = new org.apache.hadoop.fs.Path(s"$path/${table}_compact")
-        fs.delete(stagedP, true) // a crashed previous fold's leftover
-        if (files.nonEmpty) {
-          val touched = spark.read.parquet(files: _*)
-          if (table == "shingles")
-            purgedDocs = touched
-              .join(broadcast(dels), col("__cid") === col("__del_id"),
-                "left_semi").count()
-          touched.join(broadcast(dels), col("__cid") === col("__del_id"),
-              "left_anti")
-            .write.mode("overwrite").parquet(stagedP.toString)
-        }
-        (table, files, stagedP)
-      }
-      fs.delete(nearDupManifestFile(path), false)
-      staged.foreach { case (table, files, stagedP) =>
-        if (files.nonEmpty) {
-          fs.listStatus(stagedP).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .foreach { st =>
-              fs.rename(st.getPath,
-                new org.apache.hadoop.fs.Path(
-                  s"$path/$table/${st.getPath.getName}"))
-            }
-          files.foreach(f =>
-            fs.delete(new org.apache.hadoop.fs.Path(f), false))
-        }
-        fs.delete(stagedP, true)
-      }
-      delFiles.foreach(f => fs.delete(f, false))
-      sweepDeletesDir(fs, delDir)
-      writeNearDupManifest(spark, path,
-        shingleSize, numHashes, bands, rows - purgedDocs)
     } finally { fs.delete(compactingP, false); () }
   }
+
+  /** Remove empty stream-epoch husk dirs (a fully folded tag's empty
+    * `__stream=` dir; a `stream_*` root left with only `_SUCCESS`) —
+    * never a dir still holding anything: a live epoch, or one landing
+    * mid-sweep, survives. */
+  private def sweepStreamHusks(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit =
+    Seq("shingles", "bands").foreach { t =>
+      val root = new org.apache.hadoop.fs.Path(s"$path/stream_$t")
+      if (fs.exists(root)) {
+        fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("__stream=")).foreach { sd =>
+          if (fs.listStatus(sd.getPath).isEmpty) {
+            fs.delete(sd.getPath, true); ()
+          }
+        }
+        if (!fs.listStatus(root).exists(_.isDirectory)) {
+          fs.delete(root, true); ()
+        }
+      }
+    }
 
   /** Remove a deletes/ dir holding no parquet DATA file (a `_SUCCESS`
     * marker alone is a husk) — but never one where a fresh tombstone
@@ -754,25 +1037,43 @@ object Dedup {
     * count) or `afterDeletesPct` (tombstone rows ≥ X% of the
     * manifest-certified total — no table re-list, the certified count
     * is free). Checked by the YAML `neardup_index` delete mode.
-    * Returns true when a fold ran. */
+    * `afterEpochs` trips the same fold on the STREAM backlog instead
+    * (live epoch dirs ≥ N — a pure directory listing, checked by the
+    * streaming sink after each micro-batch lands, the
+    * [[graft.sim.Ann.maybeCompactIvfIndex]] epoch rule). Returns true
+    * when a fold ran. */
   def maybeCompactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, afterDeletes: Option[Long] = None,
-      afterDeletesPct: Option[Double] = None): Boolean = {
-    if (afterDeletes.isEmpty && afterDeletesPct.isEmpty) return false
+      afterDeletesPct: Option[Double] = None,
+      afterEpochs: Option[Int] = None): Boolean = {
+    if (afterDeletes.isEmpty && afterDeletesPct.isEmpty &&
+      afterEpochs.isEmpty) return false
     afterDeletes.foreach(n => require(n >= 1,
       s"purge_after_deletes must be >= 1, got $n"))
     afterDeletesPct.foreach(p => require(p > 0,
       s"purge_after_deletes_pct must be > 0, got $p"))
-    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    if (!delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(delP)) return false
-    val nDel = spark.read.parquet(delP.toString).count()
-    if (nDel == 0) return false
-    val hit = afterDeletes.exists(nDel >= _) ||
-      afterDeletesPct.exists { pct =>
-        val total = readNearDupManifest(spark, path).map(_._4).getOrElse(0L)
-        total > 0 && nDel * 100.0 >= pct * total
+    afterEpochs.foreach(n => require(n >= 1,
+      s"compact_after_epochs must be >= 1, got $n"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochTrip = afterEpochs.exists { n =>
+      val marks = readNearDupMarks(spark, path)
+      liveNearDupEpochs(spark, fs, path, "shingles", marks).size >= n
+    }
+    val delTrip = !epochTrip && {
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      (afterDeletes.nonEmpty || afterDeletesPct.nonEmpty) &&
+      fs.exists(delP) && {
+        val nDel = spark.read.parquet(delP.toString).count()
+        nDel > 0 && (afterDeletes.exists(nDel >= _) ||
+          afterDeletesPct.exists { pct =>
+            val total =
+              readNearDupManifest(spark, path).map(_._4).getOrElse(0L)
+            total > 0 && nDel * 100.0 >= pct * total
+          })
       }
+    }
+    val hit = epochTrip || delTrip
     if (hit) compactNearDupIndex(spark, path)
     hit
   }
@@ -790,10 +1091,23 @@ object Dedup {
     * doc can never resurface downstream. */
   def incrementalNearDupsIndexed(batch: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double = 0.6,
-      bloomFpp: Option[Double] = None): DataFrame = {
+      bloomFpp: Option[Double] = None): DataFrame =
+    incrementalNearDupsIndexedImpl(batch, indexPath, idCol, textCol,
+      threshold, bloomFpp, excludeEpoch = None)
+
+  /** [[incrementalNearDupsIndexed]] with one streamed (tag, epoch)
+    * partition carved OUT of the corpus side — the self-growing admit
+    * gate ([[graft.streaming.EventStream.nearDupAdmitStream]]) probes
+    * each micro-batch against everything except its OWN epoch's
+    * previous incarnation, so an at-least-once replay recomputes the
+    * same verdicts instead of being vetoed by itself. */
+  private[graft] def incrementalNearDupsIndexedImpl(batch: DataFrame,
+      indexPath: String, idCol: String, textCol: String,
+      threshold: Double, bloomFpp: Option[Double],
+      excludeEpoch: Option[(String, Long)]): DataFrame = {
     val spark = batch.sparkSession
     val (shingleSize, numHashes, bands, _) =
-      readNearDupManifest(spark, indexPath).getOrElse(sys.error(
+      readNearDupManifestPatient(spark, indexPath).getOrElse(sys.error(
         s"no near-dup index manifest at $indexPath (incomplete build? " +
           "rebuild with writeNearDupIndex)"))
     // registered with AutoUnpersist at the END, like the direct path:
@@ -803,7 +1117,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)
-    val cBandsAll = spark.read.parquet(s"$indexPath/bands")
+    val cBandsAll = openNearDupTable(spark, indexPath, "bands", excludeEpoch)
     val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     val cBands0 =
       if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -844,7 +1158,8 @@ object Dedup {
     val pairs = graft.engine.AutoUnpersist.cache(pairsP)
     val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
     val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
-    val cShingles = spark.read.parquet(s"$indexPath/shingles")
+    val cShingles = openNearDupTable(spark, indexPath, "shingles",
+        excludeEpoch)
       .join(hitIds, Seq("__cid"), "left_semi")
     val cand = pairs.join(cShingles, "__cid")
     nearDupVerdicts(batch,

@@ -289,8 +289,12 @@ object EventStream {
     // destroy new arrivals that merely resemble it — the one place a
     // conservative false flag is NOT settled by a later batch pass.
     // Shared buckets survive through their live docs (the anti-join is
-    // on __cid, before the distinct).
-    val bandsAll = spark.read.parquet(s"$indexPath/bands")
+    // on __cid, before the distinct). Streamed-not-yet-folded epochs
+    // count too (openNearDupTable unions them) — this gate snapshots
+    // the bucket set at CONSTRUCTION, so epochs streamed after the
+    // gate was built need a rebuilt gate (or the admit stream, which
+    // re-probes per batch).
+    val bandsAll = Dedup.openNearDupTable(spark, indexPath, "bands")
     val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     val corpusBuckets =
       (if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -664,6 +668,149 @@ object EventStream {
       d.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
         .delete(d, true)
     }
+  }
+
+  /** Stream arriving documents INTO the persisted near-dup band index
+    * ([[appendIvfIndexStream]]'s sibling for the dedup corpus): each
+    * micro-batch signs under the manifest's STORED signature — loaded
+    * once at stream start, re-checked per batch as the mid-stream-
+    * rebuild tripwire — and lands in the index's `stream_shingles/` +
+    * `stream_bands/` tables partitioned by (__stream=checkpoint-tag,
+    * __epoch), so an at-least-once replay overwrites its own epoch
+    * rather than duplicating it and a FOLDED epoch's replay is
+    * skipped against the manifest's `stream_marks`
+    * ([[graft.dedup.Dedup.appendNearDupStreamBatch]] carries the full
+    * race discipline, both sides). Every probe — the batch verdicts,
+    * the streaming gate at construction — reads main ∪ streamed
+    * epochs through one opener, and
+    * [[graft.dedup.Dedup.compactNearDupIndex]] folds the backlog by
+    * plain append-and-delete (the stream files carry the main
+    * schema), O(streamed rows). A fresh checkpoint over a tag with
+    * leftover epochs or a mark REFUSES at start (restarted epoch
+    * numbering would collide with that history). Single streaming
+    * writer per index; stop the stream before a REBUILD. Duplicate
+    * ids are the caller's contract — this sink appends VERBATIM; use
+    * [[nearDupAdmitStream]] for admit-and-remember. Returns the
+    * started query; caller awaits/stops.
+    *
+    * `compactAfterEpochs` enables the auto-fold policy
+    * ([[graft.dedup.Dedup.maybeCompactNearDupIndex]]'s epoch rule) —
+    * checked after each micro-batch lands, inside foreachBatch, so it
+    * never overlaps this sink's own epoch writes. */
+  def appendNearDupIndexStream(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String, checkpoint: String,
+      compactAfterEpochs: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    val spark = stream.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val pre = Dedup.readNearDupManifest(spark, indexPath)
+      .map(m => (m._1, m._2, m._3)).getOrElse(sys.error(
+        s"appendNearDupIndexStream: no near-dup index manifest at " +
+          s"$indexPath — streams extend a COMPLETE index (build with " +
+          "writeNearDupIndex first)"))
+    val tag = streamTag(checkpoint, hconf)
+    nearDupStreamRefusal(spark, indexPath, checkpoint, tag)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Dedup.appendNearDupStreamBatch(batch, indexPath, idCol, textCol,
+          tag, epoch, pre)
+        Dedup.maybeCompactNearDupIndex(spark, indexPath,
+          afterEpochs = compactAfterEpochs)
+        ()
+      }
+      .start()
+  }
+
+  /** The SELF-GROWING ingest dedup gate — admit AND remember: each
+    * micro-batch (1) probes the persisted band index for near-dups
+    * (main tables ∪ all previously streamed epochs, so a doc admitted
+    * in epoch 3 vetoes its clone arriving in epoch 7), (2) near-dedups
+    * WITHIN the batch ([[graft.dedup.Dedup.minhashDedup]] under the
+    * SAME stored signature — one similarity criterion, the
+    * incrementalNearDedup contract), and (3) appends the admitted
+    * docs to the index through the epoch-idempotent stream sink. The
+    * probe carves out the batch's OWN (tag, epoch) partition, so an
+    * at-least-once replay recomputes identical verdicts instead of
+    * being vetoed by its previous incarnation, then overwrites that
+    * partition with the same rows — idempotent end to end BY
+    * CONSTRUCTION, no dedup-of-the-dedup. This closes the ingest loop
+    * the batch-side q107 discipline opens: the corpus a 100-TB
+    * pipeline dedups against IS the set of docs it already admitted,
+    * updated in-stream without re-signing anything. Admitted rows
+    * live in the index (probe-visible immediately; folded to the main
+    * tables by compaction) — compose the router's OTHER stages before
+    * this sink, and read admitted ids from the index tables. */
+  def nearDupAdmitStream(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String, checkpoint: String,
+      threshold: Double = 0.6,
+      compactAfterEpochs: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    val spark = stream.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val pre = Dedup.readNearDupManifest(spark, indexPath)
+      .map(m => (m._1, m._2, m._3)).getOrElse(sys.error(
+        s"nearDupAdmitStream: no near-dup index manifest at " +
+          s"$indexPath — the gate grows a COMPLETE index (build with " +
+          "writeNearDupIndex first)"))
+    val tag = streamTag(checkpoint, hconf)
+    nearDupStreamRefusal(spark, indexPath, checkpoint, tag)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // a FOLDED epoch's replay skips the probe too (its verdicts
+        // were already acted on; appendNearDupStreamBatch would skip
+        // the write anyway)
+        if (!batch.isEmpty &&
+            !Dedup.readNearDupMarks(spark, indexPath).get(tag)
+              .exists(epoch <= _)) {
+          val verdicts = Dedup.incrementalNearDupsIndexedImpl(
+            batch, indexPath, idCol, textCol, threshold,
+            bloomFpp = None, excludeEpoch = Some((tag, epoch)))
+          val survivors = batch.join(
+            verdicts.filter(!col("kept")).select(col(idCol)),
+            Seq(idCol), "left_anti")
+          val admitted = Dedup.minhashDedup(survivors, idCol, textCol,
+            threshold, shingleSize = pre._1, numHashes = pre._2,
+            bands = pre._3)
+          Dedup.appendNearDupStreamBatch(admitted, indexPath, idCol,
+            textCol, tag, epoch, pre)
+          Dedup.maybeCompactNearDupIndex(spark, indexPath,
+            afterEpochs = compactAfterEpochs)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The shared fresh-checkpoint refusal of the two band-index stream
+    * sinks (the [[appendIvfIndexStream]] discipline): no committed
+    * offsets + leftover epochs or a mark for this tag = a restarted
+    * epoch numbering that would collide with (or be skipped against)
+    * that history. */
+  private def nearDupStreamRefusal(spark: SparkSession,
+      indexPath: String, checkpoint: String, tag: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val offsP = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val leftover = Seq("shingles", "bands").exists { t =>
+      val d = new org.apache.hadoop.fs.Path(
+        s"$indexPath/stream_$t/__stream=$tag")
+      d.getFileSystem(hconf).exists(d)
+    }
+    if (!offsP.getFileSystem(hconf).exists(offsP) &&
+        (leftover ||
+          graft.dedup.Dedup.readNearDupMarks(spark, indexPath)
+            .contains(tag)))
+      sys.error(s"band-index stream sink: checkpoint '$checkpoint' " +
+        s"is fresh (no committed offsets) but the index at $indexPath " +
+        s"already has epochs or a compaction mark for its tag '$tag' " +
+        "— a restarted epoch numbering would collide with (or be " +
+        "skipped against) that history; use a NEW checkpoint path, " +
+        "or keep the old checkpoint to resume")
   }
 
   /** Stream → keyed-upsert parquet sink via foreachBatch: each

@@ -2208,4 +2208,143 @@ class GraphDedupSpec extends SparkSpec {
       afterDeletes = Some(2L)))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")))
   }
+
+  test("band-index stream append: union-visible epochs, at-least-once " +
+      "idempotency, marks skip, fold accounting, drift tripwire") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 8L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")).toDF("doc_id", "text")
+    val arriving = Seq((20L, tpl),
+      (21L, "a wholly novel streamed document about trains and stations"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, tpl)).toDF("doc_id", "text")
+    val idx = scratch("neardup-stream")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val pre = (3, 64, 16)
+    def verdict(): (Long, Boolean) =
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text")
+        .select("n_corpus_dups", "kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).head
+    assert(verdict() == ((0L, true)), "template pre-planted?")
+    // an epoch lands → probe-visible immediately through the union
+    Dedup.appendNearDupStreamBatch(arriving, idx, "doc_id", "text",
+      "tagA", 0L, pre)
+    assert(verdict() == ((1L, false)), "streamed epoch invisible to probe")
+    // at-least-once: the same (tag, epoch) twice never doubles
+    Dedup.appendNearDupStreamBatch(arriving, idx, "doc_id", "text",
+      "tagA", 0L, pre)
+    assert(verdict() == ((1L, false)), "epoch replay doubled its rows")
+    // a later epoch still appends
+    Dedup.appendNearDupStreamBatch(Seq((22L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagA", 1L, pre)
+    assert(verdict() == ((2L, false)))
+    // the fold consumes the epochs, records the watermark, adds the
+    // rows to the certified count, and the verdicts cannot change
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rowsBefore = Dedup.readNearDupManifest(spark, idx).get._4
+    Dedup.compactNearDupIndex(spark, idx)
+    Seq("stream_shingles", "stream_bands").foreach(t =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$t")),
+        s"$t survived the fold"))
+    assert(Dedup.readNearDupMarks(spark, idx) == Map("tagA" -> 1L))
+    assert(Dedup.readNearDupManifest(spark, idx).get._4 == rowsBefore + 3)
+    assert(verdict() == ((2L, false)), "the fold changed the verdicts")
+    // a FOLDED epoch's replay is skipped against the marks — no
+    // resurrection, no double
+    Dedup.appendNearDupStreamBatch(arriving, idx, "doc_id", "text",
+      "tagA", 1L, pre)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")),
+      "a folded epoch's replay resurrected its dir")
+    assert(verdict() == ((2L, false)))
+    // mid-stream rebuild tripwire: a drifted stream-start signature
+    // refuses instead of mixing mis-signed rows in
+    val e = intercept[IllegalArgumentException](
+      Dedup.appendNearDupStreamBatch(arriving, idx, "doc_id", "text",
+        "tagA", 2L, (3, 60, 10)))
+    assert(e.getMessage.contains("REBUILT"), e.getMessage)
+    // admit-gate replay determinism: the probe with the batch's OWN
+    // (tag, epoch) carved out cannot be vetoed by its previous
+    // incarnation, while the plain probe sees it
+    Dedup.appendNearDupStreamBatch(Seq((25L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagB", 5L, pre)
+    assert(verdict() == ((3L, false)))
+    val excl = Dedup.incrementalNearDupsIndexedImpl(batch, idx,
+        "doc_id", "text", 0.6, None, excludeEpoch = Some(("tagB", 5L)))
+      .select("n_corpus_dups").collect().head.getLong(0)
+    assert(excl == 2L, "excludeEpoch did not carve the epoch out")
+    // auto-fold policy on the stream backlog: below the threshold
+    // nothing folds, at it the backlog folds
+    assert(!Dedup.maybeCompactNearDupIndex(spark, idx,
+      afterEpochs = Some(2)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")))
+    Dedup.appendNearDupStreamBatch(Seq((26L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagB", 6L, pre)
+    assert(Dedup.maybeCompactNearDupIndex(spark, idx,
+      afterEpochs = Some(2)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")))
+    assert(verdict() == ((4L, false)))
+  }
+
+  test("nearDupAdmitStream: admits novel docs, remembers them across " +
+      "micro-batches, near-dedups within a batch, refuses a fresh " +
+      "checkpoint over leftover epochs") {
+    import graft.streaming.EventStream
+    val tplA = "completely fresh template alpha about streaming near " +
+      "duplicate admission checks"
+    val tplB = "another unrelated template bravo describing batch " +
+      "internal deduplication behavior"
+    val corpus = (1L to 6L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")).toDF("doc_id", "text")
+    val idx = scratch("neardup-admit")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val inDir = scratch("neardup-admit-in")
+    val ckpt = scratch("neardup-admit-ck")
+    Seq((30L, tplA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val st = spark.readStream
+      .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val q = EventStream.nearDupAdmitStream(st, idx, "doc_id", "text", ckpt)
+    try {
+      q.processAllAvailable() // epoch 0: 30 is novel → admitted
+      // epoch 1: 31 clones the REMEMBERED 30 (cross-epoch veto);
+      // 32/33 clone each other (within-batch keep-min admits 32)
+      Seq((31L, tplA), (32L, tplB), (33L, tplB))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = Dedup.openNearDupTable(spark, idx, "shingles")
+      .filter(col("__cid") >= 30L).select("__cid")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(30L, 32L),
+      s"admitted $admitted — expected the novel doc per template only")
+    // both templates now veto fresh clones
+    val verd = Dedup.incrementalNearDupsIndexed(
+        Seq((100L, tplA), (101L, tplB)).toDF("doc_id", "text"),
+        idx, "doc_id", "text")
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verd == Map(100L -> false, 101L -> false),
+      s"grown index does not veto: $verd")
+    // a FRESH checkpoint over this tag's leftover epochs refuses
+    val e = intercept[RuntimeException](
+      EventStream.appendNearDupIndexStream(st, idx, "doc_id", "text",
+        scratchFresh(ckpt)))
+    assert(e.getMessage.contains("fresh"), e.getMessage)
+  }
+
+  /** Simulate a FRESH checkpoint carrying an old tag's history: the
+    * refusal keys on (no committed offsets) × (leftover epochs or a
+    * mark for the same tag), and the tag hashes the checkpoint PATH —
+    * so strip the offsets from the original path rather than minting
+    * a new one. */
+  private def scratchFresh(ckpt: String): String = {
+    val offs = new org.apache.hadoop.fs.Path(ckpt, "offsets")
+    offs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(offs, true)
+    ckpt
+  }
 }
