@@ -2876,7 +2876,16 @@ object SparkEntry {
     // steady-state cost of the takedown anti-join every probe now
     // carries when deletes/ exists — q126's probe plus one broadcast
     // left-anti against a tiny id set)
-    "q135_ann_ivf_stream_sq8", "q136_ann_ivf_delete")
+    "q135_ann_ivf_stream_sq8", "q136_ann_ivf_delete",
+    // the band-index union probe (main ∪ streamed epochs, no fold) —
+    // the steady-state cost of near-dup-probing a dedup corpus that is
+    // still ingesting, q131's rationale on the flat layout. First
+    // touch pays build+stream via the ivfBuilt guard. q141 (the admit
+    // gate) deliberately adds NO line: its steady state is this same
+    // union probe, and its per-batch ingest cost decomposes into
+    // shapes already tracked (the q107 probe + q26-style in-batch
+    // dedup + the epoch write).
+    "q140_neardup_stream_append")
 
   /** benchQueries whose body holds a BUILD-ONCE guard (ivfBuilt /
     * nearIdxBuilt / routerWeightsCache): in a fresh JVM their FIRST
@@ -2893,7 +2902,7 @@ object SparkEntry {
     "q122_ann_ivf_pq", "q125_ann_ivf_pqr", "q127_stream_ann_probe",
     "q129_ann_ivf_append_sq8", "q130_stream_router",
     "q131_ann_ivf_stream_append", "q135_ann_ivf_stream_sq8",
-    "q136_ann_ivf_delete")
+    "q136_ann_ivf_delete", "q140_neardup_stream_append")
 
   // ------------------------------------------------------------- oracles
 
