@@ -571,15 +571,24 @@ object Dedup {
     * out — while a PERMANENT absence still fails after ~1 s. */
   private[graft] def readNearDupManifestPatient(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : Option[(Int, Int, Int, Long)] = {
-    var attempt = 0
-    var mf = readNearDupManifest(spark, path)
-    while (mf.isEmpty && attempt < 4) {
-      Thread.sleep(250); attempt += 1
-      mf = readNearDupManifest(spark, path)
-    }
-    mf
-  }
+      : Option[(Int, Int, Int, Long)] =
+    graft.engine.LayoutFs.patiently(readNearDupManifest(spark, path))
+
+  /** [[readNearDupMarks]] riding out a retraction window the same way:
+    * an ABSENT manifest must not read as "no marks" — that is exactly
+    * the state mid-swap, and treating it as empty would let a probe
+    * double-count a just-folded epoch or a replay rewrite one. Returns
+    * empty only when the manifest is PERMANENTLY absent (the caller's
+    * own manifest read then refuses loudly). */
+  private[graft] def readNearDupMarksPatient(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Map[String, Long] =
+    graft.engine.LayoutFs.patiently {
+      val p = nearDupManifestFile(path)
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p)) None
+      else Some(readNearDupMarks(spark, path))
+    }.getOrElse(Map.empty)
 
   private[graft] def readNearDupManifest(
       spark: org.apache.spark.sql.SparkSession, path: String)
@@ -682,29 +691,14 @@ object Dedup {
     } finally { fs.delete(appendingP, false); () }
   }
 
-  /** Does `p` hold at least one VISIBLE parquet data file — Spark's
-    * own discovery rule ('_'/'.'-prefixed names hidden unless they
-    * contain '=')? The [[graft.sim.Ann]] guard, duplicated here
-    * because both are private to their module: a kill-mid-write
-    * remnant dir with only staging husks must read as "no epoch", not
-    * crash a union read on schema inference. */
-  private def hasParquetFileND(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean = {
-    def visible(n: String) =
-      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
-    def walk(d: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(d).exists { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) visible(n) && walk(st.getPath)
-        else visible(n) && n.endsWith(".parquet")
-      }
-    fs.exists(p) && walk(p)
-  }
-
   /** The streamed epoch partition dirs under `path/stream_<table>`:
     * (streamTag, epoch, dir) triples — the SNAPSHOT unit the fold
     * consumes ([[graft.sim.Ann]]'s listStreamEpochs twin; this layout
-    * was born two-level, so no legacy refusal is needed). */
+    * was born two-level, so no legacy refusal is needed). A
+    * non-alphanumeric tag dir (an out-of-band writer's) refuses
+    * LOUDLY: the manifest sanitizes mark keys on write, so such a tag
+    * could never match its own watermark — every fold would re-append
+    * its rows forever. */
   private def nearDupStreamEpochs(fs: org.apache.hadoop.fs.FileSystem,
       path: String, table: String)
       : Seq[(String, Long, org.apache.hadoop.fs.Path)] = {
@@ -713,9 +707,15 @@ object Dedup {
     for {
       sd <- fs.listStatus(streamP).toSeq
       if sd.isDirectory && sd.getPath.getName.startsWith("__stream=")
+      tag = sd.getPath.getName.stripPrefix("__stream=")
+      _ = require(tag.matches("[0-9a-zA-Z]+"),
+        s"stream_$table at '$path' holds a non-alphanumeric stream " +
+          s"tag dir '__stream=$tag' — not written by this sink " +
+          "(manifest mark keys could never match it); remove it or " +
+          "rebuild the index")
       ed <- fs.listStatus(sd.getPath).toSeq
       if ed.isDirectory && ed.getPath.getName.startsWith("__epoch=")
-    } yield (sd.getPath.getName.stripPrefix("__stream="),
+    } yield (tag,
       ed.getPath.getName.stripPrefix("__epoch=").toLong, ed.getPath)
   }
 
@@ -727,7 +727,7 @@ object Dedup {
       marks: Map[String, Long])
       : Seq[(String, Long, org.apache.hadoop.fs.Path)] =
     nearDupStreamEpochs(fs, path, table)
-      .filter(e => hasParquetFileND(fs, e._3))
+      .filter(e => graft.engine.LayoutFs.hasVisibleParquetFile(fs, e._3))
       .filterNot { case (tag, ep, _) => marks.get(tag).exists(ep <= _) }
 
   /** The one table-open point for the band index's probe readers:
@@ -743,12 +743,16 @@ object Dedup {
   private[graft] def openNearDupTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       table: String,
-      excludeEpoch: Option[(String, Long)] = None): DataFrame = {
+      excludeEpoch: Option[(String, Long)] = None,
+      marksSnapshot: Option[Map[String, Long]] = None): DataFrame = {
     val main = spark.read.parquet(s"$path/$table")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // marks ride a PATIENT read (or the caller's one-per-probe
+    // snapshot): mid-swap absence read as "no marks" would union a
+    // just-folded epoch back in over the main rows it now duplicates
     val live = liveNearDupEpochs(spark, fs, path, table,
-        readNearDupMarks(spark, path))
+        marksSnapshot.getOrElse(readNearDupMarksPatient(spark, path)))
       .filterNot { case (tag, ep, _) =>
         excludeEpoch.contains((tag, ep)) }
     if (live.isEmpty) main
@@ -796,7 +800,8 @@ object Dedup {
         s"mid-stream with a different signature (($ss, $nh, $nb) != " +
         s"stream-start $pre) — rows signed under the old parameters " +
         "must not mix in; restart the stream against the new index")
-    if (readNearDupMarks(spark, path).get(tag).exists(epoch <= _)) return
+    if (readNearDupMarksPatient(spark, path).get(tag).exists(epoch <= _))
+      return
     if (batch.isEmpty) return
     val base = shingleFrame(batch, idCol, textCol, ss, "__cid")
       .filter(size(col("sh")) > 0)
@@ -816,8 +821,11 @@ object Dedup {
         // previous dir between our marks read and our writes has its
         // rows in the main tables already — take the re-created dirs
         // back (the fold's resurrected-epoch sweep closes the same
-        // race from its side)
-        if (readNearDupMarks(spark, path).get(tag).exists(epoch <= _)) {
+        // race from its side). PATIENT: an absent-mid-swap manifest
+        // read as "no marks" would skip the take-back exactly when a
+        // fold is running.
+        if (readNearDupMarksPatient(spark, path).get(tag)
+            .exists(epoch <= _)) {
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           Seq("shingles", "bands").foreach { t =>
@@ -866,7 +874,7 @@ object Dedup {
       else fs.listStatus(delDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
-    val marks0 = readNearDupMarks(spark, path)
+    val marks0 = readNearDupMarksPatient(spark, path)
     val epochsSh = liveNearDupEpochs(spark, fs, path, "shingles", marks0)
     val epochsBd = liveNearDupEpochs(spark, fs, path, "bands", marks0)
     if (delFiles.isEmpty && epochsSh.isEmpty && epochsBd.isEmpty) {
@@ -892,33 +900,68 @@ object Dedup {
       var marks = marks0
       // STEP 1 — fold the streamed epoch SNAPSHOT into the main
       // tables: the stream data files carry exactly the main schema
-      // (__stream/__epoch are directory-encoded), so the fold is
-      // read → append → delete-epoch-dirs — O(streamed rows); the
-      // main tables' existing files are never read nor rewritten. A
-      // replay overwriting a snapshotted epoch mid-fold fails the
-      // fold's scan loudly (the file list is snapshotted) rather
-      // than folding a partial epoch.
-      if (epochsSh.nonEmpty || epochsBd.nonEmpty) {
-        def streamRows(table: String,
-            eps: Seq[(String, Long, org.apache.hadoop.fs.Path)]) =
-          if (eps.isEmpty) None
-          else {
-            val cols = spark.read.parquet(s"$path/$table")
-              .columns.toIndexedSeq.map(col)
-            Some(spark.read.option("basePath", s"$path/stream_$table")
-              .parquet(eps.map(_._3.toString): _*).select(cols: _*))
-          }
-        val foldSh = streamRows("shingles", epochsSh)
-        val foldBd = streamRows("bands", epochsBd)
-        // accounting BEFORE the retraction window opens
-        val folded = foldSh.map(_.count()).getOrElse(0L)
+      // (__stream/__epoch are directory-encoded), so the fold stages
+      // the rows (the long part, certificate intact — the ANN
+      // stage-before-retract discipline), then renames the staged
+      // files in, deletes the epoch dirs, and re-issues the manifest
+      // with the watermarks — the retraction window covers only fast
+      // file moves, which the patient readers ride out. O(streamed
+      // rows); the main tables' existing files are never read nor
+      // rewritten.
+      //
+      // Only epochs data-bearing in BOTH tables fold: a shingles-only
+      // or bands-only epoch is a crash remnant torn between the
+      // sink's two writes (necessarily its tag's NEWEST epoch — the
+      // crashed batch committed no offset, so no later epoch exists),
+      // and folding the half that landed while marking the epoch
+      // would permanently block the restarted stream's healing
+      // replay. Torn epochs are left untouched below the mark: the
+      // replay overwrites both dirs and the next fold takes them;
+      // meanwhile they are probe-invisible (verdicts need both
+      // tables). They are also never DELETED here — the "torn" dir
+      // may be a LIVE batch mid-write between its two table writes.
+      val completeEpochs = {
+        val bdSet = epochsBd.map(e => (e._1, e._2)).toSet
+        epochsSh.filter(e => bdSet((e._1, e._2)))
+      }
+      if (completeEpochs.nonEmpty) {
+        val keys = completeEpochs.map(e => (e._1, e._2)).toSet
+        def staged(table: String,
+            eps: Seq[(String, Long, org.apache.hadoop.fs.Path)])
+            : org.apache.hadoop.fs.Path = {
+          val stagedP =
+            new org.apache.hadoop.fs.Path(s"$path/${table}_fold")
+          fs.delete(stagedP, true) // a crashed previous fold's leftover
+          val cols = spark.read.parquet(s"$path/$table")
+            .columns.toIndexedSeq.map(col)
+          spark.read.option("basePath", s"$path/stream_$table")
+            .parquet(eps.map(_._3.toString): _*).select(cols: _*)
+            .write.mode("overwrite").parquet(stagedP.toString)
+          stagedP
+        }
+        val epochsBdC = epochsBd.filter(e => keys((e._1, e._2)))
+        val stagedSh = staged("shingles", completeEpochs)
+        val stagedBd = staged("bands", epochsBdC)
+        // accounting from the staged footprint — no second full scan
+        // of the stream files, and it counts exactly what swaps in
+        val folded = spark.read.parquet(stagedSh.toString).count()
         fs.delete(nearDupManifestFile(path), false)
-        foldSh.foreach(_.write.mode("append").parquet(s"$path/shingles"))
-        foldBd.foreach(_.write.mode("append").parquet(s"$path/bands"))
-        (epochsSh ++ epochsBd).foreach(e => fs.delete(e._3, true))
+        Seq(("shingles", stagedSh), ("bands", stagedBd)).foreach {
+          case (table, stagedP) =>
+            fs.listStatus(stagedP).toSeq
+              .filter(st =>
+                st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .foreach { st =>
+                fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(
+                    s"$path/$table/${st.getPath.getName}"))
+              }
+            fs.delete(stagedP, true)
+        }
+        (completeEpochs ++ epochsBdC).foreach(e => fs.delete(e._3, true))
         sweepStreamHusks(fs, path)
         rows += folded
-        marks = marks ++ (epochsSh ++ epochsBd).groupBy(_._1).map {
+        marks = marks ++ completeEpochs.groupBy(_._1).map {
           case (tag, es) =>
             tag -> math.max(es.map(_._2).max, marks.getOrElse(tag, -1L))
         }
@@ -1110,6 +1153,9 @@ object Dedup {
       readNearDupManifestPatient(spark, indexPath).getOrElse(sys.error(
         s"no near-dup index manifest at $indexPath (incomplete build? " +
           "rebuild with writeNearDupIndex)"))
+    // ONE marks snapshot serves both table opens: two independent
+    // reads could straddle a fold and see different epoch sets
+    val marksSnap = Some(readNearDupMarksPatient(spark, indexPath))
     // registered with AutoUnpersist at the END, like the direct path:
     // the bloom branch's count/build actions would release an
     // already-registered entry (bBuckets is an unpersisted projection)
@@ -1117,7 +1163,8 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)
-    val cBandsAll = openNearDupTable(spark, indexPath, "bands", excludeEpoch)
+    val cBandsAll =
+      openNearDupTable(spark, indexPath, "bands", excludeEpoch, marksSnap)
     val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     val cBands0 =
       if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1159,7 +1206,7 @@ object Dedup {
     val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
     val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
     val cShingles = openNearDupTable(spark, indexPath, "shingles",
-        excludeEpoch)
+        excludeEpoch, marksSnap)
       .join(hitIds, Seq("__cid"), "left_semi")
     val cand = pairs.join(cShingles, "__cid")
     nearDupVerdicts(batch,

@@ -1507,26 +1507,13 @@ object Ann {
     * one), where a bare parquet read would throw "unable to infer
     * schema" and turn a working index unprobable (r13 review). */
   private def hasParquetFile(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean = {
-    // manual recursion SKIPPING hidden names ('_', '.'): Spark's
-    // partition discovery ignores them, so counting a parquet file
+      p: org.apache.hadoop.fs.Path): Boolean =
+    // hidden-name-aware (r13 review #2): counting a parquet file
     // inside .spark-staging-* (a kill-mid-write remnant) would send
     // the caller into a union read that then sees zero data files and
-    // crashes on schema inference — the exact state this guard exists
-    // to keep probe-able (r13 review #2)
-    // Spark's own discovery rule: '_'/'.'-prefixed names are hidden
-    // UNLESS they contain '=' (partition dirs like __cell=3 — the
-    // index layout itself relies on that carve-out)
-    def visible(n: String) =
-      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
-    def walk(d: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(d).exists { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) visible(n) && walk(st.getPath)
-        else visible(n) && n.endsWith(".parquet")
-      }
-    fs.exists(p) && walk(p)
-  }
+    // crashes on schema inference — the shared helper implements
+    // Spark's own discovery rule
+    graft.engine.LayoutFs.hasVisibleParquetFile(fs, p)
 
   /** Read the manifest with a SHORT bounded retry on absence: a
     * compaction retracts the certificate for its (narrow) swap window,
@@ -1536,15 +1523,8 @@ object Ann {
     * delayed one second). */
   private[graft] def readManifestPatient(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : Option[IvfManifest] = {
-    var attempt = 0
-    var mf = readManifest(spark, path)
-    while (mf.isEmpty && attempt < 4) {
-      Thread.sleep(250); attempt += 1
-      mf = readManifest(spark, path)
-    }
-    mf
-  }
+      : Option[IvfManifest] =
+    graft.engine.LayoutFs.patiently(readManifest(spark, path))
 
   /** The streamed-epoch partition dirs currently under `path/stream`:
     * (streamTag, epoch, dir) triples — the SNAPSHOT unit compaction

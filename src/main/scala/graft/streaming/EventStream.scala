@@ -764,9 +764,10 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // a FOLDED epoch's replay skips the probe too (its verdicts
         // were already acted on; appendNearDupStreamBatch would skip
-        // the write anyway)
+        // the write anyway) — PATIENT, riding out a concurrent fold's
+        // retraction window
         if (!batch.isEmpty &&
-            !Dedup.readNearDupMarks(spark, indexPath).get(tag)
+            !Dedup.readNearDupMarksPatient(spark, indexPath).get(tag)
               .exists(epoch <= _)) {
           val verdicts = Dedup.incrementalNearDupsIndexedImpl(
             batch, indexPath, idCol, textCol, threshold,

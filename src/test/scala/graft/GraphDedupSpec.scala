@@ -2287,6 +2287,62 @@ class GraphDedupSpec extends SparkSpec {
     assert(verdict() == ((4L, false)))
   }
 
+  test("compactNearDupIndex: a torn epoch (shingles landed, crash before " +
+      "bands) is never folded half-written nor marked — the replay heals " +
+      "it; foreign stream-tag dirs refuse loudly") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 6L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")).toDF("doc_id", "text")
+    val idx = scratch("neardup-torn")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val pre = (3, 64, 16)
+    def verdict(): (Long, Boolean) =
+      Dedup.incrementalNearDupsIndexed(
+          Seq((100L, tpl)).toDF("doc_id", "text"), idx, "doc_id", "text")
+        .select("n_corpus_dups", "kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).head
+    // complete epoch 0 lands through the real batch core
+    Dedup.appendNearDupStreamBatch(Seq((40L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagC", 0L, pre)
+    // forge a TORN epoch 1: shingles landed, crash before bands (copy
+    // epoch 0's shingle rows under a new id — the exact schema)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$idx/stream_shingles/__stream=tagC/__epoch=0")
+      .withColumn("__cid", org.apache.spark.sql.functions.lit(41L))
+      .write.mode("overwrite")
+      .parquet(s"$idx/stream_shingles/__stream=tagC/__epoch=1")
+    assert(verdict() == ((1L, false)),
+      "pre-fold: the torn doc must be invisible, the complete one visible")
+    Dedup.compactNearDupIndex(spark, idx)
+    // epoch 0 folded + marked; the torn epoch survives UNTOUCHED and
+    // UNMARKED (deleting it could race a live batch mid-write; marking
+    // it would permanently block the healing replay)
+    assert(Dedup.readNearDupMarks(spark, idx) == Map("tagC" -> 0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/stream_shingles/__stream=tagC/__epoch=1")),
+      "the fold consumed a torn epoch")
+    assert(verdict() == ((1L, false)), "fold changed the verdicts")
+    // the restarted stream's at-least-once replay heals the epoch
+    // (its offset never committed), and the next fold takes it
+    Dedup.appendNearDupStreamBatch(Seq((41L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagC", 1L, pre)
+    assert(verdict() == ((2L, false)), "healed epoch invisible")
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(Dedup.readNearDupMarks(spark, idx) == Map("tagC" -> 1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")))
+    assert(verdict() == ((2L, false)))
+    // a foreign (non-alphanumeric) stream-tag dir refuses loudly: the
+    // manifest sanitizes mark keys, so its watermark could never match
+    // and every fold would re-append its rows forever
+    spark.read.parquet(s"$idx/shingles").limit(1)
+      .write.mode("overwrite")
+      .parquet(s"$idx/stream_shingles/__stream=bad-tag/__epoch=0")
+    val e = intercept[IllegalArgumentException](verdict())
+    assert(e.getMessage.contains("non-alphanumeric"), e.getMessage)
+  }
+
   test("nearDupAdmitStream: admits novel docs, remembers them across " +
       "micro-batches, near-dedups within a batch, refuses a fresh " +
       "checkpoint over leftover epochs") {
