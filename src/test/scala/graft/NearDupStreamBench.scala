@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Band-index stream-fold cost sweep (test scope): the measurement
+  * behind SCALE.md's claim that `compactNearDupIndex`'s stream fold is
+  * O(streamed rows) and INDEPENDENT of index size — the fold stages
+  * the streamed rows and renames the staged files in; main-table files
+  * are never read. Builds the index at two sizes (N and 10N docs,
+  * same signature), streams S docs across `epochs` epochs through the
+  * real batch core, and times the fold.
+  *
+  * What the numbers must show: fold seconds flat in N at fixed S
+  * (untouched main files are never opened), scaling with S at fixed N
+  * (the staged write is the only data-sized job).
+  *
+  *   sbt "Test/runMain graft.NearDupStreamBench [N] [epochs]"
+  */
+object NearDupStreamBench {
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.flatMap(_.toIntOption).getOrElse(50000)
+    val epochs = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val load = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("?")
+    println(s"[ndstream] loadavg at start: $load")
+    // synthetic docs: ~12 distinct words each, vocabulary keyed off the
+    // id so near-dups are rare and the signing work is uniform
+    def docs(n: Int, shift: Long) = spark.range(n.toLong).select(
+      (col("id") + shift).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(w =>
+        concat(lit(s"w$w"), pmod(hash(col("id") * 12 + w), lit(5000))
+          .cast("string"))): _*).as("text"))
+    for (n <- Seq(baseN, baseN * 10)) {
+      val idx = TestScratch.dir(s"ndstreambench-$n")
+      graft.dedup.Dedup.writeNearDupIndex(docs(n, 0L), "doc_id", "text", idx)
+      for (s <- Seq(500, 5000)) {
+        val perEpoch = s / epochs
+        // one tag per S round: the first fold's watermark must not
+        // skip the second round's epoch numbers
+        for (e <- 0 until epochs)
+          graft.dedup.Dedup.appendNearDupStreamBatch(
+            docs(perEpoch, 50000000L + s * 100L + e.toLong * perEpoch),
+            idx, "doc_id", "text", s"nb$s", e.toLong, (3, 64, 16))
+        val t0 = System.nanoTime()
+        graft.dedup.Dedup.compactNearDupIndex(spark, idx)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+            new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")),
+          "fold left stream_shingles/ behind — timing meaningless")
+        // folded rows accumulate in the index (≤ 5.5k on 50k+ docs —
+        // negligible for the flat-in-N claim)
+        println(f"[ndstream] N=$n streamed=$s epochs=$epochs " +
+          f"fold=$secs%.3f s")
+      }
+      val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    }
+    spark.stop()
+  }
+}
