@@ -2207,6 +2207,17 @@ class GraphDedupSpec extends SparkSpec {
     assert(Dedup.maybeCompactNearDupIndex(spark, apx,
       afterDeletes = Some(2L)))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")))
+    // the pct variant: one tombstone over the 6 surviving docs is
+    // ~17% — below a 50% threshold the backlog stays, past a 10% one
+    // it folds
+    Dedup.deleteFromNearDupIndex(Seq(5L).toDF("doc_id"), "doc_id", apx)
+    assert(!Dedup.maybeCompactNearDupIndex(spark, apx,
+      afterDeletesPct = Some(50.0)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")),
+      "pct policy folded below its threshold")
+    assert(Dedup.maybeCompactNearDupIndex(spark, apx,
+      afterDeletesPct = Some(10.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")))
   }
 
   test("band-index stream append: union-visible epochs, at-least-once " +

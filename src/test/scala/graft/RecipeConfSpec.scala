@@ -1442,6 +1442,50 @@ class RecipeConfSpec extends SparkSpec {
     assert(e.getMessage.contains("must name a neardup_index dataset"), e.getMessage)
   }
 
+  test("ann_index purge_after_deletes_pct: the tombstone backlog folds " +
+      "once it crosses the declared share of the certified total") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val idxPath = s"$dir/ann_pct_idx"
+    vecs.write.mode("overwrite").parquet(s"$dir/ann_pct_in")
+    def conf(ids: Seq[Long]) = {
+      ids.toDF("vec_id").write.mode("overwrite")
+        .parquet(s"$dir/ann_pct_del")
+      RecipeConf.load(
+        s"""datasets:
+           |  all: {path: $dir/ann_pct_in, format: parquet}
+           |  delids: {path: $dir/ann_pct_del, format: parquet}
+           |  idx:
+           |    path: $idxPath
+           |    format: ann_index
+           |    options: {id: vec_id, vec: embedding, nlist: "4",
+           |              purge_after_deletes_pct: "5"}
+           |recipes:
+           |  build: {input: all, steps: [], output: idx}
+           |  takedown: {input: delids, steps: [], output: idx}
+           |""".stripMargin)
+    }
+    RecipeConf.run(spark, conf(Nil), "build")
+    val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // one tombstone = 2.5% of 40 — below the 5% threshold: the
+    // backlog stays, the probe suppresses meanwhile
+    RecipeConf.run(spark, conf(Seq(0L)), "takedown", mode = "delete")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/deletes")),
+      "pct policy purged below its threshold")
+    // two more rows cross 5% (3/40 = 7.5%): the delete boundary folds,
+    // consuming the tombstones and erasing the rows physically
+    RecipeConf.run(spark, conf(Seq(1L, 2L)), "takedown", mode = "delete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/deletes")),
+      "pct policy did not purge past its threshold")
+    assert(spark.read.parquet(s"$idxPath/assigned")
+      .filter(col("neighbor_id") <= 2L).isEmpty,
+      "purge left tombstoned rows in assigned/")
+  }
+
   test("takedown sink cascades one id frame across artifacts; neardup " +
       "append refuses drift; index purge_after_deletes folds at threshold") {
     import spark.implicits._
