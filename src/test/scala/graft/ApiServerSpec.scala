@@ -426,6 +426,62 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("the cascading takedown verb runs as an API job and every " +
+      "search surface forgets the doc in one request") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val docIdx = s"$dir/tdapi_doc"
+    val bandIdx = s"$dir/tdapi_band"
+    val docs = Seq(
+      (1L, tpl, Seq("quick", "brown", "fox")),
+      (2L, "census records inside parquet files",
+        Seq("census", "records", "parquet")))
+      .toDF("id", "text", "toks")
+    Sinks.indexed(docs, docIdx, Some("id"), "toks")
+    graft.dedup.Dedup.writeNearDupIndex(
+      docs.select("id", "text"), "id", "text", bandIdx)
+    Seq(1L).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/tdapi_ids")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  corpus: {path: $docIdx, format: index}
+         |  ids: {path: $dir/tdapi_ids, format: parquet}
+         |  td:
+         |    path: unused
+         |    format: takedown
+         |    options: {id: id, index: $docIdx, neardup_index: $bandIdx}
+         |recipes:
+         |  forget: {input: ids, steps: [], output: td}
+         |""".stripMargin)
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    try {
+      val pre = send("POST",
+        s"$base/datasets/corpus/_search?q=quick+brown&size=5")
+      assert(pre.statusCode() == 200 && pre.body().contains(""""id":1"""),
+        pre.body())
+      // ONE recipe run tombstones the doc across BOTH artifacts
+      val run = send("PUT", s"$base/recipes/forget/run")
+      assert(run.statusCode() == 202, run.body())
+      api.awaitJobs()
+      val post = send("POST",
+        s"$base/datasets/corpus/_search?q=quick+brown&size=5")
+      assert(post.statusCode() == 200 &&
+        !post.body().contains(""""id":1"""), post.body())
+      // the surviving doc still serves — the takedown was surgical
+      val other = send("POST",
+        s"$base/datasets/corpus/_search?q=census&size=5")
+      assert(other.body().contains(""""id":2"""), other.body())
+      // the band index forgot in the same run: a fresh clone of the
+      // taken-down doc is no longer vetoed
+      assert(graft.dedup.Dedup.incrementalNearDupsIndexed(
+          Seq((50L, tpl)).toDF("id", "text"), bandIdx, "id", "text")
+        .select("kept").collect().head.getBoolean(0),
+        "band index still vetoes against the taken-down doc")
+    } finally api.stop()
+  }
+
   test("_search proxy scores token queries against the native index") {
     import spark.implicits._
     import graft.sources.Sinks
