@@ -257,7 +257,9 @@ object RecipeConf {
       // auto-purge policy (declared on the dataset block): fold the
       // tombstone backlog physically once it crosses the threshold
       Sinks.maybeCompactIndexed(df.sparkSession, ds.path,
-        afterDeletes = ds.options.get("purge_after_deletes").map(_.toLong))
+        afterDeletes = ds.options.get("purge_after_deletes").map(_.toLong),
+        afterDeletesPct =
+          ds.options.get("purge_after_deletes_pct").map(_.toDouble))
       ()
     // 'compact' purges tombstoned docs physically from docs/ AND
     // postings/ (file-scoped — untouched files are never rewritten);

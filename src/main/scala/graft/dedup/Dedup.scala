@@ -614,9 +614,14 @@ object Dedup {
     * without re-signing the corpus. Physical purge happens at the next
     * [[compactNearDupIndex]] (or a full rebuild — writeNearDupIndex
     * clears deletes/ with the tables it rewrites). Idempotent; unknown
-    * ids are legal. A takedown is terminal for its id: re-appending a
-    * tombstoned id stays suppressed probe-side and the next purge
-    * removes the re-added rows too — resurrect an id by rebuilding. */
+    * ids are legal. Terminality is scoped to the PRE-PURGE window
+    * (r14 advice): while its tombstone stands, a re-appended id stays
+    * suppressed probe-side and the next purge removes the re-added
+    * rows too — but a purge CONSUMES tombstones that matched nothing
+    * still live, after which a plain re-append resurrects the id (and
+    * a rebuild always does: the new corpus is the caller's authority
+    * on membership). Callers needing a permanent ban keep their own
+    * denylist and filter at ingest. */
   def deleteFromNearDupIndex(ids: DataFrame, idCol: String,
       path: String): Unit = {
     val spark = ids.sparkSession
@@ -643,10 +648,14 @@ object Dedup {
     * new total = certified + batch (an O(batch) count, no re-list of
     * the table footers).
     *
-    * Torn-append discipline: the manifest is retracted before the
-    * first table write and re-issued after both landed — a crash
-    * mid-append leaves no certificate and every probe fails loudly
-    * instead of silently missing the batch's bands. Duplicate ids are
+    * Torn-append discipline, STAGED (r14 advice): the batch's shingle
+    * and band files write to side dirs first — the long, O(batch)
+    * part, with the certificate intact so concurrent probes and
+    * stream micro-batches never block on it — then the manifest is
+    * retracted only for the fast file moves and re-issued after (the
+    * fold's stage-before-retract shape). A crash mid-move leaves no
+    * certificate and every probe fails loudly instead of silently
+    * missing the batch's bands. Duplicate ids are
     * the CALLER's contract (append kept rows — run the incremental
     * dedup gate first, the q107 discipline); an append never dedups.
     * Single-maintenance-writer: refuses while a fold's `_COMPACTING`
@@ -664,14 +673,18 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
-    require(!fs.exists(compactingP),
-      s"appendToNearDupIndex: a compaction is rewriting table files at " +
-        s"'$path' (${compactingP.getName} exists) — rows appended now " +
-        "could be deleted by its swap (single-maintenance-writer " +
-        "contract); wait for the fold to finish, or delete the marker " +
-        "if it crashed mid-run")
     val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
-    fs.create(appendingP, true).close()
+    graft.engine.LayoutFs.acquireMarker(fs, appendingP, compactingP,
+      refuseOpposite =
+        s"appendToNearDupIndex: a compaction is rewriting table files " +
+          s"at '$path' (${compactingP.getName} exists) — rows appended " +
+          "now could be deleted by its swap (single-maintenance-writer " +
+          "contract); wait for the fold to finish, or delete the marker " +
+          "if it crashed mid-run",
+      refuseOwn =
+        s"appendToNearDupIndex: another append is already running at " +
+          s"'$path' (${appendingP.getName} exists) — wait for it to " +
+          "finish, or delete the marker if it crashed mid-run")
     try {
       val base = shingleFrame(batch, idCol, textCol, shingleSize, "__cid")
         .filter(size(col("sh")) > 0)
@@ -679,11 +692,32 @@ object Dedup {
       try {
         val n = base.count()
         if (n > 0) {
+          // STAGE both tables' files first (the long signing part,
+          // certificate intact — probes and stream batches keep
+          // reading); retract the manifest only for the renames below
+          val stagedSh =
+            new org.apache.hadoop.fs.Path(s"$path/shingles_append")
+          val stagedBd =
+            new org.apache.hadoop.fs.Path(s"$path/bands_append")
+          fs.delete(stagedSh, true) // a crashed previous append's
+          fs.delete(stagedBd, true) // leftovers
+          base.write.mode("overwrite").parquet(stagedSh.toString)
+          bandFrame(base, "__cid", numHashes, bands, keepSh = false)
+            .write.mode("overwrite").parquet(stagedBd.toString)
           val marks = readNearDupMarks(spark, path)
           fs.delete(nearDupManifestFile(path), false)
-          base.write.mode("append").parquet(s"$path/shingles")
-          bandFrame(base, "__cid", numHashes, bands, keepSh = false)
-            .write.mode("append").parquet(s"$path/bands")
+          Seq(("shingles", stagedSh), ("bands", stagedBd)).foreach {
+            case (table, stagedP) =>
+              fs.listStatus(stagedP).toSeq
+                .filter(st => st.isFile &&
+                  st.getPath.getName.endsWith(".parquet"))
+                .foreach { st =>
+                  fs.rename(st.getPath,
+                    new org.apache.hadoop.fs.Path(
+                      s"$path/$table/${st.getPath.getName}"))
+                }
+              fs.delete(stagedP, true)
+          }
           writeNearDupManifest(spark, path,
             shingleSize, numHashes, bands, rows + n, marks)
         }
@@ -887,14 +921,18 @@ object Dedup {
         s"compactNearDupIndex: no near-dup index manifest at $path — " +
           "nothing certified to compact; rebuild with writeNearDupIndex"))
     val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
-    require(!fs.exists(appendingP),
-      s"compactNearDupIndex: a batch append is running at '$path' " +
-        s"(${appendingP.getName} exists) — its freshly appended files " +
-        "could be deleted by this fold's swap (single-maintenance-" +
-        "writer contract); wait for the append to finish, or delete " +
-        "the marker if it crashed mid-run")
     val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
-    fs.create(compactingP, true).close()
+    graft.engine.LayoutFs.acquireMarker(fs, compactingP, appendingP,
+      refuseOpposite =
+        s"compactNearDupIndex: a batch append is running at '$path' " +
+          s"(${appendingP.getName} exists) — its freshly appended files " +
+          "could be deleted by this fold's swap (single-maintenance-" +
+          "writer contract); wait for the append to finish, or delete " +
+          "the marker if it crashed mid-run",
+      refuseOwn =
+        s"compactNearDupIndex: another compaction is already running " +
+          s"at '$path' (${compactingP.getName} exists) — wait for it " +
+          "to finish, or delete the marker if it crashed mid-run")
     try {
       var rows = rows0
       var marks = marks0
@@ -994,7 +1032,13 @@ object Dedup {
             .select("__f").distinct().collect().map(_.getString(0)).toSeq
         val doomed = Seq("shingles", "bands").map(t => t -> doomedFiles(t))
         if (doomed.forall(_._2.isEmpty)) {
-          // tombstones matching nothing: consume the snapshot files
+          // tombstones matching nothing in the MAIN tables: consume the
+          // snapshot files — except ids still living in a remaining
+          // stream epoch (torn, or landed after this fold's snapshot),
+          // whose tombstones are retained (r14 advice: consuming them
+          // here would let the id resurface once a later fold banks
+          // that epoch, with no tombstone left to suppress it)
+          retainStreamTombstones(spark, fs, path, dels)
           delFiles.foreach(f => fs.delete(f, false))
           sweepDeletesDir(fs, delDir)
           return
@@ -1034,12 +1078,57 @@ object Dedup {
           }
           fs.delete(stagedP, true)
         }
-        delFiles.foreach(f => fs.delete(f, false))
-        sweepDeletesDir(fs, delDir)
+        // re-issue the certificate FIRST (the retraction window stays
+        // file-moves-only), then retain-and-consume the tombstone
+        // snapshot: an id still living in a remaining stream epoch
+        // (torn between the sink's two table writes, or landed after
+        // this fold's snapshot) keeps a tombstone — consuming it would
+        // let the id resurface once a later fold banks that epoch (r14
+        // advice). A crash between the re-issue and the consumption
+        // below just leaves the tombstones standing: still suppressed
+        // probe-side, re-purged idempotently by the next fold.
         writeNearDupManifest(spark, path,
           shingleSize, numHashes, bands, rows - purgedDocs, marks)
+        retainStreamTombstones(spark, fs, path, dels)
+        delFiles.foreach(f => fs.delete(f, false))
+        sweepDeletesDir(fs, delDir)
       }
     } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** Re-write (as a fresh tombstone file, BEFORE the snapshot files
+    * are consumed — no window of absence) the tombstoned ids that
+    * still match a row in a REMAINING stream epoch dir: torn epochs
+    * (data-bearing in one table only — probe-invisible, but their
+    * healing replay lands both tables and a later fold banks them)
+    * and epochs landed after the calling fold's snapshot. Without
+    * this, consuming the snapshot would silently break the takedown
+    * for exactly those ids (r14 advice). The scan is column-pruned
+    * (__cid only) over the stream backlog — bounded by the
+    * compaction policy, zero when no epochs remain (the common
+    * case: one cheap listing). An epoch landing AFTER this scan and
+    * before the caller deletes the snapshot files can still slip
+    * through the ms-wide gap — the terminal-takedown contract is
+    * pre-purge-scoped for that reason (see
+    * [[deleteFromNearDupIndex]]). */
+  private def retainStreamTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      dels: DataFrame): Unit = {
+    val stillIds = Seq("shingles", "bands").flatMap { t =>
+      val dirs = nearDupStreamEpochs(fs, path, t)
+        .filter(e => graft.engine.LayoutFs.hasVisibleParquetFile(fs, e._3))
+        .map(_._3.toString)
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", s"$path/stream_$t")
+        .parquet(dirs: _*).select(col("__cid")))
+    }
+    if (stillIds.isEmpty) return
+    val retained = dels.join(stillIds.reduce(_ union _),
+      col("__del_id") === col("__cid"), "left_semi")
+    if (!retained.isEmpty)
+      retained.select(col("__del_id").as("__cid")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/deletes")
   }
 
   /** Remove empty stream-epoch husk dirs (a fully folded tag's empty
@@ -1099,6 +1188,16 @@ object Dedup {
       s"compact_after_epochs must be >= 1, got $n"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a policy check riding a stream micro-batch or a YAML delete must
+    // DEFER under a live maintenance writer, not die: throwing the
+    // single-writer refusal inside foreachBatch would kill the
+    // streaming query over a fold that can simply run next batch (r14
+    // advice). The residual marker-lands-after-this-check race is the
+    // acquireMarker refusal — loud, and only reachable from a manual
+    // concurrent launch, never from this deferring path.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_APPENDING")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")))
+      return false
     val epochTrip = afterEpochs.exists { n =>
       val marks = readNearDupMarks(spark, path)
       liveNearDupEpochs(spark, fs, path, "shingles", marks).size >= n
@@ -1106,7 +1205,11 @@ object Dedup {
     val delTrip = !epochTrip && {
       val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
       (afterDeletes.nonEmpty || afterDeletesPct.nonEmpty) &&
-      fs.exists(delP) && {
+      // hasVisibleParquetFile, not exists: a deletes/ dir holding only
+      // a crashed write's husks must read as "no backlog", not crash
+      // the YAML delete boundary on schema inference (r14 advice — the
+      // Ann.maybeCompactIvfIndex rule)
+      graft.engine.LayoutFs.hasVisibleParquetFile(fs, delP) && {
         val nDel = spark.read.parquet(delP.toString).count()
         nDel > 0 && (afterDeletes.exists(nDel >= _) ||
           afterDeletesPct.exists { pct =>
@@ -1167,8 +1270,9 @@ object Dedup {
       openNearDupTable(spark, indexPath, "bands", excludeEpoch, marksSnap)
     val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     val cBands0 =
-      if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(delP))
+      if (graft.engine.LayoutFs.hasVisibleParquetFile(
+          delP.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          delP))
         cBandsAll.join(
           org.apache.spark.sql.functions.broadcast(
             spark.read.parquet(delP.toString).distinct()),

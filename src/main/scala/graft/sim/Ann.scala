@@ -1416,9 +1416,13 @@ object Ann {
     * partitions, the manifest re-issued with the new row count and a
     * bumped `version` (geometry identity and stream marks carried
     * unchanged — an append extends, never retrains). Torn-append
-    * discipline: the manifest is retracted BEFORE the append and
-    * re-issued after, so a crash mid-append leaves no certificate and
-    * every probe fails loudly instead of reading half a batch.
+    * discipline, STAGED (r14 advice): the batch encodes and writes to
+    * a side dir first — the long, O(batch) part, certificate intact
+    * so concurrent probes never block on it — then the manifest is
+    * retracted only for the fast per-cell file moves and re-issued
+    * after (the fold's stage-before-retract shape). A crash mid-move
+    * leaves no certificate and every probe fails loudly instead of
+    * reading half a batch.
     * Duplicate ids are the CALLER's contract (append kept rows — run
     * the incremental dedup gate first, the q107 discipline); an
     * append never dedups.
@@ -1437,29 +1441,55 @@ object Ann {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
-    require(!fs.exists(compactingP),
-      s"appendIvfIndex: a compaction is rewriting cell partitions at " +
-        s"'$path' (${compactingP.getName} exists) — rows appended now " +
-        "would be deleted by its swap (single-maintenance-writer " +
-        "contract); wait for the fold to finish, or delete the marker " +
-        "if it crashed mid-run")
     val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
-    fs.create(appendingP, true).close()
+    graft.engine.LayoutFs.acquireMarker(fs, appendingP, compactingP,
+      refuseOpposite =
+        s"appendIvfIndex: a compaction is rewriting cell partitions at " +
+          s"'$path' (${compactingP.getName} exists) — rows appended now " +
+          "would be deleted by its swap (single-maintenance-writer " +
+          "contract); wait for the fold to finish, or delete the marker " +
+          "if it crashed mid-run",
+      refuseOwn =
+        s"appendIvfIndex: another append is already running at '$path' " +
+          s"(${appendingP.getName} exists) — wait for it to finish, or " +
+          "delete the marker if it crashed mid-run")
     try {
       val (rows, mf) =
         encodeUnderStoredGeometry(batch, cId, cVec, path, "appendIvfIndex")
-      val mfp = manifestFile(path)
-      mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(mfp, false)
+      // STAGE the encoded batch first (the long part, certificate
+      // intact); the retraction window below covers only fast file
+      // moves, which readManifestPatient rides out
+      val stagedP = new org.apache.hadoop.fs.Path(s"$path/assigned_append")
+      fs.delete(stagedP, true) // a crashed previous append's leftover
       rows.repartition(col("__cell"))
-        .write.mode("append").partitionBy("__cell").parquet(s"$path/assigned")
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(stagedP.toString)
       // incremental row accounting (the compactIvfIndex discipline,
       // r14): the encode is row-preserving (NULL/ragged vectors keep a
       // NULL cell, they are written, never dropped), so the new total
       // is certified + batch — an O(batch) count instead of re-listing
       // every footer of a 100-TB table per append
-      val total = mf.rows +
-        batch.select(col(cId)).count()
+      val total = mf.rows + batch.select(col(cId)).count()
+      val mfp = manifestFile(path)
+      mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mfp, false)
+      fs.listStatus(stagedP).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("__cell="))
+        .foreach { cd =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/assigned/${cd.getPath.getName}")
+          if (!fs.exists(target)) fs.mkdirs(target)
+          fs.listStatus(cd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(
+                  s"$target/${st.getPath.getName}"))
+            }
+        }
+      fs.delete(stagedP, true)
       writeManifest(spark, path, mf.nlist, total, mf.quant,
         mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
         geomId = mf.geomId, streamMarks = mf.streamMarks)
@@ -1617,14 +1647,18 @@ object Ann {
       s"compactIvfIndex: no build manifest at '$path' — nothing " +
         "certified to compact; rebuild with writeIvfIndex"))
     val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
-    require(!fs.exists(appendingP),
-      s"compactIvfIndex: a batch append is running at '$path' " +
-        s"(${appendingP.getName} exists) — its freshly appended cell " +
-        "files would be deleted by this fold's swap (single-" +
-        "maintenance-writer contract); wait for the append to finish, " +
-        "or delete the marker if it crashed mid-run")
     val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
-    fs.create(compactingP, true).close()
+    graft.engine.LayoutFs.acquireMarker(fs, compactingP, appendingP,
+      refuseOpposite =
+        s"compactIvfIndex: a batch append is running at '$path' " +
+          s"(${appendingP.getName} exists) — its freshly appended cell " +
+          "files would be deleted by this fold's swap (single-" +
+          "maintenance-writer contract); wait for the append to finish, " +
+          "or delete the marker if it crashed mid-run",
+      refuseOwn =
+        s"compactIvfIndex: another compaction is already running at " +
+          s"'$path' (${compactingP.getName} exists) — wait for it to " +
+          "finish, or delete the marker if it crashed mid-run")
     try {
     // the stream snapshot: fold + delete exactly these dirs, nothing
     // newer. Three bins: file-less crash husks (swept), RESURRECTED
@@ -1672,6 +1706,11 @@ object Ann {
     if (touched.isEmpty) {
       // tombstones matching nothing in assigned/ and no streamed rows:
       // consume the snapshot files (the ids are gone or never existed)
+      // — except ids still living in a stream epoch that landed after
+      // this fold's snapshot, whose tombstones are retained (r14
+      // advice, the compactNearDupIndex rule: consuming them would let
+      // the id resurface once a later fold banks that epoch)
+      dels.foreach(d => retainStreamTombstones(spark, fs, path, d))
       delFiles.foreach(f => fs.delete(f, false))
       sweepEmpties(); return
     }
@@ -1727,17 +1766,51 @@ object Ann {
     }
     fs.delete(stagedP, true)
     live.foreach(e => fs.delete(e._3, true))
-    delFiles.foreach(f => fs.delete(f, false))
-    sweepEmpties()
     val folded = live.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     val marks = mf.streamMarks ++ folded.map { case (tag, mx) =>
       tag -> math.max(mx, mf.streamMarks.getOrElse(tag, -1L))
     }
+    // re-issue the certificate FIRST (the retraction window stays
+    // file-moves-only), then retain-and-consume the tombstone
+    // snapshot: an id still living in an epoch that landed after this
+    // fold's snapshot keeps a tombstone — consuming it would let the
+    // id resurface once a later fold banks that epoch (r14 advice). A
+    // crash between the re-issue and the consumption below leaves the
+    // tombstones standing: still suppressed probe-side, re-purged
+    // idempotently by the next fold.
     writeManifest(spark, path, mf.nlist,
       mf.rows - mainTouchedCount + stagedCount, mf.quant,
       mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
       geomId = mf.geomId, streamMarks = marks)
+    dels.foreach(d => retainStreamTombstones(spark, fs, path, d))
+    delFiles.foreach(f => fs.delete(f, false))
+    sweepEmpties()
     } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** Re-write (as a fresh tombstone file, BEFORE the snapshot files
+    * are consumed — no window of absence) the tombstoned ids still
+    * matching a row in a REMAINING `stream/` epoch dir — one that
+    * landed after the calling fold's snapshot. Consuming their
+    * tombstones would silently break the takedown for those ids once
+    * a later fold banks the epoch (r14 advice, closed on both
+    * artifacts). Column-pruned (neighbor_id only) over the stream
+    * backlog; zero cost when no epochs remain (one listing). */
+  private[graft] def retainStreamTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      dels: DataFrame): Unit = {
+    val remaining = listStreamEpochs(fs, path)
+      .filter(e => hasParquetFile(fs, e._3))
+    if (remaining.isEmpty) return
+    val still = spark.read.option("basePath", s"$path/stream")
+      .parquet(remaining.map(_._3.toString): _*)
+      .select(col("neighbor_id"))
+    val retained = dels.join(still,
+      col("__del_id") === col("neighbor_id"), "left_semi")
+    if (!retained.isEmpty)
+      retained.select(col("__del_id").as("neighbor_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/deletes")
   }
 
   /** Hive's directory name for a NULL partition value — the quarantine
@@ -1780,6 +1853,14 @@ object Ann {
       s"purge_after_deletes_pct must be > 0, got $p"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // DEFER under a live maintenance writer (r14 advice, the
+    // maybeCompactNearDupIndex rule): this check rides stream
+    // micro-batches and YAML boundaries — throwing the single-writer
+    // refusal there would kill a streaming query over a fold that can
+    // simply run next batch
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_APPENDING")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")))
+      return false
     val mf = readManifestPatient(spark, path).getOrElse(return false)
     val live = listStreamEpochs(fs, path)
       .filter(e => hasParquetFile(fs, e._3))

@@ -139,13 +139,29 @@ object Sources {
     * the match step's right side (it resolves through that dataset
     * read), and the API `_search` route, so a taken-down doc vanishes
     * from every consumer at once. Broadcast anti-join on `_id`
-    * (takedowns are declared-small); no deletes/ → the plain read. */
+    * (takedowns are declared-small); no deletes/ → the plain read.
+    *
+    * Certificate-gated (r14 verdict #1 — the discipline the other two
+    * persisted artifacts already share): the read refuses loudly
+    * unless the store's manifest certifies a COMPLETE build, and the
+    * read is PATIENT — a compaction retracts the certificate for its
+    * narrow file-swap window, and a probe landing inside it (this is
+    * live behind the API `_search` route, where "maintenance window"
+    * is someone else's query) rides it out on the bounded retry
+    * instead of transiently missing docs mid-swap. */
   def indexedTable(spark: SparkSession, path: String,
       table: String): DataFrame = {
+    Sinks.readIndexedManifestPatient(spark, path).getOrElse(sys.error(
+      s"indexedTable: no store manifest at '$path' — the document-store " +
+        "build did not complete (or a crashed maintenance run left it " +
+        "torn); rebuild with the index sink"))
     val df = spark.read.parquet(s"$path/$table")
     val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(delP))
+    // hasVisibleParquetFile, not exists: a deletes/ dir holding only a
+    // crashed write's husks must read as "no tombstones", not crash
+    // every consumer on schema inference (the maybeCompact* rule)
+    if (graft.engine.LayoutFs.hasVisibleParquetFile(
+        delP.getFileSystem(spark.sparkContext.hadoopConfiguration), delP))
       df.join(broadcast(spark.read.parquet(delP.toString).distinct()),
         Seq("_id"), "left_anti")
     else df
@@ -393,27 +409,147 @@ object Sinks {
       .mode(if (mode == "create") "overwrite" else mode).save()
   }
 
+  /** The document store's manifest certificate (r14 verdict #1 — the
+    * same discipline the ANN and band indexes carry): one tiny JSON
+    * line written LAST on build/append, retracted only for a
+    * compaction's narrow file-swap window. Its presence certifies
+    * BOTH tables complete; `rows` is the certified docs/ total (what
+    * makes the pct purge knob free to check); `version` bumps per
+    * mutation. Parsed with a regex, like its siblings — no JSON
+    * library in the dependency budget, and the shape is one flat
+    * line this module itself writes. */
+  private[graft] def indexedManifestFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.json")
+
+  private[graft] def writeIndexedManifest(spark: SparkSession,
+      path: String, rows: Long, version: Long): Unit = {
+    val p = indexedManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"rows": $rows, "version": $version, """ +
+        s""""built_ms": ${System.currentTimeMillis()}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** (rows, version), or None when absent — an incomplete build or a
+    * retraction window. */
+  private[graft] def readIndexedManifest(spark: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    val p = indexedManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def f(k: String): Option[Long] =
+      (s""""$k":\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    for (r <- f("rows"); v <- f("version")) yield (r, v)
+  }
+
+  /** [[readIndexedManifest]] riding out a compaction's retraction
+    * window on the shared bounded retry
+    * ([[graft.engine.LayoutFs.patiently]]): a `_search` or recipe
+    * read landing mid-swap waits ~1 s; a PERMANENT absence still
+    * refuses loudly one level up. */
+  private[graft] def readIndexedManifestPatient(spark: SparkSession,
+      path: String): Option[(Long, Long)] =
+    graft.engine.LayoutFs.patiently(readIndexedManifest(spark, path))
+
   /** The ES-bulk analogue: a "document store" write — parquet table plus
     * a derived token-postings index table for the match join
     * (SURVEY §2.4.3). `_id` = provided column or a row hash
-    * (recipes.py:771-790; blake3 → xxhash64, ids are per-run stable). */
+    * (recipes.py:771-790; blake3 → xxhash64, ids are per-run stable).
+    *
+    * Lifecycle discipline (r14 verdict #1): a REBUILD retracts the
+    * manifest first (a crash between the two table writes must not
+    * leave the previous build's certificate endorsing half-written
+    * tables) and re-issues it LAST, with the certified row total; an
+    * APPEND extends a COMPLETE store only (no certificate = loud
+    * refusal), stages both tables' files to side dirs first — the
+    * long O(batch) part, certificate intact so concurrent `_search`
+    * and recipe reads never block — then retracts the manifest only
+    * for the fast file moves (the fold's stage-before-retract shape),
+    * with incremental row accounting (certified + batch, no table
+    * re-list). Appends and compactions exclude each other via the
+    * shared atomic `_APPENDING`/`_COMPACTING` markers. */
   def indexed(df: DataFrame, path: String, idCol: Option[String],
       analyzedCol: String, mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val withId = idCol match {
       case Some(c) => df.withColumn("_id", col(c))
       case None    => df.withColumn("_id", xxhash64(df.columns.toIndexedSeq.map(col): _*))
     }
-    // a REBUILD purges tombstones with the tables it rewrites (the
-    // writeIvfIndex / writeNearDupIndex discipline): the new corpus is
-    // the caller's authority on membership
-    if (mode == "overwrite") {
-      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-      delP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(delP, true)
+    def postings(d: DataFrame) =
+      d.select(col("_id"),
+        explode(array_distinct(col(analyzedCol))).as("token"))
+    if (mode == "append") {
+      val (rows0, version0) =
+        readIndexedManifestPatient(spark, path).getOrElse(sys.error(
+          s"index sink (append): no store manifest at '$path' — appends " +
+            "extend a COMPLETE document store (build with mode " +
+            "create/overwrite first)"))
+      val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+      val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+      graft.engine.LayoutFs.acquireMarker(fs, appendingP, compactingP,
+        refuseOpposite =
+          s"index sink (append): a compaction is rewriting table files " +
+            s"at '$path' (${compactingP.getName} exists) — rows appended " +
+            "now could be deleted by its swap (single-maintenance-writer " +
+            "contract); wait for it to finish, or delete the marker if " +
+            "it crashed mid-run",
+        refuseOwn =
+          s"index sink (append): another append is already running at " +
+            s"'$path' (${appendingP.getName} exists) — wait for it to " +
+            "finish, or delete the marker if it crashed mid-run")
+      try {
+        val stagedDocs = new org.apache.hadoop.fs.Path(s"$path/docs_append")
+        val stagedPost =
+          new org.apache.hadoop.fs.Path(s"$path/postings_append")
+        fs.delete(stagedDocs, true) // a crashed previous append's
+        fs.delete(stagedPost, true) // leftovers
+        withId.write.mode("overwrite").parquet(stagedDocs.toString)
+        // derive postings from the STAGED docs: one source of truth,
+        // and the batch frame is computed once
+        val stagedDf = spark.read.parquet(stagedDocs.toString)
+        postings(stagedDf).write.mode("overwrite")
+          .parquet(stagedPost.toString)
+        val n = stagedDf.count() // footer count of the staged batch
+        fs.delete(indexedManifestFile(path), false)
+        Seq(("docs", stagedDocs), ("postings", stagedPost)).foreach {
+          case (table, stagedP) =>
+            fs.listStatus(stagedP).toSeq
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet"))
+              .foreach { st =>
+                fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(
+                    s"$path/$table/${st.getPath.getName}"))
+              }
+            fs.delete(stagedP, true)
+        }
+        writeIndexedManifest(spark, path, rows0 + n, version0 + 1)
+      } finally { fs.delete(appendingP, false); () }
+    } else {
+      // a REBUILD that dies between the table writes must not leave
+      // the PREVIOUS build's certificate endorsing the new
+      // half-written tables — retract first, re-issue only after both
+      // tables landed. Stale tombstones go with the tables (the
+      // writeIvfIndex / writeNearDupIndex discipline): the new corpus
+      // is the caller's authority on membership.
+      fs.delete(indexedManifestFile(path), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+      withId.write.mode(mode).parquet(s"$path/docs")
+      // recompute from the written table, not the input: one pass over
+      // the input total, and the two tables cannot disagree
+      val written = spark.read.parquet(s"$path/docs")
+      postings(written).write.mode(mode).parquet(s"$path/postings")
+      writeIndexedManifest(spark, path, written.count(), version = 1L)
     }
-    withId.write.mode(mode).parquet(s"$path/docs")
-    withId.select(col("_id"), explode(array_distinct(col(analyzedCol))).as("token"))
-      .write.mode(mode).parquet(s"$path/postings")
   }
 
   /** DELETE for the document store — the takedown verb on the THIRD
@@ -430,11 +566,10 @@ object Sinks {
   def deleteFromIndexed(ids: DataFrame, idCol: String,
       path: String): Unit = {
     val spark = ids.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")),
-      s"deleteFromIndexed: '$path' is not a document-index layout " +
-        "(missing docs/ — build one with the index sink first)")
+    readIndexedManifestPatient(spark, path).getOrElse(sys.error(
+      s"deleteFromIndexed: no store manifest at '$path' — deletes " +
+        "tombstone rows of a COMPLETE document store (build with the " +
+        "index sink first)"))
     val idType = spark.read.parquet(s"$path/docs").schema("_id").dataType
     ids.select(col(idCol).cast(idType).as("_id"))
       .filter(col("_id").isNotNull).distinct()
@@ -453,18 +588,22 @@ object Sinks {
     * snapshotted at entry: a delete landing mid-purge survives to the
     * next one, still suppressed by [[Sources.indexedTable]] meanwhile.
     *
-    * This layout carries no manifest certificate, so the swap is NOT
-    * reader-atomic (a concurrent read can transiently see a purged
-    * file gone before its survivor file lands) — a maintenance-window
-    * op, the [[graft.sources.Layout.compact]] contract. Rows already
-    * suppressed probe-side can never resurface mid-swap (the
-    * tombstones are consumed only after both tables swapped). */
+    * READER-ATOMIC behind the manifest certificate (r14 verdict #1 —
+    * this compact serves a live HTTP route, `_search`, where a
+    * "maintenance window" is someone else's query): survivors stage
+    * FIRST with the certificate intact (the long part — concurrent
+    * reads keep working), then the manifest is retracted only for the
+    * file swap and re-issued with the purged total, so a read landing
+    * inside the window waits on the patient manifest read
+    * ([[Sources.indexedTable]]) instead of transiently missing docs,
+    * while a crash mid-swap leaves a loudly-unreadable store, never a
+    * silent half-purge. Tombstones are consumed only after the
+    * re-issue (a crash before that leaves them standing — still
+    * suppressed read-side, re-purged idempotently). Excludes
+    * concurrent appends via the shared atomic markers. */
   def compactIndexed(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")),
-      s"compactIndexed: '$path' is not a document-index layout " +
-        "(missing docs/ — build one with the index sink first)")
     val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val delFiles: Seq[org.apache.hadoop.fs.Path] =
       if (!fs.exists(delDir)) Nil
@@ -475,59 +614,114 @@ object Sinks {
       if (fs.exists(delDir)) { fs.delete(delDir, true); () }
       return
     }
-    val dels = spark.read.parquet(delFiles.map(_.toString): _*)
-      .select(col("_id").as("__del_id")).distinct()
-    def doomedFiles(table: String): Seq[String] =
-      spark.read.parquet(s"$path/$table")
-        .select(col("_id"), col("_metadata.file_path").as("__f"))
-        .join(broadcast(dels), col("_id") === col("__del_id"), "left_semi")
-        .select("__f").distinct().collect().map(_.getString(0)).toSeq
-    val staged = Seq("docs", "postings").map { table =>
-      val files = doomedFiles(table)
-      val stagedP = new org.apache.hadoop.fs.Path(s"$path/${table}_compact")
-      fs.delete(stagedP, true) // a crashed previous purge's leftover
-      if (files.nonEmpty)
-        spark.read.parquet(files: _*)
-          .join(broadcast(dels), col("_id") === col("__del_id"), "left_anti")
-          .write.mode("overwrite").parquet(stagedP.toString)
-      (table, files, stagedP)
-    }
-    staged.foreach { case (table, files, stagedP) =>
-      if (files.nonEmpty) {
-        fs.listStatus(stagedP).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .foreach { st =>
-            fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(
-                s"$path/$table/${st.getPath.getName}"))
-          }
-        files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val (rows0, version0) =
+      readIndexedManifest(spark, path).getOrElse(sys.error(
+        s"compactIndexed: no store manifest at '$path' — nothing " +
+          "certified to compact; rebuild with the index sink"))
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    graft.engine.LayoutFs.acquireMarker(fs, compactingP, appendingP,
+      refuseOpposite =
+        s"compactIndexed: an append is running at '$path' " +
+          s"(${appendingP.getName} exists) — its freshly appended files " +
+          "could be deleted by this purge's swap (single-maintenance-" +
+          "writer contract); wait for it to finish, or delete the " +
+          "marker if it crashed mid-run",
+      refuseOwn =
+        s"compactIndexed: another compaction is already running at " +
+          s"'$path' (${compactingP.getName} exists) — wait for it to " +
+          "finish, or delete the marker if it crashed mid-run")
+    try {
+      val dels = spark.read.parquet(delFiles.map(_.toString): _*)
+        .select(col("_id").as("__del_id")).distinct()
+      def doomedFiles(table: String): Seq[String] =
+        spark.read.parquet(s"$path/$table")
+          .select(col("_id"), col("_metadata.file_path").as("__f"))
+          .join(broadcast(dels), col("_id") === col("__del_id"), "left_semi")
+          .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      // stage every touched file's survivors FIRST (the long part,
+      // certificate intact); the retraction window below covers only
+      // the file moves
+      var purgedDocs = 0L
+      val staged = Seq("docs", "postings").map { table =>
+        val files = doomedFiles(table)
+        val stagedP = new org.apache.hadoop.fs.Path(s"$path/${table}_compact")
+        fs.delete(stagedP, true) // a crashed previous purge's leftover
+        if (files.nonEmpty) {
+          val touched = spark.read.parquet(files: _*)
+          if (table == "docs")
+            purgedDocs = touched
+              .join(broadcast(dels), col("_id") === col("__del_id"),
+                "left_semi").count()
+          touched
+            .join(broadcast(dels), col("_id") === col("__del_id"), "left_anti")
+            .write.mode("overwrite").parquet(stagedP.toString)
+        }
+        (table, files, stagedP)
       }
-      fs.delete(stagedP, true)
-    }
-    delFiles.foreach(f => fs.delete(f, false))
-    if (fs.exists(delDir) && !fs.listStatus(delDir).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))) {
-      fs.delete(delDir, true); ()
-    }
+      if (staged.forall(_._2.isEmpty)) {
+        // tombstones matching nothing: consume the snapshot files
+        delFiles.foreach(f => fs.delete(f, false))
+      } else {
+        fs.delete(indexedManifestFile(path), false)
+        staged.foreach { case (table, files, stagedP) =>
+          if (files.nonEmpty) {
+            fs.listStatus(stagedP).toSeq
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .foreach { st =>
+                fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(
+                    s"$path/$table/${st.getPath.getName}"))
+              }
+            files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+          }
+          fs.delete(stagedP, true)
+        }
+        writeIndexedManifest(spark, path, rows0 - purgedDocs, version0 + 1)
+        delFiles.foreach(f => fs.delete(f, false))
+      }
+      if (fs.exists(delDir) && !fs.listStatus(delDir).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+        fs.delete(delDir, true); ()
+      }
+    } finally { fs.delete(compactingP, false); () }
   }
 
   /** Auto-purge policy for the document store, checked by the YAML
     * `index` delete mode: purge when the tombstone backlog reaches
-    * `afterDeletes` rows (an O(tombstones) count — this layout has no
-    * manifest-certified total, so a pct-of-store trigger would cost a
-    * footer re-list per delete; the absolute knob is the one whose
-    * check stays free at 100 TB). Returns true when a purge ran. */
+    * `afterDeletes` rows (an O(tombstones) count) or `afterDeletesPct`
+    * — tombstones ≥ X% of the MANIFEST-certified total, free to check
+    * now that the store carries a certificate (r14 verdict #1: the
+    * missing certified total was what forced this policy to the
+    * absolute knob only). Defers (returns false) under a live
+    * maintenance marker — this check rides YAML delete boundaries.
+    * Returns true when a purge ran. */
   def maybeCompactIndexed(spark: SparkSession, path: String,
-      afterDeletes: Option[Long]): Boolean = {
-    if (afterDeletes.isEmpty) return false
+      afterDeletes: Option[Long],
+      afterDeletesPct: Option[Double] = None): Boolean = {
+    if (afterDeletes.isEmpty && afterDeletesPct.isEmpty) return false
     afterDeletes.foreach(n => require(n >= 1,
       s"purge_after_deletes must be >= 1, got $n"))
+    afterDeletesPct.foreach(p => require(p > 0,
+      s"purge_after_deletes_pct must be > 0, got $p"))
+    val markerFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (markerFs.exists(new org.apache.hadoop.fs.Path(s"$path/_APPENDING")) ||
+        markerFs.exists(new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")))
+      return false
     val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    if (!delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(delP)) return false
+    // hasVisibleParquetFile, not exists: a deletes/ dir holding only a
+    // crashed write's husks must read as "no backlog", not crash the
+    // YAML delete boundary on schema inference (r14 advice)
+    if (!graft.engine.LayoutFs.hasVisibleParquetFile(
+        delP.getFileSystem(spark.sparkContext.hadoopConfiguration), delP))
+      return false
     val nDel = spark.read.parquet(delP.toString).count()
-    val hit = nDel > 0 && afterDeletes.exists(nDel >= _)
+    val hit = nDel > 0 && (afterDeletes.exists(nDel >= _) ||
+      afterDeletesPct.exists { pct =>
+        val total = readIndexedManifest(spark, path).map(_._1).getOrElse(0L)
+        total > 0 && nDel * 100.0 >= pct * total
+      })
     if (hit) compactIndexed(spark, path)
     hit
   }

@@ -1952,6 +1952,18 @@ class GraphDedupSpec extends SparkSpec {
     val eCmp = intercept[IllegalArgumentException](
       Ann.compactIvfIndex(spark, idx))
     assert(eCmp.getMessage.contains("append"), eCmp.getMessage)
+    // same-verb exclusion (atomic create-if-absent, r14 verdict #1):
+    // a second append refuses while the first's marker stands —
+    // previously both shared an overwritten marker and the first
+    // finisher deleted it out from under the second
+    val eApp2 = intercept[IllegalArgumentException](
+      Ann.appendIvfIndex(b, "vec_id", "embedding", idx))
+    assert(eApp2.getMessage.contains("another append"), eApp2.getMessage)
+    // the auto-compaction policy DEFERS (returns false) under a live
+    // maintenance marker instead of throwing — it rides stream
+    // micro-batches, where the refusal would kill the query
+    assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(1)),
+      "maybeCompactIvfIndex did not defer under _APPENDING")
     fs.delete(appendingP, false)
     Ann.compactIvfIndex(spark, idx) // consume the pending tombstone
     // a rebuild clears stale tombstones with the stream table (the
@@ -2161,6 +2173,16 @@ class GraphDedupSpec extends SparkSpec {
     val r2 = intercept[IllegalArgumentException](
       Dedup.compactNearDupIndex(spark, apx))
     assert(r2.getMessage.contains("_APPENDING"), r2.getMessage)
+    // same-verb exclusion (atomic create-if-absent, r14 verdict #1)
+    val r3 = intercept[IllegalArgumentException](
+      Dedup.appendToNearDupIndex(part2, "doc_id", "text", apx))
+    assert(r3.getMessage.contains("another append"), r3.getMessage)
+    // the auto-purge policy DEFERS (returns false) under a live
+    // maintenance marker instead of throwing (it rides stream
+    // micro-batches and YAML delete boundaries)
+    assert(!Dedup.maybeCompactNearDupIndex(spark, apx,
+        afterDeletes = Some(1L)),
+      "maybeCompactNearDupIndex did not defer under _APPENDING")
     fs.delete(appending, false)
 
     // file-scoped fold: files holding no tombstoned row are never read
@@ -2352,6 +2374,85 @@ class GraphDedupSpec extends SparkSpec {
       .parquet(s"$idx/stream_shingles/__stream=bad-tag/__epoch=0")
     val e = intercept[IllegalArgumentException](verdict())
     assert(e.getMessage.contains("non-alphanumeric"), e.getMessage)
+  }
+
+  test("compactNearDupIndex retains tombstones whose ids live only in a " +
+      "remaining stream epoch — the takedown survives to the healing fold") {
+    // the r14-advice blind spot: a takedown lands while its id's only
+    // rows sit in a TORN stream epoch (or one landed after the fold's
+    // snapshot). The purge finds nothing doomed in the main tables;
+    // consuming the tombstone would let the healed epoch's later fold
+    // resurrect the id with nothing left to suppress it.
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 6L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")).toDF("doc_id", "text")
+    val idx = scratch("neardup-retain")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val pre = (3, 64, 16)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // doc 50 lands, then the tear is forged: bands vanish (crash
+    // between the sink's two table writes) — 50 now lives ONLY in the
+    // torn stream_shingles epoch
+    Dedup.appendNearDupStreamBatch(Seq((50L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagD", 0L, pre)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/stream_bands/__stream=tagD/__epoch=0"), true)
+    Dedup.deleteFromNearDupIndex(Seq(50L).toDF("doc_id"), "doc_id", idx)
+    Dedup.compactNearDupIndex(spark, idx)
+    val left = spark.read.parquet(s"$idx/deletes")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(50L),
+      s"the fold consumed (or lost) the still-live tombstone: $left")
+    // the restarted stream heals the epoch (both tables), the next
+    // fold banks it — and the RETAINED tombstone purges it right there
+    Dedup.appendNearDupStreamBatch(Seq((50L, tpl)).toDF("doc_id", "text"),
+      idx, "doc_id", "text", "tagD", 0L, pre)
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/shingles")
+        .filter(col("__cid") === 50L).count() == 0,
+      "the healed epoch resurrected the taken-down id")
+    assert(spark.read.parquet(s"$idx/bands")
+        .filter(col("__cid") === 50L).count() == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")),
+      "a fully-purged tombstone was not consumed")
+  }
+
+  test("Ann.retainStreamTombstones re-writes exactly the tombstones " +
+      "still matching a remaining stream epoch's rows") {
+    // the ANN twin of the blind spot is a mid-call race (an epoch
+    // landing between the fold's snapshot and its tombstone
+    // consumption — not deterministically injectable), so the
+    // retention helper is pinned directly: given a snapshot of
+    // tombstones {17, 999} and a remaining epoch holding only 17's
+    // rows, it must re-write 17 and nothing else, BEFORE the caller
+    // consumes the snapshot files.
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 64)
+    val idx = scratch("ivf-retain")
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 4)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a remaining (post-snapshot) epoch holding id 17's row — the
+    // sink's real layout: stream/__stream=tag/__epoch=N
+    spark.read.parquet(s"$idx/assigned")
+      .filter(col("neighbor_id") === 17L)
+      .write.mode("overwrite")
+      .parquet(s"$idx/stream/__stream=zz/__epoch=5")
+    Ann.deleteFromIvfIndex(Seq(17L, 999L).toDF("vec_id"), "vec_id", idx)
+    val delDir = new org.apache.hadoop.fs.Path(s"$idx/deletes")
+    val snapshot = fs.listStatus(delDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val dels = spark.read.parquet(snapshot.map(_.toString): _*)
+      .select(col("neighbor_id").as("__del_id")).distinct()
+    Ann.retainStreamTombstones(spark, fs, idx, dels)
+    snapshot.foreach(f => fs.delete(f, false))
+    val left = spark.read.parquet(delDir.toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(17L),
+      s"retained $left — expected exactly the still-live id 17")
   }
 
   test("nearDupAdmitStream: admits novel docs, remembers them across " +

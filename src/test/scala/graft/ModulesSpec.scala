@@ -239,9 +239,89 @@ class ModulesSpec extends SparkSpec {
     // the authority on membership
     Sinks.indexed(df, dir, idCol = Some("id"), analyzedCol = "toks")
     assert(Sources.indexedTable(spark, dir, "docs").count() == 2)
-    val eNoIdx = intercept[IllegalArgumentException](
+    val eNoIdx = intercept[RuntimeException](
       Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", s"$dir/nope"))
-    assert(eNoIdx.getMessage.contains("docs/"), eNoIdx.getMessage)
+    assert(eNoIdx.getMessage.contains("manifest"), eNoIdx.getMessage)
+  }
+
+  test("document-store manifest discipline: certified rows/version, " +
+      "staged append accounting, reader-atomic purge, retraction-window " +
+      "patience (r14 verdict #1)") {
+    val dir = s"$tmpDir/idxmf"
+    val df = Seq((1L, Seq("red", "apple")), (2L, Seq("red", "pear")))
+      .toDF("id", "toks")
+    Sinks.indexed(df, dir, idCol = Some("id"), analyzedCol = "toks")
+    // the certificate is written LAST and certifies the docs total
+    assert(Sinks.readIndexedManifest(spark, dir) == Some((2L, 1L)))
+    // append: signs only the batch, incremental accounting, version bump
+    Sinks.indexed(Seq((3L, Seq("plum"))).toDF("id", "toks"), dir,
+      idCol = Some("id"), analyzedCol = "toks", mode = "append")
+    assert(Sinks.readIndexedManifest(spark, dir) == Some((3L, 2L)))
+    assert(Sources.indexedTable(spark, dir, "docs").count() == 3)
+    assert(Sources.indexedTable(spark, dir, "postings")
+      .filter($"token" === "plum").count() == 1)
+    // appends extend a COMPLETE store only
+    val eApp = intercept[RuntimeException](Sinks.indexed(df,
+      s"$dir-none", idCol = Some("id"), analyzedCol = "toks",
+      mode = "append"))
+    assert(eApp.getMessage.contains("manifest"), eApp.getMessage)
+    // the purge decrements the certified total, bumps the version,
+    // and physically removes the rows
+    Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", dir)
+    Sinks.compactIndexed(spark, dir)
+    assert(Sinks.readIndexedManifest(spark, dir) == Some((2L, 3L)))
+    assert(spark.read.parquet(s"$dir/docs")
+      .filter($"_id" === 1L).count() == 0, "purge left the doc's bytes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+    // writer exclusion via the shared atomic markers, both ways — and
+    // the auto-purge policy DEFERS under a live marker
+    val compacting = new org.apache.hadoop.fs.Path(s"$dir/_COMPACTING")
+    fs.create(compacting, false).close()
+    val e1 = intercept[IllegalArgumentException](Sinks.indexed(
+      Seq((9L, Seq("x"))).toDF("id", "toks"), dir,
+      idCol = Some("id"), analyzedCol = "toks", mode = "append"))
+    assert(e1.getMessage.contains("_COMPACTING"), e1.getMessage)
+    fs.delete(compacting, false)
+    val appending = new org.apache.hadoop.fs.Path(s"$dir/_APPENDING")
+    fs.create(appending, false).close()
+    Sinks.deleteFromIndexed(Seq(2L).toDF("id"), "id", dir)
+    val e2 = intercept[IllegalArgumentException](
+      Sinks.compactIndexed(spark, dir))
+    assert(e2.getMessage.contains("_APPENDING"), e2.getMessage)
+    assert(!Sinks.maybeCompactIndexed(spark, dir,
+        afterDeletes = Some(1L)),
+      "the policy did not defer under _APPENDING")
+    fs.delete(appending, false)
+    // the pct knob against the certified total: 1 tombstone over 2
+    // certified docs = 50% — below a 80% threshold the backlog stays,
+    // past a 40% one it purges
+    assert(!Sinks.maybeCompactIndexed(spark, dir, afterDeletes = None,
+      afterDeletesPct = Some(80.0)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")),
+      "pct policy purged below its threshold")
+    assert(Sinks.maybeCompactIndexed(spark, dir, afterDeletes = None,
+      afterDeletesPct = Some(40.0)))
+    assert(Sinks.readIndexedManifest(spark, dir) == Some((1L, 4L)))
+    // RETRACTION WINDOW: a read landing mid-swap rides it out on the
+    // patient manifest read (this reader serves the live _search
+    // route); a PERMANENT absence still refuses loudly
+    val mfp = Sinks.indexedManifestFile(dir)
+    fs.delete(mfp, false)
+    val reissue = new Thread(() => {
+      Thread.sleep(400)
+      Sinks.writeIndexedManifest(spark, dir, 1L, 4L)
+    })
+    reissue.start()
+    assert(Sources.indexedTable(spark, dir, "docs").count() == 1,
+      "the patient read did not ride out the retraction window")
+    reissue.join()
+    fs.delete(mfp, false)
+    val eGone = intercept[RuntimeException](
+      Sources.indexedTable(spark, dir, "docs"))
+    assert(eGone.getMessage.contains("manifest"), eGone.getMessage)
+    Sinks.writeIndexedManifest(spark, dir, 1L, 4L)
   }
 
   test("readers hand s3a:// URIs to Hadoop unmodified (no engine-side path parsing)") {

@@ -1519,11 +1519,21 @@ class RecipeConfSpec extends SparkSpec {
          |    path: $docIdx
          |    format: index
          |    options: {id: doc_id, analyzed: toks, purge_after_deletes: "3"}
+         |  docw50:
+         |    path: $docIdx
+         |    format: index
+         |    options: {id: doc_id, analyzed: toks, purge_after_deletes_pct: "50"}
+         |  docw10:
+         |    path: $docIdx
+         |    format: index
+         |    options: {id: doc_id, analyzed: toks, purge_after_deletes_pct: "10"}
          |recipes:
          |  takedown: {input: ids, steps: [], output: td}
          |  bad_takedown: {input: ids, steps: [], output: td_none}
          |  bad_append: {input: batch, steps: [], output: bandw}
          |  del_doc: {input: ids, steps: [], output: docw}
+         |  del_doc50: {input: ids, steps: [], output: docw50}
+         |  del_doc10: {input: ids, steps: [], output: docw10}
          |""".stripMargin)
     // a takedown with no target artifact is a loud refusal
     val e0 = intercept[IllegalArgumentException](
@@ -1565,6 +1575,19 @@ class RecipeConfSpec extends SparkSpec {
       .filter(col("_id").isin(9L, 4L)).isEmpty,
       "postings/ purged out of step with docs/")
     assert(spark.read.parquet(s"$docIdx/docs").count() == 7)
+    // purge_after_deletes_pct at the same boundary (r15): tombstones ≥
+    // X% of the MANIFEST-certified total (7 docs). One tombstone ≈ 14%:
+    // below a 50% threshold the backlog stays; past a 10% one it purges
+    Seq(5L).toDF("doc_id").write.mode("overwrite").parquet(s"$dir/td_ids")
+    RecipeConf.run(spark, conf, "del_doc50", mode = "delete")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$docIdx/deletes")),
+      "pct policy purged below its threshold")
+    RecipeConf.run(spark, conf, "del_doc10", mode = "delete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$docIdx/deletes")),
+      "pct policy did not purge past its threshold")
+    assert(spark.read.parquet(s"$docIdx/docs").count() == 6)
+    assert(graft.sources.Sinks.readIndexedManifest(spark, docIdx)
+      .map(_._1) == Some(6L), "certified total out of step with the purge")
   }
 
   test("cluster step assigns and caps from YAML, codebook or fitted") {
