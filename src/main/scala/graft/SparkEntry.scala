@@ -100,6 +100,14 @@ object SparkEntry {
   private def ivfStrSqIdxDir(dir: String): String =
     scratchDir("graft-ivfstrq-q135", tag = dir)
 
+  /** q142's PQ STREAM-appended index dir: the last cheap stream cell
+    * of the build/append/stream matrix (r14 verdict #3) — streamed
+    * micro-batches must encode under the STORED per-subspace
+    * codebooks (encodeUnderStoredGeometry's pq branch through the
+    * epoch sink, which q135's SQ8 path never reaches). */
+  private def ivfStrPqIdxDir(dir: String): String =
+    scratchDir("graft-ivfstrpq-q142", tag = dir)
+
   /** q136's DELETE-gated index dir: build + append history, then a
     * YAML takedown tombstones planted ids — probes must suppress them
     * while they physically remain (the pre-compaction state). */
@@ -248,15 +256,20 @@ object SparkEntry {
     * epoch-partitioned stream/ table (appendIvfIndexStream — each
     * micro-batch encodes under the STORED geometry). */
   private def buildHalfStreamRest(s: SparkSession, dir: String,
-      idx: String, ckptTag: String, quantize: Boolean = false): Unit = {
+      idx: String, ckptTag: String, quantize: Boolean = false,
+      pq: Boolean = false): Unit = {
     val e = t(s, dir, "embeddings")
     val ckpt = scratchDir(ckptTag, tag = dir)
     Seq(idx, ckpt).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     }
-    Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
-      "vec_id", "embedding", idx, nlist = 16, quantize = quantize)
+    if (pq)
+      Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 8)
+    else
+      Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 16, quantize = quantize)
     val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -1307,6 +1320,29 @@ object SparkEntry {
       val (batch, _) = nearDupFixture(s, dir)
       Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text",
         threshold = 0.6)
+    }),
+
+    // PQ STREAM append (r14 verdict #3 — the last driver-ungated
+    // stream cell): the per-subspace codebooks fit on the EVEN half
+    // ALONE, the odd half ARRIVES AS A STREAM and every micro-batch
+    // must encode under those STORED codebooks (q135's scaffold with
+    // the PQ build — encodeUnderStoredGeometry's pq branch through
+    // the epoch sink). The exhaustive probe equals brute-force ADC
+    // ranking over the union with the towers trained on even ids
+    // only — q133's oracle VERBATIM: stream append ≡ batch append on
+    // the PQ layout, by shared-encode construction, now pinned at the
+    // driver gate. (PQR stream stays spec-declared: identical sink
+    // path, and its oracle tower is the gate sweep's most expensive.)
+    "q142_ann_ivf_stream_pq" -> ((s, dir) => {
+      val idx = ivfStrPqIdxDir(dir)
+      if (!ivfBuilt.contains(idx)) {
+        buildHalfStreamRest(s, dir, idx, "graft-ivfstrpq-ckpt",
+          pq = true)
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKPq(s, idx,
+        t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 16)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -4105,6 +4141,13 @@ object SparkEntry {
     // self-growing admit gate: vs-index drop → CC keep-min within the
     // batch (recursive CTE) → re-probe against index ∪ admitted
     "q141_neardup_admit_stream" -> nearDupAdmitOracleSql,
+
+    // the PQ STREAM append probed exhaustively: q133's oracle verbatim
+    // (stream append ≡ batch append on the PQ layout — codebooks fit
+    // on the even half alone, codes and ADC ranking over the union)
+    "q142_ann_ivf_stream_pq" ->
+      pqTopKOracleSql(m = 4, dsub = 16, ksub = 8, iters = 4,
+        trainPred = "id % 2 = 0"),
 
     // takedown + compact: the same tower with the tombstoned ids
     // removed from the corpus CTE — one predicate is the entire
