@@ -265,7 +265,12 @@ object RecipeConf {
     // postings/ (file-scoped — untouched files are never rewritten);
     // the input frame is deliberately ignored, like ann_index compact
     case "index" if mode == "compact" =>
-      Sinks.compactIndexed(df.sparkSession, ds.path)
+      val purged = Sinks.compactIndexed(df.sparkSession, ds.path)
+      // options.receipts: the purge's evidence row — how many
+      // tombstone-matched docs were physically removed this run
+      ds.options.get("receipts").foreach(r => appendReceipt(
+        df.sparkSession, r, "index", ds.path, state = "purged",
+        rowsPurged = Some(purged)))
     case "index" => Sinks.indexed(df, ds.path,
       idCol = ds.options.get("id"),
       analyzedCol = ds.options.getOrElse("analyzed",
@@ -318,7 +323,10 @@ object RecipeConf {
     // recipe's input frame is deliberately ignored: compaction
     // rewrites what the index already holds.
     case "ann_index" if mode == "compact" =>
-      graft.sim.Ann.compactIvfIndex(df.sparkSession, ds.path)
+      val purged = graft.sim.Ann.compactIvfIndex(df.sparkSession, ds.path)
+      ds.options.get("receipts").foreach(r => appendReceipt(
+        df.sparkSession, r, "ann_index", ds.path, state = "purged",
+        rowsPurged = Some(purged)))
     // 'delete' tombstones the input frame's ids (options.id names the
     // column) — the takedown verb: probes suppress them immediately,
     // the next compact purges them physically (Ann.deleteFromIvfIndex)
@@ -414,7 +422,11 @@ object RecipeConf {
     // bands/ (file-scoped — untouched files are never rewritten); the
     // input frame is deliberately ignored, like ann_index compact
     case "neardup_index" if mode == "compact" =>
-      graft.dedup.Dedup.compactNearDupIndex(df.sparkSession, ds.path)
+      val purged =
+        graft.dedup.Dedup.compactNearDupIndex(df.sparkSession, ds.path)
+      ds.options.get("receipts").foreach(r => appendReceipt(
+        df.sparkSession, r, "neardup_index", ds.path, state = "purged",
+        rowsPurged = Some(purged)))
     case "neardup_index" if mode != "create" && mode != "overwrite" =>
       sys.error(s"neardup_index sink only supports mode create/overwrite/" +
         s"append/compact/delete, got '$mode'")
@@ -457,17 +469,89 @@ object RecipeConf {
       def idFor(target: String, fallback: String): String =
         ds.options.getOrElse(s"${target}_id",
           ds.options.getOrElse("id", fallback))
+      // options.receipts: append one evidence row per target — what
+      // was submitted, what it actually hit, and that the rows are now
+      // SUPPRESSED (tombstoned, probe-invisible; the compact modes'
+      // receipts record the later physical purge). The matched count
+      // is computed BEFORE the tombstone write so a replayed takedown
+      // documents what it found, not what it already removed.
+      val receipts = ds.options.get("receipts")
       targets.foreach {
         case ("index", p) =>
+          receipts.foreach(r =>
+            takedownReceipt(df, idFor("index", "_id"), "index", p, r))
           Sinks.deleteFromIndexed(df, idFor("index", "_id"), p)
         case ("neardup_index", p) =>
+          receipts.foreach(r => takedownReceipt(df,
+            idFor("neardup_index", "_id"), "neardup_index", p, r))
           graft.dedup.Dedup.deleteFromNearDupIndex(
             df, idFor("neardup_index", "_id"), p)
         case ("ann_index", p) =>
+          receipts.foreach(r => takedownReceipt(df,
+            idFor("ann_index", "_id"), "ann_index", p, r))
           graft.sim.Ann.deleteFromIvfIndex(df, idFor("ann_index", "_id"), p)
         case _ => ()
       }
     case other => sys.error(s"unsupported sink format: $other")
+  }
+
+  /** Append one compliance-receipt row (r14 verdict #5 — the takedown
+    * was silent; a takedown that leaves no evidence is unauditable).
+    * One tiny parquet append per (run, target): timestamp, target
+    * artifact kind + path, what was submitted/matched (the takedown's
+    * `suppressed` rows) or how many rows a purge physically removed
+    * (the compact modes' `purged` rows). The receipts table is a
+    * plain parquet dataset — declare it in the same YAML and it reads
+    * over the API sample route like any other dataset. */
+  private def appendReceipt(spark: SparkSession, receipts: String,
+      target: String, path: String, state: String,
+      idsSubmitted: Option[Long] = None, idsMatched: Option[Long] = None,
+      rowsPurged: Option[Long] = None): Unit = {
+    import spark.implicits._
+    Seq((System.currentTimeMillis(), target, path, state,
+        idsSubmitted, idsMatched, rowsPurged))
+      .toDF("ts_ms", "target", "path", "state",
+        "ids_submitted", "ids_matched", "rows_purged")
+      .coalesce(1).write.mode("append").parquet(receipts)
+  }
+
+  /** The takedown receipt's evidence pair for one target artifact:
+    * (distinct non-null ids submitted, how many of them the artifact
+    * actually holds right now). Membership is the artifact's RAW
+    * main-∪-stream id column — deliberately pre-suppression (the
+    * receipt answers "did this takedown hit anything", which existing
+    * tombstones must not mask) and column-pruned (a single id column,
+    * no payload bytes; takedowns are bounded compliance ops, not a
+    * hot path). */
+  private def takedownReceipt(df: DataFrame, idCol: String,
+      target: String, path: String, receipts: String): Unit = {
+    val spark = df.sparkSession
+    val member: DataFrame = target match {
+      case "index" =>
+        spark.read.parquet(s"$path/docs").select(col("_id").as("__m"))
+      case "neardup_index" =>
+        graft.dedup.Dedup.openNearDupTable(spark, path, "bands")
+          .select(col("__cid").as("__m"))
+      case _ => // ann_index
+        val base = spark.read.parquet(s"$path/assigned")
+          .select(col("neighbor_id").as("__m"))
+        val sp = new org.apache.hadoop.fs.Path(s"$path/stream")
+        if (graft.engine.LayoutFs.hasVisibleParquetFile(
+            sp.getFileSystem(spark.sparkContext.hadoopConfiguration), sp))
+          base.unionByName(spark.read.parquet(sp.toString)
+            .select(col("neighbor_id").as("__m")))
+        else base
+    }
+    val ids = df.select(col(idCol)
+        .cast(member.schema("__m").dataType).as("__m"))
+      .filter(col("__m").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val submitted = ids.count()
+      val matched = ids.join(member, Seq("__m"), "left_semi").count()
+      appendReceipt(spark, receipts, target, path, state = "suppressed",
+        idsSubmitted = Some(submitted), idsMatched = Some(matched))
+    } finally { ids.unpersist(); () }
   }
 
   private def sinkIntOpt(ds: DatasetConf, key: String, dflt: Int): Int = {

@@ -897,9 +897,14 @@ object Dedup {
     * leaves a loudly-unprobable index, never a silent double-count or
     * resurrection. Refuses while `_APPENDING` exists and holds
     * `_COMPACTING` (single-maintenance-writer, both ways). No-op when
-    * no tombstones exist. */
+    * no tombstones exist.
+    *
+    * Returns the count of tombstone-matched DOCS physically purged —
+    * 0 for a fold-only run — so compliance receipts (the YAML
+    * takedown/compact surface) can record the purge; the count rides
+    * the purge's existing shingles-side job, no extra scan. */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
@@ -914,7 +919,7 @@ object Dedup {
     if (delFiles.isEmpty && epochsSh.isEmpty && epochsBd.isEmpty) {
       sweepDeletesDir(fs, delDir)
       sweepStreamHusks(fs, path)
-      return
+      return 0L
     }
     val (shingleSize, numHashes, bands, rows0) =
       readNearDupManifest(spark, path).getOrElse(sys.error(
@@ -1041,7 +1046,7 @@ object Dedup {
           retainStreamTombstones(spark, fs, path, dels)
           delFiles.foreach(f => fs.delete(f, false))
           sweepDeletesDir(fs, delDir)
-          return
+          return 0L
         }
         // stage every touched file's survivors FIRST (the long part);
         // the certificate-retraction window covers only the file moves
@@ -1092,7 +1097,8 @@ object Dedup {
         retainStreamTombstones(spark, fs, path, dels)
         delFiles.foreach(f => fs.delete(f, false))
         sweepDeletesDir(fs, delDir)
-      }
+        purgedDocs
+      } else 0L
     } finally { fs.delete(compactingP, false); () }
   }
 

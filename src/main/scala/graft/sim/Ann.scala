@@ -1627,9 +1627,15 @@ object Ann {
     * discipline: a crash mid-compaction leaves no certificate, and
     * the streamed rows are only deleted AFTER the merged cells
     * landed). No-op when no streamed rows and no tombstones exist;
-    * file-less crash remnants are swept without a fold. */
+    * file-less crash remnants are swept without a fold.
+    *
+    * Returns the count of tombstone-matched rows physically purged —
+    * 0 for a fold-only run — so compliance receipts (the YAML
+    * takedown/compact surface) can record the purge without a second
+    * scan. The count is one extra partition-pruned job over the
+    * touched cells, run only when tombstones exist. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val streamP = new org.apache.hadoop.fs.Path(s"$path/stream")
@@ -1642,7 +1648,7 @@ object Ann {
       else fs.listStatus(delDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
-    if (!fs.exists(streamP) && delFiles.isEmpty) return
+    if (!fs.exists(streamP) && delFiles.isEmpty) return 0L
     val mf = readManifest(spark, path).getOrElse(sys.error(
       s"compactIvfIndex: no build manifest at '$path' — nothing " +
         "certified to compact; rebuild with writeIvfIndex"))
@@ -1684,7 +1690,7 @@ object Ann {
         fs.delete(delDir, true); ()
       }
     }
-    if (live.isEmpty && dels.isEmpty) { sweepEmpties(); return }
+    if (live.isEmpty && dels.isEmpty) { sweepEmpties(); return 0L }
     // the touched partition set: cells streamed rows land in (from the
     // directory names — no data read), plus cells holding a tombstoned
     // row (one id-column-only scan, and only when tombstones exist)
@@ -1712,7 +1718,7 @@ object Ann {
       // the id resurface once a later fold banks that epoch)
       dels.foreach(d => retainStreamTombstones(spark, fs, path, d))
       delFiles.foreach(f => fs.delete(f, false))
-      sweepEmpties(); return
+      sweepEmpties(); return 0L
     }
     val touchedVals = touched.map(_.stripPrefix("__cell="))
     val hasNullCell = touchedVals.contains(NullPartitionName)
@@ -1739,6 +1745,11 @@ object Ann {
           .drop("__epoch", "__stream")))
     val merged = dels.fold(merged0)(d => merged0.join(broadcast(d),
       col("neighbor_id") === col("__del_id"), "left_anti"))
+    // the purge receipt count: tombstone-matched rows about to be
+    // dropped from the touched cells ∪ folded epochs (one extra
+    // partition-pruned job, only when tombstones exist)
+    val purged = dels.fold(0L)(d => merged0.join(broadcast(d),
+      col("neighbor_id") === col("__del_id"), "left_semi").count())
     val stagedP = new org.apache.hadoop.fs.Path(s"$path/assigned_compact")
     fs.delete(stagedP, true) // a crashed previous fold's leftover
     merged.repartition(col("__cell"))
@@ -1785,6 +1796,7 @@ object Ann {
     dels.foreach(d => retainStreamTombstones(spark, fs, path, d))
     delFiles.foreach(f => fs.delete(f, false))
     sweepEmpties()
+    purged
     } finally { fs.delete(compactingP, false); () }
   }
 

@@ -600,8 +600,13 @@ object Sinks {
     * silent half-purge. Tombstones are consumed only after the
     * re-issue (a crash before that leaves them standing — still
     * suppressed read-side, re-purged idempotently). Excludes
-    * concurrent appends via the shared atomic markers. */
-  def compactIndexed(spark: SparkSession, path: String): Unit = {
+    * concurrent appends via the shared atomic markers.
+    *
+    * Returns the count of tombstone-matched docs physically purged —
+    * 0 when nothing matched — so compliance receipts (the YAML
+    * takedown/compact surface) can record the purge; the count rides
+    * the purge's existing docs-side job, no extra scan. */
+  def compactIndexed(spark: SparkSession, path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
@@ -612,7 +617,7 @@ object Sinks {
         .map(_.getPath)
     if (delFiles.isEmpty) {
       if (fs.exists(delDir)) { fs.delete(delDir, true); () }
-      return
+      return 0L
     }
     val (rows0, version0) =
       readIndexedManifest(spark, path).getOrElse(sys.error(
@@ -684,6 +689,7 @@ object Sinks {
           st.isFile && st.getPath.getName.endsWith(".parquet"))) {
         fs.delete(delDir, true); ()
       }
+      purgedDocs
     } finally { fs.delete(compactingP, false); () }
   }
 

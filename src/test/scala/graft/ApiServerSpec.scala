@@ -447,10 +447,15 @@ class ApiServerSpec extends SparkSpec {
       s"""datasets:
          |  corpus: {path: $docIdx, format: index}
          |  ids: {path: $dir/tdapi_ids, format: parquet}
+         |  rcpt: {path: $dir/tdapi_receipts, format: parquet}
          |  td:
          |    path: unused
          |    format: takedown
-         |    options: {id: id, index: $docIdx, neardup_index: $bandIdx}
+         |    options:
+         |      id: id
+         |      index: $docIdx
+         |      neardup_index: $bandIdx
+         |      receipts: $dir/tdapi_receipts
          |recipes:
          |  forget: {input: ids, steps: [], output: td}
          |""".stripMargin)
@@ -479,6 +484,15 @@ class ApiServerSpec extends SparkSpec {
           Seq((50L, tpl)).toDF("id", "text"), bandIdx, "id", "text")
         .select("kept").collect().head.getBoolean(0),
         "band index still vetoes against the taken-down doc")
+      // the takedown left its compliance receipts, and they read over
+      // the same HTTP surface as any dataset (r14 verdict #5)
+      val rcpt = send("POST", s"$base/datasets/rcpt?size=10")
+      assert(rcpt.statusCode() == 200, rcpt.body())
+      assert(rcpt.body().contains(""""state":"suppressed"""") &&
+        rcpt.body().contains(""""target":"neardup_index"""") &&
+        rcpt.body().contains(""""target":"index"""") &&
+        rcpt.body().contains(""""ids_submitted":1""") &&
+        rcpt.body().contains(""""ids_matched":1"""), rcpt.body())
     } finally api.stop()
   }
 

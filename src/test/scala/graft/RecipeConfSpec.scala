@@ -1590,6 +1590,98 @@ class RecipeConfSpec extends SparkSpec {
       .map(_._1) == Some(6L), "certified total out of step with the purge")
   }
 
+  test("takedown receipts: evidence rows across the suppress-then-purge " +
+      "sequence on all three artifacts (r14 verdict #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, array_distinct, split}
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 4L).map(i =>
+        (i, s"$tpl variant $i")).toDF("doc_id", "text")
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+    val docIdx = s"$dir/rc_docidx"
+    val bandIdx = s"$dir/rc_bandidx"
+    val annIdx = s"$dir/rc_annidx"
+    val rdir = s"$dir/rc_receipts"
+    graft.sources.Sinks.indexed(docs, docIdx, Some("doc_id"), "toks")
+    graft.dedup.Dedup.writeNearDupIndex(
+      docs.select("doc_id", "text"), "doc_id", "text", bandIdx)
+    val emb = (1L to 4L).map(i =>
+        (i, Array.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("doc_id", "embedding")
+    graft.sim.Ann.writeIvfIndex(emb, "doc_id", "embedding", annIdx,
+      nlist = 2)
+    // one real id, one unknown — the receipt must document both
+    Seq(2L, 99L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$dir/rc_ids")
+    val conf = RecipeConf.load(
+      s"""datasets:
+         |  ids: {path: $dir/rc_ids, format: parquet}
+         |  td:
+         |    path: unused
+         |    format: takedown
+         |    options:
+         |      id: doc_id
+         |      index: $docIdx
+         |      neardup_index: $bandIdx
+         |      ann_index: $annIdx
+         |      receipts: $rdir
+         |  docw:
+         |    path: $docIdx
+         |    format: index
+         |    options: {id: doc_id, analyzed: toks, receipts: $rdir}
+         |  bandw:
+         |    path: $bandIdx
+         |    format: neardup_index
+         |    options: {id: doc_id, text: text, receipts: $rdir}
+         |  annw:
+         |    path: $annIdx
+         |    format: ann_index
+         |    options: {id: doc_id, vec: embedding, receipts: $rdir}
+         |recipes:
+         |  forget: {input: ids, steps: [], output: td}
+         |  purge_doc: {input: ids, steps: [], output: docw}
+         |  purge_band: {input: ids, steps: [], output: bandw}
+         |  purge_ann: {input: ids, steps: [], output: annw}
+         |""".stripMargin)
+    RecipeConf.run(spark, conf, "forget", mode = "delete")
+    val r1 = spark.read.parquet(rdir)
+      .select("target", "state", "ids_submitted", "ids_matched",
+        "rows_purged")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(r1 == Set(
+      ("index", "suppressed", Some(2L), Some(1L), None),
+      ("neardup_index", "suppressed", Some(2L), Some(1L), None),
+      ("ann_index", "suppressed", Some(2L), Some(1L), None)),
+      s"takedown receipts wrong: $r1")
+    // the paths ride along (the evidence must name the artifact)
+    assert(spark.read.parquet(rdir).select("path").as[String]
+      .collect().toSet == Set(docIdx, bandIdx, annIdx))
+    // the purge: each artifact's YAML compact mode appends its own
+    // receipt with the physically-removed count
+    Seq("purge_doc", "purge_band", "purge_ann").foreach(r =>
+      RecipeConf.run(spark, conf, r, mode = "compact"))
+    val r2 = spark.read.parquet(rdir)
+      .filter(col("state") === "purged")
+      .select("target", "ids_submitted", "rows_purged")
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        Option(r.get(2)))).toSet
+    assert(r2 == Set(
+      ("index", None, Some(1L)),
+      ("neardup_index", None, Some(1L)),
+      ("ann_index", None, Some(1L))),
+      s"purge receipts wrong: $r2")
+    assert(spark.read.parquet(rdir).count() == 6)
+    // and the purge actually happened (the receipt is evidence, not
+    // decoration)
+    assert(spark.read.parquet(s"$docIdx/docs")
+      .filter(col("_id") === 2L).isEmpty)
+    assert(spark.read.parquet(s"$bandIdx/shingles")
+      .filter(col("__cid") === 2L).isEmpty)
+    assert(spark.read.parquet(s"$annIdx/assigned")
+      .filter(col("neighbor_id") === 2L).isEmpty)
+  }
+
   test("cluster step assigns and caps from YAML, codebook or fitted") {
     import spark.implicits._
     // one NULL embedding rides along: the fitted path must not crash on
