@@ -1054,11 +1054,17 @@ object SparkEntry {
              |  cmp: {input: emb, steps: [], output: idxw}
              |""".stripMargin)
         graft.conf.RecipeConf.run(s, conf, "cmp", mode = "compact")
+        // fold-actually-folds: the watermark certifies the epochs are
+        // banked; their dirs linger ONE fold cycle (probe grace) and
+        // the second compact's entry collection must remove them
+        require(Ann.readManifest(s, idx).exists(_.streamMarks.nonEmpty),
+          "q132: the fold recorded no stream watermark — it no-opped")
+        graft.conf.RecipeConf.run(s, conf, "cmp", mode = "compact")
         val sp = new org.apache.hadoop.fs.Path(s"$idx/stream")
         require(!sp.getFileSystem(s.sparkContext.hadoopConfiguration)
           .exists(sp),
           s"q132: compaction left the stream/ table behind at $sp — " +
-            "the fold silently no-opped")
+            "the grace collection silently no-opped")
         ivfBuilt.add(idx)
       }
       Ann.ivfIndexTopK(s, idx, e.filter(col("vec_id") % 100 === 0),

@@ -875,9 +875,13 @@ object Dedup {
     * tombstone purge ([[graft.sim.Ann.compactIvfIndex]]'s sibling).
     * Streamed epochs ([[appendNearDupStreamBatch]]) fold FIRST: their
     * data files carry exactly the main tables' schema, so the fold
-    * appends them and deletes the epoch dirs — O(streamed rows), the
-    * main tables' existing files untouched — recording each tag's max
-    * folded epoch in the manifest's `stream_marks` (replay watermark).
+    * appends them — O(streamed rows), the main tables' existing files
+    * untouched — recording each tag's max folded epoch in the
+    * manifest's `stream_marks` (replay watermark). The folded epoch
+    * dirs are RETAINED under that watermark for one fold cycle (r15
+    * probe grace, the live-race soak): probes in flight across the
+    * fold finish against intact files, post-mark probes skip them,
+    * and the next fold's entry collection deletes them.
     * The purge is then FILE-scoped the way the ANN fold is
     * cell-scoped: the tables are flat (no partition key), so it
     * locates the files actually holding a tombstoned row (one
@@ -914,6 +918,18 @@ object Dedup {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
     val marks0 = readNearDupMarksPatient(spark, path)
+    // GRACE COLLECTION (r15, the live-race soak): epoch dirs a
+    // PREVIOUS fold banked were retained under the watermark so
+    // probes in flight across that fold could finish their reads
+    // (marks make them invisible to every later probe). A full fold
+    // cycle later, collect them — this also sweeps replay-resurrected
+    // dirs the sink's own post-write re-verify lost the race on.
+    Seq("shingles", "bands").foreach { t =>
+      nearDupStreamEpochs(fs, path, t).foreach { case (tg, ep, d) =>
+        if (marks0.get(tg).exists(ep <= _)) { fs.delete(d, true); () }
+      }
+    }
+    sweepStreamHusks(fs, path)
     val epochsSh = liveNearDupEpochs(spark, fs, path, "shingles", marks0)
     val epochsBd = liveNearDupEpochs(spark, fs, path, "bands", marks0)
     if (delFiles.isEmpty && epochsSh.isEmpty && epochsBd.isEmpty) {
@@ -1001,7 +1017,16 @@ object Dedup {
               }
             fs.delete(stagedP, true)
         }
-        (completeEpochs ++ epochsBdC).foreach(e => fs.delete(e._3, true))
+        // the folded epoch dirs are RETAINED under the watermark
+        // written below (r15 grace, the live-race soak): no file a
+        // pre-fold probe listed is ever deleted by this fold — the
+        // main tables only GAIN files, the marks make the folded
+        // epochs invisible to every post-mark probe, and the next
+        // fold's entry-time grace collection removes the dirs. (The
+        // replay-resurrection race the old same-fold sweep closed is
+        // still covered: the sink's post-write re-verify deletes its
+        // own epoch when a mark overtook it, and the entry collection
+        // catches the residue one cycle later.)
         sweepStreamHusks(fs, path)
         rows += folded
         marks = marks ++ completeEpochs.groupBy(_._1).map {
@@ -1010,16 +1035,6 @@ object Dedup {
         }
         writeNearDupManifest(spark, path,
           shingleSize, numHashes, bands, rows, marks)
-        // resurrected-epoch sweep (the appendNearDupStreamBatch race,
-        // closed from this side): a replay that re-created a folded
-        // epoch between our snapshot and the marks write is covered
-        // by the mark just recorded — delete it WITHOUT re-folding
-        // (its rows are already in the main tables)
-        Seq("shingles", "bands").foreach { t =>
-          nearDupStreamEpochs(fs, path, t).foreach { case (tg, ep, d) =>
-            if (marks.get(tg).exists(ep <= _)) { fs.delete(d, true); () }
-          }
-        }
       }
       // STEP 2 — the file-scoped tombstone purge, now covering the
       // freshly folded rows too (the doomed-file scan runs on the

@@ -474,11 +474,22 @@ object Ann {
     // remnant must not turn the whole index unprobable with a
     // schema-inference error (r13 review).
     val assigned = spark.read.parquet(s"$path/assigned")
+    // LIVE epochs only — marks-filtered like the band opener (r15):
+    // a folded epoch's dir is RETAINED one fold cycle as probe grace
+    // (compactIvfIndex), and its rows are already in assigned/, so
+    // unioning it back would double-count every row it holds. This
+    // also closes the transient double-count on a replay-resurrected
+    // dir the sink's re-verify had not yet taken back.
+    val liveEpochs = listStreamEpochs(fs, path)
+      .filter(e => hasParquetFile(fs, e._3))
+      .filterNot { case (tag, ep, _) =>
+        mf.streamMarks.get(tag).exists(ep <= _) }
     val withStream =
-      if (hasParquetFile(fs, new org.apache.hadoop.fs.Path(s"$path/stream")))
-        assigned.unionByName(
-          spark.read.parquet(s"$path/stream").drop("__epoch", "__stream"))
-      else assigned
+      if (liveEpochs.isEmpty) assigned
+      else assigned.unionByName(
+        spark.read.option("basePath", s"$path/stream")
+          .parquet(liveEpochs.map(_._3.toString): _*)
+          .drop("__epoch", "__stream"))
     // TOMBSTONES (deleteFromIvfIndex): suppressed here, AFTER the
     // stream union, so the takedown covers built and still-streaming
     // rows alike across all three layouts. Broadcast anti-join — the
@@ -1590,15 +1601,27 @@ object Ann {
     * LSM-style compaction that keeps the steady-state probe a
     * two-table union at worst and a single table after.
     *
-    * CELL-SCOPED (r14, the r13 verdict's one scale finding): the fold
-    * rewrites ONLY the cell partitions the streamed snapshot touches,
-    * plus any cell holding a tombstoned row — never the whole table.
-    * Cost is O(streamed rows + touched-cell bytes), not O(index): at
-    * a 100-TB index a small daily fold pays for the handful of cells
-    * its rows land in, while untouched cell directories keep their
-    * exact files (spec-pinned by file-name identity). Finding the
-    * tombstoned cells costs one column-pruned scan of the id column
-    * (footer-narrow, no payload bytes) — only when tombstones exist.
+    * TWO SHAPES (r15, driven by the live-race soak). Without
+    * tombstones — the continuous-operation case — the fold is
+    * APPEND-ONLY: streamed rows stage per cell and rename IN as new
+    * cell files, no existing file is ever read or deleted, and the
+    * folded epoch dirs are RETAINED under the freshly-written
+    * watermark ("grace") until the NEXT fold's resurrected-epoch
+    * sweep collects them — so a probe that listed them pre-fold
+    * finishes against intact files while post-mark probes skip them
+    * (RaceSoakSpec holds 20 folds under a probing thread with zero
+    * errors). Cost is O(streamed rows), the band-index fold's shape.
+    * WITH tombstones the fold is CELL-SCOPED (r14): it rewrites only
+    * the cell partitions the snapshot touches or a tombstoned row
+    * lives in — never the whole table (untouched cells keep their
+    * exact files, spec-pinned). The purge path deletes replaced
+    * files, so it IS a maintenance window for probes in flight across
+    * its swap (a landing probe waits on the patient manifest read; an
+    * already-executing one can fail a read and must retry) — the
+    * price of physical erasure without a table format's snapshots.
+    * Finding the tombstoned cells costs one column-pruned scan of the
+    * id column (footer-narrow, no payload bytes) — only when
+    * tombstones exist.
     *
     * Safe beside a LIVE stream (r13 review): the fold operates on a
     * SNAPSHOT — the epoch dirs listed at entry are read explicitly,
@@ -1691,6 +1714,62 @@ object Ann {
       }
     }
     if (live.isEmpty && dels.isEmpty) { sweepEmpties(); return 0L }
+    if (dels.isEmpty) {
+      // APPEND-ONLY FOLD (r15, driven by the live-race soak): with no
+      // tombstones to purge, the fold never needs to touch an existing
+      // file — the streamed rows stage per cell (the long part,
+      // certificate intact), the staged files rename IN as new cell
+      // files, and the folded epoch dirs are RETAINED under the
+      // watermark just written ("grace"): a probe that listed them
+      // pre-fold finishes its read against intact files, a probe
+      // landing after the marks skips them, and the NEXT fold's
+      // resurrected-epoch sweep (entry, above) collects them. The old
+      // shape — merge touched cells, delete their old files, delete
+      // the epoch dirs — killed every probe in flight across the swap
+      // (FAILED_READ_FILE, RaceSoakSpec red before this change) and
+      // paid an O(touched-cell) rewrite the append needs not pay:
+      // this path is O(streamed rows), the band-index fold's shape.
+      val stagedP = new org.apache.hadoop.fs.Path(s"$path/assigned_fold")
+      fs.delete(stagedP, true) // a crashed previous fold's leftover
+      spark.read.option("basePath", s"$path/stream")
+        .parquet(live.map(_._3.toString): _*)
+        .drop("__epoch", "__stream")
+        .repartition(col("__cell"))
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(stagedP.toString)
+      val folded =
+        if (hasParquetFile(fs, stagedP))
+          spark.read.parquet(stagedP.toString).count()
+        else 0L
+      val mfp = manifestFile(path)
+      mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mfp, false)
+      fs.listStatus(stagedP).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("__cell="))
+        .foreach { cd =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/assigned/${cd.getPath.getName}")
+          if (!fs.exists(target)) fs.mkdirs(target)
+          fs.listStatus(cd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+                s"$target/${st.getPath.getName}"))
+            }
+        }
+      fs.delete(stagedP, true)
+      val folded2 = live.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      val marks2 = mf.streamMarks ++ folded2.map { case (tag, mx) =>
+        tag -> math.max(mx, mf.streamMarks.getOrElse(tag, -1L))
+      }
+      writeManifest(spark, path, mf.nlist, mf.rows + folded, mf.quant,
+        mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
+        geomId = mf.geomId, streamMarks = marks2)
+      sweepEmpties()
+      return 0L
+    }
     // the touched partition set: cells streamed rows land in (from the
     // directory names — no data read), plus cells holding a tombstoned
     // row (one id-column-only scan, and only when tombstones exist)

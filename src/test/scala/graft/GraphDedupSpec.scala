@@ -580,8 +580,14 @@ class GraphDedupSpec extends SparkSpec {
     // manifest re-certified with the full count + a bumped version +
     // the folded tag's watermark
     Ann.compactIvfIndex(spark, idx)
+    // the folded epoch dirs are RETAINED one fold cycle (r15 probe
+    // grace) — marks make them probe-invisible; the NEXT fold's entry
+    // collection removes them physically
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
+      "grace: the folded epochs should linger under the watermark")
+    Ann.compactIvfIndex(spark, idx)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
-      "compaction left the stream/ table behind")
+      "the second fold did not collect the graced epoch dirs")
     val viaCompacted = Ann.ivfIndexTopK(spark, idx, q,
       "vec_id", "embedding", k = 5, nprobe = 8)
     assert(viaCompacted.exceptAll(viaRebuild).count() == 0 &&
@@ -609,6 +615,7 @@ class GraphDedupSpec extends SparkSpec {
     Ann.compactIvfIndex(spark, idx3)
     val mf3 = Ann.readManifest(spark, idx3).get
     assert(mf3.streamMarks == Map("aa" -> 7L), mf3.toString)
+    Ann.compactIvfIndex(spark, idx3) // collect the graced epoch dir
     EventStream.appendIvfBatch(b, idx3, "vec_id", "embedding", "aa", 7, pre3)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx3/stream")),
       "a folded epoch's replay resurrected rows already in assigned/")
@@ -697,6 +704,7 @@ class GraphDedupSpec extends SparkSpec {
     // float vectors — the fold is schema-generic but only the float
     // path was pinned): stream/ gone, probe answer preserved
     Ann.compactIvfIndex(spark, idxP)
+    Ann.compactIvfIndex(spark, idxP) // collect the graced epoch dirs
     assert(!new org.apache.hadoop.fs.Path(s"$idxP/stream")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(s"$idxP/stream")),
@@ -2026,19 +2034,22 @@ class GraphDedupSpec extends SparkSpec {
     assert(!Ann.maybeCompactIvfIndex(spark, idx))
     assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(3)))
     assert(fs.exists(streamP), "policy folded below its threshold")
-    // crossing the epoch threshold folds
+    // crossing the epoch threshold folds (the folded dirs linger one
+    // cycle as probe grace, marks-invisible — liveness is the marks)
     EventStream.appendIvfBatch(odd, idx, "vec_id", "embedding", "aa", 2, pre)
     assert(Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(3)))
-    assert(!fs.exists(streamP), "policy did not fold at its threshold")
+    assert(Ann.readManifest(spark, idx).get.streamMarks == Map("aa" -> 2L),
+      "policy did not fold at its threshold")
+    assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(1)),
+      "graced (already-folded) dirs re-tripped the epoch policy")
     // rows_pct: one small epoch ≪ 50% of main rows → below; a tiny
     // threshold → folds
     EventStream.appendIvfBatch(odd, idx, "vec_id", "embedding", "aa", 3, pre)
     assert(!Ann.maybeCompactIvfIndex(spark, idx,
       afterRowsPct = Some(50.0)))
-    assert(fs.exists(streamP))
     assert(Ann.maybeCompactIvfIndex(spark, idx,
       afterRowsPct = Some(0.001)))
-    assert(!fs.exists(streamP))
+    assert(Ann.readManifest(spark, idx).get.streamMarks == Map("aa" -> 3L))
     // nothing pending → cheap false, regardless of policy
     assert(!Ann.maybeCompactIvfIndex(spark, idx, afterEpochs = Some(1)))
     // END-TO-END through the streaming sink: three single-file
@@ -2064,13 +2075,19 @@ class GraphDedupSpec extends SparkSpec {
     assert(mfS.streamMarks.nonEmpty,
       "the in-stream policy never folded (no watermark recorded)")
     // unfolded epochs must be BELOW threshold
-    val streamDirs =
+    // LIVE (above-watermark) backlog only: folded dirs linger one
+    // cycle as probe grace and do not count against the policy
+    val liveDirs =
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx2/stream"))) 0
       else fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx2/stream"))
-        .filter(_.isDirectory)
-        .flatMap(d => fs.listStatus(d.getPath)).count(_.isDirectory)
-    assert(streamDirs < 2,
-      s"backlog of $streamDirs epochs survived a compactAfterEpochs=2 sink")
+        .filter(_.isDirectory).flatMap { d =>
+          val tag = d.getPath.getName.stripPrefix("__stream=")
+          fs.listStatus(d.getPath).filter(_.isDirectory).map(ed =>
+            (tag, ed.getPath.getName.stripPrefix("__epoch=").toLong))
+        }.count { case (tag, ep) =>
+          !mfS.streamMarks.get(tag).exists(ep <= _) }
+    assert(liveDirs < 2,
+      s"live backlog of $liveDirs epochs survived a compactAfterEpochs=2 sink")
     val viaAuto = Ann.ivfIndexTopK(spark, idx2,
       e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
       k = 5, nprobe = 4)
@@ -2278,12 +2295,18 @@ class GraphDedupSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rowsBefore = Dedup.readNearDupManifest(spark, idx).get._4
     Dedup.compactNearDupIndex(spark, idx)
+    // folded epoch dirs are RETAINED one fold cycle (r15 probe grace,
+    // marks-invisible); the second fold's entry collection removes them
     Seq("stream_shingles", "stream_bands").foreach(t =>
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$t")),
-        s"$t survived the fold"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$t")),
+        s"grace: $t should linger under the watermark"))
     assert(Dedup.readNearDupMarks(spark, idx) == Map("tagA" -> 1L))
     assert(Dedup.readNearDupManifest(spark, idx).get._4 == rowsBefore + 3)
     assert(verdict() == ((2L, false)), "the fold changed the verdicts")
+    Dedup.compactNearDupIndex(spark, idx)
+    Seq("stream_shingles", "stream_bands").foreach(t =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$t")),
+        s"the second fold did not collect $t's graced dirs"))
     // a FOLDED epoch's replay is skipped against the marks — no
     // resurrection, no double
     Dedup.appendNearDupStreamBatch(arriving, idx, "doc_id", "text",
@@ -2316,7 +2339,11 @@ class GraphDedupSpec extends SparkSpec {
       idx, "doc_id", "text", "tagB", 6L, pre)
     assert(Dedup.maybeCompactNearDupIndex(spark, idx,
       afterEpochs = Some(2)))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")))
+    // the graced dirs linger but are marks-invisible: the policy sees
+    // zero LIVE epochs and does not re-trip
+    assert(!Dedup.maybeCompactNearDupIndex(spark, idx,
+      afterEpochs = Some(1)),
+      "graced (already-folded) dirs re-tripped the epoch policy")
     assert(verdict() == ((4L, false)))
   }
 
@@ -2364,6 +2391,7 @@ class GraphDedupSpec extends SparkSpec {
     assert(verdict() == ((2L, false)), "healed epoch invisible")
     Dedup.compactNearDupIndex(spark, idx)
     assert(Dedup.readNearDupMarks(spark, idx) == Map("tagC" -> 1L))
+    Dedup.compactNearDupIndex(spark, idx) // collect the graced dirs
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")))
     assert(verdict() == ((2L, false)))
     // a foreign (non-alphanumeric) stream-tag dir refuses loudly: the
@@ -2415,8 +2443,16 @@ class GraphDedupSpec extends SparkSpec {
       "the healed epoch resurrected the taken-down id")
     assert(spark.read.parquet(s"$idx/bands")
         .filter(col("__cid") === 50L).count() == 0)
+    // the graced (folded, marks-invisible) epoch dir still holds 50's
+    // bytes, so the tombstone stands until the grace collection — the
+    // hard-erasure reading of the retention rule
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")),
+      "tombstone consumed while the graced dir still held the id's bytes")
+    Dedup.compactNearDupIndex(spark, idx)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")),
       "a fully-purged tombstone was not consumed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream_shingles")),
+      "the grace collection left the healed epoch's dir behind")
   }
 
   test("Ann.retainStreamTombstones re-writes exactly the tombstones " +

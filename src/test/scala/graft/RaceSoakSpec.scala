@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Ann
+import graft.dedup.Dedup
+
+/** Live fold-vs-probe soak (r14 verdict #6): the fold/probe race
+  * windows are unit-driven one interleaving at a time elsewhere
+  * (GraphDedupSpec) — this suite probes IN A LOOP on a second thread
+  * while real folds run, ≥20 iterations per artifact, asserting every
+  * completed probe returns exactly the answer the fold is contracted
+  * to preserve — never an error, never a double-count (the union
+  * reading a just-folded epoch on top of its main-table copy would
+  * double every affected neighbor/verdict).
+  *
+  * Handshake: a FAIR ReentrantLock serializes the prober against the
+  * phases that legitimately CHANGE the answer (landing a new epoch is
+  * a multi-file commit with no atomicity contract; only the fold
+  * carries the answer-preserving contract). The fold itself runs with
+  * the lock RELEASED — that is the race under test. */
+class RaceSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val iterations = 20
+
+  /** Drive `fold` under a live prober: per iteration — with the
+    * prober held off, `mutate(i)` lands new rows and the expected
+    * answer is re-snapshotted; then the prober runs free while
+    * `fold()` executes; finally the post-fold answer is re-checked
+    * against the same snapshot. Collects every prober error and
+    * every mismatched answer. */
+  private def soak(probe: () => AnyRef, mutate: Int => Unit,
+      fold: () => Unit): Unit = {
+    val lock = new java.util.concurrent.locks.ReentrantLock(true)
+    @volatile var stop = false
+    @volatile var expected: AnyRef = null
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val wrong = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probes = new java.util.concurrent.atomic.AtomicLong(0)
+    val prober = new Thread(() => {
+      while (!stop) {
+        lock.lock()
+        try {
+          if (!stop) {
+            val got = probe()
+            probes.incrementAndGet()
+            val want = expected
+            if (got != want)
+              wrong.add(s"probe saw:\n$got\nexpected:\n$want")
+          }
+        } catch { case t: Throwable => errors.add(t) }
+        finally lock.unlock()
+      }
+    }, "race-soak-prober")
+    lock.lock() // hold the prober off until the first snapshot exists
+    prober.start()
+    try {
+      for (i <- 1 to iterations) {
+        // lock held: the answer may change now
+        mutate(i)
+        expected = probe()
+        lock.unlock() // prober races THE FOLD
+        try fold()
+        finally lock.lock() // prober held off again
+        val post = probe()
+        if (post != expected)
+          wrong.add(s"iteration $i: the fold changed the answer")
+      }
+    } finally {
+      stop = true
+      lock.unlock()
+      prober.join(30000)
+    }
+    val firstErr = Option(errors.peek()).map { t =>
+      val sw = new java.io.StringWriter
+      t.printStackTrace(new java.io.PrintWriter(sw))
+      sw.toString
+    }.getOrElse("")
+    assert(errors.isEmpty,
+      s"${errors.size} probe(s) errored during folds; first:\n$firstErr")
+    assert(wrong.isEmpty,
+      s"${wrong.size} probe(s) returned a non-pre/post-fold answer; " +
+        s"first:\n${Option(wrong.peek()).getOrElse("")}")
+    // the soak is vacuous if the prober never actually overlapped a
+    // fold — with ~probe-sized folds and 20 iterations this floor is
+    // conservative
+    assert(probes.get() >= iterations / 2,
+      s"only ${probes.get()} probes completed across $iterations folds " +
+        "— the soak never exercised the race")
+  }
+
+  test("ANN index: 20 folds under a live prober — every probe answers " +
+      "pre-/post-fold exactly, no errors, no double-counts") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 128)
+      .persist()
+    val idx = scratch("race-ivf")
+    Ann.writeIvfIndex(e, "vec_id", "embedding", idx, nlist = 4)
+    val queries = e.filter(col("vec_id") % 16 === 0).persist()
+    val pre = Ann.loadIndexGeometry(spark, idx, "RaceSoakSpec")
+    def probe(): AnyRef =
+      Ann.ivfIndexTopK(spark, idx, queries, "vec_id", "embedding",
+          k = 5, nprobe = 4, excludeSelf = false)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    try {
+      soak(
+        probe = () => probe(),
+        // each iteration streams 4 NEGATED corpus vectors under fresh
+        // ids — cosine-opposite rows can never enter a top-5 (no new
+        // ties, the expected answer stays exactly the pre-stream
+        // ranking) while the fold still has real rows to move
+        mutate = i => graft.streaming.EventStream.appendIvfBatch(
+          e.filter(col("vec_id") < 4).select(
+            (col("vec_id") + lit(1000000L) + lit(i) * 100L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")),
+          idx, "vec_id", "embedding", "soak", i.toLong, pre),
+        fold = () => { Ann.compactIvfIndex(spark, idx); () })
+    } finally { e.unpersist(); queries.unpersist(); () }
+  }
+
+  test("band index: 20 folds under a live prober — every probe answers " +
+      "pre-/post-fold exactly, no errors, no double-counts") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 8L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")).toDF("doc_id", "text")
+    val idx = scratch("race-band")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val batch = Seq((900L, tpl),
+      (901L, "a wholly novel probe document about trains and stations"))
+      .toDF("doc_id", "text").persist()
+    def probe(): AnyRef =
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text")
+        .select("doc_id", "n_corpus_dups", "kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val pre = (3, 64, 16)
+    try {
+      soak(
+        probe = () => probe(),
+        // each iteration streams one fresh template clone — it RAISES
+        // the probe's n_corpus_dups (block-visible immediately through
+        // the union), and the fold must neither lose it nor count it
+        // twice
+        mutate = i => Dedup.appendNearDupStreamBatch(
+          Seq((2000L + i, tpl)).toDF("doc_id", "text"),
+          idx, "doc_id", "text", "soak", i.toLong, pre),
+        fold = () => { Dedup.compactNearDupIndex(spark, idx); () })
+    } finally { batch.unpersist(); () }
+  }
+}

@@ -1321,6 +1321,9 @@ class RecipeConfSpec extends SparkSpec {
       "vec_id", "embedding", tag = "yamlck", epoch = 0,
       pre = graft.sim.Ann.loadIndexGeometry(spark, idxPath, "spec"))
     RecipeConf.run(spark, conf, "extend", mode = "compact")
+    // the folded epoch lingers one fold cycle (r15 probe grace,
+    // marks-invisible); a second compact's entry collection removes it
+    RecipeConf.run(spark, conf, "extend", mode = "compact")
     val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/stream")),
@@ -1384,8 +1387,15 @@ class RecipeConfSpec extends SparkSpec {
     graft.streaming.EventStream.appendIvfBatch(extra, idxPath,
       "vec_id", "embedding", tag = "autock", epoch = 1, pre = pre)
     RecipeConf.run(spark, conf, "extend", mode = "append")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/stream")),
+    // the fold's evidence is the watermark (the folded dirs linger one
+    // cycle as probe grace), and the graced dirs must not re-trip the
+    // policy at the next boundary
+    assert(graft.sim.Ann.readManifest(spark, idxPath)
+        .exists(_.streamMarks == Map("autock" -> 1L)),
       "append boundary did not fold a backlog past compact_after_epochs")
+    assert(!graft.sim.Ann.maybeCompactIvfIndex(spark, idxPath,
+        afterEpochs = Some(1)),
+      "graced (already-folded) dirs re-tripped the epoch policy")
     // mode=delete routes the input frame's ids into the tombstone
     // table; the probe suppresses them immediately
     RecipeConf.run(spark, conf, "takedown", mode = "delete")

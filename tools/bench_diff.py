@@ -27,8 +27,19 @@ printed, tagged):
 
 `threshold` (default 1.5) bounds the ratio that earns attention;
 non-contaminated new/removed lines are always attention-worthy.
+
+`--canary qxx[,qyy]` de-drifts cross-day comparisons (r14 verdict #7:
+uniform host drift of 1.1-1.4x across untouched lines defeated the
+same-run sensors twice; the adjudication was manual both times).
+Every ratio is divided by the canaries' geometric-mean ratio before
+thresholding — the canaries should be stable, pure-CPU lines whose
+code the diff does not touch (q01/q18/q24-class). Both raw and
+normalized ratios print; canaries are excluded from the attention
+list (they define the baseline) and a contaminated or missing canary
+is dropped with a warning (all dropped -> raw thresholding).
 """
 import json
+import math
 import re
 import sys
 
@@ -71,18 +82,49 @@ def load(path):
 
 
 def main():
-    if len(sys.argv) < 3:
+    args = []
+    canaries = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a.startswith("--canary="):
+            canaries = [c for c in a.split("=", 1)[1].split(",") if c]
+        elif a == "--canary":
+            canaries = [c for c in next(it, "").split(",") if c]
+        else:
+            args.append(a)
+    if len(args) < 2:
         sys.exit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old, new = load(args[0]), load(args[1])
+    thresh = float(args[2]) if len(args) > 2 else 1.5
     qo, qn = old["queries"], new["queries"]
     contam = set(old.get("contaminated", [])) | set(new.get("contaminated", []))
     first = set(old.get("first_touch", [])) | set(new.get("first_touch", []))
+    # the drift factor: geometric mean of the usable canaries' ratios
+    drift = 1.0
+    if canaries:
+        usable = []
+        for c in canaries:
+            if c in contam:
+                print(f"canary {c}: contaminated in one record — dropped")
+            elif not (isinstance(qo.get(c), (int, float)) and
+                      isinstance(qn.get(c), (int, float)) and qo[c]):
+                print(f"canary {c}: missing from a record — dropped")
+            else:
+                usable.append(qn[c] / qo[c])
+        if usable:
+            drift = math.exp(sum(math.log(r) for r in usable) / len(usable))
+            print(f"canary drift factor: x{drift:.3f} "
+                  f"({len(usable)}/{len(canaries)} canaries usable) — "
+                  "ratios below show raw and [norm] drift-normalized; "
+                  "thresholding uses [norm]")
+        else:
+            print("no usable canary — falling back to raw thresholding")
     rows, attention, ft_attention = [], [], []
     for q in sorted(set(qo) | set(qn)):
         a, b = qo.get(q), qn.get(q)
         tag = ("" if q not in contam else " [CONTAM]") + \
-            ("" if q not in first else " [FIRST-TOUCH]")
+            ("" if q not in first else " [FIRST-TOUCH]") + \
+            ("" if q not in canaries else " [CANARY]")
         if a is None:
             rows.append(f"{q}: NEW {b:.3f}s{tag}")
             if q not in contam:
@@ -93,8 +135,11 @@ def main():
                 attention.append(q)
         else:
             r = b / a if a else float("inf")
-            rows.append(f"{q}: {a:.3f} -> {b:.3f}s  x{r:.2f}{tag}")
-            if (r >= thresh or r <= 1 / thresh) and q not in contam:
+            rn = r / drift
+            norm = f" [norm x{rn:.2f}]" if drift != 1.0 else ""
+            rows.append(f"{q}: {a:.3f} -> {b:.3f}s  x{r:.2f}{norm}{tag}")
+            if ((rn >= thresh or rn <= 1 / thresh) and q not in contam
+                    and q not in canaries):
                 (ft_attention if q in first else attention).append(q)
     print("\n".join(rows))
     to, tn = old.get("value"), new.get("value")
