@@ -422,16 +422,56 @@ object Sinks {
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.json")
 
   private[graft] def writeIndexedManifest(spark: SparkSession,
-      path: String, rows: Long, version: Long): Unit = {
+      path: String, rows: Long, version: Long,
+      marks: Map[String, Long] = Map.empty): Unit = {
     val p = indexedManifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mark keys sanitized on write (the shared manifest discipline):
+    // the stream tag is an MD5 prefix, but a hand-edited manifest must
+    // not smuggle JSON through the parser's regex
+    val marksJson = marks.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${k.replaceAll("[^0-9a-zA-Z]", "")}": $v""" }
+      .mkString("{", ", ", "}")
     val out = fs.create(p, true)
     try out.write(
       (s"""{"rows": $rows, "version": $version, """ +
+        s""""stream_marks": $marksJson, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** The doc store's replay watermarks: max batch-appended epoch per
+    * stream tag ([[graft.dedup.Dedup.readNearDupMarks]]'s twin —
+    * unlike the epoch-partitioned indexes these gate the APPEND
+    * itself, since a flat table cannot overwrite "its own epoch").
+    * Pre-streaming manifests (no key) read as empty. */
+  private[graft] def readIndexedMarks(spark: SparkSession,
+      path: String): Map[String, Long] = {
+    val p = indexedManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val obj = """"stream_marks":\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    """"([0-9a-zA-Z]+)":\s*(-?\d+)""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  /** [[readIndexedMarks]] riding out a retraction window — an absent
+    * manifest must not read as "no marks" mid-swap. Empty only on
+    * PERMANENT absence (the caller's own manifest read then refuses
+    * loudly). */
+  private[graft] def readIndexedMarksPatient(spark: SparkSession,
+      path: String): Map[String, Long] =
+    graft.engine.LayoutFs.patiently {
+      val p = indexedManifestFile(path)
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p)) None
+      else Some(readIndexedMarks(spark, path))
+    }.getOrElse(Map.empty)
 
   /** (rows, version), or None when absent — an incomplete build or a
     * retraction window. */
@@ -488,52 +528,7 @@ object Sinks {
       d.select(col("_id"),
         explode(array_distinct(col(analyzedCol))).as("token"))
     if (mode == "append") {
-      val (rows0, version0) =
-        readIndexedManifestPatient(spark, path).getOrElse(sys.error(
-          s"index sink (append): no store manifest at '$path' — appends " +
-            "extend a COMPLETE document store (build with mode " +
-            "create/overwrite first)"))
-      val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
-      val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
-      graft.engine.LayoutFs.acquireMarker(fs, appendingP, compactingP,
-        refuseOpposite =
-          s"index sink (append): a compaction is rewriting table files " +
-            s"at '$path' (${compactingP.getName} exists) — rows appended " +
-            "now could be deleted by its swap (single-maintenance-writer " +
-            "contract); wait for it to finish, or delete the marker if " +
-            "it crashed mid-run",
-        refuseOwn =
-          s"index sink (append): another append is already running at " +
-            s"'$path' (${appendingP.getName} exists) — wait for it to " +
-            "finish, or delete the marker if it crashed mid-run")
-      try {
-        val stagedDocs = new org.apache.hadoop.fs.Path(s"$path/docs_append")
-        val stagedPost =
-          new org.apache.hadoop.fs.Path(s"$path/postings_append")
-        fs.delete(stagedDocs, true) // a crashed previous append's
-        fs.delete(stagedPost, true) // leftovers
-        withId.write.mode("overwrite").parquet(stagedDocs.toString)
-        // derive postings from the STAGED docs: one source of truth,
-        // and the batch frame is computed once
-        val stagedDf = spark.read.parquet(stagedDocs.toString)
-        postings(stagedDf).write.mode("overwrite")
-          .parquet(stagedPost.toString)
-        val n = stagedDf.count() // footer count of the staged batch
-        fs.delete(indexedManifestFile(path), false)
-        Seq(("docs", stagedDocs), ("postings", stagedPost)).foreach {
-          case (table, stagedP) =>
-            fs.listStatus(stagedP).toSeq
-              .filter(st => st.isFile &&
-                st.getPath.getName.endsWith(".parquet"))
-              .foreach { st =>
-                fs.rename(st.getPath,
-                  new org.apache.hadoop.fs.Path(
-                    s"$path/$table/${st.getPath.getName}"))
-              }
-            fs.delete(stagedP, true)
-        }
-        writeIndexedManifest(spark, path, rows0 + n, version0 + 1)
-      } finally { fs.delete(appendingP, false); () }
+      appendIndexedBatch(df, path, idCol, analyzedCol, markUpdate = None)
     } else {
       // a REBUILD that dies between the table writes must not leave
       // the PREVIOUS build's certificate endorsing the new
@@ -550,6 +545,90 @@ object Sinks {
       postings(written).write.mode(mode).parquet(s"$path/postings")
       writeIndexedManifest(spark, path, written.count(), version = 1L)
     }
+  }
+
+  /** The staged doc-store append core, shared by the batch sink
+    * (mode=append) and the streaming sink
+    * ([[graft.streaming.EventStream.indexedStream]]). `markUpdate` =
+    * the stream's (checkpoint-tag, epoch) watermark: a flat layout
+    * cannot overwrite "its own epoch" the way the epoch-partitioned
+    * indexes do, so replay idempotency gates the APPEND itself — an
+    * epoch at or below its tag's mark is skipped (its rows already
+    * landed), the mark advances with the manifest re-issue, and an
+    * empty stream batch writes nothing. Torn window: the staged
+    * writes are the long part (certificate intact); a crash inside
+    * the rename window leaves a loudly-unreadable store — for the
+    * STREAM case that window is the one state a replay cannot heal
+    * (half the files renamed into a flat table), the price of the
+    * flat layout, documented on the sink. */
+  private[graft] def appendIndexedBatch(df: DataFrame, path: String,
+      idCol: Option[String], analyzedCol: String,
+      markUpdate: Option[(String, Long)]): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    markUpdate.foreach { case (tag, ep) =>
+      require(tag.matches("[0-9a-zA-Z]+"),
+        s"appendIndexedBatch: stream tag '$tag' must be alphanumeric " +
+          "(manifest mark keys are)")
+      if (readIndexedMarksPatient(spark, path).get(tag).exists(ep <= _))
+        return
+      if (df.isEmpty) return
+    }
+    val withId = idCol match {
+      case Some(c) => df.withColumn("_id", col(c))
+      case None => df.withColumn("_id",
+        xxhash64(df.columns.toIndexedSeq.map(col): _*))
+    }
+    val (rows0, version0) =
+      readIndexedManifestPatient(spark, path).getOrElse(sys.error(
+        s"index sink (append): no store manifest at '$path' — appends " +
+          "extend a COMPLETE document store (build with mode " +
+          "create/overwrite first)"))
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    graft.engine.LayoutFs.acquireMarker(fs, appendingP, compactingP,
+      refuseOpposite =
+        s"index sink (append): a compaction is rewriting table files " +
+          s"at '$path' (${compactingP.getName} exists) — rows appended " +
+          "now could be deleted by its swap (single-maintenance-writer " +
+          "contract); wait for it to finish, or delete the marker if " +
+          "it crashed mid-run",
+      refuseOwn =
+        s"index sink (append): another append is already running at " +
+          s"'$path' (${appendingP.getName} exists) — wait for it to " +
+          "finish, or delete the marker if it crashed mid-run")
+    try {
+      val stagedDocs = new org.apache.hadoop.fs.Path(s"$path/docs_append")
+      val stagedPost =
+        new org.apache.hadoop.fs.Path(s"$path/postings_append")
+      fs.delete(stagedDocs, true) // a crashed previous append's
+      fs.delete(stagedPost, true) // leftovers
+      withId.write.mode("overwrite").parquet(stagedDocs.toString)
+      // derive postings from the STAGED docs: one source of truth,
+      // and the batch frame is computed once
+      val stagedDf = spark.read.parquet(stagedDocs.toString)
+      stagedDf.select(col("_id"),
+          explode(array_distinct(col(analyzedCol))).as("token"))
+        .write.mode("overwrite").parquet(stagedPost.toString)
+      val n = stagedDf.count() // footer count of the staged batch
+      val marks = readIndexedMarks(spark, path)
+      fs.delete(indexedManifestFile(path), false)
+      Seq(("docs", stagedDocs), ("postings", stagedPost)).foreach {
+        case (table, stagedP) =>
+          fs.listStatus(stagedP).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(
+                  s"$path/$table/${st.getPath.getName}"))
+            }
+          fs.delete(stagedP, true)
+      }
+      writeIndexedManifest(spark, path, rows0 + n, version0 + 1,
+        marks ++ markUpdate)
+    } finally { fs.delete(appendingP, false); () }
   }
 
   /** DELETE for the document store — the takedown verb on the THIRD
@@ -668,6 +747,7 @@ object Sinks {
         // tombstones matching nothing: consume the snapshot files
         delFiles.foreach(f => fs.delete(f, false))
       } else {
+        val marks = readIndexedMarks(spark, path) // carried through
         fs.delete(indexedManifestFile(path), false)
         staged.foreach { case (table, files, stagedP) =>
           if (files.nonEmpty) {
@@ -682,7 +762,8 @@ object Sinks {
           }
           fs.delete(stagedP, true)
         }
-        writeIndexedManifest(spark, path, rows0 - purgedDocs, version0 + 1)
+        writeIndexedManifest(spark, path, rows0 - purgedDocs,
+          version0 + 1, marks)
         delFiles.foreach(f => fs.delete(f, false))
       }
       if (fs.exists(delDir) && !fs.listStatus(delDir).exists(st =>

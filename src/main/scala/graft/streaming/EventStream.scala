@@ -724,6 +724,58 @@ object EventStream {
       .start()
   }
 
+  /** Stream arriving documents INTO the persisted document store
+    * ([[graft.sources.Sinks.indexed]]'s docs + postings layout) — the
+    * last cell of the 3×5 artifact/verb matrix (r14 verdict #8):
+    * each micro-batch rides the store's staged batch-append core
+    * ([[graft.sources.Sinks.appendIndexedBatch]]) with the
+    * (checkpoint-tag, epoch) watermark recorded in the manifest, so
+    * an at-least-once replay of a landed epoch is SKIPPED (the flat
+    * layout cannot overwrite "its own epoch" the way the
+    * epoch-partitioned indexes do — idempotency gates the append
+    * itself). Appended docs serve immediately through every reader
+    * (`_search`, the recipe `index` dataset, the match right side).
+    * Torn window: a crash inside the append's rename window (fast
+    * file moves only — staging is done certificate-intact) leaves a
+    * loudly-unreadable store a replay cannot heal; rebuild with the
+    * index sink. Stop the stream before a REBUILD (the sink refuses
+    * a FRESH checkpoint over a tag the manifest already has a mark
+    * for — restarted epoch numbering would be skipped against that
+    * history). `purgeAfterDeletes` runs the auto-purge policy after
+    * each batch lands, inside foreachBatch — it defers under the
+    * sink's own marker discipline. Returns the started query. */
+  def indexedStream(stream: DataFrame, path: String,
+      idCol: Option[String], analyzedCol: String, checkpoint: String,
+      purgeAfterDeletes: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.Sinks
+    val spark = stream.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Sinks.readIndexedManifestPatient(spark, path).getOrElse(sys.error(
+      s"indexedStream: no store manifest at '$path' — streams extend " +
+        "a COMPLETE document store (build with the index sink first)"))
+    val tag = streamTag(checkpoint, hconf)
+    val offsP = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    if (!offsP.getFileSystem(hconf).exists(offsP) &&
+        Sinks.readIndexedMarks(spark, path).contains(tag))
+      sys.error(s"indexedStream: checkpoint '$checkpoint' is fresh " +
+        s"(no committed offsets) but the store at $path already has a " +
+        s"watermark for its tag '$tag' — a restarted epoch numbering " +
+        "would be skipped against that history; use a NEW checkpoint " +
+        "path, or keep the old checkpoint to resume")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Sinks.appendIndexedBatch(batch, path, idCol, analyzedCol,
+          markUpdate = Some((tag, epoch)))
+        Sinks.maybeCompactIndexed(spark, path,
+          afterDeletes = purgeAfterDeletes)
+        ()
+      }
+      .start()
+  }
+
   /** The SELF-GROWING ingest dedup gate — admit AND remember: each
     * micro-batch (1) probes the persisted band index for near-dups
     * (main tables ∪ all previously streamed epochs, so a doc admitted

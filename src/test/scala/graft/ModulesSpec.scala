@@ -324,6 +324,53 @@ class ModulesSpec extends SparkSpec {
     Sinks.writeIndexedManifest(spark, dir, 1L, 4L)
   }
 
+  test("document-store streaming append: batch ≡ stream, replay skipped " +
+      "via the manifest watermark, fresh-checkpoint refusal") {
+    val part1 = Seq((1L, Seq("red", "apple")), (2L, Seq("red", "pear")))
+      .toDF("id", "toks")
+    val part2 = Seq((3L, Seq("plum")), (4L, Seq("fig", "plum")))
+      .toDF("id", "toks")
+    // reference store: build + BATCH append
+    val ref = s"$tmpDir/idxstr-ref"
+    Sinks.indexed(part1, ref, Some("id"), "toks")
+    Sinks.indexed(part2, ref, Some("id"), "toks", mode = "append")
+    // streamed store: build, then part2 arrives as a stream
+    val str = s"$tmpDir/idxstr"
+    Sinks.indexed(part1, str, Some("id"), "toks")
+    val inDir = scratch("idxstr-in")
+    val ckpt = scratch("idxstr-ck")
+    part2.coalesce(1).write.mode("append").parquet(inDir)
+    val st = spark.readStream
+      .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val q = graft.streaming.EventStream.indexedStream(
+      st, str, Some("id"), "toks", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def tbl(p: String, t: String) =
+      Sources.indexedTable(spark, p, t).orderBy("_id")
+    assert(rows(tbl(str, "docs").select("_id", "toks")) ==
+      rows(tbl(ref, "docs").select("_id", "toks")),
+      "streamed docs diverge from the batch append")
+    assert(tbl(str, "postings").count() == tbl(ref, "postings").count())
+    assert(Sinks.readIndexedManifest(spark, str).map(_._1) == Some(4L))
+    val marks = Sinks.readIndexedMarks(spark, str)
+    assert(marks.size == 1 && marks.values.head == 0L,
+      s"watermark not recorded: $marks")
+    // an at-least-once REPLAY of the landed epoch is SKIPPED — the
+    // flat layout's idempotency gates the append itself
+    graft.sources.Sinks.appendIndexedBatch(part2, str, Some("id"),
+      "toks", markUpdate = Some((marks.keys.head, 0L)))
+    assert(Sinks.readIndexedManifest(spark, str).map(_._1) == Some(4L),
+      "a replayed epoch appended twice")
+    // a FRESH checkpoint over the same tag's history refuses at start
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val eFresh = intercept[RuntimeException](
+      graft.streaming.EventStream.indexedStream(
+        st, str, Some("id"), "toks", ckpt))
+    assert(eFresh.getMessage.contains("fresh"), eFresh.getMessage)
+  }
+
   test("readers hand s3a:// URIs to Hadoop unmodified (no engine-side path parsing)") {
     // the sandbox carries no hadoop-aws jar and no network, so the only
     // acceptable failure is Hadoop's own unknown-filesystem error — it
