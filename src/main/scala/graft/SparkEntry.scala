@@ -108,6 +108,15 @@ object SparkEntry {
   private def ivfStrPqIdxDir(dir: String): String =
     scratchDir("graft-ivfstrpq-q142", tag = dir)
 
+  /** q143's RESIDUAL-PQ STREAM-appended index dir: the deepest stream
+    * cell — every micro-batch assigns under the STORED coarse
+    * centroids AND encodes its residuals under the STORED residual
+    * codebooks (encodeUnderStoredGeometry's pqRes branch through the
+    * epoch sink). Completes the lifecycle matrix: every (layout,
+    * verb) cell is now driver-gated. */
+  private def ivfStrPqrIdxDir(dir: String): String =
+    scratchDir("graft-ivfstrpqr-q143", tag = dir)
+
   /** q136's DELETE-gated index dir: build + append history, then a
     * YAML takedown tombstones planted ids — probes must suppress them
     * while they physically remain (the pre-compaction state). */
@@ -257,7 +266,7 @@ object SparkEntry {
     * micro-batch encodes under the STORED geometry). */
   private def buildHalfStreamRest(s: SparkSession, dir: String,
       idx: String, ckptTag: String, quantize: Boolean = false,
-      pq: Boolean = false): Unit = {
+      pq: Boolean = false, pqr: Boolean = false): Unit = {
     val e = t(s, dir, "embeddings")
     val ckpt = scratchDir(ckptTag, tag = dir)
     Seq(idx, ckpt).foreach { p =>
@@ -267,6 +276,10 @@ object SparkEntry {
     if (pq)
       Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 8)
+    else if (pqr)
+      Ann.writeIvfIndexPq(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, m = 4, ksub = 8,
+        residual = true)
     else
       Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", idx, nlist = 16, quantize = quantize)
@@ -1349,6 +1362,25 @@ object SparkEntry {
       Ann.ivfIndexTopKPq(s, idx,
         t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 16)
+    }),
+
+    // RESIDUAL-PQ STREAM append — the deepest stream cell, completing
+    // the lifecycle matrix (every layout × verb cell driver-gated):
+    // coarse centroids AND residual codebooks both fit on the EVEN
+    // half alone; each streamed micro-batch assigns under the stored
+    // coarse grid and encodes its residuals under the stored residual
+    // codebooks. Exhaustive probe ≡ q134's oracle VERBATIM (the full
+    // residual replay with both towers trained on even ids).
+    "q143_ann_ivf_stream_pqr" -> ((s, dir) => {
+      val idx = ivfStrPqrIdxDir(dir)
+      if (!ivfBuilt.contains(idx)) {
+        buildHalfStreamRest(s, dir, idx, "graft-ivfstrpqr-ckpt",
+          pqr = true)
+        ivfBuilt.add(idx)
+      }
+      Ann.ivfIndexTopKPq(s, idx,
+        t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 8)
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
@@ -4153,6 +4185,14 @@ object SparkEntry {
     // on the even half alone, codes and ADC ranking over the union)
     "q142_ann_ivf_stream_pq" ->
       pqTopKOracleSql(m = 4, dsub = 16, ksub = 8, iters = 4,
+        trainPred = "id % 2 = 0"),
+
+    // the RESIDUAL-PQ STREAM append probed exhaustively: q134's oracle
+    // verbatim — coarse tower AND residual towers on the even half;
+    // assignment, residuals, codes, per-(query, cell) ADC over the
+    // union. The matrix's last cell.
+    "q143_ann_ivf_stream_pqr" ->
+      pqrTopKOracleSql(nlist = 8, m = 4, dsub = 16, ksub = 8, iters = 4,
         trainPred = "id % 2 = 0"),
 
     // takedown + compact: the same tower with the tombstoned ids
