@@ -120,6 +120,88 @@ class RaceSoakSpec extends SparkSpec {
     } finally { e.unpersist(); queries.unpersist(); () }
   }
 
+  test("doc store: 20 staged appends under a live reader — every read " +
+      "is exactly the pre- or post-append view, never mixed or torn") {
+    // the third artifact has no fold; its probe-concurrent mutation is
+    // the STAGED APPEND (batch and stream sinks share the core). The
+    // allowed-answers set is {pre, post} — post is computable upfront
+    // (each batch adds exactly one doc carrying one fresh token), so
+    // a reader seeing a half-renamed batch (docs landed, postings
+    // not), a torn manifest, or a double-applied batch is caught.
+    import graft.sources.{Sinks, Sources}
+    val dir = scratch("race-doc")
+    Sinks.indexed(
+      Seq((1L, Seq("base", "alpha")), (2L, Seq("base", "beta")))
+        .toDF("id", "toks"),
+      dir, Some("id"), "toks")
+    // ONE action over BOTH tables — two sequential counts would span
+    // the append and read (docsPre, postingsPost) as a phantom mixed
+    // state that is reader-side skew, not store-side tearing
+    def probe(): (Long, Long) = {
+      val m = Sources.indexedTable(spark, dir, "docs")
+        .select(lit("d").as("side"))
+        .unionByName(Sources.indexedTable(spark, dir, "postings")
+          .filter(col("token").startsWith("tok"))
+          .select(lit("p").as("side")))
+        .groupBy("side").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (m.getOrElse("d", 0L), m.getOrElse("p", 0L))
+    }
+    val allowed =
+      new java.util.concurrent.atomic.AtomicReference[Set[(Long, Long)]](
+        Set(probe()))
+    val lock = new java.util.concurrent.locks.ReentrantLock(true)
+    @volatile var stop = false
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val wrong = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        lock.lock()
+        try {
+          if (!stop) {
+            val got = probe()
+            val ok = allowed.get()
+            if (!ok.contains(got))
+              wrong.add(s"read $got, allowed $ok")
+          }
+        } catch { case t: Throwable => errors.add(t) }
+        finally lock.unlock()
+      }
+    }, "race-soak-doc-reader")
+    lock.lock()
+    reader.start()
+    try {
+      for (i <- 1 to 20) {
+        val pre = probe()
+        val post = (pre._1 + 1, pre._2 + 1)
+        allowed.set(Set(pre, post))
+        lock.unlock() // the reader races THE APPEND
+        try Sinks.appendIndexedBatch(
+          Seq((100L + i, Seq("base", s"tok$i"))).toDF("id", "toks"),
+          dir, Some("id"), "toks", markUpdate = None)
+        finally lock.lock()
+        val after = probe()
+        assert(after == post, s"iteration $i: append landed $after, " +
+          s"expected $post")
+        allowed.set(Set(post))
+      }
+    } finally {
+      stop = true
+      lock.unlock()
+      reader.join(30000)
+    }
+    val firstErr = Option(errors.peek()).map { t =>
+      val sw = new java.io.StringWriter
+      t.printStackTrace(new java.io.PrintWriter(sw))
+      sw.toString
+    }.getOrElse("")
+    assert(errors.isEmpty,
+      s"${errors.size} read(s) errored during appends; first:\n$firstErr")
+    assert(wrong.isEmpty,
+      s"${wrong.size} read(s) saw a non-pre/post-append state; " +
+        s"first:\n${Option(wrong.peek()).getOrElse("")}")
+  }
+
   test("band index: 20 folds under a live prober — every probe answers " +
       "pre-/post-fold exactly, no errors, no double-counts") {
     val tpl = "the quick brown fox jumps over the lazy dog again and again"
