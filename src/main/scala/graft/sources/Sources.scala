@@ -573,8 +573,11 @@ object Sinks {
           "(manifest mark keys are)")
       if (readIndexedMarksPatient(spark, path).get(tag).exists(ep <= _))
         return
-      if (df.isEmpty) return
     }
+    // empty batches write nothing in EITHER mode: the staged-docs
+    // re-read below would die on schema inference over a data-less
+    // staging dir, and a no-op append should not churn the version
+    if (df.isEmpty) return
     val withId = idCol match {
       case Some(c) => df.withColumn("_id", col(c))
       case None => df.withColumn("_id",

@@ -265,6 +265,11 @@ class ModulesSpec extends SparkSpec {
       s"$dir-none", idCol = Some("id"), analyzedCol = "toks",
       mode = "append"))
     assert(eApp.getMessage.contains("manifest"), eApp.getMessage)
+    // an empty batch is a no-op append: no version churn, and no
+    // schema-inference crash on a data-less staging dir
+    Sinks.indexed(df.limit(0), dir, idCol = Some("id"),
+      analyzedCol = "toks", mode = "append")
+    assert(Sinks.readIndexedManifest(spark, dir) == Some((3L, 2L)))
     // the purge decrements the certified total, bumps the version,
     // and physically removes the rows
     Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", dir)
