@@ -252,6 +252,10 @@ object RecipeConf {
     // column, default _id) — the takedown verb, consistent with the
     // ann_index / neardup_index sinks; purge at the next rebuild
     case "index" if mode == "delete" =>
+      // options.receipts: the single-artifact delete leaves the same
+      // evidence row the cascading takedown does
+      ds.options.get("receipts").foreach(r => takedownReceipt(df,
+        ds.options.getOrElse("id", "_id"), "index", ds.path, r))
       Sinks.deleteFromIndexed(df,
         idCol = ds.options.getOrElse("id", "_id"), path = ds.path)
       // auto-purge policy (declared on the dataset block): fold the
@@ -331,6 +335,10 @@ object RecipeConf {
     // column) — the takedown verb: probes suppress them immediately,
     // the next compact purges them physically (Ann.deleteFromIvfIndex)
     case "ann_index" if mode == "delete" =>
+      ds.options.get("receipts").foreach(r => takedownReceipt(df,
+        ds.options.getOrElse("id",
+          sys.error("ann_index sink needs options.id (vector id column)")),
+        "ann_index", ds.path, r))
       graft.sim.Ann.deleteFromIvfIndex(df,
         idCol = ds.options.getOrElse("id",
           sys.error("ann_index sink needs options.id (vector id column)")),
@@ -380,6 +388,10 @@ object RecipeConf {
     // 'delete' tombstones the input frame's doc ids — probes stop
     // matching them immediately; the next rebuild purges physically
     case "neardup_index" if mode == "delete" =>
+      ds.options.get("receipts").foreach(r => takedownReceipt(df,
+        ds.options.getOrElse("id",
+          sys.error("neardup_index sink needs options.id (doc id column)")),
+        "neardup_index", ds.path, r))
       graft.dedup.Dedup.deleteFromNearDupIndex(df,
         idCol = ds.options.getOrElse("id",
           sys.error("neardup_index sink needs options.id (doc id column)")),

@@ -1682,6 +1682,26 @@ class RecipeConfSpec extends SparkSpec {
       ("ann_index", None, Some(1L))),
       s"purge receipts wrong: $r2")
     assert(spark.read.parquet(rdir).count() == 6)
+    // a SINGLE-artifact delete mode leaves the same evidence row the
+    // cascade does (the purged ids are gone, so matched reads 0)
+    val confOne = RecipeConf.load(
+      s"""datasets:
+         |  ids: {path: $dir/rc_ids, format: parquet}
+         |  bandd:
+         |    path: $bandIdx
+         |    format: neardup_index
+         |    options: {id: doc_id, receipts: $rdir}
+         |recipes:
+         |  del_one: {input: ids, steps: [], output: bandd}
+         |""".stripMargin)
+    RecipeConf.run(spark, confOne, "del_one", mode = "delete")
+    val one = spark.read.parquet(rdir)
+      .filter(col("state") === "suppressed" &&
+        col("target") === "neardup_index")
+      .select("ids_submitted", "ids_matched").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(one == Seq((2L, 0L), (2L, 1L)),
+      s"single-delete receipt wrong: $one")
     // and the purge actually happened (the receipt is evidence, not
     // decoration)
     assert(spark.read.parquet(s"$docIdx/docs")
