@@ -527,6 +527,26 @@ class ApiServerSpec extends SparkSpec {
         s"$base/datasets/corpus/_search?q=red+apple&size=5")
       assert(!afterDel.body().contains(""""id":1""") &&
         afterDel.body().contains(""""id":2"""), afterDel.body())
+      // a _search landing inside a purge's certificate-retraction
+      // window rides it out on the patient manifest read — the
+      // reader-atomicity claim, exercised over real HTTP (r14 verdict
+      // #1's done-criterion at the API surface)
+      val mfp = Sinks.indexedManifestFile(idxDir)
+      val fsA = mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val saved = Sinks.readIndexedManifest(spark, idxDir).get
+      fsA.delete(mfp, false)
+      val reissue = new Thread(() => {
+        Thread.sleep(400)
+        Sinks.writeIndexedManifest(spark, idxDir, saved._1, saved._2)
+      })
+      reissue.start()
+      val during = send("POST",
+        s"$base/datasets/corpus/_search?q=pie&size=10")
+      reissue.join()
+      assert(during.statusCode() == 200 &&
+        during.body().contains(""""id":3"""),
+        s"a mid-window _search did not ride out the retraction: " +
+          s"${during.statusCode()} ${during.body()}")
     } finally api.stop()
   }
 
