@@ -545,14 +545,8 @@ object RecipeConf {
         graft.dedup.Dedup.openNearDupTable(spark, path, "bands")
           .select(col("__cid").as("__m"))
       case _ => // ann_index
-        val base = spark.read.parquet(s"$path/assigned")
+        graft.sim.Ann.openAssignedRaw(spark, path)
           .select(col("neighbor_id").as("__m"))
-        val sp = new org.apache.hadoop.fs.Path(s"$path/stream")
-        if (graft.engine.LayoutFs.hasVisibleParquetFile(
-            sp.getFileSystem(spark.sparkContext.hadoopConfiguration), sp))
-          base.unionByName(spark.read.parquet(sp.toString)
-            .select(col("neighbor_id").as("__m")))
-        else base
     }
     val ids = df.select(col(idCol)
         .cast(member.schema("__m").dataType).as("__m"))

@@ -526,7 +526,9 @@ object Dedup {
 
   private def writeNearDupManifest(spark: org.apache.spark.sql.SparkSession,
       path: String, shingleSize: Int, numHashes: Int, bands: Int,
-      rows: Long, marks: Map[String, Long] = Map.empty): Unit = {
+      rows: Long, marks: Map[String, Long] = Map.empty,
+      version: Long = 0L,
+      dead: Map[String, Seq[String]] = Map.empty): Unit = {
     val p = nearDupManifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // mark keys sanitized on write (the Ann manifest discipline): the
@@ -539,10 +541,50 @@ object Dedup {
     try out.write(
       (s"""{"shingle_size": $shingleSize, "num_hashes": $numHashes, """ +
         s""""bands": $bands, "rows": $rows, """ +
+        s""""version": $version, """ +
         s""""stream_marks": $marksJson, """ +
+        s""""dead_files": ${graft.engine.LayoutFs.deadFilesJson(dead)}, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The manifest's monotonic re-issue counter — the openers' snapshot
+    * bracket key ([[graft.engine.LayoutFs.consistentSnapshot]]): every
+    * maintenance re-issue (append, fold, purge) bumps it, so a stable
+    * version across an opener's listing proves no swap interleaved.
+    * Pre-versioning manifests read as 0 (the first maintenance write
+    * moves them to 1). None when the manifest is absent. */
+  private[graft] def readNearDupVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[Long] = {
+    val p = nearDupManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(""""version":\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(0L))
+    }
+  }
+
+  /** The manifest's dead-file grace list per table (a purge's
+    * replaced files, retained on disk one maintenance cycle for
+    * in-flight readers — [[compactNearDupIndex]]): openers exclude
+    * them from the listing, the next maintenance entry collects them
+    * physically. Empty for pre-grace manifests or mid-grace absence. */
+  private[graft] def readNearDupDead(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Map[String, Seq[String]] = {
+    val p = nearDupManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    graft.engine.LayoutFs.parseDeadFiles(txt)
   }
 
   /** The compaction watermarks from the band-index manifest: max
@@ -705,6 +747,17 @@ object Dedup {
           bandFrame(base, "__cid", numHashes, bands, keepSh = false)
             .write.mode("overwrite").parquet(stagedBd.toString)
           val marks = readNearDupMarks(spark, path)
+          // carried through, not collected: dead-file grace collection
+          // is the COMPACT entry's job (one verb owns the deletes);
+          // an append mid-grace must keep excluding the purge's
+          // replaced files. Version bumps on every re-issue — the
+          // openers' snapshot bracket key.
+          val dead = readNearDupDead(spark, path)
+          val ver = readNearDupVersion(spark, path).getOrElse(0L) + 1
+          // fresh total under the marker (the pre-acquire read could
+          // predate a maintenance run that finished since)
+          val rowsNow = readNearDupManifest(spark, path)
+            .map(_._4).getOrElse(rows)
           fs.delete(nearDupManifestFile(path), false)
           Seq(("shingles", stagedSh), ("bands", stagedBd)).foreach {
             case (table, stagedP) =>
@@ -719,7 +772,8 @@ object Dedup {
               fs.delete(stagedP, true)
           }
           writeNearDupManifest(spark, path,
-            shingleSize, numHashes, bands, rows + n, marks)
+            shingleSize, numHashes, bands, rowsNow + n, marks,
+            version = ver, dead = dead)
         }
       } finally { base.unpersist(); () }
     } finally { fs.delete(appendingP, false); () }
@@ -773,29 +827,87 @@ object Dedup {
     * (tag, epoch) partition: the self-growing admit gate probes a
     * batch against everything EXCEPT its own epoch's previous
     * incarnation, so an at-least-once replay recomputes the same
-    * verdicts instead of being vetoed by itself. */
+    * verdicts instead of being vetoed by itself.
+    *
+    * VERSION-STABLE (r15 purge-grace work): the whole open — marks
+    * read, dead-file exclusion, main listing, epoch listing, and the
+    * optional eager tombstone snapshot — runs inside a
+    * [[graft.engine.LayoutFs.consistentSnapshot]] bracket keyed on
+    * the manifest's re-issue counter, closing the listing-vs-swap
+    * race the per-field patient reads could not (a fold renaming
+    * staged files in while this opener lists the directory would
+    * hand it old AND new copies of the same rows). A purge's
+    * replaced files sit in the manifest's `dead_files` grace list:
+    * excluded here, still on disk for readers whose listing predates
+    * the purge (their tombstone anti-join keeps them exact), and
+    * physically collected one maintenance cycle later.
+    *
+    * `suppressDeletes` applies the takedown anti-join INSIDE the
+    * bracket from an EAGER tombstone snapshot (the ids collect to
+    * the driver — the deletes table is declared-small, the same
+    * contract as the broadcast it feeds): a purge consuming the
+    * tombstone files mid-probe must not fail the probe's lazy read,
+    * and a bands listing from before the purge must never pair with
+    * an after-the-purge empty tombstone set (purged rows would
+    * resurface for exactly that probe). */
   private[graft] def openNearDupTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       table: String,
       excludeEpoch: Option[(String, Long)] = None,
-      marksSnapshot: Option[Map[String, Long]] = None): DataFrame = {
-    val main = spark.read.parquet(s"$path/$table")
+      suppressDeletes: Boolean = false): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // marks ride a PATIENT read (or the caller's one-per-probe
-    // snapshot): mid-swap absence read as "no marks" would union a
-    // just-folded epoch back in over the main rows it now duplicates
-    val live = liveNearDupEpochs(spark, fs, path, table,
-        marksSnapshot.getOrElse(readNearDupMarksPatient(spark, path)))
-      .filterNot { case (tag, ep, _) =>
-        excludeEpoch.contains((tag, ep)) }
-    if (live.isEmpty) main
-    else {
-      val cols = main.columns.toIndexedSeq.map(col)
-      main.unionByName(
-        spark.read.option("basePath", s"$path/stream_$table")
-          .parquet(live.map(_._3.toString): _*)
-          .select(cols: _*))
+    graft.engine.LayoutFs.consistentSnapshot(
+        s"openNearDupTable($table) at '$path'",
+        readNearDupVersion(spark, path)) {
+      val deadT = readNearDupDead(spark, path)
+        .getOrElse(table, Nil).toSet
+      val main =
+        if (deadT.isEmpty) spark.read.parquet(s"$path/$table")
+        else {
+          val livePaths = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$path/$table")).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet") &&
+              !deadT(st.getPath.getName))
+            .map(_.getPath.toString)
+          if (livePaths.isEmpty)
+            // every file replaced mid-grace: schema from the dir (dead
+            // files share it), zero rows
+            spark.read.parquet(s"$path/$table").limit(0)
+          else spark.read.parquet(livePaths: _*)
+        }
+      val live = liveNearDupEpochs(spark, fs, path, table,
+          readNearDupMarksPatient(spark, path))
+        .filterNot { case (tag, ep, _) =>
+          excludeEpoch.contains((tag, ep)) }
+      val unioned =
+        if (live.isEmpty) main
+        else {
+          val cols = main.columns.toIndexedSeq.map(col)
+          main.unionByName(
+            spark.read.option("basePath", s"$path/stream_$table")
+              .parquet(live.map(_._3.toString): _*)
+              .select(cols: _*))
+        }
+      if (!suppressDeletes) unioned
+      else {
+        val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+        if (!graft.engine.LayoutFs.hasVisibleParquetFile(fs, delP))
+          unioned
+        else {
+          val delDf = spark.read.parquet(delP.toString)
+            .select(col("__cid")).distinct()
+          val ids = delDf.collect().toIndexedSeq
+          if (ids.isEmpty) unioned
+          else unioned.join(
+            broadcast(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(ids).asJava),
+              delDf.schema)),
+            Seq("__cid"), "left_anti")
+        }
+      }
     }
   }
 
@@ -933,6 +1045,11 @@ object Dedup {
     val epochsSh = liveNearDupEpochs(spark, fs, path, "shingles", marks0)
     val epochsBd = liveNearDupEpochs(spark, fs, path, "bands", marks0)
     if (delFiles.isEmpty && epochsSh.isEmpty && epochsBd.isEmpty) {
+      // nothing to fold or purge — still a maintenance ENTRY, so a
+      // previous purge's dead-file grace list is collected here too
+      // (marker-guarded; silently deferred if a writer holds the
+      // index — the next entry gets it)
+      collectNearDupDeadStandalone(spark, fs, path)
       sweepDeletesDir(fs, delDir)
       sweepStreamHusks(fs, path)
       return 0L
@@ -955,7 +1072,26 @@ object Dedup {
           s"at '$path' (${compactingP.getName} exists) — wait for it " +
           "to finish, or delete the marker if it crashed mid-run")
     try {
-      var rows = rows0
+      // DEAD-FILE GRACE COLLECTION (r15): a previous purge's replaced
+      // files were kept on disk for readers whose listing predated it
+      // (openNearDupTable excludes them via the manifest's dead list);
+      // one maintenance cycle later — here, under the marker — they
+      // are physically collected. Idempotent: a missing name is a
+      // no-op delete.
+      readNearDupDead(spark, path).foreach { case (table, names) =>
+        names.foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$n"),
+            false)
+        }
+      }
+      // fresh accounting under the marker: the pre-acquire read's
+      // totals could predate an append that finished between the
+      // read and the acquisition
+      val (_, _, _, rowsFresh) =
+        readNearDupManifest(spark, path).getOrElse(
+          (shingleSize, numHashes, bands, rows0))
+      var ver = readNearDupVersion(spark, path).getOrElse(0L)
+      var rows = rowsFresh
       var marks = marks0
       // STEP 1 — fold the streamed epoch SNAPSHOT into the main
       // tables: the stream data files carry exactly the main schema
@@ -1033,8 +1169,9 @@ object Dedup {
           case (tag, es) =>
             tag -> math.max(es.map(_._2).max, marks.getOrElse(tag, -1L))
         }
+        ver += 1
         writeNearDupManifest(spark, path,
-          shingleSize, numHashes, bands, rows, marks)
+          shingleSize, numHashes, bands, rows, marks, version = ver)
       }
       // STEP 2 — the file-scoped tombstone purge, now covering the
       // freshly folded rows too (the doomed-file scan runs on the
@@ -1093,11 +1230,21 @@ object Dedup {
                   new org.apache.hadoop.fs.Path(
                     s"$path/$table/${st.getPath.getName}"))
               }
-            files.foreach(f =>
-              fs.delete(new org.apache.hadoop.fs.Path(f), false))
           }
           fs.delete(stagedP, true)
         }
+        // the replaced files are NOT deleted — they enter the
+        // manifest's dead-file grace list below (r15, the purge-soak
+        // finding): a reader whose listing predates this purge
+        // finishes against intact files (its eager tombstone snapshot
+        // keeps it exact), every later reader excludes them by name,
+        // and the NEXT maintenance entry collects them physically —
+        // the same one-cycle grace the folded epoch dirs ride.
+        val deadNow: Map[String, Seq[String]] = doomed.collect {
+          case (table, files) if files.nonEmpty =>
+            table -> files.map(f =>
+              new org.apache.hadoop.fs.Path(f).getName)
+        }.toMap
         // re-issue the certificate FIRST (the retraction window stays
         // file-moves-only), then retain-and-consume the tombstone
         // snapshot: an id still living in a remaining stream epoch
@@ -1107,13 +1254,50 @@ object Dedup {
         // advice). A crash between the re-issue and the consumption
         // below just leaves the tombstones standing: still suppressed
         // probe-side, re-purged idempotently by the next fold.
+        ver += 1
         writeNearDupManifest(spark, path,
-          shingleSize, numHashes, bands, rows - purgedDocs, marks)
+          shingleSize, numHashes, bands, rows - purgedDocs, marks,
+          version = ver, dead = deadNow)
         retainStreamTombstones(spark, fs, path, dels)
         delFiles.foreach(f => fs.delete(f, false))
         sweepDeletesDir(fs, delDir)
         purgedDocs
       } else 0L
+    } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** Dead-file grace collection for a maintenance entry that has no
+    * other work ([[compactNearDupIndex]]'s early return): acquires
+    * the `_COMPACTING` marker just for the collection (a concurrent
+    * writer defers it to the next entry — this is opportunistic
+    * hygiene, never worth failing a no-op compact over), deletes the
+    * manifest's dead files, and re-issues the certificate with the
+    * list cleared so openers stop paying the exclusion listing. */
+  private def collectNearDupDeadStandalone(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dead = readNearDupDead(spark, path)
+    if (dead.forall(_._2.isEmpty)) return
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    try graft.engine.LayoutFs.acquireMarker(fs, compactingP, appendingP,
+      refuseOpposite = "busy", refuseOwn = "busy")
+    catch { case _: IllegalArgumentException => return }
+    try {
+      readNearDupManifest(spark, path).foreach {
+        case (ss, nh, nb, rows) =>
+          dead.foreach { case (table, names) =>
+            names.foreach { n =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$path/$table/$n"), false)
+            }
+          }
+          val marks = readNearDupMarks(spark, path)
+          val ver = readNearDupVersion(spark, path).getOrElse(0L) + 1
+          fs.delete(nearDupManifestFile(path), false)
+          writeNearDupManifest(spark, path, ss, nh, nb, rows, marks,
+            version = ver)
+      }
     } finally { fs.delete(compactingP, false); () }
   }
 
@@ -1277,9 +1461,6 @@ object Dedup {
       readNearDupManifestPatient(spark, indexPath).getOrElse(sys.error(
         s"no near-dup index manifest at $indexPath (incomplete build? " +
           "rebuild with writeNearDupIndex)"))
-    // ONE marks snapshot serves both table opens: two independent
-    // reads could straddle a fold and see different epoch sets
-    val marksSnap = Some(readNearDupMarksPatient(spark, indexPath))
     // registered with AutoUnpersist at the END, like the direct path:
     // the bloom branch's count/build actions would release an
     // already-registered entry (bBuckets is an unpersisted projection)
@@ -1287,18 +1468,17 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)
-    val cBandsAll =
-      openNearDupTable(spark, indexPath, "bands", excludeEpoch, marksSnap)
-    val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
-    val cBands0 =
-      if (graft.engine.LayoutFs.hasVisibleParquetFile(
-          delP.getFileSystem(spark.sparkContext.hadoopConfiguration),
-          delP))
-        cBandsAll.join(
-          org.apache.spark.sql.functions.broadcast(
-            spark.read.parquet(delP.toString).distinct()),
-          Seq("__cid"), "left_anti")
-      else cBandsAll
+    // each open is version-stable internally (openNearDupTable's
+    // snapshot bracket); cross-table consistency needs no shared
+    // snapshot because every maintenance verb preserves LOGICAL
+    // content (a fold moves rows main-ward, a purge erases rows the
+    // tombstone anti-join already suppressed), so a shingles open at
+    // version v and a bands open at v+1 read the same document set.
+    // Tombstone suppression on the BAND scan is sufficient AND rides
+    // inside the bands open's own bracket: pairs, hit ids, and the
+    // shingle fetch all derive from it
+    val cBands0 = openNearDupTable(spark, indexPath, "bands",
+      excludeEpoch, suppressDeletes = true)
     val cBands = bloomFpp match {
       case None => cBands0
       case Some(fpp) =>
@@ -1331,7 +1511,7 @@ object Dedup {
     val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
     val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
     val cShingles = openNearDupTable(spark, indexPath, "shingles",
-        excludeEpoch, marksSnap)
+        excludeEpoch)
       .join(hitIds, Seq("__cid"), "left_semi")
     val cand = pairs.join(cShingles, "__cid")
     nearDupVerdicts(batch,

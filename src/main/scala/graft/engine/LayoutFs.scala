@@ -63,6 +63,99 @@ object LayoutFs {
     }
   }
 
+  /** Run `body` (an index opener's listing + snapshot work) inside a
+    * VERSION-STABLE bracket: the artifact's manifest version is read
+    * patiently before and after, and `body`'s result is kept only when
+    * the two reads agree — a maintenance re-issue between them means a
+    * swap may have interleaved the listing (a fold or purge renaming
+    * staged files in while the reader lists the directory would hand
+    * it old AND new copies of the same rows), so the whole open
+    * retries against the new state. The two version reads are
+    * tiny-file reads; the common case (no maintenance running) pays
+    * one extra manifest open per table open and never loops.
+    *
+    * A `FileNotFoundException` from `body` retries the same way: it
+    * means a maintenance verb collected a file between the listing
+    * and an eager read inside the bracket — by construction the next
+    * attempt reads the re-issued state. Bounded: an index under
+    * genuinely continuous maintenance churn fails loudly after
+    * `attempts` tries instead of spinning. */
+  def consistentSnapshot[A](what: String, version: => Option[Long],
+      attempts: Int = 20)(body: => A): A = {
+    var tries = 0
+    while (true) {
+      tries += 1
+      val v1 = patiently(version)
+      val out =
+        try Some(body)
+        catch {
+          // retry only when a certificate EXISTED going in — with no
+          // manifest nothing is mid-swap, so the body's own loud
+          // refusal (missing dir, incomplete build) must propagate
+          // with its precise message
+          case t: Throwable
+              if v1.isDefined && tries < attempts && fileVanished(t) =>
+            None
+        }
+      if (out.isDefined && patiently(version) == v1)
+        return out.get
+      if (tries >= attempts)
+        sys.error(s"$what: the manifest version moved on every one of " +
+          s"$attempts open attempts — continuous maintenance churn? " +
+          "pause maintenance or retry later")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Did a file vanish under `t`'s computation? Spark wraps the
+    * executor-side `FileNotFoundException` in SparkException
+    * (FAILED_READ_FILE) and a vanished directory surfaces as an
+    * AnalysisException (PATH_NOT_FOUND), so the snapshot bracket's
+    * retry predicate walks the cause chain and the message. */
+  private def fileVanished(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 10) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
+          m.contains("FileNotFoundException")) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Serialize a per-table dead-file grace list for a manifest
+    * certificate — `{"table": ["name", ...], ...}`. Names come from
+    * our own directory listings (Spark part-file names, or
+    * `__cell=N/name` relatives) and are REQUIRED to stay in that
+    * shape: a name that could smuggle JSON through the reader's regex
+    * refuses loudly instead of corrupting the certificate. */
+  def deadFilesJson(dead: Map[String, Seq[String]]): String =
+    dead.toSeq.sortBy(_._1).map { case (table, names) =>
+      names.foreach { n =>
+        require(n.matches("""[-._a-zA-Z0-9=/]+"""),
+          s"dead-file name '$n' is not a plain part-file path — " +
+            "refusing to certify it")
+      }
+      s""""$table": ${names.sorted.map(n => s""""$n"""").mkString("[", ", ", "]")}"""
+    }.mkString("{", ", ", "}")
+
+  /** Parse [[deadFilesJson]] back out of a manifest's text. Absent
+    * key (pre-grace manifests) reads as empty. */
+  def parseDeadFiles(manifestTxt: String): Map[String, Seq[String]] =
+    """"dead_files":\s*\{(.*?)\}""".r.findFirstMatchIn(manifestTxt)
+      .map(_.group(1)) match {
+        case None => Map.empty
+        case Some(body) =>
+          """"(\w+)":\s*\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
+            m.group(1) ->
+              """"([^"]+)"""".r.findAllMatchIn(m.group(2))
+                .map(_.group(1)).toSeq
+          }.toMap
+      }
+
   /** Re-run `read` with a SHORT bounded retry while it returns None: a
     * compaction retracts its manifest certificate for a narrow swap
     * window, and a live probe or stream batch landing inside it must

@@ -335,7 +335,12 @@ object Ann {
       // highest epoch folded into assigned/): a replayed epoch at or
       // below its tag's mark is ALREADY in the main table and the
       // sink must skip it, not re-create it in stream/
-      streamMarks: Map[String, Long] = Map.empty) {
+      streamMarks: Map[String, Long] = Map.empty,
+      // dead-file grace (r15): a purge's replaced assigned/ files
+      // (`__cell=N/name` relatives), retained on disk one maintenance
+      // cycle for readers whose listing predates the purge; openers
+      // exclude them, the next maintenance entry collects them
+      deadFiles: Seq[String] = Nil) {
     def layoutName: String = quant match {
       case 0 => "FLOAT"; case 1 => "int8-QUANTIZED (SQ8)"
       case _ => "PRODUCT-QUANTIZED (PQ)"
@@ -350,7 +355,8 @@ object Ann {
       path: String, nlist: Int, rows: Long, quant: Int,
       pqM: Int = 0, pqKsub: Int = 0, version: Long = 0,
       pqRes: Int = 0, geomId: Long = 0L,
-      streamMarks: Map[String, Long] = Map.empty): Unit = {
+      streamMarks: Map[String, Long] = Map.empty,
+      deadFiles: Seq[String] = Nil): Unit = {
     val p = manifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -359,11 +365,15 @@ object Ann {
       .map { case (k, v) =>
         s""""${k.replaceAll("[^0-9a-zA-Z]", "")}": $v""" }
       .mkString("{", ", ", "}")
+    val dead = graft.engine.LayoutFs.deadFilesJson(
+      if (deadFiles.isEmpty) Map.empty
+      else Map("assigned" -> deadFiles))
     try out.write(
       (s"""{"nlist": $nlist, "rows": $rows, """ +
         s""""quant": $quant, "pq_m": $pqM, "pq_ksub": $pqKsub, """ +
         s""""pq_res": $pqRes, "version": $version, """ +
         s""""geom_id": $geomId, "stream_marks": $marks, """ +
+        s""""dead_files": $dead, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -400,7 +410,9 @@ object Ann {
           field("version").getOrElse(0L),
           field("pq_res").getOrElse(0L).toInt,
           field("geom_id").getOrElse(0L),
-          marks)
+          marks,
+          graft.engine.LayoutFs.parseDeadFiles(txt)
+            .getOrElse("assigned", Nil))
     }
   }
 
@@ -430,9 +442,17 @@ object Ann {
     }
     // a long-lived JVM (the API server) must never silently probe a
     // dir someone rebuilt under it — both torn states fail loudly.
-    // Patient read: a concurrent compaction retracts the certificate
-    // for its narrow swap window and a probe landing inside it should
-    // ride it out, not die on a transient state.
+    // The whole open — manifest, centroid check, assigned listing,
+    // epoch listing, tombstone snapshot — runs VERSION-STABLE
+    // (consistentSnapshot, r15): every maintenance re-issue bumps the
+    // manifest version, so a stable version across the listings
+    // proves no swap interleaved them (a fold renaming staged cell
+    // files in mid-listing would otherwise hand this probe old AND
+    // new copies of the same rows). Patient reads inside ride out
+    // the narrow retraction windows as before.
+    graft.engine.LayoutFs.consistentSnapshot(
+        s"$probe at '$path'",
+        readManifest(spark, path).map(_.version)) {
     val mf = readManifestPatient(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$probe: '$path' has no build manifest — the index build " +
@@ -473,7 +493,34 @@ object Ann {
     // data. hasParquetFile (not bare exists): a file-less stream/
     // remnant must not turn the whole index unprobable with a
     // schema-inference error (r13 review).
-    val assigned = spark.read.parquet(s"$path/assigned")
+    // a purge's replaced cell files ride the manifest's dead-file
+    // grace list (r15): excluded here by relative name, still on
+    // disk for probes whose listing predates the purge (their
+    // tombstone snapshot keeps them exact), physically collected one
+    // maintenance cycle later. The exclusion listing preserves
+    // partition pruning — each explicit path still carries its
+    // __cell= directory, and basePath derives the partition column.
+    val assigned =
+      if (mf.deadFiles.isEmpty) spark.read.parquet(s"$path/assigned")
+      else {
+        val deadSet = mf.deadFiles.toSet
+        val livePaths = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$path/assigned")).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("__cell="))
+          .flatMap { cd =>
+            fs.listStatus(cd.getPath).toSeq
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet"))
+              .map(st => (s"${cd.getPath.getName}/${st.getPath.getName}",
+                st.getPath.toString))
+          }
+          .collect { case (rel, p) if !deadSet(rel) => p }
+        if (livePaths.isEmpty)
+          spark.read.parquet(s"$path/assigned").limit(0)
+        else spark.read.option("basePath", s"$path/assigned")
+          .parquet(livePaths: _*)
+      }
     // LIVE epochs only — marks-filtered like the band opener (r15):
     // a folded epoch's dir is RETAINED one fold cycle as probe grace
     // (compactIvfIndex), and its rows are already in assigned/, so
@@ -492,17 +539,29 @@ object Ann {
           .drop("__epoch", "__stream"))
     // TOMBSTONES (deleteFromIvfIndex): suppressed here, AFTER the
     // stream union, so the takedown covers built and still-streaming
-    // rows alike across all three layouts. Broadcast anti-join — the
-    // deletes table is declared-small (takedowns, not corpus scale);
-    // compactIvfIndex purges the rows physically and clears the table.
-    val withDeletes =
-      if (hasParquetFile(fs, new org.apache.hadoop.fs.Path(s"$path/deletes")))
-        withStream.join(
-          broadcast(spark.read.parquet(s"$path/deletes")
-            .select(col("neighbor_id").as("__del_id")).distinct()),
+    // rows alike across all three layouts. EAGER snapshot inside the
+    // version bracket (r15): the ids collect to the driver (the
+    // deletes table is declared-small — the same contract as the
+    // broadcast it feeds), so a purge consuming the tombstone files
+    // mid-probe cannot fail the probe's lazy read, and a pre-purge
+    // listing can never pair with a post-purge empty tombstone set.
+    val withDeletes = {
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      if (!hasParquetFile(fs, delP)) withStream
+      else {
+        val delDf = spark.read.parquet(delP.toString)
+          .select(col("neighbor_id").as("__del_id")).distinct()
+        val ids = delDf.collect().toIndexedSeq
+        if (ids.isEmpty) withStream
+        else withStream.join(
+          broadcast(spark.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(ids).asJava,
+            delDf.schema)),
           col("neighbor_id") === col("__del_id"), "left_anti")
-      else withStream
+      }
+    }
     (centDfRaw, withDeletes, mf)
+    }
   }
 
   /** Rank each query's nprobe nearest cells by float centroid distance:
@@ -1503,7 +1562,11 @@ object Ann {
       fs.delete(stagedP, true)
       writeManifest(spark, path, mf.nlist, total, mf.quant,
         mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
-        geomId = mf.geomId, streamMarks = mf.streamMarks)
+        geomId = mf.geomId, streamMarks = mf.streamMarks,
+        // carried, not collected: grace collection is the compact
+        // entry's job; an append mid-grace keeps excluding the
+        // purge's replaced files
+        deadFiles = mf.deadFiles)
     } finally { fs.delete(appendingP, false); () }
   }
 
@@ -1671,7 +1734,14 @@ object Ann {
       else fs.listStatus(delDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
-    if (!fs.exists(streamP) && delFiles.isEmpty) return 0L
+    if (!fs.exists(streamP) && delFiles.isEmpty) {
+      // nothing to fold or purge — still a maintenance ENTRY, so a
+      // previous purge's dead-file grace list is collected here too
+      // (marker-guarded; silently deferred if a writer holds the
+      // index)
+      collectIvfDeadStandalone(spark, fs, path)
+      return 0L
+    }
     val mf = readManifest(spark, path).getOrElse(sys.error(
       s"compactIvfIndex: no build manifest at '$path' — nothing " +
         "certified to compact; rebuild with writeIvfIndex"))
@@ -1689,18 +1759,31 @@ object Ann {
           s"'$path' (${compactingP.getName} exists) — wait for it to " +
           "finish, or delete the marker if it crashed mid-run")
     try {
+    // fresh manifest under the marker (the pre-acquire read could
+    // predate an append that finished since), then DEAD-FILE GRACE
+    // COLLECTION (r15): a previous purge's replaced cell files were
+    // kept on disk for readers whose listing predated it — one
+    // maintenance cycle later, here, they are physically collected.
+    val mfF = readManifest(spark, path).getOrElse(mf)
+    mfF.deadFiles.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/$rel"),
+        false)
+    }
     // the stream snapshot: fold + delete exactly these dirs, nothing
     // newer. Three bins: file-less crash husks (swept), RESURRECTED
     // epochs — at/below their tag's existing watermark, i.e. a replay
     // that raced a previous compaction and re-created a dir whose rows
     // the main table already holds (r13 review #3) — deleted WITHOUT
     // folding (folding again would make the duplication permanent),
-    // and genuinely new epochs (folded).
+    // and genuinely new epochs (folded). The resurrected bin doubles
+    // as the folded-epoch grace collection: the previous fold
+    // RETAINED its banked dirs under the watermark for in-flight
+    // probes, and this entry removes them.
     val epochs = listStreamEpochs(fs, path)
     val (files, husks) = epochs.partition(e => hasParquetFile(fs, e._3))
     husks.foreach(e => fs.delete(e._3, true))
     val (resurrected, live) = files.partition { case (tag, ep, _) =>
-      mf.streamMarks.get(tag).exists(ep <= _) }
+      mfF.streamMarks.get(tag).exists(ep <= _) }
     resurrected.foreach(e => fs.delete(e._3, true))
     val dels: Option[DataFrame] =
       if (delFiles.isEmpty) None
@@ -1761,12 +1844,12 @@ object Ann {
         }
       fs.delete(stagedP, true)
       val folded2 = live.groupBy(_._1).view.mapValues(_.map(_._2).max)
-      val marks2 = mf.streamMarks ++ folded2.map { case (tag, mx) =>
-        tag -> math.max(mx, mf.streamMarks.getOrElse(tag, -1L))
+      val marks2 = mfF.streamMarks ++ folded2.map { case (tag, mx) =>
+        tag -> math.max(mx, mfF.streamMarks.getOrElse(tag, -1L))
       }
-      writeManifest(spark, path, mf.nlist, mf.rows + folded, mf.quant,
-        mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
-        geomId = mf.geomId, streamMarks = marks2)
+      writeManifest(spark, path, mfF.nlist, mfF.rows + folded, mfF.quant,
+        mfF.pqM, mfF.pqKsub, version = mfF.version + 1, pqRes = mfF.pqRes,
+        geomId = mfF.geomId, streamMarks = marks2)
       sweepEmpties()
       return 0L
     }
@@ -1843,22 +1926,45 @@ object Ann {
       if (hasParquetFile(fs, stagedP))
         spark.read.parquet(stagedP.toString).count()
       else 0L // every touched row tombstoned — nothing staged
+    // record the touched cells' PRE-SWAP files: they become the
+    // manifest's dead-file grace list (r15, the purge-soak finding) —
+    // never deleted here, so a probe whose listing predates this
+    // purge finishes against intact files (its eager tombstone
+    // snapshot keeps it exact); every later probe excludes them by
+    // relative name, and the NEXT maintenance entry collects them.
+    val deadNow: Seq[String] = touched.toSeq.flatMap { cellDir =>
+      val cd = new org.apache.hadoop.fs.Path(s"$path/assigned/$cellDir")
+      if (!fs.exists(cd)) Nil
+      else fs.listStatus(cd).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$cellDir/${st.getPath.getName}")
+    }
     val mfp = manifestFile(path)
     mfp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(mfp, false)
     touched.foreach { cellDir =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/$cellDir"),
-        true)
-      val src = new org.apache.hadoop.fs.Path(s"$path/assigned_compact/$cellDir")
-      if (fs.exists(src))
-        fs.rename(src,
-          new org.apache.hadoop.fs.Path(s"$path/assigned/$cellDir"))
+      val src =
+        new org.apache.hadoop.fs.Path(s"$path/assigned_compact/$cellDir")
+      if (fs.exists(src)) {
+        val target =
+          new org.apache.hadoop.fs.Path(s"$path/assigned/$cellDir")
+        if (!fs.exists(target)) fs.mkdirs(target)
+        fs.listStatus(src).toSeq
+          .filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+              s"$target/${st.getPath.getName}"))
+          }
+      }
     }
     fs.delete(stagedP, true)
-    live.foreach(e => fs.delete(e._3, true))
+    // the folded epoch dirs are RETAINED under the watermark written
+    // below (probe grace, the fold path's rule) — the next entry's
+    // resurrected sweep collects them
     val folded = live.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-    val marks = mf.streamMarks ++ folded.map { case (tag, mx) =>
-      tag -> math.max(mx, mf.streamMarks.getOrElse(tag, -1L))
+    val marks = mfF.streamMarks ++ folded.map { case (tag, mx) =>
+      tag -> math.max(mx, mfF.streamMarks.getOrElse(tag, -1L))
     }
     // re-issue the certificate FIRST (the retraction window stays
     // file-moves-only), then retain-and-consume the tombstone
@@ -1868,14 +1974,95 @@ object Ann {
     // crash between the re-issue and the consumption below leaves the
     // tombstones standing: still suppressed probe-side, re-purged
     // idempotently by the next fold.
-    writeManifest(spark, path, mf.nlist,
-      mf.rows - mainTouchedCount + stagedCount, mf.quant,
-      mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
-      geomId = mf.geomId, streamMarks = marks)
+    writeManifest(spark, path, mfF.nlist,
+      mfF.rows - mainTouchedCount + stagedCount, mfF.quant,
+      mfF.pqM, mfF.pqKsub, version = mfF.version + 1, pqRes = mfF.pqRes,
+      geomId = mfF.geomId, streamMarks = marks, deadFiles = deadNow)
     dels.foreach(d => retainStreamTombstones(spark, fs, path, d))
     delFiles.foreach(f => fs.delete(f, false))
     sweepEmpties()
     purged
+    } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** RAW membership view of a persisted index — assigned/ minus the
+    * dead-file grace, ∪ live stream epochs, with NO tombstone
+    * suppression: the takedown receipts measure "ids matched" against
+    * exactly what the artifact physically holds as live rows
+    * (tombstones must not mask a match they are about to purge), and
+    * a purge's replaced files must not count as membership either.
+    * Version-stable like the probe openers. */
+  private[graft] def openAssignedRaw(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.LayoutFs.consistentSnapshot(
+        s"openAssignedRaw at '$path'",
+        readManifest(spark, path).map(_.version)) {
+      val mf = readManifestPatient(spark, path).getOrElse(sys.error(
+        s"openAssignedRaw: no build manifest at '$path'"))
+      val deadSet = mf.deadFiles.toSet
+      val assigned =
+        if (deadSet.isEmpty) spark.read.parquet(s"$path/assigned")
+        else {
+          val livePaths = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$path/assigned")).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("__cell="))
+            .flatMap { cd =>
+              fs.listStatus(cd.getPath).toSeq
+                .filter(st => st.isFile &&
+                  st.getPath.getName.endsWith(".parquet"))
+                .map(st =>
+                  (s"${cd.getPath.getName}/${st.getPath.getName}",
+                    st.getPath.toString))
+            }
+            .collect { case (rel, p) if !deadSet(rel) => p }
+          if (livePaths.isEmpty)
+            spark.read.parquet(s"$path/assigned").limit(0)
+          else spark.read.option("basePath", s"$path/assigned")
+            .parquet(livePaths: _*)
+        }
+      val liveEpochs = listStreamEpochs(fs, path)
+        .filter(e => hasParquetFile(fs, e._3))
+        .filterNot { case (tag, ep, _) =>
+          mf.streamMarks.get(tag).exists(ep <= _) }
+      if (liveEpochs.isEmpty) assigned
+      else assigned.unionByName(
+        spark.read.option("basePath", s"$path/stream")
+          .parquet(liveEpochs.map(_._3.toString): _*)
+          .drop("__epoch", "__stream"))
+    }
+  }
+
+  /** Dead-file grace collection for a maintenance entry with no other
+    * work ([[compactIvfIndex]]'s early return): acquires the
+    * `_COMPACTING` marker just for the collection (a concurrent
+    * writer defers it — opportunistic hygiene, never worth failing a
+    * no-op compact over), deletes the manifest's dead cell files, and
+    * re-issues the certificate with the list cleared. */
+  private def collectIvfDeadStandalone(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val mf0 = readManifest(spark, path).getOrElse(return)
+    if (mf0.deadFiles.isEmpty) return
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    try graft.engine.LayoutFs.acquireMarker(fs, compactingP, appendingP,
+      refuseOpposite = "busy", refuseOwn = "busy")
+    catch { case _: IllegalArgumentException => return }
+    try {
+      val mf = readManifest(spark, path).getOrElse(return)
+      mf.deadFiles.foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/$rel"),
+          false)
+      }
+      val mfp = manifestFile(path)
+      fs.delete(mfp, false)
+      writeManifest(spark, path, mf.nlist, mf.rows, mf.quant,
+        mf.pqM, mf.pqKsub, version = mf.version + 1, pqRes = mf.pqRes,
+        geomId = mf.geomId, streamMarks = mf.streamMarks)
     } finally { fs.delete(compactingP, false); () }
   }
 

@@ -294,16 +294,9 @@ object EventStream {
     // the bucket set at CONSTRUCTION, so epochs streamed after the
     // gate was built need a rebuilt gate (or the admit stream, which
     // re-probes per batch).
-    val bandsAll = Dedup.openNearDupTable(spark, indexPath, "bands")
-    val delP = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
-    val corpusBuckets =
-      (if (delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(delP))
-        bandsAll.join(
-          org.apache.spark.sql.functions.broadcast(
-            spark.read.parquet(delP.toString).distinct()),
-          Seq("__cid"), "left_anti")
-      else bandsAll).select(col("bucket"))
+    val corpusBuckets = Dedup.openNearDupTable(spark, indexPath,
+        "bands", suppressDeletes = true)
+      .select(col("bucket"))
     // the shingle UDF is the row's expensive part — materialize it ONCE
     // per row (a shared Column expression would re-run it under the
     // guard, the size check, and the signature)

@@ -1905,16 +1905,27 @@ class GraphDedupSpec extends SparkSpec {
     assert(changed == expectedTouched,
       s"fold rewrote $changed, expected exactly $expectedTouched — " +
         "cell-scoping broken (O(index) rewrite, the r13 scale finding)")
-    // purge is PHYSICAL: tombstoned rows gone from assigned/, the
-    // consumed tombstone files gone with them, stream/ folded away
-    val idsAfter = spark.read.parquet(s"$idx/assigned")
+    // purge is PHYSICAL in the reader-visible view: tombstoned rows
+    // gone from the live file set (openAssignedRaw excludes the
+    // replaced files, which stay on disk as r15 dead-file grace)
+    val idsAfter = Ann.openAssignedRaw(spark, idx)
       .select("neighbor_id").as[Long].collect().toSet
     assert(!idsAfter.contains(victimBuilt) &&
       !idsAfter.contains(victimStreamed) && idsAfter.contains(1000000L),
       "fold failed to purge tombstones (or dropped a live streamed row)")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
-      "fold left deletes/ or stream/ behind")
+    // the manifest names the replaced files dead, and they survive on
+    // disk through the grace window
+    val deadAfter = Ann.readManifest(spark, idx).get.deadFiles
+    assert(deadAfter.nonEmpty, "the purge left no dead-file grace list")
+    deadAfter.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/assigned/$rel")),
+        s"dead file $rel must survive on disk through the grace")
+    }
+    // the folded epoch dirs and the retained tombstone (the streamed
+    // victim's bytes still sit in the graced dir — the hard-erasure
+    // reading of the retention rule) both stand until the next entry
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
+      "the purge must RETAIN folded epoch dirs one cycle (probe grace)")
     val mf = Ann.readManifest(spark, idx).get
     assert(mf.rows == e.count() + 4 - 2, mf.toString)
     val probedAfter = Ann.ivfIndexTopK(spark, idx, q,
@@ -1923,6 +1934,21 @@ class GraphDedupSpec extends SparkSpec {
     assert(!probedAfter.contains(victimBuilt) &&
       !probedAfter.contains(victimStreamed),
       "purged ids resurfaced after the fold")
+    // the next maintenance entry collects the grace: dead files,
+    // graced epoch dirs, and the then-fully-purged tombstones all go
+    Ann.compactIvfIndex(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stream")),
+      "the next entry left deletes/ or stream/ behind")
+    deadAfter.foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/assigned/$rel")),
+        s"dead file $rel must be collected by the next entry")
+    }
+    val probedCollected = Ann.ivfIndexTopK(spark, idx, q,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(probedCollected == probedAfter,
+      "grace collection changed the probe's answer")
     // tombstones alone (no streamed rows) also fold: only the
     // victim's cell is rewritten
     val victim2 = 23L
@@ -1937,6 +1963,7 @@ class GraphDedupSpec extends SparkSpec {
       before2.get(c) != after2.get(c))
     assert(changed2 == Set(victim2Cell),
       s"tombstone-only fold rewrote $changed2, expected $victim2Cell")
+    Ann.compactIvfIndex(spark, idx) // collect victim2's grace files
     // unknown-id tombstones are legal and consumed without a rewrite
     Ann.deleteFromIvfIndex(Seq(999999999L).toDF("vec_id"), "vec_id", idx)
     val before3 = cellFiles()
@@ -2221,8 +2248,15 @@ class GraphDedupSpec extends SparkSpec {
     val after = files("shingles")
     assert((before.keySet -- doomedF).forall(f => after.get(f) == before.get(f)),
       "an untouched file was rewritten by the file-scoped fold")
-    assert(doomedF.forall(f => !after.contains(f)),
-      "a doomed file survived the purge")
+    // r15 dead-file grace: the replaced files SURVIVE this purge on
+    // disk (readers in flight finish against them), the manifest
+    // names them dead (openers exclude them), and the NEXT
+    // maintenance entry collects them physically
+    assert(doomedF.forall(f => after.contains(f)),
+      "a doomed file was deleted in-place instead of riding the grace")
+    assert(Dedup.readNearDupDead(spark, apx)
+        .getOrElse("shingles", Nil).toSet == doomedF,
+      "the manifest's dead list must name exactly the replaced files")
     // tombstones consumed, accounting decremented, probe ≡ a rebuild
     // on the survivors — the post-purge index IS the smaller corpus
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$apx/deletes")),
@@ -2233,7 +2267,15 @@ class GraphDedupSpec extends SparkSpec {
       "doc_id", "text", reb2, shingleSize = 3, numHashes = 60, bands = 10)
     assert(verdicts(apx) == verdicts(reb2),
       "post-compact probe diverged from a rebuild on the survivors")
-    Dedup.compactNearDupIndex(spark, apx) // no tombstones → cheap no-op
+    // the next maintenance entry — a no-op compact — collects the
+    // grace files and clears the manifest's dead list
+    Dedup.compactNearDupIndex(spark, apx)
+    assert(doomedF.forall(f => !files("shingles").contains(f)),
+      "the next entry must collect the dead files physically")
+    assert(Dedup.readNearDupDead(spark, apx).values.flatten.isEmpty,
+      "the next entry must clear the dead list")
+    assert(verdicts(apx) == verdicts(reb2),
+      "dead-file collection changed the probe's answer")
 
     // auto-purge policy: below the threshold nothing folds; at it, the
     // backlog purges and the tombstone table is consumed
@@ -2438,10 +2480,12 @@ class GraphDedupSpec extends SparkSpec {
     Dedup.appendNearDupStreamBatch(Seq((50L, tpl)).toDF("doc_id", "text"),
       idx, "doc_id", "text", "tagD", 0L, pre)
     Dedup.compactNearDupIndex(spark, idx)
-    assert(spark.read.parquet(s"$idx/shingles")
+    // reader-visible rows: the opener excludes the purge's dead grace
+    // files (the raw dir still holds them for in-flight readers)
+    assert(Dedup.openNearDupTable(spark, idx, "shingles")
         .filter(col("__cid") === 50L).count() == 0,
       "the healed epoch resurrected the taken-down id")
-    assert(spark.read.parquet(s"$idx/bands")
+    assert(Dedup.openNearDupTable(spark, idx, "bands")
         .filter(col("__cid") === 50L).count() == 0)
     // the graced (folded, marks-invisible) epoch dir still holds 50's
     // bytes, so the tombstone stands until the grace collection — the

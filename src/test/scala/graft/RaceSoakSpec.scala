@@ -120,6 +120,60 @@ class RaceSoakSpec extends SparkSpec {
     } finally { e.unpersist(); queries.unpersist(); () }
   }
 
+  test("ANN index: 20 takedown PURGES under a live prober — every " +
+      "probe answers pre-/post-purge exactly, no errors; replaced " +
+      "cell files ride the dead-file grace and collect next entry") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 128)
+      .persist()
+    // 24 sacrificial NEGATED twins built in: cosine-opposite rows can
+    // never enter a top-5, so each iteration's takedown (one twin)
+    // leaves the expected ranking untouched while the purge still has
+    // real rows to erase and real cell files to replace under the
+    // prober
+    val sac = e.filter(col("vec_id") < 24).select(
+      (col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val idx = scratch("race-ivf-purge")
+    Ann.writeIvfIndex(e.unionByName(sac), "vec_id", "embedding", idx,
+      nlist = 4)
+    val queries = e.filter(col("vec_id") % 16 === 0).persist()
+    def probe(): AnyRef =
+      Ann.ivfIndexTopK(spark, idx, queries, "vec_id", "embedding",
+          k = 5, nprobe = 4, excludeSelf = false)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    try {
+      soak(
+        probe = () => probe(),
+        mutate = i => Ann.deleteFromIvfIndex(
+          Seq(2000000L + i - 1).toDF("vec_id"), "vec_id", idx),
+        fold = () => { Ann.compactIvfIndex(spark, idx); () })
+    } finally { e.unpersist(); queries.unpersist(); () }
+    // the final purge's replaced files ride the grace: on disk, named
+    // dead, collected (with the list cleared) by the next entry
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = Ann.readManifest(spark, idx).get.deadFiles
+    assert(dead.nonEmpty,
+      "the final purge should have left a dead-file grace list")
+    dead.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/assigned/$rel")),
+        s"dead file $rel must survive on disk through the grace")
+    }
+    val preAnswer = probe()
+    Ann.compactIvfIndex(spark, idx)
+    assert(Ann.readManifest(spark, idx).get.deadFiles.isEmpty,
+      "the next maintenance entry must clear the dead-file list")
+    dead.foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/assigned/$rel")),
+        s"dead file $rel must be collected by the next entry")
+    }
+    assert(probe() == preAnswer,
+      "grace collection changed the probe's answer")
+  }
+
   test("doc store: 20 staged appends under a live reader — every read " +
       "is exactly the pre- or post-append view, never mixed or torn") {
     // the third artifact has no fold; its probe-concurrent mutation is
@@ -200,6 +254,64 @@ class RaceSoakSpec extends SparkSpec {
     assert(wrong.isEmpty,
       s"${wrong.size} read(s) saw a non-pre/post-append state; " +
         s"first:\n${Option(wrong.peek()).getOrElse("")}")
+  }
+
+  test("band index: 20 takedown PURGES under a live prober — every " +
+      "probe answers pre-/post-purge exactly, no errors; replaced " +
+      "files ride the dead-file grace and collect one cycle later") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    // 8 distinct docs + 24 template clones: each iteration takes down
+    // one clone (the probe's n_corpus_dups drops by one, visible
+    // immediately through the tombstone anti-join) and the purge must
+    // preserve exactly that answer while physically rewriting the
+    // touched files under the prober
+    val corpus = ((1L to 8L).map(i =>
+        (i, s"corpus document number $i about census topic ${i % 3} " +
+          "with a few more words of text")) ++
+      (101L to 124L).map(i => (i, tpl))).toDF("doc_id", "text")
+    val idx = scratch("race-band-purge")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", idx)
+    val batch = Seq((900L, tpl),
+      (901L, "a wholly novel probe document about trains and stations"))
+      .toDF("doc_id", "text").persist()
+    def probe(): AnyRef =
+      Dedup.incrementalNearDupsIndexed(batch, idx, "doc_id", "text")
+        .select("doc_id", "n_corpus_dups", "kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    try {
+      soak(
+        probe = () => probe(),
+        mutate = i => Dedup.deleteFromNearDupIndex(
+          Seq(100L + i).toDF("doc_id"), "doc_id", idx),
+        fold = () => { Dedup.compactNearDupIndex(spark, idx); () })
+    } finally { batch.unpersist(); () }
+    // the last purge's replaced files are still on disk (grace), the
+    // manifest names them dead, and the next maintenance entry — a
+    // no-op compact — physically collects them and clears the list
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = Dedup.readNearDupDead(spark, idx)
+    assert(dead.values.flatten.nonEmpty,
+      "the final purge should have left a dead-file grace list")
+    dead.foreach { case (table, names) =>
+      names.foreach { n =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$table/$n")),
+          s"dead file $table/$n must survive on disk through the grace")
+      }
+    }
+    val preCounts = probe()
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(Dedup.readNearDupDead(spark, idx).values.flatten.isEmpty,
+      "the next maintenance entry must clear the dead-file list")
+    dead.foreach { case (table, names) =>
+      names.foreach { n =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$table/$n")),
+          s"dead file $table/$n must be collected by the next entry")
+      }
+    }
+    assert(probe() == preCounts,
+      "collection must not change the probe's answer")
   }
 
   test("band index: 20 folds under a live prober — every probe answers " +

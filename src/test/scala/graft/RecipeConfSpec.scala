@@ -1704,9 +1704,11 @@ class RecipeConfSpec extends SparkSpec {
       s"single-delete receipt wrong: $one")
     // and the purge actually happened (the receipt is evidence, not
     // decoration)
+    // reader-visible membership: the openers exclude a purge's
+    // dead-file grace (the raw dirs keep those files one cycle)
     assert(spark.read.parquet(s"$docIdx/docs")
       .filter(col("_id") === 2L).isEmpty)
-    assert(spark.read.parquet(s"$bandIdx/shingles")
+    assert(graft.dedup.Dedup.openNearDupTable(spark, bandIdx, "shingles")
       .filter(col("__cid") === 2L).isEmpty)
     assert(spark.read.parquet(s"$annIdx/assigned")
       .filter(col("neighbor_id") === 2L).isEmpty)
