@@ -1259,8 +1259,8 @@ object SparkEntry {
     "q139_docindex_lifecycle" -> ((s, dir) => {
       val (_, docIdx) = ensureTakedownArtifacts(s, dir)
       requireTombstonesConsumed(s, docIdx, "q139_docindex_lifecycle")
-      val docs = graft.sources.Sources.indexedTable(s, docIdx, "docs")
-      val posts = graft.sources.Sources.indexedTable(s, docIdx, "postings")
+      val Seq(docs, posts) = graft.sources.Sources.indexedTables(
+        s, docIdx, Seq("docs", "postings"))
       val cnt = posts.groupBy("_id").agg(count(lit(1)).as("n_tokens"))
       docs.join(cnt, Seq("_id"), "left")
         .select(col("_id").as("doc_id"), col("lang"),

@@ -415,11 +415,11 @@ class ApiServer(spark: SparkSession, conf: ProjectConf, port: Int = 0,
         else if (toks.isEmpty) respond(ex, 400, """{"error": "q required"}""")
         else {
           // tombstone-aware reads (Sinks.deleteFromIndexed): a
-          // taken-down doc neither scores nor surfaces
-          val postings = graft.sources.Sources.indexedTable(
-            spark, ds.path, "postings")
-          val docs = graft.sources.Sources.indexedTable(
-            spark, ds.path, "docs")
+          // taken-down doc neither scores nor surfaces. ONE version
+          // bracket for both tables — separate opens could straddle
+          // an append and match a posting whose doc fetch misses
+          val Seq(postings, docs) = graft.sources.Sources.indexedTables(
+            spark, ds.path, Seq("postings", "docs"))
           // corpus size rides the plan (no separate eager count job)
           val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
           // IDF over the QUERY tokens only — each token's df is counted

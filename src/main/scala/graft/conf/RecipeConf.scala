@@ -540,7 +540,11 @@ object RecipeConf {
     val spark = df.sparkSession
     val member: DataFrame = target match {
       case "index" =>
-        spark.read.parquet(s"$path/docs").select(col("_id").as("__m"))
+        // raw membership (no tombstone mask) but dead-file-excluded:
+        // a purge's replaced files must not count as membership
+        graft.sources.Sources.indexedTable(spark, path, "docs",
+            suppressDeletes = false)
+          .select(col("_id").as("__m"))
       case "neardup_index" =>
         graft.dedup.Dedup.openNearDupTable(spark, path, "bands")
           .select(col("__cid").as("__m"))

@@ -570,6 +570,27 @@ object Dedup {
     }
   }
 
+  /** The openers' snapshot-bracket key: the version MIXED with the
+    * manifest's build stamp — a REBUILD resets the version counter,
+    * so version alone could alias across one (ABA); the stamp breaks
+    * the tie. */
+  private[graft] def readNearDupSnapshotKey(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[Long] = {
+    val p = nearDupManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def f(k: String): Long =
+        (s""""$k":\\s*(\\d+)""").r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(0L)
+      Some(f("version") * 0x9E3779B97F4A7CL + f("built_ms"))
+    }
+  }
+
   /** The manifest's dead-file grace list per table (a purge's
     * replaced files, retained on disk one maintenance cycle for
     * in-flight readers — [[compactNearDupIndex]]): openers exclude
@@ -859,7 +880,7 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.LayoutFs.consistentSnapshot(
         s"openNearDupTable($table) at '$path'",
-        readNearDupVersion(spark, path)) {
+        readNearDupSnapshotKey(spark, path)) {
       val deadT = readNearDupDead(spark, path)
         .getOrElse(table, Nil).toSet
       val main =

@@ -452,7 +452,11 @@ object Ann {
     // the narrow retraction windows as before.
     graft.engine.LayoutFs.consistentSnapshot(
         s"$probe at '$path'",
-        readManifest(spark, path).map(_.version)) {
+        // snapshot key mixes built_ms in: a REBUILD resets the version
+        // counter, so version alone could alias across one (ABA); the
+        // build stamp breaks the tie
+        readManifest(spark, path)
+          .map(m => m.version * 0x9E3779B97F4A7CL + m.builtMs)) {
     val mf = readManifestPatient(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$probe: '$path' has no build manifest — the index build " +
@@ -1999,7 +2003,11 @@ object Ann {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.LayoutFs.consistentSnapshot(
         s"openAssignedRaw at '$path'",
-        readManifest(spark, path).map(_.version)) {
+        // snapshot key mixes built_ms in: a REBUILD resets the version
+        // counter, so version alone could alias across one (ABA); the
+        // build stamp breaks the tie
+        readManifest(spark, path)
+          .map(m => m.version * 0x9E3779B97F4A7CL + m.builtMs)) {
       val mf = readManifestPatient(spark, path).getOrElse(sys.error(
         s"openAssignedRaw: no build manifest at '$path'"))
       val deadSet = mf.deadFiles.toSet

@@ -150,21 +150,82 @@ object Sources {
     * is someone else's query) rides it out on the bounded retry
     * instead of transiently missing docs mid-swap. */
   def indexedTable(spark: SparkSession, path: String,
-      table: String): DataFrame = {
-    Sinks.readIndexedManifestPatient(spark, path).getOrElse(sys.error(
-      s"indexedTable: no store manifest at '$path' — the document-store " +
-        "build did not complete (or a crashed maintenance run left it " +
-        "torn); rebuild with the index sink"))
-    val df = spark.read.parquet(s"$path/$table")
-    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    // hasVisibleParquetFile, not exists: a deletes/ dir holding only a
-    // crashed write's husks must read as "no tombstones", not crash
-    // every consumer on schema inference (the maybeCompact* rule)
-    if (graft.engine.LayoutFs.hasVisibleParquetFile(
-        delP.getFileSystem(spark.sparkContext.hadoopConfiguration), delP))
-      df.join(broadcast(spark.read.parquet(delP.toString).distinct()),
-        Seq("_id"), "left_anti")
-    else df
+      table: String, suppressDeletes: Boolean = true): DataFrame =
+    indexedTables(spark, path, Seq(table), suppressDeletes).head
+
+  /** [[indexedTable]] for SEVERAL tables of one store inside a SINGLE
+    * version bracket — the two-table consumers' opener (`_search`
+    * matches postings then fetches docs; the q139 probe joins both).
+    * Separate brackets would each be internally consistent yet could
+    * straddle an APPEND, pairing a pre-append docs listing with a
+    * post-append postings listing — a posting whose doc fetch misses.
+    * One bracket pins every listed table to the same certified
+    * store version. */
+  def indexedTables(spark: SparkSession, path: String,
+      tables: Seq[String], suppressDeletes: Boolean = true)
+      : Seq[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // VERSION-STABLE open (r15, the shared index-opener discipline):
+    // the listings, the dead-file exclusion, and the eager tombstone
+    // snapshot all sit inside one bracket keyed on the manifest's
+    // re-issue counter, so a purge's file swap can never interleave a
+    // reader's listing (old AND new copies of the same doc) and a
+    // pre-purge listing can never pair with a post-purge emptied
+    // tombstone set (purged docs would resurface for that reader).
+    graft.engine.LayoutFs.consistentSnapshot(
+        s"indexedTable(${tables.mkString(",")}) at '$path'",
+        Sinks.readIndexedSnapshotKey(spark, path)) {
+      Sinks.readIndexedManifestPatient(spark, path).getOrElse(sys.error(
+        s"indexedTable: no store manifest at '$path' — the document-" +
+          "store build did not complete (or a crashed maintenance run " +
+          "left it torn); rebuild with the index sink"))
+      val dead = Sinks.readIndexedDead(spark, path)
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      // hasVisibleParquetFile, not exists: a deletes/ dir holding only
+      // a crashed write's husks must read as "no tombstones", not
+      // crash every consumer on schema inference (the maybeCompact*
+      // rule). EAGER snapshot: a purge consuming the tombstone files
+      // mid-read must not fail this reader's lazy scan.
+      val delIds: Option[(Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)] =
+        if (!suppressDeletes ||
+            !graft.engine.LayoutFs.hasVisibleParquetFile(fs, delP)) None
+        else {
+          val delDf = spark.read.parquet(delP.toString)
+            .select(col("_id")).distinct()
+          val ids = delDf.collect().toIndexedSeq
+          if (ids.isEmpty) None else Some((ids, delDf.schema))
+        }
+      tables.map { table =>
+        val deadT = dead.getOrElse(table, Nil).toSet
+        val df =
+          if (deadT.isEmpty) spark.read.parquet(s"$path/$table")
+          else {
+            // a purge's replaced files: on disk for readers whose
+            // listing predates it, excluded by name here, collected
+            // at the next maintenance entry
+            val livePaths = fs.listStatus(
+                new org.apache.hadoop.fs.Path(s"$path/$table")).toSeq
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet") &&
+                !deadT(st.getPath.getName))
+              .map(_.getPath.toString)
+            if (livePaths.isEmpty)
+              spark.read.parquet(s"$path/$table").limit(0)
+            else spark.read.parquet(livePaths: _*)
+          }
+        delIds match {
+          case None => df
+          case Some((ids, schema)) =>
+            df.join(
+              broadcast(spark.createDataFrame(
+                scala.jdk.CollectionConverters.SeqHasAsJava(ids).asJava,
+                schema)),
+              Seq("_id"), "left_anti")
+        }
+      }
+    }
   }
 
   /** ORC — beyond the reference's formats, but table stakes for a Spark
@@ -423,7 +484,8 @@ object Sinks {
 
   private[graft] def writeIndexedManifest(spark: SparkSession,
       path: String, rows: Long, version: Long,
-      marks: Map[String, Long] = Map.empty): Unit = {
+      marks: Map[String, Long] = Map.empty,
+      dead: Map[String, Seq[String]] = Map.empty): Unit = {
     val p = indexedManifestFile(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // mark keys sanitized on write (the shared manifest discipline):
@@ -436,9 +498,25 @@ object Sinks {
     try out.write(
       (s"""{"rows": $rows, "version": $version, """ +
         s""""stream_marks": $marksJson, """ +
+        s""""dead_files": ${graft.engine.LayoutFs.deadFilesJson(dead)}, """ +
         s""""built_ms": ${System.currentTimeMillis()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The store manifest's dead-file grace list per table (a purge's
+    * replaced files, retained on disk one maintenance cycle for
+    * in-flight readers — [[Sinks.compactIndexed]]): readers exclude
+    * them, the next maintenance entry collects them. */
+  private[graft] def readIndexedDead(spark: SparkSession,
+      path: String): Map[String, Seq[String]] = {
+    val p = indexedManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    graft.engine.LayoutFs.parseDeadFiles(txt)
   }
 
   /** The doc store's replay watermarks: max batch-appended epoch per
@@ -487,6 +565,24 @@ object Sinks {
       (s""""$k":\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
     for (r <- f("rows"); v <- f("version")) yield (r, v)
+  }
+
+  /** The openers' snapshot-bracket key: the version MIXED with the
+    * manifest's build stamp — a REBUILD resets the version counter,
+    * so version alone could alias across one (ABA); the stamp breaks
+    * the tie. */
+  private[graft] def readIndexedSnapshotKey(spark: SparkSession,
+      path: String): Option[Long] = {
+    val p = indexedManifestFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def f(k: String): Long =
+      (s""""$k":\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(0L)
+    Some(f("version") * 0x9E3779B97F4A7CL + f("built_ms"))
   }
 
   /** [[readIndexedManifest]] riding out a compaction's retraction
@@ -616,6 +712,12 @@ object Sinks {
         .write.mode("overwrite").parquet(stagedPost.toString)
       val n = stagedDf.count() // footer count of the staged batch
       val marks = readIndexedMarks(spark, path)
+      // carried, not collected: grace collection is the compact
+      // entry's job; an append mid-grace keeps excluding the purge's
+      // replaced files. Totals re-read fresh under the marker.
+      val dead = readIndexedDead(spark, path)
+      val (rowsNow, versionNow) =
+        readIndexedManifest(spark, path).getOrElse((rows0, version0))
       fs.delete(indexedManifestFile(path), false)
       Seq(("docs", stagedDocs), ("postings", stagedPost)).foreach {
         case (table, stagedP) =>
@@ -629,8 +731,8 @@ object Sinks {
             }
           fs.delete(stagedP, true)
       }
-      writeIndexedManifest(spark, path, rows0 + n, version0 + 1,
-        marks ++ markUpdate)
+      writeIndexedManifest(spark, path, rowsNow + n, versionNow + 1,
+        marks ++ markUpdate, dead = dead)
     } finally { fs.delete(appendingP, false); () }
   }
 
@@ -698,6 +800,10 @@ object Sinks {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
     if (delFiles.isEmpty) {
+      // nothing to purge — still a maintenance ENTRY: collect a
+      // previous purge's dead-file grace (marker-guarded; silently
+      // deferred if a writer holds the store)
+      collectIndexedDeadStandalone(spark, fs, path)
       if (fs.exists(delDir)) { fs.delete(delDir, true); () }
       return 0L
     }
@@ -719,6 +825,18 @@ object Sinks {
           s"'$path' (${compactingP.getName} exists) — wait for it to " +
           "finish, or delete the marker if it crashed mid-run")
     try {
+      // DEAD-FILE GRACE COLLECTION (r15): a previous purge's replaced
+      // files, kept on disk for readers whose listing predated it,
+      // are physically collected here — one maintenance cycle later,
+      // under the marker. Fresh totals re-read for the same reason.
+      readIndexedDead(spark, path).foreach { case (table, names) =>
+        names.foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$n"),
+            false)
+        }
+      }
+      val (rowsF, versionF) =
+        readIndexedManifest(spark, path).getOrElse((rows0, version0))
       val dels = spark.read.parquet(delFiles.map(_.toString): _*)
         .select(col("_id").as("__del_id")).distinct()
       def doomedFiles(table: String): Seq[String] =
@@ -761,12 +879,21 @@ object Sinks {
                   new org.apache.hadoop.fs.Path(
                     s"$path/$table/${st.getPath.getName}"))
               }
-            files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
           }
           fs.delete(stagedP, true)
         }
-        writeIndexedManifest(spark, path, rows0 - purgedDocs,
-          version0 + 1, marks)
+        // the replaced files are NOT deleted: they enter the dead-file
+        // grace list (r15) — a `_search` whose listing predates this
+        // purge finishes against intact files (its eager tombstone
+        // snapshot keeps it exact), every later read excludes them,
+        // and the next maintenance entry collects them physically
+        val deadNow: Map[String, Seq[String]] = staged.collect {
+          case (table, files, _) if files.nonEmpty =>
+            table -> files.map(f =>
+              new org.apache.hadoop.fs.Path(f).getName)
+        }.toMap
+        writeIndexedManifest(spark, path, rowsF - purgedDocs,
+          versionF + 1, marks, dead = deadNow)
         delFiles.foreach(f => fs.delete(f, false))
       }
       if (fs.exists(delDir) && !fs.listStatus(delDir).exists(st =>
@@ -774,6 +901,36 @@ object Sinks {
         fs.delete(delDir, true); ()
       }
       purgedDocs
+    } finally { fs.delete(compactingP, false); () }
+  }
+
+  /** Dead-file grace collection for a maintenance entry with no other
+    * work ([[compactIndexed]]'s early return): acquires the
+    * `_COMPACTING` marker just for the collection (a concurrent
+    * writer defers it — opportunistic hygiene, never worth failing a
+    * no-op compact over), deletes the manifest's dead files, and
+    * re-issues the certificate with the list cleared. */
+  private def collectIndexedDeadStandalone(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dead = readIndexedDead(spark, path)
+    if (dead.forall(_._2.isEmpty)) return
+    val appendingP = new org.apache.hadoop.fs.Path(s"$path/_APPENDING")
+    val compactingP = new org.apache.hadoop.fs.Path(s"$path/_COMPACTING")
+    try graft.engine.LayoutFs.acquireMarker(fs, compactingP, appendingP,
+      refuseOpposite = "busy", refuseOwn = "busy")
+    catch { case _: IllegalArgumentException => return }
+    try {
+      readIndexedManifest(spark, path).foreach { case (rows, version) =>
+        dead.foreach { case (table, names) =>
+          names.foreach { n =>
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$path/$table/$n"), false)
+          }
+        }
+        val marks = readIndexedMarks(spark, path)
+        fs.delete(indexedManifestFile(path), false)
+        writeIndexedManifest(spark, path, rows, version + 1, marks)
+      }
     } finally { fs.delete(compactingP, false); () }
   }
 

@@ -275,8 +275,13 @@ class ModulesSpec extends SparkSpec {
     Sinks.deleteFromIndexed(Seq(1L).toDF("id"), "id", dir)
     Sinks.compactIndexed(spark, dir)
     assert(Sinks.readIndexedManifest(spark, dir) == Some((2L, 3L)))
-    assert(spark.read.parquet(s"$dir/docs")
-      .filter($"_id" === 1L).count() == 0, "purge left the doc's bytes")
+    // reader-visible erasure: the replaced files ride the dead-file
+    // grace (still on disk, excluded by name) until the next entry
+    assert(Sources.indexedTable(spark, dir, "docs",
+        suppressDeletes = false)
+      .filter($"_id" === 1L).count() == 0, "purge left the doc visible")
+    assert(Sinks.readIndexedDead(spark, dir).values.flatten.nonEmpty,
+      "the purge left no dead-file grace list")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
@@ -309,6 +314,13 @@ class ModulesSpec extends SparkSpec {
     assert(Sinks.maybeCompactIndexed(spark, dir, afterDeletes = None,
       afterDeletesPct = Some(40.0)))
     assert(Sinks.readIndexedManifest(spark, dir) == Some((1L, 4L)))
+    // the next maintenance entry collects the grace files and clears
+    // the list (version bumps) — the hand-written re-issues below
+    // would otherwise wipe a live dead list
+    Sinks.compactIndexed(spark, dir)
+    assert(Sinks.readIndexedManifest(spark, dir) == Some((1L, 5L)))
+    assert(Sinks.readIndexedDead(spark, dir).values.flatten.isEmpty,
+      "the next entry must clear the dead-file list")
     // RETRACTION WINDOW: a read landing mid-swap rides it out on the
     // patient manifest read (this reader serves the live _search
     // route); a PERMANENT absence still refuses loudly
@@ -316,7 +328,7 @@ class ModulesSpec extends SparkSpec {
     fs.delete(mfp, false)
     val reissue = new Thread(() => {
       Thread.sleep(400)
-      Sinks.writeIndexedManifest(spark, dir, 1L, 4L)
+      Sinks.writeIndexedManifest(spark, dir, 1L, 5L)
     })
     reissue.start()
     assert(Sources.indexedTable(spark, dir, "docs").count() == 1,
@@ -326,7 +338,7 @@ class ModulesSpec extends SparkSpec {
     val eGone = intercept[RuntimeException](
       Sources.indexedTable(spark, dir, "docs"))
     assert(eGone.getMessage.contains("manifest"), eGone.getMessage)
-    Sinks.writeIndexedManifest(spark, dir, 1L, 4L)
+    Sinks.writeIndexedManifest(spark, dir, 1L, 5L)
   }
 
   test("document-store streaming append: batch ≡ stream, replay skipped " +

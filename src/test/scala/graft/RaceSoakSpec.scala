@@ -192,10 +192,13 @@ class RaceSoakSpec extends SparkSpec {
     // the append and read (docsPre, postingsPost) as a phantom mixed
     // state that is reader-side skew, not store-side tearing
     def probe(): (Long, Long) = {
-      val m = Sources.indexedTable(spark, dir, "docs")
-        .select(lit("d").as("side"))
-        .unionByName(Sources.indexedTable(spark, dir, "postings")
-          .filter(col("token").startsWith("tok"))
+      // ONE version bracket for both tables (indexedTables): separate
+      // opens could straddle the append and read docs pre / postings
+      // post — reader-side cross-table skew the store must not allow
+      val Seq(d, p) =
+        Sources.indexedTables(spark, dir, Seq("docs", "postings"))
+      val m = d.select(lit("d").as("side"))
+        .unionByName(p.filter(col("token").startsWith("tok"))
           .select(lit("p").as("side")))
         .groupBy("side").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -254,6 +257,62 @@ class RaceSoakSpec extends SparkSpec {
     assert(wrong.isEmpty,
       s"${wrong.size} read(s) saw a non-pre/post-append state; " +
         s"first:\n${Option(wrong.peek()).getOrElse("")}")
+  }
+
+  test("doc store: 20 takedown PURGES under a live reader — every " +
+      "read answers pre-/post-purge exactly, no errors; replaced " +
+      "files ride the dead-file grace and collect next entry") {
+    import graft.sources.{Sinks, Sources}
+    val dir = scratch("race-doc-purge")
+    Sinks.indexed(
+      (1L to 30L).map(i => (i, Seq("base", s"tok$i"))).toDF("id", "toks"),
+      dir, Some("id"), "toks")
+    // ONE action over BOTH tables (the append soak's rule): two
+    // sequential counts would span the purge and read a phantom
+    // mixed state that is reader-side skew, not store-side tearing
+    def probe(): AnyRef = {
+      val Seq(d, p) =
+        Sources.indexedTables(spark, dir, Seq("docs", "postings"))
+      val m = d.select(lit("d").as("side"))
+        .unionByName(p.select(lit("p").as("side")))
+        .groupBy("side").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (m.getOrElse("d", 0L), m.getOrElse("p", 0L))
+    }
+    soak(
+      probe = () => probe(),
+      // each iteration takes down one doc: the read's counts drop
+      // immediately through the tombstone anti-join, and the purge
+      // must preserve exactly that answer while rewriting the touched
+      // files under the live reader
+      mutate = i => Sinks.deleteFromIndexed(
+        Seq(i.toLong).toDF("id"), "id", dir),
+      fold = () => { Sinks.compactIndexed(spark, dir); () })
+    // the final purge's replaced files ride the grace: on disk, named
+    // dead, collected (with the list cleared) by the next entry
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = Sinks.readIndexedDead(spark, dir)
+    assert(dead.values.flatten.nonEmpty,
+      "the final purge should have left a dead-file grace list")
+    dead.foreach { case (table, names) =>
+      names.foreach { n =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$table/$n")),
+          s"dead file $table/$n must survive on disk through the grace")
+      }
+    }
+    val preAnswer = probe()
+    Sinks.compactIndexed(spark, dir)
+    assert(Sinks.readIndexedDead(spark, dir).values.flatten.isEmpty,
+      "the next maintenance entry must clear the dead-file list")
+    dead.foreach { case (table, names) =>
+      names.foreach { n =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$table/$n")),
+          s"dead file $table/$n must be collected by the next entry")
+      }
+    }
+    assert(probe() == preAnswer,
+      "grace collection changed the read's answer")
   }
 
   test("band index: 20 takedown PURGES under a live prober — every " +

@@ -1491,7 +1491,9 @@ class RecipeConfSpec extends SparkSpec {
     RecipeConf.run(spark, conf(Seq(1L, 2L)), "takedown", mode = "delete")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/deletes")),
       "pct policy did not purge past its threshold")
-    assert(spark.read.parquet(s"$idxPath/assigned")
+    // reader-visible view: the replaced files ride the dead-file
+    // grace one maintenance cycle (openAssignedRaw excludes them)
+    assert(graft.sim.Ann.openAssignedRaw(spark, idxPath)
       .filter(col("neighbor_id") <= 2L).isEmpty,
       "purge left tombstoned rows in assigned/")
   }
@@ -1577,14 +1579,16 @@ class RecipeConfSpec extends SparkSpec {
     RecipeConf.run(spark, conf, "del_doc", mode = "delete")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$docIdx/deletes")),
       "policy did not purge past its threshold")
-    // the purge was physical: the RAW tables no longer hold 9 or 4,
-    // in docs/ and postings/ in step
-    assert(spark.read.parquet(s"$docIdx/docs")
-      .filter(col("_id").isin(9L, 4L)).isEmpty, "docs/ kept purged rows")
-    assert(spark.read.parquet(s"$docIdx/postings")
-      .filter(col("_id").isin(9L, 4L)).isEmpty,
+    // the purge was physical in the reader-visible view (the raw dir
+    // keeps the replaced files one grace cycle): 9 and 4 gone from
+    // docs/ and postings/ in step
+    val Seq(docsV, postsV) = graft.sources.Sources.indexedTables(
+      spark, docIdx, Seq("docs", "postings"), suppressDeletes = false)
+    assert(docsV.filter(col("_id").isin(9L, 4L)).isEmpty,
+      "docs/ kept purged rows")
+    assert(postsV.filter(col("_id").isin(9L, 4L)).isEmpty,
       "postings/ purged out of step with docs/")
-    assert(spark.read.parquet(s"$docIdx/docs").count() == 7)
+    assert(docsV.count() == 7)
     // purge_after_deletes_pct at the same boundary (r15): tombstones ≥
     // X% of the MANIFEST-certified total (7 docs). One tombstone ≈ 14%:
     // below a 50% threshold the backlog stays; past a 10% one it purges
@@ -1595,7 +1599,8 @@ class RecipeConfSpec extends SparkSpec {
     RecipeConf.run(spark, conf, "del_doc10", mode = "delete")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$docIdx/deletes")),
       "pct policy did not purge past its threshold")
-    assert(spark.read.parquet(s"$docIdx/docs").count() == 6)
+    assert(graft.sources.Sources.indexedTable(spark, docIdx, "docs",
+      suppressDeletes = false).count() == 6)
     assert(graft.sources.Sinks.readIndexedManifest(spark, docIdx)
       .map(_._1) == Some(6L), "certified total out of step with the purge")
   }
@@ -1706,11 +1711,12 @@ class RecipeConfSpec extends SparkSpec {
     // decoration)
     // reader-visible membership: the openers exclude a purge's
     // dead-file grace (the raw dirs keep those files one cycle)
-    assert(spark.read.parquet(s"$docIdx/docs")
+    assert(graft.sources.Sources.indexedTable(spark, docIdx, "docs",
+        suppressDeletes = false)
       .filter(col("_id") === 2L).isEmpty)
     assert(graft.dedup.Dedup.openNearDupTable(spark, bandIdx, "shingles")
       .filter(col("__cid") === 2L).isEmpty)
-    assert(spark.read.parquet(s"$annIdx/assigned")
+    assert(graft.sim.Ann.openAssignedRaw(spark, annIdx)
       .filter(col("neighbor_id") === 2L).isEmpty)
   }
 
