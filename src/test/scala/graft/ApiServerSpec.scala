@@ -550,6 +550,61 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("_search stays 200-and-exact under live takedown PURGES — the " +
+      "reader-atomicity claim end-to-end over HTTP (r15)") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val idxDir = s"$dir/idxsoak"
+    // 12 docs sharing "base"; each takedown shrinks the base result
+    // set by exactly one id, and suppression is immediate at the
+    // delete — so DURING the purge there is ONE correct answer (the
+    // post-delete set) and every concurrent _search must serve it
+    Sinks.indexed((1L to 12L).map(i =>
+        (i, s"doc $i", Seq("base", s"tok$i"))).toDF("id", "text", "toks"),
+      idxDir, idCol = Some("id"), analyzedCol = "toks")
+    val conf = RecipeConf.load(
+      s"datasets:\n  corpus: {path: $idxDir, format: index}\nrecipes: {}")
+    val api = new ApiServer(spark, conf).start()
+    val base = s"http://localhost:${api.actualPort}/api"
+    def ids(body: String): Set[Long] =
+      """"id":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSet
+    try {
+      for (i <- 1L to 8L) {
+        Sinks.deleteFromIndexed(Seq(i).toDF("id"), "id", idxDir)
+        val expect = ((i + 1) to 12L).toSet
+        val purger = new Thread(() => {
+          graft.sources.Sinks.compactIndexed(spark, idxDir); ()
+        })
+        purger.start()
+        var n = 0
+        while (purger.isAlive) {
+          val r = send("POST", s"$base/datasets/corpus/_search?q=base&size=20")
+          assert(r.statusCode() == 200,
+            s"iteration $i: _search failed mid-purge: ${r.statusCode()} " +
+              r.body())
+          assert(ids(r.body()) == expect,
+            s"iteration $i: mid-purge _search served ${ids(r.body())}, " +
+              s"expected $expect")
+          n += 1
+        }
+        purger.join()
+        assert(n >= 1, s"iteration $i: no _search overlapped the purge")
+        val after = send("POST",
+          s"$base/datasets/corpus/_search?q=base&size=20")
+        assert(ids(after.body()) == expect, after.body())
+      }
+      // the trailing grace collects on the next entry without
+      // changing the served answer
+      val pre = ids(send("POST",
+        s"$base/datasets/corpus/_search?q=base&size=20").body())
+      Sinks.compactIndexed(spark, idxDir)
+      assert(Sinks.readIndexedDead(spark, idxDir).values.flatten.isEmpty)
+      val post = ids(send("POST",
+        s"$base/datasets/corpus/_search?q=base&size=20").body())
+      assert(post == pre, s"grace collection changed _search: $post != $pre")
+    } finally api.stop()
+  }
+
   test("_profile returns per-column stats; exact=true flips the distinct mode") {
     import spark.implicits._
     val pDir = s"$dir/profds"

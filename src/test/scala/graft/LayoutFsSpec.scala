@@ -86,4 +86,84 @@ class LayoutFsSpec extends SparkSpec {
     assert(!raw.exists(own))
     raw.delete(opposite, false)
   }
+
+  // ---- consistentSnapshot: the openers' version-stable bracket (r15)
+
+  test("consistentSnapshot: stable version runs the body exactly once") {
+    var bodies = 0
+    val out = LayoutFs.consistentSnapshot("t", Some(7L)) {
+      bodies += 1; "ok"
+    }
+    assert(out == "ok" && bodies == 1)
+  }
+
+  test("consistentSnapshot: a version moving across the body forces a " +
+      "retry against the new state") {
+    // version sequence as the bracket reads it: v1=1, v2=2 (moved →
+    // retry), v1=2, v2=2 (stable) — the body must run twice and the
+    // SECOND result must win
+    val versions = Iterator(1L, 2L, 2L, 2L)
+    var bodies = 0
+    val out = LayoutFs.consistentSnapshot("t", Some(versions.next())) {
+      bodies += 1; s"attempt-$bodies"
+    }
+    assert(out == "attempt-2" && bodies == 2,
+      s"got $out after $bodies bodies")
+  }
+
+  test("consistentSnapshot: a vanished file inside the body retries " +
+      "instead of failing the reader") {
+    var bodies = 0
+    val out = LayoutFs.consistentSnapshot("t", Some(3L)) {
+      bodies += 1
+      if (bodies == 1)
+        throw new java.io.FileNotFoundException("gone mid-listing")
+      "recovered"
+    }
+    assert(out == "recovered" && bodies == 2)
+  }
+
+  test("consistentSnapshot: with NO certificate the body's own loud " +
+      "refusal propagates unmodified (nothing can be mid-swap)") {
+    val e = intercept[IllegalStateException] {
+      LayoutFs.consistentSnapshot("t", None) {
+        throw new IllegalStateException("MY-PRECISE-REFUSAL")
+      }
+    }
+    assert(e.getMessage == "MY-PRECISE-REFUSAL")
+  }
+
+  test("consistentSnapshot: continuous version churn fails loudly " +
+      "after the attempt budget instead of spinning") {
+    var v = 0L
+    var bodies = 0
+    val e = intercept[RuntimeException] {
+      LayoutFs.consistentSnapshot("churny", { v += 1; Some(v) },
+        attempts = 3) { bodies += 1; "never-stable" }
+    }
+    assert(e.getMessage.contains("churn"), e.getMessage)
+    assert(bodies == 3, s"expected 3 attempts, got $bodies")
+  }
+
+  // ---- dead-file grace list serialization (r15)
+
+  test("deadFilesJson round-trips through parseDeadFiles, empty and " +
+      "multi-table alike; a JSON-smuggling name refuses loudly") {
+    assert(LayoutFs.parseDeadFiles(
+      s"""{"rows": 5, "dead_files": ${LayoutFs.deadFilesJson(Map.empty)}}""")
+      == Map.empty)
+    val dead = Map(
+      "shingles" -> Seq("part-00001-abc.snappy.parquet",
+        "part-00000-def.snappy.parquet"),
+      "bands" -> Seq("__cell=3/part-00002-xyz.parquet"))
+    val txt = s"""{"rows": 5, "version": 2, """ +
+      s""""dead_files": ${LayoutFs.deadFilesJson(dead)}, "built_ms": 1}"""
+    val back = LayoutFs.parseDeadFiles(txt)
+    assert(back.view.mapValues(_.toSet).toMap ==
+      dead.view.mapValues(_.toSet).toMap, back.toString)
+    val e = intercept[IllegalArgumentException] {
+      LayoutFs.deadFilesJson(Map("docs" -> Seq("""evil", "smuggled""")))
+    }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+  }
 }
