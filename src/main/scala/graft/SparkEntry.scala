@@ -727,9 +727,15 @@ object SparkEntry {
     }),
 
     // n-gram Jaccard near-dup pairs within blocks (Dedup.ngramJaccardPairs)
+    // (rebalanced like q96/q98: the gram kernel — normalize + charNgrams
+    // + xxhash64 + sort per doc — is scan-level row-local work, and the
+    // gate table is ONE unsplittable file = one core without it; no-op
+    // on real multi-file corpora. r15 A/B at sf0.1: 3.57 → measured
+    // below in OPTIMIZATION_r15.md)
     "q24_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        blockCol = "source", n = 3, threshold = 0.8)),
+      Dedup.ngramJaccardPairs(
+        graft.operators.Ops.rebalance(t(s, dir, "documents")),
+        "doc_id", "text", blockCol = "source", n = 3, threshold = 0.8)),
 
     // word-shingle CONTAINMENT pairs (Dedup.containmentPairs): the
     // subset-duplication detector — |A∩B| / min set size in exact
@@ -1384,9 +1390,13 @@ object SparkEntry {
     }),
 
     // MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only)
+    // (rebalanced — the shingle + 64-hash minhash signature kernel is
+    // the expensive scan-level stage; one unsplittable file = one core
+    // without it. No-op on real multi-file corpora.)
     "q26_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.6)),
+      Dedup.minhashNearDups(
+        graft.operators.Ops.rebalance(t(s, dir, "documents")),
+        "doc_id", "text", threshold = 0.6)),
 
     // SimHash near-dup pairs — md5-hash variant so DuckDB can recompute
     // the 60-bit signatures bit-for-bit (murmur3 is Spark-only).
