@@ -750,7 +750,8 @@ object SparkEntry {
     // groups (measured: everything else sits below 2000 bp).
     "q112_containment_pairs" -> ((s, dir) => {
       val id = col("doc_id")
-      val doc = t(s, dir, "documents").withColumn("text",
+      val doc = t(s, dir, "documents")
+        .withColumn("text",
         when(id % 50 === 0, lit("alpha beta gamma delta epsilon zeta eta " +
           "theta iota kappa lambda mu nu xi omicron pi"))
           .when(id % 50 === 7, lit("alpha beta gamma delta epsilon zeta"))
@@ -2534,8 +2535,11 @@ object SparkEntry {
     // The exhaustive oracle replays the whole containment matrix; the
     // pigeonhole prefix join's recall is exact (not an LSH dial), so
     // candidate recall is total by construction.
+    // (rebalanced — the shingle kernel + group collapse are scan-level
+    // work; one unsplittable gate file = one core without it)
     "q128_source_containment_overlap" -> ((s, dir) =>
-      Dedup.crossSourceContainmentOverlap(q41Fixture(t(s, dir, "documents")),
+      Dedup.crossSourceContainmentOverlap(
+        graft.operators.Ops.rebalance(q41Fixture(t(s, dir, "documents"))),
         "doc_id", "text", "source", thresholdBp = 8000L)),
 
     // soft dedup EXECUTED (Ops.sampleByWeight over q114's weights):

@@ -2041,6 +2041,51 @@ object Dedup {
   // intersection of sorted long arrays: native codegen'd expression
   // (NativeExpressions.sortedIntersectCount) — unboxed merge scan
 
+  /** Document frequencies of a gram frame's universe as a count-gated
+    * driver map — the rarest-first prefix order's input (r15
+    * optimization, shared by the whole prefix-filter family). ONE
+    * bounded action: limit(cap+1) caps what the driver ever holds; a
+    * result under the cap is necessarily the COMPLETE df table, over it
+    * returns None and callers keep the sorted-hash prefix order (both
+    * orders are exact — the verify join decides every pair; the order
+    * is purely a candidate-volume dial). `g` must expose an array
+    * column named `grams`. */
+  private def gramDfMap(g: DataFrame): Option[Map[Long, Long]] = {
+    val dfCap = 1 << 22
+    val rows = g.select(explode(col("grams")).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+      .limit(dfCap + 1).collect()
+    if (rows.length <= dfCap)
+      Some(rows.map(r => (r.getLong(0), r.getLong(1))).toMap)
+    else None
+  }
+
+  /** The first `prefLenOf(|grams|)` grams in ascending (document
+    * frequency, gram) order — Bayardo's canonical prefix order: the
+    * prefix then holds each doc's RAREST grams, so the candidate join
+    * meets only through rare grams instead of fanning out on
+    * boilerplate (the sorted-hash order is a RANDOM order; at sf0.1
+    * the q24 candidate set measured 622k pairs from 5k docs under it).
+    * The pigeonhole is order-independent: under any one global total
+    * order, if no common gram sat in both prefixes, all |A∩B| common
+    * grams would fit in one suffix of size ceil(t·|X|)−1 < |A∩B|. */
+  private def rarestPrefixUdf(spark: org.apache.spark.sql.SparkSession,
+      m: Map[Long, Long], prefLenOf: Int => Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(m)
+    udf { grams: Seq[Long] =>
+      if (grams == null) Seq.empty[Long]
+      else {
+        val k = prefLenOf(grams.length)
+        if (k <= 0) Seq.empty[Long]
+        else {
+          val dfm = bc.value
+          grams.sortBy(gr => (dfm.getOrElse(gr, 0L), gr)).take(k)
+        }
+      }
+    }
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // gram sets as SORTED long hashes: set cardinalities are unchanged
@@ -2070,48 +2115,18 @@ object Dedup {
     // sorted-hash order doubles as the canonical prefix order.
     val prefLen = (size(col("grams")) - ceil(lit(threshold) * size(col("grams"))) + 1)
       .cast("int")
-    // PREFIX ORDER (r15 optimization): the pigeonhole above holds for
-    // ANY one global total order both sides agree on (standard
-    // prefix-prefix result — if no common gram sat in both prefixes,
-    // all |A∩B| common grams would fit in one suffix of size
-    // ceil(t·|X|)−1 < |A∩B|), so the order is purely a performance
-    // dial and Bayardo's canonical choice is ASCENDING DOCUMENT
-    // FREQUENCY: prefixes then hold each doc's rarest grams and the
-    // candidate join meets only through rare grams. The sorted-hash
-    // order used before is a RANDOM order — prefixes held boilerplate
-    // grams and the join fanned out on them (measured at sf0.1: 622k
-    // candidate pairs from 5k docs, 3.1 s of the query's 3.6 s spent
-    // generating + exact-verifying them; rarest-first cuts candidates
-    // ~50× and the query to ~1 s). The df table is gram-UNIVERSE-sized
-    // (char grams: ≤ alphabet^n) and rides a count-gated driver map —
-    // the q68 count-gated-broadcast discipline; past the cap we keep
-    // hash order (both orders are exact, the verify join decides).
-    // ONE bounded action: limit(cap+1) caps what the driver ever holds
-    // (an over-cap universe returns cap+1 rows and falls back) while a
-    // result under the cap is necessarily the COMPLETE df table.
-    val dfCap = 1 << 22
-    val dfRows = g.select(explode(col("grams")).as("__g"))
-      .groupBy("__g").agg(count(lit(1)).as("__df"))
-      .limit(dfCap + 1).collect()
+    // PREFIX ORDER (r15 optimization): rarest-first prefixes via the
+    // shared [[gramDfMap]]/[[rarestPrefixUdf]] machinery (see their
+    // scaladoc for the order-independence argument and the count-gated
+    // fallback). prefLen spells the SAME double-ceil arithmetic as the
+    // `prefLen` Column above so the two prefix modes can never
+    // disagree on a boundary.
+    val thr = threshold
+    val rarestPrefix: Option[Column] = gramDfMap(g).map { m =>
+      rarestPrefixUdf(df.sparkSession, m,
+        len => (len - math.ceil(thr * len) + 1).toInt)(col("grams"))
+    }
     graft.engine.AutoUnpersist.cache(g)
-    val rarestPrefix: Option[Column] =
-      if (dfRows.length <= dfCap) {
-        val m = dfRows.map(r => (r.getLong(0), r.getLong(1))).toMap
-        val bc = df.sparkSession.sparkContext.broadcast(m)
-        val thr = threshold
-        val rarestUdf = udf { grams: Seq[Long] =>
-          if (grams == null) Seq.empty[Long]
-          else {
-            val k = (grams.length - math.ceil(thr * grams.length) + 1).toInt
-            if (k <= 0) Seq.empty[Long]
-            else {
-              val dfm = bc.value
-              grams.sortBy(gr => (dfm.getOrElse(gr, 0L), gr)).take(k)
-            }
-          }
-        }
-        Some(rarestUdf(col("grams")))
-      } else None
     val pref = g.select(col("id"), col("block"), size(col("grams")).as("sz"),
       posexplode(rarestPrefix.getOrElse(
         slice(col("grams"), lit(1), prefLen))).as(Seq("pos", "pg")))
@@ -2303,7 +2318,12 @@ object Dedup {
     }
     // prefix length over longs: |S| − ceil(t·|S|) + 1 with
     // ceil(a·b/10⁴) = (a·b + 9999) div 10⁴ — exact integer, no float
-    // boundary (the selectTopFraction quota discipline)
+    // boundary (the selectTopFraction quota discipline). NOTE (r15):
+    // both the rarest-first prefix order and the PPJoin positional
+    // filter that pay off for the Jaccard prefix × prefix join were
+    // A/B'd here and REVERTED — the containment prefix is already
+    // short (len/10 at 9000 bp), candidates are verify-bounded, and
+    // the extra per-meeting-row work measured q112 1.55 → 2.0–2.9 s.
     val pref = g.select(col("id"), col("block"),
       explode(slice(col("grams"), lit(1),
         expr(s"cast(size(grams) - (cast(size(grams) as bigint) * $thresholdBp" +
