@@ -2582,9 +2582,12 @@ object SparkEntry {
     // the mis batch = exactly the 30 flipped rows, every later epoch —
     // live but stable), so the margin→mis→delta tower is exercised end
     // to end AND the model is demonstrably non-degenerate.
+    // (rebalanced — the hashed-bag featurization is scan-level
+    // row-local work; one unsplittable gate file = one core without it)
     "q110_classifier_fit" -> ((s, dir) => {
       graft.ml.LinearClassifier.trainTextClassifier(
-        classifierFixture(t(s, dir, "documents")), "doc_id", "text", "y",
+        graft.operators.Ops.rebalance(
+          classifierFixture(t(s, dir, "documents"))), "doc_id", "text", "y",
         buckets = 256, epochs = 3, binary = true).orderBy("feat")
     }),
 
@@ -2595,8 +2598,11 @@ object SparkEntry {
     // on every row (flipped labels score as their PLANTED class — the
     // model shrugs off the 6% noise) — pinned by the hash on every
     // margin.
+    // (rebalanced like q110 — both the fit's featurize-and-collect and
+    // the scoring pass are scan-level row-local work)
     "q111_classifier_score" -> ((s, dir) => {
-      val d = classifierFixture(t(s, dir, "documents"))
+      val d = graft.operators.Ops.rebalance(
+        classifierFixture(t(s, dir, "documents")))
       val w = graft.ml.LinearClassifier.trainTextClassifier(d, "doc_id",
         "text", "y", buckets = 256, epochs = 3, binary = true)
       graft.ml.LinearClassifier.scoreTextClassifier(d, "doc_id", "text", w,

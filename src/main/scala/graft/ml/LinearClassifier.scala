@@ -158,20 +158,39 @@ object LinearClassifier {
     val fc = fc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dc = dc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val st = dc.agg(count(lit(1)), countDistinct(col("id")),
-        sum(when(col("y").isNull || abs(col("y")) =!= 1, 1L).otherwise(0L))).head()
-      val nDocs = st.getLong(0)
-      require(nDocs > 0, "fitPerceptron: no rows to fit")
-      require(st.getLong(1) == nDocs,
-        s"fitPerceptron: ids must be unique (${nDocs - st.getLong(1)} duplicated)")
-      require(st.getLong(2) == 0,
-        s"fitPerceptron: labels must be exactly +1/-1 (${st.getLong(2)} rows are not)")
+      // validation is REGIME-LOCAL (r15: one fewer Spark job on the
+      // sample-sized path): the local regime validates the collected
+      // arrays driver-side with the same loud messages; the
+      // distributed regime keeps the aggregation. Both check the same
+      // three contracts — nonempty, unique ids, labels exactly ±1.
       val nTriples = fc.count()
       val w: Map[Long, Long] =
-        if (nTriples <= localThreshold)
+        if (nTriples <= localThreshold) {
+          val docsArr = dc.collect().map { r =>
+            val y = if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
+            (r.getLong(0), y)
+          }
+          val nDocs = docsArr.length.toLong
+          require(nDocs > 0, "fitPerceptron: no rows to fit")
+          val nDup = nDocs - docsArr.iterator.map(_._1).toSet.size
+          require(nDup == 0,
+            s"fitPerceptron: ids must be unique ($nDup duplicated)")
+          val nBad = docsArr.count { case (_, y) => y != 1L && y != -1L }
+          require(nBad == 0,
+            s"fitPerceptron: labels must be exactly +1/-1 ($nBad rows are not)")
           fitLocal(fc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
-            dc.collect().map(r => (r.getLong(0), r.getLong(1))), epochs)
-        else fitDistributed(fc, dc, epochs)
+            docsArr, epochs)
+        } else {
+          val st = dc.agg(count(lit(1)), countDistinct(col("id")),
+            sum(when(col("y").isNull || abs(col("y")) =!= 1, 1L).otherwise(0L))).head()
+          val nDocs = st.getLong(0)
+          require(nDocs > 0, "fitPerceptron: no rows to fit")
+          require(st.getLong(1) == nDocs,
+            s"fitPerceptron: ids must be unique (${nDocs - st.getLong(1)} duplicated)")
+          require(st.getLong(2) == 0,
+            s"fitPerceptron: labels must be exactly +1/-1 (${st.getLong(2)} rows are not)")
+          fitDistributed(fc, dc, epochs)
+        }
       spark.createDataFrame(w.toSeq).toDF("feat", "w")
     } finally { fc.unpersist(false); dc.unpersist(false) }
   }
