@@ -284,7 +284,12 @@ object Ann {
         quantizeInt8(assigned0, "__cv", params, "qvec")
           .select("neighbor_id", "qvec", "__cell")
       }
+    // row count observed ON the write itself (r15: the Observation API
+    // replaces the former footer-count read-back job — one less Spark
+    // job per build, same number)
+    val obs = org.apache.spark.sql.Observation()
     assigned
+      .observe(obs, count(lit(1)).as("rows"))
       // one output dir (and typically one file) per cell
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
@@ -301,10 +306,10 @@ object Ann {
     // build: a crash between the two table writes (or an out-of-band
     // rebuild caught mid-write) leaves no manifest / a manifest that
     // disagrees with the centroid table, and the probe fails loudly
-    // instead of silently scoring against torn cells. rows comes from
-    // the written footers (metadata-only count — no data re-read).
+    // instead of silently scoring against torn cells. rows was observed
+    // on the write job itself.
     val spark = corpus.sparkSession
-    val rows = spark.read.parquet(s"$path/assigned").count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     // a fresh geometry identity per (re)build (nanoTime: two rebuilds
     // in one millisecond must still differ) — stream writers compare
     // it per batch to catch an out-of-band retrain; stream marks reset
@@ -1324,6 +1329,7 @@ object Ann {
       if (residual) assigned0raw.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else assigned0raw
+    val obsPq = org.apache.spark.sql.Observation()
     try {
     // PQ codebooks fit on the SAME corpus the cells store, persisted as
     // the third table — a probe building ADC under any other codebook
@@ -1356,6 +1362,7 @@ object Ann {
         "__cv", "__cell", coarseByCell, cb, "codes")
     coded
       .select("neighbor_id", "codes", "__cell")
+      .observe(obsPq, count(lit(1)).as("rows"))
       .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
     } finally { if (residual) { assigned0.unpersist(); () } }
@@ -1366,7 +1373,8 @@ object Ann {
       .toDF("__cell", "__centroid", "__qcentroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val spark = corpus.sparkSession
-    val rows = spark.read.parquet(s"$path/assigned").count()
+    // observed on the coded write (the writeIvfIndex Observation note)
+    val rows = obsPq.get("rows").asInstanceOf[Long]
     writeManifest(spark, path, nlist, rows, quant = 2,
       pqM = m, pqKsub = ksub, pqRes = if (residual) 1 else 0,
       geomId = System.nanoTime())
