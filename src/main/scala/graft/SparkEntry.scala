@@ -2177,8 +2177,17 @@ object SparkEntry {
           lit(".0."), (id % 250).cast("string"))).otherwise(lit("")),
         when(id % 5 === 0, concat(lit(" call +1"),
           lpad((id % 10000000).cast("string"), 9, "0"))).otherwise(lit("")))
-      val scrubbed = deduped
-        .select(id, col("lang"), Curation.scrubPii(aug).as("clean_text"))
+      // AutoUnpersist-scoped materialization (r15): the quality gate's
+      // conjunction inlines its input expression into every metric
+      // reference (~15 occurrences — the gopherKeep scaladoc's known
+      // cost), and with clean_text = a 3-pass regex scrub over a
+      // concat tower that re-ran the scrub ~45× per row; the
+      // contamination join then consumes the chain twice more (train
+      // feeds both the gram side and the verdict join-back). Caching
+      // the scrubbed frame runs the scrub ONCE and every downstream
+      // consumer reads the plain column (sf0.1 A/B: q96 5.9 → 3.3 s).
+      val scrubbed = graft.engine.AutoUnpersist.cache(deduped
+        .select(id, col("lang"), Curation.scrubPii(aug).as("clean_text")))
       // the stop-hit rule needs a stopword list matched to the corpus
       // domain (exactly how a real pipeline configures it): of the
       // default Gopher list only "the" exists in the synthetic

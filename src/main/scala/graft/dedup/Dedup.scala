@@ -39,9 +39,20 @@ object Dedup {
       key: Column): DataFrame = {
     val keyed = df.withColumn("__dedup_key", key)
     val nn = keyed.filter(col("__dedup_key").isNotNull)
-    val keep = nn.groupBy("__dedup_key").agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    nn.join(keep, Seq(idCol), "left_semi")
+    // ONE key exchange (r15): rank() = 1 over (key, id asc) keeps every
+    // row whose id IS the group minimum — bit-identical to the former
+    // groupBy(min id) + semi-join shape including duplicate-id
+    // multiplicity (rank, not row_number: several copies of the min-id
+    // row all tie at rank 1 and all survive, exactly as the semi-join
+    // kept them), for two fewer exchanges and ONE evaluation of the
+    // (often regex-heavy) key expression instead of two — the semi-join
+    // shape referenced `nn` twice, so fingerprint() ran per row per
+    // side. WindowGroupLimit prunes each group to its leading ties
+    // before the sort completes (the keepBestPerKey plan shape).
+    val w = Window.partitionBy(col("__dedup_key")).orderBy(col(idCol))
+    nn.withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
       .unionByName(keyed.filter(col("__dedup_key").isNull))
       .drop("__dedup_key")
   }
