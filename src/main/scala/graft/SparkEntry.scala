@@ -359,7 +359,7 @@ object SparkEntry {
   /** The q108/q130 ingest-side carve: nearDupFixture's BATCH transform
     * applied to an arriving frame (stream or static) — one spelling
     * shared by the fixture and both streaming gates. */
-  private def nearDupStreamCarve(df: DataFrame): DataFrame = {
+  private[graft] def nearDupStreamCarve(df: DataFrame): DataFrame = {
     val id = col("doc_id")
     df.filter(id % 4 === 1)
       .withColumn("text",
@@ -444,7 +444,7 @@ object SparkEntry {
   /** Build the shared q107/q108 band index over the fixture corpus on
     * this JVM's first touch (the ivfBuilt guard contract) and return
     * its path. */
-  private def ensureNearIdx(s: SparkSession, dir: String): String = {
+  private[graft] def ensureNearIdx(s: SparkSession, dir: String): String = {
     val idx = nearIdxDir(dir)
     if (!nearIdxBuilt.contains(idx)) {
       graft.dedup.Dedup.writeNearDupIndex(
@@ -2769,10 +2769,14 @@ object SparkEntry {
         st => {
           val id = col("doc_id")
           // stage 0: the q108 ingest carve with its boundary plant
-          // (nearDupStreamCarve — the one shared spelling)
+          // (nearDupStreamCarve — the one shared spelling), rebalanced
+          // (r15): the chain's kernels — 64-hash minhash signatures,
+          // hashed-bag features, the scrub tower — are row-local and a
+          // one-file micro-batch would run them on one core
           // stage 1 — near-dup DROP gate (admits only non-candidates)
           val s1 = EventStream.nearDupFilterStream(
-            nearDupStreamCarve(st), idx, "text")
+            graft.operators.Ops.rebalanceStream(nearDupStreamCarve(st)),
+            idx, "text")
           // stage 2 — decontamination DROP gate (exact membership)
           val s2 = EventStream.decontaminateStream(s1, test, "text", n = 4)
           // stage 3 — feature map, then the classifier gate

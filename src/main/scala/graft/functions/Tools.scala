@@ -19,6 +19,24 @@ object Tools {
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
   def nullToEmpty(c: Column): Column = coalesce(c, lit(""))
 
+  // ------------------------------------------------------------- barriers
+  /** Identity barrier for a BOOLEAN verdict column (r15 optimization):
+    * returns its input unchanged (NULL included — boxed Boolean) but
+    * marked non-deterministic, so Catalyst will not inline the
+    * producing expression into downstream filter predicates or
+    * duplicate it across collapsed projections. Filter pushdown
+    * through a projection substitutes the full producing expression
+    * into the predicate, and a verdict built from an expensive kernel
+    * chain (shingle → 64-hash minhash → 16 band slices → membership
+    * probe) re-evaluates that chain once per reference — measured 13.3
+    * → 0.6 s at sf0.1 on the near-dup ingest gate's shape. The guide's
+    * "mark expensive UDFs non-deterministic" technique applied to a
+    * JVM expression tree; value-wise a no-op, so results are
+    * bit-identical. */
+  private val opaqueBoolUdf =
+    udf { (b: java.lang.Boolean) => b }.asNondeterministic()
+  def opaqueBool(c: Column): Column = opaqueBoolUdf(c)
+
   /** Top 60 bits of an md5 digest as a positive Long — the first 15 hex
     * chars (bytes 0-6 plus the high nibble of byte 7). THE engine-
     * portable hash of the md5-simhash and winnowing kernels: an external

@@ -236,7 +236,10 @@ object EventStream {
             anyHit(grams)
         }
     }
-    stream.withColumn("maybe_contaminated", flag)
+    // opaqueBool barrier: the drop variant filters on this column — see
+    // nearDupFlagsStream (same amplification, same fix)
+    stream.withColumn("maybe_contaminated",
+      graft.functions.Tools.opaqueBool(flag))
   }
 
   /** Drop-variant of [[contaminationFlagsStream]]: keep only rows the
@@ -362,10 +365,15 @@ object EventStream {
           hit(buckets)
         }
     }
+    // the verdict rides an opaqueBool barrier (r15): the drop variant
+    // filters on this column, and pushdown would otherwise inline the
+    // whole shingle → signature → band → membership chain into the
+    // predicate, re-evaluating it once per reference (measured 13.3 →
+    // 0.6 s at sf0.1 for the gate shape — Tools.opaqueBool scaladoc)
     stream
       .withColumn("__gate_sh", Dedup.shingleHash(col(textCol), shingleSize))
-      .withColumn("maybe_near_dup",
-        when(sh.isNotNull && size(sh) > 0, anyHit).otherwise(lit(false)))
+      .withColumn("maybe_near_dup", graft.functions.Tools.opaqueBool(
+        when(sh.isNotNull && size(sh) > 0, anyHit).otherwise(lit(false))))
       .drop("__gate_sh")
   }
 
