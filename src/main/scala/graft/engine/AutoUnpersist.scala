@@ -58,6 +58,19 @@ object AutoUnpersist {
     builderOf(cached) match {
       case Some(b) =>
         install(cached.sparkSession)
+        // drain the async listener bus BEFORE registering (r15): the
+        // persist-first / act / register-last callers (contaminatedIds'
+        // count-gated broadcast, the near-dup probe's hit count, the
+        // Jaccard df map) rely on their own pre-registration actions
+        // NOT counting as the scope's first action — but
+        // QueryExecutionListener events arrive asynchronously, so a
+        // still-queued event for an already-completed action could land
+        // after this registration and release the entry immediately
+        // (observed: the q68 cached-id-set plan flake). Draining here
+        // closes the window; on timeout we proceed and accept the
+        // original tiny race rather than fail the operator.
+        org.apache.spark.GraftSparkBridge.drainListenerBus(
+          cached.sparkSession.sparkContext)
         // queue maintenance is serialized: an unsynchronized
         // peek/containsKey/poll pair racing another cache() call could
         // poll a LIVE entry's token, leaving that entry unevictable and
