@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the forked main's LAST stdout line as
+// JSON. sbt's default LoggedOutput wraps forked stdout in "[info] " and
+// appends its own "[success] Total time ..." line, which broke that
+// parse two rounds running (BENCH_r14/r15 parsed: null). Pass forked
+// stdout through verbatim and drop the success banner so the bench
+// summary line is the final, bare stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
