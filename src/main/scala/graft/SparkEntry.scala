@@ -2544,11 +2544,14 @@ object SparkEntry {
     // The exhaustive oracle replays the whole containment matrix; the
     // pigeonhole prefix join's recall is exact (not an LSH dial), so
     // candidate recall is total by construction.
-    // (rebalanced — the shingle kernel + group collapse are scan-level
-    // work; one unsplittable gate file = one core without it)
+    // (NOT rebalanced — r15 added Ops.rebalance here and the driver's
+    // cold run regressed it 3.10 → 4.58 s (8 cores beat 32: the added
+    // round-robin exchange fragments a small input past what the scan
+    // parallelism returns); r16 re-adjudicated cold with target=8
+    // (worse still, 4.62) and reverted per the r15 verdict)
     "q128_source_containment_overlap" -> ((s, dir) =>
       Dedup.crossSourceContainmentOverlap(
-        graft.operators.Ops.rebalance(q41Fixture(t(s, dir, "documents"))),
+        q41Fixture(t(s, dir, "documents")),
         "doc_id", "text", "source", thresholdBp = 8000L)),
 
     // soft dedup EXECUTED (Ops.sampleByWeight over q114's weights):

@@ -196,21 +196,22 @@ object MatchJoin {
         10000).cast("long")
     val scored = cand0
       .select(col("__lid"), col("__rid"), weight.as("__w"))
+      .repartition(col("__lid"))
       .groupBy("__lid", "__rid")
       .agg(sum("__w").as("hit_score"))
 
-    // ---- top-k + hit metadata. Both windows share the __lid partition
-    // key so Catalyst plans ONE exchange + sort for the pair. The
-    // tempting alternative — stats via groupBy + join-back so the rank
-    // window's WindowGroupLimit prunes each map partition to its local
-    // top-k BEFORE the exchange — was re-measured in round 6 and
-    // REJECTED: referencing `scored` twice re-aliases its attributes, so
-    // the exchanges never canonicalize equal and the whole candidate
-    // pipeline (the expensive part) executes TWICE; avoiding that needs
-    // a persist() of the full pair table, which costs about what the
-    // one full-table shuffle it saves costs. Measured 5.2 s vs 5.0 s at
-    // sf0.1 even with the duplicated pipeline hidden by local[32] —
-    // the shared single exchange is the honest 100×-scale plan.
+    // ---- top-k + hit metadata. Both windows read the aggregation's
+    // __lid partitioning directly (the r16 repartition above), so the
+    // pair table is never re-shuffled here — one sort serves the stats
+    // and rank windows. The tempting alternative — stats via
+    // groupBy + join-back so WindowGroupLimit prunes harder — was
+    // re-measured in r6 AND r16 and REJECTED both times: uncached, the
+    // double reference executes the candidate pipeline twice (r16:
+    // q39 2.0 → 2.9 s; AQE stage reuse did not close it); with an
+    // AutoUnpersist cache of the pair table it trades the stats pass
+    // for an O(pairs) materialization — q39 2.0 → 1.5 s locally but
+    // q29's hot-token pair volume paid 2.4 → 2.9 s, and caching the
+    // biggest intermediate is the wrong 100-TB shape (guide §5).
     val w = Window.partitionBy(col("__lid"))
       .orderBy(col("hit_score").desc, col("__rid"))
     val stats = Window.partitionBy(col("__lid"))
