@@ -2597,10 +2597,17 @@ object SparkEntry {
     // (rebalanced — the hashed-bag featurization is scan-level
     // row-local work; one unsplittable gate file = one core without it)
     "q110_classifier_fit" -> ((s, dir) => {
-      graft.ml.LinearClassifier.trainTextClassifier(
-        graft.operators.Ops.rebalance(
-          classifierFixture(t(s, dir, "documents"))), "doc_id", "text", "y",
-        buckets = 256, epochs = 3, binary = true).orderBy("feat")
+      // the fit consumes the fixture twice (triple count + doc-label
+      // collect) — persist it across those actions and release eagerly:
+      // the returned weight table is a LocalRelation, nothing downstream
+      // reads the fixture (r16, the q111 reuse's fit-only sibling)
+      val d = graft.operators.Ops.rebalance(
+        classifierFixture(t(s, dir, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.ml.LinearClassifier.trainTextClassifier(d, "doc_id",
+        "text", "y", buckets = 256, epochs = 3, binary = true)
+        .orderBy("feat")
+      finally { d.unpersist(false); () }
     }),
 
     // ... and SCORING: the same fit applied back over the corpus — one
@@ -2613,11 +2620,20 @@ object SparkEntry {
     // (rebalanced like q110 — both the fit's featurize-and-collect and
     // the scoring pass are scan-level row-local work)
     "q111_classifier_score" -> ((s, dir) => {
+      // ONE evaluation of the rebalanced fixture for the fit's two
+      // internal actions AND the scoring pass (r16): persist FIRST so
+      // the fit's count/collect build and read the cache without
+      // counting as the scope's first action, register with
+      // AutoUnpersist LAST so the caller's scoring action releases it
+      // (the q68/q24 ordering). The score plan reads the fixture twice
+      // (featurize + the output join) — both hits.
       val d = graft.operators.Ops.rebalance(
         classifierFixture(t(s, dir, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = graft.ml.LinearClassifier.trainTextClassifier(d, "doc_id",
         "text", "y", buckets = 256, epochs = 3, binary = true)
-      graft.ml.LinearClassifier.scoreTextClassifier(d, "doc_id", "text", w,
+      graft.ml.LinearClassifier.scoreTextClassifier(
+        graft.engine.AutoUnpersist.cache(d), "doc_id", "text", w,
         buckets = 256, binary = true).select("doc_id", "margin", "pred")
     }),
 

@@ -40,7 +40,7 @@ object Dedup {
     val keyed = df.withColumn("__dedup_key", key)
     val nn = keyed.filter(col("__dedup_key").isNotNull)
     // ONE key exchange (r15): rank() = 1 over (key, id asc) keeps every
-    // row whose id IS the group minimum — bit-identical to the former
+    // row whose id IS the group minimum — identical to the former
     // groupBy(min id) + semi-join shape including duplicate-id
     // multiplicity (rank, not row_number: several copies of the min-id
     // row all tie at rank 1 and all survive, exactly as the semi-join
@@ -49,9 +49,16 @@ object Dedup {
     // shape referenced `nn` twice, so fingerprint() ran per row per
     // side. WindowGroupLimit prunes each group to its leading ties
     // before the sort completes (the keepBestPerKey plan shape).
-    val w = Window.partitionBy(col("__dedup_key")).orderBy(col(idCol))
+    // NULL ids reproduce the semi-join contract too (r16, the r15
+    // advice): min() ignored NULLs and a NULL id never equi-joined, so
+    // NULL-id rows in a keyed group were DROPPED and an all-NULL-id
+    // group vanished — nulls_last keeps them off rank 1 in mixed
+    // groups, and the isNotNull conjunct drops the all-NULL groups the
+    // window would otherwise rank first.
+    val w = Window.partitionBy(col("__dedup_key"))
+      .orderBy(col(idCol).asc_nulls_last)
     nn.withColumn("__rk", rank().over(w))
-      .filter(col("__rk") === 1)
+      .filter(col("__rk") === 1 && col(idCol).isNotNull)
       .drop("__rk")
       .unionByName(keyed.filter(col("__dedup_key").isNull))
       .drop("__dedup_key")
@@ -2124,18 +2131,25 @@ object Dedup {
     // candidates meet through ONE equi-join on (block, prefix gram) —
     // candidate volume tracks actual similarity, not block size. The
     // sorted-hash order doubles as the canonical prefix order.
-    val prefLen = (size(col("grams")) - ceil(lit(threshold) * size(col("grams"))) + 1)
+    // EFFECTIVE threshold for every candidate-stage bound (r16, the r15
+    // advice): the verify admits pairs whose ROUNDED 4-decimal jaccard
+    // clears `threshold`, i.e. true J down to threshold − 5e-5 — the
+    // pigeonhole arithmetic must prune against THAT bound or a
+    // borderline pair in the rounding band could lose its only meeting
+    // row. teff only ever lengthens prefixes / lowers `required` (a
+    // candidate superset), so pruning stays one-sided.
+    val teff = threshold - 5e-5
+    val prefLen = (size(col("grams")) - ceil(lit(teff) * size(col("grams"))) + 1)
       .cast("int")
     // PREFIX ORDER (r15 optimization): rarest-first prefixes via the
     // shared [[gramDfMap]]/[[rarestPrefixUdf]] machinery (see their
     // scaladoc for the order-independence argument and the count-gated
-    // fallback). prefLen spells the SAME double-ceil arithmetic as the
-    // `prefLen` Column above so the two prefix modes can never
+    // fallback). prefLenOf spells the SAME double-ceil arithmetic as
+    // the `prefLen` Column above so the two prefix modes can never
     // disagree on a boundary.
-    val thr = threshold
     val rarestPrefix: Option[Column] = gramDfMap(g).map { m =>
       rarestPrefixUdf(df.sparkSession, m,
-        len => (len - math.ceil(thr * len) + 1).toInt)(col("grams"))
+        len => (len - math.ceil(teff * len) + 1).toInt)(col("grams"))
     }
     graft.engine.AutoUnpersist.cache(g)
     val pref = g.select(col("id"), col("block"), size(col("grams")).as("sz"),
@@ -2155,10 +2169,12 @@ object Dedup {
     //   |B|−1−posB) at that meeting — rows whose bound can't reach the
     //   equivalent-overlap requirement ceil(t(|A|+|B|)/(1+t)) drop
     //   here (the 1e-9 relaxation keeps the double ceil from ever
-    //   exceeding the exact requirement, so pruning stays one-sided).
+    //   exceeding the exact requirement, and t is the EFFECTIVE
+    //   verify threshold teff — see above — so pruning stays
+    //   one-sided for every pair the rounded verify admits).
     //   Later meetings of a true pair may fail the bound — irrelevant,
     //   its first meeting's row survives and distinct keeps the pair.
-    val required = ceil(lit(threshold / (1.0 + threshold)) *
+    val required = ceil(lit(teff / (1.0 + teff)) *
       (col("pa.sz") + col("pb.sz")) - 1e-9)
     val ubound = lit(1) + least(col("pa.sz") - 1 - col("pa.pos"),
       col("pb.sz") - 1 - col("pb.pos"))

@@ -96,6 +96,25 @@ class GraphDedupSpec extends SparkSpec {
     assert(col1[Long](out, "doc_id").sorted == Seq(1L, 2L))
   }
 
+  test("exact dedup drops NULL-id rows in keyed groups (the min/semi-join contract)") {
+    // the pre-r15 groupBy(min id) + semi-join shape dropped NULL-id
+    // rows inside a keyed group (min ignores NULLs; NULL never
+    // equi-joins) and erased all-NULL-id groups entirely — the window
+    // rewrite must reproduce that, not rank a NULL id first
+    // (asc_nulls_first would keep (null,"same") and evict id 1)
+    val df = Seq[(java.lang.Long, String)](
+      (3L, "same"), (null, "same"), (1L, "same"),   // mixed group
+      (null, "ghost"), (null, "ghost"),             // all-NULL-id group
+      (2L, "other"),                                // singleton
+      (null, null)                                  // NULL key: always kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(out.sortBy(_.getOrElse(Long.MinValue)) ==
+      Seq(None, Some(1L), Some(2L)), s"got $out")
+  }
+
   test("embedding dedup keeps min id per semantic cluster, leaves distinct vectors") {
     // group {5,1,9} shares one vector (transitive via identical pairs);
     // 2 and 3 are distinct directions; 4 is NEAR 2 (cos ≈ 0.999) but
