@@ -440,19 +440,27 @@ object Dedup {
     // (bBuckets is an unpersisted projection over it), so an early
     // registration would release the cache there and every later pass
     // would re-shingle the batch from scratch.
-    val bBase = shingled(batch, "__bid").filter(size(col("sh")) > 0)
+    // rebalance the batch BEFORE the signing kernel (r16): the batch
+    // usually arrives as one small file / micro-batch = one partition,
+    // so the shingle + 64-hash minhash kernel (the q26 rebalance class)
+    // runs on one core without it; no-op on already-parallel batches
+    val bBase = shingled(graft.operators.Ops.rebalance(batch), "__bid")
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = withBands(bBase, "__bid", keepSh = false)
     // candidate (batch, corpus, corpus-shingles) triples, one per
     // band-colliding pair — the physical strategy differs per path but
     // the set is identical up to bloom false positives, which the exact
     // (band, bucket) join below discards
+    // the corpus side pays the same signing kernel — spread it too
+    // (no-op on real multi-file corpora, the Ops.rebalance contract)
+    val corpusR = graft.operators.Ops.rebalance(corpus)
     val cand = bloomFpp match {
       case None =>
         // narrow corpus band exchange, then a count-gated fetch of the
         // few colliding docs' shingles (second corpus scan, map-side
         // semi when the hit set broadcasts)
-        val cBands = withBands(shingled(corpus, "__cid")
+        val cBands = withBands(shingled(corpusR, "__cid")
           .filter(size(col("sh")) > 0), "__cid", keepSh = false)
         val hitP = cBands
           .join(bBands.select("band", "bucket").distinct(),
@@ -462,7 +470,7 @@ object Dedup {
         val nHits = hitP.count()
         val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
         val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
-        val cFetch = shingled(corpus, "__cid")
+        val cFetch = shingled(corpusR, "__cid")
           .join(hitIds, Seq("__cid"), "left_semi")
         bBands.join(withBands(cFetch, "__cid", keepSh = true),
           Seq("band", "bucket"))
@@ -480,7 +488,7 @@ object Dedup {
           val bf = bBuckets.coalesce(8).stat.bloomFilter("bucket", n, fpp)
           val bcast = batch.sparkSession.sparkContext.broadcast(bf)
           val might = udf { (h: Long) => bcast.value.mightContainLong(h) }
-          val cHits = withBands(shingled(corpus, "__cid")
+          val cHits = withBands(shingled(corpusR, "__cid")
               .filter(size(col("sh")) > 0), "__cid", keepSh = true)
             .filter(might(col("bucket")))
           bBands.join(cHits, Seq("band", "bucket"))
@@ -1503,7 +1511,9 @@ object Dedup {
     // registered with AutoUnpersist at the END, like the direct path:
     // the bloom branch's count/build actions would release an
     // already-registered entry (bBuckets is an unpersisted projection)
-    val bBase = shingleFrame(batch, idCol, textCol, shingleSize, "__bid")
+    // rebalance before the signing kernel, as in the direct path (r16)
+    val bBase = shingleFrame(graft.operators.Ops.rebalance(batch),
+        idCol, textCol, shingleSize, "__bid")
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandFrame(bBase, "__bid", numHashes, bands, keepSh = false)

@@ -257,8 +257,19 @@ object Ann {
     // (data, nlist, seed) alone, so the index build itself sits under
     // the cross-engine oracle, not just the probe
     val scale = 10000
+    // ONE decode of the corpus for the whole build (r16): the fit's
+    // regime probe + collect, the assignment/write pass and (SQ8) the
+    // params aggregation are separate actions that each re-scanned and
+    // re-decoded the source — 3-4 serial decodes of what is often one
+    // file at gate SF, and 3-4 full corpus reads at any scale (the
+    // standard iterative-fit cache, MLlib k-means discipline). Explicit
+    // persist, not AutoUnpersist: the fit's own actions would release
+    // an auto-scoped entry before the later passes read it.
+    val base = corpus.select(col(cId), col(cVec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val qcents = graft.sim.Cluster.fitCentroidsQ(
-      corpus, cId, cVec, nlist, seed, iters = 4, scale = scale)
+      base, cId, cVec, nlist, seed, iters = 4, scale = scale)
     val centsQDf = corpus.sparkSession
       .createDataFrame(qcents).toDF("cid", "qcv")
     // cell assignment in the SAME integer space the fit ran in: argmin
@@ -266,7 +277,7 @@ object Ann {
     // wrong-dimension vector keep a NULL cell: they land in the hive
     // null-partition directory — visible for quarantine, never probed —
     // instead of failing the whole 100-TB build.
-    val corpusQ = corpus.select(col(cId).as("neighbor_id"),
+    val corpusQ = base.select(col(cId).as("neighbor_id"),
         col(cVec).as("__cv"))
       .withColumn("__qv", transform(col("__cv"),
         x => floor(x.cast("double") * scale).cast("long")))
@@ -279,7 +290,7 @@ object Ann {
         // the codebook is fit on the SAME corpus the cells store, and
         // persisted as the index's third table — a probe quantizing its
         // queries under any other params would sit on a different grid
-        val params = int8Params(corpus, cVec)
+        val params = int8Params(base, cVec)
         params.coalesce(1).write.mode("overwrite").parquet(s"$path/params")
         quantizeInt8(assigned0, "__cv", params, "qvec")
           .select("neighbor_id", "qvec", "__cell")
@@ -316,6 +327,7 @@ object Ann {
     // with the stream/ table the build just cleared
     writeManifest(spark, path, nlist, rows, quant = if (quantize) 1 else 0,
       geomId = System.nanoTime())
+    } finally { base.unpersist(false); () }
   }
 
   /** Manifest location + read/write. One tiny JSON line; parsed with a
@@ -569,6 +581,14 @@ object Ann {
           col("neighbor_id") === col("__del_id"), "left_anti")
       }
     }
+    // NOT rebalanced (r16, A/B'd and rejected): wrapping the assigned
+    // frame in Ops.rebalance kept DPP alive (PartitionFilters still
+    // carried the dynamicpruning subquery) but regressed every probe
+    // line cold — q60 1.27 → 1.68, q116 1.42 → 1.71, q127 1.96 → 2.22,
+    // q136 1.44 → 1.62 s (back-to-back, clean) — the probe-side serial
+    // stage is dominated by the pruned cells' parquet DECODE, which an
+    // exchange after the scan cannot parallelize (the q01/q128 lesson);
+    // at corpus scale the cells split into many tasks by themselves.
     (centDfRaw, withDeletes, mf)
     }
   }
@@ -1302,13 +1322,21 @@ object Ann {
     fs0.delete(new org.apache.hadoop.fs.Path(s"$path/stream"), true)
     fs0.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     val scale = 10000
+    // ONE decode of the corpus for the whole build (r16, the
+    // writeIvfIndex note, and much bigger here): the coarse fit's
+    // probe + collect, fitPqQ's dims probe plus its m per-subspace
+    // agg + collect pairs, and the encode/write pass are all separate
+    // actions — the raw-space PQ build re-scanned the source ~12×.
+    val base = corpus.select(col(cId), col(cVec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // coarse quantizer: the same fit + integer-space cell assignment as
     // the float/SQ8 layouts — one cell geometry across all three
     val qcents = graft.sim.Cluster.fitCentroidsQ(
-      corpus, cId, cVec, nlist, seed, iters = 4, scale = scale)
+      base, cId, cVec, nlist, seed, iters = 4, scale = scale)
     val centsQDf = corpus.sparkSession
       .createDataFrame(qcents).toDF("cid", "qcv")
-    val corpusQ = corpus.select(col(cId).as("neighbor_id"),
+    val corpusQ = base.select(col(cId).as("neighbor_id"),
         col(cVec).as("__cv"))
       .withColumn("__qv", transform(col("__cv"),
         x => floor(x.cast("double") * scale).cast("long")))
@@ -1336,7 +1364,7 @@ object Ann {
     // would score a different geometry (the SQ8 params/ contract)
     val coarseByCell = qcents.map(_._2)
     val cb =
-      if (!residual) pqCodebooks(corpus, cId, cVec, m, ksub, seed)
+      if (!residual) pqCodebooks(base, cId, cVec, m, ksub, seed)
       else {
         // integer residuals: coarse centroids ride a plan literal (the
         // declared-small nlist × dim table), subtraction is exact on
@@ -1378,6 +1406,7 @@ object Ann {
     writeManifest(spark, path, nlist, rows, quant = 2,
       pqM = m, pqKsub = ksub, pqRes = if (residual) 1 else 0,
       geomId = System.nanoTime())
+    } finally { base.unpersist(false); () }
   }
 
   /** Encode a batch under a persisted index's STORED geometry — the
