@@ -2633,7 +2633,8 @@ object SparkEntry {
       val w = graft.ml.LinearClassifier.trainTextClassifier(d, "doc_id",
         "text", "y", buckets = 256, epochs = 3, binary = true)
       graft.ml.LinearClassifier.scoreTextClassifier(
-        graft.engine.AutoUnpersist.cache(d), "doc_id", "text", w,
+        graft.engine.AutoUnpersist.cache(d, drainFirst = true),
+        "doc_id", "text", w,
         buckets = 256, binary = true).select("doc_id", "margin", "pred")
     }),
 

@@ -468,7 +468,8 @@ object Dedup {
           .select("__cid").distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nHits = hitP.count()
-        val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
+        val hitIds0 = graft.engine.AutoUnpersist.cache(hitP,
+          drainFirst = true)
         val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
         val cFetch = shingled(corpusR, "__cid")
           .join(hitIds, Seq("__cid"), "left_semi")
@@ -495,7 +496,8 @@ object Dedup {
         }
     }
     nearDupVerdicts(batch,
-      graft.engine.AutoUnpersist.cache(bBase), cand, idCol, threshold)
+      graft.engine.AutoUnpersist.cache(bBase, drainFirst = true),
+      cand, idCol, threshold)
   }
 
   /** Persisted near-dup BAND INDEX — the production regime for
@@ -1556,15 +1558,16 @@ object Dedup {
     val hitP = pairsP.select("__cid").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHits = hitP.count()
-    val pairs = graft.engine.AutoUnpersist.cache(pairsP)
-    val hitIds0 = graft.engine.AutoUnpersist.cache(hitP)
+    val pairs = graft.engine.AutoUnpersist.cache(pairsP, drainFirst = true)
+    val hitIds0 = graft.engine.AutoUnpersist.cache(hitP, drainFirst = true)
     val hitIds = if (nHits <= 1000000L) broadcast(hitIds0) else hitIds0
     val cShingles = openNearDupTable(spark, indexPath, "shingles",
         excludeEpoch)
       .join(hitIds, Seq("__cid"), "left_semi")
     val cand = pairs.join(cShingles, "__cid")
     nearDupVerdicts(batch,
-      graft.engine.AutoUnpersist.cache(bBase), cand, idCol, threshold)
+      graft.engine.AutoUnpersist.cache(bBase, drainFirst = true),
+      cand, idCol, threshold)
   }
 
   /** Drop-variant of [[incrementalNearDups]]: the batch rows safe to
@@ -2161,7 +2164,7 @@ object Dedup {
       rarestPrefixUdf(df.sparkSession, m,
         len => (len - math.ceil(teff * len) + 1).toInt)(col("grams"))
     }
-    graft.engine.AutoUnpersist.cache(g)
+    graft.engine.AutoUnpersist.cache(g, drainFirst = true)
     val pref = g.select(col("id"), col("block"), size(col("grams")).as("sz"),
       posexplode(rarestPrefix.getOrElse(
         slice(col("grams"), lit(1), prefLen))).as(Seq("pos", "pg")))

@@ -51,26 +51,33 @@ object AutoUnpersist {
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
 
   /** Persist `df` and unpersist it automatically after the first
-    * completed action that read the cache. Returns the persisted frame. */
+    * completed action that read the cache. Returns the persisted frame.
+    *
+    * `drainFirst = true` is for the persist-first / act / register-last
+    * callers ONLY (contaminatedIds' count-gated broadcast, the near-dup
+    * probe's hit count, the Jaccard df map, the q111 fixture): their own
+    * pre-registration actions must not count as the scope's first
+    * action, but QueryExecutionListener events arrive asynchronously,
+    * so a still-queued event for one of those already-completed actions
+    * could land after this registration and release the entry
+    * immediately (observed: the q68 cached-id-set plan flake). Draining
+    * the bus before registering closes that window; on timeout we
+    * proceed and accept the original tiny race rather than fail the
+    * operator. Build-time registrations with no prior action on the
+    * entry skip the drain (r16, the r15 advice): a backlogged shared
+    * bus would otherwise tax every cache() call — per-micro-batch
+    * operators included — with an up-to-10 s wait that protects them
+    * from nothing. */
   def cache(df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      drainFirst: Boolean = false): DataFrame = {
     val cached = df.persist(level)
     builderOf(cached) match {
       case Some(b) =>
         install(cached.sparkSession)
-        // drain the async listener bus BEFORE registering (r15): the
-        // persist-first / act / register-last callers (contaminatedIds'
-        // count-gated broadcast, the near-dup probe's hit count, the
-        // Jaccard df map) rely on their own pre-registration actions
-        // NOT counting as the scope's first action — but
-        // QueryExecutionListener events arrive asynchronously, so a
-        // still-queued event for an already-completed action could land
-        // after this registration and release the entry immediately
-        // (observed: the q68 cached-id-set plan flake). Draining here
-        // closes the window; on timeout we proceed and accept the
-        // original tiny race rather than fail the operator.
-        org.apache.spark.GraftSparkBridge.drainListenerBus(
-          cached.sparkSession.sparkContext)
+        if (drainFirst)
+          org.apache.spark.GraftSparkBridge.drainListenerBus(
+            cached.sparkSession.sparkContext)
         // queue maintenance is serialized: an unsynchronized
         // peek/containsKey/poll pair racing another cache() call could
         // poll a LIVE entry's token, leaving that entry unevictable and

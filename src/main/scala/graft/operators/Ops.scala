@@ -574,18 +574,6 @@ object Ops {
     *     wrong results. Callers that KNOW a wide frame is small can
     *     `.cache()` it first (a cached plan reports measured bytes)
     *     or repartition explicitly. */
-  /** [[rebalance]] for STREAMING frames (r15): a micro-batch sourced
-    * from one unsplittable file runs every row-local kernel downstream
-    * (shingle + minhash signatures, hashed-bag features, scrub towers)
-    * on ONE core; a plain round-robin repartition to the session's
-    * parallelism spreads it. Unconditional — the batch variant's
-    * partition-count probe reads `df.rdd`, which a streaming frame
-    * forbids, and a micro-batch that is already wide only pays a
-    * narrow batch-local shuffle. Stateless, so it composes into any
-    * streaming plan. */
-  def rebalanceStream(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
   def rebalance(df: DataFrame, target: Int = 0): DataFrame = {
     val goal =
       if (target > 0) target
@@ -604,6 +592,18 @@ object Ops {
     else if (df.rdd.getNumPartitions >= goal) df
     else df.repartition(goal)
   }
+
+  /** [[rebalance]] for STREAMING frames (r15): a micro-batch sourced
+    * from one unsplittable file runs every row-local kernel downstream
+    * (shingle + minhash signatures, hashed-bag features, scrub towers)
+    * on ONE core; a plain round-robin repartition to the session's
+    * parallelism spreads it. Unconditional — the batch variant's
+    * partition-count probe reads `df.rdd`, which a streaming frame
+    * forbids, and a micro-batch that is already wide only pays a
+    * narrow batch-local shuffle. Stateless, so it composes into any
+    * streaming plan. */
+  def rebalanceStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Corpus snapshot diff — the incremental-pipeline audit companion to
     * [[graft.dedup.Dedup.incrementalDedup]]: classify every id across

@@ -300,9 +300,13 @@ object Ann {
     // job per build, same number)
     val obs = org.apache.spark.sql.Observation()
     assigned
-      .observe(obs, count(lit(1)).as("rows"))
-      // one output dir (and typically one file) per cell
+      // one output dir (and typically one file) per cell. observe ABOVE
+      // the exchange (r16, the r15 advice): below it the metric ran in
+      // the shuffle map stage, where a fetch-failure retry re-runs map
+      // tasks and double-counts (the accumulator-in-transformation
+      // caveat); in the result stage each task counts once.
       .repartition(col("__cell"))
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
     // centroids table carries both spaces: __centroid (double) feeds the
     // probe's cell ranking, __qcentroid (quantized longs) is the
@@ -320,7 +324,7 @@ object Ann {
     // instead of silently scoring against torn cells. rows was observed
     // on the write job itself.
     val spark = corpus.sparkSession
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val rows = observedRows(obs, corpus.sparkSession, s"$path/assigned")
     // a fresh geometry identity per (re)build (nanoTime: two rebuilds
     // in one millisecond must still differ) — stream writers compare
     // it per batch to catch an out-of-band retrain; stream marks reset
@@ -328,6 +332,24 @@ object Ann {
     writeManifest(spark, path, nlist, rows, quant = if (quantize) 1 else 0,
       geomId = System.nanoTime())
     } finally { base.unpersist(false); () }
+  }
+
+  /** The certified row total off a build's Observation, bounded (r16,
+    * the r15 advice): `Observation.get` blocks forever if the metrics
+    * event was dropped from the listener bus — rare, but this number is
+    * persisted into the manifest and steers every later compaction, so
+    * the build must not hang on it. On timeout fall back to the exact
+    * footer count of the just-written table (the pre-r15 read-back —
+    * one extra job, only on the anomaly path). */
+  private def observedRows(obs: org.apache.spark.sql.Observation,
+      spark: org.apache.spark.sql.SparkSession, writtenPath: String): Long = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future(obs.get("rows").asInstanceOf[Long]),
+      scala.concurrent.duration.Duration(30, "s"))
+    catch { case _: java.util.concurrent.TimeoutException =>
+      spark.read.parquet(writtenPath).count()
+    }
   }
 
   /** Manifest location + read/write. One tiny JSON line; parsed with a
@@ -1390,8 +1412,9 @@ object Ann {
         "__cv", "__cell", coarseByCell, cb, "codes")
     coded
       .select("neighbor_id", "codes", "__cell")
-      .observe(obsPq, count(lit(1)).as("rows"))
+      // observe ABOVE the exchange — the writeIvfIndex retry note
       .repartition(col("__cell"))
+      .observe(obsPq, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/assigned")
     } finally { if (residual) { assigned0.unpersist(); () } }
     corpus.sparkSession.createDataFrame(
@@ -1402,7 +1425,7 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val spark = corpus.sparkSession
     // observed on the coded write (the writeIvfIndex Observation note)
-    val rows = obsPq.get("rows").asInstanceOf[Long]
+    val rows = observedRows(obsPq, spark, s"$path/assigned")
     writeManifest(spark, path, nlist, rows, quant = 2,
       pqM = m, pqKsub = ksub, pqRes = if (residual) 1 else 0,
       geomId = System.nanoTime())

@@ -476,7 +476,7 @@ object TextAnalysis {
             // verdict set (mostly-contaminated corpus) keeps the
             // shuffled join, which is then the right plan anyway.
             val n_ = idsP.count()
-            val ids = graft.engine.AutoUnpersist.cache(idsP)
+            val ids = graft.engine.AutoUnpersist.cache(idsP, drainFirst = true)
             if (n_ <= 1000000L) broadcast(ids) else ids
         }
     }
