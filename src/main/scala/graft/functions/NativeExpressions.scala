@@ -78,6 +78,176 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared analysis-time checks for the fused vector-distance
+  * expressions below. */
+private[functions] object VectorExprChecks {
+  import org.apache.spark.sql.types._
+  def numericArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) => true
+    case _ => false
+  }
+  def integralArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType | IntegerType | ShortType | ByteType, _) => true
+    case _ => false
+  }
+  /** Element accessor tag for the static helpers: 0 double, 1 float,
+    * 2 long, 3 int, 4 short, 5 byte. */
+  def tag(t: DataType): Int = t match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _) => 4
+    case ArrayType(ByteType, _) => 5
+    case other => sys.error(s"unsupported vector element type $other")
+  }
+}
+
+/** Fused dot-and-norms of two numeric arrays — ONE unboxed pass
+  * computing struct(dot, na = |a|², nb = |b|²) together, replacing the
+  * five interpreted higher-order traversals (2 casts via transform,
+  * zip_with product alloc, 3 aggregates) the cosine Column spelling
+  * cost per PAIR in every ANN scoring path. Deliberately NOT the full
+  * cosine: the final dot/(sqrt(na)·sqrt(nb)) stays composed from stock
+  * Sqrt/Divide expressions so the division keeps Spark's exact
+  * semantics — under ANSI a zero denominator (empty arrays, zero-norm
+  * vectors) THROWS DIVIDE_BY_ZERO, exactly as the old spelling did.
+  * Bit-identical accumulation: each accumulator's additions run in
+  * element order (independent sequential IEEE chains) and elements
+  * widen to double exactly as cast("double"). NULL array, length
+  * mismatch (zip_with's null padding) or NULL element ⇒ NULL struct ⇒
+  * NULL cosine, as before. */
+case class DotNormsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dot", DoubleType, nullable = false),
+    StructField("na", DoubleType, nullable = false),
+    StructField("nb", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprChecks.numericArray(left.dataType) &&
+        VectorExprChecks.numericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two numeric arrays, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def prettyName: String = "dot_norms"
+
+  private lazy val tagA = VectorExprChecks.tag(left.dataType)
+  private lazy val tagB = VectorExprChecks.tag(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeExpressions.dotNormsRow(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      tagA, tagB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dnTmp")
+      s"""
+         |InternalRow $tmp = graft.functions.NativeExpressions
+         |  .dotNormsRow($a, $b, $tagA, $tagB);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused squared L2 distance Σ(aᵢ−bᵢ)² over numeric arrays — the IVF
+  * probes' centroid-ranking kernel, same contract notes as
+  * [[CosineSimExpr]] (sequential addition order = the
+  * aggregate(zip_with) spelling; NULL/length-mismatch ⇒ NULL). */
+case class L2Dist2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprChecks.numericArray(left.dataType) &&
+        VectorExprChecks.numericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two numeric arrays, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def prettyName: String = "l2_dist2"
+
+  private lazy val tagA = VectorExprChecks.tag(left.dataType)
+  private lazy val tagB = VectorExprChecks.tag(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeExpressions.l2Dist2Boxed(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      tagA, tagB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("l2Tmp")
+      s"""
+         |java.lang.Double $tmp = graft.functions.NativeExpressions
+         |  .l2Dist2Boxed($a, $b, $tagA, $tagB);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused integer squared grid distance Σ(aᵢ−bᵢ)² over INTEGRAL arrays —
+  * the quantized probes' exact long arithmetic. Overflow throws
+  * (Math.addExact/multiplyExact), matching the ANSI behavior of the
+  * long Multiply/Add the Column spelling used; NULL/length-mismatch ⇒
+  * NULL as in [[CosineSimExpr]]. */
+case class GridDist2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprChecks.integralArray(left.dataType) &&
+        VectorExprChecks.integralArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two integral arrays, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def prettyName: String = "grid_dist2"
+
+  private lazy val tagA = VectorExprChecks.tag(left.dataType)
+  private lazy val tagB = VectorExprChecks.tag(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeExpressions.gridDist2Boxed(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      tagA, tagB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("gdTmp")
+      s"""
+         |java.lang.Long $tmp = graft.functions.NativeExpressions
+         |  .gridDist2Boxed($a, $b, $tagA, $tagB);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-row error capture for recipe `eval` expressions — the Spark
   * re-expression of the reference's safeeval "Ooops:" policy
   * (code/recipes.py:1644-1695 + tools.py safeeval): a failing expression
@@ -238,6 +408,105 @@ object NativeExpressions {
   /** Column API: intersection size of two sorted array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  // ------------------------------------------- fused vector distances
+  private def elemAsDouble(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int, tag: Int): Double = tag match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
+  }
+
+  private def elemAsLong(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int, tag: Int): Long = tag match {
+    case 2 => a.getLong(i)
+    case 3 => a.getInt(i).toLong
+    case 4 => a.getShort(i).toLong
+    case _ => a.getByte(i).toLong
+  }
+
+  /** Fused (dot, |a|², |b|²) over ArrayData (see [[DotNormsExpr]] for
+    * the exact-equivalence contract). Called from generated code. */
+  def dotNormsRow(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      tagA: Int, tagB: Int): InternalRow = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la != lb) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elemAsDouble(a, i, tagA); val y = elemAsDouble(b, i, tagB)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dot, na, nb))
+  }
+
+  /** Fused Σ(aᵢ−bᵢ)² over ArrayData doubles. Called from generated
+    * code. */
+  def l2Dist2Boxed(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      tagA: Int, tagB: Int): java.lang.Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la != lb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = elemAsDouble(a, i, tagA) - elemAsDouble(b, i, tagB)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Fused exact-long Σ(aᵢ−bᵢ)² over integral ArrayData; overflow
+    * throws (ANSI parity). Called from generated code. */
+  def gridDist2Boxed(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      tagA: Int, tagB: Int): java.lang.Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la != lb) return null
+    var acc = 0L
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = Math.subtractExact(elemAsLong(a, i, tagA), elemAsLong(b, i, tagB))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Column API: fused cosine similarity (numeric arrays → double).
+    * The division composes from stock Sqrt/Divide so ANSI zero-divisor
+    * semantics match the old higher-order spelling exactly (see
+    * [[DotNormsExpr]]). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val f = GraftBridge.column(DotNormsExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+    f.getField("dot") /
+      (org.apache.spark.sql.functions.sqrt(f.getField("na")) *
+        org.apache.spark.sql.functions.sqrt(f.getField("nb")))
+  }
+
+  /** Column API: fused squared L2 distance (numeric arrays → double). */
+  def l2Dist2(a: Column, b: Column): Column =
+    GraftBridge.column(L2Dist2Expr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: fused exact-long squared grid distance (integral
+    * arrays → long). */
+  def gridDist2(a: Column, b: Column): Column =
+    GraftBridge.column(GridDist2Expr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Column API: evaluate `c` per row; on error the cell becomes

@@ -165,12 +165,12 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two numeric arrays (cast to double first). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
-  }
+  /** Cosine similarity of two numeric arrays. Backed by the fused
+    * native expression (NativeExpressions.CosineSimExpr, r16): one
+    * unboxed pass instead of five interpreted higher-order traversals
+    * per pair — bit-identical values and NULL contract (the expression's
+    * scaladoc carries the equivalence argument). */
+  def cosine(a: Column, b: Column): Column = NativeExpressions.cosineSim(a, b)
 
   /** Jaccard similarity of two arrays treated as sets. Single intersect
     * pass: |A∪B| = |A| + |B| − |A∩B| (inputs must already be distinct —

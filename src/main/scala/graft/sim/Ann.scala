@@ -198,9 +198,10 @@ object Ann {
     // matching the k-means objective)
     val q = queryProjection(queries, qId, qVec)
     val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
-    val dist2 = aggregate(
-      zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // fused native Σ(a−b)² (r16): the aggregate(zip_with) spelling ran
+    // interpreted per element — bit-identical, see L2Dist2Expr
+    val dist2 = graft.functions.NativeExpressions.l2Dist2(
+      col("__qvd"), col("__centroid"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("__cell"))
     val probes = qd.crossJoin(centDf)
       .withColumn("__d2", dist2)
@@ -623,9 +624,10 @@ object Ann {
     val centDf = broadcast(centDfRaw)
     val q = queryProjection(queries, qId, qVec)
     val qd = q.withColumn("__qvd", transform(col("__qv"), x => x.cast("double")))
-    val dist2 = aggregate(
-      zip_with(col("__qvd"), col("__centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // fused native Σ(a−b)² (r16): the aggregate(zip_with) spelling ran
+    // interpreted per element — bit-identical, see L2Dist2Expr
+    val dist2 = graft.functions.NativeExpressions.l2Dist2(
+      col("__qvd"), col("__centroid"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("__cell"))
     qd.crossJoin(centDf)
       .withColumn("__d2", dist2)
@@ -943,11 +945,10 @@ object Ann {
     val filtered =
       if (excludeSelf) candidates.filter(col("query_id") =!= col("neighbor_id"))
       else candidates
-    val d2 = aggregate(
-      zip_with(col("__qq"), col("__qc"),
-        (a, b) => (a.cast("long") - b.cast("long")) *
-          (a.cast("long") - b.cast("long"))),
-      lit(0L), (s, x) => s + x)
+    // fused native exact-long Σ(a−b)² (r16, GridDist2Expr) — the
+    // aggregate(zip_with) spelling ran interpreted per element
+    val d2 = graft.functions.NativeExpressions.gridDist2(
+      col("__qq"), col("__qc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2q").asc, col("neighbor_id"))
     filtered

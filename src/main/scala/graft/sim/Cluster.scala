@@ -44,11 +44,14 @@ object Cluster {
     val zero = struct(lit(null).cast("long").as("cid"),
       lit(Double.MaxValue).as("d2"))
     val best = aggregate(col("__cents"), zero, (acc, c) => {
-      // zip_with pads length mismatches with NULL → NULL d2 → the
-      // strict < keeps acc, so a bad-dimension centroid can never win
-      val d2 = aggregate(
-        zip_with(vecD, c.getField("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, x) => s + x)
+      // length mismatches (and NULL elements) yield NULL d2 → the
+      // strict < keeps acc, so a bad-dimension centroid can never win.
+      // Fused native Σ(a−b)² (r16, L2Dist2Expr — bit-identical to the
+      // former aggregate(zip_with) spelling): the nested interpreted
+      // lambdas cost k·dim expression evals per ROW on every
+      // assignment pass (builds, appends, q70)
+      val d2 = graft.functions.NativeExpressions.l2Dist2(
+        vecD, c.getField("cv"))
       when(d2 < acc.getField("d2"),
         struct(c.getField("cid").as("cid"), d2.as("d2"))).otherwise(acc)
     })

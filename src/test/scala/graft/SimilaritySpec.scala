@@ -73,6 +73,69 @@ class SimilaritySpec extends SparkSpec {
     assert(d > 380 && d < 400)
   }
 
+  test("fused native vector kernels match their higher-order spellings bit for bit") {
+    import graft.functions.NativeExpressions
+    // the r16 rewrite's contract: CosineSimExpr / L2Dist2Expr /
+    // GridDist2Expr must reproduce the aggregate(zip_with) Column
+    // spellings exactly — values AND the NULL/edge contract
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val ad = transform(a, x => x.cast("double"))
+      val bd = transform(b, x => x.cast("double"))
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    }
+    val rows = Seq(
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](4f, 5f, 6f)),   // plain
+      (Seq[java.lang.Float](0.1f, -0.2f, 0.3f), Seq[java.lang.Float](0.1f, -0.2f, 0.3f)), // self
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f, 2f, 3f)),        // length mismatch
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)))  // null element
+      .toDF("a", "b")
+    val both = rows.select(
+      NativeExpressions.cosineSim(col("a"), col("b")).as("nat"),
+      hofCosine(col("a"), col("b")).as("hof"),
+      NativeExpressions.l2Dist2(
+        transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double"))).as("natL2"),
+      aggregate(zip_with(transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double")), (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, v) => acc + v).as("hofL2")).collect()
+    both.foreach { r =>
+      def d(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      // NaN == NaN must compare equal here: compare raw bits
+      def bits(o: Option[Double]) = o.map(java.lang.Double.doubleToRawLongBits)
+      assert(bits(d(0)) == bits(d(1)), s"cosine: ${d(0)} vs ${d(1)}")
+      assert(bits(d(2)) == bits(d(3)), s"l2: ${d(2)} vs ${d(3)}")
+    }
+    // ANSI parity on the division: a zero-norm side throws
+    // DIVIDE_BY_ZERO under both spellings (the fused kernel returns
+    // (dot, na, nb) and leaves the division to stock Sqrt/Divide for
+    // exactly this reason)
+    val zero = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+    intercept[ArithmeticException] {
+      zero.select(NativeExpressions.cosineSim(col("a"), col("b"))).collect()
+    }
+    intercept[ArithmeticException] {
+      zero.select(hofCosine(col("a"), col("b"))).collect()
+    }
+
+    // integer grid distance: exact long arithmetic + the NULL contract
+    val g = Seq(
+      (Seq[java.lang.Long](1L, 5L, -3L), Seq[java.lang.Long](2L, 2L, 2L)),
+      (Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+    val gOut = g.select(
+      NativeExpressions.gridDist2(col("a"), col("b")).as("nat"),
+      aggregate(zip_with(col("a"), col("b"), (p, q) => (p - q) * (p - q)),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    gOut.foreach { r =>
+      def l(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(l(0) == l(1), s"grid: ${l(0)} vs ${l(1)}")
+    }
+    assert(gOut.head.getLong(0) == 1 + 9 + 25)
+  }
+
   test("normalize/tokenize/ngrams primitives") {
     val df = Seq("Été, l'avant-garde!").toDF("s")
     assert(col1[String](df.select(Tools.normalize(col("s")).as("n")), "n").head ==
