@@ -1282,9 +1282,17 @@ object Ann {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, m: Int = 8, ksub: Int = 256, seed: Long = 42L,
       iters: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val cb = pqCodebooks(corpus, cId, cVec, m, ksub, seed, iters)
+    // ONE decode of the corpus (r16, the writeIvfIndexPq note): the
+    // inline codebook fit runs a dims probe plus m agg+collect pairs,
+    // each of which re-scanned the source; the caller's final action
+    // then reads the cache once more for the encode and releases it
+    // (persist FIRST / fit / register LAST — the q111 ordering).
+    val base = corpus.select(col(cId), col(cVec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebooks(base, cId, cVec, m, ksub, seed, iters)
     val coded = encodePq(
-      corpus.select(col(cId).as("__nid"), col(cVec).as("__cv")),
+      graft.engine.AutoUnpersist.cache(base, drainFirst = true)
+        .select(col(cId).as("__nid"), col(cVec).as("__cv")),
       "__cv", cb, "__pqcodes").drop("__cv")
     pqTopKEncoded(queries, coded, cb, qId, qVec, "__nid", "__pqcodes",
       k, excludeSelf)
