@@ -143,8 +143,11 @@ object Ann {
     val qp = queryProjection(queries, qId, qVec)
     val qVecs = broadcast(qp)
     val q = broadcast(banded(qp, "__qv").drop("__qv"))
-    val c = banded(
-      corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")), "__cv")
+    // rebalance before the signature kernel (r16): bits·tables·dim
+    // splitmix hashes per row is the q26 rebalance class — a one-file
+    // corpus otherwise signs on ONE core; no-op on multi-file corpora
+    val c = banded(graft.operators.Ops.rebalance(
+      corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))), "__cv")
     // a pair meeting in several tables must still score/rank ONCE; the
     // dedup shuffles only the candidate set (collisions), never the corpus
     val cand = q.join(c, Seq("__table", "__bucket"))
